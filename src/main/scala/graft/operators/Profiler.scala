@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.TypeTags
+
+/** The flagship operator: schema inference + per-field statistics over a
+  * collection — the reference's "Analyze Schema" pipeline (reference:
+  * `core/analyser.py:242-322`, fused per-path aggregate state at
+  * `core/analyser.py:47-66`) re-architected for Spark.
+  *
+  * Design: ONE scan of the source. A schema-driven projection flattens
+  * every document into `(path, vstr, vnum, vts, vtype)` leaf rows (the
+  * columnar analogue of the reference's recursive
+  * `extract_schema_and_stats` walk at `core/analyser.py:32-79`), then a
+  * single `groupBy(path)` computes all statistics. Path cardinality is
+  * tiny (≤ thousands), so the shuffle is negligible; the heavy lifting —
+  * partial counts, min/max — happens map-side via Catalyst's partial
+  * aggregation. Exact `countDistinct` is the only stat that shuffles
+  * distinct values; at 100 TB scale flip `exact = false` to use HLL
+  * (`approx_count_distinct`), mirroring SURVEY §7.3's sketch-mode flag.
+  *
+  * Array fields contribute two kinds of rows, matching the reference's
+  * semantics: the *whole array* (JSON-canonicalized, for presence +
+  * cardinality-of-whole-arrays, `core/analyser.py:142,188`) under `path`,
+  * and each *element* under `path[]` for the element sub-stats
+  * (`core/analyser.py:131-138`). Struct fields are recursed into, not
+  * tagged (`core/analyser.py:70-71`).
+  */
+object Profiler {
+
+  /** Leaf-row shape produced by [[flatten]]. */
+  val rowType: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("vstr", StringType),
+    StructField("vnum", DoubleType),
+    StructField("vts", TimestampType),
+    StructField("vtype", StringType)))
+
+  private def leafStruct(path: String, vstr: Column, vnum: Column,
+                         vts: Column, vtype: Column): Column =
+    struct(
+      lit(path).as("path"), vstr.cast(StringType).as("vstr"),
+      vnum.cast(DoubleType).as("vnum"), vts.cast(TimestampType).as("vts"),
+      vtype.as("vtype"))
+
+  /** Tag for a value: the static schema tag, or "null" for null values —
+    * so the per-path type histogram (`type_distribution`,
+    * `core/analyser.py:192,286`) distinguishes nulls like the extractor
+    * does (`core/extractor.py:86-87`).
+    */
+  private def valueTag(c: Column, dt: DataType): Column =
+    when(c.isNull, lit(TypeTags.Null)).otherwise(lit(TypeTags.tagOf(dt)))
+
+  /** Recursively build the per-document leaf rows for one column. */
+  private def leafRows(path: String, c: Column, dt: DataType): Seq[Column] =
+    dt match {
+      case st: StructType =>
+        // dict: recurse, don't tag (core/analyser.py:70-71)
+        st.fields.toSeq.flatMap(f =>
+          leafRows(s"$path.${f.name}", c.getField(f.name), f.dataType))
+      case ArrayType(et, _) =>
+        val whole = leafStruct(path, to_json(c), lit(null), lit(null),
+          valueTag(c, dt))
+        val elemRows: Column = et match {
+          case est: StructType =>
+            transform(c, x => leafStruct(s"$path[]", to_json(x), lit(null),
+              lit(null), valueTag(x, est)))
+          case _ =>
+            transform(c, x => leafStruct(s"$path[]",
+              x,
+              if (TypeTags.isNumeric(et)) x else lit(null),
+              if (TypeTags.isTemporal(et)) x else lit(null),
+              valueTag(x, et)))
+        }
+        Seq(array(whole), coalesce(elemRows, emptyLeafArray))
+      case _ =>
+        val vnum = if (TypeTags.isNumeric(dt)) c else lit(null)
+        val vts = if (TypeTags.isTemporal(dt)) c else lit(null)
+        Seq(array(leafStruct(path, c, vnum, vts, valueTag(c, dt))))
+    }
+
+  private val emptyLeafArray: Column =
+    array().cast(ArrayType(rowType, containsNull = false))
+
+  /** One-scan flatten of a DataFrame into (path, vstr, vnum, vts, vtype)
+    * leaf rows. The projection is built at plan time from the schema, so
+    * the whole thing stays inside whole-stage codegen — no UDFs.
+    */
+  def flatten(df: DataFrame): DataFrame = {
+    val arrays: Seq[Column] = df.schema.fields.toSeq.flatMap(f =>
+      leafRows(f.name, col(f.name), f.dataType))
+    df.select(explode(concat(arrays: _*)).as("f")).select("f.*")
+  }
+
+  /** Per-path core statistics: presence, missing %, exact cardinality,
+    * numeric min/max, temporal min/max (ISO strings). One row per path,
+    * ordered by path (`core/analyser.py:320-321`).
+    *
+    * @param exact exact `countDistinct` (reference parity,
+    *              `core/analyser.py:142,188`) vs HLL sketch for scale.
+    */
+  def profileStats(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val total = df.count()
+    val flat = flatten(df)
+    val card =
+      if (exact) countDistinct(col("vstr"))
+      else approx_count_distinct(col("vstr"))
+    flat.groupBy("path").agg(
+      count(col("vstr")).as("n_present"),
+      ((lit(total) - count(col("vstr"))) * 100.0 / lit(total))
+        .as("missing_pct"),
+      card.as("cardinality"),
+      min(col("vnum")).as("num_min"),
+      max(col("vnum")).as("num_max"),
+      date_format(min(col("vts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .as("ts_min"),
+      date_format(max(col("vts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .as("ts_max"))
+      .orderBy("path")
+  }
+
+  /** Per-path type histogram — `type_distribution`
+    * (`core/analyser.py:192,286`), with nulls as their own tag. Unlike the
+    * reference's nondeterministic last-writer-wins schema entry
+    * (`core/analyser.py:186`), the histogram is the primary artifact here
+    * (intentional semantic fix, SURVEY §1.2).
+    */
+  def typeHistogram(df: DataFrame): DataFrame =
+    flatten(df).groupBy("path", "vtype").agg(count(lit(1)).as("cnt"))
+      .orderBy("path", "vtype")
+
+  /** Per-path top-k values: strings shorter than 256 chars only
+    * (`core/analyser.py:202-204`), k=5 (`core/analyser.py:299-300`).
+    * Deterministic tie-break: count desc, value asc (SURVEY §7.3 fixes
+    * the reference's insertion-order-dependent `Counter.most_common`).
+    */
+  def topK(df: DataFrame, k: Int = 5): DataFrame = {
+    val flat = flatten(df)
+    val counted = flat
+      .filter(col("vtype") === "str" && length(col("vstr")) < 256)
+      .groupBy("path", "vstr").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("path")
+      .orderBy(col("cnt").desc, col("vstr").asc)
+    counted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("path"), col("vstr").as("value"), col("cnt"), col("rank"))
+      .orderBy("path", "rank")
+  }
+
+  /** Flat schema: (path, type_tag) — the representative type per path.
+    * Deterministic: most-frequent non-null tag, ties broken lexically
+    * (semantic fix over last-writer-wins, SURVEY §1.2).
+    */
+  def flatSchema(df: DataFrame): DataFrame = {
+    val hist = flatten(df).filter(col("vtype") =!= TypeTags.Null)
+      .groupBy("path", "vtype").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("path")
+      .orderBy(col("cnt").desc, col("vtype").asc)
+    hist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("path"), col("vtype").as("type_tag"))
+      .orderBy("path")
+  }
+
+  /** Hierarchical schema render: flat dotted paths → nested JSON object
+    * (`core/analyser.py:324-333` `schema_to_hierarchical`). Pure driver
+    * function over the (small) flat-schema result.
+    */
+  def hierarchicalSchema(flat: Seq[(String, String)]): String = {
+    sealed trait Node
+    case class Leaf(tag: String) extends Node
+    case class Branch(children: scala.collection.mutable.LinkedHashMap[String, Node]) extends Node
+
+    val root = Branch(scala.collection.mutable.LinkedHashMap())
+    flat.sortBy(_._1).foreach { case (path, tag) =>
+      val parts = path.split('.')
+      var cur = root
+      parts.dropRight(1).foreach { p =>
+        cur = cur.children.getOrElseUpdate(p,
+          Branch(scala.collection.mutable.LinkedHashMap())) match {
+          case b: Branch => b
+          case _: Leaf => // path collides with a leaf; shadow it
+            val b = Branch(scala.collection.mutable.LinkedHashMap())
+            cur.children.update(p, b); b
+        }
+      }
+      cur.children.update(parts.last, Leaf(tag))
+    }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    def render(n: Node): String = n match {
+      case Leaf(t) => s"""{"type": "${esc(t)}"}"""
+      case Branch(ch) => ch.map { case (k, v) =>
+        s""""${esc(k)}": ${render(v)}"""
+      }.mkString("{", ", ", "}")
+    }
+    render(root)
+  }
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Relational query surface. The reference has no joins / windows / set
+  * ops (SURVEY §2.3, §2.5) — these come from Spark built-ins and are
+  * exposed so a reference user gets a full analytical surface on top of
+  * the profiling core. TPC-H-shaped queries double as oracle-checked
+  * correctness probes and as the benchmark headliners.
+  *
+  * Numeric discipline for oracle parity: monetary doubles are cast to
+  * DECIMAL(18,2) *before* summing (exact, order-independent arithmetic —
+  * a plain double sum is nondeterministic under parallel reduction), and
+  * the exact decimal result is cast to double at the very end.
+  */
+object Relational {
+
+  private val dec = DecimalType(12, 2)   // money / quantities
+  private val rate = DecimalType(4, 2)   // discounts / taxes in [0,1]
+
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
+
+  /** TPC-H Q1-shaped pricing summary: wide multi-aggregate groupBy.
+    * Map-side partial aggregation collapses 60k→8 groups before the
+    * shuffle; at 100 TB this stays one scan + a trivial shuffle.
+    */
+  def q1(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1).cast(rate) - col("l_discount").cast(rate)))
+          .cast("double").as("sum_disc_price"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1).cast(rate) - col("l_discount").cast(rate))
+          * (lit(1).cast(rate) + col("l_tax").cast(rate)))
+          .cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast(dec)).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast(rate)).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-shaped shipping-priority top-10: two joins + agg + top-k.
+    * customer is small → broadcast; orders⋈lineitem shuffles on the join
+    * key; ORDER BY+LIMIT plans as TakeOrderedAndProject (no full sort).
+    */
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = ord(s, dir).filter(col("o_orderdate") < cutoff)
+    val l = li(s, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(rate) - col("l_discount").cast(rate)))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier volume: 6-way join. Dimension chain
+    * region→nation→customer/supplier is tiny → broadcast all of it; only
+    * orders⋈lineitem is a real shuffle join.
+    */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables.load(s, dir, "nation")
+    val c = Tables.load(s, dir, "customer")
+    val sup = Tables.load(s, dir, "supplier")
+    val o = ord(s, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = li(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(rate) - col("l_discount").cast(rate)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** TPC-H Q6-shaped revenue-change scan: pure filter + global agg —
+    * tests predicate pushdown to the parquet scan.
+    */
+  def q6(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(rate))
+        .cast("double").as("revenue"))
+
+  /** Windowed running aggregate per customer (absent in reference —
+    * SURVEY §2.5): row_number + running sum over an ordered partition.
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    ord(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(dec))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("running_spend"))
+      .orderBy(col("o_custkey").asc, col("rn").asc)
+  }
+
+  /** Set-op probe: customers with orders in 1995 but none in 1996
+    * (left_semi + left_anti — SURVEY §2.5 "absent in reference").
+    */
+  def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    val o = ord(s, dir)
+    val in95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+    val in96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    val c = Tables.load(s, dir, "customer")
+    c.join(in95, col("c_custkey") === in95("o_custkey"), "left_semi")
+      .join(in96, col("c_custkey") === in96("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Event-stream rollup: per (event_type, hour bucket) count + value
+    * stats over the events table — the time-series slice of the surface.
+    */
+  def eventRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "hour")
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog over a test-data scale-factor directory (one parquet file per
+  * "collection"). The reference's collection listing / stats surface
+  * (reference: `core/analyser.py:227-240`, `views/db_connection_view.py:
+  * 183-255`) re-expressed as catalog DataFrames over file sources.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Parquet TIMESTAMP(NANOS) (events.ts) is illegal for Spark's reader;
+    // read it as a nanosecond long and truncate to microseconds — the
+    // same floor a ns→µs cast performs engine-side in DuckDB.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    else df
+  }
+
+  /** S5: sorted collection listing. */
+  def listCollections(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val found = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet"))
+      .sorted
+    found.toSeq.toDF("collection")
+  }
+
+  /** S6: per-collection stats (count, size, avg object size) — the
+    * `collStats` analogue for file-backed collections. Error-tolerant per
+    * collection, like the reference's per-key auth fallback.
+    */
+  def describeCollections(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = names.flatMap { n =>
+      try {
+        val f = new java.io.File(s"$dir/$n.parquet")
+        if (!f.exists()) None
+        else {
+          val cnt = load(spark, dir, n).count()
+          val sz = f.length()
+          Some((n, cnt, sz, if (cnt > 0) sz.toDouble / cnt else 0.0))
+        }
+      } catch { case _: Exception => Some((n, -1L, -1L, -1.0)) }
+    }
+    rows.toDF("collection", "doc_count", "size_bytes", "avg_obj_size")
+      .orderBy("collection")
+  }
+}
