@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Profiler, Relational}
+import graft.operators.{Export, Profiler, Relational, Sampling}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -31,6 +31,28 @@ object SparkEntry {
       Profiler.topK(Tables.load(s, d, "documents"))),
     "schema_flat_events" -> ((s, d) =>
       Profiler.flatSchema(Tables.load(s, d, "events"))),
+    "profile_stats_embeddings" -> ((s, d) =>
+      Profiler.profileStats(Tables.load(s, d, "embeddings"))),
+    // — sampling / exploration (SURVEY §2.1 S2-S3, §2.2 P2-P3) —
+    "newest_events" -> ((s, d) =>
+      Sampling.newestN(Tables.load(s, d, "events"), "event_id", 20)
+        .select(col("event_id"), Export.isoTimestamp(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))),
+    "sample_hash_orders" -> ((s, d) =>
+      Sampling.hashSample(Tables.load(s, d, "orders"), "o_orderkey", 100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .orderBy("o_orderkey")),
+    "sanitize_documents" -> ((s, d) => {
+      val doc = Tables.load(s, d, "documents")
+      doc.select(col("doc_id"),
+        Sampling.sanitizeString(col("text"), "str").as("text_display"),
+        Sampling.truncateCell(col("text")).as("text_cell"))
+        .orderBy("doc_id")
+    }),
+    "convert_events" -> ((s, d) =>
+      Export.convertForExport(Tables.load(s, d, "events"))
+        .orderBy("event_id")),
+    "list_collections" -> ((s, d) => Tables.listCollections(s, d)),
     // — relational surface (SURVEY §2.3/§2.5, free from Spark) —
     "q1_agg" -> Relational.q1 _,
     "q3_join_topk" -> Relational.q3 _,
@@ -116,6 +138,61 @@ object SparkEntry {
                ROW_NUMBER() OVER (PARTITION BY path ORDER BY cnt DESC, vstr ASC) AS rank
         FROM counted)
       WHERE rank <= 5 ORDER BY path, rank"""),
+    "profile_stats_embeddings" -> ("""
+      SELECT 'embedding' AS path, COUNT(embedding) AS n_present,
+             (COUNT(*) - COUNT(embedding)) * 100.0 / COUNT(*) AS missing_pct,
+             COUNT(DISTINCT CAST(embedding AS VARCHAR)) AS cardinality,
+             CAST(NULL AS DOUBLE) AS num_min, CAST(NULL AS DOUBLE) AS num_max,
+             CAST(NULL AS VARCHAR) AS ts_min, CAST(NULL AS VARCHAR) AS ts_max
+      FROM embeddings
+      UNION ALL
+      SELECT 'embedding[]', COUNT(x), CAST(NULL AS DOUBLE),
+             COUNT(DISTINCT x),
+             MIN(CAST(x AS DOUBLE)), MAX(CAST(x AS DOUBLE)),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM (SELECT UNNEST(embedding) AS x FROM embeddings)
+      UNION ALL
+      SELECT 'label', COUNT(label),
+             (COUNT(*) - COUNT(label)) * 100.0 / COUNT(*),
+             COUNT(DISTINCT label),
+             MIN(CAST(label AS DOUBLE)), MAX(CAST(label AS DOUBLE)),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM embeddings
+      UNION ALL
+      SELECT 'vec_id', COUNT(vec_id),
+             (COUNT(*) - COUNT(vec_id)) * 100.0 / COUNT(*),
+             COUNT(DISTINCT vec_id),
+             MIN(CAST(vec_id AS DOUBLE)), MAX(CAST(vec_id AS DOUBLE)),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM embeddings
+      ORDER BY path"""),
+    "newest_events" -> ("""
+      SELECT event_id,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') AS ts,
+             user_id, event_type, value, props
+      FROM events ORDER BY event_id DESC LIMIT 20"""),
+    "sample_hash_orders" -> ("""
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+      ORDER BY o_orderkey"""),
+    "sanitize_documents" -> ("""
+      SELECT doc_id,
+             CASE WHEN LENGTH(text) > 500
+                  THEN 'str(too large to display inline)' ELSE text END
+               AS text_display,
+             CASE WHEN LENGTH(text) > 30
+                  THEN substr(text, 1, 30) || '...' ELSE text END
+               AS text_cell
+      FROM documents ORDER BY doc_id"""),
+    "convert_events" -> ("""
+      SELECT event_id,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') AS ts,
+             user_id, event_type, value, props
+      FROM events ORDER BY event_id"""),
+    "list_collections" -> ("""
+      SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'),
+        ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
+        ('region'), ('supplier')) AS t(collection) ORDER BY collection"""),
     "schema_flat_events" -> ("""
       SELECT 'event_id' AS path, 'int64' AS type_tag
       UNION ALL SELECT 'event_type', 'str'

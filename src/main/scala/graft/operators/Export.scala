@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Type-directed export conversion + sinks — the reference's
+  * `DataExtractor` surface (SURVEY §2.1 S9-S12, §2.6 F3/F4).
+  *
+  * The reference converts doc-at-a-time in Python
+  * (`core/extractor.py:91-246`); here the whole conversion is a single
+  * schema-directed projection built at plan time — every rule is a
+  * Catalyst expression, so conversion of a 100 TB export stays inside
+  * whole-stage codegen.
+  */
+object Export {
+
+  /** ISO-8601 with microseconds + zone marker, the reference's export
+    * timestamp shape (`core/extractor.py:179-186`: naive ⇒ assume UTC,
+    * then convert to the target zone).
+    */
+  def isoTimestamp(c: Column, tz: String = "UTC"): Column = {
+    val shifted = if (tz == "UTC") c else from_utc_timestamp(c, tz)
+    date_format(shifted, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+  }
+
+  /** F3: one column → its JSON-compatible export form, by type
+    * (`core/extractor.py:91-208`): timestamps → tz-aware ISO strings,
+    * decimals → plain strings (precision-preserving, `:196-197`),
+    * binary → hex (`:199-200`), arrays converted element-wise
+    * (`:103-129`), structs recursed (`:235-241`), scalars pass through.
+    */
+  def convertValue(c: Column, dt: DataType, tz: String = "UTC"): Column =
+    dt match {
+      case TimestampType | TimestampNTZType => isoTimestamp(c, tz)
+      case DateType         => date_format(c, "yyyy-MM-dd")
+      case _: DecimalType   => c.cast(StringType)
+      case BinaryType       => lower(hex(c))
+      case ArrayType(et, _) => transform(c, x => convertValue(x, et, tz))
+      case st: StructType   =>
+        struct(st.fields.toSeq.map(f =>
+          convertValue(c.getField(f.name), f.dataType, tz).as(f.name)): _*)
+      case _                => c
+    }
+
+  /** F4: whole-DataFrame conversion — the export projection. */
+  def convertForExport(df: DataFrame, tz: String = "UTC"): DataFrame =
+    df.select(df.schema.fields.toSeq.map(f =>
+      convertValue(col(f.name), f.dataType, tz).as(f.name)): _*)
+
+  /** S9: gzip JSON export. Distributed JSON-lines by default (the
+    * scalable shape); the reference writes a single gzip JSON *array*
+    * (`core/extractor.py:248-359`), available via `singleFile = true`
+    * (driver-side stream over `toLocalIterator` — exact parity, only
+    * for human-scale exports).
+    */
+  def writeJsonGz(df: DataFrame, path: String, tz: String = "UTC",
+                  singleFile: Boolean = false): Unit = {
+    val converted = convertForExport(df, tz)
+    if (!singleFile) {
+      converted.write.mode("overwrite")
+        .option("compression", "gzip").json(path)
+    } else {
+      val it = converted.toJSON.toLocalIterator()
+      val out = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(path)))
+      try {
+        out.write("[")
+        var first = true
+        while (it.hasNext) {
+          if (!first) out.write(",")
+          out.write("\n")
+          out.write(it.next())
+          first = false
+        }
+        out.write("\n]")
+      } finally out.close()
+    }
+  }
+
+  /** S10/S11: driver-side JSON file sink for small rendered artifacts
+    * (hierarchical schema, sample docs).
+    */
+  def writeJsonFile(json: String, path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+
+  /** S12: stats table → CSV with QUOTE_ALL
+    * (`views/schema_analysis_view.py:517-554`).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true")
+      .option("quoteAll", "true").csv(path)
+}

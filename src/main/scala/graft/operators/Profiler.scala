@@ -111,7 +111,11 @@ object Profiler {
       else approx_count_distinct(col("vstr"))
     flat.groupBy("path").agg(
       count(col("vstr")).as("n_present"),
-      ((lit(total) - count(col("vstr"))) * 100.0 / lit(total))
+      // missing% is per-document (core/analyser.py:280-281); for array
+      // *element* paths the denominator isn't document count, so the
+      // stat is undefined — null it rather than emit a negative number.
+      when(col("path").endsWith("[]"), lit(null).cast(DoubleType))
+        .otherwise((lit(total) - count(col("vstr"))) * 100.0 / lit(total))
         .as("missing_pct"),
       card.as("cardinality"),
       min(col("vnum")).as("num_min"),

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sampling + exploration scans — the reference's Data Explorer surface
+  * (SURVEY §2.1 S2/S3, §2.2 P2/P3).
+  */
+object Sampling {
+
+  /** S3/S4: newest-N by a recency key — the reference's
+    * `find().sort("_id", DESCENDING).limit(n)`
+    * (`core/extractor.py:362-395`). Spark plans TakeOrderedAndProject:
+    * per-partition top-k then a k-row merge on the driver — no full
+    * sort, no shuffle; scales to any partition count.
+    */
+  def newestN(df: DataFrame, key: String, n: Int): DataFrame =
+    df.orderBy(col(key).desc).limit(n)
+
+  /** S2-at-scale: deterministic hash sample. The reference delegates to
+    * MongoDB's server-side `$sample` (`core/analyser.py:254`); the
+    * honest distributed equivalent that stays reproducible across
+    * cluster sizes (unlike `df.sample`, whose output depends on
+    * partitioning) is a hash-threshold filter on a stable key: keep a
+    * row iff the first 4 hex chars of md5(key) fall under
+    * `permille * 65536 / 1000`. Embarrassingly parallel, no shuffle,
+    * pushes the scan down, and any engine can reproduce it.
+    */
+  def hashSample(df: DataFrame, key: String, permille: Int): DataFrame =
+    df.filter(
+      substring(md5(col(key).cast(StringType)), 1, 4) < hexThreshold(permille))
+
+  /** 4-hex-digit threshold under which ~permille/1000 of uniform md5
+    * prefixes fall. Plain lexicographic compare on the hex string keeps
+    * the predicate portable across engines (md5 is the only shared
+    * primitive).
+    */
+  def hexThreshold(permille: Int): String =
+    f"${permille * 65536 / 1000}%04x"
+
+  /** S2 exact-N random sample (non-reproducible across engines, so not
+    * oracle-checked; reference parity for `$sample`'s exact-N contract).
+    */
+  def randomN(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+
+  /** P2: display sanitization of one string column — values whose
+    * serialized form exceeds `maxLen` chars are replaced by the
+    * reference's `"<type>(too large to display inline)"` marker
+    * (`core/extractor.py:430-439`), shorter ones pass through.
+    */
+  def sanitizeString(c: Column, typeName: String, maxLen: Int = 500): Column =
+    when(length(c) > maxLen,
+      lit(s"$typeName(too large to display inline)")).otherwise(c)
+
+  /** P2: binary columns render as hex, truncated to 64 chars
+    * (`core/extractor.py:419-425`).
+    */
+  def sanitizeBinary(c: Column): Column = substring(hex(c), 1, 64)
+
+  /** P3: table-cell truncation with ellipsis
+    * (`views/schema_analysis_view.py:389-393`).
+    */
+  def truncateCell(c: Column, m: Int = 30): Column =
+    when(length(c) > m, concat(substring(c, 1, m), lit("..."))).otherwise(c)
+}

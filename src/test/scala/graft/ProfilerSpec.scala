@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Profiler
+
+/** Profiler behavior ported from the reference's analyser tests
+  * (`tests/core/test_analyser.py:192-293`): presence/missing/cardinality
+  * /type-distribution/top-values semantics, and the flat→hierarchical
+  * pivot table including numeric path segments.
+  */
+class ProfilerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  /** 3 docs like the reference's sample-path test: field appears in 2 of
+    * 3 docs (one null, one value, one missing→null in columnar form),
+    * mixed values for top-k.
+    */
+  lazy val df = {
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("score", IntegerType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("nested", StructType(Seq(
+        StructField("city", StringType))))))
+    val rows = Seq(
+      Row("A", Integer.valueOf(1), Seq("x", "y"), Row("Oslo")),
+      Row("A", Integer.valueOf(3), Seq("x"), Row(null)),
+      Row("B", null, null, null))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+  }
+
+  test("profileStats: presence, missing %, cardinality") {
+    val stats = Profiler.profileStats(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats("name").getLong(1) == 3)          // n_present
+    assert(stats("name").getDouble(2) == 0.0)      // missing_pct
+    assert(stats("name").getLong(3) == 2)          // cardinality: A, B
+    assert(stats("score").getLong(1) == 2)
+    assert(stats("score").getDouble(2) == 100.0 / 3)  // 1/3 missing
+    assert(stats("score").getDouble(4) == 1.0)     // num_min
+    assert(stats("score").getDouble(5) == 3.0)     // num_max
+    // whole-array cardinality counts distinct arrays, not elements
+    // (core/analyser.py:142,188)
+    assert(stats("tags").getLong(3) == 2)          // ["x","y"], ["x"]
+    assert(stats("tags[]").getLong(1) == 3)        // elements: x,y,x
+    assert(stats("tags[]").getLong(3) == 2)        // distinct: x,y
+    assert(stats("tags[]").isNullAt(2))            // missing% undefined
+    // struct recursed into, not tagged (core/analyser.py:70-71)
+    assert(stats.contains("nested.city") && !stats.contains("nested"))
+    assert(stats("nested.city").getLong(1) == 1)
+  }
+
+  test("typeHistogram distinguishes nulls per path") {
+    val hist = Profiler.typeHistogram(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(hist(("name", "str")) == 3)
+    assert(hist(("score", "int32")) == 2)
+    assert(hist(("score", "null")) == 1)
+    assert(hist(("tags", "array<str>")) == 2)
+    assert(hist(("tags", "null")) == 1)
+    assert(hist(("tags[]", "str")) == 3)
+  }
+
+  test("topK: count desc then value asc; strings only") {
+    val tk = Profiler.topK(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val names = tk.filter(_._1 == "name")
+    assert(names.toSeq == Seq(("name", "A", 2L, 1), ("name", "B", 1L, 2)))
+    // no numeric path in top-k (core/analyser.py:202-204)
+    assert(!tk.exists(_._1 == "score"))
+  }
+
+  test("flatSchema: most-frequent tag, deterministic") {
+    val fs = Profiler.flatSchema(df).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fs("name") == "str")
+    assert(fs("score") == "int32")   // nulls excluded from the vote
+    assert(fs("tags") == "array<str>")
+    assert(fs("nested.city") == "str")
+  }
+
+  // flat→hierarchical pivot cases from tests/core/test_analyser.py:258-293
+  val pivotCases: Seq[(Seq[(String, String)], String)] = Seq(
+    (Seq("a" -> "int32"),
+      """{"a": {"type": "int32"}}"""),
+    (Seq("a.b" -> "str", "a.c" -> "int64"),
+      """{"a": {"b": {"type": "str"}, "c": {"type": "int64"}}}"""),
+    // numeric path segments stay plain keys ("items.0.id")
+    (Seq("items.0.id" -> "str"),
+      """{"items": {"0": {"id": {"type": "str"}}}}"""),
+    (Seq.empty, "{}"),
+  )
+
+  pivotCases.zipWithIndex.foreach { case ((flat, expected), i) =>
+    test(s"hierarchicalSchema case $i") {
+      assert(Profiler.hierarchicalSchema(flat) == expected)
+    }
+  }
+
+  test("profile invariants (merge-friendly bounds)") {
+    val stats = Profiler.profileStats(df).collect()
+    stats.foreach { r =>
+      val present = r.getLong(1)
+      if (!r.isNullAt(2))
+        assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 100.0)
+      assert(r.getLong(3) <= present)   // cardinality ≤ presence
+      if (!r.isNullAt(4) && !r.isNullAt(5))
+        assert(r.getDouble(4) <= r.getDouble(5))
+    }
+  }
+}
