@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Export, Profiler, Relational, Sampling}
+import graft.operators.{Dedup, Export, Profiler, Relational, Sampling,
+  Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -53,6 +54,42 @@ object SparkEntry {
       Export.convertForExport(Tables.load(s, d, "events"))
         .orderBy("event_id")),
     "list_collections" -> ((s, d) => Tables.listCollections(s, d)),
+    // — text analysis (north-star training-data ops) —
+    "text_profile" -> ((s, d) =>
+      TextAnalysis.textProfile(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+    // — deduplication —
+    "dedup_exact_groups" -> ((s, d) =>
+      Dedup.exactGroups(Tables.load(s, d, "documents"))),
+    "dedup_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(Tables.load(s, d, "documents"))
+        .select(col("id").as("doc_id"),
+          md5(concat_ws("|", col("sig"))).as("sig_hash"))
+        .orderBy("doc_id")),
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.load(s, d, "documents"),
+        threshold = 0.3)),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.load(s, d, "documents"))
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDups(Tables.load(s, d, "documents"), maxDist = 3)),
+    "dedup_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardNearDups(Tables.load(s, d, "documents"),
+        threshold = 0.1)),
+    // — similarity search —
+    "ann_cosine_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
+    "embedding_near_dups" -> ((s, d) =>
+      Similarity.exactNearDups(Tables.load(s, d, "embeddings"),
+        threshold = 0.5)),
     // — relational surface (SURVEY §2.3/§2.5, free from Spark) —
     "q1_agg" -> Relational.q1 _,
     "q3_join_topk" -> Relational.q3 _,
@@ -99,7 +136,143 @@ object SparkEntry {
     selects.mkString("", " UNION ALL ", " ORDER BY path")
   }
 
+  // Shared DuckDB fragments mirroring TextAnalysis/Dedup exactly.
+  private val toksSql =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val shinglesSql =
+    """CASE WHEN len(toks) < 3 THEN []
+      | ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END"""
+      .stripMargin
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def stopHits(lang: String) =
+    s"len(list_filter(toks, x -> x IN ${inList(TextAnalysis.stopwords(lang))}))"
+  private val fpSql =
+    """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+  /** doc_id → (m0..m7) minhash CTE prefix (docs + toks + shingles). */
+  private val minhashCte = {
+    val mins = (0 until 8).map(j =>
+      s"list_aggregate(list_transform(sh, x -> md5('$j:' || x)), 'min') AS m$j")
+      .mkString(",\n        ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |sig AS (SELECT doc_id,
+       |        $mins
+       |        FROM s)""".stripMargin
+  }
+  private val cosSql =
+    "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
+
   def oracleSql: Map[String, String] = Map(
+    "text_profile" -> (s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+      SELECT doc_id,
+        LENGTH(text) AS n_chars,
+        len(toks) AS n_tokens,
+        len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+          AS n_bpeish,
+        LENGTH(text) - LENGTH(regexp_replace(text,
+          '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+        CASE WHEN greatest(${stopHits("en")}, ${stopHits("es")},
+                           ${stopHits("de")}, ${stopHits("fr")}) = 0
+               THEN 'unknown'
+             WHEN ${stopHits("en")} >= ${stopHits("es")}
+              AND ${stopHits("en")} >= ${stopHits("de")}
+              AND ${stopHits("en")} >= ${stopHits("fr")} THEN 'en'
+             WHEN ${stopHits("es")} >= ${stopHits("de")}
+              AND ${stopHits("es")} >= ${stopHits("fr")} THEN 'es'
+             WHEN ${stopHits("de")} >= ${stopHits("fr")} THEN 'de'
+             ELSE 'fr' END AS lang_pred,
+        round(0.4 * least(1.0, len(toks) / 100.0)
+            + 0.3 * least(1.0, CAST(${stopHits("en")} AS DOUBLE)
+                / len(toks) * 5.0)
+            + 0.3 * greatest(0.0, 1.0
+                - CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+                    '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+                  / LENGTH(text) * 5.0), 6) AS quality,
+        $fpSql AS fingerprint
+      FROM t ORDER BY doc_id"""),
+    "dedup_exact_groups" -> (s"""
+      SELECT $fpSql AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY 1 ORDER BY fp"""),
+    "dedup_minhash_sig" -> (s"""
+      $minhashCte
+      SELECT doc_id, md5(${(0 until 8).map(j => s"m$j")
+        .mkString(" || '|' || ")}) AS sig_hash
+      FROM sig ORDER BY doc_id"""),
+    "dedup_minhash_pairs" -> (s"""
+      $minhashCte,
+      bands AS (${(0 until 4).map(b =>
+        s"SELECT doc_id, $b AS bi, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bk FROM sig")
+        .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+               FROM bands a JOIN bands b
+                 ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      j AS (SELECT id1, id2,
+              len(list_intersect(s1.sh, s2.sh)) AS shared,
+              len(s1.sh) AS sz1, len(s2.sh) AS sz2
+            FROM cand JOIN s s1 ON s1.doc_id = id1
+                      JOIN s s2 ON s2.doc_id = id2)
+      SELECT id1, id2,
+             round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared), 6)
+               AS jaccard
+      FROM j
+      WHERE round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared), 6) >= 0.3
+      ORDER BY id1, id2"""),
+    "dedup_simhash" -> (s"""
+      WITH t AS (SELECT doc_id,
+          unnest(list_distinct($toksSql)) AS tok FROM documents),
+      h AS (SELECT doc_id,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+      v AS (SELECT doc_id,
+          ${(0 until 60).map(j =>
+            s"SUM(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n          ")}
+          FROM h GROUP BY doc_id)
+      SELECT doc_id,
+        (${(0 until 60).map(j =>
+          s"CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+          .mkString("\n         + ")}) AS simhash
+      FROM v ORDER BY doc_id"""),
+    "dedup_jaccard_pairs" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+      inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      rare AS (SELECT doc_id, g FROM (
+                 SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df
+                 FROM inv) WHERE df <= 100),
+      shared AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                        COUNT(*) AS shared
+                 FROM rare a JOIN rare b
+                   ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+      j AS (SELECT id1, id2, shared, len(s1.sh) AS sz1, len(s2.sh) AS sz2
+            FROM shared JOIN s s1 ON s1.doc_id = id1
+                        JOIN s s2 ON s2.doc_id = id2)
+      SELECT id1, id2, shared,
+             round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared), 6)
+               AS jaccard
+      FROM j
+      WHERE round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared), 6) >= 0.1
+      ORDER BY id1, id2"""),
+    "ann_cosine_topk" -> (s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                 FROM embeddings WHERE vec_id < 20),
+      sc AS (SELECT qid, e.vec_id AS nid,
+                    ${cosSql.format("qv", "e.embedding")} AS score
+             FROM q, embeddings e WHERE e.vec_id <> qid)
+      SELECT qid AS query_id, nid AS neighbor_id, score, rank
+      FROM (SELECT qid, nid, score,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY score DESC, nid ASC) AS rank
+            FROM sc)
+      WHERE rank <= 5 ORDER BY query_id, rank"""),
+    "embedding_near_dups" -> (s"""
+      SELECT id1, id2, score FROM (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               ${cosSql.format("a.embedding", "b.embedding")} AS score
+        FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+      WHERE score >= 0.5 ORDER BY id1, id2"""),
     "profile_stats_events" -> profileStatsOracle("events", Seq(
       "event_id" -> "num", "ts" -> "ts", "user_id" -> "num",
       "event_type" -> "str", "value" -> "num", "props" -> "str")),

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.TextAnalysis.{fingerprint, shingles, tokens}
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard (BASELINE.json north-star).
+  * All hashing is md5-derived so results are deterministic and
+  * reproducible in any engine — no seed-dependent JVM hashing.
+  *
+  * Scale design: every variant is join/groupBy-shaped (shuffle keyed by
+  * hash/band/shingle), never pairwise-all. The only quadratic step is
+  * *within* a candidate bucket, which the frequent-key caps bound.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct normalized-text
+    * fingerprint with its copy count and the survivor (min id) —
+    * hash-groupBy, one shuffle on the 16-byte key.
+    */
+  def exactGroups(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    df.select(fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+      .orderBy("fp")
+
+  /** Exact dedup: keep the lowest-id row per fingerprint. */
+  def exactDedup(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol)))
+      .orderBy(col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signature: for seed j, min over shingles of
+    * md5("j:" || shingle). The classic permutation-min estimator with
+    * md5 as the hash family — engine-portable and exactly reproducible.
+    * Returns (id, sig: array[numHashes] of hex strings).
+    */
+  def minhashSignatures(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        numHashes: Int = 8): DataFrame = {
+    val sh = array_distinct(shingles(col(textCol)))
+    val sig = array((0 until numHashes).map(j =>
+      array_min(transform(sh, s => md5(concat(lit(s"$j:"), s))))): _*)
+    df.select(col(idCol).as("id"), sig.as("sig"))
+  }
+
+  /** LSH banding: signature split into `bands` bands of
+    * numHashes/bands rows each; docs sharing any band key are candidate
+    * near-dups. Emits (id, band_idx, band_key). The band join is the
+    * scale path: shuffle keys are (band_idx, band_key), quadratic work
+    * only inside a bucket.
+    */
+  def minhashBands(sigs: DataFrame, numHashes: Int = 8,
+                   bands: Int = 4): DataFrame = {
+    val r = numHashes / bands
+    val bandRows = (0 until bands).map(b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws("|",
+          (0 until r).map(i => col("sig").getItem(b * r + i)): _*))
+          .as("band_key")))
+    sigs.select(col("id"), explode(array(bandRows: _*)).as("b"))
+      .select(col("id"), col("b.band_idx"), col("b.band_key"))
+  }
+
+  /** Candidate near-dup pairs from MinHash LSH, verified with the real
+    * shingle-set Jaccard, thresholded. maxBucket caps degenerate
+    * buckets (all-identical boilerplate) — the skew guard at scale.
+    */
+  def minhashNearDups(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", numHashes: Int = 8,
+                      bands: Int = 4, threshold: Double = 0.5,
+                      maxBucket: Int = 1000): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes)
+    val bandsDf = minhashBands(sigs, numHashes, bands)
+    val bounded = bandsDf.withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
+      .filter(col("bucket_n") <= maxBucket)
+    val l = bounded.select(col("band_idx"), col("band_key"),
+      col("id").as("id1"))
+    val rr = bounded.select(col("band_idx"), col("band_key"),
+      col("id").as("id2"))
+    val cands = l.join(rr, Seq("band_idx", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val sets = df.select(col(idCol).as("sid"),
+      array_distinct(shingles(col(textCol))).as("sh"))
+    cands
+      .join(sets.withColumnRenamed("sid", "id1")
+        .withColumnRenamed("sh", "sh1"), Seq("id1"))
+      .join(sets.withColumnRenamed("sid", "id2")
+        .withColumnRenamed("sh", "sh2"), Seq("id2"))
+      .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", round(col("shared").cast(DoubleType) /
+        (size(col("sh1")) + size(col("sh2")) - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
+  /** 60-bit SimHash from whitespace tokens: each token hashes to a
+    * 60-bit value (first 15 hex chars of md5 — stays in a signed long);
+    * each bit votes ±1; the sign vector is the fingerprint. Computed as
+    * one explode + groupBy with 60 conditional sums — map-side partial
+    * aggregation keeps the shuffle at one row per document.
+    */
+  def simhash(df: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType)
+    val withBits = tok.withColumn("h", h)
+    val votes = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"b$j"))
+    val agg = withBits.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sim = (0 until 60).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
+    * the pigeonhole block trick: split 60 bits into maxDist+1 blocks —
+    * any pair within distance shares at least one whole block, so the
+    * join key is (block_idx, block_value); no all-pairs scan.
+    */
+  def simhashNearDups(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id",
+                      maxDist: Int = 3): DataFrame = {
+    val sims = simhash(df, textCol, idCol)
+    val nBlocks = maxDist + 1
+    val width = 60 / nBlocks
+    val blocks = (0 until nBlocks).map(b => struct(lit(b).as("block_idx"),
+      shiftright(col("simhash"), b * width)
+        .bitwiseAND((1L << width) - 1).as("block_val")))
+    val exploded = sims.select(col("id"), col("simhash"),
+        explode(array(blocks: _*)).as("blk"))
+      .select(col("id"), col("simhash"),
+        col("blk.block_idx"), col("blk.block_val"))
+    val l = exploded.select(col("block_idx"), col("block_val"),
+      col("id").as("id1"), col("simhash").as("sh1"))
+    val r = exploded.select(col("block_idx"), col("block_val"),
+      col("id").as("id2"), col("simhash").as("sh2"))
+    l.join(r, Seq("block_idx", "block_val"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("id1", "id2")
+  }
+
+  /** n-gram Jaccard near-dups via inverted shingle index: explode
+    * distinct shingles, self-join on shingle (docs sharing ≥1 shingle),
+    * count shared, compute exact Jaccard. maxDf drops
+    * ubiquitous shingles (stopword boilerplate) — both a quality and a
+    * skew guard: shuffle is keyed by shingle, and a shingle in f docs
+    * costs f² pair rows.
+    */
+  def jaccardNearDups(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", n: Int = 3,
+                      threshold: Double = 0.3,
+                      maxDf: Int = 100): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), n)).as("sh"))
+    val inv = sets.select(col("id"), explode(col("sh")).as("s"))
+    val rare = inv.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") <= maxDf)
+    val shared = rare.select(col("s"), col("id").as("id1"))
+      .join(rare.select(col("s"), col("id").as("id2")), Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
+    shared
+      .join(sizes.withColumnRenamed("id", "id1")
+        .withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("id", "id2")
+        .withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .withColumn("jaccard", round(col("shared").cast(DoubleType) /
+        (col("sz1") + col("sz2") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("shared"), col("jaccard"))
+      .orderBy("id1", "id2")
+  }
+}

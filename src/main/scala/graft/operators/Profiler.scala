@@ -151,7 +151,8 @@ object Profiler {
       .orderBy(col("cnt").desc, col("vstr").asc)
     counted.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("path"), col("vstr").as("value"), col("cnt"), col("rank"))
+      .select(col("path"), col("vstr").as("value"), col("cnt"),
+        col("rank").cast("long").as("rank"))
       .orderBy("path", "rank")
   }
 

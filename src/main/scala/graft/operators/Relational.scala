@@ -116,7 +116,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
     ord(s, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("running_spend",
         sum(col("o_totalprice").cast(dec))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))

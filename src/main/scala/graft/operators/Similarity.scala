@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`Array[Float]`) —
+  * BASELINE.json north-star. Brute-force cosine top-k as the exact
+  * baseline; deterministic random-hyperplane LSH bucketing as the scale
+  * path. All vector math is `zip_with`/`aggregate` higher-order
+  * expressions — codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  /** Elementwise dot product in double precision, summed left-to-right
+    * (fixed order ⇒ reproducible bits).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded to 6 decimals: the rounding absorbs the
+    * last-ulp differences another engine's summation order could
+    * introduce, making top-k results oracle-comparable.
+    */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (l2norm(a) * l2norm(b)), 6)
+
+  /** Brute-force cosine top-k: the small query side is broadcast, so
+    * the corpus is scanned exactly once with no shuffle of corpus rows;
+    * the only shuffle is the per-query top-k over (queries × k·parts)
+    * candidate rows. Exact — the recall baseline for ANN variants.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic ±1 random hyperplanes: component i of plane j is +1
+    * iff the first hex digit of md5("j:i") is < '8'. Reproducible
+    * everywhere, no RNG state.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { j =>
+      (0 until dim).map { i =>
+        val d = mdf.digest(s"$j:$i".getBytes("UTF-8"))
+        if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** LSH bucket code: sign bits of the vector against numPlanes
+    * hyperplanes packed into a long. Vectors in the same bucket are
+    * near-collinear with high probability.
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Multi-table LSH bucket codes: `tables` independent hyperplane sets
+    * of `planesPerTable` bits each (OR-amplification: a pair collides if
+    * it shares a bucket in ANY table — recall grows with tables, bucket
+    * selectivity with planesPerTable). Emits one (table, bucket) struct
+    * per table.
+    */
+  def lshTables(vec: Column, tables: Int, planesPerTable: Int,
+                dim: Int): Column =
+    array((0 until tables).map { t =>
+      val planes = hyperplanes((t + 1) * planesPerTable, dim)
+        .drop(t * planesPerTable)
+      struct(lit(t).as("tbl"), lshBucket(vec, planes).as("bucket"))
+    }: _*)
+
+  /** Bucketed ANN top-k: corpus and queries bucketed by multi-table LSH;
+    * the join key is (table, bucket), so per-query work is the sum of
+    * its bucket sizes, not the corpus size. The 100 TB path: bucket the
+    * corpus once (write parquet partitioned by (tbl, bucket)), broadcast
+    * query buckets against it; recall is tuned by `tables` ×
+    * `planesPerTable` without touching the corpus layout.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              tables: Int = 8, planesPerTable: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cvec"),
+        explode(lshTables(col(vecCol), tables, planesPerTable, dim))
+          .as("tb"))
+      .select(col("neighbor_id"), col("cvec"),
+        col("tb.tbl"), col("tb.bucket"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"),
+        explode(lshTables(col(vecCol), tables, planesPerTable, dim))
+          .as("tb"))
+      .select(col("query_id"), col("qvec"),
+        col("tb.tbl"), col("tb.bucket"))
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"),
+        col("cvec"))
+      .distinct()   // a pair found in several tables scores once
+      .withColumn("score", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.select(col("query_id"), col("neighbor_id"), col("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Exact embedding near-dup pairs: all pairs above a cosine
+    * threshold by brute force — the recall-1.0 baseline, quadratic:
+    * use [[embeddingNearDups]] (LSH) beyond ~10⁵ vectors.
+    */
+  def exactNearDups(df: DataFrame, threshold: Double = 0.5,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val l = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val r = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    l.join(broadcast(r), col("id1") < col("id2"))
+      .withColumn("score", cosine(col("v1"), col("v2")))
+      .filter(col("score") >= threshold)
+      .select(col("id1"), col("id2"), col("score"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Embedding near-dup pairs: all pairs above a cosine threshold,
+    * found through LSH buckets (not all-pairs).
+    */
+  def embeddingNearDups(df: DataFrame, threshold: Double = 0.95,
+                        tables: Int = 8, planesPerTable: Int = 8,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        dim: Int = 64): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(lshTables(col(vecCol), tables, planesPerTable, dim))
+          .as("tb"))
+      .select(col("id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
+    val l = v.select(col("tbl"), col("bucket"), col("id").as("id1"),
+      col("vec").as("v1"))
+    val r = v.select(col("tbl"), col("bucket"), col("id").as("id2"),
+      col("vec").as("v2"))
+    l.join(r, Seq("tbl", "bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+      .distinct()
+      .withColumn("score", cosine(col("v1"), col("v2")))
+      .filter(col("score") >= threshold)
+      .select(col("id1"), col("id2"), col("score"))
+      .orderBy("id1", "id2")
+  }
+}

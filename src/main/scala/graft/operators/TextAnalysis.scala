@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines (BASELINE.json
+  * north-star: language-ID, quality scoring, token counting, document
+  * fingerprinting). Not present in the reference (its text handling stops
+  * at display truncation, `core/extractor.py:430-439`); designed
+  * Spark-first: every function is a pure Catalyst expression tree —
+  * no UDFs — so the whole pipeline stays in whole-stage codegen and
+  * scales linearly with no shuffle.
+  *
+  * Determinism contract: all scores are exact integer counts or
+  * fixed-order double arithmetic rounded to 6 decimals, so results are
+  * reproducible across engines (the DuckDB oracle mirrors each formula).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization: split on runs of whitespace, drop empties.
+    * (The BPE-ish regex alternative is [[bpeishTokens]].)
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape: letter
+    * runs, digit runs, punctuation runs, each with optional leading
+    * space). Counts sub-word-ish units — a cheap token-budget estimator.
+    */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0))
+
+  def bpeishTokenCount(c: Column): Column = size(bpeishTokens(c))
+
+  /** Tiny public stopword lists per language — enough for an n-gram-free
+    * language-ID heuristic and a stopword-ratio quality signal.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "zu", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"))
+
+  /** Count of tokens that are stopwords of `lang`. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang): _*)))
+
+  /** Language-ID: argmax of per-language stopword hits, first-wins in
+    * fixed order (en, es, de, fr); 'unknown' when no list scores.
+    */
+  def langId(c: Column): Column = {
+    val t = tokens(c)
+    val s = Seq("en", "es", "de", "fr").map(l => stopwordHits(t, l))
+    when(greatest(s: _*) === 0, lit("unknown"))
+      .when(s(0) >= s(1) && s(0) >= s(2) && s(0) >= s(3), lit("en"))
+      .when(s(1) >= s(2) && s(1) >= s(3), lit("es"))
+      .when(s(2) >= s(3), lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Punctuation character count (explicit class, portable regex). */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,!?;:'\"()\\[\\]{}-]", ""))
+
+  /** Composite quality score in [0,1]:
+    * 0.4·min(1, tokens/100) + 0.3·min(1, 5·stopword_ratio)
+    * + 0.3·max(0, 1 − 5·punct_ratio), rounded to 6 decimals.
+    * Favors documents long enough to train on, with natural-language
+    * function-word density and sane punctuation.
+    */
+  def qualityScore(c: Column): Column = {
+    val t = tokens(c)
+    val n = size(t).cast(DoubleType)
+    val stops = stopwordHits(t, "en").cast(DoubleType)
+    val lenScore = least(lit(1.0), n / 100.0)
+    val stopScore = least(lit(1.0), stops / n * 5.0)
+    val punctPen = greatest(lit(0.0),
+      lit(1.0) - punctCount(c).cast(DoubleType) / length(c) * 5.0)
+    round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * punctPen, 6)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized, lowercased
+    * text. Stable across engines; the exact-dedup key.
+    */
+  def fingerprint(c: Column): Column =
+    md5(lower(trim(regexp_replace(c, "\\s+", " "))))
+
+  /** Word n-gram shingles ("a b c" 3-grams) — the unit for minhash and
+    * Jaccard dedup.
+    */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array()).otherwise(
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  /** Full per-document text profile over a documents table. */
+  def textProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.select(
+      col("doc_id"),
+      length(c).cast("long").as("n_chars"),
+      tokenCount(c).cast("long").as("n_tokens"),
+      bpeishTokenCount(c).cast("long").as("n_bpeish"),
+      punctCount(c).cast("long").as("n_punct"),
+      langId(c).as("lang_pred"),
+      qualityScore(c).as("quality"),
+      fingerprint(c).as("fingerprint"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Behavior checks for the training-data-pipeline operators: dedup
+  * family agreement, LSH recall against the brute-force baseline, and
+  * determinism of the hash-derived primitives.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "the  quick   brown fox jumps over the lazy dog"), // exact dup of 0 mod ws
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"))    // exact dup of 0
+
+  lazy val df = docs.toDF("doc_id", "text")
+
+  test("exactGroups: whitespace-normalized dups collapse") {
+    val g = Dedup.exactGroups(df).collect()
+    val byFp = g.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(byFp.exists { case (_, n, keep) => n == 3 && keep == 0L })
+    assert(g.length == 3)  // {0,2,4}, {1}, {3}
+  }
+
+  test("exactDedup keeps lowest id per group") {
+    val kept = Dedup.exactDedup(df).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 1L, 3L))
+  }
+
+  test("minhash: identical shingle sets give identical signatures") {
+    val sigs = Dedup.minhashSignatures(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(0L) == sigs(2L) && sigs(0L) == sigs(4L))
+    assert(sigs(0L) != sigs(3L))
+  }
+
+  test("minhashNearDups finds near-dups, skips unrelated") {
+    val pairs = Dedup.minhashNearDups(df, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)) && pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 1L)))   // jaccard(0,1) = 5/9 ≈ 0.56
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: dup docs identical, near-dups close, unrelated far") {
+    val sims = Dedup.simhash(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) == sims(2L) && sims(0L) == sims(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(0L), sims(1L)) < ham(sims(0L), sims(3L)))
+  }
+
+  test("jaccardNearDups exact jaccard on candidates") {
+    val pairs = Dedup.jaccardNearDups(df, threshold = 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs((0L, 2L)) == 1.0)
+    // docs 0/1 differ in the last token: 6 shared of 8 distinct trigrams
+    assert(pairs((0L, 1L)) == 0.75)
+  }
+
+  test("shingles: n-gram window math") {
+    val sh = df.filter($"doc_id" === 0)
+      .select(TextAnalysis.shingles($"text").as("sh"))
+      .head.getSeq[String](0)
+    assert(sh.length == 7)   // 9 tokens -> 7 trigrams
+    assert(sh.head == "the quick brown")
+  }
+
+  lazy val vecs = SparkTestBase.spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** Clustered vectors (the workload LSH exists for): 40 clusters of 8
+    * members, 16-dim, deterministic trig-based centers + small noise.
+    */
+  lazy val clustered = {
+    val rows = for {
+      cl <- 0 until 40
+      m <- 0 until 8
+    } yield {
+      val vec = (0 until 16).map { d =>
+        (math.sin(cl * 16 + d) + 0.05 * math.sin(m * 97 + d * 13)).toFloat
+      }
+      (cl * 8L + m, vec)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("LSH topk recall ≥ 0.8 vs brute force on clustered vectors") {
+    val queries = clustered.filter($"vec_id" % 8 === 0).limit(10)
+    val exact = Similarity.bruteForceTopK(clustered, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(clustered, queries, k = 5,
+        tables = 8, planesPerTable = 6, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("LSH near-dups find the same-cluster pairs exact search finds") {
+    val exact = Similarity.exactNearDups(clustered, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = Similarity.embeddingNearDups(clustered, threshold = 0.99,
+        tables = 8, planesPerTable = 6, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & viaLsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} pairs")
+  }
+
+  test("hyperplanes deterministic") {
+    assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
+  }
+
+  test("cosine: self-similarity is 1") {
+    val one = vecs.limit(1)
+    val s = Similarity.exactNearDups(
+      one.union(one.withColumn("vec_id", lit(999L))), threshold = 0.99)
+    assert(s.head.getDouble(2) == 1.0)
+  }
+}
