@@ -150,16 +150,22 @@ object SparkEntry {
     s"len(list_filter(toks, x -> x IN ${inList(TextAnalysis.stopwords(lang))}))"
   private val fpSql =
     """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
-  /** doc_id → (m0..m7) minhash CTE prefix (docs + toks + shingles). */
+  /** doc_id → (m0..m7) minhash CTE prefix (docs + toks + shingles).
+    * Lane j = min over shingles of substr(md5((j/4) || ':' || x),
+    * (j%4)*8+1, 8) — mirrors Dedup.minhashSignatures exactly.
+    */
   private val minhashCte = {
     val mins = (0 until 8).map(j =>
-      s"list_aggregate(list_transform(sh, x -> md5('$j:' || x)), 'min') AS m$j")
+      s"min(substr(h${j / 4}, ${(j % 4) * 8 + 1}, 8)) AS m$j")
       .mkString(",\n        ")
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |ex AS (SELECT doc_id, unnest(sh) AS x FROM s),
+       |hh AS (SELECT doc_id, md5('0:' || x) AS h0, md5('1:' || x) AS h1
+       |       FROM ex),
        |sig AS (SELECT doc_id,
        |        $mins
-       |        FROM s)""".stripMargin
+       |        FROM hh GROUP BY doc_id)""".stripMargin
   }
   private val cosSql =
     "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"

@@ -38,18 +38,34 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** MinHash signature: for seed j, min over shingles of
-    * md5("j:" || shingle). The classic permutation-min estimator with
-    * md5 as the hash family — engine-portable and exactly reproducible.
-    * Returns (id, sig: array[numHashes] of hex strings).
+  /** MinHash signature: hash lane j (0-based) is the minimum over
+    * shingles of an 8-hex-char slice of md5("g:" || shingle), where
+    * g = j/4 — one md5 yields four independent 32-bit lanes, so
+    * `numHashes` lanes cost numHashes/4 md5 calls per shingle. Computed
+    * as explode → projection (the md5s, once per shingle) → groupBy(id)
+    * with numHashes min-aggregates: map-side partial aggregation
+    * collapses the shuffle to one row per document, and nothing runs in
+    * interpreted lambda land (the previous `array_min(transform(...))`
+    * form paid 8 md5s per shingle in interpreted eval — 4× the hashing
+    * and none of it codegen'd).
+    * Returns (id, sig: array[numHashes] of 8-hex strings).
     */
   def minhashSignatures(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id",
                         numHashes: Int = 8): DataFrame = {
+    require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
+    val nMd5 = numHashes / 4
     val sh = array_distinct(shingles(col(textCol)))
-    val sig = array((0 until numHashes).map(j =>
-      array_min(transform(sh, s => md5(concat(lit(s"$j:"), s))))): _*)
-    df.select(col(idCol).as("id"), sig.as("sig"))
+    val ex = df.select(col(idCol).as("id"), explode(sh).as("x"))
+    val hashed = ex.select(col("id") +: (0 until nMd5).map(g =>
+      md5(concat(lit(s"$g:"), col("x"))).as(s"h$g")): _*)
+    val mins = (0 until numHashes).map { j =>
+      min(substring(col(s"h${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"m$j")
+    }
+    val agg = hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
 
   /** LSH banding: signature split into `bands` bands of
