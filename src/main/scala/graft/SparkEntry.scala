@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Export, Profiler, Relational, Sampling,
-  Similarity, TextAnalysis}
+import graft.operators.{Dedup, Export, JsonProfiler, Multimodal, Profiler,
+  Relational, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,6 +34,15 @@ object SparkEntry {
       Profiler.flatSchema(Tables.load(s, d, "events"))),
     "profile_stats_embeddings" -> ((s, d) =>
       Profiler.profileStats(Tables.load(s, d, "embeddings"))),
+    // single-pass TypedImperativeAggregate variant (scale path): exact
+    // below the distinct limit, so it shares the lineitem oracle.
+    "profile_fast_lineitem" -> ((s, d) =>
+      Profiler.profileStatsFast(Tables.load(s, d, "lineitem"))),
+    // — semi-structured: per-VALUE type tags over a JSON column —
+    "json_profile_props" -> ((s, d) =>
+      JsonProfiler.profileStats(Tables.load(s, d, "events"), "props")),
+    "json_types_props" -> ((s, d) =>
+      JsonProfiler.typeHistogram(Tables.load(s, d, "events"), "props")),
     // — sampling / exploration (SURVEY §2.1 S2-S3, §2.2 P2-P3) —
     "newest_events" -> ((s, d) =>
       Sampling.newestN(Tables.load(s, d, "events"), "event_id", 20)
@@ -90,6 +99,9 @@ object SparkEntry {
     "embedding_near_dups" -> ((s, d) =>
       Similarity.exactNearDups(Tables.load(s, d, "embeddings"),
         threshold = 0.5)),
+    // — multimodal plumbing (binary columns + typed metadata) —
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.mediaMeta(Tables.load(s, d, "documents"))),
     // — relational surface (SURVEY §2.3/§2.5, free from Spark) —
     "q1_agg" -> Relational.q1 _,
     "q3_join_topk" -> Relational.q3 _,
@@ -261,6 +273,29 @@ object SparkEntry {
       FROM j
       WHERE round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared), 6) >= 0.1
       ORDER BY id1, id2"""),
+    "multimodal_meta" -> ("""
+      WITH p AS (
+        SELECT doc_id,
+          (CASE doc_id % 4
+             WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB
+             WHEN 1 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB
+             WHEN 2 THEN ('RIFF'::BLOB || '\x00\x00\x00\x00'::BLOB || 'WAVE'::BLOB)
+             ELSE '\x00'::BLOB END) || CAST(text AS BLOB) AS payload
+        FROM documents)
+      SELECT doc_id,
+        octet_length(payload) AS byte_len,
+        CASE WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+             WHEN substr(hex(payload), 1, 16) = '89504E470D0A1A0A' THEN 'png'
+             WHEN substr(hex(payload), 1, 8) = '52494646'
+              AND substr(hex(payload), 17, 8) = '57415645' THEN 'wav'
+             WHEN substr(hex(payload), 9, 8) = '66747970' THEN 'mp4'
+             ELSE 'unknown' END AS format,
+        md5(hex(payload)) AS content_md5,
+        CAST(CAST(('0x' || substr(md5(hex(payload)), 1, 4)) AS INTEGER)
+          % 1920 + 1 AS BIGINT) AS stub_width,
+        CAST(CAST(('0x' || substr(md5(hex(payload)), 5, 4)) AS INTEGER)
+          % 1080 + 1 AS BIGINT) AS stub_height
+      FROM p ORDER BY doc_id"""),
     "ann_cosine_topk" -> (s"""
       WITH q AS (SELECT vec_id AS qid, embedding AS qv
                  FROM embeddings WHERE vec_id < 20),
@@ -283,6 +318,12 @@ object SparkEntry {
       "event_id" -> "num", "ts" -> "ts", "user_id" -> "num",
       "event_type" -> "str", "value" -> "num", "props" -> "str")),
     "profile_stats_lineitem" -> profileStatsOracle("lineitem", Seq(
+      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+      "l_linenumber" -> "num", "l_quantity" -> "num",
+      "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+      "l_returnflag" -> "str", "l_linestatus" -> "str",
+      "l_shipdate" -> "ts")),
+    "profile_fast_lineitem" -> profileStatsOracle("lineitem", Seq(
       "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
       "l_linenumber" -> "num", "l_quantity" -> "num",
       "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
@@ -345,6 +386,22 @@ object SparkEntry {
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
       FROM embeddings
       ORDER BY path"""),
+    "json_profile_props" -> ("""
+      SELECT 'k' AS path,
+             COUNT(json_extract_string(props, '$.k')) AS n_present,
+             (COUNT(*) - COUNT(json_extract_string(props, '$.k')))
+               * 100.0 / COUNT(*) AS missing_pct,
+             COUNT(DISTINCT json_extract_string(props, '$.k'))
+               AS cardinality,
+             MIN(CAST(json_extract_string(props, '$.k') AS DOUBLE))
+               AS num_min,
+             MAX(CAST(json_extract_string(props, '$.k') AS DOUBLE))
+               AS num_max
+      FROM events"""),
+    "json_types_props" -> ("""
+      SELECT 'k' AS path, 'int32' AS vtag,
+             COUNT(json_extract_string(props, '$.k')) AS cnt
+      FROM events"""),
     "newest_events" -> ("""
       SELECT event_id,
              strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') AS ts,

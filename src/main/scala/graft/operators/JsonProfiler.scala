@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.JsonExplode.jsonExplode
+
+/** Profiling over semi-structured JSON columns with per-value type
+  * tags — the mixed-type workload the reference was built for. Same
+  * output contract as [[Profiler]] but the flatten step is the
+  * [[graft.plans.JsonExplode]] Generator instead of a schema-driven
+  * projection, so a field may legitimately carry several tags.
+  */
+object JsonProfiler {
+
+  /** (path, vstr, vnum, vtag) leaf rows of one JSON column. */
+  def flattenJson(df: DataFrame, jsonCol: String): DataFrame =
+    df.select(jsonExplode(col(jsonCol)).as(
+      Seq("path", "vstr", "vnum", "vtag")))
+
+  /** Per-path stats over JSON values (presence, missing%, cardinality,
+    * numeric min/max), counted against document totals.
+    */
+  def profileStats(df: DataFrame, jsonCol: String): DataFrame = {
+    val total = df.count()
+    flattenJson(df, jsonCol).groupBy("path").agg(
+      count(col("vstr")).as("n_present"),
+      when(col("path").endsWith("[]"), lit(null).cast("double"))
+        .otherwise((lit(total) - count(col("vstr"))) * 100.0 / lit(total))
+        .as("missing_pct"),
+      countDistinct(col("vstr")).as("cardinality"),
+      min(col("vnum")).as("num_min"),
+      max(col("vnum")).as("num_max"))
+      .orderBy("path")
+  }
+
+  /** Per-path per-VALUE type histogram — `type_distribution`
+    * (`core/analyser.py:192,286`) in its full mixed-type glory.
+    */
+  def typeHistogram(df: DataFrame, jsonCol: String): DataFrame =
+    flattenJson(df, jsonCol).groupBy("path", "vtag")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("path", "vtag")
+
+  /** Flat schema with deterministic most-frequent-tag election
+    * (tie → lexical; the fix over last-writer-wins, SURVEY §1.2).
+    */
+  def flatSchema(df: DataFrame, jsonCol: String): DataFrame = {
+    val hist = flattenJson(df, jsonCol)
+      .filter(col("vtag") =!= "null")
+      .groupBy("path", "vtag").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("path")
+      .orderBy(col("cnt").desc, col("vtag").asc)
+    hist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("path"), col("vtag").as("type_tag"))
+      .orderBy("path")
+  }
+}

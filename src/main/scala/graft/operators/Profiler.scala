@@ -86,6 +86,20 @@ object Profiler {
   private val emptyLeafArray: Column =
     array().cast(ArrayType(rowType, containsNull = false))
 
+  /** The leaf-row array for one column subtree (public for streaming,
+    * which flattens a struct column while keeping event time alongside).
+    * Strips the wrapper prefix so paths look like top-level fields.
+    */
+  def leafRowsFor(path: String, c: Column, dt: DataType): Column = {
+    val arrays = dt match {
+      case st: StructType =>
+        st.fields.toSeq.flatMap(f =>
+          leafRows(f.name, c.getField(f.name), f.dataType))
+      case _ => leafRows(path, c, dt)
+    }
+    concat(arrays: _*)
+  }
+
   /** One-scan flatten of a DataFrame into (path, vstr, vnum, vts, vtype)
     * leaf rows. The projection is built at plan time from the schema, so
     * the whole thing stays inside whole-stage codegen — no UDFs.
@@ -124,6 +138,32 @@ object Profiler {
         .as("ts_min"),
       date_format(max(col("vts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .as("ts_max"))
+      .orderBy("path")
+  }
+
+  /** Single-pass profile via the custom [[graft.functions.ProfileAggregate]]
+    * (`TypedImperativeAggregate`): ONE global aggregate whose buffer
+    * carries all paths' stats — the shuffle is one serialized buffer per
+    * partition instead of every distinct (path, value) pair. Exact
+    * cardinality below `exactLimit` distinct values per path (where the
+    * output matches [[profileStats]] bit-for-bit), HLL beyond.
+    * Same output columns as [[profileStats]] for drop-in use.
+    */
+  def profileStatsFast(df: DataFrame, exactLimit: Int = 100000): DataFrame = {
+    import graft.functions.ProfileAggregate.profileAgg
+    val flat = flatten(df)
+    val agg = flat.select(profileAgg(col("path"), col("vstr"),
+      col("vnum"), col("vts"), col("vtype"), exactLimit).as("profile"))
+    val rows = agg.select(explode(col("profile")).as("p")).select("p.*")
+    // document total = max docs seen over non-element top-level paths
+    val total = max(when(!col("path").endsWith("[]"), col("seen")))
+      .over(Window.partitionBy())
+    rows.withColumn("missing_pct",
+        when(col("path").endsWith("[]"), lit(null).cast(DoubleType))
+          .otherwise((total - col("n_present")) * 100.0 / total))
+      .select(col("path"), col("n_present"), col("missing_pct"),
+        col("cardinality"), col("num_min"), col("num_max"),
+        col("ts_min"), col("ts_max"))
       .orderBy("path")
   }
 

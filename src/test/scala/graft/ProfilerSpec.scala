@@ -67,9 +67,9 @@ class ProfilerSpec extends AnyFunSuite {
 
   test("topK: count desc then value asc; strings only") {
     val tk = Profiler.topK(df).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val names = tk.filter(_._1 == "name")
-    assert(names.toSeq == Seq(("name", "A", 2L, 1), ("name", "B", 1L, 2)))
+    assert(names.toSeq == Seq(("name", "A", 2L, 1L), ("name", "B", 1L, 2L)))
     // no numeric path in top-k (core/analyser.py:202-204)
     assert(!tk.exists(_._1 == "score"))
   }

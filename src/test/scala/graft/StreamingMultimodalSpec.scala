@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ChatContext, Multimodal}
+import graft.streaming.ProfileStream
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("windowedProfile: streaming plan over file source produces " +
+      "per-window per-path stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .write.mode("overwrite").parquet(dir.toString + "/in")
+    val schema = spark.read.parquet(dir.toString + "/in").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString + "/in")
+    val prof = ProfileStream.windowedProfile(stream, "ts", "1 day", "1 day")
+    assert(prof.isStreaming)
+    val q = prof.writeStream.outputMode("complete")
+      .format("memory").queryName("profout").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("select * from profout").collect()
+      assert(out.nonEmpty)
+      val paths = out.map(_.getString(1)).toSet
+      assert(paths.contains("event_type") && paths.contains("value"))
+    } finally q.stop()
+  }
+
+  test("DriftMonitor flags new paths and new types across batches") {
+    val m = new ProfileStream.DriftMonitor
+    val schema1 = StructType(Seq(StructField("a", IntegerType)))
+    val b1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1), Row(2))), schema1)
+    val d1 = m.processBatch(b1)
+    assert(d1.exists(_.startsWith("new path: a")))
+    // same shape again: no drift
+    assert(m.processBatch(b1).isEmpty)
+    // new column appears + a becomes nullable-with-string? simulate type
+    // change by a string column of the same name
+    val schema2 = StructType(Seq(StructField("a", StringType),
+      StructField("b", DoubleType)))
+    val b2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("x", 1.5))), schema2)
+    val d2 = m.processBatch(b2)
+    assert(d2.exists(_ == "new type on a: str"))
+    assert(d2.exists(_.startsWith("new path: b")))
+  }
+
+  test("multimodal: sniff branches + stub decode shape") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val meta = Multimodal.mediaMeta(docs)
+    val byFormat = meta.groupBy("format").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFormat.keySet == Set("jpeg", "png", "wav", "unknown"))
+    val r = meta.head
+    assert(r.getLong(4) >= 1 && r.getLong(4) <= 1920)   // stub_width
+    assert(r.getLong(5) >= 1 && r.getLong(5) <= 1080)   // stub_height
+  }
+
+  test("multimodal: mapBatches feeds fixed-size batches") {
+    val df = spark.range(25).toDF("id")
+    val out = Multimodal.mapBatches(df.repartition(1), 10,
+      StructType(Seq(StructField("batch_size", IntegerType)))) { rows =>
+      Seq(Row(rows.size))
+    }
+    val sizes = out.collect().map(_.getInt(0)).sorted.toSeq
+    assert(sizes == Seq(5, 10, 10))
+  }
+
+  test("chat context block: markers, section order, json fences") {
+    val events = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ctx = ChatContext.collectionContext(events, "event_id")
+    assert(ctx.startsWith(ChatContext.StartMarker))
+    assert(ctx.endsWith(ChatContext.EndMarker))
+    val iSchema = ctx.indexOf("Collection Schema:")
+    val iStats = ctx.indexOf("Collection Field Statistics:")
+    val iDocs = ctx.indexOf("Sample Documents:")
+    assert(iSchema > 0 && iStats > iSchema && iDocs > iStats)
+    assert(ctx.contains("```json"))
+    assert(ctx.contains("\"event_type\": {\"type\": \"str\"}"))
+  }
+}
