@@ -74,10 +74,54 @@ object Hll {
   }
 }
 
-/** Per-path statistics buffer state. Exact distinct set up to
-  * `exactLimit` values, then degrades to HLL — the reference keeps
-  * unbounded exact sets (`core/analyser.py:49,57,142,188`), which
-  * cannot survive 100 TB; this bound is the SURVEY §7.3 fix.
+/** Open-addressed set of 64-bit hashes (no boxing, fast serialize).
+  * Zero is reserved as the empty slot; a zero hash is remapped.
+  */
+final class LongSet(initialCap: Int = 1 << 10) extends Serializable {
+  private var table = new Array[Long](Integer.highestOneBit(
+    math.max(initialCap - 1, 8)) << 1)
+  private var n = 0
+
+  def size: Int = n
+
+  def add(h0: Long): Unit = {
+    val h = if (h0 == 0L) 0x5ca1ab1eL else h0
+    var i = (h.toInt ^ (h >>> 32).toInt) & (table.length - 1)
+    while (table(i) != 0L) {
+      if (table(i) == h) return
+      i = (i + 1) & (table.length - 1)
+    }
+    table(i) = h
+    n += 1
+    if (n * 10 >= table.length * 7) grow()
+  }
+
+  private def grow(): Unit = {
+    val old = table
+    table = new Array[Long](old.length << 1)
+    n = 0
+    var j = 0
+    while (j < old.length) {
+      if (old(j) != 0L) add(old(j))
+      j += 1
+    }
+  }
+
+  def foreachHash(f: Long => Unit): Unit = {
+    var j = 0
+    while (j < table.length) {
+      if (table(j) != 0L) f(table(j))
+      j += 1
+    }
+  }
+}
+
+/** Per-path statistics buffer state. Distinct values tracked as 64-bit
+  * value hashes in an exact set up to `exactLimit`, then degraded to
+  * HLL — the reference keeps unbounded exact sets of raw values
+  * (`core/analyser.py:49,57,142,188`), which cannot survive 100 TB;
+  * this bound is the SURVEY §7.3 fix. (Hash-set "exact" counting is
+  * exact up to 64-bit collisions: P ≈ n²/2⁶⁵, ~3e-10 at the limit.)
   */
 final class PathStats(val exactLimit: Int) extends Serializable {
   var seen: Long = 0L
@@ -87,21 +131,23 @@ final class PathStats(val exactLimit: Int) extends Serializable {
   var numMax: Double = Double.NaN
   var tsMin: Long = Long.MaxValue
   var tsMax: Long = Long.MinValue
-  var exact: mutable.HashSet[String] = mutable.HashSet.empty
+  var exact: LongSet = new LongSet()
   var hll: Hll = null
 
   def approx: Boolean = hll != null
 
   private def degrade(): Unit = {
     hll = new Hll()
-    exact.foreach(v => hll.addHash(Hll.hash(UTF8String.fromString(v))))
+    exact.foreachHash(hll.addHash)
     exact = null
   }
 
-  def addDistinct(v: UTF8String): Unit =
-    if (hll != null) hll.addHash(Hll.hash(v))
+  def addDistinct(v: UTF8String): Unit = addDistinctHash(Hll.hash(v))
+
+  def addDistinctHash(h: Long): Unit =
+    if (hll != null) hll.addHash(h)
     else {
-      exact.add(v.toString)
+      exact.add(h)
       if (exact.size > exactLimit) degrade()
     }
 
@@ -121,18 +167,13 @@ final class PathStats(val exactLimit: Int) extends Serializable {
     tsMax = math.max(tsMax, o.tsMax)
     (approx, o.approx) match {
       case (true, true)   => hll.merge(o.hll)
-      case (true, false)  =>
-        o.exact.foreach(v => hll.addHash(Hll.hash(UTF8String.fromString(v))))
+      case (true, false)  => o.exact.foreachHash(hll.addHash)
       case (false, true)  =>
         val mine = exact
         hll = new Hll(); exact = null
-        mine.foreach(v => hll.addHash(Hll.hash(UTF8String.fromString(v))))
+        mine.foreachHash(hll.addHash)
         hll.merge(o.hll)
-      case (false, false) =>
-        o.exact.foreach { v =>
-          exact.add(v)
-          if (exact.size > exactLimit) { degrade(); return }
-        }
+      case (false, false) => o.exact.foreachHash(addDistinctHash)
     }
   }
 }
@@ -254,9 +295,10 @@ case class ProfileAggregate(
 
   override def serialize(buf: mutable.HashMap[String, PathStats])
       : Array[Byte] = {
+    // raw stream, no compression: partial buffers can hold ~100k exact
+    // strings and gzip turned serialization into the bottleneck
     val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(
-      new java.util.zip.GZIPOutputStream(bos))
+    val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (p, st) =>
       out.writeUTF(p)
@@ -269,7 +311,7 @@ case class ProfileAggregate(
       if (st.approx) out.write(st.hll.regs)
       else {
         out.writeInt(st.exact.size)
-        st.exact.foreach(out.writeUTF)
+        st.exact.foreachHash(out.writeLong)
       }
     }
     out.close()
@@ -278,8 +320,7 @@ case class ProfileAggregate(
 
   override def deserialize(bytes: Array[Byte])
       : mutable.HashMap[String, PathStats] = {
-    val in = new DataInputStream(new java.util.zip.GZIPInputStream(
-      new ByteArrayInputStream(bytes)))
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = mutable.HashMap.empty[String, PathStats]
     val n = in.readInt()
     (0 until n).foreach { _ =>
@@ -297,7 +338,7 @@ case class ProfileAggregate(
         in.readFully(st.hll.regs)
       } else {
         val ne = in.readInt()
-        (0 until ne).foreach(_ => st.exact.add(in.readUTF()))
+        (0 until ne).foreach(_ => st.exact.add(in.readLong()))
       }
       buf.update(p, st)
     }

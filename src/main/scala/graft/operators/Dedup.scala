@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -94,7 +95,12 @@ object Dedup {
                       idCol: String = "doc_id", numHashes: Int = 8,
                       bands: Int = 4, threshold: Double = 0.5,
                       maxBucket: Int = 1000): DataFrame = {
+    // signatures/shingle-sets feed several join branches; without a
+    // persist Spark recomputes the whole (tokenize -> shingle -> hash)
+    // pipeline per branch (3-4x). At 100 TB these would be staged to a
+    // bucketed table instead.
     val sigs = minhashSignatures(df, textCol, idCol, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandsDf = minhashBands(sigs, numHashes, bands)
     val bounded = bandsDf.withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
@@ -108,6 +114,7 @@ object Dedup {
       .select("id1", "id2").distinct()
     val sets = df.select(col(idCol).as("sid"),
       array_distinct(shingles(col(textCol))).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sets.withColumnRenamed("sid", "id1")
         .withColumnRenamed("sh", "sh1"), Seq("id1"))
@@ -160,6 +167,7 @@ object Dedup {
         explode(array(blocks: _*)).as("blk"))
       .select(col("id"), col("simhash"),
         col("blk.block_idx"), col("blk.block_val"))
+      .persist(StorageLevel.MEMORY_AND_DISK)   // both sides of self-join
     val l = exploded.select(col("block_idx"), col("block_val"),
       col("id").as("id1"), col("simhash").as("sh1"))
     val r = exploded.select(col("block_idx"), col("block_val"),
@@ -186,10 +194,12 @@ object Dedup {
                       maxDf: Int = 100): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), n)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)   // reused by 3 branches
     val inv = sets.select(col("id"), explode(col("sh")).as("s"))
     val rare = inv.withColumn("df",
         count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("df") <= maxDf)
+      .persist(StorageLevel.MEMORY_AND_DISK)   // both sides of self-join
     val shared = rare.select(col("s"), col("id").as("id1"))
       .join(rare.select(col("s"), col("id").as("id2")), Seq("s"))
       .filter(col("id1") < col("id2"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -155,6 +156,7 @@ object Similarity {
         explode(lshTables(col(vecCol), tables, planesPerTable, dim))
           .as("tb"))
       .select(col("id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)   // both sides of self-join
     val l = v.select(col("tbl"), col("bucket"), col("id").as("id1"),
       col("vec").as("v1"))
     val r = v.select(col("tbl"), col("bucket"), col("id").as("id2"),
