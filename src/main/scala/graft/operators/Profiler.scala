@@ -118,19 +118,13 @@ object Profiler {
     *              `core/analyser.py:142,188`) vs HLL sketch for scale.
     */
   def profileStats(df: DataFrame, exact: Boolean = true): DataFrame = {
-    val total = df.count()
     val flat = flatten(df)
     val card =
       if (exact) countDistinct(col("vstr"))
       else approx_count_distinct(col("vstr"))
-    flat.groupBy("path").agg(
+    val agg = flat.groupBy("path").agg(
       count(col("vstr")).as("n_present"),
-      // missing% is per-document (core/analyser.py:280-281); for array
-      // *element* paths the denominator isn't document count, so the
-      // stat is undefined — null it rather than emit a negative number.
-      when(col("path").endsWith("[]"), lit(null).cast(DoubleType))
-        .otherwise((lit(total) - count(col("vstr"))) * 100.0 / lit(total))
-        .as("missing_pct"),
+      count(lit(1)).as("n_seen"),
       card.as("cardinality"),
       min(col("vnum")).as("num_min"),
       max(col("vnum")).as("num_max"),
@@ -138,6 +132,21 @@ object Profiler {
         .as("ts_min"),
       date_format(max(col("vts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .as("ts_max"))
+    // document total = rows seen at any top-level path (flatten emits a
+    // row per document there even for nulls) — derived from the same
+    // pass instead of a second df.count() scan of the source.
+    val total = max(when(!col("path").endsWith("[]"), col("n_seen")))
+      .over(Window.partitionBy())
+    agg
+      // missing% is per-document (core/analyser.py:280-281); for array
+      // *element* paths the denominator isn't document count, so the
+      // stat is undefined — null it rather than emit a negative number.
+      .withColumn("missing_pct",
+        when(col("path").endsWith("[]"), lit(null).cast(DoubleType))
+          .otherwise((total - col("n_present")) * 100.0 / total))
+      .select(col("path"), col("n_present"), col("missing_pct"),
+        col("cardinality"), col("num_min"), col("num_max"),
+        col("ts_min"), col("ts_max"))
       .orderBy("path")
   }
 

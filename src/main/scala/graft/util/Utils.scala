@@ -1,0 +1,48 @@
+package graft.util
+
+import java.net.URLEncoder
+
+/** Driver-side utilities mirroring the reference's shared helpers
+  * (SURVEY §2.6 F5-F7): connection-URI assembly/redaction and
+  * human-readable byte formatting.
+  */
+object Utils {
+
+  /** F5: MongoDB-style URI assembly with percent-escaped credentials
+    * (`core/shared.py:17-32`).
+    */
+  def buildMongoUri(host: String, port: Int,
+                    user: Option[String] = None,
+                    password: Option[String] = None,
+                    params: Map[String, String] = Map.empty): String = {
+    def q(s: String) = URLEncoder.encode(s, "UTF-8")
+    val auth = (user, password) match {
+      case (Some(u), Some(p)) => s"${q(u)}:${q(p)}@"
+      case (Some(u), None)    => s"${q(u)}@"
+      case _                  => ""
+    }
+    val qs =
+      if (params.isEmpty) ""
+      else params.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}=${q(v)}" }.mkString("?", "&", "")
+    s"mongodb://$auth$host:$port/$qs"
+  }
+
+  /** F6: mask the password in a connection URI for logs
+    * (`core/shared.py:35-52`).
+    */
+  def redactUriPassword(uri: String): String =
+    uri.replaceAll("(//[^/@:]+):[^/@]+@", "$1:********@")
+
+  /** F7: human bytes with log-1024 bucketing
+    * (`views/db_connection_view.py:676-699`).
+    */
+  def formatBytes(n: Long): String = {
+    val units = Seq("B", "KB", "MB", "GB", "TB", "PB", "EB")
+    if (n <= 0) return s"$n B"
+    val i = math.min((math.log(n.toDouble) / math.log(1024)).toInt,
+      units.size - 1)
+    val v = n / math.pow(1024, i)
+    if (i == 0) s"$n B" else f"$v%.1f ${units(i)}"
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Profiler, Relational}
+import graft.sources.Tables
+
+/** Physical-plan assertions (the "would this survive 100×" checks):
+  * predicate pushdown reaches the parquet scan, projection pruning
+  * limits ReadSchema, small dimensions broadcast, top-k avoids full
+  * sorts, and the hot paths stay inside whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q6: filters pushed to the parquet scan") {
+    val p = planOf(Relational.q6(spark, dir))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+  }
+
+  test("q1: column pruning — scan reads only the 7 needed columns") {
+    val p = planOf(Relational.q1(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no ReadSchema in plan"))
+    assert(readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_orderkey"))   // not referenced by q1
+    assert(!readSchema.contains("l_partkey"))
+  }
+
+  test("q5: dimension joins broadcast, no shuffle of small sides") {
+    val p = planOf(Relational.q5(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1: aggregation inside whole-stage codegen") {
+    val df = Relational.q1(spark, dir)
+    df.collect()   // AQE assigns codegen stages at execution
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n)" markers in the final plan tree
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("profiler flatten: single scan of the source") {
+    val p = planOf(Profiler.profileStats(Tables.load(spark, dir, "orders")))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 parquet scan, plan had $scans")
+  }
+
+  test("q3: top-10 plans as TakeOrderedAndProject (no global sort)") {
+    val p = planOf(Relational.q3(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
