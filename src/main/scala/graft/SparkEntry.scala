@@ -110,6 +110,11 @@ object SparkEntry {
     "window_running" -> Relational.windowRunning _,
     "semi_anti_join" -> Relational.semiAnti _,
     "event_rollup" -> Relational.eventRollup _,
+    "rollup_agg" -> Relational.rollupAgg _,
+    "cube_agg" -> Relational.cubeAgg _,
+    "collection_stats" -> ((s, d) =>
+      Tables.describeCollections(s, d)
+        .select(col("collection"), col("doc_count"))),
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -487,6 +492,32 @@ object SparkEntry {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
       ORDER BY o_custkey ASC, rn ASC"""),
+    "rollup_agg" -> (s"""
+      SELECT l_returnflag, l_linestatus,
+             ${sumD(s"CAST(l_quantity AS $M)")} AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST,
+               l_linestatus ASC NULLS FIRST"""),
+    "cube_agg" -> (s"""
+      SELECT l_returnflag, l_linestatus,
+             ${sumD(s"CAST(l_extendedprice AS $M)")} AS sum_price,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST,
+               l_linestatus ASC NULLS FIRST"""),
+    "collection_stats" -> ("""
+      SELECT 'customer' AS collection, (SELECT COUNT(*) FROM customer) AS doc_count
+      UNION ALL SELECT 'documents', (SELECT COUNT(*) FROM documents)
+      UNION ALL SELECT 'embeddings', (SELECT COUNT(*) FROM embeddings)
+      UNION ALL SELECT 'events', (SELECT COUNT(*) FROM events)
+      UNION ALL SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem)
+      UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation)
+      UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'part', (SELECT COUNT(*) FROM part)
+      UNION ALL SELECT 'region', (SELECT COUNT(*) FROM region)
+      UNION ALL SELECT 'supplier', (SELECT COUNT(*) FROM supplier)
+      ORDER BY collection"""),
     "semi_anti_join" -> ("""
       SELECT c_custkey, c_name, c_mktsegment FROM customer
       WHERE c_custkey IN (SELECT o_custkey FROM orders

@@ -53,18 +53,27 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id",
-                        numHashes: Int = 8): DataFrame = {
+                        numHashes: Int = 8): DataFrame =
+    signaturesFromSets(
+      df.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol))).as("sh")),
+      numHashes)
+
+  /** Signatures from a prebuilt (id, sh: array<string>) shingle-set
+    * DataFrame — lets callers that also need the sets (LSH verify)
+    * compute the expensive shingle projection exactly once.
+    */
+  def signaturesFromSets(sets: DataFrame, numHashes: Int = 8): DataFrame = {
     require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
     val nMd5 = numHashes / 4
-    val sh = array_distinct(shingles(col(textCol)))
-    val ex = df.select(col(idCol).as("id"), explode(sh).as("x"))
+    val ex = sets.select(col("id"), explode(col("sh")).as("x"))
     val hashed = ex.select(col("id") +: (0 until nMd5).map(g =>
       md5(concat(lit(s"$g:"), col("x"))).as(s"h$g")): _*)
     val mins = (0 until numHashes).map { j =>
       min(substring(col(s"h${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"m$j")
     }
     val agg = hashed.groupBy("id").agg(mins.head, mins.tail: _*)
-    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+    sets.select(col("id")).join(agg, Seq("id"), "left")
       .select(col("id"),
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
@@ -95,12 +104,13 @@ object Dedup {
                       idCol: String = "doc_id", numHashes: Int = 8,
                       bands: Int = 4, threshold: Double = 0.5,
                       maxBucket: Int = 1000): DataFrame = {
-    // signatures/shingle-sets feed several join branches; without a
-    // persist Spark recomputes the whole (tokenize -> shingle -> hash)
-    // pipeline per branch (3-4x). At 100 TB these would be staged to a
-    // bucketed table instead.
-    val sigs = minhashSignatures(df, textCol, idCol, numHashes)
+    // the shingle-set projection is the expensive step and feeds both
+    // the signatures and the Jaccard verify — compute it once, persist
+    // (at 100 TB: stage to a bucketed table instead)
+    val sets0 = df.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol))).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = signaturesFromSets(sets0, numHashes)
     val bandsDf = minhashBands(sigs, numHashes, bands)
     val bounded = bandsDf.withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
@@ -112,9 +122,7 @@ object Dedup {
     val cands = l.join(rr, Seq("band_idx", "band_key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val sets = df.select(col(idCol).as("sid"),
-      array_distinct(shingles(col(textCol))).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = sets0.withColumnRenamed("id", "sid")
     cands
       .join(sets.withColumnRenamed("sid", "id1")
         .withColumnRenamed("sh", "sh1"), Seq("id1"))

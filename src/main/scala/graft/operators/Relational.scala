@@ -141,6 +141,28 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Grouping-set aggregates (ROLLUP/CUBE — absent in reference,
+    * SURVEY §2.4 "absent machinery"): subtotal hierarchy over the Q1
+    * grouping. Catalyst plans one Expand + one aggregate — a single
+    * scan for all grouping levels.
+    */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_extendedprice").cast(dec)).cast("double")
+        .as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Event-stream rollup: per (event_type, hour bucket) count + value
     * stats over the events table — the time-series slice of the surface.
     */
