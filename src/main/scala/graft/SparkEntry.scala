@@ -32,6 +32,14 @@ object SparkEntry {
       Profiler.topK(Tables.load(s, d, "documents"))),
     "schema_flat_events" -> ((s, d) =>
       Profiler.flatSchema(Tables.load(s, d, "events"))),
+    "schema_hier_events" -> ((s, d) => {
+      import s.implicits._
+      val flat = Profiler.flatSchema(Tables.load(s, d, "events"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+      Seq(Profiler.hierarchicalSchema(flat)).toDF("hierarchical")
+    }),
+    "profile_approx_events" -> ((s, d) =>   // HLL mode (rows-only check)
+      Profiler.profileStats(Tables.load(s, d, "events"), exact = false)),
     "profile_stats_embeddings" -> ((s, d) =>
       Profiler.profileStats(Tables.load(s, d, "embeddings"))),
     // single-pass TypedImperativeAggregate variant (scale path): exact
@@ -110,6 +118,7 @@ object SparkEntry {
     "window_running" -> Relational.windowRunning _,
     "semi_anti_join" -> Relational.semiAnti _,
     "event_rollup" -> Relational.eventRollup _,
+    "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "rollup_agg" -> Relational.rollupAgg _,
     "cube_agg" -> Relational.cubeAgg _,
     "collection_stats" -> ((s, d) =>
@@ -492,6 +501,30 @@ object SparkEntry {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
       ORDER BY o_custkey ASC, rn ASC"""),
+    "schema_hier_events" -> ("""
+      SELECT '{"event_id": {"type": "int64"}, "event_type": {"type": "str"}, "props": {"type": "str"}, "ts": {"type": "datetime"}, "user_id": {"type": "int64"}, "value": {"type": "double"}}' AS hierarchical"""),
+    "sessionize" -> (s"""
+      WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                         value FROM events),
+      m AS (SELECT user_id, event_id, ts, value,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                   THEN 1 ELSE 0 END AS new_session
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      s AS (SELECT user_id, ts, value,
+              CAST(SUM(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_idx
+            FROM m)
+      SELECT user_id, session_idx, COUNT(*) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE)
+               / 1000000.0 AS duration_sec,
+             ${sumD(s"CAST(value AS $M)")} AS sum_value
+      FROM s GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""),
     "rollup_agg" -> (s"""
       SELECT l_returnflag, l_linestatus,
              ${sumD(s"CAST(l_quantity AS $M)")} AS sum_qty,

@@ -141,6 +141,36 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Gap-based sessionization of the event stream (the log-analytics
+    * staple; absent in reference): a session breaks after `gapMinutes`
+    * of inactivity per user. Two windows over one shuffle on user_id —
+    * lag to mark session starts, running sum to number sessions — then
+    * a groupBy on the same key (no extra exchange: the aggregation
+    * reuses the window partitioning).
+    */
+  def sessionize(s: SparkSession, dir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    val gapMicros = gapMinutes.toLong * 60 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros,
+          1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .cast("double") / 1000000.0).as("duration_sec"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Grouping-set aggregates (ROLLUP/CUBE — absent in reference,
     * SURVEY §2.4 "absent machinery"): subtotal hierarchy over the Q1
     * grouping. Catalyst plans one Expand + one aggregate — a single

@@ -40,11 +40,12 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qvec"))
+      col(vecCol).as("qvec"), l2norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cvec"))
+      col(vecCol).as("cvec"), l2norm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qvec"), col("cvec")))
+      .withColumn("score",
+        round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -135,10 +136,16 @@ object Similarity {
   def exactNearDups(df: DataFrame, threshold: Double = 0.5,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val l = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val r = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    // norms once per vector before the pair join (identical arithmetic
+    // to cosine(): dot / (sqrt(aa) * sqrt(bb)), just not re-derived per
+    // pair — 3× less dot work over the quadratic pair set)
+    val l = df.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      l2norm(col(vecCol)).as("n1"))
+    val r = df.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+      l2norm(col(vecCol)).as("n2"))
     l.join(broadcast(r), col("id1") < col("id2"))
-      .withColumn("score", cosine(col("v1"), col("v2")))
+      .withColumn("score",
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
       .filter(col("score") >= threshold)
       .select(col("id1"), col("id2"), col("score"))
       .orderBy("id1", "id2")
