@@ -124,7 +124,45 @@ object SparkEntry {
     "collection_stats" -> ((s, d) =>
       Tables.describeCollections(s, d)
         .select(col("collection"), col("doc_count"))),
+    // catalog-wide inferred schema: every collection's flat schema in
+    // one DataFrame (the "what is the shape of this database" answer)
+    "catalog_schema" -> ((s, d) =>
+      Tables.names.map(n =>
+        Profiler.flatSchema(Tables.load(s, d, n))
+          .select(lit(n).as("collection"), col("path"), col("type_tag")))
+        .reduce(_ unionByName _)
+        .orderBy("collection", "path")),
   )
+
+  /** Expected catalog schema (static truth for the oracle). */
+  private val catalogSchemaRows: Seq[(String, String, String)] = Seq(
+    "customer" -> Seq("c_acctbal" -> "double", "c_custkey" -> "int64",
+      "c_mktsegment" -> "str", "c_name" -> "str", "c_nationkey" -> "int32"),
+    "documents" -> Seq("doc_id" -> "int64", "lang" -> "str",
+      "n_chars" -> "int64", "source" -> "str", "text" -> "str"),
+    "embeddings" -> Seq("embedding" -> "array<double>",
+      "embedding[]" -> "double", "label" -> "int32", "vec_id" -> "int64"),
+    "events" -> Seq("event_id" -> "int64", "event_type" -> "str",
+      "props" -> "str", "ts" -> "datetime", "user_id" -> "int64",
+      "value" -> "double"),
+    "lineitem" -> Seq("l_discount" -> "double",
+      "l_extendedprice" -> "double", "l_linenumber" -> "int32",
+      "l_linestatus" -> "str", "l_orderkey" -> "int64",
+      "l_partkey" -> "int64", "l_quantity" -> "double",
+      "l_returnflag" -> "str", "l_shipdate" -> "datetime",
+      "l_suppkey" -> "int64", "l_tax" -> "double"),
+    "nation" -> Seq("n_name" -> "str", "n_nationkey" -> "int32",
+      "n_regionkey" -> "int32"),
+    "orders" -> Seq("o_custkey" -> "int64", "o_orderdate" -> "datetime",
+      "o_orderkey" -> "int64", "o_orderpriority" -> "str",
+      "o_orderstatus" -> "str", "o_totalprice" -> "double"),
+    "part" -> Seq("p_brand" -> "str", "p_name" -> "str",
+      "p_partkey" -> "int64", "p_retailprice" -> "double",
+      "p_size" -> "int32", "p_type" -> "str"),
+    "region" -> Seq("r_name" -> "str", "r_regionkey" -> "int32"),
+    "supplier" -> Seq("s_acctbal" -> "double", "s_name" -> "str",
+      "s_nationkey" -> "int32", "s_suppkey" -> "int64"),
+  ).flatMap { case (coll, cols) => cols.map(c => (coll, c._1, c._2)) }
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -418,7 +456,7 @@ object SparkEntry {
       FROM events"""),
     "newest_events" -> ("""
       SELECT event_id,
-             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') AS ts,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS ts,
              user_id, event_type, value, props
       FROM events ORDER BY event_id DESC LIMIT 20"""),
     "sample_hash_orders" -> ("""
@@ -436,7 +474,7 @@ object SparkEntry {
       FROM documents ORDER BY doc_id"""),
     "convert_events" -> ("""
       SELECT event_id,
-             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') AS ts,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS ts,
              user_id, event_type, value, props
       FROM events ORDER BY event_id"""),
     "list_collections" -> ("""
@@ -539,6 +577,12 @@ object SparkEntry {
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST,
                l_linestatus ASC NULLS FIRST"""),
+    "catalog_schema" -> (catalogSchemaRows
+      .map { case (c, p, t) => s"('$c', '$p', '$t')" }
+      .mkString(
+        "SELECT * FROM (VALUES ",
+        ", ",
+        ") AS t(collection, path, type_tag) ORDER BY collection, path")),
     "collection_stats" -> ("""
       SELECT 'customer' AS collection, (SELECT COUNT(*) FROM customer) AS doc_count
       UNION ALL SELECT 'documents', (SELECT COUNT(*) FROM documents)

@@ -15,14 +15,26 @@ import org.apache.spark.sql.types._
   */
 object Export {
 
-  /** ISO-8601 with microseconds + zone marker, the reference's export
-    * timestamp shape (`core/extractor.py:179-186`: naive ⇒ assume UTC,
-    * then convert to the target zone).
+  /** ISO-8601 with microseconds + zone offset suffix, the reference's
+    * export timestamp shape (`core/extractor.py:179-186`: naive ⇒
+    * assume UTC, then convert to the target zone; fixture 5 expects
+    * `2023-01-01T13:00:00+01:00`-style offsets, DST-aware).
     */
-  def isoTimestamp(c: Column, tz: String = "UTC"): Column = {
-    val shifted = if (tz == "UTC") c else from_utc_timestamp(c, tz)
-    date_format(shifted, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
-  }
+  def isoTimestamp(c: Column, tz: String = "UTC"): Column =
+    if (tz == "UTC")
+      concat(date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("+00:00"))
+    else {
+      val shifted = from_utc_timestamp(c, tz)
+      // offset = wall-clock delta; casting a timestamp to long yields
+      // epoch seconds, so this follows the zone's DST rules
+      val offMin = ((shifted.cast("long") - c.cast("long")) / 60)
+        .cast("long")
+      val sign = when(offMin < 0, lit("-")).otherwise(lit("+"))
+      val a = abs(offMin)
+      concat(date_format(shifted, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        sign, lpad((a / 60).cast("long").cast("string"), 2, "0"),
+        lit(":"), lpad((a % 60).cast("long").cast("string"), 2, "0"))
+    }
 
   /** F3: one column → its JSON-compatible export form, by type
     * (`core/extractor.py:91-208`): timestamps → tz-aware ISO strings,

@@ -14,18 +14,21 @@ class ExportSamplingSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
-  test("isoTimestamp: UTC microsecond ISO-8601") {
+  test("isoTimestamp: UTC microsecond ISO-8601 with offset") {
     val df = Seq("2024-03-01 12:34:56.123456").toDF("s")
       .select(Export.isoTimestamp(col("s").cast("timestamp")).as("iso"))
-    assert(df.head.getString(0) == "2024-03-01T12:34:56.123456")
+    assert(df.head.getString(0) == "2024-03-01T12:34:56.123456+00:00")
   }
 
-  test("isoTimestamp: timezone conversion (Oslo +1)") {
-    // winter: Europe/Oslo = UTC+1 (tests/core/test_extractor.py tz case)
-    val df = Seq("2024-01-15 12:00:00").toDF("s")
+  test("isoTimestamp: timezone conversion, DST-aware offsets (Oslo)") {
+    // fixture 5 (tests/core/test_extractor.py): naive ⇒ UTC, convert to
+    // Europe/Oslo — +01:00 in winter, +02:00 under DST
+    val df = Seq("2024-01-15 12:00:00", "2024-07-15 12:00:00").toDF("s")
       .select(Export.isoTimestamp(col("s").cast("timestamp"),
         "Europe/Oslo").as("iso"))
-    assert(df.head.getString(0) == "2024-01-15T13:00:00.000000")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq(
+      "2024-01-15T13:00:00.000000+01:00",
+      "2024-07-15T14:00:00.000000+02:00"))
   }
 
   test("convertValue: binary → lowercase hex") {

@@ -58,6 +58,22 @@ class JsonProfilerSpec extends AnyFunSuite {
     assert(fs("big") == "int64")
   }
 
+  test("array variants: dict elements, null-aware unification " +
+      "(FIXTURES §3/§4)") {
+    val docs = Seq(
+      """{"items": [{"id": 1}, {"id": 2}]}""",   // array<dict>
+      """{"xs": [1, null]}""",                   // null-aware -> array<int32>
+      """{"ns": [null, null]}""").toDF("doc")    // array<null>
+    val h = JsonProfiler.typeHistogram(docs, "doc").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(h(("items", "array<dict>")) == 1)
+    assert(h(("items[].id", "int32")) == 2)      // dict elements recursed
+    assert(h(("xs", "array<int32>")) == 1)
+    assert(h(("xs[]", "int32")) == 1)
+    assert(h(("xs[]", "null")) == 1)
+    assert(h(("ns", "array<null>")) == 1)
+  }
+
   test("malformed JSON tagged, not thrown") {
     val bad = Seq("""{"ok": 1}""", """not json at all""").toDF("doc")
     val h = JsonProfiler.typeHistogram(bad, "doc").collect()
