@@ -14,14 +14,21 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // Min of two runs per query, GC between queries: one shared JVM
+    // runs ~40 queries and stray full-GC pauses were landing on random
+    // queries (20s+ spikes on otherwise-200ms work); the min isolates
+    // the query's own cost.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist reused intermediates; free them so queries
-      // don't contend for storage memory across the run
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // free persisted intermediates so queries don't contend
+        spark.catalog.clearCache()
+        dt
+      }
+      System.gc()
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

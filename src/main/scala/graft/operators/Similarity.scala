@@ -117,13 +117,14 @@ object Similarity {
         col("tb.tbl"), col("tb.bucket"))
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qvec"), col("neighbor_id"),
-        col("cvec"))
-      .distinct()   // a pair found in several tables scores once
       .withColumn("score", cosine(col("qvec"), col("cvec")))
+      // dedupe pairs found in several tables AFTER scoring: the distinct
+      // then shuffles three scalars instead of two float vectors
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.select(col("query_id"), col("neighbor_id"), col("score"))
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
@@ -169,11 +170,10 @@ object Similarity {
     val r = v.select(col("tbl"), col("bucket"), col("id").as("id2"),
       col("vec").as("v2"))
     l.join(r, Seq("tbl", "bucket")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("v2"))
-      .distinct()
       .withColumn("score", cosine(col("v1"), col("v2")))
       .filter(col("score") >= threshold)
       .select(col("id1"), col("id2"), col("score"))
+      .distinct()   // scalar-only distinct (see lshTopK)
       .orderBy("id1", "id2")
   }
 }

@@ -26,6 +26,17 @@ object Tables {
     else df
   }
 
+  /** S1 raw mode (SURVEY §1.3): a collection of schemaless JSON
+    * documents, one per line, read WITHOUT schema inference — each
+    * document stays a raw string so per-value type tagging
+    * ([[graft.operators.JsonProfiler]]) remains possible. This is the
+    * mixed-type-preserving input path; `spark.read.json` would coerce
+    * every field to one type and destroy the information the profiler
+    * exists to measure.
+    */
+  def loadJsonDocs(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).withColumnRenamed("value", "doc")
+
   /** S5: sorted collection listing. */
   def listCollections(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

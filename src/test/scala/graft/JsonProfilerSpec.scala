@@ -74,6 +74,23 @@ class JsonProfilerSpec extends AnyFunSuite {
     assert(h(("ns", "array<null>")) == 1)
   }
 
+  test("raw JSON-lines collection: file → per-value profile end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_raw")
+    val path = dir.toString + "/docs"
+    // schemaless collection with a type-drifting field
+    Seq("""{"k": 1}""", """{"k": "one"}""", """{"k": 2.5}""")
+      .toDF("doc").write.mode("overwrite").text(path)
+    val raw = graft.sources.Tables.loadJsonDocs(spark, path)
+    val h = JsonProfiler.typeHistogram(raw, "doc").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(h(("k", "int32")) == 1)
+    assert(h(("k", "str")) == 1)
+    assert(h(("k", "double")) == 1)
+    val fs = JsonProfiler.flatSchema(raw, "doc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fs("k") == "double")   // 3-way tie → lexically first
+  }
+
   test("malformed JSON tagged, not thrown") {
     val bad = Seq("""{"ok": 1}""", """not json at all""").toDF("doc")
     val h = JsonProfiler.typeHistogram(bad, "doc").collect()
