@@ -46,6 +46,10 @@ object SparkEntry {
     // below the distinct limit, so it shares the lineitem oracle.
     "profile_fast_lineitem" -> ((s, d) =>
       Profiler.profileStatsFast(Tables.load(s, d, "lineitem"))),
+    // the reference's complete "Analyze Schema" answer in one pass
+    // (type histogram + top-5 as JSON; rows-only check)
+    "profile_full_events" -> ((s, d) =>
+      Profiler.profileFull(Tables.load(s, d, "events"))),
     // — semi-structured: per-VALUE type tags over a JSON column —
     "json_profile_props" -> ((s, d) =>
       JsonProfiler.profileStats(Tables.load(s, d, "events"), "props")),
@@ -115,6 +119,9 @@ object SparkEntry {
     "q3_join_topk" -> Relational.q3 _,
     "q5_join" -> Relational.q5 _,
     "q6_filter_agg" -> Relational.q6 _,
+    "q10_returns_topk" -> Relational.q10 _,
+    "q12_priority_buckets" -> Relational.q12 _,
+    "q14_promo_share" -> Relational.q14 _,
     "window_running" -> Relational.windowRunning _,
     "semi_anti_join" -> Relational.semiAnti _,
     "event_rollup" -> Relational.eventRollup _,
@@ -528,6 +535,38 @@ object SparkEntry {
       WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
+    "q10_returns_topk" -> (s"""
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+             ${sumD(discPrice)} AS revenue
+      FROM lineitem, orders, customer
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1994-10-01 00:00:00'
+      GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment
+      ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""),
+    "q12_priority_buckets" -> ("""
+      SELECT l_returnflag,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                        OR o_orderpriority = '2-HIGH'
+                      THEN 1 ELSE 0 END) AS high_line_count,
+             SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                       AND o_orderpriority <> '2-HIGH'
+                      THEN 1 ELSE 0 END) AS low_line_count
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    "q14_promo_share" -> (s"""
+      SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                           THEN $discPrice
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             * 100.0 / ${sumD(discPrice)} AS promo_revenue_pct
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'"""),
     "window_running" -> (s"""
       SELECT o_custkey,
              ROW_NUMBER() OVER w AS rn, o_orderkey,

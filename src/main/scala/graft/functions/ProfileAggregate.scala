@@ -134,6 +134,44 @@ final class PathStats(val exactLimit: Int) extends Serializable {
   var exact: LongSet = new LongSet()
   var hll: Hll = null
 
+  /** Misra-Gries heavy-hitters counters for top-k string values
+    * (`value_frequencies`, `core/analyser.py:202-204`): at most
+    * `TopkCap` counters; counts are exact when distinct strings ≤ cap,
+    * otherwise lower bounds with error ≤ n/cap — the bounded
+    * single-pass answer to the reference's unbounded Counter.
+    */
+  val topk = mutable.HashMap.empty[String, Long]
+
+  def addTopk(v: String): Unit =
+    if (topk.contains(v)) topk(v) += 1
+    else if (topk.size < PathStats.TopkCap) topk.update(v, 1L)
+    else {
+      val dead = List.newBuilder[String]
+      topk.keysIterator.foreach { k =>
+        val c = topk(k) - 1
+        if (c <= 0) dead += k else topk.update(k, c)
+      }
+      dead.result().foreach(topk.remove)
+    }
+
+  private def mergeTopk(o: mutable.HashMap[String, Long]): Unit = {
+    o.foreach { case (k, v) =>
+      topk.update(k, topk.getOrElse(k, 0L) + v)
+    }
+    if (topk.size > PathStats.TopkCap) {
+      // keep the cap heaviest, subtracting the (cap+1)-th weight (the
+      // standard MG merge, preserving the n/cap error bound)
+      val cut = topk.values.toSeq.sorted(Ordering[Long].reverse)
+        .apply(PathStats.TopkCap)
+      val dead = List.newBuilder[String]
+      topk.keysIterator.foreach { k =>
+        val c = topk(k) - cut
+        if (c <= 0) dead += k else topk.update(k, c)
+      }
+      dead.result().foreach(topk.remove)
+    }
+  }
+
   def approx: Boolean = hll != null
 
   private def degrade(): Unit = {
@@ -165,6 +203,7 @@ final class PathStats(val exactLimit: Int) extends Serializable {
       if (numMax.isNaN) o.numMax else math.max(numMax, o.numMax)
     tsMin = math.min(tsMin, o.tsMin)
     tsMax = math.max(tsMax, o.tsMax)
+    mergeTopk(o.topk)
     (approx, o.approx) match {
       case (true, true)   => hll.merge(o.hll)
       case (true, false)  => o.exact.foreachHash(hll.addHash)
@@ -176,6 +215,11 @@ final class PathStats(val exactLimit: Int) extends Serializable {
       case (false, false) => o.exact.foreachHash(addDistinctHash)
     }
   }
+}
+
+object PathStats {
+  /** Misra-Gries counter budget per path (error ≤ n/TopkCap). */
+  val TopkCap = 32
 }
 
 /** Single-pass whole-profile aggregate (SURVEY §4.2.2): one mutable
@@ -217,7 +261,8 @@ case class ProfileAggregate(
     StructField("num_max", DoubleType),
     StructField("ts_min", StringType),
     StructField("ts_max", StringType),
-    StructField("type_counts", MapType(StringType, LongType))))
+    StructField("type_counts", MapType(StringType, LongType)),
+    StructField("top_values", MapType(StringType, LongType))))
 
   override def dataType: DataType = ArrayType(outputStruct)
 
@@ -238,6 +283,9 @@ case class ProfileAggregate(
     if (s != null) {
       st.present += 1
       st.addDistinct(s)
+      // top-k: strings under 256 chars only (core/analyser.py:202-204)
+      if (tag != null && tag.toString == "str" && s.numChars() < 256)
+        st.addTopk(s.toString)
     }
     val n = vnum.eval(input)
     if (n != null) {
@@ -286,9 +334,18 @@ case class ProfileAggregate(
         if (st.tsMax == Long.MinValue) null
         else UTF8String.fromString(
           isoFmt.format(Instant.EPOCH.plusNanos(st.tsMax * 1000L))),
-        org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
-          st.typeCounts.keys.map(UTF8String.fromString).toArray,
-          st.typeCounts.values.toArray))
+        {
+          val tc = st.typeCounts.toSeq.sortBy(_._1)   // deterministic order
+          org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            tc.map(t => UTF8String.fromString(t._1)).toArray,
+            tc.map(_._2).toArray)
+        }, {
+          // top-5 cut, deterministic tie-break (count desc, value asc)
+          val top5 = st.topk.toSeq.sortBy(t => (-t._2, t._1)).take(5)
+          org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            top5.map(t => UTF8String.fromString(t._1)).toArray,
+            top5.map(_._2).toArray)
+        })
     }
     new GenericArrayData(rows.toArray[Any])
   }
@@ -307,6 +364,8 @@ case class ProfileAggregate(
       st.typeCounts.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
       out.writeDouble(st.numMin); out.writeDouble(st.numMax)
       out.writeLong(st.tsMin); out.writeLong(st.tsMax)
+      out.writeInt(st.topk.size)
+      st.topk.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
       out.writeBoolean(st.approx)
       if (st.approx) out.write(st.hll.regs)
       else {
@@ -333,6 +392,10 @@ case class ProfileAggregate(
       }
       st.numMin = in.readDouble(); st.numMax = in.readDouble()
       st.tsMin = in.readLong(); st.tsMax = in.readLong()
+      val ntk = in.readInt()
+      (0 until ntk).foreach { _ =>
+        val k = in.readUTF(); st.topk.update(k, in.readLong())
+      }
       if (in.readBoolean()) {
         st.hll = new Hll(); st.exact = null
         in.readFully(st.hll.regs)

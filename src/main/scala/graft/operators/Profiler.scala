@@ -176,6 +176,31 @@ object Profiler {
       .orderBy("path")
   }
 
+  /** The complete single-pass profile — every per-path statistic of the
+    * reference's "Analyze Schema" result in ONE aggregate: counts,
+    * missing%, cardinality (exact→HLL), numeric/temporal min-max, type
+    * distribution, and top-5 values (Misra-Gries). Maps rendered as
+    * sorted JSON for deterministic output.
+    */
+  def profileFull(df: DataFrame, exactLimit: Int = 100000): DataFrame = {
+    import graft.functions.ProfileAggregate.profileAgg
+    val flat = flatten(df)
+    val agg = flat.select(profileAgg(col("path"), col("vstr"),
+      col("vnum"), col("vts"), col("vtype"), exactLimit).as("profile"))
+    val rows = agg.select(explode(col("profile")).as("p")).select("p.*")
+    val total = max(when(!col("path").endsWith("[]"), col("seen")))
+      .over(Window.partitionBy())
+    rows.withColumn("missing_pct",
+        when(col("path").endsWith("[]"), lit(null).cast(DoubleType))
+          .otherwise((total - col("n_present")) * 100.0 / total))
+      .select(col("path"), col("n_present"), col("missing_pct"),
+        col("cardinality"), col("cardinality_approx"),
+        col("num_min"), col("num_max"), col("ts_min"), col("ts_max"),
+        to_json(col("type_counts")).as("type_distribution"),
+        to_json(col("top_values")).as("top_values"))
+      .orderBy("path")
+  }
+
   /** Per-path type histogram — `type_distribution`
     * (`core/analyser.py:192,286`), with nulls as their own tag. Unlike the
     * reference's nondeterministic last-writer-wins schema entry

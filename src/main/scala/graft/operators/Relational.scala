@@ -141,6 +141,63 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** TPC-H Q10-shaped returned-item reporting: who returned the most
+    * revenue in a quarter — join + group + top-20.
+    */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = ord(s, dir)
+      .filter(col("o_orderdate") >= lit("1993-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1994-10-01").cast("timestamp"))
+    val l = li(s, dir).filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(rate) - col("l_discount").cast(rate)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q12-shaped shipmode priority buckets: conditional (CASE)
+    * aggregation — here over order priority classes by return flag.
+    */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val o = ord(s, dir)
+    val l = li(s, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q14-shaped promo share: ratio of two conditional decimal
+    * sums over one month — a single-row percentage.
+    */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+    val l = li(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+    val joined = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val disc = col("l_extendedprice").cast(dec) *
+      (lit(1).cast(rate) - col("l_discount").cast(rate))
+    joined.agg(
+      (sum(when(col("p_type").startsWith("PROMO"), disc)
+        .otherwise(lit(0).cast(dec))).cast("double") * 100.0 /
+        sum(disc).cast("double")).as("promo_revenue_pct"))
+  }
+
   /** Gap-based sessionization of the event stream (the log-analytics
     * staple; absent in reference): a session breaks after `gapMinutes`
     * of inactivity per user. Two windows over one shuffle on user_id —

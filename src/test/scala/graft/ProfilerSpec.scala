@@ -101,6 +101,29 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("profileFull: one-pass result agrees with the multi-agg path") {
+    val events = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val full = Profiler.profileFull(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val slow = Profiler.profileStats(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    slow.keys.foreach { p =>
+      assert(full(p).getLong(1) == slow(p).getLong(1))          // present
+      assert(full(p).getLong(3) == slow(p).getLong(3))          // card
+      assert(full(p).getString(7) == slow(p).getString(6))      // ts_min
+    }
+    assert(!full("event_id").getBoolean(4))                     // exact
+    // MG top-k is exact when distinct strings ≤ cap: event_type has 5
+    val tk = Profiler.topK(events).collect()
+      .filter(_.getString(0) == "event_type")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val fullTk = full("event_type").getString(10)
+    tk.foreach { case (v, c) => assert(fullTk.contains(s""""$v":$c""")) }
+  }
+
   test("profile invariants (merge-friendly bounds)") {
     val stats = Profiler.profileStats(df).collect()
     stats.foreach { r =>

@@ -54,6 +54,29 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(d2.exists(_.startsWith("new path: b")))
   }
 
+  test("DriftMonitor via foreachBatch on a live streaming query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift")
+    val in = dir.toString + "/in"
+    // batch 1: (a: int); write before the stream starts
+    Seq((1, "x")).toDF("a", "b").write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val m = new ProfileStream.DriftMonitor
+    val q = spark.readStream.schema(schema).parquet(in)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          m.processBatch(batch.toDF()); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(m.knownPaths == Set("a", "b"))
+      // drip a second file through the SAME stream
+      Seq((2, "y")).toDF("a", "b").write.mode("append").parquet(in)
+      q.processAllAvailable()
+      assert(m.typeCounts("a")("int32") == 2)
+      assert(m.allDrifts.count(_.startsWith("new path")) == 2)
+    } finally q.stop()
+  }
+
   test("multimodal: sniff branches + stub decode shape") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val meta = Multimodal.mediaMeta(docs)
