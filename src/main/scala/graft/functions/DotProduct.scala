@@ -29,8 +29,12 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(_: NumericType, _) => true
-      case _                            => false
+      // the fixed-width types the getters support (decimals are
+      // NumericType but have no primitive accessor — reject cleanly
+      // at analysis instead of crashing in codegen)
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                     ShortType | ByteType, _) => true
+      case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

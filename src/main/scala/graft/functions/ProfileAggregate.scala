@@ -314,9 +314,12 @@ case class ProfileAggregate(
     buf
   }
 
+  // session-timezone formatter so output matches Profiler.profileStats'
+  // date_format rendering under any spark.sql.session.timeZone
   @transient private lazy val isoFmt =
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
-      .withZone(ZoneOffset.UTC)
+      .withZone(java.time.ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
 
   override def eval(buf: mutable.HashMap[String, PathStats]): Any = {
     val rows = buf.toSeq.sortBy(_._1).map { case (p, st) =>

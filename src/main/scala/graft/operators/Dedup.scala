@@ -16,6 +16,13 @@ import graft.operators.TextAnalysis.{fingerprint, shingles, tokens}
   * Scale design: every variant is join/groupBy-shaped (shuffle keyed by
   * hash/band/shingle), never pairwise-all. The only quadratic step is
   * *within* a candidate bucket, which the frequent-key caps bound.
+  *
+  * Cache lifetime: the near-dup operators `persist()` their shared
+  * intermediates (shingle sets / block tables) and leave them cached —
+  * Spark offers no safe point to unpersist inside a lazily-evaluated
+  * query. Long-lived sessions issuing many near-dup queries should call
+  * `spark.catalog.clearCache()` between them (as `graft.Bench` does) or
+  * stage intermediates to tables.
   */
 object Dedup {
 

@@ -74,8 +74,12 @@ object Export {
         .option("compression", "gzip").json(path)
     } else {
       val it = converted.toJSON.toLocalIterator()
-      val out = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
-        new java.io.FileOutputStream(path)))
+      // explicit UTF-8 writer, NOT PrintWriter: PrintWriter swallows
+      // I/O errors, silently truncating the export on disk-full
+      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(path)),
+        java.nio.charset.StandardCharsets.UTF_8))
       try {
         out.write("[")
         var first = true

@@ -26,7 +26,7 @@ object JsonProfiler {
     val total = df.count()
     flattenJson(df, jsonCol).groupBy("path").agg(
       count(col("vstr")).as("n_present"),
-      when(col("path").endsWith("[]"), lit(null).cast("double"))
+      when(col("path").contains("[]"), lit(null).cast("double"))
         .otherwise((lit(total) - count(col("vstr"))) * 100.0 / lit(total))
         .as("missing_pct"),
       countDistinct(col("vstr")).as("cardinality"),

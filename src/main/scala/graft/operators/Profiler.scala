@@ -135,14 +135,14 @@ object Profiler {
     // document total = rows seen at any top-level path (flatten emits a
     // row per document there even for nulls) — derived from the same
     // pass instead of a second df.count() scan of the source.
-    val total = max(when(!col("path").endsWith("[]"), col("n_seen")))
+    val total = max(when(!col("path").contains("[]"), col("n_seen")))
       .over(Window.partitionBy())
     agg
       // missing% is per-document (core/analyser.py:280-281); for array
       // *element* paths the denominator isn't document count, so the
       // stat is undefined — null it rather than emit a negative number.
       .withColumn("missing_pct",
-        when(col("path").endsWith("[]"), lit(null).cast(DoubleType))
+        when(col("path").contains("[]"), lit(null).cast(DoubleType))
           .otherwise((total - col("n_present")) * 100.0 / total))
       .select(col("path"), col("n_present"), col("missing_pct"),
         col("cardinality"), col("num_min"), col("num_max"),
@@ -165,10 +165,10 @@ object Profiler {
       col("vnum"), col("vts"), col("vtype"), exactLimit).as("profile"))
     val rows = agg.select(explode(col("profile")).as("p")).select("p.*")
     // document total = max docs seen over non-element top-level paths
-    val total = max(when(!col("path").endsWith("[]"), col("seen")))
+    val total = max(when(!col("path").contains("[]"), col("seen")))
       .over(Window.partitionBy())
     rows.withColumn("missing_pct",
-        when(col("path").endsWith("[]"), lit(null).cast(DoubleType))
+        when(col("path").contains("[]"), lit(null).cast(DoubleType))
           .otherwise((total - col("n_present")) * 100.0 / total))
       .select(col("path"), col("n_present"), col("missing_pct"),
         col("cardinality"), col("num_min"), col("num_max"),
@@ -188,10 +188,10 @@ object Profiler {
     val agg = flat.select(profileAgg(col("path"), col("vstr"),
       col("vnum"), col("vts"), col("vtype"), exactLimit).as("profile"))
     val rows = agg.select(explode(col("profile")).as("p")).select("p.*")
-    val total = max(when(!col("path").endsWith("[]"), col("seen")))
+    val total = max(when(!col("path").contains("[]"), col("seen")))
       .over(Window.partitionBy())
     rows.withColumn("missing_pct",
-        when(col("path").endsWith("[]"), lit(null).cast(DoubleType))
+        when(col("path").contains("[]"), lit(null).cast(DoubleType))
           .otherwise((total - col("n_present")) * 100.0 / total))
       .select(col("path"), col("n_present"), col("missing_pct"),
         col("cardinality"), col("cardinality_approx"),

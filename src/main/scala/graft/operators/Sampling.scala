@@ -37,7 +37,8 @@ object Sampling {
     * primitive).
     */
   def hexThreshold(permille: Int): String =
-    f"${permille * 65536 / 1000}%04x"
+    if (permille >= 1000) "g"   // > any hex prefix: keep everything
+    else f"${permille * 65536 / 1000}%04x"
 
   /** S2 exact-N random sample (non-reproducible across engines, so not
     * oracle-checked; reference parity for `$sample`'s exact-N contract).

@@ -79,7 +79,11 @@ object TextAnalysis {
     val stopScore = least(lit(1.0), stops / n * 5.0)
     val punctPen = greatest(lit(0.0),
       lit(1.0) - punctCount(c).cast(DoubleType) / length(c) * 5.0)
-    round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * punctPen, 6)
+    // empty / whitespace-only text divides by zero above (NaN games
+    // with least/greatest) — such a document scores 0 outright
+    when(c.isNull || length(c) === 0 || n === 0, lit(0.0)).otherwise(
+      round(lit(0.4) * lenScore + lit(0.3) * stopScore +
+        lit(0.3) * punctPen, 6))
   }
 
   /** Document fingerprint: md5 of whitespace-normalized, lowercased

@@ -2,8 +2,6 @@ package graft.plans
 
 import scala.collection.mutable.ArrayBuffer
 
-import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
@@ -56,7 +54,6 @@ case class JsonExplode(child: Expression)
             other.simpleString)
     }
 
-  @transient private lazy val factory = new JsonFactory()
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -66,7 +63,7 @@ case class JsonExplode(child: Expression)
     val out = ArrayBuffer.empty[InternalRow]
     try {
       val root = mapper.readTree(raw.toString)
-      walk("", root, out, topLevel = true)
+      walk("", root, out)
     } catch {
       case _: Exception =>
         out += row("$", raw.toString, null, "unknown<malformed>")
@@ -109,15 +106,14 @@ case class JsonExplode(child: Expression)
 
   private def walk(prefix: String,
                    n: com.fasterxml.jackson.databind.JsonNode,
-                   out: ArrayBuffer[InternalRow],
-                   topLevel: Boolean): Unit = {
+                   out: ArrayBuffer[InternalRow]): Unit = {
     if (n.isObject) {
       // dict: recurse, don't tag (core/analyser.py:70-71)
       val fields = n.fields()
       while (fields.hasNext) {
         val e = fields.next()
         val p = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
-        walk(p, e.getValue, out, topLevel = false)
+        walk(p, e.getValue, out)
       }
     } else if (n.isArray) {
       val p = if (prefix.isEmpty) "$" else prefix
@@ -125,7 +121,7 @@ case class JsonExplode(child: Expression)
       val it = n.elements()
       while (it.hasNext) {
         val e = it.next()
-        if (e.isObject || e.isArray) walk(s"$p[]", e, out, topLevel = false)
+        if (e.isObject || e.isArray) walk(s"$p[]", e, out)
         else out += scalarRow(s"$p[]", e)
       }
     } else {

@@ -40,7 +40,8 @@ object Tables {
   /** S5: sorted collection listing. */
   def listCollections(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val found = new java.io.File(dir).listFiles()
+    val found = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet"))
       .map(_.getName.stripSuffix(".parquet"))
       .sorted

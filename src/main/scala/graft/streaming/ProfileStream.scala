@@ -52,13 +52,14 @@ object ProfileStream {
 
   /** Cumulative drift monitor for `foreachBatch`: keeps the merged
     * (path → type histogram) state on the driver (tiny — path count ×
-    * tag count) and reports per batch: new paths, vanished paths, and
-    * new type tags on existing paths — the operational "schema drift"
-    * signal.
+    * tag count) and reports per batch: new paths, vanished paths
+    * (present in the previous batch, absent now), and new type tags on
+    * existing paths — the operational "schema drift" signal.
     */
   final class DriftMonitor extends Serializable {
     private val state = mutable.Map.empty[String, mutable.Map[String, Long]]
     private val drifts = mutable.ArrayBuffer.empty[String]
+    private var lastBatchPaths: Set[String] = Set.empty
 
     def processBatch(batch: DataFrame): Seq[String] = {
       val hist = Profiler.typeHistogram(batch).collect()
@@ -75,6 +76,10 @@ object ProfileStream {
             tags.update(tag, tags.getOrElse(tag, 0L) + cnt)
         }
       }
+      val batchPaths = hist.map(_._1).toSet
+      (lastBatchPaths -- batchPaths).toSeq.sorted.foreach(p =>
+        batchDrifts += s"vanished path: $p")
+      lastBatchPaths = batchPaths
       drifts ++= batchDrifts
       batchDrifts.toSeq
     }

@@ -61,6 +61,10 @@ class ExportSamplingSpec extends AnyFunSuite {
   test("hashSample: threshold math + determinism + rough rate") {
     assert(Sampling.hexThreshold(100) == "1999")
     assert(Sampling.hexThreshold(500) == "8000")
+    // permille >= 1000 must keep EVERY row ("10000" as a 5-char hex
+    // string would lexicographically drop ~15/16 of them)
+    val all = spark.range(1000).toDF("id")
+    assert(Sampling.hashSample(all, "id", 1000).count() == 1000)
     val df = spark.range(10000).toDF("id")
     val n1 = Sampling.hashSample(df, "id", 100).count()
     val n2 = Sampling.hashSample(df, "id", 100).count()

@@ -91,6 +91,15 @@ class JsonProfilerSpec extends AnyFunSuite {
     assert(fs("k") == "double")   // 3-way tie → lexically first
   }
 
+  test("missing% undefined (null, not negative) for object-in-array " +
+      "paths like a[].b") {
+    val docs = Seq("""{"a": [{"b": 1}, {"b": 2}]}""").toDF("doc")
+    val s = JsonProfiler.profileStats(docs, "doc").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(s("a[].b").getLong(1) == 2)
+    assert(s("a[].b").isNullAt(2))   // was -100.0 before the fix
+  }
+
   test("malformed JSON tagged, not thrown") {
     val bad = Seq("""{"ok": 1}""", """not json at all""").toDF("doc")
     val h = JsonProfiler.typeHistogram(bad, "doc").collect()

@@ -52,6 +52,36 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val d2 = m.processBatch(b2)
     assert(d2.exists(_ == "new type on a: str"))
     assert(d2.exists(_.startsWith("new path: b")))
+    // b present in batch 2 but absent in batch 3 → vanished
+    val d3 = m.processBatch(b1)
+    assert(d3.contains("vanished path: b"))
+  }
+
+  test("TextAnalysis.qualityScore: empty/whitespace text scores 0") {
+    import graft.operators.TextAnalysis
+    val df = Seq("", "   ", "real words here").toDF("text")
+      .select(TextAnalysis.qualityScore(org.apache.spark.sql.functions
+        .col("text")).as("q"))
+    val qs = df.collect().map(_.getDouble(0)).toSeq
+    assert(qs(0) == 0.0 && qs(1) == 0.0)
+    assert(qs(2) > 0.0 && !qs(2).isNaN)
+  }
+
+  test("listCollections: nonexistent dir yields empty catalog, no NPE") {
+    val out = graft.sources.Tables.listCollections(spark, "/no/such/dir")
+    assert(out.count() == 0)
+  }
+
+  test("dot_product rejects decimal arrays at analysis time") {
+    val e = intercept[Exception] {
+      spark.range(1).select(graft.functions.DotProduct.dotProduct(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(BigDecimal(1))),
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(BigDecimal(2))))).collect()
+    }
+    assert(e.getMessage.contains("dot_product") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
   test("DriftMonitor via foreachBatch on a live streaming query") {
