@@ -65,18 +65,35 @@ object Profiler {
       case ArrayType(et, _) =>
         val whole = leafStruct(path, to_json(c), lit(null), lit(null),
           valueTag(c, dt))
-        val elemRows: Column = et match {
+        val elemRows: Seq[Column] = et match {
           case est: StructType =>
-            transform(c, x => leafStruct(s"$path[]", to_json(x), lit(null),
-              lit(null), valueTag(x, est)))
+            // array<dict>: one dict-presence row per element, plus each
+            // struct field recursed to its own `path[].field` rows
+            // (the extractor's per-item sub-schema,
+            // core/extractor.py:103-129); scalar fields only — deeper
+            // array nesting inside stays summarized by the dict row
+            val dictRows = transform(c, x => leafStruct(s"$path[]",
+              to_json(x), lit(null), lit(null), valueTag(x, est)))
+            val fieldRows = est.fields.toSeq.collect {
+              case f if !f.dataType.isInstanceOf[StructType] &&
+                !f.dataType.isInstanceOf[ArrayType] =>
+                transform(c, x => leafStruct(s"$path[].${f.name}",
+                  x.getField(f.name),
+                  if (TypeTags.isNumeric(f.dataType)) x.getField(f.name)
+                  else lit(null),
+                  if (TypeTags.isTemporal(f.dataType)) x.getField(f.name)
+                  else lit(null),
+                  valueTag(x.getField(f.name), f.dataType)))
+            }
+            dictRows +: fieldRows
           case _ =>
-            transform(c, x => leafStruct(s"$path[]",
+            Seq(transform(c, x => leafStruct(s"$path[]",
               x,
               if (TypeTags.isNumeric(et)) x else lit(null),
               if (TypeTags.isTemporal(et)) x else lit(null),
-              valueTag(x, et)))
+              valueTag(x, et))))
         }
-        Seq(array(whole), coalesce(elemRows, emptyLeafArray))
+        array(whole) +: elemRows.map(coalesce(_, emptyLeafArray))
       case _ =>
         val vnum = if (TypeTags.isNumeric(dt)) c else lit(null)
         val vts = if (TypeTags.isTemporal(dt)) c else lit(null)

@@ -124,6 +124,27 @@ class ProfilerSpec extends AnyFunSuite {
     tk.foreach { case (v, c) => assert(fullTk.contains(s""""$v":$c""")) }
   }
 
+  test("array<struct>: element dict rows plus per-field sub-paths") {
+    val schema = StructType(Seq(
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("label", StringType)))))))
+    val rows = Seq(
+      Row(Seq(Row(Integer.valueOf(1), "a"), Row(Integer.valueOf(2), "b"))),
+      Row(Seq(Row(Integer.valueOf(3), null))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val stats = Profiler.profileStats(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats("items").getLong(1) == 2)        // whole arrays
+    assert(stats("items[]").getLong(1) == 3)      // dict elements
+    assert(stats("items[].id").getLong(1) == 3)
+    assert(stats("items[].id").getDouble(4) == 1.0)   // num_min
+    assert(stats("items[].id").getDouble(5) == 3.0)   // num_max
+    assert(stats("items[].label").getLong(1) == 2)    // one null
+    assert(stats("items[].label").isNullAt(2))        // missing% null
+  }
+
   test("profile invariants (merge-friendly bounds)") {
     val stats = Profiler.profileStats(df).collect()
     stats.foreach { r =>
