@@ -42,6 +42,8 @@ object SparkEntry {
       Profiler.profileStats(Tables.load(s, d, "events"), exact = false)),
     "profile_stats_embeddings" -> ((s, d) =>
       Profiler.profileStats(Tables.load(s, d, "embeddings"))),
+    "profile_quantiles_lineitem" -> ((s, d) =>
+      Profiler.numericQuantiles(Tables.load(s, d, "lineitem"))),
     // single-pass TypedImperativeAggregate variant (scale path): exact
     // below the distinct limit, so it shares the lineitem oracle.
     "profile_fast_lineitem" -> ((s, d) =>
@@ -382,6 +384,17 @@ object SparkEntry {
       "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
       "l_returnflag" -> "str", "l_linestatus" -> "str",
       "l_shipdate" -> "ts")),
+    "profile_quantiles_lineitem" -> {
+      val cols = Seq("l_discount", "l_extendedprice", "l_linenumber",
+        "l_orderkey", "l_partkey", "l_quantity", "l_suppkey", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS path,
+           | round(quantile_cont(CAST($c AS DOUBLE), 0.25), 6) AS p25,
+           | round(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS p50,
+           | round(quantile_cont(CAST($c AS DOUBLE), 0.75), 6) AS p75
+           | FROM lineitem""".stripMargin)
+        .mkString("", " UNION ALL ", " ORDER BY path")
+    },
     "profile_fast_lineitem" -> profileStatsOracle("lineitem", Seq(
       "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
       "l_linenumber" -> "num", "l_quantity" -> "num",

@@ -218,6 +218,19 @@ object Profiler {
       .orderBy("path")
   }
 
+  /** Per-path numeric quantiles (p25/p50/p75, exact interpolated) —
+    * beyond-reference profiling stat; rounded to 6 decimals so the
+    * interpolation arithmetic is engine-comparable. One flatten pass,
+    * numeric paths only.
+    */
+  def numericQuantiles(df: DataFrame): DataFrame =
+    flatten(df).filter(col("vnum").isNotNull)
+      .groupBy("path").agg(
+        round(percentile(col("vnum"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("vnum"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("vnum"), lit(0.75)), 6).as("p75"))
+      .orderBy("path")
+
   /** Per-path type histogram — `type_distribution`
     * (`core/analyser.py:192,286`), with nulls as their own tag. Unlike the
     * reference's nondeterministic last-writer-wins schema entry
