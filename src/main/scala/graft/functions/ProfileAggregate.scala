@@ -321,6 +321,13 @@ case class ProfileAggregate(
       .withZone(java.time.ZoneId.of(
         org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
 
+  /** Epoch-micros → Instant without the micros×1000 multiply, which
+    * overflows Long beyond ~year 2262.
+    */
+  private def microsToInstant(micros: Long): Instant =
+    Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+      Math.floorMod(micros, 1000000L) * 1000L)
+
   override def eval(buf: mutable.HashMap[String, PathStats]): Any = {
     val rows = buf.toSeq.sortBy(_._1).map { case (p, st) =>
       InternalRow(
@@ -332,11 +339,9 @@ case class ProfileAggregate(
         if (st.numMin.isNaN) null else st.numMin,
         if (st.numMax.isNaN) null else st.numMax,
         if (st.tsMin == Long.MaxValue) null
-        else UTF8String.fromString(
-          isoFmt.format(Instant.EPOCH.plusNanos(st.tsMin * 1000L))),
+        else UTF8String.fromString(isoFmt.format(microsToInstant(st.tsMin))),
         if (st.tsMax == Long.MinValue) null
-        else UTF8String.fromString(
-          isoFmt.format(Instant.EPOCH.plusNanos(st.tsMax * 1000L))),
+        else UTF8String.fromString(isoFmt.format(microsToInstant(st.tsMax))),
         {
           val tc = st.typeCounts.toSeq.sortBy(_._1)   // deterministic order
           org.apache.spark.sql.catalyst.util.ArrayBasedMapData(

@@ -73,14 +73,18 @@ object Dedup {
   def signaturesFromSets(sets: DataFrame, numHashes: Int = 8): DataFrame = {
     require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
     val nMd5 = numHashes / 4
+    // Docs with an empty shingle set (< n tokens) get NO signature row:
+    // `explode` drops them here. An all-null signature would band-key
+    // every short doc to md5("") and collide them all into one LSH
+    // bucket per band (a skew hotspot), and the DuckDB oracle's
+    // unnest-based CTE omits them too.
     val ex = sets.select(col("id"), explode(col("sh")).as("x"))
     val hashed = ex.select(col("id") +: (0 until nMd5).map(g =>
       md5(concat(lit(s"$g:"), col("x"))).as(s"h$g")): _*)
     val mins = (0 until numHashes).map { j =>
       min(substring(col(s"h${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"m$j")
     }
-    val agg = hashed.groupBy("id").agg(mins.head, mins.tail: _*)
-    sets.select(col("id")).join(agg, Seq("id"), "left")
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }

@@ -19,22 +19,34 @@ object Export {
     * export timestamp shape (`core/extractor.py:179-186`: naive ⇒
     * assume UTC, then convert to the target zone; fixture 5 expects
     * `2023-01-01T13:00:00+01:00`-style offsets, DST-aware).
+    *
+    * `date_format` renders in the *session* zone, so the instant is
+    * first shifted by `to_utc_timestamp(c, sessionTz)` — the render
+    * step adds the session offset back, leaving a correct wall-clock
+    * in the requested zone whatever `spark.sql.session.timeZone` is.
+    * (Under a UTC session — all repo entry points — the shift is a
+    * no-op and output is unchanged.)
     */
-  def isoTimestamp(c: Column, tz: String = "UTC"): Column =
+  def isoTimestamp(c: Column, tz: String = "UTC"): Column = {
+    val sessionTz =
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    val utcWall = to_utc_timestamp(c, sessionTz)
     if (tz == "UTC")
-      concat(date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("+00:00"))
+      concat(date_format(utcWall, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        lit("+00:00"))
     else {
-      val shifted = from_utc_timestamp(c, tz)
+      val shifted = from_utc_timestamp(utcWall, tz)
       // offset = wall-clock delta; casting a timestamp to long yields
       // epoch seconds, so this follows the zone's DST rules
-      val offMin = ((shifted.cast("long") - c.cast("long")) / 60)
-        .cast("long")
+      val offMin = ((from_utc_timestamp(c, tz).cast("long") - c.cast("long"))
+        / 60).cast("long")
       val sign = when(offMin < 0, lit("-")).otherwise(lit("+"))
       val a = abs(offMin)
       concat(date_format(shifted, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
         sign, lpad((a / 60).cast("long").cast("string"), 2, "0"),
         lit(":"), lpad((a % 60).cast("long").cast("string"), 2, "0"))
     }
+  }
 
   /** F3: one column → its JSON-compatible export form, by type
     * (`core/extractor.py:91-208`): timestamps → tz-aware ISO strings,

@@ -14,17 +14,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Parquet TIMESTAMP(NANOS) (events.ts) is illegal for Spark's reader;
-    // read it as a nanosecond long and truncate to microseconds — the
-    // same floor a ns→µs cast performs engine-side in DuckDB.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    else df
-  }
+  /** Sessions that will query `events` must keep
+    * `spark.sql.legacy.parquet.nanosAsLong=true` for the lifetime of
+    * those queries: the parquet scan re-reads the conf at physical
+    * planning time, so a set-then-restore scope would break lazy
+    * execution. All repo entry points (Verify/Smoke/Bench/tests) set it
+    * at session construction; `load` also sets it — only on the events
+    * branch, so loads of normal tables mutate nothing — as a safety net
+    * for external callers.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // Parquet TIMESTAMP(NANOS) (events.ts) is illegal for Spark's
+      // reader; read it as a nanosecond long and truncate to
+      // microseconds — the same floor a ns→µs cast performs engine-side
+      // in DuckDB.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** S1 raw mode (SURVEY §1.3): a collection of schemaless JSON
     * documents, one per line, read WITHOUT schema inference — each
