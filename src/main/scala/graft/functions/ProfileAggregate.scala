@@ -72,6 +72,16 @@ object Hll {
     h ^= h >>> 27; h *= 0x94d049bb133111ebL
     h ^ (h >>> 31)
   }
+
+  /** splitmix64 finalizer over a raw long — the native-bits twin of
+    * [[hash]] for lean-flatten numeric/temporal values.
+    */
+  def hashLong(x: Long): Long = {
+    var h = x + 0x9e3779b97f4a7c15L
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
 }
 
 /** Open-addressed set of 64-bit hashes (no boxing, fast serialize).
@@ -126,7 +136,11 @@ final class LongSet(initialCap: Int = 1 << 10) extends Serializable {
 final class PathStats(val exactLimit: Int) extends Serializable {
   var seen: Long = 0L
   var present: Long = 0L
-  val typeCounts = mutable.HashMap.empty[String, Long]
+  // UTF8String keys throughout: update() runs once per leaf row, and a
+  // per-row UTF8String→String conversion was the aggregate's dominant
+  // allocation cost. Keys are clone()d on first insert (eval-time
+  // UTF8Strings point into reused row buffers).
+  val typeCounts = mutable.HashMap.empty[UTF8String, Long]
   var numMin: Double = Double.NaN
   var numMax: Double = Double.NaN
   var tsMin: Long = Long.MaxValue
@@ -134,27 +148,34 @@ final class PathStats(val exactLimit: Int) extends Serializable {
   var exact: LongSet = new LongSet()
   var hll: Hll = null
 
+  def addType(tag: UTF8String): Unit =
+    typeCounts.get(tag) match {
+      case Some(c) => typeCounts.update(tag, c + 1)
+      case None    => typeCounts.update(tag.clone(), 1L)
+    }
+
   /** Misra-Gries heavy-hitters counters for top-k string values
     * (`value_frequencies`, `core/analyser.py:202-204`): at most
     * `TopkCap` counters; counts are exact when distinct strings ≤ cap,
     * otherwise lower bounds with error ≤ n/cap — the bounded
     * single-pass answer to the reference's unbounded Counter.
     */
-  val topk = mutable.HashMap.empty[String, Long]
+  val topk = mutable.HashMap.empty[UTF8String, Long]
 
-  def addTopk(v: String): Unit =
-    if (topk.contains(v)) topk(v) += 1
-    else if (topk.size < PathStats.TopkCap) topk.update(v, 1L)
-    else {
-      val dead = List.newBuilder[String]
-      topk.keysIterator.foreach { k =>
-        val c = topk(k) - 1
-        if (c <= 0) dead += k else topk.update(k, c)
-      }
-      dead.result().foreach(topk.remove)
+  def addTopk(v: UTF8String): Unit =
+    topk.get(v) match {
+      case Some(c) => topk.update(v, c + 1)
+      case None if topk.size < PathStats.TopkCap => topk.update(v.clone(), 1L)
+      case None =>
+        val dead = List.newBuilder[UTF8String]
+        topk.keysIterator.foreach { k =>
+          val c = topk(k) - 1
+          if (c <= 0) dead += k else topk.update(k, c)
+        }
+        dead.result().foreach(topk.remove)
     }
 
-  private def mergeTopk(o: mutable.HashMap[String, Long]): Unit = {
+  private def mergeTopk(o: mutable.HashMap[UTF8String, Long]): Unit = {
     o.foreach { case (k, v) =>
       topk.update(k, topk.getOrElse(k, 0L) + v)
     }
@@ -163,7 +184,7 @@ final class PathStats(val exactLimit: Int) extends Serializable {
       // standard MG merge, preserving the n/cap error bound)
       val cut = topk.values.toSeq.sorted(Ordering[Long].reverse)
         .apply(PathStats.TopkCap)
-      val dead = List.newBuilder[String]
+      val dead = List.newBuilder[UTF8String]
       topk.keysIterator.foreach { k =>
         val c = topk(k) - cut
         if (c <= 0) dead += k else topk.update(k, c)
@@ -222,37 +243,42 @@ object PathStats {
   val TopkCap = 32
 }
 
-/** Single-pass whole-profile aggregate (SURVEY §4.2.2): one mutable
-  * buffer carries {seen, present, type histogram, numeric/temporal
-  * min-max, bounded-exact-then-HLL distinct} for EVERY path at once —
-  * the distributed version of the reference's single stats dict
-  * (`core/analyser.py:47-66`).
+/** Single-pass per-path profile aggregate (SURVEY §4.2.2): the buffer
+  * carries {seen, present, type histogram, numeric/temporal min-max,
+  * bounded-exact-then-HLL distinct, Misra-Gries top-k} for one path —
+  * the distributed version of one entry of the reference's stats dict
+  * (`core/analyser.py:47-66`). Callers group the flatten rows by
+  * `path`, so partial buffers merge in PARALLEL across reducers (one
+  * reducer per path), unlike a single global buffer whose final merge
+  * would funnel every partition's distinct-hash set through one task.
   *
   * Contrast with [[graft.operators.Profiler.profileStats]] (built-in
-  * aggregates): that plan shuffles every distinct (path, value) pair for
-  * the exact `countDistinct`. This aggregate shuffles exactly one
-  * serialized buffer per partition — at 100 TB the difference between
-  * shuffling terabytes and shuffling kilobytes. Exact-distinct parity
+  * aggregates): that plan shuffles every distinct (path, value) pair
+  * for the exact `countDistinct`. This aggregate shuffles one
+  * serialized buffer per (partition, path) — bounded by `exactLimit`
+  * hashes each; with HLL mode (small `exactLimit` or high cardinality)
+  * the buffer is 4 KB however big the data. Exact-distinct parity
   * holds below `exactLimit` per path; beyond it cardinality is HLL
   * (±~1.6%) and the `_approx` flag reports the degradation.
   *
-  * Input: the 5 flatten columns (path, vstr, vnum, vts, vtag).
-  * Output: array of per-path stat structs, exploded by the caller.
+  * Input: the 4 flatten value columns (vstr, vnum, vts, vtag).
+  * Output: one stats struct (grouping key supplies the path).
   */
 case class ProfileAggregate(
-    path: Expression, vstr: Expression, vnum: Expression,
+    vstr: Expression, vnum: Expression,
     vts: Expression, vtag: Expression,
     exactLimit: Int = 100000,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[String, PathStats]] {
+    extends TypedImperativeAggregate[PathStats] {
 
   override def children: Seq[Expression] =
-    Seq(path, vstr, vnum, vts, vtag)
+    Seq(vstr, vnum, vts, vtag)
   override def nullable: Boolean = false
 
+  private val strTag = UTF8String.fromString("str")
+
   val outputStruct: StructType = StructType(Seq(
-    StructField("path", StringType),
     StructField("seen", LongType),
     StructField("n_present", LongType),
     StructField("cardinality", LongType),
@@ -264,53 +290,51 @@ case class ProfileAggregate(
     StructField("type_counts", MapType(StringType, LongType)),
     StructField("top_values", MapType(StringType, LongType))))
 
-  override def dataType: DataType = ArrayType(outputStruct)
+  override def dataType: DataType = outputStruct
 
-  override def createAggregationBuffer(): mutable.HashMap[String, PathStats] =
-    mutable.HashMap.empty
+  override def createAggregationBuffer(): PathStats =
+    new PathStats(exactLimit)
 
-  override def update(buf: mutable.HashMap[String, PathStats],
-                      input: InternalRow): mutable.HashMap[String, PathStats] = {
-    val p = path.eval(input).asInstanceOf[UTF8String]
-    if (p == null) return buf
-    val st = buf.getOrElseUpdate(p.toString, new PathStats(exactLimit))
+  override def update(st: PathStats, input: InternalRow): PathStats = {
     st.seen += 1
     val tag = vtag.eval(input).asInstanceOf[UTF8String]
-    if (tag != null)
-      st.typeCounts.update(tag.toString,
-        st.typeCounts.getOrElse(tag.toString, 0L) + 1)
+    if (tag != null) st.addType(tag)
     val s = vstr.eval(input).asInstanceOf[UTF8String]
+    val n = vnum.eval(input)
+    val t = vts.eval(input)
     if (s != null) {
       st.present += 1
       st.addDistinct(s)
       // top-k: strings under 256 chars only (core/analyser.py:202-204)
-      if (tag != null && tag.toString == "str" && s.numChars() < 256)
-        st.addTopk(s.toString)
+      if (tag != null && tag.equals(strTag) && s.numChars() < 256)
+        st.addTopk(s)
+    } else if (n != null) {
+      // lean flatten (Profiler.flattenLean): numeric/temporal values
+      // arrive without the rendered string — hash the native bits.
+      // Rendering is injective per type, so distinct counts match the
+      // string-hash domain exactly.
+      st.present += 1
+      st.addDistinctHash(
+        Hll.hashLong(java.lang.Double.doubleToLongBits(n.asInstanceOf[Double])))
+    } else if (t != null) {
+      st.present += 1
+      st.addDistinctHash(Hll.hashLong(t.asInstanceOf[Long]))
     }
-    val n = vnum.eval(input)
     if (n != null) {
       val d = n.asInstanceOf[Double]
       if (st.numMin.isNaN || d < st.numMin) st.numMin = d
       if (st.numMax.isNaN || d > st.numMax) st.numMax = d
     }
-    val t = vts.eval(input)
     if (t != null) {
       val micros = t.asInstanceOf[Long]
       if (micros < st.tsMin) st.tsMin = micros
       if (micros > st.tsMax) st.tsMax = micros
     }
-    buf
+    st
   }
 
-  override def merge(buf: mutable.HashMap[String, PathStats],
-                     other: mutable.HashMap[String, PathStats])
-      : mutable.HashMap[String, PathStats] = {
-    other.foreach { case (p, st) =>
-      buf.get(p) match {
-        case Some(mine) => mine.mergeFrom(st)
-        case None       => buf.update(p, st)
-      }
-    }
+  override def merge(buf: PathStats, other: PathStats): PathStats = {
+    buf.mergeFrom(other)
     buf
   }
 
@@ -328,93 +352,91 @@ case class ProfileAggregate(
     Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
       Math.floorMod(micros, 1000000L) * 1000L)
 
-  override def eval(buf: mutable.HashMap[String, PathStats]): Any = {
-    val rows = buf.toSeq.sortBy(_._1).map { case (p, st) =>
-      InternalRow(
-        UTF8String.fromString(p),
-        st.seen,
-        st.present,
-        st.cardinality,
-        st.approx,
-        if (st.numMin.isNaN) null else st.numMin,
-        if (st.numMax.isNaN) null else st.numMax,
-        if (st.tsMin == Long.MaxValue) null
-        else UTF8String.fromString(isoFmt.format(microsToInstant(st.tsMin))),
-        if (st.tsMax == Long.MinValue) null
-        else UTF8String.fromString(isoFmt.format(microsToInstant(st.tsMax))),
-        {
-          val tc = st.typeCounts.toSeq.sortBy(_._1)   // deterministic order
-          org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
-            tc.map(t => UTF8String.fromString(t._1)).toArray,
-            tc.map(_._2).toArray)
-        }, {
-          // top-5 cut, deterministic tie-break (count desc, value asc)
-          val top5 = st.topk.toSeq.sortBy(t => (-t._2, t._1)).take(5)
-          org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
-            top5.map(t => UTF8String.fromString(t._1)).toArray,
-            top5.map(_._2).toArray)
-        })
-    }
-    new GenericArrayData(rows.toArray[Any])
+  override def eval(st: PathStats): Any =
+    InternalRow(
+      st.seen,
+      st.present,
+      st.cardinality,
+      st.approx,
+      if (st.numMin.isNaN) null else st.numMin,
+      if (st.numMax.isNaN) null else st.numMax,
+      if (st.tsMin == Long.MaxValue) null
+      else UTF8String.fromString(isoFmt.format(microsToInstant(st.tsMin))),
+      if (st.tsMax == Long.MinValue) null
+      else UTF8String.fromString(isoFmt.format(microsToInstant(st.tsMax))),
+      {
+        val tc = st.typeCounts.toSeq.sortBy(_._1.toString)   // deterministic
+        org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          tc.map(_._1).toArray, tc.map(_._2).toArray)
+      }, {
+        // top-5 cut, deterministic tie-break (count desc, value asc)
+        val top5 = st.topk.toSeq.sortBy(t => (-t._2, t._1.toString)).take(5)
+        org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          top5.map(_._1).toArray, top5.map(_._2).toArray)
+      })
+
+  private def writeStr(out: DataOutputStream, s: UTF8String): Unit = {
+    val b = s.getBytes
+    out.writeInt(b.length)
+    out.write(b)
   }
 
-  override def serialize(buf: mutable.HashMap[String, PathStats])
-      : Array[Byte] = {
-    // raw stream, no compression: partial buffers can hold ~100k exact
-    // strings and gzip turned serialization into the bottleneck
-    val bos = new ByteArrayOutputStream()
+  private def readStr(in: DataInputStream): UTF8String = {
+    val b = new Array[Byte](in.readInt())
+    in.readFully(b)
+    UTF8String.fromBytes(b)
+  }
+
+  override def serialize(st: PathStats): Array[Byte] = {
+    // raw stream, no compression: a partial buffer can hold ~exactLimit
+    // hashes and gzip turned serialization into the bottleneck; the
+    // stream is pre-sized so a large hash set doesn't pay repeated
+    // array doubling
+    val sizeHint = 128 +
+      (if (st.approx) st.hll.regs.length else st.exact.size * 8) +
+      st.typeCounts.size * 48 + st.topk.size * 300
+    val bos = new ByteArrayOutputStream(sizeHint)
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (p, st) =>
-      out.writeUTF(p)
-      out.writeLong(st.seen); out.writeLong(st.present)
-      out.writeInt(st.typeCounts.size)
-      st.typeCounts.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
-      out.writeDouble(st.numMin); out.writeDouble(st.numMax)
-      out.writeLong(st.tsMin); out.writeLong(st.tsMax)
-      out.writeInt(st.topk.size)
-      st.topk.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
-      out.writeBoolean(st.approx)
-      if (st.approx) out.write(st.hll.regs)
-      else {
-        out.writeInt(st.exact.size)
-        st.exact.foreachHash(out.writeLong)
-      }
+    out.writeLong(st.seen); out.writeLong(st.present)
+    out.writeInt(st.typeCounts.size)
+    st.typeCounts.foreach { case (k, v) => writeStr(out, k); out.writeLong(v) }
+    out.writeDouble(st.numMin); out.writeDouble(st.numMax)
+    out.writeLong(st.tsMin); out.writeLong(st.tsMax)
+    out.writeInt(st.topk.size)
+    st.topk.foreach { case (k, v) => writeStr(out, k); out.writeLong(v) }
+    out.writeBoolean(st.approx)
+    if (st.approx) out.write(st.hll.regs)
+    else {
+      out.writeInt(st.exact.size)
+      st.exact.foreachHash(out.writeLong)
     }
     out.close()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte])
-      : mutable.HashMap[String, PathStats] = {
+  override def deserialize(bytes: Array[Byte]): PathStats = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = mutable.HashMap.empty[String, PathStats]
-    val n = in.readInt()
-    (0 until n).foreach { _ =>
-      val p = in.readUTF()
-      val st = new PathStats(exactLimit)
-      st.seen = in.readLong(); st.present = in.readLong()
-      val nt = in.readInt()
-      (0 until nt).foreach { _ =>
-        val k = in.readUTF(); st.typeCounts.update(k, in.readLong())
-      }
-      st.numMin = in.readDouble(); st.numMax = in.readDouble()
-      st.tsMin = in.readLong(); st.tsMax = in.readLong()
-      val ntk = in.readInt()
-      (0 until ntk).foreach { _ =>
-        val k = in.readUTF(); st.topk.update(k, in.readLong())
-      }
-      if (in.readBoolean()) {
-        st.hll = new Hll(); st.exact = null
-        in.readFully(st.hll.regs)
-      } else {
-        val ne = in.readInt()
-        (0 until ne).foreach(_ => st.exact.add(in.readLong()))
-      }
-      buf.update(p, st)
+    val st = new PathStats(exactLimit)
+    st.seen = in.readLong(); st.present = in.readLong()
+    val nt = in.readInt()
+    (0 until nt).foreach { _ =>
+      val k = readStr(in); st.typeCounts.update(k, in.readLong())
+    }
+    st.numMin = in.readDouble(); st.numMax = in.readDouble()
+    st.tsMin = in.readLong(); st.tsMax = in.readLong()
+    val ntk = in.readInt()
+    (0 until ntk).foreach { _ =>
+      val k = readStr(in); st.topk.update(k, in.readLong())
+    }
+    if (in.readBoolean()) {
+      st.hll = new Hll(); st.exact = null
+      in.readFully(st.hll.regs)
+    } else {
+      val ne = in.readInt()
+      (0 until ne).foreach(_ => st.exact.add(in.readLong()))
     }
     in.close()
-    buf
+    st
   }
 
   override def withNewMutableAggBufferOffset(o: Int): ProfileAggregate =
@@ -423,15 +445,17 @@ case class ProfileAggregate(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): ProfileAggregate =
-    copy(path = c(0), vstr = c(1), vnum = c(2), vts = c(3), vtag = c(4))
+    copy(vstr = c(0), vnum = c(1), vts = c(2), vtag = c(3))
 }
 
 object ProfileAggregate {
-  /** Column entry point over the 5 flatten columns. */
-  def profileAgg(path: Column, vstr: Column, vnum: Column, vts: Column,
+  /** Column entry point over the 4 flatten value columns; group the
+    * surrounding aggregation by `path`.
+    */
+  def profileAgg(vstr: Column, vnum: Column, vts: Column,
                  vtag: Column, exactLimit: Int = 100000): Column =
     Shims.column(ProfileAggregate(
-      Shims.expression(path), Shims.expression(vstr),
-      Shims.expression(vnum), Shims.expression(vts),
-      Shims.expression(vtag), exactLimit).toAggregateExpression())
+      Shims.expression(vstr), Shims.expression(vnum),
+      Shims.expression(vts), Shims.expression(vtag),
+      exactLimit).toAggregateExpression())
 }

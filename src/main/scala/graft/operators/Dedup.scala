@@ -32,7 +32,8 @@ object Dedup {
     */
   def exactGroups(df: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame =
-    df.select(fingerprint(col(textCol)).as("fp"), col(idCol))
+    graft.util.Utils.spread(df)
+      .select(fingerprint(col(textCol)).as("fp"), col(idCol))
       .groupBy("fp")
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
       .orderBy("fp")
@@ -42,7 +43,7 @@ object Dedup {
                  idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(fingerprint(col(textCol)))
       .orderBy(col(idCol).asc)
-    df.withColumn("_rn", row_number().over(w))
+    graft.util.Utils.spread(df).withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
 
@@ -62,7 +63,7 @@ object Dedup {
                         idCol: String = "doc_id",
                         numHashes: Int = 8): DataFrame =
     signaturesFromSets(
-      df.select(col(idCol).as("id"),
+      graft.util.Utils.spread(df).select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol))).as("sh")),
       numHashes)
 
@@ -110,19 +111,38 @@ object Dedup {
   /** Candidate near-dup pairs from MinHash LSH, verified with the real
     * shingle-set Jaccard, thresholded. maxBucket caps degenerate
     * buckets (all-identical boilerplate) — the skew guard at scale.
+    *
+    * One pass builds everything per doc: the md5 signature lanes AND an
+    * xxhash64'd shingle set (for the verify step) come out of a single
+    * explode → groupBy(id) aggregation, so the expensive shingle
+    * projection runs once and no string shingle ever persists — the
+    * Jaccard verify intersects long arrays. Counts over 64-bit hashes
+    * equal counts over the strings (collision odds ~n²/2⁶⁵).
     */
   def minhashNearDups(df: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", numHashes: Int = 8,
                       bands: Int = 4, threshold: Double = 0.5,
                       maxBucket: Int = 1000): DataFrame = {
-    // the shingle-set projection is the expensive step and feeds both
-    // the signatures and the Jaccard verify — compute it once, persist
-    // (at 100 TB: stage to a bucketed table instead)
-    val sets0 = df.select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol))).as("sh"))
+    require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
+    val nMd5 = numHashes / 4
+    val ex = graft.util.Utils.spread(df).select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol)))).as("x"))
+    val hashed = ex.select(col("id") +: xxhash64(col("x")).as("hx") +:
+      (0 until nMd5).map(g =>
+        md5(concat(lit(s"$g:"), col("x"))).as(s"h$g")): _*)
+    val mins = (0 until numHashes).map { j =>
+      min(substring(col(s"h${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"m$j")
+    }
+    // map-side partial agg collapses the shuffle to one row per doc;
+    // hx values are already distinct per doc (array_distinct upstream)
+    val sigd = hashed.groupBy("id")
+      .agg(mins.head, (mins.tail :+ collect_list(col("hx")).as("hs")): _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"),
+        col("hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sigs = signaturesFromSets(sets0, numHashes)
-    val bandsDf = minhashBands(sigs, numHashes, bands)
+    val bandsDf = minhashBands(sigd.select(col("id"), col("sig")),
+      numHashes, bands)
     val bounded = bandsDf.withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
       .filter(col("bucket_n") <= maxBucket)
@@ -133,15 +153,15 @@ object Dedup {
     val cands = l.join(rr, Seq("band_idx", "band_key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val sets = sets0.withColumnRenamed("id", "sid")
+    val sets = sigd.select(col("id").as("sid"), col("hs"))
     cands
       .join(sets.withColumnRenamed("sid", "id1")
-        .withColumnRenamed("sh", "sh1"), Seq("id1"))
+        .withColumnRenamed("hs", "hs1"), Seq("id1"))
       .join(sets.withColumnRenamed("sid", "id2")
-        .withColumnRenamed("sh", "sh2"), Seq("id2"))
-      .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumnRenamed("hs", "hs2"), Seq("id2"))
+      .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jaccard", round(col("shared").cast(DoubleType) /
-        (size(col("sh1")) + size(col("sh2")) - col("shared")), 6))
+        (size(col("hs1")) + size(col("hs2")) - col("shared")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy("id1", "id2")
@@ -155,7 +175,7 @@ object Dedup {
     */
   def simhash(df: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
+    val tok = graft.util.Utils.spread(df).select(col(idCol).as("id"),
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
     val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType)
     val withBits = tok.withColumn("h", h)
@@ -195,8 +215,10 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: candidates repeat across blocks, so the
+      // distinct's shuffle shrinks to the pairs that actually survive
       .filter(col("hamming") <= maxDist)
+      .distinct()
       .orderBy("id1", "id2")
   }
 
@@ -206,24 +228,32 @@ object Dedup {
     * ubiquitous shingles (stopword boilerplate) — both a quality and a
     * skew guard: shuffle is keyed by shingle, and a shingle in f docs
     * costs f² pair rows.
+    *
+    * Shingles are xxhash64'd immediately (counts over 64-bit hashes
+    * equal counts over strings): the inverted index and the self-join
+    * shuffle 16-byte (id, hash) rows instead of ~40-byte strings, and
+    * the doc-frequency cap is an anti-join against the (tiny) frequent
+    * list — AQE broadcasts it — rather than a full sort window.
     */
   def jaccardNearDups(df: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", n: Int = 3,
                       threshold: Double = 0.3,
                       maxDf: Int = 100): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), n)).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)   // reused by 3 branches
-    val inv = sets.select(col("id"), explode(col("sh")).as("s"))
-    val rare = inv.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("df") <= maxDf)
+    val hsets = graft.util.Utils.spread(df).select(col(idCol).as("id"),
+      array_distinct(transform(shingles(col(textCol), n),
+        x => xxhash64(x))).as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)   // index + sizes branches
+    val inv = hsets.select(col("id"), explode(col("hs")).as("h"))
+    val freq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("h"))
+    val rare = inv.join(freq, Seq("h"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)   // both sides of self-join
-    val shared = rare.select(col("s"), col("id").as("id1"))
-      .join(rare.select(col("s"), col("id").as("id2")), Seq("s"))
+    val shared = rare.select(col("h"), col("id").as("id1"))
+      .join(rare.select(col("h"), col("id").as("id2")), Seq("h"))
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
-    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
+    val sizes = hsets.select(col("id"), size(col("hs")).as("sz"))
     shared
       .join(sizes.withColumnRenamed("id", "id1")
         .withColumnRenamed("sz", "sz1"), Seq("id1"))

@@ -16,7 +16,7 @@ object JsonProfiler {
 
   /** (path, vstr, vnum, vtag) leaf rows of one JSON column. */
   def flattenJson(df: DataFrame, jsonCol: String): DataFrame =
-    df.select(jsonExplode(col(jsonCol)).as(
+    graft.util.Utils.spread(df).select(jsonExplode(col(jsonCol)).as(
       Seq("path", "vstr", "vnum", "vtag")))
 
   /** Per-path stats over JSON values (presence, missing%, cardinality,

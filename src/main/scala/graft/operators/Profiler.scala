@@ -55,13 +55,26 @@ object Profiler {
   private def valueTag(c: Column, dt: DataType): Column =
     when(c.isNull, lit(TypeTags.Null)).otherwise(lit(TypeTags.tagOf(dt)))
 
+  /** In lean mode, drop the string rendering of a value whose type has
+    * a lossless native (vnum/vts) representation: the ProfileAggregate
+    * consumer hashes the native bits for distinct-counting instead, so
+    * the double→string / timestamp→string casts — the flatten's
+    * dominant cost on numeric tables — never run. Decimals keep the
+    * string (double coercion is lossy beyond 15 significant digits,
+    * and the string is what preserves exact-distinct parity).
+    */
+  private def leanable(dt: DataType): Boolean =
+    !dt.isInstanceOf[DecimalType] &&
+      (TypeTags.isNumeric(dt) || TypeTags.isTemporal(dt))
+
   /** Recursively build the per-document leaf rows for one column. */
-  private def leafRows(path: String, c: Column, dt: DataType): Seq[Column] =
+  private def leafRows(path: String, c: Column, dt: DataType,
+                       lean: Boolean = false): Seq[Column] =
     dt match {
       case st: StructType =>
         // dict: recurse, don't tag (core/analyser.py:70-71)
         st.fields.toSeq.flatMap(f =>
-          leafRows(s"$path.${f.name}", c.getField(f.name), f.dataType))
+          leafRows(s"$path.${f.name}", c.getField(f.name), f.dataType, lean))
       case ArrayType(et, _) =>
         val whole = leafStruct(path, to_json(c), lit(null), lit(null),
           valueTag(c, dt))
@@ -78,7 +91,8 @@ object Profiler {
               case f if !f.dataType.isInstanceOf[StructType] &&
                 !f.dataType.isInstanceOf[ArrayType] =>
                 transform(c, x => leafStruct(s"$path[].${f.name}",
-                  x.getField(f.name),
+                  if (lean && leanable(f.dataType)) lit(null)
+                  else x.getField(f.name),
                   if (TypeTags.isNumeric(f.dataType)) x.getField(f.name)
                   else lit(null),
                   if (TypeTags.isTemporal(f.dataType)) x.getField(f.name)
@@ -88,7 +102,7 @@ object Profiler {
             dictRows +: fieldRows
           case _ =>
             Seq(transform(c, x => leafStruct(s"$path[]",
-              x,
+              if (lean && leanable(et)) lit(null) else x,
               if (TypeTags.isNumeric(et)) x else lit(null),
               if (TypeTags.isTemporal(et)) x else lit(null),
               valueTag(x, et))))
@@ -97,7 +111,8 @@ object Profiler {
       case _ =>
         val vnum = if (TypeTags.isNumeric(dt)) c else lit(null)
         val vts = if (TypeTags.isTemporal(dt)) c else lit(null)
-        Seq(array(leafStruct(path, c, vnum, vts, valueTag(c, dt))))
+        val vstr = if (lean && leanable(dt)) lit(null) else c
+        Seq(array(leafStruct(path, vstr, vnum, vts, valueTag(c, dt))))
     }
 
   private val emptyLeafArray: Column =
@@ -124,7 +139,21 @@ object Profiler {
   def flatten(df: DataFrame): DataFrame = {
     val arrays: Seq[Column] = df.schema.fields.toSeq.flatMap(f =>
       leafRows(f.name, col(f.name), f.dataType))
-    df.select(explode(concat(arrays: _*)).as("f")).select("f.*")
+    graft.util.Utils.spread(df)
+      .select(explode(concat(arrays: _*)).as("f")).select("f.*")
+  }
+
+  /** [[flatten]] in lean mode (see [[leanable]]): vstr is null for
+    * numeric/temporal leaves. ONLY for consumers that hash vnum/vts
+    * natively for distinct counting ([[profileStatsFast]],
+    * [[profileFull]]); the generic flatten consumers (countDistinct
+    * over vstr) need the rendered strings.
+    */
+  def flattenLean(df: DataFrame): DataFrame = {
+    val arrays: Seq[Column] = df.schema.fields.toSeq.flatMap(f =>
+      leafRows(f.name, col(f.name), f.dataType, lean = true))
+    graft.util.Utils.spread(df)
+      .select(explode(concat(arrays: _*)).as("f")).select("f.*")
   }
 
   /** Per-path core statistics: presence, missing %, exact cardinality,
@@ -177,10 +206,14 @@ object Profiler {
     */
   def profileStatsFast(df: DataFrame, exactLimit: Int = 100000): DataFrame = {
     import graft.functions.ProfileAggregate.profileAgg
-    val flat = flatten(df)
-    val agg = flat.select(profileAgg(col("path"), col("vstr"),
-      col("vnum"), col("vts"), col("vtype"), exactLimit).as("profile"))
-    val rows = agg.select(explode(col("profile")).as("p")).select("p.*")
+    val flat = flattenLean(df)
+    // grouped by path: partial buffers merge in parallel, one reducer
+    // per path, instead of funneling every partition's distinct-hash
+    // set through a single global-aggregate task
+    val rows = flat.groupBy("path")
+      .agg(profileAgg(col("vstr"), col("vnum"), col("vts"),
+        col("vtype"), exactLimit).as("p"))
+      .select(col("path"), col("p.*"))
     // document total = max docs seen over non-element top-level paths
     val total = max(when(!col("path").contains("[]"), col("seen")))
       .over(Window.partitionBy())
@@ -201,10 +234,11 @@ object Profiler {
     */
   def profileFull(df: DataFrame, exactLimit: Int = 100000): DataFrame = {
     import graft.functions.ProfileAggregate.profileAgg
-    val flat = flatten(df)
-    val agg = flat.select(profileAgg(col("path"), col("vstr"),
-      col("vnum"), col("vts"), col("vtype"), exactLimit).as("profile"))
-    val rows = agg.select(explode(col("profile")).as("p")).select("p.*")
+    val flat = flattenLean(df)
+    val rows = flat.groupBy("path")
+      .agg(profileAgg(col("vstr"), col("vnum"), col("vts"),
+        col("vtype"), exactLimit).as("p"))
+      .select(col("path"), col("p.*"))
     val total = max(when(!col("path").contains("[]"), col("seen")))
       .over(Window.partitionBy())
     rows.withColumn("missing_pct",
@@ -260,17 +294,62 @@ object Profiler {
       .orderBy("path", "rank")
   }
 
+  /** (path, static tag, non-null-count expression) triples mirroring
+    * [[leafRows]]'s path/tag structure, for the [[flatSchema]] fast
+    * path.
+    */
+  private def schemaCounts(path: String, c: Column, dt: DataType)
+      : Seq[(String, String, Column)] = dt match {
+    case st: StructType =>
+      st.fields.toSeq.flatMap(f =>
+        schemaCounts(s"$path.${f.name}", c.getField(f.name), f.dataType))
+    case ArrayType(et, _) =>
+      def nnElems(g: Column => Column): Column =
+        sum(coalesce(size(filter(c, x => g(x).isNotNull)), lit(0)))
+      val elems: Seq[(String, String, Column)] = et match {
+        case est: StructType =>
+          (s"$path[]", TypeTags.tagOf(est), nnElems(identity)) +:
+            est.fields.toSeq.collect {
+              case f if !f.dataType.isInstanceOf[StructType] &&
+                !f.dataType.isInstanceOf[ArrayType] =>
+                (s"$path[].${f.name}", TypeTags.tagOf(f.dataType),
+                  nnElems(_.getField(f.name)))
+            }
+        case _ => Seq((s"$path[]", TypeTags.tagOf(et), nnElems(identity)))
+      }
+      (path, TypeTags.tagOf(dt), count(c)) +: elems
+    case _ => Seq((path, TypeTags.tagOf(dt), count(c)))
+  }
+
   /** Flat schema: (path, type_tag) — the representative type per path.
     * Deterministic: most-frequent non-null tag, ties broken lexically
     * (semantic fix over last-writer-wins, SURVEY §1.2).
+    *
+    * For statically-typed input every non-null value of a path carries
+    * the SAME plan-time tag ([[valueTag]] is `lit(tagOf(dt))` outside
+    * null), so the vote degenerates to "the static tag, if the path has
+    * ≥1 non-null value" — answered by ONE narrow global aggregate:
+    * no flatten row blow-up, no groupBy shuffle (partial aggregation
+    * reduces each partition to a single row), no rank window. Per-VALUE
+    * dynamic tags (mixed-typed JSON columns) are
+    * [[JsonProfiler.flatSchema]]'s domain, which keeps the histogram
+    * vote.
     */
   def flatSchema(df: DataFrame): DataFrame = {
-    val hist = flatten(df).filter(col("vtype") =!= TypeTags.Null)
-      .groupBy("path", "vtype").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("path")
-      .orderBy(col("cnt").desc, col("vtype").asc)
-    hist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("path"), col("vtype").as("type_tag"))
+    val specs = df.schema.fields.toSeq.flatMap(f =>
+      schemaCounts(f.name, col(f.name), f.dataType))
+    // deliberately NOT spread(): the narrow count aggregate reduces
+    // map-side to one row per partition — repartitioning would shuffle
+    // the full table just to parallelize cheap null-counting
+    val agged = df.agg(specs.head._3.as("c0"),
+      specs.tail.zipWithIndex.map { case (s, i) => s._3.as(s"c${i + 1}") }: _*)
+    val entries = specs.zipWithIndex.map { case ((p, tag, _), i) =>
+      struct(lit(p).as("path"), lit(tag).as("type_tag"),
+        col(s"c$i").cast(LongType).as("cnt"))
+    }
+    agged.select(explode(array(entries: _*)).as("e"))
+      .filter(col("e.cnt") > 0)
+      .select(col("e.path"), col("e.type_tag"))
       .orderBy("path")
   }
 

@@ -41,8 +41,9 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qvec"), l2norm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cvec"), l2norm(col(vecCol)).as("cn"))
+    val c = graft.util.Utils.spread(corpus)
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cvec"), l2norm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6))
@@ -103,7 +104,8 @@ object Similarity {
               tables: Int = 8, planesPerTable: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding",
               dim: Int = 64): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c = graft.util.Utils.spread(corpus)
+      .select(col(idCol).as("neighbor_id"),
         col(vecCol).as("cvec"),
         explode(lshTables(col(vecCol), tables, planesPerTable, dim))
           .as("tb"))
@@ -140,8 +142,9 @@ object Similarity {
     // norms once per vector before the pair join (identical arithmetic
     // to cosine(): dot / (sqrt(aa) * sqrt(bb)), just not re-derived per
     // pair — 3× less dot work over the quadratic pair set)
-    val l = df.select(col(idCol).as("id1"), col(vecCol).as("v1"),
-      l2norm(col(vecCol)).as("n1"))
+    val l = graft.util.Utils.spread(df)
+      .select(col(idCol).as("id1"), col(vecCol).as("v1"),
+        l2norm(col(vecCol)).as("n1"))
     val r = df.select(col(idCol).as("id2"), col(vecCol).as("v2"),
       l2norm(col(vecCol)).as("n2"))
     l.join(broadcast(r), col("id1") < col("id2"))
@@ -160,7 +163,8 @@ object Similarity {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         dim: Int = 64): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val v = graft.util.Utils.spread(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
         explode(lshTables(col(vecCol), tables, planesPerTable, dim))
           .as("tb"))
       .select(col("id"), col("vec"), col("tb.tbl"), col("tb.bucket"))

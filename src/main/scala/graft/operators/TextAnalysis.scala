@@ -93,19 +93,21 @@ object TextAnalysis {
     md5(lower(trim(regexp_replace(c, "\\s+", " "))))
 
   /** Word n-gram shingles ("a b c" 3-grams) — the unit for minhash and
-    * Jaccard dedup.
+    * Jaccard dedup. Backed by the single-eval
+    * [[graft.functions.WordShingles]] expression; semantically equal to
+    * `transform(sequence(1, size(t)-(n-1)), i -> concat_ws(" ",
+    * slice(t, i, n)))` over [[tokens]], which the dedup oracle SQL
+    * mirrors.
     */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val t = tokens(c)
-    when(size(t) < n, array()).otherwise(
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-  }
+  def shingles(c: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graftshim.Shims.expression(c), n))
 
   /** Full per-document text profile over a documents table. */
   def textProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
-    df.select(
+    graft.util.Utils.spread(df).select(
       col("doc_id"),
       length(c).cast("long").as("n_chars"),
       tokenCount(c).cast("long").as("n_tokens"),

@@ -8,6 +8,20 @@ import java.net.URLEncoder
   */
 object Utils {
 
+  /** Spread a small-scan DataFrame across the session's parallelism
+    * before CPU-heavy per-row work. A single-row-group parquet file
+    * reads as ONE task whatever `local[n]` / the cluster size says,
+    * serializing hash/flatten projections on one core. At real scale
+    * (many files, many row groups) scan parallelism is already ≥ the
+    * session default and this is a no-op — the guard keeps the
+    * round-robin shuffle from ever touching big inputs.
+    */
+  def spread(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   /** F5: MongoDB-style URI assembly with percent-escaped credentials
     * (`core/shared.py:17-32`).
     */
