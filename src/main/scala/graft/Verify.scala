@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // round-robin repartition (Utils.spread) skips its defensive
+      // pre-sort: a single-JVM local session cannot lose map outputs to
+      // node failure, and the sort serializes on the one scan task of a
+      // single-row-group file (on a real cluster spread() is a no-op)
+      .config("spark.sql.execution.sortBeforeRepartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,6 +18,7 @@ object Utils {
     */
   def spread(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    if (sys.props.get("graft.spread").contains("off")) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
