@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DecimalType}
 
+import graft.functions.BsonIds
 import graft.operators.{Dedup, Export, JsonProfiler, Multimodal, Profiler,
   Relational, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
@@ -49,7 +51,7 @@ object SparkEntry {
     "profile_fast_lineitem" -> ((s, d) =>
       Profiler.profileStatsFast(Tables.load(s, d, "lineitem"))),
     // the reference's complete "Analyze Schema" answer in one pass
-    // (type histogram + top-5 as JSON; rows-only check)
+    // (type histogram + top-5 rendered as sorted JSON, oracle-checked)
     "profile_full_events" -> ((s, d) =>
       Profiler.profileFull(Tables.load(s, d, "events"))),
     // — semi-structured: per-VALUE type tags over a JSON column —
@@ -57,6 +59,18 @@ object SparkEntry {
       JsonProfiler.profileStats(Tables.load(s, d, "events"), "props")),
     "json_types_props" -> ((s, d) =>
       JsonProfiler.typeHistogram(Tables.load(s, d, "events"), "props")),
+    // — raw schemaless JSON-lines collection, end-to-end: a genuinely
+    // mixed-type jsonl file (field `val` is int32 in one doc, str in
+    // the next; `flag` flips bool/null; arrays appear in 1/5 docs) is
+    // materialized on disk, read back schema-free via
+    // Tables.loadJsonDocs, and profiled through JsonExplode — the
+    // reference's reason to exist (core/analyser.py:162-183) —
+    "json_profile_docs" -> ((s, d) =>
+      JsonProfiler.profileStats(jsonDocsCollection(s, d), "doc")),
+    "json_types_docs" -> ((s, d) =>
+      JsonProfiler.typeHistogram(jsonDocsCollection(s, d), "doc")),
+    "json_schema_docs" -> ((s, d) =>
+      JsonProfiler.flatSchema(jsonDocsCollection(s, d), "doc")),
     // — sampling / exploration (SURVEY §2.1 S2-S3, §2.2 P2-P3) —
     "newest_events" -> ((s, d) =>
       Sampling.newestN(Tables.load(s, d, "events"), "event_id", 20)
@@ -76,7 +90,22 @@ object SparkEntry {
     "convert_events" -> ((s, d) =>
       Export.convertForExport(Tables.load(s, d, "events"))
         .orderBy("event_id")),
+    // BSON-typed conversion fixture: ObjectId bytes, UUID subtype 4 /
+    // 3-java-legacy / generic binary, decimal128→string — every F3
+    // branch (core/extractor.py:131-170,196-200) under a real oracle
+    "convert_bson" -> ((s, d) => {
+      val fx = bsonFixture(s)
+      fx.select(col("id"),
+        BsonIds.objectIdHex(col("oid")).as("oid_hex"),
+        BsonIds.uuidFromSubtype(col("uuid_bin"), col("uuid_subtype"),
+          legacyMode = "java").as("uuid_str"),
+        col("uuid_subtype").cast("long").as("uuid_subtype"),
+        Export.convertValue(col("dec"), DecimalType(12, 2)).as("dec_str"),
+        Export.convertValue(col("bin"), BinaryType).as("bin_hex"))
+        .orderBy("id")
+    }),
     "list_collections" -> ((s, d) => Tables.listCollections(s, d)),
+    "list_indexes" -> ((s, d) => Tables.listIndexes(s, d)),
     // — text analysis (north-star training-data ops) —
     "text_profile" -> ((s, d) =>
       TextAnalysis.textProfile(Tables.load(s, d, "documents"))
@@ -142,6 +171,70 @@ object SparkEntry {
         .reduce(_ unionByName _)
         .orderBy("collection", "path")),
   )
+
+  /** Deterministic BSON-typed fixture (no such columns exist in the
+    * parquet test tables): 12-byte ObjectIds, 16-byte UUID binaries
+    * with subtype 4/3/0 rotation, decimal(12,2), 8-byte generic
+    * binary — all derived from md5(id) so the DuckDB oracle rebuilds
+    * the identical bytes.
+    */
+  private[graft] def bsonFixture(s: SparkSession): DataFrame =
+    s.range(0, 200).toDF("id").select(
+      col("id"),
+      unhex(substring(md5(concat(lit("oid:"), col("id").cast("string"))),
+        1, 24)).as("oid"),
+      unhex(md5(concat(lit("uuid:"), col("id").cast("string"))))
+        .as("uuid_bin"),
+      when(col("id") % 3 === 0, 4).when(col("id") % 3 === 1, 3)
+        .otherwise(0).as("uuid_subtype"),
+      expr("CAST((id * 107 % 10000) / 100.0 AS DECIMAL(12,2))").as("dec"),
+      unhex(substring(md5(concat(lit("bin:"), col("id").cast("string"))),
+        1, 16)).as("bin"))
+
+  /** The raw mixed-type JSON-lines "collection": one JSON document per
+    * line, derived deterministically from the `documents` parquet table
+    * (same seed data the oracle reads), materialized ONCE per sf dir
+    * under java.io.tmpdir, then read back schema-free through
+    * [[Tables.loadJsonDocs]] — the full S1-raw ingest path.
+    *
+    * Field shapes (doc_id-keyed, so the DuckDB oracle mirrors them with
+    * CASE over the parquet columns): `id` int, `lang` str, `val` is
+    * int32 / str / absent by doc_id%3, `flag` is true / null / absent
+    * by doc_id%4, `tags` is array<str> in doc_id%5==0 docs, `meta.n`
+    * is a nested double.
+    */
+  private[graft] def jsonDocsCollection(s: SparkSession, d: String)
+      : DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_$key"
+    val done = new java.io.File(s"$path/_SUCCESS")
+    if (!done.exists()) {
+      jsonDocsRender(Tables.load(s, d, "documents"))
+        .write.mode("overwrite").text(path)
+    }
+    Tables.loadJsonDocs(s, path)
+  }
+
+  /** documents row → raw JSON text (pure codegen string concat). */
+  private[graft] def jsonDocsRender(docs: DataFrame): DataFrame =
+    docs.select(concat(
+      lit("{\"id\": "), col("doc_id"),
+      lit(", \"lang\": \""), col("lang"), lit("\""),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(", \"val\": "), col("n_chars")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit(", \"val\": \""), col("source"), lit("\"")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit(", \"flag\": true"))
+        .when(col("doc_id") % 4 === 1, lit(", \"flag\": null"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(", \"tags\": [\""), col("lang"), lit("\", \""),
+          col("source"), lit("\"]")))
+        .otherwise(lit("")),
+      lit(", \"meta\": {\"n\": "), col("n_chars"), lit(".5}}"))
+      .as("doc"))
 
   /** Expected catalog schema (static truth for the oracle). */
   private val catalogSchemaRows: Seq[(String, String, String)] = Seq(
@@ -243,6 +336,125 @@ object SparkEntry {
   private val cosSql =
     "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
 
+  /** doc_id → simhash CTE prefix (ends with `sh(doc_id, simhash)`),
+    * shared by the signature and near-dup-pair oracles — mirrors
+    * Dedup.simhash bit-for-bit.
+    */
+  private val simhashCte =
+    s"""WITH t AS (SELECT doc_id,
+       |    unnest(list_distinct($toksSql)) AS tok FROM documents),
+       |h AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+       |v AS (SELECT doc_id,
+       |    ${(0 until 60).map(j =>
+            s"SUM(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n    ")}
+       |    FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id,
+       |  (${(0 until 60).map(j =>
+            s"CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+            .mkString("\n   + ")}) AS simhash
+       |  FROM v)""".stripMargin
+
+  /** Oracle for the complete single-pass profile: the type histogram
+    * and the top-5 maps are rebuilt as the exact JSON strings
+    * `to_json` renders (keys sorted for the histogram; count-desc /
+    * value-asc insertion order for top-5). Exactness holds because
+    * every path's distinct sub-256-char string count (≤100 here) is
+    * below the Misra-Gries cap (256), making MG counts exact and
+    * merge-order-independent.
+    */
+  private val profileFullEventsOracle: String = {
+    val paths = Seq(
+      ("event_id", "int64", "num"), ("event_type", "str", "str"),
+      ("props", "str", "str"), ("ts", "datetime", "ts"),
+      ("user_id", "int64", "num"), ("value", "double", "num"))
+    // JSON string escape of a value used as a JSON map key
+    val esc = """replace(replace(v, '\', '\\'), '"', '\"')"""
+    val tvCte =
+      s"""tv AS (
+         |  SELECT path, '{' || string_agg('"' || $esc || '":' || c,
+         |      ',' ORDER BY c DESC, v ASC) || '}' AS tvs
+         |  FROM (SELECT path, v, c,
+         |          ROW_NUMBER() OVER (PARTITION BY path
+         |            ORDER BY c DESC, v ASC) AS rn
+         |        FROM (SELECT 'event_type' AS path, event_type AS v,
+         |                     COUNT(*) AS c FROM events GROUP BY 2
+         |              UNION ALL SELECT 'props', props, COUNT(*)
+         |              FROM events GROUP BY 2))
+         |  WHERE rn <= 5 GROUP BY path)""".stripMargin
+    val rows = paths.map { case (c, tag, kind) =>
+      val e = if (kind == "ts") s"CAST($c AS TIMESTAMP)" else c
+      val (numMin, numMax) =
+        if (kind == "num")
+          (s"MIN(CAST($c AS DOUBLE))", s"MAX(CAST($c AS DOUBLE))")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      val (tsMin, tsMax) =
+        if (kind == "ts")
+          (s"strftime(MIN($e), '%Y-%m-%d %H:%M:%S.%f')",
+            s"strftime(MAX($e), '%Y-%m-%d %H:%M:%S.%f')")
+        else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      val tagPart = s"'\"$tag\":' || COUNT($e)"
+      val nullPart = s"'\"null\":' || (COUNT(*) - COUNT($e))"
+      // map keys render sorted; "null" sorts after every tag but "str"
+      val dist =
+        if (tag < "null")
+          s"""CASE WHEN COUNT(*) = COUNT($e)
+             | THEN '{' || $tagPart || '}'
+             | ELSE '{' || $tagPart || ',' || $nullPart || '}' END"""
+            .stripMargin
+        else
+          s"""CASE WHEN COUNT(*) = COUNT($e)
+             | THEN '{' || $tagPart || '}'
+             | ELSE '{' || $nullPart || ',' || $tagPart || '}' END"""
+            .stripMargin
+      val tv =
+        if (kind == "str") s"(SELECT tvs FROM tv WHERE tv.path = '$c')"
+        else "'{}'"
+      s"""SELECT '$c' AS path, COUNT($e) AS n_present,
+         | (COUNT(*) - COUNT($e)) * 100.0 / COUNT(*) AS missing_pct,
+         | COUNT(DISTINCT $e) AS cardinality,
+         | FALSE AS cardinality_approx,
+         | $numMin AS num_min, $numMax AS num_max,
+         | $tsMin AS ts_min, $tsMax AS ts_max,
+         | $dist AS type_distribution,
+         | $tv AS top_values
+         | FROM events""".stripMargin
+    }
+    s"WITH $tvCte\n" +
+      rows.mkString("", " UNION ALL ", " ORDER BY path")
+  }
+
+  /** Mirrors [[jsonDocsRender]]'s doc_id-keyed field shapes over the
+    * same parquet columns the JSON was rendered from.
+    */
+  private val jsonDocsCte =
+    "WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents)"
+
+  private val convertBsonOracle: String = {
+    def rev(c: String, startHex: Int, nBytes: Int): String =
+      (nBytes - 1 to 0 by -1)
+        .map(i => s"substr($c, ${startHex + i * 2}, 2)").mkString(" || ")
+    def dashed(c: String): String =
+      s"substr($c,1,8)||'-'||substr($c,9,4)||'-'||substr($c,13,4)" +
+        s"||'-'||substr($c,17,4)||'-'||substr($c,21,12)"
+    s"""WITH t AS (SELECT id, md5('oid:' || id) AS oh,
+       |             md5('uuid:' || id) AS uh, md5('bin:' || id) AS bh,
+       |             id % 3 AS m FROM range(0, 200) r(id)),
+       |u AS (SELECT id, m, oh, uh, bh,
+       |        ${rev("uh", 1, 8)} || ${rev("uh", 17, 8)} AS uj FROM t)
+       |SELECT id,
+       |  substr(oh, 1, 24) AS oid_hex,
+       |  CASE WHEN m = 0 THEN ${dashed("uh")}
+       |       WHEN m = 1 THEN ${dashed("uj")}
+       |       ELSE uh END AS uuid_str,
+       |  CAST(CASE WHEN m = 0 THEN 4 WHEN m = 1 THEN 3 ELSE 0 END
+       |    AS BIGINT) AS uuid_subtype,
+       |  CAST(CAST((id * 107 % 10000) / 100.0 AS DECIMAL(12,2))
+       |    AS VARCHAR) AS dec_str,
+       |  substr(bh, 1, 16) AS bin_hex
+       |FROM u ORDER BY id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "text_profile" -> (s"""
       WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
@@ -300,19 +512,19 @@ object SparkEntry {
       WHERE round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared), 6) >= 0.3
       ORDER BY id1, id2"""),
     "dedup_simhash" -> (s"""
-      WITH t AS (SELECT doc_id,
-          unnest(list_distinct($toksSql)) AS tok FROM documents),
-      h AS (SELECT doc_id,
-          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
-      v AS (SELECT doc_id,
-          ${(0 until 60).map(j =>
-            s"SUM(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n          ")}
-          FROM h GROUP BY doc_id)
-      SELECT doc_id,
-        (${(0 until 60).map(j =>
-          s"CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
-          .mkString("\n         + ")}) AS simhash
-      FROM v ORDER BY doc_id"""),
+      $simhashCte
+      SELECT doc_id, simhash FROM sh ORDER BY doc_id"""),
+    // ground truth for the pigeonhole-blocked engine plan: brute-force
+    // all-pairs hamming over the same simhash values (feasible for the
+    // oracle's 500-doc scale; the engine never does all-pairs)
+    "dedup_simhash_pairs" -> (s"""
+      $simhashCte
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+               AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY id1, id2"""),
     "dedup_jaccard_pairs" -> (s"""
       WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
       s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
@@ -501,6 +713,82 @@ object SparkEntry {
       SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'),
         ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
         ('region'), ('supplier')) AS t(collection) ORDER BY collection"""),
+    "list_indexes" -> ("""
+      SELECT '' AS collection, '' AS name, '' AS "key", '' AS "unique",
+             '' AS sparse, '' AS background, '' AS props
+      WHERE 1 = 0"""),
+    "convert_bson" -> convertBsonOracle,
+    "profile_full_events" -> profileFullEventsOracle,
+    "json_profile_docs" -> (s"""
+      $jsonDocsCte
+      SELECT 'flag' AS path,
+        COUNT(CASE WHEN doc_id % 4 = 0 THEN 1 END) AS n_present,
+        (COUNT(*) - COUNT(CASE WHEN doc_id % 4 = 0 THEN 1 END))
+          * 100.0 / COUNT(*) AS missing_pct,
+        COUNT(DISTINCT CASE WHEN doc_id % 4 = 0 THEN 'true' END)
+          AS cardinality,
+        CAST(NULL AS DOUBLE) AS num_min, CAST(NULL AS DOUBLE) AS num_max
+      FROM d
+      UNION ALL SELECT 'id', COUNT(*),
+        (COUNT(*) - COUNT(*)) * 100.0 / COUNT(*),
+        COUNT(DISTINCT doc_id),
+        MIN(CAST(doc_id AS DOUBLE)), MAX(CAST(doc_id AS DOUBLE)) FROM d
+      UNION ALL SELECT 'lang', COUNT(lang),
+        (COUNT(*) - COUNT(lang)) * 100.0 / COUNT(*),
+        COUNT(DISTINCT lang),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM d
+      UNION ALL SELECT 'meta.n', COUNT(*),
+        (COUNT(*) - COUNT(*)) * 100.0 / COUNT(*),
+        COUNT(DISTINCT n_chars),
+        MIN(n_chars + 0.5), MAX(n_chars + 0.5) FROM d
+      UNION ALL SELECT 'tags',
+        COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END),
+        (COUNT(*) - COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END))
+          * 100.0 / COUNT(*),
+        COUNT(DISTINCT CASE WHEN doc_id % 5 = 0
+          THEN '["' || lang || '","' || source || '"]' END),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM d
+      UNION ALL SELECT 'tags[]',
+        2 * COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END),
+        CAST(NULL AS DOUBLE),
+        (SELECT COUNT(DISTINCT x) FROM (
+           SELECT lang AS x FROM d WHERE doc_id % 5 = 0
+           UNION SELECT source FROM d WHERE doc_id % 5 = 0)),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM d
+      UNION ALL SELECT 'val',
+        COUNT(CASE WHEN doc_id % 3 < 2 THEN 1 END),
+        (COUNT(*) - COUNT(CASE WHEN doc_id % 3 < 2 THEN 1 END))
+          * 100.0 / COUNT(*),
+        COUNT(DISTINCT CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR)
+                            WHEN doc_id % 3 = 1 THEN source END),
+        MIN(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS DOUBLE) END),
+        MAX(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS DOUBLE) END)
+      FROM d
+      ORDER BY path"""),
+    "json_types_docs" -> (s"""
+      $jsonDocsCte,
+      r AS (
+        SELECT 'flag' AS path, 'bool' AS vtag,
+               COUNT(CASE WHEN doc_id % 4 = 0 THEN 1 END) AS cnt FROM d
+        UNION ALL SELECT 'flag', 'null',
+               COUNT(CASE WHEN doc_id % 4 = 1 THEN 1 END) FROM d
+        UNION ALL SELECT 'id', 'int32', COUNT(*) FROM d
+        UNION ALL SELECT 'lang', 'str', COUNT(lang) FROM d
+        UNION ALL SELECT 'meta.n', 'double', COUNT(*) FROM d
+        UNION ALL SELECT 'tags', 'array<str>',
+               COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END) FROM d
+        UNION ALL SELECT 'tags[]', 'str',
+               2 * COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END) FROM d
+        UNION ALL SELECT 'val', 'int32',
+               COUNT(CASE WHEN doc_id % 3 = 0 THEN 1 END) FROM d
+        UNION ALL SELECT 'val', 'str',
+               COUNT(CASE WHEN doc_id % 3 = 1 THEN 1 END) FROM d)
+      SELECT path, vtag, cnt FROM r WHERE cnt > 0 ORDER BY path, vtag"""),
+    "json_schema_docs" -> ("""
+      SELECT * FROM (VALUES ('flag', 'bool'), ('id', 'int32'),
+        ('lang', 'str'), ('meta.n', 'double'), ('tags', 'array<str>'),
+        ('tags[]', 'str'), ('val', 'int32')) AS t(path, type_tag)
+      ORDER BY path"""),
     "schema_flat_events" -> ("""
       SELECT 'event_id' AS path, 'int64' AS type_tag
       UNION ALL SELECT 'event_type', 'str'

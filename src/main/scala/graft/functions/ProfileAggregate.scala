@@ -133,7 +133,9 @@ final class LongSet(initialCap: Int = 1 << 10) extends Serializable {
   * this bound is the SURVEY §7.3 fix. (Hash-set "exact" counting is
   * exact up to 64-bit collisions: P ≈ n²/2⁶⁵, ~3e-10 at the limit.)
   */
-final class PathStats(val exactLimit: Int) extends Serializable {
+final class PathStats(val exactLimit: Int,
+                      val topkCap: Int = PathStats.TopkCap)
+    extends Serializable {
   var seen: Long = 0L
   var present: Long = 0L
   // UTF8String keys throughout: update() runs once per leaf row, and a
@@ -156,7 +158,7 @@ final class PathStats(val exactLimit: Int) extends Serializable {
 
   /** Misra-Gries heavy-hitters counters for top-k string values
     * (`value_frequencies`, `core/analyser.py:202-204`): at most
-    * `TopkCap` counters; counts are exact when distinct strings ≤ cap,
+    * `topkCap` counters; counts are exact when distinct strings ≤ cap,
     * otherwise lower bounds with error ≤ n/cap — the bounded
     * single-pass answer to the reference's unbounded Counter.
     */
@@ -165,7 +167,7 @@ final class PathStats(val exactLimit: Int) extends Serializable {
   def addTopk(v: UTF8String): Unit =
     topk.get(v) match {
       case Some(c) => topk.update(v, c + 1)
-      case None if topk.size < PathStats.TopkCap => topk.update(v.clone(), 1L)
+      case None if topk.size < topkCap => topk.update(v.clone(), 1L)
       case None =>
         val dead = List.newBuilder[UTF8String]
         topk.keysIterator.foreach { k =>
@@ -179,11 +181,11 @@ final class PathStats(val exactLimit: Int) extends Serializable {
     o.foreach { case (k, v) =>
       topk.update(k, topk.getOrElse(k, 0L) + v)
     }
-    if (topk.size > PathStats.TopkCap) {
+    if (topk.size > topkCap) {
       // keep the cap heaviest, subtracting the (cap+1)-th weight (the
       // standard MG merge, preserving the n/cap error bound)
       val cut = topk.values.toSeq.sorted(Ordering[Long].reverse)
-        .apply(PathStats.TopkCap)
+        .apply(topkCap)
       val dead = List.newBuilder[UTF8String]
       topk.keysIterator.foreach { k =>
         val c = topk(k) - cut
@@ -239,7 +241,7 @@ final class PathStats(val exactLimit: Int) extends Serializable {
 }
 
 object PathStats {
-  /** Misra-Gries counter budget per path (error ≤ n/TopkCap). */
+  /** Default Misra-Gries counter budget per path (error ≤ n/TopkCap). */
   val TopkCap = 32
 }
 
@@ -268,6 +270,7 @@ case class ProfileAggregate(
     vstr: Expression, vnum: Expression,
     vts: Expression, vtag: Expression,
     exactLimit: Int = 100000,
+    topkCap: Int = PathStats.TopkCap,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[PathStats] {
@@ -293,7 +296,7 @@ case class ProfileAggregate(
   override def dataType: DataType = outputStruct
 
   override def createAggregationBuffer(): PathStats =
-    new PathStats(exactLimit)
+    new PathStats(exactLimit, topkCap)
 
   override def update(st: PathStats, input: InternalRow): PathStats = {
     st.seen += 1
@@ -416,7 +419,7 @@ case class ProfileAggregate(
 
   override def deserialize(bytes: Array[Byte]): PathStats = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val st = new PathStats(exactLimit)
+    val st = new PathStats(exactLimit, topkCap)
     st.seen = in.readLong(); st.present = in.readLong()
     val nt = in.readInt()
     (0 until nt).foreach { _ =>
@@ -453,9 +456,10 @@ object ProfileAggregate {
     * surrounding aggregation by `path`.
     */
   def profileAgg(vstr: Column, vnum: Column, vts: Column,
-                 vtag: Column, exactLimit: Int = 100000): Column =
+                 vtag: Column, exactLimit: Int = 100000,
+                 topkCap: Int = PathStats.TopkCap): Column =
     Shims.column(ProfileAggregate(
       Shims.expression(vstr), Shims.expression(vnum),
       Shims.expression(vts), Shims.expression(vtag),
-      exactLimit).toAggregateExpression())
+      exactLimit, topkCap).toAggregateExpression())
 }

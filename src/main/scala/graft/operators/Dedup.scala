@@ -32,8 +32,9 @@ object Dedup {
     */
   def exactGroups(df: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame =
-    graft.util.Utils.spread(df)
-      .select(fingerprint(col(textCol)).as("fp"), col(idCol))
+    // no spread(): one md5 per row is cheaper than round-robin
+    // shuffling the full text, and the groupBy shuffles 16-byte keys
+    df.select(fingerprint(col(textCol)).as("fp"), col(idCol))
       .groupBy("fp")
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
       .orderBy("fp")
@@ -43,7 +44,7 @@ object Dedup {
                  idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(fingerprint(col(textCol)))
       .orderBy(col(idCol).asc)
-    graft.util.Utils.spread(df).withColumn("_rn", row_number().over(w))
+    df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
 
@@ -63,7 +64,7 @@ object Dedup {
                         idCol: String = "doc_id",
                         numHashes: Int = 8): DataFrame =
     signaturesFromSets(
-      graft.util.Utils.spread(df).select(col(idCol).as("id"),
+      df.select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol))).as("sh")),
       numHashes)
 
@@ -143,9 +144,16 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandsDf = minhashBands(sigd.select(col("id"), col("sig")),
       numHashes, bands)
-    val bounded = bandsDf.withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
-      .filter(col("bucket_n") <= maxBucket)
+    // bucket cap as groupBy count → anti-join (AQE broadcasts the tiny
+    // frequent-bucket list), NOT a count-over-window: the window plan
+    // full-sorts the band table; this shape only hash-aggregates it
+    // (same pattern as jaccardNearDups' df cap).
+    val big = bandsDf.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("band_idx", "band_key")
+    val bounded = bandsDf.join(big, Seq("band_idx", "band_key"),
+      "left_anti")
     val l = bounded.select(col("band_idx"), col("band_key"),
       col("id").as("id1"))
     val rr = bounded.select(col("band_idx"), col("band_key"),
@@ -214,7 +222,8 @@ object Dedup {
     l.join(r, Seq("block_idx", "block_val"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+        bit_count(col("sh1").bitwiseXOR(col("sh2")))
+          .cast(LongType).as("hamming"))
       // filter BEFORE distinct: candidates repeat across blocks, so the
       // distinct's shuffle shrinks to the pairs that actually survive
       .filter(col("hamming") <= maxDist)

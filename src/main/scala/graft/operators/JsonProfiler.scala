@@ -14,24 +14,41 @@ import graft.plans.JsonExplode.jsonExplode
   */
 object JsonProfiler {
 
-  /** (path, vstr, vnum, vtag) leaf rows of one JSON column. */
-  def flattenJson(df: DataFrame, jsonCol: String): DataFrame =
-    graft.util.Utils.spread(df).select(jsonExplode(col(jsonCol)).as(
-      Seq("path", "vstr", "vnum", "vtag")))
+  /** (path, vstr, vnum, vtag) leaf rows of one JSON column.
+    *
+    * @param emitRoot also emit a `path=""` marker row per document (see
+    *                 [[graft.plans.JsonExplode]]) so consumers can
+    *                 derive document totals from this same scan.
+    */
+  def flattenJson(df: DataFrame, jsonCol: String,
+                  emitRoot: Boolean = false): DataFrame =
+    graft.util.Utils.spread(df).select(
+      jsonExplode(col(jsonCol), emitRoot).as(
+        Seq("path", "vstr", "vnum", "vtag")))
 
   /** Per-path stats over JSON values (presence, missing%, cardinality,
-    * numeric min/max), counted against document totals.
+    * numeric min/max), counted against document totals. ONE scan of the
+    * source: the document total comes from the generator's per-document
+    * root marker rows, not a second `df.count()` pass.
     */
   def profileStats(df: DataFrame, jsonCol: String): DataFrame = {
-    val total = df.count()
-    flattenJson(df, jsonCol).groupBy("path").agg(
-      count(col("vstr")).as("n_present"),
-      when(col("path").contains("[]"), lit(null).cast("double"))
-        .otherwise((lit(total) - count(col("vstr"))) * 100.0 / lit(total))
-        .as("missing_pct"),
-      countDistinct(col("vstr")).as("cardinality"),
-      min(col("vnum")).as("num_min"),
-      max(col("vnum")).as("num_max"))
+    val agg = flattenJson(df, jsonCol, emitRoot = true)
+      .groupBy("path").agg(
+        count(col("vstr")).as("n_present"),
+        count(lit(1)).as("n_seen"),
+        countDistinct(col("vstr")).as("cardinality"),
+        min(col("vnum")).as("num_min"),
+        max(col("vnum")).as("num_max"))
+    // total docs = count of root marker rows, windowed over the (tiny)
+    // per-path aggregate — same trick as Profiler.profileStats
+    val total = max(when(col("path") === "", col("n_seen")))
+      .over(Window.partitionBy())
+    agg.withColumn("missing_pct",
+        when(col("path").contains("[]"), lit(null).cast("double"))
+          .otherwise((total - col("n_present")) * 100.0 / total))
+      .filter(col("path") =!= "")
+      .select(col("path"), col("n_present"), col("missing_pct"),
+        col("cardinality"), col("num_min"), col("num_max"))
       .orderBy("path")
   }
 

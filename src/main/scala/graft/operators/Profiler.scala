@@ -139,8 +139,12 @@ object Profiler {
   def flatten(df: DataFrame): DataFrame = {
     val arrays: Seq[Column] = df.schema.fields.toSeq.flatMap(f =>
       leafRows(f.name, col(f.name), f.dataType))
-    graft.util.Utils.spread(df)
-      .select(explode(concat(arrays: _*)).as("f")).select("f.*")
+    // deliberately NOT spread(): the consumers of the non-lean flatten
+    // (countDistinct/typeHistogram/topK) rely on map-side partial
+    // aggregation of repeated values — a round-robin repartition
+    // scatters the repeats across partitions, gutting the partial
+    // dedup AND adding a full shuffle of the rendered strings.
+    df.select(explode(concat(arrays: _*)).as("f")).select("f.*")
   }
 
   /** [[flatten]] in lean mode (see [[leanable]]): vstr is null for
@@ -160,10 +164,30 @@ object Profiler {
     * numeric min/max, temporal min/max (ISO strings). One row per path,
     * ordered by path (`core/analyser.py:320-321`).
     *
-    * @param exact exact `countDistinct` (reference parity,
-    *              `core/analyser.py:142,188`) vs HLL sketch for scale.
+    * Routed through the single-pass [[graft.functions.ProfileAggregate]]
+    * ([[profileStatsFast]]) — bit-for-bit identical to the built-in
+    * plan below `exactLimit` distinct values per path (the
+    * `profile_fast_lineitem` oracle proves parity on the same data),
+    * and ~10× faster: the built-in exact `countDistinct` shuffles
+    * every distinct (path, value) string pair, the aggregate shuffles
+    * one bounded buffer per (partition, path) — the difference between
+    * a plan that dies at 100 TB and one that doesn't.
+    *
+    * @param exact exact cardinality below 100k distinct per path
+    *              (reference parity, `core/analyser.py:142,188`) vs
+    *              pure-HLL sketch mode for scale.
     */
-  def profileStats(df: DataFrame, exact: Boolean = true): DataFrame = {
+  def profileStats(df: DataFrame, exact: Boolean = true): DataFrame =
+    if (exact) profileStatsFast(df)
+    else profileStatsFast(df, exactLimit = 0)
+
+  /** The built-in-aggregates twin of [[profileStats]] (exact
+    * `countDistinct` over rendered value strings) — kept as the
+    * cross-check plan the specs compare [[profileStatsFast]] against,
+    * not as a default path: it is correct but shuffles every distinct
+    * (path, value) pair.
+    */
+  def profileStatsBuiltin(df: DataFrame, exact: Boolean = true): DataFrame = {
     val flat = flatten(df)
     val card =
       if (exact) countDistinct(col("vstr"))
@@ -231,13 +255,21 @@ object Profiler {
     * missing%, cardinality (exact→HLL), numeric/temporal min-max, type
     * distribution, and top-5 values (Misra-Gries). Maps rendered as
     * sorted JSON for deterministic output.
+    *
+    * @param topkCap Misra-Gries counter budget per path: counts are
+    *                exact (and merge-order-independent) while a path's
+    *                distinct sub-256-char strings stay ≤ cap, lower
+    *                bounds with error ≤ n/cap beyond. 256 default keeps
+    *                the buffer tiny while covering realistic
+    *                categorical/top-k columns exactly.
     */
-  def profileFull(df: DataFrame, exactLimit: Int = 100000): DataFrame = {
+  def profileFull(df: DataFrame, exactLimit: Int = 100000,
+                  topkCap: Int = 256): DataFrame = {
     import graft.functions.ProfileAggregate.profileAgg
     val flat = flattenLean(df)
     val rows = flat.groupBy("path")
       .agg(profileAgg(col("vstr"), col("vnum"), col("vts"),
-        col("vtype"), exactLimit).as("p"))
+        col("vtype"), exactLimit, topkCap).as("p"))
       .select(col("path"), col("p.*"))
     val total = max(when(!col("path").contains("[]"), col("seen")))
       .over(Window.partitionBy())

@@ -34,7 +34,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * unification, `core/extractor.py:59-81`) plus per-element `path[]`
   * rows.
   */
-case class JsonExplode(child: Expression)
+/** @param emitRoot also emit one `(path="", vtag="doc")` marker row per
+  *                  input document (including null/malformed ones) —
+  *                  lets an aggregation over the flattened rows derive
+  *                  the document total from the SAME scan instead of a
+  *                  second `df.count()` pass over the source.
+  */
+case class JsonExplode(child: Expression, emitRoot: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType = StructType(Seq(
@@ -59,8 +65,10 @@ case class JsonExplode(child: Expression)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input)
-    if (raw == null) return Nil
+    if (raw == null)
+      return if (emitRoot) Seq(row("", null, null, "doc")) else Nil
     val out = ArrayBuffer.empty[InternalRow]
+    if (emitRoot) out += row("", null, null, "doc")
     try {
       val root = mapper.readTree(raw.toString)
       walk("", root, out)
@@ -147,6 +155,6 @@ case class JsonExplode(child: Expression)
 
 object JsonExplode {
   /** `json_explode(jsonCol)` as a generator Column for `select`. */
-  def jsonExplode(c: Column): Column =
-    Shims.column(JsonExplode(Shims.expression(c)))
+  def jsonExplode(c: Column, emitRoot: Boolean = false): Column =
+    Shims.column(JsonExplode(Shims.expression(c), emitRoot))
 }

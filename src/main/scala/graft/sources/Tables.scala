@@ -59,17 +59,22 @@ object Tables {
   }
 
   /** S6: per-collection stats (count, size, avg object size) — the
-    * `collStats` analogue for file-backed collections. Error-tolerant per
-    * collection, like the reference's per-key auth fallback.
+    * `collStats` analogue for file-backed collections. Row counts come
+    * straight from the parquet footer metadata (the file-source twin of
+    * `collStats`' precomputed counters): no Spark job per collection,
+    * no serial full scans — reading N footers is milliseconds whatever
+    * the data size. Error-tolerant per collection, like the reference's
+    * per-key auth fallback.
     */
   def describeCollections(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
     val rows = names.flatMap { n =>
       try {
         val f = new java.io.File(s"$dir/$n.parquet")
         if (!f.exists()) None
         else {
-          val cnt = load(spark, dir, n).count()
+          val cnt = parquetRowCount(s"$dir/$n.parquet", hconf)
           val sz = f.length()
           Some((n, cnt, sz, if (cnt > 0) sz.toDouble / cnt else 0.0))
         }
@@ -77,5 +82,30 @@ object Tables {
     }
     rows.toDF("collection", "doc_count", "size_bytes", "avg_obj_size")
       .orderBy("collection")
+  }
+
+  /** Exact row count from parquet footer metadata (sum of row-group
+    * counts) — equals `COUNT(*)` without scanning a single data page.
+    */
+  private def parquetRowCount(path: String,
+                              hconf: org.apache.hadoop.conf.Configuration)
+      : Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), hconf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** S7: index listing (`views/db_connection_view.py:495-609` columns:
+    * name, key, unique, sparse, background, props). Parquet files have
+    * no secondary indexes, so the honest answer for a file-backed
+    * collection is zero rows — the SHAPE is the contract; a MongoDB
+    * connector source would fill it from `list_indexes()`.
+    */
+  def listIndexes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String, String, String, String, String)]
+      .toDF("collection", "name", "key", "unique", "sparse",
+        "background", "props")
   }
 }

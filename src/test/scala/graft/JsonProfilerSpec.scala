@@ -50,6 +50,18 @@ class JsonProfilerSpec extends AnyFunSuite {
     assert(s("arr[]").isNullAt(2))               // element missing% undefined
   }
 
+  test("profileStats totals count empty and null documents") {
+    // null doc string and {} both contribute to the denominator via the
+    // generator's root marker (no separate count() scan to agree with)
+    val withNull = Seq(Some("""{"v": 1}"""), Some("{}"), None)
+      .toDF("doc")
+    val s = JsonProfiler.profileStats(withNull, "doc").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(s("v").getLong(1) == 1)
+    assert(s("v").getDouble(2) == 2L * 100.0 / 3)
+    assert(!s.contains(""))                       // marker filtered out
+  }
+
   test("flatSchema: deterministic most-frequent tag election") {
     val fs = JsonProfiler.flatSchema(df, "doc").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

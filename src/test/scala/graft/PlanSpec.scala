@@ -56,6 +56,13 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 parquet scan, plan had $scans")
   }
 
+  test("json profileStats: single scan (doc total from the same pass)") {
+    val p = planOf(graft.operators.JsonProfiler.profileStats(
+      Tables.load(spark, dir, "events"), "props"))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 parquet scan, plan had $scans")
+  }
+
   test("q3: top-10 plans as TakeOrderedAndProject (no global sort)") {
     val p = planOf(Relational.q3(spark, dir))
     assert(p.contains("TakeOrderedAndProject"))

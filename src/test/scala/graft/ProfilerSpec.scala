@@ -101,6 +101,18 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("profileStats (fast default) ≡ built-in-aggregate plan, row for row") {
+    val events = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    for (input <- Seq(df, events)) {
+      val fast = Profiler.profileStats(input).collect().toSeq
+      val builtin = Profiler.profileStatsBuiltin(input).collect().toSeq
+      assert(fast == builtin)
+    }
+  }
+
   test("profileFull: one-pass result agrees with the multi-agg path") {
     val events = spark.read
       .parquet("/root/testdata/sf0.001/events.parquet")
@@ -108,7 +120,7 @@ class ProfilerSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
     val full = Profiler.profileFull(events).collect()
       .map(r => r.getString(0) -> r).toMap
-    val slow = Profiler.profileStats(events).collect()
+    val slow = Profiler.profileStatsBuiltin(events).collect()
       .map(r => r.getString(0) -> r).toMap
     slow.keys.foreach { p =>
       assert(full(p).getLong(1) == slow(p).getLong(1))          // present

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Catalog-surface behavior: footer-metadata collection stats (S6),
+  * index listing shape (S7), and the raw JSON-lines collection
+  * round-trip that backs the `json_*_docs` queries.
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("describeCollections: footer row counts equal COUNT(*)") {
+    val stats = Tables.describeCollections(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == Tables.names.toSet)
+    for (n <- Seq("region", "documents", "events")) {
+      val real = Tables.load(spark, dir, n).count()
+      assert(stats(n) == real, s"$n footer count != count(*)")
+    }
+    assert(stats.values.forall(_ >= 0))   // no error sentinels on clean data
+  }
+
+  test("listIndexes: reference column shape, zero rows for file sources") {
+    val idx = Tables.listIndexes(spark, dir)
+    assert(idx.columns.toSeq == Seq("collection", "name", "key", "unique",
+      "sparse", "background", "props"))
+    assert(idx.count() == 0)
+  }
+
+  test("jsonDocsCollection: round-trips through disk and parses clean") {
+    val docs = SparkEntry.jsonDocsCollection(spark, dir)
+    val n = Tables.load(spark, dir, "documents").count()
+    assert(docs.count() == n)
+    // every line must parse (no unknown<malformed> rows)
+    val tags = graft.operators.JsonProfiler
+      .typeHistogram(docs, "doc").collect().map(_.getString(1)).toSet
+    assert(!tags.contains("unknown<malformed>"), tags)
+    assert(tags.contains("array<str>") && tags.contains("bool"))
+  }
+}
