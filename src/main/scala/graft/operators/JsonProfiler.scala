@@ -30,8 +30,41 @@ object JsonProfiler {
     * numeric min/max), counted against document totals. ONE scan of the
     * source: the document total comes from the generator's per-document
     * root marker rows, not a second `df.count()` pass.
+    *
+    * Cardinality runs through the bounded
+    * [[graft.functions.ProfileAggregate]] buffer (exact below
+    * `exactLimit` string-hash entries per path, HLL beyond) — same
+    * rationale as [[Profiler.profileStats]]: an exact `countDistinct`
+    * over every distinct (path, value-string) pair is the 100 TB
+    * scale-killer on exactly the raw-document input this profiler
+    * exists for. [[profileStatsBuiltin]] keeps the countDistinct plan
+    * as the cross-check twin.
     */
   def profileStats(df: DataFrame, jsonCol: String): DataFrame = {
+    import graft.functions.ProfileAggregate.profileAgg
+    import org.apache.spark.sql.types.TimestampType
+    val flat = flattenJson(df, jsonCol, emitRoot = true)
+    val rows = flat.groupBy("path")
+      .agg(profileAgg(col("vstr"), col("vnum"),
+        lit(null).cast(TimestampType), col("vtag")).as("p"))
+      .select(col("path"), col("p.*"))
+    // total docs = count of root marker rows, windowed over the (tiny)
+    // per-path aggregate — same trick as Profiler.profileStats
+    val total = max(when(col("path") === "", col("seen")))
+      .over(Window.partitionBy())
+    rows.withColumn("missing_pct",
+        when(col("path").contains("[]"), lit(null).cast("double"))
+          .otherwise((total - col("n_present")) * 100.0 / total))
+      .filter(col("path") =!= "")
+      .select(col("path"), col("n_present"), col("missing_pct"),
+        col("cardinality"), col("num_min"), col("num_max"))
+      .orderBy("path")
+  }
+
+  /** Built-in-aggregates twin of [[profileStats]] (exact countDistinct
+    * over value strings) — cross-check plan only.
+    */
+  def profileStatsBuiltin(df: DataFrame, jsonCol: String): DataFrame = {
     val agg = flattenJson(df, jsonCol, emitRoot = true)
       .groupBy("path").agg(
         count(col("vstr")).as("n_present"),
@@ -39,8 +72,6 @@ object JsonProfiler {
         countDistinct(col("vstr")).as("cardinality"),
         min(col("vnum")).as("num_min"),
         max(col("vnum")).as("num_max"))
-    // total docs = count of root marker rows, windowed over the (tiny)
-    // per-path aggregate — same trick as Profiler.profileStats
     val total = max(when(col("path") === "", col("n_seen")))
       .over(Window.partitionBy())
     agg.withColumn("missing_pct",

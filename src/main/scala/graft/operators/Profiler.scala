@@ -136,29 +136,35 @@ object Profiler {
     * leaf rows. The projection is built at plan time from the schema, so
     * the whole thing stays inside whole-stage codegen — no UDFs.
     */
-  def flatten(df: DataFrame): DataFrame = {
+  private def flattenImpl(df: DataFrame, lean: Boolean,
+                          spread: Boolean): DataFrame = {
     val arrays: Seq[Column] = df.schema.fields.toSeq.flatMap(f =>
-      leafRows(f.name, col(f.name), f.dataType))
-    // deliberately NOT spread(): the consumers of the non-lean flatten
-    // (countDistinct/typeHistogram/topK) rely on map-side partial
-    // aggregation of repeated values — a round-robin repartition
-    // scatters the repeats across partitions, gutting the partial
-    // dedup AND adding a full shuffle of the rendered strings.
-    df.select(explode(concat(arrays: _*)).as("f")).select("f.*")
+      leafRows(f.name, col(f.name), f.dataType, lean))
+    val in = if (spread) graft.util.Utils.spread(df) else df
+    in.select(explode(concat(arrays: _*)).as("f")).select("f.*")
   }
 
-  /** [[flatten]] in lean mode (see [[leanable]]): vstr is null for
-    * numeric/temporal leaves. ONLY for consumers that hash vnum/vts
-    * natively for distinct counting ([[profileStatsFast]],
-    * [[profileFull]]); the generic flatten consumers (countDistinct
-    * over vstr) need the rendered strings.
+  /** One-scan flatten with full value strings, deliberately NOT
+    * spread(): its consumers (exact `countDistinct`, `topK`'s
+    * groupBy(value)) rely on map-side partial aggregation of repeated
+    * values — a round-robin repartition scatters the repeats across
+    * partitions, gutting the partial dedup AND adding a full shuffle
+    * of the rendered strings.
     */
-  def flattenLean(df: DataFrame): DataFrame = {
-    val arrays: Seq[Column] = df.schema.fields.toSeq.flatMap(f =>
-      leafRows(f.name, col(f.name), f.dataType, lean = true))
-    graft.util.Utils.spread(df)
-      .select(explode(concat(arrays: _*)).as("f")).select("f.*")
-  }
+  def flatten(df: DataFrame): DataFrame =
+    flattenImpl(df, lean = false, spread = false)
+
+  /** [[flatten]] in lean mode (see [[leanable]]): vstr is null for
+    * numeric/temporal leaves, and the (cheap, now string-free) scan is
+    * spread() across the session's parallelism before the CPU-heavy
+    * consumer work. ONLY for consumers that either hash vnum/vts
+    * natively for distinct counting ([[profileStatsFast]],
+    * [[profileFull]]) or never read the numeric strings at all
+    * ([[numericQuantiles]]); generic countDistinct-over-vstr consumers
+    * need [[flatten]]'s rendered strings.
+    */
+  def flattenLean(df: DataFrame): DataFrame =
+    flattenImpl(df, lean = true, spread = true)
 
   /** Per-path core statistics: presence, missing %, exact cardinality,
     * numeric min/max, temporal min/max (ISO strings). One row per path,
@@ -290,7 +296,10 @@ object Profiler {
     * numeric paths only.
     */
   def numericQuantiles(df: DataFrame): DataFrame =
-    flatten(df).filter(col("vnum").isNotNull)
+    // lean flatten: quantiles read only vnum, so skip the vstr
+    // rendering entirely and spread the scan ahead of the CPU-heavy
+    // percentile aggregation
+    flattenLean(df).filter(col("vnum").isNotNull)
       .groupBy("path").agg(
         round(percentile(col("vnum"), lit(0.25)), 6).as("p25"),
         round(percentile(col("vnum"), lit(0.5)), 6).as("p50"),
@@ -304,7 +313,10 @@ object Profiler {
     * (intentional semantic fix, SURVEY §1.2).
     */
   def typeHistogram(df: DataFrame): DataFrame =
-    flatten(df).groupBy("path", "vtype").agg(count(lit(1)).as("cnt"))
+    // lean, unspread: only (path, vtype) are read — no value strings to
+    // render, and plain counts partial-aggregate fine on the scan tasks
+    flattenImpl(df, lean = true, spread = false)
+      .groupBy("path", "vtype").agg(count(lit(1)).as("cnt"))
       .orderBy("path", "vtype")
 
   /** Per-path top-k values: strings shorter than 256 chars only
@@ -313,7 +325,10 @@ object Profiler {
     * the reference's insertion-order-dependent `Counter.most_common`).
     */
   def topK(df: DataFrame, k: Int = 5): DataFrame = {
-    val flat = flatten(df)
+    // lean keeps every str value (only numeric/temporal strings are
+    // dropped, and those never pass the vtype filter below); unspread
+    // so the groupBy(value) partial aggregation sees the repeats
+    val flat = flattenImpl(df, lean = true, spread = false)
     val counted = flat
       .filter(col("vtype") === "str" && length(col("vstr")) < 256)
       .groupBy("path", "vstr").agg(count(lit(1)).as("cnt"))

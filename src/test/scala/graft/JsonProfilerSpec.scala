@@ -62,6 +62,12 @@ class JsonProfilerSpec extends AnyFunSuite {
     assert(!s.contains(""))                       // marker filtered out
   }
 
+  test("profileStats (fast default) ≡ built-in countDistinct plan") {
+    val fast = JsonProfiler.profileStats(df, "doc").collect().toSeq
+    val builtin = JsonProfiler.profileStatsBuiltin(df, "doc").collect().toSeq
+    assert(fast == builtin)
+  }
+
   test("flatSchema: deterministic most-frequent tag election") {
     val fs = JsonProfiler.flatSchema(df, "doc").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
