@@ -110,9 +110,24 @@ object SparkEntry {
     "text_profile" -> ((s, d) =>
       TextAnalysis.textProfile(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+    // S9 end-to-end: convert → gzip JSON-lines sink → schema-inferred
+    // read-back; the oracle checks the round-tripped rows, so the sink
+    // (not just the conversion projection) is under the gate
+    "export_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_export_rt"
+      Export.writeJsonGz(Tables.load(s, d, "events"), out)
+      s.read.json(out)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
+    }),
     // — deduplication —
     "dedup_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(Tables.load(s, d, "documents"))),
+    "dedup_keep_first" -> ((s, d) =>
+      Dedup.exactDedup(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
     "dedup_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(Tables.load(s, d, "documents"))
         .select(col("id").as("doc_id"),
@@ -487,6 +502,18 @@ object SparkEntry {
     "dedup_exact_groups" -> (s"""
       SELECT $fpSql AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
       FROM documents GROUP BY 1 ORDER BY fp"""),
+    "dedup_keep_first" -> (s"""
+      SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY $fpSql
+                 ORDER BY doc_id ASC) AS rn
+        FROM documents)
+      WHERE rn = 1 ORDER BY doc_id"""),
+    "export_roundtrip" -> ("""
+      SELECT event_id,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS ts,
+             user_id, event_type, value, props
+      FROM events ORDER BY event_id"""),
     "dedup_minhash_sig" -> (s"""
       $minhashCte
       SELECT doc_id, md5(${(0 until 8).map(j => s"m$j")
