@@ -80,6 +80,12 @@ object SparkEntry {
       Sampling.hashSample(Tables.load(s, d, "orders"), "o_orderkey", 100)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
         .orderBy("o_orderkey")),
+    // cap-per-slice sampling (deterministic): ≤20 docs per language
+    "sample_stratified_docs" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.load(s, d, "documents"),
+        "lang", "doc_id", 20)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("lang", "doc_id")),
     "sanitize_documents" -> ((s, d) => {
       val doc = Tables.load(s, d, "documents")
       doc.select(col("doc_id"),
@@ -722,6 +728,14 @@ object SparkEntry {
       SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
       WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
       ORDER BY o_orderkey"""),
+    "sample_stratified_docs" -> ("""
+      SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                 AS rn
+        FROM documents)
+      WHERE rn <= 20 ORDER BY lang, doc_id"""),
     "sanitize_documents" -> ("""
       SELECT doc_id,
              CASE WHEN LENGTH(text) > 500

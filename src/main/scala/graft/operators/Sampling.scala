@@ -46,6 +46,23 @@ object Sampling {
   def randomN(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed)).limit(n)
 
+  /** Deterministic stratified sample: up to `n` rows per stratum
+    * (language, source, quality bucket, ...), chosen by md5-of-key
+    * order rather than RNG — the training-data "cap per slice"
+    * operation, reproducible across engines and cluster sizes. One
+    * shuffle keyed by the stratum; per-stratum state is a rank
+    * counter, so a hot stratum costs a big sort partition — for a
+    * degenerate stratum ratio pre-filter with [[hashSample]] first.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast(StringType)).asc, col(keyCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n).drop("_rn")
+  }
+
   /** P2: display sanitization of one string column — values whose
     * serialized form exceeds `maxLen` chars are replaced by the
     * reference's `"<type>(too large to display inline)"` marker

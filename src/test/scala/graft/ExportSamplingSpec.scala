@@ -72,6 +72,23 @@ class ExportSamplingSpec extends AnyFunSuite {
     assert(n1 > 700 && n1 < 1300)         // ~10% of 10k
   }
 
+  test("stratifiedSample: deterministic ≤n per stratum, full coverage") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("grp", (col("id") % 4).cast("string"))
+    val s1 = Sampling.stratifiedSample(df, "grp", "id", 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSeq.sorted
+    val s2 = Sampling.stratifiedSample(df, "grp", "id", 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSeq.sorted
+    assert(s1 == s2)                                       // reproducible
+    val perGrp = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perGrp.keySet == Set("0", "1", "2", "3"))       // all strata
+    assert(perGrp.values.forall(_ == 10))                  // exact cap
+    // a stratum smaller than n yields all its rows, not a failure
+    val tiny = Sampling.stratifiedSample(
+      df.filter(col("id") < 6), "grp", "id", 10)
+    assert(tiny.count() == 6)
+  }
+
   test("newestN plans a top-k, not a full sort") {
     val df = spark.range(1000).toDF("id")
     val plan = Sampling.newestN(df, "id", 5)
