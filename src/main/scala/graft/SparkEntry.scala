@@ -71,6 +71,10 @@ object SparkEntry {
       JsonProfiler.typeHistogram(jsonDocsCollection(s, d), "doc")),
     "json_schema_docs" -> ((s, d) =>
       JsonProfiler.flatSchema(jsonDocsCollection(s, d), "doc")),
+    // complete one-pass raw-document answer: mixed-type histogram +
+    // top-k + bounded cardinality, all oracle-checked
+    "json_full_docs" -> ((s, d) =>
+      JsonProfiler.profileFull(jsonDocsCollection(s, d), "doc")),
     // — sampling / exploration (SURVEY §2.1 S2-S3, §2.2 P2-P3) —
     "newest_events" -> ((s, d) =>
       Sampling.newestN(Tables.load(s, d, "events"), "event_id", 20)
@@ -829,6 +833,83 @@ object SparkEntry {
       SELECT * FROM (VALUES ('flag', 'bool'), ('id', 'int32'),
         ('lang', 'str'), ('meta.n', 'double'), ('tags', 'array<str>'),
         ('tags[]', 'str'), ('val', 'int32')) AS t(path, type_tag)
+      ORDER BY path"""),
+    "json_full_docs" -> (s"""
+      $jsonDocsCte,
+      tvals AS (
+        SELECT 'lang' AS path, lang AS v FROM d
+        UNION ALL SELECT 'val', source FROM d WHERE doc_id % 3 = 1
+        UNION ALL SELECT 'tags[]', lang FROM d WHERE doc_id % 5 = 0
+        UNION ALL SELECT 'tags[]', source FROM d WHERE doc_id % 5 = 0),
+      tv AS (
+        SELECT path, '{' || string_agg('"' || v || '":' || c,
+            ',' ORDER BY c DESC, v ASC) || '}' AS tvs
+        FROM (SELECT path, v, c,
+                ROW_NUMBER() OVER (PARTITION BY path
+                  ORDER BY c DESC, v ASC) AS rn
+              FROM (SELECT path, v, COUNT(*) AS c FROM tvals
+                    GROUP BY 1, 2))
+        WHERE rn <= 5 GROUP BY path)
+      SELECT 'flag' AS path,
+        COUNT(CASE WHEN doc_id % 4 = 0 THEN 1 END) AS n_present,
+        (COUNT(*) - COUNT(CASE WHEN doc_id % 4 = 0 THEN 1 END))
+          * 100.0 / COUNT(*) AS missing_pct,
+        COUNT(DISTINCT CASE WHEN doc_id % 4 = 0 THEN 'true' END)
+          AS cardinality,
+        FALSE AS cardinality_approx,
+        CAST(NULL AS DOUBLE) AS num_min, CAST(NULL AS DOUBLE) AS num_max,
+        '{"bool":' || COUNT(CASE WHEN doc_id % 4 = 0 THEN 1 END)
+          || ',"null":' || COUNT(CASE WHEN doc_id % 4 = 1 THEN 1 END)
+          || '}' AS type_distribution,
+        '{}' AS top_values
+      FROM d
+      UNION ALL SELECT 'id', COUNT(*),
+        (COUNT(*) - COUNT(*)) * 100.0 / COUNT(*),
+        COUNT(DISTINCT doc_id), FALSE,
+        MIN(CAST(doc_id AS DOUBLE)), MAX(CAST(doc_id AS DOUBLE)),
+        '{"int32":' || COUNT(*) || '}', '{}' FROM d
+      UNION ALL SELECT 'lang', COUNT(lang),
+        (COUNT(*) - COUNT(lang)) * 100.0 / COUNT(*),
+        COUNT(DISTINCT lang), FALSE,
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        '{"str":' || COUNT(lang) || '}',
+        (SELECT tvs FROM tv WHERE tv.path = 'lang') FROM d
+      UNION ALL SELECT 'meta.n', COUNT(*),
+        (COUNT(*) - COUNT(*)) * 100.0 / COUNT(*),
+        COUNT(DISTINCT n_chars), FALSE,
+        MIN(n_chars + 0.5), MAX(n_chars + 0.5),
+        '{"double":' || COUNT(*) || '}', '{}' FROM d
+      UNION ALL SELECT 'tags',
+        COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END),
+        (COUNT(*) - COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END))
+          * 100.0 / COUNT(*),
+        COUNT(DISTINCT CASE WHEN doc_id % 5 = 0
+          THEN '["' || lang || '","' || source || '"]' END), FALSE,
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        '{"array<str>":' || COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END)
+          || '}', '{}' FROM d
+      UNION ALL SELECT 'tags[]',
+        2 * COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END),
+        CAST(NULL AS DOUBLE),
+        (SELECT COUNT(DISTINCT x) FROM (
+           SELECT lang AS x FROM d WHERE doc_id % 5 = 0
+           UNION SELECT source FROM d WHERE doc_id % 5 = 0)), FALSE,
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        '{"str":' || 2 * COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END)
+          || '}',
+        (SELECT tvs FROM tv WHERE tv.path = 'tags[]') FROM d
+      UNION ALL SELECT 'val',
+        COUNT(CASE WHEN doc_id % 3 < 2 THEN 1 END),
+        (COUNT(*) - COUNT(CASE WHEN doc_id % 3 < 2 THEN 1 END))
+          * 100.0 / COUNT(*),
+        COUNT(DISTINCT CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR)
+                            WHEN doc_id % 3 = 1 THEN source END), FALSE,
+        MIN(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS DOUBLE) END),
+        MAX(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS DOUBLE) END),
+        '{"int32":' || COUNT(CASE WHEN doc_id % 3 = 0 THEN 1 END)
+          || ',"str":' || COUNT(CASE WHEN doc_id % 3 = 1 THEN 1 END)
+          || '}',
+        (SELECT tvs FROM tv WHERE tv.path = 'val') FROM d
       ORDER BY path"""),
     "schema_flat_events" -> ("""
       SELECT 'event_id' AS path, 'int64' AS type_tag

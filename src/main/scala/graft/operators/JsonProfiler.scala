@@ -61,6 +61,38 @@ object JsonProfiler {
       .orderBy("path")
   }
 
+  /** The complete raw-document answer in ONE pass: per-path counts,
+    * missing%, bounded-exact cardinality, numeric min/max, the
+    * per-VALUE type histogram (`type_distribution` in its full
+    * mixed-type glory) and Misra-Gries top-k string values — the
+    * [[Profiler.profileFull]] twin for schemaless input. Maps render
+    * as deterministic sorted JSON.
+    */
+  def profileFull(df: DataFrame, jsonCol: String,
+                  exactLimit: Int = 100000,
+                  topkCap: Int = 256): DataFrame = {
+    import graft.functions.ProfileAggregate.profileAgg
+    import org.apache.spark.sql.types.TimestampType
+    val flat = flattenJson(df, jsonCol, emitRoot = true)
+    val rows = flat.groupBy("path")
+      .agg(profileAgg(col("vstr"), col("vnum"),
+        lit(null).cast(TimestampType), col("vtag"),
+        exactLimit, topkCap).as("p"))
+      .select(col("path"), col("p.*"))
+    val total = max(when(col("path") === "", col("seen")))
+      .over(Window.partitionBy())
+    rows.withColumn("missing_pct",
+        when(col("path").contains("[]"), lit(null).cast("double"))
+          .otherwise((total - col("n_present")) * 100.0 / total))
+      .filter(col("path") =!= "")
+      .select(col("path"), col("n_present"), col("missing_pct"),
+        col("cardinality"), col("cardinality_approx"),
+        col("num_min"), col("num_max"),
+        to_json(col("type_counts")).as("type_distribution"),
+        to_json(col("top_values")).as("top_values"))
+      .orderBy("path")
+  }
+
   /** Built-in-aggregates twin of [[profileStats]] (exact countDistinct
     * over value strings) — cross-check plan only.
     */
