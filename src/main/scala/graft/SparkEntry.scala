@@ -164,6 +164,12 @@ object SparkEntry {
       val e = Tables.load(s, d, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 5)
     }),
+    // IVF ANN: deterministically-sampled centroids make the whole
+    // index + probe pipeline oracle-replayable (unlike trained k-means)
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
     "embedding_near_dups" -> ((s, d) =>
       Similarity.exactNearDups(Tables.load(s, d, "embeddings"),
         threshold = 0.5)),
@@ -617,6 +623,39 @@ object SparkEntry {
                    ROW_NUMBER() OVER (PARTITION BY qid
                      ORDER BY score DESC, nid ASC) AS rank
             FROM sc)
+      WHERE rank <= 5 ORDER BY query_id, rank"""),
+    "ann_ivf_topk" -> (s"""
+      WITH cent AS (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(cid0 AS VARCHAR)) ASC, cid0 ASC)
+                 AS cid, cvec
+        FROM (SELECT vec_id AS cid0, embedding AS cvec FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+              LIMIT 16)),
+      assign AS (
+        SELECT id, vec, cid FROM (
+          SELECT e.vec_id AS id, e.embedding AS vec, cent.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql.format("e.embedding", "cent.cvec")}
+                     DESC, cent.cid ASC) AS crn
+          FROM embeddings e CROSS JOIN cent)
+        WHERE crn = 1),
+      probes AS (
+        SELECT query_id, qvec, cid FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS qvec, cent.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql.format("q.embedding", "cent.cvec")}
+                     DESC, cent.cid ASC) AS crn
+          FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 20)
+        WHERE crn <= 4)
+      SELECT query_id, neighbor_id, score, rank FROM (
+        SELECT p.query_id, a.id AS neighbor_id,
+               ${cosSql.format("p.qvec", "a.vec")} AS score,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY ${cosSql.format("p.qvec", "a.vec")} DESC,
+                   a.id ASC) AS rank
+        FROM probes p JOIN assign a
+          ON a.cid = p.cid AND a.id <> p.query_id)
       WHERE rank <= 5 ORDER BY query_id, rank"""),
     "embedding_near_dups" -> (s"""
       SELECT id1, id2, score FROM (

@@ -132,6 +132,72 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF centroids: `nlist` corpus vectors picked by md5-of-id order —
+    * deterministic "random" sampling any engine reproduces (the same
+    * trick as [[Sampling.hashSample]]), standing in for trained
+    * k-means centroids whose RNG no oracle could replay. Returns
+    * (cid ∈ 1..nlist, cvec).
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val w = Window.orderBy(col("h").asc, col("cid0").asc)
+    corpus.select(col(idCol).as("cid0"), col(vecCol).as("cvec"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h").asc, col("cid0").asc).limit(nlist)
+      .withColumn("cid", row_number().over(w).cast("long"))
+      .select(col("cid"), col("cvec"))
+  }
+
+  /** IVF (inverted-file) ANN top-k: corpus vectors are assigned to
+    * their nearest centroid's list ONCE; each query scores only the
+    * vectors in its `nprobe` nearest lists. The second classic ANN
+    * shape next to [[lshTopK]] — at 100 TB the assignment is the
+    * index: write the corpus partitioned by `cid` and a query batch
+    * touches nprobe/nlist of the data. `nprobe = nlist` degenerates to
+    * exact brute force (the spec asserts equality with
+    * [[bruteForceTopK]]); smaller nprobe trades recall for work.
+    * Fully deterministic (sampled centroids + round(…,6) scores +
+    * id tie-breaks), so the DuckDB oracle replays it bit-for-bit.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cent = broadcast(ivfCentroids(corpus, nlist, idCol, vecCol))
+    // corpus → one list each: argmax cosine over centroids
+    val aw = Window.partitionBy("id")
+      .orderBy(col("cscore").desc, col("cid").asc)
+    val assigned = graft.util.Utils.spread(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(cent)
+      .withColumn("cscore", cosine(col("vec"), col("cvec")))
+      .withColumn("crn", row_number().over(aw))
+      .filter(col("crn") === 1)
+      .select(col("id"), col("vec"), col("cid"))
+    // queries → nprobe nearest lists
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .join(cent)
+      .withColumn("cscore", cosine(col("qvec"), col("cvec")))
+      .withColumn("crn", row_number().over(qw))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cid"))
+    // a corpus vector lives in exactly one list → candidates are
+    // already unique, no distinct needed
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("score", cosine(col("qvec"), col("vec")))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact embedding near-dup pairs: all pairs above a cosine
     * threshold by brute force — the recall-1.0 baseline, quadratic:
     * use [[embeddingNearDups]] (LSH) beyond ~10⁵ vectors.

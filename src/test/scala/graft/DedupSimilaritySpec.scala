@@ -93,6 +93,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("IVF topk: probing every list reproduces brute force exactly") {
+    val queries = clustered.filter($"vec_id" % 8 === 0).limit(10)
+    val exact = Similarity.bruteForceTopK(clustered, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+    val ivfAll = Similarity.ivfTopK(clustered, queries, k = 5,
+        nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+    assert(ivfAll == exact)
+    // partial probing is a subset of the right answers with recall > 0
+    val ivf2 = Similarity.ivfTopK(clustered, queries, k = 5,
+        nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    assert(ivf2.nonEmpty)
+    assert((ivf2 & exactSet).nonEmpty)
+  }
+
   test("LSH topk recall ≥ 0.8 vs brute force on clustered vectors") {
     val queries = clustered.filter($"vec_id" % 8 === 0).limit(10)
     val exact = Similarity.bruteForceTopK(clustered, queries, k = 5)
