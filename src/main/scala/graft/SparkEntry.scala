@@ -146,6 +146,10 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashNearDups(Tables.load(s, d, "documents"),
         threshold = 0.3)),
+    // pairwise near-dups → transitive keep-one-per-group labels
+    "dedup_groups_minhash" -> ((s, d) =>
+      Dedup.connectedGroups(Dedup.minhashNearDups(
+        Tables.load(s, d, "documents"), threshold = 0.3))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.load(s, d, "documents"))
         .select(col("id").as("doc_id"), col("simhash"))
@@ -234,10 +238,17 @@ object SparkEntry {
     * by doc_id%4, `tags` is array<str> in doc_id%5==0 docs, `meta.n`
     * is a nested double.
     */
+  /** Bump when [[jsonDocsRender]]'s output changes: the version is part
+    * of the on-disk cache key, so a stale jsonl from an older render
+    * can never poison the oracle comparison.
+    */
+  private val JsonDocsRenderVersion = 1
+
   private[graft] def jsonDocsCollection(s: SparkSession, d: String)
       : DataFrame = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"$d#v$JsonDocsRenderVersion".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_$key"
     val done = new java.io.File(s"$path/_SUCCESS")
     if (!done.exists()) {
@@ -366,6 +377,31 @@ object SparkEntry {
   }
   private val cosSql =
     "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
+
+  /** [[minhashCte]] extended through banding, candidate join and
+    * Jaccard verify to `mhp(id1, id2, jaccard)` — the thresholded
+    * near-dup pairs shared by the pair and group oracles. Mirrors
+    * `Dedup.minhashNearDups(threshold = 0.3)` exactly.
+    */
+  private val minhashPairsCtes =
+    s"""$minhashCte,
+       |bands AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS bi, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bk FROM sig")
+          .mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bands a JOIN bands b
+       |           ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |j AS (SELECT id1, id2,
+       |        len(list_intersect(s1.sh, s2.sh)) AS shared,
+       |        len(s1.sh) AS sz1, len(s2.sh) AS sz2
+       |      FROM cand JOIN s s1 ON s1.doc_id = id1
+       |                JOIN s s2 ON s2.doc_id = id2),
+       |mhp AS (SELECT id1, id2,
+       |          round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared), 6)
+       |            AS jaccard
+       |        FROM j
+       |        WHERE round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared),
+       |          6) >= 0.3)""".stripMargin
 
   /** doc_id → simhash CTE prefix (ends with `sh(doc_id, simhash)`),
     * shared by the signature and near-dup-pair oracles — mirrors
@@ -536,24 +572,21 @@ object SparkEntry {
         .mkString(" || '|' || ")}) AS sig_hash
       FROM sig ORDER BY doc_id"""),
     "dedup_minhash_pairs" -> (s"""
-      $minhashCte,
-      bands AS (${(0 until 4).map(b =>
-        s"SELECT doc_id, $b AS bi, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bk FROM sig")
-        .mkString("\n        UNION ALL ")}),
-      cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-               FROM bands a JOIN bands b
-                 ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
-      j AS (SELECT id1, id2,
-              len(list_intersect(s1.sh, s2.sh)) AS shared,
-              len(s1.sh) AS sz1, len(s2.sh) AS sz2
-            FROM cand JOIN s s1 ON s1.doc_id = id1
-                      JOIN s s2 ON s2.doc_id = id2)
-      SELECT id1, id2,
-             round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared), 6)
-               AS jaccard
-      FROM j
-      WHERE round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared), 6) >= 0.3
-      ORDER BY id1, id2"""),
+      $minhashPairsCtes
+      SELECT id1, id2, jaccard FROM mhp ORDER BY id1, id2"""),
+    // transitive groups: min reachable id through the pair graph,
+    // computed by a recursive reachability CTE (feasible at oracle
+    // scale; the engine uses the iterative min-label loop)
+    "dedup_groups_minhash" -> (s"""
+      ${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      ed AS (SELECT id1 AS a, id2 AS b FROM mhp
+             UNION ALL SELECT id2, id1 FROM mhp),
+      reach AS (
+        SELECT a AS id, a AS x FROM ed
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN ed e ON e.a = r.x)
+      SELECT id, MIN(x) AS group_rep FROM reach GROUP BY id
+      ORDER BY id"""),
     "dedup_simhash" -> (s"""
       $simhashCte
       SELECT doc_id, simhash FROM sh ORDER BY doc_id"""),

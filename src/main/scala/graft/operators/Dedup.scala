@@ -231,6 +231,51 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Transitive near-dup groups from a pair list: each node labeled
+    * with the minimum id reachable through the pair graph — the step
+    * that turns pairwise near-dup output into "keep one per group".
+    * Standard distributed connected-components by iterative min-label
+    * propagation: every round each node takes the min of its own and
+    * its neighbors' labels; converges in O(graph diameter) rounds
+    * (near-dup graphs are clique-ish, so a handful). The driver loop
+    * is bounded by `maxIter` and runs one cheap count per round — the
+    * accepted shape for CC at scale (GraphX/GraphFrames do the same);
+    * at 100 TB checkpoint `labels` every ~10 rounds to cut lineage.
+    * Returns (id, group_rep).
+    */
+  def connectedGroups(pairs: DataFrame, idCol1: String = "id1",
+                      idCol2: String = "id2",
+                      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+      .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("b"), col("rep").as("brep")),
+          Seq("b"))
+        .groupBy("a").agg(min(col("brep")).as("nrep"))
+        .select(col("a").as("id"), col("nrep"))
+      val next = labels
+        .join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.select(col("id"), col("rep").as("old")), Seq("id"))
+        .filter(col("rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("rep").as("group_rep")).orderBy("id")
+  }
+
   /** n-gram Jaccard near-dups via inverted shingle index: explode
     * distinct shingles, self-join on shingle (docs sharing ≥1 shingle),
     * count shared, compute exact Jaccard. maxDf drops

@@ -93,6 +93,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("connectedGroups: transitive min-label over the pair graph") {
+    // chain 1-2-3-4 (needs several propagation rounds), plus two more
+    // components — reps must be the component-wide minimum ids
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (5L, 6L), (8L, 9L),
+      (7L, 8L)).toDF("id1", "id2")
+    val g = Dedup.connectedGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("IVF topk: probing every list reproduces brute force exactly") {
     val queries = clustered.filter($"vec_id" % 8 === 0).limit(10)
     val exact = Similarity.bruteForceTopK(clustered, queries, k = 5)
