@@ -27,7 +27,14 @@ object Bench {
     // runs ~40 queries and stray full-GC pauses were landing on random
     // queries (20s+ spikes on otherwise-200ms work); the min isolates
     // the query's own cost.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_ONLY=q1_agg,q6_filter_agg times a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
