@@ -3,7 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to every core: the target environment is local[32] and the
+    // earlier hardcoded "4" quietly benchmarked 3x slower than the
+    // engine actually runs (BENCH_r03 90s vs 30s at 32 cores)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,8 +43,13 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
-        // free persisted intermediates so queries don't contend
+        // free persisted intermediates so queries don't contend.
+        // clearCache() covers DataFrame persist(); the RDD sweep covers
+        // localCheckpoint blocks (iterative CC), which the catalog
+        // cache does not track.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         dt
       }
       System.gc()

@@ -280,22 +280,22 @@ object Dedup {
         .select(col("a").as("id"), col("nrep"))
       val stepped = labels
         .join(nbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("rep").as("old"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
       // pointer jump: rep ← rep(rep). Reps are themselves node ids, so
       // the self-join always resolves; left join guards the fixpoint
-      // rows where rep == id.
+      // rows where rep == id. The pre-step label rides along as `old`
+      // so convergence is a cheap scan of the checkpointed result —
+      // not a second join+count job against the previous round.
       val next = stepped
         .join(stepped.select(col("id").as("rid"), col("rep").as("rrep")),
           stepped("rep") === col("rid"), "left")
-        .select(stepped("id"),
+        .select(stepped("id"), stepped("old"),
           least(stepped("rep"), coalesce(col("rrep"), stepped("rep")))
             .as("rep"))
         .localCheckpoint()   // eager: materializes + cuts the lineage
-      val changed = next
-        .join(labels.select(col("id"), col("rep").as("old")), Seq("id"))
-        .filter(col("rep") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("rep") =!= col("old")).count()
+      labels = next.select(col("id"), col("rep"))
       converged = changed == 0
       iter += 1
     }
