@@ -192,6 +192,7 @@ object SparkEntry {
     "semi_anti_join" -> Relational.semiAnti _,
     "event_rollup" -> Relational.eventRollup _,
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "asof_attribution" -> Relational.asofAttribution _,
     "rollup_agg" -> Relational.rollupAgg _,
     "cube_agg" -> Relational.cubeAgg _,
     "collection_stats" -> ((s, d) =>
@@ -1097,6 +1098,21 @@ object SparkEntry {
              ${sumD(s"CAST(value AS $M)")} AS sum_value
       FROM s GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx"""),
+    "asof_attribution" -> ("""
+      WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                         event_type, value FROM events),
+      c AS (SELECT event_id, user_id, ts FROM ev
+            WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+            FROM ev WHERE event_type = 'purchase')
+      SELECT c.event_id, c.user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             p.p_event_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+             p.p_value
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.event_id"""),
     "rollup_agg" -> (s"""
       SELECT l_returnflag, l_linestatus,
              ${sumD(s"CAST(l_quantity AS $M)")} AS sum_qty,

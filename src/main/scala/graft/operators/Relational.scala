@@ -264,4 +264,66 @@ object Relational {
         max(col("value")).as("max_value"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type", "hour")
+
+  /** As-of join: for each left row, the latest right row with the same
+    * keys and `right.time <= left.time` (inclusive). Spark has no ASOF
+    * operator; the naive encoding — an inequality join + per-left-row
+    * max — plans as a range join (BroadcastNestedLoop or an exploded
+    * theta-join), quadratic inside a key. This is the merge shape
+    * instead: union both sides, one window over (keys, time), running
+    * `last(payload, ignoreNulls)`. One shuffle + one sort, linear per
+    * key — at 100 TB it is exactly the sort-merge ASOF plan native
+    * engines (and DuckDB's ASOF JOIN) use, expressed declaratively.
+    *
+    * The right payload rides as a single struct so `last(ignoreNulls)`
+    * is row-atomic: per-column lasts could stitch fields from
+    * *different* right rows when a payload field is legitimately null.
+    * Ties: right rows sort before left rows at equal time (inclusive
+    * as-of); among right rows with identical (keys, time) the highest
+    * `tieCol` wins — deterministic, and mirrored by the oracle.
+    *
+    * @param right must contain `keys :+ timeCol :+ tieCol` plus the
+    *              payload columns; payload names must not collide with
+    *              left columns.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               timeCol: String, tieCol: String,
+               payload: Seq[String]): DataFrame = {
+    val pay = struct(payload.map(col): _*).as("_pay")
+    val r = right.select(
+      (keys :+ timeCol).map(col) ++ Seq(pay, lit(0).as("_side"),
+        col(tieCol).as("_tie")): _*)
+    val l = left.withColumn("_pay", lit(null).cast(r.schema("_pay").dataType))
+      .withColumn("_side", lit(1)).withColumn("_tie", lit(null).cast("long"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("_side").asc, col("_tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"_m.$p").as(p)): _*)
+  }
+
+  /** Purchase attribution via as-of join: each click joined to the
+    * user's most recent purchase at-or-before the click. The classic
+    * funnel/attribution query (and the ASOF JOIN litmus test — DuckDB
+    * runs the oracle with its native ASOF LEFT JOIN).
+    */
+  def asofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    asofJoin(clicks, purchases, Seq("user_id"), "ts", "event_id",
+        Seq("p_event_id", "p_ts", "p_value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), fmt).as("ts"), col("p_event_id"),
+        date_format(col("p_ts"), fmt).as("p_ts"), col("p_value"))
+      .orderBy("event_id")
+  }
 }
