@@ -159,6 +159,21 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardNearDups(Tables.load(s, d, "documents"),
         threshold = 0.1)),
+    "decontaminate" -> ((s, d) =>
+      Dedup.decontaminate(Tables.load(s, d, "documents"))),
+    "dedup_against" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val seenHex = Seq("0", "1", "2", "3")
+      Dedup.dedupAgainst(docs.filter(!h.isin(seenHex: _*)),
+          docs.filter(h.isin(seenHex: _*)))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "text_topterms" -> ((s, d) =>
+      TextAnalysis.topTerms(Tables.load(s, d, "documents"))),
+    "corpus_filter" -> ((s, d) =>
+      TextAnalysis.qualityFilter(Tables.load(s, d, "documents"))),
     // — similarity search —
     "ann_cosine_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
@@ -198,6 +213,17 @@ object SparkEntry {
     "collection_stats" -> ((s, d) =>
       Tables.describeCollections(s, d)
         .select(col("collection"), col("doc_count"))),
+    // S12 end-to-end: stats → QUOTE_ALL CSV sink → schema'd read-back;
+    // puts the CSV writer (quoting, header) under the oracle gate the
+    // same way export_roundtrip covers the gzip JSON sink
+    "csv_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+      Export.writeCsv(Tables.describeCollections(s, d)
+        .select(col("collection"), col("doc_count")), out)
+      s.read.option("header", "true")
+        .schema("collection STRING, doc_count BIGINT").csv(out)
+        .orderBy("collection")
+    }),
     // catalog-wide inferred schema: every collection's flat schema in
     // one DataFrame (the "what is the shape of this database" answer)
     "catalog_schema" -> ((s, d) =>
@@ -359,6 +385,44 @@ object SparkEntry {
     s"len(list_filter(toks, x -> x IN ${inList(TextAnalysis.stopwords(lang))}))"
   private val fpSql =
     """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+  /** Language-ID CASE expression over `toks` — TextAnalysis.langId. */
+  private val langSql =
+    s"""CASE WHEN greatest(${stopHits("en")}, ${stopHits("es")},
+       |                   ${stopHits("de")}, ${stopHits("fr")}) = 0
+       |       THEN 'unknown'
+       |     WHEN ${stopHits("en")} >= ${stopHits("es")}
+       |      AND ${stopHits("en")} >= ${stopHits("de")}
+       |      AND ${stopHits("en")} >= ${stopHits("fr")} THEN 'en'
+       |     WHEN ${stopHits("es")} >= ${stopHits("de")}
+       |      AND ${stopHits("es")} >= ${stopHits("fr")} THEN 'es'
+       |     WHEN ${stopHits("de")} >= ${stopHits("fr")} THEN 'de'
+       |     ELSE 'fr' END""".stripMargin
+  /** Quality score over (text, toks) — TextAnalysis.qualityScore. */
+  private val qualitySql =
+    s"""round(0.4 * least(1.0, len(toks) / 100.0)
+       |    + 0.3 * least(1.0, CAST(${stopHits("en")} AS DOUBLE)
+       |        / len(toks) * 5.0)
+       |    + 0.3 * greatest(0.0, 1.0
+       |        - CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+       |            '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+       |          / LENGTH(text) * 5.0), 6)""".stripMargin
+  private val statsOracle = """
+      SELECT 'customer' AS collection, (SELECT COUNT(*) FROM customer) AS doc_count
+      UNION ALL SELECT 'documents', (SELECT COUNT(*) FROM documents)
+      UNION ALL SELECT 'embeddings', (SELECT COUNT(*) FROM embeddings)
+      UNION ALL SELECT 'events', (SELECT COUNT(*) FROM events)
+      UNION ALL SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem)
+      UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation)
+      UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM orders)
+      UNION ALL SELECT 'part', (SELECT COUNT(*) FROM part)
+      UNION ALL SELECT 'region', (SELECT COUNT(*) FROM region)
+      UNION ALL SELECT 'supplier', (SELECT COUNT(*) FROM supplier)
+      ORDER BY collection"""
+  /** 8-gram shingle list over `toks` (decontamination granularity). */
+  private val shingles8Sql =
+    """CASE WHEN len(toks) < 8 THEN []
+      | ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+      |   i -> array_to_string(toks[i:i+7], ' '))) END""".stripMargin
   /** doc_id → (m0..m7) minhash CTE prefix (docs + toks + shingles).
     * Lane j = min over shingles of substr(md5((j/4) || ':' || x),
     * (j%4)*8+1, 8) — mirrors Dedup.minhashSignatures exactly.
@@ -533,25 +597,57 @@ object SparkEntry {
           AS n_bpeish,
         LENGTH(text) - LENGTH(regexp_replace(text,
           '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
-        CASE WHEN greatest(${stopHits("en")}, ${stopHits("es")},
-                           ${stopHits("de")}, ${stopHits("fr")}) = 0
-               THEN 'unknown'
-             WHEN ${stopHits("en")} >= ${stopHits("es")}
-              AND ${stopHits("en")} >= ${stopHits("de")}
-              AND ${stopHits("en")} >= ${stopHits("fr")} THEN 'en'
-             WHEN ${stopHits("es")} >= ${stopHits("de")}
-              AND ${stopHits("es")} >= ${stopHits("fr")} THEN 'es'
-             WHEN ${stopHits("de")} >= ${stopHits("fr")} THEN 'de'
-             ELSE 'fr' END AS lang_pred,
-        round(0.4 * least(1.0, len(toks) / 100.0)
-            + 0.3 * least(1.0, CAST(${stopHits("en")} AS DOUBLE)
-                / len(toks) * 5.0)
-            + 0.3 * greatest(0.0, 1.0
-                - CAST(LENGTH(text) - LENGTH(regexp_replace(text,
-                    '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
-                  / LENGTH(text) * 5.0), 6) AS quality,
+        $langSql AS lang_pred,
+        $qualitySql AS quality,
         $fpSql AS fingerprint
       FROM t ORDER BY doc_id"""),
+    "decontaminate" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s AS (SELECT doc_id,
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                AS is_test,
+              $shingles8Sql AS sh FROM t),
+      inv AS (SELECT doc_id, is_test, unnest(sh) AS g FROM s),
+      test AS (SELECT DISTINCT g, doc_id AS test_id FROM inv
+               WHERE is_test),
+      train AS (SELECT doc_id, g FROM inv WHERE NOT is_test)
+      SELECT train.doc_id,
+             COUNT(DISTINCT train.g) AS n_shared_ngrams,
+             COUNT(DISTINCT test_id) AS n_test_docs
+      FROM train JOIN test USING (g)
+      GROUP BY 1 ORDER BY doc_id"""),
+    "dedup_against" -> (s"""
+      WITH f AS (SELECT doc_id, source, n_chars, $fpSql AS fp,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+                 FROM documents)
+      SELECT doc_id, source, n_chars FROM f
+      WHERE h NOT IN ('0', '1', '2', '3')
+        AND fp NOT IN (SELECT fp FROM f WHERE h IN ('0', '1', '2', '3'))
+      ORDER BY doc_id"""),
+    "text_topterms" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      r AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+              CAST(tf.tf AS DOUBLE) / dfq.df AS score,
+              ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC,
+                         tf.term ASC) AS "rank"
+            FROM tf JOIN dfq USING (term))
+      SELECT doc_id, "rank", term, tf, df, score FROM r
+      WHERE "rank" <= 3 ORDER BY doc_id, "rank" ASC"""),
+    "corpus_filter" -> (s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id, len(toks) AS n_tokens, $qualitySql AS quality,
+              $langSql AS lang_pred FROM t)
+      SELECT doc_id, n_tokens, quality, lang_pred,
+             n_tokens >= 20 AS pass_len,
+             quality >= 0.3 AS pass_quality,
+             lang_pred <> 'unknown' AS pass_lang,
+             (n_tokens >= 20 AND quality >= 0.3
+              AND lang_pred <> 'unknown') AS keep
+      FROM m ORDER BY doc_id"""),
     "dedup_exact_groups" -> (s"""
       SELECT $fpSql AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
       FROM documents GROUP BY 1 ORDER BY fp"""),
@@ -1133,18 +1229,10 @@ object SparkEntry {
         "SELECT * FROM (VALUES ",
         ", ",
         ") AS t(collection, path, type_tag) ORDER BY collection, path")),
-    "collection_stats" -> ("""
-      SELECT 'customer' AS collection, (SELECT COUNT(*) FROM customer) AS doc_count
-      UNION ALL SELECT 'documents', (SELECT COUNT(*) FROM documents)
-      UNION ALL SELECT 'embeddings', (SELECT COUNT(*) FROM embeddings)
-      UNION ALL SELECT 'events', (SELECT COUNT(*) FROM events)
-      UNION ALL SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem)
-      UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation)
-      UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM orders)
-      UNION ALL SELECT 'part', (SELECT COUNT(*) FROM part)
-      UNION ALL SELECT 'region', (SELECT COUNT(*) FROM region)
-      UNION ALL SELECT 'supplier', (SELECT COUNT(*) FROM supplier)
-      ORDER BY collection"""),
+    "collection_stats" -> statsOracle,
+    // the CSV round-trip must reproduce the same rows the stats query
+    // produced — same oracle
+    "csv_roundtrip" -> statsOracle,
     "semi_anti_join" -> ("""
       SELECT c_custkey, c_name, c_mktsegment FROM customer
       WHERE c_custkey IN (SELECT o_custkey FROM orders

@@ -48,6 +48,46 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Benchmark decontamination: training documents that share any word
+    * n-gram with a held-out test split (the train/eval-overlap scan an
+    * LLM data pipeline runs before training). The split here is
+    * deterministic — docs whose md5(doc_id) starts with '0' or '1'
+    * (~1/8) stand in for the benchmark suite.
+    *
+    * Scale shape: the test side is a benchmark suite — tiny next to a
+    * 100 TB corpus — so its distinct n-gram set is broadcast and the
+    * scan over training shingles never shuffles the corpus; the only
+    * shuffle is the per-doc count aggregation on doc_id. n=8 keeps
+    * chance collisions nil (k-word n-grams, vocabulary^8 space).
+    */
+  def decontaminate(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", n: Int = 8): DataFrame = {
+    val isTest = substring(md5(col(idCol).cast("string")), 1, 1)
+      .isin("0", "1")
+    val sh = df.select(col(idCol).as("doc_id"), isTest.as("is_test"),
+      explode(array_distinct(shingles(col(textCol), n))).as("g"))
+    val test = sh.filter(col("is_test"))
+      .select(col("g"), col("doc_id").as("test_id")).distinct()
+    sh.filter(!col("is_test"))
+      .join(broadcast(test), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+        countDistinct(col("test_id")).as("n_test_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-corpus dedup: drop documents whose normalized-text
+    * fingerprint already exists in a reference corpus (the
+    * incremental-crawl shape: dedup the new batch against everything
+    * already ingested). Pure anti-join on the 16-byte fingerprint —
+    * one shuffle, no text ever crosses the wire.
+    */
+  def dedupAgainst(fresh: DataFrame, seen: DataFrame,
+                   textCol: String = "text"): DataFrame =
+    fresh.join(
+      seen.select(fingerprint(col(textCol)).as("_seen_fp")).distinct(),
+      fingerprint(fresh(textCol)) === col("_seen_fp"), "left_anti")
+
   /** MinHash signature: hash lane j (0-based) is the minimum over
     * shingles of an 8-hex-char slice of md5("g:" || shingle), where
     * g = j/4 — one md5 yields four independent 32-bit lanes, so

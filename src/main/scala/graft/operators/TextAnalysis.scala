@@ -104,6 +104,57 @@ object TextAnalysis {
       graft.functions.WordShingles(
         org.apache.spark.sql.graftshim.Shims.expression(c), n))
 
+  /** Top-k salient terms per document, scored by tf/df — the TF-IDF
+    * ordering with the rarity weight kept as a single IEEE division so
+    * the score is bit-reproducible across engines (log-based idf is
+    * libm-dependent; 1/df is the same monotone-in-rarity weight for
+    * ranking). Two shuffles: tf on (doc, term), df on term; the final
+    * per-doc top-k is a window over the already-partitioned join
+    * output. At 100 TB the df table is vocabulary-sized — small next
+    * to the corpus — and every aggregate has map-side partials.
+    */
+  def topTerms(df: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id", k: Int = 3): DataFrame = {
+    val tf = graft.util.Utils.spread(df)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Corpus quality gate: every document with its filter verdicts —
+    * length, quality-score, and language checks as explicit flags plus
+    * the combined keep decision (pipelines audit *why* a doc dropped,
+    * not just the survivor set). Pure row-local expression tree over
+    * [[textProfile]]'s formulas — no shuffle, scales linearly.
+    */
+  def qualityFilter(df: DataFrame, textCol: String = "text",
+                    minTokens: Int = 20,
+                    minQuality: Double = 0.3): DataFrame = {
+    val c = col(textCol)
+    graft.util.Utils.spread(df).select(
+      col("doc_id"),
+      tokenCount(c).cast("long").as("n_tokens"),
+      qualityScore(c).as("quality"),
+      langId(c).as("lang_pred"),
+      (tokenCount(c) >= minTokens).as("pass_len"),
+      (qualityScore(c) >= minQuality).as("pass_quality"),
+      (langId(c) =!= "unknown").as("pass_lang"))
+      .withColumn("keep",
+        col("pass_len") && col("pass_quality") && col("pass_lang"))
+      .orderBy("doc_id")
+  }
+
   /** Full per-document text profile over a documents table. */
   def textProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

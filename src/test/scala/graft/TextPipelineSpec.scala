@@ -1,0 +1,88 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Corpus-hygiene operators added for the training-data pipeline:
+  * decontamination, cross-corpus dedup, top-terms, quality gate.
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // ids routed to the operator's deterministic test split (md5 prefix
+  // '0'/'1') vs the training side, found by the same rule it uses
+  private val testIds = (1L to 200L)
+    .filter(i => "01".contains(md5hex(i.toString).charAt(0)))
+  private val trainIds = (1L to 200L)
+    .filterNot(i => "01".contains(md5hex(i.toString).charAt(0)))
+
+  test("decontaminate flags the train doc sharing an 8-gram with a test doc") {
+    val benchmark = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val clean = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (testIds.head, benchmark + " india juliett"),
+      (trainIds.head, "prefix words " + benchmark),        // contaminated
+      (trainIds(1), clean)
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(trainIds.head))
+    assert(out.head.getLong(1) == 1L)   // exactly the one shared 8-gram
+    assert(out.head.getLong(2) == 1L)   // from one test doc
+  }
+
+  test("decontaminate is empty when train and test share no n-gram") {
+    val docs = Seq(
+      (testIds.head, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (trainIds.head, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(docs).count() == 0)
+  }
+
+  test("dedupAgainst drops fresh docs whose normalized text is seen") {
+    val seen = Seq((1L, "Hello   World")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "hello world"),        // same after normalize/lower → dropped
+      (11L, "hello there world")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(fresh, seen).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(11L))
+  }
+
+  test("topTerms ranks by tf/df with term tie-break") {
+    // "rare" appears twice in doc 1 and nowhere else: tf/df = 2/1 = 2.
+    // "common" appears in both docs: tf/df = 1/2 each.
+    val docs = Seq(
+      (1L, "rare rare common zeta"),
+      (2L, "common beta beta beta")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.topTerms(docs, k = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getDouble(5)))
+    assert(r.filter(_._1 == 1L).map(t => (t._3, t._4)).toSeq ==
+      Seq(("rare", 2.0), ("zeta", 1.0)))
+    assert(r.filter(_._1 == 2L).map(_._3).toSeq == Seq("beta", "common"))
+  }
+
+  test("qualityFilter flags each rule separately") {
+    val longText = ("the quick brown fox jumps over the lazy dog " * 5).trim
+    val docs = Seq(
+      (1L, longText),          // passes all
+      (2L, "short text"),      // fails pass_len (and quality)
+      (3L, "xz " * 25)         // 25 tokens, no stopwords → fails lang
+    ).map { case (i, t) => (i, t.trim) }.toDF("doc_id", "text")
+    val m = TextAnalysis.qualityFilter(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(4), r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(m(1L) == (true, true, true))
+    assert(m(2L)._1 == false)
+    assert(m(2L)._3 == false)
+    assert(m(3L) == (true, false, false))
+  }
+}
