@@ -42,6 +42,24 @@ object ProfileStream {
         max(col("vnum")).as("num_max"))
   }
 
+  /** Streaming exact dedup: drop re-occurrences of a normalized-text
+    * fingerprint within the watermark horizon — the streaming
+    * counterpart of `Dedup.exactDedup` for a continuous ingest
+    * pipeline. `dropDuplicatesWithinWatermark` lets Spark evict
+    * fingerprints older than the watermark, so state is bounded at one
+    * 16-byte key per distinct document inside the horizon rather than
+    * growing with the full stream history (the unbounded-state trap of
+    * plain `dropDuplicates` on a stream).
+    */
+  def dedupStream(stream: DataFrame, tsCol: String,
+                  textCol: String = "text",
+                  watermarkDur: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("_fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDur)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** The flatten projection of the `_doc` struct column (reuses the
     * Profiler's schema walk through a one-field wrapper).
     */

@@ -57,6 +57,32 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(d3.contains("vanished path: b"))
   }
 
+  test("dedupStream keeps one row per fingerprint within the horizon") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    val in = dir.toString + "/in"
+    Seq(
+      (1L, "2024-01-01 10:00:00", "hello   world"),
+      (2L, "2024-01-01 10:00:01", "Hello World"),   // same normalized fp
+      (3L, "2024-01-01 10:00:02", "different text")
+    ).toDF("id", "ts", "text")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = ProfileStream.dedupStream(stream, "ts")
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select id from sdedup").collect()
+        .map(_.getLong(0)).sorted
+      assert(rows.length == 2)
+      assert(rows.contains(3L))
+      assert(rows.exists(id => id == 1L || id == 2L))
+    } finally q.stop()
+  }
+
   test("TextAnalysis.qualityScore: empty/whitespace text scores 0") {
     import graft.operators.TextAnalysis
     val df = Seq("", "   ", "real words here").toDF("text")
