@@ -287,23 +287,60 @@ object Dedup {
     */
   def connectedGroups(pairs: DataFrame, idCol1: String = "id1",
                       idCol2: String = "id2",
-                      maxIter: Int = 50): DataFrame = {
+                      maxIter: Int = 50,
+                      localEdgeLimit: Long = 4000000L): DataFrame = {
     // materialize the (typically expensive) pair pipeline exactly once
     // BEFORE fanning out: the symmetric union references `pairs` twice
     // and the loop rounds many more times — branches racing a cold
     // cache each recompute the whole upstream near-dup job (measured
-    // 8× slower without the eager point here)
-    // materialize the (typically expensive) pair pipeline exactly once
-    // and TRUNCATE its lineage: an iterative loop over plain persisted
-    // DataFrames nests every prior round's logical plan inside the
-    // next one, and Catalyst (re)optimization time grows exponentially
-    // with rounds — measured 100s+ on a 256-pair graph. localCheckpoint
-    // replaces the plan with the materialized partitions; on a real
-    // cluster use a reliable checkpoint dir instead (executor loss
-    // invalidates local checkpoints).
+    // 8× slower without the eager point here). The count also feeds
+    // the size dispatch below.
     val p = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    p.count()
+    val nEdges = p.count()
+    // Small-graph fast path: a near-dup edge list is duplicate-pairs
+    // only — usually minuscule next to the corpus that produced it
+    // (250 edges from 5k docs here; even a 1%-dup 10B-doc corpus is
+    // ~100M edges, and 4M longs is a few hundred MB of driver heap).
+    // Below the limit a driver union-find answers in one collect,
+    // where the distributed loop pays ~5 rounds of join + checkpoint
+    // + count latency for the same output. Long-id graphs only; the
+    // iterative pointer-jumping path remains the at-scale shape.
+    if (nEdges <= localEdgeLimit &&
+        p.schema.fields.forall(_.dataType == LongType)) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x   // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      p.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(ra, rb)
+      }
+      p.unpersist()
+      val minOfRoot = new java.util.HashMap[Long, Long]()
+      parent.keySet().forEach { id =>
+        val r = find(id)
+        minOfRoot.merge(r, id, (x, y) => math.min(x, y))
+      }
+      val out = parent.keySet().toArray(Array.empty[java.lang.Long])
+        .map(id => (id.longValue, minOfRoot.get(find(id.longValue)).longValue))
+      return out.toSeq.toDF("id", "group_rep").orderBy("id")
+    }
+    // Distributed path. TRUNCATE lineage every round: an iterative loop
+    // over plain persisted DataFrames nests every prior round's logical
+    // plan inside the next one, and Catalyst (re)optimization time
+    // grows exponentially with rounds — measured 100s+ on a 256-pair
+    // graph. localCheckpoint replaces the plan with the materialized
+    // partitions; on a real cluster use a reliable checkpoint dir
+    // instead (executor loss invalidates local checkpoints).
     val edges = p
       .union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()

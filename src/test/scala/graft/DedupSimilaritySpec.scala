@@ -102,6 +102,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // the distributed pointer-jumping path (localEdgeLimit = 0 forces
+    // it) must produce the identical labeling
+    val gd = Dedup.connectedGroups(pairs, localEdgeLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gd == g)
   }
 
   test("IVF topk: probing every list reproduces brute force exactly") {
