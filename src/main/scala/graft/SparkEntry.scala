@@ -85,6 +85,15 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
         .orderBy("o_orderkey")),
     // cap-per-slice sampling (deterministic): ≤20 docs per language
+    // training-data mixture: per-source keep rates, row-local hash
+    // threshold — no shuffle, reproducible on any partitioning
+    "sample_mixture_docs" -> ((s, d) =>
+      Sampling.mixtureSample(Tables.load(s, d, "documents"),
+          "source", "doc_id",
+          Map("src0" -> 1000, "src1" -> 500, "src2" -> 250),
+          defaultPermille = 100)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")),
     "sample_stratified_docs" -> ((s, d) =>
       Sampling.stratifiedSample(Tables.load(s, d, "documents"),
         "lang", "doc_id", 20)
@@ -901,6 +910,15 @@ object SparkEntry {
       SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
       WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
       ORDER BY o_orderkey"""),
+    "sample_mixture_docs" -> (s"""
+      SELECT doc_id, source, lang FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        CASE source
+          WHEN 'src0' THEN '${Sampling.hexThreshold(1000)}'
+          WHEN 'src1' THEN '${Sampling.hexThreshold(500)}'
+          WHEN 'src2' THEN '${Sampling.hexThreshold(250)}'
+          ELSE '${Sampling.hexThreshold(100)}' END
+      ORDER BY doc_id"""),
     "sample_stratified_docs" -> ("""
       SELECT doc_id, lang, source FROM (
         SELECT doc_id, lang, source,

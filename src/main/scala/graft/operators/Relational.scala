@@ -305,6 +305,32 @@ object Relational {
         payload.map(p => col(s"_m.$p").as(p)): _*)
   }
 
+  /** Skew-safe equi-join: the classic salting rewrite for when one
+    * probe-side key dominates (a power-law key on a 100 TB fact table
+    * puts one reducer at 1000× the median and stalls the stage). Each
+    * probe row picks a deterministic salt in [0, salt) from a hash of
+    * the whole row; the build side replicates `salt` ways; the join key
+    * becomes (key, _salt), spreading the hot key over `salt` reducers
+    * at the cost of a `salt`× build-side duplication — which is why the
+    * build side should be the small one.
+    *
+    * Prefer AQE's runtime skew-join split
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default) when it
+    * applies: it needs no rewrite and no build duplication. This
+    * operator is for the cases AQE cannot fix — skew landing in a
+    * single in-flight partition of a shuffle consumed by a non-join
+    * operator chain, engines with AQE off, or deterministic-layout
+    * requirements.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 salt: Int = 8): DataFrame = {
+    val p = probe.withColumn("_salt",
+      pmod(xxhash64(probe.columns.map(col): _*), lit(salt.toLong)))
+    val b = build.withColumn("_salt",
+      explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
+    p.join(b, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Purchase attribution via as-of join: each click joined to the
     * user's most recent purchase at-or-before the click. The classic
     * funnel/attribution query (and the ASOF JOIN litmus test — DuckDB

@@ -40,6 +40,24 @@ object Sampling {
     if (permille >= 1000) "g"   // > any hex prefix: keep everything
     else f"${permille * 65536 / 1000}%04x"
 
+  /** Deterministic mixture sampling: a per-stratum keep rate (permille)
+    * — the "data mixture" step of a training pipeline (up-weight books,
+    * down-weight crawl, ...) expressed as one row-local hash-threshold
+    * predicate. No shuffle, no RNG: the same doc survives on any
+    * cluster, any partitioning, any engine, and re-runs are exactly
+    * reproducible. Strata missing from the map keep `defaultPermille`.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, keyCol: String,
+                    rates: Map[String, Int],
+                    defaultPermille: Int = 0): DataFrame = {
+    val threshold = rates.foldLeft(
+      lit(hexThreshold(defaultPermille))) { case (acc, (s, pm)) =>
+      when(col(stratumCol) === s, lit(hexThreshold(pm))).otherwise(acc)
+    }
+    df.filter(
+      substring(md5(col(keyCol).cast(StringType)), 1, 4) < threshold)
+  }
+
   /** S2 exact-N random sample (non-reproducible across engines, so not
     * oracle-checked; reference parity for `$sample`'s exact-N contract).
     */

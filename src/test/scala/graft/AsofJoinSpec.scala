@@ -54,6 +54,31 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(4L)._1 == None)
   }
 
+  test("saltedJoin equals the plain join on a skewed key") {
+    val probe = ((1 to 500).map(i => (7L, s"p$i")) ++
+      Seq((1L, "x"), (2L, "y"))).toDF("k", "pv")
+    val build = Seq((7L, "hot"), (1L, "a"), (3L, "unmatched"))
+      .toDF("k", "bv")
+    val salted = Relational.saltedJoin(probe, build, "k", salt = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    val plain = probe.join(build, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.length == 501)
+  }
+
+  test("saltedJoin spreads a hot key across salts") {
+    val probe = (1 to 1000).map(i => (7L, s"p$i")).toDF("k", "pv")
+    val build = Seq((7L, "hot")).toDF("k", "bv")
+    val p = probe.withColumn("_salt",
+      pmod(xxhash64(probe.columns.map(col): _*), lit(4L)))
+    val used = p.select("_salt").distinct().count()
+    assert(used == 4)   // all salt lanes carry load
+    assert(Relational.saltedJoin(probe, build, "k", 4).count() == 1000)
+  }
+
   test("payload struct is row-atomic: a null field is not backfilled " +
     "from an older right row") {
     // r2 (null v) alone at 12:00 for user 30: match must carry (101, null),
