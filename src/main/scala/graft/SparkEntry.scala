@@ -763,6 +763,41 @@ object SparkEntry {
                      ORDER BY score DESC, nid ASC) AS rank
             FROM sc)
       WHERE rank <= 5 ORDER BY query_id, rank"""),
+    // full LSH replay: the ±1 hyperplanes are md5-derived
+    // (Similarity.hyperplanes), so bucket codes — sign bits of exact
+    // left-to-right double dot products — reproduce bit-for-bit; the
+    // oracle rebuilds every (table, bucket) code, the bucket join, and
+    // the per-query top-k
+    "ann_lsh_topk" -> ("""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec FROM e
+            WHERE vec_id < 20),
+      tb AS (SELECT vec_id, t,
+               list_sum(list_transform(range(0, 8), jl ->
+                 CASE WHEN list_sum(list_transform(range(0, 64), i ->
+                   embedding[i+1] *
+                   (CASE WHEN substr(md5(CAST(t*8+jl AS VARCHAR) || ':'
+                                     || CAST(i AS VARCHAR)), 1, 1) < '8'
+                         THEN 1.0 ELSE -1.0 END))) >= 0
+                      THEN (1::BIGINT << jl) ELSE 0 END)) AS bucket
+             FROM e, range(0, 8) tt(t)),
+      cand AS (SELECT DISTINCT tq.vec_id AS query_id,
+                      tc.vec_id AS neighbor_id
+               FROM tb tq
+               JOIN tb tc ON tq.t = tc.t AND tq.bucket = tc.bucket
+               WHERE tq.vec_id < 20 AND tq.vec_id <> tc.vec_id),
+      scored AS (SELECT c.query_id, c.neighbor_id,
+                   round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                     CAST(e.embedding AS DOUBLE[])), 6) AS score
+                 FROM cand c
+                 JOIN q ON q.query_id = c.query_id
+                 JOIN e ON e.vec_id = c.neighbor_id),
+      r AS (SELECT query_id, neighbor_id, score,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS "rank"
+            FROM scored)
+      SELECT query_id, neighbor_id, score, CAST("rank" AS BIGINT) AS "rank"
+      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank" ASC"""),
     "ann_ivf_topk" -> (s"""
       WITH cent AS (
         SELECT ROW_NUMBER() OVER (
