@@ -201,6 +201,11 @@ object SparkEntry {
     "embedding_near_dups" -> ((s, d) =>
       Similarity.exactNearDups(Tables.load(s, d, "embeddings"),
         threshold = 0.5)),
+    // semantic dedup: embedding near-dup pairs → transitive groups —
+    // the same CC stage the text pipelines use, composed over vectors
+    "embedding_dedup_groups" -> ((s, d) =>
+      Dedup.connectedGroups(Similarity.exactNearDups(
+        Tables.load(s, d, "embeddings"), threshold = 0.5))),
     // — multimodal plumbing (binary columns + typed metadata) —
     "multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.load(s, d, "documents"))),
@@ -837,6 +842,21 @@ object SparkEntry {
                ${cosSql.format("a.embedding", "b.embedding")} AS score
         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
       WHERE score >= 0.5 ORDER BY id1, id2"""),
+    "embedding_dedup_groups" -> (s"""
+      WITH RECURSIVE p AS (
+        SELECT id1, id2 FROM (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 ${cosSql.format("a.embedding", "b.embedding")} AS score
+          FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        WHERE score >= 0.5),
+      ed AS (SELECT id1 AS a, id2 AS b FROM p
+             UNION ALL SELECT id2, id1 FROM p),
+      reach AS (
+        SELECT a AS id, a AS x FROM ed
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN ed e ON e.a = r.x)
+      SELECT id, MIN(x) AS group_rep FROM reach GROUP BY id
+      ORDER BY id"""),
     "profile_stats_events" -> profileStatsOracle("events", Seq(
       "event_id" -> "num", "ts" -> "ts", "user_id" -> "num",
       "event_type" -> "str", "value" -> "num", "props" -> "str")),

@@ -67,4 +67,32 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf(Relational.q3(spark, dir))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("decontaminate: test-split n-gram set broadcasts — the corpus " +
+      "side never shuffles") {
+    val p = planOf(graft.operators.Dedup.decontaminate(
+      Tables.load(spark, dir, "documents")))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("asofJoin: one hash exchange for the merge window, no range " +
+      "join explosion") {
+    // drop the final orderBy so only the operator's own exchanges count
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val pur = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value").as("p_value"))
+    val p = planOf(Relational.asofJoin(clicks, pur, Seq("user_id"), "ts",
+      "event_id", Seq("p_value")))
+    // formatted mode puts "(n) Exchange" and its hashpartitioning
+    // arguments on separate lines — count operator headers
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, plan had $exchanges\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
