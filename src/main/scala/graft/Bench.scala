@@ -8,7 +8,7 @@ object Bench {
     // engine actually runs (BENCH_r03 90s vs 30s at 32 cores)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -21,7 +21,15 @@ object Bench {
       // node failure, and the sort serializes on the one scan task of a
       // single-row-group file (on a real cluster spread() is a no-op)
       .config("spark.sql.execution.sortBeforeRepartition", "false")
-      .getOrCreate()
+    // profiling aid: SPARK_GRAFT_EVENTLOG=/tmp/sparklogs dumps per-stage
+    // timings for offline analysis (bench numbers on this VM are noisy;
+    // stage times separate fixed overhead from real work)
+    sys.env.get("SPARK_GRAFT_EVENTLOG").foreach { d =>
+      new java.io.File(d).mkdirs()
+      builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", d)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + parquet reader init + OS file cache
     spark.range(1000000L).selectExpr("sum(id)").collect()
