@@ -183,6 +183,8 @@ object SparkEntry {
       TextAnalysis.topTerms(Tables.load(s, d, "documents"))),
     "corpus_filter" -> ((s, d) =>
       TextAnalysis.qualityFilter(Tables.load(s, d, "documents"))),
+    "corpus_report" -> ((s, d) =>
+      TextAnalysis.corpusReport(Tables.load(s, d, "documents"))),
     // — similarity search —
     "ann_cosine_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
@@ -651,6 +653,16 @@ object SparkEntry {
             FROM tf JOIN dfq USING (term))
       SELECT doc_id, "rank", term, tf, df, score FROM r
       WHERE "rank" <= 3 ORDER BY doc_id, "rank" ASC"""),
+    "corpus_report" -> (s"""
+      WITH t AS (SELECT source, text, $toksSql AS toks FROM documents),
+      m AS (SELECT source, len(toks) AS n_tokens,
+              CAST($qualitySql AS DECIMAL(8,6)) AS q,
+              $langSql AS lang_pred FROM t)
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(n_tokens) AS total_tokens,
+             CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_quality,
+             COUNT(DISTINCT lang_pred) AS n_langs
+      FROM m GROUP BY source ORDER BY source"""),
     "corpus_filter" -> (s"""
       WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
       m AS (SELECT doc_id, len(toks) AS n_tokens, $qualitySql AS quality,

@@ -155,6 +155,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus report: per-source rollup of the text profile — document
+    * counts, token volume, quality and language mix. One scan + one
+    * tiny shuffle (sources × few stats); the quality average goes
+    * through a DECIMAL cast so parallel reduction order cannot change
+    * the result (the money-aggregate rule applied to scores).
+    */
+  def corpusReport(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    graft.util.Utils.spread(df)
+      .select(col("source"), tokenCount(c).cast("long").as("n_tokens"),
+        qualityScore(c).cast(DecimalType(8, 6)).as("q"),
+        langId(c).as("lang_pred"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("q")).cast(DoubleType) / count(lit(1)))
+          .as("avg_quality"),
+        countDistinct(col("lang_pred")).as("n_langs"))
+      .orderBy("source")
+  }
+
   /** Full per-document text profile over a documents table. */
   def textProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
