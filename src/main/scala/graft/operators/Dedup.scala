@@ -64,12 +64,24 @@ object Dedup {
                     idCol: String = "doc_id", n: Int = 8): DataFrame = {
     val isTest = substring(md5(col(idCol).cast("string")), 1, 1)
       .isin("0", "1")
-    val sh = df.select(col(idCol).as("doc_id"), isTest.as("is_test"),
+    decontaminateAgainst(df.filter(!isTest), df.filter(isTest),
+      textCol, idCol, n)
+  }
+
+  /** The production shape of [[decontaminate]]: benchmark/eval docs
+    * live in their own (small) table, so the training corpus is
+    * scanned exactly once and the test n-gram set broadcasts.
+    */
+  def decontaminateAgainst(train: DataFrame, test: DataFrame,
+                           textCol: String = "text",
+                           idCol: String = "doc_id",
+                           n: Int = 8): DataFrame = {
+    def grams(d: DataFrame) = d.select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol), n))).as("g"))
-    val test = sh.filter(col("is_test"))
+    val testG = grams(test)
       .select(col("g"), col("doc_id").as("test_id")).distinct()
-    sh.filter(!col("is_test"))
-      .join(broadcast(test), "g")
+    grams(train)
+      .join(broadcast(testG), "g")
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_shared_ngrams"),
         countDistinct(col("test_id")).as("n_test_docs"))
