@@ -109,6 +109,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gd == g)
   }
 
+  test("connectedGroups: empty pair list yields empty labels, both paths") {
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedGroups(empty).count() == 0)
+    assert(Dedup.connectedGroups(empty, localEdgeLimit = 0L).count() == 0)
+  }
+
   test("IVF topk: probing every list reproduces brute force exactly") {
     val queries = clustered.filter($"vec_id" % 8 === 0).limit(10)
     val exact = Similarity.bruteForceTopK(clustered, queries, k = 5)
