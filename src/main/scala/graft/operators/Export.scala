@@ -118,4 +118,21 @@ object Export {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true")
       .option("quoteAll", "true").csv(path)
+
+  /** Stage a DataFrame as a bucketed + sorted parquet table — the 100 TB
+    * co-location move this library's SCALE notes lean on: two tables
+    * bucketed the same way on the join/grouping key sort-merge join (or
+    * aggregate) with NO exchange, because the on-disk layout already
+    * satisfies the required hash partitioning. Registered as an
+    * external table at `path` (bucket metadata lives in the session
+    * catalog; `bucketBy` requires `saveAsTable`).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

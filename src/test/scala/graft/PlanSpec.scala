@@ -95,4 +95,34 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, plan had $exchanges\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("bucketed staging: co-bucketed join plans with NO exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed")
+    val orders = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_quantity"))
+    graft.operators.Export.writeBucketed(
+      orders.withColumnRenamed("o_orderkey", "k"), "b_orders",
+      s"$tmp/o", "k", 8)
+    graft.operators.Export.writeBucketed(
+      li.withColumnRenamed("l_orderkey", "k"), "b_lineitem",
+      s"$tmp/l", "k", 8)
+    try {
+      // disable broadcast so the join must co-locate — the bucketed
+      // layout should satisfy it without any shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"), "k")
+      val p = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+      assert(exchanges == 0, s"expected 0 exchanges, plan had $exchanges\n$p")
+      assert(p.contains("SortMergeJoin"))
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }

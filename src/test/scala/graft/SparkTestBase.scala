@@ -17,6 +17,10 @@ object SparkTestBase {
       // node failure, and the sort serializes on the one scan task of a
       // single-row-group file (on a real cluster spread() is a no-op)
       .config("spark.sql.execution.sortBeforeRepartition", "false")
+      // saveAsTable (bucketed-staging specs) must not litter the repo
+      // with a ./spark-warehouse dir
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
