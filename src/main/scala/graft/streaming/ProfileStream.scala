@@ -2,8 +2,9 @@ package graft.streaming
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.Profiler
 
@@ -59,6 +60,98 @@ object ProfileStream {
       .withWatermark(tsCol, watermarkDur)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+
+  /** One event for [[sessionizeStream]]. The event time stays a real
+    * timestamp column — the streaming analyzer requires the watermarked
+    * column to flow INTO the stateful operator (projecting it to a long
+    * upstream detaches the watermark and fails analysis).
+    */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  /** Open-session state carried between micro-batches. */
+  final case class SessionState(start_us: Long, last_us: Long, n: Long)
+
+  /** A closed session emitted downstream. */
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              n_events: Long, duration_sec: Double)
+
+  /** Streaming sessionization — the custom-state counterpart of
+    * `Relational.sessionize`, built on `flatMapGroupsWithState` with an
+    * event-time timeout. Per user the state is ONE open session
+    * (start, last, count); a session closes either when a later event
+    * arrives past the gap, or when the watermark passes last + gap
+    * (the timeout fires with no further data). State is O(users),
+    * independent of stream length — the property a 100 TB/day stream
+    * needs — and eviction is driven by the same watermark that bounds
+    * lateness.
+    *
+    * Append-mode output: rows are emitted exactly once, when their
+    * session closes.
+    */
+  def sessionizeStream(stream: DataFrame, tsCol: String = "ts",
+                       userCol: String = "user_id",
+                       gapMinutes: Int = 30,
+                       watermarkDur: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000L
+    val ev = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(tsCol).as("ts"))
+      .withWatermark("ts", watermarkDur)
+      .as[SessionEvent]
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
+    def close(uid: Long, s: SessionState): SessionOut =
+      SessionOut(uid, s.start_us, s.n,
+        (s.last_us - s.start_us).toDouble / 1000000.0)
+
+    def onGroup(uid: Long, events: Iterator[SessionEvent],
+                state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(uid, _)).toList
+        state.remove()
+        return out.iterator
+      }
+      // micro-batch events are not ordered: sort this user's slice
+      // (bounded by per-trigger volume, not stream length)
+      val ts = events.map(e => micros(e.ts)).toArray.sorted
+      var open = state.getOption
+      val closed = mutable.ArrayBuffer.empty[SessionOut]
+      ts.foreach { t =>
+        open = open match {
+          case Some(s) if t - s.last_us <= gapUs =>
+            Some(SessionState(s.start_us, math.max(s.last_us, t), s.n + 1))
+          case Some(s) =>
+            closed += close(uid, s)
+            Some(SessionState(t, t, 1))
+          case None => Some(SessionState(t, t, 1))
+        }
+      }
+      open.foreach { s =>
+        // fire once the watermark proves no in-gap event can still come
+        val timeoutMs = (s.last_us + gapUs) / 1000L + 1L
+        if (timeoutMs <= state.getCurrentWatermarkMs()) {
+          // a straggler inside the watermark whose session is already
+          // past the gap horizon: close now (setTimeoutTimestamp
+          // rejects timestamps at or before the watermark)
+          closed += close(uid, s)
+          if (state.exists) state.remove()
+        } else {
+          state.update(s)
+          state.setTimeoutTimestamp(timeoutMs)
+        }
+      }
+      closed.iterator
+    }
+
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(onGroup)
+  }
 
   /** The flatten projection of the `_doc` struct column (reuses the
     * Profiler's schema walk through a one-field wrapper).

@@ -83,6 +83,44 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeStream: flatMapGroupsWithState closes sessions by " +
+      "gap and by event-time timeout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssess")
+    val in = dir.toString + "/in"
+    def write(mode: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("user_id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode(mode).parquet(in)
+    // user 1: two sessions (gap > 30 min between 10:05 and 12:00);
+    // user 2: one session that only a timeout can close
+    write("overwrite", Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:05:00"),
+      (1L, "2024-01-01 12:00:00"), (2L, "2024-01-01 10:00:00")))
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = ProfileStream.sessionizeStream(stream,
+      gapMinutes = 30, watermarkDur = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ssess").start()
+    try {
+      q.processAllAvailable()
+      // user 1's first session closes in-batch (12:00 is past the
+      // gap); user 2's closes by timeout once the follow-up empty
+      // trigger sees the advanced watermark (11:50 > 10:30)
+      val b1 = spark.sql("select * from ssess").collect()
+      assert(b1.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+        Set((1L, 2L), (2L, 1L)))
+      assert(b1.filter(_.getLong(0) == 1L).head.getDouble(3) == 300.0)
+      // a later event pushes the watermark past user 1's open
+      // session (12:00 + 30 min ≤ 12:50) → timeout closes it too
+      write("append", Seq((3L, "2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val b2 = spark.sql("select user_id, n_events from ssess").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(b2.count { case (u, n) => u == 1L && n == 1L } == 1, s"got ${b2.toSeq}")
+    } finally q.stop()
+  }
+
   test("TextAnalysis.qualityScore: empty/whitespace text scores 0") {
     import graft.operators.TextAnalysis
     val df = Seq("", "   ", "real words here").toDF("text")
