@@ -40,8 +40,25 @@ object SparkEntry {
         .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
       Seq(Profiler.hierarchicalSchema(flat)).toDF("hierarchical")
     }),
-    "profile_approx_events" -> ((s, d) =>   // HLL mode (rows-only check)
-      Profiler.profileStats(Tables.load(s, d, "events"), exact = false)),
+    // HLL mode under a real gate: every non-estimate column rides the
+    // HLL-path output and hash-checks against the exact oracle; the
+    // estimate itself is bounded against the exact distinct count
+    // (dense p=12 HLL ⇒ ~1.6% standard error, checked within 5%), so
+    // the oracle predicts TRUE for every path.
+    "profile_approx_events" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val approx = Profiler.profileStats(ev, exact = false)
+        .withColumnRenamed("cardinality", "card_est")
+      val exact = Profiler.profileStats(ev)
+        .select(col("path"), col("cardinality").as("card_exact"))
+      approx.join(exact, "path")
+        .select(col("path"), col("n_present"), col("missing_pct"),
+          col("card_exact").as("cardinality"),
+          (abs(col("card_est") - col("card_exact")).cast("double") <=
+            col("card_exact").cast("double") * 0.05).as("hll_within_5pct"),
+          col("num_min"), col("num_max"), col("ts_min"), col("ts_max"))
+        .orderBy("path")
+    }),
     "profile_stats_embeddings" -> ((s, d) =>
       Profiler.profileStats(Tables.load(s, d, "embeddings"))),
     "profile_quantiles_lineitem" -> ((s, d) =>
@@ -159,6 +176,14 @@ object SparkEntry {
     "dedup_groups_minhash" -> ((s, d) =>
       Dedup.connectedGroups(Dedup.minhashNearDups(
         Tables.load(s, d, "documents"), threshold = 0.3))),
+    // the same pair graph forced through the DISTRIBUTED
+    // pointer-jumping CC path (localEdgeLimit = 0): the at-scale shape
+    // gets its own green row against the identical oracle instead of
+    // hiding behind the driver union-find fast path
+    "dedup_groups_distributed" -> ((s, d) =>
+      Dedup.connectedGroups(Dedup.minhashNearDups(
+        Tables.load(s, d, "documents"), threshold = 0.3),
+        localEdgeLimit = 0L)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.load(s, d, "documents"))
         .select(col("id").as("doc_id"), col("simhash"))
@@ -200,14 +225,34 @@ object SparkEntry {
       val e = Tables.load(s, d, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5)
     }),
+    // nprobe=1: the deep-probe/shallow-probe pair pins the IVF
+    // recall-vs-work trade-off deterministically under the oracle
+    "ann_ivf_probe1" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5,
+        nprobe = 1)
+    }),
+    // the LSH scale path IS the declared query (the plan that survives
+    // 100×: per-pair work bounded by bucket sizes, not corpus²); the
+    // md5 hyperplanes replay in DuckDB, so the bucket walk is fully
+    // oracled. 6 planes/table × 16 tables tunes recall for the ~0.5
+    // cosine band this threshold targets (fewer planes ⇒ coarser
+    // buckets ⇒ higher recall per table; more tables ⇒ OR-amplified).
     "embedding_near_dups" -> ((s, d) =>
+      Similarity.embeddingNearDups(Tables.load(s, d, "embeddings"),
+        threshold = 0.5, tables = 16, planesPerTable = 6)),
+    // the exact O(n²) twin stays oracled as the recall-1.0 baseline
+    // (and the spec suite cross-checks LSH precision/recall against it)
+    "embedding_near_dups_exact" -> ((s, d) =>
       Similarity.exactNearDups(Tables.load(s, d, "embeddings"),
         threshold = 0.5)),
     // semantic dedup: embedding near-dup pairs → transitive groups —
-    // the same CC stage the text pipelines use, composed over vectors
+    // the same CC stage the text pipelines use, composed over the LSH
+    // pair source (the at-scale composition end to end)
     "embedding_dedup_groups" -> ((s, d) =>
-      Dedup.connectedGroups(Similarity.exactNearDups(
-        Tables.load(s, d, "embeddings"), threshold = 0.5))),
+      Dedup.connectedGroups(Similarity.embeddingNearDups(
+        Tables.load(s, d, "embeddings"), threshold = 0.5,
+        tables = 16, planesPerTable = 6))),
     // — multimodal plumbing (binary columns + typed metadata) —
     "multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.load(s, d, "documents"))),
@@ -226,6 +271,36 @@ object SparkEntry {
     "asof_attribution" -> Relational.asofAttribution _,
     "rollup_agg" -> Relational.rollupAgg _,
     "cube_agg" -> Relational.cubeAgg _,
+    // salted skew join ≡ the plain join by construction
+    // (Relational.saltedJoin replicates the build side across salt
+    // lanes); the rollup result is oracled against DuckDB's plain join
+    "salted_join_agg" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Relational.saltedJoin(li, ord, "l_orderkey", salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    // bucketed staging sink end-to-end: write orders bucketed+sorted by
+    // o_custkey, read back through the catalog table, aggregate ON the
+    // bucket key (the read-side aggregation needs no exchange — the
+    // on-disk layout already satisfies the required partitioning; the
+    // plan spec pins the zero-exchange property)
+    "bucketed_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_rt"
+      Export.writeBucketed(Tables.load(s, d, "orders"),
+        "graft_orders_bkt", out, "o_custkey", 8)
+      s.table("graft_orders_bkt")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_custkey")
+    }),
     "collection_stats" -> ((s, d) =>
       Tables.describeCollections(s, d)
         .select(col("collection"), col("doc_count"))),
@@ -459,6 +534,81 @@ object SparkEntry {
   private val cosSql =
     "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
 
+  /** (vec_id, t, bucket) CTE body replaying [[Similarity.lshTables]]
+    * over an `e(vec_id, embedding)` CTE: plane j of table t is the
+    * md5-derived ±1 hyperplane with global index t·planes+j, and the
+    * bucket code packs the sign bits of exact left-to-right double dot
+    * products — bit-for-bit what the engine computes.
+    */
+  private def lshTbCte(tables: Int, planes: Int): String =
+    s"""tb AS (SELECT vec_id, t,
+       |         list_sum(list_transform(range(0, $planes), jl ->
+       |           CASE WHEN list_sum(list_transform(range(0, 64), i ->
+       |             embedding[i+1] *
+       |             (CASE WHEN substr(md5(CAST(t*$planes+jl AS VARCHAR) || ':'
+       |                               || CAST(i AS VARCHAR)), 1, 1) < '8'
+       |                   THEN 1.0 ELSE -1.0 END))) >= 0
+       |                THEN (1::BIGINT << jl) ELSE 0 END)) AS bucket
+       |       FROM e, range(0, $tables) tt(t))""".stripMargin
+
+  /** LSH near-dup pair CTEs ending in `p(id1, id2, score)` — mirrors
+    * `Similarity.embeddingNearDups(threshold = 0.5, tables = 16,
+    * planesPerTable = 6)`: bucket self-join, true-cosine verify,
+    * threshold, distinct.
+    */
+  // NOTE plain interpolation, no stripMargin: the embedded lshTbCte is
+  // already margin-stripped, and a second stripMargin would eat the
+  // leading `|` of `||` concatenations at line starts
+  private val lshNearDupCtes =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+      ${lshTbCte(16, 6)},
+      cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+               FROM tb a JOIN tb b
+                 ON a.t = b.t AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id),
+      sc AS (SELECT id1, id2,
+               ${cosSql.format("e1.embedding", "e2.embedding")} AS score
+             FROM cand JOIN e e1 ON e1.vec_id = id1
+                       JOIN e e2 ON e2.vec_id = id2),
+      p AS (SELECT id1, id2, score FROM sc WHERE score >= 0.5)"""
+
+  /** IVF top-k oracle at a given probe depth — replays
+    * [[Similarity.ivfTopK]] (nlist=16, k=5) bit-for-bit.
+    */
+  private def ivfOracle(nprobe: Int): String = s"""
+      WITH cent AS (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(cid0 AS VARCHAR)) ASC, cid0 ASC)
+                 AS cid, cvec
+        FROM (SELECT vec_id AS cid0, embedding AS cvec FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+              LIMIT 16)),
+      assign AS (
+        SELECT id, vec, cid FROM (
+          SELECT e.vec_id AS id, e.embedding AS vec, cent.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql.format("e.embedding", "cent.cvec")}
+                     DESC, cent.cid ASC) AS crn
+          FROM embeddings e CROSS JOIN cent)
+        WHERE crn = 1),
+      probes AS (
+        SELECT query_id, qvec, cid FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS qvec, cent.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql.format("q.embedding", "cent.cvec")}
+                     DESC, cent.cid ASC) AS crn
+          FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 20)
+        WHERE crn <= $nprobe)
+      SELECT query_id, neighbor_id, score, rank FROM (
+        SELECT p.query_id, a.id AS neighbor_id,
+               ${cosSql.format("p.qvec", "a.vec")} AS score,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY ${cosSql.format("p.qvec", "a.vec")} DESC,
+                   a.id ASC) AS rank
+        FROM probes p JOIN assign a
+          ON a.cid = p.cid AND a.id <> p.query_id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** [[minhashCte]] extended through banding, candidate join and
     * Jaccard verify to `mhp(id1, id2, jaccard)` — the thresholded
     * near-dup pairs shared by the pair and group oracles. Mirrors
@@ -483,6 +633,23 @@ object SparkEntry {
        |        FROM j
        |        WHERE round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared),
        |          6) >= 0.3)""".stripMargin
+
+  /** Transitive near-dup groups over the minhash pair graph — shared
+    * verbatim by `dedup_groups_minhash` (driver union-find fast path)
+    * and `dedup_groups_distributed` (pointer-jumping path): one truth,
+    * two engine paths.
+    */
+  private val dedupGroupsOracle: String =
+    s"""
+      ${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      ed AS (SELECT id1 AS a, id2 AS b FROM mhp
+             UNION ALL SELECT id2, id1 FROM mhp),
+      reach AS (
+        SELECT a AS id, a AS x FROM ed
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN ed e ON e.a = r.x)
+      SELECT id, MIN(x) AS group_rep FROM reach GROUP BY id
+      ORDER BY id"""
 
   /** doc_id → simhash CTE prefix (ends with `sh(doc_id, simhash)`),
     * shared by the signature and near-dup-pair oracles — mirrors
@@ -656,11 +823,11 @@ object SparkEntry {
     "corpus_report" -> (s"""
       WITH t AS (SELECT source, text, $toksSql AS toks FROM documents),
       m AS (SELECT source, len(toks) AS n_tokens,
-              CAST($qualitySql AS DECIMAL(8,6)) AS q,
+              CAST(floor($qualitySql * 1e6 + 0.5) AS BIGINT) AS q6,
               $langSql AS lang_pred FROM t)
       SELECT source, COUNT(*) AS n_docs,
              SUM(n_tokens) AS total_tokens,
-             CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_quality,
+             CAST(SUM(q6) AS DOUBLE) / 1e6 / COUNT(*) AS avg_quality,
              COUNT(DISTINCT lang_pred) AS n_langs
       FROM m GROUP BY source ORDER BY source"""),
     "corpus_filter" -> (s"""
@@ -700,16 +867,10 @@ object SparkEntry {
     // transitive groups: min reachable id through the pair graph,
     // computed by a recursive reachability CTE (feasible at oracle
     // scale; the engine uses the iterative min-label loop)
-    "dedup_groups_minhash" -> (s"""
-      ${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-      ed AS (SELECT id1 AS a, id2 AS b FROM mhp
-             UNION ALL SELECT id2, id1 FROM mhp),
-      reach AS (
-        SELECT a AS id, a AS x FROM ed
-        UNION
-        SELECT r.id, e.b FROM reach r JOIN ed e ON e.a = r.x)
-      SELECT id, MIN(x) AS group_rep FROM reach GROUP BY id
-      ORDER BY id"""),
+    "dedup_groups_minhash" -> dedupGroupsOracle,
+    // identical truth for the distributed pointer-jumping CC path —
+    // both engine paths must land on the same labels
+    "dedup_groups_distributed" -> dedupGroupsOracle,
     "dedup_simhash" -> (s"""
       $simhashCte
       SELECT doc_id, simhash FROM sh ORDER BY doc_id"""),
@@ -785,19 +946,11 @@ object SparkEntry {
     // left-to-right double dot products — reproduce bit-for-bit; the
     // oracle rebuilds every (table, bucket) code, the bucket join, and
     // the per-query top-k
-    "ann_lsh_topk" -> ("""
+    "ann_lsh_topk" -> (s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       q AS (SELECT vec_id AS query_id, embedding AS qvec FROM e
             WHERE vec_id < 20),
-      tb AS (SELECT vec_id, t,
-               list_sum(list_transform(range(0, 8), jl ->
-                 CASE WHEN list_sum(list_transform(range(0, 64), i ->
-                   embedding[i+1] *
-                   (CASE WHEN substr(md5(CAST(t*8+jl AS VARCHAR) || ':'
-                                     || CAST(i AS VARCHAR)), 1, 1) < '8'
-                         THEN 1.0 ELSE -1.0 END))) >= 0
-                      THEN (1::BIGINT << jl) ELSE 0 END)) AS bucket
-             FROM e, range(0, 8) tt(t)),
+      ${lshTbCte(8, 8)},
       cand AS (SELECT DISTINCT tq.vec_id AS query_id,
                       tc.vec_id AS neighbor_id
                FROM tb tq
@@ -815,58 +968,28 @@ object SparkEntry {
             FROM scored)
       SELECT query_id, neighbor_id, score, CAST("rank" AS BIGINT) AS "rank"
       FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank" ASC"""),
-    "ann_ivf_topk" -> (s"""
-      WITH cent AS (
-        SELECT ROW_NUMBER() OVER (
-                 ORDER BY md5(CAST(cid0 AS VARCHAR)) ASC, cid0 ASC)
-                 AS cid, cvec
-        FROM (SELECT vec_id AS cid0, embedding AS cvec FROM embeddings
-              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-              LIMIT 16)),
-      assign AS (
-        SELECT id, vec, cid FROM (
-          SELECT e.vec_id AS id, e.embedding AS vec, cent.cid,
-                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY ${cosSql.format("e.embedding", "cent.cvec")}
-                     DESC, cent.cid ASC) AS crn
-          FROM embeddings e CROSS JOIN cent)
-        WHERE crn = 1),
-      probes AS (
-        SELECT query_id, qvec, cid FROM (
-          SELECT q.vec_id AS query_id, q.embedding AS qvec, cent.cid,
-                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                   ORDER BY ${cosSql.format("q.embedding", "cent.cvec")}
-                     DESC, cent.cid ASC) AS crn
-          FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 20)
-        WHERE crn <= 4)
-      SELECT query_id, neighbor_id, score, rank FROM (
-        SELECT p.query_id, a.id AS neighbor_id,
-               ${cosSql.format("p.qvec", "a.vec")} AS score,
-               ROW_NUMBER() OVER (PARTITION BY p.query_id
-                 ORDER BY ${cosSql.format("p.qvec", "a.vec")} DESC,
-                   a.id ASC) AS rank
-        FROM probes p JOIN assign a
-          ON a.cid = p.cid AND a.id <> p.query_id)
-      WHERE rank <= 5 ORDER BY query_id, rank"""),
+    "ann_ivf_topk" -> ivfOracle(nprobe = 4),
+    "ann_ivf_probe1" -> ivfOracle(nprobe = 1),
+    // full LSH replay (same md5-hyperplane trick as ann_lsh_topk): the
+    // bucket walk, cosine verify and threshold reproduce the engine's
+    // O(n·bucket) plan — this row certifies the SCALE path
     "embedding_near_dups" -> (s"""
+      WITH $lshNearDupCtes
+      SELECT id1, id2, score FROM p ORDER BY id1, id2"""),
+    "embedding_near_dups_exact" -> (s"""
       SELECT id1, id2, score FROM (
         SELECT a.vec_id AS id1, b.vec_id AS id2,
                ${cosSql.format("a.embedding", "b.embedding")} AS score
         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
       WHERE score >= 0.5 ORDER BY id1, id2"""),
     "embedding_dedup_groups" -> (s"""
-      WITH RECURSIVE p AS (
-        SELECT id1, id2 FROM (
-          SELECT a.vec_id AS id1, b.vec_id AS id2,
-                 ${cosSql.format("a.embedding", "b.embedding")} AS score
-          FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-        WHERE score >= 0.5),
+      WITH RECURSIVE $lshNearDupCtes,
       ed AS (SELECT id1 AS a, id2 AS b FROM p
              UNION ALL SELECT id2, id1 FROM p),
       reach AS (
         SELECT a AS id, a AS x FROM ed
         UNION
-        SELECT r.id, e.b FROM reach r JOIN ed e ON e.a = r.x)
+        SELECT r.id, g.b FROM reach r JOIN ed g ON g.a = r.x)
       SELECT id, MIN(x) AS group_rep FROM reach GROUP BY id
       ORDER BY id"""),
     "profile_stats_events" -> profileStatsOracle("events", Seq(
@@ -1318,6 +1441,30 @@ object SparkEntry {
     // the CSV round-trip must reproduce the same rows the stats query
     // produced — same oracle
     "csv_roundtrip" -> statsOracle,
+    // salting is a physical rewrite only: the oracle is the PLAIN join
+    "salted_join_agg" -> (s"""
+      SELECT o_orderpriority,
+             ${sumD(s"CAST(l_quantity AS $M)")} AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    // the bucketed write→read round-trip must reproduce the source
+    // table's per-key aggregate exactly
+    "bucketed_roundtrip" -> (s"""
+      SELECT o_custkey, COUNT(*) AS n,
+             ${sumD(s"CAST(o_totalprice AS $M)")} AS sum_price
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+    // HLL mode: exact stats for every non-estimate column + the
+    // estimate-within-5% bound the engine must satisfy (dense p=12 HLL
+    // ⇒ ~1.6% standard error, so TRUE is the deterministic truth here)
+    "profile_approx_events" -> (s"""
+      SELECT path, n_present, missing_pct, cardinality,
+             TRUE AS hll_within_5pct,
+             num_min, num_max, ts_min, ts_max
+      FROM (${profileStatsOracle("events", Seq(
+        "event_id" -> "num", "ts" -> "ts", "user_id" -> "num",
+        "event_type" -> "str", "value" -> "num", "props" -> "str"))})
+      ORDER BY path"""),
     "semi_anti_join" -> ("""
       SELECT c_custkey, c_name, c_mktsegment FROM customer
       WHERE c_custkey IN (SELECT o_custkey FROM orders

@@ -206,11 +206,19 @@ object Relational {
     * reuses the window partitioning).
     */
   def sessionize(s: SparkSession, dir: String,
-                 gapMinutes: Int = 30): DataFrame = {
+                 gapMinutes: Int = 30): DataFrame =
+    sessionizeEvents(Tables.load(s, dir, "events"), gapMinutes)
+
+  /** [[sessionize]] over an explicit events DataFrame (columns
+    * `user_id, ts, event_id, value`) — the surface the
+    * streaming↔batch equivalence spec replays a finite stream against.
+    */
+  def sessionizeEvents(events: DataFrame,
+                       gapMinutes: Int = 30): DataFrame = {
     val gapMicros = gapMinutes.toLong * 60 * 1000000
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
-    val ev = Tables.load(s, dir, "events")
+    val ev = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||

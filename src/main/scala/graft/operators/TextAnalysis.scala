@@ -157,20 +157,24 @@ object TextAnalysis {
 
   /** Corpus report: per-source rollup of the text profile — document
     * counts, token volume, quality and language mix. One scan + one
-    * tiny shuffle (sources × few stats); the quality average goes
-    * through a DECIMAL cast so parallel reduction order cannot change
-    * the result (the money-aggregate rule applied to scores).
+    * tiny shuffle (sources × few stats); the quality average is
+    * aggregated as an INTEGER (quality × 10⁶, exact because
+    * [[qualityScore]] rounds to 6 decimals) so parallel reduction
+    * order cannot change the result (the money-aggregate rule applied
+    * to scores), and no engine-specific decimal rounding sits in the
+    * cross-engine path — the single final division is plain IEEE
+    * double arithmetic every engine reproduces bit-for-bit.
     */
   def corpusReport(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
     graft.util.Utils.spread(df)
       .select(col("source"), tokenCount(c).cast("long").as("n_tokens"),
-        qualityScore(c).cast(DecimalType(8, 6)).as("q"),
+        floor(qualityScore(c) * 1e6 + 0.5).cast(LongType).as("q6"),
         langId(c).as("lang_pred"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        (sum(col("q")).cast(DoubleType) / count(lit(1)))
+        (sum(col("q6")).cast(DoubleType) / 1e6 / count(lit(1)))
           .as("avg_quality"),
         countDistinct(col("lang_pred")).as("n_langs"))
       .orderBy("source")
