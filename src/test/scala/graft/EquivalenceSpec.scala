@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, Similarity}
+import graft.streaming.ProfileStream
+
+/** Cross-surface equivalence pins: the streaming sessionizer against
+  * the batch sessionizer on a replayed finite stream, and the LSH
+  * embedding near-dup path against the exact O(n²) baseline.
+  */
+class EquivalenceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("sessionizeStream on a replayed finite stream produces the " +
+      "same sessions as batch sessionize") {
+    // 3 users, mixed shapes: multi-event sessions, back-to-back
+    // sessions split by >30 min gaps, a single-event session
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 1.0),
+      (1L, "2024-01-01 10:10:00", 2L, 2.0),
+      (1L, "2024-01-01 10:39:00", 3L, 3.0),   // still session 1 (29 min)
+      (1L, "2024-01-01 12:00:00", 4L, 4.0),   // session 2
+      (2L, "2024-01-01 09:00:00", 5L, 5.0),   // lone event
+      (2L, "2024-01-01 11:00:00", 6L, 6.0),
+      (2L, "2024-01-01 11:30:00", 7L, 7.0),   // exactly 30 min: same
+      (3L, "2024-01-01 08:00:00", 8L, 8.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_eq")
+    val in = dir.toString + "/in"
+    def toDf(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("user_id", "ts", "event_id", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    toDf(events).write.mode("overwrite").parquet(in)
+
+    // batch truth over the identical rows
+    val batch = Relational.sessionizeEvents(toDf(events), gapMinutes = 30)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("duration_sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    // replay as a stream; a far-future sentinel advances the watermark
+    // so event-time timeouts close every real session
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = ProfileStream.sessionizeStream(stream,
+      gapMinutes = 30, watermarkDur = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_eq").start()
+    try {
+      q.processAllAvailable()
+      toDf(Seq((99L, "2024-01-02 12:00:00", 999L, 0.0)))
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """select user_id,
+           date_format(timestamp_micros(session_start_us),
+             'yyyy-MM-dd HH:mm:ss.SSSSSS') as session_start,
+           n_events, duration_sec
+           from sess_eq""")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+        .filter(_._1 != 99L).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("LSH embeddingNearDups: precision 1.0 (subset of exact) on " +
+      "real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lsh = Similarity.embeddingNearDups(e, threshold = 0.3,
+        tables = 16, planesPerTable = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = Similarity.exactNearDups(e, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(lsh.nonEmpty)              // the band actually fires here
+    assert(lsh.forall(exact.contains))   // true-cosine verify ⇒ no FPs
+  }
+
+  test("LSH embeddingNearDups: recall 1.0 on duplicated vectors") {
+    // identical vectors share every bucket in every table — LSH must
+    // recover all planted duplicate pairs
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+    val dup = base.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val planted = base.unionByName(dup)
+    val found = Similarity.embeddingNearDups(planted, threshold = 0.999,
+        tables = 16, planesPerTable = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 50L).map(i => (i, i + 1000L)).toSet
+    assert(expected.subsetOf(found))
+  }
+}
