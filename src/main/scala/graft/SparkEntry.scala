@@ -210,6 +210,20 @@ object SparkEntry {
       TextAnalysis.qualityFilter(Tables.load(s, d, "documents"))),
     "corpus_report" -> ((s, d) =>
       TextAnalysis.corpusReport(Tables.load(s, d, "documents"))),
+    // Gopher-style repetition gate: duplicate-bigram fraction +
+    // top-bigram share per document
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionProfile(Tables.load(s, d, "documents"))),
+    // PII scrub over a deterministic fixture (the corpus itself is
+    // synthetic word soup with no PII, so — like convert_bson and
+    // multimodal_meta — the fixture plants emails/phones/IPs the
+    // oracle rebuilds from the same columns)
+    "redact_pii" -> ((s, d) =>
+      TextAnalysis.redactPii(piiFixture(Tables.load(s, d, "documents")))),
+    // LM-pretraining sequence packing: concat-then-chunk bin layout,
+    // sharded for parallelism
+    "pack_sequences" -> ((s, d) =>
+      Sampling.packSequences(Tables.load(s, d, "documents"))),
     // — similarity search —
     "ann_cosine_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
@@ -343,6 +357,29 @@ object SparkEntry {
       expr("CAST((id * 107 % 10000) / 100.0 AS DECIMAL(12,2))").as("dec"),
       unhex(substring(md5(concat(lit("bin:"), col("id").cast("string"))),
         1, 16)).as("bin"))
+
+  /** Deterministic PII-bearing text fixture: the synthetic corpus has
+    * no real PII, so emails / international phone numbers / IPv4
+    * addresses are planted from doc_id arithmetic (the same
+    * fixture-from-columns convention as [[bsonFixture]] and the
+    * multimodal payload), letting the DuckDB oracle rebuild the exact
+    * input string.
+    */
+  private[graft] def piiFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 1,
+          concat(lit(" call +1-555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 2,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit(""))).as("text"))
 
   /** The raw mixed-type JSON-lines "collection": one JSON document per
     * line, derived deterministically from the `documents` parquet table
@@ -830,6 +867,76 @@ object SparkEntry {
              CAST(SUM(q6) AS DOUBLE) / 1e6 / COUNT(*) AS avg_quality,
              COUNT(DISTINCT lang_pred) AS n_langs
       FROM m GROUP BY source ORDER BY source"""),
+    "text_repetition" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      b AS (SELECT doc_id, list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1]) AS bs FROM t),
+      ex AS (SELECT doc_id, unnest(bs) AS bg FROM b),
+      c AS (SELECT doc_id, bg, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+      pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               COUNT(*) AS n_unique_bigrams FROM c GROUP BY 1),
+      top AS (SELECT doc_id, bg, c FROM (
+                SELECT doc_id, bg, c,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY c DESC, bg ASC) AS rn FROM c)
+              WHERE rn = 1)
+      SELECT d.doc_id,
+        COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        COALESCE(pd.n_unique_bigrams, 0) AS n_unique_bigrams,
+        CASE WHEN pd.n_bigrams IS NULL THEN 0.0
+             ELSE round(CAST(pd.n_bigrams - pd.n_unique_bigrams AS DOUBLE)
+                    / pd.n_bigrams, 6) END AS dup_bigram_frac,
+        top.bg AS top_bigram,
+        COALESCE(top.c, 0) AS top_bigram_n,
+        CASE WHEN pd.n_bigrams IS NULL THEN 0.0
+             ELSE round(CAST(top.c AS DOUBLE) / pd.n_bigrams, 6)
+             END AS top_bigram_frac,
+        (CASE WHEN pd.n_bigrams IS NULL THEN 0.0
+              ELSE round(CAST(pd.n_bigrams - pd.n_unique_bigrams AS DOUBLE)
+                     / pd.n_bigrams, 6) END) <= 0.1 AS pass_repetition
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN pd USING (doc_id) LEFT JOIN top USING (doc_id)
+      ORDER BY doc_id"""),
+    "redact_pii" -> (s"""
+      WITH p AS (SELECT doc_id,
+        substr(text, 1, 40)
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || doc_id || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 4 = 1
+                THEN ' call +1-555-010-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 2
+                THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+                ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}'))
+          AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '${TextAnalysis.Ipv4Re}'))
+          AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(t, '${TextAnalysis.PhoneRe}'))
+          AS BIGINT) AS n_phones,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+          '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+          '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean
+      FROM p ORDER BY doc_id"""),
+    "pack_sequences" -> (s"""
+      WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                 AS INTEGER) % 8 AS BIGINT) AS shard
+             FROM documents),
+      s AS (SELECT doc_id, shard, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_tok
+            FROM t)
+      SELECT doc_id, shard, n_tokens, start_tok,
+             CAST(floor(start_tok / 512.0) AS BIGINT) AS bin
+      FROM s ORDER BY doc_id"""),
     "corpus_filter" -> (s"""
       WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
       m AS (SELECT doc_id, len(toks) AS n_tokens, $qualitySql AS quality,

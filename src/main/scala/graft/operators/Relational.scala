@@ -336,7 +336,13 @@ object Relational {
       pmod(xxhash64(probe.columns.map(col): _*), lit(salt.toLong)))
     val b = build.withColumn("_salt",
       explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
-    p.join(b, Seq(key, "_salt")).drop("_salt")
+    // force the shuffled-hash shape: if Catalyst can broadcast the
+    // build side the salt is pure overhead (no reducer to spread) —
+    // salting only makes sense for joins that must shuffle, so the
+    // operator pins the plan it is designed for: both sides
+    // hash-partitioned on (key, _salt), hot key spread over `salt`
+    // reducers
+    p.join(b.hint("shuffle_hash"), Seq(key, "_salt")).drop("_salt")
   }
 
   /** Purchase attribution via as-of join: each click joined to the

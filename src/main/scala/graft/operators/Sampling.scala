@@ -81,6 +81,41 @@ object Sampling {
       .filter(col("_rn") <= n).drop("_rn")
   }
 
+  /** Sequence packing for LM pretraining: the concat-then-chunk layout.
+    * Each document is assigned a shard (md5 of id, so any engine
+    * reproduces it) and, within its shard's doc_id-ordered stream, the
+    * training-context bin its first token lands in when the stream is
+    * chunked every `tokenBudget` tokens.
+    *
+    * Scale shape: the running token sum is a window per shard —
+    * packing is inherently sequential *within* a stream, so shards ARE
+    * the parallelism (pick nShards ≈ cluster cores; each shard's
+    * window is one sorted partition). No driver state, no RNG;
+    * deterministic on any partitioning. A doc whose tokens cross a
+    * chunk boundary spans bins, as concat-then-chunk pipelines do —
+    * `start_tok` gives the exact offset for the chunker.
+    */
+  def packSequences(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", tokenBudget: Int = 512,
+                    nShards: Int = 8): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val shard = pmod(
+      conv(substring(md5(col(idCol).cast(StringType)), 1, 4), 16, 10)
+        .cast(LongType), lit(nShards.toLong))
+    val w = W.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("shard", shard)
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin",
+        floor(col("start_tok") / lit(tokenBudget.toDouble)).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_tok"), col("bin"))
+      .orderBy("doc_id")
+  }
+
   /** P2: display sanitization of one string column — values whose
     * serialized form exceeds `maxLen` chars are replaced by the
     * reference's `"<type>(too large to display inline)"` marker

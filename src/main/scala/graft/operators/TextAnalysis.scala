@@ -180,6 +180,81 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021,
+    * "Scaling Language Models", §A1.1 repetition filters): the
+    * duplicate-bigram fraction and the most-frequent-bigram share.
+    * Boilerplate and degenerate generations repeat token n-grams far
+    * above natural-text rates, so training pipelines gate on these.
+    *
+    * Shape: explode bigrams → count per (doc, bigram) → one row per
+    * doc. Two shuffles, both keyed by doc id with map-side partials —
+    * the [[topTerms]] scale shape, linear in corpus size (the pure
+    * expression alternative — counting each distinct bigram with a
+    * nested array scan — is O(n·u) per document and dies on long
+    * documents). Deterministic: counts are exact, fractions are one
+    * IEEE division rounded to 6 decimals, the top bigram tie-break is
+    * (count desc, bigram asc) via min on a (-count, bigram) struct.
+    */
+  def repetitionProfile(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        maxDupFrac: Double = 0.1): DataFrame = {
+    val t = tokens(col(textCol))
+    val bigrams = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val counts = graft.util.Utils.spread(df)
+      .select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy("doc_id").agg(
+      sum(col("c")).as("n_bigrams"),
+      count(lit(1)).as("n_unique_bigrams"),
+      min(struct((-col("c")).as("nc"), col("bg").as("b"))).as("m"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unique_bigrams"), lit(0L)).as("n_unique_bigrams"),
+        when(col("n_bigrams").isNull, lit(0.0)).otherwise(
+          round((col("n_bigrams") - col("n_unique_bigrams"))
+            .cast(DoubleType) / col("n_bigrams"), 6)).as("dup_bigram_frac"),
+        col("m.b").as("top_bigram"),
+        coalesce(-col("m.nc"), lit(0L)).as("top_bigram_n"),
+        when(col("n_bigrams").isNull, lit(0.0)).otherwise(
+          round((-col("m.nc")).cast(DoubleType) / col("n_bigrams"), 6))
+          .as("top_bigram_frac"))
+      .withColumn("pass_repetition", col("dup_bigram_frac") <= maxDupFrac)
+      .orderBy("doc_id")
+  }
+
+  /** PII patterns shared by the engine and the DuckDB oracle — kept to
+    * the portable common subset of Java regex and RE2 (no lookaround,
+    * ASCII word boundaries).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d-]{6,}\\d"
+
+  /** PII scrub for training corpora: count then redact emails, IPv4
+    * addresses and international-format phone numbers with typed
+    * placeholders. Pure row-local expression chain — no shuffle, no
+    * UDF, scales linearly; replacement order (email → ip → phone) is
+    * part of the contract and mirrored by the oracle. Counts are taken
+    * on the raw text BEFORE redaction.
+    */
+  def redactPii(df: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val c = col(textCol)
+    df.select(col(idCol).as("doc_id"),
+      regexp_count(c, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(c, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(c, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("clean"))
+      .orderBy("doc_id")
+  }
+
   /** Full per-document text profile over a documents table. */
   def textProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

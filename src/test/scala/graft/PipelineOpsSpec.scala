@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Semantics pins for the round-6 training-pipeline operators:
+  * repetition signals, PII redaction, sequence packing.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("repetitionProfile: counts, fractions, deterministic tie-break") {
+    val docs = Seq(
+      (1L, "a b a b c"),        // bigrams: ab,ba,ab,bc → 4 total 3 uniq
+      (2L, "x y"),              // single bigram
+      (3L, "solo"),             // no bigrams
+      (4L, "t t t t t t t t t t t t")  // 11× "t t": dup frac 10/11
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4 && out(1L).getLong(2) == 3)
+    assert(out(1L).getDouble(3) == 0.25)
+    // tie at count 1 among ba,bc → a b wins at count 2; top share 0.5
+    assert(out(1L).getString(4) == "a b" && out(1L).getLong(5) == 2)
+    assert(out(1L).getDouble(6) == 0.5)
+    assert(out(2L).getLong(1) == 1 && out(2L).getString(4) == "x y")
+    assert(out(3L).getLong(1) == 0 && out(3L).isNullAt(4)
+      && out(3L).getDouble(3) == 0.0)
+    assert(out(4L).getDouble(3) > 0.9 && !out(4L).getBoolean(7))
+    assert(!out(1L).getBoolean(7))  // 0.25 dup frac fails the 0.1 gate
+    assert(out(2L).getBoolean(7) && out(3L).getBoolean(7))
+  }
+
+  test("redactPii: emails, ipv4 and phones redacted in order, " +
+      "counts from raw text") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or jo@ex.co thanks"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +1-555-010-9999 now"),
+      (4L, "nothing here"),
+      (5L, "mix a@b.io 1.2.3.4 +49-30-1234567 end")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2 &&
+      out(1L).getString(4) == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(out(2L).getLong(2) == 2 &&
+      out(2L).getString(4) == "server <IP> and <IP> up")
+    assert(out(3L).getLong(3) == 1 &&
+      out(3L).getString(4) == "call <PHONE> now")
+    assert(out(4L).getString(4) == "nothing here" &&
+      out(4L).getLong(1) == 0 && out(4L).getLong(2) == 0 &&
+      out(4L).getLong(3) == 0)
+    assert(out(5L).getString(4) == "mix <EMAIL> <IP> <PHONE> end")
+  }
+
+  test("packSequences: bins are the concat-then-chunk layout per shard") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.packSequences(docs, tokenBudget = 100, nShards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // recompute the packing naively per shard and compare
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n, startTok, bin) =>
+        assert(startTok == cum)
+        assert(bin == cum / 100)     // floor(start/budget)
+        cum += n
+      }
+    }
+    // bins are dense from 0 within each shard (docs shorter than the
+    // budget cannot skip a chunk)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val bins = rows.map(_._5).distinct.sorted
+      assert(bins.head == 0L)
+    }
+  }
+}
