@@ -224,6 +224,19 @@ object SparkEntry {
     // sharded for parallelism
     "pack_sequences" -> ((s, d) =>
       Sampling.packSequences(Tables.load(s, d, "documents"))),
+    // quality-aware canonical selection over a corpus with PLANTED
+    // normalizing duplicates (the synthetic corpus has none): each
+    // doc_id%7==0 doc gets a case/whitespace-mangled mirror that
+    // fingerprints identically but scores lower — keepBest must pick
+    // the original every time
+    "dedup_keep_best" -> ((s, d) =>
+      Dedup.keepBest(dupFixture(Tables.load(s, d, "documents")),
+          TextAnalysis.qualityScore(col("text")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_copies"))
+        .orderBy("doc_id")),
+    // inter-source duplicate overlap matrix over the same fixture
+    "source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(dupFixture(Tables.load(s, d, "documents")))),
     // — similarity search —
     "ann_cosine_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
@@ -380,6 +393,24 @@ object SparkEntry {
           concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
             lit("."), (col("doc_id") % 100).cast("string")))
           .otherwise(lit(""))).as("text"))
+
+  /** Corpus with planted normalizing duplicates: every doc_id%7==0
+    * document reappears under id+10000 in a synthetic 'dup_mirror'
+    * source, upper-cased with leading whitespace — the fingerprint
+    * normalization (lower + trim + whitespace collapse) maps both to
+    * the same key, while the mangled copy scores lower on
+    * [[TextAnalysis.qualityScore]] (upper-case kills stopword hits).
+    * Deterministic, so the oracle rebuilds it with one UNION ALL.
+    */
+  private[graft] def dupFixture(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("text"))
+    val dups = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("lang"),
+        lit("dup_mirror").as("source"),
+        concat(lit("  "), upper(col("text"))).as("text"))
+    base.unionByName(dups)
+  }
 
   /** The raw mixed-type JSON-lines "collection": one JSON document per
     * line, derived deterministically from the `documents` parquet table
@@ -671,6 +702,16 @@ object SparkEntry {
        |        WHERE round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared),
        |          6) >= 0.3)""".stripMargin
 
+  /** Mirrors [[dupFixture]] (planted normalizing duplicates) as a
+    * `u(doc_id, lang, source, text)` CTE body.
+    */
+  private val dupFixtureCte: String =
+    """u AS (SELECT doc_id, lang, source, text FROM documents
+      |       UNION ALL
+      |       SELECT doc_id + 10000, lang, 'dup_mirror',
+      |              '  ' || upper(text)
+      |       FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
   /** Transitive near-dup groups over the minhash pair graph — shared
     * verbatim by `dedup_groups_minhash` (driver union-find fast path)
     * and `dedup_groups_distributed` (pointer-jumping path): one truth,
@@ -951,6 +992,24 @@ object SparkEntry {
     "dedup_exact_groups" -> (s"""
       SELECT $fpSql AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
       FROM documents GROUP BY 1 ORDER BY fp"""),
+    "dedup_keep_best" -> (s"""
+      WITH $dupFixtureCte,
+      t AS (SELECT doc_id, lang, source, text, $toksSql AS toks FROM u),
+      m AS (SELECT doc_id, lang, source, $fpSql AS fp, $qualitySql AS q
+            FROM t),
+      r AS (SELECT doc_id, lang, source,
+              COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+              ROW_NUMBER() OVER (PARTITION BY fp
+                ORDER BY q DESC, doc_id ASC) AS rn
+            FROM m)
+      SELECT doc_id, lang, source, n_copies FROM r WHERE rn = 1
+      ORDER BY doc_id"""),
+    "source_overlap" -> (s"""
+      WITH $dupFixtureCte,
+      f AS (SELECT DISTINCT source AS src, $fpSql AS fp FROM u)
+      SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+      FROM f a JOIN f b ON a.fp = b.fp AND a.src < b.src
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
     "dedup_keep_first" -> (s"""
       SELECT doc_id, lang, source FROM (
         SELECT doc_id, lang, source,

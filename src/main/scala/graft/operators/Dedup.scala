@@ -48,6 +48,45 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Quality-aware canonical selection: per exact-dup group keep the
+    * row maximizing `score` (ties → lowest id). The curation upgrade
+    * over [[exactDedup]]'s keep-first: when a crawl captures the same
+    * page with and without boilerplate damage, the best-quality copy
+    * survives, not the first-seen one. One shuffle on the 16-byte
+    * fingerprint; `n_copies` rides the same window partition.
+    */
+  def keepBest(df: DataFrame, score: Column, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("_fp"))
+      .orderBy(col("_score").desc, col(idCol).asc)
+    df.withColumn("_fp", fingerprint(col(textCol)))
+      .withColumn("_score", score)
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("_fp"))))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_fp", "_score")
+  }
+
+  /** Inter-source duplicate overlap matrix: for each source pair, how
+    * many distinct normalized fingerprints they share — the dataset
+    * curation question "how much of source A is already in source B"
+    * (licensing audits, mixture design, crawl-snapshot diffing).
+    * Shuffle keyed by fingerprint; per-fingerprint work is bounded by
+    * (#sources carrying it)², and #sources is catalog-sized — scales
+    * linearly in the corpus.
+    */
+  def sourceOverlap(df: DataFrame, textCol: String = "text",
+                    stratumCol: String = "source"): DataFrame = {
+    val fp = df.select(col(stratumCol).as("src"),
+      fingerprint(col(textCol)).as("fp")).distinct()
+    val a = fp.select(col("src").as("src_a"), col("fp"))
+    val b = fp.select(col("src").as("src_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Benchmark decontamination: training documents that share any word
     * n-gram with a held-out test split (the train/eval-overlap scan an
     * LLM data pipeline runs before training). The split here is

@@ -57,6 +57,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(5L).getString(4) == "mix <EMAIL> <IP> <PHONE> end")
   }
 
+  test("keepBest: highest-score copy survives, ties break to lowest id") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "src0", "the quick brown fox"),
+      (2L, "src1", "  THE QUICK BROWN FOX"),   // same fp, fewer stop hits
+      (3L, "src0", "unique text here"),
+      (4L, "src1", "unique text here")          // identical ⇒ tie ⇒ id 3
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.keepBest(docs,
+        TextAnalysis.qualityScore(col("text")))
+      .select("doc_id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 2L))
+  }
+
+  test("sourceOverlap: distinct shared fingerprints per source pair") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a", "one two three"),
+      (2L, "b", "ONE TWO THREE"),     // shared with a (normalized)
+      (3L, "b", "only in b"),
+      (4L, "c", "one two three"),     // shared with a and b
+      (5L, "a", "one two three"),     // duplicate within a: counts once
+      (6L, "c", "only in b")          // shared with b
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 1L, ("a", "c") -> 1L,
+      ("b", "c") -> 2L))
+  }
+
   test("packSequences: bins are the concat-then-chunk layout per shard") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
