@@ -96,6 +96,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("repetitionProfile: exactly the two doc-keyed exchanges, " +
+      "single scan") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.TextAnalysis.repetitionProfile(docs))
+    // (doc,bigram) groupBy + per-doc groupBy + the left-join back +
+    // final sort: every exchange is keyed by doc_id or tiny; no
+    // all-pairs or global-window shape may appear
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected <=2 parquet scans, had $scans")
+  }
+
+  test("redactPii: row-local — zero exchanges beyond the output sort") {
+    val docs = Tables.load(spark, dir, "documents")
+    // the operator body is select-only: a single projection over the
+    // scan; the orderBy is the only sort/exchange source
+    val p = planOf(graft.operators.TextAnalysis.redactPii(docs))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy exchange\n$p")
+  }
+
+  test("packSequences: one shard-keyed window exchange + output sort") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.Sampling.packSequences(docs))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected shard window + orderBy, got $exchanges\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("sourceOverlap: fingerprint join sides reduce to distinct " +
+      "(src, fp) scalars before the join") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.Dedup.sourceOverlap(docs))
+    // the join must consume 16-byte fp + src pairs, never text
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+      l.contains("BroadcastHashJoin"))
+    assert(joinLine.isDefined, p)
+    assert(!p.contains("CartesianProduct"))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema"))
+    assert(readSchema.forall(l => l.contains("source") && l.contains("text")))
+  }
+
   test("bucketed staging: co-bucketed join plans with NO exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed")
     val orders = Tables.load(spark, dir, "orders")
