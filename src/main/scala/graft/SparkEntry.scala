@@ -214,6 +214,10 @@ object SparkEntry {
     // top-bigram share per document
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionProfile(Tables.load(s, d, "documents"))),
+    // CCNet-style frequency-based quality proxy (integer-weighted mean
+    // inverse document frequency — the libm-free perplexity stand-in)
+    "text_rarity" -> ((s, d) =>
+      TextAnalysis.rarityProfile(Tables.load(s, d, "documents"))),
     // PII scrub over a deterministic fixture (the corpus itself is
     // synthetic word soup with no PII, so — like convert_bson and
     // multimodal_meta — the fixture plants emails/phones/IPs the
@@ -885,6 +889,18 @@ object SparkEntry {
       WHERE h NOT IN ('0', '1', '2', '3')
         AND fp NOT IN (SELECT fp FROM f WHERE h IN ('0', '1', '2', '3'))
       ORDER BY doc_id"""),
+    "text_rarity" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      j AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+              CAST(SUM(tf * CAST(floor(1e6 / df + 0.5) AS BIGINT))
+                AS BIGINT) AS w
+            FROM tf JOIN dfq USING (term) GROUP BY 1)
+      SELECT doc_id, n_tokens,
+             (2 * w + n_tokens) // (2 * n_tokens) AS rarity_ppm
+      FROM j ORDER BY doc_id"""),
     "text_topterms" -> (s"""
       WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
       tok AS (SELECT doc_id, unnest(toks) AS term FROM t),

@@ -225,6 +225,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Frequency-based quality proxy (the oracle-able stand-in for a
+    * CCNet-style LM-perplexity filter, which needs a trained model no
+    * oracle could replay): a document's mean inverse document
+    * frequency over its token occurrences. Low rarity = boilerplate /
+    * stop-word soup; high rarity = rare-vocabulary text (often
+    * gibberish) — pipelines gate both tails.
+    *
+    * Determinism: per-token weights are INTEGERS (round(10⁶/df)), so
+    * the big summation is order-free (the libm-free analogue of the
+    * log-prob sum a perplexity filter computes — same monotone
+    * rare-vs-common axis, no cross-engine `log`), and the final mean
+    * is emitted in integer MICRO-UNITS via integer half-up division —
+    * a rounded cross-engine double here loses hash-equality the
+    * moment a document lands exactly on a .5 boundary (one did at
+    * sf0.001). Scale shape is exactly [[topTerms]]: tf on (doc,
+    * term), df on term (vocabulary-sized), then a doc-keyed rollup —
+    * all with map-side partials.
+    */
+  def rarityProfile(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val tok = graft.util.Utils.spread(df)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * floor(lit(1e6) / col("df") + 0.5).cast(LongType))
+          .as("w"))
+      // half-up integer mean: round(w / n) = (2w + n) DIV 2n, all in
+      // 64-bit integer arithmetic — no float ever touches the output
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(2 * w + n_tokens) DIV (2 * n_tokens)").as("rarity_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** PII patterns shared by the engine and the DuckDB oracle — kept to
     * the portable common subset of Java regex and RE2 (no lookaround,
     * ASCII word boundaries).

@@ -57,6 +57,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(5L).getString(4) == "mix <EMAIL> <IP> <PHONE> end")
   }
 
+  test("rarityProfile: integer-weighted mean inverse df, hand-computed") {
+    val docs = Seq(
+      (1L, "common common rare"),   // common df=2, rare df=1
+      (2L, "common only")           // only df=1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rarityProfile(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: w = 2*round(1e6/2) + 1*round(1e6/1) = 2e6 → round(2e6/3)
+    assert(out(1L) == (3L, 666667L))
+    // doc 2: w = round(1e6/2) + round(1e6/1) = 1.5e6 → 1.5e6/2
+    assert(out(2L) == (2L, 750000L))
+    // half-up at the boundary: one 'a a b' doc alone — w = 3e6, n = 3
+    val half = TextAnalysis
+      .rarityProfile(Seq((1L, "a a b")).toDF("doc_id", "text"))
+      .collect().head
+    assert(half.getLong(2) == 1000000L)
+  }
+
   test("keepBest: highest-score copy survives, ties break to lowest id") {
     import graft.operators.Dedup
     val docs = Seq(
