@@ -241,6 +241,13 @@ object SparkEntry {
     // inter-source duplicate overlap matrix over the same fixture
     "source_overlap" -> ((s, d) =>
       Dedup.sourceOverlap(dupFixture(Tables.load(s, d, "documents")))),
+    // the whole curation funnel as one plan: gate → dedup →
+    // decontaminate → mixture sample (each stage is oracled alone;
+    // this row pins the composition end to end)
+    "curation_pipeline" -> ((s, d) =>
+      operators.Curation.curate(Tables.load(s, d, "documents"),
+        rates = Map("src0" -> 1000, "src1" -> 500, "src2" -> 250),
+        defaultPermille = 100)),
     // — similarity search —
     "ann_cosine_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
@@ -1008,6 +1015,34 @@ object SparkEntry {
     "dedup_exact_groups" -> (s"""
       SELECT $fpSql AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
       FROM documents GROUP BY 1 ORDER BY fp"""),
+    "curation_pipeline" -> (s"""
+      WITH t AS (SELECT doc_id, lang, source, text, $toksSql AS toks
+                 FROM documents),
+      g AS (SELECT * FROM t
+            WHERE len(toks) >= 20 AND $qualitySql >= 0.3
+              AND $langSql <> 'unknown'),
+      d AS (SELECT doc_id, lang, source, text, toks FROM (
+              SELECT doc_id, lang, source, text, toks,
+                     ROW_NUMBER() OVER (PARTITION BY $fpSql
+                       ORDER BY doc_id ASC) AS rn
+              FROM g) WHERE rn = 1),
+      sp AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0', '1') AS is_test FROM d),
+      sh AS (SELECT doc_id, is_test, $shingles8Sql AS sh8 FROM sp),
+      inv AS (SELECT doc_id, is_test, unnest(sh8) AS g8 FROM sh),
+      testg AS (SELECT DISTINCT g8 FROM inv WHERE is_test),
+      bad AS (SELECT DISTINCT doc_id FROM inv
+              WHERE NOT is_test AND g8 IN (SELECT g8 FROM testg)),
+      clean AS (SELECT * FROM sp WHERE NOT is_test
+                AND doc_id NOT IN (SELECT doc_id FROM bad))
+      SELECT doc_id, source, lang, len(toks) AS n_tokens FROM clean
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        CASE source
+          WHEN 'src0' THEN '${Sampling.hexThreshold(1000)}'
+          WHEN 'src1' THEN '${Sampling.hexThreshold(500)}'
+          WHEN 'src2' THEN '${Sampling.hexThreshold(250)}'
+          ELSE '${Sampling.hexThreshold(100)}' END
+      ORDER BY doc_id"""),
     "dedup_keep_best" -> (s"""
       WITH $dupFixtureCte,
       t AS (SELECT doc_id, lang, source, text, $toksSql AS toks FROM u),

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-set curation — the composition every LLM data
+  * pipeline runs before tokenization, expressed as ONE declarative
+  * plan so Catalyst sees (and optimizes) the whole funnel:
+  *
+  *   quality gate → exact dedup (keep-first) → benchmark
+  *   decontamination → deterministic mixture sampling.
+  *
+  * Stage costs at 100 TB: the gate is row-local codegen (no shuffle)
+  * and prunes before anything shuffles; dedup shuffles 16-byte
+  * fingerprints of survivors only; decontamination broadcasts the
+  * held-out split's n-gram set (the corpus never shuffles); mixture
+  * sampling is another row-local hash threshold. Net: ONE corpus-sized
+  * shuffle (the dedup window) for the entire funnel. Every stage is
+  * individually oracled (`corpus_filter`, `dedup_keep_first`,
+  * `decontaminate`, `sample_mixture_docs`); `curation_pipeline` pins
+  * the composition.
+  */
+object Curation {
+
+  def curate(docs: DataFrame,
+             minTokens: Int = 20, minQuality: Double = 0.3,
+             rates: Map[String, Int] = Map.empty,
+             defaultPermille: Int = 100,
+             ngram: Int = 8): DataFrame = {
+    val c = col("text")
+    // stage 1: row-local quality gate — prune BEFORE any shuffle
+    val passed = docs.filter(
+      TextAnalysis.tokenCount(c) >= minTokens &&
+        TextAnalysis.qualityScore(c) >= minQuality &&
+        TextAnalysis.langId(c) =!= "unknown")
+    // stage 2: exact dedup, keep the first (lowest-id) copy
+    val deduped = Dedup.exactDedup(passed)
+    // stage 3: the held-out split (md5-prefix 0/1 ≈ 1/8, standing in
+    // for a benchmark suite) leaves the corpus entirely; training
+    // docs sharing any 8-gram with it are dropped
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1)
+      .isin("0", "1")
+    val train = deduped.filter(!isTest)
+    val contaminated = Dedup
+      .decontaminateAgainst(train, deduped.filter(isTest), n = ngram)
+      .select(col("doc_id").as("_bad_id"))
+    val clean = train.join(broadcast(contaminated),
+      col("doc_id") === col("_bad_id"), "left_anti")
+    // stage 4: per-source mixture rates, row-local hash threshold
+    Sampling.mixtureSample(clean, "source", "doc_id", rates,
+        defaultPermille)
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.tokenCount(c).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+}

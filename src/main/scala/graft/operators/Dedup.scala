@@ -182,6 +182,28 @@ object Dedup {
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** Row-local minhash signature — the SAME lanes as
+    * [[minhashSignatures]] (min over shingles of an 8-hex slice of
+    * md5(g || ':' || shingle)) but computed per row as an array
+    * expression, no explode, no shuffle. This is the STREAMING shape:
+    * a stateful streaming query cannot interpose the batch path's
+    * groupBy without becoming a multi-stage aggregation, while a pure
+    * projection composes with any watermark/dedup operator. For batch
+    * profiling prefer [[minhashSignatures]] (the interpreted
+    * higher-order form here pays ~4× the md5 work per shingle — fine
+    * at stream rates, wasteful over a full corpus). Lanes are null
+    * iff the document has no shingles (< 3 tokens).
+    */
+  def minhashSigExpr(text: Column, numHashes: Int = 8): Column = {
+    require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
+    val sh = array_distinct(shingles(text))
+    array((0 until numHashes).map { j =>
+      array_min(transform(sh, x =>
+        substring(md5(concat(lit(s"${j / 4}:"), x)),
+          (j % 4) * 8 + 1, 8)))
+    }: _*)
+  }
+
   /** LSH banding: signature split into `bands` bands of
     * numHashes/bands rows each; docs sharing any band key are candidate
     * near-dups. Emits (id, band_idx, band_key). The band join is the

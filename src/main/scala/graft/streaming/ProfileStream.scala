@@ -61,6 +61,36 @@ object ProfileStream {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming NEAR-dup suppression: each document's row-local
+    * minhash signature ([[graft.operators.Dedup.minhashSigExpr]])
+    * collapses to one band key; documents repeating a band key inside
+    * the watermark horizon are dropped. With all `numHashes` lanes in
+    * a single band this fires only on (near-)identical shingle sets —
+    * high precision, recall grows as documents get more similar; it is
+    * the streaming complement of the batch LSH pipeline, whose banded
+    * multi-table recall needs a join no streaming dedup operator can
+    * express with bounded state. Shingle-less docs (< 3 tokens) fall
+    * back to the exact fingerprint so they dedup exactly rather than
+    * colliding on a degenerate band. State: one band key per distinct
+    * doc inside the watermark — same O(horizon) bound as
+    * [[dedupStream]].
+    */
+  def nearDedupStream(stream: DataFrame, tsCol: String,
+                      textCol: String = "text",
+                      numHashes: Int = 8,
+                      watermarkDur: String = "10 minutes"): DataFrame = {
+    val sig = graft.operators.Dedup.minhashSigExpr(col(textCol), numHashes)
+    stream
+      .withColumn("_band",
+        when(element_at(sig, 1).isNull,
+          concat(lit("fp:"),
+            graft.operators.TextAnalysis.fingerprint(col(textCol))))
+          .otherwise(md5(concat_ws("|", sig))))
+      .withWatermark(tsCol, watermarkDur)
+      .dropDuplicatesWithinWatermark("_band")
+      .drop("_band")
+  }
+
   /** One event for [[sessionizeStream]]. The event time stays a real
     * timestamp column — the streaming analyzer requires the watermarked
     * column to flow INTO the stateful operator (projecting it to a long

@@ -69,6 +69,52 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("minhashSigExpr: row-local signature equals the batch " +
+      "explode-groupBy signature on real documents") {
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val exprSide = docs.select(col("doc_id"),
+        Dedup.minhashSigExpr(col("text")).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+      .filter(_._2.forall(_ != null)).toMap
+    assert(exprSide.nonEmpty && exprSide == batch)
+  }
+
+  test("nearDedupStream: same-shingle docs suppressed, distinct and " +
+      "short docs survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardedup")
+    val in = dir.toString + "/in"
+    Seq(
+      (1L, "2024-01-01 10:00:00", "alpha beta gamma delta epsilon"),
+      // same token stream (whitespace differs) → same shingles → drop
+      (2L, "2024-01-01 10:00:01", "alpha  beta   gamma delta epsilon"),
+      (3L, "2024-01-01 10:00:02", "totally different text right here"),
+      (4L, "2024-01-01 10:00:03", "tiny doc"),         // < 3 tokens: fp path
+      (5L, "2024-01-01 10:00:04", "tiny  doc")          // same fp → drop
+    ).toDF("id", "ts", "text")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = graft.streaming.ProfileStream.nearDedupStream(stream, "ts")
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardedup").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("select id from neardedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids.size == 3)
+      assert(ids.contains(3L))
+      assert(ids.exists(i => i == 1L || i == 2L))
+      assert(ids.exists(i => i == 4L || i == 5L))
+    } finally q.stop()
+  }
+
   test("LSH embeddingNearDups: precision 1.0 (subset of exact) on " +
       "real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
