@@ -248,6 +248,23 @@ object SparkEntry {
       operators.Curation.curate(Tables.load(s, d, "documents"),
         rates = Map("src0" -> 1000, "src1" -> 500, "src2" -> 250),
         defaultPermille = 100)),
+    // snapshot diff between two deterministic views of the corpus:
+    // 10%-shifted membership + 1-in-7 text edits exercise all four
+    // statuses (added / removed / changed / kept)
+    "corpus_diff" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val prev = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" OLD")))
+            .otherwise(col("text")).as("text"))
+      val cur = docs.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id"), col("text"))
+      Dedup.corpusDiff(prev, cur)
+    }),
+    // deterministic md5-range train/val/test assignment
+    "split_assign" -> ((s, d) =>
+      Dedup.splitAssign(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("split")).orderBy("doc_id")),
     // — similarity search —
     "ann_cosine_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
@@ -1043,6 +1060,29 @@ object SparkEntry {
           WHEN 'src2' THEN '${Sampling.hexThreshold(250)}'
           ELSE '${Sampling.hexThreshold(100)}' END
       ORDER BY doc_id"""),
+    "corpus_diff" -> (s"""
+      WITH o AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' OLD'
+                        ELSE text END AS text
+                 FROM documents WHERE doc_id % 10 <> 0),
+      n AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+      a AS (SELECT doc_id, $fpSql AS fp FROM o),
+      b AS (SELECT doc_id, $fpSql AS fp FROM n)
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        CASE WHEN a.doc_id IS NULL THEN 'added'
+             WHEN b.doc_id IS NULL THEN 'removed'
+             WHEN a.fp = b.fp THEN 'kept'
+             ELSE 'changed' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      ORDER BY doc_id"""),
+    "split_assign" -> (s"""
+      SELECT doc_id,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '${Sampling.hexThreshold(50)}' THEN 'test'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '${Sampling.hexThreshold(100)}' THEN 'val'
+             ELSE 'train' END AS split
+      FROM documents ORDER BY doc_id"""),
     "dedup_keep_best" -> (s"""
       WITH $dupFixtureCte,
       t AS (SELECT doc_id, lang, source, text, $toksSql AS toks FROM u),

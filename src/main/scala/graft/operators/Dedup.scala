@@ -48,6 +48,52 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Corpus snapshot diff: compare two crawl snapshots by id and
+    * normalized-text fingerprint. Status per document:
+    * `added` (id only in new), `removed` (id only in old),
+    * `changed` (id in both, fingerprint differs),
+    * `kept` (id in both, fingerprint equal). The incremental-crawl
+    * accounting every recurring ingest needs before deciding what to
+    * re-process. One full-outer join keyed by id; only (id, 16-byte
+    * fp) pairs shuffle — text never crosses the wire.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val o = oldDf.select(col(idCol).as("doc_id"),
+      fingerprint(col(textCol)).as("_old_fp"))
+    val n = newDf.select(col(idCol).as("doc_id"),
+      fingerprint(col(textCol)).as("_new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_old_fp").isNull, lit("added"))
+          .when(col("_new_fp").isNull, lit("removed"))
+          .when(col("_old_fp") === col("_new_fp"), lit("kept"))
+          .otherwise(lit("changed")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split: md5-of-id buckets a document
+    * into a named split by cumulative permille ranges — row-local, no
+    * RNG, reproducible on any engine/partitioning (a seeded
+    * randomSplit is neither), and stable under corpus growth: a doc's
+    * split never changes when other docs arrive. `splits` maps name →
+    * permille, must sum to ≤1000; the remainder falls in the LAST
+    * split.
+    */
+  def splitAssign(df: DataFrame, idCol: String = "doc_id",
+                  splits: Seq[(String, Int)] =
+                    Seq("test" -> 50, "val" -> 50, "train" -> 900))
+      : DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(cum).dropRight(1).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), upTo), acc) =>
+      when(h < lit(Sampling.hexThreshold(upTo)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Quality-aware canonical selection: per exact-dup group keep the
     * row maximizing `score` (ties → lowest id). The curation upgrade
     * over [[exactDedup]]'s keep-first: when a crawl captures the same

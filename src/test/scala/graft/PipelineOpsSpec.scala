@@ -106,6 +106,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("b", "c") -> 2L))
   }
 
+  test("corpusDiff: added / removed / changed / kept all detected") {
+    import graft.operators.Dedup
+    val prev = Seq((1L, "same text"), (2L, "old version"),
+      (3L, "going away")).toDF("doc_id", "text")
+    val cur = Seq((1L, "Same   TEXT"),   // fp-equal after normalization
+      (2L, "new version"), (4L, "brand new")).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(prev, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "kept", 2L -> "changed", 3L -> "removed",
+      4L -> "added"))
+  }
+
+  test("splitAssign: deterministic, stable under corpus growth, " +
+      "ratios roughly honored") {
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Dedup.splitAssign(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // stability: assignment over a subset matches the full corpus
+    val sub = Dedup.splitAssign(docs.filter(col("doc_id") < 100))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (id, s) => full(id) == s })
+    val counts = full.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts("train") > 400)          // ~90% of 500
+    assert(counts.getOrElse("test", 0) + counts.getOrElse("val", 0)
+      < 100)
+  }
+
   test("packSequences: bins are the concat-then-chunk layout per shard") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -140,6 +140,27 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.forall(l => l.contains("source") && l.contains("text")))
   }
 
+  test("curation funnel: quality gate prunes before any exchange, " +
+      "decontamination broadcasts, no cartesian") {
+    val p = planOf(graft.operators.Curation.curate(
+      Tables.load(spark, dir, "documents"),
+      rates = Map("src0" -> 1000), defaultPermille = 100))
+    assert(p.contains("BroadcastHashJoin"))   // n-gram + bad-id sides
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the row-local gate must sit under any shuffle: formatted mode
+    // numbers operators from the scan upward, so the smallest Filter
+    // id must be below the smallest Exchange id
+    def ids(op: String): Seq[Int] =
+      s"\\((\\d+)\\) $op".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val filterIds = ids("Filter")
+    val exchangeIds = ids("Exchange")
+    assert(filterIds.nonEmpty, p.take(2000))
+    assert(exchangeIds.isEmpty || filterIds.min < exchangeIds.min,
+      s"gate not below the first shuffle: filters=$filterIds " +
+        s"exchanges=$exchangeIds")
+  }
+
   test("bucketed staging: co-bucketed join plans with NO exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed")
     val orders = Tables.load(spark, dir, "orders")
