@@ -265,6 +265,15 @@ object SparkEntry {
     "split_assign" -> ((s, d) =>
       Dedup.splitAssign(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("split")).orderBy("doc_id")),
+    // SemDeDup: semantic clusters from the embeddings table, the
+    // representative picked by the documents table's quality score —
+    // the cross-table curation composition
+    "semantic_keep_best" -> ((s, d) =>
+      operators.Curation.semanticKeepBest(
+        Similarity.embeddingNearDups(Tables.load(s, d, "embeddings"),
+          threshold = 0.5, tables = 16, planesPerTable = 6,
+          idCol = "vec_id"),
+        Tables.load(s, d, "documents"))),
     // — similarity search —
     "ann_cosine_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
@@ -1060,6 +1069,24 @@ object SparkEntry {
           WHEN 'src2' THEN '${Sampling.hexThreshold(250)}'
           ELSE '${Sampling.hexThreshold(100)}' END
       ORDER BY doc_id"""),
+    "semantic_keep_best" -> (s"""
+      WITH RECURSIVE $lshNearDupCtes,
+      ed AS (SELECT id1 AS a, id2 AS b FROM p
+             UNION ALL SELECT id2, id1 FROM p),
+      reach AS (
+        SELECT a AS id, a AS x FROM ed
+        UNION
+        SELECT r.id, g.b FROM reach r JOIN ed g ON g.a = r.x),
+      grp AS (SELECT id, MIN(x) AS group_rep FROM reach GROUP BY id),
+      tq AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      q AS (SELECT doc_id AS id, $qualitySql AS q FROM tq),
+      r AS (SELECT grp.group_rep, grp.id, q.q,
+              COUNT(*) OVER (PARTITION BY grp.group_rep) AS n_members,
+              ROW_NUMBER() OVER (PARTITION BY grp.group_rep
+                ORDER BY q.q DESC, grp.id ASC) AS rn
+            FROM grp JOIN q ON q.id = grp.id)
+      SELECT group_rep, id AS keep_id, n_members FROM r WHERE rn = 1
+      ORDER BY group_rep"""),
     "corpus_diff" -> (s"""
       WITH o AS (SELECT doc_id,
                    CASE WHEN doc_id % 7 = 0 THEN text || ' OLD'

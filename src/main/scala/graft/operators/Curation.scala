@@ -22,6 +22,34 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** SemDeDup-style semantic keep-best (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): embedding near-dup pairs → transitive semantic
+    * clusters → ONE representative per cluster chosen by TEXT quality
+    * (not random, not first-seen). The cross-table composition: the
+    * pair source runs on the embeddings table (LSH-bucketed), the
+    * representative choice joins the documents table's quality score
+    * on the shared id. Returns (group_rep, keep_id, n_members).
+    */
+  def semanticKeepBest(pairs: DataFrame, docs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val groups = Dedup.connectedGroups(pairs)
+    val q = docs.select(col(idCol).as("id"),
+      TextAnalysis.qualityScore(col("text")).as("_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_rep")
+      .orderBy(col("_q").desc, col("id").asc)
+    groups.join(q, Seq("id"))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("group_rep")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("group_rep"), col("id").as("keep_id"),
+        col("n_members"))
+      .orderBy("group_rep")
+  }
+
   def curate(docs: DataFrame,
              minTokens: Int = 20, minQuality: Double = 0.3,
              rates: Map[String, Int] = Map.empty,
