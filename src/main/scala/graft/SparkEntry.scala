@@ -368,6 +368,25 @@ object SparkEntry {
     "collection_stats" -> ((s, d) =>
       Tables.describeCollections(s, d)
         .select(col("collection"), col("doc_count"))),
+    // partitioned staging sink end-to-end: events written partitioned
+    // by event_type, read back with a partition-column filter (the
+    // scan prunes to one directory — plan-spec'd), aggregated
+    "partitioned_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_rt"
+      Export.writePartitioned(
+        Tables.load(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type")),
+        out, "event_type")
+      s.read.parquet(out)
+        .filter(col("event_type") === "click")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double")
+            .as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
     // S12 end-to-end: stats → QUOTE_ALL CSV sink → schema'd read-back;
     // puts the CSV writer (quoting, header) under the oracle gate the
     // same way export_roundtrip covers the gzip JSON sink
@@ -1732,6 +1751,14 @@ object SparkEntry {
              COUNT(*) AS n
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    // the partitioned write→filtered-read round-trip must reproduce
+    // the source table's per-type aggregate exactly
+    "partitioned_roundtrip" -> (s"""
+      SELECT event_type, COUNT(*) AS n,
+             ${sumD(s"CAST(value AS $M)")} AS sum_value,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events WHERE event_type = 'click'
+      GROUP BY event_type ORDER BY event_type"""),
     // the bucketed write→read round-trip must reproduce the source
     // table's per-key aggregate exactly
     "bucketed_roundtrip" -> (s"""

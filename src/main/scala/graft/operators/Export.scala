@@ -135,4 +135,17 @@ object Export {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Hive-style partitioned parquet sink — the OTHER 100 TB layout
+    * lever next to bucketing: a query filtering on the partition
+    * column reads only matching directories (partition pruning happens
+    * at planning, before any I/O — `PartitionFilters` in the scan
+    * node, plan-spec'd). Partition by low-cardinality scan predicates
+    * (date, source, format); bucket by join/group keys.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: String*): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

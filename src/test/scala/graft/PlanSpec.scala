@@ -161,6 +161,26 @@ class PlanSpec extends AnyFunSuite {
         s"exchanges=$exchangeIds")
   }
 
+  test("partitioned staging: partition-column filter prunes at plan " +
+      "time (PartitionFilters, not data filters)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part")
+    val out = tmp.toString + "/events"
+    graft.operators.Export.writePartitioned(
+      Tables.load(spark, dir, "events")
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("event_type")),
+      out, "event_type")
+    val q = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val p = planOf(q)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail(s"no PartitionFilters in plan\n$p"))
+    assert(pf.contains("event_type"), pf)
+    // the partition predicate must NOT appear as a post-scan Filter
+    // over the data — pruning happens before I/O
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"), p)
+  }
+
   test("bucketed staging: co-bucketed join plans with NO exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed")
     val orders = Tables.load(spark, dir, "orders")
