@@ -63,6 +63,23 @@ object SparkEntry {
       Profiler.profileStats(Tables.load(s, d, "embeddings"))),
     "profile_quantiles_lineitem" -> ((s, d) =>
       Profiler.numericQuantiles(Tables.load(s, d, "lineitem"))),
+    // approx-quantile scale path under a calibrated gate: the exact
+    // columns are hash-checked, the sketch estimate is bounded
+    // in-engine (rank error 1/accuracy ⇒ ≪1% value error here)
+    "profile_quantiles_approx" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val ex = Profiler.numericQuantiles(li)
+      val ap = Profiler.numericQuantilesApprox(li)
+        .select(col("path"), col("p25").as("a25"),
+          col("p50").as("a50"), col("p75").as("a75"))
+      def ok(a: String, e: String) =
+        abs(col(a) - col(e)) <= greatest(abs(col(e)) * 0.01, lit(1e-6))
+      ex.join(ap, "path")
+        .select(col("path"), col("p25"), col("p50"), col("p75"),
+          (ok("a25", "p25") && ok("a50", "p50") && ok("a75", "p75"))
+            .as("approx_within_1pct"))
+        .orderBy("path")
+    }),
     // single-pass TypedImperativeAggregate variant (scale path): exact
     // below the distinct limit, so it shares the lineitem oracle.
     "profile_fast_lineitem" -> ((s, d) =>
@@ -758,6 +775,21 @@ object SparkEntry {
        |        WHERE round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared),
        |          6) >= 0.3)""".stripMargin
 
+  /** Exact lineitem quantile oracle, shared by the exact row and the
+    * calibrated approx row.
+    */
+  private val quantilesLineitemOracle: String = {
+    val cols = Seq("l_discount", "l_extendedprice", "l_linenumber",
+      "l_orderkey", "l_partkey", "l_quantity", "l_suppkey", "l_tax")
+    cols.map(c =>
+      s"""SELECT '$c' AS path,
+         | round(quantile_cont(CAST($c AS DOUBLE), 0.25), 6) AS p25,
+         | round(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS p50,
+         | round(quantile_cont(CAST($c AS DOUBLE), 0.75), 6) AS p75
+         | FROM lineitem""".stripMargin)
+      .mkString("", " UNION ALL ", " ORDER BY path")
+  }
+
   /** Mirrors [[dupFixture]] (planted normalizing duplicates) as a
     * `u(doc_id, lang, source, text)` CTE body.
     */
@@ -1304,17 +1336,12 @@ object SparkEntry {
       "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
       "l_returnflag" -> "str", "l_linestatus" -> "str",
       "l_shipdate" -> "ts")),
-    "profile_quantiles_lineitem" -> {
-      val cols = Seq("l_discount", "l_extendedprice", "l_linenumber",
-        "l_orderkey", "l_partkey", "l_quantity", "l_suppkey", "l_tax")
-      cols.map(c =>
-        s"""SELECT '$c' AS path,
-           | round(quantile_cont(CAST($c AS DOUBLE), 0.25), 6) AS p25,
-           | round(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS p50,
-           | round(quantile_cont(CAST($c AS DOUBLE), 0.75), 6) AS p75
-           | FROM lineitem""".stripMargin)
-        .mkString("", " UNION ALL ", " ORDER BY path")
-    },
+    "profile_quantiles_lineitem" -> quantilesLineitemOracle,
+    // approx-quantile scale path, calibrated: exact quantiles hashed,
+    // sketch estimates bounded within 1% in-engine → oracle says TRUE
+    "profile_quantiles_approx" -> (s"""
+      SELECT path, p25, p50, p75, TRUE AS approx_within_1pct
+      FROM ($quantilesLineitemOracle) ORDER BY path"""),
     "profile_fast_lineitem" -> profileStatsOracle("lineitem", Seq(
       "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
       "l_linenumber" -> "num", "l_quantity" -> "num",

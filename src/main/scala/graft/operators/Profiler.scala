@@ -306,6 +306,29 @@ object Profiler {
         round(percentile(col("vnum"), lit(0.75)), 6).as("p75"))
       .orderBy("path")
 
+  /** The 100 TB quantile path: `approx_percentile` (a mergeable
+    * KLL-style sketch — bounded memory per path however many rows)
+    * instead of exact `percentile`, whose state holds every distinct
+    * value. Estimates are implementation-defined, so the gate query
+    * ([[graft.SparkEntry]] `profile_quantiles_approx`) calibrates
+    * them against the exact quantiles in-engine and hash-checks the
+    * bound — the same pattern as the HLL cardinality row.
+    *
+    * @param accuracy approx_percentile's 1/ε knob: error ≤ 1/accuracy
+    *                 of the rank space per estimate.
+    */
+  def numericQuantilesApprox(df: DataFrame,
+                             accuracy: Int = 10000): DataFrame =
+    flattenLean(df).filter(col("vnum").isNotNull)
+      .groupBy("path").agg(
+        round(approx_percentile(col("vnum"), lit(0.25), lit(accuracy)), 6)
+          .as("p25"),
+        round(approx_percentile(col("vnum"), lit(0.5), lit(accuracy)), 6)
+          .as("p50"),
+        round(approx_percentile(col("vnum"), lit(0.75), lit(accuracy)), 6)
+          .as("p75"))
+      .orderBy("path")
+
   /** Per-path type histogram — `type_distribution`
     * (`core/analyser.py:192,286`), with nulls as their own tag. Unlike the
     * reference's nondeterministic last-writer-wins schema entry

@@ -91,6 +91,35 @@ object ProfileStream {
       .drop("_band")
   }
 
+  /** Streaming ingest curation: the row-local half of
+    * [[graft.operators.Curation.curate]] applied at ingest time —
+    * quality gate, deterministic mixture-rate sampling and PII scrub
+    * compose onto a stream UNCHANGED (they are pure projections /
+    * filters), then exact dedup inside the watermark horizon. What
+    * CANNOT stream is global dedup and decontamination against
+    * history — those remain the batch funnel's job; this operator is
+    * the front door that keeps obvious junk out of the landing zone.
+    */
+  def curateStream(stream: DataFrame, tsCol: String,
+                   textCol: String = "text",
+                   minTokens: Int = 20, minQuality: Double = 0.3,
+                   permille: Int = 1000,
+                   watermarkDur: String = "10 minutes"): DataFrame = {
+    import graft.operators.{Sampling, TextAnalysis}
+    val c = col(textCol)
+    val gated = stream.filter(
+      TextAnalysis.tokenCount(c) >= minTokens &&
+        TextAnalysis.qualityScore(c) >= minQuality &&
+        TextAnalysis.langId(c) =!= "unknown" &&
+        substring(md5(c), 1, 4) < Sampling.hexThreshold(permille))
+    val scrubbed = gated.withColumn(textCol,
+      regexp_replace(regexp_replace(regexp_replace(c,
+        TextAnalysis.EmailRe, "<EMAIL>"),
+        TextAnalysis.Ipv4Re, "<IP>"),
+        TextAnalysis.PhoneRe, "<PHONE>"))
+    dedupStream(scrubbed, tsCol, textCol, watermarkDur)
+  }
+
   /** One event for [[sessionizeStream]]. The event time stays a real
     * timestamp column — the streaming analyzer requires the watermarked
     * column to flow INTO the stateful operator (projecting it to a long

@@ -154,6 +154,36 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateStream: gate drops junk, PII scrubbed, duplicate " +
+      "suppressed within the watermark") {
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "it runs far away to the old barn for a long nap in the hay " +
+      "mail me at fox@example.com for more of it"
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate_s")
+    val in = dir.toString + "/in"
+    Seq(
+      (1L, "2024-01-01 10:00:00", good),
+      (2L, "2024-01-01 10:00:01", "too short"),          // gate drop
+      (3L, "2024-01-01 10:00:02", good + " "),           // dup → drop
+      (4L, "2024-01-01 10:00:03", "zz qq ww " * 30)      // no stopwords
+    ).toDF("id", "ts", "text")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = graft.streaming.ProfileStream.curateStream(stream, "ts")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("curate_s").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select id, text from curate_s").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 1L || rows.head.getLong(0) == 3L)
+      assert(rows.head.getString(1).contains("<EMAIL>"))
+      assert(!rows.head.getString(1).contains("fox@example.com"))
+    } finally q.stop()
+  }
+
   test("LSH embeddingNearDups: precision 1.0 (subset of exact) on " +
       "real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
