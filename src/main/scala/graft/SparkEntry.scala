@@ -385,6 +385,22 @@ object SparkEntry {
     "collection_stats" -> ((s, d) =>
       Tables.describeCollections(s, d)
         .select(col("collection"), col("doc_count"))),
+    // compaction end-to-end: events scattered into many small files,
+    // compacted (sorted by event_id for row-group data skipping), read
+    // back — the oracle proves row preservation; the spec pins the
+    // file-count collapse
+    "compact_roundtrip" -> ((s, d) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val scattered = s"$tmp/graft_compact_in"
+      val out = s"$tmp/graft_compact_out"
+      Tables.load(s, d, "events").repartition(64)
+        .write.mode("overwrite").parquet(scattered)
+      Export.compact(s, scattered, out, sortCol = Some("event_id"))
+      s.read.parquet(out)
+        .select(col("event_id"), Export.isoTimestamp(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
+    }),
     // partitioned staging sink end-to-end: events written partitioned
     // by event_type, read back with a partition-column filter (the
     // scan prunes to one directory — plan-spec'd), aggregated
@@ -1778,6 +1794,13 @@ object SparkEntry {
              COUNT(*) AS n
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    // compaction must preserve rows exactly — same truth as the
+    // events conversion
+    "compact_roundtrip" -> ("""
+      SELECT event_id,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS ts,
+             user_id, event_type, value, props
+      FROM events ORDER BY event_id"""),
     // the partitioned write→filtered-read round-trip must reproduce
     // the source table's per-type aggregate exactly
     "partitioned_roundtrip" -> (s"""

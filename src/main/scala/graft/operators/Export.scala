@@ -136,6 +136,38 @@ object Export {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction — the 100 TB lake-maintenance op: a
+    * landing zone written by many streaming micro-batches / tasks
+    * accumulates thousands of KB-sized parquet files, and scan
+    * planning cost grows with file count, not data size. Rewrites
+    * `inPath` to `outPath` in ~`targetFileBytes` files (from the
+    * source's actual on-disk size), optionally sorted within
+    * partitions by `sortCol` so parquet row-group min/max stats become
+    * selective (data skipping — the poor man's Z-order for a single
+    * key). Row content is preserved exactly (oracle-checked via
+    * read-back).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetFileBytes: Long = 128L << 20,
+              sortCol: Option[String] = None): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1)
+      / targetFileBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val shaped = sortCol match {
+      // repartitionByRange + sortWithinPartitions: globally
+      // range-clustered on the key, so each output file covers a
+      // narrow key range and row-group stats prune hard
+      case Some(c) => df.repartitionByRange(nFiles, col(c))
+        .sortWithinPartitions(c)
+      case None => df.repartition(nFiles)
+    }
+    shaped.write.mode("overwrite").parquet(outPath)
+  }
+
   /** Hive-style partitioned parquet sink — the OTHER 100 TB layout
     * lever next to bucketing: a query filtering on the partition
     * column reads only matching directories (partition pruning happens

@@ -106,6 +106,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("b", "c") -> 2L))
   }
 
+  test("compact: collapses a scattered landing zone to the target " +
+      "file count with key-clustered files") {
+    import graft.operators.Export
+    val base = java.nio.file.Files.createTempDirectory("graft_cpt")
+    val in = base.toString + "/in"
+    val out = base.toString + "/out"
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(32).write.mode("overwrite").parquet(in)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 32)
+    Export.compact(spark, in, out, targetFileBytes = 1L << 20,
+      sortCol = Some("event_id"))
+    assert(parquetFiles(out) < 32)
+    // row preservation + range clustering: per-file id ranges disjoint
+    val withFile = spark.read.parquet(out)
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+    assert(withFile.count() ==
+      spark.read.parquet(in).count())
+    val ranges = withFile.groupBy("f")
+      .agg(org.apache.spark.sql.functions.min("event_id").as("lo"),
+        org.apache.spark.sql.functions.max("event_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
   test("corpusDiff: added / removed / changed / kept all detected") {
     import graft.operators.Dedup
     val prev = Seq((1L, "same text"), (2L, "old version"),
