@@ -150,10 +150,12 @@ object Export {
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
               outPath: String, targetFileBytes: Long = 128L << 20,
               sortCol: Option[String] = None): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    // resolve the filesystem FROM the path: FileSystem.get(conf) is
+    // the default FS and throws "Wrong FS" for s3a://…/abfs://… paths
+    // — exactly the lake paths this op exists for
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1)
       / targetFileBytes).toInt
     val df = spark.read.parquet(inPath)

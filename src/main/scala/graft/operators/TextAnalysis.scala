@@ -199,8 +199,12 @@ object TextAnalysis {
                         idCol: String = "doc_id",
                         maxDupFrac: Double = 0.1): DataFrame = {
     val t = tokens(col(textCol))
+    // slice length must be ≥ 0: a zero-token doc has size(t)-1 = -1,
+    // which slice rejects at runtime (the oracle's range(1, 0) is
+    // just empty) — clamp to 0 so such docs yield an empty bigram list
+    val bigramLen = greatest(lit(0), size(t) - 1)
     val bigrams = zip_with(
-      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      slice(t, lit(1), bigramLen), slice(t, lit(2), bigramLen),
       (a, b) => concat(a, lit(" "), b))
     val counts = graft.util.Utils.spread(df)
       .select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
@@ -270,12 +274,23 @@ object TextAnalysis {
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\+\\d[\\d-]{6,}\\d"
 
+  /** The PII scrub chain — replacement order (email → ip → phone) is
+    * part of the contract and mirrored by the oracle; this is the ONE
+    * place it lives (both [[redactPii]] and the streaming ingest
+    * curation call it).
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** PII scrub for training corpora: count then redact emails, IPv4
     * addresses and international-format phone numbers with typed
     * placeholders. Pure row-local expression chain — no shuffle, no
-    * UDF, scales linearly; replacement order (email → ip → phone) is
-    * part of the contract and mirrored by the oracle. Counts are taken
-    * on the raw text BEFORE redaction.
+    * UDF, scales linearly. Counts are taken on the raw text BEFORE
+    * redaction.
     */
   def redactPii(df: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
@@ -284,11 +299,7 @@ object TextAnalysis {
       regexp_count(c, lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(c, lit(Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(c, lit(PhoneRe)).cast("long").as("n_phones"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(c, EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>").as("clean"))
+      scrubPii(c).as("clean"))
       .orderBy("doc_id")
   }
 

@@ -112,11 +112,7 @@ object ProfileStream {
         TextAnalysis.qualityScore(c) >= minQuality &&
         TextAnalysis.langId(c) =!= "unknown" &&
         substring(md5(c), 1, 4) < Sampling.hexThreshold(permille))
-    val scrubbed = gated.withColumn(textCol,
-      regexp_replace(regexp_replace(regexp_replace(c,
-        TextAnalysis.EmailRe, "<EMAIL>"),
-        TextAnalysis.Ipv4Re, "<IP>"),
-        TextAnalysis.PhoneRe, "<PHONE>"))
+    val scrubbed = gated.withColumn(textCol, TextAnalysis.scrubPii(c))
     dedupStream(scrubbed, tsCol, textCol, watermarkDur)
   }
 

@@ -17,7 +17,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, "a b a b c"),        // bigrams: ab,ba,ab,bc → 4 total 3 uniq
       (2L, "x y"),              // single bigram
       (3L, "solo"),             // no bigrams
-      (4L, "t t t t t t t t t t t t")  // 11× "t t": dup frac 10/11
+      (4L, "t t t t t t t t t t t t"),  // 11× "t t": dup frac 10/11
+      (5L, ""),                 // ZERO tokens: size-1 = -1 must not
+      (6L, "   ")               // reach slice's length argument
     ).toDF("doc_id", "text")
     val out = TextAnalysis.repetitionProfile(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -32,6 +34,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L).getDouble(3) > 0.9 && !out(4L).getBoolean(7))
     assert(!out(1L).getBoolean(7))  // 0.25 dup frac fails the 0.1 gate
     assert(out(2L).getBoolean(7) && out(3L).getBoolean(7))
+    assert(out(5L).getLong(1) == 0 && out(5L).getBoolean(7))
+    assert(out(6L).getLong(1) == 0 && out(6L).getBoolean(7))
   }
 
   test("redactPii: emails, ipv4 and phones redacted in order, " +
