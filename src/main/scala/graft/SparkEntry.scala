@@ -225,6 +225,22 @@ object SparkEntry {
         threshold = 0.1)),
     "decontaminate" -> ((s, d) =>
       Dedup.decontaminate(Tables.load(s, d, "documents"))),
+    // the Bloom-prefiltered scale path of the same operator: identical
+    // result by construction (exact verify join removes false
+    // positives), so it shares the exact oracle SQL
+    "decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val isTest = substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1")
+      Dedup.decontaminateBloomAgainst(docs.filter(!isTest),
+        docs.filter(isTest))
+    }),
+    // CCNet/RefinedWeb line-level boilerplate removal over a lined
+    // fixture (the synthetic corpus has no newlines, so each doc gets
+    // a per-source subscribe header and a global copyright footer —
+    // exactly the boilerplate the operator exists to strip)
+    "line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(linedFixture(Tables.load(s, d, "documents")))),
     "dedup_against" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       val h = substring(md5(col("doc_id").cast("string")), 1, 1)
@@ -248,6 +264,19 @@ object SparkEntry {
     // inverse document frequency — the libm-free perplexity stand-in)
     "text_rarity" -> ((s, d) =>
       TextAnalysis.rarityProfile(Tables.load(s, d, "documents"))),
+    // fastText-style hashed-features linear classifier gate (md5
+    // pseudo-weights; row-local integer fold, no shuffle)
+    "classifier_score" -> ((s, d) =>
+      TextAnalysis.classifierScore(Tables.load(s, d, "documents"))),
+    // C4-style per-domain cap: top-10 docs per source by integer-
+    // scaled quality
+    "cap_per_source" -> ((s, d) =>
+      operators.Curation.capPerStratum(Tables.load(s, d, "documents"))),
+    // Dolma-style token-budget mixture fill: named strata get their
+    // own token budgets, the rest share a default
+    "token_budget_sample" -> ((s, d) =>
+      Sampling.tokenBudgetSample(Tables.load(s, d, "documents"),
+        "source", budgets = TokenBudgets, defaultBudget = 300L)),
     // PII scrub over a deterministic fixture (the corpus itself is
     // synthetic word soup with no PII, so — like convert_bson and
     // multimodal_meta — the fixture plants emails/phones/IPs the
@@ -517,6 +546,25 @@ object SparkEntry {
         concat(lit("  "), upper(col("text"))).as("text"))
     base.unionByName(dups)
   }
+
+  /** Per-source token budgets for `token_budget_sample` — named strata
+    * get their own budget, everything else the 300-token default.
+    * Shared with the oracle SQL so both engines fill the same budgets.
+    */
+  private val TokenBudgets: Map[String, Long] =
+    Map("src0" -> 2000L, "src1" -> 800L, "src2" -> 0L)
+
+  /** Lined corpus for `line_dedup`: the synthetic documents have no
+    * newlines, so each doc is wrapped in exactly the boilerplate the
+    * operator exists to strip — a per-source subscribe header (repeats
+    * across the ~n/20 docs of its source) and a global copyright
+    * footer (repeats everywhere). Body lines are the original texts.
+    * Deterministic, so the oracle rebuilds it with one projection.
+    */
+  private[graft] def linedFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit("subscribe to "), col("source"), lit(" updates\n"),
+        col("text"), lit("\ncopyright 2026 example corp")).as("text"))
 
   /** The raw mixed-type JSON-lines "collection": one JSON document per
     * line, derived deterministically from the `documents` parquet table
@@ -998,6 +1046,90 @@ object SparkEntry {
              COUNT(DISTINCT test_id) AS n_test_docs
       FROM train JOIN test USING (g)
       GROUP BY 1 ORDER BY doc_id"""),
+    // bit-identical to the exact operator by construction — the Bloom
+    // prefilter only prunes, the exact join decides
+    "decontaminate_bloom" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s AS (SELECT doc_id,
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                AS is_test,
+              $shingles8Sql AS sh FROM t),
+      inv AS (SELECT doc_id, is_test, unnest(sh) AS g FROM s),
+      test AS (SELECT DISTINCT g, doc_id AS test_id FROM inv
+               WHERE is_test),
+      train AS (SELECT doc_id, g FROM inv WHERE NOT is_test)
+      SELECT train.doc_id,
+             COUNT(DISTINCT train.g) AS n_shared_ngrams,
+             COUNT(DISTINCT test_id) AS n_test_docs
+      FROM train JOIN test USING (g)
+      GROUP BY 1 ORDER BY doc_id"""),
+    "line_dedup" -> (s"""
+      WITH lined AS (SELECT doc_id,
+             'subscribe to ' || source || ' updates' || chr(10) ||
+             text || chr(10) || 'copyright 2026 example corp' AS text
+           FROM documents),
+      sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+             FROM lined),
+      lx AS (SELECT doc_id, ls,
+               unnest(range(1, len(ls) + 1)) AS pos FROM sp),
+      l AS (SELECT doc_id, pos, ls[pos] AS line FROM lx),
+      c AS (SELECT md5(trim(line)) AS k, COUNT(DISTINCT doc_id) AS n
+            FROM l WHERE trim(line) <> '' GROUP BY 1),
+      banned AS (SELECT k FROM c WHERE n > 1),
+      kept AS (SELECT doc_id, pos, line FROM l
+               WHERE md5(trim(line)) NOT IN (SELECT k FROM banned)),
+      tot AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines
+              FROM sp),
+      rb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               array_to_string(list(line ORDER BY pos), chr(10))
+                 AS clean_text
+             FROM kept GROUP BY 1)
+      SELECT tot.doc_id, n_lines,
+             COALESCE(n_kept, 0) AS n_kept,
+             COALESCE(clean_text, '') AS clean_text
+      FROM tot LEFT JOIN rb USING (doc_id) ORDER BY doc_id"""),
+    "classifier_score" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(list_sum(list_transform(toks, t ->
+                CAST('0x' || substr(md5('w:' || t), 1, 8) AS BIGINT)
+                  % 2000001)) AS BIGINT) AS w
+            FROM t WHERE len(toks) > 0)
+      SELECT doc_id, n_tokens,
+             (2 * w + n_tokens) // (2 * n_tokens) - 1000000
+               AS score_ppm,
+             ((2 * w + n_tokens) // (2 * n_tokens) - 1000000) >= 0
+               AS keep
+      FROM s ORDER BY doc_id"""),
+    "cap_per_source" -> (s"""
+      WITH t AS (SELECT doc_id, source, text, $toksSql AS toks
+                 FROM documents),
+      q AS (SELECT doc_id, source,
+              CAST(floor($qualitySql * 1e6 + 0.5) AS BIGINT) AS q6
+            FROM t),
+      r AS (SELECT doc_id, source, q6,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY q6 DESC, doc_id ASC) AS BIGINT) AS "rank"
+            FROM q)
+      SELECT doc_id, source, q6, "rank" FROM r
+      WHERE "rank" <= 10 ORDER BY doc_id"""),
+    "token_budget_sample" -> (s"""
+      WITH t AS (SELECT doc_id, source, $toksSql AS toks
+                 FROM documents),
+      b AS (SELECT doc_id, source AS stratum,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              md5(CAST(doc_id AS VARCHAR)) AS h FROM t),
+      w AS (SELECT doc_id, stratum, n_tokens,
+              COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS start_tok FROM b)
+      SELECT doc_id, stratum, n_tokens,
+             CAST(start_tok AS BIGINT) AS start_tok FROM w
+      WHERE start_tok < CASE stratum
+        WHEN 'src0' THEN 2000 WHEN 'src1' THEN 800
+        WHEN 'src2' THEN 0 ELSE 300 END
+      ORDER BY doc_id"""),
     "dedup_against" -> (s"""
       WITH f AS (SELECT doc_id, source, n_chars, $fpSql AS fp,
                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h

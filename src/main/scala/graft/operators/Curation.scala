@@ -50,6 +50,37 @@ object Curation {
       .orderBy("group_rep")
   }
 
+  /** Per-stratum document cap (the C4/mC4 per-domain cap: no single
+    * domain may dominate the mixture): keep the `maxDocs`
+    * highest-quality documents of each stratum, ranked by
+    * integer-scaled quality (ppm, ties → lowest id — no float ever
+    * reaches the output or the ordering). Returns
+    * (doc_id, source, q6, rank).
+    *
+    * Scale shape: one shuffle keyed by the stratum, then a per-stratum
+    * top-maxDocs window. A skewed mega-domain serializes its own
+    * partition only; since every stratum keeps at most `maxDocs` rows,
+    * a two-phase refinement (per-partition top-maxDocs, then global)
+    * bounds that too — Catalyst already applies exactly that partial
+    * top-k through the rank-filter pushdown
+    * (`WindowGroupLimit`, visible in the plan).
+    */
+  def capPerStratum(docs: DataFrame, stratumCol: String = "source",
+                    textCol: String = "text",
+                    idCol: String = "doc_id",
+                    maxDocs: Int = 10): DataFrame = {
+    val q6 = floor(TextAnalysis.qualityScore(col(textCol)) * 1e6 + 0.5)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("q6").desc, col("doc_id").asc)
+    docs.select(col(idCol).as("doc_id"),
+        col(stratumCol).as("source"), q6.as("q6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= maxDocs)
+      .orderBy("doc_id")
+  }
+
   def curate(docs: DataFrame,
              minTokens: Int = 20, minQuality: Double = 0.3,
              rates: Map[String, Int] = Map.empty,

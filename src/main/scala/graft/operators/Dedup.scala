@@ -173,6 +173,120 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The 100 TB shape of [[decontaminateAgainst]]: instead of joining
+    * every training shingle against the broadcast test n-gram set, a
+    * Bloom filter over the test n-grams (~`bitsPerKey`/8 bytes per
+    * key) is evaluated ROW-LOCALLY against each training shingle, and
+    * only the tiny maybe-contaminated candidate slice enters the exact
+    * broadcast join — which removes Bloom false positives, so the
+    * result is bit-identical to the exact operator. Clean documents
+    * (the overwhelming majority) never touch the join at all; the
+    * broadcast payload shrinks from the full n-gram strings to a long
+    * array ~8-16x smaller.
+    *
+    * Probe hashes are xxhash64 under Kirsch-Mitzenmacher double
+    * hashing (probe j = h1 + j*h2 masked to the power-of-two bit
+    * count); the set bits are computed by a Spark job over the test
+    * grams themselves, so driver and executors share one hash
+    * implementation and nothing can drift. The driver-side collect is
+    * bounded by the test side, which is benchmark-suite-sized by
+    * contract (same assumption the exact operator's broadcast makes).
+    */
+  def decontaminateBloomAgainst(train: DataFrame, test: DataFrame,
+                                textCol: String = "text",
+                                idCol: String = "doc_id", n: Int = 8,
+                                bitsPerKey: Int = 16,
+                                numProbes: Int = 5): DataFrame = {
+    def grams(d: DataFrame) = d.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("g"))
+    val testG = grams(test)
+      .select(col("g"), col("doc_id").as("test_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nKeys = math.max(testG.select("g").distinct().count(), 1L)
+    // power-of-two bit count so probe index = hash & (m - 1)
+    val m = math.max(64L,
+      java.lang.Long.highestOneBit(nKeys * bitsPerKey - 1) << 1)
+    def probes(c: Column): Seq[Column] = {
+      // mask each hash into [0, m) BEFORE the double-hash combine:
+      // j*h2 then stays < 2^63 for any realistic m (ANSI overflow-safe)
+      val h1 = xxhash64(lit("graft-bloom-1"), c).bitwiseAND(lit(m - 1))
+      val h2 = xxhash64(lit("graft-bloom-2"), c).bitwiseAND(lit(m - 1))
+      (0 until numProbes).map(j =>
+        (h1 + lit(j.toLong) * h2).bitwiseAND(lit(m - 1)))
+    }
+    val words = new Array[Long]((m / 64).toInt)
+    testG.select(explode(array(probes(col("g")): _*)).as("i"))
+      .distinct().collect()
+      .foreach { r =>
+        val i = r.getLong(0)
+        words((i >>> 6).toInt) |= (1L << (i & 63).toInt)
+      }
+    val bitsLit = typedLit(words.toSeq)
+    def mightContain(c: Column): Column =
+      probes(c).map { i =>
+        element_at(bitsLit, (i / 64).cast("int") + 1)
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            (i % 64).cast("int"))) =!= lit(0L)
+      }.reduce(_ && _)
+    grams(train)
+      .filter(mightContain(col("g")))
+      .join(broadcast(testG), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+        countDistinct(col("test_id")).as("n_test_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** Line-level exact dedup (the CCNet/RefinedWeb boilerplate-removal
+    * pass): a LINE (text split on `sep`) that occurs in more than
+    * `maxDocs` DISTINCT documents is boilerplate — navigation headers,
+    * cookie banners, copyright footers — and is dropped from every
+    * document; unique body lines survive in their original order.
+    * Lines that are blank after trimming never count toward the cap
+    * and are always kept (dropping them would mangle formatting).
+    * Repetition *within* one document is [[graft.operators.TextAnalysis.repetitionProfile]]'s
+    * job, not this one's — hence the distinct-document count.
+    *
+    * Returns (doc_id, n_lines, n_kept, clean_text).
+    *
+    * Scale shape: the occurrence count shuffles 16-byte line hashes
+    * (one per distinct non-blank line per document); the banned set —
+    * lines above the cap — is the boilerplate vocabulary, tiny next to
+    * the corpus, so the removal anti-join broadcasts at any realistic
+    * cap; the rebuild groupBy is the one corpus-sized shuffle, keyed
+    * by doc_id with (pos, line) pairs as payload.
+    */
+  def lineDedup(df: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id", sep: String = "\n",
+                maxDocs: Int = 1): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))))
+      .toDF("doc_id", "pos", "line")
+    val banned = lines
+      .filter(trim(col("line")) =!= "")
+      .select(col("doc_id"), md5(trim(col("line"))).as("k")).distinct()
+      .groupBy("k").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select("k")
+    val kept = lines.join(broadcast(banned),
+      md5(trim(col("line"))) === col("k"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("clean_text"))
+    // split() always yields >= 1 element, so `lines` retains every doc
+    val totals = lines.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-corpus dedup: drop documents whose normalized-text
     * fingerprint already exists in a reference corpus (the
     * incremental-crawl shape: dedup the new batch against everything

@@ -58,6 +58,48 @@ object Sampling {
       substring(md5(col(keyCol).cast(StringType)), 1, 4) < threshold)
   }
 
+  /** Deterministic token-budget fill per stratum — the "mixture by
+    * token share" step (Dolma/Pile-style: each source contributes a
+    * target number of TOKENS, not documents). Within each stratum,
+    * documents are ordered by their md5 id hash (a reproducible
+    * shuffle) and taken until the stratum's budget is filled; the
+    * document that crosses the boundary is included, so any budget > 0
+    * takes at least one document. `start_tok` is the running token
+    * offset before each kept doc — the exact resume point for an
+    * incremental top-up. Strata absent from `budgets` get
+    * `defaultBudget`.
+    *
+    * Scale shape: one shuffle keyed by stratum; the running sum is a
+    * per-stratum window scan. A stratum too large for one task should
+    * be pre-gated with [[mixtureSample]] (row-local hash threshold) to
+    * the right order of magnitude, then budget-filled exactly — the
+    * two compose because both order by the same id hash.
+    */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String,
+                        textCol: String = "text",
+                        idCol: String = "doc_id",
+                        budgets: Map[String, Long] = Map.empty,
+                        defaultBudget: Long = 0L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) =>
+        when(col("stratum") === s, lit(b)).otherwise(acc)
+    }
+    val w = W.partitionBy(col("stratum"))
+      .orderBy(col("_h").asc, col("doc_id").asc)
+    df.select(col(idCol).as("doc_id"),
+        col(stratumCol).as("stratum"),
+        TextAnalysis.tokenCount(col(textCol)).cast(LongType)
+          .as("n_tokens"),
+        md5(col(idCol).cast(StringType)).as("_h"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("start_tok") < budget)
+      .select("doc_id", "stratum", "n_tokens", "start_tok")
+      .orderBy("doc_id")
+  }
+
   /** S2 exact-N random sample (non-reproducible across engines, so not
     * oracle-checked; reference parity for `$sample`'s exact-N contract).
     */

@@ -303,6 +303,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-token pseudo-weight in [0, 2e6] ppm, md5-derived — the
+    * deterministic stand-in for a trained hashed-features weight
+    * vector (the hashing trick with d = 2^32 and one weight per hash).
+    * Production swaps this for real fastText/logistic weights; the
+    * pipeline shape (and the oracle's replay) is identical.
+    */
+  def weightPpm(t: Column): Column =
+    conv(substring(md5(concat(lit("w:"), t)), 1, 8), 16, 10)
+      .cast(LongType) % lit(2000001L)
+
+  /** Hashed-features linear quality classifier — the fastText-style
+    * model-based filter of CCNet/phi-class pipelines: score = mean
+    * over tokens of a per-token weight, thresholded to a keep/drop
+    * gate. Centered at 0 (score_ppm in [-1e6, 1e6]). Entirely
+    * row-local: the token fold runs inside the row (no explode, no
+    * shuffle), the mean is 64-bit integer arithmetic (half-up, the
+    * [[rarityProfile]] trick), so output is engine-reproducible and
+    * the operator scales linearly with corpus size.
+    */
+  def classifierScore(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id",
+                      thresholdPpm: Long = 0L): DataFrame = {
+    val toks = tokens(col(textCol))
+    val wsum = aggregate(toks, lit(0L), (acc, t) => acc + weightPpm(t))
+    df.select(col(idCol).as("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"), wsum.as("_w"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        (expr("(2 * _w + n_tokens) DIV (2 * n_tokens)")
+          - lit(1000000L)).as("score_ppm"))
+      .withColumn("keep", col("score_ppm") >= lit(thresholdPpm))
+      .orderBy("doc_id")
+  }
+
   /** Full per-document text profile over a documents table. */
   def textProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -1,0 +1,170 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup, Sampling, TextAnalysis}
+import graft.sources.Tables
+
+/** Semantics pins for the round-6 curation operators: Bloom-prefiltered
+  * decontamination, line-level boilerplate removal, token-budget
+  * mixture fill, the hashed-features classifier gate, and the
+  * per-stratum cap.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("decontaminateBloomAgainst: bit-identical to the exact operator") {
+    val docs = Tables.load(spark, dir, "documents")
+    val isTest = substring(md5($"doc_id".cast("string")), 1, 1)
+      .isin("0", "1")
+    val exact = Dedup
+      .decontaminateAgainst(docs.filter(!isTest), docs.filter(isTest))
+      .collect().toSeq
+    val bloom = Dedup
+      .decontaminateBloomAgainst(docs.filter(!isTest), docs.filter(isTest))
+      .collect().toSeq
+    assert(exact == bloom)
+  }
+
+  test("decontaminateBloomAgainst: a deliberately saturated Bloom " +
+      "(false positives everywhere) still yields the exact result") {
+    // 2 bits/key + 1 probe ≈ most probes collide: the prefilter lets
+    // junk through and the exact verify join must remove ALL of it
+    val docs = Tables.load(spark, dir, "documents")
+    val isTest = substring(md5($"doc_id".cast("string")), 1, 1)
+      .isin("0", "1")
+    val exact = Dedup
+      .decontaminateAgainst(docs.filter(!isTest), docs.filter(isTest))
+      .collect().toSeq
+    val bloom = Dedup
+      .decontaminateBloomAgainst(docs.filter(!isTest),
+        docs.filter(isTest), bitsPerKey = 2, numProbes = 1)
+      .collect().toSeq
+    assert(exact == bloom)
+  }
+
+  test("lineDedup: boilerplate dropped, blanks kept, within-doc " +
+      "repetition untouched, all-banned doc goes empty") {
+    val docs = Seq(
+      (1L, "hdr\nbody one\nftr"),
+      (2L, "hdr\nbody two\nftr"),
+      (3L, "hdr\n\nbody three\nftr"), // blank line always survives
+      (4L, "hdr\nftr"),               // nothing but boilerplate
+      (5L, "rep\nrep")                // same doc twice: NOT boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3 && out(1L).getLong(2) == 1)
+    assert(out(1L).getString(3) == "body one")
+    assert(out(2L).getString(3) == "body two")
+    assert(out(3L).getLong(1) == 4 && out(3L).getLong(2) == 2)
+    assert(out(3L).getString(3) == "\nbody three")
+    assert(out(4L).getLong(2) == 0 && out(4L).getString(3) == "")
+    assert(out(5L).getLong(2) == 2 && out(5L).getString(3) == "rep\nrep")
+  }
+
+  test("lineDedup: maxDocs raises the bar — a line must exceed the " +
+      "cap in DISTINCT docs to be banned") {
+    val docs = Seq(
+      (1L, "twice\na"), (2L, "twice\nb"),
+      (3L, "thrice\nc"), (4L, "thrice\nd"), (5L, "thrice\ne")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, maxDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "twice\na")  // 2 docs ≤ cap: kept
+    assert(out(3L) == "c")         // 3 docs > cap: banned
+  }
+
+  test("tokenBudgetSample: fills each stratum's budget in md5 order, " +
+      "boundary doc included, zero budget takes nothing") {
+    val docs = (1L to 40L).map { i =>
+      val stratum = if (i <= 20) "a" else if (i <= 30) "b" else "z"
+      (i, stratum, Seq.fill(5)("tok").mkString(" ")) // 5 tokens each
+    }.toDF("doc_id", "stratum", "text")
+    val budgets = Map("a" -> 12L, "b" -> 0L)
+    val out = Sampling
+      .tokenBudgetSample(docs, "stratum", budgets = budgets,
+        defaultBudget = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // naive model: per stratum, ids in (md5(id), id) order, cumulative
+    // 5-token docs kept while start < budget
+    def expect(ids: Seq[Long], budget: Long): Seq[Long] = {
+      val ordered = ids.sortBy(i => (md5hex(i.toString), i))
+      ordered.zipWithIndex.takeWhile { case (_, k) => k * 5L < budget }
+        .map(_._1)
+    }
+    val gotA = out.filter(_._2 == "a").map(_._1).toSeq.sorted
+    assert(gotA == expect(1L to 20L, 12L).sorted) // 12/5 → 3 docs
+    assert(gotA.size == 3)
+    assert(!out.exists(_._2 == "b"))              // zero budget
+    val gotZ = out.filter(_._2 == "z").map(_._1).toSeq.sorted
+    assert(gotZ == expect(31L to 40L, 5L).sorted) // default budget
+    assert(gotZ.size == 1)
+    // start_tok is the exact resume offset: multiples of 5 here
+    assert(out.forall(_._3 % 5 == 0))
+  }
+
+  test("classifierScore: matches a naive md5 pseudo-weight recompute, " +
+      "bounded to [-1e6, 1e6]") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "one"),
+      (3L, "x y z w v u t s"),
+      (4L, "")                       // zero tokens: filtered out
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L))
+    def weight(t: String): Long =
+      java.lang.Long.parseLong(md5hex("w:" + t).take(8), 16) % 2000001L
+    def score(toks: Seq[String]): Long = {
+      val w = toks.map(weight).sum
+      val n = toks.size.toLong
+      (2 * w + n) / (2 * n) - 1000000L
+    }
+    assert(out(1L).getLong(2) == score(Seq("alpha", "beta", "gamma")))
+    assert(out(2L).getLong(2) == score(Seq("one")))
+    assert(out(3L).getLong(2) ==
+      score(Seq("x", "y", "z", "w", "v", "u", "t", "s")))
+    assert(out.values.forall(r =>
+      r.getLong(2) >= -1000000L && r.getLong(2) <= 1000000L))
+    assert(out.values.forall(r =>
+      r.getBoolean(3) == (r.getLong(2) >= 0L)))
+  }
+
+  test("capPerStratum: at most maxDocs per stratum, contiguous ranks, " +
+      "quality-monotone within each stratum") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = Curation.capPerStratum(docs, maxDocs = 3).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(2)))
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc.values.forall(_.length <= 3))
+    bySrc.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toList)
+      // rank order implies non-increasing q6
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._3 >= b._3
+        case _         => true
+      })
+    }
+    // the cap is a pure filter over the full ranking
+    val full = Curation
+      .capPerStratum(docs, maxDocs = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = full.filter(_._4 <= 3).sortBy(_._1).toSeq
+    val got = Curation.capPerStratum(docs, maxDocs = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == expected)
+  }
+}

@@ -181,6 +181,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: [IsNotNull(event_type)"), p)
   }
 
+  test("decontaminateBloom: prefilter is a row-local Filter under the " +
+      "broadcast verify join — the corpus never sort-merge joins") {
+    val docs = Tables.load(spark, dir, "documents")
+    val isTest = org.apache.spark.sql.functions.substring(
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("doc_id").cast("string")),
+      1, 1).isin("0", "1")
+    val p = planOf(graft.operators.Dedup.decontaminateBloomAgainst(
+      docs.filter(!isTest), docs.filter(isTest)))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // the bloom membership test compiles to a Filter on the train side
+    // (below the first Exchange: prune before anything shuffles)
+    def ids(op: String): Seq[Int] =
+      s"\\((\\d+)\\) $op".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val filterIds = ids("Filter")
+    val exchangeIds = ids("Exchange")
+    assert(filterIds.nonEmpty)
+    assert(exchangeIds.isEmpty || filterIds.min < exchangeIds.min,
+      s"bloom prefilter not below the first shuffle\n$p")
+  }
+
+  test("lineDedup: banned-line removal is a broadcast anti-join; no " +
+      "cartesian, no global window") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.Dedup.lineDedup(
+      SparkEntry.linedFixture(docs)))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("classifierScore: row-local token fold — zero exchanges beyond " +
+      "the output sort") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.TextAnalysis.classifierScore(docs))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy exchange\n$p")
+  }
+
+  test("capPerStratum: per-stratum top-k pushes a WindowGroupLimit " +
+      "(partial top-k before the stratum shuffle)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.Curation.capPerStratum(docs))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("bucketed staging: co-bucketed join plans with NO exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed")
     val orders = Tables.load(spark, dir, "orders")
