@@ -202,25 +202,36 @@ object Dedup {
     val testG = grams(test)
       .select(col("g"), col("doc_id").as("test_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nKeys = math.max(testG.select("g").distinct().count(), 1L)
+    // ONE Spark job builds the filter: collect the raw (h1, h2) hash
+    // pair per distinct gram, size m from the count, set bits on the
+    // driver with the same Kirsch-Mitzenmacher arithmetic the
+    // executors evaluate — one hash implementation, zero drift
+    val hashPairs = testG.select(
+        xxhash64(lit("graft-bloom-1"), col("g")),
+        xxhash64(lit("graft-bloom-2"), col("g")))
+      .distinct().collect()
+    val nKeys = math.max(hashPairs.length.toLong, 1L)
     // power-of-two bit count so probe index = hash & (m - 1)
     val m = math.max(64L,
       java.lang.Long.highestOneBit(nKeys * bitsPerKey - 1) << 1)
-    def probes(c: Column): Seq[Column] = {
+    val words = new Array[Long]((m / 64).toInt)
+    hashPairs.foreach { r =>
       // mask each hash into [0, m) BEFORE the double-hash combine:
-      // j*h2 then stays < 2^63 for any realistic m (ANSI overflow-safe)
+      // j*h2 then stays < 2^63 for any realistic m (ANSI overflow-safe
+      // on the executor side, exact-same values here)
+      val h1 = r.getLong(0) & (m - 1)
+      val h2 = r.getLong(1) & (m - 1)
+      (0 until numProbes).foreach { j =>
+        val i = (h1 + j * h2) & (m - 1)
+        words((i >>> 6).toInt) |= (1L << (i & 63).toInt)
+      }
+    }
+    def probes(c: Column): Seq[Column] = {
       val h1 = xxhash64(lit("graft-bloom-1"), c).bitwiseAND(lit(m - 1))
       val h2 = xxhash64(lit("graft-bloom-2"), c).bitwiseAND(lit(m - 1))
       (0 until numProbes).map(j =>
         (h1 + lit(j.toLong) * h2).bitwiseAND(lit(m - 1)))
     }
-    val words = new Array[Long]((m / 64).toInt)
-    testG.select(explode(array(probes(col("g")): _*)).as("i"))
-      .distinct().collect()
-      .foreach { r =>
-        val i = r.getLong(0)
-        words((i >>> 6).toInt) |= (1L << (i & 63).toInt)
-      }
     val bitsLit = typedLit(words.toSeq)
     def mightContain(c: Column): Column =
       probes(c).map { i =>
