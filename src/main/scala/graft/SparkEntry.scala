@@ -268,6 +268,18 @@ object SparkEntry {
     // pseudo-weights; row-local integer fold, no shuffle)
     "classifier_score" -> ((s, d) =>
       TextAnalysis.classifierScore(Tables.load(s, d, "documents"))),
+    // the published Gopher §A1.1 heuristic battery, all-integer rules
+    "gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.load(s, d, "documents"),
+        minWords = 25)),
+    // reproducible global pretraining shuffle: rank under (md5, id)
+    // via monotone hash-prefix shards — no global sort anywhere
+    "shuffle_order" -> ((s, d) =>
+      Sampling.shuffleOrder(Tables.load(s, d, "documents"))),
+    // embedding outlier scan: cosine to own-label integer-micro
+    // centroid, ppm output
+    "embedding_outliers" -> ((s, d) =>
+      Similarity.embeddingOutliers(Tables.load(s, d, "embeddings"))),
     // C4-style per-domain cap: top-10 docs per source by integer-
     // scaled quality
     "cap_per_source" -> ((s, d) =>
@@ -1101,6 +1113,71 @@ object SparkEntry {
              ((2 * w + n_tokens) // (2 * n_tokens) - 1000000) >= 0
                AS keep
       FROM s ORDER BY doc_id"""),
+    "gopher_rules" -> (s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(COALESCE(list_sum(list_transform(toks,
+                x -> LENGTH(x))), 0) AS BIGINT) AS sum_word_chars,
+              CAST(LENGTH(text) - LENGTH(replace(text, '#', ''))
+                + (LENGTH(text) - LENGTH(replace(text, '...', ''))) // 3
+                AS BIGINT) AS n_symbols,
+              CAST(len(list_filter(toks,
+                x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                AS n_alpha_words,
+              CAST(${stopHits("en")} AS BIGINT) AS n_stopwords
+            FROM t)
+      SELECT doc_id, n_words, sum_word_chars, n_symbols,
+             n_alpha_words, n_stopwords,
+             (n_words >= 25 AND n_words <= 100000) AS words_ok,
+             (sum_word_chars >= 3 * n_words AND
+              sum_word_chars <= 10 * n_words) AS mean_len_ok,
+             (10 * n_symbols <= n_words) AS symbol_ok,
+             (5 * n_alpha_words >= 4 * n_words) AS alpha_ok,
+             (n_stopwords >= 2) AS stop_ok,
+             (n_words >= 25 AND n_words <= 100000 AND
+              sum_word_chars >= 3 * n_words AND
+              sum_word_chars <= 10 * n_words AND
+              10 * n_symbols <= n_words AND
+              5 * n_alpha_words >= 4 * n_words AND
+              n_stopwords >= 2) AS pass
+      FROM m ORDER BY doc_id"""),
+    "shuffle_order" -> (s"""
+      WITH h AS (SELECT doc_id,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+      SELECT doc_id,
+             CAST('0x' || substr(h, 1, 2) AS BIGINT) AS shard,
+             CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1
+               AS BIGINT) AS global_pos
+      FROM h ORDER BY doc_id"""),
+    "embedding_outliers" -> (s"""
+      WITH u AS (SELECT vec_id, label,
+             list_transform(embedding, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u
+           FROM embeddings),
+      e AS (SELECT label, u, unnest(range(1, 65)) AS pos FROM u),
+      s AS (SELECT label, pos, COUNT(*) AS n, SUM(u[pos]) AS s
+            FROM e GROUP BY 1, 2),
+      c AS (SELECT label, pos,
+              CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT) AS c
+            FROM s),
+      cent AS (SELECT label, list(c ORDER BY pos) AS cent
+               FROM c GROUP BY 1),
+      d AS (SELECT vec_id, u.label,
+              CAST(list_sum(list_transform(range(1, 65),
+                i -> u[i] * cent[i])) AS DOUBLE) AS dot,
+              CAST(list_sum(list_transform(range(1, 65),
+                i -> u[i] * u[i])) AS DOUBLE) AS aa,
+              CAST(list_sum(list_transform(range(1, 65),
+                i -> cent[i] * cent[i])) AS DOUBLE) AS cc
+            FROM u JOIN cent USING (label))
+      SELECT vec_id, label,
+             CAST(floor(dot / (sqrt(aa) * sqrt(cc)) * 1e6 + 0.5)
+               AS BIGINT) AS cos_ppm,
+             (CAST(floor(dot / (sqrt(aa) * sqrt(cc)) * 1e6 + 0.5)
+               AS BIGINT) < 500000) AS is_outlier
+      FROM d ORDER BY vec_id"""),
     "cap_per_source" -> (s"""
       WITH t AS (SELECT doc_id, source, text, $toksSql AS toks
                  FROM documents),

@@ -58,6 +58,40 @@ object Sampling {
       substring(md5(col(keyCol).cast(StringType)), 1, 4) < threshold)
   }
 
+  /** Deterministic global shuffle position WITHOUT a global sort —
+    * the "shuffle the corpus before packing" step every pretraining
+    * run needs, reproducible across engines and cluster sizes. A
+    * doc's position is its rank under (md5(seed:id), id); computing
+    * that rank globally would be a single-partition sort, so instead:
+    * the first hash byte range-shards into 256 shards (the shard is a
+    * MONOTONE prefix of the sort key, so per-shard ranks concatenate
+    * into the global order), each shard ranks locally under one
+    * window, and shard base offsets come from a 256-row count rollup
+    * joined back by broadcast. One corpus shuffle keyed by shard —
+    * the distributed zipWithIndex, as a declarative plan.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String = "doc_id",
+                   seed: String = "42"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(seed), lit(":"), col(idCol).cast(StringType)))
+    val base = df.select(col(idCol).as("doc_id"), h.as("_h"),
+      conv(substring(h, 1, 2), 16, 10).cast(LongType).as("shard"))
+    val ranked = base.withColumn("_rank",
+      row_number().over(W.partitionBy(col("shard"))
+        .orderBy(col("_h").asc, col("doc_id").asc)).cast(LongType))
+    // 256-row offset table: docs in all shards strictly before mine
+    val offsets = base.groupBy("shard")
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset",
+        coalesce(sum(col("_cnt")).over(W.orderBy(col("shard").asc)
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "_offset")
+    ranked.join(broadcast(offsets), "shard")
+      .select(col("doc_id"), col("shard"),
+        (col("_offset") + col("_rank") - 1L).as("global_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic token-budget fill per stratum — the "mixture by
     * token share" step (Dolma/Pile-style: each source contributes a
     * target number of TOKENS, not documents). Within each stratum,

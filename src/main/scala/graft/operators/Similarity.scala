@@ -246,4 +246,67 @@ object Similarity {
       .distinct()   // scalar-only distinct (see lshTopK)
       .orderBy("id1", "id2")
   }
+
+  /** Per-label centroids in integer micro-units: each float component
+    * maps exactly to round(v·10⁶) (a bijection at float precision),
+    * sums exactly in 64-bit, and divides half-up-toward-+∞ — so the
+    * centroid is bit-identical on any engine, any partitioning, any
+    * reduction order (float addition is not associative; integer
+    * addition is). Headroom: 2·Σ stays exact in the double division
+    * up to ~4·10⁹ vectors per label at |v| ≤ 1. Shuffle is (label,
+    * pos) partial sums — dim rows per label per map partition,
+    * map-side combined; the centroid table is (labels × dim) longs.
+    */
+  def labelCentroids(embeddings: DataFrame,
+                     labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .select(col("label"), col("pos"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast(LongType)
+          .as("u"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("u").as("s"))
+      // half-up toward +∞ (floor form): integer DIV would truncate
+      // toward zero and disagree with DuckDB's floor `//` on negatives
+      .select(col("label"), col("pos"),
+        floor((lit(2L) * col("s") + col("n")).cast("double") /
+          (lit(2L) * col("n")).cast("double")).cast(LongType).as("c"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  /** Embedding outlier detection (the mislabel/contamination scan for
+    * labeled or clustered embedding spaces): cosine of every vector
+    * to its OWN label's centroid; vectors below `thresholdPpm` are
+    * flagged. Centroids are exact integer micro-units
+    * ([[labelCentroids]]), the cosine is IEEE double arithmetic over
+    * exact integers (sqrt/mul/div are correctly rounded, so the ppm
+    * output is engine-reproducible). One dim-bounded shuffle for the
+    * centroids; the scoring pass is a broadcast join + row-local
+    * fold — the corpus never shuffles.
+    */
+  def embeddingOutliers(embeddings: DataFrame,
+                        thresholdPpm: Long = 500000L,
+                        idCol: String = "vec_id",
+                        labelCol: String = "label",
+                        vecCol: String = "embedding"): DataFrame = {
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    val micro = transform(col(vecCol),
+      v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
+    embeddings
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        micro.as("u"))
+      .join(broadcast(labelCentroids(embeddings, labelCol, vecCol)),
+        "label")
+      .select(col("vec_id"), col("label"),
+        floor(dotL(col("u"), col("centroid")).cast("double") /
+          (sqrt(dotL(col("u"), col("u")).cast("double")) *
+            sqrt(dotL(col("centroid"), col("centroid")).cast("double")))
+          * 1e6 + 0.5).cast(LongType).as("cos_ppm"))
+      .withColumn("is_outlier", col("cos_ppm") < thresholdPpm)
+      .orderBy("vec_id")
+  }
 }

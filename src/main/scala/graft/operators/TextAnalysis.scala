@@ -303,6 +303,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The Gopher quality rule set (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * §A1.1), the published heuristic battery most pipelines start
+    * from: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word fraction, and a minimum
+    * stopword count. Every rule is expressed as an INTEGER comparison
+    * (3n ≤ Σlen ≤ 10n instead of 3 ≤ mean ≤ 10, 5·alpha ≥ 4·n instead
+    * of 80%…), so no float ever exists to disagree across engines.
+    * Row-local expression tree — no shuffle, whole pipeline stays in
+    * one projection. Returns per-rule verdicts plus the combined gate.
+    */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id", minWords: Int = 50,
+                  maxWords: Int = 100000): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    val nWords = size(toks).cast(LongType)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nHash = (length(c) - length(regexp_replace(c, "#", "")))
+      .cast(LongType)
+    val nEllipsis =
+      ((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3)
+        .cast(LongType)
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast(LongType)
+    val nStop = stopwordHits(toks, "en").cast(LongType)
+    df.select(col(idCol).as("doc_id"),
+        nWords.as("n_words"), sumLen.as("sum_word_chars"),
+        (nHash + nEllipsis).as("n_symbols"),
+        nAlpha.as("n_alpha_words"), nStop.as("n_stopwords"))
+      .withColumn("words_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("mean_len_ok",
+        col("sum_word_chars") >= lit(3L) * col("n_words") &&
+          col("sum_word_chars") <= lit(10L) * col("n_words"))
+      .withColumn("symbol_ok",
+        lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("alpha_ok",
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("stop_ok", col("n_stopwords") >= 2L)
+      .withColumn("pass",
+        col("words_ok") && col("mean_len_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("stop_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Per-token pseudo-weight in [0, 2e6] ppm, md5-derived — the
     * deterministic stand-in for a trained hashed-features weight
     * vector (the hashing trick with d = 2^32 and one weight per hash).

@@ -141,6 +141,76 @@ class CurationOpsSpec extends AnyFunSuite {
       r.getBoolean(3) == (r.getLong(2) >= 0L)))
   }
 
+  test("gopherRules: each rule fails on its own counterexample") {
+    // 52 words, mean length 25/4 = 6.25 ∈ [3,10], 26 stopword hits
+    val fiftyGood = ("the and bigwords longerwords " * 13).trim
+    val docs = Seq(
+      (1L, fiftyGood),                                // all rules pass
+      (2L, "the of too short"),                       // words_ok fails
+      (3L, ("the of " + Seq.fill(48)("xx").mkString(" "))), // mean len 2
+      (4L, ("the of " + Seq.fill(48)("####").mkString(" "))), // symbols
+      (5L, ("the of " + Seq.fill(48)("1234").mkString(" "))), // alpha
+      (6L, Seq.fill(50)("zz").mkString(" "))          // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9), r.getBoolean(10), r.getBoolean(11))).toMap
+    assert(out(1L)._6, out(1L).toString)              // pass
+    assert(!out(2L)._1 && !out(2L)._6)                // words_ok
+    assert(!out(3L)._2 && !out(3L)._6)                // mean_len_ok
+    assert(!out(4L)._3 && !out(4L)._6)                // symbol_ok
+    assert(!out(5L)._4 && !out(5L)._6)                // alpha_ok
+    assert(!out(6L)._5 && !out(6L)._6)                // stop_ok
+  }
+
+  test("shuffleOrder: a permutation of 0..n-1 equal to the naive " +
+      "global rank, invariant to input partitioning") {
+    val docs = (1L to 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Sampling.shuffleOrder(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.values.toSeq.sorted == (0L until 300L).toList)
+    val naive = (1L to 300L)
+      .sortBy(i => (md5hex("42:" + i), i)).zipWithIndex
+      .map { case (id, k) => id -> k.toLong }.toMap
+    assert(out == naive)
+    val repart = Sampling.shuffleOrder(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(repart == naive)
+  }
+
+  test("labelCentroids: exact integer means, any reduction order") {
+    val vecs = Seq(
+      (1L, 0, Array(0.25f, -0.5f)),
+      (2L, 0, Array(0.35f, -0.1f)),
+      (3L, 1, Array(-1.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    def centroids(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.labelCentroids(df).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+    val c = centroids(vecs)
+    // label 0: means of (250000, 350000) and (-500000, -100000),
+    // half-up toward +inf
+    assert(c(0) == List(300000L, -300000L))
+    assert(c(1) == List(-1000000L, 1000000L))
+    assert(centroids(vecs.repartition(5)) == c)
+  }
+
+  test("embeddingOutliers: a vector AT its centroid scores 1e6 ppm; " +
+      "an opposed one is flagged") {
+    val vecs = Seq(
+      (1L, 0, Array(0.5f, 0.5f)),   // lone vector = its own centroid
+      (2L, 1, Array(1.0f, 0.0f)),
+      (3L, 1, Array(1.0f, 0.02f)),
+      (4L, 1, Array(-1.0f, -0.01f)) // anti-aligned with label-1 mean
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Similarity.embeddingOutliers(vecs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 1000000L && !out(1L).getBoolean(3))
+    assert(out(2L).getLong(2) > 500000L && !out(2L).getBoolean(3))
+    assert(out(4L).getLong(2) < 0L && out(4L).getBoolean(3))
+  }
+
   test("capPerStratum: at most maxDocs per stratum, contiguous ranks, " +
       "quality-monotone within each stratum") {
     val docs = Tables.load(spark, dir, "documents")

@@ -229,6 +229,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("gopherRules: row-local rule battery — zero exchanges beyond " +
+      "the output sort") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.TextAnalysis.gopherRules(docs))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy exchange\n$p")
+  }
+
+  test("shuffleOrder: shard-partitioned rank + broadcast offsets — " +
+      "the ranking window is NEVER a single global partition") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.Sampling.shuffleOrder(docs))
+    assert(p.contains("BroadcastHashJoin"))
+    // the corpus-sized window must be keyed by shard: a global-order
+    // Window would show an empty partition spec on the big side
+    val hashParts = "hashpartitioning\\(shard".r.findAllIn(p).size
+    assert(hashParts >= 1, s"no shard-keyed exchange\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("embeddingOutliers: centroid table broadcasts; corpus rows " +
+      "never shuffle for scoring") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = planOf(graft.operators.Similarity.embeddingOutliers(emb))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // only the (label, pos) centroid aggregation and the final sort
+    // may exchange — scoring itself is a projection
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 4, s"too many exchanges ($exchanges)\n$p")
+  }
+
   test("bucketed staging: co-bucketed join plans with NO exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed")
     val orders = Tables.load(spark, dir, "orders")
