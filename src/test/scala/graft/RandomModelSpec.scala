@@ -111,6 +111,90 @@ class RandomModelSpec extends AnyFunSuite {
     }
   }
 
+  test("lineDedup matches the naive distinct-doc-count model on " +
+      "random lined corpora") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (_ <- 1 to 3) {
+      // small line vocabulary forces heavy cross-doc repetition;
+      // occasional blank lines exercise the always-keep rule
+      val corpus = (0 until rnd.nextInt(60) + 20).map { i =>
+        val lines = Seq.fill(rnd.nextInt(6) + 1)(
+          if (rnd.nextInt(8) == 0) "" else "line " + rnd.nextInt(6))
+        (i.toLong, lines.mkString("\n"))
+      }
+      val maxDocs = rnd.nextInt(3) + 1
+      val out = Dedup.lineDedup(corpus.toDF("doc_id", "text"),
+          maxDocs = maxDocs).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getString(3))).toMap
+      val docLines = corpus.map { case (id, t) =>
+        id -> t.split(java.util.regex.Pattern.quote("\n"), -1).toSeq }
+      val banned = docLines
+        .flatMap { case (id, ls) =>
+          ls.filter(_.trim.nonEmpty).map(l => (md5hex(l.trim), id)) }
+        .distinct.groupBy(_._1).filter(_._2.size > maxDocs).keySet
+      val expected = docLines.map { case (id, ls) =>
+        val kept = ls.filter(l =>
+          l.trim.isEmpty || !banned(md5hex(l.trim)))
+        id -> ((ls.size.toLong, kept.size.toLong, kept.mkString("\n")))
+      }.toMap
+      assert(out == expected)
+    }
+  }
+
+  test("tokenBudgetSample matches the naive per-stratum fill model " +
+      "on random corpora") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (_ <- 1 to 3) {
+      val corpus = (0 until rnd.nextInt(120) + 40).map { i =>
+        (i.toLong, "s" + rnd.nextInt(4),
+          Seq.fill(rnd.nextInt(9) + 1)("t").mkString(" "))
+      }
+      val budgets = Map("s0" -> rnd.nextInt(60).toLong,
+        "s1" -> 0L, "s2" -> rnd.nextInt(25).toLong)
+      val default = rnd.nextInt(20).toLong
+      val out = Sampling.tokenBudgetSample(
+          corpus.toDF("doc_id", "stratum", "text"), "stratum",
+          budgets = budgets, defaultBudget = default).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val expected = corpus.groupBy(_._2).flatMap { case (s, docs) =>
+        val budget = budgets.getOrElse(s, default)
+        var cum = 0L
+        docs.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+          .flatMap { case (id, _, text) =>
+            val n = text.split("\\s+").count(_.nonEmpty).toLong
+            val start = cum; cum += n
+            if (start < budget) Some(id -> start) else None
+          }
+      }
+      assert(out == expected)
+    }
+  }
+
+  test("shuffleOrder emits a stable permutation on random id sets " +
+      "(duplicated runs agree; subsets keep relative order)") {
+    val ids = rnd.shuffle((0L until 2000L).toList).take(500)
+    val df = ids.toDF("doc_id")
+    val a = Sampling.shuffleOrder(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a.values.toSeq.sorted == (0L until ids.size.toLong).toList)
+    val b = Sampling.shuffleOrder(df.repartition(13)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == b)
+    // a subset's relative order is the full set's restriction — the
+    // property that makes budget top-ups and resharding reproducible
+    val sub = ids.take(120)
+    val s = Sampling.shuffleOrder(sub.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fullOrder = sub.sortBy(a)
+    val subOrder = sub.sortBy(s)
+    assert(fullOrder == subOrder)
+  }
+
   test("scrubPii never leaves a matchable pattern behind (idempotent)") {
     val texts = Seq(
       "a@b.co x@y.org both", "ip 1.2.3.4 and 250.0.0.1",
