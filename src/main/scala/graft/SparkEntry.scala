@@ -319,6 +319,14 @@ object SparkEntry {
       operators.Curation.curate(Tables.load(s, d, "documents"),
         rates = Map("src0" -> 1000, "src1" -> 500, "src2" -> 250),
         defaultPermille = 100)),
+    // the round-6 funnel end to end over the lined fixture: boilerplate
+    // strip → gopher ∧ classifier gates → dedup → bloom decontaminate
+    // → token-budget fill (each stage oracled alone; this pins the
+    // composition)
+    "curation_modern" -> ((s, d) =>
+      operators.Curation.curateModern(
+        linedFixture(Tables.load(s, d, "documents")),
+        budgets = TokenBudgets, defaultBudget = 300L)),
     // snapshot diff between two deterministic views of the corpus:
     // 10%-shifted membership + 1-in-7 text edits exercise all four
     // statuses (added / removed / changed / kept)
@@ -574,7 +582,7 @@ object SparkEntry {
     * Deterministic, so the oracle rebuilds it with one projection.
     */
   private[graft] def linedFixture(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), col("source"),
       concat(lit("subscribe to "), col("source"), lit(" updates\n"),
         col("text"), lit("\ncopyright 2026 example corp")).as("text"))
 
@@ -1178,6 +1186,77 @@ object SparkEntry {
              (CAST(floor(dot / (sqrt(aa) * sqrt(cc)) * 1e6 + 0.5)
                AS BIGINT) < 500000) AS is_outlier
       FROM d ORDER BY vec_id"""),
+    // the full round-6 funnel: every stage mirrored honestly (line
+    // dedup, both gates, keep-first dedup, decontamination — the Bloom
+    // engine path is result-identical to exact — and the budget fill)
+    "curation_modern" -> (s"""
+      WITH lined AS (SELECT doc_id, source,
+             'subscribe to ' || source || ' updates' || chr(10) ||
+             text || chr(10) || 'copyright 2026 example corp' AS text
+           FROM documents),
+      sp AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+             FROM lined),
+      lx AS (SELECT doc_id, ls,
+               unnest(range(1, len(ls) + 1)) AS pos FROM sp),
+      l AS (SELECT doc_id, pos, ls[pos] AS line FROM lx),
+      band AS (SELECT md5(trim(line)) AS k FROM l
+               WHERE trim(line) <> '' GROUP BY 1
+               HAVING COUNT(DISTINCT doc_id) > 1),
+      kept AS (SELECT doc_id, pos, line FROM l
+               WHERE md5(trim(line)) NOT IN (SELECT k FROM band)),
+      cl AS (SELECT doc_id,
+               array_to_string(list(line ORDER BY pos), chr(10))
+                 AS text
+             FROM kept GROUP BY 1),
+      t AS (SELECT cl.doc_id, sp.source, cl.text, $toksSql AS toks
+            FROM cl JOIN sp ON cl.doc_id = sp.doc_id),
+      g AS (SELECT * FROM t WHERE
+              len(toks) >= 25 AND len(toks) <= 100000
+              AND COALESCE(list_sum(list_transform(toks,
+                    x -> LENGTH(x))), 0) >= 3 * len(toks)
+              AND COALESCE(list_sum(list_transform(toks,
+                    x -> LENGTH(x))), 0) <= 10 * len(toks)
+              AND 10 * (LENGTH(text)
+                    - LENGTH(replace(text, '#', ''))
+                    + (LENGTH(text)
+                       - LENGTH(replace(text, '...', ''))) // 3)
+                  <= len(toks)
+              AND 5 * len(list_filter(toks,
+                    x -> regexp_matches(x, '[A-Za-z]')))
+                  >= 4 * len(toks)
+              AND ${stopHits("en")} >= 2
+              AND len(toks) > 0
+              AND 2 * COALESCE(list_sum(list_transform(toks, x ->
+                    CAST('0x' || substr(md5('w:' || x), 1, 8)
+                      AS BIGINT) % 2000001)), 0) + len(toks)
+                  >= 2 * len(toks) * 1000000),
+      ded AS (SELECT * FROM g QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY $fpSql ORDER BY doc_id) = 1),
+      spl AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('0', '1') AS is_test FROM ded),
+      trg AS (SELECT doc_id, gm FROM (SELECT doc_id,
+                unnest(sh) AS gm FROM (SELECT doc_id,
+                  $shingles8Sql AS sh FROM spl WHERE NOT is_test))),
+      teg AS (SELECT DISTINCT gm FROM (SELECT unnest(sh) AS gm
+              FROM (SELECT $shingles8Sql AS sh FROM spl
+                    WHERE is_test))),
+      bad AS (SELECT DISTINCT doc_id FROM trg JOIN teg USING (gm)),
+      cln AS (SELECT * FROM spl WHERE NOT is_test
+              AND doc_id NOT IN (SELECT doc_id FROM bad)),
+      b AS (SELECT doc_id, source AS stratum,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              md5(CAST(doc_id AS VARCHAR)) AS h FROM cln),
+      w2 AS (SELECT doc_id, stratum, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum
+                 ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS start_tok FROM b)
+      SELECT doc_id, stratum, n_tokens,
+             CAST(start_tok AS BIGINT) AS start_tok FROM w2
+      WHERE start_tok < CASE stratum
+        WHEN 'src0' THEN 2000 WHEN 'src1' THEN 800
+        WHEN 'src2' THEN 0 ELSE 300 END
+      ORDER BY doc_id"""),
     "cap_per_source" -> (s"""
       WITH t AS (SELECT doc_id, source, text, $toksSql AS toks
                  FROM documents),

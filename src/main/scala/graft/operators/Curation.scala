@@ -50,6 +50,52 @@ object Curation {
       .orderBy("group_rep")
   }
 
+  /** The round-6 funnel — every stage a modern pretraining pipeline
+    * actually runs, composed into as few plans as the operators allow:
+    *
+    *   line-level boilerplate removal → Gopher rule gate ∧
+    *   hashed-features classifier gate → exact dedup (keep-first) →
+    *   Bloom-prefiltered benchmark decontamination → per-source
+    *   token-budget fill.
+    *
+    * Stage costs at 100 TB: lineDedup contributes the line-hash count
+    * and the doc rebuild (its rebuild groupBy keys by doc_id, and the
+    * source join reuses that partitioning — no extra exchange); both
+    * text gates are row-local integer expressions fused into ONE
+    * Filter; dedup shuffles fingerprints of gate survivors only; the
+    * test n-gram set rides a Bloom literal + a tiny broadcast; the
+    * budget fill windows over (id, n_tokens) scalars. Returns
+    * (doc_id, stratum, n_tokens, start_tok) — the exact chunker input.
+    */
+  def curateModern(docs: DataFrame, minWords: Int = 25,
+                   classifierThresholdPpm: Long = 0L,
+                   budgets: Map[String, Long] = Map.empty,
+                   defaultBudget: Long = 300L,
+                   lineSep: String = "\n", maxLineDocs: Int = 1,
+                   ngram: Int = 8): DataFrame = {
+    val cleaned = Dedup
+      .lineDedup(docs, sep = lineSep, maxDocs = maxLineDocs)
+      .select(col("doc_id"), col("clean_text"))
+    val withSrc = cleaned
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val c = col("clean_text")
+    val gated = withSrc.filter(
+      TextAnalysis.gopherPassExpr(c, minWords) &&
+        TextAnalysis.classifierKeepExpr(c, classifierThresholdPpm))
+    val deduped = Dedup.exactDedup(gated, "clean_text")
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1)
+      .isin("0", "1")
+    val train = deduped.filter(!isTest)
+    val bad = Dedup
+      .decontaminateBloomAgainst(train, deduped.filter(isTest),
+        "clean_text", n = ngram)
+      .select(col("doc_id").as("_bad_id"))
+    val clean = train.join(broadcast(bad),
+      col("doc_id") === col("_bad_id"), "left_anti")
+    Sampling.tokenBudgetSample(clean, "source", "clean_text",
+      budgets = budgets, defaultBudget = defaultBudget)
+  }
+
   /** Per-stratum document cap (the C4/mC4 per-domain cap: no single
     * domain may dominate the mixture): keep the `maxDocs`
     * highest-quality documents of each stratum, ranked by

@@ -349,6 +349,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[gopherRules]]' combined verdict as ONE boolean expression over
+    * a text column — the form a funnel composes into a `filter`
+    * directly (no intermediate verdict table). Same all-integer
+    * comparisons as the tabular operator.
+    */
+  def gopherPassExpr(c: Column, minWords: Int = 50,
+                     maxWords: Int = 100000): Column = {
+    val toks = tokens(c)
+    val n = size(toks).cast(LongType)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nSym = (length(c) - length(regexp_replace(c, "#", "")))
+      .cast(LongType) +
+      ((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3)
+        .cast(LongType)
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast(LongType)
+    n >= minWords && n <= maxWords &&
+      sumLen >= lit(3L) * n && sumLen <= lit(10L) * n &&
+      lit(10L) * nSym <= n &&
+      lit(5L) * nAlpha >= lit(4L) * n &&
+      stopwordHits(toks, "en").cast(LongType) >= 2L
+  }
+
+  /** [[classifierScore]]'s keep decision as ONE boolean expression —
+    * the division-free form: score_ppm ≥ T ⇔ 2·Σw + n ≥ 2n·(T + 10⁶)
+    * (floor(x) ≥ T ⇔ x ≥ T for integer T), so the funnel gate is a
+    * pure 64-bit integer inequality.
+    */
+  def classifierKeepExpr(c: Column, thresholdPpm: Long = 0L): Column = {
+    val toks = tokens(c)
+    val n = size(toks).cast(LongType)
+    val wsum = aggregate(toks, lit(0L), (acc, t) => acc + weightPpm(t))
+    n > 0L && (lit(2L) * wsum + n) >=
+      lit(2L) * n * lit(thresholdPpm + 1000000L)
+  }
+
   /** Per-token pseudo-weight in [0, 2e6] ppm, md5-derived — the
     * deterministic stand-in for a trained hashed-features weight
     * vector (the hashing trick with d = 2^32 and one weight per hash).

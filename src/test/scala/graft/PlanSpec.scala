@@ -261,6 +261,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 4, s"too many exchanges ($exchanges)\n$p")
   }
 
+  test("curateModern: both text gates fuse into row-local Filters, " +
+      "decontamination broadcasts, no cartesian anywhere") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.Curation.curateModern(
+      SparkEntry.linedFixture(docs)))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the gopher ∧ classifier gate is one Filter node (Catalyst fuses
+    // conjunctive row-local predicates), not a chain of projections
+    val filters = "\\(\\d+\\) Filter".r.findAllIn(p).size
+    assert(filters >= 1)
+  }
+
   test("bucketed staging: co-bucketed join plans with NO exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed")
     val orders = Tables.load(spark, dir, "orders")
