@@ -116,6 +116,30 @@ object ProfileStream {
     dedupStream(scrubbed, tsCol, textCol, watermarkDur)
   }
 
+  /** The round-6 gate stack on a live ingest stream: Gopher rule
+    * battery ∧ hashed-features classifier (both row-local integer
+    * expressions — streaming-safe by construction, no state), PII
+    * scrub, then watermark-bounded exact dedup. Identical gate
+    * semantics to `Curation.curateModern`'s batch Filter, so a
+    * replayed finite stream and the batch operator agree
+    * (spec-pinned); the boilerplate/line stage needs corpus-global
+    * counts and stays a batch (or periodic-compaction) concern.
+    */
+  def curateModernStream(stream: DataFrame, tsCol: String,
+                         textCol: String = "text",
+                         minWords: Int = 25,
+                         classifierThresholdPpm: Long = 0L,
+                         watermarkDur: String = "10 minutes")
+      : DataFrame = {
+    import graft.operators.TextAnalysis
+    val c = col(textCol)
+    val gated = stream.filter(
+      TextAnalysis.gopherPassExpr(c, minWords) &&
+        TextAnalysis.classifierKeepExpr(c, classifierThresholdPpm))
+    val scrubbed = gated.withColumn(textCol, TextAnalysis.scrubPii(c))
+    dedupStream(scrubbed, tsCol, textCol, watermarkDur)
+  }
+
   /** One event for [[sessionizeStream]]. The event time stays a real
     * timestamp column — the streaming analyzer requires the watermarked
     * column to flow INTO the stateful operator (projecting it to a long

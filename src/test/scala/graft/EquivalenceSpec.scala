@@ -154,6 +154,53 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateModernStream: gate set equals the batch gate expression " +
+      "on a replayed finite stream") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(66L)
+    val vocab = Seq("the", "and", "of", "to", "alpha", "bridge",
+      "cascade", "####", "12345", "zz")
+    val docs = (1L to 120L).map { i =>
+      (i, f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d",
+        Seq.fill(rnd.nextInt(60) + 1)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms")
+    val in = dir.toString + "/in"
+    docs.toDF("id", "ts", "text")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(in)
+    val batch = spark.read.parquet(in)
+    val schema = batch.schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = graft.streaming.ProfileStream
+      .curateModernStream(stream, "ts")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cms").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select id from cms").collect()
+        .map(_.getLong(0)).toSet
+      // batch twin: same gates, then keep-first per fingerprint (the
+      // stream's dedup horizon covers the whole replay)
+      val expected = graft.operators.Dedup.exactDedup(
+          batch.filter(TextAnalysis.gopherPassExpr(col("text"), 25) &&
+            TextAnalysis.classifierKeepExpr(col("text"), 0L))
+            .withColumn("text", TextAnalysis.scrubPii(col("text"))),
+          idCol = "id")
+        .select("id").collect().map(_.getLong(0)).toSet
+      // streaming keep-first within a micro-batch may pick a different
+      // member of a duplicate group than the batch's lowest-id rule:
+      // compare group representatives by fingerprint instead of id
+      def reps(ids: Set[Long]) = batch
+        .filter(col("id").isin(ids.toSeq: _*))
+        .select(TextAnalysis.fingerprint(col("text"))).collect()
+        .map(_.getString(0)).toSet
+      assert(reps(got) == reps(expected))
+      assert(got.size == expected.size)
+    } finally q.stop()
+  }
+
   test("curateStream: gate drops junk, PII scrubbed, duplicate " +
       "suppressed within the watermark") {
     val good = "the quick brown fox jumps over a lazy dog and then " +
