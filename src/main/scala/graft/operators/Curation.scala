@@ -82,7 +82,14 @@ object Curation {
     val gated = withSrc.filter(
       TextAnalysis.gopherPassExpr(c, minWords) &&
         TextAnalysis.classifierKeepExpr(c, classifierThresholdPpm))
+    // branch point: the gate+dedup survivors feed FOUR consumers (the
+    // Bloom bit build's collect, the verify join's test side, the
+    // anti-join train side, the budget window) — without a persist the
+    // whole line-dedup+gate pipeline re-executes for each (measured
+    // ~4x wall time at sf0.1). Same cache-lifetime contract as the
+    // Dedup near-dup operators: long-lived sessions clearCache().
     val deduped = Dedup.exactDedup(gated, "clean_text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isTest = substring(md5(col("doc_id").cast("string")), 1, 1)
       .isin("0", "1")
     val train = deduped.filter(!isTest)
