@@ -268,6 +268,15 @@ object SparkEntry {
     // pseudo-weights; row-local integer fold, no shuffle)
     "classifier_score" -> ((s, d) =>
       TextAnalysis.classifierScore(Tables.load(s, d, "documents"))),
+    // RAG/context-window chunking: overlapping token windows with
+    // exact offsets
+    "chunk_documents" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(Tables.load(s, d, "documents"))),
+    // tokenizer-training vocabulary: global tf/df top-N,
+    // deterministic ties, TakeOrderedAndProject partial top-k
+    "vocabulary" -> ((s, d) =>
+      TextAnalysis.vocabulary(Tables.load(s, d, "documents"),
+        topN = 200)),
     // the published Gopher §A1.1 heuristic battery, all-integer rules
     "gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.load(s, d, "documents"),
@@ -1121,6 +1130,32 @@ object SparkEntry {
              ((2 * w + n_tokens) // (2 * n_tokens) - 1000000) >= 0
                AS keep
       FROM s ORDER BY doc_id"""),
+    "chunk_documents" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      ix AS (SELECT doc_id, toks, n,
+               unnest(range(0, greatest(
+                 CAST(floor((n - 1) / 24.0) AS BIGINT), 0) + 1))
+                 AS chunk_idx
+             FROM nz)
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+             CAST(least(chunk_idx * 24 + 32, n) AS BIGINT) AS end_tok,
+             array_to_string(
+               toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+               AS chunk_text
+      FROM ix ORDER BY doc_id, chunk_idx"""),
+    "vocabulary" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      v AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf,
+              COUNT(*) AS df FROM tf GROUP BY 1),
+      r AS (SELECT term, tf, df,
+              CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC)
+                AS BIGINT) AS "rank" FROM v)
+      SELECT term, tf, df, "rank" FROM r
+      WHERE "rank" <= 200 ORDER BY "rank""""),
     "gopher_rules" -> (s"""
       WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
       m AS (SELECT doc_id,

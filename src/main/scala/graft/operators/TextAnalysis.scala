@@ -419,6 +419,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Overlapping token-window chunking (the RAG-indexing /
+    * context-window prep step): each document becomes
+    * ceil((n - overlap) / stride) chunks of `chunkTokens` whitespace
+    * tokens with `overlap` tokens shared between neighbors; the final
+    * chunk is the short remainder. Row-local sequence + explode — the
+    * only shuffle is the output sort; chunk offsets are exact token
+    * positions for a downstream tokenizer. Empty docs yield no rows.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", chunkTokens: Int = 32,
+                     overlap: Int = 8): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    // chunk starts 0, stride, 2·stride, … while start < n
+    val starts = sequence(lit(0), greatest(
+      floor((col("_n").cast("double") - 1) / stride).cast("int"),
+      lit(0)))
+    df.select(col(idCol).as("doc_id"), toks.as("_t"),
+        size(toks).as("_n"))
+      .filter(col("_n") > 0)
+      .select(col("doc_id"), col("_t"), col("_n"),
+        explode(starts).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType),
+        (col("chunk_idx") * stride).cast(LongType).as("start_tok"),
+        least(col("chunk_idx") * stride + chunkTokens, col("_n"))
+          .cast(LongType).as("end_tok"),
+        array_join(slice(col("_t"), col("chunk_idx") * stride + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Corpus vocabulary export (the tokenizer-training input): global
+    * term frequency + document frequency, top `topN` by (tf desc,
+    * term asc) — deterministic ties. Two shuffles with map-side
+    * partials (the (doc, term) tf pass and the term rollup); the
+    * global top-N plans as TakeOrderedAndProject — per-partition
+    * partial top-N, NOT a single-partition global window — and the
+    * rank number is assigned on the ≤ topN survivors only. `minDf`
+    * prunes hapax noise before the cut.
+    */
+  def vocabulary(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", minDf: Int = 1,
+                 topN: Int = 10000): DataFrame = {
+    val perDoc = graft.util.Utils.spread(df)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val top = perDoc.groupBy("term")
+      .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term").asc)
+    top.withColumn("rank", row_number().over(w).cast(LongType))
+      .orderBy("rank")
+  }
+
   /** Full per-document text profile over a documents table. */
   def textProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

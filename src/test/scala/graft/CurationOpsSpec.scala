@@ -211,6 +211,50 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(4L).getLong(2) < 0L && out(4L).getBoolean(3))
   }
 
+  test("chunkDocuments: stride/overlap offsets are exact and the " +
+      "chunks reconstruct the token stream") {
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"t$i").mkString(" ")),  // 80 tokens
+      (2L, "a b c"),                                    // single chunk
+      (3L, "")                                          // no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .chunkDocuments(docs, chunkTokens = 32, overlap = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(!out.exists(_._1 == 3L))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._5 == "a b c" && d2.head._4 == 3L)
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts at multiples of 24; ends clipped at 80; overlap of 8
+    assert(d1.map(_._3).toSeq == Seq(0L, 24L, 48L, 72L))
+    assert(d1.map(_._4).toSeq == Seq(32L, 56L, 80L, 80L))
+    // stitching non-overlapping spans rebuilds the original stream
+    val toks = (1 to 80).map(i => s"t$i")
+    d1.foreach { case (_, _, s, e, text) =>
+      assert(text == toks.slice(s.toInt, e.toInt).mkString(" "))
+    }
+  }
+
+  test("vocabulary: tf/df from the corpus, deterministic rank ties, " +
+      "minDf prunes, topN cuts") {
+    val docs = Seq(
+      (1L, "apple apple pear"),
+      (2L, "apple pear plum"),
+      (3L, "plum quince")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(docs, topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // apple tf=3; pear/plum tie at tf=2 → lexicographic; quince cut
+    assert(out.map(_._1).toSeq == Seq("apple", "pear", "plum"))
+    assert(out.map(_._2).toSeq == Seq(3L, 2L, 2L))
+    assert(out.map(_._3).toSeq == Seq(2L, 2L, 2L))
+    assert(out.map(_._4).toSeq == Seq(1L, 2L, 3L))
+    val pruned = TextAnalysis.vocabulary(docs, minDf = 2).collect()
+    assert(!pruned.map(_.getString(0)).contains("quince"))
+  }
+
   test("capPerStratum: at most maxDocs per stratum, contiguous ranks, " +
       "quality-monotone within each stratum") {
     val docs = Tables.load(spark, dir, "documents")

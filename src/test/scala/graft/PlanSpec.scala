@@ -275,6 +275,21 @@ class PlanSpec extends AnyFunSuite {
     assert(filters >= 1)
   }
 
+  test("vocabulary: global top-N plans as TakeOrderedAndProject — " +
+      "never a single-partition global window over the vocab table") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.TextAnalysis.vocabulary(docs))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("chunkDocuments: row-local chunking — zero exchanges beyond " +
+      "the output sort") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.TextAnalysis.chunkDocuments(docs))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy exchange\n$p")
+  }
+
   test("bucketed staging: co-bucketed join plans with NO exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed")
     val orders = Tables.load(spark, dir, "orders")
