@@ -141,6 +141,23 @@ class CurationOpsSpec extends AnyFunSuite {
       r.getBoolean(3) == (r.getLong(2) >= 0L)))
   }
 
+  test("round-6 operators: an empty corpus flows through every op " +
+      "without exceptions (incl. the zero-key Bloom build)") {
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    assert(Dedup.lineDedup(empty).count() == 0)
+    assert(Dedup.decontaminateBloomAgainst(empty, empty).count() == 0)
+    assert(TextAnalysis.gopherRules(empty).count() == 0)
+    assert(TextAnalysis.classifierScore(empty).count() == 0)
+    assert(TextAnalysis.chunkDocuments(empty).count() == 0)
+    assert(TextAnalysis.vocabulary(empty).count() == 0)
+    assert(Sampling.shuffleOrder(empty).count() == 0)
+    assert(Sampling.tokenBudgetSample(empty, "source",
+      budgets = Map("a" -> 10L)).count() == 0)
+    assert(Curation.capPerStratum(empty).count() == 0)
+    assert(Curation.curateModern(empty).count() == 0)
+  }
+
   test("gopherRules: each rule fails on its own counterexample") {
     // 52 words, mean length 25/4 = 6.25 ∈ [3,10], 26 stopword hits
     val fiftyGood = ("the and bigwords longerwords " * 13).trim
