@@ -113,6 +113,30 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("beyond exactLimit the cardinality degrades to an HLL estimate " +
+      "within 5% of exact; below it, bit-equal (sf0.1 lineitem)") {
+    // l_extendedprice/l_orderkey exceed 100k distincts at sf0.1 — the
+    // declared profile oracles are exact only in the sf0.01 gate
+    // domain; this pins the documented estimate contract beyond it
+    val li = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.1", "lineitem")
+    def cards(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val fast = cards(Profiler.profileStats(li))
+    val exact = cards(Profiler.profileStatsBuiltin(li))
+    assert(fast.keySet == exact.keySet)
+    fast.foreach { case (path, est) =>
+      val ex = exact(path)
+      if (ex <= 100000L)
+        assert(est == ex, s"$path below the cap must be exact")
+      else
+        assert(math.abs(est - ex) <= ex * 0.05,
+          s"$path HLL estimate $est vs exact $ex out of tolerance")
+    }
+    assert(exact.values.exists(_ > 100000L),
+      "fixture no longer exercises the HLL regime")
+  }
+
   test("profileFull: one-pass result agrees with the multi-agg path") {
     val events = spark.read
       .parquet("/root/testdata/sf0.001/events.parquet")
