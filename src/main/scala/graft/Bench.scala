@@ -47,7 +47,7 @@ object Bench {
       case None        => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -60,8 +60,16 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         dt
       }
+      val times = (1 to 2).map(_ => once())
+      // both runs spiking together defeats min-of-2 (stray full-GC /
+      // VM stalls land 20s+ on random queries): when the pair
+      // disagrees >2x on non-trivial work, buy one tie-breaker
+      val best =
+        if (times.min > 1.0 && times.max > 2 * times.min)
+          math.min(times.min, once())
+        else times.min
       System.gc()
-      name -> times.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
