@@ -268,6 +268,14 @@ object SparkEntry {
     // pseudo-weights; row-local integer fold, no shuffle)
     "classifier_score" -> ((s, d) =>
       TextAnalysis.classifierScore(Tables.load(s, d, "documents"))),
+    // ingest cleaning: keep the first event of each burst (retry
+    // storms, double-clicks); burst = sessionize's gap rule
+    "debounce_events" -> ((s, d) =>
+      Relational.debounce(Tables.load(s, d, "events"))),
+    // bigram-LM quality proxy: tf-weighted integer mean of corpus
+    // conditional bigram probability (ppm)
+    "text_lm_score" -> ((s, d) =>
+      TextAnalysis.lmScore(Tables.load(s, d, "documents"))),
     // RAG/context-window chunking: overlapping token windows with
     // exact offsets
     "chunk_documents" -> ((s, d) =>
@@ -1130,6 +1138,46 @@ object SparkEntry {
              ((2 * w + n_tokens) // (2 * n_tokens) - 1000000) >= 0
                AS keep
       FROM s ORDER BY doc_id"""),
+    "debounce_events" -> (s"""
+      WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                         event_type FROM events),
+      m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
+                 THEN 1 ELSE 0 END AS new_burst
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC)),
+      b AS (SELECT *, CAST(SUM(new_burst) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS burst_idx FROM m),
+      r AS (SELECT *,
+              CAST(COUNT(*) OVER (PARTITION BY user_id, burst_idx) - 1
+                AS BIGINT) AS n_suppressed,
+              ROW_NUMBER() OVER (PARTITION BY user_id, burst_idx
+                ORDER BY ts ASC, event_id ASC) AS rn FROM b)
+      SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             event_type, burst_idx, n_suppressed
+      FROM r WHERE rn = 1 ORDER BY event_id"""),
+    "text_lm_score" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      bx AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+      tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bx GROUP BY 1, 2),
+      c2 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c2,
+               split_part(bg, ' ', 1) AS w1 FROM tf GROUP BY 1),
+      c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1
+             FROM c2 GROUP BY 1),
+      ppm AS (SELECT bg, (2000000 * c2 + c1) // (2 * c1) AS ppm
+              FROM c2 JOIN c1 USING (w1)),
+      sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               CAST(SUM(tf * ppm) AS BIGINT) AS w
+             FROM tf JOIN ppm USING (bg) GROUP BY 1)
+      SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+             (2 * w + sc.n_bigrams) // (2 * sc.n_bigrams) AS lm_ppm
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      ORDER BY d.doc_id"""),
     "chunk_documents" -> (s"""
       WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
       nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),

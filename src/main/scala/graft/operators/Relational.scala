@@ -236,6 +236,39 @@ object Relational {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Event debounce — keep only the FIRST event of each burst (events
+    * separated by ≤ gap belong to one burst): the ingest-cleaning
+    * pass for retry storms, double-clicks, and sensor chatter.
+    * Burst = session under [[sessionizeEvents]]' gap rule, so this is
+    * "first event per (user, session)" — one shuffle keyed by
+    * user_id, every window in the chain reuses that partitioning
+    * (lag → running sum → rank: zero extra exchanges). Emits the
+    * surviving events with their burst index and size.
+    */
+  def debounce(events: DataFrame, gapMinutes: Int = 5): DataFrame = {
+    val gapMicros = gapMinutes.toLong * 60 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = events
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("_prev")) > gapMicros,
+          1L).otherwise(0L))
+      .withColumn("burst_idx", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val wb = Window.partitionBy(col("user_id"), col("burst_idx"))
+    ev.withColumn("n_suppressed",
+        count(lit(1)).over(wb) - 1L)
+      .withColumn("_rn", row_number().over(
+        wb.orderBy(col("ts").asc, col("event_id").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_type"), col("burst_idx"), col("n_suppressed"))
+      .orderBy("event_id")
+  }
+
   /** Grouping-set aggregates (ROLLUP/CUBE — absent in reference,
     * SURVEY §2.4 "absent machinery"): subtotal hierarchy over the Q1
     * grouping. Catalyst plans one Expand + one aggregate — a single

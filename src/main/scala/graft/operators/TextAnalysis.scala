@@ -303,6 +303,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The five Gopher counters over one text column — the single
+    * source both [[gopherRules]] (tabular verdicts) and
+    * [[gopherPassExpr]] (fused funnel gate) derive their integer
+    * comparisons from.
+    */
+  private def gopherCounters(c: Column)
+      : (Column, Column, Column, Column, Column) = {
+    val toks = tokens(c)
+    val nWords = size(toks).cast(LongType)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nSymbols = (length(c) - length(regexp_replace(c, "#", "")))
+      .cast(LongType) +
+      ((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3)
+        .cast(LongType)
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast(LongType)
+    val nStop = stopwordHits(toks, "en").cast(LongType)
+    (nWords, sumLen, nSymbols, nAlpha, nStop)
+  }
+
   /** The Gopher quality rule set (Rae et al. 2021, "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher",
     * §A1.1), the published heuristic battery most pipelines start
@@ -317,21 +337,11 @@ object TextAnalysis {
   def gopherRules(df: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id", minWords: Int = 50,
                   maxWords: Int = 100000): DataFrame = {
-    val c = col(textCol)
-    val toks = tokens(c)
-    val nWords = size(toks).cast(LongType)
-    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    val nHash = (length(c) - length(regexp_replace(c, "#", "")))
-      .cast(LongType)
-    val nEllipsis =
-      ((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3)
-        .cast(LongType)
-    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
-      .cast(LongType)
-    val nStop = stopwordHits(toks, "en").cast(LongType)
+    val (nWords, sumLen, nSymbols, nAlpha, nStop) =
+      gopherCounters(col(textCol))
     df.select(col(idCol).as("doc_id"),
         nWords.as("n_words"), sumLen.as("sum_word_chars"),
-        (nHash + nEllipsis).as("n_symbols"),
+        nSymbols.as("n_symbols"),
         nAlpha.as("n_alpha_words"), nStop.as("n_stopwords"))
       .withColumn("words_ok",
         col("n_words") >= minWords && col("n_words") <= maxWords)
@@ -356,20 +366,12 @@ object TextAnalysis {
     */
   def gopherPassExpr(c: Column, minWords: Int = 50,
                      maxWords: Int = 100000): Column = {
-    val toks = tokens(c)
-    val n = size(toks).cast(LongType)
-    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    val nSym = (length(c) - length(regexp_replace(c, "#", "")))
-      .cast(LongType) +
-      ((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3)
-        .cast(LongType)
-    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
-      .cast(LongType)
+    val (n, sumLen, nSym, nAlpha, nStop) = gopherCounters(c)
     n >= minWords && n <= maxWords &&
       sumLen >= lit(3L) * n && sumLen <= lit(10L) * n &&
       lit(10L) * nSym <= n &&
       lit(5L) * nAlpha >= lit(4L) * n &&
-      stopwordHits(toks, "en").cast(LongType) >= 2L
+      nStop >= 2L
   }
 
   /** [[classifierScore]]'s keep decision as ONE boolean expression —
@@ -416,6 +418,51 @@ object TextAnalysis {
         (expr("(2 * _w + n_tokens) DIV (2 * n_tokens)")
           - lit(1000000L)).as("score_ppm"))
       .withColumn("keep", col("score_ppm") >= lit(thresholdPpm))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram-LM quality proxy (the KenLM-shaped upgrade over
+    * [[rarityProfile]]'s unigram rarity): per document, the tf-weighted
+    * integer mean of the corpus-wide conditional bigram probability
+    * P(w₂|w₁) = c(w₁w₂) / c(w₁·) in ppm — documents whose word
+    * transitions are common corpus-wide score high, word salad scores
+    * low. All arithmetic is 64-bit integer with half-up rounding
+    * (ppm per bigram, then the [[rarityProfile]] mean trick), so the
+    * score is engine-reproducible with no libm log anywhere. Shuffles:
+    * (doc, bigram) tf, bigram count, prefix count — the model tables
+    * are vocabulary²-bounded, tiny next to a 100 TB corpus, and every
+    * aggregate has map-side partials. Docs with no bigrams are
+    * reported with null score.
+    */
+  def lmScore(df: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = graft.util.Utils.spread(df)
+      .select(col(idCol).as("doc_id"), toks.as("_t"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("_t"), lit(1), greatest(size(col("_t")) - 1, lit(0))),
+        slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val tf = bigrams.groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy("bg").agg(sum(col("tf")).as("c2"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val ppm = c2.join(c1, "w1")
+      // half-up ppm of c2/c1, all positive → DIV == floor division
+      .select(col("bg"),
+        expr("(2000000 * c2 + c1) DIV (2 * c1)").as("ppm"))
+    val scored = tf.join(ppm, "bg")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("ppm")).as("w"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(2 * w + n_bigrams) DIV (2 * n_bigrams)").as("lm_ppm"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_ppm"))
       .orderBy("doc_id")
   }
 

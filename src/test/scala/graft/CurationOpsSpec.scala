@@ -228,6 +228,55 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(4L).getLong(2) < 0L && out(4L).getBoolean(3))
   }
 
+  test("debounce: first event of each burst survives, suppression " +
+      "counts per burst, gap boundary is strict") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: burst of 3, then a 6-min gap (> 5-min debounce) opens
+      // a new burst
+      (1L, 1L, ts("2024-01-01 10:00:00"), "click", 1.0, "{}"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "click", 1.0, "{}"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "view", 1.0, "{}"),
+      (4L, 1L, ts("2024-01-01 10:08:00"), "click", 1.0, "{}"),
+      // user 2: exactly 5 minutes apart — NOT > gap, same burst
+      (5L, 2L, ts("2024-01-01 10:00:00"), "view", 1.0, "{}"),
+      (6L, 2L, ts("2024-01-01 10:05:00"), "view", 1.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = graft.operators.Relational.debounce(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Set(1L, 4L, 5L))
+    assert(out(1L) == ((1L, 2L)))   // burst 1, two suppressed
+    assert(out(4L) == ((2L, 0L)))   // burst 2, alone
+    assert(out(5L) == ((1L, 1L)))   // 5-min twin suppressed
+  }
+
+  test("lmScore: matches a naive bigram conditional-probability " +
+      "recompute; bigram-free docs get null") {
+    val docs = Seq(
+      (1L, "a b a b"),     // bigrams: "a b"×2, "b a"×1
+      (2L, "a b c"),       // "a b", "b c"
+      (3L, "solo"),        // no bigrams → null score
+      (4L, "c a")          // "c a"
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    // corpus: c2("a b")=3, c2("b a")=1, c2("b c")=1, c2("c a")=1
+    // prefix counts: c1(a·)=3, c1(b·)=2, c1(c·)=1
+    def ppm(c2: Long, c1: Long) = (2000000L * c2 + c1) / (2 * c1)
+    val pAB = ppm(3, 3); val pBA = ppm(1, 2)
+    val pBC = ppm(1, 2); val pCA = ppm(1, 1)
+    def mean(ws: Seq[Long]) = {
+      val w = ws.sum; val n = ws.size.toLong; (2 * w + n) / (2 * n)
+    }
+    assert(out(3L) == ((0L, None)))
+    assert(out(1L) == ((3L, Some(mean(Seq(pAB, pAB, pBA))))))
+    assert(out(2L) == ((2L, Some(mean(Seq(pAB, pBC))))))
+    assert(out(4L) == ((1L, Some(pCA))))
+  }
+
   test("chunkDocuments: stride/overlap offsets are exact and the " +
       "chunks reconstruct the token stream") {
     val docs = Seq(
