@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-surface scale audit: no query may plan a corpus-sized
+  * single-partition window. Global (empty-partition) windows are
+  * legitimate ONLY over provably tiny inputs — each allowlisted entry
+  * documents why its input is bounded.
+  */
+class WindowAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("every query's physical plan: global windows only on " +
+      "bounded inputs") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val allow = Map(
+      // rank over ≤ topN survivors of TakeOrderedAndProject
+      "vocabulary" -> "post-top-N rank over ≤ topN rows",
+      // offsets over exactly 256 shard-count rows
+      "shuffle_order" -> "256-row shard offset rollup",
+      // profile family: the doc-total max() runs over the per-path
+      // AGGREGATE (≤ #schema paths rows), never the corpus
+      "profile_stats_events" -> "per-path aggregate, schema-sized",
+      "profile_stats_lineitem" -> "per-path aggregate, schema-sized",
+      "profile_stats_embeddings" -> "per-path aggregate, schema-sized",
+      "profile_fast_lineitem" -> "per-path aggregate, schema-sized",
+      "profile_full_events" -> "per-path aggregate, schema-sized",
+      "profile_approx_events" -> "per-path aggregate, schema-sized",
+      "json_profile_docs" -> "per-path aggregate, schema-sized",
+      "json_profile_props" -> "per-path aggregate, schema-sized",
+      "json_full_docs" -> "per-path aggregate, schema-sized",
+      // IVF: centroid numbering over the limit(nlist) sample (16 rows)
+      "ann_ivf_topk" -> "centroid rank over limit(nlist) rows",
+      "ann_ivf_probe1" -> "centroid rank over limit(nlist) rows"
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val globals =
+          try fn(spark, dir).queryExecution.sparkPlan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w
+          }
+          catch { case _: Throwable => Nil }
+        if (globals.nonEmpty) Some(name) else None
+      }
+    val unexpected = offenders.filterNot(allow.contains)
+    assert(unexpected.isEmpty,
+      s"corpus-sized single-partition windows in: $unexpected")
+  }
+}
