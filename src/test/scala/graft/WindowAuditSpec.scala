@@ -47,4 +47,32 @@ class WindowAuditSpec extends AnyFunSuite {
     assert(unexpected.isEmpty,
       s"corpus-sized single-partition windows in: $unexpected")
   }
+
+  test("every query's physical plan: unbounded joins (cartesian / " +
+      "nested-loop) only where one side is provably small") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val allow = Map(
+      // the documented O(n²) recall-1.0 baseline (scale path is LSH)
+      "embedding_near_dups_exact" -> "declared exact baseline",
+      // query batch × centroid/hyperplane tables: broadcast side is
+      // nlist/tables-sized by construction
+      "ann_cosine_topk" -> "corpus x broadcast query batch",
+      "ann_ivf_topk" -> "centroid table is nlist rows",
+      "ann_ivf_probe1" -> "centroid table is nlist rows",
+      "ann_lsh_topk" -> "query batch broadcast"
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val bad =
+          try fn(spark, dir).queryExecution.sparkPlan.collect {
+            case j: CartesianProductExec => j
+            case j: BroadcastNestedLoopJoinExec => j
+          }
+          catch { case _: Throwable => Nil }
+        if (bad.nonEmpty) Some(name) else None
+      }
+    val unexpected = offenders.filterNot(allow.contains)
+    assert(unexpected.isEmpty, s"unbounded joins in: $unexpected")
+  }
 }
