@@ -153,6 +153,27 @@ object Dedup {
       textCol, idCol, n)
   }
 
+  /** One row per (doc, distinct n-gram) — the shared projection both
+    * decontamination shapes scan each side with.
+    */
+  private def docGrams(d: DataFrame, textCol: String, idCol: String,
+                       n: Int): DataFrame =
+    d.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("g"))
+
+  /** The shared tail of both decontamination shapes: broadcast the
+    * test (g, test_id) table against the training grams and roll up
+    * per-doc hit counts.
+    */
+  private def contaminationAgg(trainG: DataFrame,
+                               testG: DataFrame): DataFrame =
+    trainG
+      .join(broadcast(testG), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+        countDistinct(col("test_id")).as("n_test_docs"))
+      .orderBy("doc_id")
+
   /** The production shape of [[decontaminate]]: benchmark/eval docs
     * live in their own (small) table, so the training corpus is
     * scanned exactly once and the test n-gram set broadcasts.
@@ -161,16 +182,9 @@ object Dedup {
                            textCol: String = "text",
                            idCol: String = "doc_id",
                            n: Int = 8): DataFrame = {
-    def grams(d: DataFrame) = d.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(col(textCol), n))).as("g"))
-    val testG = grams(test)
+    val testG = docGrams(test, textCol, idCol, n)
       .select(col("g"), col("doc_id").as("test_id")).distinct()
-    grams(train)
-      .join(broadcast(testG), "g")
-      .groupBy("doc_id")
-      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
-        countDistinct(col("test_id")).as("n_test_docs"))
-      .orderBy("doc_id")
+    contaminationAgg(docGrams(train, textCol, idCol, n), testG)
   }
 
   /** The 100 TB shape of [[decontaminateAgainst]]: instead of joining
@@ -197,9 +211,7 @@ object Dedup {
                                 idCol: String = "doc_id", n: Int = 8,
                                 bitsPerKey: Int = 16,
                                 numProbes: Int = 5): DataFrame = {
-    def grams(d: DataFrame) = d.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(col(textCol), n))).as("g"))
-    val testG = grams(test)
+    val testG = docGrams(test, textCol, idCol, n)
       .select(col("g"), col("doc_id").as("test_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ONE Spark job builds the filter: collect the raw (h1, h2) hash
@@ -239,13 +251,9 @@ object Dedup {
           .bitwiseAND(call_function("shiftleft", lit(1L),
             (i % 64).cast("int"))) =!= lit(0L)
       }.reduce(_ && _)
-    grams(train)
-      .filter(mightContain(col("g")))
-      .join(broadcast(testG), "g")
-      .groupBy("doc_id")
-      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
-        countDistinct(col("test_id")).as("n_test_docs"))
-      .orderBy("doc_id")
+    contaminationAgg(
+      docGrams(train, textCol, idCol, n).filter(mightContain(col("g"))),
+      testG)
   }
 
   /** Line-level exact dedup (the CCNet/RefinedWeb boilerplate-removal
