@@ -28,6 +28,8 @@ object Bench {
       new java.io.File(d).mkdirs()
       builder.config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", d)
+        // plain JSON: the analysis tooling on this box has no zstd
+        .config("spark.eventLog.compress", "false")
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
