@@ -419,6 +419,11 @@ object SparkEntry {
     // — relational surface (SURVEY §2.3/§2.5, free from Spark) —
     "q1_agg" -> Relational.q1 _,
     "q3_join_topk" -> Relational.q3 _,
+    "q4_exists_semi" -> Relational.q4 _,
+    "q7_bilateral_volume" -> Relational.q7 _,
+    "q18_large_orders" -> Relational.q18 _,
+    "q19_disjunctive" -> Relational.q19 _,
+    "q22_dormant_accounts" -> Relational.q22 _,
     "q5_join" -> Relational.q5 _,
     "q6_filter_agg" -> Relational.q6 _,
     "q10_returns_topk" -> Relational.q10 _,
@@ -2053,6 +2058,62 @@ object SparkEntry {
         AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""),
+    "q4_exists_semi" -> (s"""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    "q7_bilateral_volume" -> (s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             ${sumD(discPrice)} AS volume
+      FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        AND o_custkey = c_custkey
+        AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+    "q18_large_orders" -> (s"""
+      WITH big AS (SELECT l_orderkey,
+                     SUM(CAST(l_quantity AS $M)) AS sumq
+                   FROM lineitem GROUP BY 1
+                   HAVING SUM(CAST(l_quantity AS $M)) > 300)
+      SELECT c_name, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o_totalprice, CAST(sumq AS DOUBLE) AS sum_qty
+      FROM big, orders, customer
+      WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC"""),
+    "q19_disjunctive" -> (s"""
+      SELECT ${sumD(discPrice)} AS revenue
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 30)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 40))"""),
+    "q22_dormant_accounts" -> (s"""
+      SELECT c_mktsegment, COUNT(*) AS numcust,
+             ${sumD(s"CAST(c_acctbal AS $M)")} AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS $M))
+                                  AS DOUBLE) / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >=
+                            TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
     "q5_join" -> (s"""
       SELECT n_name, ${sumD(discPrice)} AS revenue
       FROM customer, orders, lineitem, supplier, nation, region

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -108,6 +108,121 @@ object Relational {
         col("l_quantity") < 24)
       .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(rate))
         .cast("double").as("revenue"))
+
+  private def discPrice: Column =
+    col("l_extendedprice").cast(dec) *
+      (lit(1).cast(rate) - col("l_discount").cast(rate))
+
+  /** TPC-H Q4-shaped priority check: correlated EXISTS over the fact
+    * table (cross-table predicate l_shipdate > o_orderdate) — plans as
+    * a LEFT SEMI join, so lineitem never duplicates orders rows and
+    * the probe side carries two columns only. (This schema has no
+    * commit/receipt dates; shipped-after-order stands in for q4's
+    * late-delivery predicate.)
+    */
+  def q4(s: SparkSession, dir: String): DataFrame = {
+    val o = ord(s, dir).filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = li(s, dir).select("l_orderkey", "l_shipdate")
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q7-shaped bilateral shipping volume: the two-role dimension
+    * pattern (nation joined TWICE under different roles) + a
+    * disjunctive cross-pair filter + year bucketing. All dimensions
+    * broadcast; the only real shuffle is the final (nation, nation,
+    * year) rollup.
+    */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    val l = li(s, dir).filter(
+      col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    l.join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+      .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(discPrice).cast("double").as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q18-shaped large-volume customers: IN over a grouped HAVING
+    * (orders whose lineitem quantity sum exceeds the threshold). The
+    * HAVING aggregate reduces lineitem to (orderkey, sum) BEFORE any
+    * join — the join input is order-count-sized, not lineitem-sized.
+    */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val big = li(s, dir).groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(dec)).as("_sumq"))
+      .filter(col("_sumq") > 300)
+    ord(s, dir).join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.load(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"),
+        col("_sumq").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+  }
+
+  /** TPC-H Q19-shaped disjunctive join filter: OR-of-ANDs across both
+    * join sides. Catalyst extracts the common `l_partkey = p_partkey`
+    * conjunct so the join stays a broadcast hash join (not a nested
+    * loop), with the disjunction evaluated as a post-join filter.
+    */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .join(broadcast(Tables.load(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 40)))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+
+  /** TPC-H Q22-shaped dormant high-balance accounts: a scalar
+    * subquery (global positive-balance average, computed exactly in
+    * decimal and divided ONCE in double) against an anti-join
+    * (customers with no order since the dormancy cutoff). The 1-row
+    * average broadcasts; the anti-join reduces orders to distinct
+    * recent custkeys before probing.
+    */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast(dec)).cast("double") /
+        count(lit(1))).as("_avg_bal"))
+    val recent = ord(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("_avg_bal"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
 
   /** Windowed running aggregate per customer (absent in reference —
     * SURVEY §2.5): row_number + running sum over an ordered partition.

@@ -60,7 +60,10 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_cosine_topk" -> "corpus x broadcast query batch",
       "ann_ivf_topk" -> "centroid table is nlist rows",
       "ann_ivf_probe1" -> "centroid table is nlist rows",
-      "ann_lsh_topk" -> "query batch broadcast"
+      "ann_lsh_topk" -> "query batch broadcast",
+      // scalar-subquery pattern: the broadcast side is ONE row (the
+      // global positive-balance average)
+      "q22_dormant_accounts" -> "1-row scalar average broadcast"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
