@@ -205,6 +205,11 @@ object Dedup {
     * implementation and nothing can drift. The driver-side collect is
     * bounded by the test side, which is benchmark-suite-sized by
     * contract (same assumption the exact operator's broadcast makes).
+    *
+    * NOTE: unlike the lazy operators, CALLING this method runs one
+    * small Spark job (the test-gram hash collect) — the filter bits
+    * must exist before the returned plan can be built. Index-building
+    * operators share this contract.
     */
   def decontaminateBloomAgainst(train: DataFrame, test: DataFrame,
                                 textCol: String = "text",

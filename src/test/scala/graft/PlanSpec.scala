@@ -275,6 +275,33 @@ class PlanSpec extends AnyFunSuite {
     assert(filters >= 1)
   }
 
+  test("q4: correlated EXISTS plans as a semi join (orders never " +
+      "duplicated by matching lineitems)") {
+    val p = planOf(Relational.q4(spark, dir))
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("q18: the HAVING aggregate reduces lineitem BELOW the join") {
+    val p = planOf(Relational.q18(spark, dir))
+    def ids(op: String): Seq[Int] =
+      s"\\((\\d+)\\) $op".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    // formatted mode numbers from the scan up: the quantity aggregate
+    // must carry a smaller id than any join it feeds
+    val aggIds = ids("HashAggregate")
+    val joinIds = ids("BroadcastHashJoin") ++ ids("SortMergeJoin") ++
+      ids("ShuffledHashJoin")
+    assert(aggIds.nonEmpty && joinIds.nonEmpty)
+    assert(aggIds.min < joinIds.max, s"agg not below join\n$p")
+  }
+
+  test("q19: OR-of-ANDs across join sides keeps the hash join (the " +
+      "common key conjunct is extracted, no nested loop)") {
+    val p = planOf(Relational.q19(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
   test("vocabulary: global top-N plans as TakeOrderedAndProject — " +
       "never a single-partition global window over the vocab table") {
     val docs = Tables.load(spark, dir, "documents")
