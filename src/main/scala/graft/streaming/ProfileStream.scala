@@ -232,6 +232,93 @@ object ProfileStream {
         GroupStateTimeout.EventTimeTimeout)(onGroup)
   }
 
+  /** One event for [[debounceStream]] — keeps the event id so the
+    * burst's FIRST event is identifiable at close.
+    */
+  final case class DebEvent(user_id: Long, event_id: Long,
+                            ts: java.sql.Timestamp)
+
+  /** Open-burst state: the first event's identity plus the running
+    * last-seen time and suppression count.
+    */
+  final case class BurstState(first_id: Long, first_us: Long,
+                              last_us: Long, burst_idx: Long, n: Long)
+
+  /** A closed burst: its first (surviving) event + suppression count. */
+  final case class BurstOut(event_id: Long, user_id: Long,
+                            ts_us: Long, burst_idx: Long,
+                            n_suppressed: Long)
+
+  /** Streaming twin of `Relational.debounce`: per user, events within
+    * `gap` of the previous event extend the current burst and are
+    * suppressed; the burst's FIRST event is emitted when the burst
+    * closes (a later event past the gap, or the event-time timeout
+    * when the watermark passes last + gap). State is O(users) — one
+    * open burst each; same close discipline as [[sessionizeStream]].
+    * The batch operator is the replay oracle (equivalence spec).
+    */
+  def debounceStream(stream: DataFrame, tsCol: String = "ts",
+                     userCol: String = "user_id",
+                     idCol: String = "event_id",
+                     gapMinutes: Int = 5,
+                     watermarkDur: String = "10 minutes")
+      : Dataset[BurstOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000L
+    val ev = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(idCol).cast("long").as("event_id"), col(tsCol).as("ts"))
+      .withWatermark("ts", watermarkDur)
+      .as[DebEvent]
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def close(uid: Long, s: BurstState): BurstOut =
+      BurstOut(s.first_id, uid, s.first_us, s.burst_idx, s.n - 1)
+
+    def onGroup(uid: Long, events: Iterator[DebEvent],
+                state: GroupState[BurstState]): Iterator[BurstOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(uid, _)).toList
+        state.remove()
+        return out.iterator
+      }
+      // sort this user's micro-batch slice by (ts, id) — the batch
+      // operator's tie-break
+      val evs = events.map(e => (micros(e.ts), e.event_id))
+        .toArray.sorted
+      var open = state.getOption
+      val closed = mutable.ArrayBuffer.empty[BurstOut]
+      evs.foreach { case (t, id) =>
+        open = open match {
+          case Some(s) if t - s.last_us <= gapUs =>
+            Some(s.copy(last_us = math.max(s.last_us, t), n = s.n + 1))
+          case Some(s) =>
+            closed += close(uid, s)
+            Some(BurstState(id, t, t, s.burst_idx + 1, 1))
+          case None => Some(BurstState(id, t, t, 1L, 1))
+        }
+      }
+      open.foreach { s =>
+        val timeoutMs = (s.last_us + gapUs) / 1000L + 1L
+        if (timeoutMs <= state.getCurrentWatermarkMs()) {
+          closed += close(uid, s)
+          if (state.exists) state.remove()
+        } else {
+          state.update(s)
+          state.setTimeoutTimestamp(timeoutMs)
+        }
+      }
+      closed.iterator
+    }
+
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(onGroup)
+  }
+
   /** The flatten projection of the `_doc` struct column (reuses the
     * Profiler's schema walk through a one-field wrapper).
     */

@@ -69,6 +69,50 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("debounceStream on a replayed finite stream emits the same " +
+      "survivors as batch debounce") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 1.0),
+      (1L, "2024-01-01 10:01:00", 2L, 1.0),   // burst 1 (suppressed)
+      (1L, "2024-01-01 10:04:30", 3L, 1.0),   // chain extends burst 1
+      (1L, "2024-01-01 10:20:00", 4L, 1.0),   // burst 2
+      (2L, "2024-01-01 09:00:00", 5L, 1.0),
+      (2L, "2024-01-01 09:05:00", 6L, 1.0),   // exactly 5 min: same
+      (3L, "2024-01-01 08:00:00", 7L, 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_deb_eq")
+    val in = dir.toString + "/in"
+    def toDf(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("user_id", "ts", "event_id", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    toDf(events).write.mode("overwrite").parquet(in)
+    val batchIn = toDf(events)
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("e"))
+    val batch = Relational.debounce(batchIn, gapMinutes = 5)
+      .select("event_id", "user_id", "burst_idx", "n_suppressed")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = graft.streaming.ProfileStream.debounceStream(stream,
+      gapMinutes = 5, watermarkDur = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("deb_eq").start()
+    try {
+      q.processAllAvailable()
+      toDf(Seq((99L, "2024-01-02 12:00:00", 999L, 0.0)))
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "select event_id, user_id, burst_idx, n_suppressed from deb_eq")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .filter(_._2 != 99L).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("minhashSigExpr: row-local signature equals the batch " +
       "explode-groupBy signature on real documents") {
     import graft.operators.Dedup
