@@ -297,6 +297,12 @@ object SparkEntry {
     // centroid, ppm output
     "embedding_outliers" -> ((s, d) =>
       Similarity.embeddingOutliers(Tables.load(s, d, "embeddings"))),
+    // deterministic Lloyd k-means (SemDeDup cluster step): md5 seeds,
+    // exact integer-micro distances, centroids broadcast as literals —
+    // zero joins over the corpus
+    "kmeans_clusters" -> ((s, d) =>
+      Similarity.kmeans(Tables.load(s, d, "embeddings"), k = 8,
+        iters = 2)),
     // C4-style per-domain cap: top-10 docs per source by integer-
     // scaled quality
     "cap_per_source" -> ((s, d) =>
@@ -1274,6 +1280,47 @@ object SparkEntry {
              (CAST(floor(dot / (sqrt(aa) * sqrt(cc)) * 1e6 + 0.5)
                AS BIGINT) < 500000) AS is_outlier
       FROM d ORDER BY vec_id"""),
+    // Lloyd k-means replay: same md5 seeds, same exact integer-micro
+    // squared distances, same half-up centroid means — two assignment
+    // rounds with one update between them, unrolled as CTEs
+    "kmeans_clusters" -> (s"""
+      WITH u AS (SELECT vec_id,
+             list_transform(embedding, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u
+           FROM embeddings),
+      seed AS (SELECT u,
+               row_number() OVER (ORDER BY h, vid) - 1 AS cid
+               FROM (SELECT u, vec_id AS vid,
+                       md5('kmeans:' || CAST(vec_id AS VARCHAR)) AS h
+                     FROM u ORDER BY h, vid LIMIT 8)),
+      c0 AS (SELECT cid, u AS c FROM seed),
+      d1 AS (SELECT a.vec_id, b.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (a.u[i] - b.c[i]) * (a.u[i] - b.c[i])))
+                 AS BIGINT) AS d
+             FROM u a CROSS JOIN c0 b),
+      a1 AS (SELECT vec_id, cid, d FROM d1
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY d, cid) = 1),
+      e1 AS (SELECT a1.cid, u.u, unnest(range(1, 65)) AS pos
+             FROM a1 JOIN u USING (vec_id)),
+      s1 AS (SELECT cid, pos, COUNT(*) AS n, SUM(u[pos]) AS s
+             FROM e1 GROUP BY 1, 2),
+      c1 AS (SELECT cid,
+               list(CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT)
+                 ORDER BY pos) AS c
+             FROM s1 GROUP BY 1),
+      d2 AS (SELECT a.vec_id, b.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (a.u[i] - b.c[i]) * (a.u[i] - b.c[i])))
+                 AS BIGINT) AS d
+             FROM u a CROSS JOIN c1 b),
+      a2 AS (SELECT vec_id, cid, d FROM d2
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY d, cid) = 1)
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist
+      FROM a2 ORDER BY vec_id"""),
     // the full round-6 funnel: every stage mirrored honestly (line
     // dedup, both gates, keep-first dedup, decontamination — the Bloom
     // engine path is result-identical to exact — and the budget fill)

@@ -277,6 +277,94 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("centroid"))
 
+  /** Deterministic Lloyd k-means over an embedding column — the
+    * cluster step of SemDeDup-style semantic curation (cluster first,
+    * then prune within clusters) and of IVF index building.
+    *
+    * Engine-reproducible by construction:
+    *   - vectors map to exact integer micro-units (see
+    *     [[labelCentroids]]);
+    *   - seeds are the `k` vectors of smallest
+    *     `md5("kmeans:" ++ id)` (ties by id), numbered 0..k-1 in that
+    *     order — no RNG, no seed-dependent JVM hashing;
+    *   - distances are exact 64-bit squared euclidean over micro ints
+    *     (|v| ≤ ~2 ⇒ per-dim diff² ≤ ~1.6·10¹³·dim, far under 2⁶³),
+    *     argmin ties broken by smallest cluster id;
+    *   - centroid updates are exact integer sums with half-up
+    *     division — identical on any partitioning or engine.
+    *
+    * Scale shape: the centroids (k·dim longs) live on the driver and
+    * enter the plan as literals, so ASSIGNMENT IS ROW-LOCAL — zero
+    * joins, zero shuffles over the corpus; each update round is one
+    * map-side-combined partial-sum shuffle of (cluster, pos) lanes
+    * (k·dim rows per map partition). That is the canonical
+    * 1000-executor Lloyd's: broadcast state out, aggregate state back,
+    * never shuffle the vectors. `iters` assignment rounds run with
+    * `iters - 1` centroid updates between them; clusters that lose all
+    * members simply drop out of later rounds.
+    *
+    * Output: (vec_id, cluster, dist) — dist is the exact integer
+    * squared micro-distance to the final centroid.
+    */
+  def kmeans(df: DataFrame, k: Int = 8, iters: Int = 2,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val micro = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol),
+        v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType)).as("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)   // scanned iters(+1) times
+    // deterministic seed pick: k·dim longs to the driver — bounded
+    // algorithm state, not a data collect
+    val seeds: Array[(Int, Array[Long])] = micro
+      .orderBy(md5(concat(lit("kmeans:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }
+
+    def sqDist(c: Array[Long]): Column =
+      aggregate(
+        zip_with(col("u"), typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _)
+
+    // assignment keeps `u` so the update round needs no join back
+    def assign(centroids: Array[(Int, Array[Long])]): DataFrame = {
+      val best = array_min(array(centroids.map { case (cid, c) =>
+        struct(sqDist(c).as("d"), lit(cid).as("cid"))
+      }: _*))
+      micro.select(col("vec_id"), col("u"),
+        best.getField("cid").as("cluster"),
+        best.getField("d").as("dist"))
+    }
+
+    var centroids = seeds
+    var assigned = assign(centroids)
+    for (_ <- 1 until iters) {
+      // exact integer-micro mean per surviving cluster (labelCentroids
+      // arithmetic); k·dim rows back to the driver per round
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("u")))
+        .groupBy("cluster", "pos")
+        .agg(count(lit(1)).as("n"), sum("col").as("s"))
+        .select(col("cluster"), col("pos"),
+          floor((lit(2L) * col("s") + col("n")).cast("double") /
+            (lit(2L) * col("n")).cast("double")).cast(LongType).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .toArray
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)))
+        }
+        .sortBy(_._1)
+      assigned = assign(centroids)
+    }
+    assigned.select(col("vec_id"),
+      col("cluster").cast(LongType).as("cluster"), col("dist"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding outlier detection (the mislabel/contamination scan for
     * labeled or clustered embedding spaces): cosine of every vector
     * to its OWN label's centroid; vectors below `thresholdPpm` are

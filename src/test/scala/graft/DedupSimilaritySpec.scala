@@ -166,4 +166,64 @@ class DedupSimilaritySpec extends AnyFunSuite {
       one.union(one.withColumn("vec_id", lit(999L))), threshold = 0.99)
     assert(s.head.getDouble(2) == 1.0)
   }
+
+  /** Naive driver-side replay of the kmeans contract: same md5 seeds,
+    * same exact integer squared distances, same half-up centroid
+    * means — the operator must match it bit-for-bit.
+    */
+  private def naiveKmeans(data: Seq[(Long, Seq[Float])], k: Int,
+                          iters: Int): Map[Long, (Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val micro = data.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+    }.toMap
+    var cents: Seq[(Int, Array[Long])] = data
+      .map { case (id, _) => (md5hex(s"kmeans:$id"), id) }
+      .sortBy(identity).take(k).zipWithIndex
+      .map { case ((_, id), i) => (i, micro(id)) }
+    def sq(u: Array[Long], c: Array[Long]): Long =
+      u.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(): Map[Long, (Long, Long)] = micro.map { case (id, u) =>
+      val (d, cid) = cents.map { case (cid, c) => (sq(u, c), cid) }.min
+      id -> (cid.toLong, d)
+    }
+    var a = assign()
+    for (_ <- 1 until iters) {
+      cents = a.toSeq.groupBy(_._2._1).toSeq.map { case (cid, members) =>
+        val us = members.map(m => micro(m._1))
+        val n = us.length
+        val c = us.head.indices.map { p =>
+          val s = us.map(_(p)).sum
+          math.floor((2L * s + n).toDouble / (2L * n).toDouble).toLong
+        }.toArray
+        (cid.toInt, c)
+      }.sortBy(_._1)
+      a = assign()
+    }
+    a
+  }
+
+  test("kmeans matches the naive integer-micro replay bit-for-bit") {
+    val data = vecs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val expected = naiveKmeans(data, k = 8, iters = 2)
+    val got = Similarity.kmeans(vecs, k = 8, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.size == data.size)
+  }
+
+  test("kmeans is partitioning-invariant and handles k > n") {
+    val base = Similarity.kmeans(vecs, k = 4, iters = 3).collect().toSeq
+    val reparted = Similarity.kmeans(vecs.repartition(7), k = 4,
+      iters = 3).collect().toSeq
+    assert(base == reparted)
+    // k larger than the corpus: every vector seeds its own cluster,
+    // dist 0, and nothing falls over
+    val tiny = vecs.limit(3)
+    val t = Similarity.kmeans(tiny, k = 8, iters = 2).collect()
+    assert(t.length == 3 && t.forall(_.getLong(2) == 0L))
+  }
 }
