@@ -223,6 +223,10 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardNearDups(Tables.load(s, d, "documents"),
         threshold = 0.1)),
+    // exact-substring duplication scan: 8-token windows repeated
+    // across distinct documents (span-level, below doc-level dedup)
+    "repeated_spans" -> ((s, d) =>
+      Dedup.repeatedSpans(Tables.load(s, d, "documents"))),
     "decontaminate" -> ((s, d) =>
       Dedup.decontaminate(Tables.load(s, d, "documents"))),
     // the Bloom-prefiltered scale path of the same operator: identical
@@ -1697,6 +1701,25 @@ object SparkEntry {
       FROM j
       WHERE round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared), 6) >= 0.1
       ORDER BY id1, id2"""),
+    // exact-substring scan: every 8-token window, two-level rollup
+    // (within-doc first), ≥2 distinct docs
+    "repeated_spans" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      w AS (SELECT doc_id, unnest(range(1, len(toks) - 6)) AS i, toks
+            FROM t WHERE len(toks) >= 8),
+      s AS (SELECT doc_id, i - 1 AS pos,
+              array_to_string(list_slice(toks, i, i + 7), ' ') AS span
+            FROM w),
+      pd AS (SELECT doc_id, md5(span) AS span_hash, MIN(span) AS span,
+               COUNT(*) AS n_occ, MIN(pos) AS first_pos
+             FROM s GROUP BY 1, 2)
+      SELECT span_hash, MIN(span) AS span, COUNT(*) AS n_docs,
+             CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
+             MIN(doc_id) AS first_doc,
+             CAST(arg_min(first_pos, doc_id) AS BIGINT) AS first_pos
+      FROM pd GROUP BY span_hash
+      HAVING COUNT(*) >= 2
+      ORDER BY span_hash"""),
     "multimodal_meta" -> ("""
       WITH p AS (
         SELECT doc_id,

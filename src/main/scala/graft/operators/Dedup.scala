@@ -679,4 +679,44 @@ object Dedup {
       .select(col("id1"), col("id2"), col("shared"), col("jaccard"))
       .orderBy("id1", "id2")
   }
+
+  /** Cross-document repeated token spans — the exact-substring view of
+    * duplication (the unit Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", deduplicates on): every
+    * n-token window of every document, rolled up by content; windows
+    * appearing in at least `minDocs` DISTINCT documents are reported
+    * with doc/occurrence counts and the lexicographically-first
+    * (doc, pos) exemplar. Doc-level dedup (exact or near) cannot see
+    * these — a quote, license header, or template paragraph repeated
+    * inside otherwise-unique documents only shows up at span level.
+    *
+    * Scale shape: the window explode emits ~one row per corpus token —
+    * the cost class the shingle machinery (minhash/Jaccard) already
+    * rides. The rollup is TWO-LEVEL: first (doc, span) — partial-
+    * aggregated, collapses within-doc repeats — then (span), where
+    * per-group state is O(1) counts + a min struct, so a boilerplate
+    * span occurring in millions of documents cannot blow aggregation
+    * memory (a single-level countDistinct(doc_id) would). Spans travel
+    * as 32-hex md5 keys; the text rides as min(span) — identical for
+    * every member of a hash group short of an md5 collision.
+    */
+  def repeatedSpans(df: DataFrame, n: Int = 8, minDocs: Int = 2,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingles(col(textCol), n)).as(Seq("pos", "span")))
+      .groupBy(col("doc_id"), md5(col("span")).as("span_hash"))
+      .agg(min("span").as("span"), count(lit(1)).as("n_occ"),
+        min("pos").as("first_pos"))
+    perDoc.groupBy("span_hash")
+      .agg(min("span").as("span"), count(lit(1)).as("n_docs"),
+        sum("n_occ").as("n_occurrences"),
+        min(struct(col("doc_id"), col("first_pos"))).as("x"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span_hash"), col("span"), col("n_docs"),
+        col("n_occurrences"), col("x.doc_id").as("first_doc"),
+        col("x.first_pos").cast(LongType).as("first_pos"))
+      .orderBy("span_hash")
+  }
 }

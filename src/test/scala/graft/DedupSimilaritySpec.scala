@@ -167,6 +167,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(s.head.getDouble(2) == 1.0)
   }
 
+  test("repeatedSpans: cross-doc trigram spans, hand-computed") {
+    // docs 0,2,4 tokenize identically; doc1 differs only in the last
+    // token; doc3 shares nothing. 6 leading trigrams appear in 4 docs,
+    // "the lazy dog" in 3; "the lazy cat" is single-doc -> excluded.
+    val spans = Dedup.repeatedSpans(df, n = 3).collect()
+    assert(spans.length == 7)
+    val byText = spans.map(r => r.getString(1) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(byText("the quick brown") == (4L, 4L, 0L, 0L))
+    assert(byText("over the lazy") == (4L, 4L, 0L, 5L))
+    assert(byText("the lazy dog") == (3L, 3L, 0L, 6L))
+    assert(!byText.contains("the lazy cat"))
+  }
+
+  test("repeatedSpans: within-doc repeats counted in n_occurrences") {
+    val d2 = Seq((5L, "a b c a b c"), (6L, "a b c x")).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(d2, n = 3).collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // "a b c" occurs at doc5 pos 0 and 3, doc6 pos 0
+    assert(out == Map("a b c" -> (2L, 3L, 5L, 0L)))
+  }
+
   /** Naive driver-side replay of the kmeans contract: same md5 seeds,
     * same exact integer squared distances, same half-up centroid
     * means — the operator must match it bit-for-bit.
