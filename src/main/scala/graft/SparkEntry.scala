@@ -276,6 +276,15 @@ object SparkEntry {
     // storms, double-clicks); burst = sessionize's gap rule
     "debounce_events" -> ((s, d) =>
       Relational.debounce(Tables.load(s, d, "events"))),
+    // ordered-step funnel with exact integer lag sums; every shuffle
+    // keyed by user_id
+    "funnel_steps" -> ((s, d) =>
+      Relational.funnel(Tables.load(s, d, "events"),
+        Seq("view", "click", "purchase"))),
+    // first-event-week cohorts × whole-week offsets (integer day
+    // arithmetic — no engine week semantics in the offset)
+    "cohort_retention" -> ((s, d) =>
+      Relational.cohortRetention(Tables.load(s, d, "events"))),
     // bigram-LM quality proxy: tf-weighted integer mean of corpus
     // conditional bigram probability (ppm)
     "text_lm_score" -> ((s, d) =>
@@ -1153,6 +1162,40 @@ object SparkEntry {
              ((2 * w + n_tokens) // (2 * n_tokens) - 1000000) >= 0
                AS keep
       FROM s ORDER BY doc_id"""),
+    "funnel_steps" -> (s"""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      u0 AS (SELECT user_id, MIN(ts) AS t FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      u1 AS (SELECT e.user_id, MIN(e.ts) AS t, MIN(u0.t) AS tp
+             FROM e JOIN u0 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > u0.t GROUP BY 1),
+      u2 AS (SELECT e.user_id, MIN(e.ts) AS t, MIN(u1.t) AS tp
+             FROM e JOIN u1 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > u1.t GROUP BY 1)
+      SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+             COUNT(*) AS n_users, CAST(NULL AS BIGINT) AS sum_lag_us
+      FROM u0
+      UNION ALL
+      SELECT 1, 'click', COUNT(*),
+             CAST(SUM(epoch_us(t) - epoch_us(tp)) AS BIGINT) FROM u1
+      UNION ALL
+      SELECT 2, 'purchase', COUNT(*),
+             CAST(SUM(epoch_us(t) - epoch_us(tp)) AS BIGINT) FROM u2
+      ORDER BY step_idx"""),
+    "cohort_retention" -> (s"""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      c AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM e GROUP BY 1),
+      j AS (SELECT e.user_id, CAST(e.ts AS DATE) AS d, c.cohort_day,
+              date_trunc('week', c.cohort_day) AS cohort_week
+            FROM e JOIN c USING (user_id))
+      SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+             CAST(floor(date_diff('day', cohort_day, d) / 7.0)
+               AS BIGINT) AS week_offset,
+             COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      FROM j GROUP BY 1, 2 ORDER BY 1, 2"""),
     "debounce_events" -> (s"""
       WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
                          event_type FROM events),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.sources.Tables
 
@@ -513,5 +513,85 @@ object Relational {
         date_format(col("ts"), fmt).as("ts"), col("p_event_id"),
         date_format(col("p_ts"), fmt).as("p_ts"), col("p_value"))
       .orderBy("event_id")
+  }
+
+  /** Ordered-step funnel: for each prefix of `steps`, how many users
+    * completed it IN ORDER (each step strictly after the previous
+    * one's first completion — the standard product-analytics funnel),
+    * plus the exact summed lag from the previous step in microseconds
+    * (integer arithmetic — no float drift across engines).
+    *
+    * Scale shape: step k is a conditional min-aggregate on user_id
+    * joined to step k-1's user table — every shuffle is keyed by
+    * user_id, so AQE/co-partitioning chains them without re-shuffling
+    * wide data; per-user state is one timestamp. The per-step user
+    * tables are persisted so the k summary branches don't recompute
+    * the chain k times. No windows, no per-user event lists.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(min(col(tsCol)).as("t"))
+      .withColumn("lag_us", lit(null).cast(LongType))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val summaries = scala.collection.mutable.Buffer(
+      cur.agg(count(lit(1)).as("n_users"),
+        sum(col("lag_us")).as("sum_lag_us"))
+        .select(lit(0L).as("step_idx"), lit(steps.head).as("step"),
+          col("n_users"), col("sum_lag_us")))
+    steps.zipWithIndex.drop(1).foreach { case (step, k) =>
+      val prev = cur.select(col("user_id"), col("t").as("t_prev"))
+      cur = events.filter(col(typeCol) === step)
+        .select(col(userCol).as("user_id"), col(tsCol).as("ts"))
+        .join(prev, "user_id")
+        .filter(col("ts") > col("t_prev"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("t"), min(col("t_prev")).as("t_prev"))
+        .withColumn("lag_us",
+          unix_micros(col("t")) - unix_micros(col("t_prev")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      summaries += cur.agg(count(lit(1)).as("n_users"),
+        sum(col("lag_us")).as("sum_lag_us"))
+        .select(lit(k.toLong).as("step_idx"), lit(step).as("step"),
+          col("n_users"), col("sum_lag_us"))
+    }
+    summaries.reduce(_.union(_)).orderBy("step_idx")
+  }
+
+  /** Cohort retention: users bucketed by the week of their first
+    * event; for each whole-week offset since that cohort week, how
+    * many of the cohort's users were active and how many events they
+    * produced. Week offsets are exact integer day arithmetic
+    * (floor(days/7)) — no engine-specific week-boundary semantics in
+    * the offset; the cohort label uses Monday-start `date_trunc`
+    * (identical in Spark and DuckDB).
+    *
+    * Scale shape: one min-aggregate on user_id, one user-keyed join
+    * back to events (both shuffles on the same key), then a distinct +
+    * count rollup per (cohort, offset) — the classic two-pass
+    * retention plan; nothing is collected, no windows over all events.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val cohorts = events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+      .withColumn("cohort_week", date_trunc("week", col("cohort_day")))
+    events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("d"))
+      .join(cohorts, "user_id")
+      .withColumn("week_offset",
+        floor(datediff(col("d"), col("cohort_day")) / 7).cast(LongType))
+      .groupBy(date_format(col("cohort_week"), "yyyy-MM-dd")
+          .as("cohort_week"),
+        col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("cohort_week", "week_offset")
   }
 }

@@ -251,6 +251,62 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 1L)))   // 5-min twin suppressed
   }
 
+  test("funnel: in-order completion only, strict ordering, exact " +
+      "integer lag sums") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1 completes view -> click -> purchase in order
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 1.0, "{}"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "click", 1.0, "{}"),
+      (3L, 1L, ts("2024-01-01 10:03:00"), "purchase", 1.0, "{}"),
+      // user 2: click BEFORE the first view doesn't count; no click
+      // after the view, so the funnel stops at step 0
+      (4L, 2L, ts("2024-01-01 09:00:00"), "click", 1.0, "{}"),
+      (5L, 2L, ts("2024-01-01 09:30:00"), "view", 1.0, "{}"),
+      // user 3: view then click, never purchases
+      (6L, 3L, ts("2024-01-01 08:00:00"), "view", 1.0, "{}"),
+      (7L, 3L, ts("2024-01-01 08:05:00"), "click", 1.0, "{}"),
+      // user 4: purchases without ever viewing — not in the funnel
+      (8L, 4L, ts("2024-01-01 07:00:00"), "purchase", 1.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = graft.operators.Relational
+      .funnel(events, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out("view") == ((3L, None)))
+    // users 1 (60 s) and 3 (300 s) clicked after viewing
+    assert(out("click") == ((2L, Some(360000000L))))
+    // only user 1 purchased after clicking (120 s)
+    assert(out("purchase") == ((1L, Some(120000000L))))
+  }
+
+  test("cohortRetention: week offsets are exact day arithmetic from " +
+      "each user's first event") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    val events = Seq(
+      // user 1: first event Tue 2024-01-02 (cohort week Mon 01-01),
+      // active again 8 days later (offset 1) twice
+      (1L, 1L, ts("2024-01-02"), "view", 1.0, "{}"),
+      (2L, 1L, ts("2024-01-10"), "view", 1.0, "{}"),
+      (3L, 1L, ts("2024-01-10"), "click", 1.0, "{}"),
+      // user 2: first event Thu 2024-01-11 (cohort week Mon 01-08),
+      // active 6 days later — still offset 0 (day arithmetic, not
+      // calendar-week crossing: 01-17 IS in the next calendar week)
+      (4L, 2L, ts("2024-01-11"), "view", 1.0, "{}"),
+      (5L, 2L, ts("2024-01-17"), "view", 1.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = graft.operators.Relational.cohortRetention(events)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> ((1L, 1L)),
+      ("2024-01-01", 1L) -> ((1L, 2L)),
+      ("2024-01-08", 0L) -> ((1L, 2L))))
+  }
+
   test("lmScore: matches a naive bigram conditional-probability " +
       "recompute; bigram-free docs get null") {
     val docs = Seq(
