@@ -59,6 +59,38 @@ object SparkEntry {
           col("num_min"), col("num_max"), col("ts_min"), col("ts_max"))
         .orderBy("path")
     }),
+    // incremental cardinality: per-(type, day) HLL sketch staging
+    // table, rolled up to type and global levels by MERGING sketches
+    // (no raw-data rescan); estimates bounded against exact twins,
+    // mergeable exact row counts hash-checked
+    "hll_rollup_events" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("user_id"))
+      val sk = operators.Sketches
+        .sketchTable(ev, Seq("event_type", "day"), "user_id")
+        .persist()
+      def level(label: String, groups: Seq[String]): DataFrame = {
+        val est = operators.Sketches.rollup(sk, groups)
+        val ex = ev.groupBy(groups.map(col): _*)
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        val j = if (groups.isEmpty) est.crossJoin(ex)
+                else est.join(ex, groups)
+        j.select(lit(label).as("level"),
+          (if (groups.contains("event_type")) col("event_type")
+           else lit("(all)")).as("event_type"),
+          (if (groups.contains("day")) col("day")
+           else lit("(all)")).as("day"),
+          col("n_rows"), col("n_exact"),
+          (abs(col("distinct_est") - col("n_exact")).cast("double") <=
+            col("n_exact").cast("double") * 0.05).as("within_5pct"))
+      }
+      level("day", Seq("event_type", "day"))
+        .union(level("type", Seq("event_type")))
+        .union(level("global", Seq.empty))
+        .orderBy("level", "event_type", "day")
+    }),
     "profile_stats_embeddings" -> ((s, d) =>
       Profiler.profileStats(Tables.load(s, d, "embeddings"))),
     "profile_quantiles_lineitem" -> ((s, d) =>
@@ -2388,6 +2420,23 @@ object SparkEntry {
         "event_id" -> "num", "ts" -> "ts", "user_id" -> "num",
         "event_type" -> "str", "value" -> "num", "props" -> "str"))})
       ORDER BY path"""),
+    "hll_rollup_events" -> ("""
+      WITH e AS (SELECT event_type,
+              strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+              user_id
+            FROM events),
+      d AS (SELECT 'day' AS level, event_type, day,
+              COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_exact
+            FROM e GROUP BY 2, 3),
+      t AS (SELECT 'type', event_type, '(all)', COUNT(*),
+              COUNT(DISTINCT user_id) FROM e GROUP BY 2),
+      g AS (SELECT 'global', '(all)', '(all)', COUNT(*),
+              COUNT(DISTINCT user_id) FROM e)
+      SELECT level, event_type, day, n_rows, n_exact,
+             TRUE AS within_5pct
+      FROM (SELECT * FROM d UNION ALL SELECT * FROM t
+            UNION ALL SELECT * FROM g)
+      ORDER BY level, event_type, day"""),
     "semi_anti_join" -> ("""
       SELECT c_custkey, c_name, c_mktsegment FROM customer
       WHERE c_custkey IN (SELECT o_custkey FROM orders

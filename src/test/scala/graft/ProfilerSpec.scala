@@ -192,4 +192,24 @@ class ProfilerSpec extends AnyFunSuite {
         assert(r.getDouble(4) <= r.getDouble(5))
     }
   }
+
+  test("sketches: union-of-slice-sketches answers like a sketch of " +
+      "the union, and is exact at gate cardinalities") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // 600 rows, 200 distinct keys spread over 3 slices with overlap
+    val rows = (0 until 600).map(i => (s"slice${i % 3}", s"k${i % 200}"))
+      .toDF("slice", "key")
+    val sk = Sketches.sketchTable(rows, Seq("slice"), "key")
+    assert(sk.count() == 3)
+    val merged = Sketches.rollup(sk, Seq.empty).head
+    // sparse-mode HLL is exact at this cardinality: the merged
+    // estimate equals the true distinct count, and row counts merge
+    // exactly (they're sums)
+    assert(merged.getLong(0) == 200L)
+    assert(merged.getLong(1) == 600L)
+    // per-slice rollup = estimating the original sketches
+    val perSlice = Sketches.rollup(sk, Seq("slice")).collect()
+    assert(perSlice.map(_.getLong(1)).sameElements(Array(200L, 200L, 200L)))
+  }
 }
