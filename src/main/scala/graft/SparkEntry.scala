@@ -308,6 +308,22 @@ object SparkEntry {
     // storms, double-clicks); burst = sessionize's gap rule
     "debounce_events" -> ((s, d) =>
       Relational.debounce(Tables.load(s, d, "events"))),
+    // CDC compaction: latest event per (user, type) via one partial-
+    // aggregable struct-max — no window, one candidate row per key
+    // per map partition
+    "upsert_latest" -> ((s, d) => {
+      val up = Relational.upsertLatest(Tables.load(s, d, "events"),
+        Seq("user_id", "event_type"))
+      up.select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_id"), col("value"), col("props"))
+        .orderBy("user_id", "event_type")
+    }),
+    // skew diagnostic: heaviest join keys with corpus share and the
+    // salt factor saltedJoin would need
+    "skew_report" -> ((s, d) =>
+      Relational.skewReport(Tables.load(s, d, "events"),
+        Seq("user_id"))),
     // ordered-step funnel with exact integer lag sums; every shuffle
     // keyed by user_id
     "funnel_steps" -> ((s, d) =>
@@ -1194,6 +1210,27 @@ object SparkEntry {
              ((2 * w + n_tokens) // (2 * n_tokens) - 1000000) >= 0
                AS keep
       FROM s ORDER BY doc_id"""),
+    "upsert_latest" -> (s"""
+      WITH e AS (SELECT user_id, event_type,
+              CAST(ts AS TIMESTAMP) AS ts, event_id, value, props,
+              row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+                AS rn
+            FROM events)
+      SELECT user_id, event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             event_id, value, props
+      FROM e WHERE rn = 1 ORDER BY user_id, event_type"""),
+    "skew_report" -> (s"""
+      WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+                 FROM events GROUP BY 1),
+      t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c)
+      SELECT key, n,
+             CAST(floor((n * 2000000 + total) / (2.0 * total))
+               AS BIGINT) AS share_ppm,
+             CAST(ceil(n * n_keys / CAST(total AS DOUBLE))
+               AS BIGINT) AS salt_factor
+      FROM c, t ORDER BY n DESC, key ASC LIMIT 10"""),
     "funnel_steps" -> (s"""
       WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
                  FROM events),

@@ -515,6 +515,59 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** CDC compaction / SCD-1 upsert: the latest row per key, "latest"
+    * = greatest (tsCol, tieCol) — the merge a change-data stream needs
+    * before it can be served as current state.
+    *
+    * Scale shape: ONE hash aggregate — `max(struct(ts, tie, payload))`
+    * unpacked — not a window. The struct max is partially aggregable
+    * (map-side combine keeps one candidate row per key per partition),
+    * so a key with millions of updates costs O(1) memory and the
+    * shuffle carries one row per key per map partition; a
+    * `row_number() over (partition by key)` plan would shuffle every
+    * version of every key to one reducer and sort it.
+    */
+  def upsertLatest(changes: DataFrame, keyCols: Seq[String],
+                   tsCol: String = "ts",
+                   tieCol: String = "event_id"): DataFrame = {
+    val payload = changes.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == tsCol || c == tieCol)
+    val packed = struct(
+      (Seq(tsCol, tieCol) ++ payload).map(col): _*)
+    changes.groupBy(keyCols.map(col): _*)
+      .agg(max(packed).as("_latest"))
+      .select(keyCols.map(col) ++
+        (Seq(tsCol, tieCol) ++ payload)
+          .map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  /** Join/aggregation skew diagnostic: per-key row counts for the
+    * heaviest `topN` keys, each with its corpus share (ppm, half-up)
+    * and the salt factor that would level it to the mean key load —
+    * the number `saltedJoin` wants. One partial-aggregated groupBy
+    * plus a two-value broadcast; the top-N is TakeOrderedAndProject,
+    * never a global sort.
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+                 topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+          .as("key"),
+        col("n"),
+        // half-up ppm; exact below 2^53 / 2e6 rows — fleet-scale safe
+        floor((col("n") * lit(2000000L) + col("total")).cast("double") /
+          (col("total") * lit(2L)).cast("double")).cast(LongType)
+          .as("share_ppm"),
+        ceil(col("n").cast("double") * col("n_keys").cast("double") /
+          col("total").cast("double")).cast(LongType).as("salt_factor"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topN)
+  }
+
   /** Ordered-step funnel: for each prefix of `steps`, how many users
     * completed it IN ORDER (each step strictly after the previous
     * one's first completion — the standard product-analytics funnel),

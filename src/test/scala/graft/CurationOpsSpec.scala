@@ -251,6 +251,46 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 1L)))   // 5-min twin suppressed
   }
 
+  test("upsertLatest: latest per key by (ts, tie), aggregate plan — " +
+      "no window, no sort of versions") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val changes = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "a", 1.0, "v1"),
+      (2L, 10L, ts("2024-01-01 11:00:00"), "a", 2.0, "v2"),   // latest
+      (3L, 10L, ts("2024-01-01 11:00:00"), "b", 3.0, "x"),    // other key
+      // same ts as event 5: higher event_id wins the tie
+      (4L, 20L, ts("2024-01-01 09:00:00"), "a", 4.0, "old"),
+      (5L, 20L, ts("2024-01-01 09:00:00"), "a", 5.0, "tie")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val up = graft.operators.Relational.upsertLatest(changes,
+      Seq("user_id", "event_type"))
+    val got = up.collect().map(r =>
+      (r.getLong(0), r.getString(1)) -> (r.getLong(3), r.getString(5)))
+      .toMap
+    assert(got == Map((10L, "a") -> ((2L, "v2")),
+      (10L, "b") -> ((3L, "x")), (20L, "a") -> ((5L, "tie"))))
+    val plan = up.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "upsert must not plan a window")
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
+  }
+
+  test("skewReport: counts, half-up ppm share, ceil salt factor, " +
+      "deterministic ties") {
+    val rows = (Seq.fill(5)("hot") ++ Seq.fill(3)("warm") ++
+      Seq("cold1", "cold2")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val rep = graft.operators.Relational.skewReport(rows, Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // total 10 rows, 4 keys, mean load 2.5
+    assert(rep.head == ("hot" -> ((5L, 500000L, 2L))))
+    assert(rep(1) == ("warm" -> ((3L, 300000L, 2L))))
+    // 1-row keys tie: lexicographic key order breaks it
+    assert(rep(2)._1 == "cold1" && rep(3)._1 == "cold2")
+    assert(rep(2)._2 == ((1L, 100000L, 1L)))
+  }
+
   test("funnel: in-order completion only, strict ordering, exact " +
       "integer lag sums") {
     import java.sql.Timestamp
