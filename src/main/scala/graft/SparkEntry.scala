@@ -93,6 +93,14 @@ object SparkEntry {
     }),
     "profile_stats_embeddings" -> ((s, d) =>
       Profiler.profileStats(Tables.load(s, d, "embeddings"))),
+    // equi-width histogram per numeric path: tiny range aggregate
+    // broadcast back, one (path, bucket) count shuffle
+    "profile_histogram_lineitem" -> ((s, d) =>
+      Profiler.histogram(Tables.load(s, d, "lineitem"))),
+    // RFM segmentation: conditional aggregate on user_id + quintile
+    // scores over the users-sized table
+    "rfm_users" -> ((s, d) =>
+      Relational.rfm(Tables.load(s, d, "events"))),
     "profile_quantiles_lineitem" -> ((s, d) =>
       Profiler.numericQuantiles(Tables.load(s, d, "lineitem"))),
     // approx-quantile scale path under a calibrated gate: the exact
@@ -968,6 +976,23 @@ object SparkEntry {
   /** Exact lineitem quantile oracle, shared by the exact row and the
     * calibrated approx row.
     */
+  private val histogramLineitemOracle: String = {
+    val cols = Seq("l_discount", "l_extendedprice", "l_linenumber",
+      "l_orderkey", "l_partkey", "l_quantity", "l_suppkey", "l_tax")
+    cols.map(c =>
+      s"""SELECT '$c' AS path, bucket, COUNT(*) AS n,
+         | MIN(lo) AS lo, MIN(hi) AS hi FROM (
+         |  SELECT CASE WHEN hi = lo THEN 0
+         |    ELSE least(CAST(floor((v - lo) / ((hi - lo) / 10))
+         |      AS BIGINT), 9) END AS bucket, lo, hi
+         |  FROM (SELECT CAST($c AS DOUBLE) AS v,
+         |          MIN(CAST($c AS DOUBLE)) OVER () AS lo,
+         |          MAX(CAST($c AS DOUBLE)) OVER () AS hi
+         |        FROM lineitem))
+         | GROUP BY 1, 2""".stripMargin)
+      .mkString("", " UNION ALL ", " ORDER BY path, bucket")
+  }
+
   private val quantilesLineitemOracle: String = {
     val cols = Seq("l_discount", "l_extendedprice", "l_linenumber",
       "l_orderkey", "l_partkey", "l_quantity", "l_suppkey", "l_tax")
@@ -1928,6 +1953,27 @@ object SparkEntry {
       "l_returnflag" -> "str", "l_linestatus" -> "str",
       "l_shipdate" -> "ts")),
     "profile_quantiles_lineitem" -> quantilesLineitemOracle,
+    "profile_histogram_lineitem" -> histogramLineitemOracle,
+    "rfm_users" -> (s"""
+      WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                 FROM events WHERE event_type = 'purchase'),
+      per AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+                COUNT(*) AS frequency,
+                ${sumD(s"CAST(value AS $M)")} AS monetary
+              FROM p GROUP BY 1),
+      r AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM p)
+      SELECT user_id,
+             CAST(date_diff('day', last_day, ref_day) AS BIGINT)
+               AS recency_days,
+             frequency, monetary,
+             CAST(ntile(5) OVER (ORDER BY
+               date_diff('day', last_day, ref_day), user_id)
+               AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+               AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
+               AS BIGINT) AS m_score
+      FROM per, r ORDER BY user_id"""),
     // approx-quantile scale path, calibrated: exact quantiles hashed,
     // sketch estimates bounded by the ±5%-rank window → oracle TRUE
     "profile_quantiles_approx" -> (s"""

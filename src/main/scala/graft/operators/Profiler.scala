@@ -306,6 +306,35 @@ object Profiler {
         round(percentile(col("vnum"), lit(0.75)), 6).as("p75"))
       .orderBy("path")
 
+  /** Equi-width histogram for every numeric path — the distribution
+    * visual profilers pair with min/max/quantiles (absent in the
+    * reference). Two passes over the lean flatten: a tiny (path →
+    * lo/hi) aggregate broadcast back, then one partial-aggregated
+    * (path, bucket) count — the corpus never shuffles, only
+    * (paths × buckets) count rows do. Bucket index is
+    * `min(floor((v-lo)/w), n-1)` in IEEE double arithmetic — the
+    * same two divisions in any engine give the same bits, so the
+    * binning is oracle-reproducible. A constant path (lo = hi)
+    * degenerates to a single bucket 0.
+    */
+  def histogram(df: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val vals = flattenLean(df).filter(col("vnum").isNotNull)
+    val ranges = vals.groupBy("path")
+      .agg(min("vnum").as("lo"), max("vnum").as("hi"))
+    vals.join(broadcast(ranges), "path")
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("vnum") - col("lo")) /
+              ((col("hi") - col("lo")) / lit(buckets))).cast(LongType),
+            lit(buckets - 1L))))
+      .groupBy("path", "bucket")
+      .agg(count(lit(1)).as("n"), min("lo").as("lo"),
+        min("hi").as("hi"))
+      .orderBy("path", "bucket")
+  }
+
   /** The 100 TB quantile path: `approx_percentile` (a mergeable
     * KLL-style sketch — bounded memory per path however many rows)
     * instead of exact `percentile`, whose state holds every distinct

@@ -515,6 +515,45 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** RFM segmentation (recency / frequency / monetary) over an event
+    * stream: per user, days since their last qualifying event
+    * (relative to the corpus max — integer day arithmetic), how many,
+    * and how much (DECIMAL-summed, so reduction order can't move the
+    * cents), each scored into quintiles with a deterministic
+    * (metric, user_id) tie-break.
+    *
+    * Scale shape: one conditional aggregate on user_id (partial-agg,
+    * O(1) state per user), a one-row broadcast for the reference
+    * date, and three ntile windows over the USERS table — user-count
+    * sized, not event-count sized.
+    */
+  def rfm(events: DataFrame, eventType: String = "purchase",
+          userCol: String = "user_id", tsCol: String = "ts",
+          valueCol: String = "value"): DataFrame = {
+    val per = events.filter(col("event_type") === eventType)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(max(to_date(col(tsCol))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast(DecimalType(12, 2))).cast("double")
+          .as("monetary"))
+    val refDay = events.filter(col("event_type") === eventType)
+      .agg(max(to_date(col(tsCol))).as("ref_day"))
+    def quintile(order: Column*) =
+      ntile(5).over(Window.orderBy(order: _*)).cast(LongType)
+    per.crossJoin(broadcast(refDay))
+      .select(col("user_id"),
+        datediff(col("ref_day"), col("last_day")).cast(LongType)
+          .as("recency_days"),
+        col("frequency"), col("monetary"))
+      .withColumn("r_score",
+        quintile(col("recency_days").asc, col("user_id").asc))
+      .withColumn("f_score",
+        quintile(col("frequency").desc, col("user_id").asc))
+      .withColumn("m_score",
+        quintile(col("monetary").desc, col("user_id").asc))
+      .orderBy("user_id")
+  }
+
   /** CDC compaction / SCD-1 upsert: the latest row per key, "latest"
     * = greatest (tsCol, tieCol) — the merge a change-data stream needs
     * before it can be served as current state.

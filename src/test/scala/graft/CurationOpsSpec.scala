@@ -251,6 +251,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 1L)))   // 5-min twin suppressed
   }
 
+  test("rfm: recency from corpus max day, decimal-exact monetary, " +
+      "quintiles with deterministic ties") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01"), "purchase", 10.10, "{}"),
+      (2L, 1L, ts("2024-01-05"), "purchase", 0.20, "{}"),
+      (3L, 2L, ts("2024-01-03"), "purchase", 99.99, "{}"),
+      (4L, 3L, ts("2024-01-02"), "purchase", 5.00, "{}"),
+      (5L, 3L, ts("2024-01-02"), "view", 1000.0, "{}")   // not counted
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = graft.operators.Relational.rfm(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // corpus max purchase day = 01-05 (user 1)
+    assert(out(1L) == ((0L, 2L, 10.30, 1L, 1L, 2L)))
+    assert(out(2L) == ((2L, 1L, 99.99, 2L, 2L, 1L)))
+    assert(out(3L) == ((3L, 1L, 5.00, 3L, 3L, 3L)))
+  }
+
   test("upsertLatest: latest per key by (ts, tie), aggregate plan — " +
       "no window, no sort of versions") {
     import java.sql.Timestamp

@@ -193,6 +193,24 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram: equi-width binning, max lands in the last bucket, " +
+      "constant columns degenerate to bucket 0") {
+    import spark.implicits._
+    val data = (0 until 10).map(i => (i.toDouble, 7.0))
+      .toDF("spread", "flat")
+    val h = graft.operators.Profiler.histogram(data, buckets = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // spread 0..9, width 1.8: buckets get 2 values each; 9.0 clamps
+    // into bucket 4
+    (0 until 5).foreach { b =>
+      assert(h(("spread", b.toLong)) == ((2L, 0.0, 9.0)))
+    }
+    assert(h(("flat", 0L)) == ((10L, 7.0, 7.0)))
+    assert(h.size == 6)
+  }
+
   test("sketches: union-of-slice-sketches answers like a sketch of " +
       "the union, and is exact at gate cardinalities") {
     import spark.implicits._
