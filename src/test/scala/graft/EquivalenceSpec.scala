@@ -275,6 +275,39 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsertLatest runs unchanged on a stream: complete-mode " +
+      "replay equals the batch merge") {
+    // the operator is pure groupBy + struct-max, so the SAME function
+    // is the streaming CDC merge — state one row per key
+    val rows = Seq(
+      (1L, 10L, "2024-01-01 10:00:00", "a", "v1"),
+      (2L, 10L, "2024-01-01 11:00:00", "a", "v2"),
+      (3L, 20L, "2024-01-01 09:00:00", "a", "old"),
+      (4L, 20L, "2024-01-01 09:00:00", "a", "tie"))
+    def toDf(rs: Seq[(Long, Long, String, String, String)]) =
+      rs.toDF("event_id", "user_id", "ts", "event_type", "props")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_eq")
+    val in = dir.toString + "/in"
+    toDf(rows).write.mode("overwrite").parquet(in)
+    val batch = Relational.upsertLatest(toDf(rows),
+        Seq("user_id", "event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getString(4))).toSet
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val q = Relational.upsertLatest(stream, Seq("user_id", "event_type"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("upsert_eq").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("upsert_eq").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+          r.getString(4))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("LSH embeddingNearDups: precision 1.0 (subset of exact) on " +
       "real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -317,6 +317,28 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected only the orderBy exchange\n$p")
   }
 
+  test("kmeans: centroids are literals — assignment plans with no " +
+      "join anywhere") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = planOf(graft.operators.Similarity.kmeans(emb, k = 4,
+      iters = 2))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("histogram: the range table broadcasts — no sort-merge join " +
+      "of the value rows") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val p = planOf(Profiler.histogram(li))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("skewReport: top-N is TakeOrderedAndProject, not a global sort") {
+    val ev = Tables.load(spark, dir, "events")
+    val p = planOf(Relational.skewReport(ev, Seq("user_id")))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("bucketed staging: co-bucketed join plans with NO exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed")
     val orders = Tables.load(spark, dir, "orders")
