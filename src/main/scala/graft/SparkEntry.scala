@@ -372,6 +372,15 @@ object SparkEntry {
     "kmeans_clusters" -> ((s, d) =>
       Similarity.kmeans(Tables.load(s, d, "embeddings"), k = 8,
         iters = 2)),
+    // label-centroid cosine matrix: catalog-sized strata similarity
+    // for mixture design
+    "centroid_similarity" -> ((s, d) =>
+      Similarity.centroidSimilarity(Tables.load(s, d, "embeddings"))),
+    // percentile-phrased quality gate: threshold from one tiny
+    // aggregate, row-local cut
+    "keep_top_quantile" -> ((s, d) =>
+      operators.Curation.keepTopQuantile(
+        Tables.load(s, d, "documents"))),
     // C4-style per-domain cap: top-10 docs per source by integer-
     // scaled quality
     "cap_per_source" -> ((s, d) =>
@@ -1421,6 +1430,42 @@ object SparkEntry {
              (CAST(floor(dot / (sqrt(aa) * sqrt(cc)) * 1e6 + 0.5)
                AS BIGINT) < 500000) AS is_outlier
       FROM d ORDER BY vec_id"""),
+    // centroid pair cosine over the same exact integer-micro
+    // centroids the outlier oracle builds
+    "centroid_similarity" -> (s"""
+      WITH u AS (SELECT vec_id, label,
+             list_transform(embedding, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u
+           FROM embeddings),
+      e AS (SELECT label, u, unnest(range(1, 65)) AS pos FROM u),
+      s AS (SELECT label, pos, COUNT(*) AS n, SUM(u[pos]) AS s
+            FROM e GROUP BY 1, 2),
+      c AS (SELECT label, pos,
+              CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT) AS c
+            FROM s),
+      cent AS (SELECT label, list(c ORDER BY pos) AS cent
+               FROM c GROUP BY 1)
+      SELECT a.label AS label1, b.label AS label2,
+             CAST(floor(
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> a.cent[i] * b.cent[i])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> a.cent[i] * a.cent[i])) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> b.cent[i] * b.cent[i])) AS DOUBLE)))
+               * 1e6 + 0.5) AS BIGINT) AS cos_ppm
+      FROM cent a JOIN cent b ON a.label < b.label
+      ORDER BY label1, label2"""),
+    "keep_top_quantile" -> (s"""
+      WITH tk AS (SELECT doc_id, source, text, $toksSql AS toks
+                  FROM documents),
+      sc AS (SELECT doc_id, source,
+              CAST(floor($qualitySql * 1e6 + 0.5) AS BIGINT) AS q6
+            FROM tk),
+      t AS (SELECT round(quantile_cont(q6, 0.75), 6) AS thr FROM sc)
+      SELECT doc_id, source, q6 FROM sc, t
+      WHERE q6 >= thr ORDER BY doc_id"""),
     // Lloyd k-means replay: same md5 seeds, same exact integer-micro
     // squared distances, same half-up centroid means — two assignment
     // rounds with one update between them, unrolled as CTEs

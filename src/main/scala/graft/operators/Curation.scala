@@ -134,6 +134,30 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Keep documents at or above the q-th corpus quality quantile —
+    * the "top 25 % by quality" gate phrased as a percentile, not a
+    * magic threshold, so the cut tracks the corpus. The threshold is
+    * the exact interpolated percentile over the integer-scaled
+    * quality (one paths-free tiny aggregate, broadcast back, rounded
+    * to 6 dp so both engines make the identical cut); the gate
+    * itself is a row-local comparison — the corpus never shuffles.
+    */
+  def keepTopQuantile(docs: DataFrame, q: Double = 0.75,
+                      textCol: String = "text",
+                      idCol: String = "doc_id",
+                      stratumCol: String = "source"): DataFrame = {
+    val q6 = floor(TextAnalysis.qualityScore(col(textCol)) * 1e6 + 0.5)
+      .cast("long")
+    val scored = docs.select(col(idCol).as("doc_id"),
+      col(stratumCol).as("source"), q6.as("q6"))
+    val threshold = scored.agg(
+      round(percentile(col("q6"), lit(q)), 6).as("thr"))
+    scored.crossJoin(broadcast(threshold))
+      .filter(col("q6") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("q6"))
+      .orderBy("doc_id")
+  }
+
   def curate(docs: DataFrame,
              minTokens: Int = 20, minQuality: Double = 0.3,
              rates: Map[String, Int] = Map.empty,

@@ -365,6 +365,33 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Pairwise cosine between label/cluster centroids — the "how
+    * semantically close are my sources/clusters" matrix that guides
+    * mixture design and flags near-duplicate strata. Centroids are
+    * the exact integer-micro means of [[labelCentroids]], so the
+    * (labels × labels) matrix — catalog-sized, never corpus-sized —
+    * is engine-reproducible; output in ppm like
+    * [[embeddingOutliers]].
+    */
+  def centroidSimilarity(embeddings: DataFrame,
+                         labelCol: String = "label",
+                         vecCol: String = "embedding"): DataFrame = {
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    val cents = labelCentroids(embeddings, labelCol, vecCol)
+    val l = cents.select(col("label").as("label1"),
+      col("centroid").as("c1"))
+    val r = cents.select(col("label").as("label2"),
+      col("centroid").as("c2"))
+    l.join(r, col("label1") < col("label2"))
+      .select(col("label1"), col("label2"),
+        floor(dotL(col("c1"), col("c2")).cast("double") /
+          (sqrt(dotL(col("c1"), col("c1")).cast("double")) *
+            sqrt(dotL(col("c2"), col("c2")).cast("double")))
+          * 1e6 + 0.5).cast(LongType).as("cos_ppm"))
+      .orderBy("label1", "label2")
+  }
+
   /** Embedding outlier detection (the mislabel/contamination scan for
     * labeled or clustered embedding spaces): cosine of every vector
     * to its OWN label's centroid; vectors below `thresholdPpm` are

@@ -190,6 +190,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Map("a b c" -> (2L, 3L, 5L, 0L)))
   }
 
+  test("centroidSimilarity: hand-computed cosines over exact integer " +
+      "centroids") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.0f), 0),    // label 0 centroid: (1e6, 0)
+      (2L, Seq(0.0f, 1.0f), 1),    // label 1 centroid: (0, 1e6)
+      (3L, Seq(1.0f, 1.0f), 2)     // label 2 centroid: (1e6, 1e6)
+    ).toDF("vec_id", "embedding", "label")
+    val sim = Similarity.centroidSimilarity(embs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(sim((0, 1)) == 0L)        // orthogonal
+    assert(sim((0, 2)) == 707107L)   // 1/sqrt(2), half-up ppm
+    assert(sim((1, 2)) == 707107L)
+    assert(sim.size == 3)
+  }
+
+  test("keepTopQuantile: the cut is a clean partition of the quality " +
+      "ordering") {
+    val docs = SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = graft.operators.Curation.keepTopQuantile(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val total = docs.count()
+    assert(kept.nonEmpty && kept.size < total)
+    // roughly the top quartile survives (ties can only add)
+    assert(kept.size >= total / 4)
+    // every kept doc is strictly better than every dropped doc (a
+    // dropped doc at the threshold would contradict the >= rule)
+    val all = graft.operators.Curation.keepTopQuantile(docs, q = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val droppedMax = all.filterNot(kv => kept.contains(kv._1)).values.max
+    assert(kept.values.min > droppedMax)
+  }
+
   /** Naive driver-side replay of the kmeans contract: same md5 seeds,
     * same exact integer squared distances, same half-up centroid
     * means — the operator must match it bit-for-bit.
