@@ -205,4 +205,115 @@ class RandomModelSpec extends AnyFunSuite {
       .collect()
     once.foreach { r => assert(r.getString(0) == r.getString(1)) }
   }
+
+  test("repeatedSpans matches the naive window-count model on random " +
+      "corpora") {
+    for (_ <- 1 to 3) {
+      val corpus = randomCorpus(rnd.nextInt(80) + 40, vocab = 6)
+      val n = 3
+      // naive model over the same tokenization
+      val model = corpus.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        toks.sliding(n).zipWithIndex.collect {
+          case (w, i) if w.length == n => (w.mkString(" "), id, i)
+        }
+      }
+      val expected = model.groupBy(_._1).collect {
+        case (span, occ) if occ.map(_._2).distinct.size >= 2 =>
+          val first = occ.map(o => (o._2, o._3)).min
+          span -> (occ.map(_._2).distinct.size.toLong,
+            occ.size.toLong, first._1, first._2.toLong)
+      }.toMap
+      val got = Dedup.repeatedSpans(corpus.toDF("doc_id", "text"), n = n)
+        .collect()
+        .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("funnel matches the naive sequential-min model on random " +
+      "event streams") {
+    import java.sql.Timestamp
+    val steps = Seq("A", "B", "C")
+    for (_ <- 1 to 3) {
+      val events = (0 until rnd.nextInt(300) + 100).map { i =>
+        (i.toLong, rnd.nextInt(20).toLong,
+          new Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L),
+          steps(rnd.nextInt(3)), 0.0, "{}")
+      }
+      val df = events
+        .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      // naive model: per user, strictly-after sequential first-times
+      var reach = Map.empty[Int, Seq[(Long, Long)]] // step -> (user, lag_us)
+      val byUser = events.groupBy(_._2)
+      steps.zipWithIndex.foreach { case (st, k) =>
+        val rows = byUser.toSeq.flatMap { case (u, evs) =>
+          var t: Option[Long] = None
+          var lag: Option[Long] = None
+          var ok = true
+          for (j <- 0 to k if ok) {
+            val cand = evs.filter(e => e._4 == steps(j) &&
+              t.forall(p => e._3.getTime * 1000L > p))
+              .map(_._3.getTime * 1000L)
+            if (cand.isEmpty) ok = false
+            else { lag = t.map(cand.min - _); t = Some(cand.min) }
+          }
+          if (ok) Some((u, lag.getOrElse(0L))) else None
+        }
+        reach += k -> rows
+      }
+      val got = graft.operators.Relational.funnel(df, steps).collect()
+        .map(r => r.getString(1) -> (r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+      steps.zipWithIndex.foreach { case (st, k) =>
+        val exp = reach(k)
+        assert(got(st)._1 == exp.size.toLong, s"step $st user count")
+        if (k > 0 && exp.nonEmpty)
+          assert(got(st)._2.contains(exp.map(_._2).sum), s"step $st lag")
+      }
+    }
+  }
+
+  test("upsertLatest matches the naive max-by-(ts, tie) model on " +
+      "random change streams") {
+    import java.sql.Timestamp
+    for (_ <- 1 to 3) {
+      val changes = (0 until rnd.nextInt(200) + 50).map { i =>
+        (i.toLong, rnd.nextInt(15).toLong,
+          // coarse ts grid to force (ts) ties broken by event_id
+          new Timestamp(1700000000000L + rnd.nextInt(20) * 1000L),
+          "t" + rnd.nextInt(2), i.toDouble, "p" + i)
+      }
+      val df = changes
+        .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      val expected = changes.groupBy(c => (c._2, c._4)).map {
+        case (k, vs) => k -> vs.maxBy(v => (v._3.getTime, v._1))._1
+      }
+      val got = graft.operators.Relational
+        .upsertLatest(df, Seq("user_id", "event_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("histogram matches the naive IEEE binning model on random " +
+      "columns") {
+    for (_ <- 1 to 3) {
+      val vals = Seq.fill(rnd.nextInt(300) + 50)(
+        rnd.nextDouble() * 100 - 50)
+      val buckets = rnd.nextInt(8) + 2
+      val lo = vals.min
+      val hi = vals.max
+      val expected = vals.groupBy { v =>
+        if (hi == lo) 0L
+        else math.min(math.floor((v - lo) / ((hi - lo) / buckets)).toLong,
+          buckets - 1L)
+      }.map { case (b, vs) => b -> vs.size.toLong }
+      val got = graft.operators.Profiler
+        .histogram(vals.map(Tuple1(_)).toDF("x"), buckets = buckets)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == expected)
+    }
+  }
 }
