@@ -381,6 +381,10 @@ object SparkEntry {
     "keep_top_quantile" -> ((s, d) =>
       operators.Curation.keepTopQuantile(
         Tables.load(s, d, "documents"))),
+    // SemDeDup (Abbas et al. 2023): kmeans clusters bound the pair
+    // work; within-cluster cosine prune, greedy keep-lowest-id
+    "semdedup_kmeans" -> ((s, d) =>
+      operators.Curation.semdedup(Tables.load(s, d, "embeddings"))),
     // C4-style per-domain cap: top-10 docs per source by integer-
     // scaled quality
     "cap_per_source" -> ((s, d) =>
@@ -881,6 +885,47 @@ object SparkEntry {
   }
   private val cosSql =
     "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
+
+  /** The [[graft.operators.Similarity.kmeans]] replay (k=8, iters=2,
+    * 64-dim): md5 seeds, exact integer-micro squared distances,
+    * half-up centroid means — shared by `kmeans_clusters` and
+    * `semdedup_kmeans`. Ends at `a2` = the final assignment.
+    */
+  private val kmeansCtes = """u AS (SELECT vec_id,
+             list_transform(embedding, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u
+           FROM embeddings),
+      seed AS (SELECT u,
+               row_number() OVER (ORDER BY h, vid) - 1 AS cid
+               FROM (SELECT u, vec_id AS vid,
+                       md5('kmeans:' || CAST(vec_id AS VARCHAR)) AS h
+                     FROM u ORDER BY h, vid LIMIT 8)),
+      c0 AS (SELECT cid, u AS c FROM seed),
+      d1 AS (SELECT a.vec_id, b.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (a.u[i] - b.c[i]) * (a.u[i] - b.c[i])))
+                 AS BIGINT) AS d
+             FROM u a CROSS JOIN c0 b),
+      a1 AS (SELECT vec_id, cid, d FROM d1
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY d, cid) = 1),
+      e1 AS (SELECT a1.cid, u.u, unnest(range(1, 65)) AS pos
+             FROM a1 JOIN u USING (vec_id)),
+      s1 AS (SELECT cid, pos, COUNT(*) AS n, SUM(u[pos]) AS s
+             FROM e1 GROUP BY 1, 2),
+      c1 AS (SELECT cid,
+               list(CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT)
+                 ORDER BY pos) AS c
+             FROM s1 GROUP BY 1),
+      d2 AS (SELECT a.vec_id, b.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (a.u[i] - b.c[i]) * (a.u[i] - b.c[i])))
+                 AS BIGINT) AS d
+             FROM u a CROSS JOIN c1 b),
+      a2 AS (SELECT vec_id, cid, d FROM d2
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY d, cid) = 1)"""
 
   /** (vec_id, t, bucket) CTE body replaying [[Similarity.lshTables]]
     * over an `e(vec_id, embedding)` CTE: plane j of table t is the
@@ -1470,43 +1515,21 @@ object SparkEntry {
     // squared distances, same half-up centroid means — two assignment
     // rounds with one update between them, unrolled as CTEs
     "kmeans_clusters" -> (s"""
-      WITH u AS (SELECT vec_id,
-             list_transform(embedding, v ->
-               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
-               AS u
-           FROM embeddings),
-      seed AS (SELECT u,
-               row_number() OVER (ORDER BY h, vid) - 1 AS cid
-               FROM (SELECT u, vec_id AS vid,
-                       md5('kmeans:' || CAST(vec_id AS VARCHAR)) AS h
-                     FROM u ORDER BY h, vid LIMIT 8)),
-      c0 AS (SELECT cid, u AS c FROM seed),
-      d1 AS (SELECT a.vec_id, b.cid,
-               CAST(list_sum(list_transform(range(1, 65),
-                 i -> (a.u[i] - b.c[i]) * (a.u[i] - b.c[i])))
-                 AS BIGINT) AS d
-             FROM u a CROSS JOIN c0 b),
-      a1 AS (SELECT vec_id, cid, d FROM d1
-             QUALIFY row_number() OVER (PARTITION BY vec_id
-               ORDER BY d, cid) = 1),
-      e1 AS (SELECT a1.cid, u.u, unnest(range(1, 65)) AS pos
-             FROM a1 JOIN u USING (vec_id)),
-      s1 AS (SELECT cid, pos, COUNT(*) AS n, SUM(u[pos]) AS s
-             FROM e1 GROUP BY 1, 2),
-      c1 AS (SELECT cid,
-               list(CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT)
-                 ORDER BY pos) AS c
-             FROM s1 GROUP BY 1),
-      d2 AS (SELECT a.vec_id, b.cid,
-               CAST(list_sum(list_transform(range(1, 65),
-                 i -> (a.u[i] - b.c[i]) * (a.u[i] - b.c[i])))
-                 AS BIGINT) AS d
-             FROM u a CROSS JOIN c1 b),
-      a2 AS (SELECT vec_id, cid, d FROM d2
-             QUALIFY row_number() OVER (PARTITION BY vec_id
-               ORDER BY d, cid) = 1)
+      WITH $kmeansCtes
       SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist
       FROM a2 ORDER BY vec_id"""),
+    // SemDeDup: the kmeans clusters above + within-cluster cosine
+    // prune (greedy keep-lowest-id)
+    "semdedup_kmeans" -> (s"""
+      WITH $kmeansCtes,
+      j AS (SELECT a2.vec_id, a2.cid, e.embedding
+            FROM a2 JOIN embeddings e USING (vec_id)),
+      p AS (SELECT b.vec_id AS id2
+            FROM j a JOIN j b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE ${cosSql.format("a.embedding", "b.embedding")}
+              >= 0.3)
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2
+      WHERE vec_id NOT IN (SELECT id2 FROM p) ORDER BY vec_id"""),
     // the full round-6 funnel: every stage mirrored honestly (line
     // dedup, both gates, keep-first dedup, decontamination — the Bloom
     // engine path is result-identical to exact — and the budget fill)

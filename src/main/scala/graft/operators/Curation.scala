@@ -134,6 +134,43 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup as published (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding space, then prune near-duplicates
+    * WITHIN clusters only — the clusters bound the pair work
+    * (≈ (n/k)² per cluster instead of n²), which is the entire reason
+    * the paper clusters first. Built on [[Similarity.kmeans]]
+    * (deterministic, oracle-replayable); the prune is the greedy
+    * keep-lowest-id rule, so the survivor set is deterministic too.
+    * For quality-aware survivor choice feed any pair source to
+    * [[semanticKeepBest]].
+    *
+    * Scale: kmeans assignment is row-local; the only quadratic step
+    * is inside a cluster, and k grows with the corpus to hold n/k
+    * constant (the paper uses k ≈ √n·c). One shuffle keys the
+    * self-join by cluster.
+    */
+  def semdedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+               threshold: Double = 0.3,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val clusters = Similarity.kmeans(embeddings, k, iters,
+      idCol = idCol, vecCol = vecCol)
+    val v = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(clusters.select("vec_id", "cluster"), "vec_id")
+    val l = v.select(col("cluster"), col("vec_id").as("id1"),
+      col("v").as("v1"))
+    val r = v.select(col("cluster"), col("vec_id").as("id2"),
+      col("v").as("v2"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("id1") < col("id2"))
+      .filter(Similarity.cosine(col("v1"), col("v2")) >= threshold)
+      .select(col("id2")).distinct()
+    v.join(dropped, v("vec_id") === dropped("id2"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** Keep documents at or above the q-th corpus quality quantile —
     * the "top 25 % by quality" gate phrased as a percentile, not a
     * magic threshold, so the cut tracks the corpus. The threshold is

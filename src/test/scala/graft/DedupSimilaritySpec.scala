@@ -190,6 +190,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Map("a b c" -> (2L, 3L, 5L, 0L)))
   }
 
+  test("semdedup: survivors equal the naive within-cluster greedy " +
+      "prune over the operator's own clusters") {
+    val thr = 0.3
+    val clusters = Similarity.kmeans(vecs, k = 8, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = raw.keys.toSeq.sorted
+    val dropped = (for {
+      i <- ids; j <- ids
+      if i < j && clusters(i) == clusters(j) &&
+        cos(raw(i), raw(j)) >= thr
+    } yield j).toSet
+    val survivors = graft.operators.Curation.semdedup(vecs).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(survivors == (ids.toSet -- dropped))
+  }
+
   test("centroidSimilarity: hand-computed cosines over exact integer " +
       "centroids") {
     val embs = Seq(
