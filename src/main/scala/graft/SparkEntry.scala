@@ -316,6 +316,27 @@ object SparkEntry {
     // storms, double-clicks); burst = sessionize's gap rule
     "debounce_events" -> ((s, d) =>
       Relational.debounce(Tables.load(s, d, "events"))),
+    // binned range join: error events landed inside each user's daily
+    // non-error activity span — equi-join on (user, hour-bin) + row-
+    // local BETWEEN, never a nested-loop plan
+    "range_join_spans" -> ((s, d) => {
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val ev = Tables.load(s, d, "events")
+      val spans = ev.filter(col("event_type") =!= "error")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(col("ts")).as("span_start"),
+          max(col("ts")).as("span_end"))
+        .drop("day")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Relational.rangeJoinBinned(errors, spans, Seq("user_id"),
+          "ts", "span_start", "span_end")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), fmt).as("ts"),
+          date_format(col("span_start"), fmt).as("span_start"),
+          date_format(col("span_end"), fmt).as("span_end"))
+        .orderBy("event_id", "span_start")
+    }),
     // CDC compaction: latest event per (user, type) via one partial-
     // aggregable struct-max — no window, one candidate row per key
     // per map partition
@@ -1289,6 +1310,21 @@ object SparkEntry {
              ((2 * w + n_tokens) // (2 * n_tokens) - 1000000) >= 0
                AS keep
       FROM s ORDER BY doc_id"""),
+    "range_join_spans" -> (s"""
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                        event_type FROM events),
+      iv AS (SELECT user_id, MIN(ts) AS s, MAX(ts) AS en
+             FROM e WHERE event_type <> 'error'
+             GROUP BY user_id, CAST(ts AS DATE)),
+      er AS (SELECT event_id, user_id, ts FROM e
+             WHERE event_type = 'error')
+      SELECT er.event_id, er.user_id,
+             strftime(er.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             strftime(iv.s, '%Y-%m-%d %H:%M:%S.%f') AS span_start,
+             strftime(iv.en, '%Y-%m-%d %H:%M:%S.%f') AS span_end
+      FROM er JOIN iv ON er.user_id = iv.user_id
+                     AND er.ts BETWEEN iv.s AND iv.en
+      ORDER BY event_id, span_start"""),
     "upsert_latest" -> (s"""
       WITH e AS (SELECT user_id, event_type,
               CAST(ts AS TIMESTAMP) AS ts, event_id, value, props,

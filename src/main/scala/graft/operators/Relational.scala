@@ -515,6 +515,39 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Interval (range) join via time binning — "which events fall
+    * inside which intervals" without the quadratic plan. Catalyst
+    * turns a raw `ts BETWEEN s AND e` join condition into a
+    * broadcast-nested-loop / cartesian refine (per-key all-pairs);
+    * here each interval is EXPLODED onto the fixed-width time bins it
+    * overlaps and each event mapped to its single bin, so the join is
+    * an equi-join on (keys, bin) with a row-local BETWEEN refine.
+    * Each matching (event, interval) pair meets in exactly one bin —
+    * the event's — so no distinct pass is needed.
+    *
+    * Scale: one shuffle each side on (keys, bin); interval blowup is
+    * ceil(span/bin) copies — pick `binMinutes` near the typical span
+    * so the factor stays small. This is the standard interval-join
+    * binning trick (what dedicated range-join implementations do
+    * under the hood), expressed in plain Spark operators.
+    */
+  def rangeJoinBinned(events: DataFrame, intervals: DataFrame,
+                      keys: Seq[String], tsCol: String,
+                      startCol: String, endCol: String,
+                      binMinutes: Int = 60): DataFrame = {
+    val binUs = binMinutes.toLong * 60 * 1000000
+    val ev = events.withColumn("_bin",
+      floor(unix_micros(col(tsCol)) / binUs).cast(LongType))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(
+        floor(unix_micros(col(startCol)) / binUs).cast(LongType),
+        floor(unix_micros(col(endCol)) / binUs).cast(LongType))))
+    ev.join(iv, keys :+ "_bin")
+      .filter(col(tsCol) >= col(startCol) &&
+        col(tsCol) <= col(endCol))
+      .drop("_bin")
+  }
+
   /** RFM segmentation (recency / frequency / monetary) over an event
     * stream: per user, days since their last qualifying event
     * (relative to the corpus max — integer day arithmetic), how many,

@@ -251,6 +251,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 1L)))   // 5-min twin suppressed
   }
 
+  test("rangeJoinBinned: inclusive boundaries, multi-bin intervals, " +
+      "key isolation, exactly-once pairs") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),   // == interval start
+      (2L, 1L, ts("2024-01-01 12:30:00")),   // inside, 3rd bin
+      (3L, 1L, ts("2024-01-01 13:00:00")),   // == interval end
+      (4L, 1L, ts("2024-01-01 13:00:01")),   // just outside
+      (5L, 2L, ts("2024-01-01 12:00:00"))    // other user, no interval
+    ).toDF("event_id", "user_id", "ts")
+    val intervals = Seq(
+      // spans bins 10,11,12,13 at 60-min bins
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 13:00:00"), "w1")
+    ).toDF("user_id", "s", "e", "tag")
+    val out = graft.operators.Relational
+      .rangeJoinBinned(events, intervals, Seq("user_id"),
+        "ts", "s", "e")
+      .select("event_id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sorted.toSeq == Seq((1L, "w1"), (2L, "w1"), (3L, "w1")))
+  }
+
   test("rfm: recency from corpus max day, decimal-exact monetary, " +
       "quintiles with deterministic ties") {
     import java.sql.Timestamp

@@ -339,6 +339,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("rangeJoinBinned: the interval join is an equi-join — no " +
+      "nested-loop, no cartesian") {
+    val ev = Tables.load(spark, dir, "events")
+    val spans = ev
+      .filter(org.apache.spark.sql.functions.col("event_type") =!= "error")
+      .groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions.min("ts").as("s"),
+        org.apache.spark.sql.functions.max("ts").as("e"))
+    val p = planOf(Relational.rangeJoinBinned(ev, spans,
+      Seq("user_id"), "ts", "s", "e"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("bucketed staging: co-bucketed join plans with NO exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed")
     val orders = Tables.load(spark, dir, "orders")
