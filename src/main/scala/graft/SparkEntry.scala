@@ -494,6 +494,12 @@ object SparkEntry {
       val e = Tables.load(s, d, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5)
     }),
+    // trained IVF: kmeans clusters as inverted lists, integer-exact
+    // centroid probes — the train-then-index upgrade of ann_ivf_topk
+    "ann_ivf_trained" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
     // nprobe=1: the deep-probe/shallow-probe pair pins the IVF
     // recall-vs-work trade-off deterministically under the oracle
     "ann_ivf_probe1" -> ((s, d) => {
@@ -1554,6 +1560,32 @@ object SparkEntry {
       WITH $kmeansCtes
       SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist
       FROM a2 ORDER BY vec_id"""),
+    // trained IVF replay: kmeans lists + integer centroid probes +
+    // exact cosine over the probed lists only
+    "ann_ivf_trained" -> (s"""
+      WITH $kmeansCtes,
+      q AS (SELECT u.vec_id AS query_id, u.u AS qu,
+              e.embedding AS qvec
+            FROM u JOIN embeddings e USING (vec_id)
+            WHERE u.vec_id < 20),
+      pq AS (SELECT q.query_id, q.qvec, b.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (q.qu[i] - b.c[i]) * (q.qu[i] - b.c[i])))
+                 AS BIGINT) AS d
+             FROM q CROSS JOIN c1 b),
+      pr AS (SELECT query_id, qvec, cid FROM pq
+             QUALIFY row_number() OVER (PARTITION BY query_id
+               ORDER BY d, cid) <= 2),
+      cand AS (SELECT pr.query_id, a2.vec_id AS neighbor_id,
+                 ${cosSql.format("pr.qvec", "e.embedding")} AS score
+               FROM pr JOIN a2 ON a2.cid = pr.cid
+                       JOIN embeddings e ON e.vec_id = a2.vec_id
+               WHERE a2.vec_id <> pr.query_id)
+      SELECT query_id, neighbor_id, score,
+             CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank FROM cand)
+      WHERE rank <= 5 ORDER BY query_id, rank"""),
     // SemDeDup: the kmeans clusters above + within-cluster cosine
     // prune (greedy keep-lowest-id)
     "semdedup_kmeans" -> (s"""

@@ -306,9 +306,21 @@ object Similarity {
     * Output: (vec_id, cluster, dist) — dist is the exact integer
     * squared micro-distance to the final centroid.
     */
-  def kmeans(df: DataFrame, k: Int = 8, iters: Int = 2,
-             idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+  /** Exact integer squared distance of a micro-int vector column to a
+    * literal centroid — the row-local kmeans/IVF probe primitive.
+    */
+  private def sqDistTo(u: Column, c: Array[Long]): Column =
+    aggregate(
+      zip_with(u, typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0L), _ + _)
+
+  /** The fit behind [[kmeans]]: returns the final per-vector
+    * assignment (with the micro vectors still attached) AND the final
+    * centroids — [[ivfTopKTrained]] reuses both as its index state.
+    */
+  private[operators] def kmeansFit(df: DataFrame, k: Int, iters: Int,
+                                   idCol: String, vecCol: String)
+      : (DataFrame, Array[(Int, Array[Long])]) = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val micro = df.select(col(idCol).as("vec_id"),
       transform(col(vecCol),
@@ -324,15 +336,10 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }
 
-    def sqDist(c: Array[Long]): Column =
-      aggregate(
-        zip_with(col("u"), typedLit(c), (x, y) => (x - y) * (x - y)),
-        lit(0L), _ + _)
-
     // assignment keeps `u` so the update round needs no join back
     def assign(centroids: Array[(Int, Array[Long])]): DataFrame = {
       val best = array_min(array(centroids.map { case (cid, c) =>
-        struct(sqDist(c).as("d"), lit(cid).as("cid"))
+        struct(sqDistTo(col("u"), c).as("d"), lit(cid).as("cid"))
       }: _*))
       micro.select(col("vec_id"), col("u"),
         best.getField("cid").as("cluster"),
@@ -360,9 +367,57 @@ object Similarity {
         .sortBy(_._1)
       assigned = assign(centroids)
     }
+    (assigned, centroids)
+  }
+
+  def kmeans(df: DataFrame, k: Int = 8, iters: Int = 2,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val (assigned, _) = kmeansFit(df, k, iters, idCol, vecCol)
     assigned.select(col("vec_id"),
       col("cluster").cast(LongType).as("cluster"), col("dist"))
       .orderBy("vec_id")
+  }
+
+  /** IVF ANN with a TRAINED coarse quantizer: [[kmeansFit]]'s
+    * clusters are the inverted lists (better list balance than the
+    * md5-sampled centroids of [[ivfTopK]] — the classic
+    * train-then-index upgrade), probing stays deterministic because
+    * the centroid distances are exact integers. Queries probe the
+    * `nprobe` nearest final centroids (literals — row-local, no
+    * join), then score only those lists with the exact cosine.
+    * At 100 TB the assignment is written partitioned by cluster and
+    * the centroid table IS the index metadata — same code path.
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                     kClusters: Int = 8, iters: Int = 2,
+                     nprobe: Int = 2, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val (assigned, cents) = kmeansFit(corpus, kClusters, iters,
+      idCol, vecCol)
+    val lists = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(assigned.select(col("vec_id").as("id"),
+        col("cluster").as("cid")), "id")
+    val qmicro = transform(col(vecCol),
+      v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
+    val ranked = array_sort(array(cents.map { case (cid, c) =>
+      struct(sqDistTo(col("_qu"), c).as("d"), lit(cid).as("cid"))
+    }: _*))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        qmicro.as("_qu"))
+      .select(col("query_id"), col("qvec"),
+        explode(slice(ranked, 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qvec"), col("p.cid").as("cid"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("score", cosine(col("qvec"), col("vec")))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
   }
 
   /** Pairwise cosine between label/cluster centroids — the "how

@@ -134,6 +134,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((ivf2 & exactSet).nonEmpty)
   }
 
+  test("trained IVF: probing every kmeans list reproduces brute " +
+      "force exactly; partial probes keep recall on clustered data") {
+    val queries = clustered.filter($"vec_id" % 8 === 0).limit(10)
+    val exact = Similarity.bruteForceTopK(clustered, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+    val all = Similarity.ivfTopKTrained(clustered, queries, k = 5,
+        kClusters = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+    assert(all == exact)
+    val part = Similarity.ivfTopKTrained(clustered, queries, k = 5,
+        kClusters = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    assert(part.nonEmpty && (part & exactSet).nonEmpty)
+  }
+
   test("LSH topk recall ≥ 0.8 vs brute force on clustered vectors") {
     val queries = clustered.filter($"vec_id" % 8 === 0).limit(10)
     val exact = Similarity.bruteForceTopK(clustered, queries, k = 5)
