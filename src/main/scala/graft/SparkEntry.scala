@@ -2097,19 +2097,29 @@ object SparkEntry {
                 COUNT(*) AS frequency,
                 ${sumD(s"CAST(value AS $M)")} AS monetary
               FROM p GROUP BY 1),
-      r AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM p)
-      SELECT user_id,
-             CAST(date_diff('day', last_day, ref_day) AS BIGINT)
-               AS recency_days,
-             frequency, monetary,
-             CAST(ntile(5) OVER (ORDER BY
-               date_diff('day', last_day, ref_day), user_id)
-               AS BIGINT) AS r_score,
-             CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
-               AS BIGINT) AS f_score,
-             CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
-               AS BIGINT) AS m_score
-      FROM per, r ORDER BY user_id"""),
+      r AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM p),
+      sc AS (SELECT user_id,
+               CAST(date_diff('day', last_day, ref_day) AS BIGINT)
+                 AS recency_days,
+               frequency, monetary
+             FROM per, r),
+      cuts AS (SELECT
+          ${(for (i <- 1 to 4; c <- Seq("recency_days", "frequency",
+            "monetary"))
+            yield s"round(quantile_cont($c, 0.${i * 2}), 6) AS ${c}_$i")
+            .mkString(",\n          ")}
+        FROM sc)
+      SELECT user_id, recency_days, frequency, monetary,
+             CAST(1 ${(1 to 4).map(i =>
+               s"+ CASE WHEN recency_days > recency_days_$i THEN 1 ELSE 0 END")
+               .mkString(" ")} AS BIGINT) AS r_score,
+             CAST(1 ${(1 to 4).map(i =>
+               s"+ CASE WHEN frequency < frequency_$i THEN 1 ELSE 0 END")
+               .mkString(" ")} AS BIGINT) AS f_score,
+             CAST(1 ${(1 to 4).map(i =>
+               s"+ CASE WHEN monetary < monetary_$i THEN 1 ELSE 0 END")
+               .mkString(" ")} AS BIGINT) AS m_score
+      FROM sc, cuts ORDER BY user_id"""),
     // approx-quantile scale path, calibrated: exact quantiles hashed,
     // sketch estimates bounded by the ±5%-rank window → oracle TRUE
     "profile_quantiles_approx" -> (s"""

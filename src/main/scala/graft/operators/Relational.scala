@@ -552,13 +552,16 @@ object Relational {
     * stream: per user, days since their last qualifying event
     * (relative to the corpus max — integer day arithmetic), how many,
     * and how much (DECIMAL-summed, so reduction order can't move the
-    * cents), each scored into quintiles with a deterministic
-    * (metric, user_id) tie-break.
+    * cents), each scored 1 (best) to 5 against the corpus quintile
+    * THRESHOLDS — equal metric values always get equal scores (an
+    * `ntile` would split ties across tiles AND need a single-
+    * partition global window over all users; thresholds need
+    * neither).
     *
     * Scale shape: one conditional aggregate on user_id (partial-agg,
-    * O(1) state per user), a one-row broadcast for the reference
-    * date, and three ntile windows over the USERS table — user-count
-    * sized, not event-count sized.
+    * O(1) state per user), then ONE one-row broadcast carrying the
+    * reference date and all 12 quintile thresholds — scoring is
+    * row-local. No window anywhere.
     */
   def rfm(events: DataFrame, eventType: String = "purchase",
           userCol: String = "user_id", tsCol: String = "ts",
@@ -569,21 +572,32 @@ object Relational {
         count(lit(1)).as("frequency"),
         sum(col(valueCol).cast(DecimalType(12, 2))).cast("double")
           .as("monetary"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val refDay = events.filter(col("event_type") === eventType)
       .agg(max(to_date(col(tsCol))).as("ref_day"))
-    def quintile(order: Column*) =
-      ntile(5).over(Window.orderBy(order: _*)).cast(LongType)
-    per.crossJoin(broadcast(refDay))
+    val scored = per.crossJoin(broadcast(refDay))
       .select(col("user_id"),
         datediff(col("ref_day"), col("last_day")).cast(LongType)
           .as("recency_days"),
         col("frequency"), col("monetary"))
-      .withColumn("r_score",
-        quintile(col("recency_days").asc, col("user_id").asc))
-      .withColumn("f_score",
-        quintile(col("frequency").desc, col("user_id").asc))
-      .withColumn("m_score",
-        quintile(col("monetary").desc, col("user_id").asc))
+    def thr(c: Column, p: Double) = round(percentile(c, lit(p)), 6)
+    val cutExprs = (for (i <- 1 to 4; c <- Seq("recency_days",
+      "frequency", "monetary"))
+      yield thr(col(c), i * 0.2).as(s"${c}_$i")).toSeq
+    val cuts = scored.agg(cutExprs.head, cutExprs.tail: _*)
+    // lower recency is better; higher frequency/monetary are better
+    def asc(c: String) = (lit(1L) +:
+      (1 to 4).map(i => when(col(c) > col(s"${c}_$i"), 1L)
+        .otherwise(0L))).reduce(_ + _)
+    def desc(c: String) = (lit(1L) +:
+      (1 to 4).map(i => when(col(c) < col(s"${c}_$i"), 1L)
+        .otherwise(0L))).reduce(_ + _)
+    scored.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        asc("recency_days").as("r_score"),
+        desc("frequency").as("f_score"),
+        desc("monetary").as("m_score"))
       .orderBy("user_id")
   }
 

@@ -275,7 +275,7 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("rfm: recency from corpus max day, decimal-exact monetary, " +
-      "quintiles with deterministic ties") {
+      "quintile-threshold scores — ties score equally") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s + " 12:00:00")
     val events = Seq(
@@ -289,10 +289,13 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6)))
       .toMap
-    // corpus max purchase day = 01-05 (user 1)
-    assert(out(1L) == ((0L, 2L, 10.30, 1L, 1L, 2L)))
-    assert(out(2L) == ((2L, 1L, 99.99, 2L, 2L, 1L)))
-    assert(out(3L) == ((3L, 1L, 5.00, 3L, 3L, 3L)))
+    // corpus max purchase day = 01-05 (user 1). Interpolated quintile
+    // thresholds over recency [0,2,3], frequency [2,1,1] and
+    // monetary [10.30, 99.99, 5.00]; scores count thresholds beaten,
+    // so the tied frequency 1 users score identically (3)
+    assert(out(1L) == ((0L, 2L, 10.30, 1L, 1L, 3L)))
+    assert(out(2L) == ((2L, 1L, 99.99, 3L, 3L, 1L)))
+    assert(out(3L) == ((3L, 1L, 5.00, 5L, 3L, 5L)))
   }
 
   test("upsertLatest: latest per key by (ts, tie), aggregate plan — " +

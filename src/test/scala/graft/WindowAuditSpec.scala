@@ -63,7 +63,18 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_lsh_topk" -> "query batch broadcast",
       // scalar-subquery pattern: the broadcast side is ONE row (the
       // global positive-balance average)
-      "q22_dormant_accounts" -> "1-row scalar average broadcast"
+      "q22_dormant_accounts" -> "1-row scalar average broadcast",
+      // centroid pair join: BOTH sides are the labels-sized centroid
+      // table (catalog-sized), inequality-joined on label1 < label2
+      "centroid_similarity" -> "labels x labels centroid tables",
+      // the global rollup level: 1-row merged sketch x 1-row exact twin
+      "hll_rollup_events" -> "1-row global sketch x 1-row exact",
+      // 1-row percentile-threshold broadcast against the scored corpus
+      "keep_top_quantile" -> "1-row threshold broadcast",
+      // 1-row reference-day + 1-row quintile-cuts broadcasts
+      "rfm_users" -> "1-row ref-day and cuts broadcasts",
+      // 2-value (total, n_keys) broadcast against per-key counts
+      "skew_report" -> "1-row totals broadcast"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
