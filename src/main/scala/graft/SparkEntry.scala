@@ -539,6 +539,11 @@ object SparkEntry {
     "q18_large_orders" -> Relational.q18 _,
     "q19_disjunctive" -> Relational.q19 _,
     "q22_dormant_accounts" -> Relational.q22 _,
+    "q13_count_distribution" -> Relational.q13 _,
+    "q15_top_supplier" -> Relational.q15 _,
+    "q17_small_qty" -> Relational.q17 _,
+    "q21_sole_supplier" -> Relational.q21 _,
+    "q8_market_share" -> Relational.q8 _,
     "q5_join" -> Relational.q5 _,
     "q6_filter_agg" -> Relational.q6 _,
     "q10_returns_topk" -> Relational.q10 _,
@@ -2527,6 +2532,68 @@ object SparkEntry {
         AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    "q13_count_distribution" -> ("""
+      SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
+    "q15_top_supplier" -> (s"""
+      WITH rev AS (SELECT l_suppkey, SUM($discPrice) AS r
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE r = (SELECT MAX(r) FROM rev) ORDER BY s_suppkey"""),
+    "q17_small_qty" -> (s"""
+      WITH a AS (SELECT l_partkey,
+          CAST(SUM(CAST(l_quantity AS $M)) AS DOUBLE) / COUNT(*)
+            AS avg_qty
+        FROM lineitem GROUP BY 1)
+      SELECT CAST(SUM(CAST(l.l_extendedprice AS $M)) AS DOUBLE) / 7.0
+        AS avg_yearly
+      FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+        JOIN a ON a.l_partkey = l.l_partkey
+      WHERE p_brand = 'Brand#3'
+        AND l.l_quantity < CAST(0.2 AS DOUBLE) * avg_qty"""),
+    "q21_sole_supplier" -> ("""
+      WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                  WHERE l_returnflag = 'R')
+      SELECT s_name, COUNT(*) AS numwait
+      FROM l1 JOIN orders ON o_orderkey = l1.l_orderkey
+                         AND o_orderstatus = 'F'
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+                   AND n_name = 'NATION_3'
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""),
+    "q8_market_share" -> (s"""
+      WITH j AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               n2.n_name AS supp_nation, $discPrice AS vol
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_type = 'LARGE'
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n1.n_regionkey
+                   AND r_name = 'ASIA'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey)
+      SELECT CAST(o_year AS BIGINT) AS o_year,
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                           ELSE CAST(0 AS DECIMAL(12,2)) END)
+               AS DOUBLE) / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+      FROM j GROUP BY o_year ORDER BY o_year"""),
     "q14_promo_share" -> (s"""
       SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                            THEN $discPrice

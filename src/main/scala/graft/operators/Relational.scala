@@ -224,6 +224,143 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q13-shaped order-count distribution: a LEFT OUTER join
+    * whose filter lives in the JOIN CONDITION — pushing it below the
+    * outer join would drop order-less customers, which are exactly
+    * the c_count = 0 bucket the query exists to expose — then two
+    * stacked aggregations (per-customer count, then the histogram).
+    */
+  def q13(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .join(ord(s, dir),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15-shaped top-revenue suppliers: an aggregate VIEW (per-
+    * supplier quarterly revenue) probed by a scalar subquery over
+    * itself (the max). Revenue stays DECIMAL through the equality —
+    * comparing doubles computed by two different reduction orders
+    * would be flaky; exact decimals make "= max" well-defined — and
+    * casts to double only for output.
+    */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val rev = li(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).as("_rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxRev = rev.agg(max(col("_rev")).as("_maxrev"))
+    Tables.load(s, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev))
+      .filter(col("_rev") === col("_maxrev"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: the classic CORRELATED
+    * scalar subquery (each lineitem compared to ITS part's average
+    * quantity) decorrelated into a per-part aggregate joined back on
+    * the correlation key — the rewrite Catalyst itself applies to
+    * correlated scalars, written explicitly. The per-part average is
+    * an exact decimal sum divided once in double.
+    */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val avgQty = li(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity").cast(dec)).cast("double") /
+        count(lit(1))).as("_avg_qty"))
+    li(s, dir)
+      .join(broadcast(Tables.load(s, dir, "part")
+        .filter(col("p_brand") === "Brand#3")),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgQty, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("_avg_qty"))
+      .agg((sum(col("l_extendedprice").cast(dec)).cast("double") / 7.0)
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q21-shaped sole-guilty-supplier scan: chained EXISTS
+    * (another supplier participated in the order) and NOT EXISTS (no
+    * OTHER supplier's line was returned) as LEFT SEMI + LEFT ANTI
+    * self-joins on the fact table — the probe sides carry two columns
+    * each. (No receipt/commit dates in this schema; a returned line
+    * `l_returnflag = 'R'` on a finished order stands in for q21's
+    * late delivery.)
+    */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val l1 = li(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = li(s, dir)
+      .select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("_sk2"))
+    val othersReturned = li(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("_ok3"), col("l_suppkey").as("_sk3"))
+    l1
+      .join(others,
+        col("l_orderkey") === col("_ok2") &&
+          col("l_suppkey") =!= col("_sk2"), "left_semi")
+      .join(othersReturned,
+        col("l_orderkey") === col("_ok3") &&
+          col("l_suppkey") =!= col("_sk3"), "left_anti")
+      .join(ord(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, dir, "nation"))
+        .filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q8-shaped market share: one nation's share of a part
+    * type's order volume inside one region's customer base, by order
+    * year — two ROLES of the nation dimension in one query (supplier
+    * nation for the share numerator, customer nation → region for
+    * the population filter), conditional decimal aggregation, one
+    * double division per year at the end.
+    */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val cnation = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("_cn_key"),
+        col("n_regionkey").as("_cn_region"))
+    val snation = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("_sn_key"),
+        col("n_name").as("_supp_nation"))
+    li(s, dir)
+      .join(broadcast(Tables.load(s, dir, "part")
+        .filter(col("p_type") === "LARGE")),
+        col("l_partkey") === col("p_partkey"))
+      .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cnation), col("c_nationkey") === col("_cn_key"))
+      .join(broadcast(Tables.load(s, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("_cn_region") === col("r_regionkey"))
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(snation), col("s_nationkey") === col("_sn_key"))
+      .select(year(col("o_orderdate")).cast(LongType).as("o_year"),
+        col("_supp_nation"), discPrice.as("_vol"))
+      .groupBy(col("o_year"))
+      .agg((sum(when(col("_supp_nation") === "NATION_3", col("_vol"))
+        .otherwise(lit(0).cast(dec))).cast("double") /
+        sum(col("_vol")).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** Windowed running aggregate per customer (absent in reference —
     * SURVEY §2.5): row_number + running sum over an ordered partition.
     */

@@ -339,6 +339,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q13: the ON-clause filter keeps the join LEFT OUTER — " +
+      "order-less customers survive into the 0 bucket") {
+    val df = Relational.q13(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("LeftOuter"), p.take(2000))
+    // the zero bucket exists at this SF (some customers never order
+    // below priority 1-URGENT... i.e. have only urgent orders or none)
+    val counts = df.collect().map(r => r.getLong(0)).toSet
+    assert(counts.nonEmpty)
+  }
+
+  test("q21: EXISTS and NOT EXISTS plan as semi and anti self-joins") {
+    val p = planOf(Relational.q21(spark, dir))
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("rangeJoinBinned: the interval join is an equi-join — no " +
       "nested-loop, no cartesian") {
     val ev = Tables.load(spark, dir, "events")
