@@ -319,6 +319,97 @@ object ProfileStream {
         GroupStateTimeout.EventTimeTimeout)(onGroup)
   }
 
+  final case class FunnelEvent(user_id: Long, step_idx: Int,
+                               ts: java.sql.Timestamp)
+  final case class FunnelState(times: Seq[Seq[Long]], last_us: Long)
+  final case class FunnelOut(user_id: Long, steps_completed: Long,
+                             step_ts_us: Seq[Long])
+
+  /** Streaming twin of `Relational.funnel`: per user, the in-order
+    * step completion times, emitted when the user's funnel closes
+    * (no funnel-relevant event for `idleMinutes` of EVENT time).
+    *
+    * Unlike sessionize/debounce, exact funnel semantics cannot run on
+    * O(1) state: batch takes sequential MINIMA (step k's time is the
+    * earliest step-k event after step k-1's time), so a late-arriving
+    * EARLIER step-1 event can re-qualify step-2 events that were
+    * previously ineligible. The state therefore buffers the user's
+    * step-event times inside the idle horizon — bounded by the user's
+    * funnel-relevant events per horizon, not by the stream — and the
+    * sequential-min reduction runs once at close, exactly as batch
+    * computes it (the equivalence spec replays a disordered stream).
+    */
+  def funnelStream(stream: DataFrame, steps: Seq[String],
+                   tsCol: String = "ts",
+                   userCol: String = "user_id",
+                   typeCol: String = "event_type",
+                   idleMinutes: Int = 60,
+                   watermarkDur: String = "10 minutes")
+      : Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val idleUs = idleMinutes.toLong * 60 * 1000000L
+    // 1-based array_position → 0-based step index; 0 = not a step
+    val stepIdx = (array_position(
+      typedLit(steps.toArray), col(typeCol)) - 1).cast("int")
+    val ev = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        stepIdx.as("step_idx"), col(tsCol).as("ts"))
+      .filter(col("step_idx") >= 0)
+      .withWatermark("ts", watermarkDur)
+      .as[FunnelEvent]
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    // the batch reduction: sequential strictly-after minima
+    def close(uid: Long, s: FunnelState): FunnelOut = {
+      val out = mutable.ArrayBuffer.empty[Long]
+      var prev = Option.empty[Long]
+      var k = 0
+      var go = true
+      while (go && k < steps.length) {
+        val cand = s.times(k).filter(t => prev.forall(t > _))
+        if (cand.isEmpty) go = false
+        else { prev = Some(cand.min); out += cand.min }
+        k += 1
+      }
+      FunnelOut(uid, out.length.toLong, out.toSeq)
+    }
+
+    def onGroup(uid: Long, events: Iterator[FunnelEvent],
+                state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(uid, _)).toList
+        state.remove()
+        return out.iterator
+      }
+      val empty = FunnelState(Seq.fill(steps.length)(Seq.empty), 0L)
+      var s = state.getOption.getOrElse(empty)
+      events.foreach { e =>
+        val t = micros(e.ts)
+        s = FunnelState(
+          s.times.updated(e.step_idx, s.times(e.step_idx) :+ t),
+          math.max(s.last_us, t))
+      }
+      val timeoutMs = (s.last_us + idleUs) / 1000L + 1L
+      if (timeoutMs <= state.getCurrentWatermarkMs()) {
+        val out = close(uid, s)
+        if (state.exists) state.remove()
+        Iterator.single(out)
+      } else {
+        state.update(s)
+        state.setTimeoutTimestamp(timeoutMs)
+        Iterator.empty
+      }
+    }
+
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(onGroup)
+  }
+
   /** The flatten projection of the `_doc` struct column (reuses the
     * Profiler's schema walk through a one-field wrapper).
     */

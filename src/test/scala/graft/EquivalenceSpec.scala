@@ -275,6 +275,69 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream on a replayed DISORDERED stream closes to the " +
+      "batch sequential-min funnel — late earlier step-1 events " +
+      "re-qualify later steps") {
+    val steps = Seq("view", "click", "purchase")
+    // batch 1 arrives first: user 1's view lands AFTER their click
+    // and purchase in event time — with only these rows the funnel
+    // stops at step 1
+    val batch1 = Seq(
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 10:10:00", "purchase"),
+      (1L, "2024-01-01 10:08:00", "view"),
+      (2L, "2024-01-01 09:00:00", "view"),                // view only
+      (3L, "2024-01-01 08:00:00", "view"),
+      (3L, "2024-01-01 08:30:00", "purchase"))            // skips click
+    // batch 2: a LATE view at 10:00 re-qualifies user 1's click and
+    // purchase — exact semantics must recompute the sequential mins
+    val batch2 = Seq((1L, "2024-01-01 10:00:00", "view"))
+    def toDf(rows: Seq[(Long, String, String)]) =
+      rows.toDF("user_id", "ts", "event_type")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("event_id", col("user_id") * 100)
+        .withColumn("value", lit(0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_eq")
+    val in = dir.toString + "/in"
+    toDf(batch1).write.mode("overwrite").parquet(in)
+
+    val all = batch1 ++ batch2
+    val batchTruth = Relational.funnel(toDf(all), steps).collect()
+      .map(r => r.getString(1) -> (r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = ProfileStream.funnelStream(stream, steps,
+      idleMinutes = 60, watermarkDur = "2 hours")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_eq").start()
+    try {
+      q.processAllAvailable()
+      toDf(batch2).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      // far-future sentinel closes every real funnel
+      toDf(Seq((99L, "2024-01-02 12:00:00", "view")))
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val rows = spark.table("funnel_eq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+        .filter(_._1 != 99L)
+      // user 1 must have been re-qualified by the late view
+      val u1 = rows.find(_._1 == 1L).get
+      assert(u1._2 == 3L)
+      // aggregate the per-user closes into the batch funnel's shape
+      steps.zipWithIndex.foreach { case (st, k) =>
+        val reached = rows.filter(_._2 >= k + 1)
+        assert(reached.length.toLong == batchTruth(st)._1, s"step $st")
+        if (k > 0) {
+          val lag = reached.map(r => r._3(k) - r._3(k - 1)).sum
+          assert(batchTruth(st)._2.forall(_ == lag), s"step $st lag")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("upsertLatest runs unchanged on a stream: complete-mode " +
       "replay equals the batch merge") {
     // the operator is pure groupBy + struct-max, so the SAME function
