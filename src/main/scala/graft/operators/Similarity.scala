@@ -335,6 +335,9 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }
+    if (seeds.isEmpty)   // empty corpus: no seeds, empty assignment
+      return (micro.select(col("vec_id"), col("u"),
+        lit(0).as("cluster"), lit(0L).as("dist")).limit(0), seeds)
 
     // assignment keeps `u` so the update round needs no join back
     def assign(centroids: Array[(Int, Array[Long])]): DataFrame = {
@@ -395,6 +398,10 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame = {
     val (assigned, cents) = kmeansFit(corpus, kClusters, iters,
       idCol, vecCol)
+    if (cents.isEmpty)   // empty corpus: no lists to probe
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("score"),
+        lit(0L).as("rank")).limit(0)
     val lists = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .join(assigned.select(col("vec_id").as("id"),
         col("cluster").as("cid")), "id")

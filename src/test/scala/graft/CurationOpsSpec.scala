@@ -158,6 +158,46 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Curation.curateModern(empty).count() == 0)
   }
 
+  test("this session's operators: empty inputs flow through without " +
+      "exceptions") {
+    import java.sql.Timestamp
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    val emptyEvents = Seq
+      .empty[(Long, Long, Timestamp, String, Double, String)]
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val emptyVecs = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val R = graft.operators.Relational
+    assert(graft.operators.Dedup.repeatedSpans(emptyDocs).count() == 0)
+    // funnel on an empty stream still reports every step, at zero
+    val f = R.funnel(emptyEvents, Seq("view", "click")).collect()
+    assert(f.length == 2 && f.forall(_.getLong(2) == 0L))
+    assert(R.cohortRetention(emptyEvents).count() == 0)
+    assert(R.upsertLatest(emptyEvents,
+      Seq("user_id", "event_type")).count() == 0)
+    assert(R.skewReport(emptyEvents, Seq("user_id")).count() == 0)
+    assert(R.rfm(emptyEvents).count() == 0)
+    val iv = Seq.empty[(Long, Timestamp, Timestamp)]
+      .toDF("user_id", "s", "e")
+    assert(R.rangeJoinBinned(emptyEvents, iv, Seq("user_id"),
+      "ts", "s", "e").count() == 0)
+    assert(graft.operators.Profiler.histogram(
+      Seq.empty[Tuple1[Double]].toDF("x")).count() == 0)
+    assert(Curation.keepTopQuantile(emptyDocs).count() == 0)
+    assert(graft.operators.Similarity.kmeans(emptyVecs).count() == 0)
+    assert(Curation.semdedup(emptyVecs).count() == 0)
+    assert(graft.operators.Similarity.ivfTopKTrained(emptyVecs,
+      emptyVecs).count() == 0)
+    assert(graft.operators.Similarity
+      .centroidSimilarity(emptyVecs).count() == 0)
+    val sk = graft.operators.Sketches.sketchTable(emptyEvents,
+      Seq("event_type"), "user_id")
+    assert(sk.count() == 0)
+    assert(graft.operators.Sketches.rollup(sk,
+      Seq("event_type")).count() == 0)
+  }
+
   test("gopherRules: each rule fails on its own counterexample") {
     // 52 words, mean length 25/4 = 6.25 ∈ [3,10], 26 stopword hits
     val fiftyGood = ("the and bigwords longerwords " * 13).trim
