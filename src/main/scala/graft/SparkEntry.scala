@@ -316,6 +316,10 @@ object SparkEntry {
     // storms, double-clicks); burst = sessionize's gap rule
     "debounce_events" -> ((s, d) =>
       Relational.debounce(Tables.load(s, d, "events"))),
+    // time-series resample: 6-hour buckets per user with quiet
+    // periods materialized as zeros (gap fill)
+    "resample_events" -> ((s, d) =>
+      Relational.resample(Tables.load(s, d, "events"))),
     // binned range join: error events landed inside each user's daily
     // non-error activity span — equi-join on (user, hour-bin) + row-
     // local BETWEEN, never a nested-loop plan
@@ -1321,6 +1325,27 @@ object SparkEntry {
              ((2 * w + n_tokens) // (2 * n_tokens) - 1000000) >= 0
                AS keep
       FROM s ORDER BY doc_id"""),
+    "resample_events" -> (s"""
+      WITH e AS (SELECT user_id,
+              CAST(floor(epoch_us(CAST(ts AS TIMESTAMP))
+                / 21600000000) AS BIGINT) AS bucket,
+              value
+            FROM events),
+      a AS (SELECT user_id, bucket, COUNT(*) AS n,
+              SUM(CAST(value AS $M)) AS sv
+            FROM e GROUP BY 1, 2),
+      r AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM e),
+      u AS (SELECT DISTINCT user_id FROM e),
+      g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+            FROM u, r)
+      SELECT g.user_id,
+             strftime(make_timestamp(g.bucket * 21600000000),
+               '%Y-%m-%d %H:%M:%S') AS bucket_start,
+             COALESCE(n, 0) AS n_events,
+             COALESCE(CAST(sv AS DOUBLE), 0.0) AS sum_value
+      FROM g LEFT JOIN a ON a.user_id = g.user_id
+                        AND a.bucket = g.bucket
+      ORDER BY g.user_id, bucket_start"""),
     "range_join_spans" -> (s"""
       WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
                         event_type FROM events),

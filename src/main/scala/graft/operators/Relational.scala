@@ -685,6 +685,45 @@ object Relational {
       .drop("_bin")
   }
 
+  /** Time-series resample with gap fill: per group, event counts and
+    * DECIMAL-exact value sums in fixed intervals, with EMPTY
+    * intervals materialized as zero rows — the regular grid a
+    * forecaster or anomaly detector needs (a plain groupBy silently
+    * omits quiet periods, which downstream reads as missing data,
+    * not as zero activity).
+    *
+    * Scale shape: one partial-aggregated (group, bucket) rollup over
+    * the corpus; the grid is groups × periods — analytics-sized, not
+    * corpus-sized — built from a 2-value broadcast of the corpus
+    * bucket range and an explode over the distinct groups. The
+    * gap-fill join is keyed by (group, bucket).
+    */
+  def resample(events: DataFrame, intervalMinutes: Int = 360,
+               userCol: String = "user_id", tsCol: String = "ts",
+               valueCol: String = "value"): DataFrame = {
+    val binUs = intervalMinutes.toLong * 60 * 1000000L
+    val ev = events.select(col(userCol).as("user_id"),
+      floor(unix_micros(col(tsCol)) / binUs).cast(LongType)
+        .as("bucket"),
+      col(valueCol).as("value"))
+    val agg = ev.groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).as("sv"))
+    val range = ev.agg(min(col("bucket")).as("b0"),
+      max(col("bucket")).as("b1"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("user_id"),
+        explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    grid.join(agg, Seq("user_id", "bucket"), "left_outer")
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("bucket") * binUs),
+          "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("sv").cast("double"), lit(0.0)).as("sum_value"))
+      .orderBy("user_id", "bucket_start")
+  }
+
   /** RFM segmentation (recency / frequency / monetary) over an event
     * stream: per user, days since their last qualifying event
     * (relative to the corpus max — integer day arithmetic), how many,

@@ -291,6 +291,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 1L)))   // 5-min twin suppressed
   }
 
+  test("resample: quiet periods materialize as zero rows on the " +
+      "corpus-wide grid") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: hours 10 and 12 — hour 11 is a GAP
+      (1L, 1L, ts("2024-01-01 10:15:00"), "view", 2.0, "{}"),
+      (2L, 1L, ts("2024-01-01 10:45:00"), "view", 3.0, "{}"),
+      (3L, 1L, ts("2024-01-01 12:30:00"), "view", 1.0, "{}"),
+      // user 2: only hour 12 — hours 10-11 must zero-fill anyway
+      (4L, 2L, ts("2024-01-01 12:00:00"), "view", 5.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = graft.operators.Relational
+      .resample(events, intervalMinutes = 60).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 6)   // 2 users x 3 buckets
+    assert(out((1L, "2024-01-01 10:00:00")) == ((2L, 5.0)))
+    assert(out((1L, "2024-01-01 11:00:00")) == ((0L, 0.0)))
+    assert(out((1L, "2024-01-01 12:00:00")) == ((1L, 1.0)))
+    assert(out((2L, "2024-01-01 10:00:00")) == ((0L, 0.0)))
+    assert(out((2L, "2024-01-01 12:00:00")) == ((1L, 5.0)))
+  }
+
   test("rangeJoinBinned: inclusive boundaries, multi-bin intervals, " +
       "key isolation, exactly-once pairs") {
     import java.sql.Timestamp
