@@ -74,7 +74,9 @@ class WindowAuditSpec extends AnyFunSuite {
       // 1-row reference-day + 1-row quintile-cuts broadcasts
       "rfm_users" -> "1-row ref-day and cuts broadcasts",
       // 2-value (total, n_keys) broadcast against per-key counts
-      "skew_report" -> "1-row totals broadcast"
+      "skew_report" -> "1-row totals broadcast",
+      // 1-row corpus bucket-range broadcast against distinct groups
+      "resample_events" -> "1-row bucket-range broadcast"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
