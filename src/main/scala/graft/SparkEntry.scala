@@ -1765,12 +1765,16 @@ object SparkEntry {
       WITH t AS (SELECT source, text, $toksSql AS toks FROM documents),
       m AS (SELECT source, len(toks) AS n_tokens,
               CAST(floor($qualitySql * 1e6 + 0.5) AS BIGINT) AS q6,
-              $langSql AS lang_pred FROM t)
-      SELECT source, COUNT(*) AS n_docs,
-             SUM(n_tokens) AS total_tokens,
-             CAST(SUM(q6) AS DOUBLE) / 1e6 / COUNT(*) AS avg_quality,
-             COUNT(DISTINCT lang_pred) AS n_langs
-      FROM m GROUP BY source ORDER BY source"""),
+              $langSql AS lang_pred FROM t),
+      g AS (SELECT source, COUNT(*) AS n_docs,
+              SUM(n_tokens) AS total_tokens,
+              CAST(SUM(q6) AS BIGINT) AS sum_q6,
+              COUNT(DISTINCT lang_pred) AS n_langs
+            FROM m GROUP BY source)
+      SELECT source, n_docs, total_tokens,
+             (2 * sum_q6 + n_docs) // (2 * n_docs) AS avg_quality_ppm,
+             n_langs
+      FROM g ORDER BY source"""),
     "text_repetition" -> (s"""
       WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
       b AS (SELECT doc_id, list_transform(range(1, len(toks)),

@@ -497,10 +497,24 @@ object Dedup {
     * the pigeonhole block trick: split 60 bits into maxDist+1 blocks —
     * any pair within distance shares at least one whole block, so the
     * join key is (block_idx, block_value); no all-pairs scan.
+    *
+    * Skew guard (the [[minhashNearDups]] cap, same anti-join shape): a
+    * degenerate corpus — thousands of boilerplate-identical documents
+    * hashing to one simhash — puts every copy in the same block bucket
+    * and the self-join explodes m² pairs inside ONE task. Buckets
+    * larger than `maxBucket` are pulled out of the pairwise join and
+    * routed to exact-fingerprint grouping instead: their documents are
+    * grouped by the full 60-bit simhash and each links to the group's
+    * min id (hamming 0), emitting O(m) chain rows that downstream
+    * connected-components closes into the same groups the m² expansion
+    * would. Non-identical near-dup pairs hiding in a hot bucket are
+    * dropped (the recall trade [[minhashNearDups]] makes); identical
+    * ones — the overwhelming cause of hot buckets — are all kept.
     */
   def simhashNearDups(df: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id",
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
     val sims = simhash(df, textCol, idCol)
     val nBlocks = maxDist + 1
     val width = 60 / nBlocks
@@ -512,11 +526,19 @@ object Dedup {
       .select(col("id"), col("simhash"),
         col("blk.block_idx"), col("blk.block_val"))
       .persist(StorageLevel.MEMORY_AND_DISK)   // both sides of self-join
-    val l = exploded.select(col("block_idx"), col("block_val"),
+    // bucket cap as groupBy count → anti-join (AQE broadcasts the tiny
+    // hot-bucket list), the minhashNearDups shape
+    val big = exploded.groupBy("block_idx", "block_val")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("block_idx", "block_val")
+    val bounded = exploded.join(big, Seq("block_idx", "block_val"),
+      "left_anti")
+    val l = bounded.select(col("block_idx"), col("block_val"),
       col("id").as("id1"), col("simhash").as("sh1"))
-    val r = exploded.select(col("block_idx"), col("block_val"),
+    val r = bounded.select(col("block_idx"), col("block_val"),
       col("id").as("id2"), col("simhash").as("sh2"))
-    l.join(r, Seq("block_idx", "block_val"))
+    val pairsBounded = l.join(r, Seq("block_idx", "block_val"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("sh1").bitwiseXOR(col("sh2")))
@@ -524,6 +546,16 @@ object Dedup {
       // filter BEFORE distinct: candidates repeat across blocks, so the
       // distinct's shuffle shrinks to the pairs that actually survive
       .filter(col("hamming") <= maxDist)
+    // hot-bucket escape: exact-simhash chain links, O(m) per group
+    val hotIds = exploded.join(big, Seq("block_idx", "block_val"))
+      .select(col("id"), col("simhash")).distinct()
+    val hotPairs = hotIds
+      .withColumn("id1", min(col("id"))
+        .over(Window.partitionBy(col("simhash"))))
+      .filter(col("id") =!= col("id1"))
+      .select(col("id1"), col("id").as("id2"),
+        lit(0L).as("hamming"))
+    pairsBounded.unionByName(hotPairs)
       .distinct()
       .orderBy("id1", "id2")
   }

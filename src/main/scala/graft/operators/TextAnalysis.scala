@@ -161,9 +161,11 @@ object TextAnalysis {
     * aggregated as an INTEGER (quality × 10⁶, exact because
     * [[qualityScore]] rounds to 6 decimals) so parallel reduction
     * order cannot change the result (the money-aggregate rule applied
-    * to scores), and no engine-specific decimal rounding sits in the
-    * cross-engine path — the single final division is plain IEEE
-    * double arithmetic every engine reproduces bit-for-bit.
+    * to scores), and the MEAN itself is emitted as an integer ppm via
+    * round-half-up integer division — `(2·Σq6 + n) DIV (2·n)`, the
+    * [[rarityProfile]] pattern — so not one float exists anywhere in
+    * the output row and no engine/build pair can disagree on
+    * rendering.
     */
   def corpusReport(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
@@ -174,9 +176,13 @@ object TextAnalysis {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        (sum(col("q6")).cast(DoubleType) / 1e6 / count(lit(1)))
-          .as("avg_quality"),
+        sum(col("q6")).as("sum_q6"),
         countDistinct(col("lang_pred")).as("n_langs"))
+      // all-positive sums → DIV == floor division == round-half-up mean
+      .withColumn("avg_quality_ppm",
+        expr("(2 * sum_q6 + n_docs) DIV (2 * n_docs)"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("avg_quality_ppm"), col("n_langs"))
       .orderBy("source")
   }
 

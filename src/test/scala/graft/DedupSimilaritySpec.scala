@@ -58,6 +58,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ham(sims(0L), sims(1L)) < ham(sims(0L), sims(3L)))
   }
 
+  test("simhashNearDups: hot buckets capped to exact-simhash chains") {
+    // degenerate corpus: 40 verbatim copies — every pigeonhole block
+    // lands in one bucket, which the cap must route to O(m) chain
+    // links instead of C(40,2)=780 pairwise rows
+    val boiler = (100L until 140L)
+      .map(i => (i, "identical boilerplate legal footer repeated verbatim"))
+    val all = (docs ++ boiler).toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDups(all, maxBucket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hot = capped.filter(p => p._1 >= 100L && p._2 >= 100L)
+    assert(hot.length == 39)                       // chain, not m²
+    assert(hot.forall(p => p._1 == 100L && p._3 == 0L))
+    // pairs among the base docs are untouched by the cap
+    val uncapped = Dedup.simhashNearDups(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = capped.filter(p => p._1 < 100L && p._2 < 100L).toSet
+    assert(base == uncapped)
+  }
+
   test("jaccardNearDups exact jaccard on candidates") {
     val pairs = Dedup.jaccardNearDups(df, threshold = 0.3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
