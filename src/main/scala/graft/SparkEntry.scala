@@ -258,8 +258,15 @@ object SparkEntry {
       Dedup.simhash(Tables.load(s, d, "documents"))
         .select(col("id").as("doc_id"), col("simhash"))
         .orderBy("doc_id")),
+    // maxBucket is effectively uncapped HERE because the oracle below
+    // is the plain uncapped all-pairs hamming join: with the default
+    // cap a fixture whose block bucket crosses 1000 would drop
+    // non-identical hot-bucket pairs BY DESIGN and turn the row red
+    // for a non-bug. Library callers keep the default skew cap; the
+    // capped path is pinned by its own spec (DedupSimilaritySpec).
     "dedup_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashNearDups(Tables.load(s, d, "documents"), maxDist = 3)),
+      Dedup.simhashNearDups(Tables.load(s, d, "documents"), maxDist = 3,
+        maxBucket = Int.MaxValue)),
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardNearDups(Tables.load(s, d, "documents"),
         threshold = 0.1)),
@@ -1767,12 +1774,14 @@ object SparkEntry {
               CAST(floor($qualitySql * 1e6 + 0.5) AS BIGINT) AS q6,
               $langSql AS lang_pred FROM t),
       g AS (SELECT source, COUNT(*) AS n_docs,
-              SUM(n_tokens) AS total_tokens,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
               CAST(SUM(q6) AS BIGINT) AS sum_q6,
               COUNT(DISTINCT lang_pred) AS n_langs
             FROM m GROUP BY source)
       SELECT source, n_docs, total_tokens,
-             (2 * sum_q6 + n_docs) // (2 * n_docs) AS avg_quality_ppm,
+             CAST(sum_q6 // n_docs
+               + CASE WHEN 2 * (sum_q6 % n_docs) >= n_docs
+                      THEN 1 ELSE 0 END AS BIGINT) AS avg_quality_ppm,
              n_langs
       FROM g ORDER BY source"""),
     "text_repetition" -> (s"""
@@ -2544,22 +2553,22 @@ object SparkEntry {
       FROM lineitem, orders, customer
       WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         AND l_returnflag = 'R'
-        AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
-        AND o_orderdate < TIMESTAMP '1994-10-01 00:00:00'
+        AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
       GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment
       ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""),
     "q12_priority_buckets" -> ("""
       SELECT l_returnflag,
-             SUM(CASE WHEN o_orderpriority = '1-URGENT'
-                        OR o_orderpriority = '2-HIGH'
-                      THEN 1 ELSE 0 END) AS high_line_count,
-             SUM(CASE WHEN o_orderpriority <> '1-URGENT'
-                       AND o_orderpriority <> '2-HIGH'
-                      THEN 1 ELSE 0 END) AS low_line_count
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             OR o_orderpriority = '2-HIGH'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                            AND o_orderpriority <> '2-HIGH'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       FROM lineitem, orders
       WHERE l_orderkey = o_orderkey
-        AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-        AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
     "q13_count_distribution" -> ("""
       SELECT c_count, COUNT(*) AS custdist FROM (

@@ -546,12 +546,16 @@ object Dedup {
       // filter BEFORE distinct: candidates repeat across blocks, so the
       // distinct's shuffle shrinks to the pairs that actually survive
       .filter(col("hamming") <= maxDist)
-    // hot-bucket escape: exact-simhash chain links, O(m) per group
+    // hot-bucket escape: exact-simhash chain links, O(m) per group.
+    // Survivor per simhash via groupBy min — NOT a window over the
+    // simhash partition, which would buffer every identical-simhash
+    // document in one task (re-creating the very skew the cap guards
+    // against). groupBy keeps map-side partial aggregation, and the
+    // one-row-per-simhash survivor side broadcasts under AQE.
     val hotIds = exploded.join(big, Seq("block_idx", "block_val"))
       .select(col("id"), col("simhash")).distinct()
-    val hotPairs = hotIds
-      .withColumn("id1", min(col("id"))
-        .over(Window.partitionBy(col("simhash"))))
+    val hotReps = hotIds.groupBy("simhash").agg(min(col("id")).as("id1"))
+    val hotPairs = hotIds.join(hotReps, Seq("simhash"))
       .filter(col("id") =!= col("id1"))
       .select(col("id1"), col("id").as("id2"),
         lit(0L).as("hamming"))

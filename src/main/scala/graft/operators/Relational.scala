@@ -398,9 +398,11 @@ object Relational {
     */
   def q10(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
+    // window must overlap the synthetic data (orderdates start 1995) or
+    // the probe passes vacuously on zero rows
     val o = ord(s, dir)
-      .filter(col("o_orderdate") >= lit("1993-10-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1994-10-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
     val l = li(s, dir).filter(col("l_returnflag") === "R")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
@@ -418,9 +420,11 @@ object Relational {
     */
   def q12(s: SparkSession, dir: String): DataFrame = {
     val o = ord(s, dir)
+    // window must overlap the synthetic data (shipdates start 1995) or
+    // the probe passes vacuously on zero rows
     val l = li(s, dir)
-      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1995-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(

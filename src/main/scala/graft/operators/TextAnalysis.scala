@@ -162,10 +162,10 @@ object TextAnalysis {
     * [[qualityScore]] rounds to 6 decimals) so parallel reduction
     * order cannot change the result (the money-aggregate rule applied
     * to scores), and the MEAN itself is emitted as an integer ppm via
-    * round-half-up integer division — `(2·Σq6 + n) DIV (2·n)`, the
-    * [[rarityProfile]] pattern — so not one float exists anywhere in
-    * the output row and no engine/build pair can disagree on
-    * rendering.
+    * round-half-up integer division — quotient plus a remainder test,
+    * overflow-proof at any corpus size — so not one float exists
+    * anywhere in the output row and no engine/build pair can disagree
+    * on rendering.
     */
   def corpusReport(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
@@ -178,9 +178,16 @@ object TextAnalysis {
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("q6")).as("sum_q6"),
         countDistinct(col("lang_pred")).as("n_langs"))
-      // all-positive sums → DIV == floor division == round-half-up mean
+      // round-half-up integer mean without doubling the sum: quotient
+      // plus a remainder test. `2*(sum_q6 % n_docs)` is < 2*n_docs, so
+      // nothing here can overflow Long no matter how large a source
+      // grows (the naive `(2*sum_q6 + n) DIV (2*n)` wraps silently in
+      // Spark but raises in DuckDB once sum_q6 > Long.MaxValue/2 —
+      // the engines would diverge instead of failing together). All
+      // operands are non-negative, so % and DIV agree across engines.
       .withColumn("avg_quality_ppm",
-        expr("(2 * sum_q6 + n_docs) DIV (2 * n_docs)"))
+        expr("sum_q6 DIV n_docs + " +
+          "IF(2 * (sum_q6 % n_docs) >= n_docs, 1L, 0L)"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
         col("avg_quality_ppm"), col("n_langs"))
       .orderBy("source")
