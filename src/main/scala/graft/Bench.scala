@@ -62,22 +62,32 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         dt
       }
-      val times = (1 to 2).map(_ => once())
+      val two = (1 to 2).map(_ => once())
       // both runs spiking together defeats min-of-2 (stray full-GC /
-      // VM stalls land 20s+ on random queries): when the pair
-      // disagrees >2x on non-trivial work, buy one tie-breaker
-      val best =
-        if (times.min > 1.0 && times.max > 2 * times.min)
-          math.min(times.min, once())
-        else times.min
+      // VM stalls land 20s+ on random queries). Heavy queries are the
+      // most exposed — a single stall is a large fraction of their
+      // budget and the artifact then disagrees >2x with a same-box
+      // re-run — so any query whose min-of-2 exceeds 2s buys a third
+      // run unconditionally, as does a >2x disagreement on >1s work.
+      val times =
+        if (two.min > 2.0 || (two.min > 1.0 && two.max > 2 * two.min))
+          two :+ once()
+        else two
       System.gc()
-      name -> best
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val best = results.map { case (k, v) => k -> v.min }
+    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // per-run times alongside the min: when an artifact number looks
+    // off, the run vector shows whether it was a one-off VM stall
+    // (one spike, clean min) or a real regression (all runs high)
+    val rs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (best.nonEmpty) best.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: stdout tails get truncated by log
     // capture (BENCH_r04 lost its totals line that way) — the file is
