@@ -555,6 +555,11 @@ object SparkEntry {
     "q17_small_qty" -> Relational.q17 _,
     "q21_sole_supplier" -> Relational.q21 _,
     "q8_market_share" -> Relational.q8 _,
+    "q2_min_cost_supplier" -> Relational.q2 _,
+    "q9_profit_rollup" -> Relational.q9 _,
+    "q11_important_parts" -> Relational.q11 _,
+    "q16_supplier_cnt" -> Relational.q16 _,
+    "q20_excess_suppliers" -> Relational.q20 _,
     "q5_join" -> Relational.q5 _,
     "q6_filter_agg" -> Relational.q6 _,
     "q10_returns_topk" -> Relational.q10 _,
@@ -2544,8 +2549,8 @@ object SparkEntry {
     "q6_filter_agg" -> (s"""
       SELECT ${sumD(s"CAST(l_extendedprice AS $M) * CAST(l_discount AS $R)")} AS revenue
       FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-        AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
     "q10_returns_topk" -> (s"""
       SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
@@ -2632,6 +2637,66 @@ object SparkEntry {
                            ELSE CAST(0 AS DECIMAL(12,2)) END)
                AS DOUBLE) / CAST(SUM(vol) AS DOUBLE) AS mkt_share
       FROM j GROUP BY o_year ORDER BY o_year"""),
+    "q2_min_cost_supplier" -> ("""
+      WITH offers AS (
+        SELECT l_partkey, s_name, l_extendedprice
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE')
+      SELECT DISTINCT p_partkey, p_name, s_name,
+             l_extendedprice AS min_cost
+      FROM offers
+      JOIN part ON p_partkey = l_partkey AND p_size < 10
+      WHERE l_extendedprice = (
+        SELECT min(o2.l_extendedprice) FROM offers o2
+        WHERE o2.l_partkey = offers.l_partkey)
+      ORDER BY p_partkey ASC, s_name ASC LIMIT 100"""),
+    "q9_profit_rollup" -> (s"""
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM($discPrice
+                 - CAST(p_retailprice AS $M) * CAST(l_quantity AS $M)
+                   * CAST(0.5 AS $R)) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red%'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC"""),
+    "q11_important_parts" -> (s"""
+      WITH v AS (SELECT l_partkey, SUM($discPrice) AS value
+                 FROM lineitem GROUP BY 1)
+      SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+      FROM v WHERE value * 1000 > (SELECT SUM(value) FROM v)
+      ORDER BY part_value DESC, l_partkey ASC LIMIT 100"""),
+    "q16_supplier_cnt" -> ("""
+      SELECT p_brand, p_type, p_size,
+             COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+        AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      WHERE l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+      LIMIT 50"""),
+    "q20_excess_suppliers" -> (s"""
+      WITH qty AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS $M)) AS q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        GROUP BY 1, 2),
+      pt AS (SELECT l_partkey, SUM(q) AS total FROM qty GROUP BY 1)
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey IN
+        (SELECT l_suppkey FROM qty JOIN pt USING (l_partkey)
+         WHERE q * 4 > total)
+      ORDER BY s_suppkey ASC"""),
     "q14_promo_share" -> (s"""
       SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                            THEN $discPrice

@@ -101,9 +101,11 @@ object Relational {
     * tests predicate pushdown to the parquet scan.
     */
   def q6(s: SparkSession, dir: String): DataFrame =
+    // window must overlap the synthetic data (shipdates start 1995) or
+    // the scan matches nothing and the agg returns one NULL row
     li(s, dir)
-      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
       .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(rate))
@@ -359,6 +361,145 @@ object Relational {
         .otherwise(lit(0).cast(dec))).cast("double") /
         sum(col("_vol")).cast("double")).as("mkt_share"))
       .orderBy("o_year")
+  }
+
+  /** TPC-H Q2-shaped correlated scalar MIN across a multi-way
+    * dimension join: for each small part, the supplier(s) in one
+    * region offering its cheapest line — the correlated `= (SELECT
+    * min ... WHERE correlated)` decorrelated the way Catalyst itself
+    * rewrites it: the region-filtered offer set is built ONCE, its
+    * per-part min aggregated, and the equality probed by a join on
+    * (part, price). No partsupp table in this schema; a lineitem is
+    * the offer and l_extendedprice the cost. The price is compared as
+    * the stored column value (no arithmetic on either side), so
+    * double equality is exact cross-engine.
+    */
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    val offers = li(s, dir)
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(s, dir, "region")
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("l_partkey"), col("s_name"), col("l_extendedprice"))
+    val minCost = offers.groupBy(col("l_partkey").as("_mc_part"))
+      .agg(min(col("l_extendedprice")).as("_min_cost"))
+    offers
+      .join(minCost, col("l_partkey") === col("_mc_part") &&
+        col("l_extendedprice") === col("_min_cost"))
+      .join(broadcast(Tables.load(s, dir, "part")
+        .filter(col("p_size") < 10)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("l_extendedprice").as("min_cost"))
+      .distinct()
+      .orderBy(col("p_partkey").asc, col("s_name").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q9-shaped profit rollup: LIKE-filtered parts, profit per
+    * supplier nation per order year. No ps_supplycost here — cost
+    * stands in as half the part's retail price per unit, kept DECIMAL
+    * end to end (widths stay far under DuckDB's 38-digit multiply
+    * cap) so the profit sum is reduction-order-proof; one cast to
+    * double on output.
+    */
+  def q9(s: SparkSession, dir: String): DataFrame = {
+    val cost = col("p_retailprice").cast(dec) *
+      col("l_quantity").cast(dec) * lit(0.5).cast(rate)
+    li(s, dir)
+      .join(broadcast(Tables.load(s, dir, "part")
+        .filter(col("p_name").like("red%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"),
+        (discPrice - cost).as("_amount"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("_amount")).cast("double").as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q11-shaped important-stock scan: per-part value HAVING
+    * sum > fraction-of-global-total — the group-level aggregate
+    * compared against a one-row scalar aggregate over the same data.
+    * The global total rides in on the audited 1-row broadcast join,
+    * and the threshold comparison multiplies the group sum by 1000
+    * instead of dividing the total, so both sides stay exact
+    * DECIMAL — no float enters the predicate.
+    */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val value = li(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(discPrice).as("_value"))
+    val total = value.agg(sum(col("_value")).as("_total"))
+    value.join(broadcast(total))
+      .filter(col("_value") * 1000 > col("_total"))
+      .select(col("l_partkey"),
+        col("_value").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q16-shaped supplier-count-by-part-attributes: NOT IN over
+    * a bad-supplier list planned as a LEFT ANTI join (negative
+    * account balance stands in for q16's complaint comments, which
+    * this schema lacks), then COUNT(DISTINCT) under a multi-key
+    * group — the distinct-count expands to a two-phase exact plan,
+    * never a sort within one task.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.load(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    li(s, dir)
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.load(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_type") =!= "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+      .limit(50)
+  }
+
+  /** TPC-H Q20-shaped excess-stock suppliers: nested correlated IN
+    * with a correlated scalar aggregate — suppliers shipping more
+    * than a quarter of a LIKE-filtered part's 1996 volume. The inner
+    * correlation decorrelates into two stacked aggregates on the
+    * same grouped set (per part-supplier, then per part) joined on
+    * the correlation key; the outer IN plans as a LEFT SEMI join
+    * into supplier. Quantities stay DECIMAL and the quarter
+    * threshold multiplies by 4 instead of dividing, so the predicate
+    * never touches a float.
+    */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val qty = li(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.load(s, dir, "part")
+        .filter(col("p_name").like("red%"))
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("_qty"))
+    val perPart = qty.groupBy(col("l_partkey").as("_pp_part"))
+      .agg(sum(col("_qty")).as("_part_qty"))
+    val heavy = qty
+      .join(perPart, col("l_partkey") === col("_pp_part"))
+      .filter(col("_qty") * 4 > col("_part_qty"))
+      .select(col("l_suppkey"))
+    Tables.load(s, dir, "supplier")
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey").asc)
   }
 
   /** Windowed running aggregate per customer (absent in reference —

@@ -357,6 +357,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q2: correlated scalar min decorrelates to equi-joins — " +
+      "dims broadcast, no nested-loop, no cartesian") {
+    val p = planOf(Relational.q2(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q9: LIKE filter pushes to the part scan as StartsWith and " +
+      "the dims broadcast") {
+    val p = planOf(Relational.q9(spark, dir))
+    assert(p.contains("StringStartsWith(p_name,red)"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q11: group HAVING vs global scalar — the total is a 1-row " +
+      "broadcast, not a shuffled join") {
+    val p = planOf(Relational.q11(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q16: NOT IN plans as LEFT ANTI and the distinct count " +
+      "expands, no cartesian") {
+    val p = planOf(Relational.q16(spark, dir))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q20: nested correlated IN plans as LEFT SEMI into supplier, " +
+      "no nested-loop") {
+    val p = planOf(Relational.q20(spark, dir))
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("rangeJoinBinned: the interval join is an equi-join — no " +
       "nested-loop, no cartesian") {
     val ev = Tables.load(spark, dir, "events")

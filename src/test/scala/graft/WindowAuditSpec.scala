@@ -76,7 +76,10 @@ class WindowAuditSpec extends AnyFunSuite {
       // 2-value (total, n_keys) broadcast against per-key counts
       "skew_report" -> "1-row totals broadcast",
       // 1-row corpus bucket-range broadcast against distinct groups
-      "resample_events" -> "1-row bucket-range broadcast"
+      "resample_events" -> "1-row bucket-range broadcast",
+      // HAVING-vs-global-scalar probe: the broadcast side is ONE row
+      // (the corpus-wide revenue total)
+      "q11_important_parts" -> "1-row global total broadcast"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
