@@ -84,12 +84,17 @@ object Curation {
         TextAnalysis.classifierKeepExpr(c, classifierThresholdPpm))
     // branch point: the gate+dedup survivors feed FOUR consumers (the
     // Bloom bit build's collect, the verify join's test side, the
-    // anti-join train side, the budget window) — without a persist the
-    // whole line-dedup+gate pipeline re-executes for each (measured
-    // ~4x wall time at sf0.1). Same cache-lifetime contract as the
-    // Dedup near-dup operators: long-lived sessions clearCache().
-    val deduped = Dedup.exactDedup(gated, "clean_text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // anti-join train side, the budget window) — without a
+    // materialization the whole line-dedup+gate pipeline re-executes
+    // for each (measured ~4x wall time at sf0.1). Staged to parquet
+    // rather than persist(): a persist here would outlive this call
+    // with no safe point to release it (the consumers sit in the
+    // RETURNED lazy plan), whereas the staging files cost no executor
+    // memory, leave no cached RDD behind, and give each consumer a
+    // real columnar scan (pruning + pushdown). Survivor set, not the
+    // corpus — the write is the cheap side of the 4x it saves.
+    val deduped = graft.util.Utils.stage(
+      Dedup.exactDedup(gated, "clean_text"), "curate_branch")
     val isTest = substring(md5(col("doc_id").cast("string")), 1, 1)
       .isin("0", "1")
     val train = deduped.filter(!isTest)

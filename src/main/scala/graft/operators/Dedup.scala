@@ -19,10 +19,14 @@ import graft.operators.TextAnalysis.{fingerprint, shingles, tokens}
   *
   * Cache lifetime: the near-dup operators `persist()` their shared
   * intermediates (shingle sets / block tables) and leave them cached —
-  * Spark offers no safe point to unpersist inside a lazily-evaluated
-  * query. Long-lived sessions issuing many near-dup queries should call
-  * `spark.catalog.clearCache()` between them (as `graft.Bench` does) or
-  * stage intermediates to tables.
+  * the shared subtree is consumed by BOTH sides of a self-join inside
+  * the returned lazy plan, and Spark offers no safe point to unpersist
+  * before the caller's action runs. Long-lived sessions issuing many
+  * near-dup queries should call `spark.catalog.clearCache()` between
+  * them (as `graft.Bench` does) or stage intermediates to tables.
+  * [[connectedGroups]] is the exception: it runs its own actions, so
+  * it releases every checkpoint/persist before returning (round blocks
+  * as the loop advances, the rest via a parquet staging handoff).
   */
 object Dedup {
 
@@ -216,9 +220,15 @@ object Dedup {
                                 idCol: String = "doc_id", n: Int = 8,
                                 bitsPerKey: Int = 16,
                                 numProbes: Int = 5): DataFrame = {
-    val testG = docGrams(test, textCol, idCol, n)
-      .select(col("g"), col("doc_id").as("test_id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // staged, not persisted: the test-gram table feeds BOTH the eager
+    // bit-build collect below and the verify join inside the RETURNED
+    // plan, so a persist here would outlive the call with no release
+    // point. It is benchmark-suite-sized by contract — the staging
+    // write is trivial and leaves no cached RDD behind.
+    val testG = graft.util.Utils.stage(
+      docGrams(test, textCol, idCol, n)
+        .select(col("g"), col("doc_id").as("test_id")).distinct(),
+      "bloom_testg")
     // ONE Spark job builds the filter: collect the raw (h1, h2) hash
     // pair per distinct gram, size m from the count, set bits on the
     // driver with the same Kirsch-Mitzenmacher arithmetic the
@@ -574,9 +584,12 @@ object Dedup {
     * graphs (plain neighbor propagation measured 40+ rounds on the
     * sf0.1 near-dup graph; with jumping it is a handful). The driver
     * loop is bounded by `maxIter` with one cheap count per round — the
-    * accepted shape for CC at scale (GraphX/GraphFrames do the same);
-    * at 100 TB checkpoint `labels` every ~10 rounds to cut lineage.
-    * Returns (id, group_rep).
+    * accepted shape for CC at scale (GraphX/GraphFrames do the same).
+    * Checkpoint hygiene: each round's localCheckpoint blocks are
+    * released as soon as the following round materializes, and the
+    * converged labels are staged to parquet so every block —
+    * including the last round's — is dropped before returning; the
+    * session holds no cached RDDs afterwards. Returns (id, group_rep).
     */
   def connectedGroups(pairs: DataFrame, idCol1: String = "id1",
                       idCol2: String = "id2",
@@ -634,12 +647,25 @@ object Dedup {
     // graph. localCheckpoint replaces the plan with the materialized
     // partitions; on a real cluster use a reliable checkpoint dir
     // instead (executor loss invalidates local checkpoints).
+    // checkpoint-block bookkeeping: localCheckpoint registers its RDD
+    // in getPersistentRDDs but hands back no release handle, so each
+    // checkpoint's RDD ids are captured by diffing the registry around
+    // its (eager) creation. Actions inside this call are sequential,
+    // so the diff sees exactly the blocks this round created.
+    val sc = pairs.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def release(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var pre = persistedIds
     val edges = p
       .union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
+    val edgesIds = persistedIds -- pre
     p.unpersist()
+    pre = persistedIds
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id")).localCheckpoint()
+    var curIds = persistedIds -- pre
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -657,6 +683,7 @@ object Dedup {
       // rows where rep == id. The pre-step label rides along as `old`
       // so convergence is a cheap scan of the checkpointed result —
       // not a second join+count job against the previous round.
+      pre = persistedIds
       val next = stepped
         .join(stepped.select(col("id").as("rid"), col("rep").as("rrep")),
           stepped("rep") === col("rid"), "left")
@@ -665,11 +692,24 @@ object Dedup {
             .as("rep"))
         .localCheckpoint()   // eager: materializes + cuts the lineage
       val changed = next.filter(col("rep") =!= col("old")).count()
+      val nextIds = persistedIds -- pre
+      // the previous round's blocks back nothing once `next` is
+      // materialized — release them now instead of letting every
+      // round's checkpoint pile up for the whole loop
+      release(curIds)
+      curIds = nextIds
       labels = next.select(col("id"), col("rep"))
       converged = changed == 0
       iter += 1
     }
-    labels.select(col("id"), col("rep").as("group_rep")).orderBy("id")
+    // stage the converged labels to parquet so the returned plan reads
+    // files, then drop the remaining checkpoint blocks (edges + final
+    // round) — no cached RDD survives this call
+    val out = graft.util.Utils.stage(
+      labels.select(col("id"), col("rep").as("group_rep")), "cc_labels")
+    release(edgesIds)
+    release(curIds)
+    out.orderBy("id")
   }
 
   /** n-gram Jaccard near-dups via inverted shingle index: explode

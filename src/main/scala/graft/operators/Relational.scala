@@ -986,7 +986,12 @@ object Relational {
     * user_id, so AQE/co-partitioning chains them without re-shuffling
     * wide data; per-user state is one timestamp. The per-step user
     * tables are persisted so the k summary branches don't recompute
-    * the chain k times. No windows, no per-user event lists.
+    * the chain k times, and because each summary is ONE row the whole
+    * result (k rows) is materialized eagerly in here — which gives
+    * the function a safe point to unpersist every step table before
+    * returning. Callers get a local k-row DataFrame and the session
+    * holds no cached RDDs afterwards. No windows, no per-user event
+    * lists, and the one collect is k rows by construction.
     */
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", tsCol: String = "ts",
@@ -994,11 +999,13 @@ object Relational {
     require(steps.nonEmpty, "funnel needs at least one step")
     val spark = events.sparkSession
     import org.apache.spark.storage.StorageLevel
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     var cur = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol).as("user_id"))
       .agg(min(col(tsCol)).as("t"))
       .withColumn("lag_us", lit(null).cast(LongType))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    persisted += cur
     val summaries = scala.collection.mutable.Buffer(
       cur.agg(count(lit(1)).as("n_users"),
         sum(col("lag_us")).as("sum_lag_us"))
@@ -1015,12 +1022,18 @@ object Relational {
         .withColumn("lag_us",
           unix_micros(col("t")) - unix_micros(col("t_prev")))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted += cur
       summaries += cur.agg(count(lit(1)).as("n_users"),
         sum(col("lag_us")).as("sum_lag_us"))
         .select(lit(k.toLong).as("step_idx"), lit(step).as("step"),
           col("n_users"), col("sum_lag_us"))
     }
-    summaries.reduce(_.union(_)).orderBy("step_idx")
+    val result = summaries.reduce(_.union(_)).orderBy("step_idx")
+    val rows = result.collect()   // k rows — one per step
+    persisted.foreach(_.unpersist(blocking = false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), result.schema)
+      .orderBy("step_idx")
   }
 
   /** Cohort retention: users bucketed by the week of their first

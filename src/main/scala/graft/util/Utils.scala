@@ -23,6 +23,32 @@ object Utils {
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
+  /** Materialize a branch point to parquet and read it back — the
+    * multi-consumer handoff that leaves NO cached RDD behind.
+    * `persist()` at a branch point holds executor memory until
+    * someone remembers to unpersist, and a library callee has no safe
+    * point to do that (its consumers materialize after it returns);
+    * staging to storage is the production-pipeline shape instead —
+    * Spark's own reliable `checkpoint()` is the same idea. The write
+    * is one sequential pass sized by the branch-point data (usually a
+    * small survivor set, not the corpus); consumers then share the
+    * files with full column pruning / predicate pushdown, which a
+    * block cache cannot offer. `dir` defaults to a JVM temp dir —
+    * at cluster scale pass a durable path (HDFS/object store); the
+    * caller owns the files' lifetime, exactly as with Spark
+    * checkpoint dirs.
+    */
+  def stage(df: org.apache.spark.sql.DataFrame, tag: String,
+            dir: Option[String] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val base = dir.getOrElse(
+      java.nio.file.Files.createTempDirectory(s"graft_stage_$tag")
+        .toString)
+    val path = if (dir.isDefined) s"$base/$tag" else base
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** F5: MongoDB-style URI assembly with percent-escaped credentials
     * (`core/shared.py:17-32`).
     */
