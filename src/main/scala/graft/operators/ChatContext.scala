@@ -37,6 +37,44 @@ object ChatContext {
   def toJsonArray(df: DataFrame): String =
     df.toJSON.collect().mkString("[\n", ",\n", "\n]")
 
+  /** L2 session memo with the reference's invalidation discipline
+    * (`tui.py:141-143` `watch_active_collection`): the cached context
+    * belongs to the ACTIVE collection only — switching to a different
+    * collection drops it immediately (stale context must never leak
+    * into a prompt for another collection), re-requesting the same
+    * active collection reuses it without recomputing, and switching
+    * away and back recomputes (the reference nulls the results on any
+    * change, it keeps no multi-collection map). Driver-side state for
+    * an interactive session; not thread-shared.
+    */
+  final class ContextCache {
+    private var active: Option[String] = None
+    private var block: Option[String] = None
+
+    /** The context for `collection`, computing via `compute` only on
+      * a miss (first request or collection switch).
+      */
+    def get(collection: String)(compute: => String): String = {
+      if (!active.contains(collection)) {
+        active = Some(collection)
+        block = None
+      }
+      block.getOrElse { val b = compute; block = Some(b); b }
+    }
+
+    /** Active-collection switch without a fetch — mirrors the
+      * reference resetting `current_schema_analysis_results` the
+      * moment the selection changes, before any new analysis runs.
+      */
+    def setActive(collection: String): Unit =
+      if (!active.contains(collection)) {
+        active = Some(collection)
+        block = None
+      }
+
+    def cached: Option[String] = block
+  }
+
   /** L2/L3: full context for one collection — profile (with the chat
     * path's sample_size=100 default, `views/chat_view.py:733`) + newest
     * sample docs (default 3, `views/chat_view.py:60`).

@@ -257,6 +257,41 @@ object ProfileStream {
     * open burst each; same close discipline as [[sessionizeStream]].
     * The batch operator is the replay oracle (equivalence spec).
     */
+  /** Streaming time-series resample: per (user, fixed epoch-aligned
+    * interval) event count and DECIMAL-exact value sum, emitted when
+    * the watermark closes the window — the streaming counterpart of
+    * `Relational.resample`. Buckets line up exactly with the batch
+    * operator's `floor(unix_micros / binUs)` arithmetic because
+    * Spark's `window()` is epoch-aligned for divisor durations, so a
+    * closed streaming row is bit-equal to its batch twin.
+    *
+    * Deliberately NOT gap-filled: the batch operator materializes
+    * zero rows for quiet intervals from the corpus bucket range,
+    * which is unknowable mid-stream (empty windows produce no state
+    * and the range keeps growing). Zero-filling a live feed is the
+    * reader's join against a calendar dimension — or run the batch
+    * operator over the accumulated store. State is O(users × open
+    * windows inside the watermark horizon).
+    */
+  def resampleStream(stream: DataFrame, tsCol: String = "ts",
+                     userCol: String = "user_id",
+                     valueCol: String = "value",
+                     intervalMinutes: Int = 360,
+                     watermarkDur: String = "1 day"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(col(userCol).as("user_id"),
+        window(col(tsCol), s"$intervalMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .as("_sv"))
+      .select(col("user_id"),
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket_start"),
+        col("n_events"),
+        col("_sv").cast("double").as("sum_value"))
+
   def debounceStream(stream: DataFrame, tsCol: String = "ts",
                      userCol: String = "user_id",
                      idCol: String = "event_id",

@@ -338,6 +338,51 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("resampleStream on a replayed DISORDERED stream: closed " +
+      "windows are bit-equal to the batch resample's non-gap rows") {
+    // out-of-order within the watermark: user 10's second 6h-bucket
+    // event arrives before its first-bucket one
+    val batch1 = Seq(
+      (1L, 10L, "2024-01-01 07:00:00", 2.5),
+      (2L, 10L, "2024-01-01 01:00:00", 1.25),
+      (3L, 20L, "2024-01-01 02:00:00", 4.0),
+      (4L, 10L, "2024-01-01 03:30:00", 0.5))
+    // a LATE first-bucket event for user 20, still inside the horizon
+    val batch2 = Seq((5L, 20L, "2024-01-01 05:59:00", 0.75))
+    def toDf(rs: Seq[(Long, Long, String, Double)]) =
+      rs.toDF("event_id", "user_id", "ts", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("event_type", lit("x"))
+    val all = batch1 ++ batch2
+    val batchTruth = Relational.resample(toDf(all), 360).collect()
+      .filter(_.getLong(2) > 0)   // streaming twin never emits gaps
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_eq")
+    val in = dir.toString + "/in"
+    toDf(batch1).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = ProfileStream.resampleStream(stream,
+      intervalMinutes = 360, watermarkDur = "6 hours")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("rs_eq").start()
+    try {
+      q.processAllAvailable()
+      toDf(batch2).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark past every window
+      toDf(Seq((99L, 999L, "2024-01-03 00:00:00", 0.0)))
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val got = spark.table("rs_eq").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+        .filter(_._1 != 999L).toSet
+      assert(got == batchTruth)
+    } finally q.stop()
+  }
+
   test("upsertLatest runs unchanged on a stream: complete-mode " +
       "replay equals the batch merge") {
     // the operator is pure groupBy + struct-max, so the SAME function

@@ -206,4 +206,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(ctx.contains("```json"))
     assert(ctx.contains("\"event_type\": {\"type\": \"str\"}"))
   }
+
+  test("context cache: reuse on same collection, invalidate on " +
+      "switch, recompute on switch-back (tui.py:141-143 discipline)") {
+    val cache = new ChatContext.ContextCache
+    var computes = 0
+    def fetch(name: String): String = {
+      computes += 1; s"ctx-$name-$computes"
+    }
+    // first request computes; repeat on the SAME collection reuses
+    assert(cache.get("events")(fetch("events")) == "ctx-events-1")
+    assert(cache.get("events")(fetch("events")) == "ctx-events-1")
+    assert(computes == 1)
+    // switching collections must recompute — and switching away and
+    // back recomputes AGAIN (the reference keeps no per-collection
+    // map; the old result is nulled the moment the selection changes)
+    assert(cache.get("orders")(fetch("orders")) == "ctx-orders-2")
+    assert(cache.get("events")(fetch("events")) == "ctx-events-3")
+    assert(computes == 3)
+    // a bare selection change drops the cache even with no fetch yet
+    cache.setActive("orders")
+    assert(cache.cached.isEmpty)
+    // re-selecting the already-active collection is NOT a switch
+    assert(cache.get("orders")(fetch("orders")) == "ctx-orders-4")
+    cache.setActive("orders")
+    assert(cache.cached.contains("ctx-orders-4"))
+  }
 }
