@@ -421,6 +421,13 @@ object SparkEntry {
     // scaled quality
     "cap_per_source" -> ((s, d) =>
       operators.Curation.capPerStratum(Tables.load(s, d, "documents"))),
+    // DSIR-shaped target-affinity: score the whole corpus against a
+    // two-source "target" slice via hashed-bigram frequency means
+    "dsir_affinity" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      operators.Curation.dsirAffinity(docs,
+        docs.filter(col("source").isin("src0", "src1")))
+    }),
     // Dolma-style token-budget mixture fill: named strata get their
     // own token budgets, the rest share a default
     "token_budget_sample" -> ((s, d) =>
@@ -1723,6 +1730,34 @@ object SparkEntry {
             FROM q)
       SELECT doc_id, source, q6, "rank" FROM r
       WHERE "rank" <= 10 ORDER BY doc_id"""),
+    "dsir_affinity" -> (s"""
+      WITH tg AS (SELECT $toksSql AS toks FROM documents
+                  WHERE source IN ('src0', 'src1')),
+      tgr AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+                ELSE list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1]) END) AS g FROM tg),
+      tb AS (SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+               % 65536 AS bucket FROM tgr),
+      prof AS (SELECT bucket, COUNT(*) AS c FROM tb GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS t FROM tb),
+      pf AS (SELECT bucket, (1000000 * c) // t AS freq_ppm
+             FROM prof, tot),
+      rw AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      rg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+               ELSE list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1]) END) AS g FROM rw),
+      rb AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15)
+               AS BIGINT) % 65536 AS bucket FROM rg),
+      sc AS (SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(COALESCE(freq_ppm, 0)) AS BIGINT) AS s
+             FROM rb LEFT JOIN pf USING (bucket) GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(COALESCE(s // n_grams
+               + CASE WHEN 2 * (s % n_grams) >= n_grams
+                      THEN 1 ELSE 0 END, 0) AS BIGINT) AS affinity_ppm
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+      ORDER BY d.doc_id"""),
     "token_budget_sample" -> (s"""
       WITH t AS (SELECT doc_id, source, $toksSql AS toks
                  FROM documents),

@@ -231,4 +231,62 @@ object Curation {
         TextAnalysis.tokenCount(c).cast("long").as("n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** DSIR-shaped target-affinity scoring (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling": hashed
+    * n-gram features against a target corpus): each raw document gets
+    * the integer-ppm MEAN target frequency of its word n-grams, where
+    * n-grams hash into `buckets` feature buckets (the DSIR trick that
+    * keeps the feature space fixed-size however large the vocabulary).
+    * High affinity = reads like the target distribution; compose with
+    * [[keepTopQuantile]] or a weighted [[graft.operators.Sampling]]
+    * fill for the selection step. DSIR's log-ratio importance weight
+    * needs libm; the frequency mean is the same monotone-in-affinity
+    * signal kept integer-exact end to end (the [[TextAnalysis.topTerms]]
+    * trade), so no engine/build pair can disagree on a score.
+    *
+    * Scale shape: the target profile is bucket-sized (≤ `buckets`
+    * rows) however big the target corpus — built by one explode +
+    * groupBy, carried to the raw side as a BROADCAST hash join keyed
+    * by bucket; the raw side is one explode + one doc_id-keyed
+    * groupBy. The corpus never joins itself and nothing driver-side
+    * scales with data. Integer bound: `1e6 · bucket_count` wraps only
+    * past ~9.2e12 grams in ONE bucket (a ~2e13-gram corpus spreads
+    * ~3e8 per bucket at the default width — five orders of margin).
+    * Zero-gram documents (fewer than n tokens) score 0 by definition.
+    */
+  def dsirAffinity(raw: DataFrame, target: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   n: Int = 2, buckets: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    def gramBuckets(df: DataFrame) =
+      graft.util.Utils.spread(df)
+        .select(col(idCol).as("doc_id"),
+          explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+        .withColumn("bucket",
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast(LongType)
+            % buckets)
+    val tgt = gramBuckets(target)
+    val profile = tgt.groupBy("bucket").agg(count(lit(1)).as("c"))
+    val total = tgt.agg(count(lit(1)).as("t"))
+    // 1-row total broadcast (the audited scalar pattern); per-bucket
+    // target frequency floors to ppm, and the per-doc mean rounds
+    // half-up via quotient + remainder — overflow-free
+    val prof = profile.crossJoin(broadcast(total))
+      .select(col("bucket"), expr("(1000000 * c) DIV t").as("freq_ppm"))
+    val scored = gramBuckets(raw)
+      .join(broadcast(prof), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("freq_ppm"), lit(0L))).as("s"))
+    raw.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(
+          expr("s DIV n_grams + IF(2 * (s % n_grams) >= n_grams, " +
+            "1L, 0L)"),
+          lit(0L)).as("affinity_ppm"))
+      .orderBy("doc_id")
+  }
 }

@@ -554,4 +554,31 @@ class CurationOpsSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(got == expected)
   }
+
+  test("dsirAffinity: target look-alikes outrank aliens, zero-gram " +
+      "docs score zero, single-gram doc equals its bucket frequency") {
+    // target: two 3-token docs -> four bigrams total, "a b" twice
+    val target = Seq((100L, "a b c"), (101L, "a b d")).toDF("doc_id", "text")
+    // raw: a target clone, an alien, a single-gram doc, a gram-less doc
+    val raw = Seq(
+      (1L, "a b c"),            // pure target material
+      (2L, "zz qq ww ee rr"),   // alien vocabulary
+      (3L, "a b"),              // exactly one gram, target-frequent
+      (4L, "solo")              // 1 token -> zero grams
+    ).toDF("doc_id", "text")
+    val got = Curation.dsirAffinity(raw, target).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // zero-gram doc: defined as 0/0 -> (0, 0)
+    assert(got(4L) == (0L, 0L))
+    // the single-gram doc's affinity IS the target ppm of "a b":
+    // 2 occurrences of 4 target grams -> floor(2e6/4) = 500000
+    assert(got(3L) == (1L, 500000L))
+    // clone of target text scores the mean of its grams' target ppm:
+    // "a b"=500000, "b c"=250000 -> round-half-up mean 375000
+    assert(got(1L) == (2L, 375000L))
+    // alien grams hit empty buckets (no collision at this tiny scale)
+    assert(got(2L) == (4L, 0L))
+    // ordering property the selection step relies on
+    assert(got(1L)._2 > got(2L)._2)
+  }
 }

@@ -79,7 +79,9 @@ class WindowAuditSpec extends AnyFunSuite {
       "resample_events" -> "1-row bucket-range broadcast",
       // HAVING-vs-global-scalar probe: the broadcast side is ONE row
       // (the corpus-wide revenue total)
-      "q11_important_parts" -> "1-row global total broadcast"
+      "q11_important_parts" -> "1-row global total broadcast",
+      // 1-row target-gram total against the bucket-sized profile
+      "dsir_affinity" -> "1-row gram-total broadcast"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
