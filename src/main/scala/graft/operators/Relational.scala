@@ -251,12 +251,17 @@ object Relational {
     * casts to double only for output.
     */
   def q15(s: SparkSession, dir: String): DataFrame = {
-    val rev = li(s, dir)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-      .groupBy(col("l_suppkey"))
-      .agg(sum(discPrice).as("_rev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // staged, not persisted: the revenue view feeds both the scalar
+    // max and the probe join inside the RETURNED plan, so a persist
+    // here would have no release point (the Utils.stage contract);
+    // the view is supplier-sized — the write is trivial
+    val rev = graft.util.Utils.stage(
+      li(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(discPrice).as("_rev")),
+      "q15_rev")
     val maxRev = rev.agg(max(col("_rev")).as("_maxrev"))
     Tables.load(s, dir, "supplier")
       .join(rev, col("s_suppkey") === col("l_suppkey"))
@@ -887,13 +892,18 @@ object Relational {
   def rfm(events: DataFrame, eventType: String = "purchase",
           userCol: String = "user_id", tsCol: String = "ts",
           valueCol: String = "value"): DataFrame = {
-    val per = events.filter(col("event_type") === eventType)
-      .groupBy(col(userCol).as("user_id"))
-      .agg(max(to_date(col(tsCol))).as("last_day"),
-        count(lit(1)).as("frequency"),
-        sum(col(valueCol).cast(DecimalType(12, 2))).cast("double")
-          .as("monetary"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // staged, not persisted: the per-user table feeds the threshold
+    // aggregate AND the scoring join inside the RETURNED plan — no
+    // release point for a persist (the Utils.stage contract); it is
+    // users-sized, far below the events corpus that produced it
+    val per = graft.util.Utils.stage(
+      events.filter(col("event_type") === eventType)
+        .groupBy(col(userCol).as("user_id"))
+        .agg(max(to_date(col(tsCol))).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(col(valueCol).cast(DecimalType(12, 2))).cast("double")
+            .as("monetary")),
+      "rfm_per")
     val refDay = events.filter(col("event_type") === eventType)
       .agg(max(to_date(col(tsCol))).as("ref_day"))
     val scored = per.crossJoin(broadcast(refDay))

@@ -50,6 +50,17 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("q15 and rfm leave no cached RDDs — their shared views are " +
+      "staged, not persisted") {
+    withCleanCache {
+      assert(Relational.q15(spark, dir).collect().nonEmpty)
+      val ev = Tables.load(spark, dir, "events")
+      assert(Relational.rfm(ev).collect().nonEmpty)
+      assert(cachedCount == 0,
+        s"q15/rfm left $cachedCount cached RDDs behind")
+    }
+  }
+
   test("connectedGroups (distributed path) releases every round's " +
       "checkpoint blocks and the staged labels back the result") {
     withCleanCache {
