@@ -506,6 +506,12 @@ object SparkEntry {
       val e = Tables.load(s, d, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 5)
     }),
+    // PQ ANN: m=4 sub-quantizers over the 64-dim space, sampled
+    // codebooks, asymmetric-distance scoring in integer ppm
+    "ann_pq_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
     // IVF ANN: deterministically-sampled centroids make the whole
     // index + probe pipeline oracle-replayable (unlike trained k-means)
     "ann_ivf_topk" -> ((s, d) => {
@@ -1056,6 +1062,50 @@ object SparkEntry {
         FROM probes p JOIN assign a
           ON a.cid = p.cid AND a.id <> p.query_id)
       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Full PQ replay — sampled codebook (the ivfOracle cent CTE),
+    * per-(vector, subspace) integer-ppm squared-L2 code assignment,
+    * and the ADC sum — mirroring `Similarity.pqTopK(m = 4,
+    * codebookSize = 16, dim = 64)` bit-for-bit: each subspace dot is
+    * the same left-to-right double reduction DotProduct runs.
+    */
+  private val pqOracle: String = {
+    def sdot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 17), i -> " +
+        s"CAST($a[j.j*16+i] AS DOUBLE) * CAST($b[j.j*16+i] AS DOUBLE)))"
+    s"""
+      WITH cent AS (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(cid0 AS VARCHAR)) ASC, cid0 ASC)
+                 AS cid, cvec
+        FROM (SELECT vec_id AS cid0, embedding AS cvec FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+              LIMIT 16)),
+      dj AS (
+        SELECT e.vec_id AS id, cent.cid, j.j AS j,
+               CAST(floor((${sdot("e.embedding", "e.embedding")}
+                 + ${sdot("cent.cvec", "cent.cvec")}
+                 - 2.0 * ${sdot("e.embedding", "cent.cvec")})
+                 * 1e6 + 0.5) AS BIGINT) AS d2
+        FROM embeddings e CROSS JOIN cent CROSS JOIN range(0, 4) j(j)),
+      codes AS (
+        SELECT id, j, cid AS code FROM (
+          SELECT id, j, cid, ROW_NUMBER() OVER (PARTITION BY id, j
+                   ORDER BY d2 ASC, cid ASC) AS rn FROM dj)
+        WHERE rn = 1),
+      qt AS (SELECT id AS query_id, cid, j, d2 FROM dj WHERE id < 20),
+      sc AS (SELECT qt.query_id, c.id AS neighbor_id,
+                    CAST(SUM(qt.d2) AS BIGINT) AS approx_d2_ppm
+             FROM qt JOIN codes c ON c.j = qt.j AND c.code = qt.cid
+             WHERE c.id <> qt.query_id GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, approx_d2_ppm,
+             CAST("rank" AS BIGINT) AS "rank"
+      FROM (SELECT query_id, neighbor_id, approx_d2_ppm,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY approx_d2_ppm ASC, neighbor_id ASC) AS "rank"
+            FROM sc)
+      WHERE "rank" <= 5 ORDER BY query_id, "rank" ASC"""
+  }
 
   /** [[minhashCte]] extended through banding, candidate join and
     * Jaccard verify to `mhp(id1, id2, jaccard)` — the thresholded
@@ -2140,6 +2190,7 @@ object SparkEntry {
       FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank" ASC"""),
     "ann_ivf_topk" -> ivfOracle(nprobe = 4),
     "ann_ivf_probe1" -> ivfOracle(nprobe = 1),
+    "ann_pq_topk" -> pqOracle,
     // full LSH replay (same md5-hyperplane trick as ann_lsh_topk): the
     // bucket walk, cosine verify and threshold reproduce the engine's
     // O(n·bucket) plan — this row certifies the SCALE path

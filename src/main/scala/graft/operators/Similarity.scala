@@ -427,6 +427,84 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization ANN top-k (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the third classic ANN
+    * shape next to [[lshTopK]]/[[ivfTopK]], and the one that changes
+    * the STORAGE story — each corpus vector compresses to `m` small
+    * codes (here m bytes), so a 100 TB float corpus becomes a few TB
+    * of codes that scan without touching the vectors. Split the
+    * dimension into `m` subspaces; per subspace, quantize to the
+    * nearest of `codebookSize` centroids (deterministically sampled,
+    * the [[ivfCentroids]] discipline — [[kmeansFit]] per subspace is
+    * the trained upgrade exactly as [[ivfTopKTrained]] is for IVF).
+    * Queries score candidates by ASYMMETRIC distance: the query
+    * precomputes its m × codebookSize subspace distance table (tiny),
+    * and a corpus vector's approximate distance is the SUM of m table
+    * lookups keyed by its codes — no vector arithmetic per candidate.
+    *
+    * Determinism: subspace distances are squared L2 computed from
+    * three exact left-to-right double dot products (the LSH-oracle
+    * trick) and floored to integer ppm, so code assignment, the ADC
+    * sums, and every tie-break (lowest cid / lowest neighbor id) are
+    * engine-reproducible and the DuckDB oracle replays the whole
+    * index bit-for-bit.
+    *
+    * Scale shape: the codebook is a broadcast literal-sized table;
+    * encoding is one corpus scan (corpus × codebookSize × m rows,
+    * bounded by the broadcast side); the ADC join is keyed by
+    * (subspace, code) against the m·codebookSize-row query table. At
+    * 100 TB: persist `codes` as the index (m TINYINTs per vector),
+    * re-encode only new data.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+             m: Int = 4, codebookSize: Int = 16, dim: Int = 64,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val cent = broadcast(ivfCentroids(corpus, codebookSize, idCol, vecCol))
+    // squared L2 between subspace j of a and b, in integer ppm:
+    // |a|² + |b|² − 2a·b over the slices, each dot an exact
+    // left-to-right double reduction
+    def d2ppm(a: Column, b: Column, j: Int): Column = {
+      val sa = slice(a, j * sub + 1, sub)
+      val sb = slice(b, j * sub + 1, sub)
+      floor((dot(sa, sa) + dot(sb, sb) - lit(2.0) * dot(sa, sb))
+        * 1e6 + 0.5).cast(LongType)
+    }
+    def subspaceDists(df: DataFrame, outId: String) = df
+      .join(cent)
+      .select(col(outId), col("cid"), posexplode(array(
+        (0 until m).map(j => d2ppm(col("_v"), col("cvec"), j)): _*))
+        .as(Seq("j", "d2")))
+    // corpus → m codes each: per (id, subspace) the nearest centroid
+    val aw = Window.partitionBy("id", "j")
+      .orderBy(col("d2").asc, col("cid").asc)
+    val codes = subspaceDists(
+      graft.util.Utils.spread(corpus)
+        .select(col(idCol).as("id"), col(vecCol).as("_v")), "id")
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("j"), col("cid").as("code"))
+    // queries → full m × codebookSize distance table (kept whole:
+    // ADC looks up every subspace)
+    val qtab = subspaceDists(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_v")),
+      "query_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_d2_ppm").asc, col("neighbor_id").asc)
+    codes.join(broadcast(qtab),
+        codes("j") === qtab("j") && codes("code") === qtab("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("approx_d2_ppm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("approx_d2_ppm"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Pairwise cosine between label/cluster centroids — the "how
     * semantically close are my sources/clusters" matrix that guides
     * mixture design and flags near-duplicate strata. Centroids are

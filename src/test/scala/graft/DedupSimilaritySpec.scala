@@ -171,6 +171,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(part.nonEmpty && (part & exactSet).nonEmpty)
   }
 
+  test("PQ topk: a lossless codebook (every vector is a centroid) " +
+      "reproduces the exact squared-L2 ranking; lossy PQ keeps " +
+      "recall on clustered vectors") {
+    // 16 vectors, codebookSize 16 -> the sampled codebook IS the
+    // corpus, every vector encodes to itself with d2 = 0, and the ADC
+    // sum equals the exact (ppm-floored) squared L2 per subspace
+    val tiny = clustered.filter($"vec_id" < 16)
+    val queries = tiny.filter($"vec_id" < 3)
+    val rows = tiny.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2ppm(a: Array[Float], b: Array[Float], j: Int): Long = {
+      def dot(x: Array[Float], y: Array[Float]): Double = {
+        var s = 0.0; var i = j * 4
+        while (i < j * 4 + 4) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+        s
+      }
+      math.floor((dot(a, a) + dot(b, b) - 2.0 * dot(a, b)) * 1e6 + 0.5)
+        .toLong
+    }
+    val expected = queries.collect().map(_.getLong(0)).flatMap { q =>
+      rows.keys.filter(_ != q).toSeq
+        .map(n => (q, n, (0 until 4).map(j => d2ppm(rows(q), rows(n), j))
+          .sum))
+        .sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((qq, n, d), i) => (qq, n, d, i + 1L) }
+    }.sortBy(t => (t._1, t._4)).toSeq
+    val got = Similarity.pqTopK(tiny, queries, k = 5, m = 4,
+        codebookSize = 16, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+    // lossy regime: 8 codebook entries over the clustered corpus must
+    // still put same-cluster members in front (recall > 0)
+    val q2 = clustered.filter($"vec_id" % 8 === 0).limit(10)
+    val exact = Similarity.bruteForceTopK(clustered, q2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(clustered, q2, k = 5, m = 4,
+        codebookSize = 8, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.nonEmpty && (pq & exact).nonEmpty)
+  }
+
   test("LSH topk recall ≥ 0.8 vs brute force on clustered vectors") {
     val queries = clustered.filter($"vec_id" % 8 === 0).limit(10)
     val exact = Similarity.bruteForceTopK(clustered, queries, k = 5)

@@ -30,9 +30,11 @@ class WindowAuditSpec extends AnyFunSuite {
       "json_profile_docs" -> "per-path aggregate, schema-sized",
       "json_profile_props" -> "per-path aggregate, schema-sized",
       "json_full_docs" -> "per-path aggregate, schema-sized",
-      // IVF: centroid numbering over the limit(nlist) sample (16 rows)
+      // IVF/PQ: centroid numbering over the limit(nlist) sample (16
+      // rows)
       "ann_ivf_topk" -> "centroid rank over limit(nlist) rows",
-      "ann_ivf_probe1" -> "centroid rank over limit(nlist) rows"
+      "ann_ivf_probe1" -> "centroid rank over limit(nlist) rows",
+      "ann_pq_topk" -> "codebook rank over limit(codebookSize) rows"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
@@ -60,6 +62,7 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_cosine_topk" -> "corpus x broadcast query batch",
       "ann_ivf_topk" -> "centroid table is nlist rows",
       "ann_ivf_probe1" -> "centroid table is nlist rows",
+      "ann_pq_topk" -> "codebook/query tables are codebook-sized",
       "ann_lsh_topk" -> "query batch broadcast",
       // scalar-subquery pattern: the broadcast side is ONE row (the
       // global positive-balance average)
