@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-set curation — the composition every LLM data
@@ -255,6 +255,56 @@ object Curation {
     * ~3e8 per bucket at the default width — five orders of margin).
     * Zero-gram documents (fewer than n tokens) score 0 by definition.
     */
+  /** The target profile of [[dsirAffinity]] as a DENSE ppm array
+    * indexed by bucket — the broadcast-literal form for row-local
+    * scoring (streaming ingest, or any projection-only context). ONE
+    * bounded collect, ≤ `buckets` rows by construction (the Bloom
+    * bit-build contract); at the default width the literal is 512 KB
+    * of longs, the same magnitude the decontamination filter ships.
+    */
+  def dsirProfileArray(target: DataFrame, textCol: String = "text",
+                       n: Int = 2, buckets: Int = 65536): Array[Long] = {
+    import org.apache.spark.sql.types.LongType
+    val grams = graft.util.Utils.spread(target)
+      .select(explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+      .withColumn("bucket",
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast(LongType)
+          % buckets)
+    val rows = grams.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(grams.agg(count(lit(1)).as("t"))))
+      .select(col("bucket"), expr("(1000000 * c) DIV t").as("freq_ppm"))
+      .collect()
+    val arr = new Array[Long](buckets)
+    rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Row-local (n_grams, affinity_ppm) columns scoring `textCol`
+    * against a dense profile from [[dsirProfileArray]] — bit-equal to
+    * [[dsirAffinity]]'s join path by construction (same hashing, same
+    * floors, same half-up mean), pinned by the streaming equivalence
+    * spec. Pure projection: no shuffle, no state, safe in a streaming
+    * select.
+    */
+  def dsirScoreColumns(textCol: Column, profile: Array[Long],
+                       n: Int = 2, buckets: Int = 65536)
+      : (Column, Column) = {
+    import org.apache.spark.sql.types.LongType
+    val prof = typedLit(profile.toSeq)
+    val freqs = transform(TextAnalysis.shingles(textCol, n), g =>
+      element_at(prof,
+        (conv(substring(md5(g), 1, 15), 16, 10).cast(LongType)
+          % buckets).cast("int") + 1))
+    val nGrams = size(freqs).cast(LongType)
+    val s = aggregate(freqs, lit(0L), (acc, x) => acc + x)
+    // integral divide (SQL `div`), NOT `/` — Spark's `/` on longs is
+    // DOUBLE division and loses exactness past 2^53
+    val affinity = when(nGrams === 0L, lit(0L))
+      .otherwise(call_function("div", s, nGrams) +
+        when((s % nGrams) * 2 >= nGrams, lit(1L)).otherwise(lit(0L)))
+    (nGrams, affinity)
+  }
+
   def dsirAffinity(raw: DataFrame, target: DataFrame,
                    textCol: String = "text", idCol: String = "doc_id",
                    n: Int = 2, buckets: Int = 65536): DataFrame = {

@@ -257,6 +257,29 @@ object ProfileStream {
     * open burst each; same close discipline as [[sessionizeStream]].
     * The batch operator is the replay oracle (equivalence spec).
     */
+  /** Streaming DSIR-affinity scoring: tag a live document stream with
+    * (n_grams, affinity_ppm) against a target corpus — the ingest-time
+    * "does this read like the target" gate. The target profile is
+    * computed ONCE batch-side (a bucket-sized collect, the Bloom
+    * bit-build contract) and ships as a dense array literal, so the
+    * streaming side is a PURE PROJECTION: no stream-static join, no
+    * state, no watermark needed, and the scores are bit-equal to
+    * `Curation.dsirAffinity` on the same documents (equivalence
+    * spec). NOTE calling this runs one small Spark job (the profile
+    * build) — the index-building contract `decontaminateBloomAgainst`
+    * documents.
+    */
+  def dsirScoreStream(stream: DataFrame, target: DataFrame,
+                      textCol: String = "text",
+                      n: Int = 2, buckets: Int = 65536): DataFrame = {
+    val profile = graft.operators.Curation
+      .dsirProfileArray(target, textCol, n, buckets)
+    val (nGrams, affinity) = graft.operators.Curation
+      .dsirScoreColumns(col(textCol), profile, n, buckets)
+    stream.withColumn("n_grams", nGrams)
+      .withColumn("affinity_ppm", affinity)
+  }
+
   /** Streaming time-series resample: per (user, fixed epoch-aligned
     * interval) event count and DECIMAL-exact value sum, emitted when
     * the watermark closes the window — the streaming counterpart of

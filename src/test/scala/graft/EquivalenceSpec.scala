@@ -338,6 +338,34 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dsirScoreStream: streamed row-local scores are bit-equal to " +
+      "the batch join-path dsirAffinity on the same documents") {
+    val target = Seq((100L, "a b c d"), (101L, "a b x y"))
+      .toDF("doc_id", "text")
+    val raw = Seq((1L, "a b c"), (2L, "zz qq ww"), (3L, "solo"),
+      (4L, "a b a b a b"))
+      .toDF("doc_id", "text")
+    val batch = graft.operators.Curation.dsirAffinity(raw, target)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_eq")
+    val in = dir.toString + "/in"
+    raw.write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = ProfileStream.dsirScoreStream(stream, target)
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dsir_eq").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, n_grams, affinity_ppm " +
+          "from dsir_eq").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("resampleStream on a replayed DISORDERED stream: closed " +
       "windows are bit-equal to the batch resample's non-gap rows") {
     // out-of-order within the watermark: user 10's second 6h-bucket

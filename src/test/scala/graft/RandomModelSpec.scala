@@ -316,4 +316,42 @@ class RandomModelSpec extends AnyFunSuite {
       assert(got == expected)
     }
   }
+
+  test("dsirAffinity matches the naive hashed-bucket frequency-mean " +
+      "model on random corpora (small vocab forces collisions)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(g: String): Long =
+      (BigInt(md5hex(g).substring(0, 15), 16) % 65536).toLong
+    def grams(text: String): Seq[String] = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      if (t.length < 2) Nil
+      else t.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    for (_ <- 1 to 3) {
+      val raw = randomCorpus(rnd.nextInt(80) + 20, vocab = 6)
+      val target = randomCorpus(rnd.nextInt(40) + 10, vocab = 6)
+        .map { case (id, t) => (id + 1000L, t) }
+      val tg = target.flatMap(d => grams(d._2))
+      val total = tg.size.toLong
+      val freq = tg.groupBy(bucket).map { case (b, gs) =>
+        b -> (1000000L * gs.size) / total
+      }
+      val expected = raw.map { case (id, text) =>
+        val gs = grams(text)
+        val n = gs.size.toLong
+        val s = gs.map(g => freq.getOrElse(bucket(g), 0L)).sum
+        val aff = if (n == 0) 0L
+          else s / n + (if (2 * (s % n) >= n) 1L else 0L)
+        id -> (n, aff)
+      }.toMap
+      val got = graft.operators.Curation
+        .dsirAffinity(raw.toDF("doc_id", "text"),
+          target.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got == expected)
+    }
+  }
 }
