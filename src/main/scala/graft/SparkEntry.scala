@@ -512,6 +512,11 @@ object SparkEntry {
       val e = Tables.load(s, d, "embeddings")
       Similarity.pqTopK(e, e.filter(col("vec_id") < 20), k = 5)
     }),
+    // IVF-PQ composite: coarse routing + residual PQ + per-list ADC
+    "ann_ivfpq_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
     // IVF ANN: deterministically-sampled centroids make the whole
     // index + probe pipeline oracle-replayable (unlike trained k-means)
     "ann_ivf_topk" -> ((s, d) => {
@@ -1097,6 +1102,89 @@ object SparkEntry {
       sc AS (SELECT qt.query_id, c.id AS neighbor_id,
                     CAST(SUM(qt.d2) AS BIGINT) AS approx_d2_ppm
              FROM qt JOIN codes c ON c.j = qt.j AND c.code = qt.cid
+             WHERE c.id <> qt.query_id GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, approx_d2_ppm,
+             CAST("rank" AS BIGINT) AS "rank"
+      FROM (SELECT query_id, neighbor_id, approx_d2_ppm,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY approx_d2_ppm ASC, neighbor_id ASC) AS "rank"
+            FROM sc)
+      WHERE "rank" <= 5 ORDER BY query_id, "rank" ASC"""
+  }
+
+  /** Full IVF-PQ replay — coarse routing (cosine argmax over the
+    * 8-sample), residuals as element-wise double subtraction, the
+    * 16-sample residual codebook, per-(vector, subspace) ppm code
+    * assignment, nprobe=2 probing and the per-list ADC sums —
+    * mirroring `Similarity.ivfPqTopK(nlist = 8, nprobe = 2, m = 4,
+    * codebookSize = 16, dim = 64)` bit-for-bit.
+    */
+  private val ivfPqOracle: String = {
+    def rdot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 17), i -> " +
+        s"$a[j.j*16+i] * $b[j.j*16+i]))"
+    val resid =
+      "list_transform(range(1, 65), i -> " +
+        "CAST(v[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))"
+    s"""
+      WITH coarse AS (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(cid0 AS VARCHAR)) ASC, cid0 ASC)
+                 AS ccid, cvec
+        FROM (SELECT vec_id AS cid0, embedding AS cvec FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+              LIMIT 8)),
+      routed AS (
+        SELECT id, ccid, $resid AS r FROM (
+          SELECT e.vec_id AS id, e.embedding AS v, coarse.ccid,
+                 coarse.cvec,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql.format("e.embedding", "coarse.cvec")}
+                     DESC, coarse.ccid ASC) AS crn
+          FROM embeddings e CROSS JOIN coarse)
+        WHERE crn = 1),
+      smp AS (
+        SELECT sid, ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(sid AS VARCHAR)) ASC, sid ASC)
+                 AS pqid
+        FROM (SELECT vec_id AS sid FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+              LIMIT 16)),
+      pqcent AS (SELECT smp.pqid, routed.r AS pqvec
+                 FROM smp JOIN routed ON routed.id = smp.sid),
+      cdj AS (
+        SELECT routed.id, routed.ccid, pqcent.pqid, j.j AS j,
+               CAST(floor((${rdot("routed.r", "routed.r")}
+                 + ${rdot("pqcent.pqvec", "pqcent.pqvec")}
+                 - 2.0 * ${rdot("routed.r", "pqcent.pqvec")})
+                 * 1e6 + 0.5) AS BIGINT) AS d2
+        FROM routed CROSS JOIN pqcent CROSS JOIN range(0, 4) j(j)),
+      codes AS (
+        SELECT id, ccid, j, pqid AS code FROM (
+          SELECT id, ccid, j, pqid, ROW_NUMBER() OVER (
+                   PARTITION BY id, j ORDER BY d2 ASC, pqid ASC) AS rn
+          FROM cdj)
+        WHERE rn = 1),
+      probes AS (
+        SELECT query_id, ccid, $resid AS qr FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS v, coarse.ccid,
+                 coarse.cvec,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql.format("q.embedding", "coarse.cvec")}
+                     DESC, coarse.ccid ASC) AS crn
+          FROM embeddings q CROSS JOIN coarse WHERE q.vec_id < 20)
+        WHERE crn <= 2),
+      qtab AS (
+        SELECT p.query_id, p.ccid, pqcent.pqid, j.j AS j,
+               CAST(floor((${rdot("p.qr", "p.qr")}
+                 + ${rdot("pqcent.pqvec", "pqcent.pqvec")}
+                 - 2.0 * ${rdot("p.qr", "pqcent.pqvec")})
+                 * 1e6 + 0.5) AS BIGINT) AS d2
+        FROM probes p CROSS JOIN pqcent CROSS JOIN range(0, 4) j(j)),
+      sc AS (SELECT qt.query_id, c.id AS neighbor_id,
+                    CAST(SUM(qt.d2) AS BIGINT) AS approx_d2_ppm
+             FROM qtab qt JOIN codes c
+               ON c.ccid = qt.ccid AND c.j = qt.j AND c.code = qt.pqid
              WHERE c.id <> qt.query_id GROUP BY 1, 2)
       SELECT query_id, neighbor_id, approx_d2_ppm,
              CAST("rank" AS BIGINT) AS "rank"
@@ -2191,6 +2279,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfOracle(nprobe = 4),
     "ann_ivf_probe1" -> ivfOracle(nprobe = 1),
     "ann_pq_topk" -> pqOracle,
+    "ann_ivfpq_topk" -> ivfPqOracle,
     // full LSH replay (same md5-hyperplane trick as ann_lsh_topk): the
     // bucket walk, cosine verify and threshold reproduce the engine's
     // O(n·bucket) plan — this row certifies the SCALE path

@@ -505,6 +505,111 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ composite ANN (the FAISS-standard composition, Jégou et
+    * al. 2011 §IV): the coarse quantizer routes each vector to one of
+    * `nlist` inverted lists, and product quantization encodes the
+    * RESIDUAL (vector − its coarse centroid) — residuals concentrate
+    * near zero, so the same codebook budget quantizes them far better
+    * than raw vectors. Queries probe `nprobe` nearest lists; within a
+    * list the query's residual against THAT list's centroid builds
+    * the m × codebookSize ADC table, and candidates score as sums of
+    * code lookups, never touching a stored vector.
+    *
+    * Determinism: coarse routing is [[ivfTopK]]'s cosine argmax with
+    * cid tie-breaks; residual arithmetic is element-wise double
+    * subtraction; subspace distances are the [[pqTopK]] integer-ppm
+    * squared-L2; so the whole index — lists, codes, ADC sums — is
+    * engine-reproducible and the oracle replays it bit-for-bit.
+    *
+    * Scale shape: both codebooks broadcast; the corpus is touched by
+    * exactly two scans (route, encode) and the index it leaves behind
+    * is `nlist` partitions of m-byte codes — the layout that serves
+    * 100 TB of embeddings from a fraction of the footprint. Residual
+    * PQ codebooks come from the same md5-ordered sample as the coarse
+    * centroids ([[kmeansFit]] per subspace is the trained upgrade).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                nlist: Int = 8, nprobe: Int = 2,
+                m: Int = 4, codebookSize: Int = 16, dim: Int = 64,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val coarse = broadcast(ivfCentroids(corpus, nlist, idCol, vecCol))
+    // residual vs the assigned/probed coarse centroid, in doubles
+    def residual(v: Column, c: Column): Column =
+      zip_with(v, c, (x, y) => x.cast("double") - y.cast("double"))
+    // coarse routing: nearest centroid by cosine, cid tie-break
+    val aw = Window.partitionBy("id")
+      .orderBy(col("cscore").desc, col("ccid").asc)
+    val routed = graft.util.Utils.spread(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .join(coarse.select(col("cid").as("ccid"), col("cvec")))
+      .withColumn("cscore", cosine(col("_v"), col("cvec")))
+      .withColumn("crn", row_number().over(aw))
+      .filter(col("crn") === 1)
+      .select(col("id"), col("ccid"),
+        residual(col("_v"), col("cvec")).as("_r"))
+    // residual PQ codebook: the md5-ordered sample's RESIDUALS
+    // against their own coarse centroids (the ivfCentroids sampling
+    // discipline, but keeping the sampled ids so the residuals can be
+    // looked up in `routed`)
+    val sw = Window.orderBy(col("h").asc, col("sid").asc)
+    val sample = corpus
+      .select(col(idCol).as("sid"), md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h").asc, col("sid").asc).limit(codebookSize)
+      .withColumn("pqid", row_number().over(sw).cast("long"))
+      .select(col("sid"), col("pqid"))
+    val pqCent = broadcast(
+      routed.join(sample, col("id") === col("sid"))
+        .select(col("pqid"), col("_r").as("pqvec")))
+    val d2 = (a: Column, b: Column, j: Int) => {
+      val sa = slice(a, j * sub + 1, sub)
+      val sb = slice(b, j * sub + 1, sub)
+      floor((dot(sa, sa) + dot(sb, sb) - lit(2.0) * dot(sa, sb))
+        * 1e6 + 0.5).cast(org.apache.spark.sql.types.LongType)
+    }
+    // encode: per (vector, subspace) the nearest residual centroid
+    val ew = Window.partitionBy("id", "j")
+      .orderBy(col("d2").asc, col("pqid").asc)
+    val codes = routed.join(pqCent)
+      .select(col("id"), col("ccid"), col("pqid"), posexplode(array(
+        (0 until m).map(j => d2(col("_r"), col("pqvec"), j)): _*))
+        .as(Seq("j", "d2")))
+      .withColumn("rn", row_number().over(ew))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("ccid"), col("j"), col("pqid").as("code"))
+    // queries: nprobe nearest lists, then a per-(query, list) ADC
+    // table over the query's residual against that list's centroid
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("ccid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_q"))
+      .join(coarse.select(col("cid").as("ccid"), col("cvec")))
+      .withColumn("cscore", cosine(col("_q"), col("cvec")))
+      .withColumn("crn", row_number().over(qw))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("ccid"),
+        residual(col("_q"), col("cvec")).as("_qr"))
+    val qtab = probes.join(pqCent)
+      .select(col("query_id"), col("ccid"), col("pqid"), posexplode(
+        array((0 until m).map(j => d2(col("_qr"), col("pqvec"), j)): _*))
+        .as(Seq("j", "d2")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_d2_ppm").asc, col("neighbor_id").asc)
+    codes.join(broadcast(qtab),
+        codes("ccid") === qtab("ccid") && codes("j") === qtab("j") &&
+          codes("code") === qtab("pqid"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("approx_d2_ppm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("approx_d2_ppm"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Pairwise cosine between label/cluster centroids — the "how
     * semantically close are my sources/clusters" matrix that guides
     * mixture design and flags near-duplicate strata. Centroids are

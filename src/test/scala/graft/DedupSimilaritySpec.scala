@@ -213,6 +213,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pq.nonEmpty && (pq & exact).nonEmpty)
   }
 
+  test("IVF-PQ topk: one coarse list + lossless residual codebook " +
+      "reproduces the exact residual-space L2 ranking") {
+    // nlist=1 -> every vector shares ONE coarse centroid c (the
+    // md5-min sample), residual = v - c; codebookSize = corpus size
+    // -> every residual encodes to itself, so the ADC sum is the
+    // exact ppm-floored squared L2 between residuals — replicated
+    // here with the same |a|²+|b|²-2ab formula per subspace
+    val tiny = clustered.filter($"vec_id" < 16)
+    val queries = tiny.filter($"vec_id" < 3)
+    val rows = tiny.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cId = rows.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).head
+    val res: Map[Long, Array[Double]] = rows.map { case (id, v) =>
+      id -> v.indices.map(i =>
+        v(i).toDouble - rows(cId)(i).toDouble).toArray
+    }
+    def d2ppm(a: Array[Double], b: Array[Double], j: Int): Long = {
+      def dot(x: Array[Double], y: Array[Double]): Double = {
+        var s = 0.0; var i = j * 4
+        while (i < j * 4 + 4) { s += x(i) * y(i); i += 1 }
+        s
+      }
+      math.floor((dot(a, a) + dot(b, b) - 2.0 * dot(a, b)) * 1e6 + 0.5)
+        .toLong
+    }
+    val expected = queries.collect().map(_.getLong(0)).flatMap { q =>
+      rows.keys.filter(_ != q).toSeq
+        .map(n => (q, n, (0 until 4).map(j => d2ppm(res(q), res(n), j))
+          .sum))
+        .sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((qq, n, d), i) => (qq, n, d, i + 1L) }
+    }.sortBy(t => (t._1, t._4)).toSeq
+    val got = Similarity.ivfPqTopK(tiny, queries, k = 5, nlist = 1,
+        nprobe = 1, m = 4, codebookSize = 16, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("LSH topk recall ≥ 0.8 vs brute force on clustered vectors") {
     val queries = clustered.filter($"vec_id" % 8 === 0).limit(10)
     val exact = Similarity.bruteForceTopK(clustered, queries, k = 5)
