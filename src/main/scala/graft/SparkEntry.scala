@@ -560,6 +560,12 @@ object SparkEntry {
     // — multimodal plumbing (binary columns + typed metadata) —
     "multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.load(s, d, "documents"))),
+    // frame sampling over the same constructed payloads: 4 windows of
+    // 16 bytes per blob, stub demuxer = even byte stride
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.testPayload(Tables.load(s, d, "documents")),
+        "payload")),
     // — relational surface (SURVEY §2.3/§2.5, free from Spark) —
     "q1_agg" -> Relational.q1 _,
     "q3_join_topk" -> Relational.q3 _,
@@ -2237,6 +2243,31 @@ object SparkEntry {
         CAST(CAST(('0x' || substr(md5(hex(payload)), 5, 4)) AS INTEGER)
           % 1080 + 1 AS BIGINT) AS stub_height
       FROM p ORDER BY doc_id"""),
+    "multimodal_frames" -> ("""
+      WITH p AS (
+        SELECT doc_id,
+          (CASE doc_id % 4
+             WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB
+             WHEN 1 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB
+             WHEN 2 THEN ('RIFF'::BLOB || '\x00\x00\x00\x00'::BLOB || 'WAVE'::BLOB)
+             ELSE '\x00'::BLOB END) || CAST(text AS BLOB) AS payload
+        FROM documents),
+      f AS (
+        -- DuckDB 1.0 cannot substring a BLOB, so the byte window is
+        -- cut in HEX space (2 hex chars per byte — exactly the bytes
+        -- Spark's binary substr takes, and md5(hex) is the shared
+        -- portable hash)
+        SELECT doc_id, CAST(i.i AS BIGINT) AS frame_idx,
+               greatest(octet_length(payload) - 16, 0) * i.i // 3 + 1
+                 AS byte_offset,
+               substr(hex(payload),
+                 CAST((greatest(octet_length(payload) - 16, 0) * i.i // 3)
+                   * 2 + 1 AS INTEGER), 32) AS frame_hex
+        FROM p CROSS JOIN range(0, 4) i(i))
+      SELECT doc_id, frame_idx, CAST(byte_offset AS BIGINT) AS byte_offset,
+             CAST(length(frame_hex) // 2 AS BIGINT) AS frame_len,
+             md5(frame_hex) AS frame_md5
+      FROM f ORDER BY doc_id, frame_idx"""),
     "ann_cosine_topk" -> (s"""
       WITH q AS (SELECT vec_id AS qid, embedding AS qv
                  FROM embeddings WHERE vec_id < 20),

@@ -63,20 +63,65 @@ object Multimodal {
     }(enc)
   }
 
+  /** Fixed-stride frame sampling over a binary payload: `n` evenly
+    * spaced byte windows per blob, emitted as one row each with the
+    * window's offset, length and content hash — the row shape and
+    * fan-out of video keyframe extraction with the DEMUXER stubbed as
+    * byte arithmetic (a real codec's keyframe index drops into the
+    * offset expression; the downstream contract — n rows per blob,
+    * (blob, frame_idx) key, binary frame column — is what a training
+    * pipeline builds against). Row-local: a posexplode over a
+    * computed offset array plus binary substring; no shuffle, no
+    * state, scan-bound at any corpus size. Offsets are exact integer
+    * arithmetic: frame i starts at `max(len − frameBytes, 0) · i
+    * DIV (n−1) + 1` (1-based), so first/last frames pin to the
+    * payload ends and short blobs yield n identical whole-payload
+    * windows.
+    */
+  def frameSample(df: DataFrame, binCol: String, n: Int = 4,
+                  frameBytes: Int = 16,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "need at least one frame")
+    val len = octet_length(col(binCol)).cast(LongType)
+    val denom = lit(math.max(n - 1, 1).toLong)
+    val offs = array((0 until n).map { i =>
+      call_function("div",
+        greatest(len - frameBytes, lit(0L)) * lit(i.toLong), denom) + 1L
+    }: _*)
+    df.select(col(idCol), col(binCol).as("_bin"),
+        posexplode(offs).as(Seq("frame_idx", "byte_offset")))
+      .select(col(idCol), col("frame_idx").cast(LongType).as("frame_idx"),
+        col("byte_offset"),
+        col("_bin").substr(col("byte_offset"), lit(frameBytes))
+          .as("frame"))
+      .select(col(idCol), col("frame_idx"), col("byte_offset"),
+        octet_length(col("frame")).cast(LongType).as("frame_len"),
+        md5(hex(col("frame"))).as("frame_md5"))
+      .orderBy(idCol, "frame_idx")
+  }
+
   /** Full media-meta pipeline over a constructed binary column (the
     * test tables carry no real media; documents' text bytes with a
     * per-row magic prefix exercise every sniff branch).
     */
-  def mediaMeta(df: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
+  /** The constructed test payload (magic prefix + text bytes) shared
+    * by [[mediaMeta]] and the frame-sample fixture.
+    */
+  def testPayload(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
     val magic = when(col(idCol) % 4 === 0,
         unhex(lit("FFD8FFE0")))                       // jpeg
       .when(col(idCol) % 4 === 1, unhex(lit("89504E470D0A1A0A")))  // png
       .when(col(idCol) % 4 === 2,
         unhex(lit("524946460000000057415645")))       // RIFF....WAVE
       .otherwise(unhex(lit("00")))                    // unknown
-    val withBin = df.select(col(idCol),
+    df.select(col(idCol),
       concat(magic, encode(col(textCol), "UTF-8")).as("payload"))
+  }
+
+  def mediaMeta(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val withBin = testPayload(df, idCol, textCol)
     val meta = attachMeta(withBin, "payload")
     val (w, h) = stubDecodeDims(col("payload"))
     meta.select(col(idCol), col("byte_len"), col("format"),

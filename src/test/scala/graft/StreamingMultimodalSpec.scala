@@ -182,6 +182,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(r.getLong(5) >= 1 && r.getLong(5) <= 1080)   // stub_height
   }
 
+  test("multimodal: frameSample cuts n evenly-spaced byte windows, " +
+      "short blobs collapse to whole-payload frames") {
+    // 40-byte payload, 4 frames of 16 -> offsets 1, 9, 17, 25
+    val bytes = (0 until 40).map(_.toByte).toArray
+    val df = Seq((1L, bytes), (2L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.frameSample(df, "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(1L, 9L, 17L, 25L))
+    assert(d1.forall(_._4 == 16L))
+    // 3-byte blob: every frame starts at 1 and is the whole payload
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.map(_._3).toSeq == Seq(1L, 1L, 1L, 1L))
+    assert(d2.forall(_._4 == 3L))
+    // distinct hashes for doc 1 (windows differ), one hash for doc 2
+    val h = Multimodal.frameSample(df, "payload").collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    assert(h.filter(_._1 == 1L).map(_._2).distinct.length == 4)
+    assert(h.filter(_._1 == 2L).map(_._2).distinct.length == 1)
+  }
+
   test("multimodal: mapBatches feeds fixed-size batches") {
     val df = spark.range(25).toDF("id")
     val out = Multimodal.mapBatches(df.repartition(1), 10,
