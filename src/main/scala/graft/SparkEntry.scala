@@ -276,6 +276,14 @@ object SparkEntry {
       Dedup.repeatedSpans(Tables.load(s, d, "documents"))),
     "decontaminate" -> ((s, d) =>
       Dedup.decontaminate(Tables.load(s, d, "documents"))),
+    // the test-side audit view of the same split: per eval doc, how
+    // much of it leaks into train and from how many documents
+    "contamination_report" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val isTest = substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1")
+      Dedup.contaminationReport(docs.filter(!isTest), docs.filter(isTest))
+    }),
     // the Bloom-prefiltered scale path of the same operator: identical
     // result by construction (exact verify join removes false
     // positives), so it shares the exact oracle SQL
@@ -1433,6 +1441,37 @@ object SparkEntry {
              COUNT(DISTINCT test_id) AS n_test_docs
       FROM train JOIN test USING (g)
       GROUP BY 1 ORDER BY doc_id"""),
+    "contamination_report" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s AS (SELECT doc_id,
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                AS is_test,
+              $shingles8Sql AS sh FROM t),
+      inv AS (SELECT doc_id, is_test, unnest(sh) AS g FROM s),
+      test AS (SELECT DISTINCT g, doc_id AS test_id FROM inv
+               WHERE is_test),
+      train AS (SELECT doc_id, g FROM inv WHERE NOT is_test),
+      hits AS (SELECT test_id,
+                 CAST(COUNT(DISTINCT train.g) AS BIGINT)
+                   AS n_shared_ngrams,
+                 CAST(COUNT(DISTINCT train.doc_id) AS BIGINT)
+                   AS n_train_docs
+               FROM train JOIN test USING (g) GROUP BY 1),
+      tot AS (SELECT doc_id AS test_id,
+                CAST(len(sh) AS BIGINT) AS n_ngrams
+              FROM s WHERE is_test)
+      SELECT tot.test_id, tot.n_ngrams,
+             COALESCE(n_shared_ngrams, 0) AS n_shared_ngrams,
+             COALESCE(n_train_docs, 0) AS n_train_docs,
+             CAST(CASE WHEN tot.n_ngrams = 0 THEN 0
+               ELSE (1000000 * COALESCE(n_shared_ngrams, 0))
+                      // tot.n_ngrams
+                  + CASE WHEN 2 * ((1000000 * COALESCE(n_shared_ngrams,
+                           0)) % tot.n_ngrams) >= tot.n_ngrams
+                         THEN 1 ELSE 0 END
+               END AS BIGINT) AS exposed_ppm
+      FROM tot LEFT JOIN hits USING (test_id)
+      ORDER BY test_id"""),
     // bit-identical to the exact operator by construction — the Bloom
     // prefilter only prunes, the exact join decides
     "decontaminate_bloom" -> (s"""

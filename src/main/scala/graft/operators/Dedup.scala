@@ -191,6 +191,47 @@ object Dedup {
     contaminationAgg(docGrams(train, textCol, idCol, n), testG)
   }
 
+  /** The audit view of decontamination, flipped to the TEST side: for
+    * each benchmark/eval document, how exposed it is in the training
+    * corpus — distinct leaked n-grams, distinct train documents
+    * carrying them, and the leaked share of its own n-grams as an
+    * integer ppm (round-half-up, the cross-engine mean discipline).
+    * [[decontaminateAgainst]] answers "which TRAIN docs to drop";
+    * this answers "which EVAL items are compromised and how badly" —
+    * the report an eval-integrity review wants. Zero-gram test docs
+    * (shorter than n tokens) report 0/0/0.
+    *
+    * Scale shape: same as the filter twin — the corpus is scanned
+    * once, the test gram table broadcasts, and the rollup is keyed by
+    * test id (benchmark-sized).
+    */
+  def contaminationReport(train: DataFrame, test: DataFrame,
+                          textCol: String = "text",
+                          idCol: String = "doc_id",
+                          n: Int = 8): DataFrame = {
+    val testG = docGrams(test, textCol, idCol, n)
+      .select(col("g"), col("doc_id").as("test_id")).distinct()
+    val hits = docGrams(train, textCol, idCol, n)
+      .join(broadcast(testG), "g")
+      .groupBy(col("test_id"))
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+        countDistinct(col("doc_id")).as("n_train_docs"))
+    test
+      .select(col(idCol).as("test_id"),
+        size(array_distinct(shingles(col(textCol), n)))
+          .cast(LongType).as("n_ngrams"))
+      .join(hits, Seq("test_id"), "left")
+      .select(col("test_id"), col("n_ngrams"),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+      .withColumn("exposed_ppm",
+        when(col("n_ngrams") === 0L, lit(0L)).otherwise(
+          expr("(1000000 * n_shared_ngrams) DIV n_ngrams + " +
+            "IF(2 * ((1000000 * n_shared_ngrams) % n_ngrams) " +
+            ">= n_ngrams, 1L, 0L)")))
+      .orderBy("test_id")
+  }
+
   /** The 100 TB shape of [[decontaminateAgainst]]: instead of joining
     * every training shingle against the broadcast test n-gram set, a
     * Bloom filter over the test n-grams (~`bitsPerKey`/8 bytes per

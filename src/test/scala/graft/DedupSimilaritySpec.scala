@@ -213,6 +213,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pq.nonEmpty && (pq & exact).nonEmpty)
   }
 
+  test("contaminationReport: per-test exposure counts and ppm on a " +
+      "hand-built overlap") {
+    // 10-token texts -> 3 distinct 8-grams each; t1 shares its first
+    // 8-gram with train doc 1 (and only that one)
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")         // w1..w10
+    val shifted = ((2 to 11).map(i => s"w$i")).mkString(" ")    // w2..w11
+    val train = Seq((1L, base), (2L, "a b c")).toDF("doc_id", "text")
+    val test = Seq((10L, shifted), (11L, "x y z"), (12L, "short"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, test).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // shifted has 8-grams (w2..w9, w3..w10, w4..w11); base has
+    // (w1..w8, w2..w9, w3..w10) -> 2 shared, from 1 train doc;
+    // exposure = round-half-up(2e6/3) = 666667
+    assert(got(10L) == (3L, 2L, 1L, 666667L))
+    // no overlap and zero-gram docs
+    assert(got(11L) == (0L, 0L, 0L, 0L))
+    assert(got(12L) == (0L, 0L, 0L, 0L))
+  }
+
   test("IVF-PQ topk: one coarse list + lossless residual codebook " +
       "reproduces the exact residual-space L2 ranking") {
     // nlist=1 -> every vector shares ONE coarse centroid c (the
