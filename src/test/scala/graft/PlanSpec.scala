@@ -395,6 +395,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("dsirAffinity: the target profile rides a broadcast hash " +
+      "join, never a shuffled one") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.Curation.dsirAffinity(docs,
+      docs.filter(org.apache.spark.sql.functions.col("source") === "src0")))
+    // the bucket-keyed profile join must broadcast; the one
+    // SortMergeJoin allowed is the doc-keyed LEFT OUTER gap fill
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin Inner"), p.take(2000))
+  }
+
+  test("frameSample: pure projection — no exchange anywhere in the " +
+      "plan before the output sort") {
+    val docs = Tables.load(spark, dir, "documents")
+    val df = graft.operators.Multimodal.frameSample(
+      graft.operators.Multimodal.testPayload(docs), "payload")
+    // the operator body must be shuffle-free: the ONLY exchange in
+    // the whole plan is the presentation orderBy's range partitioning
+    val p = planOf(df)
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert("Exchange rangepartitioning".r.findAllMatchIn(p).length <= 1,
+      p.take(2000))
+  }
+
   test("rangeJoinBinned: the interval join is an equi-join — no " +
       "nested-loop, no cartesian") {
     val ev = Tables.load(spark, dir, "events")
