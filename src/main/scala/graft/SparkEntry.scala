@@ -91,6 +91,17 @@ object SparkEntry {
         .union(level("global", Seq.empty))
         .orderBy("level", "event_type", "day")
     }),
+    // mergeable-quantile staging: per-slice exact bin arrays merged to
+    // a coarser level without rescanning raw data; every column exact
+    // (bins are integers, the estimate is one shared double midpoint)
+    "quantile_rollup_lineitem" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val sk = operators.Sketches.binSketch(li,
+        Seq("l_returnflag", "l_linestatus"), "l_extendedprice",
+        bins = 256, lo = 0.0, hi = 110000.0)
+      operators.Sketches.quantileRollup(sk, Seq("l_returnflag"),
+        Seq(0.25, 0.5, 0.9, 0.99), bins = 256, lo = 0.0, hi = 110000.0)
+    }),
     "profile_stats_embeddings" -> ((s, d) =>
       Profiler.profileStats(Tables.load(s, d, "embeddings"))),
     // equi-width histogram per numeric path: tiny range aggregate
@@ -1441,6 +1452,30 @@ object SparkEntry {
              COUNT(DISTINCT test_id) AS n_test_docs
       FROM train JOIN test USING (g)
       GROUP BY 1 ORDER BY doc_id"""),
+    "quantile_rollup_lineitem" -> ("""
+      WITH b AS (
+        SELECT l_returnflag, l_linestatus,
+               least(greatest(CAST(floor((l_extendedprice - 0.0)
+                 / (110000.0 / 256)) AS BIGINT), 0), 255) AS bin
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      c AS (SELECT l_returnflag, l_linestatus, bin, COUNT(*) AS c
+            FROM b GROUP BY 1, 2, 3),
+      m AS (SELECT l_returnflag, bin, CAST(SUM(c) AS BIGINT) AS cnt
+            FROM c GROUP BY 1, 2),
+      cum AS (SELECT l_returnflag, bin, cnt,
+                CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+                  ORDER BY bin) AS BIGINT) AS cum,
+                CAST(SUM(cnt) OVER (PARTITION BY l_returnflag)
+                  AS BIGINT) AS n_rows
+              FROM m),
+      q AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+      SELECT l_returnflag, q, bin AS bin_idx,
+             0.0 + (bin + 0.5) * (110000.0 / 256) AS est,
+             n_rows
+      FROM cum, q
+      WHERE cum > CAST(floor(q * (n_rows - 1) + 0.5) AS BIGINT)
+        AND cum - cnt <= CAST(floor(q * (n_rows - 1) + 0.5) AS BIGINT)
+      ORDER BY l_returnflag, q"""),
     "contamination_report" -> (s"""
       WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
       s AS (SELECT doc_id,

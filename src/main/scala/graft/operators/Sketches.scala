@@ -39,4 +39,76 @@ object Sketches {
         sum(col("n_rows")).as("n_rows"))
     if (groups.isEmpty) agg else agg.orderBy(groups.map(col): _*)
   }
+
+  /** The QUANTILE twin of [[sketchTable]]: per group, an exact
+    * fixed-range equi-width bin-count array over `target` — the
+    * mergeable percentile structure (merge = element-wise sum, an
+    * exact integer operation, so unlike HLL every output column is
+    * hashable cross-engine). `lo`/`hi` fix the domain up front (at
+    * scale you know it, or one tiny range pass finds it); values clamp
+    * into the edge bins, the t-digest trade made deterministic.
+    * Estimate error is bounded by the bin width — choose `bins` for
+    * the resolution the consumer needs (1024 bins ⇒ ~0.1 % of range).
+    */
+  def binSketch(df: DataFrame, groups: Seq[String], target: String,
+                bins: Int = 256, lo: Double, hi: Double): DataFrame = {
+    require(hi > lo, "need a non-empty value range")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(target) - lo) / w).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    val counts = df.filter(col(target).isNotNull)
+      .groupBy((groups.map(col) :+ bin.as("_bin")): _*)
+      .agg(count(lit(1)).as("_c"))
+    counts.groupBy(groups.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("_bin"), col("_c"))))
+        .as("_m"))
+      .select((groups.map(col) :+
+        transform(sequence(lit(0L), lit(bins - 1L)),
+          i => coalesce(element_at(col("_m"), i), lit(0L)))
+          .as("bin_counts")): _*)
+  }
+
+  /** Merge bin sketches to a coarser grouping and answer quantiles by
+    * the cumulative bin walk — no raw data touched, exact integer
+    * merge, deterministic midpoint estimates. For each q: the target
+    * 0-based rank is `floor(q·(N−1) + 0.5)` and its bin is the one
+    * whose inclusive cumulative count first exceeds the rank; the
+    * estimate is that bin's midpoint (one shared double expression —
+    * engine-reproducible). Returns one row per (group, q):
+    * (groups…, q, bin_idx, est, n_rows).
+    */
+  def quantileRollup(sketches: DataFrame, groups: Seq[String],
+                     qs: Seq[Double], bins: Int = 256,
+                     lo: Double, hi: Double): DataFrame = {
+    val w = (hi - lo) / bins
+    // merge-only: explode bin positions, sum counts per (group, bin).
+    // The shuffle is groups × bins rows of longs — kilobytes.
+    val merged = sketches
+      .select((groups.map(col) :+
+        posexplode(col("bin_counts")).as(Seq("bin_idx", "cnt"))): _*)
+      .groupBy((groups.map(col) :+ col("bin_idx")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*).orderBy(col("bin_idx").asc)
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(gw))
+      .withColumn("n_rows", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groups.map(col): _*)))
+    val qdf = broadcast(
+      sketches.sparkSession.createDataFrame(
+        qs.map(Tuple1(_))).toDF("q"))
+    val out = cum.join(qdf)
+      .withColumn("_rank",
+        floor(col("q") * (col("n_rows") - 1) + 0.5).cast("long"))
+      // exactly the bin whose inclusive cumsum first passes the rank
+      .filter(col("cum") > col("_rank") &&
+        col("cum") - col("cnt") <= col("_rank"))
+      .select((groups.map(col) ++ Seq(col("q"),
+        col("bin_idx").cast("long").as("bin_idx"),
+        (lit(lo) + (col("bin_idx") + 0.5) * w).as("est"),
+        col("n_rows"))): _*)
+    out.orderBy((groups.map(col) :+ col("q")): _*)
+  }
 }

@@ -230,4 +230,39 @@ class ProfilerSpec extends AnyFunSuite {
     val perSlice = Sketches.rollup(sk, Seq("slice")).collect()
     assert(perSlice.map(_.getLong(1)).sameElements(Array(200L, 200L, 200L)))
   }
+
+  test("bin sketches: merging per-slice sketches answers quantiles " +
+      "like one sketch of the union — the merge law, all integers") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // values 0..599 spread across 3 slices; range [0, 600), 60 bins
+    val rows = (0 until 600).map(i => (s"s${i % 3}", i.toDouble))
+      .toDF("slice", "v")
+    val sliced = Sketches.binSketch(rows, Seq("slice"), "v",
+      bins = 60, lo = 0.0, hi = 600.0)
+    assert(sliced.count() == 3)
+    // one-table sketch of the union, rolled up globally, vs the
+    // merged per-slice sketches — identical rows (exact integers)
+    import org.apache.spark.sql.functions.lit
+    val whole = Sketches.binSketch(rows.withColumn("g", lit("all")),
+      Seq("g"), "v", bins = 60, lo = 0.0, hi = 600.0)
+    val qs = Seq(0.1, 0.5, 0.9)
+    val fromSlices = Sketches
+      .quantileRollup(sliced.withColumn("g", lit("all")), Seq("g"), qs,
+        bins = 60, lo = 0.0, hi = 600.0)
+      .collect().map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    val fromWhole = Sketches
+      .quantileRollup(whole, Seq("g"), qs, bins = 60, lo = 0.0,
+        hi = 600.0)
+      .collect().map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(fromSlices == fromWhole)
+    // uniform data: rank = floor(q·599 + 0.5) is the value itself and
+    // its bin is value/10 -> ranks 60/300/539 -> bins 6/30/53; median
+    // est = bin-30 midpoint 305
+    assert(fromSlices.map(t => (t._1, t._2)) ==
+      Seq((0.1, 6L), (0.5, 30L), (0.9, 53L)))
+    assert(fromSlices.find(_._1 == 0.5).get._3 == 305.0)
+  }
 }

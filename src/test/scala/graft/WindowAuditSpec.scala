@@ -86,7 +86,9 @@ class WindowAuditSpec extends AnyFunSuite {
       // (the corpus-wide revenue total)
       "q11_important_parts" -> "1-row global total broadcast",
       // 1-row target-gram total against the bucket-sized profile
-      "dsir_affinity" -> "1-row gram-total broadcast"
+      "dsir_affinity" -> "1-row gram-total broadcast",
+      // merged bin table (groups × ≤256 bins) × the 4-row q literal
+      "quantile_rollup_lineitem" -> "bins-sized x quantile literals"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
