@@ -60,6 +60,9 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // reclaim the staged-branch-point parquet dirs too (the
+        // disk-side counterpart of the cache sweep above)
+        graft.util.Utils.clearStaging()
         dt
       }
       val two = (1 to 2).map(_ => once())

@@ -33,6 +33,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // each query's result is on disk now — its staged branch-point
+      // dirs (and cached RDDs) are dead weight for the next one
+      graft.util.Utils.clearStaging()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

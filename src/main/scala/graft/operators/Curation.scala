@@ -232,29 +232,6 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** DSIR-shaped target-affinity scoring (Xie et al. 2023, "Data
-    * Selection for Language Models via Importance Resampling": hashed
-    * n-gram features against a target corpus): each raw document gets
-    * the integer-ppm MEAN target frequency of its word n-grams, where
-    * n-grams hash into `buckets` feature buckets (the DSIR trick that
-    * keeps the feature space fixed-size however large the vocabulary).
-    * High affinity = reads like the target distribution; compose with
-    * [[keepTopQuantile]] or a weighted [[graft.operators.Sampling]]
-    * fill for the selection step. DSIR's log-ratio importance weight
-    * needs libm; the frequency mean is the same monotone-in-affinity
-    * signal kept integer-exact end to end (the [[TextAnalysis.topTerms]]
-    * trade), so no engine/build pair can disagree on a score.
-    *
-    * Scale shape: the target profile is bucket-sized (≤ `buckets`
-    * rows) however big the target corpus — built by one explode +
-    * groupBy, carried to the raw side as a BROADCAST hash join keyed
-    * by bucket; the raw side is one explode + one doc_id-keyed
-    * groupBy. The corpus never joins itself and nothing driver-side
-    * scales with data. Integer bound: `1e6 · bucket_count` wraps only
-    * past ~9.2e12 grams in ONE bucket (a ~2e13-gram corpus spreads
-    * ~3e8 per bucket at the default width — five orders of margin).
-    * Zero-gram documents (fewer than n tokens) score 0 by definition.
-    */
   /** The target profile of [[dsirAffinity]] as a DENSE ppm array
     * indexed by bucket — the broadcast-literal form for row-local
     * scoring (streaming ingest, or any projection-only context). ONE
@@ -270,12 +247,15 @@ object Curation {
       .withColumn("bucket",
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast(LongType)
           % buckets)
+    // one corpus scan: the gram total is the sum of the (bucket-sized)
+    // per-bucket counts — no second pass, and the driver-side integer
+    // division is the exact arithmetic the join path runs
     val rows = grams.groupBy("bucket").agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(grams.agg(count(lit(1)).as("t"))))
-      .select(col("bucket"), expr("(1000000 * c) DIV t").as("freq_ppm"))
       .collect()
+    val total = math.max(rows.map(_.getLong(1)).sum, 1L)
     val arr = new Array[Long](buckets)
-    rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    rows.foreach(r =>
+      arr(r.getLong(0).toInt) = 1000000L * r.getLong(1) / total)
     arr
   }
 
@@ -305,6 +285,29 @@ object Curation {
     (nGrams, affinity)
   }
 
+  /** DSIR-shaped target-affinity scoring (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling": hashed
+    * n-gram features against a target corpus): each raw document gets
+    * the integer-ppm MEAN target frequency of its word n-grams, where
+    * n-grams hash into `buckets` feature buckets (the DSIR trick that
+    * keeps the feature space fixed-size however large the vocabulary).
+    * High affinity = reads like the target distribution; compose with
+    * [[keepTopQuantile]] or a weighted [[graft.operators.Sampling]]
+    * fill for the selection step. DSIR's log-ratio importance weight
+    * needs libm; the frequency mean is the same monotone-in-affinity
+    * signal kept integer-exact end to end (the [[TextAnalysis.topTerms]]
+    * trade), so no engine/build pair can disagree on a score.
+    *
+    * Scale shape: the target profile is bucket-sized (≤ `buckets`
+    * rows) however big the target corpus — built by one explode +
+    * groupBy, carried to the raw side as a BROADCAST hash join keyed
+    * by bucket; the raw side is one explode + one doc_id-keyed
+    * groupBy. The corpus never joins itself and nothing driver-side
+    * scales with data. Integer bound: `1e6 · bucket_count` wraps only
+    * past ~9.2e12 grams in ONE bucket (a ~2e13-gram corpus spreads
+    * ~3e8 per bucket at the default width — five orders of margin).
+    * Zero-gram documents (fewer than n tokens) score 0 by definition.
+    */
   def dsirAffinity(raw: DataFrame, target: DataFrame,
                    textCol: String = "text", idCol: String = "doc_id",
                    n: Int = 2, buckets: Int = 65536): DataFrame = {
@@ -318,7 +321,9 @@ object Curation {
             % buckets)
     val tgt = gramBuckets(target)
     val profile = tgt.groupBy("bucket").agg(count(lit(1)).as("c"))
-    val total = tgt.agg(count(lit(1)).as("t"))
+    // the gram total is the sum of the bucket-sized profile — derived
+    // from the aggregate, NOT a second scan of the target corpus
+    val total = profile.agg(sum(col("c")).as("t"))
     // 1-row total broadcast (the audited scalar pattern); per-bucket
     // target frequency floors to ppm, and the per-doc mean rounds
     // half-up via quotient + remainder — overflow-free

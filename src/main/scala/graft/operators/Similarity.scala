@@ -456,6 +456,20 @@ object Similarity {
     * 100 TB: persist `codes` as the index (m TINYINTs per vector),
     * re-encode only new data.
     */
+  /** Squared L2 between subspace `j` of two vectors, in integer ppm:
+    * |a|² + |b|² − 2a·b over the slices, each dot an exact
+    * left-to-right double reduction, floored at 1e-6 resolution — the
+    * single quantization-distance definition BOTH PQ operators and
+    * their oracles replay (one formula, one bit-parity contract).
+    */
+  private def subspaceD2Ppm(a: Column, b: Column, j: Int,
+                            sub: Int): Column = {
+    val sa = slice(a, j * sub + 1, sub)
+    val sb = slice(b, j * sub + 1, sub)
+    floor((dot(sa, sa) + dot(sb, sb) - lit(2.0) * dot(sa, sb))
+      * 1e6 + 0.5).cast(LongType)
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
              m: Int = 4, codebookSize: Int = 16, dim: Int = 64,
              idCol: String = "vec_id",
@@ -463,19 +477,11 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
     val cent = broadcast(ivfCentroids(corpus, codebookSize, idCol, vecCol))
-    // squared L2 between subspace j of a and b, in integer ppm:
-    // |a|² + |b|² − 2a·b over the slices, each dot an exact
-    // left-to-right double reduction
-    def d2ppm(a: Column, b: Column, j: Int): Column = {
-      val sa = slice(a, j * sub + 1, sub)
-      val sb = slice(b, j * sub + 1, sub)
-      floor((dot(sa, sa) + dot(sb, sb) - lit(2.0) * dot(sa, sb))
-        * 1e6 + 0.5).cast(LongType)
-    }
     def subspaceDists(df: DataFrame, outId: String) = df
       .join(cent)
       .select(col(outId), col("cid"), posexplode(array(
-        (0 until m).map(j => d2ppm(col("_v"), col("cvec"), j)): _*))
+        (0 until m).map(j =>
+          subspaceD2Ppm(col("_v"), col("cvec"), j, sub)): _*))
         .as(Seq("j", "d2")))
     // corpus → m codes each: per (id, subspace) the nearest centroid
     val aw = Window.partitionBy("id", "j")
@@ -563,12 +569,8 @@ object Similarity {
     val pqCent = broadcast(
       routed.join(sample, col("id") === col("sid"))
         .select(col("pqid"), col("_r").as("pqvec")))
-    val d2 = (a: Column, b: Column, j: Int) => {
-      val sa = slice(a, j * sub + 1, sub)
-      val sb = slice(b, j * sub + 1, sub)
-      floor((dot(sa, sa) + dot(sb, sb) - lit(2.0) * dot(sa, sb))
-        * 1e6 + 0.5).cast(org.apache.spark.sql.types.LongType)
-    }
+    val d2 = (a: Column, b: Column, j: Int) =>
+      subspaceD2Ppm(a, b, j, sub)
     // encode: per (vector, subspace) the nearest residual centroid
     val ew = Window.partitionBy("id", "j")
       .orderBy(col("d2").asc, col("pqid").asc)

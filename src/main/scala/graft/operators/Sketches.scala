@@ -84,9 +84,17 @@ object Sketches {
     val w = (hi - lo) / bins
     // merge-only: explode bin positions, sum counts per (group, bin).
     // The shuffle is groups × bins rows of longs — kilobytes.
+    // a sketch built with different bins would yield numerically
+    // plausible but WRONG estimates — fail loudly instead (lo/hi are
+    // not recoverable from the array; they stay the caller's contract)
     val merged = sketches
-      .select((groups.map(col) :+
+      .select((groups.map(col) :+ col("bin_counts") :+
+        assert_true(size(col("bin_counts")) === bins,
+          lit(s"bin sketch width mismatch: expected $bins bins"))
+          .as("_chk")): _*)
+      .select((groups.map(col) :+ col("_chk") :+
         posexplode(col("bin_counts")).as(Seq("bin_idx", "cnt"))): _*)
+      .drop("_chk")
       .groupBy((groups.map(col) :+ col("bin_idx")): _*)
       .agg(sum(col("cnt")).as("cnt"))
     val gw = org.apache.spark.sql.expressions.Window

@@ -313,7 +313,9 @@ object ProfileStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("bucket_start"),
         col("n_events"),
-        col("_sv").cast("double").as("sum_value"))
+        // coalesce like the batch twin: a window whose events all
+        // carry NULL values sums to NULL, batch emits 0.0
+        coalesce(col("_sv").cast("double"), lit(0.0)).as("sum_value"))
 
   def debounceStream(stream: DataFrame, tsCol: String = "ts",
                      userCol: String = "user_id",

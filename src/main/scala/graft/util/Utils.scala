@@ -41,12 +41,42 @@ object Utils {
   def stage(df: org.apache.spark.sql.DataFrame, tag: String,
             dir: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
-    val base = dir.getOrElse(
-      java.nio.file.Files.createTempDirectory(s"graft_stage_$tag")
-        .toString)
+    val base = dir.getOrElse {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_stage_$tag").toString
+      staged.add(d)
+      d
+    }
     val path = if (dir.isDefined) s"$base/$tag" else base
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
+  }
+
+  // every auto-created staging dir, so a long-lived session can
+  // reclaim disk (the counterpart of clearCache() for the
+  // persist->stage migration); swept at JVM exit as a backstop
+  private val staged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook(clearStaging())
+
+  /** Delete every temp staging dir [[stage]] has auto-created in this
+    * JVM. Call between logical queries, AFTER their results
+    * materialize — a plan still referencing a staged file fails once
+    * its backing dir is gone (the same contract as unpersisting a
+    * checkpoint: release only what nothing reads anymore).
+    * Caller-provided `dir`s are never touched.
+    */
+  def clearStaging(): Unit = {
+    val it = staged.iterator()
+    while (it.hasNext) {
+      val d = java.nio.file.Paths.get(it.next()); it.remove()
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** F5: MongoDB-style URI assembly with percent-escaped credentials

@@ -371,13 +371,16 @@ class EquivalenceSpec extends AnyFunSuite {
     // out-of-order within the watermark: user 10's second 6h-bucket
     // event arrives before its first-bucket one
     val batch1 = Seq(
-      (1L, 10L, "2024-01-01 07:00:00", 2.5),
-      (2L, 10L, "2024-01-01 01:00:00", 1.25),
-      (3L, 20L, "2024-01-01 02:00:00", 4.0),
-      (4L, 10L, "2024-01-01 03:30:00", 0.5))
+      (1L, 10L, "2024-01-01 07:00:00", Some(2.5)),
+      (2L, 10L, "2024-01-01 01:00:00", Some(1.25)),
+      (3L, 20L, "2024-01-01 02:00:00", Some(4.0)),
+      (4L, 10L, "2024-01-01 03:30:00", Some(0.5)),
+      // a window whose only event carries a NULL value: both twins
+      // must emit sum_value = 0.0, not NULL
+      (6L, 30L, "2024-01-01 02:30:00", Option.empty[Double]))
     // a LATE first-bucket event for user 20, still inside the horizon
-    val batch2 = Seq((5L, 20L, "2024-01-01 05:59:00", 0.75))
-    def toDf(rs: Seq[(Long, Long, String, Double)]) =
+    val batch2 = Seq((5L, 20L, "2024-01-01 05:59:00", Some(0.75)))
+    def toDf(rs: Seq[(Long, Long, String, Option[Double])]) =
       rs.toDF("event_id", "user_id", "ts", "value")
         .withColumn("ts", col("ts").cast("timestamp"))
         .withColumn("event_type", lit("x"))
@@ -400,7 +403,7 @@ class EquivalenceSpec extends AnyFunSuite {
       toDf(batch2).write.mode("append").parquet(in)
       q.processAllAvailable()
       // far-future sentinel advances the watermark past every window
-      toDf(Seq((99L, 999L, "2024-01-03 00:00:00", 0.0)))
+      toDf(Seq((99L, 999L, "2024-01-03 00:00:00", Some(0.0))))
         .write.mode("append").parquet(in)
       q.processAllAvailable()
       val got = spark.table("rs_eq").collect()

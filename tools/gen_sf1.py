@@ -31,8 +31,13 @@ for t in ['region', 'nation', 'customer', 'supplier', 'part']:
 
 # facts with pure key offsets (orders/lineitem share the orderkey space;
 # customers/parts/suppliers stay the same -> 10x orders per customer)
-maxo = con.execute(f"SELECT max(l_orderkey) FROM "
-                   f"read_parquet('{SRC}/lineitem.parquet')").fetchone()[0] + 1
+# offset must clear BOTH key spaces: childless orders can hold the
+# max o_orderkey, and an offset from lineitem alone would collide
+# replica key ranges
+maxo = con.execute(
+    f"SELECT greatest((SELECT max(l_orderkey) FROM "
+    f"read_parquet('{SRC}/lineitem.parquet')), (SELECT max(o_orderkey) "
+    f"FROM read_parquet('{SRC}/orders.parquet')))").fetchone()[0] + 1
 con.execute(f"""COPY (
   SELECT o_orderkey + i.range * {maxo} AS o_orderkey, o_custkey,
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
