@@ -280,6 +280,41 @@ object ProfileStream {
       .withColumn("affinity_ppm", affinity)
   }
 
+  /** Streaming bin-sketch staging: per (event-time window, group) the
+    * same exact fixed-range bin-count array `Sketches.binSketch`
+    * builds batch-side — closed windows ARE ingest slices, so the
+    * emitted rows feed `Sketches.quantileRollup` directly and any
+    * later rollup (per hour, per group, global) merges them without
+    * replaying the stream. One stateful aggregation (Structured
+    * Streaming forbids cascading two): the array is `bins`
+    * conditional sums, O(bins) state per open (window, group) — no
+    * collected values, no unbounded state. Integer-exact, so the
+    * equivalence spec pins closed windows bit-equal to the batch
+    * operator on the same rows.
+    */
+  def binSketchStream(stream: DataFrame, tsCol: String,
+                      groups: Seq[String], target: String,
+                      bins: Int = 64, lo: Double, hi: Double,
+                      windowDur: String = "1 hour",
+                      watermarkDur: String = "1 hour"): DataFrame = {
+    require(hi > lo, "need a non-empty value range")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(target) - lo) / w).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    val counts = (0 until bins).map(i =>
+      sum(when(col(target).isNotNull && bin === i.toLong, 1L)
+        .otherwise(0L)))
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy((window(col(tsCol), windowDur) +: groups.map(col)): _*)
+      .agg(array(counts: _*).as("bin_counts"))
+      .select((Seq(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start")) ++ groups.map(col) :+
+        col("bin_counts")): _*)
+  }
+
   /** Streaming time-series resample: per (user, fixed epoch-aligned
     * interval) event count and DECIMAL-exact value sum, emitted when
     * the watermark closes the window — the streaming counterpart of

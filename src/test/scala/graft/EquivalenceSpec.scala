@@ -338,6 +338,61 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("binSketchStream: closed windows carry the exact batch bin " +
+      "arrays, and quantileRollup over streamed slices equals the " +
+      "batch staging path") {
+    import graft.operators.Sketches
+    val rows = Seq(
+      (1L, "2024-01-01 00:10:00", "g1", 5.0),
+      (2L, "2024-01-01 00:20:00", "g1", 15.0),
+      (3L, "2024-01-01 00:40:00", "g2", 25.0),
+      (4L, "2024-01-01 01:10:00", "g1", 35.0),   // second window
+      (5L, "2024-01-01 01:20:00", "g1", 45.0),
+      (6L, "2024-01-01 01:30:00", "g2", 55.0))
+    def toDf(rs: Seq[(Long, String, String, Double)]) =
+      rs.toDF("event_id", "ts", "grp", "v")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bs_eq")
+    val in = dir.toString + "/in"
+    toDf(rows).write.mode("overwrite").parquet(in)
+    // batch truth: slices = the same hour windows
+    val batchSliced = Sketches.binSketch(
+      toDf(rows).withColumn("slice_start",
+        date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss")),
+      Seq("slice_start", "grp"), "v", bins = 8, lo = 0.0, hi = 80.0)
+    val batchQ = Sketches.quantileRollup(batchSliced, Seq("grp"),
+        Seq(0.5), bins = 8, lo = 0.0, hi = 80.0)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = ProfileStream.binSketchStream(stream, "ts", Seq("grp"),
+      "v", bins = 8, lo = 0.0, hi = 80.0)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("bs_eq").start()
+    try {
+      q.processAllAvailable()
+      toDf(Seq((99L, "2024-01-02 00:00:00", "gx", 0.0)))
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val streamed = spark.table("bs_eq")
+        .filter(col("grp") =!= "gx")
+      val sRows = streamed.collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getSeq[Long](2).toSeq)).toSet
+      val bRows = batchSliced.collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getSeq[Long](2).toSeq)).toSet
+      assert(sRows == bRows)
+      // and the merge-only rollup over the STREAMED slices answers
+      // like the batch staging path
+      val streamQ = Sketches.quantileRollup(streamed, Seq("grp"),
+          Seq(0.5), bins = 8, lo = 0.0, hi = 80.0)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+      assert(streamQ == batchQ)
+    } finally q.stop()
+  }
+
   test("dsirScoreStream: streamed row-local scores are bit-equal to " +
       "the batch join-path dsirAffinity on the same documents") {
     val target = Seq((100L, "a b c d"), (101L, "a b x y"))
