@@ -198,6 +198,46 @@ class CurationOpsSpec extends AnyFunSuite {
       Seq("event_type")).count() == 0)
   }
 
+  test("round-8 operators: empty inputs (and empty TARGETS) flow " +
+      "through without exceptions") {
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    val someDocs = Seq((1L, "s", "a b c")).toDF("doc_id", "source", "text")
+    val emptyVecs = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val S = graft.operators.Similarity
+    // DSIR: empty raw, empty target (zero-gram profile), both empty
+    assert(Curation.dsirAffinity(emptyDocs, someDocs).count() == 0)
+    val vsEmptyTarget = Curation.dsirAffinity(someDocs, emptyDocs)
+      .collect()
+    assert(vsEmptyTarget.length == 1 &&
+      vsEmptyTarget.head.getLong(2) == 0L)
+    assert(Curation.dsirProfileArray(emptyDocs).forall(_ == 0L))
+    // PQ family: empty corpus and/or empty query side
+    assert(S.pqTopK(emptyVecs, emptyVecs, dim = 16).count() == 0)
+    assert(S.ivfPqTopK(emptyVecs, emptyVecs, dim = 16).count() == 0)
+    // contamination report: empty train leaves every test row at zero
+    val rep = graft.operators.Dedup
+      .contaminationReport(emptyDocs, someDocs).collect()
+    assert(rep.length == 1 && rep.head.getLong(2) == 0L)
+    assert(graft.operators.Dedup
+      .contaminationReport(someDocs, emptyDocs).count() == 0)
+    // quantile staging: empty sketches roll up to nothing
+    val bs = graft.operators.Sketches.binSketch(emptyDocs,
+      Seq("source"), "doc_id", bins = 8, lo = 0.0, hi = 8.0)
+    assert(bs.count() == 0)
+    assert(graft.operators.Sketches.quantileRollup(bs, Seq("source"),
+      Seq(0.5), bins = 8, lo = 0.0, hi = 8.0).count() == 0)
+    // frame sampling: empty table and empty payload
+    assert(graft.operators.Multimodal.frameSample(
+      Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload"),
+      "payload").count() == 0)
+    val zero = graft.operators.Multimodal.frameSample(
+      Seq((1L, Array.empty[Byte])).toDF("doc_id", "payload"), "payload")
+      .collect()
+    assert(zero.length == 4 && zero.forall(_.getLong(3) == 0L))
+  }
+
   test("gopherRules: each rule fails on its own counterexample") {
     // 52 words, mean length 25/4 = 6.25 ∈ [3,10], 26 stopword hits
     val fiftyGood = ("the and bigwords longerwords " * 13).trim
