@@ -531,10 +531,16 @@ object SparkEntry {
       val e = Tables.load(s, d, "embeddings")
       Similarity.pqTopK(e, e.filter(col("vec_id") < 20), k = 5)
     }),
-    // IVF-PQ composite: coarse routing + residual PQ + per-list ADC
+    // IVF-PQ composite: coarse routing + residual PQ + per-list ADC;
+    // the probe-1 row pins the recall/work trade like ann_ivf_probe1
     "ann_ivfpq_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
+    "ann_ivfpq_probe1" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20), k = 5,
+        nprobe = 1)
     }),
     // IVF ANN: deterministically-sampled centroids make the whole
     // index + probe pipeline oracle-replayable (unlike trained k-means)
@@ -1144,7 +1150,7 @@ object SparkEntry {
     * mirroring `Similarity.ivfPqTopK(nlist = 8, nprobe = 2, m = 4,
     * codebookSize = 16, dim = 64)` bit-for-bit.
     */
-  private val ivfPqOracle: String = {
+  private def ivfPqOracle(nprobe: Int): String = {
     def rdot(a: String, b: String) =
       s"list_sum(list_transform(range(1, 17), i -> " +
         s"$a[j.j*16+i] * $b[j.j*16+i]))"
@@ -1198,7 +1204,7 @@ object SparkEntry {
                    ORDER BY ${cosSql.format("q.embedding", "coarse.cvec")}
                      DESC, coarse.ccid ASC) AS crn
           FROM embeddings q CROSS JOIN coarse WHERE q.vec_id < 20)
-        WHERE crn <= 2),
+        WHERE crn <= $nprobe),
       qtab AS (
         SELECT p.query_id, p.ccid, pqcent.pqid, j.j AS j,
                CAST(floor((${rdot("p.qr", "p.qr")}
@@ -2384,7 +2390,8 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfOracle(nprobe = 4),
     "ann_ivf_probe1" -> ivfOracle(nprobe = 1),
     "ann_pq_topk" -> pqOracle,
-    "ann_ivfpq_topk" -> ivfPqOracle,
+    "ann_ivfpq_topk" -> ivfPqOracle(nprobe = 2),
+    "ann_ivfpq_probe1" -> ivfPqOracle(nprobe = 1),
     // full LSH replay (same md5-hyperplane trick as ann_lsh_topk): the
     // bucket walk, cosine verify and threshold reproduce the engine's
     // O(n·bucket) plan — this row certifies the SCALE path

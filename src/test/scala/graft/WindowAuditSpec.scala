@@ -35,7 +35,8 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_ivf_topk" -> "centroid rank over limit(nlist) rows",
       "ann_ivf_probe1" -> "centroid rank over limit(nlist) rows",
       "ann_pq_topk" -> "codebook rank over limit(codebookSize) rows",
-      "ann_ivfpq_topk" -> "codebook ranks over bounded samples"
+      "ann_ivfpq_topk" -> "codebook ranks over bounded samples",
+      "ann_ivfpq_probe1" -> "codebook ranks over bounded samples"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
@@ -65,6 +66,7 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_ivf_probe1" -> "centroid table is nlist rows",
       "ann_pq_topk" -> "codebook/query tables are codebook-sized",
       "ann_ivfpq_topk" -> "coarse/pq codebooks are sample-sized",
+      "ann_ivfpq_probe1" -> "coarse/pq codebooks are sample-sized",
       "ann_lsh_topk" -> "query batch broadcast",
       // scalar-subquery pattern: the broadcast side is ONE row (the
       // global positive-balance average)
