@@ -75,6 +75,19 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("stage(): clearStaging deletes every auto-created temp dir " +
+      "(the disk-side counterpart of the cache sweep)") {
+    val staged = graft.util.Utils.stage(
+      spark.range(10).toDF("id"), "spec_probe")
+    assert(staged.count() == 10)
+    val dir = new java.io.File(
+      new java.net.URI(staged.inputFiles.head)).getParentFile
+    assert(dir.exists)
+    graft.util.Utils.clearStaging()
+    assert(!dir.exists,
+      s"staging dir $dir survived clearStaging()")
+  }
+
   private implicit class PairsOps(s: Seq[(Long, Long)]) {
     def toDf(sp: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = {
