@@ -2953,9 +2953,10 @@ object SparkEntry {
       GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC"""),
     "q11_important_parts" -> (s"""
       WITH v AS (SELECT l_partkey, SUM($discPrice) AS value
-                 FROM lineitem GROUP BY 1)
+                 FROM lineitem GROUP BY 1),
+      t AS (SELECT SUM(value) AS total, COUNT(*) AS nparts FROM v)
       SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
-      FROM v WHERE value * 1000 > (SELECT SUM(value) FROM v)
+      FROM v, t WHERE value * nparts * 2 > total * 3
       ORDER BY part_value DESC, l_partkey ASC LIMIT 100"""),
     "q16_supplier_cnt" -> ("""
       SELECT p_brand, p_type, p_size,

@@ -432,20 +432,26 @@ object Relational {
   }
 
   /** TPC-H Q11-shaped important-stock scan: per-part value HAVING
-    * sum > fraction-of-global-total — the group-level aggregate
-    * compared against a one-row scalar aggregate over the same data.
-    * The global total rides in on the audited 1-row broadcast join,
-    * and the threshold comparison multiplies the group sum by 1000
-    * instead of dividing the total, so both sides stay exact
-    * DECIMAL — no float enters the predicate.
+    * sum > multiple-of-average — the group-level aggregate compared
+    * against a one-row scalar aggregate over the same data. TPC-H's
+    * own fixed fraction (0.0001/SF) is scale-DEPENDENT — at any fixed
+    * threshold the average share 1/nparts drifts past it as the part
+    * count grows, and the query silently returns 0 rows (it did, for
+    * 8 rounds). The scale-invariant form keeps the filter meaningful
+    * at every SF: a part is "important" when its value exceeds 1.5×
+    * the average part value, i.e. `2·value·nparts > 3·total`. The
+    * global (total, nparts) pair rides in on the audited 1-row
+    * broadcast join, and the cross-multiplied comparison keeps both
+    * sides exact DECIMAL×BIGINT — no float enters the predicate.
     */
   def q11(s: SparkSession, dir: String): DataFrame = {
     val value = li(s, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(discPrice).as("_value"))
-    val total = value.agg(sum(col("_value")).as("_total"))
+    val total = value.agg(sum(col("_value")).as("_total"),
+      count(lit(1)).as("_nparts"))
     value.join(broadcast(total))
-      .filter(col("_value") * 1000 > col("_total"))
+      .filter(col("_value") * col("_nparts") * 2 > col("_total") * 3)
       .select(col("l_partkey"),
         col("_value").cast("double").as("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey").asc)

@@ -380,6 +380,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q11: the 1.5x-average threshold is non-vacuous — the filter " +
+      "passes some parts and rejects others at every scale") {
+    val rows = Relational.q11(spark, dir).collect()
+    assert(rows.nonEmpty, "q11 returned 0 rows — the threshold went vacuous")
+    val nparts = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.length < nparts,
+      s"q11 passed all $nparts parts — the threshold filters nothing")
+  }
+
   test("q16: NOT IN plans as LEFT ANTI and the distinct count " +
       "expands, no cartesian") {
     val p = planOf(Relational.q16(spark, dir))
