@@ -556,6 +556,36 @@ object SparkEntry {
       val e = Tables.load(s, d, "embeddings")
       Similarity.pqTopK(e, e.filter(col("vec_id") < 20), k = 5)
     }),
+    // trained PQ: per-subspace k-means codebooks at the SAME code
+    // budget as the sampled row — the train-then-index upgrade;
+    // encoding is row-local argmin over broadcast literals (no
+    // codebook windows at all)
+    "ann_pq_trained" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.pqTopKTrained(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
+    // recall@5 of BOTH codebook strategies against the exact
+    // brute-force baseline — honest ANN accounting: the trained ≥
+    // sampled gap at equal code budget is the whole point of training
+    "ann_pq_recall" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def hitsOf(name: String, df: DataFrame) =
+        df.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("variant"), col("hits"))
+      val tot = exact.agg(count(lit(1)).as("total"))
+      hitsOf("pq_sampled", Similarity.pqTopK(e, q, k = 5))
+        .unionByName(hitsOf("pq_trained",
+          Similarity.pqTopKTrained(e, q, k = 5)))
+        .crossJoin(broadcast(tot))
+        .select(col("variant"), col("hits"), col("total"),
+          expr("hits * 1000000 DIV total").as("recall_ppm"))
+        .orderBy("variant")
+    }),
     // IVF-PQ composite: coarse routing + residual PQ + per-list ADC;
     // the probe-1 row pins the recall/work trade like ann_ivf_probe1
     "ann_ivfpq_topk" -> ((s, d) => {
@@ -964,6 +994,30 @@ object SparkEntry {
     selects.mkString("", " UNION ALL ", " ORDER BY path")
   }
 
+  /** The lineitem profile-stats base oracle — shared by the default
+    * and pure-HLL cardinality-gate rows.
+    */
+  private def lineitemStatsOracle: String =
+    profileStatsOracle("lineitem", Seq(
+      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+      "l_linenumber" -> "num", "l_quantity" -> "num",
+      "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+      "l_returnflag" -> "str", "l_linestatus" -> "str",
+      "l_shipdate" -> "ts"))
+
+  /** Wrap a profile-stats oracle for the cardinality-gate rows
+    * ([[profileCardGate]] / the pure-HLL `profile_fast_lineitem`): the
+    * hash-checked `cardinality` column stays the EXACT value (the
+    * builtin twin computes it engine-side at any scale), and the
+    * sketch estimate surfaces only as a contract boolean the oracle
+    * predicts TRUE — the `profile_approx_events` pattern, which keeps
+    * these rows green above the 100k exact-mode bound.
+    */
+  private def cardGateOracle(base: String, boolCol: String): String =
+    s"""SELECT path, n_present, missing_pct, cardinality,
+       | TRUE AS $boolCol, num_min, num_max, ts_min, ts_max
+       | FROM ($base) ORDER BY path""".stripMargin
+
   // Shared DuckDB fragments mirroring TextAnalysis/Dedup exactly.
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
@@ -1158,42 +1212,124 @@ object SparkEntry {
     * codebookSize = 16, dim = 64)` bit-for-bit: each subspace dot is
     * the same left-to-right double reduction DotProduct runs.
     */
-  private val pqOracle: String = {
+  /** The sampled-codebook PQ CTE chain, suffix-parameterized so the
+    * recall row can embed it next to the trained chain without name
+    * collisions — ends in `ptop<sfx>(query_id, neighbor_id,
+    * approx_d2_ppm, rnk)`.
+    */
+  private def pqSampledCtes(sfx: String): String = {
     def sdot(a: String, b: String) =
       s"list_sum(list_transform(range(1, 17), i -> " +
         s"CAST($a[j.j*16+i] AS DOUBLE) * CAST($b[j.j*16+i] AS DOUBLE)))"
-    s"""
-      WITH cent AS (
+    s"""cent$sfx AS (
         SELECT ROW_NUMBER() OVER (
                  ORDER BY md5(CAST(cid0 AS VARCHAR)) ASC, cid0 ASC)
                  AS cid, cvec
         FROM (SELECT vec_id AS cid0, embedding AS cvec FROM embeddings
               ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
               LIMIT 16)),
-      dj AS (
-        SELECT e.vec_id AS id, cent.cid, j.j AS j,
+      dj$sfx AS (
+        SELECT e.vec_id AS id, cent$sfx.cid, j.j AS j,
                CAST(floor((${sdot("e.embedding", "e.embedding")}
-                 + ${sdot("cent.cvec", "cent.cvec")}
-                 - 2.0 * ${sdot("e.embedding", "cent.cvec")})
+                 + ${sdot(s"cent$sfx.cvec", s"cent$sfx.cvec")}
+                 - 2.0 * ${sdot("e.embedding", s"cent$sfx.cvec")})
                  * 1e6 + 0.5) AS BIGINT) AS d2
-        FROM embeddings e CROSS JOIN cent CROSS JOIN range(0, 4) j(j)),
-      codes AS (
+        FROM embeddings e CROSS JOIN cent$sfx CROSS JOIN range(0, 4) j(j)),
+      codes$sfx AS (
         SELECT id, j, cid AS code FROM (
           SELECT id, j, cid, ROW_NUMBER() OVER (PARTITION BY id, j
-                   ORDER BY d2 ASC, cid ASC) AS rn FROM dj)
+                   ORDER BY d2 ASC, cid ASC) AS rn FROM dj$sfx)
         WHERE rn = 1),
-      qt AS (SELECT id AS query_id, cid, j, d2 FROM dj WHERE id < 20),
-      sc AS (SELECT qt.query_id, c.id AS neighbor_id,
+      qt$sfx AS (SELECT id AS query_id, cid, j, d2 FROM dj$sfx
+                 WHERE id < 20),
+      sc$sfx AS (SELECT qt.query_id, c.id AS neighbor_id,
                     CAST(SUM(qt.d2) AS BIGINT) AS approx_d2_ppm
-             FROM qt JOIN codes c ON c.j = qt.j AND c.code = qt.cid
-             WHERE c.id <> qt.query_id GROUP BY 1, 2)
-      SELECT query_id, neighbor_id, approx_d2_ppm,
-             CAST("rank" AS BIGINT) AS "rank"
-      FROM (SELECT query_id, neighbor_id, approx_d2_ppm,
+             FROM qt$sfx qt JOIN codes$sfx c
+               ON c.j = qt.j AND c.code = qt.cid
+             WHERE c.id <> qt.query_id GROUP BY 1, 2),
+      ptop$sfx AS (SELECT query_id, neighbor_id, approx_d2_ppm,
               ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY approx_d2_ppm ASC, neighbor_id ASC) AS "rank"
-            FROM sc)
-      WHERE "rank" <= 5 ORDER BY query_id, "rank" ASC"""
+                ORDER BY approx_d2_ppm ASC, neighbor_id ASC) AS rnk
+            FROM sc$sfx)"""
+  }
+
+  private val pqOracle: String = s"""
+      WITH ${pqSampledCtes("")}
+      SELECT query_id, neighbor_id, approx_d2_ppm,
+             CAST(rnk AS BIGINT) AS "rank"
+      FROM ptop
+      WHERE rnk <= 5 ORDER BY query_id, rnk ASC"""
+
+  /** Trained-PQ replay — per-subspace Lloyd's on the integer-micro
+    * vector SLICES, mirroring `Similarity.pqTopKTrained(m = 4,
+    * codebookSize = 16, iters = 2, dim = 64)` bit-for-bit: the md5
+    * seed order is shared across subspaces (it depends only on
+    * vec_id), distances are exact integer micro² sums, centroid means
+    * are the half-up `(2s+n)/(2n)` form, codes tie-break (d, cid) —
+    * the same unrolled two-round structure as `kmeansCtes`, once per
+    * subspace. Ends in `ptop(query_id, neighbor_id,
+    * approx_d2_micro2, rnk)`.
+    */
+  private val pqTrainedCtes: String = {
+    val m = 4; val sub = 16; val cb = 16
+    def d2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, ${sub + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val perJ = (0 until m).map { j =>
+      val off = j * sub
+      s"""u$j AS (SELECT vec_id,
+             list_slice(u, ${off + 1}, ${off + sub}) AS su FROM u),
+      c0_$j AS (SELECT sd.cid, u$j.su AS c
+                FROM sd JOIN u$j USING (vec_id)),
+      d1_$j AS (SELECT a.vec_id, b.cid, ${d2("a.su", "b.c")} AS d
+                FROM u$j a CROSS JOIN c0_$j b),
+      a1_$j AS (SELECT vec_id, cid, d FROM d1_$j
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+          ORDER BY d, cid) = 1),
+      e1_$j AS (SELECT a1_$j.cid, u$j.su,
+                  unnest(range(1, ${sub + 1})) AS pos
+                FROM a1_$j JOIN u$j USING (vec_id)),
+      s1_$j AS (SELECT cid, pos, COUNT(*) AS n, SUM(su[pos]) AS s
+                FROM e1_$j GROUP BY 1, 2),
+      c1_$j AS (SELECT cid,
+                  list(CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT)
+                    ORDER BY pos) AS c
+                FROM s1_$j GROUP BY 1),
+      cd_$j AS (SELECT a.vec_id, b.cid, ${d2("a.su", "b.c")} AS d
+                FROM u$j a CROSS JOIN c1_$j b)"""
+    }.mkString(",\n      ")
+    val codeBranches = (0 until m).map(j =>
+      s"""SELECT vec_id, $j AS j, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d, cid) AS rn FROM cd_$j""")
+      .mkString(" UNION ALL ")
+    val qtabBranches = (0 until m).map(j =>
+      s"SELECT vec_id AS query_id, $j AS j, cid, d FROM cd_$j " +
+        "WHERE vec_id < 20")
+      .mkString(" UNION ALL ")
+    s"""u AS (SELECT vec_id,
+             list_transform(embedding, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u
+           FROM embeddings),
+      sd AS (SELECT vid AS vec_id,
+               row_number() OVER (ORDER BY h, vid) - 1 AS cid
+             FROM (SELECT vec_id AS vid,
+                     md5('kmeans:' || CAST(vec_id AS VARCHAR)) AS h
+                   FROM u ORDER BY h, vid LIMIT $cb)),
+      $perJ,
+      codes AS (SELECT vec_id AS id, j, cid AS code
+                FROM ($codeBranches) WHERE rn = 1),
+      qtab AS ($qtabBranches),
+      sc AS (SELECT qt.query_id, c.id AS neighbor_id,
+               CAST(SUM(qt.d) AS BIGINT) AS approx_d2_micro2
+             FROM qtab qt JOIN codes c
+               ON c.j = qt.j AND c.code = qt.cid
+             WHERE c.id <> qt.query_id GROUP BY 1, 2),
+      ptop AS (SELECT query_id, neighbor_id, approx_d2_micro2,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_d2_micro2 ASC, neighbor_id ASC)
+                   AS rnk
+               FROM sc)"""
   }
 
   /** Full IVF-PQ replay — coarse routing (cosine argmax over the
@@ -2443,6 +2579,37 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfOracle(nprobe = 4),
     "ann_ivf_probe1" -> ivfOracle(nprobe = 1),
     "ann_pq_topk" -> pqOracle,
+    "ann_pq_trained" -> (s"""
+      WITH $pqTrainedCtes
+      SELECT query_id, neighbor_id, approx_d2_micro2,
+             CAST(rnk AS BIGINT) AS "rank"
+      FROM ptop WHERE rnk <= 5 ORDER BY query_id, rnk ASC"""),
+    "ann_pq_recall" -> (s"""
+      WITH $pqTrainedCtes,
+      ${pqSampledCtes("_s")},
+      ex AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY ${cosSql.format("q.embedding",
+                          "e.embedding")} DESC,
+                          e.vec_id ASC) AS rnk
+               FROM embeddings q, embeddings e
+               WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
+             WHERE rnk <= 5),
+      hs AS (
+        SELECT 'pq_sampled' AS variant, COUNT(*) AS hits
+        FROM (SELECT query_id, neighbor_id FROM ptop_s
+              WHERE rnk <= 5) t
+        JOIN ex USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 'pq_trained', COUNT(*)
+        FROM (SELECT query_id, neighbor_id FROM ptop
+              WHERE rnk <= 5) t
+        JOIN ex USING (query_id, neighbor_id)),
+      tot AS (SELECT COUNT(*) AS total FROM ex)
+      SELECT variant, hits, total,
+             hits * 1000000 // total AS recall_ppm
+      FROM hs, tot ORDER BY variant"""),
     "ann_ivfpq_topk" -> ivfPqOracle(nprobe = 2),
     "ann_ivfpq_probe1" -> ivfPqOracle(nprobe = 1),
     // full LSH replay (same md5-hyperplane trick as ann_lsh_topk): the

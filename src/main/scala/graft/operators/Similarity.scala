@@ -321,10 +321,26 @@ object Similarity {
   private[operators] def kmeansFit(df: DataFrame, k: Int, iters: Int,
                                    idCol: String, vecCol: String)
       : (DataFrame, Array[(Int, Array[Long])]) = {
+    val (_, assigned, cents) =
+      kmeansFitMicro(df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol),
+          v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType)).as("u")),
+        k, iters)
+    (assigned, cents)
+  }
+
+  /** [[kmeansFit]] over an ALREADY-microized `(vec_id, u)` frame — the
+    * per-subspace entry point [[pqTopKTrained]] uses on vector slices
+    * (the dimension is whatever `u` carries; every step below is
+    * dim-agnostic). Persists its input for the `iters`(+1) scans and
+    * returns the persisted handle first, so centroid-only callers can
+    * release the block once the codebook is collected.
+    */
+  private[operators] def kmeansFitMicro(microIn: DataFrame, k: Int,
+                                        iters: Int)
+      : (DataFrame, DataFrame, Array[(Int, Array[Long])]) = {
     require(k > 0 && iters > 0, "k and iters must be positive")
-    val micro = df.select(col(idCol).as("vec_id"),
-      transform(col(vecCol),
-        v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType)).as("u"))
+    val micro = microIn
       .persist(StorageLevel.MEMORY_AND_DISK)   // scanned iters(+1) times
     // deterministic seed pick: k·dim longs to the driver — bounded
     // algorithm state, not a data collect
@@ -336,7 +352,7 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }
     if (seeds.isEmpty)   // empty corpus: no seeds, empty assignment
-      return (micro.select(col("vec_id"), col("u"),
+      return (micro, micro.select(col("vec_id"), col("u"),
         lit(0).as("cluster"), lit(0L).as("dist")).limit(0), seeds)
 
     // assignment keeps `u` so the update round needs no join back
@@ -370,7 +386,7 @@ object Similarity {
         .sortBy(_._1)
       assigned = assign(centroids)
     }
-    (assigned, centroids)
+    (micro, assigned, centroids)
   }
 
   def kmeans(df: DataFrame, k: Int = 8, iters: Int = 2,
@@ -508,6 +524,96 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("approx_d2_ppm"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** PQ ANN with TRAINED codebooks: per-subspace Lloyd's k-means
+    * ([[kmeansFitMicro]] on the integer-micro vector SLICES) replaces
+    * [[pqTopK]]'s md5-sampled codebooks — the train-then-index upgrade
+    * exactly as [[ivfTopKTrained]] is for IVF. Trained sub-centroids
+    * sit at cluster means instead of on arbitrary corpus points, so
+    * the same m·log2(codebookSize)-bit code budget quantizes with less
+    * distortion (Jégou et al. 2011 §III: distortion-optimal codebooks
+    * are exactly the k-means fixed point per subspace) — the
+    * `ann_pq_recall` row measures the recall gain against the sampled
+    * baseline at equal budget.
+    *
+    * Determinism: the whole pipeline is in integer-micro space —
+    * seeds by md5-of-id order, exact integer squared distances,
+    * half-up integer centroid means, (d, cid) tie-breaks — so code
+    * assignment, the ADC sums (micro² units) and every rank replay
+    * bit-for-bit in the oracle, trained centroids included.
+    *
+    * Scale shape: training touches the corpus `iters` times per
+    * subspace but moves only k·sub longs per round to the driver
+    * (at 100 TB: train on [[Sampling.hashSample]] of the corpus —
+    * codebooks converge on samples; the encode pass is unchanged);
+    * codebooks then broadcast as literals, encoding is ONE corpus
+    * scan of row-local argmins (no joins, no windows — tighter than
+    * the sampled variant's window plan), and candidates score as
+    * broadcast ADC sums without touching stored vectors.
+    */
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                    m: Int = 4, codebookSize: Int = 16, iters: Int = 2,
+                    dim: Int = 64, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val microU = transform(col(vecCol),
+      v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
+    val microAll = corpus.select(col(idCol).as("vec_id"), microU.as("u"))
+    // per-subspace trained codebooks: k·sub longs each, driver-side —
+    // bounded algorithm state that becomes broadcast literals below
+    val books: Array[Array[(Int, Array[Long])]] =
+      (0 until m).toArray.map { j =>
+        val sl = microAll.select(col("vec_id"),
+          slice(col("u"), j * sub + 1, sub).as("u"))
+        val (handle, _, cents) = kmeansFitMicro(sl, codebookSize, iters)
+        handle.unpersist(blocking = false)
+        cents
+      }
+    if (books.exists(_.isEmpty))   // empty corpus: nothing to encode
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0L).as("approx_d2_micro2"),
+        lit(0L).as("rank")).limit(0)
+    // encode: per (vector, subspace) the argmin (d², cid) over the
+    // literal codebook — row-local, whole-stage-codegen'd, no shuffle
+    // until the ADC join
+    def subCode(u: Column, j: Int): Column = {
+      val s = slice(u, j * sub + 1, sub)
+      array_min(array(books(j).map { case (cid, c) =>
+        struct(sqDistTo(s, c).as("d"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    }
+    val codes = graft.util.Utils.spread(corpus)
+      .select(col(idCol).as("id"), microU.as("u"))
+      .select(col("id"), posexplode(array(
+        (0 until m).map(j => subCode(col("u"), j)): _*))
+        .as(Seq("j", "code")))
+    // query ADC tables: m × codebookSize integer-micro² distances per
+    // query, computed row-locally against the same literals
+    val qtab = queries
+      .select(col(idCol).as("query_id"), microU.as("u"))
+      .select(col("query_id"), explode(array((0 until m).flatMap { j =>
+        val s = slice(col("u"), j * sub + 1, sub)
+        books(j).map { case (cid, c) =>
+          struct(lit(j).as("j"), lit(cid).as("cid"),
+            sqDistTo(s, c).as("d2"))
+        }
+      }: _*)).as("e"))
+      .select(col("query_id"), col("e.j").as("j"),
+        col("e.cid").as("cid"), col("e.d2").as("d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_d2_micro2").asc, col("neighbor_id").asc)
+    codes.join(broadcast(qtab),
+        codes("j") === qtab("j") && codes("code") === qtab("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("approx_d2_micro2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("approx_d2_micro2"), col("rank"))
       .orderBy("query_id", "rank")
   }
 

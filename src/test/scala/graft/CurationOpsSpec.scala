@@ -215,6 +215,7 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Curation.dsirProfileArray(emptyDocs).forall(_ == 0L))
     // PQ family: empty corpus and/or empty query side
     assert(S.pqTopK(emptyVecs, emptyVecs, dim = 16).count() == 0)
+    assert(S.pqTopKTrained(emptyVecs, emptyVecs, dim = 16).count() == 0)
     assert(S.ivfPqTopK(emptyVecs, emptyVecs, dim = 16).count() == 0)
     // contamination report: empty train leaves every test row at zero
     val rep = graft.operators.Dedup

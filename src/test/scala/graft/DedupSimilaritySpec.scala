@@ -213,6 +213,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pq.nonEmpty && (pq & exact).nonEmpty)
   }
 
+  test("trained PQ: k-means with one seed per vector is a fixed point " +
+      "(lossless codebook), so ADC reproduces the exact integer-micro " +
+      "squared-L2 ranking; lossy trained PQ keeps recall") {
+    // 16 vectors, codebookSize 16 -> every vector seeds its own
+    // cluster, assigns to itself at d = 0, and the centroid update
+    // leaves it in place — Lloyd's fixed point. Each vector then
+    // encodes to itself per subspace and the ADC sum is the exact
+    // whole-vector squared L2 in integer-micro² units.
+    val tiny = clustered.filter($"vec_id" < 16)
+    val queries = tiny.filter($"vec_id" < 3)
+    val rows = tiny.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray
+          .map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = queries.collect().map(_.getLong(0)).flatMap { q =>
+      rows.keys.filter(_ != q).toSeq
+        .map(n => (q, n, d2(rows(q), rows(n))))
+        .sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((qq, n, d), i) => (qq, n, d, i + 1L) }
+    }.sortBy(t => (t._1, t._4)).toSeq
+    val got = Similarity.pqTopKTrained(tiny, queries, k = 5, m = 4,
+        codebookSize = 16, iters = 2, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+    // lossy regime: 8 trained entries per subspace over the clustered
+    // corpus must still put same-cluster members in front
+    val q2 = clustered.filter($"vec_id" % 8 === 0).limit(10)
+    val exact = Similarity.bruteForceTopK(clustered, q2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopKTrained(clustered, q2, k = 5, m = 4,
+        codebookSize = 8, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.nonEmpty && (pq & exact).nonEmpty)
+  }
+
   test("contaminationReport: per-test exposure counts and ppm on a " +
       "hand-built overlap") {
     // 10-token texts -> 3 distinct 8-grams each; t1 shares its first

@@ -35,6 +35,9 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_ivf_topk" -> "centroid rank over limit(nlist) rows",
       "ann_ivf_probe1" -> "centroid rank over limit(nlist) rows",
       "ann_pq_topk" -> "codebook rank over limit(codebookSize) rows",
+      // embeds the sampled-PQ arm (same bounded codebook rank); the
+      // trained arm ranks nothing globally — row-local argmin encode
+      "ann_pq_recall" -> "codebook rank over limit(codebookSize) rows",
       "ann_ivfpq_topk" -> "codebook ranks over bounded samples",
       "ann_ivfpq_probe1" -> "codebook ranks over bounded samples"
     )
@@ -65,6 +68,9 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_ivf_topk" -> "centroid table is nlist rows",
       "ann_ivf_probe1" -> "centroid table is nlist rows",
       "ann_pq_topk" -> "codebook/query tables are codebook-sized",
+      // sampled-PQ arm + exact-baseline BNLJ (query batch broadcast)
+      // + the 1-row recall total crossJoin
+      "ann_pq_recall" -> "codebook tables, query batch, 1-row total",
       "ann_ivfpq_topk" -> "coarse/pq codebooks are sample-sized",
       "ann_ivfpq_probe1" -> "coarse/pq codebooks are sample-sized",
       "ann_lsh_topk" -> "query batch broadcast",
