@@ -61,8 +61,9 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         // reclaim the staged-branch-point parquet dirs too (the
-        // disk-side counterpart of the cache sweep above)
-        graft.util.Utils.clearStaging()
+        // disk-side counterpart of the cache sweep above) — scoped to
+        // this session, the clearStaging ownership contract
+        graft.util.Utils.clearStaging(Some(spark))
         dt
       }
       val two = (1 to 2).map(_ => once())
@@ -89,6 +90,13 @@ object Bench {
       s"\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
+    // the driver-required summary goes FIRST: log capture truncates
+    // stdout tails (BENCH_r07/r08 both shipped a mid-JSON cut with
+    // parsed:null), so the compact line must not sit behind the much
+    // longer per-run dump
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(summary)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}"""
     println(line)

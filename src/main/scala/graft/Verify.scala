@@ -35,7 +35,8 @@ object Verify {
       }
       // each query's result is on disk now — its staged branch-point
       // dirs (and cached RDDs) are dead weight for the next one
-      graft.util.Utils.clearStaging()
+      // (session-scoped: the clearStaging ownership contract)
+      graft.util.Utils.clearStaging(Some(spark))
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

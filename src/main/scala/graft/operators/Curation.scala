@@ -66,6 +66,13 @@ object Curation {
     * test n-gram set rides a Bloom literal + a tiny broadcast; the
     * budget fill windows over (id, n_tokens) scalars. Returns
     * (doc_id, stratum, n_tokens, start_tok) — the exact chunker input.
+    *
+    * EAGER: calling this runs the line-dedup + gate + dedup pipeline
+    * and stages the survivors to parquet BEFORE returning (the
+    * `Utils.stage` contract — the branch point feeds four consumers
+    * in the returned plan, so there is no later safe release point).
+    * Plan-only inspection should compose the unstaged building
+    * blocks directly.
     */
   def curateModern(docs: DataFrame, minWords: Int = 25,
                    classifierThresholdPpm: Long = 0L,

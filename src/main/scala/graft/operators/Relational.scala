@@ -249,6 +249,9 @@ object Relational {
     * comparing doubles computed by two different reduction orders
     * would be flaky; exact decimals make "= max" well-defined — and
     * casts to double only for output.
+    *
+    * EAGER: calling this materializes the supplier-revenue view to
+    * staged parquet before returning (the `Utils.stage` contract).
     */
   def q15(s: SparkSession, dir: String): DataFrame = {
     // staged, not persisted: the revenue view feeds both the scalar
@@ -894,6 +897,9 @@ object Relational {
     * O(1) state per user), then ONE one-row broadcast carrying the
     * reference date and all 12 quintile thresholds — scoring is
     * row-local. No window anywhere.
+    *
+    * EAGER: calling this materializes the per-user aggregate to
+    * staged parquet before returning (the `Utils.stage` contract).
     */
   def rfm(events: DataFrame, eventType: String = "purchase",
           userCol: String = "user_id", tsCol: String = "ts",

@@ -49,6 +49,12 @@ object Sketches {
     * into the edge bins, the t-digest trade made deterministic.
     * Estimate error is bounded by the bin width — choose `bins` for
     * the resolution the consumer needs (1024 bins ⇒ ~0.1 % of range).
+    *
+    * Each row carries its binning contract — literal `bins`/`lo`/`hi`
+    * columns — so a later rollup can verify it merges sketches built
+    * against the SAME domain, not just arrays of the same length
+    * (equal widths over different ranges would merge into plausible
+    * but wrong estimates).
     */
   def binSketch(df: DataFrame, groups: Seq[String], target: String,
                 bins: Int = 256, lo: Double, hi: Double): DataFrame = {
@@ -66,7 +72,8 @@ object Sketches {
       .select((groups.map(col) :+
         transform(sequence(lit(0L), lit(bins - 1L)),
           i => coalesce(element_at(col("_m"), i), lit(0L)))
-          .as("bin_counts")): _*)
+          .as("bin_counts") :+
+        lit(bins).as("bins") :+ lit(lo).as("lo") :+ lit(hi).as("hi")): _*)
   }
 
   /** Merge bin sketches to a coarser grouping and answer quantiles by
@@ -76,7 +83,11 @@ object Sketches {
     * whose inclusive cumulative count first exceeds the rank; the
     * estimate is that bin's midpoint (one shared double expression —
     * engine-reproducible). Returns one row per (group, q):
-    * (groups…, q, bin_idx, est, n_rows).
+    * (groups…, q, bin_idx, est, n_rows). A group whose merged counts
+    * are all zero (reachable: a streamed window whose events all
+    * carried NULL targets) is NOT dropped — it emits its (group, q)
+    * rows with NULL `bin_idx`/`est` and `n_rows` 0, so consumers can
+    * tell "no data" from "group missing".
     */
   def quantileRollup(sketches: DataFrame, groups: Seq[String],
                      qs: Seq[Double], bins: Int = 256,
@@ -84,19 +95,35 @@ object Sketches {
     val w = (hi - lo) / bins
     // merge-only: explode bin positions, sum counts per (group, bin).
     // The shuffle is groups × bins rows of longs — kilobytes.
-    // a sketch built with different bins would yield numerically
-    // plausible but WRONG estimates — fail loudly instead (lo/hi are
-    // not recoverable from the array; they stay the caller's contract)
-    val merged = sketches
-      .select((groups.map(col) :+ col("bin_counts") :+
+    // a sketch built with a different bin count OR a different value
+    // domain would yield numerically plausible but WRONG estimates —
+    // fail loudly on either. Sketch tables from binSketch /
+    // binSketchStream carry their (bins, lo, hi) contract as columns;
+    // a bare (groups, bin_counts) table is still accepted with the
+    // width-only check, the caller vouching for the domain.
+    val hasContract = Seq("bins", "lo", "hi")
+      .forall(sketches.columns.contains)
+    val contractChk =
+      if (hasContract)
+        assert_true(size(col("bin_counts")) === bins &&
+          col("bins") === bins && col("lo") === lo && col("hi") === hi,
+          lit(s"bin sketch contract mismatch: rollup expects " +
+            s"($bins bins over [$lo,$hi))"))
+      else
         assert_true(size(col("bin_counts")) === bins,
           lit(s"bin sketch width mismatch: expected $bins bins"))
-          .as("_chk")): _*)
+    // the check rides INSIDE the summed column (assert_true is NULL on
+    // pass, so the coalesce adds 0) — a free-standing projected-then-
+    // dropped check column would be pruned by the optimizer and never
+    // evaluated
+    val merged = sketches
+      .select((groups.map(col) :+ col("bin_counts") :+
+        contractChk.as("_chk")): _*)
       .select((groups.map(col) :+ col("_chk") :+
         posexplode(col("bin_counts")).as(Seq("bin_idx", "cnt"))): _*)
-      .drop("_chk")
       .groupBy((groups.map(col) :+ col("bin_idx")): _*)
-      .agg(sum(col("cnt")).as("cnt"))
+      .agg(sum(col("cnt") +
+        coalesce(col("_chk").cast("long"), lit(0L))).as("cnt"))
     val gw = org.apache.spark.sql.expressions.Window
       .partitionBy(groups.map(col): _*).orderBy(col("bin_idx").asc)
     val cum = merged
@@ -107,7 +134,7 @@ object Sketches {
     val qdf = broadcast(
       sketches.sparkSession.createDataFrame(
         qs.map(Tuple1(_))).toDF("q"))
-    val out = cum.join(qdf)
+    val nonEmpty = cum.filter(col("n_rows") > 0).join(qdf)
       .withColumn("_rank",
         floor(col("q") * (col("n_rows") - 1) + 0.5).cast("long"))
       // exactly the bin whose inclusive cumsum first passes the rank
@@ -117,6 +144,15 @@ object Sketches {
         col("bin_idx").cast("long").as("bin_idx"),
         (lit(lo) + (col("bin_idx") + 0.5) * w).as("est"),
         col("n_rows"))): _*)
-    out.orderBy((groups.map(col) :+ col("q")): _*)
+    // all-zero groups: no bin can pass any rank, so surface them
+    // explicitly rather than letting the walk silently drop them
+    val empty = cum.filter(col("n_rows") === 0)
+      .select(groups.map(col): _*).distinct().join(qdf)
+      .select((groups.map(col) ++ Seq(col("q"),
+        lit(null).cast("long").as("bin_idx"),
+        lit(null).cast("double").as("est"),
+        lit(0L).as("n_rows"))): _*)
+    nonEmpty.unionByName(empty)
+      .orderBy((groups.map(col) :+ col("q")): _*)
   }
 }

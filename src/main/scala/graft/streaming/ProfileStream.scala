@@ -290,11 +290,15 @@ object ProfileStream {
     * conditional sums, O(bins) state per open (window, group) — no
     * collected values, no unbounded state. Integer-exact, so the
     * equivalence spec pins closed windows bit-equal to the batch
-    * operator on the same rows.
+    * operator on the same rows. Emitted rows carry the same
+    * (bins, lo, hi) contract columns as `Sketches.binSketch` — and
+    * the same `bins` DEFAULT — so composing the stager with
+    * `quantileRollup` on defaults validates the full binning
+    * contract instead of tripping a width assert.
     */
   def binSketchStream(stream: DataFrame, tsCol: String,
                       groups: Seq[String], target: String,
-                      bins: Int = 64, lo: Double, hi: Double,
+                      bins: Int = 256, lo: Double, hi: Double,
                       windowDur: String = "1 hour",
                       watermarkDur: String = "1 hour"): DataFrame = {
     require(hi > lo, "need a non-empty value range")
@@ -312,7 +316,8 @@ object ProfileStream {
       .select((Seq(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("slice_start")) ++ groups.map(col) :+
-        col("bin_counts")): _*)
+        col("bin_counts") :+
+        lit(bins).as("bins") :+ lit(lo).as("lo") :+ lit(hi).as("hi")): _*)
   }
 
   /** Streaming time-series resample: per (user, fixed epoch-aligned

@@ -33,49 +33,92 @@ object Utils {
     * is one sequential pass sized by the branch-point data (usually a
     * small survivor set, not the corpus); consumers then share the
     * files with full column pruning / predicate pushdown, which a
-    * block cache cannot offer. `dir` defaults to a JVM temp dir —
-    * at cluster scale pass a durable path (HDFS/object store); the
-    * caller owns the files' lifetime, exactly as with Spark
+    * block cache cannot offer.
+    *
+    * NOTE the write runs EAGERLY, at call time — every operator built
+    * on stage() (curateModern, decontaminateBloomAgainst, q15, rfm,
+    * connectedGroups) executes its upstream pipeline when constructed,
+    * not when the caller first materializes the result. That is the
+    * price of the no-orphaned-cache guarantee; plan-only inspection
+    * should use the operators' unstaged building blocks.
+    *
+    * Base-dir resolution, in order: the explicit `dir` argument; the
+    * session conf `graft.staging.dir`; the session's Spark checkpoint
+    * dir; else a JVM-local temp dir. The local default is
+    * LOCAL-MASTER-ONLY and enforced: on a multi-node master, executor
+    * tasks would write `file://` output to their own nodes and the
+    * driver's read-back would silently see a subset of partitions —
+    * wrong results, not an error — so stage() fails fast instead and
+    * tells the caller which conf to set. Resolved (non-temp) base
+    * dirs get a unique subdir per call (`tag_<seq>`) so two stagings
+    * of the same tag never overwrite files a live plan still reads;
+    * the caller owns those files' lifetime, exactly as with Spark
     * checkpoint dirs.
     */
   def stage(df: org.apache.spark.sql.DataFrame, tag: String,
             dir: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
-    val base = dir.getOrElse {
-      val d = java.nio.file.Files
-        .createTempDirectory(s"graft_stage_$tag").toString
-      staged.add(d)
-      d
+    val spark = df.sparkSession
+    val base = dir
+      .orElse(spark.conf.getOption("graft.staging.dir"))
+      .orElse(spark.sparkContext.getCheckpointDir)
+    val path = base match {
+      case Some(b) =>
+        s"${b.stripSuffix("/")}/${tag}_${stageSeq.incrementAndGet()}"
+      case None =>
+        val master = spark.sparkContext.master
+        require(master.startsWith("local"),
+          s"graft staging: no shared staging dir configured and " +
+            s"master is '$master'. A JVM-local temp default only " +
+            "works in local mode — executors on other nodes would " +
+            "write partitions the driver cannot read back. Set the " +
+            "session conf graft.staging.dir (or a Spark checkpoint " +
+            "dir) to an HDFS/object-store path.")
+        val d = java.nio.file.Files
+          .createTempDirectory(s"graft_stage_$tag").toString
+        staged.put(d, sessionKey(spark))
+        d
     }
-    val path = if (dir.isDefined) s"$base/$tag" else base
     df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+    spark.read.parquet(path)
   }
 
-  // every auto-created staging dir, so a long-lived session can
-  // reclaim disk (the counterpart of clearCache() for the
-  // persist->stage migration); swept at JVM exit as a backstop
-  private val staged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // every auto-created staging dir, keyed by the owning SparkSession,
+  // so a long-lived session can reclaim disk (the counterpart of
+  // clearCache() for the persist->stage migration) without deleting
+  // files another session's still-lazy plans read; swept at JVM exit
+  // as a backstop
+  private val staged = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    System.identityHashCode(s).toString
   sys.addShutdownHook(clearStaging())
 
-  /** Delete every temp staging dir [[stage]] has auto-created in this
-    * JVM. Call between logical queries, AFTER their results
-    * materialize — a plan still referencing a staged file fails once
-    * its backing dir is gone (the same contract as unpersisting a
-    * checkpoint: release only what nothing reads anymore).
-    * Caller-provided `dir`s are never touched.
+  /** Delete temp staging dirs [[stage]] has auto-created in this JVM —
+    * all of them, or (pass `owner`) only the given session's, leaving
+    * other sessions' still-referenced files alone. Call between
+    * logical queries, AFTER their results materialize — a plan still
+    * referencing a staged file fails once its backing dir is gone (the
+    * same contract as unpersisting a checkpoint: release only what
+    * nothing reads anymore). Caller-provided / conf-resolved `dir`s
+    * are never touched.
     */
-  def clearStaging(): Unit = {
-    val it = staged.iterator()
+  def clearStaging(
+      owner: Option[org.apache.spark.sql.SparkSession] = None): Unit = {
+    val key = owner.map(sessionKey)
+    val it = staged.entrySet().iterator()
     while (it.hasNext) {
-      val d = java.nio.file.Paths.get(it.next()); it.remove()
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: java.io.IOException => () }
+      val e = it.next()
+      if (key.forall(_ == e.getValue)) {
+        val d = java.nio.file.Paths.get(e.getKey); it.remove()
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: java.io.IOException => () }
+      }
     }
   }
 

@@ -88,6 +88,52 @@ class CacheHygieneSpec extends AnyFunSuite {
       s"staging dir $dir survived clearStaging()")
   }
 
+  test("stage(): graft.staging.dir conf wins over the temp default, " +
+      "each call gets a unique subdir, and conf-resolved dirs are " +
+      "never swept by clearStaging") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_conf_stage").toString
+    spark.conf.set("graft.staging.dir", base)
+    try {
+      val a = graft.util.Utils.stage(spark.range(5).toDF("id"), "probe")
+      val b = graft.util.Utils.stage(spark.range(7).toDF("id"), "probe")
+      assert(a.count() == 5 && b.count() == 7)
+      val dirs = (a.inputFiles ++ b.inputFiles)
+        .map(f => new java.io.File(new java.net.URI(f)).getParent).distinct
+      assert(dirs.length == 2, s"same-tag stagings collided: $dirs")
+      assert(dirs.forall(_.startsWith(base)),
+        s"staging ignored graft.staging.dir: $dirs")
+      graft.util.Utils.clearStaging()
+      assert(dirs.forall(d => new java.io.File(d).exists),
+        "clearStaging swept a conf-resolved (caller-owned) dir")
+    } finally {
+      spark.conf.unset("graft.staging.dir")
+      val p = java.nio.file.Paths.get(base)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("clearStaging(owner): sweeps only the named session's temp " +
+      "dirs, leaving other sessions' staged files readable") {
+    val other = spark.newSession()
+    val mine = graft.util.Utils.stage(
+      spark.range(3).toDF("id"), "owner_probe")
+    val theirs = graft.util.Utils.stage(
+      other.range(4).toDF("id"), "owner_probe")
+    def dirOf(df: org.apache.spark.sql.DataFrame) = new java.io.File(
+      new java.net.URI(df.inputFiles.head)).getParentFile
+    val mineDir = dirOf(mine); val theirsDir = dirOf(theirs)
+    graft.util.Utils.clearStaging(Some(spark))
+    assert(!mineDir.exists, "owner sweep missed the owned dir")
+    assert(theirsDir.exists && theirs.count() == 4,
+      "owner sweep deleted another session's staged files")
+    graft.util.Utils.clearStaging(Some(other))
+    assert(!theirsDir.exists)
+  }
+
   private implicit class PairsOps(s: Seq[(Long, Long)]) {
     def toDf(sp: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = {
