@@ -25,13 +25,21 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // Parquet TIMESTAMP(NANOS) (events.ts) is illegal for Spark's
-      // reader; read it as a nanosecond long and truncate to
-      // microseconds — the same floor a ns→µs cast performs engine-side
-      // in DuckDB.
+      // events.ts has shipped in two physical encodings: parquet
+      // TIMESTAMP(NANOS) — illegal for Spark's reader, so it arrives
+      // as a nanosecond long under the legacy conf and is truncated
+      // to microseconds (the same floor a ns→µs cast performs
+      // engine-side in DuckDB) — and plain TIMESTAMP(MICROS), which
+      // Spark infers as TIMESTAMP_NTZ. Normalize both to the session
+      // TimestampType every downstream operator expects.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts DIV 1000"))
+        case _ => col("ts").cast("timestamp")
+      }
+      raw.withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value",
           "props")
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -102,10 +102,8 @@ class ProfilerSpec extends AnyFunSuite {
   }
 
   test("profileStats (fast default) ≡ built-in-aggregate plan, row for row") {
-    val events = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val events = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "events")
     for (input <- Seq(df, events)) {
       val fast = Profiler.profileStats(input).collect().toSeq
       val builtin = Profiler.profileStatsBuiltin(input).collect().toSeq
@@ -138,10 +136,8 @@ class ProfilerSpec extends AnyFunSuite {
   }
 
   test("profileFull: one-pass result agrees with the multi-agg path") {
-    val events = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val events = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "events")
     val full = Profiler.profileFull(events).collect()
       .map(r => r.getString(0) -> r).toMap
     val slow = Profiler.profileStatsBuiltin(events).collect()
@@ -264,5 +260,42 @@ class ProfilerSpec extends AnyFunSuite {
     assert(fromSlices.map(t => (t._1, t._2)) ==
       Seq((0.1, 6L), (0.5, 30L), (0.9, 53L)))
     assert(fromSlices.find(_._1 == 0.5).get._3 == 305.0)
+  }
+
+  test("quantileRollup: an all-zero group surfaces as NULL-est rows " +
+      "(n_rows 0), not a silent drop; a sketch carrying a different " +
+      "binning contract fails loudly") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    // group "b" contributes an all-zero bin_counts row — exactly what
+    // binSketchStream emits for a window whose events all carried NULL
+    // targets (batch binSketch itself drops NULL-only groups at the
+    // pre-filter, so the zero row is built the streaming way)
+    val rows = Seq(("a", 5.0), ("a", 15.0)).toDF("g", "v")
+    val zeroRow = Seq("b").toDF("g")
+      .withColumn("bin_counts",
+        array_repeat(lit(0L), 4))
+      .withColumn("bins", lit(4)).withColumn("lo", lit(0.0))
+      .withColumn("hi", lit(40.0))
+    val sk = Sketches.binSketch(rows, Seq("g"), "v",
+        bins = 4, lo = 0.0, hi = 40.0)
+      .unionByName(zeroRow)
+    val got = Sketches.quantileRollup(sk, Seq("g"), Seq(0.5),
+        bins = 4, lo = 0.0, hi = 40.0)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(4))).toSeq
+    assert(got == Seq(("a", Some(1L), 2L), ("b", None, 0L)))
+    // same bin COUNT, different value domain -> plausible-but-wrong
+    // estimates if merged silently; the carried (lo, hi) contract
+    // makes it throw instead
+    val err = intercept[Exception] {
+      Sketches.quantileRollup(sk, Seq("g"), Seq(0.5),
+        bins = 4, lo = 0.0, hi = 400.0).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${msgs(t.getCause)}"
+    assert(msgs(err).contains("bin sketch contract mismatch"))
   }
 }

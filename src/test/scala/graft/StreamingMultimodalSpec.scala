@@ -15,8 +15,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   test("windowedProfile: streaming plan over file source produces " +
       "per-window per-path stats") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .write.mode("overwrite").parquet(dir.toString + "/in")
     val schema = spark.read.parquet(dir.toString + "/in").schema
     val stream = spark.readStream.schema(schema)
@@ -215,9 +214,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   }
 
   test("chat context block: markers, section order, json fences") {
-    val events = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val events = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "events")
     val ctx = ChatContext.collectionContext(events, "event_id")
     assert(ctx.startsWith(ChatContext.StartMarker))
     assert(ctx.endsWith(ChatContext.EndMarker))
