@@ -472,6 +472,15 @@ object SparkEntry {
       operators.Curation.dsirAffinity(docs,
         docs.filter(col("source").isin("src0", "src1")))
     }),
+    // the DSIR SELECTION step: per-source token budgets filled
+    // highest-affinity-first — the quality-weighted twin of
+    // token_budget_sample's uniform md5 fill
+    "dsir_select" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      operators.Curation.dsirSelect(docs,
+        docs.filter(col("source").isin("src0", "src1")),
+        budgets = TokenBudgets, defaultBudget = 300L)
+    }),
     // Dolma-style token-budget mixture fill: named strata get their
     // own token budgets, the rest share a default
     "token_budget_sample" -> ((s, d) =>
@@ -1021,6 +1030,33 @@ object SparkEntry {
   // Shared DuckDB fragments mirroring TextAnalysis/Dedup exactly.
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** Shared DSIR replay chain (mirrors `Curation.dsirScores`): hashed
+    * target bigram profile → integer-ppm frequencies → per-doc gram
+    * sums. Ends in `rw(doc_id, toks)` (every raw doc tokenized) and
+    * `sc(doc_id, n_grams, s)` — consumers derive the half-up mean.
+    */
+  private lazy val dsirCtes: String = s"""tg AS (
+        SELECT $toksSql AS toks FROM documents
+        WHERE source IN ('src0', 'src1')),
+      tgr AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+                ELSE list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1]) END) AS g FROM tg),
+      tb AS (SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+               % 65536 AS bucket FROM tgr),
+      prof AS (SELECT bucket, COUNT(*) AS c FROM tb GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS t FROM tb),
+      pf AS (SELECT bucket, (1000000 * c) // t AS freq_ppm
+             FROM prof, tot),
+      rw AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      rg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+               ELSE list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1]) END) AS g FROM rw),
+      rb AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15)
+               AS BIGINT) % 65536 AS bucket FROM rg),
+      sc AS (SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(COALESCE(freq_ppm, 0)) AS BIGINT) AS s
+             FROM rb LEFT JOIN pf USING (bucket) GROUP BY 1)"""
   private val shinglesSql =
     """CASE WHEN len(toks) < 3 THEN []
       | ELSE list_distinct(list_transform(range(1, len(toks) - 1),
@@ -2144,26 +2180,7 @@ object SparkEntry {
       SELECT doc_id, source, q6, "rank" FROM r
       WHERE "rank" <= 10 ORDER BY doc_id"""),
     "dsir_affinity" -> (s"""
-      WITH tg AS (SELECT $toksSql AS toks FROM documents
-                  WHERE source IN ('src0', 'src1')),
-      tgr AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN []
-                ELSE list_transform(range(1, len(toks)),
-                  i -> toks[i] || ' ' || toks[i+1]) END) AS g FROM tg),
-      tb AS (SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
-               % 65536 AS bucket FROM tgr),
-      prof AS (SELECT bucket, COUNT(*) AS c FROM tb GROUP BY 1),
-      tot AS (SELECT COUNT(*) AS t FROM tb),
-      pf AS (SELECT bucket, (1000000 * c) // t AS freq_ppm
-             FROM prof, tot),
-      rw AS (SELECT doc_id, $toksSql AS toks FROM documents),
-      rg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
-               ELSE list_transform(range(1, len(toks)),
-                 i -> toks[i] || ' ' || toks[i+1]) END) AS g FROM rw),
-      rb AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15)
-               AS BIGINT) % 65536 AS bucket FROM rg),
-      sc AS (SELECT doc_id, COUNT(*) AS n_grams,
-               CAST(SUM(COALESCE(freq_ppm, 0)) AS BIGINT) AS s
-             FROM rb LEFT JOIN pf USING (bucket) GROUP BY 1)
+      WITH $dsirCtes
       SELECT d.doc_id,
              CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
              CAST(COALESCE(s // n_grams
@@ -2171,6 +2188,30 @@ object SparkEntry {
                       THEN 1 ELSE 0 END, 0) AS BIGINT) AS affinity_ppm
       FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
       ORDER BY d.doc_id"""),
+    "dsir_select" -> (s"""
+      WITH $dsirCtes,
+      aff AS (SELECT d.doc_id,
+                CAST(COALESCE(s // n_grams
+                  + CASE WHEN 2 * (s % n_grams) >= n_grams
+                         THEN 1 ELSE 0 END, 0) AS BIGINT) AS affinity_ppm
+              FROM (SELECT doc_id FROM documents) d
+              LEFT JOIN sc USING (doc_id)),
+      base AS (SELECT rw.doc_id, d.source AS stratum,
+                 CAST(len(toks) AS BIGINT) AS n_tokens, affinity_ppm
+               FROM rw JOIN documents d USING (doc_id)
+               JOIN aff USING (doc_id)),
+      filled AS (SELECT doc_id, stratum, affinity_ppm, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum
+                     ORDER BY affinity_ppm DESC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS start_tok
+                 FROM base)
+      SELECT doc_id, stratum, affinity_ppm, n_tokens,
+             CAST(start_tok AS BIGINT) AS start_tok FROM filled
+      WHERE start_tok < CASE stratum
+        WHEN 'src0' THEN 2000 WHEN 'src1' THEN 800
+        WHEN 'src2' THEN 0 ELSE 300 END
+      ORDER BY doc_id"""),
     "token_budget_sample" -> (s"""
       WITH t AS (SELECT doc_id, source, $toksSql AS toks
                  FROM documents),

@@ -317,7 +317,17 @@ object Curation {
     */
   def dsirAffinity(raw: DataFrame, target: DataFrame,
                    textCol: String = "text", idCol: String = "doc_id",
-                   n: Int = 2, buckets: Int = 65536): DataFrame = {
+                   n: Int = 2, buckets: Int = 65536): DataFrame =
+    dsirScores(raw, target, textCol, idCol, n, buckets)
+      .orderBy("doc_id")
+
+  /** [[dsirAffinity]] without the output ordering — the composition
+    * entry point ([[dsirSelect]]) so a consuming join/window never
+    * inherits a dead global sort.
+    */
+  private def dsirScores(raw: DataFrame, target: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int, buckets: Int): DataFrame = {
     import org.apache.spark.sql.types.LongType
     def gramBuckets(df: DataFrame) =
       graft.util.Utils.spread(df)
@@ -349,6 +359,52 @@ object Curation {
           expr("s DIV n_grams + IF(2 * (s % n_grams) >= n_grams, " +
             "1L, 0L)"),
           lit(0L)).as("affinity_ppm"))
+  }
+
+  /** The DSIR SELECTION step (Xie et al. 2023 §3: importance
+    * resampling, made deterministic): fill each stratum's token
+    * budget with its HIGHEST-target-affinity documents first —
+    * [[dsirAffinity]] scores ordered desc feeding the same
+    * budget-window fill as [[graft.operators.Sampling.tokenBudgetSample]]
+    * (which fills by md5 order, i.e. uniformly; this is the
+    * quality-weighted twin). Ties break on doc_id, so the selected
+    * set replays exactly in any engine. Returns (doc_id, stratum,
+    * affinity_ppm, n_tokens, start_tok) — the chunker input plus the
+    * score that earned the slot.
+    *
+    * Scale shape: scoring is the dsirAffinity broadcast pipeline; the
+    * fill is ONE window partitioned by stratum over (id, score,
+    * n_tokens) scalars — the corpus text never enters the sort. A
+    * degenerate single-stratum corpus makes that window one big sort
+    * partition; at 100 TB pre-cut with [[keepTopQuantile]] on the
+    * affinity column so only plausible winners reach the sort (the
+    * budget's worth of docs, not the corpus).
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame,
+                 stratumCol: String = "source",
+                 textCol: String = "text", idCol: String = "doc_id",
+                 n: Int = 2, buckets: Int = 65536,
+                 budgets: Map[String, Long] = Map.empty,
+                 defaultBudget: Long = 0L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) =>
+        when(col("stratum") === s, lit(b)).otherwise(acc)
+    }
+    val w = W.partitionBy(col("stratum"))
+      .orderBy(col("affinity_ppm").desc, col("doc_id").asc)
+    raw.select(col(idCol).as("doc_id"),
+        col(stratumCol).as("stratum"),
+        TextAnalysis.tokenCount(col(textCol))
+          .cast(org.apache.spark.sql.types.LongType).as("n_tokens"))
+      .join(dsirScores(raw, target, textCol, idCol, n, buckets)
+        .select(col("doc_id"), col("affinity_ppm")), Seq("doc_id"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("start_tok") < budget)
+      .select("doc_id", "stratum", "affinity_ppm", "n_tokens",
+        "start_tok")
       .orderBy("doc_id")
   }
 }

@@ -622,4 +622,32 @@ class CurationOpsSpec extends AnyFunSuite {
     // ordering property the selection step relies on
     assert(got(1L)._2 > got(2L)._2)
   }
+
+  test("dsirSelect: per-stratum budgets fill highest-affinity first, " +
+      "ties break on doc_id, zero-budget strata select nothing") {
+    val target = Seq((100L, "a b c"), (101L, "a b d")).toDF("doc_id", "text")
+    // stratum s1: clone (375000 ppm, 3 tokens), then the half-target
+    // doc (500000 ppm, 2 tokens) outranks it; s2 is budget-zero
+    val raw = Seq(
+      (1L, "s1", "a b c"),           // 3 tokens, affinity 375000
+      (2L, "s1", "zz qq ww ee rr"),  // 5 tokens, affinity 0
+      (3L, "s1", "a b"),             // 2 tokens, affinity 500000
+      (4L, "s2", "a b c")            // budget-zero stratum
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.dsirSelect(raw, target,
+        budgets = Map("s1" -> 5L, "s2" -> 0L))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // fill order in s1: doc 3 (500000) at 0, doc 1 (375000) starts at
+    // 2 < 5 so it enters, doc 2 (0) would start at 5 — excluded
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(3L) == (("s1", 500000L, 2L, 0L)))
+    assert(got(1L) == (("s1", 375000L, 3L, 2L)))
+    // widening the budget by one token admits the zero-affinity doc
+    val wide = Curation.dsirSelect(raw, target,
+        budgets = Map("s1" -> 6L, "s2" -> 0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(wide == Set(1L, 2L, 3L))
+  }
 }

@@ -95,6 +95,7 @@ class WindowAuditSpec extends AnyFunSuite {
       "q11_important_parts" -> "1-row global total broadcast",
       // 1-row target-gram total against the bucket-sized profile
       "dsir_affinity" -> "1-row gram-total broadcast",
+      "dsir_select" -> "1-row gram-total broadcast (via dsirScores)",
       // merged bin table (groups × ≤256 bins) × the 4-row q literal
       "quantile_rollup_lineitem" -> "bins-sized x quantile literals"
     )
