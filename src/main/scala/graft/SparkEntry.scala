@@ -655,6 +655,16 @@ object SparkEntry {
       Multimodal.frameSample(
         Multimodal.testPayload(Tables.load(s, d, "documents")),
         "payload")),
+    // the demuxer injection point exercised end-to-end: a synthetic
+    // "keyframe index" (payload start + midpoint — offsets the stride
+    // sampler never produces) drives frameSampleAt under the same
+    // (blob, frame_idx) output contract
+    "multimodal_keyframes" -> ((s, d) =>
+      Multimodal.frameSampleAt(
+        Multimodal.testPayload(Tables.load(s, d, "documents")),
+        "payload",
+        array(lit(1L),
+          expr("CAST(octet_length(payload) AS BIGINT) DIV 2 + 1")))),
     // — relational surface (SURVEY §2.3/§2.5, free from Spark) —
     "q1_agg" -> Relational.q1 _,
     "q3_join_topk" -> Relational.q3 _,
@@ -2574,6 +2584,31 @@ object SparkEntry {
                  CAST((greatest(octet_length(payload) - 16, 0) * i.i // 3)
                    * 2 + 1 AS INTEGER), 32) AS frame_hex
         FROM p CROSS JOIN range(0, 4) i(i))
+      SELECT doc_id, frame_idx, CAST(byte_offset AS BIGINT) AS byte_offset,
+             CAST(length(frame_hex) // 2 AS BIGINT) AS frame_len,
+             md5(frame_hex) AS frame_md5
+      FROM f ORDER BY doc_id, frame_idx"""),
+    // injected-offset twin: the keyframe "index" is [1, mid] — cut the
+    // same hex-space windows at those positions
+    "multimodal_keyframes" -> ("""
+      WITH p AS (
+        SELECT doc_id,
+          (CASE doc_id % 4
+             WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB
+             WHEN 1 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB
+             WHEN 2 THEN ('RIFF'::BLOB || '\x00\x00\x00\x00'::BLOB || 'WAVE'::BLOB)
+             ELSE '\x00'::BLOB END) || CAST(text AS BLOB) AS payload
+        FROM documents),
+      k AS (SELECT doc_id, payload,
+              [CAST(1 AS BIGINT),
+               CAST(octet_length(payload) AS BIGINT) // 2 + 1] AS offs
+            FROM p),
+      f AS (SELECT doc_id, CAST(i.i AS BIGINT) AS frame_idx,
+              offs[CAST(i.i + 1 AS INTEGER)] AS byte_offset,
+              substr(hex(payload),
+                CAST((offs[CAST(i.i + 1 AS INTEGER)] - 1) * 2 + 1
+                  AS INTEGER), 32) AS frame_hex
+            FROM k CROSS JOIN range(0, 2) i(i))
       SELECT doc_id, frame_idx, CAST(byte_offset AS BIGINT) AS byte_offset,
              CAST(length(frame_hex) // 2 AS BIGINT) AS frame_len,
              md5(frame_hex) AS frame_md5

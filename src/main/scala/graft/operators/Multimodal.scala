@@ -88,8 +88,26 @@ object Multimodal {
       call_function("div",
         greatest(len - frameBytes, lit(0L)) * lit(i.toLong), denom) + 1L
     }: _*)
+    frameSampleAt(df, binCol, offs, frameBytes, idCol)
+  }
+
+  /** [[frameSample]] with CALLER-PROVIDED frame offsets — the demuxer
+    * injection point made concrete: `offsets` is any per-row array of
+    * 1-based byte positions (a container's keyframe index, a scene-cut
+    * detector's output, a parsed atom table), and each position yields
+    * one row under the identical downstream contract ((blob,
+    * frame_idx) key, offset, length, content hash). [[frameSample]]
+    * is exactly this with the fixed-stride arithmetic as `offsets` —
+    * swapping the stub demuxer for a real one changes ONLY the offset
+    * expression, never the pipeline around it. Row-local posexplode +
+    * binary substring: no shuffle, no state, scan-bound.
+    */
+  def frameSampleAt(df: DataFrame, binCol: String, offsets: Column,
+                    frameBytes: Int = 16,
+                    idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol), col(binCol).as("_bin"),
-        posexplode(offs).as(Seq("frame_idx", "byte_offset")))
+        posexplode(transform(offsets, o => o.cast(LongType)))
+          .as(Seq("frame_idx", "byte_offset")))
       .select(col(idCol), col("frame_idx").cast(LongType).as("frame_idx"),
         col("byte_offset"),
         col("_bin").substr(col("byte_offset"), lit(frameBytes))
@@ -98,7 +116,6 @@ object Multimodal {
         octet_length(col("frame")).cast(LongType).as("frame_len"),
         md5(hex(col("frame"))).as("frame_md5"))
       .orderBy(idCol, "frame_idx")
-  }
 
   /** Full media-meta pipeline over a constructed binary column (the
     * test tables carry no real media; documents' text bytes with a

@@ -203,6 +203,31 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(h.filter(_._1 == 2L).map(_._2).distinct.length == 1)
   }
 
+  test("multimodal: frameSampleAt cuts frames at injected offsets — " +
+      "the demuxer drop-in point — and reduces to frameSample when " +
+      "fed the stride offsets") {
+    import org.apache.spark.sql.functions.{array, expr, lit}
+    val bytes = (0 until 40).map(_.toByte).toArray
+    val df = Seq((1L, bytes)).toDF("doc_id", "payload")
+    // a "keyframe index" the stride sampler never produces
+    val got = Multimodal.frameSampleAt(df, "payload",
+        array(lit(3L), lit(30L))).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 3L, 16L), (1L, 30L, 11L)))
+    // stride offsets injected by hand == the fixed-stride operator
+    val stride = array(lit(1L), lit(9L), lit(17L), lit(25L))
+    val viaAt = Multimodal.frameSampleAt(df, "payload", stride)
+      .collect().map(_.toSeq).toSeq
+    val viaFixed = Multimodal.frameSample(df, "payload")
+      .collect().map(_.toSeq).toSeq
+    assert(viaAt == viaFixed)
+    // int-typed offsets normalize to the long contract
+    val intOffs = Multimodal.frameSampleAt(df, "payload",
+        expr("array(1, 9)")).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(intOffs == Seq((1L, 16L), (9L, 16L)))
+  }
+
   test("multimodal: mapBatches feeds fixed-size batches") {
     val df = spark.range(25).toDF("id")
     val out = Multimodal.mapBatches(df.repartition(1), 10,
