@@ -429,6 +429,27 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("trained PQ: the advertised plan upgrade — encoding is " +
+      "row-local argmin over literals, so the ONLY window is the " +
+      "final per-query rank (the sampled variant needs a codebook " +
+      "rank window on top)") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    val trained = windows(
+      graft.operators.Similarity.pqTopKTrained(e, q, k = 5))
+    assert(trained.length == 1, s"expected only the per-query rank " +
+      s"window, got ${trained.length}")
+    assert(trained.head.partitionSpec.nonEmpty,
+      "the surviving window must be query-partitioned, not global")
+    assert(windows(graft.operators.Similarity.pqTopK(e, q, k = 5))
+      .length > 1, "fixture: the sampled variant should carry the " +
+      "extra codebook-rank window the trained one eliminates")
+  }
+
   test("rangeJoinBinned: the interval join is an equi-join — no " +
       "nested-loop, no cartesian") {
     val ev = Tables.load(spark, dir, "events")
