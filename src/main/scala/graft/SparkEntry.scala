@@ -24,8 +24,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — profiling core (reference parity, SURVEY §2.4) —
+    // event_id crosses the 100k exactLimit at sf1 — same scale-proof
+    // gate as the lineitem/embeddings rows (see profileCardGate)
     "profile_stats_events" -> ((s, d) =>
-      Profiler.profileStats(Tables.load(s, d, "events"))),
+      profileCardGate(Tables.load(s, d, "events"))),
     // default fused mode under the scale-proof cardinality gate: at
     // sf0.1+ several lineitem paths cross the 100k exactLimit and the
     // fused cardinality degrades to HLL by design — the gate hashes
@@ -54,7 +56,10 @@ object SparkEntry {
       val ev = Tables.load(s, d, "events")
       val approx = Profiler.profileStats(ev, exact = false)
         .withColumnRenamed("cardinality", "card_est")
-      val exact = Profiler.profileStats(ev)
+      // the exact twin must be the BUILTIN countDistinct (exact at any
+      // scale) — the fused default is itself an HLL estimate once a
+      // path crosses the 100k exactLimit (event_id does at sf1)
+      val exact = Profiler.profileStatsBuiltin(ev)
         .select(col("path"), col("cardinality").as("card_exact"))
       approx.join(exact, "path")
         .select(col("path"), col("n_present"), col("missing_pct"),
@@ -175,8 +180,29 @@ object SparkEntry {
     }),
     // the reference's complete "Analyze Schema" answer in one pass
     // (type histogram + top-5 rendered as sorted JSON, oracle-checked)
-    "profile_full_events" -> ((s, d) =>
-      Profiler.profileFull(Tables.load(s, d, "events"))),
+    // — under the same cardinality gate: the hashed cardinality is the
+    // exact builtin twin, and card_contract_ok pins the one-pass
+    // exact→HLL value AND its approx flag to the documented contract
+    "profile_full_events" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val full = Profiler.profileFull(ev)
+        .withColumnRenamed("cardinality", "card_fused")
+      val exact = Profiler.profileStatsBuiltin(ev)
+        .select(col("path"), col("cardinality").as("card_exact"))
+      full.join(exact, "path")
+        .select(col("path"), col("n_present"), col("missing_pct"),
+          col("card_exact").as("cardinality"),
+          when(col("card_exact") <= 100000L,
+            col("card_fused") === col("card_exact") &&
+              !col("cardinality_approx"))
+            .otherwise(abs(col("card_fused") - col("card_exact"))
+              .cast("double") <= col("card_exact").cast("double") * 0.05
+              && col("cardinality_approx"))
+            .as("card_contract_ok"),
+          col("num_min"), col("num_max"), col("ts_min"), col("ts_max"),
+          col("type_distribution"), col("top_values"))
+        .orderBy("path")
+    }),
     // — semi-structured: per-VALUE type tags over a JSON column —
     "json_profile_props" -> ((s, d) =>
       JsonProfiler.profileStats(Tables.load(s, d, "events"), "props")),
@@ -1622,7 +1648,7 @@ object SparkEntry {
       s"""SELECT '$c' AS path, COUNT($e) AS n_present,
          | (COUNT(*) - COUNT($e)) * 100.0 / COUNT(*) AS missing_pct,
          | COUNT(DISTINCT $e) AS cardinality,
-         | FALSE AS cardinality_approx,
+         | TRUE AS card_contract_ok,
          | $numMin AS num_min, $numMax AS num_max,
          | $tsMin AS ts_min, $tsMax AS ts_max,
          | $dist AS type_distribution,
@@ -2710,9 +2736,11 @@ object SparkEntry {
         SELECT r.id, g.b FROM reach r JOIN ed g ON g.a = r.x)
       SELECT id, MIN(x) AS group_rep FROM reach GROUP BY id
       ORDER BY id"""),
-    "profile_stats_events" -> profileStatsOracle("events", Seq(
-      "event_id" -> "num", "ts" -> "ts", "user_id" -> "num",
-      "event_type" -> "str", "value" -> "num", "props" -> "str")),
+    "profile_stats_events" -> cardGateOracle(
+      profileStatsOracle("events", Seq(
+        "event_id" -> "num", "ts" -> "ts", "user_id" -> "num",
+        "event_type" -> "str", "value" -> "num", "props" -> "str")),
+      "card_contract_ok"),
     // cardinality = the exact twin (hash-checked); the fused exact→HLL
     // value is bounded engine-side, so the oracle predicts TRUE.
     "profile_stats_lineitem" -> cardGateOracle(
@@ -3039,8 +3067,9 @@ object SparkEntry {
       SELECT l_returnflag, l_linestatus,
         ${sumD(s"CAST(l_quantity AS $M)")} AS sum_qty,
         ${sumD(s"CAST(l_extendedprice AS $M)")} AS sum_base_price,
-        ${sumD(discPrice)} AS sum_disc_price,
-        ${sumD(s"$discPrice * (CAST(1 AS $R) + CAST(l_tax AS $R))")} AS sum_charge,
+        CAST(ROUND(SUM($discPrice), 2) AS DOUBLE) AS sum_disc_price,
+        CAST(ROUND(SUM($discPrice * (CAST(1 AS $R) + CAST(l_tax AS $R))),
+          2) AS DOUBLE) AS sum_charge,
         ${sumD(s"CAST(l_quantity AS $M)")} / COUNT(*) AS avg_qty,
         ${sumD(s"CAST(l_extendedprice AS $M)")} / COUNT(*) AS avg_price,
         ${sumD(s"CAST(l_discount AS $R)")} / COUNT(*) AS avg_disc,

@@ -37,10 +37,18 @@ object Relational {
       .agg(
         sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
-        sum(col("l_extendedprice").cast(dec) * (lit(1).cast(rate) - col("l_discount").cast(rate)))
+        // money sums round to cents BEFORE the double cast: the
+        // decimal sums are exact in both engines, but a scale-6 sum
+        // crosses 2^53 scaled units at ~10x bench scale and DuckDB's
+        // decimal->double cast double-rounds there (int128->double,
+        // then /10^scale) while Spark's BigDecimal cast rounds once —
+        // a real 1-ulp cross-engine split. At scale 2 the scaled sum
+        // fits in 53 bits for any realistic corpus, so one rounding
+        // is exact and both engines agree bit-for-bit.
+        round(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(rate) - col("l_discount").cast(rate))), 2)
           .cast("double").as("sum_disc_price"),
-        sum(col("l_extendedprice").cast(dec) * (lit(1).cast(rate) - col("l_discount").cast(rate))
-          * (lit(1).cast(rate) + col("l_tax").cast(rate)))
+        round(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(rate) - col("l_discount").cast(rate))
+          * (lit(1).cast(rate) + col("l_tax").cast(rate))), 2)
           .cast("double").as("sum_charge"),
         (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(col("l_extendedprice").cast(dec)).cast("double") / count(lit(1))).as("avg_price"),
