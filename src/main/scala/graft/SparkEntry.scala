@@ -1167,39 +1167,39 @@ object SparkEntry {
     * half-up centroid means — shared by `kmeans_clusters` and
     * `semdedup_kmeans`. Ends at `a2` = the final assignment.
     */
-  private val kmeansCtes = """u AS (SELECT vec_id,
+  private val kmeansCtes = """u AS MATERIALIZED (SELECT vec_id,
              list_transform(embedding, v ->
                CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
                AS u
            FROM embeddings),
-      seed AS (SELECT u,
+      seed AS MATERIALIZED (SELECT u,
                row_number() OVER (ORDER BY h, vid) - 1 AS cid
                FROM (SELECT u, vec_id AS vid,
                        md5('kmeans:' || CAST(vec_id AS VARCHAR)) AS h
                      FROM u ORDER BY h, vid LIMIT 8)),
-      c0 AS (SELECT cid, u AS c FROM seed),
-      d1 AS (SELECT a.vec_id, b.cid,
+      c0 AS MATERIALIZED (SELECT cid, u AS c FROM seed),
+      d1 AS MATERIALIZED (SELECT a.vec_id, b.cid,
                CAST(list_sum(list_transform(range(1, 65),
                  i -> (a.u[i] - b.c[i]) * (a.u[i] - b.c[i])))
                  AS BIGINT) AS d
              FROM u a CROSS JOIN c0 b),
-      a1 AS (SELECT vec_id, cid, d FROM d1
+      a1 AS MATERIALIZED (SELECT vec_id, cid, d FROM d1
              QUALIFY row_number() OVER (PARTITION BY vec_id
                ORDER BY d, cid) = 1),
-      e1 AS (SELECT a1.cid, u.u, unnest(range(1, 65)) AS pos
+      e1 AS MATERIALIZED (SELECT a1.cid, u.u, unnest(range(1, 65)) AS pos
              FROM a1 JOIN u USING (vec_id)),
-      s1 AS (SELECT cid, pos, COUNT(*) AS n, SUM(u[pos]) AS s
+      s1 AS MATERIALIZED (SELECT cid, pos, COUNT(*) AS n, SUM(u[pos]) AS s
              FROM e1 GROUP BY 1, 2),
-      c1 AS (SELECT cid,
+      c1 AS MATERIALIZED (SELECT cid,
                list(CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT)
                  ORDER BY pos) AS c
              FROM s1 GROUP BY 1),
-      d2 AS (SELECT a.vec_id, b.cid,
+      d2 AS MATERIALIZED (SELECT a.vec_id, b.cid,
                CAST(list_sum(list_transform(range(1, 65),
                  i -> (a.u[i] - b.c[i]) * (a.u[i] - b.c[i])))
                  AS BIGINT) AS d
              FROM u a CROSS JOIN c1 b),
-      a2 AS (SELECT vec_id, cid, d FROM d2
+      a2 AS MATERIALIZED (SELECT vec_id, cid, d FROM d2
              QUALIFY row_number() OVER (PARTITION BY vec_id
                ORDER BY d, cid) = 1)"""
 
@@ -1227,19 +1227,25 @@ object SparkEntry {
     */
   // NOTE plain interpolation, no stripMargin: the embedded lshTbCte is
   // already margin-stripped, and a second stripMargin would eat the
-  // leading `|` of `||` concatenations at line starts
+  // leading `|` of `||` concatenations at line starts.
+  // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+  // the recursive closure in embedding_dedup_groups would otherwise
+  // re-evaluate the ENTIRE code+bucket-join+cosine pipeline on every
+  // recursion step (hours at sf1; 5x even at sf0.1 without recursion).
   private val lshNearDupCtes =
-    s"""e AS (SELECT vec_id, embedding FROM embeddings),
-      ${lshTbCte(16, 6)},
-      cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+      ${lshTbCte(16, 6).replace("tb AS (", "tb AS MATERIALIZED (")},
+      cand AS MATERIALIZED (
+               SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
                FROM tb a JOIN tb b
                  ON a.t = b.t AND a.bucket = b.bucket
                 AND a.vec_id < b.vec_id),
-      sc AS (SELECT id1, id2,
+      sc AS MATERIALIZED (SELECT id1, id2,
                ${cosSql.format("e1.embedding", "e2.embedding")} AS score
              FROM cand JOIN e e1 ON e1.vec_id = id1
                        JOIN e e2 ON e2.vec_id = id2),
-      p AS (SELECT id1, id2, score FROM sc WHERE score >= 0.5)"""
+      p AS MATERIALIZED (
+             SELECT id1, id2, score FROM sc WHERE score >= 0.5)"""
 
   /** IVF top-k oracle at a given probe depth — replays
     * [[Similarity.ivfTopK]] (nlist=16, k=5) bit-for-bit.
@@ -2428,7 +2434,7 @@ object SparkEntry {
       ORDER BY doc_id"""),
     "semantic_keep_best" -> (s"""
       WITH RECURSIVE $lshNearDupCtes,
-      ed AS (SELECT id1 AS a, id2 AS b FROM p
+      ed AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM p
              UNION ALL SELECT id2, id1 FROM p),
       reach AS (
         SELECT a AS id, a AS x FROM ed
@@ -2728,7 +2734,7 @@ object SparkEntry {
       WHERE score >= 0.5 ORDER BY id1, id2"""),
     "embedding_dedup_groups" -> (s"""
       WITH RECURSIVE $lshNearDupCtes,
-      ed AS (SELECT id1 AS a, id2 AS b FROM p
+      ed AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM p
              UNION ALL SELECT id2, id1 FROM p),
       reach AS (
         SELECT a AS id, a AS x FROM ed
