@@ -11,6 +11,15 @@ class WindowAuditSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("every declared query has an oracle, and every oracle has a " +
+      "query — a missing oracleSql entry silently downgrades the " +
+      "driver's gate to a rows-only check") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"orphaned oracle SQL: ${o -- q}")
+  }
+
   test("every query's physical plan: global windows only on " +
       "bounded inputs") {
     import org.apache.spark.sql.execution.window.WindowExec
