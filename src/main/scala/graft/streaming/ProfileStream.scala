@@ -320,6 +320,48 @@ object ProfileStream {
         lit(bins).as("bins") :+ lit(lo).as("lo") :+ lit(hi).as("hi")): _*)
   }
 
+  /** Streaming benchmark-contamination monitor: the live twin of
+    * `Dedup.contaminationReport` for a crawl/ingest stream — every
+    * incoming training document's distinct word n-grams join the
+    * BROADCAST test-suite gram table, and closed windows emit one row
+    * per (window, leaked-into test doc) with the leak incidence count
+    * (train-doc × leaked-gram pairs). An operator a pipeline alarms
+    * on: a benchmark suddenly appearing in the crawl shows up as a
+    * spike on its test_id within one watermark delay.
+    *
+    * State/scale shape: the gram explode is row-local; the
+    * stream-static inner join is STATELESS (the static side is
+    * benchmark-suite-sized by the same contract as
+    * `decontaminateAgainst`'s broadcast); windowed count state is
+    * O(open windows × leaked-into test docs) — bounded by the test
+    * suite, not the stream. Batch-equivalence holds bit-for-bit on
+    * replay because every step (distinct shingles, md5-free counts,
+    * epoch-aligned windows) is the batch arithmetic.
+    */
+  def contaminationStream(stream: DataFrame, tsCol: String,
+                          test: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id", n: Int = 8,
+                          windowDur: String = "1 hour",
+                          watermarkDur: String = "1 hour"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val testG = test.select(col(idCol).as("test_id"),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), n)))
+          .as("g"))
+      .distinct()
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .select(col(tsCol).as("_ts"),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), n)))
+          .as("g"))
+      .join(broadcast(testG), "g")
+      .groupBy(window(col("_ts"), windowDur), col("test_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col("test_id"), col("n_hits"))
+  }
+
   /** Streaming time-series resample: per (user, fixed epoch-aligned
     * interval) event count and DECIMAL-exact value sum, emitted when
     * the watermark closes the window — the streaming counterpart of

@@ -393,6 +393,59 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("contaminationStream: closed windows carry exactly the batch " +
+      "leak counts per (window, test doc) on a replayed doc stream") {
+    import graft.operators.TextAnalysis
+    // test suite: one doc sharing bigrams with the stream, one alien
+    val testDocs = Seq((100L, "a b c"), (101L, "x y z"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "2024-01-01 00:10:00", "a b c d"),   // grams a-b, b-c leak
+      (2L, "2024-01-01 00:20:00", "q r s"),     // clean
+      (3L, "2024-01-01 01:10:00", "a b q"),     // a-b leaks, window 2
+      (4L, "2024-01-01 01:20:00", "b c e"))     // b-c leaks, window 2
+    def toDf(rs: Seq[(Long, String, String)]) =
+      rs.toDF("doc_id", "ts", "text")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont_eq")
+    val in = dir.toString + "/in"
+    toDf(rows).write.mode("overwrite").parquet(in)
+    // batch twin: identical gram/join/count arithmetic on hour slices
+    val testG = testDocs.select(col("doc_id").as("test_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("text"), 2)))
+          .as("g")).distinct()
+    val batch = toDf(rows)
+      .select(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("slice_start"),
+        explode(array_distinct(TextAnalysis.shingles(col("text"), 2)))
+          .as("g"))
+      .join(testG, "g")
+      .groupBy("slice_start", "test_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = ProfileStream.contaminationStream(stream, "ts", testDocs,
+      n = 2, windowDur = "1 hour", watermarkDur = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cont_eq").start()
+    try {
+      q.processAllAvailable()
+      toDf(Seq((99L, "2024-01-02 00:00:00", "late closer")))
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val streamed = spark.table("cont_eq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      // hand truth: window 00 leaks a-b + b-c from doc 1 (2 hits),
+      // window 01 leaks a-b (doc 3) + b-c (doc 4); alien 101 never
+      assert(batch == Set(
+        ("2024-01-01 00:00:00", 100L, 2L),
+        ("2024-01-01 01:00:00", 100L, 2L)))
+    } finally q.stop()
+  }
+
   test("dsirScoreStream: streamed row-local scores are bit-equal to " +
       "the batch join-path dsirAffinity on the same documents") {
     val target = Seq((100L, "a b c d"), (101L, "a b x y"))
