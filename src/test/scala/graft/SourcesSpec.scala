@@ -12,6 +12,26 @@ class SourcesSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("Tables.load normalizes both events.ts physical encodings — " +
+      "legacy TIMESTAMP(NANOS) and TIMESTAMP(MICROS) — to identical " +
+      "session timestamps") {
+    // committed twin fixtures (same 3 rows; ts written as ns and µs):
+    // the driver's testdata has shipped both ways across rounds, and
+    // the regenerated-µs data no longer exercises the nanos branch
+    val res = "src/test/resources"
+    def rows(sub: String) =
+      Tables.load(spark, s"$res/$sub", "events")
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3)))
+        .toSeq
+    val viaNanos = rows("events_nanos")
+    val viaMicros = rows("events_micros")
+    assert(viaNanos == viaMicros)
+    // µs precision survives (123456 micros on row 1)
+    assert(viaNanos.head._2.toInstant.getNano == 123456000)
+  }
+
   test("describeCollections: footer row counts equal COUNT(*)") {
     val stats = Tables.describeCollections(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
