@@ -507,6 +507,20 @@ object SparkEntry {
         docs.filter(col("source").isin("src0", "src1")),
         budgets = TokenBudgets, defaultBudget = 300L)
     }),
+    // DoReMi-shape domain-mixture reweighting: per-source sampling
+    // weights that move the corpus mixture to target token shares
+    "mixture_weights" -> ((s, d) =>
+      operators.Curation.mixtureWeights(Tables.load(s, d, "documents"),
+        MixtureTargets, defaultTargetPpm = MixtureDefaultPpm)),
+    // sequence-length bucketing audit: padding waste per power-of-two
+    // length bucket — the "bucketed padding vs sequence packing" input
+    "padding_report" -> ((s, d) =>
+      operators.Curation.paddingReport(Tables.load(s, d, "documents"),
+        buckets = PaddingBuckets)),
+    // sort-free percentile normalization: quality + length blended
+    // through histogram CDFs (integer ppm), no global sort anywhere
+    "quality_blend" -> ((s, d) =>
+      TextAnalysis.qualityBlend(Tables.load(s, d, "documents"))),
     // Dolma-style token-budget mixture fill: named strata get their
     // own token budgets, the rest share a default
     "token_budget_sample" -> ((s, d) =>
@@ -620,6 +634,14 @@ object SparkEntry {
         .select(col("variant"), col("hits"), col("total"),
           expr("hits * 1000000 DIV total").as("recall_ppm"))
         .orderBy("variant")
+    }),
+    // kNN-classifier label vote: leave-one-out majority vote among
+    // each query's 5 nearest labeled neighbors (label-propagation /
+    // labeler-distillation shape; candidates from the exact baseline —
+    // at scale the IVF router feeds the same vote stages)
+    "knn_label_vote" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.knnLabelVote(e, e.filter(col("vec_id") < 50), k = 5)
     }),
     // IVF-PQ composite: coarse routing + residual PQ + per-list ADC;
     // the probe-1 row pins the recall/work trade like ann_ivf_probe1
@@ -880,6 +902,32 @@ object SparkEntry {
     */
   private val TokenBudgets: Map[String, Long] =
     Map("src0" -> 2000L, "src1" -> 800L, "src2" -> 0L)
+
+  /** Target mixture shares (ppm) for `mixture_weights` — three named
+    * domains get explicit targets, the remaining 17 share the
+    * remainder uniformly (⌊500000/17⌋). Shared with the oracle SQL so
+    * both engines weigh the same targets.
+    */
+  private val MixtureTargets: Map[String, Long] =
+    Map("src0" -> 200000L, "src1" -> 150000L, "src2" -> 150000L)
+  private val MixtureDefaultPpm: Long = 29411L
+
+  /** `padding_report` bucket boundaries — shared with the oracle SQL
+    * so both engines draw identical bucket edges.
+    */
+  private val PaddingBuckets: Seq[Long] =
+    Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+
+  /** DuckDB CASE expressions generated from the SAME constants the
+    * Spark plans consume — the targets/edges cannot drift apart.
+    */
+  private def mixtureCaseSql: String =
+    MixtureTargets.toSeq.sortBy(_._1)
+      .map { case (s, t) => s"WHEN '$s' THEN $t" }
+      .mkString("CASE source ", " ", s" ELSE $MixtureDefaultPpm END")
+  private def paddingCaseSql: String =
+    PaddingBuckets.init.map(b => s"WHEN kept <= $b THEN $b")
+      .mkString("CASE ", " ", s" ELSE ${PaddingBuckets.last} END")
 
   /** Lined corpus for `line_dedup`: the synthetic documents have no
     * newlines, so each doc is wrapped in exactly the boilerplate the
@@ -2221,6 +2269,55 @@ object SparkEntry {
             FROM q)
       SELECT doc_id, source, q6, "rank" FROM r
       WHERE "rank" <= 10 ORDER BY doc_id"""),
+    "mixture_weights" -> (s"""
+      WITH t AS (SELECT source, len($toksSql) AS n FROM documents),
+      s AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s),
+      w AS (SELECT source, n_docs, n_tokens,
+              CAST((1000000 * n_tokens) // total AS BIGINT)
+                AS corpus_ppm,
+              CAST($mixtureCaseSql AS BIGINT) AS target_ppm, total
+            FROM s, tot)
+      SELECT source, n_docs, n_tokens, corpus_ppm, target_ppm,
+             weight_ppm,
+             CAST((n_tokens * weight_ppm) // 1000000 AS BIGINT)
+               AS expected_tokens
+      FROM (SELECT *, CAST((target_ppm * total) // n_tokens AS BIGINT)
+              AS weight_ppm FROM w)
+      ORDER BY source"""),
+    "padding_report" -> (s"""
+      WITH t AS (SELECT LEAST(len($toksSql),
+                   ${PaddingBuckets.last}) AS kept FROM documents),
+      b AS (SELECT CAST($paddingCaseSql AS BIGINT) AS bucket_len,
+              CAST(kept AS BIGINT) AS kept FROM t),
+      g AS (SELECT bucket_len, COUNT(*) AS n_docs,
+              CAST(SUM(kept) AS BIGINT) AS kept_tokens
+            FROM b GROUP BY 1)
+      SELECT bucket_len, n_docs, kept_tokens,
+             bucket_len * n_docs - kept_tokens AS pad_tokens,
+             CAST((1000000 * (bucket_len * n_docs - kept_tokens))
+               // (bucket_len * n_docs) AS BIGINT) AS waste_ppm
+      FROM g ORDER BY bucket_len"""),
+    "quality_blend" -> (s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      base AS (SELECT doc_id,
+          LEAST(255, CAST(floor($qualitySql * 256) AS BIGINT)) AS qbin,
+          LEAST(255, CAST(len(toks) // 8 AS BIGINT)) AS lbin FROM t),
+      qh AS (SELECT qbin, COUNT(*) AS c FROM base GROUP BY 1),
+      qc AS (SELECT qbin, (1000000 * SUM(c) OVER (ORDER BY qbin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               // SUM(c) OVER () AS q_cdf_ppm FROM qh),
+      lh AS (SELECT lbin, COUNT(*) AS c FROM base GROUP BY 1),
+      lc AS (SELECT lbin, (1000000 * SUM(c) OVER (ORDER BY lbin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               // SUM(c) OVER () AS len_cdf_ppm FROM lh)
+      SELECT b.doc_id, CAST(q_cdf_ppm AS BIGINT) AS q_cdf_ppm,
+             CAST(len_cdf_ppm AS BIGINT) AS len_cdf_ppm,
+             CAST((q_cdf_ppm + len_cdf_ppm) // 2 AS BIGINT)
+               AS blend_ppm
+      FROM base b JOIN qc USING (qbin) JOIN lc USING (lbin)
+      ORDER BY doc_id"""),
     "dsir_affinity" -> (s"""
       WITH $dsirCtes
       SELECT d.doc_id,
@@ -2657,6 +2754,25 @@ object SparkEntry {
                      ORDER BY score DESC, nid ASC) AS rank
             FROM sc)
       WHERE rank <= 5 ORDER BY query_id, rank"""),
+    "knn_label_vote" -> (s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                        CAST(label AS BIGINT) AS tl
+                 FROM embeddings WHERE vec_id < 50),
+      sc AS (SELECT qid, e.vec_id AS nid, CAST(e.label AS BIGINT) AS nl,
+                    ${cosSql.format("qv", "e.embedding")} AS score
+             FROM q, embeddings e WHERE e.vec_id <> qid),
+      nn AS (SELECT qid, nl FROM (
+               SELECT qid, nl, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY score DESC, nid ASC) AS r FROM sc)
+             WHERE r <= 5),
+      v AS (SELECT qid, nl, COUNT(*) AS c FROM nn GROUP BY 1, 2),
+      p AS (SELECT qid, nl AS pred_label, c AS pred_votes FROM (
+              SELECT qid, nl, c, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY c DESC, nl ASC) AS r FROM v)
+            WHERE r = 1)
+      SELECT q.qid AS vec_id, q.tl AS true_label, p.pred_label,
+             p.pred_votes, (q.tl = p.pred_label) AS correct
+      FROM q JOIN p ON p.qid = q.qid ORDER BY vec_id"""),
     // full LSH replay: the ±1 hyperplanes are md5-derived
     // (Similarity.hyperplanes), so bucket codes — sign bits of exact
     // left-to-right double dot products — reproduce bit-for-bit; the

@@ -407,4 +407,90 @@ object Curation {
         "start_tok")
       .orderBy("doc_id")
   }
+
+  /** Domain-mixture reweighting — the data-mixing step (the DoReMi /
+    * The Pile shape: per-domain sampling weights chosen so the mixture
+    * the model SEES matches target token shares, not what the crawl
+    * happened to collect). Given target shares in ppm per source,
+    * computes each source's actual corpus share and the sampling
+    * weight that reaches the target:
+    *
+    *   weight_ppm = ⌊target_ppm · total_tokens / tokens_s⌋
+    *
+    * >1e6 means the source must be upsampled (repeat epochs), <1e6
+    * downsampled; `expected_tokens` is the post-sampling token count.
+    * All integer arithmetic (64-bit products stay exact far beyond
+    * 100 TB token counts), so any engine reproduces it bit-for-bit.
+    *
+    * Shape at 100 TB: ONE map-side-combined groupBy over the tiny
+    * source key space, a 1-row total broadcast back over the grouped
+    * result (the q11 pattern), and a literal target map — no second
+    * corpus scan, no join against anything corpus-sized.
+    */
+  def mixtureWeights(docs: DataFrame, targetsPpm: Map[String, Long],
+                     defaultTargetPpm: Long = 0L,
+                     textCol: String = "text",
+                     srcCol: String = "source"): DataFrame = {
+    val perSrc = docs.select(col(srcCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol))
+          .cast(org.apache.spark.sql.types.LongType).as("_n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_n").as("n_tokens"))
+    val total = perSrc.agg(sum("n_tokens").as("_total"))
+    val target = targetsPpm.foldLeft(lit(defaultTargetPpm)) {
+      case (acc, (s, t)) => when(col("source") === s, lit(t)).otherwise(acc)
+    }
+    perSrc.crossJoin(broadcast(total))
+      .withColumn("target_ppm", target)
+      .withColumn("corpus_ppm",
+        expr("(1000000 * n_tokens) div _total"))
+      .withColumn("weight_ppm",
+        expr("(target_ppm * _total) div n_tokens"))
+      .withColumn("expected_tokens",
+        expr("(n_tokens * weight_ppm) div 1000000"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("corpus_ppm"), col("target_ppm"), col("weight_ppm"),
+        col("expected_tokens"))
+      .orderBy("source")
+  }
+
+  /** Sequence-length bucketing audit — the padding-waste report a
+    * training pipeline runs before choosing batch shapes. Each
+    * document lands in the smallest power-of-two length bucket that
+    * holds its token count (longer docs are truncated to the largest
+    * bucket — the max-sequence-length cut); per bucket the report
+    * gives the document count, the kept tokens, the pad tokens a
+    * rectangular (bucket_len × n_docs) batch would burn, and the
+    * waste as integer ppm of batch capacity. The "is bucketed padding
+    * acceptable or do we need sequence packing" decision input
+    * (`packSequences` is the packing alternative this audits against).
+    *
+    * Row-local bucket assignment (a literal CASE chain — no log2/libm,
+    * so every engine agrees on boundaries) followed by one map-side-
+    * combined groupBy over ≤ a dozen bucket keys: scales like a count.
+    */
+  def paddingReport(docs: DataFrame, textCol: String = "text",
+                    buckets: Seq[Long] =
+                      Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L))
+      : DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted,
+      "buckets must be ascending")
+    val maxB = buckets.last
+    val n = TextAnalysis.tokenCount(col(textCol))
+      .cast(org.apache.spark.sql.types.LongType)
+    val kept = least(n, lit(maxB))
+    val bucket = buckets.init.foldRight(lit(maxB)) {
+      case (b, acc) => when(kept <= b, lit(b)).otherwise(acc)
+    }
+    docs.select(bucket.as("bucket_len"), kept.as("_kept"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum("_kept").as("kept_tokens"))
+      .withColumn("pad_tokens",
+        expr("(bucket_len * n_docs) - kept_tokens"))
+      .withColumn("waste_ppm",
+        expr("(1000000 * pad_tokens) div (bucket_len * n_docs)"))
+      .select("bucket_len", "n_docs", "kept_tokens", "pad_tokens",
+        "waste_ppm")
+      .orderBy("bucket_len")
+  }
 }

@@ -55,6 +55,50 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** k-NN majority-vote label prediction over the embedding space —
+    * the classic kNN classifier (Fix & Hodges 1951) in its modern
+    * pipeline role: propagating labels from an already-labeled subset
+    * onto the corpus (distilling an expensive labeler) by voting among
+    * each vector's k nearest labeled neighbors. Candidate search here
+    * is the exact brute-force baseline (one corpus scan, query side
+    * broadcast — [[bruteForceTopK]]); at 100 TB swap [[ivfTopK]] in as
+    * the candidate source — the vote stages below are unchanged and
+    * tiny (queries × k rows). Fully deterministic: cosine rounded to 6
+    * decimals with neighbor-id tiebreak in the top-k, then
+    * (votes desc, label asc) tiebreak in the vote.
+    *
+    * Returns (vec_id, true_label, pred_label, pred_votes, correct) —
+    * `correct` compares the vote against the query's own label, so the
+    * result doubles as a leave-one-out accuracy audit of the labeling.
+    */
+  def knnLabelVote(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    // neighbor labels: the (queries × k) candidate set is broadcast
+    // against ONE pass over the corpus's (id, label) projection — no
+    // shuffle of corpus rows, and the scan prunes to two columns
+    val lbl = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast(LongType).as("_nl"))
+    val votes = lbl
+      .join(broadcast(nn.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("_nl"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_c").desc, col("_nl").asc)
+    val pred = votes.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("query_id"), col("_nl").as("pred_label"),
+        col("_c").as("pred_votes"))
+    val truth = queries.select(col(idCol).as("query_id"),
+      col(labelCol).cast(LongType).as("true_label"))
+    truth.join(pred, Seq("query_id"))
+      .withColumn("correct", col("true_label") === col("pred_label"))
+      .select(col("query_id").as("vec_id"), col("true_label"),
+        col("pred_label"), col("pred_votes"), col("correct"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic ±1 random hyperplanes: component i of plane j is +1
     * iff the first hex digit of md5("j:i") is < '8'. Reproducible
     * everywhere, no RNG state.

@@ -538,6 +538,62 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Histogram-CDF rank-normalized quality blend — combines
+    * heterogeneous quality signals (the composite [[qualityScore]] and
+    * document length) on a COMMON scale by mapping each through its
+    * own empirical CDF, then averaging. Rank/percentile normalization
+    * is the standard way to blend signals whose raw scales are
+    * incomparable (a 0–1 score vs a token count) — but `percent_rank`
+    * is a global sort per signal, which is exactly what does not scale.
+    * This is the sort-free form: each signal bins row-locally into a
+    * fixed grid (≤ `bins` buckets), ONE map-side-combined groupBy
+    * builds the joint histogram, the marginal CDFs are cumulative sums
+    * over that ≤ bins-sized frame, and docs get their percentiles back
+    * through broadcast joins on the bin key. Two corpus scans total
+    * (histogram + lookup), zero corpus-sized sorts or windows; the
+    * histogram shuffle is at most bins² tiny rows. CDF values are
+    * integer ppm (⌊1e6·cum/total⌋) — exact on any engine.
+    *
+    * Returns (doc_id, q_cdf_ppm, len_cdf_ppm, blend_ppm) where
+    * blend_ppm = ⌊(q_cdf_ppm + len_cdf_ppm)/2⌋ — the data-selection
+    * ranking key ([[graft.operators.Curation.keepTopQuantile]] /
+    * `dsirSelect`-style fills consume it directly).
+    */
+  def qualityBlend(df: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", bins: Int = 256,
+                   lenBinTokens: Long = 8L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = col(textCol)
+    val qbin = least(lit(bins - 1L),
+      floor(qualityScore(c) * bins).cast(LongType)).as("qbin")
+    val lbin = least(lit(bins - 1L),
+      expr(s"CAST(_n div $lenBinTokens AS BIGINT)")).as("lbin")
+    val base = graft.util.Utils.spread(df)
+      .withColumn("_n", tokenCount(c).cast(LongType))
+      .select(col(idCol).as("doc_id"), qbin, lbin)
+    // one corpus pass builds the JOINT histogram; both marginals are
+    // re-aggregations of that ≤ bins²-row frame, not corpus re-scans
+    val joint = base.groupBy("qbin", "lbin").agg(count(lit(1)).as("_c"))
+    def marginalCdf(binCol: String, outCol: String) = {
+      val cum = Window.orderBy(col(binCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      joint.groupBy(binCol).agg(sum("_c").as("_bc"))
+        .withColumn("_cum", sum("_bc").over(cum))
+        .withColumn("_tot", sum("_bc").over(all))
+        .select(col(binCol),
+          expr("CAST((1000000 * _cum) div _tot AS BIGINT)").as(outCol))
+    }
+    base
+      .join(broadcast(marginalCdf("qbin", "q_cdf_ppm")), Seq("qbin"))
+      .join(broadcast(marginalCdf("lbin", "len_cdf_ppm")), Seq("lbin"))
+      .withColumn("blend_ppm",
+        expr("CAST((q_cdf_ppm + len_cdf_ppm) div 2 AS BIGINT)"))
+      .select("doc_id", "q_cdf_ppm", "len_cdf_ppm", "blend_ppm")
+      .orderBy("doc_id")
+  }
+
   /** Full per-document text profile over a documents table. */
   def textProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

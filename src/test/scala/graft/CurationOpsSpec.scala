@@ -650,4 +650,41 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(wide == Set(1L, 2L, 3L))
   }
+
+  test("mixtureWeights: hand-computed up/down-sampling weights " +
+      "and the default target") {
+    // srcA 6 of 10 tokens (over target → downsample), srcB 2/10
+    // (under → upsample), srcC picks up the default target
+    val docs = Seq(
+      (1L, "srcA", "a b c"), (2L, "srcA", "d e f"),
+      (3L, "srcB", "a b"), (4L, "srcC", "c d")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.mixtureWeights(docs,
+        Map("srcA" -> 200000L, "srcB" -> 700000L),
+        defaultTargetPpm = 100000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      // weight = ⌊target · total / tokens⌋; expected = ⌊tokens·w/1e6⌋
+      ("srcA", 2L, 6L, 600000L, 200000L, 333333L, 1L),
+      ("srcB", 1L, 2L, 200000L, 700000L, 3500000L, 7L),
+      ("srcC", 1L, 2L, 200000L, 100000L, 500000L, 1L)))
+  }
+
+  test("paddingReport: bucket edges, max-bucket truncation, waste ppm") {
+    val docs = Seq(
+      (1L, "a b c"),                                  // 3 → bucket 4
+      (2L, "a b c d e"),                              // 5 → bucket 8
+      (3L, (1 to 8).map(_ => "w").mkString(" ")),     // 8 → bucket 8
+      (4L, (1 to 20).map(_ => "w").mkString(" "))     // 20 → truncated
+    ).toDF("doc_id", "text")
+    val got = Curation.paddingReport(docs, buckets = Seq(4L, 8L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      // bucket 4: one 3-token doc → 1 pad of 4 capacity = 250000 ppm
+      (4L, 1L, 3L, 1L, 250000L),
+      // bucket 8: kept 5+8+8 = 21 of 24 capacity → 3 pads = 125000 ppm
+      (8L, 3L, 21L, 3L, 125000L)))
+  }
 }

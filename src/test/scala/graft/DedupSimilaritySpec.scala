@@ -490,4 +490,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val t = Similarity.kmeans(tiny, k = 8, iters = 2).collect()
     assert(t.length == 3 && t.forall(_.getLong(2) == 0L))
   }
+
+  /** Hand-built kNN-vote fixture: query 0 points along (1,0); ids 1–4
+    * fan out at increasing angles (labels 1,2,1,2), ids 5–6 sit near
+    * (0,1) with label 9.
+    */
+  lazy val voteFixture = Seq(
+    (0L, Seq(1f, 0f), 3),
+    (1L, Seq(1f, 0.1f), 1),
+    (2L, Seq(1f, 0.2f), 2),
+    (3L, Seq(1f, 0.3f), 1),
+    (4L, Seq(1f, 0.4f), 2),
+    (5L, Seq(0f, 1f), 9),
+    (6L, Seq(0.01f, 1f), 9)).toDF("vec_id", "embedding", "label")
+
+  test("knnLabelVote: majority vote, (votes desc, label asc) " +
+      "tiebreak, correct flag") {
+    // top-4 of query 0 is ids 1–4 → labels (1,2,1,2), a 2–2 tie:
+    // the LOWER label must win; its own label is 3 → correct = false
+    val out = Similarity.knnLabelVote(voteFixture,
+      voteFixture.filter($"vec_id" === 0L), k = 4).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 3L &&
+      r.getLong(2) == 1L && r.getLong(3) == 2L && !r.getBoolean(4))
+  }
+
+  test("knnLabelVote: leave-one-out agreement marks correct = true") {
+    // query 5's single nearest neighbor is 6 (both label 9)
+    val out = Similarity.knnLabelVote(voteFixture,
+      voteFixture.filter($"vec_id" === 5L), k = 1).collect()
+    val r = out.head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 9L &&
+      r.getLong(2) == 9L && r.getLong(3) == 1L && r.getBoolean(4))
+  }
 }

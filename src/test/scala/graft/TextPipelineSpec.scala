@@ -2,6 +2,7 @@ package graft
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, TextAnalysis}
@@ -12,6 +13,7 @@ import graft.operators.{Dedup, TextAnalysis}
 class TextPipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
 
   private def md5hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -84,5 +86,45 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(m(2L)._1 == false)
     assert(m(2L)._3 == false)
     assert(m(3L) == (true, false, false))
+  }
+
+  test("qualityBlend: matches a driver-side CDF recomputation on " +
+      "real documents") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val qn = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect()
+    val qbins = qn.map(r =>
+      math.min(255L, math.floor(r.getDouble(1) * 256).toLong))
+    val lbins = qn.map(r => math.min(255L, r.getLong(2) / 8))
+    def cdf(bins: Array[Long]): Map[Long, Long] = {
+      val total = bins.length.toLong
+      val counts = bins.groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+      var cum = 0L
+      counts.keys.toSeq.sorted.map { k =>
+        cum += counts(k); k -> (1000000L * cum / total)
+      }.toMap
+    }
+    val (qc, lc) = (cdf(qbins), cdf(lbins))
+    val expected = qn.indices.map { i =>
+      val (q, l) = (qc(qbins(i)), lc(lbins(i)))
+      (qn(i).getLong(0), q, l, (q + l) / 2)
+    }.sortBy(_._1)
+    val got = TextAnalysis.qualityBlend(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("qualityBlend: a single-bin corpus lands every doc at ppm " +
+      "1000000 on both axes") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityBlend(docs).collect()
+    assert(got.length == 3 && got.forall(r =>
+      r.getLong(1) == 1000000L && r.getLong(2) == 1000000L &&
+        r.getLong(3) == 1000000L))
   }
 }

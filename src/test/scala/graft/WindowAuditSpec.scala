@@ -48,7 +48,10 @@ class WindowAuditSpec extends AnyFunSuite {
       // trained arm ranks nothing globally — row-local argmin encode
       "ann_pq_recall" -> "codebook rank over limit(codebookSize) rows",
       "ann_ivfpq_topk" -> "codebook ranks over bounded samples",
-      "ann_ivfpq_probe1" -> "codebook ranks over bounded samples"
+      "ann_ivfpq_probe1" -> "codebook ranks over bounded samples",
+      // marginal-CDF cumsums run over the bin HISTOGRAM (≤ bins rows
+      // post-aggregation), never the corpus — the sort-free design
+      "quality_blend" -> "bin-histogram cumsum, ≤ bins rows"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
@@ -106,7 +109,12 @@ class WindowAuditSpec extends AnyFunSuite {
       "dsir_affinity" -> "1-row gram-total broadcast",
       "dsir_select" -> "1-row gram-total broadcast (via dsirScores)",
       // merged bin table (groups × ≤256 bins) × the 4-row q literal
-      "quantile_rollup_lineitem" -> "bins-sized x quantile literals"
+      "quantile_rollup_lineitem" -> "bins-sized x quantile literals",
+      // brute-force candidate source: corpus x broadcast query batch
+      // (the documented exact baseline; IVF routing is the scale path)
+      "knn_label_vote" -> "corpus x broadcast query batch",
+      // 1-row corpus token total against the per-source aggregate
+      "mixture_weights" -> "1-row total broadcast"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
