@@ -512,6 +512,11 @@ object SparkEntry {
     "mixture_weights" -> ((s, d) =>
       operators.Curation.mixtureWeights(Tables.load(s, d, "documents"),
         MixtureTargets, defaultTargetPpm = MixtureDefaultPpm)),
+    // the mixture EXECUTION step: numbered copies per doc from the
+    // computed weights (md5-coin fractional part, repeat-epoch copies)
+    "mixture_apply" -> ((s, d) =>
+      operators.Curation.mixtureApply(Tables.load(s, d, "documents"),
+        MixtureTargets, defaultTargetPpm = MixtureDefaultPpm)),
     // sequence-length bucketing audit: padding waste per power-of-two
     // length bucket — the "bucketed padding vs sequence packing" input
     "padding_report" -> ((s, d) =>
@@ -2286,6 +2291,29 @@ object SparkEntry {
       FROM (SELECT *, CAST((target_ppm * total) // n_tokens AS BIGINT)
               AS weight_ppm FROM w)
       ORDER BY source"""),
+    "mixture_apply" -> (s"""
+      WITH t AS (SELECT source, len($toksSql) AS n FROM documents),
+      s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens
+            FROM t GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s),
+      w AS (SELECT source,
+              CAST((($mixtureCaseSql) * total) // n_tokens AS BIGINT)
+                AS weight_ppm
+            FROM s, tot),
+      j AS (SELECT doc_id, source, weight_ppm,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5)
+                AS BIGINT) AS h
+            FROM documents JOIN w USING (source)),
+      c AS (SELECT doc_id, source, weight_ppm,
+              weight_ppm // 1000000
+              + CASE WHEN h * 1000000 <
+                       (weight_ppm % 1000000) * 1048576
+                     THEN 1 ELSE 0 END AS copies
+            FROM j)
+      SELECT doc_id, source, weight_ppm,
+             CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_idx
+      FROM c WHERE copies >= 1
+      ORDER BY doc_id, copy_idx"""),
     "padding_report" -> (s"""
       WITH t AS (SELECT LEAST(len($toksSql),
                    ${PaddingBuckets.last}) AS kept FROM documents),

@@ -454,6 +454,50 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Executes [[mixtureWeights]] — the resampling step that makes the
+    * corpus ACTUALLY match the target mixture. Each document's weight
+    * w (ppm) splits into ⌊w/1e6⌋ guaranteed copies plus one more with
+    * probability (w mod 1e6)/1e6, decided by the doc's own md5 — so
+    * downsampling (w < 1e6) is a keep/drop coin and upsampling
+    * (w > 1e6, the DoReMi repeat-epochs case) emits multiple numbered
+    * copies. No RNG state: the fractional coin compares the first 5
+    * md5 hex digits (a 2²⁰-grain uniform in [0,1e6) via exact integer
+    * cross-multiplication h·1e6 < f·2²⁰), so the same doc makes the
+    * same choice on any engine, any partitioning, any re-run.
+    *
+    * Returns (doc_id, source, weight_ppm, copy_idx) with copy_idx =
+    * 1..copies — the numbered-copy form downstream shuffle/packing
+    * steps need (each copy gets its own shuffle position).
+    *
+    * Scale shape: the weight table is sources-sized and broadcast;
+    * copy emission is a row-local explode. ONE corpus scan for the
+    * emission (plus the one inside mixtureWeights), no corpus shuffle.
+    */
+  def mixtureApply(docs: DataFrame, targetsPpm: Map[String, Long],
+                   defaultTargetPpm: Long = 0L,
+                   textCol: String = "text",
+                   srcCol: String = "source",
+                   idCol: String = "doc_id"): DataFrame = {
+    val weights = mixtureWeights(docs, targetsPpm, defaultTargetPpm,
+      textCol, srcCol).select(col("source"), col("weight_ppm"))
+    val h20 = expr(
+      s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 5), " +
+        "16, 10) AS BIGINT)")
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"))
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("copies",
+        expr("(weight_ppm div 1000000)") +
+          when(h20 * lit(1000000L) <
+            (col("weight_ppm") % 1000000L) * lit(1048576L), 1L)
+            .otherwise(0L))
+      // ascending sequence() needs copies ≥ 1 (Spark's sequence(1, 0)
+      // would count DOWN); zero-copy docs are exactly the drops
+      .filter(col("copies") >= 1L)
+      .select(col("doc_id"), col("source"), col("weight_ppm"),
+        explode(expr("sequence(1L, copies)")).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
   /** Sequence-length bucketing audit — the padding-waste report a
     * training pipeline runs before choosing batch shapes. Each
     * document lands in the smallest power-of-two length bucket that

@@ -291,6 +291,46 @@ object Similarity {
       .orderBy("id1", "id2")
   }
 
+  /** Occupancy-scaled planes-per-table for [[embeddingNearDupsAuto]]:
+    * the smallest depth whose 2^planes buckets hold expected occupancy
+    * ≤ `targetOccupancy` at corpus size n — i.e. ⌈log2(n/occ)⌉ computed
+    * by integer doubling (no libm, so every caller derives the same
+    * depth from the same count).
+    */
+  def autoPlanes(n: Long, targetOccupancy: Long = 32L,
+                 minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
+    var planes = minPlanes
+    while (planes < maxPlanes &&
+      (1L << planes) * targetOccupancy < n) planes += 1
+    planes
+  }
+
+  /** [[embeddingNearDups]] with occupancy-scaled LSH depth — the
+    * at-scale configuration policy. With FIXED (tables, planes), per-
+    * bucket pair work grows quadratically in corpus size (10× data →
+    * ~100× candidate pairs per bucket): exactly the superlinear wall
+    * the sf1 checkpoint measured on `semantic_keep_best` (7.4× wall at
+    * 10× data). Holding expected bucket occupancy constant instead —
+    * planes = ⌈log2(n/occupancy)⌉ from ONE cheap columnar count —
+    * keeps candidate work ~linear in n. The standard LSH trade rides
+    * along: each added plane lowers per-table collision probability
+    * for same-threshold pairs, so recall at a fixed `tables` budget
+    * drops as depth grows; callers holding a recall target grow
+    * `tables` with depth (Indyk–Motwani: tables ~ n^ρ). Both knobs
+    * stay explicit here; the spec pins auto ≡ fixed at the derived
+    * depth, and SCALE.md carries the measured wall-time/recall trade.
+    */
+  def embeddingNearDupsAuto(df: DataFrame, threshold: Double = 0.5,
+                            tables: Int = 16,
+                            targetOccupancy: Long = 32L,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            dim: Int = 64): DataFrame = {
+    val planes = autoPlanes(df.select(col(idCol)).count(),
+      targetOccupancy)
+    embeddingNearDups(df, threshold, tables, planes, idCol, vecCol, dim)
+  }
+
   /** Per-label centroids in integer micro-units: each float component
     * maps exactly to round(v·10⁶) (a bijection at float precision),
     * sums exactly in 64-bit, and divides half-up-toward-+∞ — so the

@@ -671,6 +671,29 @@ class CurationOpsSpec extends AnyFunSuite {
       ("srcC", 1L, 2L, 200000L, 100000L, 500000L, 1L)))
   }
 
+  test("mixtureApply: repeat-epoch copies and md5-coin drops, " +
+      "hand-computed") {
+    // same fixture as the weights spec: srcA w=333333 (coin-only),
+    // srcB w=3500000 (3 full copies + coin at f=500000), srcC w=500000
+    val docs = Seq(
+      (1L, "srcA", "a b c"), (2L, "srcA", "d e f"),
+      (3L, "srcB", "a b"), (4L, "srcC", "c d")
+    ).toDF("doc_id", "source", "text")
+    // first-5-hex-digit md5 grains: doc1 c4ca4=806052, doc2
+    // c81e7=819687, doc3 eccbc=969916, doc4 a87ff=690175; coin keeps
+    // iff h·1e6 < f·2²⁰ → f=333333 needs h<349525-ish (both srcA docs
+    // drop), f=500000 needs h<524288e6/1e6 (docs 3 and 4 both miss)
+    val got = Curation.mixtureApply(docs,
+        Map("srcA" -> 200000L, "srcB" -> 700000L),
+        defaultTargetPpm = 100000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (3L, "srcB", 3500000L, 1L),
+      (3L, "srcB", 3500000L, 2L),
+      (3L, "srcB", 3500000L, 3L)))
+  }
+
   test("paddingReport: bucket edges, max-bucket truncation, waste ppm") {
     val docs = Seq(
       (1L, "a b c"),                                  // 3 → bucket 4

@@ -491,6 +491,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(t.length == 3 && t.forall(_.getLong(2) == 0L))
   }
 
+  test("autoPlanes: integer ⌈log2(n/occupancy)⌉ by doubling, clamped") {
+    assert(Similarity.autoPlanes(0L) == 4)
+    assert(Similarity.autoPlanes(512L) == 4)   // 2⁴ buckets × 32 = 512
+    assert(Similarity.autoPlanes(513L) == 5)
+    assert(Similarity.autoPlanes(5000L) == 8)  // 2⁷·32 < 5000 ≤ 2⁸·32
+    assert(Similarity.autoPlanes(50000L) == 11)
+    assert(Similarity.autoPlanes(Long.MaxValue / 64) == 24) // cap
+  }
+
+  test("embeddingNearDupsAuto ≡ embeddingNearDups at the derived " +
+      "depth") {
+    val planes = Similarity.autoPlanes(clustered.count())
+    val auto = Similarity.embeddingNearDupsAuto(clustered,
+      threshold = 0.5, dim = 16).collect().toSeq
+    val fixed = Similarity.embeddingNearDups(clustered,
+      threshold = 0.5, tables = 16, planesPerTable = planes,
+      dim = 16).collect().toSeq
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
   /** Hand-built kNN-vote fixture: query 0 points along (1,0); ids 1–4
     * fan out at increasing angles (labels 1,2,1,2), ids 5–6 sit near
     * (0,1) with label 9.

@@ -114,7 +114,8 @@ class WindowAuditSpec extends AnyFunSuite {
       // (the documented exact baseline; IVF routing is the scale path)
       "knn_label_vote" -> "corpus x broadcast query batch",
       // 1-row corpus token total against the per-source aggregate
-      "mixture_weights" -> "1-row total broadcast"
+      "mixture_weights" -> "1-row total broadcast",
+      "mixture_apply" -> "1-row total broadcast (via mixtureWeights)"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
