@@ -291,6 +291,49 @@ object Similarity {
       .orderBy("id1", "id2")
   }
 
+  /** Collects a labeled reference set for [[labelVoteColumns]] — the
+    * index-building contract (`decontaminateBloomAgainst` precedent):
+    * one bounded driver collect of the SMALL side, shipped to every
+    * task as literals. A labeled seed set is small by definition (it
+    * is the thing that was expensive to label); the corpus/stream
+    * being voted on is the big side and never collects.
+    */
+  def labelRefs(refs: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                labelCol: String = "label")
+      : Array[(Long, Seq[Float], Long)] =
+    refs.select(col(idCol).cast(LongType), col(vecCol),
+        col(labelCol).cast(LongType))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+
+  /** Row-local (pred_label, pred_votes) vote among the top-k of a
+    * LITERAL reference set — identical scoring, top-k tiebreak
+    * (score desc, ref id asc) and vote tiebreak (votes desc, label
+    * asc) to [[knnLabelVote]], but as a pure projection: no join, no
+    * shuffle, no state. The sort trick: entries carry (score, −id),
+    * so one ascending `array_sort` + `reverse` yields score-desc with
+    * id-ASC ties; the vote maximizes (count, −label) the same way.
+    * Plan size grows with the reference count (one codegen'd dot per
+    * ref) — fine for seed-set sizes (≤ a few hundred); beyond that,
+    * use the join-shaped [[knnLabelVote]].
+    */
+  def labelVoteColumns(vec: Column,
+                       refs: Array[(Long, Seq[Float], Long)],
+                       k: Int = 5): (Column, Column) = {
+    require(refs.nonEmpty, "labelVoteColumns: empty reference set")
+    val scored = array(refs.map { case (id, v, lbl) =>
+      struct(cosine(vec, typedLit(v)).as("s"),
+        lit(-id).as("negid"), lit(lbl).as("l"))
+    }.toIndexedSeq: _*)
+    val topLabels = transform(
+      slice(reverse(array_sort(scored)), 1, k), t => t.getField("l"))
+    val best = array_max(transform(array_distinct(topLabels), l =>
+      struct(size(filter(topLabels, x => x === l)).cast(LongType)
+        .as("c"), (l * -1).as("negl"))))
+    (best.getField("negl") * -1, best.getField("c"))
+  }
+
   /** Occupancy-scaled planes-per-table for [[embeddingNearDupsAuto]]:
     * the smallest depth whose 2^planes buckets hold expected occupancy
     * ≤ `targetOccupancy` at corpus size n — i.e. ⌈log2(n/occ)⌉ computed

@@ -280,6 +280,30 @@ object ProfileStream {
       .withColumn("affinity_ppm", affinity)
   }
 
+  /** Streaming kNN label vote: tag a live embedding stream with the
+    * majority label of its k nearest neighbors in a labeled REFERENCE
+    * set — online label propagation / classifier distillation at
+    * ingest. The reference set is collected once batch-side (a seed
+    * set is small by definition — the expensive-to-label side) and
+    * ships as literals, so the streaming side is a PURE PROJECTION:
+    * one codegen'd dot per reference, no stream-static join, no
+    * state, no watermark. Scoring and both tiebreaks are identical to
+    * the batch `Similarity.knnLabelVote` (equivalence spec); NOTE
+    * calling this runs one small Spark job (the reference collect).
+    */
+  def labelVoteStream(stream: DataFrame, refs: DataFrame, k: Int = 5,
+                      vecCol: String = "embedding",
+                      refIdCol: String = "vec_id",
+                      refVecCol: String = "embedding",
+                      refLabelCol: String = "label"): DataFrame = {
+    val r = graft.operators.Similarity
+      .labelRefs(refs, refIdCol, refVecCol, refLabelCol)
+    val (pred, votes) = graft.operators.Similarity
+      .labelVoteColumns(col(vecCol), r, k)
+    stream.withColumn("pred_label", pred)
+      .withColumn("pred_votes", votes)
+  }
+
   /** Streaming bin-sketch staging: per (event-time window, group) the
     * same exact fixed-range bin-count array `Sketches.binSketch`
     * builds batch-side — closed windows ARE ingest slices, so the

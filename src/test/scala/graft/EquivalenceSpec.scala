@@ -474,6 +474,44 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("labelVoteStream: streamed row-local votes are bit-equal to " +
+      "the batch join-path knnLabelVote against the same references") {
+    // references: two tight label clusters along (1,0) and (0,1) plus
+    // a decoy; queries sit near each cluster and one in between (the
+    // in-between one exercises the vote tiebreak)
+    val refs = Seq(
+      (100L, Seq(1f, 0f), 1), (101L, Seq(1f, 0.1f), 1),
+      (102L, Seq(0f, 1f), 2), (103L, Seq(0.1f, 1f), 2),
+      (104L, Seq(0.7f, 0.7f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, Seq(1f, 0.05f), 0), (2L, Seq(0.05f, 1f), 0),
+      (3L, Seq(0.71f, 0.7f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val batch = graft.operators.Similarity
+      .knnLabelVote(refs, queries, k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_vote_eq")
+    val in = dir.toString + "/in"
+    queries.write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = ProfileStream.labelVoteStream(stream, refs, k = 4)
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("vote_eq").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+          "select vec_id, pred_label, pred_votes from vote_eq")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1),
+          r.getLong(2))).toMap
+      assert(got == batch)
+      assert(got.keySet == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("resampleStream on a replayed DISORDERED stream: closed " +
       "windows are bit-equal to the batch resample's non-gap rows") {
     // out-of-order within the watermark: user 10's second 6h-bucket
