@@ -434,12 +434,14 @@ object Similarity {
     * squared micro-distance to the final centroid.
     */
   /** Exact integer squared distance of a micro-int vector column to a
-    * literal centroid — the row-local kmeans/IVF probe primitive.
+    * literal centroid — the row-local kmeans/IVF probe primitive. A
+    * codegen expression ([[graft.functions.SqDistLong]]): the
+    * interpreted `aggregate(zip_with(...))` form it replaces
+    * dominated the PQ-encode / kmeans-assign profile (every (vector,
+    * centroid) pair evaluates one of these).
     */
   private def sqDistTo(u: Column, c: Array[Long]): Column =
-    aggregate(
-      zip_with(u, typedLit(c), (x, y) => (x - y) * (x - y)),
-      lit(0L), _ + _)
+    graft.functions.SqDistLong.sqDistLong(u, typedLit(c))
 
   /** The fit behind [[kmeans]]: returns the final per-vector
     * assignment (with the micro vectors still attached) AND the final
@@ -690,19 +692,67 @@ object Similarity {
       v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
     val microAll = corpus.select(col(idCol).as("vec_id"), microU.as("u"))
     // per-subspace trained codebooks: k·sub longs each, driver-side —
-    // bounded algorithm state that becomes broadcast literals below
-    val books: Array[Array[(Int, Array[Long])]] =
-      (0 until m).toArray.map { j =>
-        val sl = microAll.select(col("vec_id"),
-          slice(col("u"), j * sub + 1, sub).as("u"))
-        val (handle, _, cents) = kmeansFitMicro(sl, codebookSize, iters)
-        handle.unpersist(blocking = false)
-        cents
-      }
-    if (books.exists(_.isEmpty))   // empty corpus: nothing to encode
+    // bounded algorithm state that becomes broadcast literals below.
+    // ALL m subspaces train in ONE pipeline (originally m independent
+    // kmeansFitMicro calls — 4× the Spark jobs for bit-identical
+    // books, ~4× the fixed per-job latency): the md5 seed order
+    // depends only on vec_id, so every subspace's seeds are SLICES of
+    // the same top-k rows (one TakeOrdered job, window-free), and one
+    // grouped (j, code, pos) aggregation per Lloyd round updates all
+    // m codebooks at once.
+    val micro = microAll.persist(StorageLevel.MEMORY_AND_DISK)
+    val seedRows = micro
+      .orderBy(md5(concat(lit("kmeans:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(codebookSize)
+      .collect()
+    if (seedRows.isEmpty) {   // empty corpus: nothing to encode
+      micro.unpersist(blocking = false)
       return queries.select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"), lit(0L).as("approx_d2_micro2"),
         lit(0L).as("rank")).limit(0)
+    }
+    var books: Array[Array[(Int, Array[Long])]] =
+      (0 until m).toArray.map { j =>
+        seedRows.zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Long](1).slice(j * sub, (j + 1) * sub).toArray)
+        }
+      }
+    // per-row (subspace, current-code, slice) against the current
+    // books — the assign step of every subspace fused into one scan
+    def assignAll(bks: Array[Array[(Int, Array[Long])]]) =
+      micro.select(explode(array((0 until m).map { j =>
+          val s = slice(col("u"), j * sub + 1, sub)
+          struct(lit(j).as("j"),
+            array_min(array(bks(j).map { case (cid, c) =>
+              struct(sqDistTo(s, c).as("d"), lit(cid).as("cid"))
+            }: _*)).getField("cid").as("code"),
+            s.as("s"))
+        }: _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.code").as("code"),
+          posexplode(col("e.s")).as(Seq("pos", "v")))
+    for (_ <- 1 until iters) {
+      // exact integer-micro mean per (subspace, surviving cluster):
+      // m·k·sub longs back to the driver per round (kmeansFitMicro's
+      // half-up arithmetic, verbatim)
+      val rows = assignAll(books)
+        .groupBy("j", "code", "pos")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .select(col("j"), col("code"), col("pos"),
+          floor((lit(2L) * col("s") + col("n")).cast("double") /
+            (lit(2L) * col("n")).cast("double")).cast(LongType).as("c"))
+        .collect()
+      books = (0 until m).toArray.map { j =>
+        rows.filter(_.getInt(0) == j)
+          .groupBy(_.getInt(1))
+          .toArray
+          .map { case (cid, rs) =>
+            (cid, rs.sortBy(_.getInt(2)).map(_.getLong(3)))
+          }
+          .sortBy(_._1)
+      }
+    }
+    micro.unpersist(blocking = false)
     // encode: per (vector, subspace) the argmin (d², cid) over the
     // literal codebook — row-local, whole-stage-codegen'd, no shuffle
     // until the ADC join
@@ -857,7 +907,7 @@ object Similarity {
                          labelCol: String = "label",
                          vecCol: String = "embedding"): DataFrame = {
     def dotL(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+      graft.functions.DotLong.dotLong(a, b)   // codegen'd exact fold
     val cents = labelCentroids(embeddings, labelCol, vecCol)
     val l = cents.select(col("label").as("label1"),
       col("centroid").as("c1"))
@@ -888,7 +938,7 @@ object Similarity {
                         labelCol: String = "label",
                         vecCol: String = "embedding"): DataFrame = {
     def dotL(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+      graft.functions.DotLong.dotLong(a, b)   // codegen'd exact fold
     val micro = transform(col(vecCol),
       v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
     embeddings
