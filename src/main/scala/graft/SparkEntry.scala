@@ -512,6 +512,14 @@ object SparkEntry {
     "mixture_weights" -> ((s, d) =>
       operators.Curation.mixtureWeights(Tables.load(s, d, "documents"),
         MixtureTargets, defaultTargetPpm = MixtureDefaultPpm)),
+    // mixture drift monitor: per-ingest-slice realized shares vs the
+    // target (staged counts merge by addition; docs never re-read)
+    "mixture_drift" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      operators.Curation.mixtureDrift(
+        operators.Curation.mixtureStage(docs, expr("doc_id div 100")),
+        MixtureTargets, MixtureDefaultPpm)
+    }),
     // the mixture EXECUTION step: numbered copies per doc from the
     // computed weights (md5-coin fractional part, repeat-epoch copies)
     "mixture_apply" -> ((s, d) =>
@@ -2291,6 +2299,20 @@ object SparkEntry {
       FROM (SELECT *, CAST((target_ppm * total) // n_tokens AS BIGINT)
               AS weight_ppm FROM w)
       ORDER BY source"""),
+    "mixture_drift" -> (s"""
+      WITH t AS (SELECT doc_id // 100 AS slice, source,
+                   len($toksSql) AS n FROM documents),
+      g AS (SELECT slice, source, COUNT(*) AS n_docs,
+              CAST(SUM(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1, 2),
+      tot AS (SELECT slice, CAST(SUM(n_tokens) AS BIGINT) AS total
+              FROM g GROUP BY 1)
+      SELECT g.slice, source, n_docs, n_tokens,
+             CAST((1000000 * n_tokens) // total AS BIGINT)
+               AS share_ppm,
+             CAST($mixtureCaseSql AS BIGINT) AS target_ppm,
+             CAST((1000000 * n_tokens) // total
+               - ($mixtureCaseSql) AS BIGINT) AS drift_ppm
+      FROM g JOIN tot USING (slice) ORDER BY slice, source"""),
     "mixture_apply" -> (s"""
       WITH t AS (SELECT source, len($toksSql) AS n FROM documents),
       s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens

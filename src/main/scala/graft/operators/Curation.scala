@@ -454,6 +454,59 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Stages per-(slice, source) mixture counts — the mergeable unit
+    * the drift monitor consumes. A slice is whatever ingest batch the
+    * caller keys by (an event-time window, a file batch, a day
+    * partition): rows are (slice, source, n_docs, n_tokens) and MERGE
+    * by addition, so any coarser rollup composes without re-reading
+    * documents (the binSketch/HLL staging discipline applied to the
+    * mixture). One map-side-combined groupBy over (slices × sources)
+    * keys; `ProfileStream.mixtureStream` emits the identical rows from
+    * a live stream.
+    */
+  def mixtureStage(docs: DataFrame, slice: Column,
+                   textCol: String = "text",
+                   srcCol: String = "source"): DataFrame =
+    docs.groupBy(slice.as("slice"), col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))
+          .cast(org.apache.spark.sql.types.LongType)).as("n_tokens"))
+
+  /** Merge-only mixture drift report: given staged
+    * (slice, source, n_docs, n_tokens) rows ([[mixtureStage]] /
+    * `mixtureStream`), reports each slice's realized mixture against
+    * the target — share_ppm, target_ppm, and drift_ppm = share −
+    * target (positive = the source is running hot). The "is the live
+    * mixture drifting off target" monitor, and the early-warning twin
+    * of [[mixtureWeights]] (which prescribes the correction).
+    *
+    * Scale shape: re-aggregates ONLY the staged rows (slices ×
+    * sources — kilobytes), per-slice totals broadcast back; documents
+    * are never re-read. All integer ppm.
+    */
+  def mixtureDrift(staged: DataFrame, targetsPpm: Map[String, Long],
+                   defaultTargetPpm: Long = 0L): DataFrame = {
+    val g = staged.groupBy(col("slice"), col("source"))
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+    // per-slice totals re-aggregate the GROUPED frame; the join back
+    // is a self-join, so the total side renames its key to keep the
+    // attribute lineages disjoint (memory-sink plans don't get the
+    // automatic self-join disambiguation file scans do)
+    val tot = g.select(col("slice").as("_slice"),
+        col("n_tokens").as("_nt"))
+      .groupBy(col("_slice")).agg(sum("_nt").as("_total"))
+    val target = targetsPpm.foldLeft(lit(defaultTargetPpm)) {
+      case (acc, (s, t)) => when(col("source") === s, lit(t)).otherwise(acc)
+    }
+    g.join(broadcast(tot), col("slice") === col("_slice"))
+      .withColumn("share_ppm", expr("(1000000 * n_tokens) div _total"))
+      .withColumn("target_ppm", target)
+      .withColumn("drift_ppm", expr("share_ppm - target_ppm"))
+      .select("slice", "source", "n_docs", "n_tokens", "share_ppm",
+        "target_ppm", "drift_ppm")
+      .orderBy("slice", "source")
+  }
+
   /** Executes [[mixtureWeights]] — the resampling step that makes the
     * corpus ACTUALLY match the target mixture. Each document's weight
     * w (ppm) splits into ⌊w/1e6⌋ guaranteed copies plus one more with

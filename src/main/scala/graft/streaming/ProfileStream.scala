@@ -344,6 +344,35 @@ object ProfileStream {
         lit(bins).as("bins") :+ lit(lo).as("lo") :+ lit(hi).as("hi")): _*)
   }
 
+  /** Streaming mixture stager: per (event-time window, source) doc and
+    * token counts from a live document stream — closed windows ARE
+    * ingest slices, so the emitted rows feed `Curation.mixtureDrift`
+    * directly (slice = the formatted window start) and any coarser
+    * rollup merges them by addition without replaying the stream (the
+    * binSketchStream discipline applied to the mixture). ONE stateful
+    * aggregation, O(open windows × sources) state — two longs per key,
+    * no collected values. Integer-exact, so the equivalence spec pins
+    * closed windows bit-equal to batch `Curation.mixtureStage` on the
+    * same rows; the drift-vs-target arithmetic stays in the batch
+    * rollup, where Structured Streaming's one-aggregation rule never
+    * binds.
+    */
+  def mixtureStream(stream: DataFrame, tsCol: String,
+                    textCol: String = "text", srcCol: String = "source",
+                    windowDur: String = "1 hour",
+                    watermarkDur: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur),
+        col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.operators.TextAnalysis.tokenCount(col(textCol))
+          .cast(org.apache.spark.sql.types.LongType)).as("n_tokens"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice"),
+        col("source"), col("n_docs"), col("n_tokens"))
+
   /** Streaming benchmark-contamination monitor: the live twin of
     * `Dedup.contaminationReport` for a crawl/ingest stream — every
     * incoming training document's distinct word n-grams join the

@@ -393,6 +393,64 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mixtureStream: closed windows carry the exact batch " +
+      "mixtureStage counts, and mixtureDrift over streamed slices " +
+      "equals the batch staging path") {
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "2024-01-01 00:10:00", "srcA", "a b c"),
+      (2L, "2024-01-01 00:20:00", "srcA", "d e"),
+      (3L, "2024-01-01 00:40:00", "srcB", "f g h i"),
+      (4L, "2024-01-01 01:10:00", "srcA", "j"),      // second window
+      (5L, "2024-01-01 01:30:00", "srcB", "k l"))
+    def toDf(rs: Seq[(Long, String, String, String)]) =
+      rs.toDF("doc_id", "ts", "source", "text")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_eq")
+    val in = dir.toString + "/in"
+    toDf(rows).write.mode("overwrite").parquet(in)
+    val batchStaged = Curation.mixtureStage(toDf(rows),
+      date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+    val targets = Map("srcA" -> 600000L)
+    val batchDrift = Curation
+      .mixtureDrift(batchStaged, targets, defaultTargetPpm = 400000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = ProfileStream.mixtureStream(stream, "ts")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mx_eq").start()
+    try {
+      q.processAllAvailable()
+      toDf(Seq((99L, "2024-01-02 00:00:00", "gx", "zz")))
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val streamed = spark.table("mx_eq").filter(col("source") =!= "gx")
+      val sRows = streamed.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val bRows = batchStaged.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(sRows == bRows)
+      val streamDrift = Curation
+        .mixtureDrift(streamed, targets, defaultTargetPpm = 400000L)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toSet
+      assert(streamDrift == batchDrift)
+      // hand truth for window 00: srcA 5 of 9 tokens → 555555 ppm,
+      // 44445 under its 600000 target; srcB 4/9 → 444444, 44444 hot
+      assert(batchDrift.contains(
+        ("2024-01-01 00:00:00", "srcA", 2L, 5L, 555555L, 600000L,
+          -44445L)))
+      assert(batchDrift.contains(
+        ("2024-01-01 00:00:00", "srcB", 1L, 4L, 444444L, 400000L,
+          44444L)))
+    } finally q.stop()
+  }
+
   test("contaminationStream: closed windows carry exactly the batch " +
       "leak counts per (window, test doc) on a replayed doc stream") {
     import graft.operators.TextAnalysis
