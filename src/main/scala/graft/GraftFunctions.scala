@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.Shims
 
-import graft.functions.DotProduct
+import graft.functions.{DotLong, DotProduct, SqDistLong, WordShingles}
 import graft.plans.JsonExplode
 
 /** SQL surface for the custom Catalyst expressions: register
@@ -20,6 +20,14 @@ object GraftFunctions {
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("dot_product", "double-precision dot product of two numeric arrays",
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("sq_dist_long",
+      "exact integer squared L2 distance of two bigint arrays",
+      (es: Seq[Expression]) => SqDistLong(es(0), es(1))),
+    ("dot_long", "exact integer dot product of two bigint arrays",
+      (es: Seq[Expression]) => DotLong(es(0), es(1))),
+    ("word_shingles",
+      "word n-gram shingles of a text (second arg: n)",
+      (es: Seq[Expression]) => WordShingles.fromExprs(es)),
     ("json_explode",
       "explode a JSON document into (path, vstr, vnum, vtag) leaf rows",
       (es: Seq[Expression]) => JsonExplode(es.head)))

@@ -89,3 +89,22 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression)
       : WordShingles = copy(child = newChild)
 }
+
+object WordShingles {
+  /** SQL-registry builder: `word_shingles(text[, n])` — the shingle
+    * size must be a foldable integer literal (it shapes the generated
+    * loop, so it cannot vary per row).
+    */
+  def fromExprs(es: Seq[Expression]): WordShingles = es match {
+    case Seq(c) => WordShingles(c, 3)
+    case Seq(c, nExpr) if nExpr.foldable =>
+      nExpr.eval() match {
+        case i: Int => WordShingles(c, i)
+        case l: Long => WordShingles(c, l.toInt)
+        case other => throw new IllegalArgumentException(
+          s"word_shingles: n must be an integer literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      "word_shingles(text[, n literal]) takes 1 or 2 arguments")
+  }
+}

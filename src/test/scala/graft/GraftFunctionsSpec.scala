@@ -16,6 +16,29 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("sq_dist_long / dot_long callable from SQL, exact integers") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT sq_dist_long(array(1L, 5L), array(4L, 1L)) AS d, " +
+        "dot_long(array(2L, 3L), array(10L, 100L)) AS p").head
+    assert(r.getLong(0) == 25L && r.getLong(1) == 320L)
+    // null element and length mismatch ⇒ null (zip_with semantics)
+    val n = spark.sql(
+      "SELECT sq_dist_long(array(1L), array(1L, 2L)) AS a, " +
+        "dot_long(array(1L, NULL), array(1L, 2L)) AS b").head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("word_shingles callable from SQL, n as a literal") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT word_shingles('a b c d', 3) AS s").head.getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    val d = spark.sql("SELECT word_shingles('a b c d') AS s")
+      .head.getSeq[String](0)
+    assert(d == Seq("a b c", "b c d"))   // default n = 3
+  }
+
   test("json_explode callable from SQL as a generator") {
     GraftFunctions.register(spark)
     val rows = spark.sql(
