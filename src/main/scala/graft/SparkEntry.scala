@@ -112,6 +112,34 @@ object SparkEntry {
       operators.Sketches.quantileRollup(sk, Seq("l_returnflag"),
         Seq(0.25, 0.5, 0.9, 0.99), bins = 256, lo = 0.0, hi = 110000.0)
     }),
+    // the STREAMING staging path promoted to a declared oracle row:
+    // raw events replay through the real binSketchStream (file
+    // stream → watermark → windowed day-slice bin arrays, sentinel
+    // flush), then the merge-only rollup over the STREAMED slices
+    // must answer exactly like direct batch binning — bin counts are
+    // integer-exact and merge-associative, so stream-staged vs
+    // oracle-computed is a hash match, not a tolerance check
+    "quantile_stream_rollup" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+      val slices = graft.streaming.ProfileStream.replayedBinSlices(
+        ev, "ts", Seq("event_type"), "value",
+        bins = 256, lo = 0.0, hi = 1000.0, windowDur = "1 day")
+      operators.Sketches.quantileRollup(slices, Seq("event_type"),
+        Seq(0.25, 0.5, 0.9), bins = 256, lo = 0.0, hi = 1000.0)
+    }),
+    // two-pass frequent items over the Zipfian token stream: a bounded
+    // Misra-Gries summary proposes ≤ k·slack candidates (one summary
+    // per partition through the shuffle — never a vocabulary-wide
+    // groupBy), then the exact pass counts ONLY candidate rows via a
+    // broadcast semi-join. Share threshold 1/k is scale-invariant:
+    // Zipf keeps top-term shares constant as the corpus grows, so the
+    // row set stays healthy at any SF (the q11 de-vacuity lesson)
+    "heavy_hitters_terms" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      operators.Sketches.heavyHitters(toks, "term", k = 200)
+    }),
     // embeddings: the `embedding[]` element path crosses 100k distinct
     // floats at sf0.1 — same scale-proof gate as lineitem.
     "profile_stats_embeddings" -> ((s, d) =>
@@ -1810,6 +1838,43 @@ object SparkEntry {
       WHERE cum > CAST(floor(q * (n_rows - 1) + 0.5) AS BIGINT)
         AND cum - cnt <= CAST(floor(q * (n_rows - 1) + 0.5) AS BIGINT)
       ORDER BY l_returnflag, q"""),
+    // stream-staged slices merge to EXACTLY the direct binning — the
+    // oracle never sees the slicing, which is the point: day-window
+    // staging is invisible to the merged answer
+    "quantile_stream_rollup" -> ("""
+      WITH b AS (
+        SELECT event_type,
+               least(greatest(CAST(floor((value - 0.0)
+                 / (1000.0 / 256)) AS BIGINT), 0), 255) AS bin
+        FROM events WHERE value IS NOT NULL),
+      m AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM b GROUP BY 1, 2),
+      cum AS (SELECT event_type, bin, cnt,
+                CAST(SUM(cnt) OVER (PARTITION BY event_type
+                  ORDER BY bin) AS BIGINT) AS cum,
+                CAST(SUM(cnt) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS n_rows
+              FROM m),
+      q AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
+      SELECT event_type, q, bin AS bin_idx,
+             0.0 + (bin + 0.5) * (1000.0 / 256) AS est,
+             n_rows
+      FROM cum, q
+      WHERE cum > CAST(floor(q * (n_rows - 1) + 0.5) AS BIGINT)
+        AND cum - cnt <= CAST(floor(q * (n_rows - 1) + 0.5) AS BIGINT)
+      ORDER BY event_type, q"""),
+    // exact ground truth: full vocabulary groupBy — the shuffle shape
+    // the engine-side sketch plan exists to avoid; answers must match
+    // exactly because the MG candidate set provably covers every key
+    // at share ≥ 1/k and the verify pass counts candidates exactly
+    "heavy_hitters_terms" -> (s"""
+      WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
+      c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY 1),
+      t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+      SELECT term, cnt, (cnt * 1000000) // n AS share_ppm
+      FROM c, t WHERE cnt * 200 >= n
+      ORDER BY cnt DESC, term ASC"""),
     "contamination_report" -> (s"""
       WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
       s AS (SELECT doc_id,

@@ -155,4 +155,39 @@ object Sketches {
     nonEmpty.unionByName(empty)
       .orderBy((groups.map(col) :+ col("q")): _*)
   }
+
+  /** Two-pass heavy hitters: report every `key` value whose share of
+    * the corpus is at least 1/k, with its EXACT count and integer-ppm
+    * share. Pass 1 proposes candidates with a bounded Misra-Gries
+    * summary (capacity k·slack, so any key with share > 1/(k·slack+1)
+    * provably survives — a strict superset of the reported set); pass
+    * 2 broadcast-joins the ≤ k·slack candidates back and counts them
+    * exactly. The output is fully deterministic even though the raw
+    * summary is partitioning-dependent: extra candidates are filtered
+    * by their exact counts, missing ones are impossible by the MG
+    * guarantee.
+    *
+    * The 100 TB point: a plain `groupBy(key).count` shuffles every
+    * distinct key — at web-corpus token cardinality, a shuffle the
+    * size of the vocabulary per question. This plan shuffles one
+    * ≤ (cap × counter) summary per partition (pass 1) and only
+    * candidate-key rows (pass 2, semi-join against a broadcast list),
+    * the frequent-items analogue of the HLL staging tables above.
+    */
+  def heavyHitters(df: DataFrame, key: String, k: Int,
+                   slack: Int = 4): DataFrame = {
+    require(k >= 2 && slack >= 2, "need k >= 2 and slack >= 2")
+    val mg = df.select(graft.functions.FreqSketch
+      .misraGries(col(key), k * slack).as("mg"))
+    val cand = broadcast(
+      mg.select(col("mg.n").as("_n"),
+        explode(col("mg.keys")).as(key)))
+    df.select(col(key)).join(cand, Seq(key))
+      .groupBy(col(key), col("_n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k >= col("_n"))
+      .select(col(key), col("cnt"),
+        expr("cnt * 1000000 DIV _n").as("share_ppm"))
+      .orderBy(col("cnt").desc, col(key).asc)
+  }
 }

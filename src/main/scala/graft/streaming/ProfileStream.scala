@@ -605,6 +605,70 @@ object ProfileStream {
         GroupStateTimeout.EventTimeTimeout)(onGroup)
   }
 
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Deterministic batch-entry replay of [[binSketchStream]]: pushes a
+    * finite table through the REAL streaming stager (file source →
+    * watermark → windowed bin-count aggregation → append-mode memory
+    * sink) and returns the closed-window slice rows as a LOCAL
+    * DataFrame. One far-future sentinel row (year 2100, dropped by
+    * `slice_start` bound before return) advances the watermark past
+    * every real window so the append-mode sink sees them all — the
+    * same flush discipline the equivalence specs use, packaged so a
+    * declared oracle query can run the streaming code path itself
+    * rather than a batch stand-in.
+    *
+    * The result is collected to the driver by design: slice rows are
+    * (windows × groups) bin arrays — kilobytes — and localizing them
+    * lets the temp input dir and memory sink be torn down before
+    * return, so repeated invocations (Bench runs every query twice)
+    * leak nothing. At production scale the stream is a real ingest
+    * feed and the slices land in a staging table instead
+    * (MIGRATION.md "Branch-point staging"); this harness exists to
+    * make the streamed slices themselves oracle-checkable.
+    */
+  def replayedBinSlices(events: DataFrame, tsCol: String,
+                        groups: Seq[String], target: String,
+                        bins: Int = 256, lo: Double, hi: Double,
+                        windowDur: String = "1 day"): DataFrame = {
+    val s = events.sparkSession
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_replay").toString
+    val in = dir + "/in"
+    events.write.mode("overwrite").parquet(in)
+    val schema = s.read.parquet(in).schema
+    val stream = s.readStream.schema(schema).parquet(in)
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    val q = binSketchStream(stream, tsCol, groups, target,
+        bins, lo, hi, windowDur)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    val local =
+      try {
+        q.processAllAvailable()
+        // sentinel: one copied row moved to 2100 closes every real
+        // window; its own (never-closing) window is filtered below
+        events.limit(1)
+          .withColumn(tsCol,
+            lit("2100-01-01 00:00:00").cast("timestamp"))
+          .write.mode("append").parquet(in)
+        q.processAllAvailable()
+        val out = s.table(name).filter(col("slice_start") < "2099-01-01")
+        s.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+            .iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: java.io.IOException => () }
+      }
+    local
+  }
+
   /** The flatten projection of the `_doc` struct column (reuses the
     * Profiler's schema walk through a one-field wrapper).
     */

@@ -1,0 +1,87 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MgSummary
+import graft.operators.Sketches
+
+/** Misra-Gries frequent-items summary + the two-pass heavy-hitters
+  * operator built on it.
+  */
+class FreqSketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("MG guarantee: every key with count > n/(cap+1) survives, " +
+      "under any partition split and merge order") {
+    val rnd = new Random(7)
+    // Zipf-ish stream: key i drawn with weight 1/(i+1)
+    val keys = (0 until 200).map(i => s"k$i")
+    val weights = keys.indices.map(i => 1.0 / (i + 1))
+    val total = weights.sum
+    val stream = (0 until 20000).map { _ =>
+      var r = rnd.nextDouble() * total
+      var i = 0
+      while (r > weights(i) && i < keys.size - 1) { r -= weights(i); i += 1 }
+      keys(i)
+    }
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cap = 32
+    // split into 7 uneven slices, summarize each, merge pairwise in a
+    // scrambled order — the distributed partial/merge path
+    val slices = stream.grouped(3001).toSeq
+    val partials = slices.map { sl =>
+      val st = new MgSummary(cap); sl.foreach(s => st.add(u(s))); st
+    }
+    val merged = rnd.shuffle(partials).reduce { (a, b) => a.merge(b); a }
+    assert(merged.n == stream.size)
+    assert(merged.counters.size <= cap)
+    val surviving = merged.counters.keySet.map(_.toString)
+    val mustSurvive = exact.filter(_._2 > stream.size.toLong / (cap + 1))
+    mustSurvive.foreach { case (k, c) =>
+      assert(surviving.contains(k), s"$k (count $c) must survive")
+    }
+    // and each surviving counter is a lower bound within n/(cap+1)
+    merged.counters.foreach { case (k, est) =>
+      val ex = exact.getOrElse(k.toString, 0L)
+      assert(est <= ex, s"$k overcounted")
+      assert(ex - est <= stream.size.toLong / (cap + 1), s"$k error bound")
+    }
+  }
+
+  test("heavyHitters: exact counts and ppm shares equal the full " +
+      "groupBy ground truth, ties broken (cnt desc, key asc)") {
+    val rnd = new Random(11)
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(500)("warm") ++
+      Seq.fill(120)("tie_b") ++ Seq.fill(120)("tie_a") ++
+      (0 until 2000).map(i => s"cold${rnd.nextInt(800)}")
+    val df = rnd.shuffle(rows).toDF("key").repartition(5)
+    val got = Sketches.heavyHitters(df, "key", k = 30)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val n = rows.size.toLong
+    val expected = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.filter { case (_, c) => c * 30 >= n }
+      .sortBy { case (k2, c) => (-c, k2) }
+      .map { case (k2, c) => (k2, c, c * 1000000L / n) }
+    assert(got.toSeq == expected)
+    // the tie pair is present and ordered asc within equal counts
+    assert(got.map(_._1).containsSlice(Seq("tie_a", "tie_b")))
+  }
+
+  test("heavyHitters: nulls ignored, empty input yields empty output") {
+    val withNulls = Seq(Some("a"), None, Some("a"), Some("b"), None)
+      .toDF("key")
+    val hh = Sketches.heavyHitters(withNulls, "key", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // n = 3 non-null; a:2 (2*2 >= 3 pass), b:1 (2 < 3 fail)
+    assert(hh.toSeq == Seq(("a", 2L)))
+    val empty = Seq.empty[String].toDF("key")
+    assert(Sketches.heavyHitters(empty, "key", k = 5).count() == 0L)
+  }
+}
