@@ -140,6 +140,24 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
       operators.Sketches.heavyHitters(toks, "term", k = 200)
     }),
+    // the STREAMING frequent-items path, replayed end to end: tokens
+    // flow through freqSketchStream (one bounded MG summary per
+    // day-window — state O(windows × cap), vocabulary never held),
+    // the closed slices' candidate union provably covers every
+    // globally-hot term (pigeonhole over slice shares), and the exact
+    // verify pass makes the answer deterministic — it must HASH-match
+    // the batch heavy_hitters_terms oracle, same threshold
+    "hot_terms_stream" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(expr("timestampadd(HOUR, CAST(doc_id % 240 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val slices = graft.streaming.ProfileStream
+        .replayedSlices(toks, "ts")(st => graft.streaming.ProfileStream
+          .freqSketchStream(st, "ts", "term", cap = 800))
+      operators.Sketches.verifyHitters(toks.select(col("term")),
+        "term", k = 200, slices.select(explode(col("keys")).as("term")))
+    }),
     // embeddings: the `embedding[]` element path crosses 100k distinct
     // floats at sf0.1 — same scale-proof gate as lineitem.
     "profile_stats_embeddings" -> ((s, d) =>
@@ -1868,6 +1886,17 @@ object SparkEntry {
     // exactly because the MG candidate set provably covers every key
     // at share ≥ 1/k and the verify pass counts candidates exactly
     "heavy_hitters_terms" -> (s"""
+      WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
+      c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY 1),
+      t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+      SELECT term, cnt, (cnt * 1000000) // n AS share_ppm
+      FROM c, t WHERE cnt * 200 >= n
+      ORDER BY cnt DESC, term ASC"""),
+    // stream-staged candidates + exact verify answer EXACTLY like the
+    // batch two-pass plan — same ground truth, same threshold; the
+    // slicing and the sketch are invisible to the verified answer
+    "hot_terms_stream" -> (s"""
       WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
       c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM toks GROUP BY 1),

@@ -177,6 +177,8 @@ object Sketches {
   def heavyHitters(df: DataFrame, key: String, k: Int,
                    slack: Int = 4): DataFrame = {
     require(k >= 2 && slack >= 2, "need k >= 2 and slack >= 2")
+    // exactly two corpus passes: the MG row carries n, so the verify
+    // pass needs no separate total-count scan
     val mg = df.select(graft.functions.FreqSketch
       .misraGries(col(key), k * slack).as("mg"))
     val cand = broadcast(
@@ -185,6 +187,28 @@ object Sketches {
     df.select(col(key)).join(cand, Seq(key))
       .groupBy(col(key), col("_n"))
       .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k >= col("_n"))
+      .select(col(key), col("cnt"),
+        expr("cnt * 1000000 DIV _n").as("share_ppm"))
+      .orderBy(col("cnt").desc, col(key).asc)
+  }
+
+  /** The exact verify pass alone: count ONLY `candidates` rows (a
+    * broadcast-joined key list from any proposal mechanism — the
+    * batch MG summary above, or the union of streaming
+    * `freqSketchStream` slices) and keep those at share ≥ 1/k. The
+    * output is deterministic whatever extra candidates the proposal
+    * carried: spurious keys are filtered by their exact counts, and
+    * the proposal contract guarantees no qualifying key is missing.
+    */
+  def verifyHitters(df: DataFrame, key: String, k: Int,
+                    candidates: DataFrame): DataFrame = {
+    val total = df.agg(count(col(key)).as("_n"))
+    df.select(col(key))
+      .join(broadcast(candidates.select(col(key)).distinct()), Seq(key))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
       .filter(col("cnt") * k >= col("_n"))
       .select(col(key), col("cnt"),
         expr("cnt * 1000000 DIV _n").as("share_ppm"))

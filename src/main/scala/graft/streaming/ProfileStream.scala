@@ -630,7 +630,21 @@ object ProfileStream {
   def replayedBinSlices(events: DataFrame, tsCol: String,
                         groups: Seq[String], target: String,
                         bins: Int = 256, lo: Double, hi: Double,
-                        windowDur: String = "1 day"): DataFrame = {
+                        windowDur: String = "1 day"): DataFrame =
+    replayedSlices(events, tsCol)(stream =>
+      binSketchStream(stream, tsCol, groups, target,
+        bins, lo, hi, windowDur))
+
+  /** The general replay harness behind [[replayedBinSlices]]: run ANY
+    * slice-stager (a streaming transform emitting a `slice_start`
+    * column) over a finite table via a real file-source stream, flush
+    * every real window with one year-2100 sentinel row (its own
+    * window is dropped by the `slice_start` bound), and hand back the
+    * closed slices as a LOCAL DataFrame with the temp input dir and
+    * memory sink already torn down.
+    */
+  def replayedSlices(events: DataFrame, tsCol: String)(
+      build: DataFrame => DataFrame): DataFrame = {
     val s = events.sparkSession
     val dir = java.nio.file.Files
       .createTempDirectory("graft_replay").toString
@@ -639,8 +653,7 @@ object ProfileStream {
     val schema = s.read.parquet(in).schema
     val stream = s.readStream.schema(schema).parquet(in)
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
-    val q = binSketchStream(stream, tsCol, groups, target,
-        bins, lo, hi, windowDur)
+    val q = build(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName(name).start()
     val local =
@@ -668,6 +681,33 @@ object ProfileStream {
       }
     local
   }
+
+  /** Streaming frequent-items stager: per event-time window, ONE
+    * bounded Misra-Gries summary of `key` (state = cap counters per
+    * open window — vocabulary-sized key domains cost the same as
+    * 5-value enums). Emits `(slice_start, n, keys)` when the
+    * watermark closes the window.
+    *
+    * The per-slice candidate KEYS are partitioning-dependent (extra
+    * survivors vary) but their UNION provably covers every globally
+    * hot key: if a key's overall share is ≥ 1/k with cap ≥ 2k, then
+    * by pigeonhole at least one slice gives it share > 1/(cap+1)
+    * and MG retains it there. So downstream, union the slices'
+    * keys and run the exact verify pass
+    * (`Sketches.verifyHitters`) — deterministic final answer, no
+    * vocabulary-wide shuffle anywhere, stream state O(windows × cap).
+    */
+  def freqSketchStream(stream: DataFrame, tsCol: String, key: String,
+                       cap: Int, windowDur: String = "1 day",
+                       watermarkDur: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(graft.functions.FreqSketch.misraGries(col(key), cap).as("mg"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col("mg.n").as("n"), col("mg.keys").as("keys"))
 
   /** The flatten projection of the `_doc` struct column (reuses the
     * Profiler's schema walk through a one-field wrapper).

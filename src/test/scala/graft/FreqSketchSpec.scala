@@ -74,6 +74,45 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(got.map(_._1).containsSlice(Seq("tie_a", "tie_b")))
   }
 
+  test("freqSketchStream slices + verifyHitters ≡ batch heavyHitters " +
+      "≡ ground truth, even when no single slice makes a key hot") {
+    val rnd = new Random(3)
+    // "spread" is hot globally (share 1/4) but evenly split across 4
+    // windows — per-slice survival still holds by pigeonhole (its
+    // slice share equals its global share); "burst" is hot in one
+    // window only; cold keys are noise
+    val rows = (0 until 4).flatMap { h =>
+      Seq.fill(250)((s"2024-01-01 0$h:10:00", "spread")) ++
+        (if (h == 2) Seq.fill(300)((s"2024-01-01 0$h:20:00", "burst"))
+         else Nil) ++
+        (0 until 150).map(i =>
+          (s"2024-01-01 0$h:30:00", s"cold${rnd.nextInt(400)}"))
+    }
+    val df = rnd.shuffle(rows).toDF("ts", "key")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .repartition(5)
+    val slices = graft.streaming.ProfileStream
+      .replayedSlices(df, "ts")(st => graft.streaming.ProfileStream
+        .freqSketchStream(st, "ts", "key", cap = 24,
+          windowDur = "1 hour", watermarkDur = "10 minutes"))
+    assert(slices.count() == 4)
+    val streamed = Sketches.verifyHitters(df.select("key"), "key",
+        k = 8, slices.select(explode(col("keys")).as("key")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batch = Sketches.heavyHitters(df.select("key"), "key", k = 8,
+        slack = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val n = rows.size.toLong
+    val truth = rows.map(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .filter { case (_, c) => c * 8 >= n }
+      .sortBy { case (k2, c) => (-c, k2) }
+      .map { case (k2, c) => (k2, c, c * 1000000L / n) }
+    assert(streamed.toSeq == truth)
+    assert(batch.toSeq == truth)
+    assert(truth.map(_._1).toSet == Set("spread", "burst"))
+  }
+
   test("heavyHitters: nulls ignored, empty input yields empty output") {
     val withNulls = Seq(Some("a"), None, Some("a"), Some("b"), None)
       .toDF("key")
