@@ -147,6 +147,11 @@ object SparkEntry {
     // globally-hot term (pigeonhole over slice shares), and the exact
     // verify pass makes the answer deterministic — it must HASH-match
     // the batch heavy_hitters_terms oracle, same threshold
+    // tokenizer-coverage: per-source OOV rate against the top-100
+    // corpus vocabulary (broadcast membership, no token-stream shuffle
+    // for the lookup); integer-ppm rate, exact distinct-OOV count
+    "vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.load(s, d, "documents"))),
     "hot_terms_stream" -> ((s, d) => {
       val toks = Tables.load(s, d, "documents")
         .select(expr("timestampadd(HOUR, CAST(doc_id % 240 AS INT), " +
@@ -1896,6 +1901,27 @@ object SparkEntry {
     // stream-staged candidates + exact verify answer EXACTLY like the
     // batch two-pass plan — same ground truth, same threshold; the
     // slicing and the sketch are invisible to the verified answer
+    "vocab_coverage" -> (s"""
+      WITH t AS (SELECT doc_id, source, $toksSql AS toks
+                 FROM documents),
+      tok AS (SELECT doc_id, source, unnest(toks) AS term FROM t),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      v AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf FROM tf
+            GROUP BY 1),
+      r AS (SELECT term, ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC)
+              AS rnk FROM v),
+      vocab AS (SELECT term FROM r WHERE rnk <= 100),
+      j AS (SELECT tok.source, tok.term,
+              vocab.term IS NOT NULL AS inv
+            FROM tok LEFT JOIN vocab ON tok.term = vocab.term)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             CAST(COUNT(DISTINCT CASE WHEN NOT inv THEN term END)
+               AS BIGINT) AS oov_terms,
+             (SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) * 1000000)
+               // COUNT(*) AS oov_ppm
+      FROM j GROUP BY 1 ORDER BY 1"""),
     "hot_terms_stream" -> (s"""
       WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
       c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -538,6 +538,49 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Tokenizer-coverage / OOV report: against a vocabulary of the
+    * top-V corpus terms (same deterministic (tf desc, term asc)
+    * tie-break as [[vocabulary]]), per `groupCol`: total tokens, OOV
+    * tokens, distinct OOV terms, and integer-ppm OOV rate — the
+    * pre-training question "how much of each source does my
+    * tokenizer's vocab actually cover?".
+    *
+    * Scale shape: the vocab is bounded (topV rows) so membership is a
+    * BROADCAST left join — the corpus-sized token stream never
+    * shuffles for the lookup; the per-source rollup is one
+    * map-side-combined groupBy, plus the standard two-phase expansion
+    * for the exact distinct-OOV count. Building the vocab itself is
+    * [[vocabulary]]'s (doc, term) tf pass — at 100 TB you build it
+    * once and reuse it across reports, which is why it is also
+    * exposed as the `vocab` overload.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    groupCol: String = "source",
+                    topV: Int = 100): DataFrame =
+    vocabCoverage(df, vocabulary(df, textCol, idCol, topN = topV),
+      textCol, groupCol)
+
+  /** Coverage against a caller-supplied vocabulary table (one `term`
+    * column) — the reuse path: score many corpora / slices against
+    * one frozen tokenizer vocab without rebuilding it.
+    */
+  def vocabCoverage(df: DataFrame, vocab: DataFrame, textCol: String,
+                    groupCol: String): DataFrame = {
+    val inv = vocab.select(col("term")).distinct()
+      .withColumn("_inv", lit(true))
+    graft.util.Utils.spread(df)
+      .select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(inv), Seq("term"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("_inv").isNull, col("term")))
+          .as("oov_terms"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 DIV n_tokens"))
+      .orderBy(col(groupCol))
+  }
+
   /** Histogram-CDF rank-normalized quality blend — combines
     * heterogeneous quality signals (the composite [[qualityScore]] and
     * document length) on a COMMON scale by mapping each through its

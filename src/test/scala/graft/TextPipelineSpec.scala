@@ -127,4 +127,25 @@ class TextPipelineSpec extends AnyFunSuite {
       r.getLong(1) == 1000000L && r.getLong(2) == 1000000L &&
         r.getLong(3) == 1000000L))
   }
+
+  test("vocabCoverage: OOV counts against a frozen vocab match a " +
+      "hand computation; full-vocab coverage reports zero OOV") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c oovx", "s1"),
+      (2L, "a a oovy oovx", "s1"),
+      (3L, "b c", "s2")
+    ).toDF("doc_id", "text", "source")
+    val vocab = Seq("a", "b", "c").toDF("term")
+    val got = TextAnalysis.vocabCoverage(docs, vocab, "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // s1: 8 tokens, 3 oov (oovx x2, oovy), 2 distinct oov terms
+    assert(got == Seq(
+      ("s1", 8L, 3L, 2L, 3L * 1000000L / 8L),
+      ("s2", 2L, 0L, 0L, 0L)))
+    // topV covering the whole vocabulary -> zero OOV everywhere
+    val full = TextAnalysis.vocabCoverage(docs, topV = 100)
+    assert(full.filter(col("n_oov") =!= 0L).count() == 0L)
+  }
 }
