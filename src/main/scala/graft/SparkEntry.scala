@@ -122,11 +122,16 @@ object SparkEntry {
     "quantile_stream_rollup" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
         .select(col("ts"), col("event_type"), col("value"))
+      // 64 bins, not the batch row's 256: the parity property being
+      // pinned (stream-staged merge == direct binning) is bin-width-
+      // independent, and each extra bin is another conditional-sum
+      // column the streaming runtime re-plans and re-compiles PER
+      // MICRO-BATCH — 256 bins spent ~8 s/run on codegen alone
       val slices = graft.streaming.ProfileStream.replayedBinSlices(
         ev, "ts", Seq("event_type"), "value",
-        bins = 256, lo = 0.0, hi = 1000.0, windowDur = "1 day")
+        bins = 64, lo = 0.0, hi = 1000.0, windowDur = "1 day")
       operators.Sketches.quantileRollup(slices, Seq("event_type"),
-        Seq(0.25, 0.5, 0.9), bins = 256, lo = 0.0, hi = 1000.0)
+        Seq(0.25, 0.5, 0.9), bins = 64, lo = 0.0, hi = 1000.0)
     }),
     // two-pass frequent items over the Zipfian token stream: a bounded
     // Misra-Gries summary proposes ≤ k·slack candidates (one summary
@@ -152,6 +157,27 @@ object SparkEntry {
     // for the lookup); integer-ppm rate, exact distinct-OOV count
     "vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(Tables.load(s, d, "documents"))),
+    // the live OOV monitor replayed end to end: frozen top-100 vocab,
+    // per-(day-window, source) token/OOV counts on the stream
+    // (stateless broadcast membership + ONE count row per open
+    // window×group), then an additive merge over the CLOSED slices —
+    // must hash-match the batch coverage report's count columns
+    "oov_stream" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val vocab = TextAnalysis.vocabulary(docs, topN = 100)
+      val ts = docs.select(
+        expr("timestampadd(HOUR, CAST(doc_id % 240 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("text"), col("source"))
+      val slices = graft.streaming.ProfileStream
+        .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
+          .oovStream(st, vocab, "ts", "text", "source"))
+      slices.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_oov")).as("n_oov"))
+        .withColumn("oov_ppm", expr("n_oov * 1000000 DIV n_tokens"))
+        .orderBy(col("source"))
+    }),
     "hot_terms_stream" -> ((s, d) => {
       val toks = Tables.load(s, d, "documents")
         .select(expr("timestampadd(HOUR, CAST(doc_id % 240 AS INT), " +
@@ -1868,7 +1894,7 @@ object SparkEntry {
       WITH b AS (
         SELECT event_type,
                least(greatest(CAST(floor((value - 0.0)
-                 / (1000.0 / 256)) AS BIGINT), 0), 255) AS bin
+                 / (1000.0 / 64)) AS BIGINT), 0), 63) AS bin
         FROM events WHERE value IS NOT NULL),
       m AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM b GROUP BY 1, 2),
@@ -1880,7 +1906,7 @@ object SparkEntry {
               FROM m),
       q AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
       SELECT event_type, q, bin AS bin_idx,
-             0.0 + (bin + 0.5) * (1000.0 / 256) AS est,
+             0.0 + (bin + 0.5) * (1000.0 / 64) AS est,
              n_rows
       FROM cum, q
       WHERE cum > CAST(floor(q * (n_rows - 1) + 0.5) AS BIGINT)
@@ -1919,6 +1945,27 @@ object SparkEntry {
                AS n_oov,
              CAST(COUNT(DISTINCT CASE WHEN NOT inv THEN term END)
                AS BIGINT) AS oov_terms,
+             (SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) * 1000000)
+               // COUNT(*) AS oov_ppm
+      FROM j GROUP BY 1 ORDER BY 1"""),
+    // stream-staged counts merge to EXACTLY the batch coverage
+    // report's count columns (distinct-OOV is batch-only by design)
+    "oov_stream" -> (s"""
+      WITH t AS (SELECT doc_id, source, $toksSql AS toks
+                 FROM documents),
+      tok AS (SELECT doc_id, source, unnest(toks) AS term FROM t),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      v AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf FROM tf
+            GROUP BY 1),
+      r AS (SELECT term, ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC)
+              AS rnk FROM v),
+      vocab AS (SELECT term FROM r WHERE rnk <= 100),
+      j AS (SELECT tok.source, tok.term,
+              vocab.term IS NOT NULL AS inv
+            FROM tok LEFT JOIN vocab ON tok.term = vocab.term)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
              (SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) * 1000000)
                // COUNT(*) AS oov_ppm
       FROM j GROUP BY 1 ORDER BY 1"""),

@@ -653,6 +653,17 @@ object ProfileStream {
     val schema = s.read.parquet(in).schema
     val stream = s.readStream.schema(schema).parquet(in)
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    // slice-stager state is tiny (windows × groups rows), but every
+    // micro-batch commits one state-store file PER shuffle partition
+    // — at the session default (32 here, thousands on a cluster)
+    // those fsyncs dominate a finite replay. 8 partitions cuts the
+    // commit count 4× with zero semantic effect (results are
+    // partitioning-independent by construction). The conf is held
+    // until the query STOPS, not restored right after start(): batch
+    // 0 captures session confs on the query thread, so an immediate
+    // restore would race the capture.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = build(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName(name).start()
@@ -671,6 +682,7 @@ object ProfileStream {
           java.util.Arrays.asList(out.collect(): _*), out.schema)
       } finally {
         q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         s.catalog.dropTempView(name)
         try {
           import scala.jdk.CollectionConverters._
@@ -697,6 +709,41 @@ object ProfileStream {
     * (`Sketches.verifyHitters`) — deterministic final answer, no
     * vocabulary-wide shuffle anywhere, stream state O(windows × cap).
     */
+  /** Streaming tokenizer-coverage monitor: per (event-time window,
+    * group) token and OOV counts against a FROZEN vocabulary — the
+    * live twin of `TextAnalysis.vocabCoverage`. Membership is a
+    * stateless stream-static broadcast join (the vocab is bounded by
+    * construction); the only state is ONE count row per open
+    * (window, group). Counts are integers and merge by addition, so
+    * closed slices roll up to the batch per-group answer exactly —
+    * `oov_stream` pins that as a declared oracle row. The
+    * distinct-OOV-terms column of the batch report is deliberately
+    * absent here: distinct doesn't merge by addition, and the live
+    * question is the RATE (is this feed drifting away from my
+    * tokenizer?), not the term inventory — run the batch report over
+    * the accumulated store for that.
+    */
+  def oovStream(stream: DataFrame, vocab: DataFrame, tsCol: String,
+                textCol: String = "text", groupCol: String = "source",
+                windowDur: String = "1 day",
+                watermarkDur: String = "1 hour"): DataFrame = {
+    val inv = vocab.select(col("term")).distinct()
+      .withColumn("_inv", lit(true))
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .select(col(tsCol), col(groupCol),
+        explode(graft.operators.TextAnalysis.tokens(col(textCol)))
+          .as("term"))
+      .join(broadcast(inv), Seq("term"), "left")
+      .groupBy(window(col(tsCol), windowDur), col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col(groupCol), col("n_tokens"), col("n_oov"))
+  }
+
   def freqSketchStream(stream: DataFrame, tsCol: String, key: String,
                        cap: Int, windowDur: String = "1 day",
                        watermarkDur: String = "1 hour"): DataFrame =

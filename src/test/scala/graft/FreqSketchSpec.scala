@@ -113,6 +113,42 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(truth.map(_._1).toSet == Set("spread", "burst"))
   }
 
+  test("oovStream: closed windows carry exact per-(window, group) " +
+      "token/OOV counts; additive rollup over slices ≡ batch " +
+      "vocabCoverage count columns") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      ("2024-01-01 00:10:00", "a b oovx", "s1"),
+      ("2024-01-01 00:20:00", "a oovy", "s2"),
+      ("2024-01-01 01:15:00", "b b oovx oovz", "s1"),
+      ("2024-01-01 01:30:00", "a a a", "s2")
+    ).toDF("ts", "text", "source")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val vocab = Seq("a", "b").toDF("term")
+    val slices = graft.streaming.ProfileStream
+      .replayedSlices(docs, "ts")(st => graft.streaming.ProfileStream
+        .oovStream(st, vocab, "ts", "text", "source",
+          windowDur = "1 hour", watermarkDur = "10 minutes"))
+    val got = slices.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      ("2024-01-01 00:00:00", "s1", 3L, 1L),
+      ("2024-01-01 00:00:00", "s2", 2L, 1L),
+      ("2024-01-01 01:00:00", "s1", 4L, 2L),
+      ("2024-01-01 01:00:00", "s2", 3L, 0L)))
+    val rolled = slices.groupBy("source")
+      .agg(sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_oov")).as("n_oov"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val batch = TextAnalysis.vocabCoverage(docs, vocab, "text", "source")
+      .select(col("source"), col("n_tokens"), col("n_oov"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(rolled == batch)
+  }
+
   test("heavyHitters: nulls ignored, empty input yields empty output") {
     val withNulls = Seq(Some("a"), None, Some("a"), Some("b"), None)
       .toDF("key")

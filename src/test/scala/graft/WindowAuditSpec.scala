@@ -115,7 +115,12 @@ class WindowAuditSpec extends AnyFunSuite {
       "knn_label_vote" -> "corpus x broadcast query batch",
       // 1-row corpus token total against the per-source aggregate
       "mixture_weights" -> "1-row total broadcast",
-      "mixture_apply" -> "1-row total broadcast (via mixtureWeights)"
+      "mixture_apply" -> "1-row total broadcast (via mixtureWeights)",
+      // merged slice bins (groups × ≤bins rows) × the 3-row q literal
+      "quantile_stream_rollup" -> "bins-sized x quantile literals",
+      // verifyHitters: 1-row exact token total against the ≤cap
+      // candidate counts
+      "hot_terms_stream" -> "1-row total broadcast"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
