@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.Shims
 
-import graft.functions.{DotLong, DotProduct, SqDistLong, WordShingles}
+import graft.functions.{DotLong, DotProduct, MisraGriesAgg, SqDistLong,
+  WordShingles}
 import graft.plans.JsonExplode
 
 /** SQL surface for the custom Catalyst expressions: register
@@ -30,7 +31,19 @@ object GraftFunctions {
       (es: Seq[Expression]) => WordShingles.fromExprs(es)),
     ("json_explode",
       "explode a JSON document into (path, vstr, vnum, vtag) leaf rows",
-      (es: Seq[Expression]) => JsonExplode(es.head)))
+      (es: Seq[Expression]) => JsonExplode(es.head)),
+    ("misra_gries",
+      "bounded frequent-items candidate summary struct<n, keys> " +
+        "(second arg: counter capacity, a literal)",
+      (es: Seq[Expression]) => {
+        val cap = es(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"misra_gries capacity must be an integer literal, got $other")
+        }
+        MisraGriesAgg(es(0), cap).toAggregateExpression()
+      }))
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit = {

@@ -48,4 +48,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(3))).toSet
     assert(rows == Set(("a", "int32"), ("b.c", "str")))
   }
+
+  test("misra_gries callable from SQL: candidate superset + exact n") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT misra_gries(k, 4) AS mg FROM (
+        |  SELECT explode(array('a','a','a','b','b','c','d','e')) AS k)
+        |""".stripMargin).head.getStruct(0)
+    assert(r.getLong(0) == 8L)
+    // a (3 > 8/5) must survive; the summary holds at most 4 keys
+    val keys = r.getSeq[String](1)
+    assert(keys.contains("a") && keys.size <= 4)
+  }
 }
