@@ -159,4 +159,31 @@ class FreqSketchSpec extends AnyFunSuite {
     val empty = Seq.empty[String].toDF("key")
     assert(Sketches.heavyHitters(empty, "key", k = 5).count() == 0L)
   }
+
+  test("empty-input robustness: replayedSlices over an empty table " +
+      "yields zero slices, and every round-9 consumer flows through") {
+    import graft.operators.TextAnalysis
+    val emptyKeyed = Seq.empty[(String, String)].toDF("ts", "key")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val slices = graft.streaming.ProfileStream
+      .replayedSlices(emptyKeyed, "ts")(st =>
+        graft.streaming.ProfileStream.freqSketchStream(
+          st, "ts", "key", cap = 8))
+    assert(slices.count() == 0L)
+    assert(Sketches.verifyHitters(emptyKeyed.select("key"), "key",
+      k = 4, slices.select(explode(col("keys")).as("key")))
+      .count() == 0L)
+    val emptyDocs = Seq.empty[(String, String, String)]
+      .toDF("ts", "text", "source")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val vocab = Seq("a").toDF("term")
+    val oov = graft.streaming.ProfileStream
+      .replayedSlices(emptyDocs, "ts")(st =>
+        graft.streaming.ProfileStream.oovStream(
+          st, vocab, "ts", "text", "source"))
+    assert(oov.count() == 0L)
+    // batch coverage over an empty corpus: zero rows, no divide
+    assert(TextAnalysis.vocabCoverage(emptyDocs, vocab, "text",
+      "source").count() == 0L)
+  }
 }
