@@ -493,4 +493,21 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("heavyHitters verify pass: candidates broadcast-hash-join the " +
+      "corpus (the vocabulary never shuffles), MG runs as an " +
+      "object-hash aggregate") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(graft.operators.TextAnalysis
+        .tokens(col("text"))).as("term"))
+    val p = planOf(graft.operators.Sketches
+      .heavyHitters(toks, "term", k = 50))
+    assert(p.contains("BroadcastHashJoin"))
+    // the MG summary is a TypedImperativeAggregate => object hash agg
+    assert(p.contains("ObjectHashAggregate"))
+    // no sort-merge join anywhere: the only key-wide exchange is the
+    // post-filter candidate count, bounded by k*slack rows
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
