@@ -882,6 +882,18 @@ object SparkEntry {
           col("user_id"), col("event_type"), col("value"), col("props"))
         .orderBy("event_id")
     }),
+    // columnar-format parity: the same table through Spark's built-in
+    // ORC sink/scan must read back value-identical to the parquet
+    // source — the lake-migration check (both formats carry the same
+    // nested types, stats, and pushdown surface)
+    "orc_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt"
+      Tables.load(s, d, "events").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .select(col("event_id"), Export.isoTimestamp(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
+    }),
     // partitioned staging sink end-to-end: events written partitioned
     // by event_type, read back with a partition-column filter (the
     // scan prunes to one directory — plan-spec'd), aggregated
@@ -3737,6 +3749,12 @@ object SparkEntry {
     // compaction must preserve rows exactly — same truth as the
     // events conversion
     "compact_roundtrip" -> ("""
+      SELECT event_id,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS ts,
+             user_id, event_type, value, props
+      FROM events ORDER BY event_id"""),
+    // ORC sink/scan round-trip: value-identical to the parquet source
+    "orc_roundtrip" -> ("""
       SELECT event_id,
              strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS ts,
              user_id, event_type, value, props
