@@ -413,6 +413,18 @@ object SparkEntry {
     // across distinct documents (span-level, below doc-level dedup)
     "repeated_spans" -> ((s, d) =>
       Dedup.repeatedSpans(Tables.load(s, d, "documents"))),
+    // blocked fuzzy matching: prefix-blocked candidates, thresholded
+    // row-local levenshtein verify; maxBlock = MaxValue so the oracle
+    // replays the UNcapped all-candidates semantics (the skew cap is
+    // spec-pinned, the simhash-gate precedent)
+    "fuzzy_pairs" -> ((s, d) =>
+      Dedup.fuzzyPairs(fuzzyFixture(Tables.load(s, d, "documents")),
+        maxBlock = Long.MaxValue)),
+    // robust per-source length outliers: median/MAD (Hampel) gate in
+    // doubled/quadrupled integer units — no division, no libm
+    "mad_outliers" -> ((s, d) =>
+      operators.Curation.madOutlierReport(
+        Tables.load(s, d, "documents"))),
     "decontaminate" -> ((s, d) =>
       Dedup.decontaminate(Tables.load(s, d, "documents"))),
     // the test-side audit view of the same split: per eval doc, how
@@ -725,6 +737,31 @@ object SparkEntry {
           expr("hits * 1000000 DIV total").as("recall_ppm"))
         .orderBy("variant")
     }),
+    // SQ8 scalar-quantized ANN: per-dimension byte codes against
+    // global [lo, hi] ranges — 4x storage compression with no
+    // codebook; asymmetric exact-query-vs-reconstruction scoring
+    "ann_sq8_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.sq8TopK(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
+    // recall@5 of the SQ8 index against the exact baseline — the
+    // honest-accounting row every ANN variant here carries
+    "ann_sq8_recall" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = Similarity.sq8TopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit("sq8").as("variant"), col("hits"))
+      val tot = exact.agg(count(lit(1)).as("total"))
+      hits.crossJoin(broadcast(tot))
+        .select(col("variant"), col("hits"), col("total"),
+          expr("hits * 1000000 DIV total").as("recall_ppm"))
+        .orderBy("variant")
+    }),
     // kNN-classifier label vote: leave-one-out majority vote among
     // each query's 5 nearest labeled neighbors (label-propagation /
     // labeler-distillation shape; candidates from the exact baseline —
@@ -996,6 +1033,22 @@ object SparkEntry {
         lit("dup_mirror").as("source"),
         concat(lit("  "), upper(col("text"))).as("text"))
     base.unionByName(dups)
+  }
+
+  /** Near-identical titles for `fuzzy_pairs`: 40-char title prefixes,
+    * plus (for every fifth doc, under an offset id) a copy with its
+    * 11th character deleted — edit distance exactly 1 with the first
+    * 10 characters (the blocking prefix) intact. Deterministic, so
+    * the oracle rebuilds it with one UNION ALL.
+    */
+  private[graft] def fuzzyFixture(docs: DataFrame): DataFrame = {
+    val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val title = substring(col("text"), 1, 40)
+    docs.select(col("doc_id"), title.as("text"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          concat(substring(title, 1, 10), substring(title, 12, 40))
+            .as("text")))
   }
 
   /** Per-source token budgets for `token_budget_sample` — named strata
@@ -1487,6 +1540,44 @@ object SparkEntry {
              CAST(rnk AS BIGINT) AS "rank"
       FROM ptop
       WHERE rnk <= 5 ORDER BY query_id, rnk ASC"""
+
+  /** SQ8 replay — mirrors `Similarity.sq8TopK(levels = 256, dim =
+    * 64)` bit-for-bit: ×1e6 microization, per-dimension (lo, hi)
+    * ranges with span clamped ≥ 1, floor-division code assignment
+    * `(u−lo)·255 // span`, half-up midpoint reconstruction
+    * `lo + (2·code·span + 255) // 510`, exact integer squared-L2
+    * against the query's UNquantized micro vector, (d2, id)
+    * tie-breaks. Ends in `stop(query_id, neighbor_id,
+    * approx_d2_micro2, rnk)`.
+    */
+  private val sq8Ctes: String = s"""
+      mu AS (SELECT vec_id, list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u
+             FROM embeddings),
+      md AS (SELECT vec_id, CAST(p.i AS INTEGER) AS pos,
+               u[CAST(p.i + 1 AS INTEGER)] AS x
+             FROM mu CROSS JOIN range(0, 64) p(i)),
+      rng AS (SELECT pos, MIN(x) AS lo,
+                GREATEST(MAX(x) - MIN(x), 1) AS span
+              FROM md GROUP BY pos),
+      rec AS (SELECT md.vec_id, md.pos,
+                rng.lo + ((((md.x - rng.lo) * 255 // rng.span)
+                  * rng.span * 2 + 255) // 510) AS r
+              FROM md JOIN rng USING (pos)),
+      sq AS (SELECT vec_id AS qid, pos, x AS qx FROM md
+             WHERE vec_id < 20),
+      ssc AS (SELECT sq.qid, rec.vec_id AS nid,
+                CAST(SUM((sq.qx - rec.r) * (sq.qx - rec.r)) AS BIGINT)
+                  AS d2
+              FROM sq JOIN rec
+                ON sq.pos = rec.pos AND rec.vec_id <> sq.qid
+              GROUP BY 1, 2),
+      stop AS (SELECT qid AS query_id, nid AS neighbor_id,
+                 d2 AS approx_d2_micro2,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY d2 ASC, nid ASC) AS rnk
+               FROM ssc)"""
 
   /** Trained-PQ replay — per-subspace Lloyd's on the integer-micro
     * vector SLICES, mirroring `Similarity.pqTopKTrained(m = 4,
@@ -2898,6 +2989,50 @@ object SparkEntry {
       FROM pd GROUP BY span_hash
       HAVING COUNT(*) >= 2
       ORDER BY span_hash"""),
+    // full fuzzy-blocking replay: fixture rebuild (40-char titles +
+    // 11th-char-deleted mirrors), fingerprint normalization, 8-char
+    // prefix blocks, length band, exact levenshtein verify
+    "fuzzy_pairs" -> ("""
+      WITH mx AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+      base AS (
+        SELECT doc_id, substr(text, 1, 40) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + mx.off,
+               substr(substr(text, 1, 40), 1, 10) ||
+                 substr(substr(text, 1, 40), 12)
+        FROM documents, mx WHERE doc_id % 5 = 0),
+      t AS (SELECT doc_id AS id,
+              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
+            FROM base),
+      p AS (SELECT a.id AS id1, b.id AS id2,
+              levenshtein(a.k, b.k) AS dist
+            FROM t a JOIN t b
+              ON substr(a.k, 1, 8) = substr(b.k, 1, 8)
+                 AND a.id < b.id
+            WHERE abs(length(a.k) - length(b.k)) <= 2)
+      SELECT id1, id2, CAST(dist AS BIGINT) AS dist
+      FROM p WHERE dist <= 2 ORDER BY id1, id2"""),
+    // median/MAD replay in doubled integer units: 2·quantile_cont of
+    // a BIGINT column is k or k+0.5 doubled — exact in both engines
+    "mad_outliers" -> ("""
+      WITH med AS MATERIALIZED (
+        SELECT source AS grp,
+               CAST(2 * quantile_cont(n_chars, 0.5) AS BIGINT) AS med2
+        FROM documents GROUP BY 1),
+      dev AS MATERIALIZED (
+        SELECT d.source AS grp, m.med2,
+               abs(d.n_chars * 2 - m.med2) AS dev2
+        FROM documents d JOIN med m ON m.grp = d.source),
+      mad AS (SELECT grp,
+                CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+              FROM dev GROUP BY 1),
+      r AS (SELECT dev.grp, dev.med2, mad.mad4, COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN dev.dev2 * 2 > mad.mad4 * 3
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev JOIN mad USING (grp) GROUP BY 1, 2, 3)
+      SELECT grp AS source, n_rows, med2, mad4, n_outliers,
+             n_outliers * 1000000 // n_rows AS outlier_ppm
+      FROM r ORDER BY source"""),
     "multimodal_meta" -> ("""
       WITH p AS (
         SELECT doc_id,
@@ -3065,6 +3200,30 @@ object SparkEntry {
       FROM hs, tot ORDER BY variant"""),
     "ann_ivfpq_topk" -> ivfPqOracle(nprobe = 2),
     "ann_ivfpq_probe1" -> ivfPqOracle(nprobe = 1),
+    "ann_sq8_topk" -> (s"""
+      WITH $sq8Ctes
+      SELECT query_id, neighbor_id, approx_d2_micro2,
+             CAST(rnk AS BIGINT) AS "rank"
+      FROM stop WHERE rnk <= 5 ORDER BY query_id, rnk ASC"""),
+    "ann_sq8_recall" -> (s"""
+      WITH $sq8Ctes,
+      ex AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY ${cosSql.format("q.embedding",
+                          "e.embedding")} DESC,
+                          e.vec_id ASC) AS rnk
+               FROM embeddings q, embeddings e
+               WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
+             WHERE rnk <= 5),
+      hs AS (SELECT 'sq8' AS variant, COUNT(*) AS hits
+             FROM (SELECT query_id, neighbor_id FROM stop
+                   WHERE rnk <= 5) t
+             JOIN ex USING (query_id, neighbor_id)),
+      tot AS (SELECT COUNT(*) AS total FROM ex)
+      SELECT variant, hits, total,
+             hits * 1000000 // total AS recall_ppm
+      FROM hs, tot ORDER BY variant"""),
     // full LSH replay (same md5-hyperplane trick as ann_lsh_topk): the
     // bucket walk, cosine verify and threshold reproduce the engine's
     // O(n·bucket) plan — this row certifies the SCALE path

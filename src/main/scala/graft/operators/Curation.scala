@@ -590,4 +590,51 @@ object Curation {
         "waste_ppm")
       .orderBy("bucket_len")
   }
+
+  /** Robust per-stratum outlier report over an integer signal —
+    * median/MAD gating (Hampel's rule), the length/size sanity filter
+    * that survives the heavy-tailed distributions mean/stddev gates
+    * drown in: a row is an outlier when |x − median| > k · MAD.
+    *
+    * Exactness: medians stay in DOUBLED integer units (`2·median` of
+    * a BIGINT column is k or k+0.5 doubled to an exact integer —
+    * binary doubles represent both exactly, so the ×2-then-cast is
+    * bit-identical in any engine), MAD in QUADRUPLED units
+    * (`2·median(|2x − med2|)`), and the gate cross-multiplies
+    * (`2·dev2 > k·mad4`) so no division ever happens — the
+    * DECIMAL-free twin of the q11 predicate discipline.
+    *
+    * Scale shape: three scans of a two-column projection (median,
+    * then MAD of deviations, then flag counts), each reducing to a
+    * strata-sized aggregate broadcast back — rows never shuffle. The
+    * exact grouped percentile holds to ~low-billions of rows per
+    * stratum; past that, [[Sketches.binSketch]] /
+    * [[Sketches.quantileRollup]] is the documented mergeable-sketch
+    * path for the same medians. Output per stratum: (group, n_rows,
+    * med2, mad4, n_outliers, outlier_ppm).
+    */
+  def madOutlierReport(docs: DataFrame, valueCol: String = "n_chars",
+                       groupCol: String = "source",
+                       k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val x = col(valueCol).cast(org.apache.spark.sql.types.LongType)
+    val t = docs.select(col(groupCol).as("grp"), x.as("_x"))
+    val med = t.groupBy("grp")
+      .agg((expr("percentile(_x, 0.5D)") * 2)
+        .cast(org.apache.spark.sql.types.LongType).as("med2"))
+    val dev = t.join(broadcast(med), Seq("grp"))
+      .withColumn("_dev2", abs(col("_x") * 2 - col("med2")))
+    val mad = dev.groupBy("grp")
+      .agg((expr("percentile(_dev2, 0.5D)") * 2)
+        .cast(org.apache.spark.sql.types.LongType).as("mad4"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .groupBy(col("grp"), col("med2"), col("mad4"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_dev2") * 2 > col("mad4") * k, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("grp").as(groupCol), col("n_rows"), col("med2"),
+        col("mad4"), col("n_outliers"),
+        expr("n_outliers * 1000000 DIV n_rows").as("outlier_ppm"))
+      .orderBy(groupCol)
+  }
 }

@@ -836,4 +836,52 @@ object Dedup {
         col("x.first_pos").cast(LongType).as("first_pos"))
       .orderBy("span_hash")
   }
+
+  /** Blocked fuzzy matching — the entity-resolution / near-identical-
+    * title shape (classic record-linkage blocking, Fellegi & Sunter
+    * lineage): candidate pairs come from an EQUI-join on a cheap
+    * blocking key (the normalized prefix), and only those candidates
+    * pay the quadratic edit-distance check, which runs ROW-LOCAL with
+    * Spark's thresholded `levenshtein` (O(len·maxDist) early-exit).
+    * An all-pairs levenshtein is the textbook 100 TB killer; blocking
+    * bounds the join to Σ block² and the prefix length tunes the
+    * recall/cost trade exactly like LSH band width — pairs that
+    * differ inside the first `prefixLen` characters are unseen BY
+    * DESIGN (documented recall loss, the blocking bargain).
+    *
+    * Skew guard: blocks larger than `maxBlock` are dropped whole (the
+    * [[simhashNearDups]] hot-bucket discipline) — a boilerplate
+    * prefix shared by millions of rows must not quadratically explode
+    * one task; the dropped blocks are exactly the ones exact-prefix
+    * grouping already handles.
+    *
+    * Normalization is [[TextAnalysis.fingerprint]]'s (lower + trim +
+    * whitespace collapse) so fuzzy pairs compose with the exact-dedup
+    * family. Output: (id1 < id2, dist ≤ maxDist), ordered.
+    */
+  def fuzzyPairs(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", prefixLen: Int = 8,
+                 maxDist: Int = 2,
+                 maxBlock: Long = 1000L): DataFrame = {
+    val t = df.select(col(idCol).as("_id"),
+      lower(trim(regexp_replace(col(textCol), "\\s+", " "))).as("_k"))
+      .withColumn("_blk", substring(col("_k"), 1, prefixLen))
+    // map-side-aggregating block census; oversized blocks drop whole
+    val ok = t.groupBy("_blk").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBlock)
+      .select("_blk")
+    val b = t.join(ok, Seq("_blk"))
+    val l = b.select(col("_blk"), col("_id").as("id1"),
+      col("_k").as("_k1"))
+    val r = b.select(col("_blk"), col("_id").as("id2"),
+      col("_k").as("_k2"))
+    l.join(r, Seq("_blk"))
+      .filter(col("id1") < col("id2") &&
+        abs(length(col("_k1")) - length(col("_k2"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("_k1"), col("_k2"), maxDist).cast(LongType))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+      .orderBy("id1", "id2")
+  }
 }

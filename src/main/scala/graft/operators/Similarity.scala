@@ -954,4 +954,93 @@ object Similarity {
       .withColumn("is_outlier", col("cos_ppm") < thresholdPpm)
       .orderBy("vec_id")
   }
+
+  /** Per-dimension quantization range of the micro-int corpus:
+    * (lo, hi, span) per position — `dim` longs of driver state (the
+    * index metadata), from ONE map-side-combined aggregate of `dim`
+    * lanes per partition. `span` is clamped to ≥1 so constant
+    * dimensions quantize to code 0 and reconstruct exactly.
+    */
+  private[operators] def sq8Ranges(micro: DataFrame)
+      : Array[(Long, Long, Long)] = {
+    micro.select(posexplode(col("u")))
+      .groupBy("pos")
+      .agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getLong(1), r.getLong(2),
+        math.max(r.getLong(2) - r.getLong(1), 1L)))
+  }
+
+  /** Scalar-quantized (SQ8) ANN top-k — the FOURTH classic ANN shape
+    * next to LSH / IVF / PQ, and the simplest storage-compression
+    * play: each dimension quantizes independently to one byte against
+    * a per-dimension [lo, hi] range, so a float32 corpus stores at 4×
+    * compression (dim bytes per vector + 2·dim longs of global range
+    * metadata) with no codebook training at all — the FAISS
+    * `ScalarQuantizer(QT_8bit)` layout. Queries score candidates
+    * ASYMMETRICALLY: the query keeps its exact (micro-int) vector and
+    * measures squared L2 against the candidate's RECONSTRUCTION
+    * (range midpoint of its code cell), so quantization error enters
+    * once, not twice.
+    *
+    * Determinism: everything after the ×1e6 microization is 64-bit
+    * integer arithmetic — floor-division code assignment
+    * `(u−lo)·(levels−1) div span`, half-up integer reconstruction,
+    * exact [[graft.functions.SqDistLong]] distances, (d2, id)
+    * tie-breaks — so the DuckDB oracle replays ranges, codes,
+    * reconstructions, and ranks bit-for-bit.
+    *
+    * Scale shape: the range pass is one aggregate producing `dim`
+    * rows (broadcast back as literals); encode + reconstruct are
+    * ROW-LOCAL projections (no joins, no windows); scoring is one
+    * corpus scan against the broadcast query side with a codegen'd
+    * integer loop per pair. At 100 TB: persist the codes as the
+    * index, re-encode only new data against the frozen ranges —
+    * range drift on append is a metadata refresh, not a re-index.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              levels: Int = 256, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(levels >= 2, "levels must be >= 2")
+    val micro = transform(col(vecCol),
+      v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
+    val ranges = sq8Ranges(
+      corpus.select(col(idCol).as("vec_id"), micro.as("u")))
+    if (ranges.isEmpty)   // empty corpus: nothing to quantize
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0L).as("approx_d2_micro2"),
+        lit(0L).as("rank")).limit(0)
+    val lo = typedLit(ranges.map(_._1))
+    val span = typedLit(ranges.map(_._3))
+    val lv = lit(levels - 1L)
+    // exact integer floor-division without a Column `div` operator:
+    // subtract the remainder first, then the double division is a
+    // divisible quotient well under 2^53 — bit-exact in any engine
+    def idiv(n: Column, d: Column): Column =
+      ((n - n % d) / d).cast(LongType)
+    // code → half-up midpoint reconstruction, fused into one row-local
+    // transform: code = ⌊(u−lo)·(levels−1)/span⌋,
+    // r = lo + round_half_up(code·span/(levels−1)); u ≥ lo ⇒ all
+    // operands non-negative
+    val recon = transform(col("u"), (x, i) => {
+      val l = element_at(lo, (i + 1).cast(IntegerType))
+      val s = element_at(span, (i + 1).cast(IntegerType))
+      val code = idiv((x - l) * lv, s)
+      l + idiv(code * s * lit(2L) + lv, lv * lit(2L))
+    })
+    val c = graft.util.Utils.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), micro.as("u"))
+      .select(col("neighbor_id"), recon.as("_r"))
+    val q = queries.select(col(idCol).as("query_id"), micro.as("_qu"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_d2_micro2").asc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.SqDistLong.sqDistLong(col("_qu"), col("_r"))
+          .as("approx_d2_micro2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
 }

@@ -710,4 +710,25 @@ class CurationOpsSpec extends AnyFunSuite {
       // bucket 8: kept 5+8+8 = 21 of 24 capacity → 3 pads = 125000 ppm
       (8L, 3L, 21L, 3L, 125000L)))
   }
+
+  test("madOutlierReport: hand-computed median/MAD gate in doubled " +
+      "units — even and odd counts, a constant stratum, and the " +
+      "cross-multiplied no-division predicate") {
+    val rows = Seq(
+      ("a", 10L), ("a", 12L), ("a", 14L), ("a", 100L), // even n: med 13
+      ("b", 5L), ("b", 5L), ("b", 5L),                 // constant: MAD 0
+      ("c", 1L), ("c", 2L), ("c", 9L))                 // odd n: med 2
+      .toDF("source", "n_chars")
+    val got = Curation.madOutlierReport(rows)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      // a: med2 = 26, dev2 = [6,2,2,174], mad4 = 2*(2+6)/2 = 8;
+      //    outlier iff 2*dev2 > 24 → only 174 → 1/4 = 250000 ppm
+      ("a", 4L, 26L, 8L, 1L, 250000L),
+      // b: constant stratum — MAD 0, strict > keeps zero deviations in
+      ("b", 3L, 10L, 0L, 0L, 0L),
+      // c: med2 = 4, dev2 = [2,0,14], mad4 = 4; 2*dev2 > 12 → 14 only
+      ("c", 3L, 4L, 4L, 1L, 333333L)))
+  }
 }

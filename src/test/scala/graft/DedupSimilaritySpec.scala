@@ -112,6 +112,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("fuzzyPairs: blocked levenshtein finds whitespace/word " +
+      "variants within the threshold, misses cross-block edits by " +
+      "design, and drops oversized blocks whole") {
+    // docs fixture: 0/2/4 are ws-normalized equal (dist 0), 1 differs
+    // by dog->cat (dist 3, outside maxDist=2), 3 is another block
+    val got = Dedup.fuzzyPairs(df, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == Set((0L, 2L, 0L), (0L, 4L, 0L), (2L, 4L, 0L)))
+    // widening the threshold admits the dog->cat substitutions
+    val wide = Dedup.fuzzyPairs(df, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(wide == got.toSet ++ Set((0L, 1L, 3L), (1L, 2L, 3L),
+      (1L, 4L, 3L)))
+    // an edit INSIDE the blocking prefix lands in another block —
+    // the documented recall loss of blocking
+    val crossBlock = df.union(Seq(
+      (5L, "xhe quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"))
+    val pairs5 = Dedup.fuzzyPairs(crossBlock, maxDist = 2)
+      .filter($"id1" === 5L || $"id2" === 5L).count()
+    assert(pairs5 == 0L)
+    // hot-block guard: capping below the block size drops it whole
+    assert(Dedup.fuzzyPairs(df, maxDist = 2, maxBlock = 2L)
+      .count() == 0L)
+  }
+
   test("connectedGroups: transitive min-label over the pair graph") {
     // chain 1-2-3-4 (needs several propagation rounds), plus two more
     // components — reps must be the component-wide minimum ids
@@ -211,6 +238,74 @@ class DedupSimilaritySpec extends AnyFunSuite {
         codebookSize = 8, dim = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pq.nonEmpty && (pq & exact).nonEmpty)
+  }
+
+  test("SQ8 topk: asymmetric scoring matches a hand replay of the " +
+      "integer quantization; per-dim span == levels-1 is lossless") {
+    val tiny = clustered.filter($"vec_id" < 12)
+    val queries = tiny.filter($"vec_id" < 3)
+    val dim = 16
+    val rows: Map[Long, Array[Long]] = tiny.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1)
+        .map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong)
+        .toArray).toMap
+    val lo = (0 until dim).map(i => rows.values.map(_(i)).min).toArray
+    val span = (0 until dim)
+      .map(i => math.max(rows.values.map(_(i)).max - lo(i), 1L)).toArray
+    def recon(u: Array[Long]): Array[Long] = (0 until dim).map { i =>
+      val code = (u(i) - lo(i)) * 255L / span(i)
+      lo(i) + (code * span(i) * 2L + 255L) / 510L
+    }.toArray
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      (0 until dim).map { i => val d = a(i) - b(i); d * d }.sum
+    val expected = queries.collect().map(_.getLong(0)).flatMap { q =>
+      rows.keys.filter(_ != q).toSeq
+        .map(n => (q, n, d2(rows(q), recon(rows(n)))))
+        .sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((qq, n, d), i) => (qq, n, d, i + 1L) }
+    }.sortBy(t => (t._1, t._4)).toSeq
+    val got = Similarity.sq8TopK(tiny, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+
+    // lossless regime: micro components all in [0, 255] make every
+    // dim's span exactly 255 = levels-1, so code = u-lo and the
+    // reconstruction is the identity — SQ8 ranking must equal the
+    // exact micro squared-L2 ranking
+    val exactRows = (0L until 10L).map { id =>
+      (id, (0 until 4).map(i =>
+        (((id * 37 + i * 13) % 251).toFloat * 1e-6f)).toSeq)
+    } ++ Seq((10L, Seq(0f, 0f, 0f, 0f)),
+      (11L, Seq(255e-6f, 255e-6f, 255e-6f, 255e-6f)))
+    val lossless = exactRows.toDF("vec_id", "embedding")
+    val um: Map[Long, Array[Long]] = exactRows.map { case (id, v) =>
+      id -> v.map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong).toArray
+    }.toMap
+    val wantExact = um.keys.filter(_ < 2).toSeq.sorted.flatMap { q =>
+      um.keys.filter(_ != q).toSeq
+        .map(n => (q, n, (0 until 4).map { i =>
+          val d = um(q)(i) - um(n)(i); d * d }.sum))
+        .sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((qq, n, d), i) => (qq, n, d, i + 1L) }
+    }
+    val gotExact = Similarity.sq8TopK(lossless,
+        lossless.filter($"vec_id" < 2), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(gotExact == wantExact)
+
+    // lossy regime on the clustered corpus: byte codes must still
+    // recover most exact neighbors
+    val q2 = clustered.filter($"vec_id" % 8 === 0).limit(10)
+    val exact = Similarity.bruteForceTopK(clustered, q2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sq8TopK(clustered, q2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq.nonEmpty && (sq & exact).size * 2 >= exact.size)
+
+    // empty corpus: no ranges, empty result
+    assert(Similarity.sq8TopK(tiny.limit(0), queries).count() == 0L)
   }
 
   test("trained PQ: k-means with one seed per vector is a fixed point " +

@@ -86,6 +86,10 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_ivfpq_topk" -> "coarse/pq codebooks are sample-sized",
       "ann_ivfpq_probe1" -> "coarse/pq codebooks are sample-sized",
       "ann_lsh_topk" -> "query batch broadcast",
+      // SQ8: corpus scan x broadcast query batch (+ the exact
+      // baseline and 1-row recall total in the recall row)
+      "ann_sq8_topk" -> "corpus x broadcast query batch",
+      "ann_sq8_recall" -> "query batch broadcast, 1-row total",
       // scalar-subquery pattern: the broadcast side is ONE row (the
       // global positive-balance average)
       "q22_dormant_accounts" -> "1-row scalar average broadcast",
