@@ -762,6 +762,21 @@ object SparkEntry {
           expr("hits * 1000000 DIV total").as("recall_ppm"))
         .orderBy("variant")
     }),
+    // hard-negative mining: per query, the top-5 most-similar
+    // DIFFERENT-label vectors — the contrastive-pair miner (exact
+    // candidate source; IVF routing is the documented scale path)
+    "hard_negatives" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
+    // per-label centroid drift between two deterministic snapshot
+    // views (10%-shifted membership) — the re-embed/encoder-upgrade
+    // regression monitor
+    "embedding_drift" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.centroidDrift(e.filter(col("vec_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 =!= 9))
+    }),
     // kNN-classifier label vote: leave-one-out majority vote among
     // each query's 5 nearest labeled neighbors (label-propagation /
     // labeler-distillation shape; candidates from the exact baseline —
@@ -3118,6 +3133,61 @@ object SparkEntry {
                      ORDER BY score DESC, nid ASC) AS rank
             FROM sc)
       WHERE rank <= 5 ORDER BY query_id, rank"""),
+    "hard_negatives" -> (s"""
+      WITH q AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS ql,
+                        embedding AS qv
+                 FROM embeddings WHERE vec_id < 20),
+      sc AS (SELECT qid, ql, e.vec_id AS nid,
+                    CAST(e.label AS BIGINT) AS nl,
+                    ${cosSql.format("qv", "e.embedding")} AS score
+             FROM q, embeddings e
+             WHERE CAST(e.label AS BIGINT) <> ql)
+      SELECT qid AS query_id, ql AS query_label, nid AS neighbor_id,
+             nl AS neighbor_label, score, rank
+      FROM (SELECT qid, ql, nid, nl, score,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY score DESC, nid ASC) AS rank
+            FROM sc)
+      WHERE rank <= 5 ORDER BY query_id, rank"""),
+    // centroid drift between two snapshot views: the labelCentroids
+    // integer-mean CTE evaluated per view, cosine in ppm
+    "embedding_drift" -> ("""
+      WITH pv AS MATERIALIZED (SELECT * FROM embeddings
+                               WHERE vec_id % 10 <> 0),
+      cv AS MATERIALIZED (SELECT * FROM embeddings
+                          WHERE vec_id % 10 <> 9),
+      pu AS (SELECT label, list_transform(embedding, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u, unnest(range(1, 65)) AS pos
+             FROM pv),
+      cu AS (SELECT label, list_transform(embedding, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u, unnest(range(1, 65)) AS pos
+             FROM cv),
+      ps AS (SELECT label, pos, COUNT(*) AS n, SUM(u[pos]) AS s
+             FROM pu GROUP BY 1, 2),
+      cs AS (SELECT label, pos, COUNT(*) AS n, SUM(u[pos]) AS s
+             FROM cu GROUP BY 1, 2),
+      pcent AS (SELECT label, list(CAST(floor((2 * s + n) / (2.0 * n))
+                  AS BIGINT) ORDER BY pos) AS cent
+                FROM ps GROUP BY 1),
+      ccent AS (SELECT label, list(CAST(floor((2 * s + n) / (2.0 * n))
+                  AS BIGINT) ORDER BY pos) AS cent
+                FROM cs GROUP BY 1),
+      pn AS (SELECT label, COUNT(*) AS n_prev FROM pv GROUP BY 1),
+      cn AS (SELECT label, COUNT(*) AS n_cur FROM cv GROUP BY 1)
+      SELECT p.label, pn.n_prev, cn.n_cur,
+             CAST(floor(
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> p.cent[i] * c.cent[i])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> p.cent[i] * p.cent[i])) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> c.cent[i] * c.cent[i])) AS DOUBLE)))
+               * 1e6 + 0.5) AS BIGINT) AS cos_ppm
+      FROM pcent p JOIN ccent c ON c.label = p.label
+      JOIN pn ON pn.label = p.label JOIN cn ON cn.label = p.label
+      ORDER BY p.label"""),
     "knn_label_vote" -> (s"""
       WITH q AS (SELECT vec_id AS qid, embedding AS qv,
                         CAST(label AS BIGINT) AS tl

@@ -955,6 +955,83 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Hard-negative mining — the contrastive-training pair miner
+    * (in-batch negatives' offline twin, the SimCLR / DPR data-prep
+    * step): for each query vector, the top-k most-similar corpus
+    * vectors whose label DIFFERS from the query's. High-similarity
+    * different-label neighbors are exactly the pairs a contrastive
+    * loss learns most from; random negatives are trivially separable.
+    *
+    * Candidate search here is the exact brute-force baseline (one
+    * corpus scan, query batch broadcast, codegen'd dot products, the
+    * [[bruteForceTopK]] shape with the label inequality fused into
+    * the join predicate so same-label rows never reach the scorer).
+    * At 100 TB swap [[ivfTopK]] routing in as the candidate source
+    * and keep the label filter — the [[knnLabelVote]] precedent.
+    * Deterministic: cosine rounded to 6 decimals, neighbor-id
+    * tie-break.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).cast(LongType).as("query_label"),
+      col(vecCol).as("qvec"), l2norm(col(vecCol)).as("qn"))
+    val c = graft.util.Utils.spread(corpus)
+      .select(col(idCol).as("neighbor_id"),
+        col(labelCol).cast(LongType).as("neighbor_label"),
+        col(vecCol).as("cvec"), l2norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_label") =!= col("neighbor_label"))
+      .withColumn("score",
+        round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-label centroid drift between two corpus snapshots — the
+    * embedding-pipeline regression monitor: after a re-embed, an
+    * encoder upgrade, or an ingest batch, how far did each label's
+    * centroid move? Centroids come from [[labelCentroids]] (exact
+    * integer-micro means, engine-reproducible), the drift is their
+    * cosine in ppm (1e6 = unmoved), and the per-label counts ride
+    * along so a big drift on a 3-row label reads as noise, not alarm.
+    *
+    * Scale shape: each snapshot reduces to a labels × dim integer
+    * table (one map-side-combined lane aggregate per snapshot — the
+    * vectors never shuffle); the join is labels-sized. Labels present
+    * in only one snapshot have no drift to measure and drop by the
+    * inner join (the counts query [[Dedup.corpusDiff]] covers
+    * membership churn).
+    */
+  def centroidDrift(prev: DataFrame, cur: DataFrame,
+                    labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    def dotL(a: Column, b: Column): Column =
+      graft.functions.DotLong.dotLong(a, b)
+    val pc = labelCentroids(prev, labelCol, vecCol)
+      .select(col("label"), col("centroid").as("_pc"))
+    val cc = labelCentroids(cur, labelCol, vecCol)
+      .select(col("label"), col("centroid").as("_cc"))
+    val pn = prev.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_prev"))
+    val cn = cur.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_cur"))
+    pc.join(cc, Seq("label")).join(pn, Seq("label"))
+      .join(cn, Seq("label"))
+      .select(col("label"), col("n_prev"), col("n_cur"),
+        floor(dotL(col("_pc"), col("_cc")).cast("double") /
+          (sqrt(dotL(col("_pc"), col("_pc")).cast("double")) *
+            sqrt(dotL(col("_cc"), col("_cc")).cast("double")))
+          * 1e6 + 0.5).cast(LongType).as("cos_ppm"))
+      .orderBy("label")
+  }
+
   /** Per-dimension quantization range of the micro-int corpus:
     * (lo, hi, span) per position — `dim` longs of driver state (the
     * index metadata), from ONE map-side-combined aggregate of `dim`

@@ -240,6 +240,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pq.nonEmpty && (pq & exact).nonEmpty)
   }
 
+  test("hardNegatives: only different-label neighbors rank, ordered " +
+      "by cosine with id tie-break") {
+    // axis-aligned vectors: cosines are exact 0/1; labels split the
+    // x-axis group so same-label exclusion is observable
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 0),    // query, label 0
+      (1L, Seq(1f, 0f), 0),    // same label — must never appear
+      (2L, Seq(1f, 0f), 1),    // different label, cosine 1
+      (3L, Seq(2f, 0f), 1),    // different label, cosine 1 (tie by id)
+      (4L, Seq(0f, 1f), 1))    // different label, cosine 0
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs,
+        vecs.filter($"vec_id" === 0L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 1L, 1.0, 1L),
+      (0L, 0L, 3L, 1L, 1.0, 2L),
+      (0L, 0L, 4L, 1L, 0.0, 3L)))
+  }
+
+  test("centroidDrift: hand-computed integer centroids, identical " +
+      "snapshots read 1e6 ppm, inner join drops one-sided labels") {
+    val prev = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0),  // centroid (.5, .5)
+      (2L, Seq(1f, 1f), 1),
+      (3L, Seq(1f, 0f), 2))                        // label 2 only in prev
+      .toDF("vec_id", "embedding", "label")
+    val cur = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0),  // centroid (1, 0)
+      (2L, Seq(1f, 1f), 1),
+      (4L, Seq(0f, 1f), 3))                        // label 3 only in cur
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(prev, cur)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // label 0: cos((.5,.5),(1,0)) = 1/sqrt(2) → 707107 ppm
+    // label 1: identical centroid → exactly 1e6
+    // labels 2/3: one-sided → dropped
+    assert(got == Seq((0, 2L, 2L, 707107L), (1, 1L, 1L, 1000000L)))
+  }
+
   test("SQ8 topk: asymmetric scoring matches a hand replay of the " +
       "integer quantization; per-dim span == levels-1 is lossless") {
     val tiny = clustered.filter($"vec_id" < 12)

@@ -90,6 +90,8 @@ class WindowAuditSpec extends AnyFunSuite {
       // baseline and 1-row recall total in the recall row)
       "ann_sq8_topk" -> "corpus x broadcast query batch",
       "ann_sq8_recall" -> "query batch broadcast, 1-row total",
+      // label-inequality join against the broadcast query batch
+      "hard_negatives" -> "corpus x broadcast query batch",
       // scalar-subquery pattern: the broadcast side is ONE row (the
       // global positive-balance average)
       "q22_dormant_accounts" -> "1-row scalar average broadcast",
