@@ -425,6 +425,15 @@ object SparkEntry {
     "mad_outliers" -> ((s, d) =>
       operators.Curation.madOutlierReport(
         Tables.load(s, d, "documents"))),
+    // KS-style sampling-bias audit: binned-CDF max gap between a 20%
+    // hash sample and the full corpus over doc length — exact
+    // cross-multiplied integer gaps, DECIMAL(38) ppm normalization
+    "ks_sample_audit" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      operators.Sketches.ksReport(
+        Sampling.hashSample(docs, "doc_id", 200), docs,
+        "n_chars", bins = 64, lo = 0.0, hi = 2048.0)
+    }),
     "decontaminate" -> ((s, d) =>
       Dedup.decontaminate(Tables.load(s, d, "documents"))),
     // the test-side audit view of the same split: per eval doc, how
@@ -3048,6 +3057,40 @@ object SparkEntry {
       SELECT grp AS source, n_rows, med2, mad4, n_outliers,
              n_outliers * 1000000 // n_rows AS outlier_ppm
       FROM r ORDER BY source"""),
+    // KS replay: same md5 hash sample, same 64-bin [0,2048) binning
+    // (floor of IEEE double division — identical in both engines),
+    // cross-multiplied integer gaps, HUGEINT ppm via the nested
+    // floor-division identity
+    "ks_sample_audit" -> (s"""
+      WITH aa AS MATERIALIZED (
+        SELECT n_chars FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          '${Sampling.hexThreshold(200)}'),
+      bb AS MATERIALIZED (SELECT n_chars FROM documents),
+      ba AS (SELECT LEAST(GREATEST(CAST(floor(n_chars / 32.0)
+               AS BIGINT), 0), 63) AS bin, COUNT(*) AS c
+             FROM aa WHERE n_chars IS NOT NULL GROUP BY 1),
+      bbn AS (SELECT LEAST(GREATEST(CAST(floor(n_chars / 32.0)
+                AS BIGINT), 0), 63) AS bin, COUNT(*) AS c
+              FROM bb WHERE n_chars IS NOT NULL GROUP BY 1),
+      bx AS (SELECT CAST(i.i AS BIGINT) AS bin FROM range(0, 64) i(i)),
+      ca AS (SELECT bin, SUM(COALESCE(ba.c, 0)) OVER (ORDER BY bin)
+               AS cum_a
+             FROM bx LEFT JOIN ba USING (bin)),
+      cb AS (SELECT bin, SUM(COALESCE(bbn.c, 0)) OVER (ORDER BY bin)
+               AS cum_b
+             FROM bx LEFT JOIN bbn USING (bin)),
+      na AS (SELECT COUNT(*) AS n_a FROM aa WHERE n_chars IS NOT NULL),
+      nb AS (SELECT COUNT(*) AS n_b FROM bb WHERE n_chars IS NOT NULL),
+      g AS (SELECT n_a, n_b, bin,
+              abs(cum_a * n_b - cum_b * n_a) AS gap
+            FROM ca JOIN cb USING (bin), na, nb),
+      m AS (SELECT n_a, n_b, bin, gap FROM g
+            ORDER BY gap DESC, bin ASC LIMIT 1)
+      SELECT n_a, n_b, bin AS ks_bin, CAST(gap AS BIGINT) AS ks_num,
+             CAST(CAST(gap AS HUGEINT) * 1000000 // n_a // n_b
+               AS BIGINT) AS ks_ppm
+      FROM m"""),
     "multimodal_meta" -> ("""
       WITH p AS (
         SELECT doc_id,

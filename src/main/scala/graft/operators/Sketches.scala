@@ -193,6 +193,61 @@ object Sketches {
       .orderBy(col("cnt").desc, col(key).asc)
   }
 
+  /** Kolmogorov–Smirnov-style distribution-shift audit between two
+    * frames over one numeric column — "is my sample / new snapshot /
+    * other split length-biased?", the train-val skew check every
+    * sampling stage should ship with. Both sides reduce to the SAME
+    * [[binSketch]] contract (bins equi-width over [lo, hi)); the
+    * statistic is the max gap between the two binned CDFs, reported
+    * at the bin where it peaks (lowest bin on ties).
+    *
+    * Exactness end to end: the gap compares CROSS-MULTIPLIED
+    * cumulative counts (|cumA·nB − cumB·nA| — exact 64-bit up to
+    * ~3·10⁹ rows per side), the argmax is a struct max with the bin
+    * tie-break, and the final ppm normalization runs in DECIMAL(38)
+    * via the nested floor-division identity
+    * `⌊x/(a·b)⌋ = ⌊⌊x/a⌋/b⌋` — no double ever divides. Binning
+    * resolution bounds the statistic's error exactly as it bounds
+    * [[quantileRollup]]'s.
+    *
+    * Scale shape: each side is one map-side-combined bin count (the
+    * corpus never shuffles); everything after is ≤ bins rows joined
+    * on bin index plus two 1-row total broadcasts. Output one row:
+    * (n_a, n_b, ks_bin, ks_num, ks_ppm) where ks_num is the exact
+    * cross-multiplied numerator and ks_ppm = ⌊10⁶·ks_num/(nA·nB)⌋.
+    */
+  def ksReport(a: DataFrame, b: DataFrame, target: String,
+               bins: Int = 256, lo: Double, hi: Double): DataFrame = {
+    def cdf(df: DataFrame, side: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin_idx").asc)   // ≤ bins rows post-sketch
+      binSketch(df, Nil, target, bins, lo, hi)
+        .select(posexplode(col("bin_counts")).as(Seq("bin_idx", "cnt")))
+        .withColumn(s"cum_$side", sum(col("cnt")).over(w))
+        .select(col("bin_idx"), col(s"cum_$side"))
+    }
+    val ca = cdf(a, "a")
+    val cb = cdf(b, "b")
+    val na = a.filter(col(target).isNotNull)
+      .agg(count(lit(1)).as("n_a"))
+    val nb = b.filter(col(target).isNotNull)
+      .agg(count(lit(1)).as("n_b"))
+    ca.join(cb, Seq("bin_idx"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+          .as("_gap"),
+        col("bin_idx"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(struct(col("_gap"), (lit(-1L) * col("bin_idx"))
+        .as("_nb"))).as("_m"))
+      .select(col("n_a"), col("n_b"),
+        (lit(-1L) * col("_m._nb")).cast("long").as("ks_bin"),
+        col("_m._gap").as("ks_num"),
+        expr("CAST(CAST(_m._gap AS DECIMAL(38,0)) * 1000000" +
+          " DIV n_a DIV n_b AS BIGINT)").as("ks_ppm"))
+  }
+
   /** The exact verify pass alone: count ONLY `candidates` rows (a
     * broadcast-joined key list from any proposal mechanism — the
     * batch MG summary above, or the union of streaming

@@ -262,6 +262,35 @@ class ProfilerSpec extends AnyFunSuite {
     assert(fromSlices.find(_._1 == 0.5).get._3 == 305.0)
   }
 
+  test("ksReport: hand-computed binned-CDF max gap, lowest-bin " +
+      "tie-break, zero for identical frames") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // a = {0, 10}, b = {0, 30}; 4 bins over [0, 40) → w = 10
+    // cumA = [1,2,2,2], cumB = [1,1,1,2]; |cumA·2 − cumB·2| =
+    // [0,2,2,0] → max 2 first at bin 1; ppm = 2·1e6/(2·2) = 500000
+    val a = Seq(0.0, 10.0).toDF("v")
+    val b = Seq(0.0, 30.0).toDF("v")
+    val got = Sketches.ksReport(a, b, "v", bins = 4, lo = 0.0,
+        hi = 40.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((2L, 2L, 1L, 2L, 500000L)))
+    // identical frames: every gap 0, argmax tie resolves to bin 0
+    val same = Sketches.ksReport(a, a, "v", bins = 4, lo = 0.0,
+        hi = 40.0)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(same == Seq((0L, 0L, 0L)))
+    // NULL targets are excluded from bins AND totals on both sides
+    val withNull = Seq(Some(0.0), Some(10.0), None).toDF("v")
+    val gotNull = Sketches.ksReport(withNull, b, "v", bins = 4,
+        lo = 0.0, hi = 40.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSeq
+    assert(gotNull == Seq((2L, 2L, 2L)))
+  }
+
   test("quantileRollup: an all-zero group surfaces as NULL-est rows " +
       "(n_rows 0), not a silent drop; a sketch carrying a different " +
       "binning contract fails loudly") {

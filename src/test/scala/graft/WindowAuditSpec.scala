@@ -51,7 +51,9 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_ivfpq_probe1" -> "codebook ranks over bounded samples",
       // marginal-CDF cumsums run over the bin HISTOGRAM (≤ bins rows
       // post-aggregation), never the corpus — the sort-free design
-      "quality_blend" -> "bin-histogram cumsum, ≤ bins rows"
+      "quality_blend" -> "bin-histogram cumsum, ≤ bins rows",
+      // both CDF cumsums run over bin-sketch rows (≤ bins each)
+      "ks_sample_audit" -> "bin-sketch cumsum, ≤ bins rows"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
@@ -126,7 +128,9 @@ class WindowAuditSpec extends AnyFunSuite {
       "quantile_stream_rollup" -> "bins-sized x quantile literals",
       // verifyHitters: 1-row exact token total against the ≤cap
       // candidate counts
-      "hot_terms_stream" -> "1-row total broadcast"
+      "hot_terms_stream" -> "1-row total broadcast",
+      // two 1-row side totals against the bins-sized CDF join
+      "ks_sample_audit" -> "1-row side-total broadcasts"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
