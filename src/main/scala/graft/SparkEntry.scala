@@ -527,6 +527,11 @@ object SparkEntry {
         col("event_id"), col("value"), col("props"))
         .orderBy("user_id", "event_type")
     }),
+    // SCD-2 history: per-user event_type runs with half-open validity
+    // intervals — consecutive duplicates collapse, open runs flagged
+    "scd2_history" -> ((s, d) =>
+      Relational.scd2History(Tables.load(s, d, "events"),
+        Seq("user_id"), "event_type")),
     // skew diagnostic: heaviest join keys with corpus share and the
     // salt factor saltedJoin would need
     "skew_report" -> ((s, d) =>
@@ -2237,6 +2242,28 @@ object SparkEntry {
              strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
              event_id, value, props
       FROM e WHERE rn = 1 ORDER BY user_id, event_type"""),
+    // SCD-2 replay: same (ts, event_id) window order, rn-guarded
+    // IS DISTINCT FROM run collapse, LEAD validity intervals
+    "scd2_history" -> ("""
+      WITH e AS (SELECT user_id, event_id,
+              CAST(ts AS TIMESTAMP) AS ts, event_type
+            FROM events),
+      r AS (SELECT user_id, event_id, ts, event_type,
+              LAG(event_type) OVER w AS prev,
+              ROW_NUMBER() OVER w AS rn
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      runs AS (SELECT user_id, event_id, ts, event_type FROM r
+               WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      iv AS (SELECT user_id, event_type, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS t_to
+             FROM runs)
+      SELECT user_id, event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(t_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+             (t_to IS NULL) AS is_current
+      FROM iv ORDER BY user_id, valid_from, event_type"""),
     "skew_report" -> (s"""
       WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
                  FROM events GROUP BY 1),

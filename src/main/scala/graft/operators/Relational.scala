@@ -978,6 +978,47 @@ object Relational {
           .map(c => col(s"_latest.$c").as(c)): _*)
   }
 
+  /** SCD-2 history build from a CDC change stream — the
+    * slowly-changing-dimension type-2 compaction every warehouse
+    * keeps next to [[upsertLatest]]'s type-1: instead of the latest
+    * value per key, the full sequence of value RUNS with half-open
+    * validity intervals. Consecutive equal values collapse
+    * (null-safe), each surviving run gets `[valid_from, valid_to)`
+    * from the next run's start (`lead`), and the open run carries
+    * NULL `valid_to` with `is_current = true`.
+    *
+    * Both window passes share one (key-partitioned, (ts, tie)-ordered)
+    * sort — a single user-keyed shuffle, the [[sessionize]] shape; no
+    * global window anywhere. Timestamps render as strings on the way
+    * out (the oracle-parity discipline for temporal outputs).
+    */
+  def scd2History(changes: DataFrame, keyCols: Seq[String],
+                  valueCol: String, tsCol: String = "ts",
+                  tieCol: String = "event_id"): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    changes
+      .withColumn("_prev", lag(col(valueCol), 1).over(w))
+      .withColumn("_rn", row_number().over(w))
+      // rn guard: lag() is NULL both for "no previous row" and
+      // "previous value was NULL" — a key whose FIRST value is NULL
+      // must still open a run
+      .filter(col("_rn") === 1 ||
+        !col("_prev").eqNullSafe(col(valueCol)))
+      .withColumn("_to", lead(col(tsCol), 1).over(w))
+      .select(keyCols.map(col) ++ Seq(
+        col(valueCol),
+        date_format(col(tsCol), fmt).as("valid_from"),
+        date_format(col("_to"), fmt).as("valid_to"),
+        col("_to").isNull.as("is_current")): _*)
+      // value tiebreak: two runs of one key CAN share a start
+      // timestamp (same-µs events); consecutive runs always differ
+      // in value, so (keys, valid_from, value) is a total order
+      .orderBy(keyCols.map(col) ++
+        Seq(col("valid_from"), col(valueCol)): _*)
+  }
+
   /** Join/aggregation skew diagnostic: per-key row counts for the
     * heaviest `topN` keys, each with its corpus share (ppm, half-up)
     * and the salt factor that would level it to the mean key load —

@@ -427,6 +427,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
   }
 
+  test("scd2History: consecutive duplicates collapse into runs with " +
+      "chained validity intervals; a NULL first value still opens a " +
+      "run; the open run is current") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val changes = Seq(
+      // user 10: a, a (dup), b, a — three runs
+      (1L, 10L, ts("2024-01-01 10:00:00"), Some("a")),
+      (2L, 10L, ts("2024-01-01 11:00:00"), Some("a")),
+      (3L, 10L, ts("2024-01-01 12:00:00"), Some("b")),
+      (4L, 10L, ts("2024-01-01 13:00:00"), Some("a")),
+      // user 20: NULL, NULL (dup), c — the rn-guard case
+      (5L, 20L, ts("2024-01-01 09:00:00"), None),
+      (6L, 20L, ts("2024-01-01 09:30:00"), None),
+      (7L, 20L, ts("2024-01-01 10:00:00"), Some("c"))
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Relational
+      .scd2History(changes, Seq("user_id"), "event_type")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse("∅"), r.getString(2),
+        Option(r.getString(3)).getOrElse("open"), r.getBoolean(4)))
+      .toSeq
+    assert(got == Seq(
+      (10L, "a", "2024-01-01 10:00:00.000000",
+        "2024-01-01 12:00:00.000000", false),
+      (10L, "b", "2024-01-01 12:00:00.000000",
+        "2024-01-01 13:00:00.000000", false),
+      (10L, "a", "2024-01-01 13:00:00.000000", "open", true),
+      (20L, "∅", "2024-01-01 09:00:00.000000",
+        "2024-01-01 10:00:00.000000", false),
+      (20L, "c", "2024-01-01 10:00:00.000000", "open", true)))
+  }
+
   test("skewReport: counts, half-up ppm share, ceil salt factor, " +
       "deterministic ties") {
     val rows = (Seq.fill(5)("hot") ++ Seq.fill(3)("warm") ++
