@@ -791,6 +791,23 @@ object SparkEntry {
       Similarity.centroidDrift(e.filter(col("vec_id") % 10 =!= 0),
         e.filter(col("vec_id") % 10 =!= 9))
     }),
+    // stream-staged centroid drift: the CURRENT snapshot replays as a
+    // real file-source stream sliced into 3 daily windows; closed
+    // slices' (label, pos, n, s) lane sums merge by addition into
+    // exactly the batch centroids — so the answer hash-matches
+    // embedding_drift's oracle bit-for-bit (the parity contract)
+    "centroid_stream_drift" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val prev = e.filter(col("vec_id") % 10 =!= 0)
+      val cur = e.filter(col("vec_id") % 10 =!= 9)
+        .withColumn("ts", timestamp_micros(lit(1704067200000000L) +
+          (col("vec_id") % 3) * lit(86400000000L)))
+      val slices = graft.streaming.ProfileStream
+        .replayedSlices(cur, "ts")(st =>
+          graft.streaming.ProfileStream.centroidStream(st, "ts",
+            windowDur = "1 day"))
+      Similarity.centroidDriftStaged(prev, slices)
+    }),
     // kNN-classifier label vote: leave-one-out majority vote among
     // each query's 5 nearest labeled neighbors (label-propagation /
     // labeler-distillation shape; candidates from the exact baseline —
@@ -1562,6 +1579,49 @@ object SparkEntry {
                 ORDER BY approx_d2_ppm ASC, neighbor_id ASC) AS rnk
             FROM sc$sfx)"""
   }
+
+  /** Centroid-drift replay shared by `embedding_drift` (batch) and
+    * `centroid_stream_drift` (stream-staged): the staged lane sums
+    * merge by addition into exactly the batch centroids, so both
+    * declared paths land on one oracle — the parity IS the point.
+    */
+  private val embeddingDriftSql: String = """
+      WITH pv AS MATERIALIZED (SELECT * FROM embeddings
+                               WHERE vec_id % 10 <> 0),
+      cv AS MATERIALIZED (SELECT * FROM embeddings
+                          WHERE vec_id % 10 <> 9),
+      pu AS (SELECT label, list_transform(embedding, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u, unnest(range(1, 65)) AS pos
+             FROM pv),
+      cu AS (SELECT label, list_transform(embedding, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u, unnest(range(1, 65)) AS pos
+             FROM cv),
+      ps AS (SELECT label, pos, COUNT(*) AS n, SUM(u[pos]) AS s
+             FROM pu GROUP BY 1, 2),
+      cs AS (SELECT label, pos, COUNT(*) AS n, SUM(u[pos]) AS s
+             FROM cu GROUP BY 1, 2),
+      pcent AS (SELECT label, list(CAST(floor((2 * s + n) / (2.0 * n))
+                  AS BIGINT) ORDER BY pos) AS cent
+                FROM ps GROUP BY 1),
+      ccent AS (SELECT label, list(CAST(floor((2 * s + n) / (2.0 * n))
+                  AS BIGINT) ORDER BY pos) AS cent
+                FROM cs GROUP BY 1),
+      pn AS (SELECT label, COUNT(*) AS n_prev FROM pv GROUP BY 1),
+      cn AS (SELECT label, COUNT(*) AS n_cur FROM cv GROUP BY 1)
+      SELECT p.label, pn.n_prev, cn.n_cur,
+             CAST(floor(
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> p.cent[i] * c.cent[i])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> p.cent[i] * p.cent[i])) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> c.cent[i] * c.cent[i])) AS DOUBLE)))
+               * 1e6 + 0.5) AS BIGINT) AS cos_ppm
+      FROM pcent p JOIN ccent c ON c.label = p.label
+      JOIN pn ON pn.label = p.label JOIN cn ON cn.label = p.label
+      ORDER BY p.label"""
 
   private val pqOracle: String = s"""
       WITH ${pqSampledCtes("")}
@@ -3221,43 +3281,11 @@ object SparkEntry {
       WHERE rank <= 5 ORDER BY query_id, rank"""),
     // centroid drift between two snapshot views: the labelCentroids
     // integer-mean CTE evaluated per view, cosine in ppm
-    "embedding_drift" -> ("""
-      WITH pv AS MATERIALIZED (SELECT * FROM embeddings
-                               WHERE vec_id % 10 <> 0),
-      cv AS MATERIALIZED (SELECT * FROM embeddings
-                          WHERE vec_id % 10 <> 9),
-      pu AS (SELECT label, list_transform(embedding, v ->
-               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
-               AS u, unnest(range(1, 65)) AS pos
-             FROM pv),
-      cu AS (SELECT label, list_transform(embedding, v ->
-               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
-               AS u, unnest(range(1, 65)) AS pos
-             FROM cv),
-      ps AS (SELECT label, pos, COUNT(*) AS n, SUM(u[pos]) AS s
-             FROM pu GROUP BY 1, 2),
-      cs AS (SELECT label, pos, COUNT(*) AS n, SUM(u[pos]) AS s
-             FROM cu GROUP BY 1, 2),
-      pcent AS (SELECT label, list(CAST(floor((2 * s + n) / (2.0 * n))
-                  AS BIGINT) ORDER BY pos) AS cent
-                FROM ps GROUP BY 1),
-      ccent AS (SELECT label, list(CAST(floor((2 * s + n) / (2.0 * n))
-                  AS BIGINT) ORDER BY pos) AS cent
-                FROM cs GROUP BY 1),
-      pn AS (SELECT label, COUNT(*) AS n_prev FROM pv GROUP BY 1),
-      cn AS (SELECT label, COUNT(*) AS n_cur FROM cv GROUP BY 1)
-      SELECT p.label, pn.n_prev, cn.n_cur,
-             CAST(floor(
-               CAST(list_sum(list_transform(range(1, 65),
-                 i -> p.cent[i] * c.cent[i])) AS DOUBLE) /
-               (sqrt(CAST(list_sum(list_transform(range(1, 65),
-                  i -> p.cent[i] * p.cent[i])) AS DOUBLE)) *
-                sqrt(CAST(list_sum(list_transform(range(1, 65),
-                  i -> c.cent[i] * c.cent[i])) AS DOUBLE)))
-               * 1e6 + 0.5) AS BIGINT) AS cos_ppm
-      FROM pcent p JOIN ccent c ON c.label = p.label
-      JOIN pn ON pn.label = p.label JOIN cn ON cn.label = p.label
-      ORDER BY p.label"""),
+    "embedding_drift" -> embeddingDriftSql,
+    // the stream-staged path lands on the SAME oracle: closed-window
+    // lane sums merge by addition to exactly the batch centroids, so
+    // the streamed drift answer is bit-equal to embedding_drift's
+    "centroid_stream_drift" -> embeddingDriftSql,
     "knn_label_vote" -> (s"""
       WITH q AS (SELECT vec_id AS qid, embedding AS qv,
                         CAST(label AS BIGINT) AS tl

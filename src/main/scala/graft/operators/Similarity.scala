@@ -1012,25 +1012,79 @@ object Similarity {
   def centroidDrift(prev: DataFrame, cur: DataFrame,
                     labelCol: String = "label",
                     vecCol: String = "embedding"): DataFrame = {
-    def dotL(a: Column, b: Column): Column =
-      graft.functions.DotLong.dotLong(a, b)
-    val pc = labelCentroids(prev, labelCol, vecCol)
-      .select(col("label"), col("centroid").as("_pc"))
     val cc = labelCentroids(cur, labelCol, vecCol)
       .select(col("label"), col("centroid").as("_cc"))
-    val pn = prev.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("n_prev"))
     val cn = cur.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_cur"))
-    pc.join(cc, Seq("label")).join(pn, Seq("label"))
-      .join(cn, Seq("label"))
+    driftAgainst(prev, cc.join(cn, Seq("label")), labelCol, vecCol)
+  }
+
+  /** Integer-centroid cosine in ppm — the one drift formula both the
+    * batch and stream-staged paths share (half-up, exact-int dots).
+    */
+  private def centroidCosPpm(a: Column, b: Column): Column = {
+    def dotL(x: Column, y: Column): Column =
+      graft.functions.DotLong.dotLong(x, y)
+    floor(dotL(a, b).cast("double") /
+      (sqrt(dotL(a, a).cast("double")) *
+        sqrt(dotL(b, b).cast("double"))) * 1e6 + 0.5).cast(LongType)
+  }
+
+  private def driftAgainst(prev: DataFrame, curCents: DataFrame,
+                           labelCol: String,
+                           vecCol: String): DataFrame = {
+    val pc = labelCentroids(prev, labelCol, vecCol)
+      .select(col("label"), col("centroid").as("_pc"))
+    val pn = prev.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_prev"))
+    pc.join(curCents, Seq("label")).join(pn, Seq("label"))
       .select(col("label"), col("n_prev"), col("n_cur"),
-        floor(dotL(col("_pc"), col("_cc")).cast("double") /
-          (sqrt(dotL(col("_pc"), col("_pc")).cast("double")) *
-            sqrt(dotL(col("_cc"), col("_cc")).cast("double")))
-          * 1e6 + 0.5).cast(LongType).as("cos_ppm"))
+        centroidCosPpm(col("_pc"), col("_cc")).as("cos_ppm"))
       .orderBy("label")
   }
+
+  /** Merge staged centroid lane sums (from
+    * [[graft.streaming.ProfileStream.centroidStream]] slices, or any
+    * additive (label, pos, n, s) stage) back to the EXACT
+    * [[labelCentroids]] output plus the per-label row count. The
+    * merge is element-wise integer addition — associative, so any
+    * slicing of the corpus (time windows, ingest batches, shards)
+    * rolls up to the same centroids the single batch pass computes;
+    * this is the HLL/bin-sketch staging discipline applied to
+    * centroid state, and what makes the streamed drift monitor below
+    * bit-equal to the batch answer.
+    */
+  def centroidsFromStage(staged: DataFrame): DataFrame = {
+    val lanes = staged.groupBy("label", "pos")
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    val cents = lanes.select(col("label"), col("pos"),
+        floor((lit(2L) * col("s") + col("n")).cast("double") /
+          (lit(2L) * col("n")).cast("double")).cast(LongType).as("c"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    // every vector contributes to every lane, so any one lane's
+    // summed n IS the label's row count
+    val counts = lanes.filter(col("pos") === 0)
+      .select(col("label"), col("n").as("n_rows"))
+    cents.join(counts, Seq("label"))
+  }
+
+  /** [[centroidDrift]] with the CURRENT side already staged as
+    * additive lane sums (the live-ingest shape: closed stream windows
+    * merge by addition, the raw vectors are never re-read). Output is
+    * bit-identical to `centroidDrift(prev, cur)` on the same rows —
+    * the stream/batch parity contract of the drift family.
+    */
+  def centroidDriftStaged(prev: DataFrame, stagedCur: DataFrame,
+                          labelCol: String = "label",
+                          vecCol: String = "embedding"): DataFrame =
+    driftAgainst(prev,
+      centroidsFromStage(stagedCur)
+        .select(col("label"), col("centroid").as("_cc"),
+          col("n_rows").as("n_cur")),
+      labelCol, vecCol)
 
   /** Per-dimension quantization range of the micro-int corpus:
     * (lo, hi, span) per position — `dim` longs of driver state (the

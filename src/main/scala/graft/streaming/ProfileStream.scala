@@ -373,6 +373,40 @@ object ProfileStream {
           .as("slice"),
         col("source"), col("n_docs"), col("n_tokens"))
 
+  /** Streaming label-centroid stager: per (event-time window, label,
+    * dimension) exact integer (count, sum) lanes from a live
+    * embedding stream — closed windows are ingest slices whose lane
+    * sums merge by ADDITION ([[graft.operators.Similarity
+    * .centroidsFromStage]]) into exactly the batch `labelCentroids`
+    * state, so the embedding-drift monitor
+    * (`Similarity.centroidDriftStaged` vs a frozen previous snapshot)
+    * runs on staged slices without ever re-reading vectors — the
+    * binSketch/mixture staging discipline applied to centroid state.
+    * ONE stateful aggregation, state O(open windows × labels × dim)
+    * rows of two longs; the posexplode is a stateless row-local
+    * projection ahead of it. Micro-int microization is the shared
+    * ×1e6 floor — integer-exact, so closed slices are bit-equal to a
+    * batch stage of the same rows on ANY replay order.
+    */
+  def centroidStream(stream: DataFrame, tsCol: String,
+                     labelCol: String = "label",
+                     vecCol: String = "embedding",
+                     windowDur: String = "1 hour",
+                     watermarkDur: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .select(col(tsCol), col(labelCol).as("label"),
+        posexplode(transform(col(vecCol),
+          v => floor(v.cast("double") * 1e6 + 0.5)
+            .cast(org.apache.spark.sql.types.LongType)))
+          .as(Seq("pos", "u")))
+      .groupBy(window(col(tsCol), windowDur), col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("s"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col("label"), col("pos"), col("n"), col("s"))
+
   /** Streaming benchmark-contamination monitor: the live twin of
     * `Dedup.contaminationReport` for a crawl/ingest stream — every
     * incoming training document's distinct word n-grams join the

@@ -451,6 +451,42 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("centroidStream: closed windows carry exact integer lane " +
+      "sums, and centroidsFromStage over streamed slices equals " +
+      "batch labelCentroids — so staged drift equals batch drift") {
+    import graft.operators.Similarity
+    val rows = Seq(
+      (1L, "2024-01-01 00:10:00", 0, Seq(1f, 0f)),
+      (2L, "2024-01-01 00:20:00", 0, Seq(0f, 1f)),
+      (3L, "2024-01-01 00:40:00", 1, Seq(1f, 1f)),
+      (4L, "2024-01-01 01:10:00", 0, Seq(1f, 0f)),   // second window
+      (5L, "2024-01-01 01:30:00", 1, Seq(0.5f, 0.5f)))
+    def toDf(rs: Seq[(Long, String, Int, Seq[Float])]) =
+      rs.toDF("vec_id", "ts", "label", "embedding")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    val cur = toDf(rows)
+    val slices = ProfileStream.replayedSlices(cur, "ts")(st =>
+      ProfileStream.centroidStream(st, "ts"))
+    // merged slices == the one-pass batch centroids + counts
+    val fromStage = Similarity.centroidsFromStage(slices)
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toSeq,
+        r.getLong(2))).toSet
+    val batchCents = Similarity.labelCentroids(cur)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
+      .toMap
+    assert(fromStage == Set(
+      (0, batchCents(0), 3L), (1, batchCents(1), 2L)))
+    // and the staged drift path is bit-equal to the batch drift
+    val prev = toDf(rows.take(3))
+    val staged = Similarity.centroidDriftStaged(prev, slices)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val batch = Similarity.centroidDrift(prev, cur)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(staged == batch && staged.nonEmpty)
+  }
+
   test("contaminationStream: closed windows carry exactly the batch " +
       "leak counts per (window, test doc) on a replayed doc stream") {
     import graft.operators.TextAnalysis
