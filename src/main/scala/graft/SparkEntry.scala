@@ -434,6 +434,12 @@ object SparkEntry {
         Sampling.hashSample(docs, "doc_id", 200), docs,
         "n_chars", bins = 64, lo = 0.0, hi = 2048.0)
     }),
+    // slice-skew survey: every source's length CDF against the global
+    // — one binSketch pass, the global side merged from the group
+    // sketches by addition
+    "ks_by_source" -> ((s, d) =>
+      operators.Sketches.ksReportBy(Tables.load(s, d, "documents"),
+        "source", "n_chars", bins = 64, lo = 0.0, hi = 2048.0)),
     "decontaminate" -> ((s, d) =>
       Dedup.decontaminate(Tables.load(s, d, "documents"))),
     // the test-side audit view of the same split: per eval doc, how
@@ -3178,6 +3184,45 @@ object SparkEntry {
              CAST(CAST(gap AS HUGEINT) * 1000000 // n_a // n_b
                AS BIGINT) AS ks_ppm
       FROM m"""),
+    // grouped KS replay: per-source dense 64-bin CDFs vs the global
+    // CDF, same cross-multiplied gaps and HUGEINT ppm
+    "ks_by_source" -> ("""
+      WITH d AS MATERIALIZED (
+        SELECT source, n_chars FROM documents
+        WHERE n_chars IS NOT NULL),
+      b AS MATERIALIZED (
+        SELECT source, LEAST(GREATEST(CAST(floor(n_chars / 32.0)
+          AS BIGINT), 0), 63) AS bin, COUNT(*) AS c
+        FROM d GROUP BY 1, 2),
+      bx AS (SELECT s.source, CAST(i.i AS BIGINT) AS bin
+             FROM (SELECT DISTINCT source FROM d) s
+             CROSS JOIN range(0, 64) i(i)),
+      cg AS (SELECT bx.source, bx.bin,
+               SUM(COALESCE(b.c, 0)) OVER (PARTITION BY bx.source
+                 ORDER BY bx.bin) AS cum_g,
+               SUM(COALESCE(b.c, 0)) OVER (PARTITION BY bx.source)
+                 AS n_g
+             FROM bx LEFT JOIN b
+               ON b.source = bx.source AND b.bin = bx.bin),
+      ga AS (SELECT bin, SUM(c) AS call FROM b GROUP BY 1),
+      gx AS (SELECT CAST(i.i AS BIGINT) AS bin FROM range(0, 64) i(i)),
+      ca AS (SELECT gx.bin,
+               SUM(COALESCE(ga.call, 0)) OVER (ORDER BY gx.bin)
+                 AS cum_all
+             FROM gx LEFT JOIN ga USING (bin)),
+      na AS (SELECT COUNT(*) AS n_all FROM d),
+      g AS (SELECT cg.source, cg.n_g, na.n_all, cg.bin,
+              abs(cg.cum_g * na.n_all - ca.cum_all * cg.n_g) AS gap
+            FROM cg JOIN ca USING (bin), na),
+      m AS (SELECT source, n_g, n_all, bin, gap,
+              ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY gap DESC, bin ASC) AS rn
+            FROM g)
+      SELECT source, n_g AS n_group, n_all AS n_total,
+             bin AS ks_bin, CAST(gap AS BIGINT) AS ks_num,
+             CAST(CAST(gap AS HUGEINT) * 1000000 // n_g // n_all
+               AS BIGINT) AS ks_ppm
+      FROM m WHERE rn = 1 ORDER BY source"""),
     "multimodal_meta" -> ("""
       WITH p AS (
         SELECT doc_id,

@@ -248,6 +248,51 @@ object Sketches {
           " DIV n_a DIV n_b AS BIGINT)").as("ks_ppm"))
   }
 
+  /** Per-stratum [[ksReport]]: every group's binned CDF against the
+    * GLOBAL CDF of the same column — "which sources/domains are
+    * length-shifted against the corpus", the one-scan slice-skew
+    * survey a mixture pipeline reads before reweighting. One
+    * [[binSketch]] pass per group (the corpus shuffles its bin index
+    * only); the global CDF is the ADDITIVE merge of the group
+    * sketches (≤ bins rows) — the corpus is never re-read. Same
+    * exactness contract as [[ksReport]]: cross-multiplied integer
+    * gaps, lowest-bin argmax tie-break, DECIMAL(38) ppm. Groups whose
+    * values are all NULL drop with the pre-filter (documented).
+    * Output per group: (group, n_group, n_total, ks_bin, ks_num,
+    * ks_ppm), ordered.
+    */
+  def ksReportBy(df: DataFrame, groupCol: String, target: String,
+                 bins: Int = 256, lo: Double, hi: Double): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val sk = binSketch(df, Seq(groupCol), target, bins, lo, hi)
+      .select(col(groupCol).as("_grp"),
+        posexplode(col("bin_counts")).as(Seq("bin_idx", "cnt")))
+    val cg = sk
+      .withColumn("cum_g",
+        sum(col("cnt")).over(W.partitionBy("_grp").orderBy("bin_idx")))
+      .withColumn("n_g", sum(col("cnt")).over(W.partitionBy("_grp")))
+    // global CDF by merging the group sketches — ≤ bins rows
+    val ca = sk.groupBy("bin_idx").agg(sum(col("cnt")).as("_call"))
+      .withColumn("cum_all", sum(col("_call")).over(W.orderBy("bin_idx")))
+      .withColumn("n_all", sum(col("_call")).over(W.partitionBy()))
+      .select(col("bin_idx"), col("cum_all"), col("n_all"))
+    cg.join(ca, Seq("bin_idx"))
+      .select(col("_grp"), col("n_g"), col("n_all"),
+        abs(col("cum_g") * col("n_all") - col("cum_all") * col("n_g"))
+          .as("_gap"),
+        col("bin_idx"))
+      .groupBy(col("_grp"), col("n_g"), col("n_all"))
+      .agg(max(struct(col("_gap"), (lit(-1L) * col("bin_idx"))
+        .as("_nb"))).as("_m"))
+      .select(col("_grp").as(groupCol), col("n_g").as("n_group"),
+        col("n_all").as("n_total"),
+        (lit(-1L) * col("_m._nb")).cast("long").as("ks_bin"),
+        col("_m._gap").as("ks_num"),
+        expr("CAST(CAST(_m._gap AS DECIMAL(38,0)) * 1000000" +
+          " DIV n_g DIV n_all AS BIGINT)").as("ks_ppm"))
+      .orderBy(groupCol)
+  }
+
   /** The exact verify pass alone: count ONLY `candidates` rows (a
     * broadcast-joined key list from any proposal mechanism — the
     * batch MG summary above, or the union of streaming

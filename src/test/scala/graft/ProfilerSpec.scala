@@ -291,6 +291,35 @@ class ProfilerSpec extends AnyFunSuite {
     assert(gotNull == Seq((2L, 2L, 2L)))
   }
 
+  test("ksReportBy: each stratum's CDF against the merged global — " +
+      "hand-computed gaps; a uniform stratum scores lower than a " +
+      "shifted one") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // g1 = {0, 10}, g2 = {30, 30}; global = {0, 10, 30, 30}
+    // 4 bins over [0, 40): cum_g1 = [1,2,2,2], cum_g2 = [0,0,0,2],
+    // cum_all = [1,2,2,4]; n_g = 2, n_all = 4
+    // g1 gaps |cum_g1·4 − cum_all·2| = [2,4,4,0] → max 4 at bin 1
+    // g2 gaps |cum_g2·4 − cum_all·2| = [2,4,4,0] → max 4 at bin 1
+    val rows = Seq(("g1", 0.0), ("g1", 10.0), ("g2", 30.0),
+      ("g2", 30.0)).toDF("g", "v")
+    val got = Sketches.ksReportBy(rows, "g", "v", bins = 4, lo = 0.0,
+        hi = 40.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("g1", 2L, 4L, 1L, 4L, 500000L),
+      ("g2", 2L, 4L, 1L, 4L, 500000L)))
+    // a stratum matching the global CDF scores 0
+    val bal = Seq(("a", 0.0), ("a", 30.0), ("b", 0.0), ("b", 30.0))
+      .toDF("g", "v")
+    val balGot = Sketches.ksReportBy(bal, "g", "v", bins = 4,
+        lo = 0.0, hi = 40.0)
+      .collect().map(r => (r.getString(0), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(balGot == Seq(("a", 0L, 0L), ("b", 0L, 0L)))
+  }
+
   test("quantileRollup: an all-zero group surfaces as NULL-est rows " +
       "(n_rows 0), not a silent drop; a sketch carrying a different " +
       "binning contract fails loudly") {

@@ -53,7 +53,9 @@ class WindowAuditSpec extends AnyFunSuite {
       // post-aggregation), never the corpus — the sort-free design
       "quality_blend" -> "bin-histogram cumsum, ≤ bins rows",
       // both CDF cumsums run over bin-sketch rows (≤ bins each)
-      "ks_sample_audit" -> "bin-sketch cumsum, ≤ bins rows"
+      "ks_sample_audit" -> "bin-sketch cumsum, ≤ bins rows",
+      // global-CDF cumsum + total over the merged sketch (≤ bins)
+      "ks_by_source" -> "merged bin-sketch cumsum, ≤ bins rows"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
