@@ -440,6 +440,21 @@ object SparkEntry {
     "ks_by_source" -> ((s, d) =>
       operators.Sketches.ksReportBy(Tables.load(s, d, "documents"),
         "source", "n_chars", bins = 64, lo = 0.0, hi = 2048.0)),
+    // the live ingest-shift alarm: the SAME sample side replayed as a
+    // real stream into daily bin-sketch slices; slices merge by
+    // addition, so the staged KS answer hash-matches ks_sample_audit
+    "ks_stream_audit" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val sampled = Sampling.hashSample(docs, "doc_id", 200)
+        .withColumn("ts", timestamp_micros(lit(1704067200000000L) +
+          (col("doc_id") % 3) * lit(86400000000L)))
+        .select(col("ts"), col("n_chars"))
+      val slices = graft.streaming.ProfileStream.replayedBinSlices(
+        sampled, "ts", Nil, "n_chars", bins = 64, lo = 0.0,
+        hi = 2048.0, windowDur = "1 day")
+      operators.Sketches.ksReportStaged(slices, docs, "n_chars",
+        bins = 64, lo = 0.0, hi = 2048.0)
+    }),
     "decontaminate" -> ((s, d) =>
       Dedup.decontaminate(Tables.load(s, d, "documents"))),
     // the test-side audit view of the same split: per eval doc, how
@@ -1628,6 +1643,41 @@ object SparkEntry {
       FROM pcent p JOIN ccent c ON c.label = p.label
       JOIN pn ON pn.label = p.label JOIN cn ON cn.label = p.label
       ORDER BY p.label"""
+
+  /** KS sample-audit replay shared by `ks_sample_audit` (batch) and
+    * `ks_stream_audit` (stream-staged): closed-window bin slices merge
+    * by addition to the batch histogram, so both land on one oracle.
+    */
+  private val ksSampleAuditSql: String = s"""
+      WITH aa AS MATERIALIZED (
+        SELECT n_chars FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          '${Sampling.hexThreshold(200)}'),
+      bb AS MATERIALIZED (SELECT n_chars FROM documents),
+      ba AS (SELECT LEAST(GREATEST(CAST(floor(n_chars / 32.0)
+               AS BIGINT), 0), 63) AS bin, COUNT(*) AS c
+             FROM aa WHERE n_chars IS NOT NULL GROUP BY 1),
+      bbn AS (SELECT LEAST(GREATEST(CAST(floor(n_chars / 32.0)
+                AS BIGINT), 0), 63) AS bin, COUNT(*) AS c
+              FROM bb WHERE n_chars IS NOT NULL GROUP BY 1),
+      bx AS (SELECT CAST(i.i AS BIGINT) AS bin FROM range(0, 64) i(i)),
+      ca AS (SELECT bin, SUM(COALESCE(ba.c, 0)) OVER (ORDER BY bin)
+               AS cum_a
+             FROM bx LEFT JOIN ba USING (bin)),
+      cb AS (SELECT bin, SUM(COALESCE(bbn.c, 0)) OVER (ORDER BY bin)
+               AS cum_b
+             FROM bx LEFT JOIN bbn USING (bin)),
+      na AS (SELECT COUNT(*) AS n_a FROM aa WHERE n_chars IS NOT NULL),
+      nb AS (SELECT COUNT(*) AS n_b FROM bb WHERE n_chars IS NOT NULL),
+      g AS (SELECT n_a, n_b, bin,
+              abs(cum_a * n_b - cum_b * n_a) AS gap
+            FROM ca JOIN cb USING (bin), na, nb),
+      m AS (SELECT n_a, n_b, bin, gap FROM g
+            ORDER BY gap DESC, bin ASC LIMIT 1)
+      SELECT n_a, n_b, bin AS ks_bin, CAST(gap AS BIGINT) AS ks_num,
+             CAST(CAST(gap AS HUGEINT) * 1000000 // n_a // n_b
+               AS BIGINT) AS ks_ppm
+      FROM m"""
 
   private val pqOracle: String = s"""
       WITH ${pqSampledCtes("")}
@@ -3154,36 +3204,11 @@ object SparkEntry {
     // (floor of IEEE double division — identical in both engines),
     // cross-multiplied integer gaps, HUGEINT ppm via the nested
     // floor-division identity
-    "ks_sample_audit" -> (s"""
-      WITH aa AS MATERIALIZED (
-        SELECT n_chars FROM documents
-        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-          '${Sampling.hexThreshold(200)}'),
-      bb AS MATERIALIZED (SELECT n_chars FROM documents),
-      ba AS (SELECT LEAST(GREATEST(CAST(floor(n_chars / 32.0)
-               AS BIGINT), 0), 63) AS bin, COUNT(*) AS c
-             FROM aa WHERE n_chars IS NOT NULL GROUP BY 1),
-      bbn AS (SELECT LEAST(GREATEST(CAST(floor(n_chars / 32.0)
-                AS BIGINT), 0), 63) AS bin, COUNT(*) AS c
-              FROM bb WHERE n_chars IS NOT NULL GROUP BY 1),
-      bx AS (SELECT CAST(i.i AS BIGINT) AS bin FROM range(0, 64) i(i)),
-      ca AS (SELECT bin, SUM(COALESCE(ba.c, 0)) OVER (ORDER BY bin)
-               AS cum_a
-             FROM bx LEFT JOIN ba USING (bin)),
-      cb AS (SELECT bin, SUM(COALESCE(bbn.c, 0)) OVER (ORDER BY bin)
-               AS cum_b
-             FROM bx LEFT JOIN bbn USING (bin)),
-      na AS (SELECT COUNT(*) AS n_a FROM aa WHERE n_chars IS NOT NULL),
-      nb AS (SELECT COUNT(*) AS n_b FROM bb WHERE n_chars IS NOT NULL),
-      g AS (SELECT n_a, n_b, bin,
-              abs(cum_a * n_b - cum_b * n_a) AS gap
-            FROM ca JOIN cb USING (bin), na, nb),
-      m AS (SELECT n_a, n_b, bin, gap FROM g
-            ORDER BY gap DESC, bin ASC LIMIT 1)
-      SELECT n_a, n_b, bin AS ks_bin, CAST(gap AS BIGINT) AS ks_num,
-             CAST(CAST(gap AS HUGEINT) * 1000000 // n_a // n_b
-               AS BIGINT) AS ks_ppm
-      FROM m"""),
+    "ks_sample_audit" -> ksSampleAuditSql,
+    // the stream-staged path lands on the SAME oracle: closed-window
+    // bin slices merge by addition to exactly the batch sample-side
+    // histogram, so the staged KS answer is bit-equal (parity)
+    "ks_stream_audit" -> ksSampleAuditSql,
     // grouped KS replay: per-source dense 64-bin CDFs vs the global
     // CDF, same cross-multiplied gaps and HUGEINT ppm
     "ks_by_source" -> ("""

@@ -217,19 +217,65 @@ object Sketches {
     * cross-multiplied numerator and ks_ppm = ⌊10⁶·ks_num/(nA·nB)⌋.
     */
   def ksReport(a: DataFrame, b: DataFrame, target: String,
-               bins: Int = 256, lo: Double, hi: Double): DataFrame = {
-    def cdf(df: DataFrame, side: String) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("bin_idx").asc)   // ≤ bins rows post-sketch
-      binSketch(df, Nil, target, bins, lo, hi)
-        .select(posexplode(col("bin_counts")).as(Seq("bin_idx", "cnt")))
-        .withColumn(s"cum_$side", sum(col("cnt")).over(w))
-        .select(col("bin_idx"), col(s"cum_$side"))
-    }
-    val ca = cdf(a, "a")
-    val cb = cdf(b, "b")
-    val na = a.filter(col(target).isNotNull)
-      .agg(count(lit(1)).as("n_a"))
+               bins: Int = 256, lo: Double, hi: Double): DataFrame =
+    ksCore(
+      binSketch(a, Nil, target, bins, lo, hi)
+        .select(posexplode(col("bin_counts"))
+          .as(Seq("bin_idx", "cnt"))),
+      b, target, bins, lo, hi)
+
+  /** [[ksReport]] with side A already STAGED as bin-sketch rows (the
+    * live-ingest shape: [[graft.streaming.ProfileStream
+    * .binSketchStream]]'s closed windows, or any slice table built
+    * against the same binning contract) — "is what we ingested
+    * length-shifted against the reference corpus?" answered from
+    * staged slices, the raw stream never re-read. Slices merge by
+    * addition before the CDF walk, so the answer is bit-equal to
+    * [[ksReport]] over the same underlying rows (the drift family's
+    * stream/batch parity contract); the carried (bins, lo, hi)
+    * contract is validated exactly as [[quantileRollup]] validates
+    * it.
+    */
+  def ksReportStaged(stagedA: DataFrame, b: DataFrame, target: String,
+                     bins: Int = 256, lo: Double,
+                     hi: Double): DataFrame = {
+    val hasContract = Seq("bins", "lo", "hi")
+      .forall(stagedA.columns.contains)
+    val contractChk =
+      if (hasContract)
+        assert_true(size(col("bin_counts")) === bins &&
+          col("bins") === bins && col("lo") === lo && col("hi") === hi,
+          lit(s"bin sketch contract mismatch: ks expects " +
+            s"($bins bins over [$lo,$hi))"))
+      else
+        assert_true(size(col("bin_counts")) === bins,
+          lit(s"bin sketch width mismatch: expected $bins bins"))
+    val merged = stagedA
+      .select(col("bin_counts"), contractChk.as("_chk"))
+      .select(col("_chk"),
+        posexplode(col("bin_counts")).as(Seq("bin_idx", "cnt")))
+      .groupBy("bin_idx")
+      .agg(sum(col("cnt") +
+        coalesce(col("_chk").cast("long"), lit(0L))).as("cnt"))
+    ksCore(merged, b, target, bins, lo, hi)
+  }
+
+  /** Shared KS tail: side A as merged (bin_idx, cnt) rows, side B
+    * raw. Totals come from the bin counts themselves (= non-null
+    * target rows on each side).
+    */
+  private def ksCore(aCounts: DataFrame, b: DataFrame, target: String,
+                     bins: Int, lo: Double, hi: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin_idx").asc)   // ≤ bins rows post-sketch
+    val ca = aCounts
+      .withColumn("cum_a", sum(col("cnt")).over(w))
+      .select(col("bin_idx"), col("cum_a"))
+    val cb = binSketch(b, Nil, target, bins, lo, hi)
+      .select(posexplode(col("bin_counts")).as(Seq("bin_idx", "cnt")))
+      .withColumn("cum_b", sum(col("cnt")).over(w))
+      .select(col("bin_idx"), col("cum_b"))
+    val na = aCounts.agg(sum(col("cnt")).as("n_a"))
     val nb = b.filter(col(target).isNotNull)
       .agg(count(lit(1)).as("n_b"))
     ca.join(cb, Seq("bin_idx"))

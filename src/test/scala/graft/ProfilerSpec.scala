@@ -320,6 +320,30 @@ class ProfilerSpec extends AnyFunSuite {
     assert(balGot == Seq(("a", 0L, 0L), ("b", 0L, 0L)))
   }
 
+  test("ksReportStaged: sliced sketches merge to the direct ksReport " +
+      "answer; a mismatched binning contract fails loudly") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val a = Seq(("s1", 0.0), ("s1", 10.0), ("s2", 30.0), ("s2", 5.0))
+      .toDF("slice", "v")
+    val b = Seq(0.0, 30.0, 35.0).toDF("v")
+    val direct = Sketches.ksReport(a, b, "v", bins = 4, lo = 0.0,
+        hi = 40.0).collect().toSeq.map(_.toSeq)
+    val staged = Sketches.binSketch(a, Seq("slice"), "v", bins = 4,
+      lo = 0.0, hi = 40.0)
+    val viaStage = Sketches.ksReportStaged(staged, b, "v", bins = 4,
+        lo = 0.0, hi = 40.0).collect().toSeq.map(_.toSeq)
+    assert(viaStage == direct && direct.nonEmpty)
+    val err = intercept[Exception] {
+      Sketches.ksReportStaged(staged, b, "v", bins = 4, lo = 0.0,
+        hi = 400.0).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${msgs(t.getCause)}"
+    assert(msgs(err).contains("bin sketch contract mismatch"))
+  }
+
   test("quantileRollup: an all-zero group surfaces as NULL-est rows " +
       "(n_rows 0), not a silent drop; a sketch carrying a different " +
       "binning contract fails loudly") {

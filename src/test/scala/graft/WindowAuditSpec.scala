@@ -55,7 +55,9 @@ class WindowAuditSpec extends AnyFunSuite {
       // both CDF cumsums run over bin-sketch rows (≤ bins each)
       "ks_sample_audit" -> "bin-sketch cumsum, ≤ bins rows",
       // global-CDF cumsum + total over the merged sketch (≤ bins)
-      "ks_by_source" -> "merged bin-sketch cumsum, ≤ bins rows"
+      "ks_by_source" -> "merged bin-sketch cumsum, ≤ bins rows",
+      // staged-slice merge + both CDFs: all ≤ bins-row inputs
+      "ks_stream_audit" -> "merged bin-sketch cumsum, ≤ bins rows"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
@@ -132,7 +134,8 @@ class WindowAuditSpec extends AnyFunSuite {
       // candidate counts
       "hot_terms_stream" -> "1-row total broadcast",
       // two 1-row side totals against the bins-sized CDF join
-      "ks_sample_audit" -> "1-row side-total broadcasts"
+      "ks_sample_audit" -> "1-row side-total broadcasts",
+      "ks_stream_audit" -> "1-row side-total broadcasts"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
