@@ -450,6 +450,53 @@ class PlanSpec extends AnyFunSuite {
       "extra codebook-rank window the trained one eliminates")
   }
 
+  test("sq8TopK: encode + reconstruct are row-local — the only " +
+      "window is the per-query rank, scoring is codegen'd, and the " +
+      "corpus side never sorts") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val df = graft.operators.Similarity.sq8TopK(e, q, k = 5)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.length == 1 && windows.head.partitionSpec.nonEmpty,
+      "expected exactly the query-partitioned rank window")
+    val p = planOf(df)
+    assert(p.toLowerCase.contains("sqdistlong") ||
+      p.toLowerCase.contains("sq_dist_long"),
+      "scoring must use the codegen'd integer distance")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must not sort for the broadcast scoring join")
+  }
+
+  test("fuzzyPairs: blocking is an EQUI-join (no nested-loop, no " +
+      "cartesian) and the block census joins back without a " +
+      "sort-merge of the corpus") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = planOf(graft.operators.Dedup.fuzzyPairs(docs))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("scd2History: both window passes share one user-keyed sort — " +
+      "no global window, exchanges bounded") {
+    val ev = Tables.load(spark, dir, "events")
+    val df = Relational.scd2History(ev, Seq("user_id"), "event_type")
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty &&
+      windows.forall(_.partitionSpec.nonEmpty),
+      "every window must be user-partitioned")
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case x: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeExec => x
+    }
+    // one user-keyed shuffle for the windows + the output range sort
+    assert(exchanges.length <= 2,
+      s"expected <= 2 exchanges, got ${exchanges.length}")
+  }
+
   test("rangeJoinBinned: the interval join is an equi-join — no " +
       "nested-loop, no cartesian") {
     val ev = Tables.load(spark, dir, "events")
