@@ -553,6 +553,15 @@ object SparkEntry {
     "scd2_history" -> ((s, d) =>
       Relational.scd2History(Tables.load(s, d, "events"),
         Seq("user_id"), "event_type")),
+    // join-size forecast: exact orders⋈lineitem output cardinality
+    // from the two per-key count tables — counts move, rows don't
+    "join_size_forecast" -> ((s, d) =>
+      Relational.joinSizeReport(
+        Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("k")),
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey").as("k")),
+        Seq("k"))),
     // skew diagnostic: heaviest join keys with corpus share and the
     // salt factor saltedJoin would need
     "skew_report" -> ((s, d) =>
@@ -2358,6 +2367,27 @@ object SparkEntry {
              strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
              event_id, value, props
       FROM e WHERE rn = 1 ORDER BY user_id, event_type"""),
+    // join-size forecast replay: per-key count tables, overlap sum,
+    // (contrib DESC, key DESC) deterministic top contributor
+    "join_size_forecast" -> ("""
+      WITH lc AS (SELECT o_orderkey AS k, COUNT(*) AS nl
+                  FROM orders GROUP BY 1),
+      rc AS (SELECT l_orderkey AS k, COUNT(*) AS nr
+             FROM lineitem GROUP BY 1),
+      j AS (SELECT CAST(lc.k AS VARCHAR) AS ks, nl * nr AS contrib
+            FROM lc JOIN rc USING (k)),
+      agg AS (SELECT COUNT(*) AS n_keys_overlap,
+                CAST(SUM(contrib) AS BIGINT) AS join_rows
+              FROM j),
+      top AS (SELECT ks AS top_key, contrib AS top_key_rows FROM j
+              ORDER BY contrib DESC, ks DESC LIMIT 1),
+      lt AS (SELECT COUNT(*) AS n_left FROM orders),
+      rt AS (SELECT COUNT(*) AS n_right FROM lineitem),
+      lk AS (SELECT COUNT(*) AS n_keys_left FROM lc),
+      rk AS (SELECT COUNT(*) AS n_keys_right FROM rc)
+      SELECT n_left, n_right, n_keys_left, n_keys_right,
+             n_keys_overlap, join_rows, top_key, top_key_rows
+      FROM agg, top, lt, rt, lk, rk"""),
     // SCD-2 replay: same (ts, event_id) window order, rn-guarded
     // IS DISTINCT FROM run collapse, LEAD validity intervals
     "scd2_history" -> ("""

@@ -1046,6 +1046,43 @@ object Relational {
       .limit(topN)
   }
 
+  /** Join-size forecast: the EXACT inner-join output cardinality of
+    * `left ⋈ right` on `keyCols`, computed WITHOUT running the join —
+    * Σ over overlapping keys of nl·nr from the two per-key count
+    * tables. The pre-flight check for a fact⋈fact join at 100 TB:
+    * the count tables are key-cardinality-sized (each one
+    * map-side-combined groupBy), their join moves counts, never rows,
+    * and the answer tells you whether the real join is 10⁹ or 10¹⁴
+    * rows — plus the hottest key (the [[skewReport]] companion: its
+    * nl·nr contribution is the size of the skewed partition the real
+    * join would build). Ties on the top contribution break to the
+    * lexicographically largest key string — deterministic, mirrored
+    * by the oracle's ORDER BY. `join_rows` is exact in 64 bits up to
+    * 9.2·10¹⁸ output rows; a forecast beyond that IS the finding.
+    */
+  def joinSizeReport(left: DataFrame, right: DataFrame,
+                     keyCols: Seq[String]): DataFrame = {
+    val ks = keyCols.map(col)
+    val lc = left.groupBy(ks: _*).agg(count(lit(1)).as("nl"))
+    val rc = right.groupBy(ks: _*).agg(count(lit(1)).as("nr"))
+    val lt = left.agg(count(lit(1)).as("n_left"))
+    val rt = right.agg(count(lit(1)).as("n_right"))
+    val lk = lc.agg(count(lit(1)).as("n_keys_left"))
+    val rk = rc.agg(count(lit(1)).as("n_keys_right"))
+    val keyStr = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    lc.join(rc, keyCols)
+      .select((col("nl") * col("nr")).as("_contrib"), keyStr.as("_k"))
+      .agg(count(lit(1)).as("n_keys_overlap"),
+        sum(col("_contrib")).as("join_rows"),
+        max(struct(col("_contrib"), col("_k"))).as("_m"))
+      .crossJoin(broadcast(lt)).crossJoin(broadcast(rt))
+      .crossJoin(broadcast(lk)).crossJoin(broadcast(rk))
+      .select(col("n_left"), col("n_right"), col("n_keys_left"),
+        col("n_keys_right"), col("n_keys_overlap"),
+        col("join_rows"), col("_m._k").as("top_key"),
+        col("_m._contrib").as("top_key_rows"))
+  }
+
   /** Ordered-step funnel: for each prefix of `steps`, how many users
     * completed it IN ORDER (each step strictly after the previous
     * one's first completion — the standard product-analytics funnel),

@@ -427,6 +427,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
   }
 
+  test("joinSizeReport: the forecast equals the real inner-join " +
+      "cardinality, counts and overlap hand-checked, hottest key " +
+      "deterministic") {
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")       // nl: 1→3, 2→1, 3→1
+    val r = Seq(1L, 1L, 2L, 2L, 2L, 9L).toDF("k")   // nr: 1→2, 2→3, 9→1
+    val got = graft.operators.Relational.joinSizeReport(l, r, Seq("k"))
+      .collect().map(row => (row.getLong(0), row.getLong(1),
+        row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+        row.getString(6), row.getLong(7))).toSeq
+    // overlap {1, 2}: contrib 3·2=6 and 1·3=3 → 9 rows; top key "1"
+    assert(got == Seq((5L, 6L, 3L, 3L, 2L, 9L, "1", 6L)))
+    val actual = l.join(r, Seq("k")).count()
+    assert(actual == got.head._6)
+    // contribution tie (both keys 2 rows): top key breaks to the
+    // lexicographically LARGER key string
+    val tie = graft.operators.Relational.joinSizeReport(
+        Seq(4L, 5L).toDF("k"), Seq(4L, 4L, 5L, 5L).toDF("k"), Seq("k"))
+      .collect().head
+    assert(tie.getString(6) == "5" && tie.getLong(7) == 2L)
+  }
+
   test("scd2History: consecutive duplicates collapse into runs with " +
       "chained validity intervals; a NULL first value still opens a " +
       "run; the open run is current") {

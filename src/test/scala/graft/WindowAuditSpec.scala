@@ -135,7 +135,9 @@ class WindowAuditSpec extends AnyFunSuite {
       "hot_terms_stream" -> "1-row total broadcast",
       // two 1-row side totals against the bins-sized CDF join
       "ks_sample_audit" -> "1-row side-total broadcasts",
-      "ks_stream_audit" -> "1-row side-total broadcasts"
+      "ks_stream_audit" -> "1-row side-total broadcasts",
+      // four 1-row total broadcasts against the 1-row forecast agg
+      "join_size_forecast" -> "1-row total broadcasts"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
