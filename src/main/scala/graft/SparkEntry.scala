@@ -413,6 +413,16 @@ object SparkEntry {
     // across distinct documents (span-level, below doc-level dedup)
     "repeated_spans" -> ((s, d) =>
       Dedup.repeatedSpans(Tables.load(s, d, "documents"))),
+    // dedup-rate report: duplicate-cluster size histogram over the
+    // planted-dup fixture
+    "dup_size_histogram" -> ((s, d) =>
+      Dedup.dupSizeHistogram(
+        dupFixture(Tables.load(s, d, "documents")))),
+    // α=0.5 tempered mixture targets (the multilingual sampling
+    // exponent) — integer-micro sqrt before the cross-source sum
+    "tempered_shares" -> ((s, d) =>
+      operators.Curation.temperedShares(
+        Tables.load(s, d, "documents"))),
     // blocked fuzzy matching: prefix-blocked candidates, thresholded
     // row-local levenshtein verify; maxBlock = MaxValue so the oracle
     // replays the UNcapped all-candidates semantics (the skew cap is
@@ -2766,6 +2776,35 @@ object SparkEntry {
       FROM (SELECT *, CAST((target_ppm * total) // n_tokens AS BIGINT)
               AS weight_ppm FROM w)
       ORDER BY source"""),
+    // α=0.5 tempered targets: ⌊√tokens·1e6+0.5⌋ per source BEFORE the
+    // cross-source sum — integer denominator, no float-order drift;
+    // sqrt is IEEE-correctly-rounded in both engines
+    "tempered_shares" -> (s"""
+      WITH t AS (SELECT source, len($toksSql) AS n FROM documents),
+      s AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+      s6 AS (SELECT source, n_docs, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
+                 AS BIGINT) AS _s6
+             FROM s),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+                CAST(SUM(_s6) AS BIGINT) AS stotal FROM s6)
+      SELECT source, n_docs, n_tokens,
+             CAST((1000000 * n_tokens) // total AS BIGINT)
+               AS corpus_ppm,
+             CAST(CAST(1000000 AS HUGEINT) * _s6 // stotal AS BIGINT)
+               AS target_ppm
+      FROM s6, tot ORDER BY source"""),
+    // duplicate-cluster size histogram over the planted-dup fixture:
+    // exact fingerprint clusters bucketed by copy count
+    "dup_size_histogram" -> (s"""
+      WITH $dupFixtureCte,
+      g AS (SELECT $fpSql AS fp, COUNT(*) AS n_copies
+            FROM u GROUP BY 1)
+      SELECT n_copies, COUNT(*) AS n_clusters,
+             CAST(n_copies * COUNT(*) AS BIGINT) AS n_docs,
+             CAST((n_copies - 1) * COUNT(*) AS BIGINT) AS n_removable
+      FROM g GROUP BY n_copies ORDER BY n_copies"""),
     "mixture_drift" -> (s"""
       WITH t AS (SELECT doc_id // 100 AS slice, source,
                    len($toksSql) AS n FROM documents),

@@ -454,6 +454,45 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Temperature-scaled mixture targets at α = 0.5 — the multilingual
+    * sampling exponent (the mBERT/XLM-R "temperature" trick: target
+    * share ∝ tokensᵅ flattens the head and lifts the tail without
+    * the low-resource starvation of proportional sampling). α is
+    * FIXED at 0.5 because `sqrt` is the one fractional power IEEE 754
+    * guarantees correctly rounded — any other exponent runs through
+    * libm `pow`, whose last ulp varies by platform and would break
+    * the cross-engine bit-parity contract (documented scope cut, not
+    * an oversight). Determinism: each source's √tokens micro-izes to
+    * an exact integer (`⌊√t·10⁶+0.5⌋`) BEFORE the cross-source sum,
+    * so the normalization denominator is an integer sum — no
+    * float-reduction-order drift. Output feeds [[mixtureWeights]]'s
+    * `targetsPpm` or [[mixtureApply]] directly: (source, n_tokens,
+    * corpus_ppm, target_ppm) with Σ target_ppm ≤ 10⁶ (floor
+    * division; the dust stays unassigned, the mixtureWeights
+    * default-bucket convention).
+    */
+  def temperedShares(docs: DataFrame, textCol: String = "text",
+                     srcCol: String = "source"): DataFrame = {
+    val perSrc = docs.select(col(srcCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol))
+          .cast(org.apache.spark.sql.types.LongType).as("_n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_n").as("n_tokens"))
+      .withColumn("_s6",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6 + 0.5)
+          .cast(org.apache.spark.sql.types.LongType))
+    val totals = perSrc.agg(sum("n_tokens").as("_total"),
+      sum("_s6").as("_stotal"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_tokens) div _total").as("corpus_ppm"),
+        // DECIMAL(38) numerator: 10⁶·√t·10⁶ would pass 2⁶³ near
+        // ~10¹⁴ tokens in one source — fleet scale is in range
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * _s6" +
+          " DIV _stotal AS BIGINT)").as("target_ppm"))
+      .orderBy("source")
+  }
+
   /** Stages per-(slice, source) mixture counts — the mergeable unit
     * the drift monitor consumes. A slice is whatever ingest batch the
     * caller keys by (an event-time window, a file batch, a day

@@ -837,6 +837,23 @@ object Dedup {
       .orderBy("span_hash")
   }
 
+  /** Duplicate-cluster size histogram — the dedup-rate report every
+    * curation run leads with: how many fingerprint clusters exist at
+    * each copy count, how many documents they hold, and how many a
+    * keep-one pass would remove (`Σ (n−1)·clusters`). One groupBy on
+    * the 16-byte fingerprint then a copy-count-sized rollup — the
+    * histogram is at most max-cluster-size rows whatever the corpus.
+    */
+  def dupSizeHistogram(df: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    exactGroups(df, textCol, idCol)
+      .groupBy("n_copies")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("n_copies"), col("n_clusters"),
+        (col("n_copies") * col("n_clusters")).as("n_docs"),
+        ((col("n_copies") - 1) * col("n_clusters")).as("n_removable"))
+      .orderBy("n_copies")
+
   /** Blocked fuzzy matching — the entity-resolution / near-identical-
     * title shape (classic record-linkage blocking, Fellegi & Sunter
     * lineage): candidate pairs come from an EQUI-join on a cheap

@@ -427,6 +427,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
   }
 
+  test("temperedShares: α=0.5 targets from integer-micro square " +
+      "roots — exact hand values; flattens the head, lifts the tail") {
+    val docs = Seq.fill(1)(("a", (1 to 9).map(_ => "w").mkString(" "))) ++
+      Seq.fill(1)(("b", (1 to 16).map(_ => "w").mkString(" ")))
+    val got = Curation.temperedShares(docs.toDF("source", "text"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // tokens 9 and 16: s6 = 3e6, 4e6; targets 3/7 and 4/7 of 1e6
+    assert(got == Seq(("a", 9L, 360000L, 428571L),
+      ("b", 16L, 640000L, 571428L)))
+    // the tempering property: the big source's target share sits
+    // below its corpus share, the small one's above
+    assert(got(1)._4 < got(1)._3 && got(0)._4 > got(0)._3)
+  }
+
   test("joinSizeReport: the forecast equals the real inner-join " +
       "cardinality, counts and overlap hand-checked, hottest key " +
       "deterministic") {

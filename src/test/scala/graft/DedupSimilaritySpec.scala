@@ -112,6 +112,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("dupSizeHistogram: cluster sizes, doc counts and removable " +
+      "counts over the docs fixture") {
+    // docs: {0,2,4} one cluster of 3; {1} and {3} singletons
+    val got = Dedup.dupSizeHistogram(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1L, 2L, 2L, 0L), (3L, 1L, 3L, 2L)))
+  }
+
   test("fuzzyPairs: blocked levenshtein finds whitespace/word " +
       "variants within the threshold, misses cross-block edits by " +
       "design, and drops oversized blocks whole") {
