@@ -876,6 +876,50 @@ object Dedup {
     * whitespace collapse) so fuzzy pairs compose with the exact-dedup
     * family. Output: (id1 < id2, dist ≤ maxDist), ordered.
     */
+  /** Measured blocking-depth policy for [[fuzzyPairs]] — the
+    * [[graft.operators.Similarity.autoPlanes]] precedent applied to
+    * prefix blocking: at a FIXED `prefixLen` block occupancy grows
+    * linearly with the corpus and within-block pair work
+    * quadratically (the SCALE.md fuzzy_pairs curve), so the prefix
+    * must deepen as the corpus grows. Unlike LSH depth it cannot be
+    * derived from a row count alone (the prefix vocabulary is
+    * data-dependent), so this MEASURES it: starting at `minLen`, the
+    * prefix doubles until the heaviest block holds ≤ `targetOccupancy`
+    * rows or `maxLen` is reached. Each probe is one
+    * map-side-combined census returning a single driver-side long —
+    * log₂(maxLen/minLen) cheap scans, no data movement. Deterministic
+    * for a given corpus. The recall trade is the blocking bargain
+    * stated on [[fuzzyPairs]]: deeper prefixes see fewer cross-block
+    * edits.
+    */
+  def autoPrefixLen(df: DataFrame, textCol: String = "text",
+                    targetOccupancy: Long = 64L, minLen: Int = 4,
+                    maxLen: Int = 32): Int = {
+    require(minLen >= 1 && maxLen >= minLen && targetOccupancy >= 1,
+      "need 1 <= minLen <= maxLen and targetOccupancy >= 1")
+    val k = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    def maxOcc(p: Int): Long = {
+      val r = df.select(substring(k, 1, p).as("_blk"))
+        .groupBy("_blk").agg(count(lit(1)).as("_n"))
+        .agg(max(col("_n"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var p = minLen
+    while (p < maxLen && maxOcc(p) > targetOccupancy) p *= 2
+    math.min(p, maxLen)
+  }
+
+  /** [[fuzzyPairs]] at the measured [[autoPrefixLen]] depth — the
+    * at-scale configuration; the declared oracle row keeps the fixed
+    * geometry (its depth is part of the replayed contract).
+    */
+  def fuzzyPairsAuto(df: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", maxDist: Int = 2,
+                     targetOccupancy: Long = 64L,
+                     maxBlock: Long = 1000L): DataFrame =
+    fuzzyPairs(df, textCol, idCol,
+      autoPrefixLen(df, textCol, targetOccupancy), maxDist, maxBlock)
+
   def fuzzyPairs(df: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id", prefixLen: Int = 8,
                  maxDist: Int = 2,

@@ -148,6 +148,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("autoPrefixLen: doubles until the heaviest block fits the " +
+      "occupancy target; fuzzyPairsAuto ≡ fuzzyPairs at the derived " +
+      "depth") {
+    // 10 docs sharing an 8-char prefix, distinct by char 9: at
+    // prefix 4 and 8 one block holds all 10; at 16 each is alone
+    val docs10 = (0 until 10)
+      .map(i => (i.toLong, s"samepref!doc$i body text here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.autoPrefixLen(docs10, targetOccupancy = 3L) == 16)
+    assert(Dedup.autoPrefixLen(docs10, targetOccupancy = 10L) == 4)
+    // maxLen clamps even when the target is unreachable (true dups)
+    val dups = (0 until 10).map(i => (i.toLong, "identical text"))
+      .toDF("doc_id", "text")
+    assert(Dedup.autoPrefixLen(dups, targetOccupancy = 3L) == 32)
+    // empty corpus: first probe sees no blocks, stays at minLen
+    assert(Dedup.autoPrefixLen(docs10.limit(0)) == 4)
+    val auto = Dedup.fuzzyPairsAuto(df, targetOccupancy = 10L)
+      .collect().toSeq.map(_.toSeq)
+    val fixed = Dedup.fuzzyPairs(df,
+        prefixLen = Dedup.autoPrefixLen(df, targetOccupancy = 10L))
+      .collect().toSeq.map(_.toSeq)
+    assert(auto == fixed)
+  }
+
   test("connectedGroups: transitive min-label over the pair graph") {
     // chain 1-2-3-4 (needs several propagation rounds), plus two more
     // components — reps must be the component-wide minimum ids

@@ -128,6 +128,8 @@ class WindowAuditSpec extends AnyFunSuite {
       // 1-row corpus token total against the per-source aggregate
       "mixture_weights" -> "1-row total broadcast",
       "mixture_apply" -> "1-row total broadcast (via mixtureWeights)",
+      // 1-row (token, micro-sqrt) totals against per-source rows
+      "tempered_shares" -> "1-row totals broadcast",
       // merged slice bins (groups × ≤bins rows) × the 3-row q literal
       "quantile_stream_rollup" -> "bins-sized x quantile literals",
       // verifyHitters: 1-row exact token total against the ≤cap
