@@ -232,6 +232,77 @@ object ProfileStream {
         GroupStateTimeout.EventTimeTimeout)(onGroup)
   }
 
+  final case class Scd2Event(user_id: Long, event_id: Long,
+                             ts: java.sql.Timestamp, v: String)
+  final case class Scd2State(last_us: Long, last_tie: Long,
+                             has: Boolean, last_v: String)
+  final case class Scd2Change(user_id: Long, change_us: Long,
+                              event_id: Long, value: String)
+
+  /** Streaming SCD-2 change-log stager: the live twin of
+    * [[graft.operators.Relational.scd2History]]'s run collapse —
+    * emits one row per VALUE CHANGE (the run start), holding only the
+    * last (ts, tie, value) per key in state. Validity-interval
+    * assignment (the `lead()` step) stays a batch presentation
+    * concern: feeding the staged change log back through
+    * `scd2History` yields intervals identical to the batch pass over
+    * the raw events, because the log IS the collapsed run sequence —
+    * the [[mixtureStream]]/[[binSketchStream]] staging discipline
+    * applied to dimension history.
+    *
+    * Ordering contract: each micro-batch slice sorts per key (the
+    * [[sessionizeStream]] discipline), so within-trigger disorder is
+    * repaired; an event arriving in a LATER trigger with an earlier
+    * (ts, tie) than the last processed one cannot be retro-inserted
+    * into an already-emitted run sequence and is DROPPED — the
+    * standard CDC late-record semantics; size the watermark/trigger
+    * so ingest disorder stays within a trigger. State is one
+    * (ts, tie, value) per key — O(active keys), the natural CDC
+    * state bound — and never expires (a dimension key's last value
+    * must outlive any timeout).
+    */
+  def scd2Stream(stream: DataFrame, tsCol: String = "ts",
+                 userCol: String = "user_id",
+                 valueCol: String = "event_type",
+                 tieCol: String = "event_id"): Dataset[Scd2Change] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ev = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(tieCol).cast("long").as("event_id"),
+        col(tsCol).as("ts"), col(valueCol).cast("string").as("v"))
+      .as[Scd2Event]
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def sameV(a: String, b: String): Boolean =
+      (a == null && b == null) || (a != null && a == b)
+    def onGroup(uid: Long, events: Iterator[Scd2Event],
+                state: GroupState[Scd2State]): Iterator[Scd2Change] = {
+      val slice = events.toArray
+        .map(e => (micros(e.ts), e.event_id, e.v))
+        .sortBy(t => (t._1, t._2))
+      var st = state.getOption.getOrElse(Scd2State(Long.MinValue,
+        Long.MinValue, has = false, null))
+      val out = mutable.ArrayBuffer.empty[Scd2Change]
+      slice.foreach { case (t, id, v) =>
+        // cross-trigger stragglers older than the last processed
+        // record cannot be retro-inserted: drop (documented)
+        if (t > st.last_us || (t == st.last_us && id > st.last_tie)) {
+          if (!st.has || !sameV(st.last_v, v))
+            out += Scd2Change(uid, t, id, v)
+          st = Scd2State(t, id, has = true, v)
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(onGroup)
+  }
+
   /** One event for [[debounceStream]] — keeps the event id so the
     * burst's FIRST event is identifiable at close.
     */

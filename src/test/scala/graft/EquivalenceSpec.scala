@@ -451,6 +451,47 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2Stream: the staged change log is the batch run collapse " +
+      "— feeding it back through scd2History reproduces the batch " +
+      "validity intervals on a within-trigger-disordered replay") {
+    import graft.operators.Relational
+    val rows = Seq(
+      // user 10: a, a(dup), b, a — deliberately out of order in the
+      // input file; the per-trigger sort must repair it
+      (3L, 10L, "2024-01-01 12:00:00", "b"),
+      (1L, 10L, "2024-01-01 10:00:00", "a"),
+      (4L, 10L, "2024-01-01 13:00:00", "a"),
+      (2L, 10L, "2024-01-01 11:00:00", "a"),
+      // user 20: NULL first value, then c
+      (5L, 20L, "2024-01-01 09:00:00", null),
+      (6L, 20L, "2024-01-01 10:00:00", "c"))
+    def toDf(rs: Seq[(Long, Long, String, String)]) =
+      rs.toDF("event_id", "user_id", "ts", "event_type")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_eq")
+    val in = dir.toString + "/in"
+    toDf(rows).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val q = ProfileStream.scd2Stream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_eq").start()
+    try {
+      q.processAllAvailable()
+      val changes = spark.table("scd2_eq")
+        .select(col("user_id"),
+          expr("timestamp_micros(change_us)").as("ts"),
+          col("event_id"), col("value").as("event_type"))
+      val staged = Relational.scd2History(changes,
+          Seq("user_id"), "event_type")
+        .collect().toSeq.map(_.toSeq)
+      val batch = Relational.scd2History(toDf(rows),
+          Seq("user_id"), "event_type")
+        .collect().toSeq.map(_.toSeq)
+      assert(staged == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("centroidStream: closed windows carry exact integer lane " +
       "sums, and centroidsFromStage over streamed slices equals " +
       "batch labelCentroids — so staged drift equals batch drift") {
