@@ -48,6 +48,13 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None        => SparkEntry.queries
     }
+    // 1-minute loadavg, sampled at each query's start and end: the r9
+    // driver-window dispute ("is this spike load or a regression?") is
+    // settled by data in the artifact, not inference after the fact
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -66,6 +73,7 @@ object Bench {
         graft.util.Utils.clearStaging(Some(spark))
         dt
       }
+      val l0 = loadAvg()
       val two = (1 to 2).map(_ => once())
       // both runs spiking together defeats min-of-2 (stray full-GC /
       // VM stalls land 20s+ on random queries). Heavy queries are the
@@ -78,28 +86,33 @@ object Bench {
           two :+ once()
         else two
       System.gc()
-      name -> times
+      (name, times, Seq(l0, loadAvg()))
     }
-    val best = results.map { case (k, v) => k -> v.min }
+    val best = results.map { case (k, v, _) => k -> v.min }
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-run times alongside the min: when an artifact number looks
     // off, the run vector shows whether it was a one-off VM stall
     // (one spike, clean min) or a real regression (all runs high)
-    val rs = results.map { case (k, v) =>
+    val rs = results.map { case (k, v, _) =>
       s"\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (best.nonEmpty) best.values.sum else 0.0
-    // the driver-required summary goes FIRST: log capture truncates
-    // stdout tails (BENCH_r07/r08 both shipped a mid-JSON cut with
-    // parsed:null), so the compact line must not sit behind the much
-    // longer per-run dump
+    val ls = results.map { case (k, _, l) =>
+      s"\"" + k + "\":" + l.map(x => f"$x%.2f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (best.nonEmpty) best.map(_._2).sum else 0.0
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(summary)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"loadavg":$ls,"sf":"$sfDir"}"""
+    // the driver-required summary prints FIRST **and LAST**: BENCH_r07/
+    // r08 lost a head-only print to stdout-TAIL capture, r9 lost the
+    // head print because the long per-run line pushed it out of the
+    // tail window — bracketing the dump makes it survive either
+    // truncation direction (plus the file below as the loss-proof copy)
+    println(summary)
     println(line)
+    println(summary)
     // also land the line in a file: stdout tails get truncated by log
     // capture (BENCH_r04 lost its totals line that way) — the file is
     // the loss-proof artifact

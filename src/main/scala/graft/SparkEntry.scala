@@ -430,6 +430,14 @@ object SparkEntry {
     "fuzzy_pairs" -> ((s, d) =>
       Dedup.fuzzyPairs(fuzzyFixture(Tables.load(s, d, "documents")),
         maxBlock = Long.MaxValue)),
+    // the PRODUCTION fuzzy geometry, oracle-checked: measured blocking
+    // depth (autoPrefixLen's doubling census — deterministic for a
+    // given corpus, so the oracle re-derives it in SQL: occupancy is
+    // monotone in prefix length, making the while-loop a MIN-over-
+    // filter) plus the maxBlock=1000 skew cap replayed via HAVING
+    "fuzzy_pairs_auto" -> ((s, d) =>
+      Dedup.fuzzyPairsAuto(fuzzyFixture(Tables.load(s, d,
+        "documents")))),
     // robust per-source length outliers: median/MAD (Hampel) gate in
     // doubled/quadrupled integer units — no division, no libm
     "mad_outliers" -> ((s, d) =>
@@ -2212,8 +2220,8 @@ object SparkEntry {
                AS n_oov,
              CAST(COUNT(DISTINCT CASE WHEN NOT inv THEN term END)
                AS BIGINT) AS oov_terms,
-             (SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) * 1000000)
-               // COUNT(*) AS oov_ppm
+             CAST((SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) * 1000000)
+               // COUNT(*) AS BIGINT) AS oov_ppm
       FROM j GROUP BY 1 ORDER BY 1"""),
     // stream-staged counts merge to EXACTLY the batch coverage
     // report's count columns (distinct-OOV is batch-only by design)
@@ -2233,8 +2241,8 @@ object SparkEntry {
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
              CAST(SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS BIGINT)
                AS n_oov,
-             (SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) * 1000000)
-               // COUNT(*) AS oov_ppm
+             CAST((SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) * 1000000)
+               // COUNT(*) AS BIGINT) AS oov_ppm
       FROM j GROUP BY 1 ORDER BY 1"""),
     "hot_terms_stream" -> (s"""
       WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
@@ -3248,6 +3256,45 @@ object SparkEntry {
             WHERE abs(length(a.k) - length(b.k)) <= 2)
       SELECT id1, id2, CAST(dist AS BIGINT) AS dist
       FROM p WHERE dist <= 2 ORDER BY id1, id2"""),
+    // auto-depth replay: the engine's doubling census (probe 4,8,16;
+    // settle at 32 unprobed — autoPrefixLen's `while (p < maxLen &&
+    // occ > target) p *= 2`) re-derived in SQL. Block occupancy is
+    // monotone nonincreasing in prefix length (longer prefixes refine
+    // blocks), so "first chain depth with occ <= 64" == MIN(p) over
+    // the filtered chain, COALESCE to the 32 ceiling. The skew cap
+    // (maxBlock=1000) replays via HAVING — production semantics,
+    // unlike fuzzy_pairs' uncapped teaching row.
+    "fuzzy_pairs_auto" -> ("""
+      WITH mx AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+      base AS (
+        SELECT doc_id, substr(text, 1, 40) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + mx.off,
+               substr(substr(text, 1, 40), 1, 10) ||
+                 substr(substr(text, 1, 40), 12)
+        FROM documents, mx WHERE doc_id % 5 = 0),
+      t AS (SELECT doc_id AS id,
+              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
+            FROM base),
+      occ AS (SELECT p, MAX(c) AS mxocc FROM (
+                SELECT pp.p AS p, substr(t.k, 1, pp.p) AS blk,
+                       COUNT(*) AS c
+                FROM t CROSS JOIN (VALUES (4), (8), (16)) pp(p)
+                GROUP BY 1, 2) GROUP BY 1),
+      depth AS (SELECT COALESCE(
+                  MIN(p) FILTER (WHERE mxocc <= 64), 32) AS d
+                FROM occ),
+      b AS (SELECT id, k, substr(k, 1, (SELECT d FROM depth)) AS blk
+            FROM t),
+      ok AS (SELECT blk FROM b GROUP BY blk
+             HAVING COUNT(*) <= 1000),
+      p AS (SELECT a.id AS id1, c.id AS id2,
+              levenshtein(a.k, c.k) AS dist
+            FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+            JOIN ok ON ok.blk = a.blk
+            WHERE abs(length(a.k) - length(c.k)) <= 2)
+      SELECT id1, id2, CAST(dist AS BIGINT) AS dist
+      FROM p WHERE dist <= 2 ORDER BY id1, id2"""),
     // median/MAD replay in doubled integer units: 2·quantile_cont of
     // a BIGINT column is k or k+0.5 doubled — exact in both engines
     "mad_outliers" -> ("""
@@ -3312,7 +3359,8 @@ object SparkEntry {
               ROW_NUMBER() OVER (PARTITION BY source
                 ORDER BY gap DESC, bin ASC) AS rn
             FROM g)
-      SELECT source, n_g AS n_group, n_all AS n_total,
+      SELECT source, CAST(n_g AS BIGINT) AS n_group,
+             n_all AS n_total,
              bin AS ks_bin, CAST(gap AS BIGINT) AS ks_num,
              CAST(CAST(gap AS HUGEINT) * 1000000 // n_g // n_all
                AS BIGINT) AS ks_ppm

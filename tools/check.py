@@ -44,15 +44,30 @@ def main(sf_dir, out_dir, only=None):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.execute(
+            got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = [d[0] for d in got_rel.description]
+            got_cols = list(got_rel.columns)
+            got_types = dict(zip(got_cols, map(str, got_rel.types)))
             got = got_rel.fetchall()
-            exp_rel = con.execute(sql)
-            exp_cols = [d[0] for d in exp_rel.description]
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp_types = dict(zip(exp_cols, map(str, exp_rel.types)))
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error: {e}")
+            n_fail += 1
+            continue
+        # The driver's hasher is sensitive to the PHYSICAL type, not just
+        # the Python value: an uncast DuckDB SUM() is HUGEINT (int128) and
+        # hashes differently from the BIGINT the engine wrote, even though
+        # fetchall() collapses both to int (root cause of the round-9
+        # ks_by_source/oov_stream/vocab_coverage reds). Compare exact
+        # DuckDB-visible types so that class of divergence fails HERE.
+        tdiff = {c: (got_types.get(c), exp_types.get(c))
+                 for c in set(got_types) | set(exp_types)
+                 if got_types.get(c) != exp_types.get(c)}
+        if tdiff:
+            print(f"FAIL {name}: type mismatch (got vs oracle): {tdiff}")
             n_fail += 1
             continue
         g, gc = norm_rows(got_cols, got)
