@@ -751,8 +751,18 @@ object ProfileStream {
   def replayedSlices(events: DataFrame, tsCol: String)(
       build: DataFrame => DataFrame): DataFrame = {
     val s = events.sparkSession
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_replay").toString
+    // a finite replay's cost is dominated by fixed I/O: the temp input
+    // parquet, the checkpoint offsets/commits, and one state-store
+    // delta per micro-batch per partition — all fsync'd. None of it
+    // needs durability (the harness tears the dir down on return), so
+    // host it on tmpfs when the box has one: same code path, same
+    // semantics, the fsyncs hit RAM. Falls back to java.io.tmpdir.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      (if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_replay")
+      else java.nio.file.Files.createTempDirectory("graft_replay"))
+        .toString
     val in = dir + "/in"
     events.write.mode("overwrite").parquet(in)
     val schema = s.read.parquet(in).schema
@@ -769,18 +779,28 @@ object ProfileStream {
     // restore would race the capture.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // sentinel: one copied row moved to 2100 closes every real window;
+    // its own (never-closing) window is filtered below. Appended
+    // BEFORE the query starts so batch 0 sees data + sentinel together
+    // — the watermark jumps past every real window after one batch and
+    // the single trailing no-data batch flushes them all. The earlier
+    // start→process→append→process shape ran four micro-batches (two
+    // of them no-data watermark batches of pure state-store/sink
+    // overhead) for the same answer; processAllAvailable() blocks
+    // through trailing no-data batches, so one call suffices.
+    events.limit(1)
+      .withColumn(tsCol, lit("2100-01-01 00:00:00").cast("timestamp"))
+      .write.mode("append").parquet(in)
     val q = build(stream)
       .writeStream.outputMode("append")
+      // pin the checkpoint inside the replay dir: the memory sink's
+      // default temp checkpoint lands on java.io.tmpdir (disk), which
+      // would put the offsets/commits/state fsyncs right back on the
+      // slow path the tmpfs dir exists to avoid
+      .option("checkpointLocation", dir + "/ckpt")
       .format("memory").queryName(name).start()
     val local =
       try {
-        q.processAllAvailable()
-        // sentinel: one copied row moved to 2100 closes every real
-        // window; its own (never-closing) window is filtered below
-        events.limit(1)
-          .withColumn(tsCol,
-            lit("2100-01-01 00:00:00").cast("timestamp"))
-          .write.mode("append").parquet(in)
         q.processAllAvailable()
         val out = s.table(name).filter(col("slice_start") < "2099-01-01")
         s.createDataFrame(
