@@ -783,6 +783,11 @@ object SparkEntry {
     "ann_pq_recall" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
+      // the exact baseline is referenced three times below (two hit
+      // joins + the total) but is NOT staged: AQE's ReusedExchange
+      // already dedupes the repeated subplan, and an A/B at sf0.1
+      // measured the stage()'d variant ~1.2s SLOWER (blocking
+      // materialization + parquet round-trip replacing a free reuse)
       val exact = Similarity.bruteForceTopK(e, q, k = 5)
         .select(col("query_id"), col("neighbor_id"))
       def hitsOf(name: String, df: DataFrame) =
@@ -811,6 +816,8 @@ object SparkEntry {
     "ann_sq8_recall" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
+      // not staged, same measured reason as ann_pq_recall: the
+      // repeated baseline subplan is already a ReusedExchange
       val exact = Similarity.bruteForceTopK(e, q, k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val hits = Similarity.sq8TopK(e, q, k = 5)
@@ -2395,7 +2402,7 @@ object SparkEntry {
       j AS (SELECT CAST(lc.k AS VARCHAR) AS ks, nl * nr AS contrib
             FROM lc JOIN rc USING (k)),
       agg AS (SELECT COUNT(*) AS n_keys_overlap,
-                CAST(SUM(contrib) AS BIGINT) AS join_rows
+                CAST(COALESCE(SUM(contrib), 0) AS BIGINT) AS join_rows
               FROM j),
       top AS (SELECT ks AS top_key, contrib AS top_key_rows FROM j
               ORDER BY contrib DESC, ks DESC LIMIT 1),
@@ -2404,8 +2411,10 @@ object SparkEntry {
       lk AS (SELECT COUNT(*) AS n_keys_left FROM lc),
       rk AS (SELECT COUNT(*) AS n_keys_right FROM rc)
       SELECT n_left, n_right, n_keys_left, n_keys_right,
-             n_keys_overlap, join_rows, top_key, top_key_rows
-      FROM agg, top, lt, rt, lk, rk"""),
+             n_keys_overlap, join_rows, top_key,
+             CAST(COALESCE(top_key_rows, 0) AS BIGINT) AS top_key_rows
+      FROM agg LEFT JOIN top ON TRUE
+      CROSS JOIN lt CROSS JOIN rt CROSS JOIN lk CROSS JOIN rk"""),
     // SCD-2 replay: same (ts, event_id) window order, rn-guarded
     // IS DISTINCT FROM run collapse, LEAD validity intervals
     "scd2_history" -> ("""
@@ -2798,8 +2807,8 @@ object SparkEntry {
       tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
                 CAST(SUM(_s6) AS BIGINT) AS stotal FROM s6)
       SELECT source, n_docs, n_tokens,
-             CAST((1000000 * n_tokens) // total AS BIGINT)
-               AS corpus_ppm,
+             CAST(CAST(1000000 AS HUGEINT) * n_tokens // total
+               AS BIGINT) AS corpus_ppm,
              CAST(CAST(1000000 AS HUGEINT) * _s6 // stotal AS BIGINT)
                AS target_ppm
       FROM s6, tot ORDER BY source"""),

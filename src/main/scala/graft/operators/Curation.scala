@@ -485,9 +485,13 @@ object Curation {
       sum("_s6").as("_stotal"))
     perSrc.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        expr("(1000000 * n_tokens) div _total").as("corpus_ppm"),
-        // DECIMAL(38) numerator: 10⁶·√t·10⁶ would pass 2⁶³ near
-        // ~10¹⁴ tokens in one source — fleet scale is in range
+        // BOTH ppm numerators go through DECIMAL(38): 10⁶·√t·10⁶
+        // passes 2⁶³ near ~10¹⁴ tokens in one source, and the plain
+        // 10⁶·n_tokens corpus numerator would silently wrap past
+        // ~9.2·10¹² tokens — fleet scale is in range for BOTH columns
+        // (the oracle mirrors the HUGEINT-width arithmetic)
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_tokens" +
+          " DIV _total AS BIGINT)").as("corpus_ppm"),
         expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * _s6" +
           " DIV _stotal AS BIGINT)").as("target_ppm"))
       .orderBy("source")

@@ -1079,8 +1079,13 @@ object Relational {
       .crossJoin(broadcast(lk)).crossJoin(broadcast(rk))
       .select(col("n_left"), col("n_right"), col("n_keys_left"),
         col("n_keys_right"), col("n_keys_overlap"),
-        col("join_rows"), col("_m._k").as("top_key"),
-        col("_m._contrib").as("top_key_rows"))
+        // DISJOINT inputs still forecast: the global agg over zero
+        // overlapping keys emits one row, with join_rows/top_key_rows
+        // coalesced to 0 and top_key NULL (the oracle LEFT JOINs its
+        // `top` CTE so both engines agree on the empty-overlap shape)
+        coalesce(col("join_rows"), lit(0L)).as("join_rows"),
+        col("_m._k").as("top_key"),
+        coalesce(col("_m._contrib"), lit(0L)).as("top_key_rows"))
   }
 
   /** Ordered-step funnel: for each prefix of `steps`, how many users

@@ -1065,9 +1065,12 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("centroid"))
     // every vector contributes to every lane, so any one lane's
-    // summed n IS the label's row count
-    val counts = lanes.filter(col("pos") === 0)
-      .select(col("label"), col("n").as("n_rows"))
+    // summed n IS the label's row count — taken from each label's
+    // LOWEST position rather than a literal pos=0, so a 1-based (or
+    // otherwise offset) stage still counts instead of silently
+    // inner-joining away to an empty result
+    val counts = lanes.groupBy("label")
+      .agg(min_by(col("n"), col("pos")).as("n_rows"))
     cents.join(counts, Seq("label"))
   }
 

@@ -234,7 +234,11 @@ object Sketches {
     * [[ksReport]] over the same underlying rows (the drift family's
     * stream/batch parity contract); the carried (bins, lo, hi)
     * contract is validated exactly as [[quantileRollup]] validates
-    * it.
+    * it. No-data shape: a staged frame with ZERO slices still emits
+    * one n_a=0 audit row (the merged histogram densifies with
+    * explicit zero lanes; ks_ppm is NULL — a 0-sample statistic is
+    * undefined), matching [[ksReport]] over an empty side A — the two
+    * entry points agree by contract.
     */
   def ksReportStaged(stagedA: DataFrame, b: DataFrame, target: String,
                      bins: Int = 256, lo: Double,
@@ -254,6 +258,14 @@ object Sketches {
       .select(col("bin_counts"), contractChk.as("_chk"))
       .select(col("_chk"),
         posexplode(col("bin_counts")).as(Seq("bin_idx", "cnt")))
+      // densify with an explicit zero lane per bin: a stream with NO
+      // closed slices then still merges to a zero-filled histogram and
+      // the report emits one n_a=0 audit row — the same no-data shape
+      // [[ksReport]] produces (binSketch's global groupBy always emits
+      // a zero-filled bin row), so the two entry points agree
+      .unionByName(stagedA.sparkSession.range(bins)
+        .select(lit(null).cast("boolean").as("_chk"),
+          col("id").cast("int").as("bin_idx"), lit(0L).as("cnt")))
       .groupBy("bin_idx")
       .agg(sum(col("cnt") +
         coalesce(col("_chk").cast("long"), lit(0L))).as("cnt"))
@@ -290,8 +302,12 @@ object Sketches {
       .select(col("n_a"), col("n_b"),
         (lit(-1L) * col("_m._nb")).cast("long").as("ks_bin"),
         col("_m._gap").as("ks_num"),
-        expr("CAST(CAST(_m._gap AS DECIMAL(38,0)) * 1000000" +
-          " DIV n_a DIV n_b AS BIGINT)").as("ks_ppm"))
+        // an EMPTY side still emits its audit row (n=0, gap 0) but a
+        // 0-sample KS statistic is undefined — ppm goes NULL instead
+        // of tripping ANSI division-by-zero
+        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN" +
+          " CAST(CAST(_m._gap AS DECIMAL(38,0)) * 1000000" +
+          " DIV n_a DIV n_b AS BIGINT) END").as("ks_ppm"))
   }
 
   /** Per-stratum [[ksReport]]: every group's binned CDF against the

@@ -461,6 +461,16 @@ class CurationOpsSpec extends AnyFunSuite {
         Seq(4L, 5L).toDF("k"), Seq(4L, 4L, 5L, 5L).toDF("k"), Seq("k"))
       .collect().head
     assert(tie.getString(6) == "5" && tie.getLong(7) == 2L)
+    // DISJOINT key sets: still one forecast row — join_rows and
+    // top_key_rows coalesce to 0, top_key is NULL (the engine/oracle
+    // agreement on the empty-overlap shape)
+    val disjoint = graft.operators.Relational.joinSizeReport(
+        Seq(1L, 2L).toDF("k"), Seq(8L, 9L).toDF("k"), Seq("k"))
+      .collect()
+    assert(disjoint.length == 1)
+    val dr = disjoint.head
+    assert(dr.getLong(4) == 0L && dr.getLong(5) == 0L &&
+      dr.isNullAt(6) && dr.getLong(7) == 0L)
   }
 
   test("scd2History: consecutive duplicates collapse into runs with " +

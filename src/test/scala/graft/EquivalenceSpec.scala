@@ -526,6 +526,15 @@ class EquivalenceSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq
     assert(staged == batch && staged.nonEmpty)
+    // offset-position tolerance: a 1-BASED (label, pos, n, s) stage
+    // (the "any additive stage" contract) still yields the same
+    // centroids and counts — the row count comes from each label's
+    // lowest lane, not a literal pos=0
+    val shifted = slices.withColumn("pos", col("pos") + lit(1))
+    val fromShifted = Similarity.centroidsFromStage(shifted)
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toSeq,
+        r.getLong(2))).toSet
+    assert(fromShifted == fromStage)
   }
 
   test("contaminationStream: closed windows carry exactly the batch " +

@@ -342,6 +342,16 @@ class ProfilerSpec extends AnyFunSuite {
     def msgs(t: Throwable): String =
       if (t == null) "" else s"${t.getMessage} | ${msgs(t.getCause)}"
     assert(msgs(err).contains("bin sketch contract mismatch"))
+    // no-data parity: ZERO staged slices (a stream whose windows never
+    // closed) emits one n_a=0 audit row, the same shape ksReport
+    // produces over an empty side A — not a silent empty frame
+    val emptyStaged = staged.filter(lit(false))
+    val noData = Sketches.ksReportStaged(emptyStaged, b, "v", bins = 4,
+        lo = 0.0, hi = 40.0).collect()
+    val emptyA = Sketches.ksReport(a.filter(lit(false)), b, "v",
+        bins = 4, lo = 0.0, hi = 40.0).collect()
+    assert(noData.length == 1 && noData.head.getLong(0) == 0L)
+    assert(noData.map(_.toSeq).toSeq == emptyA.map(_.toSeq).toSeq)
   }
 
   test("quantileRollup: an all-zero group surfaces as NULL-est rows " +
