@@ -831,6 +831,13 @@ object SparkEntry {
           expr("hits * 1000000 DIV total").as("recall_ppm"))
         .orderBy("variant")
     }),
+    // IVF + SQ8 composed: byte-coded corpus, nprobe-pruned scan —
+    // the storage-compressed AND scan-pruned serving layout (the
+    // FAISS IVF8,SQ8 shape)
+    "ann_ivfsq8_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
     // hard-negative mining: per query, the top-5 most-similar
     // DIFFERENT-label vectors — the contrastive-pair miner (exact
     // candidate source; IVF routing is the documented scale path)
@@ -3588,6 +3595,68 @@ object SparkEntry {
       SELECT variant, hits, total,
              hits * 1000000 // total AS recall_ppm
       FROM hs, tot ORDER BY variant"""),
+    // IVF8,SQ8 replay: md5-sampled coarse centroids (LIMIT 8), the
+    // same round(cos,6)/cid routing as the IVF rows, global SQ8
+    // ranges/codes/reconstructions from the sq8 chain, and the scored
+    // join restricted to each query's nprobe=2 probed lists
+    "ann_ivfsq8_topk" -> (s"""
+      WITH cent AS (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(cid0 AS VARCHAR)) ASC, cid0 ASC)
+                 AS cid, cvec
+        FROM (SELECT vec_id AS cid0, embedding AS cvec FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+              LIMIT 8)),
+      assign AS MATERIALIZED (
+        SELECT id, cid FROM (
+          SELECT e.vec_id AS id, cent.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql.format("e.embedding", "cent.cvec")}
+                     DESC, cent.cid ASC) AS crn
+          FROM embeddings e CROSS JOIN cent)
+        WHERE crn = 1),
+      qprobe AS (
+        SELECT query_id, cid FROM (
+          SELECT q.vec_id AS query_id, cent.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql.format("q.embedding", "cent.cvec")}
+                     DESC, cent.cid ASC) AS crn
+          FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 20)
+        WHERE crn <= 2),
+      mu AS (SELECT vec_id, list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u
+             FROM embeddings),
+      md AS MATERIALIZED (
+        SELECT vec_id, CAST(p.i AS INTEGER) AS pos,
+               u[CAST(p.i + 1 AS INTEGER)] AS x
+        FROM mu CROSS JOIN range(0, 64) p(i)),
+      rng AS (SELECT pos, MIN(x) AS lo,
+                GREATEST(MAX(x) - MIN(x), 1) AS span
+              FROM md GROUP BY pos),
+      rec AS MATERIALIZED (
+        SELECT md.vec_id, md.pos,
+               rng.lo + ((((md.x - rng.lo) * 255 // rng.span)
+                 * rng.span * 2 + 255) // 510) AS r
+        FROM md JOIN rng USING (pos)),
+      sq AS (SELECT vec_id AS qid, pos, x AS qx FROM md
+             WHERE vec_id < 20),
+      ssc AS (SELECT p.query_id AS qid, a.id AS nid,
+                CAST(SUM((sq.qx - rec.r) * (sq.qx - rec.r)) AS BIGINT)
+                  AS d2
+              FROM qprobe p
+              JOIN assign a ON a.cid = p.cid AND a.id <> p.query_id
+              JOIN rec ON rec.vec_id = a.id
+              JOIN sq ON sq.qid = p.query_id AND sq.pos = rec.pos
+              GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, approx_d2_micro2,
+             CAST(rnk AS BIGINT) AS "rank"
+      FROM (SELECT qid AS query_id, nid AS neighbor_id,
+              d2 AS approx_d2_micro2,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY d2 ASC, nid ASC) AS rnk
+            FROM ssc)
+      WHERE rnk <= 5 ORDER BY query_id, rnk ASC"""),
     // full LSH replay (same md5-hyperplane trick as ann_lsh_topk): the
     // bucket walk, cosine verify and threshold reproduce the engine's
     // O(n·bucket) plan — this row certifies the SCALE path

@@ -1095,6 +1095,29 @@ object Similarity {
     * lanes per partition. `span` is clamped to ≥1 so constant
     * dimensions quantize to code 0 and reconstruct exactly.
     */
+  /** The SQ8 encode→reconstruct column over a micro-int vector column
+    * `u`, shared by [[sq8TopK]] and [[ivfSq8TopK]]: code =
+    * ⌊(u−lo)·(levels−1)/span⌋, r = lo + round_half_up(code·span/
+    * (levels−1)). All integer arithmetic; exact integer floor-division
+    * without a Column `div` operator — subtract the remainder first,
+    * then the double division is a divisible quotient well under 2^53,
+    * bit-exact in any engine. u ≥ lo ⇒ all operands non-negative.
+    */
+  private def sq8Recon(ranges: Array[(Long, Long, Long)],
+                       levels: Int): Column = {
+    val lo = typedLit(ranges.map(_._1))
+    val span = typedLit(ranges.map(_._3))
+    val lv = lit(levels - 1L)
+    def idiv(n: Column, d: Column): Column =
+      ((n - n % d) / d).cast(LongType)
+    transform(col("u"), (x, i) => {
+      val l = element_at(lo, (i + 1).cast(IntegerType))
+      val s = element_at(span, (i + 1).cast(IntegerType))
+      val code = idiv((x - l) * lv, s)
+      l + idiv(code * s * lit(2L) + lv, lv * lit(2L))
+    })
+  }
+
   private[operators] def sq8Ranges(micro: DataFrame)
       : Array[(Long, Long, Long)] = {
     micro.select(posexplode(col("u")))
@@ -1145,24 +1168,7 @@ object Similarity {
       return queries.select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"), lit(0L).as("approx_d2_micro2"),
         lit(0L).as("rank")).limit(0)
-    val lo = typedLit(ranges.map(_._1))
-    val span = typedLit(ranges.map(_._3))
-    val lv = lit(levels - 1L)
-    // exact integer floor-division without a Column `div` operator:
-    // subtract the remainder first, then the double division is a
-    // divisible quotient well under 2^53 — bit-exact in any engine
-    def idiv(n: Column, d: Column): Column =
-      ((n - n % d) / d).cast(LongType)
-    // code → half-up midpoint reconstruction, fused into one row-local
-    // transform: code = ⌊(u−lo)·(levels−1)/span⌋,
-    // r = lo + round_half_up(code·span/(levels−1)); u ≥ lo ⇒ all
-    // operands non-negative
-    val recon = transform(col("u"), (x, i) => {
-      val l = element_at(lo, (i + 1).cast(IntegerType))
-      val s = element_at(span, (i + 1).cast(IntegerType))
-      val code = idiv((x - l) * lv, s)
-      l + idiv(code * s * lit(2L) + lv, lv * lit(2L))
-    })
+    val recon = sq8Recon(ranges, levels)
     val c = graft.util.Utils.spread(corpus)
       .select(col(idCol).as("neighbor_id"), micro.as("u"))
       .select(col("neighbor_id"), recon.as("_r"))
@@ -1170,6 +1176,79 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_d2_micro2").asc, col("neighbor_id").asc)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.SqDistLong.sqDistLong(col("_qu"), col("_r"))
+          .as("approx_d2_micro2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-routed SQ8 ANN top-k — [[sq8TopK]]'s 4× storage compression
+    * composed with [[ivfTopK]]'s pruned scan (the FAISS
+    * `IVF<nlist>,SQ8` index layout, the serving shape when the corpus
+    * is too big to scan per query AND too big to store uncompressed):
+    * corpus vectors route ONCE to their nearest coarse centroid's
+    * list and store as per-dimension byte codes against the GLOBAL
+    * [lo, hi] ranges; a query scores only its `nprobe` nearest lists,
+    * asymmetrically (exact micro-int query vs candidate
+    * reconstruction), so quantization error enters once.
+    *
+    * Determinism: coarse routing is the [[ivfTopK]] contract
+    * (md5-sampled centroids, round(cos, 6) scores, cid tie-breaks);
+    * everything after microization is 64-bit integer arithmetic with
+    * (d2, id) tie-breaks — the DuckDB oracle replays routing, ranges,
+    * codes, reconstructions and ranks bit-for-bit.
+    *
+    * Scale shape: the coarse table is nlist rows (broadcast), ranges
+    * are 2·dim longs (literals), encode is row-local, and scoring
+    * touches nprobe/nlist of the codes with a codegen'd integer loop
+    * per pair. At 100 TB: write the codes partitioned by `cid` — a
+    * query batch reads nprobe partitions of byte codes, the coarse
+    * centroids and ranges are the only index metadata.
+    */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                 nlist: Int = 8, nprobe: Int = 2, levels: Int = 256,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(levels >= 2, "levels must be >= 2")
+    val coarse = broadcast(ivfCentroids(corpus, nlist, idCol, vecCol))
+    val micro = transform(col(vecCol),
+      v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
+    val ranges = sq8Ranges(
+      corpus.select(col(idCol).as("vec_id"), micro.as("u")))
+    if (ranges.isEmpty)   // empty corpus: nothing to quantize
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0L).as("approx_d2_micro2"),
+        lit(0L).as("rank")).limit(0)
+    val recon = sq8Recon(ranges, levels)
+    // coarse routing: nearest centroid by cosine, cid tie-break (the
+    // ivfTopK/ivfPqTopK discipline)
+    val aw = Window.partitionBy("id")
+      .orderBy(col("cscore").desc, col("ccid").asc)
+    val codes = graft.util.Utils.spread(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("_v"), micro.as("u"))
+      .join(coarse.select(col("cid").as("ccid"), col("cvec")))
+      .withColumn("cscore", cosine(col("_v"), col("cvec")))
+      .withColumn("crn", row_number().over(aw))
+      .filter(col("crn") === 1)
+      .select(col("id").as("neighbor_id"), col("ccid"),
+        recon.as("_r"))
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("pcid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_q"),
+        micro.as("_qu"))
+      .join(coarse.select(col("cid").as("pcid"), col("cvec")))
+      .withColumn("cscore", cosine(col("_q"), col("cvec")))
+      .withColumn("crn", row_number().over(qw))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("pcid"), col("_qu"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_d2_micro2").asc, col("neighbor_id").asc)
+    codes.join(broadcast(probes),
+        col("ccid") === col("pcid") &&
+          col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.SqDistLong.sqDistLong(col("_qu"), col("_r"))
           .as("approx_d2_micro2"))

@@ -383,6 +383,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Similarity.sq8TopK(tiny.limit(0), queries).count() == 0L)
   }
 
+  test("IVF-SQ8: probing every list reproduces the full-scan SQ8 " +
+      "ranking exactly; partial probes keep recall; empty corpus is " +
+      "empty") {
+    val queries = clustered.filter($"vec_id" % 8 === 0).limit(10)
+    val full = Similarity.sq8TopK(clustered, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val ivfAll = Similarity.ivfSq8TopK(clustered, queries, k = 5,
+        nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(ivfAll == full && full.nonEmpty)
+    // pruned probing still recovers most full-scan answers on the
+    // clustered corpus (the recall/work trade the routing buys)
+    val part = Similarity.ivfSq8TopK(clustered, queries, k = 5,
+        nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullSet = full.map(t => (t._1, t._2)).toSet
+    assert(part.nonEmpty && (part & fullSet).nonEmpty)
+    assert(Similarity.ivfSq8TopK(clustered.limit(0), queries)
+      .count() == 0L)
+  }
+
   test("trained PQ: k-means with one seed per vector is a fixed point " +
       "(lossless codebook), so ADC reproduces the exact integer-micro " +
       "squared-L2 ranking; lossy trained PQ keeps recall") {

@@ -469,6 +469,22 @@ class PlanSpec extends AnyFunSuite {
       "the corpus side must not sort for the broadcast scoring join")
   }
 
+  test("ivfSq8TopK: the scoring join is list-keyed and broadcast — " +
+      "no corpus sort-merge, codegen'd integer distance, and the " +
+      "coarse/range metadata stays broadcast-shaped") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val df = graft.operators.Similarity.ivfSq8TopK(e, q, k = 5)
+    val p = planOf(df)
+    assert(p.toLowerCase.contains("sqdistlong") ||
+      p.toLowerCase.contains("sq_dist_long"),
+      "scoring must use the codegen'd integer distance")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must not sort for the scoring join")
+    assert(p.contains("BroadcastHashJoin"),
+      "probes must broadcast to the coded corpus")
+  }
+
   test("fuzzyPairs: blocking is an EQUI-join (no nested-loop, no " +
       "cartesian) and the block census joins back without a " +
       "sort-merge of the corpus") {

@@ -49,6 +49,7 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_pq_recall" -> "codebook rank over limit(codebookSize) rows",
       "ann_ivfpq_topk" -> "codebook ranks over bounded samples",
       "ann_ivfpq_probe1" -> "codebook ranks over bounded samples",
+      "ann_ivfsq8_topk" -> "centroid rank over limit(nlist) rows",
       // marginal-CDF cumsums run over the bin HISTOGRAM (≤ bins rows
       // post-aggregation), never the corpus — the sort-free design
       "quality_blend" -> "bin-histogram cumsum, ≤ bins rows",
@@ -96,6 +97,8 @@ class WindowAuditSpec extends AnyFunSuite {
       // baseline and 1-row recall total in the recall row)
       "ann_sq8_topk" -> "corpus x broadcast query batch",
       "ann_sq8_recall" -> "query batch broadcast, 1-row total",
+      // coarse routing: corpus x broadcast nlist-row centroid table
+      "ann_ivfsq8_topk" -> "centroid table is nlist rows",
       // label-inequality join against the broadcast query batch
       "hard_negatives" -> "corpus x broadcast query batch",
       // scalar-subquery pattern: the broadcast side is ONE row (the
