@@ -742,6 +742,18 @@ object SparkEntry {
       Dedup.corpusDiff(prev, cur)
     }),
     // deterministic md5-range train/val/test assignment
+    // leak-safe split: split buckets keyed by the NEAR-DUP GROUP
+    // representative, so no duplicate cluster straddles train/test —
+    // the eval-contamination guard per-doc hashing cannot give
+    "leak_safe_split" -> ((s, d) =>
+      Dedup.leakSafeSplit(Tables.load(s, d, "documents"),
+        threshold = 0.3)),
+    // curriculum order: quality-CDF tiers best-first, deterministic
+    // md5 shuffle within each tier, global_pos via the shard-offset
+    // rollup (no global sort)
+    "curriculum_order" -> ((s, d) =>
+      operators.Curation.curriculumOrder(
+        Tables.load(s, d, "documents"))),
     "split_assign" -> ((s, d) =>
       Dedup.splitAssign(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("split")).orderBy("doc_id")),
@@ -837,6 +849,13 @@ object SparkEntry {
     "ann_ivfsq8_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
+    // the single-probe point of the same index: the recall/work knob's
+    // other end, oracle-checked like ann_ivf_probe1 / ann_ivfpq_probe1
+    "ann_ivfsq8_probe1" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < 20), k = 5,
+        nprobe = 1)
     }),
     // hard-negative mining: per query, the top-5 most-similar
     // DIFFERENT-label vectors — the contrastive-pair miner (exact
@@ -1594,6 +1613,71 @@ object SparkEntry {
         FROM probes p JOIN assign a
           ON a.cid = p.cid AND a.id <> p.query_id)
       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** IVF8,SQ8 replay — md5-sampled coarse centroids (LIMIT 8), the
+    * ivfOracle routing (round(cos,6), cid tie-break), the sq8 chain's
+    * global ranges / codes / half-up reconstructions, and the scored
+    * join restricted to each query's `nprobe` probed lists — mirrors
+    * `Similarity.ivfSq8TopK(nlist = 8, levels = 256)` bit-for-bit.
+    */
+  private def ivfSq8Oracle(nprobe: Int): String = s"""
+      WITH cent AS (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(cid0 AS VARCHAR)) ASC, cid0 ASC)
+                 AS cid, cvec
+        FROM (SELECT vec_id AS cid0, embedding AS cvec FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+              LIMIT 8)),
+      assign AS MATERIALIZED (
+        SELECT id, cid FROM (
+          SELECT e.vec_id AS id, cent.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql.format("e.embedding", "cent.cvec")}
+                     DESC, cent.cid ASC) AS crn
+          FROM embeddings e CROSS JOIN cent)
+        WHERE crn = 1),
+      qprobe AS (
+        SELECT query_id, cid FROM (
+          SELECT q.vec_id AS query_id, cent.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql.format("q.embedding", "cent.cvec")}
+                     DESC, cent.cid ASC) AS crn
+          FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 20)
+        WHERE crn <= $nprobe),
+      mu AS (SELECT vec_id, list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u
+             FROM embeddings),
+      md AS MATERIALIZED (
+        SELECT vec_id, CAST(p.i AS INTEGER) AS pos,
+               u[CAST(p.i + 1 AS INTEGER)] AS x
+        FROM mu CROSS JOIN range(0, 64) p(i)),
+      rng AS (SELECT pos, MIN(x) AS lo,
+                GREATEST(MAX(x) - MIN(x), 1) AS span
+              FROM md GROUP BY pos),
+      rec AS MATERIALIZED (
+        SELECT md.vec_id, md.pos,
+               rng.lo + ((((md.x - rng.lo) * 255 // rng.span)
+                 * rng.span * 2 + 255) // 510) AS r
+        FROM md JOIN rng USING (pos)),
+      sq AS (SELECT vec_id AS qid, pos, x AS qx FROM md
+             WHERE vec_id < 20),
+      ssc AS (SELECT p.query_id AS qid, a.id AS nid,
+                CAST(SUM((sq.qx - rec.r) * (sq.qx - rec.r)) AS BIGINT)
+                  AS d2
+              FROM qprobe p
+              JOIN assign a ON a.cid = p.cid AND a.id <> p.query_id
+              JOIN rec ON rec.vec_id = a.id
+              JOIN sq ON sq.qid = p.query_id AND sq.pos = rec.pos
+              GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, approx_d2_micro2,
+             CAST(rnk AS BIGINT) AS "rank"
+      FROM (SELECT qid AS query_id, nid AS neighbor_id,
+              d2 AS approx_d2_micro2,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY d2 ASC, nid ASC) AS rnk
+            FROM ssc)
+      WHERE rnk <= 5 ORDER BY query_id, rnk ASC"""
 
   /** Full PQ replay — sampled codebook (the ivfOracle cent CTE),
     * per-(vector, subspace) integer-ppm squared-L2 code assignment,
@@ -3150,6 +3234,59 @@ object SparkEntry {
                   < '${Sampling.hexThreshold(100)}' THEN 'val'
              ELSE 'train' END AS split
       FROM documents ORDER BY doc_id"""),
+    // leak-safe replay: the dedup_groups recursive CC chain gives
+    // each doc its cluster representative (singletons = own id), then
+    // the split_assign md5-permille buckets hash the REPRESENTATIVE
+    "leak_safe_split" -> (s"""
+      ${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      ed AS (SELECT id1 AS a, id2 AS b FROM mhp
+             UNION ALL SELECT id2, id1 FROM mhp),
+      reach AS (
+        SELECT a AS id, a AS x FROM ed
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN ed e ON e.a = r.x),
+      g AS (SELECT id, MIN(x) AS grp FROM reach GROUP BY id),
+      r AS (SELECT d.doc_id, COALESCE(g.grp, d.doc_id) AS group_rep
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN g ON g.id = d.doc_id)
+      SELECT doc_id, group_rep,
+        CASE WHEN substr(md5(CAST(group_rep AS VARCHAR)), 1, 4)
+                  < '${Sampling.hexThreshold(50)}' THEN 'test'
+             WHEN substr(md5(CAST(group_rep AS VARCHAR)), 1, 4)
+                  < '${Sampling.hexThreshold(100)}' THEN 'val'
+             ELSE 'train' END AS split
+      FROM r ORDER BY doc_id"""),
+    // curriculum replay: the quality_blend CDF chain, ppm-band tiers
+    // (best first), md5 within-tier shuffle, and the global position
+    // as a rank over the full (stage, shard, h, id) lexicographic key
+    // — ≤ stages·256 offset cells merge it without a global sort in
+    // the engine; the oracle can afford the direct ROW_NUMBER
+    "curriculum_order" -> (s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      base AS (SELECT doc_id,
+          LEAST(255, CAST(floor($qualitySql * 256) AS BIGINT)) AS qbin,
+          LEAST(255, CAST(len(toks) // 8 AS BIGINT)) AS lbin FROM t),
+      qh AS (SELECT qbin, COUNT(*) AS c FROM base GROUP BY 1),
+      qc AS (SELECT qbin, (1000000 * SUM(c) OVER (ORDER BY qbin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               // SUM(c) OVER () AS q_cdf_ppm FROM qh),
+      lh AS (SELECT lbin, COUNT(*) AS c FROM base GROUP BY 1),
+      lc AS (SELECT lbin, (1000000 * SUM(c) OVER (ORDER BY lbin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               // SUM(c) OVER () AS len_cdf_ppm FROM lh),
+      bl AS (SELECT b.doc_id,
+               CAST((q_cdf_ppm + len_cdf_ppm) // 2 AS BIGINT)
+                 AS blend_ppm
+             FROM base b JOIN qc USING (qbin) JOIN lc USING (lbin)),
+      st AS (SELECT doc_id, blend_ppm,
+               3 - LEAST(3, blend_ppm * 4 // 1000000) AS stage,
+               md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+             FROM bl)
+      SELECT doc_id, CAST(stage AS BIGINT) AS stage, blend_ppm,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY stage ASC, substr(h, 1, 2) ASC, h ASC,
+                 doc_id ASC) - 1 AS BIGINT) AS global_pos
+      FROM st ORDER BY doc_id"""),
     "dedup_keep_best" -> (s"""
       WITH $dupFixtureCte,
       t AS (SELECT doc_id, lang, source, text, $toksSql AS toks FROM u),
@@ -3598,65 +3735,9 @@ object SparkEntry {
     // IVF8,SQ8 replay: md5-sampled coarse centroids (LIMIT 8), the
     // same round(cos,6)/cid routing as the IVF rows, global SQ8
     // ranges/codes/reconstructions from the sq8 chain, and the scored
-    // join restricted to each query's nprobe=2 probed lists
-    "ann_ivfsq8_topk" -> (s"""
-      WITH cent AS (
-        SELECT ROW_NUMBER() OVER (
-                 ORDER BY md5(CAST(cid0 AS VARCHAR)) ASC, cid0 ASC)
-                 AS cid, cvec
-        FROM (SELECT vec_id AS cid0, embedding AS cvec FROM embeddings
-              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-              LIMIT 8)),
-      assign AS MATERIALIZED (
-        SELECT id, cid FROM (
-          SELECT e.vec_id AS id, cent.cid,
-                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY ${cosSql.format("e.embedding", "cent.cvec")}
-                     DESC, cent.cid ASC) AS crn
-          FROM embeddings e CROSS JOIN cent)
-        WHERE crn = 1),
-      qprobe AS (
-        SELECT query_id, cid FROM (
-          SELECT q.vec_id AS query_id, cent.cid,
-                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                   ORDER BY ${cosSql.format("q.embedding", "cent.cvec")}
-                     DESC, cent.cid ASC) AS crn
-          FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 20)
-        WHERE crn <= 2),
-      mu AS (SELECT vec_id, list_transform(embedding, x ->
-               CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
-               AS u
-             FROM embeddings),
-      md AS MATERIALIZED (
-        SELECT vec_id, CAST(p.i AS INTEGER) AS pos,
-               u[CAST(p.i + 1 AS INTEGER)] AS x
-        FROM mu CROSS JOIN range(0, 64) p(i)),
-      rng AS (SELECT pos, MIN(x) AS lo,
-                GREATEST(MAX(x) - MIN(x), 1) AS span
-              FROM md GROUP BY pos),
-      rec AS MATERIALIZED (
-        SELECT md.vec_id, md.pos,
-               rng.lo + ((((md.x - rng.lo) * 255 // rng.span)
-                 * rng.span * 2 + 255) // 510) AS r
-        FROM md JOIN rng USING (pos)),
-      sq AS (SELECT vec_id AS qid, pos, x AS qx FROM md
-             WHERE vec_id < 20),
-      ssc AS (SELECT p.query_id AS qid, a.id AS nid,
-                CAST(SUM((sq.qx - rec.r) * (sq.qx - rec.r)) AS BIGINT)
-                  AS d2
-              FROM qprobe p
-              JOIN assign a ON a.cid = p.cid AND a.id <> p.query_id
-              JOIN rec ON rec.vec_id = a.id
-              JOIN sq ON sq.qid = p.query_id AND sq.pos = rec.pos
-              GROUP BY 1, 2)
-      SELECT query_id, neighbor_id, approx_d2_micro2,
-             CAST(rnk AS BIGINT) AS "rank"
-      FROM (SELECT qid AS query_id, nid AS neighbor_id,
-              d2 AS approx_d2_micro2,
-              ROW_NUMBER() OVER (PARTITION BY qid
-                ORDER BY d2 ASC, nid ASC) AS rnk
-            FROM ssc)
-      WHERE rnk <= 5 ORDER BY query_id, rnk ASC"""),
+    // join restricted to each query's probed lists
+    "ann_ivfsq8_topk" -> ivfSq8Oracle(nprobe = 2),
+    "ann_ivfsq8_probe1" -> ivfSq8Oracle(nprobe = 1),
     // full LSH replay (same md5-hyperplane trick as ann_lsh_topk): the
     // bucket walk, cosine verify and threshold reproduce the engine's
     // O(n·bucket) plan — this row certifies the SCALE path

@@ -680,4 +680,56 @@ object Curation {
         expr("n_outliers * 1000000 DIV n_rows").as("outlier_ppm"))
       .orderBy(groupCol)
   }
+
+  /** Curriculum training order (Bengio et al. 2009 lineage):
+    * highest-quality documents first, in `stages` quality tiers, with
+    * a deterministic md5 shuffle INSIDE each tier — the "train on
+    * clean data first, anneal into the tail" ordering, emitted as an
+    * explicit `global_pos` every pretraining loader can consume.
+    * Quality is [[TextAnalysis.qualityBlend]]'s rank-CDF blend (the
+    * sort-free percentile), so a tier is a fixed ppm band, stable
+    * under corpus growth.
+    *
+    * Scale shape: no global sort anywhere — the position is rank
+    * under the lexicographic key (stage, shard, h, id), computed the
+    * [[Sampling.shuffleOrder]] way: the md5 first byte range-shards
+    * each stage into 256 shards (a MONOTONE prefix of the sort key,
+    * so per-(stage, shard) ranks concatenate into the global order),
+    * each cell ranks locally under one window, and cell base offsets
+    * come from a ≤ stages·256-row count rollup joined back by
+    * broadcast. Two corpus scans (blend histogram + lookup) plus one
+    * shuffle keyed by (stage, shard).
+    */
+  def curriculumOrder(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", stages: Int = 4,
+                      seed: String = "42"): DataFrame = {
+    require(stages >= 1, "stages must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val blend = TextAnalysis.qualityBlend(docs, textCol, idCol)
+      .select(col("doc_id"), col("blend_ppm"))
+    // best blend → stage 0; the ppm band edges are fixed constants
+    val stage = (lit(stages - 1L) -
+      least(lit(stages - 1L),
+        expr(s"blend_ppm * $stages DIV 1000000"))).as("stage")
+    val h = md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    val base = blend.select(col("doc_id"), col("blend_ppm"),
+      stage, h.as("_h"),
+      conv(substring(h, 1, 2), 16, 10)
+        .cast(org.apache.spark.sql.types.LongType).as("_shard"))
+    val ranked = base.withColumn("_rank",
+      row_number().over(W.partitionBy(col("stage"), col("_shard"))
+        .orderBy(col("_h").asc, col("doc_id").asc))
+        .cast(org.apache.spark.sql.types.LongType))
+    val offsets = base.groupBy("stage", "_shard")
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset",
+        coalesce(sum(col("_cnt")).over(
+          W.orderBy(col("stage").asc, col("_shard").asc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select("stage", "_shard", "_offset")
+    ranked.join(broadcast(offsets), Seq("stage", "_shard"))
+      .select(col("doc_id"), col("stage"), col("blend_ppm"),
+        (col("_offset") + col("_rank") - 1L).as("global_pos"))
+      .orderBy("doc_id")
+  }
 }

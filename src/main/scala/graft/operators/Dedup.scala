@@ -98,6 +98,43 @@ object Dedup {
     df.withColumn("split", expr)
   }
 
+  /** Leak-safe train/val/test split: [[splitAssign]]'s deterministic
+    * md5-permille buckets keyed by each document's NEAR-DUP GROUP
+    * REPRESENTATIVE instead of the document itself, so every member
+    * of a duplicate cluster lands in the SAME split. Near-identical
+    * train/test pairs are the canonical eval-contamination leak —
+    * per-doc hashing puts ~p·(1−p) of every dup cluster's pairs
+    * across the boundary; keying on the cluster representative puts
+    * zero (spec-pinned: no near-dup pair straddles splits).
+    * Singletons are their own representative, so the non-duplicated
+    * bulk of the corpus splits exactly as [[splitAssign]] would.
+    *
+    * Scale shape: the pair graph + [[connectedGroups]] is the
+    * existing dedup pipeline (banded LSH, pointer-jumping CC at
+    * scale); the split itself adds ONE left join of the corpus
+    * against the group table (dup-cluster-member-sized, usually ≪
+    * corpus) and a row-local md5 bucket — no new shuffles beyond the
+    * join. At 100 TB you already ran dedup; this reuses its groups.
+    */
+  def leakSafeSplit(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    threshold: Double = 0.3,
+                    splits: Seq[(String, Int)] =
+                      Seq("test" -> 50, "val" -> 50, "train" -> 900))
+      : DataFrame = {
+    val groups = connectedGroups(minhashNearDups(df, textCol, idCol,
+        threshold = threshold))
+      .select(col("id").as(idCol), col("group_rep"))
+    splitAssign(
+      df.select(col(idCol))
+        .join(groups, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("group_rep"), col(idCol)).as("rep")),
+      idCol = "rep", splits = splits)
+      .select(col(idCol), col("rep").as("group_rep"), col("split"))
+      .orderBy(idCol)
+  }
+
   /** Quality-aware canonical selection: per exact-dup group keep the
     * row maximizing `score` (ties → lowest id). The curation upgrade
     * over [[exactDedup]]'s keep-first: when a crawl captures the same

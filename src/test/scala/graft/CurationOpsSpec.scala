@@ -277,6 +277,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(repart == naive)
   }
 
+  test("curriculumOrder: a permutation of 0..n-1, stages weakly " +
+      "increase along the position, best-quality tier leads, and " +
+      "within a tier the order is the seeded md5 shuffle") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.Curation.curriculumOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val n = docs.count()
+    assert(out.map(_._3).sorted.toSeq == (0L until n).toSeq)
+    // walking positions in order, the stage never decreases (the
+    // curriculum property) and position 0 sits in the best tier seen
+    val byPos = out.sortBy(_._3)
+    assert(byPos.zip(byPos.tail).forall { case (a, b) => a._2 <= b._2 })
+    assert(byPos.head._2 == byPos.map(_._2).min)
+    // within each stage, order == rank under (md5("42:"+id), id)
+    byPos.groupBy(_._2).foreach { case (_, rows) =>
+      val ids = rows.sortBy(_._3).map(_._1).toSeq
+      assert(ids == ids.sortBy(i => (md5hex("42:" + i), i)))
+    }
+  }
+
   test("labelCentroids: exact integer means, any reduction order") {
     val vecs = Seq(
       (1L, 0, Array(0.25f, -0.5f)),

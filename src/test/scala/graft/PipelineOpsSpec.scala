@@ -170,6 +170,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       < 100)
   }
 
+  test("leakSafeSplit: no near-dup pair straddles a split boundary, " +
+      "and singletons split exactly as splitAssign") {
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Dedup.leakSafeSplit(docs, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == docs.count())
+    val split = out.map(t => t._1 -> t._3).toMap
+    // THE leakage guard: every near-dup pair lands in one split
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.3)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    assert(pairs.forall { case (a, b) => split(a) == split(b) })
+    // per-doc hashing does NOT have the property on this corpus —
+    // the guard is load-bearing, not vacuously true
+    val perDoc = Dedup.splitAssign(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists { case (a, b) => perDoc(a) != perDoc(b) })
+    // singletons (their own representative) match splitAssign exactly
+    val inPair = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    out.filterNot(t => inPair(t._1)).foreach { case (id, rep, s) =>
+      assert(rep == id && perDoc(id) == s)
+    }
+  }
+
   test("packSequences: bins are the concat-then-chunk layout per shard") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

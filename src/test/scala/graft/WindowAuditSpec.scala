@@ -28,6 +28,9 @@ class WindowAuditSpec extends AnyFunSuite {
       "vocabulary" -> "post-top-N rank over ≤ topN rows",
       // offsets over exactly 256 shard-count rows
       "shuffle_order" -> "256-row shard offset rollup",
+      // offsets over ≤ stages·256 cells + the quality_blend bin
+      // cumsums (≤ bins rows each)
+      "curriculum_order" -> "stage-shard offset rollup, ≤ 4·256 rows",
       // profile family: the doc-total max() runs over the per-path
       // AGGREGATE (≤ #schema paths rows), never the corpus
       "profile_stats_events" -> "per-path aggregate, schema-sized",
@@ -50,6 +53,7 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_ivfpq_topk" -> "codebook ranks over bounded samples",
       "ann_ivfpq_probe1" -> "codebook ranks over bounded samples",
       "ann_ivfsq8_topk" -> "centroid rank over limit(nlist) rows",
+      "ann_ivfsq8_probe1" -> "centroid rank over limit(nlist) rows",
       // marginal-CDF cumsums run over the bin HISTOGRAM (≤ bins rows
       // post-aggregation), never the corpus — the sort-free design
       "quality_blend" -> "bin-histogram cumsum, ≤ bins rows",
@@ -99,6 +103,7 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_sq8_recall" -> "query batch broadcast, 1-row total",
       // coarse routing: corpus x broadcast nlist-row centroid table
       "ann_ivfsq8_topk" -> "centroid table is nlist rows",
+      "ann_ivfsq8_probe1" -> "centroid table is nlist rows",
       // label-inequality join against the broadcast query batch
       "hard_negatives" -> "corpus x broadcast query batch",
       // scalar-subquery pattern: the broadcast side is ONE row (the
