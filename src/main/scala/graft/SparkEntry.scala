@@ -41,6 +41,18 @@ object SparkEntry {
       Profiler.topK(Tables.load(s, d, "documents"))),
     "schema_flat_events" -> ((s, d) =>
       Profiler.flatSchema(Tables.load(s, d, "events"))),
+    // schema-drift alarm between two snapshots: the fixture mutates
+    // events deterministically (props dropped, value re-typed to
+    // string, session_id added) so the diff exercises all four
+    // statuses; both sides reduce to schema-sized frames before the
+    // full-outer join
+    "schema_diff" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      Profiler.schemaDiff(ev,
+        ev.drop("props")
+          .withColumn("value", col("value").cast("string"))
+          .withColumn("session_id", col("user_id") % 10))
+    }),
     "schema_hier_events" -> ((s, d) => {
       import s.implicits._
       val flat = Profiler.flatSchema(Tables.load(s, d, "events"))
@@ -856,6 +868,18 @@ object SparkEntry {
       val e = Tables.load(s, d, "embeddings")
       Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < 20), k = 5,
         nprobe = 1)
+    }),
+    // the SAME index through a persisted ccid=<n>/ partitioned parquet
+    // round-trip: build writes, serve reads only probed partitions —
+    // bit-equal to the direct row, against the identical oracle (a
+    // fixed overwrite path, so repeated runs don't accrete temp dirs)
+    "ann_index_roundtrip" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_ivfsq8_index").getAbsolutePath
+      Similarity.ivfSq8TopKServed(e, e.filter(col("vec_id") < 20),
+        dir, k = 5)
     }),
     // hard-negative mining: per query, the top-5 most-similar
     // DIFFERENT-label vectors — the contrastive-pair miner (exact
@@ -3738,6 +3762,8 @@ object SparkEntry {
     // join restricted to each query's probed lists
     "ann_ivfsq8_topk" -> ivfSq8Oracle(nprobe = 2),
     "ann_ivfsq8_probe1" -> ivfSq8Oracle(nprobe = 1),
+    // the persisted-index round-trip is bit-equal to the direct row
+    "ann_index_roundtrip" -> ivfSq8Oracle(nprobe = 2),
     // full LSH replay (same md5-hyperplane trick as ann_lsh_topk): the
     // bucket walk, cosine verify and threshold reproduce the engine's
     // O(n·bucket) plan — this row certifies the SCALE path
@@ -4086,6 +4112,20 @@ object SparkEntry {
       UNION ALL SELECT 'ts', 'datetime'
       UNION ALL SELECT 'user_id', 'int64'
       UNION ALL SELECT 'value', 'double'
+      ORDER BY path"""),
+    // the deterministic mutation fixture's expected diff (the
+    // schema_flat_events constant-table precedent): every status
+    // exercised, NULL tags on the one-sided rows
+    "schema_diff" -> ("""
+      SELECT * FROM (VALUES
+        ('event_id', 'kept', 'int64', 'int64'),
+        ('event_type', 'kept', 'str', 'str'),
+        ('props', 'removed', 'str', CAST(NULL AS VARCHAR)),
+        ('session_id', 'added', CAST(NULL AS VARCHAR), 'int64'),
+        ('ts', 'kept', 'datetime', 'datetime'),
+        ('user_id', 'kept', 'int64', 'int64'),
+        ('value', 'type_changed', 'double', 'str'))
+        t(path, status, old_tag, new_tag)
       ORDER BY path"""),
     "q1_agg" -> (s"""
       SELECT l_returnflag, l_linestatus,

@@ -452,6 +452,29 @@ object Profiler {
       .orderBy("path")
   }
 
+  /** Schema-drift report between two corpus snapshots — the "did the
+    * upstream producer change the contract" alarm a profiling engine
+    * exists to raise: full-outer join of the two [[flatSchema]]
+    * reports on path, each path tagged `added` / `removed` /
+    * `type_changed` / `kept` with both type tags carried. Both inputs
+    * reduce map-side to ONE row per partition before the diff (the
+    * flatSchema shape), so the join is schema-sized — ≤ paths rows —
+    * whatever the corpora weigh; run it between yesterday's and
+    * today's landing zone and alert on anything ≠ kept.
+    */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val o = flatSchema(oldDf).withColumnRenamed("type_tag", "old_tag")
+    val n = flatSchema(newDf).withColumnRenamed("type_tag", "new_tag")
+    o.join(n, Seq("path"), "full_outer")
+      .select(col("path"),
+        when(col("old_tag").isNull, lit("added"))
+          .when(col("new_tag").isNull, lit("removed"))
+          .when(col("old_tag") =!= col("new_tag"), lit("type_changed"))
+          .otherwise(lit("kept")).as("status"),
+        col("old_tag"), col("new_tag"))
+      .orderBy("path")
+  }
+
   /** Hierarchical schema render: flat dotted paths → nested JSON object
     * (`core/analyser.py:324-333` `schema_to_hierarchical`). Pure driver
     * function over the (small) flat-schema result.

@@ -1244,6 +1244,15 @@ object Similarity {
       .withColumn("crn", row_number().over(qw))
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("pcid"), col("_qu"))
+    serveSq8(codes, probes, k)
+  }
+
+  /** The serving tail shared by [[ivfSq8TopK]] and
+    * [[ivfSq8TopKServed]]: probed lists join the coded corpus,
+    * asymmetric integer scoring, per-query rank.
+    */
+  private def serveSq8(codes: DataFrame, probes: DataFrame,
+                       k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_d2_micro2").asc, col("neighbor_id").asc)
     codes.join(broadcast(probes),
@@ -1255,5 +1264,56 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
+  }
+
+  /** [[ivfSq8TopK]] through a PERSISTED index — the serving claim
+    * made real instead of asserted: the byte-coded corpus WRITES to
+    * `indexDir` partitioned by its coarse list id (`ccid=<n>/`
+    * directories — at 100 TB a query batch physically reads only its
+    * probed lists' partitions), then the query side runs against the
+    * read-back table. Codes, routing and scoring are deterministic
+    * integers, so the served answer is bit-equal to the direct
+    * [[ivfSq8TopK]] — the declared round-trip row pins that against
+    * the same oracle. Build once, serve many: the corpus is scanned
+    * only by the build.
+    */
+  def ivfSq8TopKServed(corpus: DataFrame, queries: DataFrame,
+                       indexDir: String, k: Int = 5,
+                       nlist: Int = 8, nprobe: Int = 2,
+                       levels: Int = 256, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val coarse = broadcast(ivfCentroids(corpus, nlist, idCol, vecCol))
+    val micro = transform(col(vecCol),
+      v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
+    val ranges = sq8Ranges(
+      corpus.select(col(idCol).as("vec_id"), micro.as("u")))
+    if (ranges.isEmpty)
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0L).as("approx_d2_micro2"),
+        lit(0L).as("rank")).limit(0)
+    val recon = sq8Recon(ranges, levels)
+    val aw = Window.partitionBy("id")
+      .orderBy(col("cscore").desc, col("ccid").asc)
+    graft.util.Utils.spread(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("_v"), micro.as("u"))
+      .join(coarse.select(col("cid").as("ccid"), col("cvec")))
+      .withColumn("cscore", cosine(col("_v"), col("cvec")))
+      .withColumn("crn", row_number().over(aw))
+      .filter(col("crn") === 1)
+      .select(col("id").as("neighbor_id"), col("ccid"), recon.as("_r"))
+      .write.mode("overwrite").partitionBy("ccid").parquet(indexDir)
+    val codes = corpus.sparkSession.read.parquet(indexDir)
+      .select(col("neighbor_id"), col("ccid").cast(LongType), col("_r"))
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("pcid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_q"),
+        micro.as("_qu"))
+      .join(coarse.select(col("cid").as("pcid"), col("cvec")))
+      .withColumn("cscore", cosine(col("_q"), col("cvec")))
+      .withColumn("crn", row_number().over(qw))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("pcid"), col("_qu"))
+    serveSq8(codes, probes, k)
   }
 }

@@ -404,6 +404,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(part.nonEmpty && (part & fullSet).nonEmpty)
     assert(Similarity.ivfSq8TopK(clustered.limit(0), queries)
       .count() == 0L)
+    // the persisted ccid-partitioned index serves the SAME answer as
+    // the direct plan — codes/routing/scoring are all deterministic
+    // integers, so the round-trip is bit-equal
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfsq8_spec").toString
+    val served = Similarity.ivfSq8TopKServed(clustered, queries, dir,
+        k = 5, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val direct = Similarity.ivfSq8TopK(clustered, queries, k = 5,
+        nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(served == direct && direct.nonEmpty)
+    // and the on-disk layout really is one directory per coarse list
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("ccid=")).map(_.getName).sorted
+    assert(parts.nonEmpty && parts.forall(_.matches("ccid=\\d+")))
   }
 
   test("trained PQ: k-means with one seed per vector is a fixed point " +

@@ -83,6 +83,24 @@ class ProfilerSpec extends AnyFunSuite {
     assert(fs("nested.city") == "str")
   }
 
+  test("schemaDiff: identical snapshots are all-kept; a mutated one " +
+      "reports added/removed/type_changed with both tags carried") {
+    val same = Profiler.schemaDiff(df, df).collect()
+    assert(same.nonEmpty && same.forall(_.getString(1) == "kept"))
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    val mutated = df.drop("tags")
+      .withColumn("score", c("score").cast("string"))
+      .withColumn("extra", l(1L))
+    val got = Profiler.schemaDiff(df, mutated).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), Option(r.getString(2)), Option(r.getString(3))))
+      .toMap
+    assert(got("tags") == (("removed", Some("array<str>"), None)))
+    assert(got("extra") == (("added", None, Some("int64"))))
+    assert(got("score") == (("type_changed", Some("int32"), Some("str"))))
+    assert(got("name") == (("kept", Some("str"), Some("str"))))
+  }
+
   // flat→hierarchical pivot cases from tests/core/test_analyser.py:258-293
   val pivotCases: Seq[(Seq[(String, String)], String)] = Seq(
     (Seq("a" -> "int32"),

@@ -54,6 +54,7 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_ivfpq_probe1" -> "codebook ranks over bounded samples",
       "ann_ivfsq8_topk" -> "centroid rank over limit(nlist) rows",
       "ann_ivfsq8_probe1" -> "centroid rank over limit(nlist) rows",
+      "ann_index_roundtrip" -> "centroid rank over limit(nlist) rows",
       // marginal-CDF cumsums run over the bin HISTOGRAM (≤ bins rows
       // post-aggregation), never the corpus — the sort-free design
       "quality_blend" -> "bin-histogram cumsum, ≤ bins rows",
@@ -104,6 +105,7 @@ class WindowAuditSpec extends AnyFunSuite {
       // coarse routing: corpus x broadcast nlist-row centroid table
       "ann_ivfsq8_topk" -> "centroid table is nlist rows",
       "ann_ivfsq8_probe1" -> "centroid table is nlist rows",
+      "ann_index_roundtrip" -> "centroid table is nlist rows",
       // label-inequality join against the broadcast query batch
       "hard_negatives" -> "corpus x broadcast query batch",
       // scalar-subquery pattern: the broadcast side is ONE row (the
