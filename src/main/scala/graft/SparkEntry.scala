@@ -297,6 +297,21 @@ object SparkEntry {
       JsonProfiler.profileStats(Tables.load(s, d, "events"), "props")),
     "json_types_props" -> ((s, d) =>
       JsonProfiler.typeHistogram(Tables.load(s, d, "events"), "props")),
+    // the LIVE schemaless-profile twin: events' props column replayed
+    // as a real stream through the JsonExplode stager, daily (window,
+    // path, vtag) count slices merging by addition to exactly the
+    // batch type histogram — the reference's core profile as a
+    // monitor, stream/batch parity oracle-pinned
+    "json_types_stream" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("ts"), col("props"))
+      val slices = graft.streaming.ProfileStream
+        .replayedSlices(ev, "ts")(st => graft.streaming.ProfileStream
+          .jsonTypeStream(st, "ts", "props"))
+      slices.groupBy(col("path"), col("vtag"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .orderBy("path", "vtag")
+    }),
     // — raw schemaless JSON-lines collection, end-to-end: a genuinely
     // mixed-type jsonl file (field `val` is int32 in one doc, str in
     // the next; `flag` flips bool/null; arrays appear in 1/5 docs) is
@@ -3905,6 +3920,12 @@ object SparkEntry {
                AS num_max
       FROM events"""),
     "json_types_props" -> ("""
+      SELECT 'k' AS path, 'int32' AS vtag,
+             COUNT(json_extract_string(props, '$.k')) AS cnt
+      FROM events"""),
+    // closed slices merge to exactly the batch histogram (the
+    // stream/batch parity contract of every stager family)
+    "json_types_stream" -> ("""
       SELECT 'k' AS path, 'int32' AS vtag,
              COUNT(json_extract_string(props, '$.k')) AS cnt
       FROM events"""),

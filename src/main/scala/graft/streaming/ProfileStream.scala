@@ -869,6 +869,34 @@ object ProfileStream {
         col(groupCol), col("n_tokens"), col("n_oov"))
   }
 
+  /** Streaming JSON type-histogram stager — the reference's core
+    * schemaless-document profile as a LIVE monitor: per event-time
+    * window, one count row per (path, value-type tag) of the exploded
+    * JSON column ([[graft.plans.JsonExplode]] runs unchanged inside
+    * the stream). State is schema-sized — (windows × paths × tags)
+    * count rows, never document-sized — and counts merge by addition,
+    * so closed slices roll up to exactly the batch
+    * [[graft.operators.JsonProfiler.typeHistogram]] (`json_types_
+    * stream` pins that as a declared oracle row). Diff a slice's
+    * (path, vtag) set against the frozen contract and you have the
+    * "producer started sending a new field / re-typed one" alarm the
+    * batch [[graft.operators.Profiler.schemaDiff]] raises offline.
+    */
+  def jsonTypeStream(stream: DataFrame, tsCol: String,
+                     jsonCol: String, windowDur: String = "1 day",
+                     watermarkDur: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .select(col(tsCol),
+        graft.plans.JsonExplode.jsonExplode(col(jsonCol), false)
+          .as(Seq("path", "vstr", "vnum", "vtag")))
+      .groupBy(window(col(tsCol), windowDur), col("path"), col("vtag"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col("path"), col("vtag"), col("cnt"))
+
   def freqSketchStream(stream: DataFrame, tsCol: String, key: String,
                        cap: Int, windowDur: String = "1 day",
                        watermarkDur: String = "1 hour"): DataFrame =

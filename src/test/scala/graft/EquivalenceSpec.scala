@@ -537,6 +537,35 @@ class EquivalenceSpec extends AnyFunSuite {
     assert(fromShifted == fromStage)
   }
 
+  test("jsonTypeStream: per-window (path, vtag) counts over a " +
+      "genuinely mixed-type JSON stream merge to exactly the batch " +
+      "typeHistogram") {
+    // field `v` is int in one doc, str in the next; `x` appears only
+    // in window 2; nulls and arrays exercise the tag space
+    val rows = Seq(
+      (1L, "2024-01-01 00:10:00", """{"v": 1, "flag": true}"""),
+      (2L, "2024-01-01 00:20:00", """{"v": "s", "flag": null}"""),
+      (3L, "2024-01-02 00:10:00", """{"v": 2, "x": [1, 2]}"""),
+      (4L, "2024-01-02 00:20:00", """{"v": 2.5}"""))
+    def toDf(rs: Seq[(Long, String, String)]) =
+      rs.toDF("doc_id", "ts", "doc")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    val slices = ProfileStream.replayedSlices(toDf(rows), "ts")(st =>
+      ProfileStream.jsonTypeStream(st, "ts", "doc"))
+    // two daily windows, each carrying its own (path, vtag) counts
+    assert(slices.select("slice_start").distinct().count() == 2)
+    val merged = slices.groupBy("path", "vtag")
+      .agg(sum("cnt").as("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.JsonProfiler
+      .typeHistogram(toDf(rows), "doc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(merged == batch && batch.map(_._1).contains("v"))
+    // the mixed-type property the stager must preserve: `v` carries
+    // more than one tag
+    assert(batch.filter(_._1 == "v").map(_._2).size >= 2)
+  }
+
   test("contaminationStream: closed windows carry exactly the batch " +
       "leak counts per (window, test doc) on a replayed doc stream") {
     import graft.operators.TextAnalysis
