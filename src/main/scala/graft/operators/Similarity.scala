@@ -1302,8 +1302,6 @@ object Similarity {
       .filter(col("crn") === 1)
       .select(col("id").as("neighbor_id"), col("ccid"), recon.as("_r"))
       .write.mode("overwrite").partitionBy("ccid").parquet(indexDir)
-    val codes = corpus.sparkSession.read.parquet(indexDir)
-      .select(col("neighbor_id"), col("ccid").cast(LongType), col("_r"))
     val qw = Window.partitionBy("query_id")
       .orderBy(col("cscore").desc, col("pcid").asc)
     val probes = queries
@@ -1314,6 +1312,17 @@ object Similarity {
       .withColumn("crn", row_number().over(qw))
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("pcid"), col("_qu"))
+    // the probed list ids become a LITERAL partition filter on the
+    // read-back scan (≤ nlist longs of driver state), so lists no
+    // query probes are physically unread — static partition pruning
+    // the plan spec pins, not a hoped-for DPP. The batch's union of
+    // probes is a superset of every per-query join key, so the filter
+    // never changes the answer.
+    val probedLists = probes.select(col("pcid")).distinct()
+      .collect().map(_.getLong(0))
+    val codes = corpus.sparkSession.read.parquet(indexDir)
+      .filter(col("ccid").isin(probedLists: _*))
+      .select(col("neighbor_id"), col("ccid").cast(LongType), col("_r"))
     serveSq8(codes, probes, k)
   }
 }

@@ -485,6 +485,25 @@ class PlanSpec extends AnyFunSuite {
       "probes must broadcast to the coded corpus")
   }
 
+  test("ivfSq8TopKServed: the read-back scan carries a ccid " +
+      "partition filter — unprobed lists are physically unread") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val ixDir = java.nio.file.Files
+      .createTempDirectory("ivfsq8_plan").toString
+    val df = graft.operators.Similarity.ivfSq8TopKServed(e, q, ixDir,
+      k = 5)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("ivfsq8_plan")) => s
+    }
+    assert(scans.nonEmpty, "expected a scan over the persisted index")
+    assert(scans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "ccid"))),
+      s"index scan must prune on ccid: ${scans.head.metadata}")
+  }
+
   test("fuzzyPairs: blocking is an EQUI-join (no nested-loop, no " +
       "cartesian) and the block census joins back without a " +
       "sort-merge of the corpus") {
