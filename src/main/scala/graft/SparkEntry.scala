@@ -46,6 +46,19 @@ object SparkEntry {
     // string, session_id added) so the diff exercises all four
     // statuses; both sides reduce to schema-sized frames before the
     // full-outer join
+    // exact correlation sufficient statistics over integer-unit
+    // lineitem columns (quantity, discount %, tax %, line number) —
+    // the engine-reproducible EDA matrix; round-6 Pearson derives in
+    // corrPpm (spec-tested, deliberately not the hashed surface)
+    "corr_stats_lineitem" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem").select(
+        round(col("l_discount") * 100, 0).cast("long").as("disc_pct"),
+        col("l_linenumber").cast("long").as("linenum"),
+        round(col("l_quantity"), 0).cast("long").as("qty"),
+        round(col("l_tax") * 100, 0).cast("long").as("tax_pct"))
+      Profiler.corrStats(li,
+        Seq("disc_pct", "linenum", "qty", "tax_pct"))
+    }),
     "schema_diff" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
       Profiler.schemaDiff(ev,
@@ -4134,6 +4147,34 @@ object SparkEntry {
       UNION ALL SELECT 'user_id', 'int64'
       UNION ALL SELECT 'value', 'double'
       ORDER BY path"""),
+    // exact integer sufficient statistics per column pair — every
+    // SUM CAST to BIGINT (the HUGEINT lesson), pairs in lexicographic
+    // order
+    "corr_stats_lineitem" -> {
+      val pairs = {
+        val cs = Seq("disc_pct", "linenum", "qty", "tax_pct")
+        for { i <- cs.indices; j <- (i + 1) until cs.size }
+          yield (cs(i), cs(j))
+      }
+      val arms = pairs.map { case (x, y) =>
+        s"""SELECT '$x' AS col_x, '$y' AS col_y,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM($x) AS BIGINT) AS sum_x,
+           CAST(SUM($y) AS BIGINT) AS sum_y,
+           CAST(SUM($x * $y) AS BIGINT) AS sum_xy,
+           CAST(SUM($x * $x) AS BIGINT) AS sum_x2,
+           CAST(SUM($y * $y) AS BIGINT) AS sum_y2 FROM t"""
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH t AS (SELECT
+          CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+          CAST(l_linenumber AS BIGINT) AS linenum,
+          CAST(round(l_quantity) AS BIGINT) AS qty,
+          CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+        FROM lineitem)
+      $arms
+      ORDER BY col_x, col_y"""
+    },
     // the deterministic mutation fixture's expected diff (the
     // schema_flat_events constant-table precedent): every status
     // exercised, NULL tags on the one-sided rows

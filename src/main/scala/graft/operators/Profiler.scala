@@ -452,6 +452,84 @@ object Profiler {
       .orderBy("path")
   }
 
+  /** Exact pairwise correlation SUFFICIENT STATISTICS over integer-
+    * unit numeric columns — the "which fields move together" EDA
+    * matrix, emitted as integers so the answer is engine-reproducible
+    * (a float `corr()` accumulates in reduction order and never
+    * hash-matches across engines). Callers pass columns ALREADY in
+    * integer units (counts, cents, permille — the profile family's
+    * micro-izing discipline); rows with a NULL in either column of a
+    * pair drop from that pair only, the standard pairwise-complete
+    * convention. Output per (x, y) pair with x < y lexicographically:
+    * (col_x, col_y, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2).
+    *
+    * Pearson r falls out as (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²ᵗ)(n·Σy²
+    * − Σy²ᵗ)) — [[corrPpm]] derives it as a round-6 double for human
+    * use; the DECLARED oracle row hashes only the exact integer
+    * stats, because casting wide integers to double is exactly where
+    * engines double-round apart (the q1@sf1 lesson).
+    *
+    * Scale shape: ONE map-side-combined global aggregate with
+    * pairs × 6 integer lanes (k columns → k·(k−1)/2 pairs) — no
+    * shuffle beyond the single agg row, the flatSchema explode
+    * pattern turning lanes back into rows. 64-bit overflow bound:
+    * |x·y| · rows must stay under 2⁶³ ≈ 9.2·10¹⁸ — at 10¹² rows that
+    * allows |x·y| ≤ 9·10⁶, so keep units small (permille, not micro)
+    * or pre-aggregate; the bound is the caller's contract and this
+    * docstring is where it is stated.
+    */
+  def corrStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrStats needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val lanes = pairs.zipWithIndex.flatMap { case ((x, y), p) =>
+      val cx = col(x).cast(LongType)
+      val cy = col(y).cast(LongType)
+      val both = cx.isNotNull && cy.isNotNull
+      def s(e: Column, name: String) =
+        sum(when(both, e).otherwise(lit(null))).as(s"p${p}_$name")
+      Seq(
+        count(when(both, lit(1))).as(s"p${p}_n"),
+        s(cx, "sx"), s(cy, "sy"), s(cx * cy, "sxy"),
+        s(cx * cx, "sx2"), s(cy * cy, "sy2"))
+    }
+    val agged = df.agg(lanes.head, lanes.tail: _*)
+    val entries = pairs.zipWithIndex.map { case ((x, y), p) =>
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        col(s"p${p}_n").cast(LongType).as("n"),
+        coalesce(col(s"p${p}_sx"), lit(0L)).cast(LongType).as("sum_x"),
+        coalesce(col(s"p${p}_sy"), lit(0L)).cast(LongType).as("sum_y"),
+        coalesce(col(s"p${p}_sxy"), lit(0L)).cast(LongType)
+          .as("sum_xy"),
+        coalesce(col(s"p${p}_sx2"), lit(0L)).cast(LongType)
+          .as("sum_x2"),
+        coalesce(col(s"p${p}_sy2"), lit(0L)).cast(LongType)
+          .as("sum_y2"))
+    }
+    agged.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.*")).orderBy("col_x", "col_y")
+  }
+
+  /** Pearson r (round-6 double) derived from [[corrStats]] rows —
+    * the human-facing matrix; constant columns (zero variance) yield
+    * NULL. Spec-tested against hand calculation; deliberately NOT the
+    * hashed oracle surface (see [[corrStats]]).
+    */
+  def corrPpm(stats: DataFrame): DataFrame = {
+    val dx = col("n") * col("sum_x2") - col("sum_x") * col("sum_x")
+    val dy = col("n") * col("sum_y2") - col("sum_y") * col("sum_y")
+    stats.select(col("col_x"), col("col_y"), col("n"),
+      // explicit zero-variance guard: dx/dy are ≥ 0 by Cauchy-Schwarz
+      // and ANSI mode errors on /0 rather than yielding NaN
+      when(dx > 0 && dy > 0, round(
+        (col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double")), 6))
+        .as("corr"))
+      .orderBy("col_x", "col_y")
+  }
+
   /** Schema-drift report between two corpus snapshots — the "did the
     * upstream producer change the contract" alarm a profiling engine
     * exists to raise: full-outer join of the two [[flatSchema]]

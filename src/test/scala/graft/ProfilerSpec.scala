@@ -83,6 +83,31 @@ class ProfilerSpec extends AnyFunSuite {
     assert(fs("nested.city") == "str")
   }
 
+  test("corrStats: hand-checked integer sufficient statistics with " +
+      "pairwise-complete NULL handling; corrPpm matches the closed " +
+      "form, +1 on a perfect line, NULL on a constant column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val t = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 2L, 7L), (2L, 4L, 7L), (3L, 6L, 7L),
+      (4L, null, 7L))            // y NULL: drops from (x,y) only
+      .toDF("x", "y", "k")
+    val stats = Profiler.corrStats(t, Seq("k", "x", "y")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // (x, y): 3 complete rows; Σx=6 Σy=12 Σxy=28 Σx²=14 Σy²=56
+    assert(stats(("x", "y")) == ((3L, 6L, 12L, 28L, 14L, 56L)))
+    // (k, x): all 4 rows, k constant 7
+    assert(stats(("k", "x")) == ((4L, 28L, 10L, 70L, 196L, 30L)))
+    val corr = Profiler.corrPpm(
+        Profiler.corrStats(t, Seq("k", "x", "y"))).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(corr(("x", "y")) == Some(1.0))     // y = 2x exactly
+    assert(corr(("k", "x")).isEmpty)          // zero variance → NULL
+  }
+
   test("schemaDiff: identical snapshots are all-kept; a mutated one " +
       "reports added/removed/type_changed with both tags carried") {
     val same = Profiler.schemaDiff(df, df).collect()
