@@ -566,20 +566,21 @@ object Dedup {
     * one explode + groupBy with 60 conditional sums — map-side partial
     * aggregation keeps the shuffle at one row per document.
     */
+  /** Per-document 60-bit SimHash as a pure PROJECTION — the
+    * [[graft.functions.SimHash64]] compiled row-local fold over the
+    * distinct token array. No token explode, no 60-lane per-doc
+    * groupBy, no shuffle: at 100 TB the signature pass is exactly one
+    * corpus scan. Bit-identical to the explode + vote-aggregate
+    * composition (spec-pinned), so the DuckDB oracle replays
+    * unchanged; token-less docs drop, mirroring the explode path.
+    */
   def simhash(df: DataFrame, textCol: String = "text",
-              idCol: String = "doc_id"): DataFrame = {
-    val tok = graft.util.Utils.spread(df).select(col(idCol).as("id"),
-      explode(array_distinct(tokens(col(textCol)))).as("tok"))
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType)
-    val withBits = tok.withColumn("h", h)
-    val votes = (0 until 60).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"b$j"))
-    val agg = withBits.groupBy("id").agg(votes.head, votes.tail: _*)
-    val sim = (0 until 60).map(j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col("id"), sim.as("simhash"))
-  }
+              idCol: String = "doc_id"): DataFrame =
+    graft.util.Utils.spread(df)
+      .select(col(idCol).as("id"),
+        graft.functions.SimHash64.simHash64(
+          array_distinct(tokens(col(textCol)))).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
     * the pigeonhole block trick: split 60 bits into maxDist+1 blocks —

@@ -58,6 +58,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ham(sims(0L), sims(1L)) < ham(sims(0L), sims(3L)))
   }
 
+  test("SimHash64: the compiled row-local fold is bit-identical to " +
+      "the explode + 60-lane vote-aggregate composition, and a " +
+      "token-less doc drops like the explode path") {
+    import graft.operators.TextAnalysis
+    val withEmpty = df.select("doc_id", "text").unionByName(
+      Seq((99L, "")).toDF("doc_id", "text"))
+    val fast = Dedup.simhash(withEmpty).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the pre-round-10 declarative twin, inlined
+    val tok = withEmpty.select(col("doc_id").as("id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text"))))
+        .as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"b$j"))
+    val slow = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), (0 until 60).map(j =>
+        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow && fast.nonEmpty)
+    assert(!fast.contains(99L))
+  }
+
   test("simhashNearDups: hot buckets capped to exact-simhash chains") {
     // degenerate corpus: 40 verbatim copies — every pigeonhole block
     // lands in one bucket, which the cap must route to O(m) chain
