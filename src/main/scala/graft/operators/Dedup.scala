@@ -432,27 +432,25 @@ object Dedup {
       numHashes)
 
   /** Signatures from a prebuilt (id, sh: array<string>) shingle-set
-    * DataFrame — lets callers that also need the sets (LSH verify)
-    * compute the expensive shingle projection exactly once.
+    * DataFrame — a pure projection via the compiled
+    * [[graft.functions.MinHashSig]] row-local fold (no explode, no
+    * per-doc groupBy, no shuffle). Docs with an empty shingle set
+    * (< n tokens) get NO signature row — MinHashSig yields NULL there
+    * and the filter drops them, exactly like the former explode path:
+    * an all-null signature would band-key every short doc to md5("")
+    * and collide them all into one LSH bucket per band (a skew
+    * hotspot), and the DuckDB oracle's unnest-based CTE omits them
+    * too.
     */
-  def signaturesFromSets(sets: DataFrame, numHashes: Int = 8): DataFrame = {
-    require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
-    val nMd5 = numHashes / 4
-    // Docs with an empty shingle set (< n tokens) get NO signature row:
-    // `explode` drops them here. An all-null signature would band-key
-    // every short doc to md5("") and collide them all into one LSH
-    // bucket per band (a skew hotspot), and the DuckDB oracle's
-    // unnest-based CTE omits them too.
-    val ex = sets.select(col("id"), explode(col("sh")).as("x"))
-    val hashed = ex.select(col("id") +: (0 until nMd5).map(g =>
-      md5(concat(lit(s"$g:"), col("x"))).as(s"h$g")): _*)
-    val mins = (0 until numHashes).map { j =>
-      min(substring(col(s"h${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"m$j")
-    }
-    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+  def signaturesFromSets(sets: DataFrame, numHashes: Int = 8): DataFrame =
+    // the short-doc drop runs on size(sh) BEFORE the hash expression:
+    // filtering on the expression's null output would inline a second
+    // full evaluation into the Filter (the CollapseProject trap the
+    // minhashNearDups comment documents)
+    sets.filter(size(col("sh")) > 0)
       .select(col("id"),
-        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
-  }
+        graft.functions.MinHashSig.minHashSig(col("sh"), numHashes)
+          .getField("sig").as("sig"))
 
   /** Row-local minhash signature — the SAME lanes as
     * [[minhashSignatures]] (min over shingles of an 8-hex slice of
@@ -510,23 +508,24 @@ object Dedup {
                       bands: Int = 4, threshold: Double = 0.5,
                       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
-    val nMd5 = numHashes / 4
-    val ex = graft.util.Utils.spread(df).select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol)))).as("x"))
-    val hashed = ex.select(col("id") +: xxhash64(col("x")).as("hx") +:
-      (0 until nMd5).map(g =>
-        md5(concat(lit(s"$g:"), col("x"))).as(s"h$g")): _*)
-    val mins = (0 until numHashes).map { j =>
-      min(substring(col(s"h${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"m$j")
-    }
-    // map-side partial agg collapses the shuffle to one row per doc;
-    // hx values are already distinct per doc (array_distinct upstream)
-    val sigd = hashed.groupBy("id")
-      .agg(mins.head, (mins.tail :+ collect_list(col("hx")).as("hs")): _*)
-      .select(col("id"),
-        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"),
-        col("hs"))
+    // ONE compiled row-local pass builds the signature AND the
+    // xxhash64'd shingle set (for the verify step): a pure projection
+    // — no shingle explode, no per-doc groupBy shuffle. hs values are
+    // distinct per doc (array_distinct upstream); short docs drop via
+    // the NULL filter, the former explode semantics. The STRUCT
+    // column persists as-is and the field extraction happens on the
+    // cached rows: extracting (or null-filtering) pre-persist lets
+    // Catalyst inline the expression into every consumer — measured
+    // 3× the hash work per row (filter + two getFields = three
+    // evaluations).
+    val sigd = graft.util.Utils.spread(df)
+      .select(col(idCol).as("id"),
+        graft.functions.MinHashSig.minHashSig(
+          array_distinct(shingles(col(textCol))), numHashes).as("_sg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+      .filter(col("_sg").isNotNull)
+      .select(col("id"), col("_sg").getField("sig").as("sig"),
+        col("_sg").getField("hs").as("hs"))
     val bandsDf = minhashBands(sigd.select(col("id"), col("sig")),
       numHashes, bands)
     // bucket cap as groupBy count → anti-join (AQE broadcasts the tiny
