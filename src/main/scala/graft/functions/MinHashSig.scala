@@ -54,7 +54,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(0xFFFFFFFFL + 1)   // > any uint32
     val hs = new Array[Long](n)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = SimHash64.md5.get()
     var m = 0
     var i = 0
     while (i < n) {

@@ -42,7 +42,7 @@ case class SimHash64(child: Expression)
     val n = arr.numElements()
     var seen = false
     val votes = new Array[Int](60)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = SimHash64.md5.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
@@ -80,4 +80,13 @@ object SimHash64 {
   /** Column-level entry point: `sim_hash64(distinctTokens)`. */
   def simHash64(tokens: Column): Column =
     Shims.column(SimHash64(Shims.expression(tokens)))
+
+  /** Per-thread MD5 instance shared by the hash expressions: a
+    * `getInstance` per ROW is a provider lookup + allocation on the
+    * hot path, and one shared instance would race across concurrently
+    * evaluating tasks (MessageDigest is stateful).
+    */
+  private[functions] val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
 }

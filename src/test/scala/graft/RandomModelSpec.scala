@@ -24,6 +24,53 @@ class RandomModelSpec extends AnyFunSuite {
         Seq.fill(len)("w" + rnd.nextInt(vocab)).mkString(" "))
     }
 
+  test("SimHash64 / MinHashSig match their declarative twins on " +
+      "random unicode corpora (multi-byte tokens, empties, repeats)") {
+    val glyphs = Seq("wörd", "प्रलेख", "数据", "Ωmega", "a", "b-c", "наб")
+    for (_ <- 1 to 3) {
+      val corpus = (0 until rnd.nextInt(60) + 20).map { i =>
+        val len = rnd.nextInt(10)   // includes < 3-token (shingle-less)
+        (i.toLong, Seq.fill(len)(
+          glyphs(rnd.nextInt(glyphs.size)) + rnd.nextInt(5))
+          .mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      // SimHash: expression vs explode + 60-lane vote aggregate
+      val fast = Dedup.simhash(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val tok = df.select(col("doc_id").as("id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text"))))
+            .as("tok"))
+        .withColumn("h",
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      val votes = (0 until 60).map(j =>
+        sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"b$j"))
+      val slow = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+        .select(col("id"), (0 until 60).map(j =>
+          when(col(s"b$j") > 0, shiftleft(lit(1L), j))
+            .otherwise(lit(0L))).reduce(_.bitwiseOR(_)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == slow)
+      // MinHash: expression lanes vs explode + min aggregate lanes
+      val sets = df.select(col("doc_id").as("id"),
+        array_distinct(TextAnalysis.shingles(col("text"))).as("sh"))
+      val sigFast = Dedup.signaturesFromSets(sets).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      val ex = sets.select(col("id"), explode(col("sh")).as("x"))
+        .select(col("id") +: (0 until 2).map(g =>
+          md5(concat(lit(s"$g:"), col("x"))).as(s"h$g")): _*)
+      val mins = (0 until 8).map(j =>
+        min(substring(col(s"h${j / 4}"), (j % 4) * 8 + 1, 8))
+          .as(s"m$j"))
+      val sigSlow = ex.groupBy("id").agg(mins.head, mins.tail: _*)
+        .select(col("id"), array((0 until 8).map(j =>
+          col(s"m$j")): _*).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList)
+        .toMap
+      assert(sigFast == sigSlow)
+    }
+  }
+
   test("packSequences matches the naive per-shard prefix-sum model " +
       "on random corpora") {
     for (_ <- 1 to 3) {
