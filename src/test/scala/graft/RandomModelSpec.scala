@@ -24,6 +24,28 @@ class RandomModelSpec extends AnyFunSuite {
         Seq.fill(len)("w" + rnd.nextInt(vocab)).mkString(" "))
     }
 
+  test("leakSafeSplit on random corpora: a partition of the corpus, " +
+      "no near-dup pair ever straddles, singletons == splitAssign") {
+    for (_ <- 1 to 2) {
+      val corpus = randomCorpus(rnd.nextInt(120) + 60, vocab = 8)
+      val df = corpus.toDF("doc_id", "text")
+      val out = Dedup.leakSafeSplit(df, threshold = 0.3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(out.map(_._1).toSet == corpus.map(_._1).toSet)
+      val split = out.map(t => t._1 -> t._3).toMap
+      val pairs = Dedup.minhashNearDups(df, threshold = 0.3)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.forall { case (a, b) => split(a) == split(b) })
+      val perDoc = Dedup.splitAssign(df).select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val inPair = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      out.filterNot(t => inPair(t._1)).foreach { case (id, rep, s) =>
+        assert(rep == id && perDoc(id) == s)
+      }
+    }
+  }
+
   test("SimHash64 / MinHashSig match their declarative twins on " +
       "random unicode corpora (multi-byte tokens, empties, repeats)") {
     val glyphs = Seq("wörd", "प्रलेख", "数据", "Ωmega", "a", "b-c", "наб")
