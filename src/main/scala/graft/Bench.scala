@@ -98,7 +98,11 @@ object Bench {
       s"\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val ls = results.map { case (k, _, l) =>
-      s"\"" + k + "\":" + l.map(x => f"$x%.2f").mkString("[", ",", "]")
+      // Locale.ROOT: a comma-decimal default locale would render 6.2
+      // as "6,20" and silently corrupt the JSON array
+      s"\"" + k + "\":" + l.map(x => String.format(
+        java.util.Locale.ROOT, "%.2f", Double.box(x)))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.map(_._2).sum else 0.0
     val summary =

@@ -899,13 +899,18 @@ object SparkEntry {
     }),
     // the SAME index through a persisted ccid=<n>/ partitioned parquet
     // round-trip: build writes, serve reads only probed partitions —
-    // bit-equal to the direct row, against the identical oracle (a
-    // fixed overwrite path, so repeated runs don't accrete temp dirs)
+    // bit-equal to the direct row, against the identical oracle. The
+    // path is keyed by (session identity, sf dir): stable across one
+    // session's repeated runs (overwrite, no temp-dir accretion) but
+    // disjoint across concurrent sessions / data dirs, so one run's
+    // overwrite never deletes files another's scan is reading
     "ann_index_roundtrip" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
+      val key = Integer.toHexString(
+        31 * System.identityHashCode(s) + d.hashCode)
       val dir = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        "graft_ivfsq8_index").getAbsolutePath
+        s"graft_ivfsq8_index_$key").getAbsolutePath
       Similarity.ivfSq8TopKServed(e, e.filter(col("vec_id") < 20),
         dir, k = 5)
     }),
@@ -4156,14 +4161,18 @@ object SparkEntry {
         for { i <- cs.indices; j <- (i + 1) until cs.size }
           yield (cs(i), cs(j))
       }
+      // each arm restricts to both-non-null rows — the engine's
+      // pairwise-complete convention, mirrored so a future NULL in
+      // the fixture diverges in NEITHER engine rather than one
       val arms = pairs.map { case (x, y) =>
         s"""SELECT '$x' AS col_x, '$y' AS col_y,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM($x) AS BIGINT) AS sum_x,
-           CAST(SUM($y) AS BIGINT) AS sum_y,
-           CAST(SUM($x * $y) AS BIGINT) AS sum_xy,
-           CAST(SUM($x * $x) AS BIGINT) AS sum_x2,
-           CAST(SUM($y * $y) AS BIGINT) AS sum_y2 FROM t"""
+           CAST(COALESCE(SUM($x), 0) AS BIGINT) AS sum_x,
+           CAST(COALESCE(SUM($y), 0) AS BIGINT) AS sum_y,
+           CAST(COALESCE(SUM($x * $y), 0) AS BIGINT) AS sum_xy,
+           CAST(COALESCE(SUM($x * $x), 0) AS BIGINT) AS sum_x2,
+           CAST(COALESCE(SUM($y * $y), 0) AS BIGINT) AS sum_y2
+           FROM t WHERE $x IS NOT NULL AND $y IS NOT NULL"""
       }.mkString("\n      UNION ALL ")
       s"""
       WITH t AS (SELECT

@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly as its uint32 value, so the mins run as integer compares
   * and format back with `%08x`. The DuckDB oracle replays unchanged.
   */
-case class MinHashSig(child: Expression, numHashes: Int)
+case class MinHashSig(child: Expression, numHashes: Int,
+                      withHs: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(numHashes % 4 == 0 && numHashes > 0,
@@ -53,14 +54,16 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(0xFFFFFFFFL + 1)   // > any uint32
-    val hs = new Array[Long](n)
+    // sig-only callers skip the verify-set lane entirely: no xxhash64
+    // per shingle, no per-row long-array allocation
+    val hs = if (withHs) new Array[Long](n) else null
     val md = SimHash64.md5.get()
     var m = 0
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        hs(m) = XXH64.hashUnsafeBytes(
+        if (withHs) hs(m) = XXH64.hashUnsafeBytes(
           s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         val bytes = s.getBytes
         var g = 0
@@ -92,7 +95,9 @@ case class MinHashSig(child: Expression, numHashes: Int)
         j += 1
       }
       InternalRow(new GenericArrayData(sig),
-        new GenericArrayData(if (m == n) hs
+        new GenericArrayData(
+          if (!withHs) Array.emptyLongArray
+          else if (m == n) hs
           else java.util.Arrays.copyOf(hs, m)))
     }
   }
@@ -103,6 +108,8 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
 object MinHashSig {
   /** Column-level entry point: `min_hash_sig(distinctShingles, k)`. */
-  def minHashSig(shingles: Column, numHashes: Int = 8): Column =
-    Shims.column(MinHashSig(Shims.expression(shingles), numHashes))
+  def minHashSig(shingles: Column, numHashes: Int = 8,
+                 withHs: Boolean = true): Column =
+    Shims.column(
+      MinHashSig(Shims.expression(shingles), numHashes, withHs))
 }

@@ -443,14 +443,19 @@ object Dedup {
     * too.
     */
   def signaturesFromSets(sets: DataFrame, numHashes: Int = 8): DataFrame =
-    // the short-doc drop runs on size(sh) BEFORE the hash expression:
+    // the short-doc drop runs on the INPUT before the hash expression:
     // filtering on the expression's null output would inline a second
     // full evaluation into the Filter (the CollapseProject trap the
-    // minhashNearDups comment documents)
-    sets.filter(size(col("sh")) > 0)
+    // minhashNearDups comment documents). array_compact makes the
+    // guard null-element-aware — an all-null shingle array must drop
+    // exactly like the empty one (MinHashSig skips null elements, so
+    // it would yield a NULL sig row the old explode path never
+    // emitted). withHs=false skips the verify-set lane this sig-only
+    // path never reads.
+    sets.filter(size(array_compact(col("sh"))) > 0)
       .select(col("id"),
-        graft.functions.MinHashSig.minHashSig(col("sh"), numHashes)
-          .getField("sig").as("sig"))
+        graft.functions.MinHashSig.minHashSig(col("sh"), numHashes,
+          withHs = false).getField("sig").as("sig"))
 
   /** Row-local minhash signature — the SAME lanes as
     * [[minhashSignatures]] (min over shingles of an 8-hex slice of

@@ -1210,20 +1210,30 @@ object Similarity {
   def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                  nlist: Int = 8, nprobe: Int = 2, levels: Int = 256,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+                 vecCol: String = "embedding"): DataFrame =
+    ivfSq8Build(corpus, queries, nlist, nprobe, levels, idCol, vecCol)
+      .map { case (codes, probes) => serveSq8(codes, probes, k) }
+      .getOrElse(emptyTopK(queries, idCol))
+
+  /** The build head shared by [[ivfSq8TopK]] and [[ivfSq8TopKServed]]
+    * — coarse routing (nearest centroid by cosine, cid tie-break, the
+    * ivfTopK/ivfPqTopK discipline), global SQ8 ranges, row-local
+    * encode→reconstruct, and the query probe table. One definition so
+    * the served round-trip's bit-equality contract cannot drift from
+    * the direct plan. None on an empty corpus (nothing to quantize).
+    */
+  private def ivfSq8Build(corpus: DataFrame, queries: DataFrame,
+                          nlist: Int, nprobe: Int, levels: Int,
+                          idCol: String, vecCol: String)
+      : Option[(DataFrame, DataFrame)] = {
     require(levels >= 2, "levels must be >= 2")
     val coarse = broadcast(ivfCentroids(corpus, nlist, idCol, vecCol))
     val micro = transform(col(vecCol),
       v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
     val ranges = sq8Ranges(
       corpus.select(col(idCol).as("vec_id"), micro.as("u")))
-    if (ranges.isEmpty)   // empty corpus: nothing to quantize
-      return queries.select(col(idCol).as("query_id"),
-        col(idCol).as("neighbor_id"), lit(0L).as("approx_d2_micro2"),
-        lit(0L).as("rank")).limit(0)
+    if (ranges.isEmpty) return None
     val recon = sq8Recon(ranges, levels)
-    // coarse routing: nearest centroid by cosine, cid tie-break (the
-    // ivfTopK/ivfPqTopK discipline)
     val aw = Window.partitionBy("id")
       .orderBy(col("cscore").desc, col("ccid").asc)
     val codes = graft.util.Utils.spread(corpus)
@@ -1244,8 +1254,13 @@ object Similarity {
       .withColumn("crn", row_number().over(qw))
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("pcid"), col("_qu"))
-    serveSq8(codes, probes, k)
+    Some((codes, probes))
   }
+
+  private def emptyTopK(queries: DataFrame, idCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+      col(idCol).as("neighbor_id"), lit(0L).as("approx_d2_micro2"),
+      lit(0L).as("rank")).limit(0)
 
   /** The serving tail shared by [[ivfSq8TopK]] and
     * [[ivfSq8TopKServed]]: probed lists join the coded corpus,
@@ -1282,47 +1297,24 @@ object Similarity {
                        nlist: Int = 8, nprobe: Int = 2,
                        levels: Int = 256, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    val coarse = broadcast(ivfCentroids(corpus, nlist, idCol, vecCol))
-    val micro = transform(col(vecCol),
-      v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
-    val ranges = sq8Ranges(
-      corpus.select(col(idCol).as("vec_id"), micro.as("u")))
-    if (ranges.isEmpty)
-      return queries.select(col(idCol).as("query_id"),
-        col(idCol).as("neighbor_id"), lit(0L).as("approx_d2_micro2"),
-        lit(0L).as("rank")).limit(0)
-    val recon = sq8Recon(ranges, levels)
-    val aw = Window.partitionBy("id")
-      .orderBy(col("cscore").desc, col("ccid").asc)
-    graft.util.Utils.spread(corpus)
-      .select(col(idCol).as("id"), col(vecCol).as("_v"), micro.as("u"))
-      .join(coarse.select(col("cid").as("ccid"), col("cvec")))
-      .withColumn("cscore", cosine(col("_v"), col("cvec")))
-      .withColumn("crn", row_number().over(aw))
-      .filter(col("crn") === 1)
-      .select(col("id").as("neighbor_id"), col("ccid"), recon.as("_r"))
-      .write.mode("overwrite").partitionBy("ccid").parquet(indexDir)
-    val qw = Window.partitionBy("query_id")
-      .orderBy(col("cscore").desc, col("pcid").asc)
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("_q"),
-        micro.as("_qu"))
-      .join(coarse.select(col("cid").as("pcid"), col("cvec")))
-      .withColumn("cscore", cosine(col("_q"), col("cvec")))
-      .withColumn("crn", row_number().over(qw))
-      .filter(col("crn") <= nprobe)
-      .select(col("query_id"), col("pcid"), col("_qu"))
-    // the probed list ids become a LITERAL partition filter on the
-    // read-back scan (≤ nlist longs of driver state), so lists no
-    // query probes are physically unread — static partition pruning
-    // the plan spec pins, not a hoped-for DPP. The batch's union of
-    // probes is a superset of every per-query join key, so the filter
-    // never changes the answer.
-    val probedLists = probes.select(col("pcid")).distinct()
-      .collect().map(_.getLong(0))
-    val codes = corpus.sparkSession.read.parquet(indexDir)
-      .filter(col("ccid").isin(probedLists: _*))
-      .select(col("neighbor_id"), col("ccid").cast(LongType), col("_r"))
-    serveSq8(codes, probes, k)
+    ivfSq8Build(corpus, queries, nlist, nprobe, levels, idCol, vecCol)
+      .map { case (codes, probes) =>
+        codes.write.mode("overwrite").partitionBy("ccid")
+          .parquet(indexDir)
+        // the probed list ids become a LITERAL partition filter on
+        // the read-back scan (≤ nlist longs of driver state), so
+        // lists no query probes are physically unread — static
+        // partition pruning the plan spec pins, not a hoped-for DPP.
+        // The batch's union of probes is a superset of every
+        // per-query join key, so the filter never changes the answer.
+        val probedLists = probes.select(col("pcid")).distinct()
+          .collect().map(_.getLong(0))
+        val served = corpus.sparkSession.read.parquet(indexDir)
+          .filter(col("ccid").isin(probedLists: _*))
+          .select(col("neighbor_id"), col("ccid").cast(LongType),
+            col("_r"))
+        serveSq8(served, probes, k)
+      }
+      .getOrElse(emptyTopK(queries, idCol))
   }
 }

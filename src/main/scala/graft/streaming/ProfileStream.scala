@@ -758,8 +758,16 @@ object ProfileStream {
     // host it on tmpfs when the box has one: same code path, same
     // semantics, the fsyncs hit RAM. Falls back to java.io.tmpdir.
     val shm = java.nio.file.Paths.get("/dev/shm")
+    // capacity guard, not just writability: Docker defaults /dev/shm
+    // to 64 MB — writable, but an sf0.1 replay (input parquet +
+    // checkpoint + state deltas) would ENOSPC mid-stream where
+    // java.io.tmpdir succeeds. Require comfortable headroom.
+    val shmUsable =
+      try java.nio.file.Files.isWritable(shm) &&
+        java.nio.file.Files.getFileStore(shm).getUsableSpace > (4L << 30)
+      catch { case _: java.io.IOException => false }
     val dir =
-      (if (java.nio.file.Files.isWritable(shm))
+      (if (shmUsable)
         java.nio.file.Files.createTempDirectory(shm, "graft_replay")
       else java.nio.file.Files.createTempDirectory("graft_replay"))
         .toString
