@@ -81,8 +81,18 @@ object Bench {
       // budget and the artifact then disagrees >2x with a same-box
       // re-run — so any query whose min-of-2 exceeds 2s buys a third
       // run unconditionally, as does a >2x disagreement on >1s work.
+      // Load blind spot (BENCH_r10): an externally loaded window can
+      // inflate BOTH runs without tripping either trigger (q3_join_topk
+      // recorded [3.32, 1.87] under loadavg 2.4-12 — min 1.87 shipped
+      // as a phantom 3.76x regression). When the 1-min loadavg sampled
+      // at query start exceeds cpus/8 (4 on the 32-core target box),
+      // every query buys the third run: on a calm box this costs
+      // nothing, and under load the extra sample is the cheapest
+      // insurance against grading noise as regression.
+      val loaded = l0 > cpus.toDouble / 8.0
       val times =
-        if (two.min > 2.0 || (two.min > 1.0 && two.max > 2 * two.min))
+        if (loaded || two.min > 2.0 ||
+            (two.min > 1.0 && two.max > 2 * two.min))
           two :+ once()
         else two
       System.gc()
@@ -109,14 +119,31 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"loadavg":$ls,"sf":"$sfDir"}"""
-    // the driver-required summary prints FIRST **and LAST**: BENCH_r07/
-    // r08 lost a head-only print to stdout-TAIL capture, r9 lost the
-    // head print because the long per-run line pushed it out of the
-    // tail window — bracketing the dump makes it survive either
-    // truncation direction (plus the file below as the loss-proof copy)
+    // The driver captures only the LAST 2000 chars of stdout (BENCH_r10's
+    // "tail" field is exactly 2000 chars and visibly starts mid-line),
+    // and sbt appends a ~75-char "[success] Total time" line after our
+    // output. A 171-entry per-query map is ~7 KB full-precision and
+    // still ~4.4 KB rounded to 3 decimals — NO per-query line can ever
+    // fit that window, which is why BENCH_r08..r10 all shipped
+    // parsed:null despite head/bracket print ordering fixes. Print
+    // order below: full-precision line (humans + grep), rounded
+    // per-query summary (parses if a future driver widens the window),
+    // then as the ABSOLUTE LAST line a queries-free total (~110 bytes)
+    // that is guaranteed to survive the tail intact. bench_out.json
+    // remains the loss-proof full artifact.
+    val qs3 = best.map { case (k, v) =>
+      s"\"" + k + "\":" + String.format(
+        java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
+    val rounded =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs3,"sf":"$sfDir"}"""
+    val compact = String.format(java.util.Locale.ROOT,
+      """{"metric":"total","value":%.3f,"unit":"sec","nqueries":%d,"sf":"%s","queries_file":"bench_out.json"}""",
+      Double.box(total), Int.box(best.size), sfDir)
     println(summary)
     println(line)
-    println(summary)
+    println(rounded)
+    println(compact)
     // also land the line in a file: stdout tails get truncated by log
     // capture (BENCH_r04 lost its totals line that way) — the file is
     // the loss-proof artifact

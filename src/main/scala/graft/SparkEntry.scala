@@ -900,14 +900,17 @@ object SparkEntry {
     // the SAME index through a persisted ccid=<n>/ partitioned parquet
     // round-trip: build writes, serve reads only probed partitions —
     // bit-equal to the direct row, against the identical oracle. The
-    // path is keyed by (session identity, sf dir): stable across one
-    // session's repeated runs (overwrite, no temp-dir accretion) but
-    // disjoint across concurrent sessions / data dirs, so one run's
-    // overwrite never deletes files another's scan is reading
+    // path is keyed by (process PID, session identity, sf dir):
+    // stable across one session's repeated runs (overwrite, no
+    // temp-dir accretion) but GUARANTEED disjoint across concurrent
+    // JVMs — identityHashCode alone is only probabilistically unique
+    // across processes, and a cross-JVM collision would let one run's
+    // overwrite delete files another's scan is reading
     "ann_index_roundtrip" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
-      val key = Integer.toHexString(
-        31 * System.identityHashCode(s) + d.hashCode)
+      val key = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(
+          31 * System.identityHashCode(s) + d.hashCode)
       val dir = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_ivfsq8_index_$key").getAbsolutePath

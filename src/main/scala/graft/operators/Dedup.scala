@@ -447,11 +447,14 @@ object Dedup {
     // filtering on the expression's null output would inline a second
     // full evaluation into the Filter (the CollapseProject trap the
     // minhashNearDups comment documents). array_compact makes the
-    // guard null-element-aware — an all-null shingle array must drop
-    // exactly like the empty one (MinHashSig skips null elements, so
-    // it would yield a NULL sig row the old explode path never
-    // emitted). withHs=false skips the verify-set lane this sig-only
-    // path never reads.
+    // guard null-element-aware: an all-null shingle array drops
+    // exactly like the empty one. This is an INTENTIONAL behavior
+    // change vs the old explode path — explode keeps null elements,
+    // so that path emitted an all-null-laned sig row for such docs
+    // (which then band-keyed to md5 of nulls, the same skew hotspot
+    // the empty-array guard exists to prevent); dropping aligns the
+    // all-null case with the empty-array contract. withHs=false skips
+    // the verify-set lane this sig-only path never reads.
     sets.filter(size(array_compact(col("sh"))) > 0)
       .select(col("id"),
         graft.functions.MinHashSig.minHashSig(col("sh"), numHashes,

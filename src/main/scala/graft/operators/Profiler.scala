@@ -517,13 +517,20 @@ object Profiler {
     * hashed oracle surface (see [[corrStats]]).
     */
   def corrPpm(stats: DataFrame): DataFrame = {
-    val dx = col("n") * col("sum_x2") - col("sum_x") * col("sum_x")
-    val dy = col("n") * col("sum_y2") - col("sum_y") * col("sum_y")
+    // DECIMAL(38,0) intermediates: n·sum_x2 and sum_x·sum_x are
+    // products of two 64-bit sums and silently wrap 2⁶³ in default
+    // non-ANSI Spark at ~10⁷ rows of permille-unit data — far inside
+    // corrStats's own 10¹²-row contract. Decimal keeps the derivation
+    // exact out to corrStats's full bound; only the final ratio drops
+    // to double.
+    def d(name: String) = col(name).cast("decimal(38,0)")
+    val dx = d("n") * d("sum_x2") - d("sum_x") * d("sum_x")
+    val dy = d("n") * d("sum_y2") - d("sum_y") * d("sum_y")
     stats.select(col("col_x"), col("col_y"), col("n"),
       // explicit zero-variance guard: dx/dy are ≥ 0 by Cauchy-Schwarz
       // and ANSI mode errors on /0 rather than yielding NaN
       when(dx > 0 && dy > 0, round(
-        (col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+        (d("n") * d("sum_xy") - d("sum_x") * d("sum_y"))
           .cast("double") /
           sqrt(dx.cast("double") * dy.cast("double")), 6))
         .as("corr"))
