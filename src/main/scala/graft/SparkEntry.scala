@@ -59,6 +59,20 @@ object SparkEntry {
       Profiler.corrStats(li,
         Seq("disc_pct", "linenum", "qty", "tax_pct"))
     }),
+    // grouped correlation: the same 6 integer sufficient-statistic
+    // lanes keyed by source — the mixture-audit question "does length
+    // correlate with token count differently per stratum"
+    "corr_stats_by_source" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select(
+        col("source"),
+        col("n_chars").cast("long").as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+          .as("n_units"))
+      Profiler.corrStats(docs, Seq("n_chars", "n_tokens", "n_units"),
+        groupBy = Seq("source"))
+    }),
     "schema_diff" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
       Profiler.schemaDiff(ev,
@@ -324,6 +338,29 @@ object SparkEntry {
       slices.groupBy(col("path"), col("vtag"))
         .agg(sum(col("cnt")).as("cnt"))
         .orderBy("path", "vtag")
+    }),
+    // live schema-drift alarm between consecutive closed windows,
+    // derived merge-only from the json-type stager's state. The
+    // synthetic props feed never drifts, so — exactly like the batch
+    // schema_diff's mutation fixture — the feed is a PLANTED drifting
+    // JSON column: even days send {a:int, b:str}, odd days
+    // {a:str, c:int}, exercising type_changed/removed/added on every
+    // day boundary (the oracle re-derives the same parity contract)
+    "schema_diff_stream" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val k = get_json_object(col("props"), "$.k")
+      val drifted = ev.select(col("ts"),
+        when(dayofmonth(col("ts")) % 2 === 0,
+          concat(lit("{\"a\": "), k, lit(", \"b\": \"x"), k,
+            lit("\"}")))
+        .otherwise(
+          concat(lit("{\"a\": \"s"), k, lit("\", \"c\": "), k,
+            lit("}")))
+        .as("j"))
+      val slices = graft.streaming.ProfileStream
+        .replayedSlices(drifted, "ts")(st => graft.streaming
+          .ProfileStream.jsonTypeStream(st, "ts", "j"))
+      graft.streaming.ProfileStream.schemaDiffSlices(slices)
     }),
     // — raw schemaless JSON-lines collection, end-to-end: a genuinely
     // mixed-type jsonl file (field `val` is int32 in one doc, str in
@@ -730,6 +767,27 @@ object SparkEntry {
     "token_budget_sample" -> ((s, d) =>
       Sampling.tokenBudgetSample(Tables.load(s, d, "documents"),
         "source", budgets = TokenBudgets, defaultBudget = 300L)),
+    // exact byte-BPE budget audit: whitespace-proxy vs true BPE token
+    // totals per source, under the deterministic fixture merges table
+    // (the DuckDB oracle replays the merge recursion verbatim)
+    "token_budget_bpe" -> ((s, d) =>
+      TextAnalysis.bpeBudgetReport(Tables.load(s, d, "documents"))),
+    // Cavnar-Trenkle rank-order trigram language ID per document,
+    // true label alongside for the audit join
+    "langid" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langIdNgram(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    // the production path: profiles LEARNED from the labeled corpus
+    // itself (langs x 40 rows of collected algorithm state), scoring
+    // still a row-local projection
+    "langid_learned" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      TextAnalysis.langIdLearned(docs, docs, depth = 40)
+        .select(col("doc_id"), col("lang"), col("lang_pred"))
+        .orderBy("doc_id")
+    }),
     // PII scrub over a deterministic fixture (the corpus itself is
     // synthetic word soup with no PII, so — like convert_bson and
     // multimodal_meta — the fixture plants emails/phones/IPs the
@@ -3092,6 +3150,133 @@ object SparkEntry {
         WHEN 'src0' THEN 2000 WHEN 'src1' THEN 800
         WHEN 'src2' THEN 0 ELSE 300 END
       ORDER BY doc_id"""),
+    // byte-BPE replay: the merge recursion runs per DISTINCT pre-token
+    // (BPE is a pure function of the word), one merge per recursive
+    // step — fused leftmost occurrence of the best-ranked pair, found
+    // with pure list functions (ranks per adjacent pair via
+    // list_position against the fixture merges list, min = best, its
+    // leftmost index = fuse point). MATERIALIZED stages keep DuckDB
+    // from re-inlining the corpus scan into every recursive iteration
+    // (the embedding_dedup_groups lesson). Final count per word =
+    // MIN(len(syms)) — each step removes exactly one symbol.
+    "token_budget_bpe" -> (s"""
+      WITH RECURSIVE
+      pt AS MATERIALIZED (SELECT source, unnest(regexp_extract_all(text,
+              ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS w
+            FROM documents),
+      sw AS MATERIALIZED (SELECT source, w, COUNT(*) AS c
+            FROM pt GROUP BY source, w),
+      winit AS MATERIALIZED (SELECT w,
+              regexp_extract_all(w, '(?s).') AS syms
+            FROM (SELECT DISTINCT w FROM sw)),
+      bpe(w, syms) AS (
+        SELECT w, syms FROM winit
+        UNION ALL
+        SELECT w, syms[1:pos-1] || [syms[pos] || syms[pos+1]]
+                  || syms[pos+2:]
+        FROM (
+          SELECT w, syms, list_position(ranks, list_min(ranks)) AS pos
+          FROM (SELECT w, syms,
+                  list_transform(range(1, len(syms)),
+                    i -> nullif(list_position(mk,
+                      syms[i] || chr(1) || syms[i+1]), 0)) AS ranks
+                FROM bpe,
+                  (SELECT ${graft.functions.ByteBpe.mergesSqlList}
+                     AS mk) mt)
+        ) WHERE pos IS NOT NULL AND pos > 0),
+      cnt AS MATERIALIZED (SELECT w, MIN(len(syms)) AS n
+            FROM bpe GROUP BY w),
+      bt AS (SELECT source, SUM(c * n) AS bpe
+             FROM sw JOIN cnt USING (w) GROUP BY source),
+      base AS (SELECT source, COUNT(*) AS n_docs,
+                 SUM(len($toksSql)) AS ws
+               FROM documents GROUP BY source)
+      SELECT base.source, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(COALESCE(ws, 0) AS BIGINT) AS ws_tokens,
+             CAST(COALESCE(bpe, 0) AS BIGINT) AS bpe_tokens
+      FROM base LEFT JOIN bt USING (source)
+      ORDER BY source"""),
+    // Cavnar-Trenkle replay: doc trigram ranks via ROW_NUMBER
+    // (count DESC, gram ASC — the expression's exact tie order),
+    // out-of-place distance against the fixture profile VALUES
+    // table, argmin with profile-order tie-break; 'unknown' when the
+    // doc has no trigrams or no doc gram hit any profile (distance
+    // == |doc profile| * 20)
+    "langid" -> (s"""
+      WITH norm AS (SELECT doc_id,
+              CASE WHEN t = '' THEN '' ELSE ' ' || t || ' ' END AS s
+            FROM (SELECT doc_id, trim(regexp_replace(lower(text),
+                    '[^a-z]+', ' ', 'g')) AS t FROM documents)),
+      tg AS (SELECT doc_id, substr(s, CAST(i AS INT), 3) AS g
+             FROM (SELECT doc_id, s, unnest(range(1, len(s) - 1)) AS i
+                   FROM norm WHERE len(s) >= 3)),
+      cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+      rk AS (SELECT doc_id, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, g) AS rn FROM cnt),
+      tp AS (SELECT * FROM rk WHERE rn <= ${functions.LangIdCT.K}),
+      prof(lang, g, pr, ord) AS (
+        SELECT * FROM (VALUES ${functions.LangIdCT.profilesSqlValues})),
+      langv AS (SELECT DISTINCT lang, ord FROM prof),
+      sc AS (SELECT t.doc_id, l.lang, l.ord,
+               SUM(CASE WHEN p.pr IS NULL THEN ${functions.LangIdCT.M}
+                   ELSE abs(t.rn - p.pr) END) AS dist,
+               COUNT(*) AS nd
+             FROM tp t CROSS JOIN langv l
+             LEFT JOIN prof p ON p.lang = l.lang AND p.g = t.g
+             GROUP BY 1, 2, 3),
+      pk AS (SELECT doc_id, lang, dist, nd,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY dist, ord) AS r FROM sc)
+      SELECT d.doc_id, d.lang,
+        CASE WHEN p.lang IS NULL
+               OR p.dist >= p.nd * ${functions.LangIdCT.M}
+             THEN 'unknown' ELSE p.lang END AS lang_pred
+      FROM documents d
+      LEFT JOIN (SELECT * FROM pk WHERE r = 1) p USING (doc_id)
+      ORDER BY d.doc_id"""),
+    // learned-profile replay: profile training is the same trigram
+    // census GROUP BY lang (rank ≤ 40), languages tie-break in
+    // lexicographic order; scoring identical to `langid` with
+    // penalty 40. tg feeds both the census and the doc profiles —
+    // MATERIALIZED so DuckDB doesn't re-run the corpus scan per
+    // reference.
+    "langid_learned" -> (s"""
+      WITH norm AS MATERIALIZED (SELECT doc_id, lang,
+              CASE WHEN t = '' THEN '' ELSE ' ' || t || ' ' END AS s
+            FROM (SELECT doc_id, lang, trim(regexp_replace(lower(text),
+                    '[^a-z]+', ' ', 'g')) AS t FROM documents)),
+      tg AS MATERIALIZED (SELECT doc_id, lang,
+              substr(s, CAST(i AS INT), 3) AS g
+             FROM (SELECT doc_id, lang, s,
+                     unnest(range(1, len(s) - 1)) AS i
+                   FROM norm WHERE len(s) >= 3)),
+      lp AS MATERIALIZED (SELECT lang, g, pr FROM (
+              SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY c DESC, g) AS pr
+              FROM (SELECT lang, g, COUNT(*) AS c FROM tg
+                    GROUP BY 1, 2)) WHERE pr <= 40),
+      langv AS (SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) AS ord
+                FROM (SELECT DISTINCT lang FROM lp)),
+      cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+      rk AS (SELECT doc_id, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, g) AS rn FROM cnt),
+      tp AS (SELECT * FROM rk WHERE rn <= ${functions.LangIdCT.K}),
+      sc AS (SELECT t.doc_id, l.lang, l.ord,
+               SUM(CASE WHEN p.pr IS NULL THEN 40
+                   ELSE abs(t.rn - p.pr) END) AS dist,
+               COUNT(*) AS nd
+             FROM tp t CROSS JOIN langv l
+             LEFT JOIN lp p ON p.lang = l.lang AND p.g = t.g
+             GROUP BY 1, 2, 3),
+      pk AS (SELECT doc_id, lang, dist, nd,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY dist, ord) AS r FROM sc)
+      SELECT d.doc_id, d.lang,
+        CASE WHEN p.lang IS NULL OR p.dist >= p.nd * 40
+             THEN 'unknown' ELSE p.lang END AS lang_pred
+      FROM documents d
+      LEFT JOIN (SELECT * FROM pk WHERE r = 1) p USING (doc_id)
+      ORDER BY d.doc_id"""),
     "dedup_against" -> (s"""
       WITH f AS (SELECT doc_id, source, n_chars, $fpSql AS fp,
                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
@@ -3950,6 +4135,42 @@ object SparkEntry {
       SELECT 'k' AS path, 'int32' AS vtag,
              COUNT(json_extract_string(props, '$.k')) AS cnt
       FROM events"""),
+    // re-derives the planted parity contract (even days {a:int,b:str},
+    // odd days {a:str,c:int}) over the days actually present, pairs
+    // consecutive closed windows with lag, and diffs — the
+    // constant-fixture precedent of batch schema_diff, made
+    // data-driven over the event calendar
+    "schema_diff_stream" -> ("""
+      WITH days AS (SELECT DISTINCT
+              CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      tags AS (
+        SELECT d, 'a' AS path,
+          CASE WHEN EXTRACT(DAY FROM d) % 2 = 0
+               THEN 'int32' ELSE 'str' END AS tag FROM days
+        UNION ALL SELECT d, 'b', 'str' FROM days
+          WHERE EXTRACT(DAY FROM d) % 2 = 0
+        UNION ALL SELECT d, 'c', 'int32' FROM days
+          WHERE EXTRACT(DAY FROM d) % 2 = 1),
+      pairs AS (SELECT cur, prev FROM (
+        SELECT d AS cur, lag(d) OVER (ORDER BY d) AS prev FROM days)
+        WHERE prev IS NOT NULL),
+      o AS (SELECT p.cur, t.path, t.tag AS old_tag
+            FROM pairs p JOIN tags t ON t.d = p.prev),
+      n AS (SELECT p.cur, t.path, t.tag AS new_tag
+            FROM pairs p JOIN tags t ON t.d = p.cur),
+      j AS (SELECT COALESCE(o.cur, n.cur) AS cur,
+              COALESCE(o.path, n.path) AS path, o.old_tag, n.new_tag
+            FROM o FULL OUTER JOIN n
+              ON o.cur = n.cur AND o.path = n.path)
+      SELECT strftime(CAST(cur AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+               AS slice_start,
+        path,
+        CASE WHEN old_tag IS NULL THEN 'added'
+             WHEN new_tag IS NULL THEN 'removed'
+             WHEN old_tag <> new_tag THEN 'type_changed'
+             ELSE 'kept' END AS status,
+        old_tag, new_tag
+      FROM j ORDER BY slice_start, path"""),
     "newest_events" -> ("""
       SELECT event_id,
              strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS ts,
@@ -4186,6 +4407,32 @@ object SparkEntry {
         FROM lineitem)
       $arms
       ORDER BY col_x, col_y"""
+    },
+    "corr_stats_by_source" -> {
+      val cs = Seq("n_chars", "n_tokens", "n_units")
+      val pairs = for { i <- cs.indices; j <- (i + 1) until cs.size }
+        yield (cs(i), cs(j))
+      val arms = pairs.map { case (x, y) =>
+        s"""SELECT source, '$x' AS col_x, '$y' AS col_y,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM($x), 0) AS BIGINT) AS sum_x,
+           CAST(COALESCE(SUM($y), 0) AS BIGINT) AS sum_y,
+           CAST(COALESCE(SUM($x * $y), 0) AS BIGINT) AS sum_xy,
+           CAST(COALESCE(SUM($x * $x), 0) AS BIGINT) AS sum_x2,
+           CAST(COALESCE(SUM($y * $y), 0) AS BIGINT) AS sum_y2
+           FROM t WHERE $x IS NOT NULL AND $y IS NOT NULL
+           GROUP BY source"""
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH t AS (SELECT source,
+          CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(len($toksSql) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text,
+            ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT)
+            AS n_units
+        FROM documents)
+      $arms
+      ORDER BY source, col_x, col_y"""
     },
     // the deterministic mutation fixture's expected diff (the
     // schema_flat_events constant-table precedent): every status

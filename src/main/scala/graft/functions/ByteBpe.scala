@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Exact byte-level BPE token count — the pretraining-budget unit the
+  * whitespace proxy ([[graft.operators.TextAnalysis.tokenCount]]) only
+  * approximates. Algorithm is the published GPT-2 tokenizer shape
+  * (Radford et al. 2019; Sennrich et al. 2016 "Neural Machine
+  * Translation of Rare Words with Subword Units"):
+  *
+  *  1. pre-tokenize with the GPT-2-style alternation
+  *     `" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"` (each word keeps its
+  *     leading space, the Ġ convention) — the SAME regex as
+  *     `TextAnalysis.bpeishTokens`, already oracle-verified against
+  *     DuckDB's RE2 in `text_profile.n_bpeish`;
+  *  2. split each pre-token into single-character symbols;
+  *  3. repeat: find the lowest-rank adjacent symbol pair present in
+  *     the merges table and fuse its LEFTMOST occurrence; stop when no
+  *     pair is in the table. (Leftmost-one-at-a-time is equivalent to
+  *     GPT-2's merge-all-left-to-right: fusing the leftmost occurrence
+  *     leaves every non-overlapping later occurrence of the same —
+  *     still best-ranked — pair to be fused on the next iterations.)
+  *  4. token count = Σ over pre-tokens of surviving symbols.
+  *
+  * "Byte"-level: symbols start as code points; on ASCII text (the
+  * fixture corpus is verified pure ASCII) code points ARE bytes, and
+  * the DuckDB oracle replays the identical recursion over
+  * `regexp_extract_all(w, '(?s).')` character lists. Non-ASCII input
+  * still tokenizes deterministically (per code point), it just isn't
+  * raw-UTF-8-byte granularity — stated caller contract, like the
+  * U+0001 exclusion below.
+  *
+  * Scale shape: a pure row-local PROJECTION — the merges table is a
+  * compile-time constant (or a small user table a caller can
+  * broadcast), so token counting adds no shuffle, no explode, and no
+  * driver state to whatever aggregation sits above it; at 100 TB the
+  * budget rollup is one map-side-combined groupBy exactly like the
+  * whitespace-proxy path it upgrades. Per-thread word→count memo:
+  * natural corpora repeat words heavily (GPT-2's reference encoder
+  * carries the same cache), and the memo makes the amortized cost one
+  * HashMap probe per word.
+  *
+  * Oracle parity notes: the DuckDB replay keys merge lookups as
+  * `a || chr(1) || b`, so text containing U+0001 is outside the
+  * cross-engine contract (the engine itself is indifferent — it
+  * compares pair components directly).
+  */
+case class BpeTokenCount(child: Expression,
+    merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_token_count needs string, got ${other.sql}")
+    }
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      // first occurrence wins, matching list_position in the oracle
+      m.putIfAbsent(a + '\u0001' + b, Integer.valueOf(i + 1))
+    }
+    m
+  }
+
+  // per-thread memo: BPE is a pure function of the pre-token, and the
+  // expression tree (hence `ranks`) is shared across a task thread's
+  // rows. Bounded: cleared when it reaches 1 << 16 entries.
+  @transient private lazy val memo: ThreadLocal[
+      java.util.HashMap[String, Integer]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, Integer]())
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val m = ByteBpe.preToken.matcher(text)
+    var total = 0L
+    val cache = memo.get()
+    if (cache.size > (1 << 16)) cache.clear()
+    while (m.find()) {
+      val w = m.group()
+      val hit = cache.get(w)
+      val n =
+        if (hit != null) hit.intValue()
+        else {
+          val v = ByteBpe.countSymbols(w, ranks)
+          cache.put(w, v)
+          v
+        }
+      total += n
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeTokenCount = copy(child = newChild)
+}
+
+object ByteBpe {
+
+  /** GPT-2-style pre-tokenizer — MUST stay textually identical to
+    * `TextAnalysis.bpeishTokens` and the oracle's regex.
+    */
+  private[functions] val preToken: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+")
+
+  /** Apply the merge recursion to one pre-token; returns the surviving
+    * symbol count. Exposed for the spec (and [[encode]] below shows
+    * the actual symbols for test-vector assertions).
+    */
+  private[functions] def countSymbols(w: String,
+      ranks: java.util.HashMap[String, Integer]): Int =
+    encode(w, ranks).size
+
+  /** The full tokenization of one pre-token (spec surface; the
+    * expression only needs the count).
+    */
+  private[graft] def encode(w: String,
+      ranks: java.util.HashMap[String, Integer]): Vector[String] = {
+    var syms = w.map(_.toString).toVector
+    var done = syms.size <= 1
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var i = 0
+      while (i < syms.size - 1) {
+        val r = ranks.get(syms(i) + '\u0001' + syms(i + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestPos = i
+        }
+        i += 1
+      }
+      if (bestPos < 0) done = true
+      else {
+        syms = (syms.take(bestPos) :+
+          (syms(bestPos) + syms(bestPos + 1))) ++
+          syms.drop(bestPos + 2)
+        if (syms.size <= 1) done = true
+      }
+    }
+    syms
+  }
+
+  private[graft] def rankMap(
+      merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + '\u0001' + b, Integer.valueOf(i + 1))
+    }
+    m
+  }
+
+  /** Deterministic fixture merges table, priority = list order — a
+    * hand-picked BPE-learned-style English vocabulary small enough for
+    * the DuckDB oracle to replay the recursion verbatim (the oracle
+    * inlines this exact list via [[mergesSqlList]]). Production use
+    * passes a real learned merges file through the same expression;
+    * nothing below is specific to the fixture size.
+    *
+    * Shape mirrors a real learned table: high-frequency 2-char pairs
+    * first, then compounds over earlier merge products (th+e, in+g,
+    * an+d), then Ġ-style space-prefixed word starts, digit and
+    * punctuation runs.
+    */
+  val fixtureMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "h" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "r" -> "e", "o" -> "n", "a" -> "t", "e" -> "n", "o" -> "r",
+    "e" -> "s", "s" -> "t", "a" -> "r", "o" -> "u", "i" -> "t",
+    "i" -> "s", "t" -> "o", "a" -> "l", "n" -> "g", "e" -> "d",
+    "l" -> "l", "o" -> "o", "e" -> "e", "o" -> "w", "a" -> "s",
+    "l" -> "e", "c" -> "o", "d" -> "e", "s" -> "e", "m" -> "e",
+    "th" -> "e", "in" -> "g", "an" -> "d", "er" -> "e", "at" -> "a",
+    " " -> "t", " t" -> "h", " th" -> "e", " " -> "a", " " -> "o",
+    " " -> "i", " " -> "s", " " -> "w", " " -> "b", " " -> "c",
+    " " -> "d", " " -> "f", " " -> "p", " " -> "m", " " -> "r",
+    "0" -> "0", "1" -> "0", "." -> ".", ".." -> ".")
+
+  /** The fixture merges rendered as the DuckDB list literal the oracle
+    * SQL cross-joins — single source of truth for both engines. Keys
+    * are `a || chr(1) || b`; U+0027 in symbols would need escaping but
+    * the fixture has none (asserted).
+    */
+  def mergesSqlList: String = {
+    require(fixtureMerges.forall { case (a, b) =>
+      !(a + b).exists(c => c == '\'' || c == '\u0001')
+    }, "fixture merges must be SQL-literal-safe")
+    fixtureMerges.map { case (a, b) => s"'$a'||chr(1)||'$b'" }
+      .mkString("[", ", ", "]")
+  }
+
+  /** Column entry point: exact BPE token count of `text` under
+    * `merges` (defaults to the fixture table).
+    */
+  def bpeTokenCount(text: Column,
+      merges: Seq[(String, String)] = fixtureMerges): Column =
+    Shims.column(BpeTokenCount(Shims.expression(text), merges))
+}

@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rank-order character-n-gram language ID — the Cavnar–Trenkle (1994,
+  * "N-Gram-Based Text Categorization") out-of-place metric, replacing
+  * the stopword-hit argmax heuristic ([[graft.operators.TextAnalysis
+  * .langId]] stays as the cheap teaching row): a stopword list scores
+  * zero on short or borrowed-vocabulary text ("scheinwerfer montage"
+  * has no function words at all), while trigram rank profiles still
+  * see the language's characteristic letter patterns.
+  *
+  * Algorithm (integer-only, fixed tie orders, so the DuckDB oracle
+  * replays it exactly):
+  *
+  *  1. normalize: lowercase, every non-[a-z] run → one space, trim,
+  *     then pad with one leading and one trailing space (the paper's
+  *     word-boundary marks);
+  *  2. count all character trigrams of the padded string;
+  *  3. doc profile = top [[LangIdCT.K]] trigrams ranked by
+  *     (count DESC, trigram ASC);
+  *  4. per language L with ranked profile P_L: distance =
+  *     Σ over doc-profile grams g of |rank_doc(g) − rank_L(g)| if
+  *     g ∈ P_L else [[LangIdCT.M]] (the out-of-place penalty);
+  *  5. prediction = argmin distance, ties broken by profile order
+  *     (en, es, de, fr); "unknown" when the doc has no trigrams or
+  *     NO doc gram hit any profile (min distance = |docProfile|·M —
+  *     e.g. the zh fixture docs, whose romanized soup shares no
+  *     trigram with the four profiles... when it does not).
+  *
+  * The four profiles are deterministic fixture rank lists of each
+  * language's most frequent trigrams (public-corpus common knowledge,
+  * ASCII only); production swaps in profiles learned from a labeled
+  * sample with the same expression — profile size only changes M.
+  *
+  * Scale shape: row-local compiled projection (CodegenFallback = one
+  * compiled call per row) with the profiles as shared constants —
+  * no explode, no per-doc shuffle, composes under any gate/groupBy.
+  */
+case class LangIdCT(child: Expression,
+    profiles: Seq[(String, Seq[String])],
+    k: Int, m: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val profileMaps
+      : Seq[(String, java.util.HashMap[String, Integer])] =
+    profiles.map { case (lang, grams) =>
+      val pm = new java.util.HashMap[String, Integer](grams.size * 2)
+      grams.zipWithIndex.foreach { case (g, i) =>
+        pm.putIfAbsent(g, Integer.valueOf(i + 1))
+      }
+      lang -> pm
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"lang_id_ct needs string, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(LangIdCT.predict(
+      input.asInstanceOf[UTF8String].toString, profileMaps, k, m))
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : LangIdCT = copy(child = newChild)
+}
+
+object LangIdCT {
+
+  /** Doc-profile depth (top-K trigrams enter the distance). */
+  val K = 20
+
+  /** Profile depth = out-of-place penalty for unmatched grams. */
+  val M = 20
+
+  /** Fixture rank profiles: each language's most frequent trigrams in
+    * rank order (1 = most frequent), space = word boundary. Kept to
+    * ASCII so the oracle VALUES table needs no escaping.
+    */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", "ing",
+      "ng ", " of", "of ", " to", "to ", "ed ", " in", "ion", "on ",
+      " is", "is ", "er ", "es "),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ",
+      "es ", " qu", "que", "ue ", " en", "en ", " co", "ar ", "as ",
+      " es", "ado", "do ", " se"),
+    "de" -> Seq("en ", "er ", " de", "der", "ie ", " di", "die",
+      "ch ", "sch", " un", "und", "nd ", "ein", " ei", "ung", "ng ",
+      "ich", " ge", "ten", " be"),
+    "fr" -> Seq(" de", "de ", "es ", " le", "le ", "ent", "nt ",
+      " la", "la ", "ion", "on ", " pa", " qu", "que", "ue ", "re ",
+      " co", "eur", "ur ", "les"))
+
+  private[graft] def normalize(text: String): String = {
+    val cleaned = text.toLowerCase.replaceAll("[^a-z]+", " ").trim
+    if (cleaned.isEmpty) "" else " " + cleaned + " "
+  }
+
+  /** Doc profile: (trigram → rank) for the top-k trigrams, rank by
+    * (count DESC, gram ASC) — mirrored by the oracle's ROW_NUMBER.
+    */
+  private[graft] def docProfile(text: String,
+      k: Int = K): Seq[(String, Int)] = {
+    val s = normalize(text)
+    if (s.length < 3) return Nil
+    val counts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i <= s.length - 3) {
+      val g = s.substring(i, i + 3)
+      val c = counts.get(g)
+      counts.put(g, if (c == null) 1 else c.intValue() + 1)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    counts.asScala.toSeq
+      .sortBy { case (g, c) => (-c.intValue(), g) }
+      .take(k).zipWithIndex
+      .map { case ((g, _), r) => (g, r + 1) }
+  }
+
+  private[graft] def predict(text: String,
+      pms: Seq[(String, java.util.HashMap[String, Integer])],
+      k: Int, m: Int): String = {
+    val doc = docProfile(text, k)
+    if (doc.isEmpty) return "unknown"
+    val allMiss = doc.size * m
+    var bestLang = "unknown"
+    var bestDist = Int.MaxValue
+    pms.foreach { case (lang, pm) =>
+      var dist = 0
+      doc.foreach { case (g, rn) =>
+        val pr = pm.get(g)
+        dist += (if (pr == null) m else math.abs(rn - pr.intValue()))
+      }
+      // strict <: earlier profile order wins ties
+      if (dist < bestDist) { bestDist = dist; bestLang = lang }
+    }
+    if (bestDist >= allMiss) "unknown" else bestLang
+  }
+
+  /** Profiles rendered as the oracle's VALUES rows:
+    * `('en', ' th', 1, 1), …` — (lang, gram, rank, tie order).
+    */
+  def profilesSqlValues: String =
+    profiles.zipWithIndex.flatMap { case ((lang, grams), ord) =>
+      grams.zipWithIndex.map { case (g, i) =>
+        s"('$lang', '$g', ${i + 1}, ${ord + 1})"
+      }
+    }.mkString(", ")
+
+  /** Column entry point: `lang_id_ct(text)` — fixture profiles by
+    * default; pass learned profiles (e.g. from
+    * [[graft.operators.TextAnalysis.langProfiles]]) for the
+    * production path. `m` defaults to the deepest profile's size
+    * (the out-of-place penalty = profile depth, as in the paper).
+    */
+  def langIdCT(text: Column,
+      profiles: Seq[(String, Seq[String])] = LangIdCT.profiles,
+      k: Int = K, m: Int = -1): Column = {
+    val mm = if (m > 0) m
+      else profiles.map(_._2.size).foldLeft(0)(math.max)
+    Shims.column(LangIdCT(Shims.expression(text), profiles, k, mm))
+  }
+}

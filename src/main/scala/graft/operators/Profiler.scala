@@ -478,7 +478,8 @@ object Profiler {
     * or pre-aggregate; the bound is the caller's contract and this
     * docstring is where it is stated.
     */
-  def corrStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def corrStats(df: DataFrame, cols: Seq[String],
+      groupBy: Seq[String] = Nil): DataFrame = {
     require(cols.size >= 2, "corrStats needs at least two columns")
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
@@ -494,7 +495,14 @@ object Profiler {
         s(cx, "sx"), s(cy, "sy"), s(cx * cy, "sxy"),
         s(cx * cx, "sx2"), s(cy * cy, "sy2"))
     }
-    val agged = df.agg(lanes.head, lanes.tail: _*)
+    // grouped variant: same 6 integer lanes per pair, keyed by the
+    // stratum columns — "does quality correlate with length
+    // differently by source" costs exactly one more groupBy key on
+    // the single map-side-combined aggregate (result is strata ×
+    // pairs rows, still audit-sized)
+    val agged =
+      if (groupBy.isEmpty) df.agg(lanes.head, lanes.tail: _*)
+      else df.groupBy(groupBy.map(col): _*).agg(lanes.head, lanes.tail: _*)
     val entries = pairs.zipWithIndex.map { case ((x, y), p) =>
       struct(lit(x).as("col_x"), lit(y).as("col_y"),
         col(s"p${p}_n").cast(LongType).as("n"),
@@ -507,8 +515,10 @@ object Profiler {
         coalesce(col(s"p${p}_sy2"), lit(0L)).cast(LongType)
           .as("sum_y2"))
     }
-    agged.select(explode(array(entries: _*)).as("e"))
-      .select(col("e.*")).orderBy("col_x", "col_y")
+    agged.select(groupBy.map(col) :+
+        explode(array(entries: _*)).as("e"): _*)
+      .select(groupBy.map(col) :+ col("e.*"): _*)
+      .orderBy(groupBy ++ Seq("col_x", "col_y") map col: _*)
   }
 
   /** Pearson r (round-6 double) derived from [[corrStats]] rows —

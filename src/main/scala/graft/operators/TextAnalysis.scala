@@ -35,6 +35,37 @@ object TextAnalysis {
 
   def bpeishTokenCount(c: Column): Column = size(bpeishTokens(c))
 
+  /** EXACT byte-BPE token count under a merges table (defaults to the
+    * deterministic fixture vocabulary) — the production pretraining
+    * budget unit; see [[graft.functions.ByteBpe]] for algorithm,
+    * oracle-parity contract, and scale shape. Row-local compiled
+    * expression, no shuffle.
+    */
+  def bpeTokenCount(c: Column,
+      merges: Seq[(String, String)] =
+        graft.functions.ByteBpe.fixtureMerges): Column =
+    graft.functions.ByteBpe.bpeTokenCount(c, merges)
+
+  /** Per-stratum token-budget audit: document count, the whitespace
+    * proxy total, and the exact BPE total side by side — the "how far
+    * off was the proxy" report that decides whether a budgeted mixture
+    * ([[graft.operators.Sampling.tokenBudgetSample]]) was actually
+    * filled to spec. ONE map-side-combined groupBy; the BPE expression
+    * is a projection, so the plan is identical in shape to the proxy
+    * path it audits.
+    */
+  def bpeBudgetReport(df: DataFrame, textCol: String = "text",
+      groupCol: String = "source"): DataFrame = {
+    val c = col(textCol)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        coalesce(sum(tokenCount(c).cast(LongType)), lit(0L))
+          .cast(LongType).as("ws_tokens"),
+        coalesce(sum(bpeTokenCount(c)), lit(0L))
+          .cast(LongType).as("bpe_tokens"))
+      .orderBy(groupCol)
+  }
+
   /** Tiny public stopword lists per language — enough for an n-gram-free
     * language-ID heuristic and a stopword-ratio quality signal.
     */
@@ -59,6 +90,66 @@ object TextAnalysis {
       .when(s(1) >= s(2) && s(1) >= s(3), lit("es"))
       .when(s(2) >= s(3), lit("de"))
       .otherwise(lit("fr"))
+  }
+
+  /** Rank-order n-gram language ID (Cavnar–Trenkle) — the production
+    * upgrade of [[langId]]'s stopword argmax; see
+    * [[graft.functions.LangIdCT]] for the algorithm, fixture
+    * profiles, and oracle-parity contract.
+    */
+  def langIdNgram(c: Column): Column =
+    graft.functions.LangIdCT.langIdCT(c)
+
+  /** Learn Cavnar–Trenkle rank profiles from a labeled corpus: per
+    * language, the top-`depth` trigrams of the normalized text ranked
+    * by (count DESC, gram ASC) — the training half of the paper, as
+    * one explode + groupBy pass. The per-lang rank window runs over
+    * the (lang, gram) COUNT table, bounded by the 27-symbol alphabet
+    * at ≤ 27³ gram rows per language regardless of corpus size.
+    * Normalization happens in a projection BELOW the Generate, so the
+    * regex runs once per document, not once per trigram (the
+    * CollapseProject lesson).
+    */
+  def langProfiles(df: DataFrame, textCol: String = "text",
+      langCol: String = "lang", depth: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s0 = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
+    val s = when(s0 === "", lit(""))
+      .otherwise(concat(lit(" "), s0, lit(" ")))
+    df.select(col(langCol).as("lang"), s.as("s"))
+      .filter(length(col("s")) >= 3)
+      .select(col("lang"), col("s"),
+        explode(sequence(lit(1), length(col("s")) - 2)).as("i"))
+      .select(col("lang"),
+        col("s").substr(col("i").cast("int"), lit(3)).as("g"))
+      .groupBy("lang", "g").count()
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(col("count").desc, col("g"))))
+      .filter(col("pr") <= depth)
+      .select("lang", "g", "pr")
+  }
+
+  /** Classify `df` with profiles LEARNED from `train` — the
+    * production Cavnar–Trenkle path: the profile table (langs ×
+    * `depth` rows — algorithm state the size of a k-means codebook)
+    * is collected and compiled into the row-local scoring expression,
+    * so classification itself is a shuffle-free projection whatever
+    * the corpus size. Languages score in lexicographic order (the
+    * deterministic tie-break); out-of-place penalty = `depth`.
+    */
+  def langIdLearned(df: DataFrame, train: DataFrame,
+      textCol: String = "text", langCol: String = "lang",
+      depth: Int = 40,
+      k: Int = graft.functions.LangIdCT.K): DataFrame = {
+    val prof = langProfiles(train, textCol, langCol, depth).collect()
+    val profiles = prof.groupBy(_.getString(0)).toSeq
+      .map { case (lang, rows) =>
+        lang -> rows.sortBy(_.getInt(2)).map(_.getString(1)).toSeq
+      }.sortBy(_._1)
+    df.withColumn("lang_pred",
+      graft.functions.LangIdCT.langIdCT(col(textCol), profiles,
+        k = k, m = depth))
   }
 
   /** Punctuation character count (explicit class, portable regex). */

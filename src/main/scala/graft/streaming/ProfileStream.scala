@@ -905,6 +905,48 @@ object ProfileStream {
           .as("slice_start"),
         col("path"), col("vtag"), col("cnt"))
 
+  /** Live schema-drift report derived from [[jsonTypeStream]]'s closed
+    * slices — the streaming twin of
+    * [[graft.operators.Profiler.schemaDiff]]: between each closed
+    * window and the PREVIOUS closed window, every path is tagged
+    * `added` / `removed` / `type_changed` / `kept` by its DOMINANT
+    * value-type tag (max count, ties to the lexicographically first
+    * tag — deterministic like every other tie in the engine). Merge-
+    * only: the input is the stager's (windows × paths × tags) count
+    * state, so no new corpus scan happens here; the lag pairing runs
+    * over DISTINCT slice starts (≤ #windows rows — the
+    * WindowAuditSpec boundedness contract), and the diff join is
+    * schema-sized per window pair.
+    */
+  def schemaDiffSlices(slices: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dom = slices.groupBy(col("slice_start"), col("path"))
+      .agg(min(struct((-col("cnt")).as("negc"),
+        col("vtag").as("tag"))).as("m"))
+      .select(col("slice_start"), col("path"),
+        col("m").getField("tag").as("tag"))
+    val ws = slices.select("slice_start").distinct()
+      .withColumn("prev_start",
+        lag("slice_start", 1).over(Window.orderBy("slice_start")))
+      .filter(col("prev_start").isNotNull)
+    val oldT = ws.alias("w").join(dom.alias("o"),
+        col("o.slice_start") === col("w.prev_start"))
+      .select(col("w.slice_start").as("slice_start"),
+        col("o.path").as("path"), col("o.tag").as("old_tag"))
+    val newT = ws.select("slice_start").join(dom, Seq("slice_start"))
+      .select(col("slice_start"), col("path"),
+        col("tag").as("new_tag"))
+    oldT.join(newT, Seq("slice_start", "path"), "full_outer")
+      .select(col("slice_start"), col("path"),
+        when(col("old_tag").isNull, lit("added"))
+          .when(col("new_tag").isNull, lit("removed"))
+          .when(col("old_tag") =!= col("new_tag"),
+            lit("type_changed"))
+          .otherwise(lit("kept")).as("status"),
+        col("old_tag"), col("new_tag"))
+      .orderBy("slice_start", "path")
+  }
+
   def freqSketchStream(stream: DataFrame, tsCol: String, key: String,
                        cap: Int, windowDur: String = "1 day",
                        watermarkDur: String = "1 hour"): DataFrame =

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ByteBpe
+import graft.operators.TextAnalysis
+
+/** Byte-BPE merge semantics against the public Sennrich et al. (2016)
+  * subword-NMT test vector, the leftmost-merge tie rules, and the
+  * DataFrame surface.
+  */
+class ByteBpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // the classic subword-NMT example: merges learned from the
+  // {low, lower, newest, widest} toy corpus — (e,s) then (es,t) then
+  // (l,o) then (lo,w); "lowest" must come out as [low, est]
+  private val sennrich = ByteBpe.rankMap(Seq(
+    "e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w"))
+
+  test("Sennrich vector: lowest -> [low, est]") {
+    assert(ByteBpe.encode("lowest", sennrich) ==
+      Vector("low", "est"))
+  }
+
+  test("Sennrich vector: lower -> [low, e, r]") {
+    assert(ByteBpe.encode("lower", sennrich) ==
+      Vector("low", "e", "r"))
+  }
+
+  test("Sennrich vector: newest -> [n, e, w, est]") {
+    // (e,s) fires on the SECOND e — rank order, not position order,
+    // picks the pair; (n,e)/(e,w)/(w,e) are not in the table
+    assert(ByteBpe.encode("newest", sennrich) ==
+      Vector("n", "e", "w", "est"))
+  }
+
+  test("unknown word stays fully split") {
+    assert(ByteBpe.encode("xyz", sennrich) ==
+      Vector("x", "y", "z"))
+  }
+
+  test("leftmost non-overlapping merge: aaaa -> [aa, aa], aaa -> [aa, a]") {
+    val m = ByteBpe.rankMap(Seq("a" -> "a"))
+    assert(ByteBpe.encode("aaaa", m) == Vector("aa", "aa"))
+    assert(ByteBpe.encode("aaa", m) == Vector("aa", "a"))
+  }
+
+  test("merge products feed later merges across ranks") {
+    // (a,b) rank 1, (ab,c) rank 2: abc collapses fully
+    val m = ByteBpe.rankMap(Seq("a" -> "b", "ab" -> "c"))
+    assert(ByteBpe.encode("abcabc", m) == Vector("abc", "abc"))
+  }
+
+  test("fixture: hand-derived counts through the expression") {
+    // "the cat": pretokens [the][ cat].
+    //   the: (t,h)#1 -> [th,e]; (th,e)#31 -> [the]        = 1
+    //   ␠cat: (a,t)#8 -> [␠,c,at]; (␠,c)#45 -> [␠c,at]    = 2
+    // "running 100": pretokens [running][ 100].
+    //   running: (i,n)#3 -> [r,u,n,n,in,g]; (in,g)#32 ->
+    //     [r,u,n,n,ing]                                    = 5
+    //   ␠100: (1,0)#52 -> [␠,10,0]; no (␠,1)/(10,0)        = 3
+    val df = Seq((1L, "the cat"), (2L, "running 100"))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .orderBy("id")
+    assert(df.collect().map(_.getLong(1)).toSeq == Seq(3L, 8L))
+  }
+
+  test("null text -> null count; empty text -> 0") {
+    val df = Seq((1L, Option("")), (2L, Option.empty[String]))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .orderBy("id")
+    val rows = df.collect()
+    assert(rows(0).getLong(1) == 0L)
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("bpeBudgetReport: proxy and exact totals per stratum") {
+    val df = Seq(
+      ("src0", "the the the"),   // ws 3; bpe: [the][ the][ the]=1+2+2=5
+      ("src0", "cat"),           // ws 1; bpe: (a,t)#8 -> [c,at] = 2
+      ("src1", "it is")          // ws 2; bpe: [it]=1, [␠is]: (i,s)#16
+                                 //   -> [␠,is]; no (␠,is) -> 2; = 3
+    ).toDF("source", "text")
+    // ␠the: (t,h)#1 -> [␠,th,e]; (th,e)#31 -> [␠,the]; no (␠,the) = 2
+    val out = TextAnalysis.bpeBudgetReport(df).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq(("src0", 2L, 4L, 7L), ("src1", 1L, 2L, 3L)))
+  }
+
+  test("fixture merges are SQL-literal-safe and render as a list") {
+    val sql = ByteBpe.mergesSqlList
+    assert(sql.startsWith("[") && sql.endsWith("]"))
+    assert(sql.contains("'t'||chr(1)||'h'"))
+  }
+}

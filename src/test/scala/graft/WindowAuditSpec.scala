@@ -63,7 +63,10 @@ class WindowAuditSpec extends AnyFunSuite {
       // global-CDF cumsum + total over the merged sketch (≤ bins)
       "ks_by_source" -> "merged bin-sketch cumsum, ≤ bins rows",
       // staged-slice merge + both CDFs: all ≤ bins-row inputs
-      "ks_stream_audit" -> "merged bin-sketch cumsum, ≤ bins rows"
+      "ks_stream_audit" -> "merged bin-sketch cumsum, ≤ bins rows",
+      // consecutive-window lag over DISTINCT closed slice starts
+      // (≤ #windows rows; the slices themselves are schema-sized)
+      "schema_diff_stream" -> "lag over ≤ #windows slice starts"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
