@@ -772,7 +772,24 @@ object ProfileStream {
       else java.nio.file.Files.createTempDirectory("graft_replay"))
         .toString
     val in = dir + "/in"
-    events.write.mode("overwrite").parquet(in)
+    // harness-phase timing behind an env flag: the replay's cost is
+    // fixed machinery, and tuning it blind was the round-10 mistake
+    val dbg = sys.env.contains("SPARK_GRAFT_REPLAY_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      val t = System.nanoTime()
+      System.err.println(
+        f"[replay] $tag ${(t - t0) / 1e9}%.2fs")
+      t0 = t
+    }
+    // parallelize the replay scan: the feed usually arrives as 1-2
+    // parquet files (it was loaded from one), and the file-source
+    // batch then runs its map-side partial aggregation at file
+    // parallelism — single-threaded for the whole feed. 8 input
+    // shards let batch 0's scan+partial stage use real cores while
+    // the state-store stage stays at the small replay partition count.
+    events.repartition(8).write.mode("overwrite").parquet(in)
+    lap("write-input")
     val schema = s.read.parquet(in).schema
     val stream = s.readStream.schema(schema).parquet(in)
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
@@ -786,19 +803,39 @@ object ProfileStream {
     // 0 captures session confs on the query thread, so an immediate
     // restore would race the capture.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    // sentinel: one copied row moved to 2100 closes every real window;
-    // its own (never-closing) window is filtered below. Appended
-    // BEFORE the query starts so batch 0 sees data + sentinel together
-    // — the watermark jumps past every real window after one batch and
-    // the single trailing no-data batch flushes them all. The earlier
+    // 2, not the session 32 or the former 8: state-store open/commit
+    // is per partition per micro-batch and dominates a finite replay
+    // (measured: empty flush batch 600 ms at 8 partitions, 450 at 2),
+    // while the map-side partial agg still runs at input-file
+    // parallelism regardless of this knob, so batch 0 loses nothing.
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTS", "2"))
+    // sentinel: one LITERAL row at 2100 closes every real window; its
+    // own (never-closing) window is filtered below. Appended BEFORE
+    // the query starts so batch 0 sees data + sentinel together — the
+    // watermark jumps past every real window after one batch and the
+    // single trailing no-data batch flushes them all. The earlier
     // start→process→append→process shape ran four micro-batches (two
     // of them no-data watermark batches of pure state-store/sink
     // overhead) for the same answer; processAllAvailable() blocks
-    // through trailing no-data batches, so one call suffices.
-    events.limit(1)
-      .withColumn(tsCol, lit("2100-01-01 00:00:00").cast("timestamp"))
+    // through trailing no-data batches, so one call suffices. The row
+    // is built from the schema (ts = 2100, every other column null —
+    // watermark tracking only needs the event-time column, and the
+    // stagers' explodes/filters drop the null payload before any
+    // group), not `events.limit(1)`: the limit form re-scanned the
+    // whole input for one row, a visible slice of the fixed replay
+    // cost this harness exists to keep down.
+    val sentinelTs: Any = schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        java.time.LocalDateTime.of(2100, 1, 1, 0, 0, 0)
+      case _ => java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    }
+    val sentinelRow = org.apache.spark.sql.Row.fromSeq(
+      schema.map(f => if (f.name == tsCol) sentinelTs else null))
+    s.createDataFrame(
+        java.util.Collections.singletonList(sentinelRow), schema)
       .write.mode("append").parquet(in)
+    lap("sentinel")
     val q = build(stream)
       .writeStream.outputMode("append")
       // pin the checkpoint inside the replay dir: the memory sink's
@@ -809,10 +846,24 @@ object ProfileStream {
       .format("memory").queryName(name).start()
     val local =
       try {
+        lap("start")
         q.processAllAvailable()
+        lap("process")
+        if (dbg) q.recentProgress.foreach(p => System.err.println(
+          s"[replay]   batch ${p.batchId} rows=${p.numInputRows} " +
+            s"durations=${p.durationMs}"))
         val out = s.table(name).filter(col("slice_start") < "2099-01-01")
-        s.createDataFrame(
+        // coalesce(1): the slices are kilobytes, but a bare local
+        // relation parallelizes to defaultParallelism (32 here) and
+        // every downstream rollup then schedules 32-task stages over
+        // near-empty partitions — measured ~0.8 s of pure scheduling
+        // per stream row. One partition keeps the consumer plans
+        // task-count-proportional to the data.
+        val r = s.createDataFrame(
           java.util.Arrays.asList(out.collect(): _*), out.schema)
+          .coalesce(1)
+        lap("collect")
+        r
       } finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -860,17 +911,27 @@ object ProfileStream {
                 textCol: String = "text", groupCol: String = "source",
                 windowDur: String = "1 day",
                 watermarkDur: String = "1 hour"): DataFrame = {
-    val inv = vocab.select(col("term")).distinct()
-      .withColumn("_inv", lit(true))
+    // the vocabulary is FROZEN and bounded by contract, so membership
+    // is collected ONCE into a row-local literal set here rather than
+    // stream-static-joined: a static join side is re-executed on
+    // EVERY micro-batch (the vocab's own top-N aggregation ran twice
+    // per replay — measured ~1 s/batch at sf0.1), while a literal
+    // in-set probe is compiled into the projection and costs the
+    // stream nothing per batch. Long-lived production streams that
+    // must hot-swap the vocabulary keep the join form — restart the
+    // query (or move the set into a rocks-backed state op) on vocab
+    // refresh, which is the tokenizer-release cadence anyway.
+    val terms = vocab.select(col("term")).distinct().collect()
+      .map(_.getString(0)).sorted
+    val miss = !col("term").isInCollection(terms)
     stream
       .withWatermark(tsCol, watermarkDur)
       .select(col(tsCol), col(groupCol),
         explode(graft.operators.TextAnalysis.tokens(col(textCol)))
           .as("term"))
-      .join(broadcast(inv), Seq("term"), "left")
       .groupBy(window(col(tsCol), windowDur), col(groupCol))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        sum(when(miss, 1L).otherwise(0L)).as("n_oov"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("slice_start"),
