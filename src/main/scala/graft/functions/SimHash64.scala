@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shims
 import org.apache.spark.sql.types._
@@ -19,13 +19,20 @@ import org.apache.spark.sql.types._
   * shuffle, and no interpreted higher-order functions (an
   * `aggregate`/`zip_with` port of this measured ~10× slower at sf1:
   * HOF lambdas never enter codegen and pay per-ELEMENT eval dispatch,
-  * where CodegenFallback pays one compiled call per ROW).
+  * where the compiled loop pays one call per ROW).
+  *
+  * Codegen: a real `doGenCode` (round 11) — the generated projection
+  * calls the static [[SimHash64.evalArray]] on the child's unboxed
+  * `ArrayData`, so the surrounding whole-stage codegen span stays
+  * fused. The earlier CodegenFallback form forced the row object into
+  * the generated code (`references[i].eval(row)`), splitting the
+  * projection's codegen span around the hash; A/B measured in
+  * SCALE.md round 11.
   *
   * Empty token array ⇒ NULL — mirroring the explode path, where a
   * token-less document simply produced no row.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -37,8 +44,35 @@ case class SimHash64(child: Expression)
         s"sim_hash64 needs array<string>, got ${other.sql}")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.evalArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("simhash")
+      s"""
+         |java.lang.Long $tmp = graft.functions.SimHash64.evalArray($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash64 = copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Column-level entry point: `sim_hash64(distinctTokens)`. */
+  def simHash64(tokens: Column): Column =
+    Shims.column(SimHash64(Shims.expression(tokens)))
+
+  /** The whole per-row loop, shared by the interpreted eval and the
+    * generated code (which calls it statically on the child's
+    * `ArrayData` — no row boxing). Returns null for an all-null/empty
+    * array.
+    */
+  def evalArray(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
     var seen = false
     val votes = new Array[Int](60)
@@ -68,18 +102,9 @@ case class SimHash64(child: Expression)
       var sim = 0L
       var j = 0
       while (j < 60) { if (votes(j) > 0) sim |= 1L << j; j += 1 }
-      sim
+      java.lang.Long.valueOf(sim)
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression)
-      : SimHash64 = copy(child = newChild)
-}
-
-object SimHash64 {
-  /** Column-level entry point: `sim_hash64(distinctTokens)`. */
-  def simHash64(tokens: Column): Column =
-    Shims.column(SimHash64(Shims.expression(tokens)))
 
   /** Per-thread MD5 instance shared by the hash expressions: a
     * `getInstance` per ROW is a provider lookup + allocation on the
