@@ -798,6 +798,26 @@ object SparkEntry {
     // sharded for parallelism
     "pack_sequences" -> ((s, d) =>
       Sampling.packSequences(Tables.load(s, d, "documents"))),
+    // the same packing under the EXACT byte-BPE budget unit — the
+    // production bin layout (whitespace-proxy bins mis-size against a
+    // real tokenizer; the oracle replays the merge recursion per doc)
+    "pack_sequences_bpe" -> ((s, d) =>
+      Sampling.packSequences(Tables.load(s, d, "documents"),
+        tokenCounter = TextAnalysis.bpeTokenCount(_))),
+    // live language-mixture drift: per closed window, doc counts per
+    // PREDICTED language (row-local CT classifier in the stream; the
+    // multilingual crawl's mix alarm)
+    "lang_mix_stream" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val ts = docs.select(
+        expr("timestampadd(HOUR, CAST(doc_id % 240 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("text"))
+      graft.streaming.ProfileStream
+        .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
+          .langMixStream(st, "ts", "text"))
+        .orderBy("slice_start", "lang_pred")
+    }),
     // quality-aware canonical selection over a corpus with PLANTED
     // normalizing duplicates (the synthetic corpus has none): each
     // doc_id%7==0 doc gets a case/whitespace-mangled mirror that
@@ -1514,6 +1534,92 @@ object SparkEntry {
   // Shared DuckDB fragments mirroring TextAnalysis/Dedup exactly.
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** Shared byte-BPE replay chain (mirrors `functions.ByteBpe`): the
+    * merge recursion runs per DISTINCT pre-token (BPE is a pure
+    * function of the word), one merge per recursive step — fused
+    * leftmost occurrence of the best-ranked pair, found with pure
+    * list functions (ranks per adjacent pair via list_position
+    * against the fixture merges list, min = best, its leftmost index
+    * = fuse point). MATERIALIZED stages keep DuckDB from re-inlining
+    * the corpus scan into every recursive iteration (the
+    * embedding_dedup_groups lesson). Final count per word =
+    * MIN(len(syms)) — each step removes exactly one symbol. Ends in
+    * `bdoc(doc_id, n_bpe)`; consumers must open WITH RECURSIVE.
+    */
+  private lazy val bpeCtes: String = s"""
+      bpt AS MATERIALIZED (SELECT doc_id, unnest(regexp_extract_all(
+              text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS w
+            FROM documents),
+      bsw AS MATERIALIZED (SELECT doc_id, w, COUNT(*) AS c
+            FROM bpt GROUP BY 1, 2),
+      bwinit AS MATERIALIZED (SELECT w,
+              regexp_extract_all(w, '(?s).') AS syms
+            FROM (SELECT DISTINCT w FROM bsw)),
+      bbpe(w, syms) AS (
+        SELECT w, syms FROM bwinit
+        UNION ALL
+        SELECT w, syms[1:pos-1] || [syms[pos] || syms[pos+1]]
+                  || syms[pos+2:]
+        FROM (
+          SELECT w, syms, list_position(ranks, list_min(ranks)) AS pos
+          FROM (SELECT w, syms,
+                  list_transform(range(1, len(syms)),
+                    i -> nullif(list_position(mk,
+                      syms[i] || chr(1) || syms[i+1]), 0)) AS ranks
+                FROM bbpe,
+                  (SELECT ${graft.functions.ByteBpe.mergesSqlList}
+                     AS mk) mt)
+        ) WHERE pos IS NOT NULL AND pos > 0),
+      bcw AS MATERIALIZED (SELECT w, MIN(len(syms)) AS n
+            FROM bbpe GROUP BY w),
+      bdoc AS MATERIALIZED (SELECT doc_id,
+              CAST(SUM(c * n) AS BIGINT) AS n_bpe
+            FROM bsw JOIN bcw USING (w) GROUP BY doc_id)"""
+
+  /** Shared Cavnar-Trenkle replay chain (mirrors `functions.LangIdCT`
+    * with the fixture profiles): doc trigram ranks via ROW_NUMBER
+    * (count DESC, gram ASC — the expression's exact tie order),
+    * out-of-place distance against the profile VALUES table, argmin
+    * with profile-order tie-break; 'unknown' when the doc has no
+    * trigrams or no doc gram hit any profile. Ends in
+    * `lpred(doc_id, lang_pred)` covering EVERY document.
+    */
+  private lazy val langidPredCtes: String = s"""
+      ln_norm AS (SELECT doc_id,
+              CASE WHEN t = '' THEN '' ELSE ' ' || t || ' ' END AS s
+            FROM (SELECT doc_id, trim(regexp_replace(lower(text),
+                    '[^a-z]+', ' ', 'g')) AS t FROM documents)),
+      ln_tg AS (SELECT doc_id, substr(s, CAST(i AS INT), 3) AS g
+             FROM (SELECT doc_id, s, unnest(range(1, len(s) - 1)) AS i
+                   FROM ln_norm WHERE len(s) >= 3)),
+      ln_cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM ln_tg
+                 GROUP BY 1, 2),
+      ln_rk AS (SELECT doc_id, g, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+                FROM ln_cnt),
+      ln_tp AS (SELECT * FROM ln_rk
+                WHERE rn <= ${functions.LangIdCT.K}),
+      ln_prof(lang, g, pr, ord) AS (
+        SELECT * FROM (VALUES ${functions.LangIdCT.profilesSqlValues})),
+      ln_langv AS (SELECT DISTINCT lang, ord FROM ln_prof),
+      ln_sc AS (SELECT t.doc_id, l.lang, l.ord,
+               SUM(CASE WHEN p.pr IS NULL THEN ${functions.LangIdCT.M}
+                   ELSE abs(t.rn - p.pr) END) AS dist,
+               COUNT(*) AS nd
+             FROM ln_tp t CROSS JOIN ln_langv l
+             LEFT JOIN ln_prof p ON p.lang = l.lang AND p.g = t.g
+             GROUP BY 1, 2, 3),
+      ln_pk AS (SELECT doc_id, lang, dist, nd,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY dist, ord) AS r FROM ln_sc),
+      lpred AS (SELECT d.doc_id,
+          CASE WHEN p.lang IS NULL
+                 OR p.dist >= p.nd * ${functions.LangIdCT.M}
+               THEN 'unknown' ELSE p.lang END AS lang_pred
+        FROM documents d
+        LEFT JOIN (SELECT * FROM ln_pk WHERE r = 1) p
+          USING (doc_id))"""
 
   /** Shared DSIR replay chain (mirrors `Curation.dsirScores`): hashed
     * target bigram profile → integer-ppm frequencies → per-doc gram
@@ -3150,94 +3256,60 @@ object SparkEntry {
         WHEN 'src0' THEN 2000 WHEN 'src1' THEN 800
         WHEN 'src2' THEN 0 ELSE 300 END
       ORDER BY doc_id"""),
-    // byte-BPE replay: the merge recursion runs per DISTINCT pre-token
-    // (BPE is a pure function of the word), one merge per recursive
-    // step — fused leftmost occurrence of the best-ranked pair, found
-    // with pure list functions (ranks per adjacent pair via
-    // list_position against the fixture merges list, min = best, its
-    // leftmost index = fuse point). MATERIALIZED stages keep DuckDB
-    // from re-inlining the corpus scan into every recursive iteration
-    // (the embedding_dedup_groups lesson). Final count per word =
-    // MIN(len(syms)) — each step removes exactly one symbol.
+    // byte-BPE budget audit via the shared bpeCtes replay chain
     "token_budget_bpe" -> (s"""
-      WITH RECURSIVE
-      pt AS MATERIALIZED (SELECT source, unnest(regexp_extract_all(text,
-              ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS w
-            FROM documents),
-      sw AS MATERIALIZED (SELECT source, w, COUNT(*) AS c
-            FROM pt GROUP BY source, w),
-      winit AS MATERIALIZED (SELECT w,
-              regexp_extract_all(w, '(?s).') AS syms
-            FROM (SELECT DISTINCT w FROM sw)),
-      bpe(w, syms) AS (
-        SELECT w, syms FROM winit
-        UNION ALL
-        SELECT w, syms[1:pos-1] || [syms[pos] || syms[pos+1]]
-                  || syms[pos+2:]
-        FROM (
-          SELECT w, syms, list_position(ranks, list_min(ranks)) AS pos
-          FROM (SELECT w, syms,
-                  list_transform(range(1, len(syms)),
-                    i -> nullif(list_position(mk,
-                      syms[i] || chr(1) || syms[i+1]), 0)) AS ranks
-                FROM bpe,
-                  (SELECT ${graft.functions.ByteBpe.mergesSqlList}
-                     AS mk) mt)
-        ) WHERE pos IS NOT NULL AND pos > 0),
-      cnt AS MATERIALIZED (SELECT w, MIN(len(syms)) AS n
-            FROM bpe GROUP BY w),
-      bt AS (SELECT source, SUM(c * n) AS bpe
-             FROM sw JOIN cnt USING (w) GROUP BY source),
+      WITH RECURSIVE $bpeCtes,
       base AS (SELECT source, COUNT(*) AS n_docs,
                  SUM(len($toksSql)) AS ws
-               FROM documents GROUP BY source)
+               FROM documents GROUP BY source),
+      bt AS (SELECT d.source, SUM(b.n_bpe) AS bpe
+             FROM documents d JOIN bdoc b USING (doc_id)
+             GROUP BY d.source)
       SELECT base.source, CAST(n_docs AS BIGINT) AS n_docs,
              CAST(COALESCE(ws, 0) AS BIGINT) AS ws_tokens,
              CAST(COALESCE(bpe, 0) AS BIGINT) AS bpe_tokens
       FROM base LEFT JOIN bt USING (source)
       ORDER BY source"""),
-    // Cavnar-Trenkle replay: doc trigram ranks via ROW_NUMBER
-    // (count DESC, gram ASC — the expression's exact tie order),
-    // out-of-place distance against the fixture profile VALUES
-    // table, argmin with profile-order tie-break; 'unknown' when the
-    // doc has no trigrams or no doc gram hit any profile (distance
-    // == |doc profile| * 20)
+    // pack_sequences under the exact BPE budget unit: the shared
+    // per-doc BPE counts drive the identical shard/window replay
+    "pack_sequences_bpe" -> (s"""
+      WITH RECURSIVE $bpeCtes,
+      t AS (SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(b.n_bpe, 0) END AS n_tokens,
+               CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard
+             FROM documents d LEFT JOIN bdoc b USING (doc_id)),
+      s AS (SELECT doc_id, shard, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_tok
+            FROM t)
+      SELECT doc_id, shard, n_tokens, start_tok,
+             CAST(floor(start_tok / 512.0) AS BIGINT) AS bin
+      FROM s ORDER BY doc_id"""),
+    // Cavnar-Trenkle per-doc prediction via the shared langidPredCtes
     "langid" -> (s"""
-      WITH norm AS (SELECT doc_id,
-              CASE WHEN t = '' THEN '' ELSE ' ' || t || ' ' END AS s
-            FROM (SELECT doc_id, trim(regexp_replace(lower(text),
-                    '[^a-z]+', ' ', 'g')) AS t FROM documents)),
-      tg AS (SELECT doc_id, substr(s, CAST(i AS INT), 3) AS g
-             FROM (SELECT doc_id, s, unnest(range(1, len(s) - 1)) AS i
-                   FROM norm WHERE len(s) >= 3)),
-      cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
-      rk AS (SELECT doc_id, g, ROW_NUMBER() OVER (PARTITION BY doc_id
-               ORDER BY c DESC, g) AS rn FROM cnt),
-      tp AS (SELECT * FROM rk WHERE rn <= ${functions.LangIdCT.K}),
-      prof(lang, g, pr, ord) AS (
-        SELECT * FROM (VALUES ${functions.LangIdCT.profilesSqlValues})),
-      langv AS (SELECT DISTINCT lang, ord FROM prof),
-      sc AS (SELECT t.doc_id, l.lang, l.ord,
-               SUM(CASE WHEN p.pr IS NULL THEN ${functions.LangIdCT.M}
-                   ELSE abs(t.rn - p.pr) END) AS dist,
-               COUNT(*) AS nd
-             FROM tp t CROSS JOIN langv l
-             LEFT JOIN prof p ON p.lang = l.lang AND p.g = t.g
-             GROUP BY 1, 2, 3),
-      pk AS (SELECT doc_id, lang, dist, nd,
-               ROW_NUMBER() OVER (PARTITION BY doc_id
-                 ORDER BY dist, ord) AS r FROM sc)
-      SELECT d.doc_id, d.lang,
-        CASE WHEN p.lang IS NULL
-               OR p.dist >= p.nd * ${functions.LangIdCT.M}
-             THEN 'unknown' ELSE p.lang END AS lang_pred
-      FROM documents d
-      LEFT JOIN (SELECT * FROM pk WHERE r = 1) p USING (doc_id)
+      WITH $langidPredCtes
+      SELECT d.doc_id, d.lang, p.lang_pred
+      FROM documents d JOIN lpred p USING (doc_id)
       ORDER BY d.doc_id"""),
+    // per-window predicted-language census: the same lpred chain
+    // grouped by the synthetic daily window (doc_id % 240 hours from
+    // 2024-01-01, day-truncated — the stream's window start)
+    "lang_mix_stream" -> (s"""
+      WITH $langidPredCtes
+      SELECT strftime(CAST(CAST(TIMESTAMP '2024-01-01 00:00:00'
+               + to_hours(CAST(d.doc_id % 240 AS BIGINT)) AS DATE)
+               AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS slice_start,
+             p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents d JOIN lpred p USING (doc_id)
+      GROUP BY 1, 2 ORDER BY slice_start, lang_pred"""),
     // learned-profile replay: profile training is the same trigram
-    // census GROUP BY lang (rank ≤ 40), languages tie-break in
+    // census GROUP BY lang (rank <= 40), languages tie-break in
     // lexicographic order; scoring identical to `langid` with
-    // penalty 40. tg feeds both the census and the doc profiles —
+    // penalty 40. tg feeds both the census and the doc profiles --
     // MATERIALIZED so DuckDB doesn't re-run the corpus scan per
     // reference.
     "langid_learned" -> (s"""

@@ -173,14 +173,16 @@ object Sampling {
     */
   def packSequences(df: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", tokenBudget: Int = 512,
-                    nShards: Int = 8): DataFrame = {
+                    nShards: Int = 8,
+                    tokenCounter: Column => Column =
+                      TextAnalysis.tokenCount(_)): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val shard = pmod(
       conv(substring(md5(col(idCol).cast(StringType)), 1, 4), 16, 10)
         .cast(LongType), lit(nShards.toLong))
     val w = W.partitionBy(col("shard")).orderBy(col("doc_id").asc)
     df.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+        tokenCounter(col(textCol)).cast(LongType).as("n_tokens"))
       .withColumn("shard", shard)
       .withColumn("start_tok",
         coalesce(sum(col("n_tokens")).over(

@@ -1008,6 +1008,30 @@ object ProfileStream {
       .orderBy("slice_start", "path")
   }
 
+  /** Live language-mixture monitor: per event-time window, document
+    * counts per PREDICTED language — the "did the crawl's language
+    * mix drift" alarm for a multilingual ingest feed. The classifier
+    * ([[graft.operators.TextAnalysis.langIdNgram]], Cavnar–Trenkle
+    * with compiled-in profiles) is a row-local projection, so the
+    * only state is one count row per (window, language) and closed
+    * slices merge by addition to the batch per-language census
+    * exactly (`lang_mix_stream` pins that as a declared oracle row).
+    */
+  def langMixStream(stream: DataFrame, tsCol: String,
+                    textCol: String = "text",
+                    windowDur: String = "1 day",
+                    watermarkDur: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur),
+        graft.operators.TextAnalysis.langIdNgram(col(textCol))
+          .as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col("lang_pred"), col("n_docs"))
+
   def freqSketchStream(stream: DataFrame, tsCol: String, key: String,
                        cap: Int, windowDur: String = "1 day",
                        watermarkDur: String = "1 hour"): DataFrame =
