@@ -95,6 +95,18 @@ class ByteBpeSpec extends AnyFunSuite {
       Seq(("src0", 2L, 4L, 7L), ("src1", 1L, 2L, 3L)))
   }
 
+  test("bpeBudgetReport plan: the BPE count adds NO shuffle beyond " +
+      "the budget groupBy (+ the presentation sort)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exchanges = TextAnalysis.bpeBudgetReport(docs)
+      .queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+    assert(exchanges.size <= 2,
+      s"expected agg + sort exchanges only, got ${exchanges.size}")
+  }
+
   test("fixture merges are SQL-literal-safe and render as a list") {
     val sql = ByteBpe.mergesSqlList
     assert(sql.startsWith("[") && sql.endsWith("]"))

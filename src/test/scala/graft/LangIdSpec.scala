@@ -71,6 +71,15 @@ class LangIdSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((" aa", 1), ("aa ", 2), ("aaa", 3)))
   }
 
+  test("langProfiles plan: the rank window is lang-partitioned, " +
+      "never a global single partition") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wins = TextAnalysis.langProfiles(docs)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("learned profiles separate disjoint vocabularies") {
     val train = Seq(
       ("aa", "alpha beta gamma delta alpha beta"),
