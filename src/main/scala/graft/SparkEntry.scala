@@ -804,6 +804,36 @@ object SparkEntry {
     "pack_sequences_bpe" -> ((s, d) =>
       Sampling.packSequences(Tables.load(s, d, "documents"),
         tokenCounter = TextAnalysis.bpeTokenCount(_))),
+    // tokenizer fertility audit: chars per exact BPE token, per
+    // (source, lang) — the multilingual "how expensive is this slice
+    // in tokenizer units" report (integer ppm; NULL on token-free
+    // strata)
+    "bpe_fertility" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          coalesce(sum(TextAnalysis.bpeTokenCount(col("text"))),
+            lit(0L)).cast("long").as("bpe_tokens"))
+        .withColumn("chars_per_token_ppm",
+          when(col("bpe_tokens") > 0,
+            expr("n_chars * 1000000 DIV bpe_tokens"))
+            .otherwise(lit(null).cast("long")))
+        .orderBy("source", "lang")),
+    // live budget-fill monitor: per closed window and stratum, doc
+    // count + whitespace-proxy + exact BPE token totals (both
+    // counters row-local; state one row per open (window, stratum))
+    "token_budget_stream" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val ts = docs.select(
+        expr("timestampadd(HOUR, CAST(doc_id % 240 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("text"), col("source"))
+      graft.streaming.ProfileStream
+        .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
+          .tokenBudgetStream(st, "ts", "text", "source"))
+        .orderBy("slice_start", "source")
+    }),
     // live language-mixture drift: per closed window, doc counts per
     // PREDICTED language (row-local CT classifier in the stream; the
     // multilingual crawl's mix alarm)
@@ -3289,6 +3319,36 @@ object SparkEntry {
       SELECT doc_id, shard, n_tokens, start_tok,
              CAST(floor(start_tok / 512.0) AS BIGINT) AS bin
       FROM s ORDER BY doc_id"""),
+    // fertility: the shared per-doc BPE chain joined back to
+    // documents, grouped by (source, lang); integer-ppm ratio
+    "bpe_fertility" -> (s"""
+      WITH RECURSIVE $bpeCtes
+      SELECT d.source, d.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+             CAST(COALESCE(SUM(b.n_bpe), 0) AS BIGINT) AS bpe_tokens,
+             CASE WHEN COALESCE(SUM(b.n_bpe), 0) > 0
+                  THEN CAST((SUM(d.n_chars) * 1000000)
+                       // SUM(b.n_bpe) AS BIGINT)
+                  ELSE NULL END AS chars_per_token_ppm
+      FROM documents d LEFT JOIN bdoc b USING (doc_id)
+      GROUP BY d.source, d.lang
+      ORDER BY d.source, d.lang"""),
+    // live budget slices: per synthetic daily window and source, the
+    // same ws + BPE sums the batch budget report rolls up
+    "token_budget_stream" -> (s"""
+      WITH RECURSIVE $bpeCtes,
+      t AS (SELECT d.doc_id, d.source, b.n_bpe,
+              CAST(len($toksSql) AS BIGINT) AS n_ws,
+              strftime(CAST(CAST(TIMESTAMP '2024-01-01 00:00:00'
+                + to_hours(CAST(d.doc_id % 240 AS BIGINT)) AS DATE)
+                AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS slice_start
+            FROM documents d LEFT JOIN bdoc b USING (doc_id))
+      SELECT slice_start, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+             CAST(SUM(COALESCE(n_bpe, 0)) AS BIGINT) AS bpe_tokens
+      FROM t GROUP BY 1, 2 ORDER BY slice_start, source"""),
     // Cavnar-Trenkle per-doc prediction via the shared langidPredCtes
     "langid" -> (s"""
       WITH $langidPredCtes

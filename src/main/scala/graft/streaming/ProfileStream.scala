@@ -1032,6 +1032,37 @@ object ProfileStream {
           .as("slice_start"),
         col("lang_pred"), col("n_docs"))
 
+  /** Live token-budget monitor: per (event-time window, stratum),
+    * document count plus whitespace-proxy AND exact byte-BPE token
+    * totals — the "is the mixture filling to budget, in the unit the
+    * tokenizer actually bills" feed for a budgeted ingest
+    * ([[graft.operators.Sampling.tokenBudgetSample]]'s live twin).
+    * Both token counters are row-local compiled expressions
+    * ([[graft.functions.ByteBpe]]), so state is ONE count row per
+    * open (window, stratum) and closed slices merge by addition to
+    * the batch [[graft.operators.TextAnalysis.bpeBudgetReport]].
+    */
+  def tokenBudgetStream(stream: DataFrame, tsCol: String,
+                        textCol: String = "text",
+                        groupCol: String = "source",
+                        windowDur: String = "1 day",
+                        watermarkDur: String = "1 hour"): DataFrame = {
+    val c = col(textCol)
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur), col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.operators.TextAnalysis.tokenCount(c)
+          .cast(org.apache.spark.sql.types.LongType)).as("ws_tokens"),
+        sum(graft.operators.TextAnalysis.bpeTokenCount(c))
+          .as("bpe_tokens"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col(groupCol), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"))
+  }
+
   def freqSketchStream(stream: DataFrame, tsCol: String, key: String,
                        cap: Int, windowDur: String = "1 day",
                        watermarkDur: String = "1 hour"): DataFrame =

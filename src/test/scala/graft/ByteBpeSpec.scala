@@ -107,6 +107,32 @@ class ByteBpeSpec extends AnyFunSuite {
       s"expected agg + sort exchanges only, got ${exchanges.size}")
   }
 
+  test("tokenBudgetStream closed slices roll up to the batch " +
+      "bpeBudgetReport exactly") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val docs = Seq(
+      (ts("2024-05-01 01:00:00"), "the cat", "src0"),
+      (ts("2024-05-01 02:00:00"), "running 100", "src0"),
+      (ts("2024-05-02 01:00:00"), "the the the", "src1"),
+      (ts("2024-05-02 02:00:00"), "it is", "src1"))
+      .toDF("ts", "text", "source")
+    val slices = graft.streaming.ProfileStream
+      .replayedSlices(docs, "ts")(st => graft.streaming.ProfileStream
+        .tokenBudgetStream(st, "ts", "text", "source"))
+    val rolled = slices.groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("ws_tokens").as("ws"),
+        sum("bpe_tokens").as("bpe"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val batch = graft.operators.TextAnalysis
+      .bpeBudgetReport(docs.drop("ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rolled.toSeq == batch.toSeq)
+  }
+
   test("fixture merges are SQL-literal-safe and render as a list") {
     val sql = ByteBpe.mergesSqlList
     assert(sql.startsWith("[") && sql.endsWith("]"))
