@@ -1025,6 +1025,12 @@ object SparkEntry {
       Similarity.ivfSq8TopKServed(e, e.filter(col("vec_id") < 20),
         dir, k = 5)
     }),
+    // deterministic JL ±1 random projection: 64-dim embeddings to 16
+    // integer lanes (md5-derived sign vectors, row-local compiled
+    // dots) — the dimensionality-reduction front door for clustering
+    // and coarse routing
+    "embedding_rp" -> ((s, d) =>
+      Similarity.randomProject(Tables.load(s, d, "embeddings"))),
     // hard-negative mining: per query, the top-5 most-similar
     // DIFFERENT-label vectors — the contrastive-pair miner (exact
     // candidate source; IVF routing is the documented scale path)
@@ -3319,6 +3325,27 @@ object SparkEntry {
       SELECT doc_id, shard, n_tokens, start_tok,
              CAST(floor(start_tok / 512.0) AS BIGINT) AS bin
       FROM s ORDER BY doc_id"""),
+    // JL replay: sign(j,i) = +1 iff first md5 hex digit < '8' (the
+    // digest's top bit) — re-derived independently; micro units keep
+    // every sum an exact integer
+    "embedding_rp" -> ("""
+      WITH u AS (SELECT vec_id, list_transform(embedding, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+               AS u FROM embeddings),
+      sj AS (SELECT j, i,
+               CASE WHEN substr(md5('rp:' || CAST(j AS VARCHAR) ||
+                 ':' || CAST(i AS VARCHAR)), 1, 1) < '8'
+               THEN 1 ELSE -1 END AS sg
+             FROM (SELECT unnest(range(0, 16)) AS j),
+                  (SELECT unnest(range(0, 64)) AS i)),
+      el AS (SELECT vec_id, i, u[i + 1] AS x
+             FROM (SELECT vec_id, u, unnest(range(0, len(u))) AS i
+                   FROM u))
+      SELECT e.vec_id, CAST(s.j AS INTEGER) AS j,
+             CAST(SUM(s.sg * e.x) AS BIGINT) AS value
+      FROM el e JOIN sj s ON s.i = e.i
+      GROUP BY e.vec_id, s.j
+      ORDER BY vec_id, j"""),
     // fertility: the shared per-doc BPE chain joined back to
     // documents, grouped by (source, lang); integer-ppm ratio
     "bpe_fertility" -> (s"""

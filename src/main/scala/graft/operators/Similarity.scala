@@ -36,6 +36,42 @@ object Similarity {
     * the only shuffle is the per-query top-k over (queries × k·parts)
     * candidate rows. Exact — the recall baseline for ANN variants.
     */
+  /** Deterministic ±1 random projection (Achlioptas 2001 / the
+    * database-friendly Johnson–Lindenstrauss variant): each of
+    * `outDims` output lanes is the integer dot of the micro-unit
+    * embedding with an md5-derived sign vector — the cheap
+    * dimensionality reduction that feeds clustering, coarse routing,
+    * and near-dup blocking when the native dimension is too wide.
+    * Sign(j, i) = +1 iff the first hex digit of `md5("rp:j:i")` is
+    * < '8' (top bit of the digest), so the "projection matrix" is a
+    * pure function both engines derive independently; the sign
+    * vectors ship as outDims × dims literal ints and each lane is one
+    * compiled [[graft.functions.DotProduct]] — a row-local projection
+    * with no shuffle, no join, exact integer output (micro units ×
+    * ±1 sums stay far below 2⁵³, so the double-typed dot is exact and
+    * order-independent and the cast back to long is lossless).
+    */
+  def randomProject(df: DataFrame, vecCol: String = "embedding",
+                    idCol: String = "vec_id", dims: Int = 64,
+                    outDims: Int = 16): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Long = {
+      md.reset()
+      val d = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+      if ((d(0) & 0x80) == 0) 1L else -1L
+    }
+    val micro = transform(col(vecCol),
+      v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
+    val lanes = (0 until outDims).map { j =>
+      val signs = array((0 until dims).map(i => lit(sign(j, i))): _*)
+      graft.functions.DotProduct.dotProduct(micro, signs)
+        .cast(LongType)
+    }
+    df.select(col(idCol),
+        posexplode(array(lanes: _*)).as(Seq("j", "value")))
+      .orderBy(idCol, "j")
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
