@@ -772,6 +772,12 @@ object SparkEntry {
     // (the DuckDB oracle replays the merge recursion verbatim)
     "token_budget_bpe" -> ((s, d) =>
       TextAnalysis.bpeBudgetReport(Tables.load(s, d, "documents"))),
+    // the padding-waste audit in the unit the accelerator bills:
+    // power-of-two buckets over EXACT BPE lengths
+    "padding_report_bpe" -> ((s, d) =>
+      operators.Curation.paddingReport(Tables.load(s, d, "documents"),
+        buckets = PaddingBuckets,
+        tokenCounter = TextAnalysis.bpeTokenCount(_))),
     // Cavnar-Trenkle rank-order trigram language ID per document,
     // true label alongside for the audit join
     "langid" -> ((s, d) =>
@@ -3346,6 +3352,25 @@ object SparkEntry {
       FROM el e JOIN sj s ON s.i = e.i
       GROUP BY e.vec_id, s.j
       ORDER BY vec_id, j"""),
+    // padding waste over exact BPE lengths via the shared bpeCtes
+    // chain; NULL text mirrors the engine's null-token bucket fall-
+    // through exactly as the ws-unit row does
+    "padding_report_bpe" -> (s"""
+      WITH RECURSIVE $bpeCtes,
+      t AS (SELECT LEAST(CASE WHEN d.text IS NULL THEN NULL
+                   ELSE COALESCE(b.n_bpe, 0) END,
+                   ${PaddingBuckets.last}) AS kept
+            FROM documents d LEFT JOIN bdoc b USING (doc_id)),
+      b AS (SELECT CAST($paddingCaseSql AS BIGINT) AS bucket_len,
+              CAST(kept AS BIGINT) AS kept FROM t),
+      g AS (SELECT bucket_len, COUNT(*) AS n_docs,
+              CAST(SUM(kept) AS BIGINT) AS kept_tokens
+            FROM b GROUP BY 1)
+      SELECT bucket_len, n_docs, kept_tokens,
+             bucket_len * n_docs - kept_tokens AS pad_tokens,
+             CAST((1000000 * (bucket_len * n_docs - kept_tokens))
+               // (bucket_len * n_docs) AS BIGINT) AS waste_ppm
+      FROM g ORDER BY bucket_len"""),
     // fertility: the shared per-doc BPE chain joined back to
     // documents, grouped by (source, lang); integer-ppm ratio
     "bpe_fertility" -> (s"""

@@ -611,12 +611,13 @@ object Curation {
     */
   def paddingReport(docs: DataFrame, textCol: String = "text",
                     buckets: Seq[Long] =
-                      Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L))
-      : DataFrame = {
+                      Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L),
+                    tokenCounter: Column => Column =
+                      TextAnalysis.tokenCount(_)): DataFrame = {
     require(buckets.nonEmpty && buckets == buckets.sorted,
       "buckets must be ascending")
     val maxB = buckets.last
-    val n = TextAnalysis.tokenCount(col(textCol))
+    val n = tokenCounter(col(textCol))
       .cast(org.apache.spark.sql.types.LongType)
     val kept = least(n, lit(maxB))
     val bucket = buckets.init.foldRight(lit(maxB)) {
