@@ -1131,6 +1131,20 @@ object SparkEntry {
     // — multimodal plumbing (binary columns + typed metadata) —
     "multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.load(s, d, "documents"))),
+    // content-defined chunking of the constructed payloads: chunk
+    // boundaries realign on content (md5-window rule), so shared
+    // substrings chunk identically at any byte offset — the
+    // storage-dedup primitive for a media lake
+    "cdc_chunks" -> ((s, d) =>
+      Multimodal.cdcChunkTable(
+        Multimodal.testPayload(Tables.load(s, d, "documents")),
+        "payload")),
+    // and the content-addressed-store answer over those chunks: how
+    // many bytes survive chunk-hash dedup
+    "cdc_dedup_report" -> ((s, d) =>
+      Multimodal.cdcDedupReport(Multimodal.cdcChunkTable(
+        Multimodal.testPayload(Tables.load(s, d, "documents")),
+        "payload"))),
     // frame sampling over the same constructed payloads: 4 windows of
     // 16 bytes per blob, stub demuxer = even byte stride
     "multimodal_frames" -> ((s, d) =>
@@ -1618,6 +1632,44 @@ object SparkEntry {
       bdoc AS MATERIALIZED (SELECT doc_id,
               CAST(SUM(c * n) AS BIGINT) AS n_bpe
             FROM bsw JOIN bcw USING (w) GROUP BY doc_id)"""
+
+  /** Shared CDC replay chain (mirrors `functions.CdcChunks` over the
+    * constructed multimodal payload): boundary after byte i iff
+    * md5 of the trailing 8-byte window's uppercase hex starts below
+    * '10' (first digest byte < 0x10); chunk hash = md5 of the chunk's
+    * hex. Ends in `cdc_out(doc_id, chunk_idx, offset, len,
+    * chunk_md5)`.
+    */
+  private lazy val cdcCtes: String = """
+      cdc_p AS (
+        SELECT doc_id,
+          (CASE doc_id % 4
+             WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB
+             WHEN 1 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB
+             WHEN 2 THEN ('RIFF'::BLOB || '\x00\x00\x00\x00'::BLOB
+                          || 'WAVE'::BLOB)
+             ELSE '\x00'::BLOB END) || CAST(text AS BLOB) AS payload
+        FROM documents),
+      cdc_h AS (SELECT doc_id, hex(payload) AS hx,
+                  octet_length(payload) AS n FROM cdc_p),
+      cdc_cuts AS (SELECT doc_id, i + 1 AS e
+             FROM (SELECT doc_id, hx, n, unnest(range(7, n)) AS i
+                   FROM cdc_h)
+             WHERE substr(md5(substr(hx, (i - 7) * 2 + 1, 16)),
+                     1, 2) < '10'),
+      cdc_b AS (SELECT DISTINCT doc_id, e FROM (
+               SELECT doc_id, e FROM cdc_cuts
+               UNION ALL SELECT doc_id, n FROM cdc_h)),
+      cdc_ch AS (SELECT doc_id, e,
+               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e),
+                 0) AS s
+             FROM cdc_b),
+      cdc_out AS (SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY s) - 1 AS INT) AS chunk_idx,
+               CAST(s AS INT) AS "offset", CAST(e - s AS INT) AS len,
+               md5(substr(hx, s * 2 + 1, (e - s) * 2)) AS chunk_md5
+             FROM cdc_ch JOIN cdc_h USING (doc_id) WHERE e > s)"""
 
   /** Shared Cavnar-Trenkle replay chain (mirrors `functions.LangIdCT`
     * with the fixture profiles): doc trigram ranks via ROW_NUMBER
@@ -3947,6 +3999,21 @@ object SparkEntry {
              CAST(CAST(gap AS HUGEINT) * 1000000 // n_g // n_all
                AS BIGINT) AS ks_ppm
       FROM m WHERE rn = 1 ORDER BY source"""),
+    "cdc_chunks" -> (s"""
+      WITH $cdcCtes
+      SELECT doc_id, chunk_idx, "offset", len, chunk_md5
+      FROM cdc_out ORDER BY doc_id, chunk_idx"""),
+    "cdc_dedup_report" -> (s"""
+      WITH $cdcCtes,
+      per AS (SELECT chunk_md5, COUNT(*) AS copies, MIN(len) AS clen
+              FROM cdc_out GROUP BY 1)
+      SELECT CAST(SUM(copies) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+             CAST(SUM(copies * clen) AS BIGINT) AS total_bytes,
+             CAST(SUM(clen) AS BIGINT) AS distinct_bytes,
+             CAST((1000000 * (SUM(copies * clen) - SUM(clen)))
+               // SUM(copies * clen) AS BIGINT) AS dedup_ppm
+      FROM per"""),
     "multimodal_meta" -> ("""
       WITH p AS (
         SELECT doc_id,

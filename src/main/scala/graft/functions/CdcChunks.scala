@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined chunking of a binary column — the storage-dedup
+  * primitive (LBFS / Muthitacharoen et al. 2001; restic/borg-style
+  * CDC): a chunk boundary falls AFTER byte i whenever the hash of the
+  * trailing [[CdcChunks.W]]-byte window clears a threshold, so
+  * boundaries realign on content, and a shared substring between two
+  * blobs chunks identically no matter how its byte OFFSET shifts —
+  * the property fixed-size blocking lacks and the reason chunk-hash
+  * dedup works on append/prefix-mutated media payloads.
+  *
+  * Window hash: md5 of the window's UPPERCASE-hex rendering, boundary
+  * iff the first digest byte < 0x10 (p = 1/16 ⇒ ~16-byte average
+  * chunks on random content — sized for the fixture payloads; real
+  * deployments raise the mask for 64 KB chunks). md5-of-hex is chosen
+  * because BOTH engines derive it independently (`md5(substr(hex(b),
+  * …))` in DuckDB) — production swaps a gear/Rabin rolling hash
+  * behind the same expression contract (boundary decisions per
+  * position are independent of chunk starts, so only this predicate
+  * changes).
+  *
+  * Returns `array<struct<offset int, len int, chunk_md5 string>>`
+  * (md5 of the chunk's uppercase hex); empty blob ⇒ empty array.
+  * Row-local compiled loop (real `doGenCode`, static call on the
+  * unboxed bytes) — chunking adds no shuffle to whatever dedup
+  * aggregation sits above it.
+  */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("offset", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("chunk_md5", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cdc_chunks needs binary, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunks.evalBytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("cdc")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.CdcChunks.evalBytes($c);
+         |${ev.value} = $tmp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CdcChunks = copy(child = newChild)
+}
+
+object CdcChunks {
+
+  /** Rolling-window width in bytes. */
+  val W = 8
+
+  private val HEX = "0123456789ABCDEF".toCharArray
+
+  private def hexUpper(b: Array[Byte], from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder((until - from) * 2)
+    var i = from
+    while (i < until) {
+      sb.append(HEX((b(i) >> 4) & 0xf)).append(HEX(b(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The per-row loop, shared by interpreted eval and generated code. */
+  def evalBytes(bytes: Array[Byte]): GenericArrayData = {
+    val n = bytes.length
+    val md = SimHash64.md5.get()
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    def emit(end: Int): Unit = if (end > start) {
+      md.reset()
+      val d = md.digest(
+        hexUpper(bytes, start, end).getBytes("UTF-8"))
+      val sb = new java.lang.StringBuilder(32)
+      var k = 0
+      while (k < 16) {
+        sb.append(HEX((d(k) >> 4) & 0xf).toLower)
+          .append(HEX(d(k) & 0xf).toLower)
+        k += 1
+      }
+      chunks += InternalRow(start, end - start,
+        UTF8String.fromString(sb.toString))
+      start = end
+    }
+    var i = W - 1
+    while (i < n) {
+      md.reset()
+      val d = md.digest(
+        hexUpper(bytes, i - W + 1, i + 1).getBytes("UTF-8"))
+      if ((d(0) & 0xff) < 0x10) emit(i + 1)
+      i += 1
+    }
+    emit(n)
+    new GenericArrayData(chunks.toArray)
+  }
+
+  /** Column entry point: `cdc_chunks(blob)`. */
+  def cdcChunks(bin: Column): Column =
+    Shims.column(CdcChunks(Shims.expression(bin)))
+}

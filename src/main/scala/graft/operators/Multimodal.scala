@@ -145,4 +145,42 @@ object Multimodal {
         col("content_md5"), w.as("stub_width"), h.as("stub_height"))
       .orderBy(idCol)
   }
+
+  /** Content-defined chunk table of a binary column: one row per
+    * (blob, chunk) with exact offsets and the chunk content hash —
+    * the input to chunk-level storage dedup. Chunking is the
+    * row-local compiled [[graft.functions.CdcChunks]] expression
+    * (boundaries realign on content, so shared substrings chunk
+    * identically at any byte offset); the explode adds rows, not
+    * shuffles.
+    */
+  def cdcChunkTable(df: DataFrame, binCol: String,
+                    idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.functions.CdcChunks.cdcChunks(col(binCol)))
+          .as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("c.offset").as("offset"), col("c.len").as("len"),
+        col("c.chunk_md5").as("chunk_md5"))
+      .orderBy(idCol, "chunk_idx")
+
+  /** Chunk-level dedup report over a [[cdcChunkTable]]: how many
+    * bytes would a content-addressed store actually keep. ONE
+    * hash-keyed groupBy then a global rollup — the chunk table never
+    * re-reads the blobs, and distinct bytes are exact (same md5 ⇒
+    * same content ⇒ same length; `min` only pins determinism).
+    */
+  def cdcDedupReport(chunks: DataFrame): DataFrame = {
+    val per = chunks.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("copies"), min(col("len")).as("clen"))
+    per.agg(
+        sum(col("copies")).cast("long").as("n_chunks"),
+        count(lit(1)).cast("long").as("distinct_chunks"),
+        sum(col("copies") * col("clen")).cast("long")
+          .as("total_bytes"),
+        sum(col("clen")).cast("long").as("distinct_bytes"))
+      .withColumn("dedup_ppm",
+        expr("(1000000 * (total_bytes - distinct_bytes)) " +
+          "DIV total_bytes"))
+  }
 }
