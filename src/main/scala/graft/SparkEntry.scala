@@ -810,6 +810,26 @@ object SparkEntry {
     "pack_sequences_bpe" -> ((s, d) =>
       Sampling.packSequences(Tables.load(s, d, "documents"),
         tokenCounter = TextAnalysis.bpeTokenCount(_))),
+    // BPE tokenizer TRAINING (Sennrich Algorithm 1): learn 25 merges
+    // from the corpus census — most-frequent adjacent pair per round,
+    // ties lexicographic, LTR non-overlapping fusion, minCount 2
+    "bpe_train" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.bpeTrain(Tables.load(s, d, "documents"))
+        .zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1L, a, b, c) }
+        .toDF("rank", "l_sym", "r_sym", "pair_count")
+        .orderBy("rank")
+    }),
+    // and the budget report under those CORPUS-LEARNED merges — the
+    // full production loop: train the tokenizer, bill the corpus in
+    // its own units
+    "token_budget_trained" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val learned = TextAnalysis.bpeTrain(docs)
+        .map(m => (m._1, m._2))
+      TextAnalysis.bpeBudgetReport(docs, merges = learned)
+    }),
     // tokenizer fertility audit: chars per exact BPE token, per
     // (source, lang) — the multilingual "how expensive is this slice
     // in tokenizer units" report (integer ppm; NULL on token-free
@@ -1670,6 +1690,51 @@ object SparkEntry {
                CAST(s AS INT) AS "offset", CAST(e - s AS INT) AS len,
                md5(substr(hx, s * 2 + 1, (e - s) * 2)) AS chunk_md5
              FROM cdc_ch JOIN cdc_h USING (doc_id) WHERE e > s)"""
+
+  /** Shared BPE-TRAINING replay chain (mirrors `TextAnalysis
+    * .bpeTrain`, i.e. Sennrich 2016 Algorithm 1): the word census is
+    * encoded as chr(2)||sym||chr(3) frames so "fuse every
+    * left-to-right non-overlapping occurrence of the best pair" is
+    * ONE string replace (adjacent matches share no frame bytes, and
+    * an overlapping pair like (a,a) on "aaa" naturally yields
+    * [aa, a] — the published semantics); each recursive step counts
+    * every adjacent pair frequency-weighted over the WORKING table,
+    * picks the max (ties lexicographic), and logs it on that
+    * iteration's rows. Stops at 25 merges or when no pair reaches
+    * count 2 (the chooser returns no row and the recursion drains).
+    * Ends in `bt(it, enc, cnt, a, b, pc)`; consumers must open WITH
+    * RECURSIVE.
+    */
+  private lazy val bpeTrainCtes: String = """
+      bt_init AS MATERIALIZED (
+        SELECT list_aggregate(list_transform(
+                 regexp_extract_all(w, '(?s).'),
+                 c -> chr(2) || c || chr(3)), 'string_agg', '') AS enc,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM (SELECT w, COUNT(*) AS cnt FROM (
+                SELECT unnest(regexp_extract_all(text,
+                  ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS w
+                FROM documents) GROUP BY w)),
+      bt(it, enc, cnt, a, b, pc) AS (
+        SELECT 0, enc, cnt, CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        FROM bt_init
+        UNION ALL
+        SELECT bt.it + 1,
+          replace(bt.enc,
+            chr(2) || bp.a || chr(3) || chr(2) || bp.b || chr(3),
+            chr(2) || bp.a || bp.b || chr(3)),
+          bt.cnt, bp.a, bp.b, bp.pc
+        FROM bt, (
+          SELECT a, b, CAST(SUM(pc) AS BIGINT) AS pc FROM (
+            SELECT syms[i] AS a, syms[i + 1] AS b, cnt AS pc
+            FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+                  FROM (SELECT cnt, string_split(
+                          substr(enc, 2, length(enc) - 2),
+                          chr(3) || chr(2)) AS syms FROM bt)))
+          GROUP BY a, b HAVING SUM(pc) >= 2
+          ORDER BY SUM(pc) DESC, a, b LIMIT 1) bp
+        WHERE bt.it < 25)"""
 
   /** Shared Cavnar-Trenkle replay chain (mirrors `functions.LangIdCT`
     * with the fixture profiles): doc trigram ranks via ROW_NUMBER
@@ -3423,6 +3488,56 @@ object SparkEntry {
              CAST((1000000 * (bucket_len * n_docs - kept_tokens))
                // (bucket_len * n_docs) AS BIGINT) AS waste_ppm
       FROM g ORDER BY bucket_len"""),
+    "bpe_train" -> (s"""
+      WITH RECURSIVE $bpeTrainCtes
+      SELECT DISTINCT CAST(it AS BIGINT) AS rank, a AS l_sym,
+             b AS r_sym, pc AS pair_count
+      FROM bt WHERE it >= 1 ORDER BY rank"""),
+    // counting recursion identical to bpeCtes but with the merge-key
+    // list built from the TRAINING chain's log instead of the fixture
+    // literal
+    "token_budget_trained" -> (s"""
+      WITH RECURSIVE $bpeTrainCtes,
+      lm AS (SELECT list(a || chr(1) || b ORDER BY rank) AS mk FROM
+             (SELECT DISTINCT it AS rank, a, b FROM bt
+              WHERE it >= 1)),
+      tq_pt AS MATERIALIZED (SELECT doc_id,
+              unnest(regexp_extract_all(text,
+                ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS w
+            FROM documents),
+      tq_sw AS MATERIALIZED (SELECT doc_id, w, COUNT(*) AS c
+            FROM tq_pt GROUP BY 1, 2),
+      tq_winit AS MATERIALIZED (SELECT w,
+              regexp_extract_all(w, '(?s).') AS syms
+            FROM (SELECT DISTINCT w FROM tq_sw)),
+      tq_bpe(w, syms) AS (
+        SELECT w, syms FROM tq_winit
+        UNION ALL
+        SELECT w, syms[1:pos-1] || [syms[pos] || syms[pos+1]]
+                  || syms[pos+2:]
+        FROM (
+          SELECT w, syms, list_position(ranks, list_min(ranks)) AS pos
+          FROM (SELECT w, syms,
+                  list_transform(range(1, len(syms)),
+                    i -> nullif(list_position(mk,
+                      syms[i] || chr(1) || syms[i+1]), 0)) AS ranks
+                FROM tq_bpe, lm)
+        ) WHERE pos IS NOT NULL AND pos > 0),
+      tq_cw AS MATERIALIZED (SELECT w, MIN(len(syms)) AS n
+            FROM tq_bpe GROUP BY w),
+      tq_doc AS (SELECT doc_id, CAST(SUM(c * n) AS BIGINT) AS n_bpe
+            FROM tq_sw JOIN tq_cw USING (w) GROUP BY doc_id),
+      base AS (SELECT source, COUNT(*) AS n_docs,
+                 SUM(len($toksSql)) AS ws
+               FROM documents GROUP BY source),
+      btq AS (SELECT d.source, SUM(b.n_bpe) AS bpe
+              FROM documents d JOIN tq_doc b USING (doc_id)
+              GROUP BY d.source)
+      SELECT base.source, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(COALESCE(ws, 0) AS BIGINT) AS ws_tokens,
+             CAST(COALESCE(bpe, 0) AS BIGINT) AS bpe_tokens
+      FROM base LEFT JOIN btq USING (source)
+      ORDER BY source"""),
     // fertility: the shared per-doc BPE chain joined back to
     // documents, grouped by (source, lang); integer-ppm ratio
     "bpe_fertility" -> (s"""

@@ -55,15 +55,87 @@ object TextAnalysis {
     * path it audits.
     */
   def bpeBudgetReport(df: DataFrame, textCol: String = "text",
-      groupCol: String = "source"): DataFrame = {
+      groupCol: String = "source",
+      merges: Seq[(String, String)] =
+        graft.functions.ByteBpe.fixtureMerges): DataFrame = {
     val c = col(textCol)
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         coalesce(sum(tokenCount(c).cast(LongType)), lit(0L))
           .cast(LongType).as("ws_tokens"),
-        coalesce(sum(bpeTokenCount(c)), lit(0L))
+        coalesce(sum(bpeTokenCount(c, merges)), lit(0L))
           .cast(LongType).as("bpe_tokens"))
       .orderBy(groupCol)
+  }
+
+  /** LEARN a BPE merges table from the corpus — Sennrich et al. 2016
+    * Algorithm 1, the tokenizer-TRAINING step: iterate `numMerges`
+    * times over the word census (distinct pre-token → frequency),
+    * each round counting every adjacent symbol pair
+    * frequency-weighted, fusing the most frequent pair (ties to the
+    * lexicographically first (left, right)) left-to-right
+    * non-overlapping in every word, and stopping early when no pair
+    * reaches `minCount`. Returns the learned merges in rank order
+    * with their at-selection pair counts — feed them straight to
+    * [[bpeTokenCount]] / [[bpeBudgetReport]] for corpus-fit budgets.
+    *
+    * Scale shape: the distributed part is ONE explode + groupBy
+    * census; the merge loop runs on the COLLECTED census — bounded
+    * algorithm state by the same contract as k-means codebooks and
+    * the learned language profiles (Heaps-law vocabulary, and real
+    * tokenizer training runs on a capped sample anyway — pass one).
+    */
+  def bpeTrain(df: DataFrame, textCol: String = "text",
+      numMerges: Int = 25,
+      minCount: Long = 2): Seq[(String, String, Long)] = {
+    val census = df
+      .select(explode(bpeishTokens(col(textCol))).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Vector[String], Long)] = census.map {
+      case (w, c) => (w.map(_.toString).toVector, c)
+    }
+    def mergeAll(syms: Vector[String], a: String,
+        b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.size) {
+        if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    var round = 0
+    while (!done && round < numMerges) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.size - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), pc) = counts.minBy { case ((x, y), c) =>
+          (-c, x, y)
+        }
+        if (pc < minCount) done = true
+        else {
+          merges += ((a, b, pc))
+          words = words.map { case (syms, c) =>
+            (mergeAll(syms, a, b), c)
+          }
+          round += 1
+        }
+      }
+    }
+    merges.result()
   }
 
   /** Tiny public stopword lists per language — enough for an n-gram-free

@@ -133,6 +133,34 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(rolled.toSeq == batch.toSeq)
   }
 
+  test("bpeTrain learns the Sennrich paper corpus in the published " +
+      "order") {
+    // the paper's toy corpus: low x5, lower x2, newest x6, widest x3
+    // (one word per doc — multi-word docs would carry the Ġ space).
+    // Pair counts round 1: (e,s)=9 ties (s,t)=9 -> lexicographic
+    // (e,s); then (es,t)=9; then (l,o)=7 ties (o,w) -> (l,o); then
+    // (lo,w)=7. Matches the paper's sequence modulo its </w> marker.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .toDF("text")
+    val learned = graft.operators.TextAnalysis
+      .bpeTrain(corpus, numMerges = 4)
+    assert(learned == Seq(("e", "s", 9L), ("es", "t", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+  }
+
+  test("learned merges drive bpeTokenCount: lowest -> 2 tokens") {
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .toDF("text")
+    val learned = graft.operators.TextAnalysis
+      .bpeTrain(corpus, numMerges = 4).map(m => (m._1, m._2))
+    val n = Seq(Tuple1("lowest")).toDF("text")
+      .select(TextAnalysis.bpeTokenCount(col("text"), learned))
+      .head.getLong(0)
+    assert(n == 2L)   // [low, est] — the paper's flagship segmentation
+  }
+
   test("fixture merges are SQL-literal-safe and render as a list") {
     val sql = ByteBpe.mergesSqlList
     assert(sql.startsWith("[") && sql.endsWith("]"))
