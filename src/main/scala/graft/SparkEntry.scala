@@ -1705,7 +1705,7 @@ object SparkEntry {
     * Ends in `bt(it, enc, cnt, a, b, pc)`; consumers must open WITH
     * RECURSIVE.
     */
-  private lazy val bpeTrainCtes: String = """
+  private lazy val bpeTrainCtes: String = s"""
       bt_init AS MATERIALIZED (
         SELECT list_aggregate(list_transform(
                  regexp_extract_all(w, '(?s).'),
@@ -1714,7 +1714,9 @@ object SparkEntry {
         FROM (SELECT w, COUNT(*) AS cnt FROM (
                 SELECT unnest(regexp_extract_all(text,
                   ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS w
-                FROM documents) GROUP BY w)),
+                FROM documents) GROUP BY w
+              ORDER BY cnt DESC, w
+              LIMIT ${operators.TextAnalysis.defaultMaxVocab})),
       bt(it, enc, cnt, a, b, pc) AS (
         SELECT 0, enc, cnt, CAST(NULL AS VARCHAR),
                CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)

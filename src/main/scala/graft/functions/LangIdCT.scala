@@ -103,7 +103,12 @@ object LangIdCT {
       " co", "eur", "ur ", "les"))
 
   private[graft] def normalize(text: String): String = {
-    val cleaned = text.toLowerCase.replaceAll("[^a-z]+", " ").trim
+    // Locale.ROOT: under a Turkish-default JVM, bare toLowerCase maps
+    // 'I' -> dotless 'ı' (stripped by [^a-z]) instead of 'i',
+    // diverging from DuckDB's lower() and Spark's locale-independent
+    // lower() used when learning profiles.
+    val cleaned = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z]+", " ").trim
     if (cleaned.isEmpty) "" else " " + cleaned + " "
   }
 

@@ -80,17 +80,30 @@ object TextAnalysis {
     * [[bpeTokenCount]] / [[bpeBudgetReport]] for corpus-fit budgets.
     *
     * Scale shape: the distributed part is ONE explode + groupBy
-    * census; the merge loop runs on the COLLECTED census — bounded
-    * algorithm state by the same contract as k-means codebooks and
-    * the learned language profiles (Heaps-law vocabulary, and real
-    * tokenizer training runs on a capped sample anyway — pass one).
+    * census; the merge loop runs on the COLLECTED census, which is
+    * bounded BY CONSTRUCTION at `maxVocab` rows: the collect is a
+    * TakeOrderedAndProject of the top-`maxVocab` pre-tokens by
+    * (count DESC, token ASC) — deterministic under ties and
+    * replayed by the oracle as the same ORDER BY/LIMIT cut. A raw
+    * Heaps-law census over a 100 TB web corpus is 10⁸–10⁹ distinct
+    * pre-tokens (the GPT-2-style pre-tokenizer emits every number
+    * string and punctuation run); the head cut keeps driver state
+    * at `maxVocab` regardless, and discards only pre-tokens whose
+    * frequency mass is too small to win a merge anyway (production
+    * BPE trainers apply the same frequency-floor idea).
     */
+  val defaultMaxVocab: Int = 1 << 16
+
   def bpeTrain(df: DataFrame, textCol: String = "text",
       numMerges: Int = 25,
-      minCount: Long = 2): Seq[(String, String, Long)] = {
+      minCount: Long = 2,
+      maxVocab: Int = defaultMaxVocab): Seq[(String, String, Long)] = {
+    require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
     val census = df
       .select(explode(bpeishTokens(col(textCol))).as("w"))
       .groupBy("w").count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var words: Array[(Vector[String], Long)] = census.map {
       case (w, c) => (w.map(_.toString).toVector, c)

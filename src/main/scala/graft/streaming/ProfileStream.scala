@@ -921,7 +921,12 @@ object ProfileStream {
     // must hot-swap the vocabulary keep the join form — restart the
     // query (or move the set into a rocks-backed state op) on vocab
     // refresh, which is the tokenizer-release cadence anyway.
-    val terms = vocab.select(col("term")).distinct().collect()
+    // isNotNull: a NULL vocab term would put null into the IN-list,
+    // making the predicate NULL (not true) for every non-matching
+    // token — `otherwise(0)` would then count real OOV tokens as
+    // in-vocab. The old left-join form counted them as OOV; keep that.
+    val terms = vocab.select(col("term"))
+      .where(col("term").isNotNull).distinct().collect()
       .map(_.getString(0)).sorted
     val miss = !col("term").isInCollection(terms)
     stream

@@ -149,6 +149,39 @@ class ByteBpeSpec extends AnyFunSuite {
       ("l", "o", 7L), ("lo", "w", 7L)))
   }
 
+  test("bpeTrain maxVocab caps the census to the head by " +
+      "(count DESC, token ASC) and training sees only that head") {
+    // census: "low" x5, "newest" x6, "widest" x3, "lower" x2 — four
+    // distinct pre-tokens. maxVocab=2 keeps {newest:6, low:5}; the
+    // dropped tail (widest, lower) must contribute nothing, so the
+    // learned merges equal training on an explicitly truncated
+    // corpus.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .toDF("text")
+    val capped = graft.operators.TextAnalysis
+      .bpeTrain(corpus, numMerges = 4, maxVocab = 2)
+    val headOnly = (Seq.fill(5)("low") ++ Seq.fill(6)("newest"))
+      .toDF("text")
+    val expected = graft.operators.TextAnalysis
+      .bpeTrain(headOnly, numMerges = 4)
+    assert(capped == expected)
+    // and the cap visibly changed the outcome vs the full census
+    val full = graft.operators.TextAnalysis
+      .bpeTrain(corpus, numMerges = 4)
+    assert(capped != full)
+    // tie in frequency resolves by token ASC: "alpha" x2 vs "beta" x2
+    // with maxVocab=1 -> only "alpha" survives, so every learned
+    // merge is an alpha-internal pair
+    val tied = (Seq.fill(2)("alpha") ++ Seq.fill(2)("beta"))
+      .toDF("text")
+    val one = graft.operators.TextAnalysis
+      .bpeTrain(tied, numMerges = 2, maxVocab = 1)
+    val alphaOnly = Seq.fill(2)("alpha").toDF("text")
+    assert(one == graft.operators.TextAnalysis
+      .bpeTrain(alphaOnly, numMerges = 2))
+  }
+
   test("learned merges drive bpeTokenCount: lowest -> 2 tokens") {
     val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
