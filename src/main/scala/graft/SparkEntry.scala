@@ -810,6 +810,18 @@ object SparkEntry {
     "pack_sequences_bpe" -> ((s, d) =>
       Sampling.packSequences(Tables.load(s, d, "documents"),
         tokenCounter = TextAnalysis.bpeTokenCount(_))),
+    // full BPE token-ID stream (GPT-2 id layout: code point for base
+    // symbols, 256+rank for merge products) over a deterministic
+    // 1-in-10 doc subset — the materialized tokenizer output a
+    // training pipeline writes; exploded to (doc_id, pos, token_id)
+    // so the cross-engine compare is array-free
+    "bpe_encode" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.bpeEncode(col("text")))
+            .as(Seq("pos", "token_id")))
+        .orderBy("doc_id", "pos")),
     // BPE tokenizer TRAINING (Sennrich Algorithm 1): learn 25 merges
     // from the corpus census — most-frequent adjacent pair per round,
     // ties lexicographic, LTR non-overlapping fusion, minCount 2
@@ -3490,6 +3502,36 @@ object SparkEntry {
              CAST((1000000 * (bucket_len * n_docs - kept_tokens))
                // (bucket_len * n_docs) AS BIGINT) AS waste_ppm
       FROM g ORDER BY bucket_len"""),
+    // full token-ID stream: final symbols per word = the bbpe
+    // recursion row of minimal length (each step shrinks by exactly
+    // one, so arg_min is the unique fixed point); IDs via the GPT-2
+    // layout — unicode code point for 1-char symbols, 255 +
+    // list_position over the merge-product list (first match wins,
+    // mirroring the engine's putIfAbsent)
+    "bpe_encode" -> (s"""
+      WITH RECURSIVE $bpeCtes,
+      be_doc AS (SELECT doc_id, regexp_extract_all(text,
+            ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+') AS ws
+          FROM documents WHERE doc_id % 10 = 0),
+      be_pos AS (SELECT doc_id, i, ws[i] AS w
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+                FROM be_doc)),
+      be_fin AS MATERIALIZED (SELECT w, arg_min(syms, len(syms))
+            AS syms
+          FROM bbpe GROUP BY w),
+      be_tok AS (SELECT doc_id, i, j, syms[j] AS sym
+          FROM (SELECT doc_id, i, syms,
+                  unnest(range(1, len(syms) + 1)) AS j
+                FROM be_pos JOIN be_fin USING (w)))
+      SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i, j) - 1
+          AS INT) AS pos,
+        CAST(CASE WHEN length(sym) = 1 THEN unicode(sym)
+             ELSE 255 + list_position(
+               ${graft.functions.ByteBpe.productsSqlList}, sym)
+             END AS INT) AS token_id
+      FROM be_tok
+      ORDER BY doc_id, pos"""),
     "bpe_train" -> (s"""
       WITH RECURSIVE $bpeTrainCtes
       SELECT DISTINCT CAST(it AS BIGINT) AS rank, a AS l_sym,

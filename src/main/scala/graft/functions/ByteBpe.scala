@@ -106,6 +106,77 @@ case class BpeTokenCount(child: Expression,
       : BpeTokenCount = copy(child = newChild)
 }
 
+/** Full byte-level BPE tokenization — the token-ID stream a training
+  * pipeline materializes, under the same merges table and recursion
+  * as [[BpeTokenCount]] (`size(bpe_encode(x)) == bpe_token_count(x)`
+  * by construction; a spec pins it).
+  *
+  * ID scheme is the published GPT-2 layout: single-symbol tokens get
+  * their code point, the product of merge rank i (1-based) gets
+  * `256 + (i - 1)` — i.e. base alphabet first, then one new vocab
+  * entry per merge in learned order. If two merges would produce the
+  * same product string, the FIRST rank wins (same first-wins rule as
+  * the rank table itself; the oracle's `list_position` has identical
+  * semantics). Caller contract: on ASCII text (the oracle fixture is
+  * verified pure ASCII) the two ID ranges are disjoint; non-ASCII
+  * single-codepoint symbols ≥ U+0100 share the merged-ID space —
+  * real byte-level deployments map bytes to a 256-symbol alphabet
+  * first (Radford et al.'s byte-to-unicode table), which composes
+  * with this expression unchanged.
+  *
+  * Scale shape: identical to [[BpeTokenCount]] — a row-local
+  * projection with a per-thread pre-token memo, no shuffle, no
+  * driver state; emitting IDs instead of a count changes only the
+  * output width.
+  */
+case class BpeEncode(child: Expression,
+    merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode needs string, got ${other.sql}")
+    }
+
+  @transient private lazy val ranks = ByteBpe.rankMap(merges)
+  @transient private lazy val ids = ByteBpe.productIds(merges)
+
+  @transient private lazy val memo: ThreadLocal[
+      java.util.HashMap[String, Array[Int]]] =
+    ThreadLocal.withInitial(
+      () => new java.util.HashMap[String, Array[Int]]())
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val m = ByteBpe.preToken.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val cache = memo.get()
+    if (cache.size > (1 << 16)) cache.clear()
+    while (m.find()) {
+      val w = m.group()
+      var toks = cache.get(w)
+      if (toks == null) {
+        toks = ByteBpe.encode(w, ranks)
+          .map(s => ByteBpe.idOf(s, ids)).toArray
+        cache.put(w, toks)
+      }
+      var i = 0
+      while (i < toks.length) { out += toks(i); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeEncode = copy(child = newChild)
+}
+
 object ByteBpe {
 
   /** GPT-2-style pre-tokenizer — MUST stay textually identical to
@@ -198,10 +269,48 @@ object ByteBpe {
       .mkString("[", ", ", "]")
   }
 
+  /** First-wins map from merge-product string to its token ID
+    * (`256 + 0-based first rank`) — see [[BpeEncode]]'s ID scheme.
+    */
+  private[graft] def productIds(
+      merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + b, Integer.valueOf(256 + i))
+    }
+    m
+  }
+
+  /** Token ID of one surviving symbol under [[BpeEncode]]'s scheme. */
+  private[graft] def idOf(sym: String,
+      products: java.util.HashMap[String, Integer]): Int =
+    if (sym.length == 1) sym.charAt(0).toInt
+    else products.get(sym).intValue()
+
+  /** The fixture merge PRODUCTS as a DuckDB list literal (order =
+    * merge rank), for the oracle's `255 + list_position(...)` ID
+    * rule — `list_position` returns the FIRST match, mirroring
+    * [[productIds]]'s putIfAbsent.
+    */
+  def productsSqlList: String = {
+    require(fixtureMerges.forall { case (a, b) =>
+      !(a + b).exists(c => c == '\'' || c == '\u0001')
+    }, "fixture merges must be SQL-literal-safe")
+    fixtureMerges.map { case (a, b) => s"'${a + b}'" }
+      .mkString("[", ", ", "]")
+  }
+
   /** Column entry point: exact BPE token count of `text` under
     * `merges` (defaults to the fixture table).
     */
   def bpeTokenCount(text: Column,
       merges: Seq[(String, String)] = fixtureMerges): Column =
     Shims.column(BpeTokenCount(Shims.expression(text), merges))
+
+  /** Column entry point: full BPE token-ID stream of `text` under
+    * `merges` (defaults to the fixture table).
+    */
+  def bpeEncode(text: Column,
+      merges: Seq[(String, String)] = fixtureMerges): Column =
+    Shims.column(BpeEncode(Shims.expression(text), merges))
 }

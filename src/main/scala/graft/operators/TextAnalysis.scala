@@ -46,6 +46,16 @@ object TextAnalysis {
         graft.functions.ByteBpe.fixtureMerges): Column =
     graft.functions.ByteBpe.bpeTokenCount(c, merges)
 
+  /** EXACT byte-BPE tokenization: the full token-ID stream under a
+    * merges table (GPT-2 ID layout — code point for base symbols,
+    * 256+rank for merge products); see [[graft.functions.BpeEncode]].
+    * `size(bpeEncode(c)) == bpeTokenCount(c)` by construction.
+    */
+  def bpeEncode(c: Column,
+      merges: Seq[(String, String)] =
+        graft.functions.ByteBpe.fixtureMerges): Column =
+    graft.functions.ByteBpe.bpeEncode(c, merges)
+
   /** Per-stratum token-budget audit: document count, the whitespace
     * proxy total, and the exact BPE total side by side — the "how far
     * off was the proxy" report that decides whether a budgeted mixture

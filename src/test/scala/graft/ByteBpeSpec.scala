@@ -194,6 +194,38 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(n == 2L)   // [low, est] — the paper's flagship segmentation
   }
 
+  test("bpeEncode: hand-derived ID stream; size equals " +
+      "bpeTokenCount on every doc") {
+    // "the" -> merge (t,h) rank1 -> [th,e] -> (th,e) rank31 ->
+    // ["the"] = product of 0-based merge 30 -> id 286.
+    // " the" -> [' ',t,h,e] -> [' ',th,e] -> [' ',"the"]: no merge
+    // pairs (' ',"th")/(' ',"the") exist (ranks 36-38 are
+    // (' ','t')/(' t','h')/(' th','e') — different LHS symbols), so
+    // ids [32, 286].
+    val df = Seq("the", " the", "", "the the")
+      .toDF("text")
+      .select(col("text"),
+        TextAnalysis.bpeEncode(col("text")).as("ids"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"))
+    val byText = df.collect()
+      .map(r => (r.getString(0), r.getSeq[Int](1).toList,
+        r.getLong(2))).toList
+    assert(byText.find(_._1 == "the").get._2 == List(286))
+    assert(byText.find(_._1 == " the").get._2 == List(32, 286))
+    assert(byText.find(_._1 == "").get._2 == Nil)
+    assert(byText.find(_._1 == "the the").get._2 == List(286, 32, 286))
+    // size(ids) == bpeTokenCount, here and on real corpus text
+    byText.foreach { case (_, ids, n) => assert(ids.size.toLong == n) }
+    val docs = spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet")
+    val mism = docs.select(
+        size(TextAnalysis.bpeEncode(col("text"))).cast("long")
+          .as("ns"),
+        TextAnalysis.bpeTokenCount(col("text")).as("nc"))
+      .where(col("ns") =!= col("nc")).count()
+    assert(mism == 0L)
+  }
+
   test("fixture merges are SQL-literal-safe and render as a list") {
     val sql = ByteBpe.mergesSqlList
     assert(sql.startsWith("[") && sql.endsWith("]"))
