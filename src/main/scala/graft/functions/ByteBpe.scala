@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.Shims
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,7 +53,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class BpeTokenCount(child: Expression,
     merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -81,8 +81,18 @@ case class BpeTokenCount(child: Expression,
       java.util.HashMap[String, Integer]] =
     ThreadLocal.withInitial(() => new java.util.HashMap[String, Integer]())
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[UTF8String])
+
+  /** The whole per-row loop — shared by the interpreted eval and the
+    * generated projection, which calls it through an object reference
+    * on the unboxed UTF8String so the surrounding whole-stage span
+    * stays fused (the SimHash64/MinHashSig recipe, round 11; object
+    * reference instead of a static because the merges table is
+    * per-expression state).
+    */
+  def count(input: UTF8String): Long = {
+    val text = input.toString
     val m = ByteBpe.preToken.matcher(text)
     var total = 0L
     val cache = memo.get()
@@ -100,6 +110,13 @@ case class BpeTokenCount(child: Expression,
       total += n
     }
     total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCount", this,
+      classOf[BpeTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.count($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -131,7 +148,7 @@ case class BpeTokenCount(child: Expression,
   */
 case class BpeEncode(child: Expression,
     merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
@@ -152,8 +169,15 @@ case class BpeEncode(child: Expression,
     ThreadLocal.withInitial(
       () => new java.util.HashMap[String, Array[Int]]())
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    encodeIds(input.asInstanceOf[UTF8String])
+
+  /** Shared per-row loop (interpreted eval + generated projection via
+    * object reference — see [[BpeTokenCount.count]]).
+    */
+  def encodeIds(input: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val text = input.toString
     val m = ByteBpe.preToken.matcher(text)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     val cache = memo.get()
@@ -171,6 +195,14 @@ case class BpeEncode(child: Expression,
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this,
+      classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $ref.encodeIds($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)

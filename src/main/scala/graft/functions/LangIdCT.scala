@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.Shims
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -39,14 +39,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * ASCII only); production swaps in profiles learned from a labeled
   * sample with the same expression — profile size only changes M.
   *
-  * Scale shape: row-local compiled projection (CodegenFallback = one
-  * compiled call per row) with the profiles as shared constants —
+  * Scale shape: row-local compiled projection — a real `doGenCode`
+  * (round 12): the generated code calls [[LangIdCT.predictRow]]
+  * through an object reference on the unboxed UTF8String, keeping the
+  * whole-stage span fused — with the profiles as shared constants;
   * no explode, no per-doc shuffle, composes under any gate/groupBy.
   */
 case class LangIdCT(child: Expression,
     profiles: Seq[(String, Seq[String])],
     k: Int, m: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -69,8 +71,22 @@ case class LangIdCT(child: Expression,
     }
 
   override protected def nullSafeEval(input: Any): Any =
+    predictRow(input.asInstanceOf[UTF8String])
+
+  /** Shared per-row entry (interpreted eval + generated projection via
+    * object reference — see [[graft.functions.BpeTokenCount.count]]).
+    */
+  def predictRow(input: UTF8String): UTF8String =
     UTF8String.fromString(LangIdCT.predict(
-      input.asInstanceOf[UTF8String].toString, profileMaps, k, m))
+      input.toString, profileMaps, k, m))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdCT", this,
+      classOf[LangIdCT].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $ref.predictRow($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression)
       : LangIdCT = copy(child = newChild)
