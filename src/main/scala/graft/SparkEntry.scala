@@ -1171,6 +1171,17 @@ object SparkEntry {
       Multimodal.cdcChunkTable(
         Multimodal.testPayload(Tables.load(s, d, "documents")),
         "payload")),
+    // gear rolling-hash CDC (the FastCDC primitive): O(1)-per-byte
+    // boundary detection behind the same chunk-table contract — the
+    // production-rate path the md5-window teaching rule contracts
+    // for; deterministic 1-in-10 doc subset keeps the oracle's
+    // windowed-sum state replay bounded
+    "cdc_chunks_gear" -> ((s, d) =>
+      Multimodal.cdcChunkTable(
+        Multimodal.testPayload(Tables.load(s, d, "documents")
+          .where(col("doc_id") % 10 === 0)),
+        "payload",
+        chunker = graft.functions.CdcChunks.gearCdcChunks)),
     // and the content-addressed-store answer over those chunks: how
     // many bytes survive chunk-hash dedup
     "cdc_dedup_report" -> ((s, d) =>
@@ -4162,6 +4173,51 @@ object SparkEntry {
       WITH $cdcCtes
       SELECT doc_id, chunk_idx, "offset", len, chunk_md5
       FROM cdc_out ORDER BY doc_id, chunk_idx"""),
+    // gear state replayed as the closed-form windowed sum: h_i =
+    // Σ_{k=0..63} GEAR[b_{i-k}]·2^k (mod 2^64) — exact because the
+    // shift recursion ages bytes out of the 64-bit state after 64
+    // positions (terms with k ≥ 64 vanish mod 2^64); HUGEINT keeps
+    // the ≤64-term sum (< 2^70) exact before the final mod
+    "cdc_chunks_gear" -> (s"""
+      WITH $cdcCtes,
+      g_h AS MATERIALIZED (SELECT doc_id, hex(payload) AS hx,
+              octet_length(payload) AS n
+            FROM cdc_p WHERE doc_id % 10 = 0),
+      g_by AS MATERIALIZED (SELECT doc_id, i,
+              CAST('0x' || substr(hx, (i - 1) * 2 + 1, 2) AS INT) AS b
+            FROM (SELECT doc_id, hx, n, unnest(range(1, n + 1)) AS i
+                  FROM g_h)),
+      g_gear AS (SELECT b, CAST(CAST('0x' ||
+                substr(md5(CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
+                AS HUGEINT) AS g
+            FROM (SELECT unnest(range(0, 256)) AS b)),
+      g_state AS (SELECT a.doc_id, a.i,
+              SUM((t.g * (CAST(1 AS HUGEINT)
+                  << CAST(a.i - c.i AS INT)))
+                % (CAST(1 AS HUGEINT) << 64))
+                % (CAST(1 AS HUGEINT) << 64) AS h
+            FROM g_by a
+            JOIN g_by c ON c.doc_id = a.doc_id
+              AND c.i BETWEEN a.i - 63 AND a.i
+            JOIN g_gear t ON t.b = c.b
+            GROUP BY 1, 2),
+      g_cut AS (SELECT doc_id, i AS e FROM g_state
+            WHERE h < (CAST(1 AS HUGEINT) << 60)),
+      g_bnd AS (SELECT DISTINCT doc_id, e FROM (
+            SELECT doc_id, e FROM g_cut
+            UNION ALL SELECT doc_id, n FROM g_h)),
+      g_ch AS (SELECT doc_id, e,
+              COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e),
+                0) AS s
+            FROM g_bnd),
+      g_out AS (SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY s) - 1 AS INT) AS chunk_idx,
+              CAST(s AS INT) AS "offset", CAST(e - s AS INT) AS len,
+              md5(substr(hx, s * 2 + 1, (e - s) * 2)) AS chunk_md5
+            FROM g_ch JOIN g_h USING (doc_id) WHERE e > s)
+      SELECT doc_id, chunk_idx, "offset", len, chunk_md5
+      FROM g_out ORDER BY doc_id, chunk_idx"""),
     "cdc_dedup_report" -> (s"""
       WITH $cdcCtes,
       per AS (SELECT chunk_md5, COUNT(*) AS copies, MIN(len) AS clen

@@ -69,6 +69,62 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
       : CdcChunks = copy(child = newChild)
 }
 
+/** Content-defined chunking under a GEAR rolling hash — the
+  * production-rate variant of [[CdcChunks]] (Xia et al. 2016,
+  * "FastCDC"; the gear function g(h, b) = (h << 1) + GEAR[b] is the
+  * published Ddelta/FastCDC primitive): O(1) work per byte position
+  * versus the teaching predicate's O(W) window rehash, which is the
+  * difference between linear and quadratic-ish waste at production
+  * 64 KB chunks.
+  *
+  * Boundary rule: after byte i whenever the top 4 bits of the rolling
+  * 64-bit state are zero (`h >>> 60 == 0`, p = 1/16 ⇒ ~16-byte
+  * average chunks, sized like [[CdcChunks]] for the fixture; real
+  * deployments widen the mask — FastCDC spreads it across high bits,
+  * which this rule's top-bits check mirrors in miniature). The shift
+  * ages bytes out after 64 positions, so the boundary decision is a
+  * pure function of the trailing ≤64 bytes — chunk realignment on
+  * shared content holds exactly as in the md5-window rule, and the
+  * oracle replays each position's state as a closed-form windowed
+  * sum: h_i = Σ_{k=0..63} GEAR[b_{i−k}]·2^k (mod 2^64).
+  *
+  * GEAR table: 256 deterministic 60-bit constants, entry b = the
+  * first 15 hex chars of md5 of b's decimal string — independently
+  * derivable by both engines (same digest-prefix convention as
+  * [[SimHash64]]).
+  *
+  * Same output schema and chunk-hash rule as [[CdcChunks]].
+  */
+case class GearCdcChunks(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = CdcChunks(child).dataType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gear_cdc_chunks needs binary, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunks.evalBytesGear(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("gearCdc")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.CdcChunks.evalBytesGear($c);
+         |${ev.value} = $tmp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : GearCdcChunks = copy(child = newChild)
+}
+
 object CdcChunks {
 
   /** Rolling-window width in bytes. */
@@ -86,6 +142,21 @@ object CdcChunks {
     sb.toString
   }
 
+  /** (offset, len, chunk_md5) row for bytes[start, end). */
+  private def chunkRow(bytes: Array[Byte], start: Int, end: Int,
+      md: java.security.MessageDigest): InternalRow = {
+    md.reset()
+    val d = md.digest(hexUpper(bytes, start, end).getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    var k = 0
+    while (k < 16) {
+      sb.append(HEX((d(k) >> 4) & 0xf).toLower)
+        .append(HEX(d(k) & 0xf).toLower)
+      k += 1
+    }
+    InternalRow(start, end - start, UTF8String.fromString(sb.toString))
+  }
+
   /** The per-row loop, shared by interpreted eval and generated code. */
   def evalBytes(bytes: Array[Byte]): GenericArrayData = {
     val n = bytes.length
@@ -93,18 +164,7 @@ object CdcChunks {
     val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
     var start = 0
     def emit(end: Int): Unit = if (end > start) {
-      md.reset()
-      val d = md.digest(
-        hexUpper(bytes, start, end).getBytes("UTF-8"))
-      val sb = new java.lang.StringBuilder(32)
-      var k = 0
-      while (k < 16) {
-        sb.append(HEX((d(k) >> 4) & 0xf).toLower)
-          .append(HEX(d(k) & 0xf).toLower)
-        k += 1
-      }
-      chunks += InternalRow(start, end - start,
-        UTF8String.fromString(sb.toString))
+      chunks += chunkRow(bytes, start, end, md)
       start = end
     }
     var i = W - 1
@@ -119,7 +179,51 @@ object CdcChunks {
     new GenericArrayData(chunks.toArray)
   }
 
+  /** 256 deterministic 60-bit gear constants: entry b = big-endian
+    * u64 of the first 8 digest bytes of md5(b.toString) >>> 4 — i.e.
+    * the first 15 hex chars, the [[SimHash64]] digest-prefix
+    * convention, so the oracle derives the identical table as
+    * `CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15) AS ...)`.
+    */
+  private[graft] val GEAR: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(256) { b =>
+      md.reset()
+      val d = md.digest(b.toString.getBytes("UTF-8"))
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h >>> 4
+    }
+  }
+
+  /** The gear-hash per-row loop ([[GearCdcChunks]]): one shift-add
+    * per byte, boundary when the top 4 state bits clear.
+    */
+  def evalBytesGear(bytes: Array[Byte]): GenericArrayData = {
+    val n = bytes.length
+    val md = SimHash64.md5.get()
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + GEAR(bytes(i) & 0xff) // Long wrap == mod 2^64
+      if ((h >>> 60) == 0L && i + 1 > start) {
+        chunks += chunkRow(bytes, start, i + 1, md)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (n > start) chunks += chunkRow(bytes, start, n, md)
+    new GenericArrayData(chunks.toArray)
+  }
+
   /** Column entry point: `cdc_chunks(blob)`. */
   def cdcChunks(bin: Column): Column =
     Shims.column(CdcChunks(Shims.expression(bin)))
+
+  /** Column entry point: `gear_cdc_chunks(blob)`. */
+  def gearCdcChunks(bin: Column): Column =
+    Shims.column(GearCdcChunks(Shims.expression(bin)))
 }

@@ -155,9 +155,11 @@ object Multimodal {
     * shuffles.
     */
   def cdcChunkTable(df: DataFrame, binCol: String,
-                    idCol: String = "doc_id"): DataFrame =
+                    idCol: String = "doc_id",
+                    chunker: Column => Column =
+                      graft.functions.CdcChunks.cdcChunks): DataFrame =
     df.select(col(idCol),
-        posexplode(graft.functions.CdcChunks.cdcChunks(col(binCol)))
+        posexplode(chunker(col(binCol)))
           .as(Seq("chunk_idx", "c")))
       .select(col(idCol), col("chunk_idx"),
         col("c.offset").as("offset"), col("c.len").as("len"),

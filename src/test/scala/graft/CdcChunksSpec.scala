@@ -56,6 +56,72 @@ class CdcChunksSpec extends AnyFunSuite {
     assert(common > 0)
   }
 
+  private def gearChunksOf(bytes: Array[Byte]): Seq[(Int, Int, String)] = {
+    val arr = CdcChunks.evalBytesGear(bytes)
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getInt(0), r.getInt(1), r.getUTF8String(2).toString)
+    }
+  }
+
+  test("gear chunks tile the blob; cuts match an independent " +
+      "windowed-sum replay of the state") {
+    val cs = gearChunksOf(payload)
+    assert(cs.head._1 == 0)
+    cs.sliding(2).foreach {
+      case Seq((o1, l1, _), (o2, _, _)) => assert(o1 + l1 == o2)
+      case _ =>
+    }
+    assert(cs.map(_._2).sum == payload.length)
+    // independent derivation (the oracle's closed form): h_i =
+    // Σ_{k=0..min(63,i-1)} GEAR[b_{i-k}]·2^k mod 2^64 — must produce
+    // the same cut positions as the expression's shift recursion
+    val gear = (0 until 256).map { b =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      BigInt(1, md.digest(b.toString.getBytes("UTF-8"))
+        .take(8)) >> 4
+    }
+    val m64 = BigInt(1) << 64
+    val cuts = (1 to payload.length).filter { i =>
+      val h = (0 to math.min(63, i - 1)).map { k =>
+        (gear(payload(i - 1 - k) & 0xff) << k) mod m64
+      }.sum mod m64
+      (h >> 60) == 0
+    }
+    val expected = (cuts ++ Seq(payload.length)).distinct.sorted
+    assert(cs.map(c => c._1 + c._2) == expected)
+    assert(gearChunksOf(Array.emptyByteArray).isEmpty)
+  }
+
+  test("gear boundary realignment under a byte-offset shift") {
+    val shifted = "PREFIX-".getBytes("UTF-8") ++ payload
+    val base = gearChunksOf(payload).map(_._3)
+    val shift = gearChunksOf(shifted).map(_._3)
+    // gear state ages bytes out after 64 positions, so boundaries
+    // realign once 64 shared bytes have streamed past
+    val common = base.reverse.zip(shift.reverse)
+      .takeWhile { case (a, b) => a == b }.size
+    assert(common > 0 && common >= base.size - 6,
+      s"only $common of ${base.size} suffix chunks realigned")
+  }
+
+  test("gear is measurably cheaper per byte than the md5-window " +
+      "predicate on a large blob") {
+    // the scale argument for the variant: O(1) shift-add per byte vs
+    // an md5 of the W-byte window per byte. Warm once, then time.
+    val big = ("large-blob content block " * 40000).getBytes("UTF-8")
+    CdcChunks.evalBytes(big); CdcChunks.evalBytesGear(big)
+    def time(f: => Unit): Long = {
+      val t0 = System.nanoTime(); f; System.nanoTime() - t0
+    }
+    val tMd5 = time(CdcChunks.evalBytes(big))
+    val tGear = time(CdcChunks.evalBytesGear(big))
+    info(f"md5-window ${tMd5 / 1e6}%.1f ms vs gear ${tGear / 1e6}%.1f ms " +
+      f"on ${big.length} bytes (${tMd5.toDouble / tGear}%.1fx)")
+    assert(tGear < tMd5,
+      s"gear $tGear ns not faster than md5-window $tMd5 ns")
+  }
+
   test("cdcChunkTable + cdcDedupReport: repeated blobs dedup to one " +
       "copy of each distinct chunk") {
     val df = Seq((1L, payload), (2L, payload),
