@@ -73,6 +73,26 @@ object SparkEntry {
       Profiler.corrStats(docs, Seq("n_chars", "n_tokens", "n_units"),
         groupBy = Seq("source"))
     }),
+    // live correlation drift: the same six integer lanes per pair,
+    // keyed by (closed daily window, source) through the REAL
+    // streaming stager — sums merge by addition, so these slices
+    // roll up to corr_stats_by_source exactly (equivalence spec)
+    "corr_stream_drift" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select(
+        expr("timestampadd(HOUR, CAST(doc_id % 240 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("source"),
+        col("n_chars").cast("long").as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+          .as("n_units"))
+      graft.streaming.ProfileStream
+        .replayedSlices(docs, "ts")(st => graft.streaming.ProfileStream
+          .corrStatsStream(st, "ts",
+            Seq("n_chars", "n_tokens", "n_units"), "source"))
+        .orderBy("slice_start", "source", "col_x", "col_y")
+    }),
     "schema_diff" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
       Profiler.schemaDiff(ev,
@@ -4899,6 +4919,39 @@ object SparkEntry {
         FROM documents)
       $arms
       ORDER BY source, col_x, col_y"""
+    },
+    // the stream twin: identical arms keyed by (synthetic daily
+    // window, source) — slice_start derivation matches the other
+    // stream-staged rows (doc_id % 240 hours from 2024-01-01,
+    // day-truncated); t MATERIALIZED because three arms reference it
+    "corr_stream_drift" -> {
+      val cs = Seq("n_chars", "n_tokens", "n_units")
+      val pairs = for { i <- cs.indices; j <- (i + 1) until cs.size }
+        yield (cs(i), cs(j))
+      val arms = pairs.map { case (x, y) =>
+        s"""SELECT slice_start, source, '$x' AS col_x, '$y' AS col_y,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM($x), 0) AS BIGINT) AS sum_x,
+           CAST(COALESCE(SUM($y), 0) AS BIGINT) AS sum_y,
+           CAST(COALESCE(SUM($x * $y), 0) AS BIGINT) AS sum_xy,
+           CAST(COALESCE(SUM($x * $x), 0) AS BIGINT) AS sum_x2,
+           CAST(COALESCE(SUM($y * $y), 0) AS BIGINT) AS sum_y2
+           FROM t WHERE $x IS NOT NULL AND $y IS NOT NULL
+           GROUP BY slice_start, source"""
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH t AS MATERIALIZED (SELECT source,
+          strftime(CAST(CAST(TIMESTAMP '2024-01-01 00:00:00'
+            + to_hours(CAST(doc_id % 240 AS BIGINT)) AS DATE)
+            AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS slice_start,
+          CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(len($toksSql) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text,
+            ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT)
+            AS n_units
+        FROM documents)
+      $arms
+      ORDER BY slice_start, source, col_x, col_y"""
     },
     // the deterministic mutation fixture's expected diff (the
     // schema_flat_events constant-table precedent): every status

@@ -480,6 +480,30 @@ object Profiler {
     */
   def corrStats(df: DataFrame, cols: Seq[String],
       groupBy: Seq[String] = Nil): DataFrame = {
+    val (lanes, entries) = corrLanes(cols)
+    // grouped variant: same 6 integer lanes per pair, keyed by the
+    // stratum columns — "does quality correlate with length
+    // differently by source" costs exactly one more groupBy key on
+    // the single map-side-combined aggregate (result is strata ×
+    // pairs rows, still audit-sized)
+    val agged =
+      if (groupBy.isEmpty) df.agg(lanes.head, lanes.tail: _*)
+      else df.groupBy(groupBy.map(col): _*).agg(lanes.head, lanes.tail: _*)
+    agged.select(groupBy.map(col) :+
+        explode(array(entries: _*)).as("e"): _*)
+      .select(groupBy.map(col) :+ col("e.*"): _*)
+      .orderBy(groupBy ++ Seq("col_x", "col_y") map col: _*)
+  }
+
+  /** The (aggregate lanes, per-pair unpack structs) behind
+    * [[corrStats]], factored out because the sufficient statistics
+    * are sums — merge-only by addition — so the SAME lanes serve the
+    * batch aggregate and the windowed stream stager
+    * ([[graft.streaming.ProfileStream.corrStatsStream]]) with the
+    * equivalence (slices roll up to batch) holding by construction.
+    */
+  private[graft] def corrLanes(cols: Seq[String])
+      : (Seq[Column], Seq[Column]) = {
     require(cols.size >= 2, "corrStats needs at least two columns")
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
@@ -495,14 +519,6 @@ object Profiler {
         s(cx, "sx"), s(cy, "sy"), s(cx * cy, "sxy"),
         s(cx * cx, "sx2"), s(cy * cy, "sy2"))
     }
-    // grouped variant: same 6 integer lanes per pair, keyed by the
-    // stratum columns — "does quality correlate with length
-    // differently by source" costs exactly one more groupBy key on
-    // the single map-side-combined aggregate (result is strata ×
-    // pairs rows, still audit-sized)
-    val agged =
-      if (groupBy.isEmpty) df.agg(lanes.head, lanes.tail: _*)
-      else df.groupBy(groupBy.map(col): _*).agg(lanes.head, lanes.tail: _*)
     val entries = pairs.zipWithIndex.map { case ((x, y), p) =>
       struct(lit(x).as("col_x"), lit(y).as("col_y"),
         col(s"p${p}_n").cast(LongType).as("n"),
@@ -515,10 +531,7 @@ object Profiler {
         coalesce(col(s"p${p}_sy2"), lit(0L)).cast(LongType)
           .as("sum_y2"))
     }
-    agged.select(groupBy.map(col) :+
-        explode(array(entries: _*)).as("e"): _*)
-      .select(groupBy.map(col) :+ col("e.*"): _*)
-      .orderBy(groupBy ++ Seq("col_x", "col_y") map col: _*)
+    (lanes, entries)
   }
 
   /** Pearson r (round-6 double) derived from [[corrStats]] rows —

@@ -1068,6 +1068,38 @@ object ProfileStream {
         col("bpe_tokens"))
   }
 
+  /** Live correlation-drift monitor: per (event-time window, stratum),
+    * the SAME six exact integer sufficient-statistic lanes per column
+    * pair as the batch [[graft.operators.Profiler.corrStats]] (shared
+    * lane builders — `Profiler.corrLanes`), emitted as one
+    * (slice_start, group, col_x, col_y, n, Σx, Σy, Σxy, Σx², Σy²) row
+    * per closed (window, pair). The lanes are sums, so closed slices
+    * merge by ADDITION to the batch grouped answer exactly — the
+    * "is the quality/length relationship drifting live" alarm with a
+    * deterministic rollup, no float corr() anywhere.
+    *
+    * Scale shape: state is ONE lane row per open (window, stratum) —
+    * pairs × 6 longs — whatever the feed weighs; the per-pair unpack
+    * is a stateless post-aggregation explode. Same 64-bit overflow
+    * contract as the batch operator (caller keeps units small).
+    */
+  def corrStatsStream(stream: DataFrame, tsCol: String,
+                      cols: Seq[String],
+                      groupCol: String = "source",
+                      windowDur: String = "1 day",
+                      watermarkDur: String = "1 hour"): DataFrame = {
+    val (lanes, entries) = Profiler.corrLanes(cols)
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur), col(groupCol))
+      .agg(lanes.head, lanes.tail: _*)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col(groupCol), explode(array(entries: _*)).as("e"))
+      .select(col("slice_start"), col(groupCol), col("e.*"))
+  }
+
   def freqSketchStream(stream: DataFrame, tsCol: String, key: String,
                        cap: Int, windowDur: String = "1 day",
                        watermarkDur: String = "1 hour"): DataFrame =

@@ -685,6 +685,44 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corrStatsStream closed slices roll up by ADDITION to the " +
+      "batch grouped corrStats exactly") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // two strata across two daily windows, a NULL to exercise the
+    // pairwise-complete convention, negative values for the lanes
+    val rows = Seq(
+      (ts("2024-05-01 01:00:00"), "s0", 10L, java.lang.Long.valueOf(3L), 7L),
+      (ts("2024-05-01 02:00:00"), "s0", 20L, java.lang.Long.valueOf(5L), -1L),
+      (ts("2024-05-02 01:00:00"), "s0", 30L, null.asInstanceOf[java.lang.Long], 2L),
+      (ts("2024-05-01 01:30:00"), "s1", 40L, java.lang.Long.valueOf(6L), 0L),
+      (ts("2024-05-02 02:00:00"), "s1", 50L, java.lang.Long.valueOf(8L), 4L))
+      .toDF("ts", "source", "a", "b", "c")
+    val slices = ProfileStream.replayedSlices(rows, "ts")(st =>
+      ProfileStream.corrStatsStream(st, "ts", Seq("a", "b", "c"),
+        "source"))
+    // two windows per stratum closed
+    assert(slices.select("slice_start").distinct().count() == 2)
+    val laneCols = Seq("n", "sum_x", "sum_y", "sum_xy", "sum_x2",
+      "sum_y2")
+    val rolled = slices.groupBy("source", "col_x", "col_y")
+      .agg(sum(laneCols.head).as(laneCols.head),
+        laneCols.tail.map(c => sum(c).as(c)): _*)
+      .orderBy("source", "col_x", "col_y").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        laneCols.indices.map(i => r.getLong(3 + i))))
+    val batch = graft.operators.Profiler.corrStats(
+        rows.drop("ts"), Seq("a", "b", "c"), groupBy = Seq("source"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        laneCols.indices.map(i => r.getLong(3 + i))))
+    assert(rolled.toSeq == batch.toSeq)
+    // and the NULL dropped row 3 from b-pairs only: s0 (a,b) n=2,
+    // s0 (a,c) n=3
+    val n = batch.map(t => (t._1, t._2, t._3) -> t._4.head).toMap
+    assert(n(("s0", "a", "b")) == 2L && n(("s0", "a", "c")) == 3L)
+  }
+
   test("resampleStream on a replayed DISORDERED stream: closed " +
       "windows are bit-equal to the batch resample's non-gap rows") {
     // out-of-order within the watermark: user 10's second 6h-bucket
