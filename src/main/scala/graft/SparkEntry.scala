@@ -510,6 +510,16 @@ object SparkEntry {
     // across distinct documents (span-level, below doc-level dedup)
     "repeated_spans" -> ((s, d) =>
       Dedup.repeatedSpans(Tables.load(s, d, "documents"))),
+    // the span-RECOVERY half of ExactSubstr dedup: each document's
+    // duplicated 8-token windows merged into maximal contiguous
+    // regions (gaps-and-islands over the census survivors)
+    "dup_regions" -> ((s, d) =>
+      Dedup.duplicateRegions(Tables.load(s, d, "documents"))),
+    // and the ExactSubstr ACTION: documents re-joined with every
+    // duplicated-region token cut (n_cut = 0 pass-through for clean
+    // docs, '' for pure boilerplate)
+    "cut_repeated_spans" -> ((s, d) =>
+      Dedup.cutRepeatedSpans(Tables.load(s, d, "documents"))),
     // dedup-rate report: duplicate-cluster size histogram over the
     // planted-dup fixture
     "dup_size_histogram" -> ((s, d) =>
@@ -1653,6 +1663,40 @@ object SparkEntry {
   // Shared DuckDB fragments mirroring TextAnalysis/Dedup exactly.
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** Shared ExactSubstr region chain (mirrors `Dedup.duplicateRegions`
+    * exactly): 8-token window census → ≥2-distinct-doc survivors →
+    * per-doc gaps-and-islands interval merge. Feeds `dup_regions` and
+    * `cut_repeated_spans`; MATERIALIZED where referenced twice.
+    */
+  private val dupRegionCtes = s"""
+      rt AS MATERIALIZED (SELECT doc_id, $toksSql AS toks
+            FROM documents),
+      rs AS MATERIALIZED (SELECT doc_id, i - 1 AS pos,
+              md5(array_to_string(list_slice(toks, i, i + 7), ' '))
+                AS h
+            FROM (SELECT doc_id,
+                    unnest(range(1, len(toks) - 6)) AS i, toks
+                  FROM rt WHERE len(toks) >= 8)),
+      rdh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM rs)
+              GROUP BY h HAVING COUNT(*) >= 2),
+      rdw AS (SELECT doc_id, pos FROM rs JOIN rdh USING (h)),
+      risl AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL
+                  OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+            FROM (SELECT doc_id, pos,
+                    MAX(pos + 7) OVER (PARTITION BY doc_id
+                      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_end
+                  FROM rdw)),
+      rreg AS MATERIALIZED (SELECT doc_id,
+              CAST(MIN(pos) AS BIGINT) AS start_pos,
+              CAST(MAX(pos) + 7 AS BIGINT) AS end_pos,
+              CAST(COUNT(*) AS BIGINT) AS n_windows
+            FROM (SELECT doc_id, pos,
+                    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS island
+                  FROM risl)
+            GROUP BY doc_id, island)"""
 
   /** Shared byte-BPE replay chain (mirrors `functions.ByteBpe`): the
     * merge recursion runs per DISTINCT pre-token (BPE is a pure
@@ -4057,6 +4101,27 @@ object SparkEntry {
       FROM pd GROUP BY span_hash
       HAVING COUNT(*) >= 2
       ORDER BY span_hash"""),
+    "dup_regions" -> (s"""
+      WITH $dupRegionCtes
+      SELECT doc_id, start_pos, end_pos, n_windows
+      FROM rreg ORDER BY doc_id, start_pos"""),
+    "cut_repeated_spans" -> (s"""
+      WITH $dupRegionCtes,
+      tk AS (SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(len(toks))) AS pos FROM rt),
+      kept AS (SELECT k.doc_id, k.pos, k.tok FROM tk k
+             WHERE NOT EXISTS (SELECT 1 FROM rreg r
+                    WHERE r.doc_id = k.doc_id
+                      AND k.pos BETWEEN r.start_pos AND r.end_pos)),
+      reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+             FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT)
+               AS n_cut,
+             COALESCE(r.clean_text, '') AS clean_text
+      FROM rt t LEFT JOIN reb r USING (doc_id)
+      ORDER BY doc_id"""),
     // full fuzzy-blocking replay: fixture rebuild (40-char titles +
     // 11th-char-deleted mirrors), fingerprint normalization, 8-char
     // prefix blocks, length band, exact levenshtein verify

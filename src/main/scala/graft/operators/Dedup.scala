@@ -882,6 +882,106 @@ object Dedup {
       .orderBy("span_hash")
   }
 
+  /** Maximal duplicated token REGIONS per document — the span-recovery
+    * half of exact-substring dedup (Lee et al. 2022's ExactSubstr
+    * acts on duplicated substrings, not whole documents): the
+    * [[repeatedSpans]] census finds which n-token windows repeat
+    * across ≥ `minDocs` documents; this merges each document's
+    * duplicated windows into maximal contiguous token ranges
+    * (union of the [pos, pos+n−1] intervals; overlapping or
+    * token-adjacent windows coalesce) — the regions a cutting pass
+    * removes and an audit reports ("34% of this crawl is boilerplate
+    * headers").
+    *
+    * Scale shape: the window explode is ~one row per corpus token
+    * (the shingle cost class); the duplicated-hash census is
+    * TWO-LEVEL ((doc, hash) distinct map-side first, then hash) so a
+    * boilerplate span in millions of documents never concentrates in
+    * one aggregation state; the semi-join back is hash-keyed; island
+    * merging is a per-document window (bounded by document length,
+    * never global). Output: (doc_id, start_pos, end_pos inclusive,
+    * n_windows) per maximal region.
+    */
+  def duplicateRegions(df: DataFrame, n: Int = 8, minDocs: Int = 2,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val wins = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingles(col(textCol), n)).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"),
+        md5(col("span")).as("span_hash"))
+    val dup = wins.select("doc_id", "span_hash").distinct()
+      .groupBy("span_hash").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("span_hash")
+    val dupWins = wins.join(dup, Seq("span_hash"), "left_semi")
+    // gaps-and-islands with a running interval end: a window starting
+    // at pos covers [pos, pos+n-1]; a new island begins when pos
+    // clears the furthest end seen so far by more than one token
+    // (adjacent coverage merges — the cut acts on contiguous tokens)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(n - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    dupWins
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast(LongType).as("start_pos"),
+        (max("pos") + lit(n - 1)).cast(LongType).as("end_pos"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_pos", "end_pos", "n_windows")
+      .orderBy("doc_id", "start_pos")
+  }
+
+  /** Exact-substring dedup as a TRANSFORM — the ExactSubstr action
+    * itself: every token inside a [[duplicateRegions]] region is cut
+    * and the document re-joined from the survivors, returning
+    * (doc_id, n_tokens, n_cut, clean_text). Documents made of pure
+    * boilerplate come back empty rather than dropped — the caller
+    * chooses the row-level policy (a `clean_text != ''` gate composes
+    * downstream); documents without duplicated regions pass through
+    * with n_cut = 0.
+    *
+    * Scale shape: tokens explode once (~corpus tokens); the cut is a
+    * doc_id-keyed LEFT ANTI join against the per-doc region table
+    * (regions per doc are few — the non-equi pos bound rides the
+    * equi key); the rebuild is one per-doc aggregate whose state is
+    * the document's own surviving tokens. No global window, no
+    * driver state.
+    */
+  def cutRepeatedSpans(df: DataFrame, n: Int = 8, minDocs: Int = 2,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val regions = duplicateRegions(df, n, minDocs, textCol, idCol)
+      .select(col("doc_id").as("r_doc"), col("start_pos"),
+        col("end_pos"))
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toks.join(regions,
+      toks("doc_id") === regions("r_doc") &&
+        col("pos") >= col("start_pos") &&
+        col("pos") <= col("end_pos"),
+      "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).as("clean_text"))
+    df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-cluster size histogram — the dedup-rate report every
     * curation run leads with: how many fingerprint clusters exist at
     * each copy count, how many documents they hold, and how many a

@@ -606,6 +606,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Map("a b c" -> (2L, 3L, 5L, 0L)))
   }
 
+  private lazy val exactSubstrDocs = Seq(
+    (0L, "p q r s t u"),        // fully duplicated by doc 3
+    (1L, "x p q r s y z w"),    // shares the interior "p q r s"
+    (2L, "m n o"),              // clean
+    (3L, "p q r s t u"))        // exact copy of doc 0
+    .toDF("doc_id", "text")
+
+  test("duplicateRegions: overlapping duplicated windows merge into " +
+      "one maximal region, hand-computed") {
+    val regs = Dedup.duplicateRegions(exactSubstrDocs, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // doc0/doc3: windows 0..3 all duplicated -> one region [0,5];
+    // doc1: windows 1,2 ("p q r","q r s") -> region [1,4]; doc2: none
+    assert(regs.toSeq == Seq((0L, 0L, 5L, 4L), (1L, 1L, 4L, 2L),
+      (3L, 0L, 5L, 4L)))
+  }
+
+  test("duplicateRegions: a gap splits islands — two disjoint " +
+      "duplicated regions in one doc") {
+    val d = Seq((10L, "a b c Z d e f"), (11L, "a b c Q d e f"))
+      .toDF("doc_id", "text")
+    val regs = Dedup.duplicateRegions(d, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // shared "a b c" (pos 0) and "d e f" (pos 4); pos 4 > 2+1 ->
+    // separate islands [0,2] and [4,6] in both docs
+    assert(regs.toSeq == Seq(
+      (10L, 0L, 2L, 1L), (10L, 4L, 6L, 1L),
+      (11L, 0L, 2L, 1L), (11L, 4L, 6L, 1L)))
+  }
+
+  test("cutRepeatedSpans: region tokens cut, survivors re-joined in " +
+      "order; pure boilerplate comes back empty, clean docs intact") {
+    val out = Dedup.cutRepeatedSpans(exactSubstrDocs, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 6L, 6L, ""),            // fully duplicated -> empty
+      (1L, 8L, 4L, "x y z w"),     // interior cut, order kept
+      (2L, 3L, 0L, "m n o"),       // untouched pass-through
+      (3L, 6L, 6L, "")))
+    // the disjoint-islands fixture keeps exactly the gap token
+    val d = Seq((10L, "a b c Z d e f"), (11L, "a b c Q d e f"))
+      .toDF("doc_id", "text")
+    val cut = Dedup.cutRepeatedSpans(d, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(cut.toSeq == Seq((10L, 6L, "Z"), (11L, 6L, "Q")))
+  }
+
   test("semdedup: survivors equal the naive within-cluster greedy " +
       "prune over the operator's own clusters") {
     val thr = 0.3
