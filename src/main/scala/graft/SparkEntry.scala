@@ -916,6 +916,23 @@ object SparkEntry {
           .langMixStream(st, "ts", "text"))
         .orderBy("slice_start", "lang_pred")
     }),
+    // live exact-dedup monitor over the planted-dup fixture: mirrors
+    // carry their ORIGINAL's synthetic ts (doc_id % off folds the
+    // mirror id back), so each duplicate pair collides inside one
+    // daily window and the closed slices surface exactly the planted
+    // groups — fingerprint-joinable with the batch dedup family
+    "dup_groups_stream" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val ts = dupFixture(docs).select(
+        expr(s"timestampadd(HOUR, CAST((doc_id % $off) % 240 AS INT)" +
+          ", TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("doc_id"), col("text"))
+      graft.streaming.ProfileStream
+        .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
+          .dupGroupsStream(st, "ts", "text", "doc_id"))
+        .orderBy("slice_start", "fp")
+    }),
     // quality-aware canonical selection over a corpus with PLANTED
     // normalizing duplicates (the synthetic corpus has none): each
     // doc_id%7==0 doc gets a case/whitespace-mangled mirror that
@@ -3877,6 +3894,25 @@ object SparkEntry {
              (n_tokens >= 20 AND quality >= 0.3
               AND lang_pred <> 'unknown') AS keep
       FROM m ORDER BY doc_id"""),
+    // stream twin of the exact-dedup census: fixture rebuild, mirror
+    // ts folded back to the original's window, >= 2 copies per
+    // (window, fingerprint)
+    "dup_groups_stream" -> (s"""
+      WITH mx AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+      fx AS (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + mx.off, '  ' || upper(text)
+             FROM documents, mx WHERE doc_id % 7 = 0),
+      t AS (SELECT doc_id, $fpSql AS fp,
+              strftime(CAST(CAST(TIMESTAMP '2024-01-01 00:00:00'
+                + to_hours(CAST((doc_id % (SELECT off FROM mx)) % 240
+                  AS BIGINT)) AS DATE) AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS slice_start
+            FROM fx)
+      SELECT slice_start, fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             MIN(doc_id) AS keep_id
+      FROM t GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ORDER BY slice_start, fp"""),
     "dedup_exact_groups" -> (s"""
       SELECT $fpSql AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
       FROM documents GROUP BY 1 ORDER BY fp"""),

@@ -1100,6 +1100,39 @@ object ProfileStream {
       .select(col("slice_start"), col(groupCol), col("e.*"))
   }
 
+  /** Live exact-dedup monitor: per (event-time window, normalized-text
+    * fingerprint), copy count and canonical survivor (min id), emitted
+    * only for groups with ≥ 2 copies when the watermark closes the
+    * window — the ingest-time "this batch is re-crawling what it
+    * already sent" alarm, using the SAME 16-byte fingerprint as the
+    * batch exact-dedup family so live findings join directly against
+    * [[graft.operators.Dedup.exactGroups]] output.
+    *
+    * Scale shape: state is one (count, min-id) row per distinct
+    * fingerprint per OPEN window — the irreducible memory of any
+    * exact streaming dedup, bounded by the watermark horizon, never
+    * by corpus history; counts/min merge associatively so closed
+    * slices equal the batch per-window groupBy exactly. The ≥ 2
+    * filter is stateless and post-aggregation: it trims the emitted
+    * feed (duplicates are the rare case), not the state.
+    */
+  def dupGroupsStream(stream: DataFrame, tsCol: String,
+                      textCol: String = "text",
+                      idCol: String = "doc_id",
+                      windowDur: String = "1 day",
+                      watermarkDur: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur),
+        graft.operators.TextAnalysis.fingerprint(col(textCol))
+          .as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_copies") >= 2)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col("fp"), col("n_copies"), col("keep_id"))
+
   def freqSketchStream(stream: DataFrame, tsCol: String, key: String,
                        cap: Int, windowDur: String = "1 day",
                        watermarkDur: String = "1 hour"): DataFrame =

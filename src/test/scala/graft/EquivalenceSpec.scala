@@ -723,6 +723,46 @@ class EquivalenceSpec extends AnyFunSuite {
     assert(n(("s0", "a", "b")) == 2L && n(("s0", "a", "c")) == 3L)
   }
 
+  test("dupGroupsStream closed slices equal the batch per-window " +
+      "fingerprint census; cross-window copies are invisible by " +
+      "design") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val docs = Seq(
+      // same window, normalized-identical pair -> one slice row
+      (1L, ts("2024-05-01 01:00:00"), "The  Cat sat"),
+      (2L, ts("2024-05-01 02:00:00"), "the cat SAT"),
+      // unique in its window
+      (3L, ts("2024-05-01 03:00:00"), "something else"),
+      // copies split ACROSS windows -> window-scoped dedup sees none
+      (4L, ts("2024-05-01 04:00:00"), "cross window twin"),
+      (5L, ts("2024-05-02 04:00:00"), "cross window twin"),
+      // triple inside the second window
+      (6L, ts("2024-05-02 05:00:00"), "aaa"),
+      (7L, ts("2024-05-02 06:00:00"), " AAA "),
+      (8L, ts("2024-05-02 07:00:00"), "aaa"))
+      .toDF("doc_id", "ts", "text")
+    val slices = ProfileStream.replayedSlices(docs, "ts")(st =>
+        ProfileStream.dupGroupsStream(st, "ts", "text", "doc_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = docs.select(
+        date_format(date_trunc("day", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("slice_start"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"),
+        col("doc_id"))
+      .groupBy("slice_start", "fp")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
+      .filter(col("n_copies") >= 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(slices == batch)
+    assert(slices.size == 2) // the pair and the triple, nothing else
+    assert(slices.map(t => (t._3, t._4)) == Set((2L, 1L), (3L, 6L)))
+  }
+
   test("resampleStream on a replayed DISORDERED stream: closed " +
       "windows are bit-equal to the batch resample's non-gap rows") {
     // out-of-order within the watermark: user 10's second 6h-bucket
