@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Fixed-work calibration probe: a CPU-bound all-core job whose calm
+    * wall time on the target box is pinned below ([[calmRefSec]]). The
+    * probe runs before every benched query and its time is recorded in
+    * the artifact per query, so a reader can verify — from the artifact
+    * alone — whether any number was taken under external load. This is
+    * the round-12 verdict's top item: three straight rounds shipped
+    * load-polluted benches whose pollution was only discoverable by
+    * out-of-band re-runs; the calibration column makes the artifact
+    * self-defending.
+    */
+  private def calibProbe(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 192000000L, 1L, cpus).selectExpr("sum(pmod(id * 31, 997))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core: the target environment is local[32] and the
@@ -33,14 +51,46 @@ object Bench {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val nCpus = cpus.toInt
     // untimed warmup: JIT + codegen + parquet reader init + OS file cache
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
-    // Min of two runs per query, GC between queries: one shared JVM
-    // runs ~40 queries and stray full-GC pauses were landing on random
-    // queries (20s+ spikes on otherwise-200ms work); the min isolates
-    // the query's own cost.
+
+    // Calm-box reference for the probe above: 30 back-to-back runs on
+    // the quiet 32-core target box (loadavg <1, round 13) measured
+    // min 0.115 / p50 0.204 / p90 0.390 s — a 32-task job has
+    // inherent straggler jitter, so SINGLE probe values are noisy
+    // (hence the loose per-probe calibTol below) while the session
+    // MEDIAN over ~190 probes is tight (hence the strict gateTol).
+    // 0.22 pins the calm median with a small margin. Overridable for
+    // a different box via SPARK_GRAFT_CALIB_REF;
+    // SPARK_GRAFT_CALIB_MEASURE=30 re-derives it.
+    val calmRefSec = sys.env.get("SPARK_GRAFT_CALIB_REF")
+      .map(_.toDouble).getOrElse(0.22)
+    val calibTol = 2.5 // per-probe pollution threshold (x calmRef)
+    val gateTol = 1.2  // session gate on the MEDIAN calibration
+    // calibration warmup (JIT for the probe's own codegen path)
+    (1 to 3).foreach(_ => calibProbe(spark, nCpus))
+    // dev aid: SPARK_GRAFT_CALIB_MEASURE=20 prints probe statistics
+    // and exits — how calmRefSec above was pinned (and re-pinned if
+    // the box changes)
+    sys.env.get("SPARK_GRAFT_CALIB_MEASURE").map(_.toInt).foreach { k =>
+      val ts = (1 to k).map(_ => calibProbe(spark, nCpus)).sorted
+      println(f"calib n=$k min=${ts.head}%.4f p50=${ts(k / 2)}%.4f " +
+        f"p90=${ts(k * 9 / 10)}%.4f max=${ts.last}%.4f")
+      spark.stop()
+      return
+    }
+
+    // 1-minute loadavg, kept alongside the calibration as corroborating
+    // context (the r9 precedent: settle load-vs-regression disputes
+    // with data in the artifact)
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+
     // dev aid: SPARK_GRAFT_ONLY=q1_agg,q6_filter_agg times a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet)
@@ -48,77 +98,126 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None        => SparkEntry.queries
     }
-    // 1-minute loadavg, sampled at each query's start and end: the r9
-    // driver-window dispute ("is this spike load or a regression?") is
-    // settled by data in the artifact, not inference after the fact
-    def loadAvg(): Double =
-      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
-      catch { case _: Throwable => -1.0 }
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // free persisted intermediates so queries don't contend.
-        // clearCache() covers DataFrame persist(); the RDD sweep covers
-        // localCheckpoint blocks (iterative CC), which the catalog
-        // cache does not track.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        // reclaim the staged-branch-point parquet dirs too (the
-        // disk-side counterpart of the cache sweep above) — scoped to
-        // this session, the clearStaging ownership contract
-        graft.util.Utils.clearStaging(Some(spark))
-        dt
-      }
-      val l0 = loadAvg()
-      val two = (1 to 2).map(_ => once())
-      // both runs spiking together defeats min-of-2 (stray full-GC /
-      // VM stalls land 20s+ on random queries). Heavy queries are the
-      // most exposed — a single stall is a large fraction of their
-      // budget and the artifact then disagrees >2x with a same-box
-      // re-run — so any query whose min-of-2 exceeds 2s buys a third
-      // run unconditionally, as does a >2x disagreement on >1s work.
-      // Load blind spot (BENCH_r10): an externally loaded window can
-      // inflate BOTH runs without tripping either trigger (q3_join_topk
-      // recorded [3.32, 1.87] under loadavg 2.4-12 — min 1.87 shipped
-      // as a phantom 3.76x regression). When the 1-min loadavg sampled
-      // at query start exceeds cpus/8 (4 on the 32-core target box),
-      // every query buys the third run: on a calm box this costs
-      // nothing, and under load the extra sample is the cheapest
-      // insurance against grading noise as regression.
-      val loaded = l0 > cpus.toDouble / 8.0
-      val times =
-        if (loaded || two.min > 2.0 ||
-            (two.min > 1.0 && two.max > 2 * two.min))
-          two :+ once()
-        else two
-      System.gc()
-      (name, times, Seq(l0, loadAvg()))
+
+    def once(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // free persisted intermediates so queries don't contend.
+      // clearCache() covers DataFrame persist(); the RDD sweep covers
+      // localCheckpoint blocks (iterative CC), which the catalog
+      // cache does not track.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      // reclaim the staged-branch-point parquet dirs too (the
+      // disk-side counterpart of the cache sweep above) — scoped to
+      // this session, the clearStaging ownership contract
+      graft.util.Utils.clearStaging(Some(spark))
+      dt
     }
-    val best = results.map { case (k, v, _) => k -> v.min }
+
+    /** One full measurement pass. Returns per-query
+      * (name, runs, loadavgs, calibration) in query order.
+      */
+    def pass(): Seq[(String, Seq[Double], Seq[Double], Double)] =
+      selected.toSeq.map { case (name, fn) =>
+        // GC BEFORE the probe: leftover garbage from the previous
+        // query must bill neither the probe nor this query
+        System.gc()
+        // pre-query calibration: if the probe itself reads polluted,
+        // wait briefly and re-probe (short spikes pass; a sustained
+        // load wave exhausts the retries and the pollution is
+        // RECORDED rather than hidden)
+        var calib = calibProbe(spark, nCpus)
+        var waits = 0
+        while (calib > calmRefSec * calibTol && waits < 3) {
+          Thread.sleep(4000)
+          calib = calibProbe(spark, nCpus)
+          waits += 1
+        }
+        val l0 = loadAvg()
+        val two = (1 to 2).map(_ => once(name, fn))
+        // both runs spiking together defeats min-of-2 (stray full-GC /
+        // VM stalls land 20s+ on random queries). Heavy queries are
+        // the most exposed — so any query whose min-of-2 exceeds 2s
+        // buys a third run unconditionally, as does a >2x disagreement
+        // on >1s work, as does a polluted pre-query calibration (the
+        // round-10/12 blind spot: an external load wave inflates BOTH
+        // runs without tripping either variance trigger).
+        val loaded = calib > calmRefSec * calibTol
+        val times =
+          if (loaded || two.min > 2.0 ||
+              (two.min > 1.0 && two.max > 2 * two.min))
+            two :+ once(name, fn)
+          else two
+        (name, times, Seq(l0, loadAvg()), calib)
+      }
+
+    def median(xs: Seq[Double]): Double = {
+      if (xs.isEmpty) return 0.0
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
+    // Session gate: a pass whose MEDIAN calibration exceeds the calm
+    // box by >gateTol is load-polluted end to end — min-of-N within
+    // the pass cannot fix that (BENCH_r10/r12 lesson). Re-run the
+    // whole pass (bounded) rather than ship it; if every allowed pass
+    // is polluted, ship the calmest one but SAY SO in the artifact —
+    // the calibration column and the polluted flag make the artifact
+    // self-describing either way.
+    val maxPasses = sys.env.get("SPARK_GRAFT_MAX_PASSES")
+      .map(_.toInt).getOrElse(3)
+    var results = pass()
+    var calMed = median(results.map(_._4))
+    var nPasses = 1
+    while (calMed > calmRefSec * gateTol && nPasses < maxPasses) {
+      System.err.println(f"[bench] pass $nPasses%d median calibration " +
+        f"$calMed%.3fs > ${calmRefSec * gateTol}%.3fs gate - " +
+        "re-running full pass after 60s")
+      Thread.sleep(60000)
+      val again = pass()
+      val againMed = median(again.map(_._4))
+      if (againMed < calMed) { results = again; calMed = againMed }
+      nPasses += 1
+    }
+    val polluted = calMed > calmRefSec * gateTol
+
+    val best = results.map { case (k, v, _, _) => k -> v.min }
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-run times alongside the min: when an artifact number looks
     // off, the run vector shows whether it was a one-off VM stall
     // (one spike, clean min) or a real regression (all runs high)
-    val rs = results.map { case (k, v, _) =>
+    val rs = results.map { case (k, v, _, _) =>
       s"\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val ls = results.map { case (k, _, l) =>
+    val ls = results.map { case (k, _, l, _) =>
       // Locale.ROOT: a comma-decimal default locale would render 6.2
       // as "6,20" and silently corrupt the JSON array
       s"\"" + k + "\":" + l.map(x => String.format(
         java.util.Locale.ROOT, "%.2f", Double.box(x)))
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val cs = results.map { case (k, _, _, c) =>
+      s"\"" + k + "\":" + String.format(
+        java.util.Locale.ROOT, "%.3f", Double.box(c))
+    }.mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.map(_._2).sum else 0.0
+    val calStr = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(calMed))
+    val refStr = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(calmRefSec))
+    val calibMeta =
+      s""""calib_median":$calStr,"calib_ref":$refStr,""" +
+      s""""calib_polluted":$polluted,"calib_passes":$nPasses"""
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"loadavg":$ls,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$calibMeta,"queries":$qs,"runs":$rs,"loadavg":$ls,"calib":$cs,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of stdout (BENCH_r10's
     // "tail" field is exactly 2000 chars and visibly starts mid-line),
     // and sbt appends a ~75-char "[success] Total time" line after our
@@ -128,18 +227,18 @@ object Bench {
     // parsed:null despite head/bracket print ordering fixes. Print
     // order below: full-precision line (humans + grep), rounded
     // per-query summary (parses if a future driver widens the window),
-    // then as the ABSOLUTE LAST line a queries-free total (~110 bytes)
-    // that is guaranteed to survive the tail intact. bench_out.json
-    // remains the loss-proof full artifact.
+    // then as the ABSOLUTE LAST line a queries-free total (~170 bytes)
+    // that is guaranteed to survive the tail intact — now carrying the
+    // calibration verdict so even the truncated view is self-defending.
     val qs3 = best.map { case (k, v) =>
       s"\"" + k + "\":" + String.format(
         java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
     val rounded =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs3,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$calibMeta,"queries":$qs3,"sf":"$sfDir"}"""
     val compact = String.format(java.util.Locale.ROOT,
-      """{"metric":"total","value":%.3f,"unit":"sec","nqueries":%d,"sf":"%s","queries_file":"bench_out.json"}""",
-      Double.box(total), Int.box(best.size), sfDir)
+      """{"metric":"total","value":%.3f,"unit":"sec",%s,"nqueries":%d,"sf":"%s","queries_file":"bench_out.json"}""",
+      Double.box(total), calibMeta, Int.box(best.size), sfDir)
     println(summary)
     println(line)
     println(rounded)
