@@ -513,6 +513,12 @@ object SparkEntry {
     // the span-RECOVERY half of ExactSubstr dedup: each document's
     // duplicated 8-token windows merged into maximal contiguous
     // regions (gaps-and-islands over the census survivors)
+    // the byte-granularity ExactSubstr contract (Lee et al.'s ≥50
+    // CHARACTERS of any length, not n tokens): stride-1 char windows
+    // → two-level census → island merge; start/end are 0-based char
+    // offsets of the maximal shared ranges
+    "dup_regions_bytes" -> ((s, d) =>
+      Dedup.duplicateRegionsBytes(Tables.load(s, d, "documents"))),
     "dup_regions" -> ((s, d) =>
       Dedup.duplicateRegions(Tables.load(s, d, "documents"))),
     // and the ExactSubstr ACTION: documents re-joined with every
@@ -852,6 +858,22 @@ object SparkEntry {
           posexplode(TextAnalysis.bpeEncode(col("text")))
             .as(Seq("pos", "token_id")))
         .orderBy("doc_id", "pos")),
+    // decode closes the tokenizer loop (encode → pack → loader →
+    // DECODE): byte-level BPE is lossless, so the roundtrip audit
+    // counts per-doc token totals and whether decode(encode(text))
+    // reproduced text bit-exactly — the oracle re-derives the text
+    // from its own id stream through the id↔symbol tables, so a
+    // drifted id layout on either side reads as roundtrip_ok=false
+    "bpe_roundtrip_audit" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.bpeEncode(col("text")).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          (TextAnalysis.bpeDecode(col("ids")) === col("text"))
+            .as("roundtrip_ok"))
+        .orderBy("doc_id")),
     // BPE tokenizer TRAINING (Sennrich Algorithm 1): learn 25 merges
     // from the corpus census — most-frequent adjacent pair per round,
     // ties lexicographic, LTR non-overlapping fusion, minCount 2
@@ -932,6 +954,25 @@ object SparkEntry {
         .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
           .dupGroupsStream(st, "ts", "text", "doc_id"))
         .orderBy("slice_start", "fp")
+    }),
+    // live decontamination monitor: STATELESS Bloom-gated leak
+    // evidence — each emitted (slice_start, train doc, test doc,
+    // shared 8-gram) row is exact-verified in-stream (the broadcast
+    // join removes Bloom false positives), so the output is
+    // bit-equal to the batch join and the oracle is the exact SQL;
+    // same md5-prefix train/test split as decontaminate_bloom
+    "decontam_stream" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val isTest = substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1")
+      val ts = docs.filter(!isTest).select(
+        expr("timestampadd(HOUR, CAST(doc_id % 240 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("doc_id"), col("text"))
+      graft.streaming.ProfileStream
+        .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
+          .decontamStream(st, "ts", docs.filter(isTest)))
+        .orderBy("slice_start", "doc_id", "test_id", "g")
     }),
     // quality-aware canonical selection over a corpus with PLANTED
     // normalizing duplicates (the synthetic corpus has none): each
@@ -1229,6 +1270,17 @@ object SparkEntry {
           .where(col("doc_id") % 10 === 0)),
         "payload",
         chunker = graft.functions.CdcChunks.gearCdcChunks)),
+    // FastCDC-normalized chunking on the same gear state: hard
+    // min/max bounds + two-level masks (strict below target, loose
+    // above) squeeze chunk-size variance — the dedup-ratio-stability
+    // recipe; the oracle replays the gear state closed-form and then
+    // WALKS the bounded boundary recursion per doc
+    "cdc_chunks_fastcdc" -> ((s, d) =>
+      Multimodal.cdcChunkTable(
+        Multimodal.testPayload(Tables.load(s, d, "documents")
+          .where(col("doc_id") % 10 === 0)),
+        "payload",
+        chunker = graft.functions.CdcChunks.fastCdcChunks)),
     // and the content-addressed-store answer over those chunks: how
     // many bytes survive chunk-hash dedup
     "cdc_dedup_report" -> ((s, d) =>
@@ -2887,6 +2939,29 @@ object SparkEntry {
              COUNT(DISTINCT test_id) AS n_test_docs
       FROM train JOIN test USING (g)
       GROUP BY 1 ORDER BY doc_id"""),
+    // the stream monitor is stateless and exact-verified in-stream,
+    // so its oracle is the plain gram-level join plus the synthetic
+    // daily slice stamp (row-local day floor, not a window)
+    "decontam_stream" -> (s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s AS (SELECT doc_id,
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                AS is_test,
+              $shingles8Sql AS sh FROM t),
+      inv AS (SELECT doc_id, is_test, unnest(sh) AS g FROM s),
+      test AS (SELECT DISTINCT g, doc_id AS test_id FROM inv
+               WHERE is_test),
+      train AS (SELECT doc_id, g FROM inv WHERE NOT is_test),
+      sl AS (SELECT doc_id,
+               strftime(CAST(CAST(TIMESTAMP '2024-01-01 00:00:00'
+                 + to_hours(CAST(doc_id % 240 AS BIGINT)) AS DATE)
+                 AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS slice_start
+             FROM t)
+      SELECT sl.slice_start, train.doc_id, test.test_id,
+             train.g AS g
+      FROM train JOIN test USING (g)
+      JOIN sl ON sl.doc_id = train.doc_id
+      ORDER BY sl.slice_start, train.doc_id, test.test_id, g"""),
     "line_dedup" -> (s"""
       WITH lined AS (SELECT doc_id,
              'subscribe to ' || source || ' updates' || chr(10) ||
@@ -3624,6 +3699,44 @@ object SparkEntry {
              END AS INT) AS token_id
       FROM be_tok
       ORDER BY doc_id, pos"""),
+    // roundtrip: the SAME encode chain, then ids mapped BACK through
+    // the decode table (product list for ids >= 256, chr() for code
+    // points — the corpus is ASCII so code unit == code point) and
+    // re-concatenated in token order; a doc roundtrips iff the
+    // rebuilt string equals the original text. Token totals ride
+    // along so the row is non-trivial even where ok is uniform.
+    "bpe_roundtrip_audit" -> (s"""
+      WITH RECURSIVE $bpeCtes,
+      rt_doc AS (SELECT doc_id, text, regexp_extract_all(text,
+            ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+') AS ws
+          FROM documents WHERE doc_id % 10 = 0),
+      rt_pos AS (SELECT doc_id, i, ws[i] AS w
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+                FROM rt_doc)),
+      rt_fin AS MATERIALIZED (SELECT w, arg_min(syms, len(syms))
+            AS syms
+          FROM bbpe GROUP BY w),
+      rt_tok AS (SELECT doc_id, i, j,
+          CAST(CASE WHEN length(syms[j]) = 1 THEN unicode(syms[j])
+               ELSE 255 + list_position(
+                 ${graft.functions.ByteBpe.productsSqlList}, syms[j])
+               END AS INT) AS token_id
+          FROM (SELECT doc_id, i, syms,
+                  unnest(range(1, len(syms) + 1)) AS j
+                FROM rt_pos JOIN rt_fin USING (w))),
+      rt_dec AS (SELECT doc_id, COUNT(*) AS n_tokens,
+            string_agg(CASE WHEN token_id >= 256
+                AND token_id <= 255 + len(
+                  ${graft.functions.ByteBpe.productsSqlList})
+              THEN (${graft.functions.ByteBpe.productsSqlList})
+                [token_id - 255]
+              ELSE chr(token_id) END, '' ORDER BY i, j) AS rebuilt
+          FROM rt_tok GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(r.n_tokens, 0) AS BIGINT)
+               AS n_tokens,
+             COALESCE(r.rebuilt, '') = d.text AS roundtrip_ok
+      FROM rt_doc d LEFT JOIN rt_dec r USING (doc_id)
+      ORDER BY d.doc_id"""),
     "bpe_train" -> (s"""
       WITH RECURSIVE $bpeTrainCtes
       SELECT DISTINCT CAST(it AS BIGINT) AS rank, a AS l_sym,
@@ -4141,6 +4254,37 @@ object SparkEntry {
       WITH $dupRegionCtes
       SELECT doc_id, start_pos, end_pos, n_windows
       FROM rreg ORDER BY doc_id, start_pos"""),
+    // char-window replay of the byte-granularity contract: stride-1
+    // 50-char windows (docs shorter than 50 emit none), the same
+    // two-level census and gaps-and-islands merge as dup_regions but
+    // over character offsets
+    "dup_regions_bytes" -> ("""
+      WITH bw AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              md5(substr(text, CAST(i + 1 AS INT), 50)) AS h
+            FROM (SELECT doc_id, text,
+                    unnest(range(0, greatest(length(text) - 49, 0)))
+                      AS i
+                  FROM documents)),
+      bdh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM bw)
+              GROUP BY h HAVING COUNT(*) >= 2),
+      bdw AS (SELECT doc_id, pos FROM bw JOIN bdh USING (h)),
+      bisl AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL
+                  OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+            FROM (SELECT doc_id, pos,
+                    MAX(pos + 49) OVER (PARTITION BY doc_id
+                      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_end
+                  FROM bdw))
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS start_char,
+             CAST(MAX(pos) + 49 AS BIGINT) AS end_char,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM (SELECT doc_id, pos,
+              SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos)
+                AS island
+            FROM bisl)
+      GROUP BY doc_id, island
+      ORDER BY doc_id, start_char"""),
     "cut_repeated_spans" -> (s"""
       WITH $dupRegionCtes,
       tk AS (SELECT doc_id, unnest(toks) AS tok,
@@ -4339,6 +4483,74 @@ object SparkEntry {
             FROM g_ch JOIN g_h USING (doc_id) WHERE e > s)
       SELECT doc_id, chunk_idx, "offset", len, chunk_md5
       FROM g_out ORDER BY doc_id, chunk_idx"""),
+    // FastCDC: the same closed-form gear state per position, then a
+    // RECURSIVE walk over chunk starts — next start = least of (min
+    // strict-mask hit 8..15 bytes in, min loose-mask hit 16..63
+    // bytes in, the forced cut at 64); strictly positive progress
+    // (>= 8/step) so the recursion terminates; the final sub-min
+    // tail [last_start, n) is closed outside the recursion
+    "cdc_chunks_fastcdc" -> (s"""
+      WITH RECURSIVE $cdcCtes,
+      f_h AS MATERIALIZED (SELECT doc_id, hex(payload) AS hx,
+              octet_length(payload) AS n
+            FROM cdc_p WHERE doc_id % 10 = 0),
+      f_by AS MATERIALIZED (SELECT doc_id, i,
+              CAST('0x' || substr(hx, (i - 1) * 2 + 1, 2) AS INT) AS b
+            FROM (SELECT doc_id, hx, n, unnest(range(1, n + 1)) AS i
+                  FROM f_h)),
+      f_gear AS (SELECT b, CAST(CAST('0x' ||
+                substr(md5(CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
+                AS HUGEINT) AS g
+            FROM (SELECT unnest(range(0, 256)) AS b)),
+      f_state AS MATERIALIZED (SELECT a.doc_id, a.i,
+              SUM((t.g * (CAST(1 AS HUGEINT)
+                  << CAST(a.i - c.i AS INT)))
+                % (CAST(1 AS HUGEINT) << 64))
+                % (CAST(1 AS HUGEINT) << 64) AS h
+            FROM f_by a
+            JOIN f_by c ON c.doc_id = a.doc_id
+              AND c.i BETWEEN a.i - 63 AND a.i
+            JOIN f_gear t ON t.b = c.b
+            GROUP BY 1, 2),
+      f_walk(doc_id, s) AS (
+        SELECT doc_id, CAST(0 AS BIGINT) FROM f_h WHERE n > 0
+        UNION ALL
+        SELECT w.doc_id,
+          LEAST(
+            COALESCE(MIN(CASE WHEN t.i - w.s < 16
+                AND t.h < (CAST(1 AS HUGEINT) << 59)
+                THEN t.i END), w.s + 64),
+            COALESCE(MIN(CASE WHEN t.i - w.s >= 16
+                AND t.h < (CAST(1 AS HUGEINT) << 61)
+                THEN t.i END), w.s + 64),
+            w.s + 64)
+        FROM f_walk w
+        JOIN f_h hh ON hh.doc_id = w.doc_id
+        LEFT JOIN f_state t ON t.doc_id = w.doc_id
+          AND t.i >= w.s + 8 AND t.i <= w.s + 63
+        GROUP BY w.doc_id, w.s, hh.n
+        HAVING LEAST(
+            COALESCE(MIN(CASE WHEN t.i - w.s < 16
+                AND t.h < (CAST(1 AS HUGEINT) << 59)
+                THEN t.i END), w.s + 64),
+            COALESCE(MIN(CASE WHEN t.i - w.s >= 16
+                AND t.h < (CAST(1 AS HUGEINT) << 61)
+                THEN t.i END), w.s + 64),
+            w.s + 64) < hh.n),
+      f_ch AS (SELECT doc_id, s,
+              LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS e2
+            FROM f_walk),
+      f_out AS (SELECT c.doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY c.doc_id
+                ORDER BY c.s) - 1 AS INT) AS chunk_idx,
+              CAST(c.s AS INT) AS "offset",
+              CAST(COALESCE(c.e2, h.n) - c.s AS INT) AS len,
+              md5(substr(h.hx, CAST(c.s * 2 + 1 AS INT),
+                CAST((COALESCE(c.e2, h.n) - c.s) * 2 AS INT)))
+                AS chunk_md5
+            FROM f_ch c JOIN f_h h USING (doc_id))
+      SELECT doc_id, chunk_idx, "offset", len, chunk_md5
+      FROM f_out ORDER BY doc_id, chunk_idx"""),
     "cdc_dedup_report" -> (s"""
       WITH $cdcCtes,
       per AS (SELECT chunk_md5, COUNT(*) AS copies, MIN(len) AS clen

@@ -209,6 +209,79 @@ case class BpeEncode(child: Expression,
       : BpeEncode = copy(child = newChild)
 }
 
+/** Inverse of [[BpeEncode]] — token IDs back to text, closing the
+  * tokenizer surface (encode → pack → train-loader → DECODE for
+  * inspection/eval): id ≥ 256 with a merge product at rank id−256
+  * yields that product string; any other id yields its UTF-16 code
+  * unit. Byte-level BPE is lossless, so `decode(encode(s)) == s`
+  * holds exactly (property spec) for every `s` whose characters
+  * avoid [[BpeEncode]]'s stated ID-collision band — code units in
+  * `[256, 256 + merges.size)` share the merged-ID space (the oracle
+  * fixture is verified pure ASCII; real byte-level deployments map
+  * bytes through Radford et al.'s byte-to-unicode table first, which
+  * composes with both expressions unchanged) — and whose text
+  * survives the GPT-2 pre-tokenizer (runs of spaces beyond each
+  * word's single leading space are outside the alternation and drop;
+  * single-spaced corpora roundtrip bit-exact, non-BMP characters
+  * included, since code-unit emission reassembles surrogate pairs on
+  * concatenation).
+  *
+  * Scale shape: row-local projection like its inverse — the id→text
+  * table is expression state, no shuffle, no driver state.
+  */
+case class BpeDecode(child: Expression,
+    merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_decode needs array<int>, got ${other.sql}")
+    }
+
+  @transient private lazy val products: Array[String] =
+    merges.map { case (a, b) => a + b }.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    decodeIds(input.asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData])
+
+  /** Shared per-row loop (interpreted eval + generated projection via
+    * object reference — see [[BpeTokenCount.count]]). A null array
+    * element decodes as empty (the encoder never emits one;
+    * `containsNull = false` upstream).
+    */
+  def decodeIds(ids: org.apache.spark.sql.catalyst.util.ArrayData)
+      : UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder(n * 2)
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id >= 256 && id - 256 < products.length)
+        sb.append(products(id - 256))
+      else sb.append(id.toChar)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeDecode", this,
+      classOf[BpeDecode].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $ref.decodeIds($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeDecode = copy(child = newChild)
+}
+
 object ByteBpe {
 
   /** GPT-2-style pre-tokenizer — MUST stay textually identical to
@@ -345,4 +418,11 @@ object ByteBpe {
   def bpeEncode(text: Column,
       merges: Seq[(String, String)] = fixtureMerges): Column =
     Shims.column(BpeEncode(Shims.expression(text), merges))
+
+  /** Column entry point: token IDs back to text ([[BpeDecode]]),
+    * under `merges` (defaults to the fixture table).
+    */
+  def bpeDecode(ids: Column,
+      merges: Seq[(String, String)] = fixtureMerges): Column =
+    Shims.column(BpeDecode(Shims.expression(ids), merges))
 }

@@ -125,6 +125,66 @@ case class GearCdcChunks(child: Expression) extends UnaryExpression {
       : GearCdcChunks = copy(child = newChild)
 }
 
+/** FastCDC-normalized chunking over the same gear rolling hash as
+  * [[GearCdcChunks]] — the full published recipe (Xia et al. 2016,
+  * "FastCDC: a Fast and Efficient Content-Defined Chunking Approach
+  * for Data Deduplication", §3.3 "normalized chunking"): hard
+  * min/max chunk bounds plus TWO boundary masks — stricter than the
+  * target probability below the target size, looser above it — which
+  * squeezes the chunk-size distribution toward the target (plain
+  * gear/Rabin CDC has exponential size spread: many tiny chunks,
+  * occasional huge ones) — the property that keeps dedup ratios and
+  * per-chunk overheads stable on real media. A spec pins the bounds
+  * and a measured variance reduction vs [[GearCdcChunks]].
+  *
+  * Differences from the paper, stated: the gear state is NOT reset at
+  * chunk starts — it keeps rolling position-locally (a pure function
+  * of the trailing ≤64 bytes, exactly [[GearCdcChunks]]'s state), so
+  * the DuckDB oracle replays every position's state with the same
+  * HUGEINT closed-form windowed sum and then walks the boundary
+  * recursion over it. Boundary DECISIONS still depend on the current
+  * chunk's start (mask choice and bounds are functions of bytes-into-
+  * chunk) — inherent to normalization, as in the paper, so chunk
+  * realignment after an insertion resynchronizes within O(target)
+  * bytes rather than instantly (the documented normalization trade;
+  * plain gear remains the instant-realignment variant). Fixture-scale
+  * parameters (min 8 / target 16 / max 64 bytes, masks p=1/32 and
+  * 1/8 via top-bit checks); production uses the same shape at 2/8/64
+  * KB.
+  *
+  * Same output schema and chunk-hash rule as [[CdcChunks]]; row-local
+  * compiled loop, no shuffle.
+  */
+case class FastCdcChunks(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = CdcChunks(child).dataType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"fastcdc_chunks needs binary, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunks.evalBytesFastCdc(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("fastCdc")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.CdcChunks.evalBytesFastCdc($c);
+         |${ev.value} = $tmp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : FastCdcChunks = copy(child = newChild)
+}
+
 object CdcChunks {
 
   /** Rolling-window width in bytes. */
@@ -219,6 +279,49 @@ object CdcChunks {
     new GenericArrayData(chunks.toArray)
   }
 
+  /** FastCDC fixture-scale parameters ([[FastCdcChunks]]): hard
+    * bounds and the two normalization masks. Exposed for the spec
+    * and the oracle replay (which inlines the same constants).
+    */
+  val FC_MIN = 8
+  val FC_TARGET = 16
+  val FC_MAX = 64
+  val FC_BITS_STRICT = 5 // p = 1/32 below target
+  val FC_BITS_LOOSE = 3  // p = 1/8 at/above target
+
+  /** The FastCDC-normalized per-row loop ([[FastCdcChunks]]): gear
+    * state rolls continuously; the boundary test after byte i with L
+    * bytes in the open chunk is
+    *   L < FC_MIN            → never
+    *   L < FC_TARGET         → top FC_BITS_STRICT state bits clear
+    *   FC_TARGET ≤ L < FC_MAX → top FC_BITS_LOOSE state bits clear
+    *   L == FC_MAX           → always (forced cut)
+    */
+  def evalBytesFastCdc(bytes: Array[Byte]): GenericArrayData = {
+    val n = bytes.length
+    val md = SimHash64.md5.get()
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + GEAR(bytes(i) & 0xff) // Long wrap == mod 2^64
+      val len = i + 1 - start
+      val cut =
+        if (len < FC_MIN) false
+        else if (len < FC_TARGET) (h >>> (64 - FC_BITS_STRICT)) == 0L
+        else if (len < FC_MAX) (h >>> (64 - FC_BITS_LOOSE)) == 0L
+        else true
+      if (cut) {
+        chunks += chunkRow(bytes, start, i + 1, md)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (n > start) chunks += chunkRow(bytes, start, n, md)
+    new GenericArrayData(chunks.toArray)
+  }
+
   /** Column entry point: `cdc_chunks(blob)`. */
   def cdcChunks(bin: Column): Column =
     Shims.column(CdcChunks(Shims.expression(bin)))
@@ -226,4 +329,8 @@ object CdcChunks {
   /** Column entry point: `gear_cdc_chunks(blob)`. */
   def gearCdcChunks(bin: Column): Column =
     Shims.column(GearCdcChunks(Shims.expression(bin)))
+
+  /** Column entry point: `fastcdc_chunks(blob)`. */
+  def fastCdcChunks(bin: Column): Column =
+    Shims.column(FastCdcChunks(Shims.expression(bin)))
 }

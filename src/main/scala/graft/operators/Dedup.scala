@@ -307,11 +307,32 @@ object Dedup {
       docGrams(test, textCol, idCol, n)
         .select(col("g"), col("doc_id").as("test_id")).distinct(),
       "bloom_testg")
+    contaminationAgg(
+      docGrams(train, textCol, idCol, n)
+        .filter(bloomMightContain(testG, bitsPerKey, numProbes)
+          .apply(col("g"))),
+      testG)
+  }
+
+  /** Build Kirsch-Mitzenmacher Bloom bits over the distinct `g`
+    * column of `keys` and return the ROW-LOCAL might-contain
+    * predicate as a Column→Column — the shared core of
+    * [[decontaminateBloomAgainst]] and the streaming monitor
+    * ([[graft.streaming.ProfileStream.decontamStream]]). No false
+    * negatives ever, so composing with an exact verify join yields
+    * bit-identical results to the unfiltered operator.
+    *
+    * NOTE: CALLING this runs one small Spark job (the key-hash
+    * collect), bounded by the key side, which is benchmark-suite-
+    * sized by the callers' contract.
+    */
+  private[graft] def bloomMightContain(keys: DataFrame,
+      bitsPerKey: Int = 16, numProbes: Int = 5): Column => Column = {
     // ONE Spark job builds the filter: collect the raw (h1, h2) hash
     // pair per distinct gram, size m from the count, set bits on the
     // driver with the same Kirsch-Mitzenmacher arithmetic the
     // executors evaluate — one hash implementation, zero drift
-    val hashPairs = testG.select(
+    val hashPairs = keys.select(
         xxhash64(lit("graft-bloom-1"), col("g")),
         xxhash64(lit("graft-bloom-2"), col("g")))
       .distinct().collect()
@@ -338,15 +359,12 @@ object Dedup {
         (h1 + lit(j.toLong) * h2).bitwiseAND(lit(m - 1)))
     }
     val bitsLit = typedLit(words.toSeq)
-    def mightContain(c: Column): Column =
+    (c: Column) =>
       probes(c).map { i =>
         element_at(bitsLit, (i / 64).cast("int") + 1)
           .bitwiseAND(call_function("shiftleft", lit(1L),
             (i % 64).cast("int"))) =!= lit(0L)
       }.reduce(_ && _)
-    contaminationAgg(
-      docGrams(train, textCol, idCol, n).filter(mightContain(col("g"))),
-      testG)
   }
 
   /** Line-level exact dedup (the CCNet/RefinedWeb boilerplate-removal
@@ -934,6 +952,69 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select("doc_id", "start_pos", "end_pos", "n_windows")
       .orderBy("doc_id", "start_pos")
+  }
+
+  /** [[duplicateRegions]] at BYTE/CHARACTER granularity — Lee et
+    * al. 2022's actual ExactSubstr contract: any substring of ≥
+    * `minChars` characters shared by ≥ `minDocs` documents is
+    * duplicated, whatever its length and wherever it starts (the
+    * n-token variant above is blind to shared phrases shorter than n
+    * tokens and snaps region edges to token boundaries; a spec pins
+    * that boundary). Mechanism: stride-1 character windows of length
+    * `minChars` — a substring of length L ≥ minChars is shared iff
+    * all its L−minChars+1 windows are shared, so the same two-level
+    * census + per-document island merge recovers exactly the MAXIMAL
+    * shared character ranges. Output (doc_id, start_char, end_char
+    * inclusive, n_windows), 0-based character offsets — feed
+    * `substring(text, start_char + 1, end_char - start_char + 1)`
+    * to see the duplicated bytes.
+    *
+    * Scale shape: ~one window row per corpus CHARACTER (≈6× the
+    * n-token explode — the paper pays the same factor; its suffix-
+    * array construction is also per-byte) with an O(minChars) hash
+    * per row; census/semi-join/island stages are identical in shape
+    * to [[duplicateRegions]] (two-level census, doc-length-bounded
+    * windows, no global state). At 100 TB the md5 window hash swaps
+    * for the gear rolling hash ([[graft.functions.GearCdcChunks]]'s
+    * primitive) behind the same plan — O(1)/char instead of
+    * O(minChars)/char; md5 is kept here as the cross-engine-derivable
+    * teaching rule, exactly the [[graft.functions.CdcChunks]]
+    * precedent.
+    */
+  def duplicateRegionsBytes(df: DataFrame, minChars: Int = 50,
+                            minDocs: Int = 2, textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val idx = when(char_length(col(textCol)) >= minChars,
+        sequence(lit(0), char_length(col(textCol)) - minChars))
+      .otherwise(array().cast("array<int>"))
+    val spans = transform(idx,
+      p => col(textCol).substr(p + lit(1), lit(minChars)))
+    val wins = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(spans).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"),
+        md5(col("span")).as("span_hash"))
+    val dup = wins.select("doc_id", "span_hash").distinct()
+      .groupBy("span_hash").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("span_hash")
+    val dupWins = wins.join(dup, Seq("span_hash"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(minChars - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    dupWins
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast(LongType).as("start_char"),
+        (max("pos") + lit(minChars - 1)).cast(LongType)
+          .as("end_char"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_char", "end_char", "n_windows")
+      .orderBy("doc_id", "start_char")
   }
 
   /** Exact-substring dedup as a TRANSFORM — the ExactSubstr action

@@ -56,6 +56,15 @@ object TextAnalysis {
         graft.functions.ByteBpe.fixtureMerges): Column =
     graft.functions.ByteBpe.bpeEncode(c, merges)
 
+  /** Token IDs back to text — the inverse of [[bpeEncode]] (byte-level
+    * BPE is lossless; see [[graft.functions.BpeDecode]] for the exact
+    * roundtrip contract).
+    */
+  def bpeDecode(c: Column,
+      merges: Seq[(String, String)] =
+        graft.functions.ByteBpe.fixtureMerges): Column =
+    graft.functions.ByteBpe.bpeDecode(c, merges)
+
   /** Per-stratum token-budget audit: document count, the whitespace
     * proxy total, and the exact BPE total side by side — the "how far
     * off was the proxy" report that decides whether a budgeted mixture

@@ -520,6 +520,57 @@ object ProfileStream {
         col("test_id"), col("n_hits"))
   }
 
+  /** Streaming decontamination monitor — the live "is tonight's crawl
+    * contaminated with the eval set" alarm, and the cheapest possible
+    * stager: COMPLETELY STATELESS. Every incoming training document is
+    * gated row-locally by the broadcast Bloom bits over the test
+    * suite's n-grams ([[graft.operators.Dedup.bloomMightContain]] —
+    * clean documents, the overwhelming majority, never explode and
+    * never touch a join), survivors explode only their Bloom-hit
+    * grams into the broadcast EXACT test-gram join (stream-static
+    * inner join: stateless), which removes Bloom false positives — so
+    * each emitted row is a verified leak evidence triple
+    * (slice_start, doc_id, test_id, g), bit-equal to the batch join's
+    * answer (no aggregation, no watermark, no state store at all; the
+    * per-batch cost is the Bloom probe per gram, and rows emit within
+    * the micro-batch that saw them — no watermark delay on the alarm).
+    *
+    * Contrast with [[contaminationStream]] (the per-test-doc windowed
+    * incidence COUNT, one watermark behind): this is the raw evidence
+    * feed a pipeline routes to quarantine the moment it appears.
+    * `slice_start` is a row-local day floor carried for slice
+    * bookkeeping, not a window.
+    */
+  def decontamStream(stream: DataFrame, tsCol: String,
+                     test: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", n: Int = 8,
+                     bitsPerKey: Int = 16,
+                     numProbes: Int = 5): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val testG = test.select(col(idCol).as("test_id"),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), n)))
+          .as("g"))
+      .distinct()
+    val mightContain =
+      Dedup.bloomMightContain(testG, bitsPerKey, numProbes)
+    stream
+      .select(
+        date_format(date_trunc("DAY", col(tsCol)),
+          "yyyy-MM-dd HH:mm:ss").as("slice_start"),
+        col(idCol).as("doc_id"),
+        array_distinct(TextAnalysis.shingles(col(textCol), n))
+          .as("gs"))
+      // row-local document gate: no Bloom-hit gram => no explode
+      .where(exists(col("gs"), g => mightContain(g)))
+      .select(col("slice_start"), col("doc_id"),
+        explode(col("gs")).as("g"))
+      // per-gram gate: only the maybe-contaminated slice pays the join
+      .where(mightContain(col("g")))
+      .join(broadcast(testG), "g")
+      .select(col("slice_start"), col("doc_id"), col("test_id"),
+        col("g"))
+  }
+
   /** Streaming time-series resample: per (user, fixed epoch-aligned
     * interval) event count and DECIMAL-exact value sum, emitted when
     * the watermark closes the window — the streaming counterpart of

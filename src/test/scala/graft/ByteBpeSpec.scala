@@ -231,4 +231,46 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(sql.startsWith("[") && sql.endsWith("]"))
     assert(sql.contains("'t'||chr(1)||'h'"))
   }
+
+  test("bpeDecode inverts bpeEncode: ASCII, multi-byte UTF-8, " +
+      "surrogate pairs; collision band + space runs documented") {
+    def roundtrip(s: String): (String, Boolean) = {
+      val r = Seq(Tuple1(s)).toDF("text")
+        .select(
+          TextAnalysis.bpeDecode(
+            TextAnalysis.bpeEncode(col("text"))).as("rt"),
+          (TextAnalysis.bpeDecode(
+            TextAnalysis.bpeEncode(col("text"))) === col("text"))
+            .as("ok"))
+        .head
+      (r.getString(0), r.getBoolean(1))
+    }
+    // lossless on single-spaced text whose chars avoid the id
+    // collision band [256, 256 + merges.size)
+    for (s <- Seq("the cat sat", "", "a", "the the the",
+        "hello, world! 42.7 (x)",
+        "café naïve",          // Latin-1 multi-byte UTF-8
+        "привет мир", // Cyrillic
+        "日本語 テスト",  // CJK
+        "😀 ok 🎉"))          // non-BMP (surrogates)
+      assert(roundtrip(s) == ((s, true)), s"roundtrip failed: '$s'")
+    // stated contract boundary 1: a char whose code unit falls in
+    // [256, 256+54) decodes as that rank's merge PRODUCT, not the
+    // char (merges(0) = (t,h) -> "th" at id 256 = U+0100)
+    assert(roundtrip("Ā") == (("th", false)))
+    // ...and the band ends at 256 + merges.size: U+0136 is clean
+    assert(roundtrip("Ķ")._2)
+    // stated contract boundary 2: the GPT-2 pre-tokenizer keeps one
+    // leading space per word; extra spaces in a run are dropped
+    assert(roundtrip("a  b") == (("a b", false)))
+    // whole corpus roundtrips (the fixture data is single-spaced
+    // ASCII): decode(encode(text)) == text on every document
+    val docs = spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet")
+    val bad = docs.select(
+        (TextAnalysis.bpeDecode(TextAnalysis.bpeEncode(col("text")))
+          === col("text")).as("ok"))
+      .where(!col("ok")).count()
+    assert(bad == 0L)
+  }
 }

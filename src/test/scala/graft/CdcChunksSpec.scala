@@ -122,6 +122,93 @@ class CdcChunksSpec extends AnyFunSuite {
       s"gear $tGear ns not faster than md5-window $tMd5 ns")
   }
 
+  private def fastChunksOf(bytes: Array[Byte]): Seq[(Int, Int, String)] = {
+    val arr = CdcChunks.evalBytesFastCdc(bytes)
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getInt(0), r.getInt(1), r.getUTF8String(2).toString)
+    }
+  }
+
+  test("fastcdc: chunks tile, min/max bounds hold (only the final " +
+      "chunk may undershoot min), forced cuts cap at max") {
+    // long enough for many chunks; repeated content exercises both
+    // mask regimes and the forced-cut path
+    val big = ("normalized chunking bounds the size distribution " * 200)
+      .getBytes("UTF-8")
+    val cs = fastChunksOf(big)
+    assert(cs.head._1 == 0)
+    cs.sliding(2).foreach {
+      case Seq((o1, l1, _), (o2, _, _)) => assert(o1 + l1 == o2)
+      case _ =>
+    }
+    assert(cs.map(_._2).sum == big.length)
+    // every chunk obeys the hard bounds; the tail may be short
+    cs.init.foreach { case (_, l, _) =>
+      assert(l >= CdcChunks.FC_MIN && l <= CdcChunks.FC_MAX,
+        s"chunk len $l outside [${CdcChunks.FC_MIN}, ${CdcChunks.FC_MAX}]")
+    }
+    assert(cs.last._2 <= CdcChunks.FC_MAX)
+    assert(fastChunksOf(Array.emptyByteArray).isEmpty)
+    // degenerate content that never clears a mask (all zero bytes
+    // have a fixed gear constant; if it never hits, every cut is the
+    // forced one at exactly FC_MAX)
+    val zeros = fastChunksOf(Array.fill[Byte](400)(0))
+    assert(zeros.init.forall(_._2 <= CdcChunks.FC_MAX))
+  }
+
+  test("fastcdc: measured chunk-size variance shrinks vs plain gear " +
+      "at a comparable mean (the normalization property)") {
+    val big = (("media payload seg " * 9) + "|")
+      .*(3000).getBytes("UTF-8")
+    def stats(ls: Seq[Int]): (Double, Double) = {
+      val m = ls.sum.toDouble / ls.size
+      val v = ls.map(l => (l - m) * (l - m)).sum / ls.size
+      (m, math.sqrt(v) / m) // (mean, coefficient of variation)
+    }
+    val (mG, cvG) = stats(gearChunksOf(big).map(_._2))
+    val (mF, cvF) = stats(fastChunksOf(big).map(_._2))
+    info(f"gear mean=$mG%.1f cv=$cvG%.2f vs fastcdc mean=$mF%.1f cv=$cvF%.2f")
+    // same target probability class; normalization must cut relative
+    // spread decisively (paper: normalized chunking halves variance)
+    assert(cvF < cvG * 0.8,
+      f"fastcdc cv $cvF%.2f not < 0.8x gear cv $cvG%.2f")
+  }
+
+  test("fastcdc: hand replay of the bounded walk over the closed-form " +
+      "gear state matches the expression") {
+    val cs = fastChunksOf(payload)
+    val gear = (0 until 256).map { b =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      BigInt(1, md.digest(b.toString.getBytes("UTF-8"))
+        .take(8)) >> 4
+    }
+    val m64 = BigInt(1) << 64
+    def stateAt(i: Int): BigInt = // i is 1-based byte count
+      (0 to math.min(63, i - 1)).map { k =>
+        (gear(payload(i - 1 - k) & 0xff) << k) mod m64
+      }.sum mod m64
+    val bounds = scala.collection.mutable.ArrayBuffer(0)
+    var s = 0
+    while (s < payload.length) {
+      val cands = ((s + CdcChunks.FC_MIN) to
+          math.min(s + CdcChunks.FC_MAX - 1, payload.length)).filter {
+        i =>
+          val h = stateAt(i)
+          if (i - s < CdcChunks.FC_TARGET)
+            (h >> (64 - CdcChunks.FC_BITS_STRICT)) == 0
+          else (h >> (64 - CdcChunks.FC_BITS_LOOSE)) == 0
+      }
+      val e = cands.headOption.getOrElse(
+        math.min(s + CdcChunks.FC_MAX, payload.length))
+      bounds += e
+      s = e
+    }
+    val bs = bounds.toList
+    val expected = bs.zip(bs.tail).map { case (a, b) => (a, b - a) }
+    assert(cs.map(c => (c._1, c._2)) == expected)
+  }
+
   test("cdcChunkTable + cdcDedupReport: repeated blobs dedup to one " +
       "copy of each distinct chunk") {
     val df = Seq((1L, payload), (2L, payload),

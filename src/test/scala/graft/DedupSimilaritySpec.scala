@@ -638,6 +638,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (11L, 0L, 2L, 1L), (11L, 4L, 6L, 1L)))
   }
 
+  test("duplicateRegionsBytes: maximal shared char ranges of ANY " +
+      "length >= minChars; the n-token operator's blind spot is the " +
+      "contract boundary") {
+    // 52-char shared run = 10 words of 4+1 chars + 'tail99' — only 7
+    // tokens longer than 6... construct precisely: a shared phrase of
+    // SEVEN tokens spanning >= 50 chars. Seven 7-char words + six
+    // separators = 55 chars — dup_regions at n = 8 tokens cannot see
+    // it; the byte operator must.
+    val phrase = (1 to 7).map(i => s"shared$i").mkString(" ") // 55 chars
+    assert(phrase.length == 55)
+    val d = Seq(
+      (0L, s"$phrase alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, s"iota kappa lambdaQ muX nuY xiZ omicron pi rho $phrase"))
+      .toDF("doc_id", "text")
+    // token-level ExactSubstr at n=8 is blind: the shared run is only
+    // 7 tokens
+    assert(Dedup.duplicateRegions(d, n = 8).count() == 0L)
+    val regs = Dedup.duplicateRegionsBytes(d, minChars = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // maximal range recovery: doc0 carries the phrase at chars
+    // [0, 54], doc1 at [46, 100] (46 prefix chars before it)
+    assert(regs.toSeq == Seq((0L, 0L, 54L), (1L, 46L, 100L)))
+    // sub-minChars shared text is below the declared contract
+    val short = Seq((0L, "tiny shared bit plus aaaaaaaa"),
+      (1L, "tiny shared bit plus bbbbbbbb")).toDF("doc_id", "text")
+    assert(Dedup.duplicateRegionsBytes(short, minChars = 50)
+      .count() == 0L)
+    // ...and lowering minChars exposes it with exact char offsets
+    val lower = Dedup.duplicateRegionsBytes(short, minChars = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // shared prefix "tiny shared bit plus " is 21 chars: [0, 20]
+    assert(lower.toSeq == Seq((0L, 0L, 20L), (1L, 0L, 20L)))
+    // docs shorter than minChars emit no windows and never crash
+    val tiny = Seq((0L, "x"), (1L, "x")).toDF("doc_id", "text")
+    assert(Dedup.duplicateRegionsBytes(tiny).count() == 0L)
+  }
+
   test("cutRepeatedSpans: region tokens cut, survivors re-joined in " +
       "order; pure boilerplate comes back empty, clean docs intact") {
     val out = Dedup.cutRepeatedSpans(exactSubstrDocs, n = 3)

@@ -619,6 +619,63 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontamStream: stateless Bloom-gated leak evidence rows are " +
+      "bit-equal to the batch exact join, no watermark needed") {
+    import graft.operators.TextAnalysis
+    val testDocs = Seq((100L, "a b c"), (101L, "x y z"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "2024-01-01 00:10:00", "a b c d"),   // a-b, b-c leak
+      (2L, "2024-01-01 00:20:00", "q r s"),     // clean: never emits
+      (3L, "2024-01-02 01:10:00", "a b q"),     // a-b, day 2
+      (4L, "2024-01-02 01:20:00", "x y w"))     // x-y from the alien
+    def toDf(rs: Seq[(Long, String, String)]) =
+      rs.toDF("doc_id", "ts", "text")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    // batch twin: the exact gram join with the same day-floor stamp
+    val testG = testDocs.select(col("doc_id").as("test_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("text"), 2)))
+          .as("g")).distinct()
+    val batch = toDf(rows)
+      .select(date_format(date_trunc("day", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("slice_start"),
+        col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("text"), 2)))
+          .as("g"))
+      .join(testG, "g")
+      .select("slice_start", "doc_id", "g", "test_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_dec_eq")
+    val in = dir.toString + "/in"
+    toDf(rows).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = ProfileStream.decontamStream(stream, "ts", testDocs,
+      n = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dec_eq").start()
+    try {
+      // one processAllAvailable, NO closer row: statelessness means
+      // rows emit in the batch that saw them, nothing waits on a
+      // watermark — the property that makes this the instant alarm
+      q.processAllAvailable()
+      val streamed = spark.table("dec_eq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(3),
+          r.getLong(2))).toSet
+      assert(streamed == batch)
+      // hand truth: doc1 leaks both bigrams of test 100 on day 1;
+      // doc3 leaks a-b, doc4 leaks x-y (the alien) on day 2; doc2 =
+      // clean and absent
+      assert(batch == Set(
+        ("2024-01-01 00:00:00", 1L, "a b", 100L),
+        ("2024-01-01 00:00:00", 1L, "b c", 100L),
+        ("2024-01-02 00:00:00", 3L, "a b", 100L),
+        ("2024-01-02 00:00:00", 4L, "x y", 101L)))
+    } finally q.stop()
+  }
+
   test("dsirScoreStream: streamed row-local scores are bit-equal to " +
       "the batch join-path dsirAffinity on the same documents") {
     val target = Seq((100L, "a b c d"), (101L, "a b x y"))
