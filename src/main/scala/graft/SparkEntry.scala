@@ -1208,6 +1208,37 @@ object SparkEntry {
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20), k = 5,
         nprobe = 1)
     }),
+    // IVF-PQ with TRAINED residual codebooks (Jégou §IV: the product
+    // quantizer is trained on residual distributions, not sampled
+    // from them) — integer-micro residuals keep the Lloyd rounds and
+    // ADC sums exactly replayable
+    "ann_ivfpq_residual" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.ivfPqTopKTrained(e, e.filter(col("vec_id") < 20),
+        k = 5)
+    }),
+    // the A/B the residual training buys: recall@5 against the exact
+    // cosine baseline for sampled-codebook vs Lloyd-trained IVF-PQ at
+    // EQUAL code bytes (same nlist/nprobe/m/codebookSize)
+    "ann_ivfpq_recall" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def hitsOf(name: String, df: DataFrame) =
+        df.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("variant"), col("hits"))
+      val tot = exact.agg(count(lit(1)).as("total"))
+      hitsOf("ivfpq_sampled", Similarity.ivfPqTopK(e, q, k = 5))
+        .unionByName(hitsOf("ivfpq_residual_trained",
+          Similarity.ivfPqTopKTrained(e, q, k = 5)))
+        .crossJoin(broadcast(tot))
+        .select(col("variant"), col("hits"), col("total"),
+          expr("hits * 1000000 DIV total").as("recall_ppm"))
+        .orderBy("variant")
+    }),
     // IVF ANN: deterministically-sampled centroids make the whole
     // index + probe pipeline oracle-replayable (unlike trained k-means)
     "ann_ivf_topk" -> ((s, d) => {
@@ -2462,22 +2493,22 @@ object SparkEntry {
                FROM sc)"""
   }
 
-  /** Full IVF-PQ replay — coarse routing (cosine argmax over the
-    * 8-sample), residuals as element-wise double subtraction, the
-    * 16-sample residual codebook, per-(vector, subspace) ppm code
-    * assignment, nprobe=2 probing and the per-list ADC sums —
-    * mirroring `Similarity.ivfPqTopK(nlist = 8, nprobe = 2, m = 4,
-    * codebookSize = 16, dim = 64)` bit-for-bit.
-    */
-  private def ivfPqOracle(nprobe: Int): String = {
+  /** Full sampled-codebook IVF-PQ replay chain — coarse routing
+    * (cosine argmax over the 8-sample), residuals as element-wise
+    * double subtraction, the 16-sample residual codebook,
+    * per-(vector, subspace) ppm code assignment, nprobe probing and
+    * the per-list ADC sums — mirroring `Similarity.ivfPqTopK(nlist =
+    * 8, m = 4, codebookSize = 16, dim = 64)` bit-for-bit. Ends in
+    * `sc(query_id, neighbor_id, approx_d2_ppm)`; shared by
+    * [[ivfPqOracle]] and the `ann_ivfpq_recall` A/B. */
+  private def ivfPqSampledCtes(nprobe: Int): String = {
     def rdot(a: String, b: String) =
       s"list_sum(list_transform(range(1, 17), i -> " +
         s"$a[j.j*16+i] * $b[j.j*16+i]))"
     val resid =
       "list_transform(range(1, 65), i -> " +
         "CAST(v[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))"
-    s"""
-      WITH coarse AS (
+    s"""coarse AS (
         SELECT ROW_NUMBER() OVER (
                  ORDER BY md5(CAST(cid0 AS VARCHAR)) ASC, cid0 ASC)
                  AS ccid, cvec
@@ -2535,7 +2566,11 @@ object SparkEntry {
                     CAST(SUM(qt.d2) AS BIGINT) AS approx_d2_ppm
              FROM qtab qt JOIN codes c
                ON c.ccid = qt.ccid AND c.j = qt.j AND c.code = qt.pqid
-             WHERE c.id <> qt.query_id GROUP BY 1, 2)
+             WHERE c.id <> qt.query_id GROUP BY 1, 2)"""
+  }
+
+  private def ivfPqOracle(nprobe: Int): String = s"""
+      WITH ${ivfPqSampledCtes(nprobe)}
       SELECT query_id, neighbor_id, approx_d2_ppm,
              CAST("rank" AS BIGINT) AS "rank"
       FROM (SELECT query_id, neighbor_id, approx_d2_ppm,
@@ -2543,6 +2578,107 @@ object SparkEntry {
                 ORDER BY approx_d2_ppm ASC, neighbor_id ASC) AS "rank"
             FROM sc)
       WHERE "rank" <= 5 ORDER BY query_id, "rank" ASC"""
+
+  /** Trained-RESIDUAL IVF-PQ replay (mirrors
+    * `Similarity.ivfPqTopKTrained(nlist=8, nprobe=2, m=4,
+    * codebookSize=16, iters=2, dim=64)` bit-for-bit): coarse routing
+    * as in [[ivfPqSampledCtes]], residuals as EXACT integer-micro
+    * element differences, then the [[pqTrainedCtes]] per-subspace
+    * Lloyd machinery (seed slices of the md5-ordered 16, one grouped
+    * half-up-mean update round) over the residuals, per-list ADC with
+    * the query's residual against each PROBED list's centroid. Ends
+    * in `rtop(query_id, neighbor_id, approx_d2_micro2, rnk)`.
+    * `r`-prefixed names so the sampled chain can coexist in one
+    * query (the recall A/B).
+    */
+  private val ivfPqResidualCtes: String = {
+    val m = 4; val sub = 16; val cb = 16
+    def d2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, ${sub + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    def microDiff(a: String, b: String) =
+      s"list_transform(range(1, 65), i -> " +
+        s"CAST(floor(CAST($a[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) - " +
+        s"CAST(floor(CAST($b[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
+    val perJ = (0 until m).map { j =>
+      val off = j * sub
+      s"""rr$j AS MATERIALIZED (SELECT id, ccid,
+             list_slice(ru, ${off + 1}, ${off + sub}) AS su
+           FROM rrouted),
+      rc0_$j AS (SELECT rsd.cid, rr$j.su AS c
+                 FROM rsd JOIN rr$j ON rr$j.id = rsd.sid),
+      rd1_$j AS (SELECT a.id, b.cid, ${d2("a.su", "b.c")} AS d
+                 FROM rr$j a CROSS JOIN rc0_$j b),
+      ra1_$j AS (SELECT id, cid, d FROM rd1_$j
+        QUALIFY row_number() OVER (PARTITION BY id
+          ORDER BY d, cid) = 1),
+      re1_$j AS (SELECT ra1_$j.cid, rr$j.su,
+                   unnest(range(1, ${sub + 1})) AS pos
+                 FROM ra1_$j JOIN rr$j USING (id)),
+      rs1_$j AS (SELECT cid, pos, COUNT(*) AS n, SUM(su[pos]) AS s
+                 FROM re1_$j GROUP BY 1, 2),
+      rc1_$j AS MATERIALIZED (SELECT cid,
+                   list(CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT)
+                     ORDER BY pos) AS c
+                 FROM rs1_$j GROUP BY 1),
+      rcd_$j AS (SELECT a.id, a.ccid, b.cid, ${d2("a.su", "b.c")} AS d
+                 FROM rr$j a CROSS JOIN rc1_$j b),
+      rqd_$j AS (SELECT p.query_id, p.ccid, b.cid,
+                   ${d2(s"list_slice(p.qru, ${off + 1}, ${off + sub})",
+                     "b.c")} AS d
+                 FROM rprobes p CROSS JOIN rc1_$j b)"""
+    }.mkString(",\n      ")
+    val codeBranches = (0 until m).map(j =>
+      s"""SELECT id, ccid, $j AS j, cid, row_number() OVER (
+            PARTITION BY id ORDER BY d, cid) AS rn FROM rcd_$j""")
+      .mkString(" UNION ALL ")
+    val qtabBranches = (0 until m).map(j =>
+      s"SELECT query_id, ccid, $j AS j, cid, d FROM rqd_$j")
+      .mkString(" UNION ALL ")
+    s"""rcoarse AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(cid0 AS VARCHAR)) ASC, cid0 ASC)
+                 AS ccid, cvec
+        FROM (SELECT vec_id AS cid0, embedding AS cvec FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+              LIMIT 8)),
+      rrouted AS MATERIALIZED (
+        SELECT id, ccid, ${microDiff("v", "cvec")} AS ru FROM (
+          SELECT e.vec_id AS id, e.embedding AS v, rcoarse.ccid,
+                 rcoarse.cvec,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql.format("e.embedding",
+                     "rcoarse.cvec")} DESC, rcoarse.ccid ASC) AS crn
+          FROM embeddings e CROSS JOIN rcoarse)
+        WHERE crn = 1),
+      rsd AS (SELECT sid,
+                ROW_NUMBER() OVER (ORDER BY h, sid) - 1 AS cid
+              FROM (SELECT id AS sid,
+                      md5('kmeans:' || CAST(id AS VARCHAR)) AS h
+                    FROM rrouted ORDER BY h, sid LIMIT $cb)),
+      rprobes AS MATERIALIZED (
+        SELECT query_id, ccid, ${microDiff("v", "cvec")} AS qru FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS v, rcoarse.ccid,
+                 rcoarse.cvec,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql.format("q.embedding",
+                     "rcoarse.cvec")} DESC, rcoarse.ccid ASC) AS crn
+          FROM embeddings q CROSS JOIN rcoarse WHERE q.vec_id < 20)
+        WHERE crn <= 2),
+      $perJ,
+      rcodes AS (SELECT id, ccid, j, cid AS code
+                 FROM ($codeBranches) WHERE rn = 1),
+      rqtab AS ($qtabBranches),
+      rsc AS (SELECT qt.query_id, c.id AS neighbor_id,
+                CAST(SUM(qt.d) AS BIGINT) AS approx_d2_micro2
+              FROM rqtab qt JOIN rcodes c
+                ON c.ccid = qt.ccid AND c.j = qt.j AND c.code = qt.cid
+              WHERE c.id <> qt.query_id GROUP BY 1, 2),
+      rtop AS (SELECT query_id, neighbor_id, approx_d2_micro2,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_d2_micro2 ASC, neighbor_id ASC)
+                   AS rnk
+               FROM rsc)"""
   }
 
   /** [[minhashCte]] extended through banding, candidate join and
@@ -4752,6 +4888,45 @@ object SparkEntry {
       FROM hs, tot ORDER BY variant"""),
     "ann_ivfpq_topk" -> ivfPqOracle(nprobe = 2),
     "ann_ivfpq_probe1" -> ivfPqOracle(nprobe = 1),
+    "ann_ivfpq_residual" -> (s"""
+      WITH $ivfPqResidualCtes
+      SELECT query_id, neighbor_id, approx_d2_micro2,
+             CAST(rnk AS BIGINT) AS "rank"
+      FROM rtop WHERE rnk <= 5 ORDER BY query_id, rnk ASC"""),
+    // both IVF-PQ chains in one query (disjoint CTE namespaces) + the
+    // exact cosine baseline: the measured recall gain residual
+    // TRAINING buys at equal code bytes
+    "ann_ivfpq_recall" -> (s"""
+      WITH ${ivfPqSampledCtes(nprobe = 2)},
+      stop AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_d2_ppm ASC, neighbor_id ASC)
+                   AS rnk
+               FROM sc),
+      $ivfPqResidualCtes,
+      ex AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY ${cosSql.format("q.embedding",
+                          "e.embedding")} DESC,
+                          e.vec_id ASC) AS rnk
+               FROM embeddings q, embeddings e
+               WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
+             WHERE rnk <= 5),
+      hs AS (
+        SELECT 'ivfpq_residual_trained' AS variant, COUNT(*) AS hits
+        FROM (SELECT query_id, neighbor_id FROM rtop
+              WHERE rnk <= 5) t
+        JOIN ex USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 'ivfpq_sampled', COUNT(*)
+        FROM (SELECT query_id, neighbor_id FROM stop
+              WHERE rnk <= 5) t
+        JOIN ex USING (query_id, neighbor_id)),
+      tot AS (SELECT COUNT(*) AS total FROM ex)
+      SELECT variant, hits, total,
+             hits * 1000000 // total AS recall_ppm
+      FROM hs, tot ORDER BY variant"""),
     "ann_sq8_topk" -> (s"""
       WITH $sq8Ctes
       SELECT query_id, neighbor_id, approx_d2_micro2,

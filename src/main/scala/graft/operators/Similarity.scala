@@ -718,35 +718,31 @@ object Similarity {
     * the sampled variant's window plan), and candidates score as
     * broadcast ADC sums without touching stored vectors.
     */
-  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-                    m: Int = 4, codebookSize: Int = 16, iters: Int = 2,
-                    dim: Int = 64, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    require(dim % m == 0, s"dim $dim must split into $m subspaces")
-    val sub = dim / m
-    val microU = transform(col(vecCol),
-      v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
-    val microAll = corpus.select(col(idCol).as("vec_id"), microU.as("u"))
-    // per-subspace trained codebooks: k·sub longs each, driver-side —
-    // bounded algorithm state that becomes broadcast literals below.
-    // ALL m subspaces train in ONE pipeline (originally m independent
-    // kmeansFitMicro calls — 4× the Spark jobs for bit-identical
-    // books, ~4× the fixed per-job latency): the md5 seed order
-    // depends only on vec_id, so every subspace's seeds are SLICES of
-    // the same top-k rows (one TakeOrdered job, window-free), and one
-    // grouped (j, code, pos) aggregation per Lloyd round updates all
-    // m codebooks at once.
+  /** The fused per-subspace Lloyd trainer behind [[pqTopKTrained]]
+    * and [[ivfPqTopKTrained]]: over an already-microized `(vec_id, u)`
+    * frame (u of length m·sub — raw vectors for plain PQ, residuals
+    * for IVF-PQ), train one codebook per subspace. Seeds are the
+    * md5-ordered top-`codebookSize` rows' slices (one TakeOrdered
+    * job — every subspace's seeds are slices of the SAME rows), then
+    * `iters − 1` rounds of one grouped (j, code, pos) aggregation
+    * updating all m books at once (exact integer-micro half-up
+    * means, kmeansFitMicro's arithmetic verbatim). Empty input →
+    * empty array (callers short-circuit). Driver state is m·k·sub
+    * longs — bounded algorithm state that becomes broadcast literals
+    * in the callers' encode/ADC stages.
+    */
+  private[graft] def trainSubspaceBooks(microAll: DataFrame, m: Int, sub: Int,
+                                 codebookSize: Int, iters: Int)
+      : Array[Array[(Int, Array[Long])]] = {
     val micro = microAll.persist(StorageLevel.MEMORY_AND_DISK)
     val seedRows = micro
       .orderBy(md5(concat(lit("kmeans:"), col("vec_id").cast("string"))),
         col("vec_id"))
       .limit(codebookSize)
       .collect()
-    if (seedRows.isEmpty) {   // empty corpus: nothing to encode
+    if (seedRows.isEmpty) {
       micro.unpersist(blocking = false)
-      return queries.select(col(idCol).as("query_id"),
-        col(idCol).as("neighbor_id"), lit(0L).as("approx_d2_micro2"),
-        lit(0L).as("rank")).limit(0)
+      return Array.empty
     }
     var books: Array[Array[(Int, Array[Long])]] =
       (0 until m).toArray.map { j =>
@@ -789,6 +785,33 @@ object Similarity {
       }
     }
     micro.unpersist(blocking = false)
+    books
+  }
+
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                    m: Int = 4, codebookSize: Int = 16, iters: Int = 2,
+                    dim: Int = 64, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val microU = transform(col(vecCol),
+      v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
+    val microAll = corpus.select(col(idCol).as("vec_id"), microU.as("u"))
+    // per-subspace trained codebooks: k·sub longs each, driver-side —
+    // bounded algorithm state that becomes broadcast literals below.
+    // ALL m subspaces train in ONE pipeline (originally m independent
+    // kmeansFitMicro calls — 4× the Spark jobs for bit-identical
+    // books, ~4× the fixed per-job latency): the md5 seed order
+    // depends only on vec_id, so every subspace's seeds are SLICES of
+    // the same top-k rows (one TakeOrdered job, window-free), and one
+    // grouped (j, code, pos) aggregation per Lloyd round updates all
+    // m codebooks at once.
+    val books = trainSubspaceBooks(microAll, m, sub, codebookSize, iters)
+    if (books.isEmpty) {   // empty corpus: nothing to encode
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0L).as("approx_d2_micro2"),
+        lit(0L).as("rank")).limit(0)
+    }
     // encode: per (vector, subspace) the argmin (d², cid) over the
     // literal codebook — row-local, whole-stage-codegen'd, no shuffle
     // until the ADC join
@@ -928,6 +951,114 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("approx_d2_ppm"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ with TRAINED residual codebooks — the upgrade
+    * [[ivfPqTopK]]'s scaladoc contracts for ("[[kmeansFit]] per
+    * subspace is the trained upgrade"; Jégou et al. 2011 §IV trains
+    * the product quantizer on residual distributions): coarse routing
+    * is unchanged, but the residual r = micro(v) − micro(c) — EXACT
+    * element-wise integer subtraction at 1e-6 resolution, so the
+    * whole pipeline stays integer-reproducible — feeds the SAME fused
+    * per-subspace Lloyd trainer as [[pqTopKTrained]]
+    * ([[trainSubspaceBooks]]). Residuals concentrate near zero, so
+    * Lloyd centroids cover their actual distribution where the
+    * sampled codebook spends entries on outliers — the recall gain at
+    * EQUAL code bytes is measured by the declared `ann_ivfpq_recall`
+    * A/B row.
+    *
+    * Scoring: per probed list, the query's residual against THAT
+    * list's centroid builds the m × codebookSize ADC table; candidate
+    * distance = Σ_j d²(query-residual slice, codebook[code_j]) in
+    * integer micro² (`approx_d2_micro2`, [[pqTopKTrained]]'s exact
+    * unit — no float ppm rounding anywhere).
+    *
+    * Scale shape: identical to [[ivfPqTopK]] — codebooks broadcast
+    * (m·k·sub longs), two corpus scans (route, encode) plus the
+    * trainer's `iters` scans, and the index it leaves is nlist
+    * partitions of m-byte codes.
+    */
+  def ivfPqTopKTrained(corpus: DataFrame, queries: DataFrame,
+                       k: Int = 5, nlist: Int = 8, nprobe: Int = 2,
+                       m: Int = 4, codebookSize: Int = 16,
+                       iters: Int = 2, dim: Int = 64,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val coarse = broadcast(ivfCentroids(corpus, nlist, idCol, vecCol))
+    def microV(c: Column): Column = transform(c,
+      v => floor(v.cast("double") * 1e6 + 0.5).cast(LongType))
+    // integer-micro residual vs a centroid vector column
+    def residualU(v: Column, c: Column): Column =
+      zip_with(microV(v), microV(c), (x, y) => x - y)
+    // coarse routing: nearest centroid by cosine, cid tie-break
+    val aw = Window.partitionBy("id")
+      .orderBy(col("cscore").desc, col("ccid").asc)
+    val routed = graft.util.Utils.spread(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .join(coarse.select(col("cid").as("ccid"), col("cvec")))
+      .withColumn("cscore", cosine(col("_v"), col("cvec")))
+      .withColumn("crn", row_number().over(aw))
+      .filter(col("crn") === 1)
+      .select(col("id"), col("ccid"),
+        residualU(col("_v"), col("cvec")).as("ru"))
+    val books = trainSubspaceBooks(
+      routed.select(col("id").as("vec_id"), col("ru").as("u")),
+      m, sub, codebookSize, iters)
+    if (books.isEmpty) {   // empty corpus: nothing to encode
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0L).as("approx_d2_micro2"),
+        lit(0L).as("rank")).limit(0)
+    }
+    // encode: per (vector, subspace) the argmin (d², cid) over the
+    // literal trained books — row-local, no shuffle past routing
+    def subCode(u: Column, j: Int): Column = {
+      val s = slice(u, j * sub + 1, sub)
+      array_min(array(books(j).map { case (cid, c) =>
+        struct(sqDistTo(s, c).as("d"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    }
+    val codes = routed
+      .select(col("id"), col("ccid"), posexplode(array(
+        (0 until m).map(j => subCode(col("ru"), j)): _*))
+        .as(Seq("j", "code")))
+    // queries: nprobe nearest lists; per probed list the query's
+    // residual builds the ADC table against the trained books
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("ccid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_q"))
+      .join(coarse.select(col("cid").as("ccid"), col("cvec")))
+      .withColumn("cscore", cosine(col("_q"), col("cvec")))
+      .withColumn("crn", row_number().over(qw))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("ccid"),
+        residualU(col("_q"), col("cvec")).as("qru"))
+    val qtab = probes
+      .select(col("query_id"), col("ccid"),
+        explode(array((0 until m).flatMap { j =>
+          val s = slice(col("qru"), j * sub + 1, sub)
+          books(j).map { case (cid, c) =>
+            struct(lit(j).as("j"), lit(cid).as("cid"),
+              sqDistTo(s, c).as("d2"))
+          }
+        }: _*)).as("e"))
+      .select(col("query_id"), col("ccid"), col("e.j").as("j"),
+        col("e.cid").as("cid"), col("e.d2").as("d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_d2_micro2").asc, col("neighbor_id").asc)
+    codes.join(broadcast(qtab),
+        codes("ccid") === qtab("ccid") && codes("j") === qtab("j") &&
+          codes("code") === qtab("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("approx_d2_micro2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("approx_d2_micro2"), col("rank"))
       .orderBy("query_id", "rank")
   }
 

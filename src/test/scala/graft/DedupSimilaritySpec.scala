@@ -867,4 +867,66 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r.getLong(0) == 5L && r.getLong(1) == 9L &&
       r.getLong(2) == 9L && r.getLong(3) == 1L && r.getBoolean(4))
   }
+
+  test("ivfPqTopKTrained: Lloyd-trained residual codebooks cut " +
+      "quantization distortion vs the sampled codebook at equal " +
+      "bytes; the declared top-k is deterministic") {
+    val m = 4; val sub = 16; val cb = 16
+    val e = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    // routing shared by BOTH variants (ivfPqTopK's rule): nearest of
+    // the 8 md5-sampled coarse centroids by cosine, integer-micro
+    // residual
+    val coarse = broadcast(Similarity.ivfCentroids(e, 8))
+    def microV(c: org.apache.spark.sql.Column) = transform(c,
+      v => floor(v.cast("double") * 1e6 + 0.5).cast("long"))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cscore").desc, col("ccid").asc)
+    val routed = e.select(col("vec_id").as("id"),
+        col("embedding").as("_v"))
+      .join(coarse.select(col("cid").as("ccid"), col("cvec")))
+      .withColumn("cscore", Similarity.cosine(col("_v"), col("cvec")))
+      .withColumn("crn", row_number().over(aw))
+      .filter(col("crn") === 1)
+      .select(col("id"), zip_with(microV(col("_v")),
+        microV(col("cvec")), (x, y) => x - y).as("ru"))
+    val rus = routed.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // sampled codebook: md5(id)-ordered 16 residuals (ivfPqTopK's
+    // sampling rule), sliced per subspace
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val sampledIds = rus.keys.toSeq
+      .sortBy(id => (md5hex(id.toString), id)).take(cb)
+    val sampledBooks = (0 until m).map { j =>
+      sampledIds.zipWithIndex.map { case (id, i) =>
+        (i, rus(id).slice(j * sub, (j + 1) * sub))
+      }
+    }
+    // trained books: the shared fused Lloyd trainer on the residuals
+    val trained = Similarity.trainSubspaceBooks(
+      routed.select(col("id").as("vec_id"), col("ru").as("u")),
+      m, sub, cb, iters = 2)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def distortion(books: Seq[Seq[(Int, Array[Long])]]): Double =
+      rus.values.map { ru =>
+        (0 until m).map { j =>
+          val s = ru.slice(j * sub, (j + 1) * sub)
+          books(j).map { case (_, c) => d2(s, c) }.min
+        }.sum.toDouble
+      }.sum / rus.size
+    val dS = distortion(sampledBooks)
+    val dT = distortion(trained.toSeq.map(_.toSeq))
+    info(f"sampled distortion $dS%.3g vs trained $dT%.3g " +
+      f"(${dS / dT}%.2fx)")
+    assert(dT < dS,
+      f"trained distortion $dT%.3g not below sampled $dS%.3g")
+    // the declared query shape is deterministic: two runs bit-equal
+    val q = e.filter(col("vec_id") < 20)
+    val a = Similarity.ivfPqTopKTrained(e, q, k = 5).collect().toSeq
+    val b = Similarity.ivfPqTopKTrained(e, q, k = 5).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

@@ -52,6 +52,11 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_pq_recall" -> "codebook rank over limit(codebookSize) rows",
       "ann_ivfpq_topk" -> "codebook ranks over bounded samples",
       "ann_ivfpq_probe1" -> "codebook ranks over bounded samples",
+      // trained-residual arm: the only global window is the coarse
+      // centroid numbering over the limit(nlist) sample; codebooks
+      // come from the window-free TakeOrdered trainer
+      "ann_ivfpq_residual" -> "centroid rank over limit(nlist) rows",
+      "ann_ivfpq_recall" -> "centroid ranks over limit(nlist) rows",
       "ann_ivfsq8_topk" -> "centroid rank over limit(nlist) rows",
       "ann_ivfsq8_probe1" -> "centroid rank over limit(nlist) rows",
       "ann_index_roundtrip" -> "centroid rank over limit(nlist) rows",
@@ -100,6 +105,12 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_pq_recall" -> "codebook tables, query batch, 1-row total",
       "ann_ivfpq_topk" -> "coarse/pq codebooks are sample-sized",
       "ann_ivfpq_probe1" -> "coarse/pq codebooks are sample-sized",
+      // residual arm: corpus x broadcast nlist-row coarse table +
+      // broadcast ADC table (queries x codebook-sized); the recall
+      // row adds the exact-baseline BNLJ (query batch broadcast) and
+      // the 1-row total crossJoin
+      "ann_ivfpq_residual" -> "coarse table nlist rows, ADC broadcast",
+      "ann_ivfpq_recall" -> "bounded codebooks, query batch, 1-row total",
       "ann_lsh_topk" -> "query batch broadcast",
       // SQ8: corpus scan x broadcast query batch (+ the exact
       // baseline and 1-row recall total in the recall row)
