@@ -519,6 +519,11 @@ object SparkEntry {
     // offsets of the maximal shared ranges
     "dup_regions_bytes" -> ((s, d) =>
       Dedup.duplicateRegionsBytes(Tables.load(s, d, "documents"))),
+    // and its cutting action: the full byte-level ExactSubstr loop
+    // (detect -> cut -> rebuild), survivors concatenated without
+    // separators since char offsets already carry the spacing
+    "cut_repeated_spans_bytes" -> ((s, d) =>
+      Dedup.cutRepeatedSpansBytes(Tables.load(s, d, "documents"))),
     "dup_regions" -> ((s, d) =>
       Dedup.duplicateRegions(Tables.load(s, d, "documents"))),
     // and the ExactSubstr ACTION: documents re-joined with every
@@ -1769,6 +1774,40 @@ object SparkEntry {
     * per-doc gaps-and-islands interval merge. Feeds `dup_regions` and
     * `cut_repeated_spans`; MATERIALIZED where referenced twice.
     */
+  /** Byte-granularity ExactSubstr replay chain (mirrors
+    * `Dedup.duplicateRegionsBytes(minChars = 50)`): stride-1 50-char
+    * windows, two-level duplicated-hash census, per-doc
+    * gaps-and-islands merge over character offsets. Ends in
+    * `breg(doc_id, start_char, end_char, n_windows)`; shared by
+    * `dup_regions_bytes` and `cut_repeated_spans_bytes`.
+    */
+  private val dupRegionBytesCtes = """
+      bw AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              md5(substr(text, CAST(i + 1 AS INT), 50)) AS h
+            FROM (SELECT doc_id, text,
+                    unnest(range(0, greatest(length(text) - 49, 0)))
+                      AS i
+                  FROM documents)),
+      bdh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM bw)
+              GROUP BY h HAVING COUNT(*) >= 2),
+      bdw AS (SELECT doc_id, pos FROM bw JOIN bdh USING (h)),
+      bisl AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL
+                  OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+            FROM (SELECT doc_id, pos,
+                    MAX(pos + 49) OVER (PARTITION BY doc_id
+                      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_end
+                  FROM bdw)),
+      breg AS MATERIALIZED (SELECT doc_id,
+              CAST(MIN(pos) AS BIGINT) AS start_char,
+              CAST(MAX(pos) + 49 AS BIGINT) AS end_char,
+              CAST(COUNT(*) AS BIGINT) AS n_windows
+            FROM (SELECT doc_id, pos,
+                    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS island
+                  FROM bisl)
+            GROUP BY doc_id, island)"""
+
   private val dupRegionCtes = s"""
       rt AS MATERIALIZED (SELECT doc_id, $toksSql AS toks
             FROM documents),
@@ -4394,33 +4433,33 @@ object SparkEntry {
     // 50-char windows (docs shorter than 50 emit none), the same
     // two-level census and gaps-and-islands merge as dup_regions but
     // over character offsets
-    "dup_regions_bytes" -> ("""
-      WITH bw AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-              md5(substr(text, CAST(i + 1 AS INT), 50)) AS h
-            FROM (SELECT doc_id, text,
-                    unnest(range(0, greatest(length(text) - 49, 0)))
-                      AS i
-                  FROM documents)),
-      bdh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM bw)
-              GROUP BY h HAVING COUNT(*) >= 2),
-      bdw AS (SELECT doc_id, pos FROM bw JOIN bdh USING (h)),
-      bisl AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL
-                  OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
-            FROM (SELECT doc_id, pos,
-                    MAX(pos + 49) OVER (PARTITION BY doc_id
-                      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
-                      AND 1 PRECEDING) AS prev_end
-                  FROM bdw))
-      SELECT doc_id,
-             CAST(MIN(pos) AS BIGINT) AS start_char,
-             CAST(MAX(pos) + 49 AS BIGINT) AS end_char,
-             CAST(COUNT(*) AS BIGINT) AS n_windows
-      FROM (SELECT doc_id, pos,
-              SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos)
-                AS island
-            FROM bisl)
-      GROUP BY doc_id, island
-      ORDER BY doc_id, start_char"""),
+    "dup_regions_bytes" -> (s"""
+      WITH $dupRegionBytesCtes
+      SELECT doc_id, start_char, end_char, n_windows
+      FROM breg ORDER BY doc_id, start_char"""),
+    // the byte-granularity cut: every char inside a region dropped,
+    // survivors re-concatenated WITHOUT separators (char offsets
+    // carry the spacing); chars explode once, regions anti-join back
+    "cut_repeated_spans_bytes" -> (s"""
+      WITH $dupRegionBytesCtes,
+      bch AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               substr(text, CAST(i AS INT), 1) AS c
+             FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) + 1)) AS i
+                   FROM documents)),
+      bkept AS (SELECT k.doc_id, k.pos, k.c FROM bch k
+             WHERE NOT EXISTS (SELECT 1 FROM breg r
+                    WHERE r.doc_id = k.doc_id
+                      AND k.pos BETWEEN r.start_char AND r.end_char)),
+      breb AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(c, '' ORDER BY pos) AS clean_text
+             FROM bkept GROUP BY doc_id)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+             CAST(length(d.text) - COALESCE(r.n_kept, 0) AS BIGINT)
+               AS n_cut,
+             COALESCE(r.clean_text, '') AS clean_text
+      FROM documents d LEFT JOIN breb r USING (doc_id)
+      ORDER BY doc_id"""),
     "cut_repeated_spans" -> (s"""
       WITH $dupRegionCtes,
       tk AS (SELECT doc_id, unnest(toks) AS tok,

@@ -1017,6 +1017,55 @@ object Dedup {
       .orderBy("doc_id", "start_char")
   }
 
+  /** The cutting ACTION at byte/character granularity — completes
+    * [[duplicateRegionsBytes]] the way [[cutRepeatedSpans]] completes
+    * [[duplicateRegions]]: every character inside a ≥`minChars`
+    * shared region is cut and the document re-joined from the
+    * surviving characters, (doc_id, n_chars, n_cut, clean_text).
+    * Documents that are pure boilerplate come back empty (caller owns
+    * the row policy); documents without regions pass through with
+    * n_cut = 0. Unlike the token cut, the rebuild concatenates WITHOUT
+    * separators — character offsets already carry the spacing.
+    *
+    * Scale shape: characters explode once (~corpus chars — the same
+    * cost class as the region detection's window explode); the cut is
+    * a doc_id-keyed LEFT ANTI against the per-doc region table
+    * (regions per doc are few; the non-equi pos bound rides the equi
+    * key); the rebuild is one per-doc aggregate whose state is the
+    * document's own surviving characters. No global window, no driver
+    * state.
+    */
+  def cutRepeatedSpansBytes(df: DataFrame, minChars: Int = 50,
+                            minDocs: Int = 2, textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val regions =
+      duplicateRegionsBytes(df, minChars, minDocs, textCol, idCol)
+        .select(col("doc_id").as("r_doc"), col("start_char"),
+          col("end_char"))
+    val chars = df
+      .filter(char_length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "")).as(Seq("pos", "ch")))
+    val kept = chars.join(regions,
+      chars("doc_id") === regions("r_doc") &&
+        col("pos") >= col("start_char") &&
+        col("pos") <= col("end_char"),
+      "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("pos"), col("ch")))),
+          e => e.getField("ch"))).as("clean_text"))
+    df.select(col(idCol).as("doc_id"),
+        char_length(col(textCol)).cast(LongType).as("n_chars"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-substring dedup as a TRANSFORM — the ExactSubstr action
     * itself: every token inside a [[duplicateRegions]] region is cut
     * and the document re-joined from the survivors, returning

@@ -675,6 +675,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.duplicateRegionsBytes(tiny).count() == 0L)
   }
 
+  test("cutRepeatedSpansBytes: region chars cut, survivors " +
+      "re-concatenated without separators; exact-copy docs empty, " +
+      "clean docs intact") {
+    val d = Seq(
+      (0L, "tiny shared bit plus aaaaaaaa"),  // shares 21-char prefix
+      (1L, "tiny shared bit plus bbbbbbbb"),
+      (2L, "zq"))                             // clean, sub-minChars
+    .toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpansBytes(d, minChars = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // region [0,20] cut from both sharers: the 21-char prefix
+    // including its trailing space goes, the tails survive verbatim
+    assert(out.toSeq == Seq(
+      (0L, 29L, 21L, "aaaaaaaa"),
+      (1L, 29L, 21L, "bbbbbbbb"),
+      (2L, 2L, 0L, "zq")))
+    // exact duplicate docs are 100% region -> cut to empty
+    val dup = Seq((0L, "exactly the same fifty characters of text " +
+        "right here!"), (1L, "exactly the same fifty characters of " +
+        "text right here!")).toDF("doc_id", "text")
+    val cut = Dedup.cutRepeatedSpansBytes(dup, minChars = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(cut.forall { case (_, nCut, clean) =>
+      nCut > 0 && clean.isEmpty })
+  }
+
   test("cutRepeatedSpans: region tokens cut, survivors re-joined in " +
       "order; pure boilerplate comes back empty, clean docs intact") {
     val out = Dedup.cutRepeatedSpans(exactSubstrDocs, n = 3)
