@@ -524,6 +524,12 @@ object SparkEntry {
     // separators since char offsets already carry the spacing
     "cut_repeated_spans_bytes" -> ((s, d) =>
       Dedup.cutRepeatedSpansBytes(Tables.load(s, d, "documents"))),
+    // the production-rate path: O(1)-per-char polynomial rolling
+    // hash instead of O(minChars)-per-position md5 over materialized
+    // substrings; same census/island plan, oracle replays the
+    // polynomial state closed-form (HUGEINT power table)
+    "dup_regions_rolling" -> ((s, d) =>
+      Dedup.duplicateRegionsRolling(Tables.load(s, d, "documents"))),
     "dup_regions" -> ((s, d) =>
       Dedup.duplicateRegions(Tables.load(s, d, "documents"))),
     // and the ExactSubstr ACTION: documents re-joined with every
@@ -4437,6 +4443,58 @@ object SparkEntry {
       WITH $dupRegionBytesCtes
       SELECT doc_id, start_char, end_char, n_windows
       FROM breg ORDER BY doc_id, start_char"""),
+    // polynomial rolling-hash replay: h(pos) = Σ_t cp(pos+t)·M^(49−t)
+    // mod 2^64, M = md5-derived odd 60-bit constant, recomputed as a
+    // closed-form windowed sum over a recursive HUGEINT power table
+    // (the cdc_chunks_gear precedent) — then the same census/island
+    // tail as the md5 variant
+    "dup_regions_rolling" -> ("""
+      WITH RECURSIVE
+      rpw(k, p) AS (
+        SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL
+        SELECT k + 1, (p * CAST(CAST('0x' ||
+            substr(md5('graft-roll'), 1, 15) AS BIGINT) | 1
+            AS HUGEINT)) % (CAST(1 AS HUGEINT) << 64)
+        FROM rpw WHERE k < 49),
+      rch AS MATERIALIZED (SELECT doc_id, i,
+              CAST(unicode(substr(text, CAST(i AS INT), 1))
+                AS HUGEINT) AS c
+            FROM (SELECT doc_id, text,
+                    unnest(range(1, length(text) + 1)) AS i
+                  FROM documents)),
+      rst AS (SELECT doc_id, unnest(range(1, ln - 48)) AS i0
+            FROM (SELECT doc_id, length(text) AS ln FROM documents
+                  WHERE length(text) >= 50)),
+      rwin AS MATERIALIZED (
+        SELECT s.doc_id, CAST(s.i0 - 1 AS BIGINT) AS pos,
+          SUM((b.c * pw.p) % (CAST(1 AS HUGEINT) << 64))
+            % (CAST(1 AS HUGEINT) << 64) AS h
+        FROM rst s
+        JOIN rch b ON b.doc_id = s.doc_id
+          AND b.i BETWEEN s.i0 AND s.i0 + 49
+        JOIN rpw pw ON pw.k = 49 - (b.i - s.i0)
+        GROUP BY 1, 2),
+      r2dh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM rwin)
+              GROUP BY h HAVING COUNT(*) >= 2),
+      r2dw AS (SELECT doc_id, pos FROM rwin JOIN r2dh USING (h)),
+      r2isl AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL
+                  OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+            FROM (SELECT doc_id, pos,
+                    MAX(pos + 49) OVER (PARTITION BY doc_id
+                      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_end
+                  FROM r2dw))
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS start_char,
+             CAST(MAX(pos) + 49 AS BIGINT) AS end_char,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM (SELECT doc_id, pos,
+              SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos)
+                AS island
+            FROM r2isl)
+      GROUP BY doc_id, island
+      ORDER BY doc_id, start_char"""),
     // the byte-granularity cut: every char inside a region dropped,
     // survivors re-concatenated WITHOUT separators (char offsets
     // carry the spacing); chars explode once, regions anti-join back

@@ -994,6 +994,41 @@ object Dedup {
         posexplode(spans).as(Seq("pos", "span")))
       .select(col("doc_id"), col("pos"),
         md5(col("span")).as("span_hash"))
+    mergeCharRegions(wins, minChars, minDocs)
+  }
+
+  /** [[duplicateRegionsBytes]] on the O(1)-per-character rolling
+    * hash ([[graft.functions.RollingWindowHash]]) instead of an
+    * O(minChars)-per-position md5 over materialized substrings — the
+    * production-rate path the md5 teaching rule contracts for
+    * (exactly the [[graft.functions.GearCdcChunks]]/[[graft.functions.CdcChunks]]
+    * pairing): no substring allocation, one subtract-shift-add per
+    * character, same census/semi-join/island plan behind it, and the
+    * oracle replays the polynomial state as a closed-form windowed
+    * sum (HUGEINT power table). Results are identical to the md5
+    * variant short of a 64-bit collision (equivalence spec-pinned on
+    * the corpus sample); the collision contract is stated on the
+    * expression.
+    */
+  def duplicateRegionsRolling(df: DataFrame, minChars: Int = 50,
+                              minDocs: Int = 2,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    val wins = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.RollingHash
+          .rollingWindowHash(col(textCol), minChars))
+          .as(Seq("pos", "span_hash")))
+    mergeCharRegions(wins, minChars, minDocs)
+  }
+
+  /** Shared tail of the byte-granularity region family: two-level
+    * duplicated-hash census over `wins(doc_id, pos, span_hash)` (the
+    * hash type is opaque — md5 string or rolling-hash long), hash-
+    * keyed semi-join back, per-document gaps-and-islands merge.
+    */
+  private def mergeCharRegions(wins: DataFrame, minChars: Int,
+                               minDocs: Int): DataFrame = {
     val dup = wins.select("doc_id", "span_hash").distinct()
       .groupBy("span_hash").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

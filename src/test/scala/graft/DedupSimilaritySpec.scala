@@ -675,6 +675,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.duplicateRegionsBytes(tiny).count() == 0L)
   }
 
+  test("duplicateRegionsRolling: the O(1)-per-char rolling-hash path " +
+      "returns exactly the md5 variant's regions on the corpus " +
+      "sample; incremental hashes match the closed form") {
+    val docs = spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet")
+    val md5Regs = Dedup.duplicateRegionsBytes(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val rollRegs = Dedup.duplicateRegionsRolling(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(rollRegs == md5Regs && md5Regs.nonEmpty)
+    // the incremental slide equals the direct polynomial evaluation
+    // (the oracle's closed form), wrap-around included
+    val M = graft.functions.RollingHash.M
+    val s = "sliding window polynomial check with unicode: čafé日"
+    val w = 7
+    val got = Seq(Tuple1(s)).toDF("text")
+      .select(graft.functions.RollingHash
+        .rollingWindowHash(col("text"), w))
+      .head.getSeq[Long](0)
+    val cps = s.codePoints().toArray
+    val direct = (0 to cps.length - w).map { p =>
+      (0 until w).foldLeft(0L)((h, t) => h * M + cps(p + t))
+    }
+    assert(got == direct)
+    // shorter-than-width strings yield an empty array, null stays null
+    val edge = Seq(("ab", 1), (null.asInstanceOf[String], 2))
+      .toDF("text", "k")
+      .select(graft.functions.RollingHash
+        .rollingWindowHash(col("text"), w).as("h"), col("k"))
+      .collect().map(r => r.getInt(1) -> Option(r.get(0))).toMap
+    assert(edge(1).exists(_.asInstanceOf[scala.collection.Seq[_]]
+      .isEmpty))
+    assert(edge(2).isEmpty)
+  }
+
   test("cutRepeatedSpansBytes: region chars cut, survivors " +
       "re-concatenated without separators; exact-copy docs empty, " +
       "clean docs intact") {
