@@ -888,6 +888,32 @@ object SparkEntry {
     // BPE tokenizer TRAINING (Sennrich Algorithm 1): learn 25 merges
     // from the corpus census — most-frequent adjacent pair per round,
     // ties lexicographic, LTR non-overlapping fusion, minCount 2
+    // byte-level-alphabet tokenization (Radford bytes_to_unicode,
+    // private-use plane — see functions.ByteAlphabet): raw UTF-8
+    // bytes map to a 256-symbol alphabet BEFORE tokenization, making
+    // the whole chain TOTAL — multi-byte UTF-8, emoji, control bytes
+    // and space runs all roundtrip exactly (the planted suffix
+    // carries all four). Pre-tokenization happens in alphabet space
+    // (the paper pre-tokenizes raw text then maps; mapping first
+    // splits space prefixes into their own run class — stated
+    // difference, and what buys space-run totality).
+    "bpe_bytelevel_roundtrip" -> ((s, d) => {
+      import graft.functions.{ByteAlphabet, ByteBpe}
+      val fx = Tables.load(s, d, "documents")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" café 日本語 " +
+            "😀  x")).as("t0"))
+      fx.select(col("doc_id"), col("t0"),
+          ByteBpe.bpeEncode(ByteAlphabet.byteToUnicode(col("t0")),
+            ByteBpe.fixtureMergesMapped).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          (ByteAlphabet.unicodeToByte(ByteBpe.bpeDecode(col("ids"),
+            ByteBpe.fixtureMergesMapped)) === col("t0"))
+            .as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
     "bpe_train" -> ((s, d) => {
       import s.implicits._
       TextAnalysis.bpeTrain(Tables.load(s, d, "documents"))
@@ -3918,6 +3944,97 @@ object SparkEntry {
              COALESCE(r.rebuilt, '') = d.text AS roundtrip_ok
       FROM rt_doc d LEFT JOIN rt_dec r USING (doc_id)
       ORDER BY d.doc_id"""),
+    // byte-level chain: bytes of the fixture text → alphabet chars
+    // (kept bytes self-map, others take 57344+n in ascending byte
+    // order — the same table ByteAlphabet derives), pre-tokenize the
+    // MAPPED string, run the recursion under the MAPPED merges, map
+    // ids back to symbols, unmap symbols to bytes, compare hex
+    "bpe_bytelevel_roundtrip" -> (s"""
+      WITH RECURSIVE
+      bl_fx AS (SELECT doc_id, text || ' café 日本語 😀  x' AS t0
+            FROM documents WHERE doc_id % 10 = 0),
+      bl_mt AS (SELECT b, CASE WHEN kept THEN b
+                ELSE 57344 + (ROW_NUMBER() OVER (PARTITION BY kept
+                  ORDER BY b) - 1) END AS cp
+            FROM (SELECT b, (b BETWEEN 33 AND 126)
+                    OR (b BETWEEN 161 AND 172)
+                    OR (b BETWEEN 174 AND 255) AS kept
+                  FROM (SELECT unnest(range(0, 256)) AS b))),
+      bl_by AS MATERIALIZED (SELECT doc_id, i,
+              CAST('0x' || substr(hx, CAST((i - 1) * 2 + 1 AS INT),
+                2) AS INT) AS b
+            FROM (SELECT doc_id, hex(encode(t0)) AS hx,
+                    unnest(range(1,
+                      octet_length(encode(t0)) + 1)) AS i
+                  FROM bl_fx)),
+      bl_ms AS MATERIALIZED (SELECT doc_id,
+              string_agg(chr(CAST(mt.cp AS INT)), '' ORDER BY i)
+                AS m0
+            FROM bl_by JOIN bl_mt mt USING (b) GROUP BY doc_id),
+      bl_doc AS (SELECT doc_id, m0, regexp_extract_all(m0,
+            ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+') AS ws
+          FROM bl_ms),
+      bl_pos AS (SELECT doc_id, i, ws[i] AS w
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+                FROM bl_doc)),
+      bl_wi AS MATERIALIZED (SELECT w,
+              regexp_extract_all(w, '(?s).') AS syms
+            FROM (SELECT DISTINCT w FROM bl_pos)),
+      bl_bpe(w, syms) AS (
+        SELECT w, syms FROM bl_wi
+        UNION ALL
+        SELECT w, syms[1:pos-1] || [syms[pos] || syms[pos+1]]
+                  || syms[pos+2:]
+        FROM (
+          SELECT w, syms, list_position(ranks, list_min(ranks)) AS pos
+          FROM (SELECT w, syms,
+                  list_transform(range(1, len(syms)),
+                    i -> nullif(list_position(mk,
+                      syms[i] || chr(1) || syms[i+1]), 0)) AS ranks
+                FROM bl_bpe,
+                  (SELECT ${graft.functions.ByteBpe.mergesSqlListMapped}
+                     AS mk) mt2)
+        ) WHERE pos IS NOT NULL AND pos > 0),
+      bl_fin AS MATERIALIZED (SELECT w, arg_min(syms, len(syms))
+            AS syms
+          FROM bl_bpe GROUP BY w),
+      bl_tok AS MATERIALIZED (SELECT doc_id, i, j,
+          CAST(CASE WHEN length(syms[j]) = 1 THEN unicode(syms[j])
+               ELSE 255 + list_position(
+                 ${graft.functions.ByteBpe.productsSqlListMapped},
+                 syms[j])
+               END AS INT) AS token_id
+          FROM (SELECT doc_id, i, syms,
+                  unnest(range(1, len(syms) + 1)) AS j
+                FROM bl_pos JOIN bl_fin USING (w))),
+      bl_dec AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_tokens,
+            string_agg(CASE WHEN token_id >= 256
+                AND token_id <= 255 + len(
+                  ${graft.functions.ByteBpe.productsSqlListMapped})
+              THEN (${graft.functions.ByteBpe.productsSqlListMapped})
+                [token_id - 255]
+              ELSE chr(token_id) END, '' ORDER BY i, j) AS rebuilt
+          FROM bl_tok GROUP BY doc_id),
+      bl_ub AS (SELECT doc_id,
+            string_agg(lpad(hex(mt.b), 2, '0'), '' ORDER BY k)
+              AS rhex
+          FROM (SELECT doc_id,
+                  unnest(range(1, length(rebuilt) + 1)) AS k,
+                  rebuilt
+                FROM bl_dec) r
+          JOIN bl_mt mt
+            ON mt.cp = unicode(substr(r.rebuilt, CAST(k AS INT), 1))
+          GROUP BY doc_id)
+      SELECT f.doc_id,
+             CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+             (COALESCE(d.rebuilt, '') = m.m0
+              AND COALESCE(u.rhex, '') = hex(encode(f.t0)))
+               AS roundtrip_ok
+      FROM bl_fx f
+      JOIN bl_ms m USING (doc_id)
+      LEFT JOIN bl_dec d USING (doc_id)
+      LEFT JOIN bl_ub u USING (doc_id)
+      ORDER BY f.doc_id"""),
     "bpe_train" -> (s"""
       WITH RECURSIVE $bpeTrainCtes
       SELECT DISTINCT CAST(it AS BIGINT) AS rank, a AS l_sym,

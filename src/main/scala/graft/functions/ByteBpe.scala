@@ -366,11 +366,42 @@ object ByteBpe {
     * are `a || chr(1) || b`; U+0027 in symbols would need escaping but
     * the fixture has none (asserted).
     */
-  def mergesSqlList: String = {
-    require(fixtureMerges.forall { case (a, b) =>
+  def mergesSqlList: String = mergesSqlListOf(fixtureMerges)
+
+  private def sqlSafe(ms: Seq[(String, String)]): Unit =
+    require(ms.forall { case (a, b) =>
       !(a + b).exists(c => c == '\'' || c == '\u0001')
-    }, "fixture merges must be SQL-literal-safe")
-    fixtureMerges.map { case (a, b) => s"'$a'||chr(1)||'$b'" }
+    }, "merges must be SQL-literal-safe")
+
+  /** [[mergesSqlList]] for an arbitrary merges table (the
+    * byte-alphabet-mapped fixture uses this).
+    */
+  def mergesSqlListOf(ms: Seq[(String, String)]): String = {
+    sqlSafe(ms)
+    ms.map { case (a, b) => s"'$a'||chr(1)||'$b'" }
+      .mkString("[", ", ", "]")
+  }
+
+  /** The fixture merges with every symbol passed through the
+    * byte-to-unicode alphabet ([[ByteAlphabet.mapString]]) — the
+    * merges table that drives BPE over MAPPED text: ASCII letters and
+    * punctuation keep their identity, the space prefix of the
+    * Ġ-style merges becomes its U+E020 alphabet char, so the same
+    * linguistic merges fire on the alphabet image. Single source of
+    * truth for the engine and (via [[mergesSqlListMapped]] /
+    * [[productsSqlListMapped]]) the oracle.
+    */
+  lazy val fixtureMergesMapped: Seq[(String, String)] =
+    fixtureMerges.map { case (a, b) =>
+      (ByteAlphabet.mapString(a), ByteAlphabet.mapString(b))
+    }
+
+  def mergesSqlListMapped: String =
+    mergesSqlListOf(fixtureMergesMapped)
+
+  def productsSqlListMapped: String = {
+    sqlSafe(fixtureMergesMapped)
+    fixtureMergesMapped.map { case (a, b) => s"'${a + b}'" }
       .mkString("[", ", ", "]")
   }
 

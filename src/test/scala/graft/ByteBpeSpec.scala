@@ -232,6 +232,41 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(sql.contains("'t'||chr(1)||'h'"))
   }
 
+  test("byte-level alphabet makes the tokenizer TOTAL: every case " +
+      "the raw chain excludes by contract now roundtrips exactly") {
+    import graft.functions.{ByteAlphabet, ByteBpe}
+    def roundtrip(s: String): Boolean =
+      Seq(Tuple1(s)).toDF("text")
+        .select((ByteAlphabet.unicodeToByte(ByteBpe.bpeDecode(
+          ByteBpe.bpeEncode(ByteAlphabet.byteToUnicode(col("text")),
+            ByteBpe.fixtureMergesMapped),
+          ByteBpe.fixtureMergesMapped)) === col("text")).as("ok"))
+        .head.getBoolean(0)
+    // the raw chain's stated exclusions, all total now:
+    for (s <- Seq(
+        "Ā",                 // raw chain's id-collision band char
+        "a  b",              // space runs (raw pre-tokenizer drops)
+        "   ",               // pure spaces
+        "tab\tand\nnewline", // control bytes
+        "\u0000\u0001 x",  // NUL + the chr(1) oracle-key exclusion
+        "café 日本語 😀",      // multi-byte + surrogates
+        "", "x",
+        "the quick brown fox"))
+      assert(roundtrip(s), s"byte-level roundtrip failed: '$s'")
+    // alphabet bijectivity: 256 distinct chars, kept bytes self-map,
+    // non-kept land in the private-use plane (never colliding with
+    // the merge-product id range [256, 256+|merges|))
+    val a = ByteAlphabet.byteToChar
+    assert(a.distinct.length == 256)
+    assert(a('t'.toInt) == 't' && a(0xE9) == 'é')
+    assert(a(' '.toInt) >= 0xE000.toChar)
+    assert(a.forall(c => c.toInt < 256 || c.toInt >= 0xE000))
+    // mapped merges: ASCII symbols keep identity, space prefix maps
+    val mm = ByteBpe.fixtureMergesMapped
+    assert(mm.head == ("t", "h"))
+    assert(mm.exists { case (l, _) => l == a(' '.toInt).toString })
+  }
+
   test("bpeDecode inverts bpeEncode: ASCII, multi-byte UTF-8, " +
       "surrogate pairs; collision band + space runs documented") {
     def roundtrip(s: String): (String, Boolean) = {

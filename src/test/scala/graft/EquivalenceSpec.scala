@@ -661,6 +661,12 @@ class EquivalenceSpec extends AnyFunSuite {
       // rows emit in the batch that saw them, nothing waits on a
       // watermark — the property that makes this the instant alarm
       q.processAllAvailable()
+      // ...and the statelessness claim is pinned at the PLAN level:
+      // the executed micro-batch reports zero stateful operators (no
+      // state store was opened, committed, or checkpointed)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"expected stateless plan, got ${q.lastProgress.stateOperators
+          .mkString(",")}")
       val streamed = spark.table("dec_eq").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getString(3),
           r.getLong(2))).toSet
