@@ -1349,6 +1349,23 @@ object SparkEntry {
           .where(col("doc_id") % 10 === 0)),
         "payload",
         chunker = graft.functions.CdcChunks.fastCdcChunks)),
+    // live content-addressed-ingest monitor: per closed daily window
+    // and distinct gear-chunk hash, copy count + length — the dedup
+    // census a storage planner prices an ingest with; same 1-in-10
+    // subset as cdc_chunks_gear so the oracle's state replay stays
+    // bounded
+    "cdc_dedup_stream" -> ((s, d) => {
+      val ts = Multimodal.testPayload(Tables.load(s, d, "documents")
+          .where(col("doc_id") % 10 === 0))
+        .select(
+          expr("timestampadd(HOUR, CAST(doc_id % 240 AS INT), " +
+            "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+          col("payload"))
+      graft.streaming.ProfileStream
+        .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
+          .cdcDedupStream(st, "ts"))
+        .orderBy("slice_start", "chunk_md5")
+    }),
     // and the content-addressed-store answer over those chunks: how
     // many bytes survive chunk-hash dedup
     "cdc_dedup_report" -> ((s, d) =>
@@ -1918,6 +1935,51 @@ object SparkEntry {
     * hex. Ends in `cdc_out(doc_id, chunk_idx, offset, len,
     * chunk_md5)`.
     */
+  /** Gear-CDC replay chain over the 1-in-10 `cdc_p` subset (see the
+    * cdc_chunks_gear scaladoc history): closed-form windowed-sum
+    * state, boundary on top-4-bits-clear, ends in
+    * `g_out(doc_id, chunk_idx, offset, len, chunk_md5)`. Shared by
+    * `cdc_chunks_gear` and `cdc_dedup_stream`. Consumers open
+    * `WITH $cdcCtes, $gearCdcCtes`.
+    */
+  private lazy val gearCdcCtes: String = """
+      g_h AS MATERIALIZED (SELECT doc_id, hex(payload) AS hx,
+              octet_length(payload) AS n
+            FROM cdc_p WHERE doc_id % 10 = 0),
+      g_by AS MATERIALIZED (SELECT doc_id, i,
+              CAST('0x' || substr(hx, (i - 1) * 2 + 1, 2) AS INT) AS b
+            FROM (SELECT doc_id, hx, n, unnest(range(1, n + 1)) AS i
+                  FROM g_h)),
+      g_gear AS (SELECT b, CAST(CAST('0x' ||
+                substr(md5(CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
+                AS HUGEINT) AS g
+            FROM (SELECT unnest(range(0, 256)) AS b)),
+      g_state AS (SELECT a.doc_id, a.i,
+              SUM((t.g * (CAST(1 AS HUGEINT)
+                  << CAST(a.i - c.i AS INT)))
+                % (CAST(1 AS HUGEINT) << 64))
+                % (CAST(1 AS HUGEINT) << 64) AS h
+            FROM g_by a
+            JOIN g_by c ON c.doc_id = a.doc_id
+              AND c.i BETWEEN a.i - 63 AND a.i
+            JOIN g_gear t ON t.b = c.b
+            GROUP BY 1, 2),
+      g_cut AS (SELECT doc_id, i AS e FROM g_state
+            WHERE h < (CAST(1 AS HUGEINT) << 60)),
+      g_bnd AS (SELECT DISTINCT doc_id, e FROM (
+            SELECT doc_id, e FROM g_cut
+            UNION ALL SELECT doc_id, n FROM g_h)),
+      g_ch AS (SELECT doc_id, e,
+              COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e),
+                0) AS s
+            FROM g_bnd),
+      g_out AS (SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY s) - 1 AS INT) AS chunk_idx,
+              CAST(s AS INT) AS "offset", CAST(e - s AS INT) AS len,
+              md5(substr(hx, s * 2 + 1, (e - s) * 2)) AS chunk_md5
+            FROM g_ch JOIN g_h USING (doc_id) WHERE e > s)"""
+
   private lazy val cdcCtes: String = """
       cdc_p AS (
         SELECT doc_id,
@@ -4795,44 +4857,26 @@ object SparkEntry {
     // the ≤64-term sum (< 2^70) exact before the final mod
     "cdc_chunks_gear" -> (s"""
       WITH $cdcCtes,
-      g_h AS MATERIALIZED (SELECT doc_id, hex(payload) AS hx,
-              octet_length(payload) AS n
-            FROM cdc_p WHERE doc_id % 10 = 0),
-      g_by AS MATERIALIZED (SELECT doc_id, i,
-              CAST('0x' || substr(hx, (i - 1) * 2 + 1, 2) AS INT) AS b
-            FROM (SELECT doc_id, hx, n, unnest(range(1, n + 1)) AS i
-                  FROM g_h)),
-      g_gear AS (SELECT b, CAST(CAST('0x' ||
-                substr(md5(CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
-                AS HUGEINT) AS g
-            FROM (SELECT unnest(range(0, 256)) AS b)),
-      g_state AS (SELECT a.doc_id, a.i,
-              SUM((t.g * (CAST(1 AS HUGEINT)
-                  << CAST(a.i - c.i AS INT)))
-                % (CAST(1 AS HUGEINT) << 64))
-                % (CAST(1 AS HUGEINT) << 64) AS h
-            FROM g_by a
-            JOIN g_by c ON c.doc_id = a.doc_id
-              AND c.i BETWEEN a.i - 63 AND a.i
-            JOIN g_gear t ON t.b = c.b
-            GROUP BY 1, 2),
-      g_cut AS (SELECT doc_id, i AS e FROM g_state
-            WHERE h < (CAST(1 AS HUGEINT) << 60)),
-      g_bnd AS (SELECT DISTINCT doc_id, e FROM (
-            SELECT doc_id, e FROM g_cut
-            UNION ALL SELECT doc_id, n FROM g_h)),
-      g_ch AS (SELECT doc_id, e,
-              COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e),
-                0) AS s
-            FROM g_bnd),
-      g_out AS (SELECT doc_id,
-              CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
-                ORDER BY s) - 1 AS INT) AS chunk_idx,
-              CAST(s AS INT) AS "offset", CAST(e - s AS INT) AS len,
-              md5(substr(hx, s * 2 + 1, (e - s) * 2)) AS chunk_md5
-            FROM g_ch JOIN g_h USING (doc_id) WHERE e > s)
+      $gearCdcCtes
       SELECT doc_id, chunk_idx, "offset", len, chunk_md5
       FROM g_out ORDER BY doc_id, chunk_idx"""),
+    // the live census: the same gear chunk table grouped by the
+    // synthetic daily window and chunk hash (slices merge to the
+    // batch dedup report by addition)
+    "cdc_dedup_stream" -> (s"""
+      WITH $cdcCtes,
+      $gearCdcCtes,
+      gs_sl AS (SELECT doc_id,
+               strftime(CAST(CAST(TIMESTAMP '2024-01-01 00:00:00'
+                 + to_hours(CAST(doc_id % 240 AS BIGINT)) AS DATE)
+                 AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS slice_start
+             FROM cdc_p WHERE doc_id % 10 = 0)
+      SELECT sl.slice_start, g.chunk_md5,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(MIN(g.len) AS BIGINT) AS chunk_len
+      FROM g_out g JOIN gs_sl sl USING (doc_id)
+      GROUP BY sl.slice_start, g.chunk_md5
+      ORDER BY sl.slice_start, g.chunk_md5"""),
     // FastCDC: the same closed-form gear state per position, then a
     // RECURSIVE walk over chunk starts — next start = least of (min
     // strict-mask hit 8..15 bytes in, min loose-mask hit 16..63

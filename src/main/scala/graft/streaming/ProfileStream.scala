@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -570,6 +570,43 @@ object ProfileStream {
       .select(col("slice_start"), col("doc_id"), col("test_id"),
         col("g"))
   }
+
+  /** Streaming content-addressed-store ingest monitor — the live
+    * dedup-ratio view of [[graft.operators.Multimodal.cdcDedupReport]]
+    * for a media feed: each incoming blob chunks ROW-LOCALLY
+    * (gear CDC by default — O(1)/byte, the production rate), and
+    * closed windows emit one row per (window, distinct chunk hash)
+    * with its copy count and length — the census a storage planner
+    * rolls up ("tonight's crawl is 38% duplicate bytes") and joins
+    * against the store's existing chunk index to price the ingest
+    * BEFORE writing it.
+    *
+    * State/scale shape: the chunk explode is row-local; state is one
+    * (count, min-len) row per distinct chunk hash per OPEN window —
+    * watermark-bounded, never store-history-bounded (the against-
+    * the-store join is the consumer's broadcast/bucketed join on the
+    * emitted hashes, outside the stream). Merge-only counters, so
+    * closed slices roll up to the batch census by addition.
+    */
+  def cdcDedupStream(stream: DataFrame, tsCol: String,
+                     binCol: String = "payload",
+                     windowDur: String = "1 day",
+                     watermarkDur: String = "1 day",
+                     chunker: Column => Column =
+                       graft.functions.CdcChunks.gearCdcChunks)
+      : DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .select(col(tsCol).as("_ts"),
+        explode(chunker(col(binCol))).as("c"))
+      .groupBy(window(col("_ts"), windowDur),
+        col("c.chunk_md5").as("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("c.len")).cast("long").as("chunk_len"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col("chunk_md5"), col("n_copies"), col("chunk_len"))
 
   /** Streaming time-series resample: per (user, fixed epoch-aligned
     * interval) event count and DECIMAL-exact value sum, emitted when

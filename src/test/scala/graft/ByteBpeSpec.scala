@@ -267,6 +267,41 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(mm.exists { case (l, _) => l == a(' '.toInt).toString })
   }
 
+  test("byte-level totality PROPERTY: decode inverts encode on " +
+      "arbitrary generated strings (one batched Spark job)") {
+    import graft.functions.{ByteAlphabet, ByteBpe}
+    import org.scalacheck.{Gen, rng}
+    // arbitrary unicode strings incl. controls, supplementary planes,
+    // and pathological space/NUL runs — seeded, so failures reproduce
+    // fragments are VALID strings by construction (whole code
+    // points, never raw UTF-16 units), so no case is filtered away
+    val fragGen = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", "\t", "\n", "\u0000", "\u0001"),
+      2 -> Gen.choose(0x20, 0x2FFF)
+        .map(cp => new String(Character.toChars(cp))),
+      1 -> Gen.oneOf("😀", "🎉", "日", "本", "語", "č", "é"))
+    val strGen = Gen.listOf(fragGen).map(_.mkString)
+    val seed = rng.Seed(20260815L)
+    val cases = Iterator.iterate((strGen.pureApply(
+        Gen.Parameters.default, seed), seed.next)) { case (_, s) =>
+        (strGen.pureApply(Gen.Parameters.default, s), s.next)
+      }.map(_._1).take(200).toVector
+
+    val bad = cases.zipWithIndex.toDF("text", "i")
+      .select(col("i"), col("text"),
+        ByteAlphabet.unicodeToByte(ByteBpe.bpeDecode(
+          ByteBpe.bpeEncode(ByteAlphabet.byteToUnicode(col("text")),
+            ByteBpe.fixtureMergesMapped),
+          ByteBpe.fixtureMergesMapped)).as("rt"))
+      .where(col("rt") =!= col("text"))
+      .collect()
+    assert(bad.isEmpty, s"roundtrip failed on ${bad.length} of " +
+      s"${cases.size} generated strings; first: " +
+      bad.headOption.map(r => r.getString(1).take(40)).orNull)
+    assert(cases.size == 200)
+  }
+
   test("bpeDecode inverts bpeEncode: ASCII, multi-byte UTF-8, " +
       "surrogate pairs; collision band + space runs documented") {
     def roundtrip(s: String): (String, Boolean) = {

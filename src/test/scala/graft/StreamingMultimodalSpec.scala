@@ -277,4 +277,51 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     cache.setActive("orders")
     assert(cache.cached.contains("ctx-orders-4"))
   }
+
+  test("cdcDedupStream: closed slices equal the batch per-window " +
+      "chunk census and roll up to cdcDedupReport by addition") {
+    import java.sql.Timestamp
+    import graft.operators.Multimodal
+    def ts(s: String) = Timestamp.valueOf(s)
+    val blobA = "shared media block shared media block!".getBytes("UTF-8")
+    val blobB = "completely different payload bytes here".getBytes("UTF-8")
+    val rows = Seq(
+      (ts("2024-03-01 01:00:00"), blobA),
+      (ts("2024-03-01 05:00:00"), blobA),   // same-day duplicate
+      (ts("2024-03-02 01:00:00"), blobA),   // next-day copy: own slice
+      (ts("2024-03-02 02:00:00"), blobB))
+      .toDF("ts", "payload")
+    val slices = graft.streaming.ProfileStream
+      .replayedSlices(rows, "ts")(st => graft.streaming.ProfileStream
+        .cdcDedupStream(st, "ts"))
+    val got = slices.collect().map(r => (r.getString(0),
+      r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin: the same gear chunk table grouped by day + hash
+    val batch = Multimodal.cdcChunkTable(rows
+          .withColumn("doc_id", monotonically_increasing_id()),
+        "payload",
+        chunker = graft.functions.CdcChunks.gearCdcChunks)
+      .join(rows.withColumn("doc_id", monotonically_increasing_id())
+        .select(col("doc_id"),
+          date_format(date_trunc("day", col("ts")),
+            "yyyy-MM-dd HH:mm:ss").as("slice_start")), "doc_id")
+      .groupBy("slice_start", "chunk_md5")
+      .agg(count(lit(1)).as("n_copies"),
+        min("len").cast("long").as("chunk_len"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == batch && got.nonEmpty)
+    // day-1 rows carry the duplicate: every blobA chunk has 2 copies
+    val day1 = got.filter(_._1 == "2024-03-01 00:00:00")
+    assert(day1.nonEmpty && day1.forall(_._3 == 2L))
+    // slice census rolls up to the batch dedup-report totals by
+    // addition (merge-only counters)
+    val nChunks = got.toSeq.map(_._3).sum
+    val rep = Multimodal.cdcDedupReport(Multimodal.cdcChunkTable(
+        rows.withColumn("doc_id", monotonically_increasing_id()),
+        "payload",
+        chunker = graft.functions.CdcChunks.gearCdcChunks))
+      .head
+    assert(nChunks == rep.getAs[Long]("n_chunks"))
+  }
 }
