@@ -102,7 +102,16 @@ object Bench {
     def once(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, NOT count(): count() lets the optimizer prune
+      // whole subtrees the query's answer actually pays for (a
+      // left-join tail with a unique right key is dropped entirely —
+      // cut_repeated_spans_bytes benched 0.3 s under count() vs its
+      // real materialization cost), so count() flatters any query
+      // with a prunable tail. The noop writer requires every output
+      // column and row — what a consumer of the result would pay.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // free persisted intermediates so queries don't contend.
       // clearCache() covers DataFrame persist(); the RDD sweep covers

@@ -272,19 +272,32 @@ object SparkEntry {
     // distribution-free (sketch rank error 1/accuracy ≪ 5%).
     "profile_quantiles_approx" -> ((s, d) => {
       val li = Tables.load(s, d, "lineitem")
-      val ex = Profiler.numericQuantiles(li)
+      // ONE buffered exact-percentile agg answers the three reported
+      // cuts AND the six rank-window bounds (stacked scalar
+      // percentile calls each buffer + sort the whole group — the
+      // noop-sink bench exposed that shape at 34.7 s; the array form
+      // reads one sorted buffer, and fusing the ex + bounds arms
+      // drops a whole second scan/buffer pass)
+      val exb = Profiler.flattenLean(li).filter(col("vnum").isNotNull)
+        .groupBy("path").agg(
+          percentile(col("vnum"), array(
+            lit(0.25), lit(0.5), lit(0.75),
+            lit(0.20), lit(0.30), lit(0.45),
+            lit(0.55), lit(0.70), lit(0.80))).as("ps"))
+        .select(col("path"),
+          round(element_at(col("ps"), 1), 6).as("p25"),
+          round(element_at(col("ps"), 2), 6).as("p50"),
+          round(element_at(col("ps"), 3), 6).as("p75"),
+          element_at(col("ps"), 4).as("lo25"),
+          element_at(col("ps"), 5).as("hi25"),
+          element_at(col("ps"), 6).as("lo50"),
+          element_at(col("ps"), 7).as("hi50"),
+          element_at(col("ps"), 8).as("lo75"),
+          element_at(col("ps"), 9).as("hi75"))
       val ap = Profiler.numericQuantilesApprox(li)
         .select(col("path"), col("p25").as("a25"),
           col("p50").as("a50"), col("p75").as("a75"))
-      val bounds = Profiler.flattenLean(li).filter(col("vnum").isNotNull)
-        .groupBy("path").agg(
-          percentile(col("vnum"), lit(0.20)).as("lo25"),
-          percentile(col("vnum"), lit(0.30)).as("hi25"),
-          percentile(col("vnum"), lit(0.45)).as("lo50"),
-          percentile(col("vnum"), lit(0.55)).as("hi50"),
-          percentile(col("vnum"), lit(0.70)).as("lo75"),
-          percentile(col("vnum"), lit(0.80)).as("hi75"))
-      ex.join(ap, "path").join(bounds, "path")
+      exb.join(ap, "path")
         .select(col("path"), col("p25"), col("p50"), col("p75"),
           (col("a25").between(col("lo25"), col("hi25")) &&
             col("a50").between(col("lo50"), col("hi50")) &&
@@ -1855,6 +1868,59 @@ object SparkEntry {
                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos)
                       AS island
                   FROM bisl)
+            GROUP BY doc_id, island)"""
+
+  /** Rolling-hash byte-region replay chain (mirrors
+    * `Dedup.duplicateRegionsRolling(minChars = 50)`): recursive
+    * HUGEINT power table, closed-form polynomial window states,
+    * census + island merge. Ends in `rreg2(doc_id, start_char,
+    * end_char, n_windows)`; consumers open WITH RECURSIVE. Shared
+    * by `dup_regions_rolling` and `cut_repeated_spans_bytes`.
+    */
+  private val dupRegionRollingCtes = """
+      rpw(k, p) AS (
+        SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL
+        SELECT k + 1, (p * CAST(CAST('0x' ||
+            substr(md5('graft-roll'), 1, 15) AS BIGINT) | 1
+            AS HUGEINT)) % (CAST(1 AS HUGEINT) << 64)
+        FROM rpw WHERE k < 49),
+      rch AS MATERIALIZED (SELECT doc_id, i,
+              CAST(unicode(substr(text, CAST(i AS INT), 1))
+                AS HUGEINT) AS c
+            FROM (SELECT doc_id, text,
+                    unnest(range(1, length(text) + 1)) AS i
+                  FROM documents)),
+      rst AS (SELECT doc_id, unnest(range(1, ln - 48)) AS i0
+            FROM (SELECT doc_id, length(text) AS ln FROM documents
+                  WHERE length(text) >= 50)),
+      rwin AS MATERIALIZED (
+        SELECT s.doc_id, CAST(s.i0 - 1 AS BIGINT) AS pos,
+          SUM((b.c * pw.p) % (CAST(1 AS HUGEINT) << 64))
+            % (CAST(1 AS HUGEINT) << 64) AS h
+        FROM rst s
+        JOIN rch b ON b.doc_id = s.doc_id
+          AND b.i BETWEEN s.i0 AND s.i0 + 49
+        JOIN rpw pw ON pw.k = 49 - (b.i - s.i0)
+        GROUP BY 1, 2),
+      r2dh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM rwin)
+              GROUP BY h HAVING COUNT(*) >= 2),
+      r2dw AS (SELECT doc_id, pos FROM rwin JOIN r2dh USING (h)),
+      r2isl AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL
+                  OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+            FROM (SELECT doc_id, pos,
+                    MAX(pos + 49) OVER (PARTITION BY doc_id
+                      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_end
+                  FROM r2dw)),
+      rreg2 AS MATERIALIZED (SELECT doc_id,
+              CAST(MIN(pos) AS BIGINT) AS start_char,
+              CAST(MAX(pos) + 49 AS BIGINT) AS end_char,
+              CAST(COUNT(*) AS BIGINT) AS n_windows
+            FROM (SELECT doc_id, pos,
+                    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS island
+                  FROM r2isl)
             GROUP BY doc_id, island)"""
 
   private val dupRegionCtes = s"""
@@ -4627,65 +4693,22 @@ object SparkEntry {
     // closed-form windowed sum over a recursive HUGEINT power table
     // (the cdc_chunks_gear precedent) — then the same census/island
     // tail as the md5 variant
-    "dup_regions_rolling" -> ("""
-      WITH RECURSIVE
-      rpw(k, p) AS (
-        SELECT 0, CAST(1 AS HUGEINT)
-        UNION ALL
-        SELECT k + 1, (p * CAST(CAST('0x' ||
-            substr(md5('graft-roll'), 1, 15) AS BIGINT) | 1
-            AS HUGEINT)) % (CAST(1 AS HUGEINT) << 64)
-        FROM rpw WHERE k < 49),
-      rch AS MATERIALIZED (SELECT doc_id, i,
-              CAST(unicode(substr(text, CAST(i AS INT), 1))
-                AS HUGEINT) AS c
-            FROM (SELECT doc_id, text,
-                    unnest(range(1, length(text) + 1)) AS i
-                  FROM documents)),
-      rst AS (SELECT doc_id, unnest(range(1, ln - 48)) AS i0
-            FROM (SELECT doc_id, length(text) AS ln FROM documents
-                  WHERE length(text) >= 50)),
-      rwin AS MATERIALIZED (
-        SELECT s.doc_id, CAST(s.i0 - 1 AS BIGINT) AS pos,
-          SUM((b.c * pw.p) % (CAST(1 AS HUGEINT) << 64))
-            % (CAST(1 AS HUGEINT) << 64) AS h
-        FROM rst s
-        JOIN rch b ON b.doc_id = s.doc_id
-          AND b.i BETWEEN s.i0 AND s.i0 + 49
-        JOIN rpw pw ON pw.k = 49 - (b.i - s.i0)
-        GROUP BY 1, 2),
-      r2dh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM rwin)
-              GROUP BY h HAVING COUNT(*) >= 2),
-      r2dw AS (SELECT doc_id, pos FROM rwin JOIN r2dh USING (h)),
-      r2isl AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL
-                  OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
-            FROM (SELECT doc_id, pos,
-                    MAX(pos + 49) OVER (PARTITION BY doc_id
-                      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
-                      AND 1 PRECEDING) AS prev_end
-                  FROM r2dw))
-      SELECT doc_id,
-             CAST(MIN(pos) AS BIGINT) AS start_char,
-             CAST(MAX(pos) + 49 AS BIGINT) AS end_char,
-             CAST(COUNT(*) AS BIGINT) AS n_windows
-      FROM (SELECT doc_id, pos,
-              SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos)
-                AS island
-            FROM r2isl)
-      GROUP BY doc_id, island
-      ORDER BY doc_id, start_char"""),
+    "dup_regions_rolling" -> (s"""
+      WITH RECURSIVE $dupRegionRollingCtes
+      SELECT doc_id, start_char, end_char, n_windows
+      FROM rreg2 ORDER BY doc_id, start_char"""),
     // the byte-granularity cut: every char inside a region dropped,
     // survivors re-concatenated WITHOUT separators (char offsets
     // carry the spacing); chars explode once, regions anti-join back
     "cut_repeated_spans_bytes" -> (s"""
-      WITH $dupRegionBytesCtes,
+      WITH RECURSIVE $dupRegionRollingCtes,
       bch AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
                substr(text, CAST(i AS INT), 1) AS c
              FROM (SELECT doc_id, text,
                      unnest(range(1, length(text) + 1)) AS i
                    FROM documents)),
       bkept AS (SELECT k.doc_id, k.pos, k.c FROM bch k
-             WHERE NOT EXISTS (SELECT 1 FROM breg r
+             WHERE NOT EXISTS (SELECT 1 FROM rreg2 r
                     WHERE r.doc_id = k.doc_id
                       AND k.pos BETWEEN r.start_char AND r.end_char)),
       breb AS (SELECT doc_id, COUNT(*) AS n_kept,

