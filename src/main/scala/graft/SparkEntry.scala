@@ -531,7 +531,15 @@ object SparkEntry {
     // → two-level census → island merge; start/end are 0-based char
     // offsets of the maximal shared ranges
     "dup_regions_bytes" -> ((s, d) =>
-      Dedup.duplicateRegionsBytes(Tables.load(s, d, "documents"))),
+      // deterministic half-corpus subset: this is the md5 TEACHING
+      // row (the cdc_chunks precedent) — the full-corpus production
+      // rate is dup_regions_rolling; the subset keeps the
+      // O(minChars)-per-position digest arm from dominating the
+      // bench while leaving the census non-trivial (shared spans are
+      // pairings, so thinner subsets lose them quadratically:
+      // 1-in-10 found zero at sf0.01, 1-in-2 keeps 12)
+      Dedup.duplicateRegionsBytes(Tables.load(s, d, "documents")
+        .where(col("doc_id") % 2 === 0))),
     // and its cutting action: the full byte-level ExactSubstr loop
     // (detect -> cut -> rebuild), survivors concatenated without
     // separators since char offsets already carry the spacing
@@ -1849,7 +1857,7 @@ object SparkEntry {
             FROM (SELECT doc_id, text,
                     unnest(range(0, greatest(length(text) - 49, 0)))
                       AS i
-                  FROM documents)),
+                  FROM documents WHERE doc_id % 2 = 0)),
       bdh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM bw)
               GROUP BY h HAVING COUNT(*) >= 2),
       bdw AS (SELECT doc_id, pos FROM bw JOIN bdh USING (h)),
