@@ -1275,9 +1275,19 @@ object SparkEntry {
       Similarity.ivfPqTopKTrained(e, e.filter(col("vec_id") < 20),
         k = 5)
     }),
+    // search-then-refine: the trained-residual index nominates 20
+    // candidates, ONLY those pay an exact cosine — quantization error
+    // stops costing recall (the remaining loss is the coarse probe's
+    // candidate ceiling)
+    "ann_ivfpq_rerank" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.ivfPqTopKReranked(e, e.filter(col("vec_id") < 20),
+        k = 5)
+    }),
     // the A/B the residual training buys: recall@5 against the exact
     // cosine baseline for sampled-codebook vs Lloyd-trained IVF-PQ at
-    // EQUAL code bytes (same nlist/nprobe/m/codebookSize)
+    // EQUAL code bytes (same nlist/nprobe/m/codebookSize); the
+    // reranked arm shows refine recovering the in-candidate loss
     "ann_ivfpq_recall" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
@@ -1292,6 +1302,8 @@ object SparkEntry {
       hitsOf("ivfpq_sampled", Similarity.ivfPqTopK(e, q, k = 5))
         .unionByName(hitsOf("ivfpq_residual_trained",
           Similarity.ivfPqTopKTrained(e, q, k = 5)))
+        .unionByName(hitsOf("ivfpq_reranked",
+          Similarity.ivfPqTopKReranked(e, q, k = 5)))
         .crossJoin(broadcast(tot))
         .select(col("variant"), col("hits"), col("total"),
           expr("hits * 1000000 DIV total").as("recall_ppm"))
@@ -5182,6 +5194,24 @@ object SparkEntry {
       SELECT query_id, neighbor_id, approx_d2_micro2,
              CAST(rnk AS BIGINT) AS "rank"
       FROM rtop WHERE rnk <= 5 ORDER BY query_id, rnk ASC"""),
+    // refine: the index's top-20 shortlist rescored with the exact
+    // cosine — only the shortlist touches stored vectors
+    "ann_ivfpq_rerank" -> (s"""
+      WITH $ivfPqResidualCtes,
+      rrc AS (SELECT query_id, neighbor_id FROM rtop
+              WHERE rnk <= 20),
+      rre AS (SELECT c.query_id, c.neighbor_id,
+            ${cosSql.format("q.embedding", "n.embedding")} AS cosine
+          FROM rrc c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings n ON n.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, cosine,
+             CAST("rank" AS BIGINT) AS "rank"
+      FROM (SELECT query_id, neighbor_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS "rank"
+            FROM rre)
+      WHERE "rank" <= 5 ORDER BY query_id, "rank" ASC"""),
     // both IVF-PQ chains in one query (disjoint CTE namespaces) + the
     // exact cosine baseline: the measured recall gain residual
     // TRAINING buys at equal code bytes
@@ -5202,6 +5232,17 @@ object SparkEntry {
                FROM embeddings q, embeddings e
                WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
              WHERE rnk <= 5),
+      rrc AS (SELECT query_id, neighbor_id FROM rtop
+              WHERE rnk <= 20),
+      rre AS (SELECT c.query_id, c.neighbor_id,
+            ${cosSql.format("q.embedding", "n.embedding")} AS cosine
+          FROM rrc c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings n ON n.vec_id = c.neighbor_id),
+      rrtop AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM rre),
       hs AS (
         SELECT 'ivfpq_residual_trained' AS variant, COUNT(*) AS hits
         FROM (SELECT query_id, neighbor_id FROM rtop
@@ -5210,6 +5251,11 @@ object SparkEntry {
         UNION ALL
         SELECT 'ivfpq_sampled', COUNT(*)
         FROM (SELECT query_id, neighbor_id FROM stop
+              WHERE rnk <= 5) t
+        JOIN ex USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 'ivfpq_reranked', COUNT(*)
+        FROM (SELECT query_id, neighbor_id FROM rrtop
               WHERE rnk <= 5) t
         JOIN ex USING (query_id, neighbor_id)),
       tot AS (SELECT COUNT(*) AS total FROM ex)

@@ -1062,6 +1062,47 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact reranking over the [[ivfPqTopKTrained]] shortlist — the
+    * standard search-then-refine composition (FAISS's refine stage;
+    * Jégou et al. §V.B re-ranks with exact distances on a shortlist):
+    * the quantized index nominates `kCand` candidates per query, and
+    * ONLY those pay an exact cosine against the stored vectors —
+    * quantization error stops costing recall (precision within the
+    * candidate set becomes exact; the remaining loss is the coarse
+    * probe's candidate ceiling, which nprobe controls). Output
+    * matches [[bruteForceTopK]]'s shape (cosine DESC rank).
+    *
+    * Scale shape: the shortlist is (queries × kCand) rows — tiny —
+    * broadcast against the corpus for the vector fetch, so the
+    * refine stage reads kCand vectors per query, never the corpus;
+    * at 100 TB the fetch is the ANN serving story's point lookup
+    * (the parquet index layout in MIGRATION.md).
+    */
+  def ivfPqTopKReranked(corpus: DataFrame, queries: DataFrame,
+                        k: Int = 5, kCand: Int = 20,
+                        nlist: Int = 8, nprobe: Int = 2,
+                        m: Int = 4, codebookSize: Int = 16,
+                        iters: Int = 2, dim: Int = 64,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val shortlist = ivfPqTopKTrained(corpus, queries, kCand, nlist,
+        nprobe, m, codebookSize, iters, dim, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
+      .join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))),
+        "query_id")
+      .withColumn("cosine", cosine(col("_qv"), col("_nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Pairwise cosine between label/cluster centroids — the "how
     * semantically close are my sources/clusters" matrix that guides
     * mixture design and flags near-duplicate strata. Centroids are

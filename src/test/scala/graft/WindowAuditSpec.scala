@@ -57,6 +57,7 @@ class WindowAuditSpec extends AnyFunSuite {
       // come from the window-free TakeOrdered trainer
       "ann_ivfpq_residual" -> "centroid rank over limit(nlist) rows",
       "ann_ivfpq_recall" -> "centroid ranks over limit(nlist) rows",
+      "ann_ivfpq_rerank" -> "centroid rank over limit(nlist) rows",
       "ann_ivfsq8_topk" -> "centroid rank over limit(nlist) rows",
       "ann_ivfsq8_probe1" -> "centroid rank over limit(nlist) rows",
       "ann_index_roundtrip" -> "centroid rank over limit(nlist) rows",
@@ -111,6 +112,7 @@ class WindowAuditSpec extends AnyFunSuite {
       // the 1-row total crossJoin
       "ann_ivfpq_residual" -> "coarse table nlist rows, ADC broadcast",
       "ann_ivfpq_recall" -> "bounded codebooks, query batch, 1-row total",
+      "ann_ivfpq_rerank" -> "shortlist + query batch broadcasts",
       "ann_lsh_topk" -> "query batch broadcast",
       // SQ8: corpus scan x broadcast query batch (+ the exact
       // baseline and 1-row recall total in the recall row)
