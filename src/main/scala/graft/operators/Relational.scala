@@ -931,11 +931,20 @@ object Relational {
         datediff(col("ref_day"), col("last_day")).cast(LongType)
           .as("recency_days"),
         col("frequency"), col("monetary"))
-    def thr(c: Column, p: Double) = round(percentile(c, lit(p)), 6)
-    val cutExprs = (for (i <- 1 to 4; c <- Seq("recency_days",
-      "frequency", "monetary"))
-      yield thr(col(c), i * 0.2).as(s"${c}_$i")).toSeq
-    val cuts = scored.agg(cutExprs.head, cutExprs.tail: _*)
+    // one buffered percentile agg PER COLUMN with the cut array, not
+    // one per (column, cut): each scalar exact-percentile aggregate
+    // buffers and sorts its whole input independently, so the 12
+    // scalar calls paid 4× the buffer + sort per column (the
+    // profile_quantiles_approx lesson, applied suite-wide)
+    val cutExprs = Seq("recency_days", "frequency", "monetary")
+      .map(c => percentile(col(c),
+        array((1 to 4).map(i => lit(i * 0.2)): _*)).as(s"${c}_ps"))
+    val cutsArr = scored.agg(cutExprs.head, cutExprs.tail: _*)
+    val cuts = cutsArr.select(
+      (for (i <- 1 to 4; c <- Seq("recency_days", "frequency",
+        "monetary"))
+        yield round(element_at(col(s"${c}_ps"), i), 6)
+          .as(s"${c}_$i")): _*)
     // lower recency is better; higher frequency/monetary are better
     def asc(c: String) = (lit(1L) +:
       (1 to 4).map(i => when(col(c) > col(s"${c}_$i"), 1L)
