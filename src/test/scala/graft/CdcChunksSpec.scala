@@ -175,6 +175,31 @@ class CdcChunksSpec extends AnyFunSuite {
       f"fastcdc cv $cvF%.2f not < 0.8x gear cv $cvG%.2f")
   }
 
+  test("fastcdc: boundary resync under a byte-offset shift — bounded " +
+      "divergence, then identical chunk hashes (the normalization " +
+      "trade vs plain gear's instant realignment)") {
+    val big = ("resync property content block for normalized cdc " * 60)
+      .getBytes("UTF-8")
+    val shifted = "PRE-".getBytes("UTF-8") ++ big
+    val base = fastChunksOf(big).map(_._3)
+    val shift = fastChunksOf(shifted).map(_._3)
+    // min/max bounds make boundary decisions start-dependent, so the
+    // first chunks may differ — but once both walks cross a shared
+    // mask-cut, they lock step: the common HASH SUFFIX must cover all
+    // but a bounded head (resync within a few target-size chunks)
+    val common = base.reverse.zip(shift.reverse)
+      .takeWhile { case (a, b) => a == b }.size
+    assert(common > 0 && common >= base.size - 8,
+      s"only $common of ${base.size} suffix chunks realigned")
+    // and the divergent head is SHORT in bytes, not just chunks:
+    // everything after the first ~2 max-sizes of the shifted blob
+    // dedups against the unshifted chunk store
+    val resyncBytes = fastChunksOf(shifted)
+      .take(shift.size - common).map(_._2).sum
+    assert(resyncBytes <= 4 * CdcChunks.FC_MAX,
+      s"resync took $resyncBytes bytes (> 4x max chunk)")
+  }
+
   test("fastcdc: hand replay of the bounded walk over the closed-form " +
       "gear state matches the expression") {
     val cs = fastChunksOf(payload)
