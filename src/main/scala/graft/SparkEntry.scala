@@ -1299,11 +1299,15 @@ object SparkEntry {
           .agg(count(lit(1)).as("hits"))
           .select(lit(name).as("variant"), col("hits"))
       val tot = exact.agg(count(lit(1)).as("total"))
+      // ONE trained-index build serves both its arms: the quantized
+      // top-5 is the head of the same kCand=20 shortlist the refine
+      // arm rescores (the oracle's rtop reuse, mirrored in the plan)
+      val short20 = Similarity.ivfPqTopKTrained(e, q, k = 20)
       hitsOf("ivfpq_sampled", Similarity.ivfPqTopK(e, q, k = 5))
         .unionByName(hitsOf("ivfpq_residual_trained",
-          Similarity.ivfPqTopKTrained(e, q, k = 5)))
+          short20.filter(col("rank") <= 5)))
         .unionByName(hitsOf("ivfpq_reranked",
-          Similarity.ivfPqTopKReranked(e, q, k = 5)))
+          Similarity.rerankExact(e, q, short20, k = 5)))
         .crossJoin(broadcast(tot))
         .select(col("variant"), col("hits"), col("total"),
           expr("hits * 1000000 DIV total").as("recall_ppm"))

@@ -1084,14 +1084,27 @@ object Similarity {
                         m: Int = 4, codebookSize: Int = 16,
                         iters: Int = 2, dim: Int = 64,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
-    val shortlist = ivfPqTopKTrained(corpus, queries, kCand, nlist,
-        nprobe, m, codebookSize, iters, dim, idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id"))
+                        vecCol: String = "embedding"): DataFrame =
+    rerankExact(corpus, queries,
+      ivfPqTopKTrained(corpus, queries, kCand, nlist, nprobe, m,
+        codebookSize, iters, dim, idCol, vecCol),
+      k, idCol, vecCol)
+
+  /** The refine stage alone: exact-cosine rescoring of ANY
+    * (query_id, neighbor_id) shortlist — composable behind every ANN
+    * variant here (a caller holding one kCand shortlist derives both
+    * its quantized top-k and its refined top-k from it, one index
+    * build). Shortlist is broadcast; only its vectors are fetched.
+    */
+  def rerankExact(corpus: DataFrame, queries: DataFrame,
+                  shortlist: DataFrame, k: Int = 5,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
-      .join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(shortlist
+        .select(col("query_id"), col("neighbor_id"))), "neighbor_id")
       .join(broadcast(queries
         .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))),
         "query_id")
