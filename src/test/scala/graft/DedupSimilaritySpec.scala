@@ -712,6 +712,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(edge(2).isEmpty)
   }
 
+  test("rerankExact: refined top-k is the exact-cosine order over " +
+      "exactly the shortlist members, never beyond it") {
+    val e = vecs
+    val q = e.filter(col("vec_id") < 5)
+    val short20 = Similarity.ivfPqTopKTrained(e, q, k = 20)
+    val got = Similarity.rerankExact(e, q, short20, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val members = short20.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every refined row comes from the shortlist
+    assert(got.forall { case (qid, nid, _) => members((qid, nid)) })
+    // and per query the order is the exact cosine order over those
+    // members (naive recompute)
+    val raw = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      BigDecimal(d / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (qid <- got.map(_._1).distinct) {
+      val expect = members.filter(_._1 == qid).toSeq
+        .map { case (_, nid) => (nid, cos(raw(qid), raw(nid))) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(5).map(_._1)
+      val mine = got.filter(_._1 == qid).sortBy(_._3).map(_._2).toSeq
+      assert(mine == expect, s"query $qid: $mine != $expect")
+    }
+  }
+
   test("cutRepeatedSpansBytes: region chars cut, survivors " +
       "re-concatenated without separators; exact-copy docs empty, " +
       "clean docs intact") {
