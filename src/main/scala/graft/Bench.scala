@@ -99,6 +99,11 @@ object Bench {
       case None        => SparkEntry.queries
     }
 
+    // query name -> first error message seen (a query that throws must
+    // never bench as a near-zero "speedup"; the artifact carries the
+    // failure, and its time is excluded from the total)
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+
     def once(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -111,7 +116,12 @@ object Bench {
       // column and row — what a consumer of the result would pay.
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
+      } catch { case e: Throwable =>
+        failures.getOrElseUpdate(name,
+          (Option(e.getMessage).getOrElse(e.getClass.getName))
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+        System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // free persisted intermediates so queries don't contend.
       // clearCache() covers DataFrame persist(); the RDD sweep covers
@@ -195,7 +205,11 @@ object Bench {
     }
     val polluted = calMed > calmRefSec * gateTol
 
-    val best = results.map { case (k, v, _, _) => k -> v.min }
+    // failed queries carry a -1.0 sentinel (never a near-zero wall time
+    // that reads as a speedup) and are excluded from the total
+    val best = results.map { case (k, v, _, _) =>
+      k -> (if (failures.contains(k)) -1.0 else v.min)
+    }
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-run times alongside the min: when an artifact number looks
@@ -215,16 +229,29 @@ object Bench {
       s"\"" + k + "\":" + String.format(
         java.util.Locale.ROOT, "%.3f", Double.box(c))
     }.mkString("{", ",", "}")
-    val total = if (best.nonEmpty) best.map(_._2).sum else 0.0
+    val total =
+      if (best.nonEmpty) best.collect { case (_, v) if v >= 0 => v }.sum
+      else 0.0
     val calStr = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(calMed))
     val refStr = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(calmRefSec))
+    // "method":"noop" names the meter in the artifact itself. The r13
+    // count()->noop change made r13+ numbers incomparable with earlier
+    // count-based artifacts (judge-measured cross-method delta: 1.457x
+    // on 198 shared queries) and the distinction lived only in SCALE.md
+    // prose — this field makes the comparison rule machine-checkable:
+    // only diff artifacts whose "method" matches.
+    val errsJson = failures.map { case (k, m) =>
+      s"\"" + k + "\":\"" + m + "\""
+    }.mkString("{", ",", "}")
     val calibMeta =
+      s""""method":"noop","nerrors":${failures.size},""" +
+      s""""errors":$errsJson,""" +
       s""""calib_median":$calStr,"calib_ref":$refStr,""" +
       s""""calib_polluted":$polluted,"calib_passes":$nPasses"""
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"noop","queries":$qs,"sf":"$sfDir"}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec",$calibMeta,"queries":$qs,"runs":$rs,"loadavg":$ls,"calib":$cs,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of stdout (BENCH_r10's

@@ -1013,6 +1013,23 @@ object SparkEntry {
           .dupGroupsStream(st, "ts", "text", "doc_id"))
         .orderBy("slice_start", "fp")
     }),
+    // live NEAR-dup census: per closed daily window, every MinHash-
+    // LSH band bucket with ≥2 members (count + min id) — the
+    // candidate-rate alarm dup_groups_stream (exact fingerprints)
+    // cannot raise for re-worded boilerplate; same band keys as the
+    // batch dedup_minhash_pairs family, so live buckets join offline
+    // verification directly
+    "near_dup_stream" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val ts = docs.select(
+        expr("timestampadd(HOUR, CAST(doc_id % 240 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("doc_id"), col("text"))
+      graft.streaming.ProfileStream
+        .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
+          .nearDupStream(st, "ts", "text", "doc_id"))
+        .orderBy("slice_start", "band_idx", "band_key")
+    }),
     // live decontamination monitor: STATELESS Bloom-gated leak
     // evidence — each emitted (slice_start, train doc, test doc,
     // shared 8-gram) row is exact-verified in-stream (the broadcast
@@ -1313,6 +1330,15 @@ object SparkEntry {
           expr("hits * 1000000 DIV total").as("recall_ppm"))
         .orderBy("variant")
     }),
+    // the recall-vs-nprobe CURVE from one shared index build: the
+    // np=nlist arm is exact by construction (probes every list) and
+    // anchors the denominator; monotone non-decreasing by the nested-
+    // candidates + exact-ranking argument (see ivfRecallCurve's doc)
+    // — SCALE.md's "nprobe is the knob" claim, now a declared row
+    "ann_recall_curve" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.ivfRecallCurve(e, e.filter(col("vec_id") < 20))
+    }),
     // IVF ANN: deterministically-sampled centroids make the whole
     // index + probe pipeline oracle-replayable (unlike trained k-means)
     "ann_ivf_topk" -> ((s, d) => {
@@ -1356,6 +1382,19 @@ object SparkEntry {
     // — multimodal plumbing (binary columns + typed metadata) —
     "multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.load(s, d, "documents"))),
+    // perceptual near-dup over the synthetic bitmap fixture: per doc,
+    // four raw grayscale bitmaps (base / +16 brightness / 2× upscale
+    // / one-pixel speckle) that share ZERO bytes — exact chunk dedup
+    // (cdc_dedup_report) sees nothing; the dHash signature + Hamming-
+    // banded pairs recover every variant group (brightness and
+    // upscale at hamming 0 by construction, speckle ≤ 2). maxBucket
+    // is set above the corpus so the skew cap provably never fires
+    // and the oracle replay is exhaustive; 1-in-10 doc subset keeps
+    // the oracle's per-pixel replay bounded (the cdc rows' pattern)
+    "phash_near_dups" -> ((s, d) =>
+      Multimodal.phashNearDups(Multimodal.synthBitmaps(
+        Tables.load(s, d, "documents")
+          .where(col("doc_id") % 10 === 0)))),
     // content-defined chunking of the constructed payloads: chunk
     // boundaries realign on content (md5-window rule), so shared
     // substrings chunk identically at any byte offset — the
@@ -4479,6 +4518,26 @@ object SparkEntry {
     "dedup_exact_groups" -> (s"""
       SELECT $fpSql AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
       FROM documents GROUP BY 1 ORDER BY fp"""),
+    // the minhashCte signature chain + the dedup_minhash_pairs band
+    // keys, grouped by the synthetic daily window instead of joined
+    // pairwise — the batch twin of the stream's merge-only counters
+    "near_dup_stream" -> (s"""
+      $minhashCte,
+      bands AS (${(0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band_idx, " +
+          s"md5(m${2 * b} || '|' || m${2 * b + 1}) AS band_key FROM sig")
+        .mkString("\n        UNION ALL ")}),
+      w AS (SELECT doc_id,
+              strftime(CAST(CAST(TIMESTAMP '2024-01-01 00:00:00'
+                + to_hours(CAST(doc_id % 240 AS BIGINT)) AS DATE)
+                AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS slice_start
+            FROM documents)
+      SELECT w.slice_start, b.band_idx, b.band_key,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             MIN(b.doc_id) AS keep_id
+      FROM bands b JOIN w ON w.doc_id = b.doc_id
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+      ORDER BY slice_start, band_idx, band_key"""),
     "curation_pipeline" -> (s"""
       WITH t AS (SELECT doc_id, lang, source, text, $toksSql AS toks
                  FROM documents),
@@ -5003,6 +5062,79 @@ object SparkEntry {
              CAST((1000000 * (SUM(copies * clen) - SUM(clen)))
                // SUM(copies * clen) AS BIGINT) AS dedup_ppm
       FROM per"""),
+    // full analytic replay of the perceptual near-dup pipeline: the
+    // synthetic bitmaps' pixel field (two multiply–xorshift rounds,
+    // exact BIGINT arithmetic), 9×8 box-average cells (integer DIV),
+    // dHash bit assembly (bit 63 via the signed-min literal — DuckDB
+    // errors on 1<<63), then the SAME pigeonhole 16-bit-block join
+    // the engine runs (banded, so the oracle scales with bucket
+    // sizes, not sigs²), exact-verified with bit_count(xor)
+    "phash_near_dups" -> ("""
+      WITH imgs AS (
+        SELECT doc_id, v.variant,
+               CASE WHEN v.variant = 2 THEN 36 ELSE 18 END AS w,
+               CASE WHEN v.variant = 2 THEN 32 ELSE 16 END AS h
+        FROM documents, (VALUES (0), (1), (2), (3)) v(variant)
+        WHERE doc_id % 10 = 0
+      ), ys AS (
+        SELECT i.*, unnest(range(0, i.h)) AS y FROM imgs i
+      ), px AS (
+        SELECT doc_id, variant, w, h, y, unnest(range(0, w)) AS x
+        FROM ys
+      ), mixed AS (
+        SELECT doc_id, variant, w, h, x, y,
+          doc_id*1024
+            + (CASE WHEN variant = 2 THEN y//2 ELSE y END)*18
+            + (CASE WHEN variant = 2 THEN x//2 ELSE x END) AS k
+        FROM px
+      ), m1 AS (
+        SELECT *, (k * 2654435761) % 4294967296 AS h0 FROM mixed
+      ), m2 AS (
+        SELECT *, ((xor(h0, h0 >> 13)) * 1597334677) % 4294967296 AS h2
+        FROM m1
+      ), vals AS (
+        SELECT doc_id, variant, w, h, x, y,
+          (xor(h2, h2 >> 16)) % 208
+          + CASE WHEN variant = 1 THEN 16
+                 WHEN variant = 3 AND x = doc_id%18 AND y = doc_id%16
+                   THEN 48
+                 ELSE 0 END AS p
+        FROM m2
+      ), cells AS MATERIALIZED (
+        SELECT doc_id, variant, (y*8)//h AS r, (x*9)//w AS c,
+               SUM(p) // COUNT(*) AS a
+        FROM vals GROUP BY doc_id, variant, (y*8)//h, (x*9)//w
+      ), bits AS (
+        SELECT l.doc_id, l.variant, l.r*8 + l.c AS bit
+        FROM cells l JOIN cells r
+          ON l.doc_id = r.doc_id AND l.variant = r.variant
+         AND l.r = r.r AND r.c = l.c + 1
+        WHERE l.a < r.a
+      ), rawsig AS (
+        SELECT doc_id*4 + variant AS id,
+          SUM(CASE WHEN bit = 63 THEN -9223372036854775808
+              ELSE (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) END) AS v
+        FROM bits GROUP BY doc_id*4 + variant
+      ), sigs AS MATERIALIZED (
+        SELECT a.doc_id*4 + a.variant AS id,
+               CAST(COALESCE(s.v, 0) AS BIGINT) AS sig
+        FROM imgs a
+        LEFT JOIN rawsig s ON s.id = a.doc_id*4 + a.variant
+      ), blocks AS (
+        SELECT id, sig, b.b AS bi, (sig >> (b.b*16)) & 65535 AS bv
+        FROM sigs, (VALUES (0), (1), (2), (3)) b(b)
+      ), cand AS (
+        SELECT DISTINCT l.id AS id1, r.id AS id2
+        FROM blocks l JOIN blocks r
+          ON l.bi = r.bi AND l.bv = r.bv AND l.id < r.id
+      )
+      SELECT c.id1, c.id2,
+             CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sigs s1 ON s1.id = c.id1
+      JOIN sigs s2 ON s2.id = c.id2
+      WHERE bit_count(xor(s1.sig, s2.sig)) <= 3
+      ORDER BY id1, id2"""),
     "multimodal_meta" -> ("""
       WITH p AS (
         SELECT doc_id,
@@ -5158,6 +5290,63 @@ object SparkEntry {
       SELECT query_id, neighbor_id, score, CAST("rank" AS BIGINT) AS "rank"
       FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank" ASC"""),
     "ann_ivf_topk" -> ivfOracle(nprobe = 4),
+    // the ivfOracle chain with crn kept through the scored join, the
+    // knob unnest replacing the fixed nprobe filter, and the np=16
+    // (= nlist: every list probed = exact) arm as the denominator
+    "ann_recall_curve" -> (s"""
+      WITH cent AS (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(cid0 AS VARCHAR)) ASC, cid0 ASC)
+                 AS cid, cvec
+        FROM (SELECT vec_id AS cid0, embedding AS cvec FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+              LIMIT 16)),
+      assign AS MATERIALIZED (
+        SELECT id, vec, cid FROM (
+          SELECT e.vec_id AS id, e.embedding AS vec, cent.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql.format("e.embedding", "cent.cvec")}
+                     DESC, cent.cid ASC) AS crn
+          FROM embeddings e CROSS JOIN cent)
+        WHERE crn = 1),
+      probes AS MATERIALIZED (
+        SELECT query_id, qvec, cid, crn FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS qvec, cent.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql.format("q.embedding", "cent.cvec")}
+                     DESC, cent.cid ASC) AS crn
+          FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 20)
+        WHERE crn <= 16),
+      top5 AS MATERIALIZED (
+        SELECT np, query_id, neighbor_id FROM (
+          SELECT k.np, s.query_id, s.neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY k.np, s.query_id
+                   ORDER BY s.score DESC, s.neighbor_id ASC) AS rnk
+          FROM (SELECT unnest([1, 2, 4, 8, 16]) AS np) k
+          JOIN (SELECT p.query_id, p.crn, a.id AS neighbor_id,
+                       ${cosSql.format("p.qvec", "a.vec")} AS score
+                FROM probes p JOIN assign a
+                  ON a.cid = p.cid AND a.id <> p.query_id) s
+            ON s.crn <= k.np)
+        WHERE rnk <= 5),
+      truth AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM top5 WHERE np = 16),
+      hits AS (
+        SELECT t.np, COUNT(*) AS h
+        FROM top5 t JOIN truth u
+          ON t.query_id = u.query_id
+         AND t.neighbor_id = u.neighbor_id
+        GROUP BY t.np),
+      tot AS (SELECT COUNT(*) AS total FROM truth)
+      SELECT 'nprobe' AS knob, CAST(k.np AS BIGINT) AS knob_value,
+             CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+             CAST(tot.total AS BIGINT) AS total,
+             CAST(COALESCE(h.h, 0) * 1000000 // tot.total AS BIGINT)
+               AS recall_ppm
+      FROM (SELECT unnest([1, 2, 4, 8, 16]) AS np) k
+      LEFT JOIN hits h ON h.np = k.np
+      CROSS JOIN tot
+      ORDER BY knob_value"""),
     "ann_ivf_probe1" -> ivfOracle(nprobe = 1),
     "ann_pq_topk" -> pqOracle,
     "ann_pq_trained" -> (s"""
@@ -5528,10 +5717,34 @@ object SparkEntry {
       SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'),
         ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
         ('region'), ('supplier')) AS t(collection) ORDER BY collection"""),
-    "list_indexes" -> ("""
-      SELECT '' AS collection, '' AS name, '' AS "key", '' AS "unique",
-             '' AS sparse, '' AS background, '' AS props
-      WHERE 1 = 0"""),
+    "list_indexes" -> {
+      // one probe sub-select per collection: unique = distinct+nullkey
+      // == rows (Spark's multi-arg COUNT DISTINCT skips any-null rows;
+      // the CASE mirrors that), sparse = any null key
+      def probe(coll: String, keys: Seq[String]): String = {
+        val anyNull = keys.map(k => s"$k IS NULL").mkString(" OR ")
+        val distinctExpr =
+          if (keys.size == 1) keys.head
+          else s"CASE WHEN $anyNull THEN NULL ELSE " +
+            keys.map(k => s"CAST($k AS VARCHAR)")
+              .mkString(" || ',' || ") + " END"
+        s"""SELECT '$coll' AS collection,
+               '${keys.mkString("_")}_' AS name,
+               '${keys.mkString(",")}' AS "key",
+               CAST(COUNT(DISTINCT $distinctExpr)
+                 + SUM(CASE WHEN $anyNull THEN 1 ELSE 0 END)
+                 = COUNT(*) AS VARCHAR) AS "unique",
+               CAST(SUM(CASE WHEN $anyNull THEN 1 ELSE 0 END) > 0
+                 AS VARCHAR) AS sparse,
+               'false' AS background,
+               'rows=' || CAST(COUNT(*) AS VARCHAR) AS props
+             FROM $coll"""
+      }
+      graft.sources.Tables.names
+        .map(n => probe(n, graft.sources.Tables.idColumns(n)))
+        .mkString("", "\n      UNION ALL\n      ",
+          "\n      ORDER BY collection")
+    },
     "convert_bson" -> convertBsonOracle,
     "profile_full_events" -> profileFullEventsOracle,
     "json_profile_docs" -> (s"""

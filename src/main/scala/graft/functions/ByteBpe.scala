@@ -252,8 +252,11 @@ case class BpeDecode(child: Expression,
 
   /** Shared per-row loop (interpreted eval + generated projection via
     * object reference — see [[BpeTokenCount.count]]). A null array
-    * element decodes as empty (the encoder never emits one;
-    * `containsNull = false` upstream).
+    * element is skipped — it decodes as empty (the encoder never emits
+    * one, `containsNull = false` upstream; the explicit isNullAt guard
+    * keeps that contract true for hand-built arrays too, where
+    * ArrayData.getInt on a null slot would otherwise read 0 and append
+    * U+0000 — r13 ADVICE).
     */
   def decodeIds(ids: org.apache.spark.sql.catalyst.util.ArrayData)
       : UTF8String = {
@@ -261,11 +264,14 @@ case class BpeDecode(child: Expression,
     val sb = new java.lang.StringBuilder(n * 2)
     var i = 0
     while (i < n) {
+      if (ids.isNullAt(i)) { i += 1 }
+      else {
       val id = ids.getInt(i)
       if (id >= 256 && id - 256 < products.length)
         sb.append(products(id - 256))
       else sb.append(id.toChar)
       i += 1
+      }
     }
     UTF8String.fromString(sb.toString)
   }

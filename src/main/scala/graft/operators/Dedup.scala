@@ -678,6 +678,70 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Near-dup pairs from any 64-BIT Hamming-space signature — the
+    * [[simhashNearDups]] pigeonhole recipe generalized to a caller-
+    * provided `(id, sig)` table (perceptual image hashes
+    * ([[graft.functions.DHash64]]), audio fingerprints, any 64-bit
+    * locality-sensitive code). 64 bits split into maxDist+1 blocks;
+    * any pair within distance shares ≥ one whole block (pigeonhole),
+    * so the join key is (block_idx, block_value) — banded, never
+    * all-pairs; quadratic work only inside a bucket. `maxBucket`
+    * bounds degenerate buckets exactly like the text family; callers
+    * verifying against an exhaustive oracle set it above their corpus
+    * so the cap provably never fires. Emits (id1, id2, hamming ≤
+    * maxDist), id1 < id2. 64 must divide into maxDist+1 even blocks.
+    */
+  def hamming64NearDups(sigs: DataFrame, idCol: String = "id",
+                        sigCol: String = "sig", maxDist: Int = 3,
+                        maxBucket: Int = 1000): DataFrame = {
+    val nBlocks = maxDist + 1
+    require(64 % nBlocks == 0, s"64 bits must split evenly into " +
+      s"${nBlocks} blocks (maxDist+1)")
+    val width = 64 / nBlocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val blocks = (0 until nBlocks).map(b =>
+      struct(lit(b).as("block_idx"),
+        // arithmetic shiftright sign-extends on the top block; the
+        // mask discards the extension — same bits either way
+        shiftright(col("sig"), b * width).bitwiseAND(mask)
+          .as("block_val")))
+    val exploded = sigs
+      .select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        explode(array(blocks: _*)).as("blk"))
+      .select(col("id"), col("sig"),
+        col("blk.block_idx"), col("blk.block_val"))
+      .persist(StorageLevel.MEMORY_AND_DISK)   // both sides of self-join
+    val big = exploded.groupBy("block_idx", "block_val")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("block_idx", "block_val")
+    val bounded = exploded.join(big, Seq("block_idx", "block_val"),
+      "left_anti")
+    val l = bounded.select(col("block_idx"), col("block_val"),
+      col("id").as("id1"), col("sig").as("s1"))
+    val r = bounded.select(col("block_idx"), col("block_val"),
+      col("id").as("id2"), col("sig").as("s2"))
+    val pairsBnd = l.join(r, Seq("block_idx", "block_val"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2")))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+    // hot-bucket escape: exact-signature chain links (hamming 0) via
+    // groupBy-min survivor — the simhashNearDups shape verbatim
+    val hotIds = exploded.join(big, Seq("block_idx", "block_val"))
+      .select(col("id"), col("sig")).distinct()
+    val hotReps = hotIds.groupBy("sig").agg(min(col("id")).as("id1"))
+    val hotPairs2 = hotIds.join(hotReps, Seq("sig"))
+      .filter(col("id") =!= col("id1"))
+      .select(col("id1"), col("id").as("id2"), lit(0L).as("hamming"))
+    pairsBnd.unionByName(hotPairs2)
+      .distinct()
+      .orderBy("id1", "id2")
+  }
+
   /** Transitive near-dup groups from a pair list: each node labeled
     * with the minimum id reachable through the pair graph — the step
     * that turns pairwise near-dup output into "keep one per group".

@@ -146,6 +146,98 @@ object Multimodal {
       .orderBy(idCol)
   }
 
+  // — perceptual near-dup (the gap exact chunk dedup can't close:
+  //   re-encoded / brightened / resized copies share ZERO bytes) —
+
+  /** Base synthetic-bitmap dims. Multiples of 9 (w) and 8 (h) so the
+    * dHash grid cells tile pixels exactly AND the 2× upscale's cells
+    * are exactly the doubled base cells (the invariance the fixture
+    * exists to demonstrate — see [[graft.functions.DHash64]]).
+    */
+  private[graft] val BmpW = 18
+  private[graft] val BmpH = 16
+
+  /** Deterministic grayscale pixel expression — a textured
+    * pseudo-random field per (doc, pixel), every step EXACT integer
+    * arithmetic so a SQL oracle replays it bit-for-bit: two
+    * multiply–xorshift mixing rounds (the classic 32-bit integer-hash
+    * recipe) over k = d·1024 + y·18 + x, then mod 208. All
+    * intermediates stay below 2^62 (no 64-bit wrap, so engines that
+    * ERROR on BIGINT overflow — DuckDB — replay it too). Range
+    * [0, 207] leaves headroom for the +16 brightness and +48 speckle
+    * variants without byte overflow. A single multiplicative round is
+    * NOT enough: it is a Weyl sequence — every doc sees the same slow
+    * drift and 5,000 docs collapsed to ~500 distinct hashes; the
+    * xorshift rounds make cross-doc dHash collisions vanish
+    * (measured: 0 cross-doc pairs at 20k signatures).
+    */
+  private def pix(d: Column, x: Column, y: Column): Column = {
+    val m32 = lit(4294967296L)
+    val k = d * 1024L + y * 18L + x
+    val h0 = (k * lit(2654435761L)) % m32
+    val h1 = h0.bitwiseXOR(shiftright(h0, 13))
+    val h2 = (h1 * lit(1597334677L)) % m32
+    h2.bitwiseXOR(shiftright(h2, 16)) % 208
+  }
+
+  /** Synthetic near-duplicate image fixture: per input doc, FOUR raw
+    * grayscale bitmaps (row-major bytes — the post-decode shape a real
+    * codec emits) that are near-duplicates a byte-level dedup cannot
+    * see:
+    *
+    *  - variant 0: the base 18×16 gradient;
+    *  - variant 1: +16 uniform brightness (every byte differs);
+    *  - variant 2: 2× pixel-doubled upscale, 36×32 (4× the bytes);
+    *  - variant 3: one +48 speckle at (d mod 18, d mod 16) — a
+    *    localized edit flipping ≤ 2 dHash bits (the speckled cell
+    *    feeds exactly 2 adjacent-cell comparisons).
+    *
+    * Emits (id = doc_id·4 + variant, w, h, bmp). Bytes are built with
+    * pure built-ins (per-pixel hex → unhex) — a FIXTURE generator, not
+    * an engine path; production bitmaps arrive from a decoder and pay
+    * none of this.
+    */
+  def synthBitmaps(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val d = col(idCol)
+    def bmp(w: Int, h: Int)(p: (Column, Column) => Column): Column =
+      unhex(array_join(transform(sequence(lit(0L), lit(w.toLong * h - 1)),
+        i => lpad(hex(p(i % w, call_function("div", i, lit(w.toLong)))),
+          2, "0")), ""))
+    def variant(v: Int, w: Int, h: Int)(
+        p: (Column, Column) => Column): DataFrame =
+      df.select((d * 4 + v).as("id"), lit(w).as("w"), lit(h).as("h"),
+        bmp(w, h)(p).as("bmp"))
+    variant(0, BmpW, BmpH)((x, y) => pix(d, x, y))
+      .unionByName(variant(1, BmpW, BmpH)((x, y) => pix(d, x, y) + 16))
+      .unionByName(variant(2, BmpW * 2, BmpH * 2)((x, y) =>
+        pix(d, call_function("div", x, lit(2L)),
+          call_function("div", y, lit(2L)))))
+      .unionByName(variant(3, BmpW, BmpH)((x, y) =>
+        pix(d, x, y) + when(x === d % BmpW && y === d % BmpH, 48)
+          .otherwise(0)))
+  }
+
+  /** Perceptual near-dup pairs over a bitmap table (id, w, h, bmp):
+    * row-local [[graft.functions.DHash64]] signature pass (one scan,
+    * codegen'd), then Hamming-banded pair generation via
+    * [[Dedup.hamming64NearDups]] — pigeonhole blocks, never all-pairs.
+    * This is the image twin of the text near-dup family: exact
+    * chunk-level dedup ([[cdcDedupReport]]) finds byte-identical
+    * storage, THIS finds re-encoded / brightened / resized copies.
+    * `maxBucket` defaults high because the declared oracle row is an
+    * exhaustive replay — production corpora set it like the text
+    * family does.
+    */
+  def phashNearDups(bitmaps: DataFrame, maxDist: Int = 3,
+                    maxBucket: Int = 100000): DataFrame = {
+    val sigs = graft.util.Utils.spread(bitmaps)
+      .select(col("id"),
+        graft.functions.DHash64.dHash64(col("bmp"), col("w"), col("h"))
+          .as("sig"))
+    Dedup.hamming64NearDups(sigs, maxDist = maxDist,
+      maxBucket = maxBucket)
+  }
+
   /** Content-defined chunk table of a binary column: one row per
     * (blob, chunk) with exact offsets and the chunk content hash —
     * the input to chunk-level storage dedup. Chunking is the

@@ -278,6 +278,87 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Recall@k as a FUNCTION of nprobe — the [[ivfTopK]] recall
+    * ceiling promoted from prose to data (round-13 verdict item 3:
+    * "nprobe is the knob" was stated, never measured in a declared
+    * row). ONE index build and ONE scoring pass serve every knob
+    * value: probes keep their centroid rank `crn` up to max(nprobes),
+    * each candidate row is exploded across the knob values whose
+    * probe depth includes it (`crn ≤ np`), and a per-(np, query)
+    * exact-cosine rank cuts top-k. The `np = nlist` arm probes every
+    * list — exact brute force by construction — and serves as the
+    * recall denominator.
+    *
+    * Monotonicity is GUARANTEED, not observed: probe sets are nested
+    * in np, scoring is exact under one total order (score desc, id
+    * asc), and a true top-k member outranked by at most k−1 vectors
+    * anywhere is outranked by at most k−1 in any candidate subset —
+    * so hits(np) is non-decreasing. (The same argument does NOT hold
+    * for quantized ADC ranking, which is why this curve ranks exact.)
+    * Emits (knob='nprobe', knob_value, hits, total, recall_ppm).
+    */
+  def ivfRecallCurve(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                     nlist: Int = 16,
+                     nprobes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.contains(nlist),
+      "nprobes must include nlist (the exact-truth arm)")
+    val npMax = nprobes.max
+    val cent = broadcast(ivfCentroids(corpus, nlist, idCol, vecCol))
+    val aw = Window.partitionBy("id")
+      .orderBy(col("cscore").desc, col("cid").asc)
+    val assigned = graft.util.Utils.spread(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(cent)
+      .withColumn("cscore", cosine(col("vec"), col("cvec")))
+      .withColumn("crn", row_number().over(aw))
+      .filter(col("crn") === 1)
+      .select(col("id"), col("vec"), col("cid"))
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .join(cent)
+      .withColumn("cscore", cosine(col("qvec"), col("cvec")))
+      .withColumn("crn", row_number().over(qw))
+      .filter(col("crn") <= npMax)
+      .select(col("query_id"), col("qvec"), col("cid"), col("crn"))
+    val w = Window.partitionBy("np", "query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    // top-k per (knob, query); tiny (knobs × queries × k) and read
+    // twice (truth + hits) — persist the branch point
+    val top = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("score", cosine(col("qvec"), col("vec")))
+      .select(col("query_id"), col("crn"),
+        col("id").as("neighbor_id"), col("score"))
+      .withColumn("np",
+        explode(array(nprobes.map(v => lit(v.toLong)): _*)))
+      .filter(col("crn") <= col("np"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("np"), col("query_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val truth = top.filter(col("np") === npMax.toLong)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = top.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("np").agg(count(lit(1)).as("h"))
+    val knobs = corpus.sparkSession.range(1).select(
+      explode(array(nprobes.map(v => lit(v.toLong)): _*)).as("np"))
+    val tot = truth.agg(count(lit(1)).as("total"))
+    // left join from the knob list: a zero-hit knob must emit 0, not
+    // vanish (the oracle mirrors this join direction)
+    knobs.join(hits, Seq("np"), "left")
+      .crossJoin(broadcast(tot))
+      .select(lit("nprobe").as("knob"),
+        col("np").as("knob_value"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        col("total"),
+        expr("coalesce(h, 0) * 1000000 DIV total").as("recall_ppm"))
+      .orderBy("knob_value")
+  }
+
   /** Exact embedding near-dup pairs: all pairs above a cosine
     * threshold by brute force — the recall-1.0 baseline, quadratic:
     * use [[embeddingNearDups]] (LSH) beyond ~10⁵ vectors.

@@ -1221,6 +1221,73 @@ object ProfileStream {
           .as("slice_start"),
         col("fp"), col("n_copies"), col("keep_id"))
 
+  /** Live NEAR-dup census: per closed window and MinHash-LSH band
+    * bucket with ≥ 2 members, the member count and min id — the
+    * "tonight's crawl is 30% near-dup" alarm
+    * ([[dupGroupsStream]] covers exact fingerprints only; a
+    * re-worded boilerplate flood is invisible to it). Signatures are
+    * the row-local [[graft.operators.Dedup.minhashSigExpr]] (the
+    * documented streaming shape — a pure projection, no explode-
+    * groupBy stage a stateful query can't host), banded exactly like
+    * the batch [[graft.operators.Dedup.minhashBands]] (same md5 band
+    * keys), so emitted buckets join the batch near-dup family
+    * directly.
+    *
+    * Contract: bucket membership is the LSH CANDIDATE signal — the
+    * same pre-verify stage `minhashNearDups` Jaccard-checks offline.
+    * A live alarm wants the candidate rate (false positives are rare
+    * and benign at alarm granularity); the verified pair list stays a
+    * batch job against the emitted buckets. Scale shape: state is one
+    * (count, min-id) row per distinct (band, bucket) per OPEN window
+    * — watermark-bounded, never corpus-bounded; counters merge-only,
+    * so closed slices equal the batch per-window band census exactly
+    * (spec-pinned), the [[cdcDedupStream]] roll-up contract. Docs
+    * with < 3 tokens have no shingles and drop, mirroring the batch
+    * signature path.
+    */
+  def nearDupStream(stream: DataFrame, tsCol: String,
+                    textCol: String = "text",
+                    idCol: String = "doc_id",
+                    numHashes: Int = 8, bands: Int = 4,
+                    windowDur: String = "1 day",
+                    watermarkDur: String = "1 hour"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandArr = array((0 until bands).map(b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws("|",
+          (0 until r).map(i => col("_sig").getItem(b * r + i)): _*))
+          .as("band_key"))): _*)
+    // the shingle-less drop lives INSIDE the generator (explode of an
+    // empty array), NOT as a .filter before the aggregation: a plain
+    // predicate here is pushed by the optimizer BELOW the
+    // EventTimeWatermark node, so any max-timestamp row it rejects
+    // (a replay's flush sentinel, a heartbeat with an empty payload)
+    // dies before its event time registers — and the newest real
+    // window then never closes (found live: the last daily slice
+    // vanished from the replay while every earlier one emitted).
+    // Generators are never pushed below the watermark.
+    val bandsOrEmpty = when(col("_sig").getItem(0).isNotNull, bandArr)
+      .otherwise(array().cast(
+        "array<struct<band_idx:int,band_key:string>>"))
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .select(col(tsCol).as("_ts"), col(idCol).as("_id"),
+        graft.operators.Dedup.minhashSigExpr(col(textCol), numHashes)
+          .as("_sig"))
+      .select(col("_ts"), col("_id"), explode(bandsOrEmpty).as("b"))
+      .groupBy(window(col("_ts"), windowDur),
+        col("b.band_idx").as("band_idx"),
+        col("b.band_key").as("band_key"))
+      .agg(count(lit(1)).as("n_members"), min(col("_id")).as("keep_id"))
+      .filter(col("n_members") >= 2)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col("band_idx"), col("band_key"), col("n_members"),
+        col("keep_id"))
+  }
+
   def freqSketchStream(stream: DataFrame, tsCol: String, key: String,
                        cap: Int, windowDur: String = "1 day",
                        watermarkDur: String = "1 hour"): DataFrame =

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.DHash64
+import graft.operators.{Dedup, Multimodal}
+
+/** Perceptual (difference) hash: the exact-integer invariants the
+  * fixture relies on, the banded pair generation, and the plan shape.
+  */
+class DHashSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] =
+    Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+
+  // a textured test image (same mixer class as the fixture)
+  private def tex(x: Int, y: Int): Int = {
+    val k = (y * 18 + x).toLong
+    val h0 = (k * 2654435761L) % 4294967296L
+    val h1 = h0 ^ (h0 >> 13)
+    val h2 = (h1 * 1597334677L) % 4294967296L
+    ((h2 ^ (h2 >> 16)) % 208).toInt
+  }
+
+  test("dims must match the byte length; tiny bitmaps are null") {
+    assert(DHash64.evalBitmap(gray(18, 16)(tex), 18, 15) == null)
+    assert(DHash64.evalBitmap(gray(8, 8)((_, _) => 7), 8, 8) == null)
+    assert(DHash64.evalBitmap(gray(9, 8)(tex), 9, 8) != null)
+  }
+
+  test("uniform brightness shift leaves the hash unchanged") {
+    val base = DHash64.evalBitmap(gray(18, 16)(tex), 18, 16)
+    val brighter = DHash64.evalBitmap(
+      gray(18, 16)((x, y) => tex(x, y) + 16), 18, 16)
+    assert(base == brighter)
+  }
+
+  test("2x pixel-doubled upscale leaves the hash unchanged " +
+      "(dims multiples of 9 and 8)") {
+    val base = DHash64.evalBitmap(gray(18, 16)(tex), 18, 16)
+    val up = DHash64.evalBitmap(
+      gray(36, 32)((x, y) => tex(x / 2, y / 2)), 36, 32)
+    assert(base == up)
+  }
+
+  test("a one-pixel speckle flips at most 2 bits (its cell feeds " +
+      "exactly 2 adjacent comparisons)") {
+    val base = DHash64.evalBitmap(gray(18, 16)(tex), 18, 16)
+    for (sx <- Seq(0, 5, 17); sy <- Seq(0, 7, 15)) {
+      val sp = DHash64.evalBitmap(gray(18, 16)((x, y) =>
+        tex(x, y) + (if (x == sx && y == sy) 48 else 0)), 18, 16)
+      assert(java.lang.Long.bitCount(base ^ sp) <= 2,
+        s"speckle at ($sx,$sy)")
+    }
+  }
+
+  test("hand-computed 9x8 case: one cell per pixel, bit per " +
+      "left<right comparison") {
+    // pixel (x, y) = x: every row ascends, so all 64 bits set
+    val asc = DHash64.evalBitmap(gray(9, 8)((x, _) => x * 10), 9, 8)
+    assert(asc == -1L) // 64 ones
+    val desc = DHash64.evalBitmap(gray(9, 8)((x, _) => 200 - x * 10), 9, 8)
+    assert(desc == 0L)
+  }
+
+  test("expression evaluates identically under codegen (projection) " +
+      "and carries null through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, gray(18, 16)(tex), 18, 16),
+      (2L, gray(18, 16)((x, y) => tex(x, y) + 16), 18, 16),
+      (3L, Array[Byte](1, 2, 3), 18, 16) // wrong length → null
+    ).toDF("id", "bmp", "w", "h")
+    val out = df.select($"id",
+        DHash64.dHash64($"bmp", $"w", $"h").as("sig"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == out(1).getLong(1))
+    assert(out(0).getLong(1) ==
+      DHash64.evalBitmap(gray(18, 16)(tex), 18, 16))
+    assert(out(2).isNullAt(1))
+  }
+
+  test("hamming64NearDups finds exactly the brute-force pairs " +
+      "(pigeonhole recall is total at maxDist=3)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val sigs = (0L until 64L).map(i => (i, rnd.nextLong())) ++
+      Seq((100L, 5L), (101L, 5L ^ 3L), (102L, 5L ^ (1L << 63)))
+    val df = sigs.toDF("id", "sig")
+    val got = Dedup.hamming64NearDups(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 3
+    } yield (a, b, hd.toLong)).toSet
+    assert(got == exp)
+    assert(exp.contains((100L, 101L, 2L)))
+    assert(exp.contains((100L, 102L, 1L)))
+  }
+
+  test("phash pipeline plan: banded join, no cartesian product") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(d => (d, s"doc$d"))
+      .toDF("doc_id", "text")
+    val df = Multimodal.phashNearDups(Multimodal.synthBitmaps(docs))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // and the fixture's variant groups are recovered despite zero
+    // shared bytes: every doc links its 4 variants (6 pairs)
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (d <- 0L until 40L; i <- 0 until 4; j <- i + 1 until 4)
+      assert(pairs.contains((d * 4 + i, d * 4 + j)),
+        s"missing variant pair d=$d ($i,$j)")
+  }
+}

@@ -935,4 +935,53 @@ class EquivalenceSpec extends AnyFunSuite {
     val expected = (0L until 50L).map(i => (i, i + 1000L)).toSet
     assert(expected.subsetOf(found))
   }
+
+  test("nearDupStream closed slices equal the batch per-window band " +
+      "census (minhashBands keys), including the NEWEST window") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val near1 = "the quick brown fox jumps over the lazy dog tonight"
+    val near2 = "the quick brown fox jumps over the lazy cat tonight"
+    val docs = Seq(
+      // same-window near-dup pair (high shingle overlap -> shared bands)
+      (1L, ts("2024-05-01 01:00:00"), near1),
+      (2L, ts("2024-05-01 02:00:00"), near2),
+      // unique doc
+      (3L, ts("2024-05-01 03:00:00"), "completely unrelated words here"),
+      // shingle-less doc (< 3 tokens): contributes NO bands, like the
+      // batch signature path
+      (4L, ts("2024-05-01 04:00:00"), "too short"),
+      // exact pair in the NEWEST window: before the generator-side
+      // null-drop fix, a pushable .filter killed the replay's flush
+      // sentinel below the watermark node and this window never
+      // closed — this pair pins the regression
+      (5L, ts("2024-05-03 01:00:00"), near1),
+      (6L, ts("2024-05-03 02:00:00"), near1))
+      .toDF("doc_id", "ts", "text")
+    val slices = ProfileStream.replayedSlices(docs, "ts")(st =>
+        ProfileStream.nearDupStream(st, "ts", "text", "doc_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // batch twin: the SAME band keys (Dedup.minhashBands over
+    // minhashSignatures) grouped by day — merge-only counters, so the
+    // closed slices must equal this exactly
+    val sigs = graft.operators.Dedup.minhashSignatures(docs)
+    val batch = graft.operators.Dedup.minhashBands(sigs)
+      .join(docs.select(col("doc_id").as("id"),
+        date_format(date_trunc("day", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("slice_start")), "id")
+      .groupBy("slice_start", "band_idx", "band_key")
+      .agg(count(lit(1)).as("n_members"), min("id").as("keep_id"))
+      .filter(col("n_members") >= 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(slices == batch)
+    // the near pair shares at least one band; the exact pair all 4
+    val day1 = slices.filter(_._1 == "2024-05-01 00:00:00")
+    assert(day1.nonEmpty && day1.forall(t => t._4 == 2L && t._5 == 1L))
+    val day3 = slices.filter(_._1 == "2024-05-03 00:00:00")
+    assert(day3.size == 4 && day3.forall(t => t._4 == 2L && t._5 == 5L))
+  }
 }

@@ -31,12 +31,16 @@ SCAN = ["src", "tools", "build.sbt", "project"]
 EXTS = {".scala", ".py", ".sbt", ".md", ".json", ".properties"}
 
 # public domains the engine may legitimately reference (scaladoc
-# citations, Spark/DuckDB docs)
+# citations, Spark/DuckDB docs). Anchored at the domain boundary
+# (r13 ADVICE: a prefix-only match whitelisted a lookalike host like
+# github.com DOT evil DOT example) — the domain must be followed by
+# end-of-match, a path slash, or a non-hostname character.
 PUBLIC_URL_OK = re.compile(
     r"https?://(www\.)?("
     r"spark\.apache\.org|duckdb\.org|github\.com|arxiv\.org|"
     r"scala-lang\.org|openjdk\.org|docs\.oracle\.com|"
-    r"en\.wikipedia\.org|repo1\.maven\.org|aclanthology\.org)")
+    r"en\.wikipedia\.org|repo1\.maven\.org|aclanthology\.org)"
+    r"(/|$|[^\w.-])")
 
 # env vars the engine documents (Bench/Verify/replay knobs) + standard
 ENV_OK = re.compile(
@@ -60,8 +64,12 @@ PROBES = {
         re.compile(r"\bsk-[A-Za-z0-9]{20,}\b"),
         re.compile(r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
     ],
-    "env-read": [re.compile(r"sys\.env(?:\.get)?\(\"([A-Z0-9_]+)\"\)|"
-                            r"os\.environ\[\"([A-Z0-9_]+)\"\]")],
+    # covers the bare-apply, .get, .getOrElse, and .apply read forms of
+    # sys.env (r13 ADVICE: getOrElse — the dominant form in Bench.scala
+    # — previously escaped the audit), plus os.environ [...] / .get
+    "env-read": [re.compile(
+        r"sys\.env(?:\.(?:get|getOrElse|apply))?\s*\(\s*\"([A-Z0-9_]+)\"|"
+        r"os\.environ(?:\.get)?[\[(]\"([A-Z0-9_]+)\"")],
 }
 
 
