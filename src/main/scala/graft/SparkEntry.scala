@@ -943,6 +943,32 @@ object SparkEntry {
         .toDF("rank", "l_sym", "r_sym", "pair_count")
         .orderBy("rank")
     }),
+    // tokenizer artifact export → reload → prove the reloaded encoder
+    // IS the trained one: train on the corpus, persist the versioned
+    // artifact (alphabet + byte-level map + ranked merges + ids),
+    // reload it (id-space and alphabet validated row by row), then
+    // encode the fixture subset under BOTH merge lists and decode
+    // back. n_tokens is oracled against the SQL training+encode
+    // replay (a drifted reload changes it); reload_match is the
+    // Spark-side contract column — true by construction when the
+    // artifact roundtrips, and the oracle pins that expectation
+    "bpe_tokenizer_roundtrip" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val learned = TextAnalysis.bpeTrain(docs)
+      val reloaded = TextAnalysis.loadTokenizer(s,
+        TextAnalysis.exportTokenizer(s, learned))
+      val lm = learned.map(m => (m._1, m._2))
+      docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          size(TextAnalysis.bpeEncode(col("text"), lm)).cast("long")
+            .as("n_tokens"),
+          (TextAnalysis.bpeEncode(col("text"), reloaded) ===
+            TextAnalysis.bpeEncode(col("text"), lm) &&
+            TextAnalysis.bpeDecode(
+              TextAnalysis.bpeEncode(col("text"), reloaded), reloaded)
+              === col("text")).as("reload_match"))
+        .orderBy("doc_id")
+    }),
     // and the budget report under those CORPUS-LEARNED merges — the
     // full production loop: train the tokenizer, bill the corpus in
     // its own units
@@ -1330,6 +1356,15 @@ object SparkEntry {
           expr("hits * 1000000 DIV total").as("recall_ppm"))
         .orderBy("variant")
     }),
+    // the recall-vs-kCand curve — the second knob (how deep must the
+    // quantized index nominate before exact rerank): one trained
+    // IVF-PQ build at kCand=40, nested shortlist prefixes rescored
+    // exactly once, per-depth top-5 vs the brute-force truth;
+    // monotone by nested prefixes + exact ranking
+    "ann_rerank_curve" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.rerankRecallCurve(e, e.filter(col("vec_id") < 20))
+    }),
     // the recall-vs-nprobe CURVE from one shared index build: the
     // np=nlist arm is exact by construction (probes every list) and
     // anchors the denominator; monotone non-decreasing by the nested-
@@ -1425,6 +1460,33 @@ object SparkEntry {
           .where(col("doc_id") % 10 === 0)),
         "payload",
         chunker = graft.functions.CdcChunks.fastCdcChunks)),
+    // the variance squeeze as data: gear vs FastCDC chunk-size
+    // moments on the SAME blobs at equal target size — FastCDC's
+    // two-level masks must land var_bytes2 strictly under gear's
+    // (Xia §3.3); exact integer population variance, mean in
+    // micro-bytes, so both engines agree bit-for-bit
+    "cdc_size_variance" -> ((s, d) => {
+      val payloads = Multimodal.testPayload(
+        Tables.load(s, d, "documents")
+          .where(col("doc_id") % 10 === 0))
+      def moments(name: String,
+                  chunker: org.apache.spark.sql.Column =>
+                    org.apache.spark.sql.Column): DataFrame =
+        Multimodal.cdcChunkTable(payloads, "payload",
+            chunker = chunker)
+          .agg(count(lit(1)).as("n"),
+            sum(col("len").cast("long")).as("s"),
+            sum((col("len") * col("len")).cast("long")).as("s2"))
+          .select(lit(name).as("variant"), col("n"), col("s"),
+            col("s2"))
+      moments("fastcdc", graft.functions.CdcChunks.fastCdcChunks)
+        .unionByName(
+          moments("gear", graft.functions.CdcChunks.gearCdcChunks))
+        .select(col("variant"), col("n").as("n_chunks"),
+          expr("s * 1000000 DIV n").as("mean_len_micro"),
+          expr("(n * s2 - s * s) DIV (n * n)").as("var_bytes2"))
+        .orderBy("variant")
+    }),
     // live content-addressed-ingest monitor: per closed daily window
     // and distinct gear-chunk hash, copy count + length — the dedup
     // census a storage planner prices an ingest with; same 1-in-10
@@ -2108,6 +2170,71 @@ object SparkEntry {
               CAST(s AS INT) AS "offset", CAST(e - s AS INT) AS len,
               md5(substr(hx, s * 2 + 1, (e - s) * 2)) AS chunk_md5
             FROM g_ch JOIN g_h USING (doc_id) WHERE e > s)"""
+
+  /** The FastCDC replay chain (closed-form gear state + recursive
+    * boundary walk over the 1-in-10 subset), ending at
+    * `f_out(doc_id, chunk_idx, offset, len, chunk_md5)` — shared by
+    * `cdc_chunks_fastcdc` and `cdc_size_variance`. Compose as
+    * `WITH RECURSIVE $cdcCtes, $fastCdcCtes`.
+    */
+  private lazy val fastCdcCtes: String = s"""      f_h AS MATERIALIZED (SELECT doc_id, hex(payload) AS hx,
+              octet_length(payload) AS n
+            FROM cdc_p WHERE doc_id % 10 = 0),
+      f_by AS MATERIALIZED (SELECT doc_id, i,
+              CAST('0x' || substr(hx, (i - 1) * 2 + 1, 2) AS INT) AS b
+            FROM (SELECT doc_id, hx, n, unnest(range(1, n + 1)) AS i
+                  FROM f_h)),
+      f_gear AS (SELECT b, CAST(CAST('0x' ||
+                substr(md5(CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
+                AS HUGEINT) AS g
+            FROM (SELECT unnest(range(0, 256)) AS b)),
+      f_state AS MATERIALIZED (SELECT a.doc_id, a.i,
+              SUM((t.g * (CAST(1 AS HUGEINT)
+                  << CAST(a.i - c.i AS INT)))
+                % (CAST(1 AS HUGEINT) << 64))
+                % (CAST(1 AS HUGEINT) << 64) AS h
+            FROM f_by a
+            JOIN f_by c ON c.doc_id = a.doc_id
+              AND c.i BETWEEN a.i - 63 AND a.i
+            JOIN f_gear t ON t.b = c.b
+            GROUP BY 1, 2),
+      f_walk(doc_id, s) AS (
+        SELECT doc_id, CAST(0 AS BIGINT) FROM f_h WHERE n > 0
+        UNION ALL
+        SELECT w.doc_id,
+          LEAST(
+            COALESCE(MIN(CASE WHEN t.i - w.s < 16
+                AND t.h < (CAST(1 AS HUGEINT) << 59)
+                THEN t.i END), w.s + 64),
+            COALESCE(MIN(CASE WHEN t.i - w.s >= 16
+                AND t.h < (CAST(1 AS HUGEINT) << 61)
+                THEN t.i END), w.s + 64),
+            w.s + 64)
+        FROM f_walk w
+        JOIN f_h hh ON hh.doc_id = w.doc_id
+        LEFT JOIN f_state t ON t.doc_id = w.doc_id
+          AND t.i >= w.s + 8 AND t.i <= w.s + 63
+        GROUP BY w.doc_id, w.s, hh.n
+        HAVING LEAST(
+            COALESCE(MIN(CASE WHEN t.i - w.s < 16
+                AND t.h < (CAST(1 AS HUGEINT) << 59)
+                THEN t.i END), w.s + 64),
+            COALESCE(MIN(CASE WHEN t.i - w.s >= 16
+                AND t.h < (CAST(1 AS HUGEINT) << 61)
+                THEN t.i END), w.s + 64),
+            w.s + 64) < hh.n),
+      f_ch AS (SELECT doc_id, s,
+              LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS e2
+            FROM f_walk),
+      f_out AS (SELECT c.doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY c.doc_id
+                ORDER BY c.s) - 1 AS INT) AS chunk_idx,
+              CAST(c.s AS INT) AS "offset",
+              CAST(COALESCE(c.e2, h.n) - c.s AS INT) AS len,
+              md5(substr(h.hx, CAST(c.s * 2 + 1 AS INT),
+                CAST((COALESCE(c.e2, h.n) - c.s) * 2 AS INT)))
+                AS chunk_md5
+            FROM f_ch c JOIN f_h h USING (doc_id))"""
 
   private lazy val cdcCtes: String = """
       cdc_p AS (
@@ -4234,6 +4361,49 @@ object SparkEntry {
     // counting recursion identical to bpeCtes but with the merge-key
     // list built from the TRAINING chain's log instead of the fixture
     // literal
+    // the token_budget_trained training+encode replay, per doc on the
+    // 1-in-10 subset; reload_match is the artifact roundtrip contract
+    // (true whenever export→reload reproduces the trained merges —
+    // the engine-side comparison is the check, the oracle pins the
+    // expected outcome; n_tokens is the data column a drifted reload
+    // would move)
+    "bpe_tokenizer_roundtrip" -> (s"""
+      WITH RECURSIVE $bpeTrainCtes,
+      lm AS (SELECT list(a || chr(1) || b ORDER BY rank) AS mk FROM
+             (SELECT DISTINCT it AS rank, a, b FROM bt
+              WHERE it >= 1)),
+      tq_pt AS MATERIALIZED (SELECT doc_id,
+              unnest(regexp_extract_all(text,
+                ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS w
+            FROM documents WHERE doc_id % 10 = 0),
+      tq_sw AS MATERIALIZED (SELECT doc_id, w, COUNT(*) AS c
+            FROM tq_pt GROUP BY 1, 2),
+      tq_winit AS MATERIALIZED (SELECT w,
+              regexp_extract_all(w, '(?s).') AS syms
+            FROM (SELECT DISTINCT w FROM tq_sw)),
+      tq_bpe(w, syms) AS (
+        SELECT w, syms FROM tq_winit
+        UNION ALL
+        SELECT w, syms[1:pos-1] || [syms[pos] || syms[pos+1]]
+                  || syms[pos+2:]
+        FROM (
+          SELECT w, syms, list_position(ranks, list_min(ranks)) AS pos
+          FROM (SELECT w, syms,
+                  list_transform(range(1, len(syms)),
+                    i -> nullif(list_position(mk,
+                      syms[i] || chr(1) || syms[i+1]), 0)) AS ranks
+                FROM tq_bpe, lm)
+        ) WHERE pos IS NOT NULL AND pos > 0),
+      tq_cw AS MATERIALIZED (SELECT w, MIN(len(syms)) AS n
+            FROM tq_bpe GROUP BY w),
+      tq_doc AS (SELECT doc_id, CAST(SUM(c * n) AS BIGINT) AS n_bpe
+            FROM tq_sw JOIN tq_cw USING (w) GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(b.n_bpe, 0) AS BIGINT) AS n_tokens,
+             TRUE AS reload_match
+      FROM documents d LEFT JOIN tq_doc b USING (doc_id)
+      WHERE d.doc_id % 10 = 0
+      ORDER BY d.doc_id"""),
     "token_budget_trained" -> (s"""
       WITH RECURSIVE $bpeTrainCtes,
       lm AS (SELECT list(a || chr(1) || b ORDER BY rank) AS mk FROM
@@ -4991,66 +5161,29 @@ object SparkEntry {
     // tail [last_start, n) is closed outside the recursion
     "cdc_chunks_fastcdc" -> (s"""
       WITH RECURSIVE $cdcCtes,
-      f_h AS MATERIALIZED (SELECT doc_id, hex(payload) AS hx,
-              octet_length(payload) AS n
-            FROM cdc_p WHERE doc_id % 10 = 0),
-      f_by AS MATERIALIZED (SELECT doc_id, i,
-              CAST('0x' || substr(hx, (i - 1) * 2 + 1, 2) AS INT) AS b
-            FROM (SELECT doc_id, hx, n, unnest(range(1, n + 1)) AS i
-                  FROM f_h)),
-      f_gear AS (SELECT b, CAST(CAST('0x' ||
-                substr(md5(CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
-                AS HUGEINT) AS g
-            FROM (SELECT unnest(range(0, 256)) AS b)),
-      f_state AS MATERIALIZED (SELECT a.doc_id, a.i,
-              SUM((t.g * (CAST(1 AS HUGEINT)
-                  << CAST(a.i - c.i AS INT)))
-                % (CAST(1 AS HUGEINT) << 64))
-                % (CAST(1 AS HUGEINT) << 64) AS h
-            FROM f_by a
-            JOIN f_by c ON c.doc_id = a.doc_id
-              AND c.i BETWEEN a.i - 63 AND a.i
-            JOIN f_gear t ON t.b = c.b
-            GROUP BY 1, 2),
-      f_walk(doc_id, s) AS (
-        SELECT doc_id, CAST(0 AS BIGINT) FROM f_h WHERE n > 0
-        UNION ALL
-        SELECT w.doc_id,
-          LEAST(
-            COALESCE(MIN(CASE WHEN t.i - w.s < 16
-                AND t.h < (CAST(1 AS HUGEINT) << 59)
-                THEN t.i END), w.s + 64),
-            COALESCE(MIN(CASE WHEN t.i - w.s >= 16
-                AND t.h < (CAST(1 AS HUGEINT) << 61)
-                THEN t.i END), w.s + 64),
-            w.s + 64)
-        FROM f_walk w
-        JOIN f_h hh ON hh.doc_id = w.doc_id
-        LEFT JOIN f_state t ON t.doc_id = w.doc_id
-          AND t.i >= w.s + 8 AND t.i <= w.s + 63
-        GROUP BY w.doc_id, w.s, hh.n
-        HAVING LEAST(
-            COALESCE(MIN(CASE WHEN t.i - w.s < 16
-                AND t.h < (CAST(1 AS HUGEINT) << 59)
-                THEN t.i END), w.s + 64),
-            COALESCE(MIN(CASE WHEN t.i - w.s >= 16
-                AND t.h < (CAST(1 AS HUGEINT) << 61)
-                THEN t.i END), w.s + 64),
-            w.s + 64) < hh.n),
-      f_ch AS (SELECT doc_id, s,
-              LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS e2
-            FROM f_walk),
-      f_out AS (SELECT c.doc_id,
-              CAST(ROW_NUMBER() OVER (PARTITION BY c.doc_id
-                ORDER BY c.s) - 1 AS INT) AS chunk_idx,
-              CAST(c.s AS INT) AS "offset",
-              CAST(COALESCE(c.e2, h.n) - c.s AS INT) AS len,
-              md5(substr(h.hx, CAST(c.s * 2 + 1 AS INT),
-                CAST((COALESCE(c.e2, h.n) - c.s) * 2 AS INT)))
-                AS chunk_md5
-            FROM f_ch c JOIN f_h h USING (doc_id))
+      $fastCdcCtes
       SELECT doc_id, chunk_idx, "offset", len, chunk_md5
       FROM f_out ORDER BY doc_id, chunk_idx"""),
+    // chunk-size dispersion, gear vs FastCDC on the SAME blobs at the
+    // same target size — the variance-squeeze claim (Xia 2016 §3.3's
+    // whole point) as a declared row instead of a spec assertion:
+    // FastCDC's two-level masks must put var_bytes2 strictly below
+    // plain gear's. Exact integer moments (population variance DIV'd,
+    // mean in micro-bytes); fits 64-bit while n·Σlen² < 2^63 — chunk
+    // len is hard-capped at 64 bytes, so that holds to ~10^9 chunks,
+    // far past any declared fixture
+    "cdc_size_variance" -> (s"""
+      WITH RECURSIVE $cdcCtes,
+      $gearCdcCtes,
+      $fastCdcCtes,
+      u AS (SELECT 'fastcdc' AS variant, len FROM f_out
+            UNION ALL SELECT 'gear', len FROM g_out)
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(len) * 1000000 // COUNT(*) AS BIGINT)
+               AS mean_len_micro,
+             CAST((COUNT(*) * SUM(len * len) - SUM(len) * SUM(len))
+               // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_bytes2
+      FROM u GROUP BY variant ORDER BY variant"""),
     "cdc_dedup_report" -> (s"""
       WITH $cdcCtes,
       per AS (SELECT chunk_md5, COUNT(*) AS copies, MIN(len) AS clen
@@ -5389,6 +5522,50 @@ object SparkEntry {
       FROM rtop WHERE rnk <= 5 ORDER BY query_id, rnk ASC"""),
     // refine: the index's top-20 shortlist rescored with the exact
     // cosine — only the shortlist touches stored vectors
+    // the residual-trained chain's rtop shortlist at depth 40, exact-
+    // rescored once, cut per knob depth, scored against the brute
+    // top-5 (the ann_ivfpq_recall ex arm)
+    "ann_rerank_curve" -> (s"""
+      WITH $ivfPqResidualCtes,
+      ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY ${cosSql.format("q.embedding",
+                          "e.embedding")} DESC,
+                          e.vec_id ASC) AS rnk
+               FROM embeddings q, embeddings e
+               WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
+             WHERE rnk <= 5),
+      rrc AS (SELECT query_id, neighbor_id, rnk FROM rtop
+              WHERE rnk <= 40),
+      rre AS MATERIALIZED (SELECT c.query_id, c.neighbor_id, c.rnk,
+            ${cosSql.format("q.embedding", "n.embedding")} AS cosine
+          FROM rrc c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings n ON n.vec_id = c.neighbor_id),
+      rtop5 AS MATERIALIZED (
+        SELECT kc, query_id, neighbor_id FROM (
+          SELECT k.kc, r.query_id, r.neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY k.kc, r.query_id
+                   ORDER BY r.cosine DESC, r.neighbor_id ASC) AS rr
+          FROM (SELECT unnest([5, 10, 20, 40]) AS kc) k
+          JOIN rre r ON r.rnk <= k.kc)
+        WHERE rr <= 5),
+      rhits AS (SELECT t.kc, COUNT(*) AS h
+                FROM rtop5 t JOIN ex
+                  ON t.query_id = ex.query_id
+                 AND t.neighbor_id = ex.neighbor_id
+                GROUP BY t.kc),
+      rtot AS (SELECT COUNT(*) AS total FROM ex)
+      SELECT 'kcand' AS knob, CAST(k.kc AS BIGINT) AS knob_value,
+             CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+             CAST(rtot.total AS BIGINT) AS total,
+             CAST(COALESCE(h.h, 0) * 1000000 // rtot.total AS BIGINT)
+               AS recall_ppm
+      FROM (SELECT unnest([5, 10, 20, 40]) AS kc) k
+      LEFT JOIN rhits h ON h.kc = k.kc
+      CROSS JOIN rtot
+      ORDER BY knob_value"""),
     "ann_ivfpq_rerank" -> (s"""
       WITH $ivfPqResidualCtes,
       rrc AS (SELECT query_id, neighbor_id FROM rtop

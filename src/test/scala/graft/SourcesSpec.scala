@@ -43,11 +43,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(stats.values.forall(_ >= 0))   // no error sentinels on clean data
   }
 
-  test("listIndexes: reference column shape, zero rows for file sources") {
+  test("listIndexes: reference column shape; the implicit id-key " +
+      "index row is PROBED per collection, not assumed") {
     val idx = Tables.listIndexes(spark, dir)
     assert(idx.columns.toSeq == Seq("collection", "name", "key", "unique",
       "sparse", "background", "props"))
-    assert(idx.count() == 0)
+    val rows = idx.collect()
+    assert(rows.length == Tables.names.length)
+    val byColl = rows.map(r => r.getString(0) -> r).toMap
+    // every cell is a verified data fact: unique/sparse match a direct
+    // recomputation, props carries the exact row count
+    for (n <- Tables.names) {
+      val df = Tables.load(spark, dir, n)
+      val keys = Tables.idColumns(n)
+      val cnt = df.count()
+      val dis = df.selectExpr(
+        s"count(distinct ${keys.mkString(", ")})").head.getLong(0)
+      val nulls = df.filter(keys.map(k =>
+        org.apache.spark.sql.functions.col(k).isNull)
+        .reduce(_ || _)).count()
+      val r = byColl(n)
+      assert(r.getString(1) == keys.mkString("_") + "_")
+      assert(r.getString(2) == keys.mkString(","))
+      assert(r.getString(3) == ((dis + nulls) == cnt).toString, n)
+      assert(r.getString(4) == (nulls > 0).toString, n)
+      assert(r.getString(6) == s"rows=$cnt", n)
+    }
+    // on this data every single-column id key really is unique —
+    // and the probe is not vacuous: sf0.001's lineitem has DUPLICATE
+    // (l_orderkey, l_linenumber) pairs (the generator doesn't enforce
+    // the TPC-H pk), so the listing truthfully reports unique=false
+    // there — a fact the old empty listing could never surface
+    assert(rows.filter(_.getString(0) != "lineitem")
+      .forall(_.getString(3) == "true"))
+    assert(byColl("lineitem").getString(3) == "false")
+    assert(rows.forall(_.getString(4) == "false"))
   }
 
   test("jsonDocsCollection: round-trips through disk and parses clean") {

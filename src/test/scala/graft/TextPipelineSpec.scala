@@ -148,4 +148,58 @@ class TextPipelineSpec extends AnyFunSuite {
     val full = TextAnalysis.vocabCoverage(docs, topV = 100)
     assert(full.filter(col("n_oov") =!= 0L).count() == 0L)
   }
+
+  test("tokenizer artifact: export -> reload reproduces the trained " +
+      "merges exactly and the reloaded encoder encodes identically") {
+    val docs = Seq((1L, "aa ab aa ab ab aa"), (2L, "aa ab ba ba"),
+      (3L, "ba ba aa aa ab")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeTrain(docs, numMerges = 5,
+      minCount = 2)
+    assert(learned.nonEmpty)
+    val path = TextAnalysis.exportTokenizer(spark, learned)
+    val reloaded = TextAnalysis.loadTokenizer(spark, path)
+    assert(reloaded == learned.map(m => (m._1, m._2)))
+    val enc = docs.select(
+        TextAnalysis.bpeEncode(col("text"),
+          learned.map(m => (m._1, m._2))).as("a"),
+        TextAnalysis.bpeEncode(col("text"), reloaded).as("b"))
+      .collect()
+    assert(enc.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1)))
+  }
+
+  test("tokenizer artifact: corrupt artifacts are refused, not " +
+      "silently mis-loaded") {
+    val learned = Seq(("a", "b", 5L), ("ab", "c", 3L))
+    val path = TextAnalysis.exportTokenizer(spark, learned)
+    // version drift
+    val bad1 = java.nio.file.Files
+      .createTempDirectory("graft_tok_bad").toString
+    spark.read.parquet(path)
+      .withColumn("token", when(col("kind") === "meta", lit("v999"))
+        .otherwise(col("token")))
+      .write.mode("overwrite").parquet(bad1)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadTokenizer(spark, bad1)
+    }
+    // merge ids shuffled out of the contiguous rank order
+    val bad2 = java.nio.file.Files
+      .createTempDirectory("graft_tok_bad").toString
+    spark.read.parquet(path)
+      .withColumn("id", when(col("kind") === "merge",
+        col("id") + 1).otherwise(col("id")))
+      .write.mode("overwrite").parquet(bad2)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadTokenizer(spark, bad2)
+    }
+    // a byte-alphabet row drifted from bytes_to_unicode
+    val bad3 = java.nio.file.Files
+      .createTempDirectory("graft_tok_bad").toString
+    spark.read.parquet(path)
+      .withColumn("token", when(col("kind") === "byte_alphabet" &&
+        col("id") === 65, lit("Z")).otherwise(col("token")))
+      .write.mode("overwrite").parquet(bad3)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadTokenizer(spark, bad3)
+    }
+  }
 }

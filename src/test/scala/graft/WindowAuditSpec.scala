@@ -58,6 +58,8 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_ivfpq_residual" -> "centroid rank over limit(nlist) rows",
       "ann_ivfpq_recall" -> "centroid ranks over limit(nlist) rows",
       "ann_ivfpq_rerank" -> "centroid rank over limit(nlist) rows",
+      // the kCand knob curve rides the same trained-index build
+      "ann_rerank_curve" -> "centroid rank over limit(nlist) rows",
       "ann_ivfsq8_topk" -> "centroid rank over limit(nlist) rows",
       "ann_ivfsq8_probe1" -> "centroid rank over limit(nlist) rows",
       "ann_index_roundtrip" -> "centroid rank over limit(nlist) rows",
@@ -113,6 +115,11 @@ class WindowAuditSpec extends AnyFunSuite {
       "ann_ivfpq_residual" -> "coarse table nlist rows, ADC broadcast",
       "ann_ivfpq_recall" -> "bounded codebooks, query batch, 1-row total",
       "ann_ivfpq_rerank" -> "shortlist + query batch broadcasts",
+      // knob curves: corpus x broadcast nlist-row centroid table (the
+      // ivf routing join), the brute-force truth arm's query-batch
+      // broadcast, and the 1-row recall denominator crossJoin
+      "ann_recall_curve" -> "nlist centroids, query batch, 1-row total",
+      "ann_rerank_curve" -> "shortlist + query batch, 1-row total",
       "ann_lsh_topk" -> "query batch broadcast",
       // SQ8: corpus scan x broadcast query batch (+ the exact
       // baseline and 1-row recall total in the recall row)
