@@ -1430,6 +1430,32 @@ object SparkEntry {
       Multimodal.phashNearDups(Multimodal.synthBitmaps(
         Tables.load(s, d, "documents")
           .where(col("doc_id") % 10 === 0)))),
+    // transitive perceptual groups: the same CC stage the text and
+    // embedding pipelines use, composed over the dHash pair source —
+    // "keep one rendition per image" end to end (pairs → union-find
+    // → per-image group representative)
+    "phash_groups" -> ((s, d) =>
+      Dedup.connectedGroups(Multimodal.phashNearDups(
+        Multimodal.synthBitmaps(Tables.load(s, d, "documents")
+          .where(col("doc_id") % 10 === 0))))),
+    // the live twin: per closed daily window, every dHash pigeonhole
+    // block bucket with ≥2 members — completing the 2×2 dedup matrix
+    // (batch/live × exact-chunk/perceptual); variants inherit their
+    // base doc's synthetic hour, so each variant group collides
+    // inside one window like the text dup fixture's mirrors
+    "phash_dup_stream" -> ((s, d) => {
+      val bmps = Multimodal.synthBitmaps(
+        Tables.load(s, d, "documents")
+          .where(col("doc_id") % 10 === 0))
+      val ts = bmps.select(
+        expr("timestampadd(HOUR, CAST((id DIV 4) % 240 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("id"), col("w"), col("h"), col("bmp"))
+      graft.streaming.ProfileStream
+        .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
+          .phashDupStream(st, "ts"))
+        .orderBy("slice_start", "block_idx", "block_val")
+    }),
     // content-defined chunking of the constructed payloads: chunk
     // boundaries realign on content (md5-window rule), so shared
     // substrings chunk identically at any byte offset — the
@@ -2450,6 +2476,64 @@ object SparkEntry {
        |        $mins
        |        FROM hh GROUP BY doc_id)""".stripMargin
   }
+  /** Synthetic-bitmap dHash replay: pixel field (two multiply–
+    * xorshift rounds), 9×8 box-average cells, bit assembly — ends at
+    * `sigs(id, sig)`, the per-image 64-bit perceptual hash. Shared by
+    * `phash_near_dups` and `phash_dup_stream`. Compose as
+    * `WITH $phashSigCtes, ...`.
+    */
+  private val phashSigCtes: String = """imgs AS (
+        SELECT doc_id, v.variant,
+               CASE WHEN v.variant = 2 THEN 36 ELSE 18 END AS w,
+               CASE WHEN v.variant = 2 THEN 32 ELSE 16 END AS h
+        FROM documents, (VALUES (0), (1), (2), (3)) v(variant)
+        WHERE doc_id % 10 = 0
+      ), ys AS (
+        SELECT i.*, unnest(range(0, i.h)) AS y FROM imgs i
+      ), px AS (
+        SELECT doc_id, variant, w, h, y, unnest(range(0, w)) AS x
+        FROM ys
+      ), mixed AS (
+        SELECT doc_id, variant, w, h, x, y,
+          doc_id*1024
+            + (CASE WHEN variant = 2 THEN y//2 ELSE y END)*18
+            + (CASE WHEN variant = 2 THEN x//2 ELSE x END) AS k
+        FROM px
+      ), m1 AS (
+        SELECT *, (k * 2654435761) % 4294967296 AS h0 FROM mixed
+      ), m2 AS (
+        SELECT *, ((xor(h0, h0 >> 13)) * 1597334677) % 4294967296 AS h2
+        FROM m1
+      ), vals AS (
+        SELECT doc_id, variant, w, h, x, y,
+          (xor(h2, h2 >> 16)) % 208
+          + CASE WHEN variant = 1 THEN 16
+                 WHEN variant = 3 AND x = doc_id%18 AND y = doc_id%16
+                   THEN 48
+                 ELSE 0 END AS p
+        FROM m2
+      ), cells AS MATERIALIZED (
+        SELECT doc_id, variant, (y*8)//h AS r, (x*9)//w AS c,
+               SUM(p) // COUNT(*) AS a
+        FROM vals GROUP BY doc_id, variant, (y*8)//h, (x*9)//w
+      ), bits AS (
+        SELECT l.doc_id, l.variant, l.r*8 + l.c AS bit
+        FROM cells l JOIN cells r
+          ON l.doc_id = r.doc_id AND l.variant = r.variant
+         AND l.r = r.r AND r.c = l.c + 1
+        WHERE l.a < r.a
+      ), rawsig AS (
+        SELECT doc_id*4 + variant AS id,
+          SUM(CASE WHEN bit = 63 THEN -9223372036854775808
+              ELSE (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) END) AS v
+        FROM bits GROUP BY doc_id*4 + variant
+      ), sigs AS MATERIALIZED (
+        SELECT a.doc_id*4 + a.variant AS id,
+               CAST(COALESCE(s.v, 0) AS BIGINT) AS sig
+        FROM imgs a
+        LEFT JOIN rawsig s ON s.id = a.doc_id*4 + a.variant
+      )"""
+
   private val cosSql =
     "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
 
@@ -5202,58 +5286,8 @@ object SparkEntry {
     // errors on 1<<63), then the SAME pigeonhole 16-bit-block join
     // the engine runs (banded, so the oracle scales with bucket
     // sizes, not sigs²), exact-verified with bit_count(xor)
-    "phash_near_dups" -> ("""
-      WITH imgs AS (
-        SELECT doc_id, v.variant,
-               CASE WHEN v.variant = 2 THEN 36 ELSE 18 END AS w,
-               CASE WHEN v.variant = 2 THEN 32 ELSE 16 END AS h
-        FROM documents, (VALUES (0), (1), (2), (3)) v(variant)
-        WHERE doc_id % 10 = 0
-      ), ys AS (
-        SELECT i.*, unnest(range(0, i.h)) AS y FROM imgs i
-      ), px AS (
-        SELECT doc_id, variant, w, h, y, unnest(range(0, w)) AS x
-        FROM ys
-      ), mixed AS (
-        SELECT doc_id, variant, w, h, x, y,
-          doc_id*1024
-            + (CASE WHEN variant = 2 THEN y//2 ELSE y END)*18
-            + (CASE WHEN variant = 2 THEN x//2 ELSE x END) AS k
-        FROM px
-      ), m1 AS (
-        SELECT *, (k * 2654435761) % 4294967296 AS h0 FROM mixed
-      ), m2 AS (
-        SELECT *, ((xor(h0, h0 >> 13)) * 1597334677) % 4294967296 AS h2
-        FROM m1
-      ), vals AS (
-        SELECT doc_id, variant, w, h, x, y,
-          (xor(h2, h2 >> 16)) % 208
-          + CASE WHEN variant = 1 THEN 16
-                 WHEN variant = 3 AND x = doc_id%18 AND y = doc_id%16
-                   THEN 48
-                 ELSE 0 END AS p
-        FROM m2
-      ), cells AS MATERIALIZED (
-        SELECT doc_id, variant, (y*8)//h AS r, (x*9)//w AS c,
-               SUM(p) // COUNT(*) AS a
-        FROM vals GROUP BY doc_id, variant, (y*8)//h, (x*9)//w
-      ), bits AS (
-        SELECT l.doc_id, l.variant, l.r*8 + l.c AS bit
-        FROM cells l JOIN cells r
-          ON l.doc_id = r.doc_id AND l.variant = r.variant
-         AND l.r = r.r AND r.c = l.c + 1
-        WHERE l.a < r.a
-      ), rawsig AS (
-        SELECT doc_id*4 + variant AS id,
-          SUM(CASE WHEN bit = 63 THEN -9223372036854775808
-              ELSE (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) END) AS v
-        FROM bits GROUP BY doc_id*4 + variant
-      ), sigs AS MATERIALIZED (
-        SELECT a.doc_id*4 + a.variant AS id,
-               CAST(COALESCE(s.v, 0) AS BIGINT) AS sig
-        FROM imgs a
-        LEFT JOIN rawsig s ON s.id = a.doc_id*4 + a.variant
-      ), blocks AS (
+    "phash_near_dups" -> (s"""
+      WITH $phashSigCtes, blocks AS (
         SELECT id, sig, b.b AS bi, (sig >> (b.b*16)) & 65535 AS bv
         FROM sigs, (VALUES (0), (1), (2), (3)) b(b)
       ), cand AS (
@@ -5268,6 +5302,52 @@ object SparkEntry {
       JOIN sigs s2 ON s2.id = c.id2
       WHERE bit_count(xor(s1.sig, s2.sig)) <= 3
       ORDER BY id1, id2"""),
+    // the dedupGroupsOracle recursion over the dHash pair list (the
+    // phash_near_dups chain re-derived, hamming-verified pairs)
+    "phash_groups" -> (s"""
+      WITH RECURSIVE $phashSigCtes,
+      blocks AS (
+        SELECT id, sig, b.b AS bi, (sig >> (b.b*16)) & 65535 AS bv
+        FROM sigs, (VALUES (0), (1), (2), (3)) b(b)
+      ), cand AS (
+        SELECT DISTINCT l.id AS id1, r.id AS id2
+        FROM blocks l JOIN blocks r
+          ON l.bi = r.bi AND l.bv = r.bv AND l.id < r.id
+      ), php AS MATERIALIZED (
+        SELECT c.id1, c.id2
+        FROM cand c
+        JOIN sigs s1 ON s1.id = c.id1
+        JOIN sigs s2 ON s2.id = c.id2
+        WHERE bit_count(xor(s1.sig, s2.sig)) <= 3
+      ),
+      ed AS (SELECT id1 AS a, id2 AS b FROM php
+             UNION ALL SELECT id2, id1 FROM php),
+      reach AS (
+        SELECT a AS id, a AS x FROM ed
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN ed e ON e.a = r.x)
+      SELECT id, MIN(x) AS group_rep FROM reach GROUP BY id
+      ORDER BY id"""),
+    // the sig chain + pigeonhole blocks grouped by the synthetic
+    // daily window — the batch twin of the stream's merge-only
+    // counters (near_dup_stream's oracle shape over dHash blocks)
+    "phash_dup_stream" -> (s"""
+      WITH $phashSigCtes,
+      blocks AS (
+        SELECT id, b.b AS block_idx, (sig >> (b.b*16)) & 65535
+                 AS block_val
+        FROM sigs, (VALUES (0), (1), (2), (3)) b(b)),
+      wnd AS (SELECT id,
+              strftime(CAST(CAST(TIMESTAMP '2024-01-01 00:00:00'
+                + to_hours(CAST((id // 4) % 240 AS BIGINT)) AS DATE)
+                AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS slice_start
+            FROM sigs)
+      SELECT wnd.slice_start, b.block_idx, b.block_val,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             MIN(b.id) AS keep_id
+      FROM blocks b JOIN wnd ON wnd.id = b.id
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+      ORDER BY slice_start, block_idx, block_val"""),
     "multimodal_meta" -> ("""
       WITH p AS (
         SELECT doc_id,

@@ -940,6 +940,33 @@ object ProfileStream {
         if (dbg) q.recentProgress.foreach(p => System.err.println(
           s"[replay]   batch ${p.batchId} rows=${p.numInputRows} " +
             s"durations=${p.durationMs}"))
+        // Tripwire for the silent-truncation class found in round 14:
+        // if anything between the source and the EventTimeWatermark
+        // node suppresses the flush sentinel (e.g. a plain .filter the
+        // optimizer pushes below the watermark), the watermark stalls
+        // at max-real-ts − delay and the NEWEST window's rows silently
+        // never emit — the replay then returns a subset that LOOKS
+        // complete. The sentinel sits at 2100-01-01, so a stalled
+        // watermark is detectable by construction: fail loudly instead
+        // of returning truncated slices. Scope: only queries whose
+        // emission IS watermark-closed (a stateStoreSave aggregation) —
+        // dedupe-based stagers emit first-sight and may legitimately
+        // gate rows (sentinel included) before the watermark
+        // (curateStream's quality filter); stateless queries report no
+        // watermark at all.
+        for {
+          p <- Option(q.lastProgress)
+          wm <- Option(p.eventTime.get("watermark"))
+          if wm < "2099-01-01"
+          if p.stateOperators.exists(_.operatorName
+            .contains("stateStoreSave"))
+        } throw new IllegalStateException(
+          s"replayedSlices: final watermark $wm never reached the " +
+            "2100 flush sentinel - a transform between the source " +
+            "and the watermark node is suppressing it (pushable " +
+            "filter?); the newest window's rows would be silently " +
+            "missing. Express the drop inside a generator instead " +
+            "(see nearDupStream).")
         val out = s.table(name).filter(col("slice_start") < "2099-01-01")
         // coalesce(1): the slices are kilobytes, but a bare local
         // relation parallelizes to defaultParallelism (32 here) and
@@ -1285,6 +1312,62 @@ object ProfileStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("slice_start"),
         col("band_idx"), col("band_key"), col("n_members"),
+        col("keep_id"))
+  }
+
+  /** Live PERCEPTUAL near-dup census for binary media — the image
+    * twin of [[nearDupStream]], completing the 2×2 dedup matrix:
+    * batch exact chunk ([[graft.operators.Multimodal.cdcDedupReport]]),
+    * live exact chunk ([[cdcDedupStream]]), batch perceptual
+    * (`phash_near_dups`), live perceptual (this). Each incoming
+    * bitmap hashes ROW-LOCALLY ([[graft.functions.DHash64]] — one
+    * compiled projection, streaming-safe by construction), the 64-bit
+    * hash splits into maxDist+1 pigeonhole blocks (the
+    * [[graft.operators.Dedup.hamming64NearDups]] band keys), and
+    * closed windows emit every (block, value) bucket with ≥ 2
+    * members — "tonight's media crawl is re-encoding yesterday's
+    * images" at alarm granularity; the exact-Hamming pair list stays
+    * a batch job against the emitted buckets, like the text family.
+    *
+    * State: one (count, min-id) row per distinct block bucket per
+    * OPEN window — watermark-bounded; merge-only counters, so closed
+    * slices equal the batch per-window block census exactly. The
+    * undecodable-bitmap drop (null hash: wrong byte length) lives
+    * INSIDE the generator — the [[nearDupStream]] watermark-pushdown
+    * lesson, enforced by the replay tripwire.
+    */
+  def phashDupStream(stream: DataFrame, tsCol: String,
+                     bmpCol: String = "bmp", wCol: String = "w",
+                     hCol: String = "h", idCol: String = "id",
+                     maxDist: Int = 3,
+                     windowDur: String = "1 day",
+                     watermarkDur: String = "1 hour"): DataFrame = {
+    val nBlocks = maxDist + 1
+    require(64 % nBlocks == 0, "64 bits must split into maxDist+1")
+    val width = 64 / nBlocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val blockArr = array((0 until nBlocks).map(b =>
+      struct(lit(b).as("block_idx"),
+        shiftright(col("_sig"), b * width).bitwiseAND(mask)
+          .as("block_val"))): _*)
+    val blocksOrEmpty = when(col("_sig").isNotNull, blockArr)
+      .otherwise(array().cast(
+        "array<struct<block_idx:int,block_val:bigint>>"))
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .select(col(tsCol).as("_ts"), col(idCol).as("_id"),
+        graft.functions.DHash64.dHash64(col(bmpCol), col(wCol),
+          col(hCol)).as("_sig"))
+      .select(col("_ts"), col("_id"), explode(blocksOrEmpty).as("b"))
+      .groupBy(window(col("_ts"), windowDur),
+        col("b.block_idx").as("block_idx"),
+        col("b.block_val").as("block_val"))
+      .agg(count(lit(1)).as("n_members"), min(col("_id")).as("keep_id"))
+      .filter(col("n_members") >= 2)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col("block_idx"), col("block_val"), col("n_members"),
         col("keep_id"))
   }
 

@@ -115,4 +115,44 @@ class DHashSpec extends AnyFunSuite {
       assert(pairs.contains((d * 4 + i, d * 4 + j)),
         s"missing variant pair d=$d ($i,$j)")
   }
+
+  test("phashDupStream closed slices equal the batch per-window " +
+      "block census, including the newest window") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(d => (d, s"doc$d"))
+      .toDF("doc_id", "text")
+    val bmps = Multimodal.synthBitmaps(docs)
+    val ts = bmps.select(
+      expr("timestampadd(HOUR, CAST((id DIV 4) % 240 AS INT), " +
+        "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+      col("id"), col("w"), col("h"), col("bmp"))
+    val slices = graft.streaming.ProfileStream
+      .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
+        .phashDupStream(st, "ts"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // batch twin: same dHash, same pigeonhole blocks, same windows
+    val sig = graft.functions.DHash64
+      .dHash64(col("bmp"), col("w"), col("h"))
+    val batch = ts.select(
+        date_format(date_trunc("day", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("slice_start"),
+        col("id"), sig.as("s"))
+      .select(col("slice_start"), col("id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("block_idx"),
+            shiftright(col("s"), b * 16).bitwiseAND(65535L)
+              .as("block_val"))): _*)).as("b"))
+      .groupBy(col("slice_start"), col("b.block_idx"),
+        col("b.block_val"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep_id"))
+      .filter(col("n_members") >= 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(slices == batch && slices.nonEmpty)
+    // every doc's variant bucket (4 members within hamming <= 2 share
+    // every block at hamming 0 positions... at least one block) shows
+    // up with n_members >= 2 in its day
+    assert(slices.exists(_._4 >= 2L))
+  }
 }

@@ -984,4 +984,37 @@ class EquivalenceSpec extends AnyFunSuite {
     val day3 = slices.filter(_._1 == "2024-05-03 00:00:00")
     assert(day3.size == 4 && day3.forall(t => t._4 == 2L && t._5 == 5L))
   }
+
+  test("replay tripwire: a pushable filter that kills the flush " +
+      "sentinel below the watermark FAILS the replay loudly instead " +
+      "of silently truncating the newest window") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val docs = Seq(
+      (1L, ts("2024-05-01 01:00:00"), "alpha"),
+      (2L, ts("2024-05-03 01:00:00"), "beta"))
+      .toDF("doc_id", "ts", "text")
+    // the EXACT bug shape round 14 hit live: watermark, then a plain
+    // .filter the optimizer pushes below the EventTimeWatermark node
+    // (the sentinel's null text fails it), then a windowed aggregation
+    val ex = intercept[IllegalStateException] {
+      ProfileStream.replayedSlices(docs, "ts")(st => st
+        .withWatermark("ts", "1 hour")
+        .filter(col("text").isNotNull)
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"), col("n")))
+    }
+    assert(ex.getMessage.contains("flush sentinel"))
+    // and a dedupe-based stager that gates rows BEFORE its watermark
+    // (first-sight emission — no window ever needs closing) is NOT
+    // tripped: curateStream's shape
+    val ok = ProfileStream.replayedSlices(docs, "ts")(st =>
+      ProfileStream.curateStream(st, "ts", "text", minTokens = 1,
+        minQuality = 0.0)
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"), col("doc_id")))
+    assert(ok.count() >= 0) // completes without the tripwire
+  }
 }
