@@ -935,6 +935,34 @@ object SparkEntry {
             .as("roundtrip_ok"))
         .orderBy("doc_id")
     }),
+    // the byte-level chain with CORPUS-LEARNED merges — the remaining
+    // corner of the tokenizer story: r13's bpe_bytelevel_roundtrip
+    // proved totality under FIXTURE merges; this trains in alphabet
+    // space (pre-tokenization on the mapped text, the stated
+    // deviation), so the production loop — train on tonight's shard,
+    // encode any bytes, decode losslessly — runs end to end with no
+    // fixture anywhere. Same planted suffix (multi-byte UTF-8, emoji,
+    // double space) exercising every totality class
+    "bpe_bytelevel_trained" -> ((s, d) => {
+      import graft.functions.{ByteAlphabet, ByteBpe}
+      val fx = Tables.load(s, d, "documents")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" café 日本語 " +
+            "😀  x")).as("t0"))
+      val mapped = fx.select(col("doc_id"),
+        ByteAlphabet.byteToUnicode(col("t0")).as("m0"))
+      val learned = TextAnalysis.bpeTrain(mapped, textCol = "m0")
+        .map(m => (m._1, m._2))
+      fx.select(col("doc_id"), col("t0"),
+          ByteBpe.bpeEncode(ByteAlphabet.byteToUnicode(col("t0")),
+            learned).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          (ByteAlphabet.unicodeToByte(ByteBpe.bpeDecode(col("ids"),
+            learned)) === col("t0")).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
     "bpe_train" -> ((s, d) => {
       import s.implicits._
       TextAnalysis.bpeTrain(Tables.load(s, d, "documents"))
@@ -4445,6 +4473,123 @@ object SparkEntry {
     // counting recursion identical to bpeCtes but with the merge-key
     // list built from the TRAINING chain's log instead of the fixture
     // literal
+    // the full byte-level production loop replayed: derive the
+    // 256-entry alphabet, map the suffixed subset, run the Sennrich
+    // training recursion over MAPPED pre-tokens (census cut, pair
+    // argmax with lexicographic ties, LTR fusion via the sentinel
+    // replace), then encode under the LEARNED merge list, rebuild,
+    // unmap to bytes and hex-compare — no fixture merges anywhere
+    "bpe_bytelevel_trained" -> (s"""
+      WITH RECURSIVE
+      blt_fx AS (SELECT doc_id, text || ' café 日本語 😀  x' AS t0
+            FROM documents WHERE doc_id % 10 = 0),
+      blt_mt AS (SELECT b, CASE WHEN kept THEN b
+                ELSE 57344 + (ROW_NUMBER() OVER (PARTITION BY kept
+                  ORDER BY b) - 1) END AS cp
+            FROM (SELECT b, (b BETWEEN 33 AND 126)
+                    OR (b BETWEEN 161 AND 172)
+                    OR (b BETWEEN 174 AND 255) AS kept
+                  FROM (SELECT unnest(range(0, 256)) AS b))),
+      blt_by AS MATERIALIZED (SELECT doc_id, i,
+              CAST('0x' || substr(hx, CAST((i - 1) * 2 + 1 AS INT),
+                2) AS INT) AS b
+            FROM (SELECT doc_id, hex(encode(t0)) AS hx,
+                    unnest(range(1,
+                      octet_length(encode(t0)) + 1)) AS i
+                  FROM blt_fx)),
+      blt_ms AS MATERIALIZED (SELECT doc_id,
+              string_agg(chr(CAST(mt.cp AS INT)), '' ORDER BY i)
+                AS m0
+            FROM blt_by JOIN blt_mt mt USING (b) GROUP BY doc_id),
+      blt_init AS MATERIALIZED (
+        SELECT list_aggregate(list_transform(
+                 regexp_extract_all(w, '(?s).'),
+                 c -> chr(2) || c || chr(3)), 'string_agg', '') AS enc,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM (SELECT w, COUNT(*) AS cnt FROM (
+                SELECT unnest(regexp_extract_all(m0,
+                  ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS w
+                FROM blt_ms) GROUP BY w
+              ORDER BY cnt DESC, w
+              LIMIT ${operators.TextAnalysis.defaultMaxVocab})),
+      blt_bt(it, enc, cnt, a, b, pc) AS (
+        SELECT 0, enc, cnt, CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        FROM blt_init
+        UNION ALL
+        SELECT blt_bt.it + 1,
+          replace(blt_bt.enc,
+            chr(2) || bp.a || chr(3) || chr(2) || bp.b || chr(3),
+            chr(2) || bp.a || bp.b || chr(3)),
+          blt_bt.cnt, bp.a, bp.b, bp.pc
+        FROM blt_bt, (
+          SELECT a, b, CAST(SUM(pc) AS BIGINT) AS pc FROM (
+            SELECT syms[i] AS a, syms[i + 1] AS b, cnt AS pc
+            FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+                  FROM (SELECT cnt, string_split(
+                          substr(enc, 2, length(enc) - 2),
+                          chr(3) || chr(2)) AS syms FROM blt_bt)))
+          GROUP BY a, b HAVING SUM(pc) >= 2
+          ORDER BY SUM(pc) DESC, a, b LIMIT 1) bp
+        WHERE blt_bt.it < 25),
+      blt_lm AS MATERIALIZED (SELECT
+              list(a || chr(1) || b ORDER BY rank) AS mk,
+              list(a || b ORDER BY rank) AS pr
+            FROM (SELECT DISTINCT it AS rank, a, b FROM blt_bt
+                  WHERE it >= 1)),
+      blt_pos AS (SELECT doc_id, i, ws[i] AS w
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+                FROM (SELECT doc_id, regexp_extract_all(m0,
+                    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+') AS ws
+                  FROM blt_ms))),
+      blt_wi AS MATERIALIZED (SELECT w,
+              regexp_extract_all(w, '(?s).') AS syms
+            FROM (SELECT DISTINCT w FROM blt_pos)),
+      blt_bpe(w, syms) AS (
+        SELECT w, syms FROM blt_wi
+        UNION ALL
+        SELECT w, syms[1:pos-1] || [syms[pos] || syms[pos+1]]
+                  || syms[pos+2:]
+        FROM (
+          SELECT w, syms, list_position(ranks, list_min(ranks)) AS pos
+          FROM (SELECT w, syms,
+                  list_transform(range(1, len(syms)),
+                    i -> nullif(list_position(blt_lm.mk,
+                      syms[i] || chr(1) || syms[i+1]), 0)) AS ranks
+                FROM blt_bpe, blt_lm)
+        ) WHERE pos IS NOT NULL AND pos > 0),
+      blt_fin AS MATERIALIZED (SELECT w, arg_min(syms, len(syms))
+            AS syms
+          FROM blt_bpe GROUP BY w),
+      blt_tok AS MATERIALIZED (SELECT doc_id, i, j,
+          CAST(CASE WHEN length(syms[j]) = 1 THEN unicode(syms[j])
+               ELSE 255 + list_position(blt_lm.pr, syms[j])
+               END AS INT) AS token_id
+          FROM (SELECT doc_id, i, syms,
+                  unnest(range(1, len(syms) + 1)) AS j
+                FROM blt_pos JOIN blt_fin USING (w)), blt_lm),
+      blt_dec AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_tokens,
+            string_agg(CASE WHEN token_id >= 256
+                AND token_id <= 255 + len(blt_lm.pr)
+              THEN blt_lm.pr[token_id - 255]
+              ELSE chr(token_id) END, '' ORDER BY i, j) AS rebuilt
+          FROM blt_tok, blt_lm GROUP BY doc_id),
+      blt_ub AS (SELECT doc_id,
+            string_agg(lpad(hex(mt.b), 2, '0'), '' ORDER BY k)
+              AS rhex
+          FROM (SELECT doc_id,
+                  unnest(range(1, length(rebuilt) + 1)) AS k,
+                  rebuilt
+                FROM blt_dec) r
+          JOIN blt_mt mt
+            ON mt.cp = unicode(substr(r.rebuilt, CAST(k AS INT), 1))
+          GROUP BY doc_id)
+      SELECT f.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+             (u.rhex = hex(encode(f.t0))) AS roundtrip_ok
+      FROM blt_fx f
+      JOIN blt_dec d USING (doc_id)
+      JOIN blt_ub u USING (doc_id)
+      ORDER BY f.doc_id"""),
     // the token_budget_trained training+encode replay, per doc on the
     // 1-in-10 subset; reload_match is the artifact roundtrip contract
     // (true whenever export→reload reproduces the trained merges —
