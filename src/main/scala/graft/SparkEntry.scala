@@ -1442,6 +1442,28 @@ object SparkEntry {
       Dedup.connectedGroups(Similarity.embeddingNearDups(
         Tables.load(s, d, "embeddings"), threshold = 0.5,
         tables = 16, planesPerTable = 6))),
+    // SEMANTIC decontamination: train embeddings within cosine ≥ 0.5
+    // of any held-out embedding — the paraphrase leak the 8-gram
+    // family can't see; train × test bucket join only (no train-train
+    // work), test buckets broadcast. Same md5-prefix split as the
+    // n-gram decontamination rows. The synthetic corpus has NO
+    // natural cross-split pair above 0.5 (measured max 0.47 at
+    // sf0.01), so the test side carries PLANTED paraphrase leaks —
+    // every 25th train vector re-enters under an offset id (identical
+    // meaning vector, zero shared ids) — the dup_groups_stream
+    // planted-fixture precedent; each must be found at cosine 1.0
+    "semantic_decontam" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val isTest = substring(md5(col("vec_id").cast("string")), 1, 1)
+        .isin("0", "1")
+      val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val train = e.filter(!isTest)
+      val planted = train.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+      Similarity.semanticDecontam(train,
+        e.filter(isTest).select(col("vec_id"), col("embedding"))
+          .unionByName(planted))
+    }),
     // — multimodal plumbing (binary columns + typed metadata) —
     "multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.load(s, d, "documents"))),
@@ -5895,6 +5917,37 @@ object SparkEntry {
     "embedding_near_dups" -> (s"""
       WITH $lshNearDupCtes
       SELECT id1, id2, score FROM p ORDER BY id1, id2"""),
+    // the lshTbCte bucket table over train ∪ (test + planted
+    // paraphrases), joined train-side × test-side only, exact-cosine
+    // verified — no train-train pairs
+    "semantic_decontam" -> (s"""
+      WITH ebase AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings),
+      sd_off AS (SELECT MAX(vec_id) + 1 AS o FROM ebase),
+      sd_tr AS MATERIALIZED (SELECT vec_id, embedding FROM ebase
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+          NOT IN ('0', '1')),
+      sd_te AS MATERIALIZED (
+        SELECT vec_id, embedding FROM ebase
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        UNION ALL
+        SELECT t.vec_id + sd_off.o, t.embedding
+        FROM sd_tr t, sd_off WHERE t.vec_id % 25 = 0),
+      e AS MATERIALIZED (SELECT * FROM sd_tr
+                         UNION ALL SELECT * FROM sd_te),
+      ${lshTbCte(16, 6).replace("tb AS (", "tb AS MATERIALIZED (")},
+      sd_cand AS MATERIALIZED (
+        SELECT DISTINCT a.vec_id AS train_id, b.vec_id AS test_id
+        FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket
+        WHERE a.vec_id IN (SELECT vec_id FROM sd_tr)
+          AND b.vec_id IN (SELECT vec_id FROM sd_te)),
+      sd_sc AS (SELECT train_id, test_id,
+               ${cosSql.format("e1.embedding", "e2.embedding")} AS score
+             FROM sd_cand
+             JOIN e e1 ON e1.vec_id = train_id
+             JOIN e e2 ON e2.vec_id = test_id)
+      SELECT train_id, test_id, score FROM sd_sc
+      WHERE score >= 0.5 ORDER BY train_id, test_id"""),
     "embedding_near_dups_exact" -> (s"""
       SELECT id1, id2, score FROM (
         SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -476,6 +476,44 @@ object Similarity {
       .orderBy("id1", "id2")
   }
 
+  /** SEMANTIC decontamination: training documents whose EMBEDDING
+    * lands within cosine ≥ threshold of any held-out/benchmark
+    * embedding — the paraphrase-leak catcher the n-gram family
+    * ([[graft.operators.Dedup.decontaminate]] /
+    * `decontaminateBloomAgainst`) cannot see: a reworded benchmark
+    * item shares no 8-gram yet keeps its meaning vector. Candidates
+    * come from the SAME md5-hyperplane LSH tables as
+    * [[embeddingNearDups]], but the bucket join is train × test
+    * ONLY — no train-train or test-test pair work (the self-join
+    * variant wastes its quadratic budget on pairs nobody asked
+    * about). At 100 TB the test side is benchmark-sized by
+    * definition, so its bucket table BROADCASTS and the corpus pays
+    * one scan plus a bucket probe — the Bloom-decontamination shape
+    * with buckets in place of gram bits. Emits exact-verified
+    * evidence rows (train_id, test_id, score), the `decontaminate`
+    * contract; the cut is the caller's anti-join on train_id.
+    */
+  def semanticDecontam(train: DataFrame, test: DataFrame,
+                       threshold: Double = 0.5,
+                       tables: Int = 16, planesPerTable: Int = 6,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       dim: Int = 64): DataFrame = {
+    def buckets(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+          explode(lshTables(col(vecCol), tables, planesPerTable, dim))
+            .as("tb"))
+        .select(col(idAs), col(vecAs), col("tb.tbl"), col("tb.bucket"))
+    val l = buckets(graft.util.Utils.spread(train), "train_id", "v1")
+    val r = broadcast(buckets(test, "test_id", "v2"))
+    l.join(r, Seq("tbl", "bucket"))
+      .withColumn("score", cosine(col("v1"), col("v2")))
+      .filter(col("score") >= threshold)
+      .select(col("train_id"), col("test_id"), col("score"))
+      .distinct()   // candidates repeat across tables; scalar-only
+      .orderBy("train_id", "test_id")
+  }
+
   /** Collects a labeled reference set for [[labelVoteColumns]] — the
     * index-building contract (`decontaminateBloomAgainst` precedent):
     * one bounded driver collect of the SMALL side, shipped to every

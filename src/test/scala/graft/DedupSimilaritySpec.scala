@@ -1026,4 +1026,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val b = Similarity.ivfPqTopKTrained(e, q, k = 5).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("semanticDecontam: planted paraphrase leaks are all found " +
+      "at cosine 1.0; output never contains train-train pairs") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isTest = substring(md5(col("vec_id").cast("string")), 1, 1)
+      .isin("0", "1")
+    val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val train = e.filter(!isTest)
+    // every 10th train vector re-enters as a "paraphrase" (identical
+    // meaning vector, fresh id) — an LSH-guaranteed leak: identical
+    // vectors share every bucket in every table
+    val plantedSrc = train.filter(col("vec_id") % 10 === 0)
+    val planted = plantedSrc
+      .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    val test = e.filter(isTest)
+      .select(col("vec_id"), col("embedding")).unionByName(planted)
+    val got = Similarity.semanticDecontam(train, test).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val trainIds = train.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val testIds = test.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    // sides are respected: train_id from train, test_id from test
+    assert(got.forall(t => trainIds(t._1) && testIds(t._2)))
+    // every planted leak is evidence at exactly cosine 1.0
+    val plantedPairs = plantedSrc.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + off)).toSet
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    assert(plantedPairs.subsetOf(gotPairs), "missed a planted leak")
+    assert(got.filter(t => plantedPairs((t._1, t._2)))
+      .forall(_._3 == 1.0))
+  }
 }
