@@ -138,10 +138,16 @@ object Bench {
     }
 
     /** One full measurement pass. Returns per-query
-      * (name, runs, loadavgs, calibration) in query order.
+      * (name, runs, loadavgs, calibration) in query order, plus THIS
+      * pass's failure map — failures are adjudicated per pass, so a
+      * query that failed only in a load-rejected pass cannot carry a
+      * stale error (or the -1 sentinel) into an artifact whose
+      * numbers came from a clean re-run.
       */
-    def pass(): Seq[(String, Seq[Double], Seq[Double], Double)] =
-      selected.toSeq.map { case (name, fn) =>
+    def pass(): (Seq[(String, Seq[Double], Seq[Double], Double)],
+                 Map[String, String]) = {
+      failures.clear()
+      val rows = selected.toSeq.map { case (name, fn) =>
         // GC BEFORE the probe: leftover garbage from the previous
         // query must bill neither the probe nor this query
         System.gc()
@@ -173,6 +179,8 @@ object Bench {
           else two
         (name, times, Seq(l0, loadAvg()), calib)
       }
+      (rows, failures.toMap)
+    }
 
     def median(xs: Seq[Double]): Double = {
       if (xs.isEmpty) return 0.0
@@ -190,7 +198,7 @@ object Bench {
     // self-describing either way.
     val maxPasses = sys.env.get("SPARK_GRAFT_MAX_PASSES")
       .map(_.toInt).getOrElse(3)
-    var results = pass()
+    var (results, passFailures) = pass()
     var calMed = median(results.map(_._4))
     var nPasses = 1
     while (calMed > calmRefSec * gateTol && nPasses < maxPasses) {
@@ -198,9 +206,11 @@ object Bench {
         f"$calMed%.3fs > ${calmRefSec * gateTol}%.3fs gate - " +
         "re-running full pass after 60s")
       Thread.sleep(60000)
-      val again = pass()
+      val (again, againFailures) = pass()
       val againMed = median(again.map(_._4))
-      if (againMed < calMed) { results = again; calMed = againMed }
+      if (againMed < calMed) {
+        results = again; passFailures = againFailures; calMed = againMed
+      }
       nPasses += 1
     }
     val polluted = calMed > calmRefSec * gateTol
@@ -208,7 +218,7 @@ object Bench {
     // failed queries carry a -1.0 sentinel (never a near-zero wall time
     // that reads as a speedup) and are excluded from the total
     val best = results.map { case (k, v, _, _) =>
-      k -> (if (failures.contains(k)) -1.0 else v.min)
+      k -> (if (passFailures.contains(k)) -1.0 else v.min)
     }
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -242,11 +252,11 @@ object Bench {
     // on 198 shared queries) and the distinction lived only in SCALE.md
     // prose — this field makes the comparison rule machine-checkable:
     // only diff artifacts whose "method" matches.
-    val errsJson = failures.map { case (k, m) =>
+    val errsJson = passFailures.map { case (k, m) =>
       s"\"" + k + "\":\"" + m + "\""
     }.mkString("{", ",", "}")
     val calibMeta =
-      s""""method":"noop","nerrors":${failures.size},""" +
+      s""""method":"noop","nerrors":${passFailures.size},""" +
       s""""errors":$errsJson,""" +
       s""""calib_median":$calStr,"calib_ref":$refStr,""" +
       s""""calib_polluted":$polluted,"calib_passes":$nPasses"""

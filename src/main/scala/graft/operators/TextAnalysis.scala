@@ -182,7 +182,10 @@ object TextAnalysis {
     * byte-level deployment reloads the same mapping it trained with),
     * the ranked merge list with ids continuing the base space
     * (id = 255 + rank), and a version row. Returns the directory
-    * written. `dir` defaults to a JVM-local temp dir for tests; a
+    * written. `dir` defaults to a staging-REGISTERED temp dir
+    * ([[graft.util.Utils.registeredTempDir]] — reclaimed by
+    * clearStaging like every session-scoped artifact, so repeated
+    * verify/bench invocations cannot accrete orphan dirs); a
     * production caller passes an object-store path — the artifact is
     * kilobytes, written once, broadcast-read by every executor that
     * compiles the encoder.
@@ -191,8 +194,8 @@ object TextAnalysis {
                       merges: Seq[(String, String, Long)],
                       dir: Option[String] = None): String = {
     import spark.implicits._
-    val path = dir.getOrElse(java.nio.file.Files
-      .createTempDirectory("graft_tokenizer").toString + "/bpe")
+    val path = dir.getOrElse(graft.util.Utils
+      .registeredTempDir("tokenizer", spark) + "/bpe")
     val meta = Seq(("meta", -1L, -1L, "", "", tokenizerVersion, -1L))
     val alphabet = (0 until 256).map(i =>
       ("alphabet", i.toLong, -1L, "", "", i.toChar.toString, -1L))

@@ -88,6 +88,23 @@ object Utils {
   // clearCache() for the persist->stage migration) without deleting
   // files another session's still-lazy plans read; swept at JVM exit
   // as a backstop
+  /** A JVM-local temp dir REGISTERED with the staging sweeper, so
+    * [[clearStaging]] (and the exit hook) reclaim it exactly like
+    * [[stage]]'s auto-created dirs — for small session-scoped
+    * artifacts (tokenizer exports) whose default home is a temp path.
+    * The caller must fully CONSUME the artifact before the next
+    * clearStaging point (the stage() contract); production callers
+    * pass their own durable dir and own its lifetime instead.
+    */
+  def registeredTempDir(tag: String,
+                        spark: org.apache.spark.sql.SparkSession)
+      : String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_$tag").toString
+    staged.put(d, sessionKey(spark))
+    d
+  }
+
   private val staged = new java.util.concurrent.ConcurrentHashMap[
     String, String]()
   private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0L)
