@@ -150,9 +150,47 @@ class DHashSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     assert(slices == batch && slices.nonEmpty)
-    // every doc's variant bucket (4 members within hamming <= 2 share
-    // every block at hamming 0 positions... at least one block) shows
-    // up with n_members >= 2 in its day
+    // variant groups (hamming <= 2 within a doc) share at least one
+    // 16-bit block by pigeonhole, so their bucket rows surface
     assert(slices.exists(_._4 >= 2L))
+  }
+
+  test("randomized model check (seeded): on random bitmaps, brightness " +
+      "shift flips 0 bits, pixel-doubling flips 0 bits, any one-pixel " +
+      "edit flips <= 2 bits, and evalBitmap matches a naive model") {
+    val rnd = new scala.util.Random(20260815L)
+    def naive(px: Array[Int], w: Int, h: Int): Long = {
+      val avg = Array.tabulate(8, 9) { (r, c) =>
+        val (y0, y1) = (r * h / 8, (r + 1) * h / 8)
+        val (x0, x1) = (c * w / 9, (c + 1) * w / 9)
+        val cells = for (y <- y0 until y1; x <- x0 until x1)
+          yield px(y * w + x).toLong
+        cells.sum / cells.size
+      }
+      (for (r <- 0 until 8; c <- 0 until 8
+            if avg(r)(c) < avg(r)(c + 1))
+        yield 1L << (r * 8 + c)).foldLeft(0L)(_ | _)
+    }
+    for (_ <- 1 to 25) {
+      // dims multiples of 9/8 (the upscale-invariance precondition),
+      // pixel values leave headroom for the +16 / +48 edits
+      val w = 9 * (rnd.nextInt(3) + 1)
+      val h = 8 * (rnd.nextInt(3) + 1)
+      val px = Array.fill(w * h)(rnd.nextInt(208))
+      def bytes(p: Array[Int]) = p.map(_.toByte)
+      val base = DHash64.evalBitmap(bytes(px), w, h)
+      assert(base == naive(px, w, h), s"model mismatch at ${w}x$h")
+      assert(base == DHash64.evalBitmap(
+        bytes(px.map(_ + 16)), w, h), "brightness")
+      val up = Array.tabulate(2 * w * 2 * h)(i =>
+        px((i / (2 * w) / 2) * w + (i % (2 * w)) / 2))
+      assert(base == DHash64.evalBitmap(bytes(up), 2 * w, 2 * h),
+        "upscale")
+      val (sx, sy) = (rnd.nextInt(w), rnd.nextInt(h))
+      val sp = px.clone(); sp(sy * w + sx) += 48
+      val d = java.lang.Long.bitCount(
+        base ^ DHash64.evalBitmap(bytes(sp), w, h))
+      assert(d <= 2, s"speckle at ($sx,$sy) flipped $d bits")
+    }
   }
 }
