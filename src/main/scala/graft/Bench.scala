@@ -117,9 +117,11 @@ object Bench {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
+        // sweep ALL control chars (not just \n\r\t): any byte <0x20
+        // in an exception message would emit invalid JSON (r14 ADVICE)
         failures.getOrElseUpdate(name,
           (Option(e.getMessage).getOrElse(e.getClass.getName))
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160))
         System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9

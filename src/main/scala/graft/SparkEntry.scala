@@ -1480,6 +1480,20 @@ object SparkEntry {
       Multimodal.phashNearDups(Multimodal.synthBitmaps(
         Tables.load(s, d, "documents")
           .where(col("doc_id") % 10 === 0)))),
+    // suppressed-recall visibility for the banded pair generator
+    // (r14 ADVICE): the census of pigeonhole buckets a maxBucket=2
+    // cap WOULD exclude on this corpus — non-zero-distance pairs
+    // confined to those buckets are the documented recall loss, and
+    // this row makes the loss a queryable data fact instead of a
+    // scaladoc caveat (empty ⟺ the cap never fires ⟺ exhaustive).
+    // The knob is deliberately TIGHT (every variant group's identical
+    // base/brightness/upscale sigs fill a 3-deep bucket in all four
+    // blocks) so the audit row is non-vacuous at every SF — the
+    // production pair rows above run uncapped (maxBucket=100000)
+    "phash_capped_buckets" -> ((s, d) =>
+      Dedup.hamming64CappedBuckets(Multimodal.phashSigs(
+        Multimodal.synthBitmaps(Tables.load(s, d, "documents")
+          .where(col("doc_id") % 10 === 0))), maxBucket = 2)),
     // transitive perceptual groups: the same CC stage the text and
     // embedding pipelines use, composed over the dHash pair source —
     // "keep one rendition per image" end to end (pairs → union-find
@@ -2544,10 +2558,14 @@ object SparkEntry {
         SELECT doc_id, variant, w, h, y, unnest(range(0, w)) AS x
         FROM ys
       ), mixed AS (
+        -- mod-2^31 reduction before the multiply mirrors
+        -- Multimodal.pix (identity at tested doc_ids; prevents
+        -- BIGINT overflow past doc_id ~3.4M — r14 ADVICE)
         SELECT doc_id, variant, w, h, x, y,
-          doc_id*1024
+          ((doc_id % 2147483648)*1024
             + (CASE WHEN variant = 2 THEN y//2 ELSE y END)*18
-            + (CASE WHEN variant = 2 THEN x//2 ELSE x END) AS k
+            + (CASE WHEN variant = 2 THEN x//2 ELSE x END))
+            % 2147483648 AS k
         FROM px
       ), m1 AS (
         SELECT *, (k * 2654435761) % 4294967296 AS h0 FROM mixed
@@ -5469,6 +5487,16 @@ object SparkEntry {
       JOIN sigs s2 ON s2.id = c.id2
       WHERE bit_count(xor(s1.sig, s2.sig)) <= 3
       ORDER BY id1, id2"""),
+    // the pigeonhole-block census above the cap — the suppressed-
+    // recall audit replayed from the same sig chain
+    "phash_capped_buckets" -> (s"""
+      WITH $phashSigCtes
+      SELECT CAST(b.b AS BIGINT) AS block_idx,
+             (sig >> (b.b*16)) & 65535 AS block_val,
+             COUNT(*) AS bucket_n
+      FROM sigs, (VALUES (0), (1), (2), (3)) b(b)
+      GROUP BY 1, 2 HAVING COUNT(*) > 2
+      ORDER BY block_idx, block_val"""),
     // the dedupGroupsOracle recursion over the dHash pair list (the
     // phash_near_dups chain re-derived, hamming-verified pairs)
     "phash_groups" -> (s"""

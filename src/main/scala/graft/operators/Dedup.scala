@@ -690,6 +690,17 @@ object Dedup {
     * verifying against an exhaustive oracle set it above their corpus
     * so the cap provably never fires. Emits (id1, id2, hamming ≤
     * maxDist), id1 < id2. 64 must divide into maxDist+1 even blocks.
+    *
+    * RECALL ASYMMETRY UNDER THE CAP (r14 ADVICE, stated plainly):
+    * the hot-bucket escape restores ONLY hamming-0 (identical-
+    * signature) chain links. A genuine near-dup pair at distance
+    * 1..maxDist whose EVERY shared block lands in a >maxBucket bucket
+    * is silently dropped — the cap trades that tail of recall for a
+    * bound on quadratic bucket work. The loss is observable, not
+    * blind: [[hamming64CappedBuckets]] emits the capped-bucket census
+    * for the same (sigs, maxDist, maxBucket), so a caller can see
+    * exactly which blocks saturated and how many signatures sit in
+    * the suppressed region before trusting the pair list.
     */
   def hamming64NearDups(sigs: DataFrame, idCol: String = "id",
                         sigCol: String = "sig", maxDist: Int = 3,
@@ -740,6 +751,39 @@ object Dedup {
     pairsBnd.unionByName(hotPairs2)
       .distinct()
       .orderBy("id1", "id2")
+  }
+
+  /** Suppressed-recall visibility for [[hamming64NearDups]]: the
+    * census of pigeonhole buckets the cap EXCLUDED from pair
+    * generation — one row per (block_idx, block_val) with bucket_n >
+    * maxBucket, carrying the member count. Empty ⟺ the cap never
+    * fired ⟺ the pair list is exhaustive within maxDist; non-empty
+    * rows locate exactly where non-zero-distance pairs may have been
+    * lost (the asymmetry documented on [[hamming64NearDups]]). One
+    * explode + one groupBy — strictly cheaper than the pair job it
+    * audits, so running it alongside is never the bottleneck.
+    */
+  def hamming64CappedBuckets(sigs: DataFrame, idCol: String = "id",
+                             sigCol: String = "sig", maxDist: Int = 3,
+                             maxBucket: Int = 1000): DataFrame = {
+    val nBlocks = maxDist + 1
+    require(64 % nBlocks == 0, s"64 bits must split evenly into " +
+      s"${nBlocks} blocks (maxDist+1)")
+    val width = 64 / nBlocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val blocks = (0 until nBlocks).map(b =>
+      struct(lit(b).as("block_idx"),
+        shiftright(col(sigCol), b * width).bitwiseAND(mask)
+          .as("block_val")))
+    sigs.select(col(idCol).as("id"), col(sigCol).as(sigCol))
+      .filter(col(sigCol).isNotNull)
+      .select(explode(array(blocks: _*)).as("blk"))
+      .select(col("blk.block_idx").cast(LongType).as("block_idx"),
+        col("blk.block_val"))
+      .groupBy("block_idx", "block_val")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .orderBy("block_idx", "block_val")
   }
 
   /** Transitive near-dup groups from a pair list: each node labeled

@@ -161,9 +161,16 @@ object Multimodal {
     * pseudo-random field per (doc, pixel), every step EXACT integer
     * arithmetic so a SQL oracle replays it bit-for-bit: two
     * multiply–xorshift mixing rounds (the classic 32-bit integer-hash
-    * recipe) over k = d·1024 + y·18 + x, then mod 208. All
-    * intermediates stay below 2^62 (no 64-bit wrap, so engines that
-    * ERROR on BIGINT overflow — DuckDB — replay it too). Range
+    * recipe) over k = (d·1024 + y·18 + x) reduced mod 2^31, then
+    * mod 208. The mod-2^31 reduction BEFORE the first multiply keeps
+    * every intermediate below 2^62.6 at ANY doc_id (r14 ADVICE: the
+    * unreduced k·2654435761 wraps int64 — silently in Spark, as an
+    * ERROR in DuckDB — once doc_id exceeds ~3.4M; note the advised
+    * mod 2^32 is NOT enough, (2^32−1)·2654435761 ≈ 2^63.3 still
+    * wraps, hence 2^31: first round < 2^62.4, second round
+    * < 2^32·1597334677 ≈ 2^62.6). At the tested scale factors
+    * (doc_id ≤ 5000 ⇒ k < 2^23) the reduction is the identity, so
+    * every previously verified hash is bit-unchanged. Range
     * [0, 207] leaves headroom for the +16 brightness and +48 speckle
     * variants without byte overflow. A single multiplicative round is
     * NOT enough: it is a Weyl sequence — every doc sees the same slow
@@ -172,8 +179,9 @@ object Multimodal {
     * (measured: 0 cross-doc pairs at 20k signatures).
     */
   private def pix(d: Column, x: Column, y: Column): Column = {
+    val m31 = lit(2147483648L)
     val m32 = lit(4294967296L)
-    val k = d * 1024L + y * 18L + x
+    val k = ((d % m31) * 1024L + y * 18L + x) % m31
     val h0 = (k * lit(2654435761L)) % m32
     val h1 = h0.bitwiseXOR(shiftright(h0, 13))
     val h2 = (h1 * lit(1597334677L)) % m32
@@ -229,14 +237,21 @@ object Multimodal {
     * family does.
     */
   def phashNearDups(bitmaps: DataFrame, maxDist: Int = 3,
-                    maxBucket: Int = 100000): DataFrame = {
-    val sigs = graft.util.Utils.spread(bitmaps)
+                    maxBucket: Int = 100000): DataFrame =
+    Dedup.hamming64NearDups(phashSigs(bitmaps), maxDist = maxDist,
+      maxBucket = maxBucket)
+
+  /** The row-local dHash signature pass of [[phashNearDups]] alone —
+    * (id, sig) from a bitmap table. Exposed so the capped-bucket
+    * audit ([[Dedup.hamming64CappedBuckets]]) and the staged-fixture
+    * bench path share the exact signature expression with the pair
+    * generator.
+    */
+  def phashSigs(bitmaps: DataFrame): DataFrame =
+    graft.util.Utils.spread(bitmaps)
       .select(col("id"),
         graft.functions.DHash64.dHash64(col("bmp"), col("w"), col("h"))
           .as("sig"))
-    Dedup.hamming64NearDups(sigs, maxDist = maxDist,
-      maxBucket = maxBucket)
-  }
 
   /** Content-defined chunk table of a binary column: one row per
     * (blob, chunk) with exact offsets and the chunk content hash —

@@ -133,27 +133,52 @@ object Tables {
     */
   def listIndexes(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    val rows = names.filter(n => new java.io.File(s"$dir/$n.parquet")
-        .exists()).map { n =>
+    val rows = names.map { n =>
       val keys = idColumns(n)
-      val df = load(spark, dir, n)
-      df.agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct(c(keys.head), keys.tail.map(c): _*)
-            .as("n_distinct"),
-          sum(when(keys.map(k => c(k).isNull)
-            .reduce(_ || _), 1L).otherwise(0L)).as("n_nullkey"))
-        .select(
+      // a missing collection emits a SENTINEL row, never a silent
+      // drop: the listing's shape is always one row per catalog
+      // collection, so an engine/oracle row-count divergence can't
+      // hide behind an absent file (r14 ADVICE); `props='missing'`
+      // makes the gap a visible data fact instead of an exception
+      // (a listing is a diagnostic — it should report broken state,
+      // not die on it; the same contract as collectionStats'
+      // error-tolerant footer probe)
+      if (!new java.io.File(s"$dir/$n.parquet").exists())
+        spark.range(1).select(
           lit(n).as("collection"),
           lit(keys.mkString("_") + "_").as("name"),
           lit(keys.mkString(",")).as("key"),
-          // a null-keyed row is never countable as a duplicate witness
-          (c("n_distinct") + c("n_nullkey") === c("n_rows"))
-            .cast("string").as("unique"),
-          (c("n_nullkey") > 0).cast("string").as("sparse"),
+          lit("unknown").as("unique"),
+          lit("unknown").as("sparse"),
           lit("false").as("background"),
-          concat(lit("rows="), c("n_rows").cast("string")).as("props"))
+          lit("missing").as("props"))
+      else {
+        val df = load(spark, dir, n)
+        df.agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(c(keys.head), keys.tail.map(c): _*)
+              .as("n_distinct"),
+            sum(when(keys.map(k => c(k).isNull)
+              .reduce(_ || _), 1L).otherwise(0L)).as("n_nullkey"))
+          .select(
+            lit(n).as("collection"),
+            lit(keys.mkString("_") + "_").as("name"),
+            lit(keys.mkString(",")).as("key"),
+            // a null-keyed row is never countable as a duplicate witness
+            (c("n_distinct") + c("n_nullkey") === c("n_rows"))
+              .cast("string").as("unique"),
+            (c("n_nullkey") > 0).cast("string").as("sparse"),
+            lit("false").as("background"),
+            concat(lit("rows="), c("n_rows").cast("string")).as("props"))
+      }
     }
-    rows.reduce(_ unionByName _).orderBy("collection")
+    // names is a non-empty constant today; the guard keeps the
+    // empty-catalog contract (empty DataFrame, same schema) explicit
+    if (rows.isEmpty)
+      spark.emptyDataFrame.select(
+        lit("").as("collection"), lit("").as("name"), lit("").as("key"),
+        lit("").as("unique"), lit("").as("sparse"),
+        lit("").as("background"), lit("").as("props"))
+    else rows.reduce(_ unionByName _).orderBy("collection")
   }
 }
