@@ -1453,16 +1453,49 @@ object SparkEntry {
     // meaning vector, zero shared ids) — the dup_groups_stream
     // planted-fixture precedent; each must be found at cosine 1.0
     "semantic_decontam" -> ((s, d) => {
+      val (train, test, _) = sdFixture(s, d)
+      Similarity.semanticDecontam(train, test)
+    }),
+    // the recall-1.0 exact twin over the SAME fixture (train × test
+    // brute force, test side broadcast): semantic_decontam ⊆ this by
+    // construction, and the set difference IS the LSH gate's
+    // false-negative evidence — the embedding_near_dups_exact
+    // precedent transposed to the decontamination gate
+    "semantic_decontam_exact" -> ((s, d) => {
+      val (train, test, _) = sdFixture(s, d)
+      Similarity.exactSemanticDecontam(train, test)
+    }),
+    // declared recall curve for the gate (r14 verdict item 1): plants
+    // at graded cosine bands (α = 1/16, 1/8, 3/16 ⇒ ≈0.89/0.71/0.55
+    // on the unit-norm corpus — the last band straddles the 0.5
+    // threshold), gated by the PRODUCTION semanticDecontam verbatim;
+    // emits per-band (planted, exact-eligible, found, recall_ppm,
+    // mean_cos_micro) so "where does 16×6 LSH recall sit between
+    // cosine 0.5 and 1.0" is a data fact, not a hope
+    "semantic_decontam_recall" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       val isTest = substring(md5(col("vec_id").cast("string")), 1, 1)
         .isin("0", "1")
       val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
-      val train = e.filter(!isTest)
-      val planted = train.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + off).as("vec_id"), col("embedding"))
-      Similarity.semanticDecontam(train,
-        e.filter(isTest).select(col("vec_id"), col("embedding"))
-          .unionByName(planted))
+      Similarity.semanticDecontamRecall(e.filter(!isTest), off)
+    }),
+    // the LIVE semantic gate: train vectors stream against the
+    // broadcast benchmark bucket table — stateless (the row-local
+    // min-colliding-table trick replaces the batch distinct), each
+    // emitted row exact-cosine-verified in-stream; completes the
+    // decontamination matrix (exact/Bloom/n-gram-stream/semantic-
+    // batch/semantic-stream). Same fixture as semantic_decontam, so
+    // the slices union to exactly the batch pair set
+    "semantic_decontam_stream" -> ((s, d) => {
+      val (train, test, _) = sdFixture(s, d)
+      val ts = train.select(
+        expr("timestampadd(HOUR, CAST(vec_id % 240 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("vec_id"), col("embedding"))
+      graft.streaming.ProfileStream
+        .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
+          .semanticDecontamStream(st, "ts", test))
+        .orderBy("slice_start", "train_id", "test_id")
     }),
     // — multimodal plumbing (binary columns + typed metadata) —
     "multimodal_meta" -> ((s, d) =>
@@ -1809,6 +1842,28 @@ object SparkEntry {
         lit("dup_mirror").as("source"),
         concat(lit("  "), upper(col("text"))).as("text"))
     base.unionByName(dups)
+  }
+
+  /** The semantic-decontamination fixture shared by the
+    * `semantic_decontam*` rows: md5-prefix train/test split of the
+    * embeddings table, with PLANTED paraphrase leaks on the test side
+    * (every 25th train vector re-entered under an offset id — the
+    * synthetic corpus has no natural cross-split pair above 0.5, max
+    * measured 0.47 at sf0.01). Returns (train, test, idOffset).
+    */
+  private[graft] def sdFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Long) = {
+    val e = Tables.load(s, d, "embeddings")
+    val isTest = substring(md5(col("vec_id").cast("string")), 1, 1)
+      .isin("0", "1")
+    val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val train = e.filter(!isTest)
+    val planted = train.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    (train,
+      e.filter(isTest).select(col("vec_id"), col("embedding"))
+        .unionByName(planted),
+      off)
   }
 
   /** Near-identical titles for `fuzzy_pairs`: 40-char title prefixes,
@@ -2689,6 +2744,24 @@ object SparkEntry {
                        JOIN e e2 ON e2.vec_id = id2),
       p AS MATERIALIZED (
              SELECT id1, id2, score FROM sc WHERE score >= 0.5)"""
+
+  /** The [[sdFixture]] replay shared by the `semantic_decontam*`
+    * oracles: md5-prefix split + planted identical-vector leaks under
+    * offset ids. Ends at `sd_tr` (train) / `sd_te` (test ∪ plants) /
+    * `sd_off(o)` (the id offset).
+    */
+  private val sdFixtureCtes: String = """ebase AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings),
+      sd_off AS (SELECT MAX(vec_id) + 1 AS o FROM ebase),
+      sd_tr AS MATERIALIZED (SELECT vec_id, embedding FROM ebase
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+          NOT IN ('0', '1')),
+      sd_te AS MATERIALIZED (
+        SELECT vec_id, embedding FROM ebase
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        UNION ALL
+        SELECT t.vec_id + sd_off.o, t.embedding
+        FROM sd_tr t, sd_off WHERE t.vec_id % 25 = 0)"""
 
   /** IVF top-k oracle at a given probe depth — replays
     * [[Similarity.ivfTopK]] (nlist=16, k=5) bit-for-bit.
@@ -5949,18 +6022,7 @@ object SparkEntry {
     // paraphrases), joined train-side × test-side only, exact-cosine
     // verified — no train-train pairs
     "semantic_decontam" -> (s"""
-      WITH ebase AS MATERIALIZED (
-        SELECT vec_id, embedding FROM embeddings),
-      sd_off AS (SELECT MAX(vec_id) + 1 AS o FROM ebase),
-      sd_tr AS MATERIALIZED (SELECT vec_id, embedding FROM ebase
-        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
-          NOT IN ('0', '1')),
-      sd_te AS MATERIALIZED (
-        SELECT vec_id, embedding FROM ebase
-        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1')
-        UNION ALL
-        SELECT t.vec_id + sd_off.o, t.embedding
-        FROM sd_tr t, sd_off WHERE t.vec_id % 25 = 0),
+      WITH $sdFixtureCtes,
       e AS MATERIALIZED (SELECT * FROM sd_tr
                          UNION ALL SELECT * FROM sd_te),
       ${lshTbCte(16, 6).replace("tb AS (", "tb AS MATERIALIZED (")},
@@ -5976,6 +6038,100 @@ object SparkEntry {
              JOIN e e2 ON e2.vec_id = test_id)
       SELECT train_id, test_id, score FROM sd_sc
       WHERE score >= 0.5 ORDER BY train_id, test_id"""),
+    // the live twin: the batch pair set stamped with each train
+    // vector's synthetic-hour day floor — the stream's stateless
+    // evidence rows union across slices to exactly this
+    "semantic_decontam_stream" -> (s"""
+      WITH $sdFixtureCtes,
+      e AS MATERIALIZED (SELECT * FROM sd_tr
+                         UNION ALL SELECT * FROM sd_te),
+      ${lshTbCte(16, 6).replace("tb AS (", "tb AS MATERIALIZED (")},
+      sd_cand AS MATERIALIZED (
+        SELECT DISTINCT a.vec_id AS train_id, b.vec_id AS test_id
+        FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket
+        WHERE a.vec_id IN (SELECT vec_id FROM sd_tr)
+          AND b.vec_id IN (SELECT vec_id FROM sd_te)),
+      sd_sc AS (SELECT train_id, test_id,
+               ${cosSql.format("e1.embedding", "e2.embedding")} AS score
+             FROM sd_cand
+             JOIN e e1 ON e1.vec_id = train_id
+             JOIN e e2 ON e2.vec_id = test_id)
+      SELECT strftime(CAST(CAST(TIMESTAMP '2024-01-01 00:00:00'
+               + to_hours(CAST(train_id % 240 AS BIGINT)) AS DATE)
+               AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS slice_start,
+             train_id, test_id, score
+      FROM sd_sc WHERE score >= 0.5
+      ORDER BY slice_start, train_id, test_id"""),
+    // the exhaustive train × test twin — no LSH gate, every pair
+    // priced by exact cosine (the recall-1.0 baseline whose set
+    // difference against semantic_decontam is the gate's measured
+    // false-negative evidence)
+    "semantic_decontam_exact" -> (s"""
+      WITH $sdFixtureCtes
+      SELECT train_id, test_id, score FROM (
+        SELECT t.vec_id AS train_id, s.vec_id AS test_id,
+               ${cosSql.format("t.embedding", "s.embedding")} AS score
+        FROM sd_tr t, sd_te s)
+      WHERE score >= 0.5 ORDER BY train_id, test_id"""),
+    // the recall-curve replay: graded-α plants (exact float-cast of
+    // v + α·u, u from the md5 'sdr' namespace), the SAME 16×6
+    // md5-hyperplane bucket walk as the engine gate, per-band rollup
+    // with the exact-cosine eligibility denominator
+    "semantic_decontam_recall" -> (s"""
+      WITH $sdFixtureCtes,
+      sdr_src AS MATERIALIZED (
+        SELECT vec_id AS orig, embedding AS v FROM sd_tr
+        WHERE vec_id % 25 = 0),
+      sdr_bands AS (SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(0.0625 AS DOUBLE)),
+        (CAST(1 AS BIGINT), CAST(0.125  AS DOUBLE)),
+        (CAST(2 AS BIGINT), CAST(0.1875 AS DOUBLE))) b(band, alpha)),
+      sdr_pl AS MATERIALIZED (
+        SELECT s.orig, b.band, b.alpha,
+          list(CAST(s.v[i+1] + b.alpha *
+            (CASE WHEN substr(md5('sdr:' || CAST(b.band AS VARCHAR)
+                   || ':' || CAST(i AS VARCHAR)), 1, 1) < '8'
+                  THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+            AS FLOAT) ORDER BY i) AS pvec
+        FROM sdr_src s, sdr_bands b, range(0, 64) t(i)
+        GROUP BY s.orig, b.band, b.alpha),
+      sdr_plc AS MATERIALIZED (
+        SELECT p.orig, p.band, p.alpha,
+               (SELECT o FROM sd_off) + p.orig*3 + p.band AS test_id,
+               p.pvec,
+               ${cosSql.format("s.v", "p.pvec")} AS pcos
+        FROM sdr_pl p JOIN sdr_src s USING (orig)),
+      e AS MATERIALIZED (SELECT vec_id, embedding FROM sd_tr
+        UNION ALL SELECT test_id AS vec_id, pvec AS embedding
+        FROM sdr_plc),
+      ${lshTbCte(16, 6).replace("tb AS (", "tb AS MATERIALIZED (")},
+      sdr_cand AS MATERIALIZED (
+        SELECT DISTINCT a.vec_id AS train_id, b.vec_id AS test_id
+        FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket
+        WHERE a.vec_id IN (SELECT vec_id FROM sd_tr)
+          AND b.vec_id IN (SELECT test_id FROM sdr_plc)),
+      sdr_found AS (
+        SELECT p.band, COUNT(*) AS found
+        FROM sdr_cand c
+        JOIN sdr_plc p ON p.test_id = c.test_id AND p.orig = c.train_id
+        WHERE p.pcos >= 0.5
+        GROUP BY 1),
+      sdr_base AS (
+        SELECT band, CAST(alpha*1000000 AS BIGINT) AS alpha_micro,
+               COUNT(*) AS planted,
+               CAST(SUM(CASE WHEN pcos >= 0.5 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS eligible,
+               CAST(SUM(CAST(floor(pcos*1000000 + 0.5) AS BIGINT))
+                 AS BIGINT) AS sum_micro
+        FROM sdr_plc GROUP BY 1, 2)
+      SELECT b.band, b.alpha_micro, b.planted, b.eligible,
+             COALESCE(f.found, CAST(0 AS BIGINT)) AS found,
+             CASE WHEN b.eligible > 0
+                  THEN COALESCE(f.found, 0) * 1000000 // b.eligible
+             END AS recall_ppm,
+             sum_micro // planted AS mean_cos_micro
+      FROM sdr_base b LEFT JOIN sdr_found f USING (band)
+      ORDER BY band"""),
     "embedding_near_dups_exact" -> (s"""
       SELECT id1, id2, score FROM (
         SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -1371,6 +1371,71 @@ object ProfileStream {
         col("keep_id"))
   }
 
+  /** Live SEMANTIC decontamination — the paraphrase-leak alarm
+    * completing the decontamination matrix (exact batch / Bloom batch
+    * / n-gram stream / semantic batch / semantic STREAM): each
+    * incoming training vector probes the broadcast LSH bucket table
+    * of the benchmark suite and emits exact-cosine-verified evidence
+    * rows (slice_start, train_id, test_id, score ≥ threshold) —
+    * bit-equal to [[graft.operators.Similarity.semanticDecontam]]'s
+    * batch answer on the same rows, within the micro-batch that saw
+    * them (no watermark delay on the alarm).
+    *
+    * COMPLETELY STATELESS, like [[decontamStream]] — but the batch
+    * operator dedupes candidates that collide in several tables with
+    * a `.distinct()`, which in a stream would be a state store. The
+    * stateless replacement is row-local: both sides carry their full
+    * per-table bucket arrays (tables × 8 bytes, broadcast side tiny
+    * by the benchmark-sized contract), and after the bucket join only
+    * the row whose `tbl` is the SMALLEST colliding table survives —
+    * each colliding pair has exactly one such row, so emission is
+    * exactly-once per pair with zero state. Scale shape: one
+    * row-local lshTables projection + explode(tables) per train
+    * vector, broadcast probe, no shuffle of stream rows, no state
+    * store; `slice_start` is a row-local day floor for bookkeeping,
+    * not a window.
+    */
+  def semanticDecontamStream(stream: DataFrame, tsCol: String,
+                             test: DataFrame, threshold: Double = 0.5,
+                             tables: Int = 16, planesPerTable: Int = 6,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             dim: Int = 64): DataFrame = {
+    import graft.operators.Similarity
+    val tbs = Similarity.lshTables(col(vecCol), tables,
+      planesPerTable, dim)
+    val testB = test
+      .select(col(idCol).as("test_id"), col(vecCol).as("_v2"),
+        tbs.as("_tbs2"))
+      .select(col("test_id"), col("_v2"), col("_tbs2"),
+        explode(col("_tbs2")).as("_tb"))
+      .select(col("test_id"), col("_v2"), col("_tbs2"),
+        col("_tb.tbl").as("tbl"), col("_tb.bucket").as("bucket"))
+    stream
+      .select(
+        date_format(date_trunc("DAY", col(tsCol)),
+          "yyyy-MM-dd HH:mm:ss").as("slice_start"),
+        col(idCol).as("train_id"), col(vecCol).as("_v1"),
+        tbs.as("_tbs1"))
+      .select(col("slice_start"), col("train_id"), col("_v1"),
+        col("_tbs1"), explode(col("_tbs1")).as("_tb"))
+      .select(col("slice_start"), col("train_id"), col("_v1"),
+        col("_tbs1"),
+        col("_tb.tbl").as("tbl"), col("_tb.bucket").as("bucket"))
+      .join(broadcast(testB), Seq("tbl", "bucket"))
+      // exactly-once per colliding pair WITHOUT a stateful distinct:
+      // keep the row at the smallest table index where the pair
+      // collides — a row-local decision over the two bucket arrays
+      .filter(col("tbl") ===
+        array_min(zip_with(col("_tbs1"), col("_tbs2"), (a, b) =>
+          when(a.getField("bucket") === b.getField("bucket"),
+            a.getField("tbl")))))
+      .withColumn("score", Similarity.cosine(col("_v1"), col("_v2")))
+      .filter(col("score") >= threshold)
+      .select(col("slice_start"), col("train_id"), col("test_id"),
+        col("score"))
+  }
+
   def freqSketchStream(stream: DataFrame, tsCol: String, key: String,
                        cap: Int, windowDur: String = "1 day",
                        watermarkDur: String = "1 hour"): DataFrame =

@@ -1058,4 +1058,83 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.filter(t => plantedPairs((t._1, t._2)))
       .forall(_._3 == 1.0))
   }
+
+  test("exactSemanticDecontam: the LSH gate is a strict subset of " +
+      "the exact twin, and the exact twin equals brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isTest = substring(md5(col("vec_id").cast("string")), 1, 1)
+      .isin("0", "1")
+    val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val train = e.filter(!isTest)
+    val planted = train.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    val test = e.filter(isTest)
+      .select(col("vec_id"), col("embedding")).unionByName(planted)
+    val exact = Similarity.exactSemanticDecontam(train, test)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gated = Similarity.semanticDecontam(train, test)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the gate can only MISS pairs, never invent them, and scores on
+    // shared pairs are identical (same rounded-cosine arithmetic)
+    assert(gated.toSet.subsetOf(exact.toSet),
+      "LSH gate emitted a pair the exact twin does not contain")
+    // the exact twin really is brute force: naive driver-side replay
+    val tr = train.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val te = test.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val naive = (for {
+      (ti, tv) <- tr; (si, sv) <- te
+      s = cos(tv, sv) if s >= 0.5
+    } yield (ti, si, s)).toSet
+    assert(exact.toSet == naive,
+      s"exact twin ${exact.length} pairs != naive ${naive.size}")
+  }
+
+  test("semanticDecontamRecall: per-band invariants — found ≤ " +
+      "eligible ≤ planted, recall consistent, high band near-perfect") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isTest = substring(md5(col("vec_id").cast("string")), 1, 1)
+      .isin("0", "1")
+    val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    // plantEvery=5 on the tiny sf: ~8 plants per band
+    val rows = Similarity.semanticDecontamRecall(e.filter(!isTest),
+        off, plantEvery = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_._2).toSeq == Seq(62500L, 125000L, 187500L))
+    rows.foreach { case (band, _, planted, eligible, found, ppm, mc) =>
+      assert(found <= eligible && eligible <= planted,
+        s"band $band: found $found / eligible $eligible / $planted")
+      if (eligible > 0)
+        assert(ppm == found * 1000000L / eligible)
+      // mean plant cosine sits in the predicted band center ±0.1:
+      // unit-norm corpus ⇒ cos ≈ 1/sqrt(1+64α²)
+      val a = Seq(0.0625, 0.125, 0.1875)(band.toInt)
+      val pred = 1.0 / math.sqrt(1 + 64 * a * a)
+      assert(math.abs(mc / 1e6 - pred) < 0.1,
+        s"band $band mean cos ${mc / 1e6} vs predicted $pred")
+    }
+    // the α=1/16 band sits near cosine 0.9 — 16×6 LSH recall there
+    // must be high (the gate's advertised operating region); the
+    // near-threshold band is REPORTED, not asserted (that's the
+    // measurement this row exists to publish)
+    val hi = rows.head
+    assert(hi._4 > 0 && hi._5 * 1000000L / hi._4 >= 900000L,
+      s"high band recall ${hi._5}/${hi._4} below 0.9")
+    info(rows.map(r =>
+      s"band ${r._1}: recall_ppm ${r._6} (mean cos ${r._7 / 1e6})")
+      .mkString("; "))
+  }
 }

@@ -682,6 +682,59 @@ class EquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("semanticDecontamStream: stateless evidence rows equal batch " +
+      "semanticDecontam + day-floor stamp; min-table dedup leaves " +
+      "exactly one row per pair; zero state operators") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isTest = substring(md5(col("vec_id").cast("string")), 1, 1)
+      .isin("0", "1")
+    val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val train = e.filter(!isTest)
+    // planted identical vectors guarantee pairs that collide in EVERY
+    // table — the adversarial case for the min-colliding-table dedup
+    val planted = train.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    val test = e.filter(isTest)
+      .select(col("vec_id"), col("embedding")).unionByName(planted)
+    val batch = Similarity.semanticDecontam(train, test)
+      .withColumn("slice_start", date_format(date_trunc("DAY",
+        expr("timestampadd(HOUR, CAST(train_id % 48 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')")), "yyyy-MM-dd HH:mm:ss"))
+      .select("slice_start", "train_id", "test_id", "score")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdec_eq")
+    val in = dir.toString + "/in"
+    train.select(
+        expr("timestampadd(HOUR, CAST(vec_id % 48 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val out = ProfileStream.semanticDecontamStream(stream, "ts", test)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdec_eq").start()
+    try {
+      // one processAllAvailable, no closer row: rows emit in the
+      // micro-batch that saw them (the instant-alarm property)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"expected stateless plan, got ${q.lastProgress.stateOperators
+          .mkString(",")}")
+      val rows = spark.table("sdec_eq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      // exactly one emission per pair even for identical vectors
+      // (which collide in all 16 tables)
+      assert(rows.length == rows.map(t => (t._2, t._3)).distinct.length,
+        "a pair was emitted more than once")
+      assert(rows.toSet == batch)
+    } finally q.stop()
+  }
+
   test("dsirScoreStream: streamed row-local scores are bit-equal to " +
       "the batch join-path dsirAffinity on the same documents") {
     val target = Seq((100L, "a b c d"), (101L, "a b x y"))
