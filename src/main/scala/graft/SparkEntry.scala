@@ -1527,6 +1527,18 @@ object SparkEntry {
       Dedup.hamming64CappedBuckets(Multimodal.phashSigs(
         Multimodal.synthBitmaps(Tables.load(s, d, "documents")
           .where(col("doc_id") % 10 === 0))), maxBucket = 2)),
+    // the wav branch of the multimodal matrix: audio perceptual
+    // near-dup over synthetic PCM — per doc, four s16le payloads
+    // (base / exact 2× amplitude / silence-padded / one +4096
+    // glitch) that share ZERO bytes; the AudioHash64 energy-delta
+    // fingerprint (dHash transposed to 1-D) + the SAME
+    // hamming64NearDups banded pair generator as the image and
+    // simhash families recover every variant group (amplitude and
+    // padding at hamming 0 by construction, glitch ≤ 2)
+    "audio_near_dups" -> ((s, d) =>
+      Multimodal.audioNearDups(Multimodal.synthPcm(
+        Tables.load(s, d, "documents")
+          .where(col("doc_id") % 10 === 0)))),
     // transitive perceptual groups: the same CC stage the text and
     // embedding pipelines use, composed over the dHash pair source —
     // "keep one rendition per image" end to end (pairs → union-find
@@ -2655,6 +2667,57 @@ object SparkEntry {
                CAST(COALESCE(s.v, 0) AS BIGINT) AS sig
         FROM imgs a
         LEFT JOIN rawsig s ON s.id = a.doc_id*4 + a.variant
+      )"""
+
+  /** Synthetic-PCM audio-fingerprint replay: sample field (the pix
+    * two-round mix mapped to odd [−8191, 8191]), 10-sample window
+    * energies (|sample| sums), adjacent-window bit assembly — ends at
+    * `asigs(id, sig)`, the per-payload 64-bit fingerprint. The padded
+    * variant (2) replays as the BASE sample sequence: the engine's
+    * silence trim provably recovers it, which is the invariance the
+    * oracle certifies rather than assumes.
+    */
+  private val audioSigCtes: String = """auds AS (
+        SELECT doc_id, v.variant
+        FROM documents, (VALUES (0), (1), (2), (3)) v(variant)
+        WHERE doc_id % 10 = 0
+      ), ati AS (
+        SELECT doc_id, variant, unnest(range(0, 650)) AS i FROM auds
+      ), amix AS (
+        SELECT doc_id, variant, i,
+          ((doc_id % 2147483648)*1024 + i) % 2147483648 AS k
+        FROM ati
+      ), am1 AS (
+        SELECT *, (k * 2654435761) % 4294967296 AS h0 FROM amix
+      ), am2 AS (
+        SELECT *, ((xor(h0, h0 >> 13)) * 1597334677) % 4294967296 AS h2
+        FROM am1
+      ), asamp AS (
+        SELECT doc_id, variant, i,
+          (CASE WHEN variant = 1 THEN 2 ELSE 1 END)
+            * (((xor(h2, h2 >> 16)) % 8192) * 2 - 8191)
+          + CASE WHEN variant = 3 AND i = doc_id % 650
+                 THEN 4096 ELSE 0 END AS s
+        FROM am2
+      ), aen AS MATERIALIZED (
+        SELECT doc_id, variant, i // 10 AS w, SUM(ABS(s)) AS en
+        FROM asamp GROUP BY 1, 2, 3
+      ), abits AS (
+        SELECT l.doc_id, l.variant, l.w AS bit
+        FROM aen l JOIN aen r
+          ON l.doc_id = r.doc_id AND l.variant = r.variant
+         AND r.w = l.w + 1
+        WHERE l.en < r.en
+      ), arawsig AS (
+        SELECT doc_id*4 + variant AS id,
+          SUM(CASE WHEN bit = 63 THEN -9223372036854775808
+              ELSE (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) END) AS v
+        FROM abits GROUP BY doc_id*4 + variant
+      ), asigs AS MATERIALIZED (
+        SELECT a.doc_id*4 + a.variant AS id,
+               CAST(COALESCE(s.v, 0) AS BIGINT) AS sig
+        FROM auds a
+        LEFT JOIN arawsig s ON s.id = a.doc_id*4 + a.variant
       )"""
 
   private val cosSql =
@@ -5558,6 +5621,26 @@ object SparkEntry {
       FROM cand c
       JOIN sigs s1 ON s1.id = c.id1
       JOIN sigs s2 ON s2.id = c.id2
+      WHERE bit_count(xor(s1.sig, s2.sig)) <= 3
+      ORDER BY id1, id2"""),
+    // the audio twin of phash_near_dups: sample-field replay (exact
+    // BIGINT arithmetic), 10-sample window energies, adjacent-window
+    // bits, then the SAME pigeonhole 16-bit-block join the engine
+    // runs, exact-verified with bit_count(xor)
+    "audio_near_dups" -> (s"""
+      WITH $audioSigCtes, blocks AS (
+        SELECT id, sig, b.b AS bi, (sig >> (b.b*16)) & 65535 AS bv
+        FROM asigs, (VALUES (0), (1), (2), (3)) b(b)
+      ), cand AS (
+        SELECT DISTINCT l.id AS id1, r.id AS id2
+        FROM blocks l JOIN blocks r
+          ON l.bi = r.bi AND l.bv = r.bv AND l.id < r.id
+      )
+      SELECT c.id1, c.id2,
+             CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN asigs s1 ON s1.id = c.id1
+      JOIN asigs s2 ON s2.id = c.id2
       WHERE bit_count(xor(s1.sig, s2.sig)) <= 3
       ORDER BY id1, id2"""),
     // the pigeonhole-block census above the cap — the suppressed-

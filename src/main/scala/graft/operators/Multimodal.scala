@@ -253,6 +253,98 @@ object Multimodal {
         graft.functions.DHash64.dHash64(col("bmp"), col("w"), col("h"))
           .as("sig"))
 
+  // — audio perceptual near-dup (the `wav` branch of the multimodal
+  //   matrix: amplitude-scaled / silence-padded re-encodes share no
+  //   bytes with their source; the image side's dHash recipe
+  //   transposed to 1-D closes the same gap) —
+
+  /** Base synthetic-PCM sample count. A multiple of 65 so the
+    * [[graft.functions.AudioHash64]] windows tile samples exactly
+    * (10 per window) and the SQL oracle's window index is a plain
+    * integer DIV — the BmpW/BmpH trick in one dimension.
+    */
+  private[graft] val PcmN = 650
+
+  /** Deterministic signed-16-bit sample expression — the [[pix]]
+    * two-round multiply–xorshift recipe over k = (d·1024 + t) mod
+    * 2^31, mapped to 2·(h mod 8192) − 8191: range [−8191, 8191] and
+    * always ODD, so no synthetic sample is ever zero — the silence
+    * TRIM therefore removes exactly the explicit padding variant's
+    * zeros and nothing else, keeping every variant's trimmed span
+    * identical by construction (the property the invariance fixture
+    * needs). All intermediates < 2^62.6 (the pix bound).
+    */
+  private def pcmSample(d: Column, t: Column): Column = {
+    val m31 = lit(2147483648L)
+    val m32 = lit(4294967296L)
+    val k = ((d % m31) * 1024L + t) % m31
+    val h0 = (k * lit(2654435761L)) % m32
+    val h1 = h0.bitwiseXOR(shiftright(h0, 13))
+    val h2 = (h1 * lit(1597334677L)) % m32
+    (h2.bitwiseXOR(shiftright(h2, 16)) % 8192) * 2 - 8191
+  }
+
+  /** Synthetic near-duplicate audio fixture: per input doc, FOUR PCM
+    * payloads (s16le bytes — the post-decode shape a real codec
+    * emits) that are near-duplicates a byte-level dedup cannot see:
+    *
+    *  - variant 0: the base 650-sample signal;
+    *  - variant 1: exact 2× amplitude (every byte differs);
+    *  - variant 2: 37 leading + 23 trailing silence samples (the
+    *    re-encode padding case; 700 samples, trim recovers the base);
+    *  - variant 3: one +4096 glitch at sample (d mod 650) — a
+    *    localized edit flipping ≤ 2 hash bits (the glitched window
+    *    feeds exactly 2 adjacent-window comparisons).
+    *
+    * Emits (id = doc_id·4 + variant, pcm). Bytes are built with pure
+    * built-ins (per-sample little-endian hex → unhex) — a FIXTURE
+    * generator, not an engine path; production PCM arrives from a
+    * decoder and pays none of this.
+    */
+  def synthPcm(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val d = col(idCol)
+    def pcm(n: Int)(f: Column => Column): Column =
+      unhex(array_join(transform(sequence(lit(0L), lit(n.toLong - 1)),
+        t => {
+          val u = f(t).bitwiseAND(lit(65535L))   // 16-bit two's complement
+          concat(lpad(hex(u % 256), 2, "0"),     // little-endian: lo, hi
+            lpad(hex(call_function("div", u, lit(256L))), 2, "0"))
+        }), ""))
+    def variant(v: Int, n: Int)(f: Column => Column): DataFrame =
+      df.select((d * 4 + v).as("id"), pcm(n)(f).as("pcm"))
+    val pad = 37
+    variant(0, PcmN)(t => pcmSample(d, t))
+      .unionByName(variant(1, PcmN)(t => pcmSample(d, t) * 2))
+      .unionByName(variant(2, PcmN + pad + 23)(t =>
+        when(t < pad || t >= pad + PcmN, lit(0L))
+          .otherwise(pcmSample(d, t - pad))))
+      .unionByName(variant(3, PcmN)(t =>
+        pcmSample(d, t) +
+          when(t === d % PcmN, 4096L).otherwise(0L)))
+  }
+
+  /** The row-local audio-fingerprint pass alone — (id, sig) from a
+    * PCM table; shared by [[audioNearDups]] and the capped-bucket
+    * audit, the [[phashSigs]] contract for the wav branch.
+    */
+  def audioSigs(pcms: DataFrame): DataFrame =
+    graft.util.Utils.spread(pcms)
+      .select(col("id"),
+        graft.functions.AudioHash64.audioHash64(col("pcm")).as("sig"))
+
+  /** Perceptual near-dup pairs over a PCM table (id, pcm): row-local
+    * [[graft.functions.AudioHash64]] signature pass (one scan,
+    * codegen'd), then the SAME Hamming-banded pair generation as the
+    * image and simhash families ([[Dedup.hamming64NearDups]]
+    * unchanged — pigeonhole blocks, never all-pairs). `maxBucket`
+    * defaults high because the declared oracle row is an exhaustive
+    * replay; production corpora set it like the text family does.
+    */
+  def audioNearDups(pcms: DataFrame, maxDist: Int = 3,
+                    maxBucket: Int = 100000): DataFrame =
+    Dedup.hamming64NearDups(audioSigs(pcms), maxDist = maxDist,
+      maxBucket = maxBucket)
+
   /** Content-defined chunk table of a binary column: one row per
     * (blob, chunk) with exact offsets and the chunk content hash —
     * the input to chunk-level storage dedup. Chunking is the
