@@ -476,6 +476,77 @@ object Similarity {
       .orderBy("id1", "id2")
   }
 
+  /** Declared candidate-work/recall curve for the LSH near-dup
+    * family — the `autoPlanes` occupancy policy promoted from
+    * SCALE.md prose to data (r14 verdict item 4): at fixed `tables`,
+    * each `planesKnobs` arm reports how many candidate pairs the
+    * bucket join generated, how many survived the exact-cosine
+    * verify, and recall against the [[exactNearDups]] truth set.
+    * More planes ⇒ thinner buckets ⇒ less candidate work AND less
+    * recall — this row prices that trade per knob, the
+    * [[annRecallCurve]] contract transposed to the pair generator.
+    *
+    * ONE scan serves every arm: the bucket codes for all
+    * (knob × table) combinations are computed in a single exploded
+    * projection (each arm's table-t planes are the md5-derived set at
+    * global indices [t·p, (t+1)·p) — exactly what
+    * [[embeddingNearDups]] at planesPerTable = p uses, so arm p IS
+    * the production operator's candidate set, not a simplified
+    * stand-in). The self-join key carries the knob, so no arm sees
+    * another's buckets; the truth denominator is the declared
+    * O(n²) exact arm, run once.
+    */
+  def lshOccupancyCurve(df: DataFrame, threshold: Double = 0.5,
+                        tables: Int = 8,
+                        planesKnobs: Seq[Int] = Seq(6, 8, 10, 12),
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        dim: Int = 64): DataFrame = {
+    require(planesKnobs.nonEmpty)
+    val entries = array(planesKnobs.flatMap { p =>
+      (0 until tables).map { t =>
+        val planes = hyperplanes((t + 1) * p, dim).drop(t * p)
+        struct(lit(p.toLong).as("planes"), lit(t).as("tbl"),
+          lshBucket(col(vecCol), planes).as("bucket"))
+      }
+    }: _*)
+    val v = graft.util.Utils.spread(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(entries).as("e"))
+      .select(col("id"), col("vec"),
+        col("e.planes"), col("e.tbl"), col("e.bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)   // both sides of self-join
+    val l = v.select(col("planes"), col("tbl"), col("bucket"),
+      col("id").as("id1"), col("vec").as("v1"))
+    val r = v.select(col("planes"), col("tbl"), col("bucket"),
+      col("id").as("id2"), col("vec").as("v2"))
+    val scored = l.join(r, Seq("planes", "tbl", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("score", cosine(col("v1"), col("v2")))
+      // scalar-only distinct AFTER scoring (the embeddingNearDups
+      // trick): shuffles four scalars, never two float vectors
+      .select(col("planes"), col("id1"), col("id2"), col("score"))
+      .distinct()
+    val agg = scored.groupBy("planes").agg(
+      count(lit(1)).as("candidate_pairs"),
+      sum(when(col("score") >= threshold, 1L).otherwise(0L))
+        .as("found_pairs"))
+    val tot = exactNearDups(df, threshold, idCol, vecCol)
+      .agg(count(lit(1)).as("total_true"))
+    val knobs = df.sparkSession.range(1).select(
+      explode(array(planesKnobs.map(p => lit(p.toLong)): _*))
+        .as("planes"))
+    knobs.join(agg, Seq("planes"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("planes"),
+        coalesce(col("candidate_pairs"), lit(0L)).as("candidate_pairs"),
+        coalesce(col("found_pairs"), lit(0L)).as("found_pairs"),
+        col("total_true"),
+        expr("coalesce(found_pairs, 0) * 1000000 DIV total_true")
+          .as("recall_ppm"))
+      .orderBy("planes")
+  }
+
   /** SEMANTIC decontamination: training documents whose EMBEDDING
     * lands within cosine ≥ threshold of any held-out/benchmark
     * embedding — the paraphrase-leak catcher the n-gram family

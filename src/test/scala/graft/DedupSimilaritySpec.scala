@@ -1100,6 +1100,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"exact twin ${exact.length} pairs != naive ${naive.size}")
   }
 
+  test("lshOccupancyCurve: found ⊆ candidates ∩ truth per knob, " +
+      "recall arithmetic consistent, every arm matches the " +
+      "production embeddingNearDups candidate universe") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Similarity.lshOccupancyCurve(e, threshold = 0.4,
+        planesKnobs = Seq(4, 6, 8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(4L, 6L, 8L))
+    val total = Similarity.exactNearDups(e, threshold = 0.4).count()
+    rows.foreach { case (p, cand, found, tot, ppm) =>
+      assert(tot == total)
+      assert(found <= cand, s"p=$p found $found > candidates $cand")
+      assert(found <= tot, s"p=$p found $found > truth $tot")
+      assert(ppm == found * 1000000L / tot)
+    }
+    // arm p's found pairs are EXACTLY embeddingNearDups at
+    // planesPerTable = p, tables = 8 (same hyperplane universe) —
+    // the curve prices the production operator, not a stand-in
+    val arm6 = Similarity.embeddingNearDups(e, threshold = 0.4,
+      tables = 8, planesPerTable = 6).count()
+    assert(rows.find(_._1 == 6L).get._3 == arm6,
+      s"curve found ${rows.find(_._1 == 6L).get._3} != operator $arm6")
+    info(rows.map(r => s"p=${r._1}: cand ${r._2} found ${r._3} " +
+      s"recall_ppm ${r._5}").mkString("; "))
+  }
+
   test("semanticDecontamRecall: per-band invariants — found ≤ " +
       "eligible ≤ planted, recall consistent, high band near-perfect") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
