@@ -99,6 +99,39 @@ object Bench {
       case None        => SparkEntry.queries
     }
 
+    // Pre-stage the synthetic MEDIA FIXTURES once, untimed (r14
+    // verdict item 3): the phash/audio rows' declared numbers then
+    // price the ENGINE (signature pass + banded pairs), not the
+    // per-pixel / per-sample hex→unhex fixture arithmetic that
+    // production media (arriving from a decoder) never pays. The
+    // SparkEntry rows read the staged parquet via the
+    // graft.fixture.* session confs; Verify never sets those, so the
+    // correctness gate still derives the fixture inline and the
+    // oracle replays the full chain. Dirs are deliberately NOT
+    // registered with the staging sweeper — once() clears staging
+    // between queries and these must survive the whole session.
+    val fixtureDirs = scala.collection.mutable.ArrayBuffer[String]()
+    def preStage(conf: String, tag: String,
+        df: => org.apache.spark.sql.DataFrame): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_bench_$tag").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.conf.set(conf, dir)
+      fixtureDirs += dir
+    }
+    {
+      import org.apache.spark.sql.functions.col
+      val docsSub = () => graft.sources.Tables
+        .load(spark, sfDir, "documents")
+        .where(col("doc_id") % 10 === 0)
+      if (selected.keys.exists(_.startsWith("phash_")))
+        preStage("graft.fixture.bitmaps", "bitmaps",
+          graft.operators.Multimodal.synthBitmaps(docsSub()))
+      if (selected.contains("audio_near_dups"))
+        preStage("graft.fixture.pcm", "pcm",
+          graft.operators.Multimodal.synthPcm(docsSub()))
+    }
+
     // query name -> first error message seen (a query that throws must
     // never bench as a near-zero "speedup"; the artifact carries the
     // failure, and its time is excluded from the total)
@@ -299,6 +332,15 @@ object Bench {
       java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] write $outFile failed: ${e.getMessage}")
+    }
+    // reclaim the pre-staged fixture parquet dirs (session-scoped)
+    fixtureDirs.foreach { d =>
+      try {
+        val root = java.nio.file.Paths.get(d)
+        java.nio.file.Files.walk(root).sorted(
+            java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
     }
     spark.stop()
   }

@@ -1521,9 +1521,7 @@ object SparkEntry {
     // and the oracle replay is exhaustive; 1-in-10 doc subset keeps
     // the oracle's per-pixel replay bounded (the cdc rows' pattern)
     "phash_near_dups" -> ((s, d) =>
-      Multimodal.phashNearDups(Multimodal.synthBitmaps(
-        Tables.load(s, d, "documents")
-          .where(col("doc_id") % 10 === 0)))),
+      Multimodal.phashNearDups(bitmapFixture(s, d))),
     // suppressed-recall visibility for the banded pair generator
     // (r14 ADVICE): the census of pigeonhole buckets a maxBucket=2
     // cap WOULD exclude on this corpus — non-zero-distance pairs
@@ -1536,8 +1534,7 @@ object SparkEntry {
     // production pair rows above run uncapped (maxBucket=100000)
     "phash_capped_buckets" -> ((s, d) =>
       Dedup.hamming64CappedBuckets(Multimodal.phashSigs(
-        Multimodal.synthBitmaps(Tables.load(s, d, "documents")
-          .where(col("doc_id") % 10 === 0))), maxBucket = 2)),
+        bitmapFixture(s, d)), maxBucket = 2)),
     // the wav branch of the multimodal matrix: audio perceptual
     // near-dup over synthetic PCM — per doc, four s16le payloads
     // (base / exact 2× amplitude / silence-padded / one +4096
@@ -1547,26 +1544,21 @@ object SparkEntry {
     // simhash families recover every variant group (amplitude and
     // padding at hamming 0 by construction, glitch ≤ 2)
     "audio_near_dups" -> ((s, d) =>
-      Multimodal.audioNearDups(Multimodal.synthPcm(
-        Tables.load(s, d, "documents")
-          .where(col("doc_id") % 10 === 0)))),
+      Multimodal.audioNearDups(pcmFixture(s, d))),
     // transitive perceptual groups: the same CC stage the text and
     // embedding pipelines use, composed over the dHash pair source —
     // "keep one rendition per image" end to end (pairs → union-find
     // → per-image group representative)
     "phash_groups" -> ((s, d) =>
       Dedup.connectedGroups(Multimodal.phashNearDups(
-        Multimodal.synthBitmaps(Tables.load(s, d, "documents")
-          .where(col("doc_id") % 10 === 0))))),
+        bitmapFixture(s, d)))),
     // the live twin: per closed daily window, every dHash pigeonhole
     // block bucket with ≥2 members — completing the 2×2 dedup matrix
     // (batch/live × exact-chunk/perceptual); variants inherit their
     // base doc's synthetic hour, so each variant group collides
     // inside one window like the text dup fixture's mirrors
     "phash_dup_stream" -> ((s, d) => {
-      val bmps = Multimodal.synthBitmaps(
-        Tables.load(s, d, "documents")
-          .where(col("doc_id") % 10 === 0))
+      val bmps = bitmapFixture(s, d)
       val ts = bmps.select(
         expr("timestampadd(HOUR, CAST((id DIV 4) % 240 AS INT), " +
           "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
@@ -1888,6 +1880,38 @@ object SparkEntry {
         .unionByName(planted),
       off)
   }
+
+  /** The synthetic-bitmap fixture feed for the phash rows, with a
+    * BENCH-side staging override (r14 verdict item 3): when the
+    * session conf `graft.fixture.bitmaps` points at a parquet dir,
+    * read the pre-staged bitmaps from it instead of re-deriving the
+    * per-pixel hex→unhex generator inline. Bench writes that parquet
+    * ONCE, untimed, before the measurement passes — so the declared
+    * phash numbers price the ENGINE (signature pass + banded pairs),
+    * not the fixture arithmetic production bitmaps never pay.
+    * Verify/the driver never set the conf, so the correctness rows
+    * still derive the fixture inline and the DuckDB oracle replays
+    * the full chain bit-for-bit.
+    */
+  private[graft] def bitmapFixture(s: SparkSession, d: String)
+      : DataFrame =
+    s.conf.getOption("graft.fixture.bitmaps") match {
+      case Some(p) => s.read.parquet(p)
+      case None => Multimodal.synthBitmaps(
+        Tables.load(s, d, "documents").where(col("doc_id") % 10 === 0))
+    }
+
+  /** [[bitmapFixture]]'s audio twin (`graft.fixture.pcm`): the
+    * per-sample little-endian hex generator is the same fixture cost
+    * class as the per-pixel one.
+    */
+  private[graft] def pcmFixture(s: SparkSession, d: String)
+      : DataFrame =
+    s.conf.getOption("graft.fixture.pcm") match {
+      case Some(p) => s.read.parquet(p)
+      case None => Multimodal.synthPcm(
+        Tables.load(s, d, "documents").where(col("doc_id") % 10 === 0))
+    }
 
   /** Near-identical titles for `fuzzy_pairs`: 40-char title prefixes,
     * plus (for every fifth doc, under an offset id) a copy with its
