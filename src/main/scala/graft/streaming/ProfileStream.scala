@@ -1461,10 +1461,19 @@ object ProfileStream {
     * tag count) and reports per batch: new paths, vanished paths
     * (present in the previous batch, absent now), and new type tags on
     * existing paths — the operational "schema drift" signal.
+    *
+    * The retained drift LOG is a ring buffer capped at `maxDrifts`
+    * (r14 verdict item 5: the unbounded `allDrifts` accumulator would
+    * leak driver memory on a month-long stream with churning schemas
+    * — each batch's drifts are still RETURNED in full to the caller;
+    * only the convenience history is bounded). [[totalDrifts]] keeps
+    * the exact lifetime count regardless of eviction, so "how many"
+    * never degrades even when "which" has rolled off.
     */
-  final class DriftMonitor extends Serializable {
+  final class DriftMonitor(maxDrifts: Int = 10000) extends Serializable {
     private val state = mutable.Map.empty[String, mutable.Map[String, Long]]
-    private val drifts = mutable.ArrayBuffer.empty[String]
+    private val drifts = mutable.ArrayDeque.empty[String]
+    private var driftCount = 0L
     private var lastBatchPaths: Set[String] = Set.empty
 
     def processBatch(batch: DataFrame): Seq[String] = {
@@ -1487,10 +1496,16 @@ object ProfileStream {
         batchDrifts += s"vanished path: $p")
       lastBatchPaths = batchPaths
       drifts ++= batchDrifts
+      driftCount += batchDrifts.size
+      while (drifts.size > maxDrifts) drifts.removeHead()
       batchDrifts.toSeq
     }
 
+    /** The most recent ≤ maxDrifts drift lines (ring-buffered). */
     def allDrifts: Seq[String] = drifts.toSeq
+
+    /** Exact lifetime drift count — unaffected by ring eviction. */
+    def totalDrifts: Long = driftCount
     def knownPaths: Set[String] = state.keySet.toSet
     def typeCounts(path: String): Map[String, Long] =
       state.get(path).map(_.toMap).getOrElse(Map.empty)

@@ -56,6 +56,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(d3.contains("vanished path: b"))
   }
 
+  test("DriftMonitor: drift log is ring-buffered at maxDrifts while " +
+      "totalDrifts keeps the exact lifetime count") {
+    val m = new ProfileStream.DriftMonitor(maxDrifts = 5)
+    // each batch introduces one brand-new path (new path drift) and
+    // vanishes the previous one (vanished drift) → 2 drifts/batch
+    // after the first
+    (0 until 8).foreach { i =>
+      val schema = StructType(Seq(StructField(s"c$i", IntegerType)))
+      val b = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(i))), schema)
+      m.processBatch(b)
+    }
+    // lifetime: 8 new paths + 7 vanishes = 15 drifts, exact
+    assert(m.totalDrifts == 15L, s"totalDrifts ${m.totalDrifts}")
+    // retained history capped at 5, and it is the NEWEST 5
+    val kept = m.allDrifts
+    assert(kept.size == 5, s"ring size ${kept.size}")
+    assert(kept.last == "vanished path: c6")
+    assert(kept.contains("new path: c7 (int32)"))
+    // state (the merged histogram) is NOT ring-bounded — every path
+    // ever seen stays known
+    assert(m.knownPaths.size == 8)
+  }
+
   test("dedupStream keeps one row per fingerprint within the horizon") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup")
     val in = dir.toString + "/in"
