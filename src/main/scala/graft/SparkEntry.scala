@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{BinaryType, DecimalType}
 import graft.functions.BsonIds
 import graft.operators.{Dedup, Export, JsonProfiler, Multimodal, Profiler,
   Relational, Sampling, Similarity, TextAnalysis}
-import graft.sources.Tables
+import graft.sources.{ExtJson, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY §2 is exposed as a named query
@@ -458,6 +458,53 @@ object SparkEntry {
         Export.convertValue(col("dec"), DecimalType(12, 2)).as("dec_str"),
         Export.convertValue(col("bin"), BinaryType).as("bin_hex"))
         .orderBy("id")
+    }),
+    // Extended JSON v2 ingest (the mongoexport wire format): a
+    // deterministic canonical-mode fixture built from doc_id (both
+    // engines derive the same strings), parsed through the REAL
+    // ingest path — from_json with the ExtJson schema fragments, then
+    // the typed decoders feeding the F3 chain (uuidFromSubtype on the
+    // decoded $binary) — and round-tripped to comparable scalars. The
+    // oracle parses the same strings with DuckDB's independent JSON
+    // reader, so agreement certifies the decode, not the fixture
+    "convert_extjson" -> ((s, d) => {
+      val ext = Tables.load(s, d, "documents").select(
+        col("doc_id"), concat(
+          lit("{\"_id\":{\"$oid\":\""),
+          lpad(lower(hex(col("doc_id"))), 24, "0"),
+          lit("\"},\"created\":{\"$date\":{\"$numberLong\":\""),
+          (col("doc_id") * 1000 + 123).cast("string"),
+          lit("\"}},\"amount\":{\"$numberDecimal\":\""),
+          col("doc_id").cast("string"), lit(".25"),
+          lit("\"},\"count\":{\"$numberLong\":\""),
+          (col("doc_id") * 7).cast("string"),
+          lit("\"},\"tag\":{\"$binary\":{\"base64\":\""),
+          base64(unhex(md5(col("doc_id").cast("string")))),
+          lit("\",\"subType\":\"04\"}}}")).as("doc"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_id", ExtJson.oidType),
+        org.apache.spark.sql.types.StructField("created",
+          ExtJson.dateType),
+        org.apache.spark.sql.types.StructField("amount",
+          ExtJson.numberDecimalType),
+        org.apache.spark.sql.types.StructField("count",
+          ExtJson.numberLongType),
+        org.apache.spark.sql.types.StructField("tag",
+          ExtJson.binaryType)))
+      ext.select(col("doc_id"),
+          from_json(col("doc"), schema).as("j"))
+        .select(col("doc_id"),
+          ExtJson.oid(col("j._id")).as("oid_hex"),
+          ExtJson.dateMillis(col("j.created")).as("created_ms"),
+          date_format(ExtJson.date(col("j.created")),
+            "yyyy-MM-dd HH:mm:ss").as("created_str"),
+          ExtJson.numberDecimal(col("j.amount"), 12, 2).cast("string")
+            .as("amount_str"),
+          ExtJson.numberLong(col("j.count")).as("count_long"),
+          BsonIds.uuidFromSubtype(ExtJson.binary(col("j.tag")),
+            ExtJson.binarySubtype(col("j.tag")), legacyMode = "java")
+            .as("uuid_str"))
+        .orderBy("doc_id")
     }),
     "list_collections" -> ((s, d) => Tables.listCollections(s, d)),
     "list_indexes" -> ((s, d) => Tables.listIndexes(s, d)),
@@ -6549,6 +6596,46 @@ object SparkEntry {
           "\n      ORDER BY collection")
     },
     "convert_bson" -> convertBsonOracle,
+    // the same canonical Extended-JSON strings rebuilt in SQL, parsed
+    // with DuckDB's json reader (an INDEPENDENT parser — $-keys via
+    // double-quoted path steps), decoded to the same typed scalars
+    "convert_extjson" -> (s"""
+      WITH ext AS (
+        SELECT doc_id,
+          '{"_id":{"$$oid":"' || lpad(lower(hex(doc_id)), 24, '0') ||
+          '"},"created":{"$$date":{"$$numberLong":"' ||
+            CAST(doc_id*1000+123 AS VARCHAR) ||
+          '"}},"amount":{"$$numberDecimal":"' ||
+            CAST(doc_id AS VARCHAR) || '.25' ||
+          '"},"count":{"$$numberLong":"' ||
+            CAST(doc_id*7 AS VARCHAR) ||
+          '"},"tag":{"$$binary":{"base64":"' ||
+            to_base64(unhex(md5(CAST(doc_id AS VARCHAR)))) ||
+          '","subType":"04"}}}' AS doc
+        FROM documents),
+      dec AS (
+        SELECT doc_id,
+          json_extract_string(doc, '$$._id."$$oid"') AS oid_hex,
+          CAST(json_extract_string(doc,
+            '$$.created."$$date"."$$numberLong"') AS BIGINT)
+            AS created_ms,
+          CAST(CAST(json_extract_string(doc,
+            '$$.amount."$$numberDecimal"') AS DECIMAL(12,2))
+            AS VARCHAR) AS amount_str,
+          CAST(json_extract_string(doc, '$$.count."$$numberLong"')
+            AS BIGINT) AS count_long,
+          hex(from_base64(json_extract_string(doc,
+            '$$.tag."$$binary".base64'))) AS tag_hex
+        FROM ext)
+      SELECT doc_id, oid_hex, created_ms,
+        strftime(epoch_ms(created_ms), '%Y-%m-%d %H:%M:%S')
+          AS created_str,
+        amount_str, count_long,
+        lower(substr(tag_hex, 1, 8) || '-' || substr(tag_hex, 9, 4)
+          || '-' || substr(tag_hex, 13, 4) || '-'
+          || substr(tag_hex, 17, 4) || '-' || substr(tag_hex, 21, 12))
+          AS uuid_str
+      FROM dec ORDER BY doc_id"""),
     "profile_full_events" -> profileFullEventsOracle,
     "json_profile_docs" -> (s"""
       $jsonDocsCte

@@ -73,4 +73,62 @@ class BsonIdsUtilsSpec extends AnyFunSuite {
     assert(Utils.formatBytes(2048) == "2.0 KB")
     assert(Utils.formatBytes(5L * 1024 * 1024 * 1024) == "5.0 GB")
   }
+
+  test("ExtJson: every canonical scalar wrapper decodes to its typed " +
+      "value; relaxed dates and legacy-uuid binary included") {
+    import graft.sources.ExtJson
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val doc =
+      """{"_id":{"$oid":"507f1f77bcf86cd799439011"},
+        |"d":{"$date":{"$numberLong":"1704067200123"}},
+        |"dr":{"$date":"2024-01-01T00:00:00.123Z"},
+        |"dec":{"$numberDecimal":"12345.67"},
+        |"l":{"$numberLong":"9007199254740993"},
+        |"i":{"$numberInt":"-42"},
+        |"f":{"$numberDouble":"1.5"},
+        |"b":{"$binary":{"base64":"AAECAwQFBgcICQoLDA0ODw==",
+        |"subType":"03"}}}""".stripMargin.replace("\n", "")
+    val schema = StructType(Seq(
+      StructField("_id", ExtJson.oidType),
+      StructField("d", ExtJson.dateType),
+      StructField("dr", ExtJson.dateRelaxedType),
+      StructField("dec", ExtJson.numberDecimalType),
+      StructField("l", ExtJson.numberLongType),
+      StructField("i", ExtJson.numberIntType),
+      StructField("f", ExtJson.numberDoubleType),
+      StructField("b", ExtJson.binaryType)))
+    val r = Seq(doc).toDF("doc")
+      .select(from_json($"doc", schema).as("j"))
+      .select(
+        ExtJson.oid($"j._id").as("oid"),
+        ExtJson.dateMillis($"j.d").as("ms"),
+        date_format(ExtJson.date($"j.d"),
+          "yyyy-MM-dd HH:mm:ss.SSS").as("ds"),
+        date_format(ExtJson.dateRelaxed($"j.dr"),
+          "yyyy-MM-dd HH:mm:ss.SSS").as("drs"),
+        ExtJson.numberDecimal($"j.dec", 12, 2).cast("string").as("dec"),
+        ExtJson.numberLong($"j.l").as("l"),
+        ExtJson.numberInt($"j.i").as("i"),
+        ExtJson.numberDouble($"j.f").as("f"),
+        ExtJson.binarySubtype($"j.b").as("st"),
+        BsonIds.uuidFromSubtype(ExtJson.binary($"j.b"),
+          ExtJson.binarySubtype($"j.b"), legacyMode = "java").as("u"))
+      .head()
+    assert(r.getString(0) == "507f1f77bcf86cd799439011")
+    assert(r.getLong(1) == 1704067200123L)
+    // canonical millis and the relaxed ISO string are the SAME moment
+    assert(r.getString(2) == "2024-01-01 00:00:00.123")
+    assert(r.getString(3) == r.getString(2))
+    assert(r.getString(4) == "12345.67")
+    // above 2^53: survives because the wire carries longs as strings
+    assert(r.getLong(5) == 9007199254740993L)
+    assert(r.getInt(6) == -42)
+    assert(r.getDouble(7) == 1.5)
+    assert(r.getInt(8) == 3)
+    // subtype 03 routes through the java-legacy half-reversal: bytes
+    // 00..0f come back as 0706050403020100-0f0e0d0c0b0a0908, dashed
+    assert(r.getString(9) == "07060504-0302-0100-0f0e-0d0c0b0a0908",
+      s"java-legacy reversal: ${r.getString(9)}")
+  }
 }
