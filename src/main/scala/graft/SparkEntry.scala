@@ -1592,6 +1592,21 @@ object SparkEntry {
     // padding at hamming 0 by construction, glitch ≤ 2)
     "audio_near_dups" -> ((s, d) =>
       Multimodal.audioNearDups(pcmFixture(s, d))),
+    // the audio live twin: per closed daily window, every AudioHash64
+    // pigeonhole block bucket with ≥2 members — completing the
+    // perceptual matrix (image/audio × batch/live); variants inherit
+    // their base doc's synthetic hour like the image fixture
+    "audio_dup_stream" -> ((s, d) => {
+      val pcms = pcmFixture(s, d)
+      val ts = pcms.select(
+        expr("timestampadd(HOUR, CAST((id DIV 4) % 240 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        col("id"), col("pcm"))
+      graft.streaming.ProfileStream
+        .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
+          .audioDupStream(st, "ts"))
+        .orderBy("slice_start", "block_idx", "block_val")
+    }),
     // transitive perceptual groups: the same CC stage the text and
     // embedding pipelines use, composed over the dHash pair source —
     // "keep one rendition per image" end to end (pairs → union-find
@@ -5725,6 +5740,26 @@ object SparkEntry {
       JOIN asigs s2 ON s2.id = c.id2
       WHERE bit_count(xor(s1.sig, s2.sig)) <= 3
       ORDER BY id1, id2"""),
+    // the audio sig chain + pigeonhole blocks grouped by the
+    // synthetic daily window — phash_dup_stream's oracle shape over
+    // AudioHash64 codes
+    "audio_dup_stream" -> (s"""
+      WITH $audioSigCtes,
+      blocks AS (
+        SELECT id, b.b AS block_idx, (sig >> (b.b*16)) & 65535
+                 AS block_val
+        FROM asigs, (VALUES (0), (1), (2), (3)) b(b)),
+      wnd AS (SELECT id,
+              strftime(CAST(CAST(TIMESTAMP '2024-01-01 00:00:00'
+                + to_hours(CAST((id // 4) % 240 AS BIGINT)) AS DATE)
+                AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS slice_start
+            FROM asigs)
+      SELECT wnd.slice_start, b.block_idx, b.block_val,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             MIN(b.id) AS keep_id
+      FROM blocks b JOIN wnd ON wnd.id = b.id
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+      ORDER BY slice_start, block_idx, block_val"""),
     // the pigeonhole-block census above the cap — the suppressed-
     // recall audit replayed from the same sig chain
     "phash_capped_buckets" -> (s"""

@@ -1371,6 +1371,58 @@ object ProfileStream {
         col("keep_id"))
   }
 
+  /** Live perceptual near-dup census for PCM AUDIO — the wav-branch
+    * twin of [[phashDupStream]], completing the perceptual matrix
+    * (image/audio × batch/live): each incoming payload fingerprints
+    * ROW-LOCALLY ([[graft.functions.AudioHash64]] — one compiled
+    * byte loop, streaming-safe), the 64-bit code splits into
+    * maxDist+1 pigeonhole blocks, and closed windows emit every
+    * (block, value) bucket with ≥ 2 members — "tonight's crawl is
+    * re-encoding yesterday's audio" at alarm granularity; the exact
+    * Hamming pair list stays a batch job against the emitted
+    * buckets, like the image and text families.
+    *
+    * State: one (count, min-id) row per distinct block bucket per
+    * OPEN window — watermark-bounded; merge-only counters, so closed
+    * slices equal the batch per-window block census exactly. The
+    * unfingerprintable-payload drop (null hash: odd length,
+    * all-silence, too short) lives INSIDE the generator — the
+    * watermark-pushdown lesson, enforced by the replay tripwire.
+    */
+  def audioDupStream(stream: DataFrame, tsCol: String,
+                     pcmCol: String = "pcm", idCol: String = "id",
+                     maxDist: Int = 3,
+                     windowDur: String = "1 day",
+                     watermarkDur: String = "1 hour"): DataFrame = {
+    val nBlocks = maxDist + 1
+    require(64 % nBlocks == 0, "64 bits must split into maxDist+1")
+    val width = 64 / nBlocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val blockArr = array((0 until nBlocks).map(b =>
+      struct(lit(b).as("block_idx"),
+        shiftright(col("_sig"), b * width).bitwiseAND(mask)
+          .as("block_val"))): _*)
+    val blocksOrEmpty = when(col("_sig").isNotNull, blockArr)
+      .otherwise(array().cast(
+        "array<struct<block_idx:int,block_val:bigint>>"))
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .select(col(tsCol).as("_ts"), col(idCol).as("_id"),
+        graft.functions.AudioHash64.audioHash64(col(pcmCol))
+          .as("_sig"))
+      .select(col("_ts"), col("_id"), explode(blocksOrEmpty).as("b"))
+      .groupBy(window(col("_ts"), windowDur),
+        col("b.block_idx").as("block_idx"),
+        col("b.block_val").as("block_val"))
+      .agg(count(lit(1)).as("n_members"), min(col("_id")).as("keep_id"))
+      .filter(col("n_members") >= 2)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("slice_start"),
+        col("block_idx"), col("block_val"), col("n_members"),
+        col("keep_id"))
+  }
+
   /** Live SEMANTIC decontamination — the paraphrase-leak alarm
     * completing the decontamination matrix (exact batch / Bloom batch
     * / n-gram stream / semantic batch / semantic STREAM): each

@@ -122,6 +122,43 @@ class AudioHashSpec extends AnyFunSuite {
         s"missing variant pair d=$d ($i,$j)")
   }
 
+  test("audioDupStream closed slices equal the batch per-window " +
+      "block census, including the newest window") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(d => (d, s"doc$d"))
+      .toDF("doc_id", "text")
+    val pcms = Multimodal.synthPcm(docs)
+    val ts = pcms.select(
+      expr("timestampadd(HOUR, CAST((id DIV 4) % 240 AS INT), " +
+        "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+      col("id"), col("pcm"))
+    val slices = graft.streaming.ProfileStream
+      .replayedSlices(ts, "ts")(st => graft.streaming.ProfileStream
+        .audioDupStream(st, "ts"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val sig = AudioHash64.audioHash64(col("pcm"))
+    val batch = ts.select(
+        date_format(date_trunc("day", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("slice_start"),
+        col("id"), sig.as("s"))
+      .select(col("slice_start"), col("id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("block_idx"),
+            shiftright(col("s"), b * 16).bitwiseAND(65535L)
+              .as("block_val"))): _*)).as("b"))
+      .groupBy(col("slice_start"), col("b.block_idx"),
+        col("b.block_val"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep_id"))
+      .filter(col("n_members") >= 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(slices == batch && slices.nonEmpty)
+    // variant groups (hamming <= 2 within a doc) share at least one
+    // 16-bit block by pigeonhole, so their bucket rows surface
+    assert(slices.exists(_._4 >= 2L))
+  }
+
   test("randomized model check (seeded): on random signals of " +
       "arbitrary length, scaling flips 0 bits, padding flips 0 bits, " +
       "any one-sample edit flips <= 2 bits, and evalPcm matches a " +

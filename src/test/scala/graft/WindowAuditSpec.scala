@@ -97,6 +97,12 @@ class WindowAuditSpec extends AnyFunSuite {
     val allow = Map(
       // the documented O(n²) recall-1.0 baseline (scale path is LSH)
       "embedding_near_dups_exact" -> "declared exact baseline",
+      // train × broadcast benchmark-sized test side — the gate's
+      // declared exhaustive twin (scale path is semantic_decontam)
+      "semantic_decontam_exact" -> "declared exact baseline",
+      // the curve's truth denominator is the same declared O(n²)
+      // exact arm (run once; every knob arm itself is bucket-banded)
+      "lsh_occupancy_curve" -> "exact-twin truth denominator",
       // query batch × centroid/hyperplane tables: broadcast side is
       // nlist/tables-sized by construction
       "ann_cosine_topk" -> "corpus x broadcast query batch",
