@@ -1537,6 +1537,20 @@ object SparkEntry {
       val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
       Similarity.semanticDecontamRecall(e.filter(!isTest), off)
     }),
+    // the TABLES axis of the same measurement (the r14 item-1
+    // done-condition's "tables-vs-recall knob with data"): per
+    // (tables ∈ {4,8,16}, band), recall from ONE 16-table bucket
+    // join — the k-table gate's buckets are the first k tables of
+    // the 16-table build (plane indices depend only on t), so found
+    // at k ⟺ min colliding table < k, and monotonicity in tables is
+    // proved by prefix nesting, the annRecallCurve argument
+    "semantic_decontam_tables" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val isTest = substring(md5(col("vec_id").cast("string")), 1, 1)
+        .isin("0", "1")
+      val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      Similarity.semanticDecontamTablesCurve(e.filter(!isTest), off)
+    }),
     // the LIVE semantic gate: train vectors stream against the
     // broadcast benchmark bucket table — stateless (the row-local
     // min-colliding-table trick replaces the batch distinct), each
@@ -2922,6 +2936,36 @@ object SparkEntry {
         UNION ALL
         SELECT t.vec_id + sd_off.o, t.embedding
         FROM sd_tr t, sd_off WHERE t.vec_id % 25 = 0)"""
+
+  /** The [[graft.operators.Similarity]] graded-cosine plant replay
+    * (sdrPlants) shared by the `semantic_decontam_recall` and
+    * `semantic_decontam_tables` oracles: every 25th train vector
+    * perturbed per band (exact float-cast of v + α·u, u from the md5
+    * 'sdr' namespace), ending at `sdr_plc(orig, band, alpha,
+    * test_id, pvec, pcos)`. Composes after [[sdFixtureCtes]].
+    */
+  private val sdrPlantCtes: String = s"""sdr_src AS MATERIALIZED (
+        SELECT vec_id AS orig, embedding AS v FROM sd_tr
+        WHERE vec_id % 25 = 0),
+      sdr_bands AS (SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(0.0625 AS DOUBLE)),
+        (CAST(1 AS BIGINT), CAST(0.125  AS DOUBLE)),
+        (CAST(2 AS BIGINT), CAST(0.1875 AS DOUBLE))) b(band, alpha)),
+      sdr_pl AS MATERIALIZED (
+        SELECT s.orig, b.band, b.alpha,
+          list(CAST(s.v[i+1] + b.alpha *
+            (CASE WHEN substr(md5('sdr:' || CAST(b.band AS VARCHAR)
+                   || ':' || CAST(i AS VARCHAR)), 1, 1) < '8'
+                  THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+            AS FLOAT) ORDER BY i) AS pvec
+        FROM sdr_src s, sdr_bands b, range(0, 64) t(i)
+        GROUP BY s.orig, b.band, b.alpha),
+      sdr_plc AS MATERIALIZED (
+        SELECT p.orig, p.band, p.alpha,
+               (SELECT o FROM sd_off) + p.orig*3 + p.band AS test_id,
+               p.pvec,
+               ${cosSql.format("s.v", "p.pvec")} AS pcos
+        FROM sdr_pl p JOIN sdr_src s USING (orig))"""
 
   /** IVF top-k oracle at a given probe depth — replays
     * [[Similarity.ivfTopK]] (nlist=16, k=5) bit-for-bit.
@@ -6325,28 +6369,7 @@ object SparkEntry {
     // with the exact-cosine eligibility denominator
     "semantic_decontam_recall" -> (s"""
       WITH $sdFixtureCtes,
-      sdr_src AS MATERIALIZED (
-        SELECT vec_id AS orig, embedding AS v FROM sd_tr
-        WHERE vec_id % 25 = 0),
-      sdr_bands AS (SELECT * FROM (VALUES
-        (CAST(0 AS BIGINT), CAST(0.0625 AS DOUBLE)),
-        (CAST(1 AS BIGINT), CAST(0.125  AS DOUBLE)),
-        (CAST(2 AS BIGINT), CAST(0.1875 AS DOUBLE))) b(band, alpha)),
-      sdr_pl AS MATERIALIZED (
-        SELECT s.orig, b.band, b.alpha,
-          list(CAST(s.v[i+1] + b.alpha *
-            (CASE WHEN substr(md5('sdr:' || CAST(b.band AS VARCHAR)
-                   || ':' || CAST(i AS VARCHAR)), 1, 1) < '8'
-                  THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
-            AS FLOAT) ORDER BY i) AS pvec
-        FROM sdr_src s, sdr_bands b, range(0, 64) t(i)
-        GROUP BY s.orig, b.band, b.alpha),
-      sdr_plc AS MATERIALIZED (
-        SELECT p.orig, p.band, p.alpha,
-               (SELECT o FROM sd_off) + p.orig*3 + p.band AS test_id,
-               p.pvec,
-               ${cosSql.format("s.v", "p.pvec")} AS pcos
-        FROM sdr_pl p JOIN sdr_src s USING (orig)),
+      $sdrPlantCtes,
       e AS MATERIALIZED (SELECT vec_id, embedding FROM sd_tr
         UNION ALL SELECT test_id AS vec_id, pvec AS embedding
         FROM sdr_plc),
@@ -6378,6 +6401,42 @@ object SparkEntry {
              sum_micro // planted AS mean_cos_micro
       FROM sdr_base b LEFT JOIN sdr_found f USING (band)
       ORDER BY band"""),
+    // the tables-knob replay: same plant chain, same 16-table bucket
+    // walk, per-pair MIN colliding table, prefix cut per knob
+    "semantic_decontam_tables" -> (s"""
+      WITH $sdFixtureCtes,
+      $sdrPlantCtes,
+      e AS MATERIALIZED (SELECT vec_id, embedding FROM sd_tr
+        UNION ALL SELECT test_id AS vec_id, pvec AS embedding
+        FROM sdr_plc),
+      ${lshTbCte(16, 6).replace("tb AS (", "tb AS MATERIALIZED (")},
+      sdt_min AS MATERIALIZED (
+        SELECT p.band, p.test_id, MIN(a.t) AS min_tbl
+        FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket
+        JOIN sdr_plc p ON p.test_id = b.vec_id AND p.orig = a.vec_id
+        WHERE p.pcos >= 0.5
+        GROUP BY 1, 2),
+      sdt_knobs AS (SELECT * FROM (VALUES
+        (CAST(4 AS BIGINT)), (CAST(8 AS BIGINT)),
+        (CAST(16 AS BIGINT))) k(tables)),
+      sdt_found AS (
+        SELECT k.tables, m.band, COUNT(*) AS found
+        FROM sdt_knobs k, sdt_min m
+        WHERE m.min_tbl < k.tables GROUP BY 1, 2),
+      sdt_base AS (
+        SELECT band, CAST(alpha*1000000 AS BIGINT) AS alpha_micro,
+               COUNT(*) AS planted,
+               CAST(SUM(CASE WHEN pcos >= 0.5 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS eligible
+        FROM sdr_plc GROUP BY 1, 2)
+      SELECT k.tables, b.band, b.alpha_micro, b.planted, b.eligible,
+             COALESCE(f.found, CAST(0 AS BIGINT)) AS found,
+             CASE WHEN b.eligible > 0
+                  THEN COALESCE(f.found, 0) * 1000000 // b.eligible
+             END AS recall_ppm
+      FROM sdt_knobs k CROSS JOIN sdt_base b
+      LEFT JOIN sdt_found f ON f.tables = k.tables AND f.band = b.band
+      ORDER BY k.tables, b.band"""),
     "embedding_near_dups_exact" -> (s"""
       SELECT id1, id2, score FROM (
         SELECT a.vec_id AS id1, b.vec_id AS id2,

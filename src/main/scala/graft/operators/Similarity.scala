@@ -650,23 +650,24 @@ object Similarity {
     * (corpus/plantEvery × bands rows), the gate runs its normal
     * broadcast bucket probe, and the rollup is a bands-sized groupBy.
     */
-  def semanticDecontamRecall(train: DataFrame, idOffset: Long,
-                             threshold: Double = 0.5,
-                             tables: Int = 16, planesPerTable: Int = 6,
-                             alphas: Seq[Double] =
-                               Seq(0.0625, 0.125, 0.1875),
-                             plantEvery: Int = 25,
-                             idCol: String = "vec_id",
-                             vecCol: String = "embedding",
-                             dim: Int = 64): DataFrame = {
-    require(alphas.nonEmpty)
+  /** The graded-cosine plant fixture shared by
+    * [[semanticDecontamRecall]] and [[semanticDecontamTablesCurve]]:
+    * every `plantEvery`-th train vector perturbed per band as the
+    * exact float-cast of v + αᵦ·uᵦ, with its exact plant cosine and
+    * offset test id. Returned persisted (gate arm + rollup both read
+    * it).
+    */
+  private def sdrPlants(train: DataFrame, idOffset: Long,
+                        alphas: Seq[Double], plantEvery: Int,
+                        idCol: String, vecCol: String,
+                        dim: Int): DataFrame = {
     val nBands = alphas.size
     val src = train.filter(col(idCol) % plantEvery === 0)
       .select(col(idCol).as("orig"), col(vecCol).as("v"))
     // plants: one perturbed float vector per (source, band), built
     // row-locally; alpha·sign precomputed in the driver as exact
     // doubles (alpha is an exact binary fraction, sign ±1)
-    val plants = alphas.zipWithIndex.map { case (a, b) =>
+    alphas.zipWithIndex.map { case (a, b) =>
       val delta = array((0 until dim).map(i =>
         lit(a * sdrSign(b, i))): _*)
       src.select(col("orig"), lit(b.toLong).as("band"),
@@ -679,7 +680,22 @@ object Similarity {
       .withColumn("pcos", cosine(col("v"), col("pvec")))
       .withColumn("test_id",
         lit(idOffset) + col("orig") * nBands + col("band"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // gate arm + rollup
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def semanticDecontamRecall(train: DataFrame, idOffset: Long,
+                             threshold: Double = 0.5,
+                             tables: Int = 16, planesPerTable: Int = 6,
+                             alphas: Seq[Double] =
+                               Seq(0.0625, 0.125, 0.1875),
+                             plantEvery: Int = 25,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             dim: Int = 64): DataFrame = {
+    require(alphas.nonEmpty)
+    val nBands = alphas.size
+    val plants = sdrPlants(train, idOffset, alphas, plantEvery,
+      idCol, vecCol, dim)
     // the PRODUCTION gate, verbatim, over (train, plants-as-test)
     val found = semanticDecontam(train,
         plants.select(col("test_id").as(idCol),
@@ -709,6 +725,77 @@ object Similarity {
           .as("recall_ppm"),
         expr("_sum_micro DIV planted").as("mean_cos_micro"))
       .orderBy("band")
+  }
+
+  /** The TABLES-vs-recall knob of the semantic gate as data — the
+    * second axis of [[semanticDecontamRecall]]: per (tables knob,
+    * cosine band), how much recall does each extra OR-amplification
+    * table buy. ONE `maxTables`-table bucket join serves every knob
+    * arm: [[lshTables]]' table-t planes are the md5 universe at
+    * global indices [t·p, (t+1)·p) regardless of the total table
+    * count, so the k-table gate's bucket set is exactly the first k
+    * tables of the 16-table build — a pair is found at knob k iff its
+    * MINIMUM colliding table index is < k (the nested-prefix argument
+    * [[annRecallCurve]] uses for nprobe, transposed; monotonicity in
+    * `tables` is therefore PROVED, not observed). The per-pair min
+    * colliding table falls out of the bucket join for free (one
+    * groupBy-min over rows the join already emits — no extra arrays,
+    * no second build).
+    */
+  def semanticDecontamTablesCurve(train: DataFrame, idOffset: Long,
+                                  threshold: Double = 0.5,
+                                  tablesKnobs: Seq[Int] = Seq(4, 8, 16),
+                                  planesPerTable: Int = 6,
+                                  alphas: Seq[Double] =
+                                    Seq(0.0625, 0.125, 0.1875),
+                                  plantEvery: Int = 25,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding",
+                                  dim: Int = 64): DataFrame = {
+    require(tablesKnobs.nonEmpty && alphas.nonEmpty)
+    val maxTables = tablesKnobs.max
+    val nBands = alphas.size
+    val plants = sdrPlants(train, idOffset, alphas, plantEvery,
+      idCol, vecCol, dim)
+    val l = graft.util.Utils.spread(train)
+      .select(col(idCol).as("train_id"),
+        explode(lshTables(col(vecCol), maxTables, planesPerTable, dim))
+          .as("tb"))
+      .select(col("train_id"), col("tb.tbl"), col("tb.bucket"))
+    val r = broadcast(plants.select(col("test_id"), col("orig"),
+        col("band"), col("pcos"),
+        explode(lshTables(col("pvec"), maxTables, planesPerTable, dim))
+          .as("tb"))
+      .select(col("test_id"), col("orig"), col("band"), col("pcos"),
+        col("tb.tbl"), col("tb.bucket")))
+    // planted-pair recovery only, exact-eligible only; min colliding
+    // table per pair — each knob arm is then a prefix cut
+    val minTbl = l.join(r, Seq("tbl", "bucket"))
+      .filter(col("train_id") === col("orig") &&
+        col("pcos") >= threshold)
+      .groupBy(col("band"), col("test_id"))
+      .agg(min(col("tbl")).as("min_tbl"))
+    val found = minTbl
+      .withColumn("tables",
+        explode(array(tablesKnobs.map(k => lit(k.toLong)): _*)))
+      .filter(col("min_tbl") < col("tables"))
+      .groupBy("tables", "band").agg(count(lit(1)).as("found"))
+    val base = plants.groupBy(col("band"), col("alpha_micro"))
+      .agg(count(lit(1)).as("planted"),
+        sum(when(col("pcos") >= threshold, 1L).otherwise(0L))
+          .as("eligible"))
+    val knobs = train.sparkSession.range(1).select(
+      explode(array(tablesKnobs.map(k => lit(k.toLong)): _*))
+        .as("tables"))
+    knobs.crossJoin(broadcast(base))
+      .join(found, Seq("tables", "band"), "left")
+      .select(col("tables"), col("band"), col("alpha_micro"),
+        col("planted"), col("eligible"),
+        coalesce(col("found"), lit(0L)).as("found"),
+        when(col("eligible") > 0,
+          expr("coalesce(found, 0) * 1000000 DIV eligible"))
+          .as("recall_ppm"))
+      .orderBy("tables", "band")
   }
 
   /** Collects a labeled reference set for [[labelVoteColumns]] — the

@@ -1100,6 +1100,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"exact twin ${exact.length} pairs != naive ${naive.size}")
   }
 
+  test("semanticDecontamTablesCurve: each knob arm equals the " +
+      "production gate at that table count; monotone in tables; " +
+      "the max-tables arm matches semanticDecontamRecall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isTest = substring(md5(col("vec_id").cast("string")), 1, 1)
+      .isin("0", "1")
+    val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val train = e.filter(!isTest)
+    val curve = Similarity.semanticDecontamTablesCurve(train, off,
+        plantEvery = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(curve.size == 9)
+    // monotone in tables per band (prefix nesting), and the proof's
+    // premise directly: found at k ⟺ min colliding table < k
+    for (b <- 0L to 2L; (k1, k2) <- Seq((4L, 8L), (8L, 16L)))
+      assert(curve((k1, b))._3 <= curve((k2, b))._3,
+        s"band $b: found not monotone from $k1 to $k2 tables")
+    // each arm IS the production gate at that table count: re-run
+    // semanticDecontam(tables = k) on the same plants and count
+    // planted-pair recoveries among the exact-eligible
+    val plants = Similarity.semanticDecontamRecall(train, off,
+      plantEvery = 5)   // forces the same fixture cadence
+    for (k <- Seq(4, 8)) {
+      val testDf = {
+        // rebuild the plant test side exactly as the curve does
+        val src = train.filter(col("vec_id") % 5 === 0)
+        val alphas = Seq(0.0625, 0.125, 0.1875)
+        alphas.zipWithIndex.map { case (a, b) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def sign(i: Int): Double = {
+            md.reset()
+            val d = md.digest(s"sdr:$b:$i".getBytes("UTF-8"))
+            if ((d(0) & 0x80) == 0) 1.0 else -1.0
+          }
+          val delta = array((0 until 64).map(i =>
+            lit(a * sign(i))): _*)
+          src.select(
+            (lit(off) + col("vec_id") * 3 + b).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x.cast("double") + element_at(delta, i.cast("int") + 1))
+                .cast("float")).as("embedding"))
+        }.reduce(_ unionByName _)
+      }
+      val gate = Similarity.semanticDecontam(train, testDf,
+          tables = k)
+        .filter(col("train_id") === (col("test_id") - off).divide(3)
+          .cast("long"))
+      val gotPerBand = gate
+        .withColumn("band", (col("test_id") - off) % 3)
+        .groupBy("band").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      for (b <- 0L to 2L)
+        assert(gotPerBand.getOrElse(b, 0L) == curve((k.toLong, b))._3,
+          s"tables=$k band $b: curve ${curve((k.toLong, b))._3} != " +
+            s"production gate ${gotPerBand.getOrElse(b, 0L)}")
+    }
+    // the max-tables arm reproduces semanticDecontamRecall's found
+    val rec = plants.collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    for (b <- 0L to 2L)
+      assert(curve((16L, b))._3 == rec(b),
+        s"band $b: 16-table arm ${curve((16L, b))._3} != recall row " +
+          s"${rec(b)}")
+  }
+
   test("lshOccupancyCurve: found ⊆ candidates ∩ truth per knob, " +
       "recall arithmetic consistent, every arm matches the " +
       "production embeddingNearDups candidate universe") {

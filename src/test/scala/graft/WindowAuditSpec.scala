@@ -103,6 +103,8 @@ class WindowAuditSpec extends AnyFunSuite {
       // the curve's truth denominator is the same declared O(n²)
       // exact arm (run once; every knob arm itself is bucket-banded)
       "lsh_occupancy_curve" -> "exact-twin truth denominator",
+      // 3-row knob literals × 3-row band rollup grid (both bounded)
+      "semantic_decontam_tables" -> "knobs x bands literal grid",
       // query batch × centroid/hyperplane tables: broadcast side is
       // nlist/tables-sized by construction
       "ann_cosine_topk" -> "corpus x broadcast query batch",
