@@ -566,6 +566,14 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardNearDups(Tables.load(s, d, "documents"),
         threshold = 0.1)),
+    // the bands knob of the MinHash family as data (completing the
+    // knob-curve program: nprobe, kCand, planes, tables, now bands):
+    // token-prefix mirrors at graded overlap (≈0.75/0.5/0.3 true
+    // Jaccard, computed exactly per plant), found-at-b is a row-local
+    // lane-equality expression (band key matches ⟺ lanes match),
+    // monotone along 1|2|4|8 by the refinement proof
+    "minhash_band_curve" -> ((s, d) =>
+      Dedup.minhashBandCurve(Tables.load(s, d, "documents"))),
     // exact-substring duplication scan: 8-token windows repeated
     // across distinct documents (span-level, below doc-level dedup)
     "repeated_spans" -> ((s, d) =>
@@ -2652,6 +2660,27 @@ object SparkEntry {
       sc AS (SELECT doc_id, COUNT(*) AS n_grams,
                CAST(SUM(COALESCE(freq_ppm, 0)) AS BIGINT) AS s
              FROM rb LEFT JOIN pf USING (bucket) GROUP BY 1)"""
+  /** MinHash lane j of a DISTINCT-shingle list column `src` — the
+    * [[graft.operators.Dedup.minhashBandCurve]] lane recipe (min over
+    * shingles of an 8-hex slice of md5('g:' || shingle)), identical
+    * to the minhashCte lanes but computed per row with no unnest.
+    */
+  private def mbLaneSql(src: String, j: Int): String =
+    s"list_min(list_transform($src, x -> substr(md5('${j / 4}:' " +
+      s"|| x), ${(j % 4) * 8 + 1}, 8)))"
+
+  /** "Some band's key matches at bands = b" unrolled to lane
+    * equalities over the d0..d7 / m0..m7 columns (md5 band keys match
+    * ⟺ their input lanes match).
+    */
+  private def mbHitSql(b: Int): String = {
+    val r = 8 / b
+    (0 until b).map { j =>
+      (0 until r).map(i => s"d${j * r + i} = m${j * r + i}")
+        .mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+  }
+
   private val shinglesSql =
     """CASE WHEN len(toks) < 3 THEN []
       | ELSE list_distinct(list_transform(range(1, len(toks) - 1),
@@ -5456,6 +5485,65 @@ object SparkEntry {
       FROM j
       WHERE round(CAST(shared AS DOUBLE) / (sz1 + sz2 - shared), 6) >= 0.1
       ORDER BY id1, id2"""),
+    // the bands-curve replay: prefix mirrors, exact set Jaccard,
+    // per-pair md5 min-lanes, unrolled per-knob lane-equality hits
+    "minhash_band_curve" -> (s"""
+      WITH t AS MATERIALIZED (
+        SELECT doc_id, $toksSql AS toks FROM documents
+        WHERE doc_id % 5 = 0),
+      mbl AS (SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), 3, 4,  CAST(750000 AS BIGINT)),
+        (CAST(1 AS BIGINT), 1, 2,  CAST(500000 AS BIGINT)),
+        (CAST(2 AS BIGINT), 3, 10, CAST(300000 AS BIGINT)))
+        l(level, num, den, overlap_ppm)),
+      mbd AS MATERIALIZED (
+        SELECT doc_id AS orig, $shinglesSql AS dsh FROM t),
+      mbp AS (SELECT t.doc_id AS orig, l.level, l.overlap_ppm,
+                list_slice(t.toks, 1,
+                  greatest((len(t.toks)*l.num)//l.den, 3)) AS toks
+              FROM t, mbl l),
+      mbm AS MATERIALIZED (
+        SELECT orig, level, overlap_ppm, $shinglesSql AS msh FROM mbp),
+      mbj AS MATERIALIZED (
+        SELECT m.orig, m.level, m.overlap_ppm, m.msh, d.dsh,
+          CASE WHEN (len(m.msh) + len(d.dsh)
+                     - len(list_intersect(m.msh, d.dsh))) > 0
+            THEN round(CAST(len(list_intersect(m.msh, d.dsh)) AS DOUBLE)
+              / (len(m.msh) + len(d.dsh)
+                 - len(list_intersect(m.msh, d.dsh))), 6)
+            ELSE 0.0 END AS jac
+        FROM mbm m JOIN mbd d USING (orig)),
+      mbs AS MATERIALIZED (
+        SELECT level, overlap_ppm, jac,
+          ${(0 until 8).map(j => mbLaneSql("dsh", j) + s" AS d$j")
+            .mkString(", ")},
+          ${(0 until 8).map(j => mbLaneSql("msh", j) + s" AS m$j")
+            .mkString(", ")}
+        FROM mbj),
+      mbh AS (SELECT level, overlap_ppm, jac,
+          ${Seq(1, 2, 4, 8).map(b =>
+            mbHitSql(b) + s" AS hit$b").mkString(", ")}
+        FROM mbs),
+      mbagg AS (
+        SELECT k.bands, h.level, h.overlap_ppm,
+          COUNT(*) AS planted,
+          CAST(SUM(CASE WHEN jac >= 0.25 THEN 1 ELSE 0 END)
+            AS BIGINT) AS eligible,
+          CAST(SUM(CASE WHEN jac >= 0.25 AND
+              (CASE k.bands WHEN 1 THEN hit1 WHEN 2 THEN hit2
+                            WHEN 4 THEN hit4 ELSE hit8 END)
+            THEN 1 ELSE 0 END) AS BIGINT) AS found,
+          CAST(SUM(CAST(floor(jac*1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_micro
+        FROM mbh h, (SELECT * FROM (VALUES (CAST(1 AS BIGINT)),
+          (CAST(2 AS BIGINT)), (CAST(4 AS BIGINT)),
+          (CAST(8 AS BIGINT))) kk(bands)) k
+        GROUP BY 1, 2, 3)
+      SELECT bands, level, overlap_ppm, planted, eligible, found,
+        CASE WHEN eligible > 0 THEN found * 1000000 // eligible
+        END AS recall_ppm,
+        sum_micro // planted AS mean_jaccard_micro
+      FROM mbagg ORDER BY bands, level"""),
     // exact-substring scan: every 8-token window, two-level rollup
     // (within-doc first), ≥2 distinct docs
     "repeated_spans" -> (s"""

@@ -518,6 +518,97 @@ object Dedup {
       .select(col("id"), col("b.band_idx"), col("b.band_key"))
   }
 
+  /** Declared bands-vs-recall curve for the MinHash-LSH near-dup
+    * family — the fourth knob curve (after nprobe, kCand, planes, and
+    * the semantic gate's tables): at fixed `numHashes`, each
+    * `bandKnobs` arm reports how often LSH banding recovers a planted
+    * near-duplicate of known Jaccard. The natural corpus's near-dups
+    * all sit at Jaccard ≥ 0.9 (trivially recovered at any banding),
+    * so the fixture plants TOKEN-PREFIX mirrors at graded overlap:
+    * level (num, den) keeps the first ⌈|toks|·num/den⌉ tokens, whose
+    * shingle set is a SUBSET of the source's, so true Jaccard ≈
+    * num/den with per-doc jitter — and it is computed EXACTLY per
+    * plant, so the recall denominator is the exact-Jaccard-eligible
+    * count, never the plant count.
+    *
+    * Entirely ROW-LOCAL: both signatures sit side by side per planted
+    * pair, and "found at bands = b" is a lane-equality expression (a
+    * band key matches ⟺ its md5 input lanes match) — no self-join,
+    * no shuffle beyond the bounded fixture. Found-at-b is what
+    * [[minhashNearDups]](bands = b) surfaces for the pair
+    * (spec-pinned equal on the mirror corpus). Monotonicity along the
+    * doubling chain 1 | 2 | 4 | 8 is PROVED, not observed: doubling
+    * bands splits each lane group in two, and all-lanes-equal over a
+    * group implies all-equal over both halves — so hit(b) ⇒ hit(2b)
+    * (the refinement argument; recall can only grow with bands, and
+    * the curve prices what each doubling buys).
+    */
+  def minhashBandCurve(df: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", numHashes: Int = 8,
+                       bandKnobs: Seq[Int] = Seq(1, 2, 4, 8),
+                       levels: Seq[(Int, Int)] =
+                         Seq((3, 4), (1, 2), (3, 10)),
+                       plantEvery: Int = 5,
+                       threshold: Double = 0.25): DataFrame = {
+    require(bandKnobs.nonEmpty && levels.nonEmpty &&
+      bandKnobs.forall(b => numHashes % b == 0))
+    def lanes(sh: Column): Column = array((0 until numHashes).map { j =>
+      array_min(transform(sh, x =>
+        substring(md5(concat(lit(s"${j / 4}:"), x)),
+          (j % 4) * 8 + 1, 8)))
+    }: _*)
+    val src = graft.util.Utils.spread(df)
+      .filter(col(idCol) % plantEvery === 0)
+      .select(col(idCol).as("orig"),
+        filter(split(col(textCol), "\\s+"), x => x =!= "").as("toks"),
+        array_distinct(shingles(col(textCol))).as("dsh"))
+    val pair = levels.zipWithIndex.map { case ((num, den), lv) =>
+      // ⌊|toks|·num/den⌋ with a 3-token floor (below 3 tokens there
+      // is no shingle at all) — exact integer DIV in both engines
+      val k = greatest(expr(s"(size(toks) * $num) DIV $den"), lit(3))
+      src.select(col("orig"), lit(lv.toLong).as("level"),
+        lit(math.round(num * 1e6 / den)).as("overlap_ppm"),
+        col("dsh"),
+        array_distinct(shingles(
+          array_join(slice(col("toks"), lit(1), k), " "))).as("msh"))
+    }.reduce(_ unionByName _)
+      .withColumn("_i",
+        size(array_intersect(col("msh"), col("dsh"))).cast(LongType))
+      .withColumn("_u", size(col("msh")) + size(col("dsh")) - col("_i"))
+      .withColumn("jac", when(col("_u") > 0,
+        round(col("_i").cast("double") / col("_u"), 6)).otherwise(0.0))
+      .withColumn("dsig", lanes(col("dsh")))
+      .withColumn("msig", lanes(col("msh")))
+    val knob = explode(array(bandKnobs.map { b =>
+      val r = numHashes / b
+      val hit = (0 until b).map { j =>
+        (0 until r).map(i =>
+          col("dsig").getItem(j * r + i) ===
+            col("msig").getItem(j * r + i)).reduce(_ && _)
+      }.reduce(_ || _)
+      struct(lit(b.toLong).as("bands"),
+        coalesce(hit, lit(false)).as("hit"))
+    }: _*))
+    pair.select(col("level"), col("overlap_ppm"), col("jac"),
+        knob.as("k"))
+      .select(col("level"), col("overlap_ppm"), col("jac"),
+        col("k.bands").as("bands"), col("k.hit").as("hit"))
+      .groupBy("bands", "level", "overlap_ppm")
+      .agg(count(lit(1)).as("planted"),
+        sum(when(col("jac") >= threshold, 1L).otherwise(0L))
+          .as("eligible"),
+        sum(when(col("jac") >= threshold && col("hit"), 1L)
+          .otherwise(0L)).as("found"),
+        sum(floor(col("jac") * 1e6 + 0.5).cast(LongType))
+          .as("_sum_micro"))
+      .select(col("bands"), col("level"), col("overlap_ppm"),
+        col("planted"), col("eligible"), col("found"),
+        when(col("eligible") > 0,
+          expr("found * 1000000 DIV eligible")).as("recall_ppm"),
+        expr("_sum_micro DIV planted").as("mean_jaccard_micro"))
+      .orderBy("bands", "level")
+  }
+
   /** Candidate near-dup pairs from MinHash LSH, verified with the real
     * shingle-set Jaccard, thresholded. maxBucket caps degenerate
     * buckets (all-identical boilerplate) — the skew guard at scale.

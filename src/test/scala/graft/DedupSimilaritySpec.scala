@@ -1100,6 +1100,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"exact twin ${exact.length} pairs != naive ${naive.size}")
   }
 
+  test("minhashBandCurve: found is monotone along the doubling " +
+      "chain (refinement proof), found ⊆ eligible, and each arm " +
+      "equals production minhashNearDups planted-pair recovery") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val curve = Dedup.minhashBandCurve(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(curve.size == 12)
+    for (((_, _), (planted, eligible, found)) <- curve)
+      assert(found <= eligible && eligible <= planted)
+    // hit(b) ⇒ hit(2b): all-lanes-equal over a band implies equal
+    // over both halves when bands double
+    for (lv <- 0L to 2L; (b1, b2) <- Seq((1L, 2L), (2L, 4L), (4L, 8L)))
+      assert(curve((b1, lv))._3 <= curve((b2, lv))._3,
+        s"level $lv: found not monotone from $b1 to $b2 bands")
+    // production parity: build the mirror corpus and run the REAL
+    // operator at each bands knob — planted-pair recovery must equal
+    // the curve's row-local lane answer
+    val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val toks = filter(split(col("text"), "\\s+"), x => x =!= "")
+    val src = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("orig"), toks.as("toks"))
+    val mirrors = Seq((3, 4), (1, 2), (3, 10)).zipWithIndex.map {
+      case ((num, den), lv) =>
+        src.select((lit(off) + col("orig") * 3 + lv).as("doc_id"),
+          array_join(slice(col("toks"), lit(1),
+            greatest(expr(s"(size(toks) * $num) DIV $den"), lit(3))),
+            " ").as("text"))
+    }.reduce(_ unionByName _)
+    val corpus = docs.select("doc_id", "text").unionByName(mirrors)
+    for (b <- Seq(2, 4, 8)) {
+      val got = Dedup.minhashNearDups(corpus, bands = b,
+          threshold = 0.25, maxBucket = 1000000)
+        .filter(col("id2") >= off &&
+          col("id1") === expr(s"(id2 - $off) DIV 3"))
+        .withColumn("lv", (col("id2") - off) % 3)
+        .groupBy("lv").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      for (lv <- 0L to 2L)
+        assert(got.getOrElse(lv, 0L) == curve((b.toLong, lv))._3,
+          s"bands=$b level $lv: production " +
+            s"${got.getOrElse(lv, 0L)} != curve ${curve((b.toLong, lv))._3}")
+    }
+  }
+
   test("semanticDecontamTablesCurve: each knob arm equals the " +
       "production gate at that table count; monotone in tables; " +
       "the max-tables arm matches semanticDecontamRecall") {
