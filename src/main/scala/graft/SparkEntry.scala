@@ -506,6 +506,29 @@ object SparkEntry {
             .as("uuid_str"))
         .orderBy("doc_id")
     }),
+    // the WIRE-PROTOCOL scan (the reference's actual data path,
+    // db.py's OP_MSG find/getMore cursor walk): the customer table
+    // served over a real loopback socket by the in-process stand-in
+    // (no mongod in this sandbox — the CLIENT is the product), read
+    // back DISTRIBUTED (four ranged cursors, one per partition, each
+    // its own connection, getMore paging at batchSize 512), decoded
+    // from real BSON frames on executors. localCheckpoint pins the
+    // fetched rows before the server closes; the oracle is the plain
+    // table — agreement certifies encode → frame → cursor → decode
+    // end to end
+    "mongo_scan_customer" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val b = cust.agg(min(col("c_custkey")), max(col("c_custkey")))
+        .head()
+      val srv = graft.sources.InProcessMongod.serve(cust, "c_custkey",
+        "graft", "customer")
+      try graft.sources.MongoWire.read(s, "127.0.0.1", srv.port,
+          "graft", "customer", cust.schema, "c_custkey",
+          b.getLong(0), b.getLong(1) + 1, numPartitions = 4)
+        .localCheckpoint(true)
+        .orderBy("c_custkey")
+      finally srv.close()
+    }),
     "list_collections" -> ((s, d) => Tables.listCollections(s, d)),
     "list_indexes" -> ((s, d) => Tables.listIndexes(s, d)),
     // — text analysis (north-star training-data ops) —
@@ -6778,6 +6801,11 @@ object SparkEntry {
           "\n      ORDER BY collection")
     },
     "convert_bson" -> convertBsonOracle,
+    // wire round-trip: the served table IS the truth — any byte-level
+    // divergence in the BSON/OP_MSG path breaks row or hash equality
+    "mongo_scan_customer" -> ("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer ORDER BY c_custkey"""),
     // the same canonical Extended-JSON strings rebuilt in SQL, parsed
     // with DuckDB's json reader (an INDEPENDENT parser — $-keys via
     // double-quoted path steps), decoded to the same typed scalars
