@@ -529,6 +529,213 @@ object SparkEntry {
         .orderBy("c_custkey")
       finally srv.close()
     }),
+    // the DSv2 connector under Catalyst's OWN pushdown planner:
+    // spark.read.format("graft-mongo") with a relational filter +
+    // projection on top — V2ScanRelationPushDown hands the scan its
+    // pruned columns and translated filters, the server evaluates
+    // them per document (byte-level field skips) and splices only
+    // the kept columns into the reply frames. Agreement with the
+    // plain-SQL oracle certifies the WHOLE chain: translation,
+    // wire filter semantics vs Spark semantics (a pushed filter is
+    // never re-checked by Spark), projection splice, decode
+    "mongo_pushdown_scan" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val b = cust.agg(min(col("c_custkey")), max(col("c_custkey")))
+        .head()
+      val srv = graft.sources.InProcessMongod.serve(cust, "c_custkey",
+        "graft", "customer")
+      try s.read.format("graft-mongo")
+        .schema(cust.schema)
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("database", "graft").option("collection", "customer")
+        .option("keyfield", "c_custkey")
+        .option("minkey", b.getLong(0).toString)
+        .option("maxkey", (b.getLong(1) + 1).toString)
+        .option("numpartitions", "4")
+        .load()
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_acctbal") > 1000.0)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .localCheckpoint(true)
+        .orderBy("c_custkey")
+      finally srv.close()
+    }),
+    // newest-N over the wire (S3 as a wire command): the key-field
+    // descending sort + limit pushes into each partition's `find`
+    // (SupportsPushDownTopN; partial — Spark keeps the global TopN);
+    // ts is served as epoch MICROS (a long) because BSON datetime is
+    // millisecond-grained while the engine's timestamps are micros —
+    // serving the integer keeps the wire lossless
+    "mongo_newest_events" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+      val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+      val srv = graft.sources.InProcessMongod.serve(ev, "event_id",
+        "graft", "events")
+      try s.read.format("graft-mongo")
+        .schema(ev.schema)
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("database", "graft").option("collection", "events")
+        .option("keyfield", "event_id")
+        .option("minkey", b.getLong(0).toString)
+        .option("maxkey", (b.getLong(1) + 1).toString)
+        .option("numpartitions", "4")
+        .load()
+        .orderBy(col("event_id").desc).limit(500)
+        .localCheckpoint(true)
+        .orderBy("event_id")
+      finally srv.close()
+    }),
+    // the write path: nation ships as per-partition `insert` command
+    // batches into an EMPTY served collection (server-acknowledged
+    // counts asserted per batch), then reads back over the wire —
+    // the oracle is the plain table, so encode → insert → store →
+    // cursor → decode round-trips under the gate
+    "mongo_write_roundtrip" -> ((s, d) => {
+      val nat = Tables.load(s, d, "nation")
+      val srv = graft.sources.InProcessMongod.serveEmpty("graft",
+        "nation_out", "n_nationkey")
+      try {
+        val acked = graft.sources.MongoWire.write(
+          nat.repartition(2), "127.0.0.1", srv.port, "graft",
+          "nation_out")
+        require(acked == nat.count(),
+          s"write acknowledged $acked of ${nat.count()}")
+        graft.sources.MongoWire.read(s, "127.0.0.1", srv.port,
+          "graft", "nation_out", nat.schema, "n_nationkey",
+          0L, 1L << 32, numPartitions = 2)
+          .localCheckpoint(true)
+          .orderBy("n_nationkey")
+      } finally srv.close()
+    }),
+    // the admin surface the reference's TUI shows per collection
+    // (S5 + S6 as wire commands): listCollections walks the catalog,
+    // count + collStats probe each collection and are CROSS-CHECKED
+    // (disagreement is a loud error, not a column)
+    "mongo_admin_probe" -> ((s, d) => {
+      val srv = graft.sources.InProcessMongod.serveAll("graft", Seq(
+        ("nation", "n_nationkey", Tables.load(s, d, "nation")),
+        ("region", "r_regionkey", Tables.load(s, d, "region")),
+        ("supplier", "s_suppkey", Tables.load(s, d, "supplier"))))
+      try graft.sources.MongoWire.adminProbe(s, "127.0.0.1", srv.port,
+          "graft")
+        .localCheckpoint(true)
+        .orderBy("collection")
+      finally srv.close()
+    }),
+    // the reference's schema-analysis scan shape (analyser.py:254
+    // runs aggregate([{$sample:{size:n}}])) over the wire: the
+    // double's $sample is the DETERMINISTIC md5-ordered draw
+    // (documented deviation — a real server's is random) precisely
+    // so this oracle can replay the draw in SQL
+    "mongo_sample_scan" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val srv = graft.sources.InProcessMongod.serve(cust, "c_custkey",
+        "graft", "customer")
+      try graft.sources.MongoWire.sample(s, "127.0.0.1", srv.port,
+          "graft", "customer", cust.schema, 200)
+        .localCheckpoint(true)
+        .orderBy("c_custkey")
+      finally srv.close()
+    }),
+    // fully-pushed aggregates: COUNT(*) becomes the wire `count`
+    // command (carrying the pushed filter as its query) and
+    // MIN/MAX(key) become 1-row sorted finds — one result row with
+    // NO cursor scan; at 100 TB this is the difference between a
+    // metadata probe and reading the collection
+    "mongo_count_pushdown" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val b = cust.agg(min(col("c_custkey")), max(col("c_custkey")))
+        .head()
+      val srv = graft.sources.InProcessMongod.serve(cust, "c_custkey",
+        "graft", "customer")
+      try s.read.format("graft-mongo")
+        .schema(cust.schema)
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("database", "graft").option("collection", "customer")
+        .option("keyfield", "c_custkey")
+        .option("minkey", b.getLong(0).toString)
+        .option("maxkey", (b.getLong(1) + 1).toString)
+        .load()
+        .filter(col("c_acctbal") > 1000.0)
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .localCheckpoint(true)
+      finally srv.close()
+    }),
+    // the streaming tail: readStream.format("graft-mongo") follows
+    // the collection by its monotone key — two insert waves arrive
+    // through per-partition `insert` batches while the stream runs,
+    // each key window delivered EXACTLY ONCE (offsets are key
+    // watermarks); the oracle is the plain table, so any re-delivery
+    // or gap breaks row-count or hash equality
+    "mongo_tail_stream" -> ((s, d) => {
+      // capped at 20k docs: the row prices the TAIL (offset probes,
+      // windowed ranged reads, exactly-once bookkeeping), not an
+      // ever-growing insert fixture (r14's fixture-cost lesson)
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id").limit(20000)
+      val mid = ev.agg(avg(col("event_id"))).head().getDouble(0).toLong
+      val srv = graft.sources.InProcessMongod.serveEmpty("graft",
+        "events_tail", "event_id")
+      try {
+        val stream = s.readStream.format("graft-mongo")
+          .schema(ev.schema)
+          .option("host", "127.0.0.1")
+          .option("port", srv.port.toString)
+          .option("database", "graft")
+          .option("collection", "events_tail")
+          .option("keyfield", "event_id")
+          .option("numpartitions", "2")
+          .load()
+        val q = stream.writeStream.format("memory")
+          .queryName("mongo_tail_sink").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime(100))
+          .start()
+        try {
+          // waves split by key RANGE (the tail contract: keys are
+          // insertion-monotone), each flushed before the next
+          graft.sources.MongoWire.write(
+            ev.filter(col("event_id") < mid), "127.0.0.1", srv.port,
+            "graft", "events_tail")
+          q.processAllAvailable()
+          graft.sources.MongoWire.write(
+            ev.filter(col("event_id") >= mid), "127.0.0.1", srv.port,
+            "graft", "events_tail")
+          q.processAllAvailable()
+          s.table("mongo_tail_sink")
+            .localCheckpoint(true)
+            .orderBy("event_id")
+        } finally q.stop()
+      } finally srv.close()
+    }),
+    // schema inference from sampled documents — the reference's
+    // signature move (its analyser derives the schema from a sampled
+    // cursor): the DSv2 provider samples 64 docs, unions per-field
+    // BSON types with numeric widening, and the row emits the
+    // inferred (position, field, type) against a literal oracle
+    "mongo_infer_schema" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.load(s, d, "customer")
+      val srv = graft.sources.InProcessMongod.serve(cust, "c_custkey",
+        "graft", "customer")
+      try {
+        val inferred = s.read.format("graft-mongo")
+          .option("host", "127.0.0.1")
+          .option("port", srv.port.toString)
+          .option("database", "graft").option("collection", "customer")
+          .option("keyfield", "c_custkey")
+          .load().schema
+        inferred.fields.toSeq.zipWithIndex
+          .map { case (f, i) => (i, f.name, f.dataType.simpleString) }
+          .toDF("pos", "field", "spark_type")
+          .orderBy("pos")
+      } finally srv.close()
+    }),
     "list_collections" -> ((s, d) => Tables.listCollections(s, d)),
     "list_indexes" -> ((s, d) => Tables.listIndexes(s, d)),
     // — text analysis (north-star training-data ops) —
@@ -6806,6 +7013,59 @@ object SparkEntry {
     "mongo_scan_customer" -> ("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer ORDER BY c_custkey"""),
+    // the DSv2 pushdown chain against plain SQL: a pushed filter is
+    // never re-checked by Spark, so agreement here certifies the
+    // wire-side filter semantics match Spark's exactly
+    "mongo_pushdown_scan" -> ("""
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+      ORDER BY c_custkey"""),
+    "mongo_newest_events" -> ("""
+      SELECT * FROM (
+        SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               user_id, event_type, value
+        FROM events ORDER BY event_id DESC LIMIT 500)
+      ORDER BY event_id"""),
+    "mongo_write_roundtrip" -> ("""
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey"""),
+    "mongo_admin_probe" -> ("""
+      SELECT 'nation' AS collection, count(*) AS n_docs FROM nation
+      UNION ALL
+      SELECT 'region', count(*) FROM region
+      UNION ALL
+      SELECT 'supplier', count(*) FROM supplier
+      ORDER BY collection"""),
+    // the deterministic $sample contract replayed in SQL: the
+    // double's draw is the first n keys by md5('<coll>:<key>')
+    "mongo_sample_scan" -> ("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM (
+        SELECT * FROM customer
+        ORDER BY md5('customer:' || CAST(c_custkey AS VARCHAR))
+        LIMIT 200)
+      ORDER BY c_custkey"""),
+    "mongo_count_pushdown" -> ("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             min(c_custkey) AS min_key,
+             max(c_custkey) AS max_key
+      FROM customer WHERE c_acctbal > 1000.0"""),
+    "mongo_tail_stream" -> ("""
+      SELECT event_id, user_id, event_type
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+      ORDER BY event_id"""),
+    // the inferred shape as literals: BSON int32/int64/double/string
+    // under the numeric-widening union over 64 sampled docs must land
+    // exactly on the fixture's own types
+    "mongo_infer_schema" -> ("""
+      SELECT * FROM (VALUES
+        (0, 'c_custkey',    'bigint'),
+        (1, 'c_name',       'string'),
+        (2, 'c_nationkey',  'int'),
+        (3, 'c_acctbal',    'double'),
+        (4, 'c_mktsegment', 'string'))
+        AS t(pos, field, spark_type)
+      ORDER BY pos"""),
     // the same canonical Extended-JSON strings rebuilt in SQL, parsed
     // with DuckDB's json reader (an INDEPENDENT parser — $-keys via
     // double-quoted path steps), decoded to the same typed scalars

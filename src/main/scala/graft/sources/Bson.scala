@@ -163,6 +163,87 @@ object Bson {
     (name, v)
   }
 
+  // — byte-level element access (no full decode) —
+  //
+  // BSON is self-describing: every element's length is computable
+  // from its type byte (directly or via an embedded int32), so a
+  // server can project or probe single fields by SPLICING bytes —
+  // exactly how a real server's projection stage avoids
+  // materializing unrequested fields. These power InProcessMongod's
+  // `projection` handling and per-field filter evaluation while
+  // preserving its "never re-encode stored documents" contract:
+  // served bytes are byte-ranges of the stored frame, not codec
+  // output.
+
+  /** Length in bytes of one element VALUE whose type byte is `t`,
+    * with the buffer positioned at the value start (position is
+    * restored). Loud error on unimplemented types — never a skip.
+    */
+  private def valueLength(t: Byte, buf: ByteBuffer): Int = t match {
+    case 0x01 | 0x09 | 0x12 => 8
+    case 0x02 => 4 + buf.getInt(buf.position())
+    case 0x03 | 0x04 => buf.getInt(buf.position())
+    case 0x05 => 4 + 1 + buf.getInt(buf.position())
+    case 0x07 => 12
+    case 0x08 => 1
+    case 0x0A => 0
+    case 0x10 => 4
+    case other => throw new IllegalArgumentException(
+      f"unsupported BSON element type 0x$other%02x")
+  }
+
+  /** Walks a document's top-level elements without decoding values,
+    * invoking `f(name, elemStart, elemEnd)` per element (offsets
+    * into `bytes`, element = type byte + name + value).
+    */
+  private def walkElements(bytes: Array[Byte])
+                          (f: (String, Int, Int) => Unit): Unit = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val total = buf.getInt
+    while (buf.position() < total - 1) {
+      val start = buf.position()
+      val t = buf.get
+      val name = readCString(buf)
+      val vlen = valueLength(t, buf)
+      val end = buf.position() + vlen
+      f(name, start, end)
+      buf.position(end)
+    }
+    require(bytes(total - 1) == 0, "document not NUL-terminated")
+  }
+
+  /** Projects a document to the `keep` fields by byte splice —
+    * selected elements are copied verbatim (order preserved) into a
+    * fresh document frame; values are never decoded.
+    */
+  def projectRaw(bytes: Array[Byte],
+                 keep: scala.collection.Set[String]): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    walkElements(bytes) { (name, s, e) =>
+      if (keep.contains(name)) body.write(bytes, s, e - s)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(le32(4 + body.size() + 1))
+    body.writeTo(out)
+    out.write(0)
+    out.toByteArray
+  }
+
+  /** Decodes exactly one named top-level field (None if absent);
+    * every other element is length-skipped, not decoded.
+    */
+  def extractRaw(bytes: Array[Byte], field: String): Option[BVal] = {
+    var hit: Option[BVal] = None
+    walkElements(bytes) { (name, s, e) =>
+      if (hit.isEmpty && name == field) {
+        val buf = ByteBuffer.wrap(bytes, s, e - s)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        hit = Some(readElement(buf)._2)
+      }
+    }
+    hit
+  }
+
   // — schema-directed Spark bridges —
 
   /** Row → BSON document under a schema (field order = schema order;

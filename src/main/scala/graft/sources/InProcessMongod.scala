@@ -7,39 +7,198 @@ import java.util.concurrent.atomic.AtomicLong
 
 import graft.sources.Bson._
 
+/** Conjunctive query-filter semantics of the wire `find`/`count`
+  * commands — the subset the client and the DSv2 pushdown emit,
+  * implemented to match the PUBLIC MongoDB query semantics for these
+  * operators (reference behavior, not reference code):
+  *
+  *  - a bare value is `$eq`;
+  *  - `$eq null` matches missing-or-null; `$ne v` matches missing
+  *    fields too (so `$ne null` means exists-and-not-null — the
+  *    standard IsNotNull translation);
+  *  - range operators (`$gt/$gte/$lt/$lte`) require the field to
+  *    exist, be non-null, and be TYPE-COMPARABLE with the operand
+  *    (numeric↔numeric, string↔string, bool↔bool, date↔date) —
+  *    cross-type ranges never match, mirroring type bracketing;
+  *  - `$in [..]` is any-of under `$eq` semantics;
+  *  - anything else is a loud error, never a silent true.
+  *
+  * Evaluation decodes ONLY the constrained fields, via
+  * [[Bson.extractRaw]] byte-level skips.
+  */
+private[sources] object WireFilter {
+
+  /** field -> the (op, operand) conjuncts on it. */
+  type Constraint = (String, Seq[(String, BVal)])
+
+  def parse(filter: BDoc): Seq[Constraint] =
+    filter.v.map {
+      case (f, sub: BDoc) if sub.v.nonEmpty &&
+          sub.v.forall(_._1.startsWith("$")) =>
+        (f, sub.v)
+      case (f, bare) => (f, Seq("$eq" -> bare))
+    }
+
+  /** Total order within a type bracket; None across brackets. */
+  def compare(a: BVal, b: BVal): Option[Int] = (a, b) match {
+    case (BInt32(x), BInt32(y)) => Some(Integer.compare(x, y))
+    case (BInt32(x), BInt64(y)) => Some(java.lang.Long.compare(x.toLong, y))
+    case (BInt64(x), BInt32(y)) => Some(java.lang.Long.compare(x, y.toLong))
+    case (BInt64(x), BInt64(y)) => Some(java.lang.Long.compare(x, y))
+    case (x: BVal, y: BVal) if isNum(x) && isNum(y) =>
+      Some(java.lang.Double.compare(asD(x), asD(y)))
+    case (BString(x), BString(y)) => Some(x.compareTo(y))
+    case (BBool(x), BBool(y)) => Some(java.lang.Boolean.compare(x, y))
+    case (BDateTime(x), BDateTime(y)) => Some(java.lang.Long.compare(x, y))
+    case _ => None
+  }
+
+  private def isNum(v: BVal): Boolean = v match {
+    case _: BInt32 | _: BInt64 | _: BDouble => true
+    case _ => false
+  }
+  // -0.0 normalizes to 0.0 so pushed equality agrees with Spark's
+  // (which treats them equal); NaN is preserved and Double.compare
+  // puts NaN equal to itself, also Spark's literal-equality behavior
+  private def asD(v: BVal): Double = v match {
+    case BInt32(x) => x.toDouble
+    case BInt64(x) => x.toDouble
+    case BDouble(x) => if (x == 0.0) 0.0 else x
+    case other => throw new IllegalArgumentException(s"not numeric: $other")
+  }
+
+  private def eqMatch(extracted: Option[BVal], v: BVal): Boolean =
+    v match {
+      case BNull => extracted.isEmpty || extracted.contains(BNull)
+      case _ => extracted.exists(e => compare(e, v).contains(0))
+    }
+
+  private def opMatch(extracted: Option[BVal], op: String,
+                      v: BVal): Boolean = op match {
+    case "$eq" => eqMatch(extracted, v)
+    case "$ne" => !eqMatch(extracted, v)
+    case "$gt" | "$gte" | "$lt" | "$lte" =>
+      extracted.exists { e =>
+        e != BNull && compare(e, v).exists { c =>
+          op match {
+            case "$gt" => c > 0
+            case "$gte" => c >= 0
+            case "$lt" => c < 0
+            case _ => c <= 0
+          }
+        }
+      }
+    case "$in" => v match {
+      case BArr(vs) => vs.exists(eqMatch(extracted, _))
+      case other => throw new IllegalArgumentException(
+        s"$$in wants an array, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"unsupported filter operator $other")
+  }
+
+  def matches(bytes: Array[Byte], cs: Seq[Constraint]): Boolean =
+    cs.forall { case (field, ops) =>
+      val extracted = Bson.extractRaw(bytes, field)
+      ops.forall { case (op, v) => opMatch(extracted, op, v) }
+    }
+
+  /** The `[lo, hi)` key window implied by the integer range/eq
+    * conjuncts on `keyField` — the index-prune step; all conjuncts
+    * are still re-checked per document afterwards, so non-integer or
+    * exotic key constraints only cost prune opportunity, never
+    * correctness.
+    */
+  def keyWindow(cs: Seq[Constraint], keyField: String): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    cs.filter(_._1 == keyField).flatMap(_._2).foreach {
+      case ("$gte", v) => intVal(v).foreach(x => lo = math.max(lo, x))
+      case ("$gt", v) => intVal(v).foreach(x =>
+        lo = if (x == Long.MaxValue) Long.MaxValue
+             else math.max(lo, x + 1))
+      case ("$lt", v) => intVal(v).foreach(x => hi = math.min(hi, x))
+      case ("$lte", v) => intVal(v).foreach(x =>
+        hi = if (x == Long.MaxValue) Long.MaxValue
+             else math.min(hi, x + 1))
+      case ("$eq", v) => intVal(v).foreach { x =>
+        lo = math.max(lo, x)
+        hi = if (x == Long.MaxValue) Long.MaxValue
+             else math.min(hi, x + 1)
+      }
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  private def intVal(v: BVal): Option[Long] = v match {
+    case BInt32(x) => Some(x.toLong)
+    case BInt64(x) => Some(x)
+    case _ => None
+  }
+}
+
 /** Loopback stand-in speaking the [[MongoWire]] OP_MSG subset — NOT
   * a database: it exists because this sandbox has no mongod binary
   * (the r8–r14 verdicts' one environmental "missing" item). The
   * CLIENT is the product; this is its honest test double, precise
-  * enough that the oracle row exercises real sockets, real OP_MSG
+  * enough that the oracle rows exercise real sockets, real OP_MSG
   * frames, real BSON batches, real `getMore` paging, and real
   * concurrent per-partition cursors.
   *
-  * Storage model: documents arrive PRE-ENCODED (key, bsonBytes) and
-  * are held sorted by key; a `find` with a `{key: {$gte, $lt}}`
-  * filter binary-searches the range and serves it in `batchSize`
-  * pages through per-cursor state, `getMore` continues, cursor id 0
-  * signals exhaustion — the wire-visible contract of the real
-  * server's cursor machinery for this command subset. The server
-  * never decodes stored documents (it splices raw bytes into reply
-  * arrays), so client decode is tested against independently
-  * produced frames, not against a shared in-memory object.
+  * Command surface (the reference's `core/db.py` + `core/analyser.py`
+  * data path re-expressed as wire commands, each per the public
+  * command documentation): `find` (filter / projection / sort on the
+  * key field / limit / batchSize), `getMore`, `insert`,
+  * `listCollections`, `count`, `collStats`.
+  *
+  * Storage model: documents arrive PRE-ENCODED (key, bsonBytes), one
+  * sorted copy-on-write vector per collection — a `find` captures the
+  * vector reference, so every cursor pages over a STABLE SNAPSHOT
+  * while concurrent `insert`s swap in new versions (wire-visible
+  * cursor semantics: a cursor never sees a torn batch). The single
+  * "index" is the declared key field — range conjuncts on it
+  * binary-search; everything else scans the pruned window, evaluating
+  * ONLY the constrained fields via byte-level skips
+  * ([[Bson.extractRaw]]). The server never re-encodes stored
+  * documents: full reads splice raw stored bytes into reply frames,
+  * and projections splice element byte-ranges ([[Bson.projectRaw]]),
+  * so client decode is always tested against independently produced
+  * bytes.
+  *
+  * [[InProcessMongod.Stats]] counts served documents/bytes and keeps
+  * the last `find` command — how the specs PROVE pushdown reduced
+  * server work instead of trusting the plan string.
   */
-final class InProcessMongod(docs: IndexedSeq[(Long, Array[Byte])],
-                            keyField: String, db: String,
-                            coll: String, maxBatch: Int = 1000)
+final class InProcessMongod(db: String,
+    colls0: Seq[(String, String, IndexedSeq[(Long, Array[Byte])])],
+    maxBatch: Int)
     extends AutoCloseable {
 
-  private val sorted = docs.sortBy(_._1)
-  private val keys = sorted.map(_._1).toArray
+  def this(docs: IndexedSeq[(Long, Array[Byte])], keyField: String,
+           db: String, coll: String, maxBatch: Int = 1000) =
+    this(db, Seq((coll, keyField, docs)), maxBatch)
+
+  import InProcessMongod.{Coll, Stats}
+
+  private val colls: Map[String, Coll] =
+    colls0.map { case (c, k, d) => c -> new Coll(k, d) }.toMap
+
+  val stats = new Stats
+
   private val server = new ServerSocket(0, 64,
     InetAddress.getLoopbackAddress)
   @volatile private var running = true
   private val nextCursor = new AtomicLong(1)
-  // cursorId -> (current offset, end offset, batchSize); cursors are
-  // connection-local in this subset but a shared map keeps it simple
+
+  /** Cursor = a stable snapshot + the matched positions within it +
+    * the page position; projection applies per served document.
+    */
+  private final case class CursorState(
+      snap: Vector[(Long, Array[Byte])], idxs: Array[Int], pos: Int,
+      batch: Int, proj: Option[Set[String]])
   private val cursors =
-    new java.util.concurrent.ConcurrentHashMap[Long, (Int, Int, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[Long, CursorState]()
 
   val port: Int = server.getLocalPort
 
@@ -55,15 +214,6 @@ final class InProcessMongod(docs: IndexedSeq[(Long, Array[Byte])],
   acceptor.setDaemon(true)
   acceptor.start()
 
-  private def lowerBound(k: Long): Int = {
-    var lo = 0; var hi = keys.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (keys(mid) < k) lo = mid + 1 else hi = mid
-    }
-    lo
-  }
-
   private def get(doc: BDoc, name: String): Option[BVal] =
     doc.v.find(_._1 == name).map(_._2)
 
@@ -74,10 +224,10 @@ final class InProcessMongod(docs: IndexedSeq[(Long, Array[Byte])],
   }
 
   /** Builds the `{cursor: {id, ns, <batchKey>: [raw docs]}, ok: 1.0}`
-    * reply by splicing stored document bytes directly into the BSON
-    * array — the array is a document with "0", "1", … keys per spec.
+    * reply by splicing document bytes directly into the BSON array —
+    * the array is a document with "0", "1", … keys per spec.
     */
-  private def cursorReply(id: Long, batchKey: String,
+  private def cursorReply(id: Long, ns: String, batchKey: String,
                           batch: Seq[Array[Byte]]): Array[Byte] = {
     val arr = new java.io.ByteArrayOutputStream()
     batch.zipWithIndex.foreach { case (b, i) =>
@@ -92,9 +242,9 @@ final class InProcessMongod(docs: IndexedSeq[(Long, Array[Byte])],
     val cur = new java.io.ByteArrayOutputStream()
     cur.write(0x12); cur.write("id".getBytes("UTF-8")); cur.write(0)
     cur.write(le64(id))
-    val ns = s"$db.$coll".getBytes("UTF-8")
+    val nsB = ns.getBytes("UTF-8")
     cur.write(0x02); cur.write("ns".getBytes("UTF-8")); cur.write(0)
-    cur.write(le32(ns.length + 1)); cur.write(ns); cur.write(0)
+    cur.write(le32(nsB.length + 1)); cur.write(nsB); cur.write(0)
     cur.write(0x04); cur.write(batchKey.getBytes("UTF-8")); cur.write(0)
     arrDoc.writeTo(cur)
     val curDoc = new java.io.ByteArrayOutputStream()
@@ -119,48 +269,272 @@ final class InProcessMongod(docs: IndexedSeq[(Long, Array[Byte])],
     ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(l)
       .array()
 
-  private def handle(cmd: BDoc): Array[Byte] = get(cmd, "find") match {
-    case Some(other) if !other.isInstanceOf[BString] =>
-      throw new IllegalArgumentException(s"find wants a string: $other")
-    case Some(BString(c)) =>
-      require(c == coll, s"unknown collection $c")
-      val (lo, hi) = get(cmd, "filter") match {
-        case Some(f: BDoc) => get(f, keyField) match {
-          case Some(r: BDoc) =>
-            (get(r, "$gte").map(asLong).getOrElse(Long.MinValue),
-              get(r, "$lt").map(asLong).getOrElse(Long.MaxValue))
-          case _ => (Long.MinValue, Long.MaxValue)
-        }
-        case _ => (Long.MinValue, Long.MaxValue)
+  private def requireColl(name: String): Coll =
+    colls.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown collection $name (declared: ${colls.keys.toSeq.sorted})"))
+
+  /** Serves one page from a cursor state, counting served work. */
+  private def page(st: CursorState): (Seq[Array[Byte]], CursorState) = {
+    val nxt = math.min(st.pos + st.batch, st.idxs.length)
+    val docs = (st.pos until nxt).map { i =>
+      val raw = st.snap(st.idxs(i))._2
+      st.proj match {
+        case Some(keep) => Bson.projectRaw(raw, keep)
+        case None => raw
       }
-      val bs = math.min(get(cmd, "batchSize").map(asLong)
-        .getOrElse(101L).toInt, maxBatch)
-      val start = lowerBound(lo)
-      val end = lowerBound(hi)
-      val first = math.min(start + bs, end)
-      val batch = (start until first).map(i => sorted(i)._2)
-      val id = if (first < end) {
-        val cid = nextCursor.getAndIncrement()
-        cursors.put(cid, (first, end, bs)); cid
-      } else 0L
-      cursorReply(id, "firstBatch", batch)
-    case None => get(cmd, "getMore") match {
-      case Some(idv) =>
-        val cid = asLong(idv)
-        val st = cursors.get(cid)
-        require(st != null, s"unknown cursor $cid")
-        val (off, end, bs0) = st
-        val bs = math.min(get(cmd, "batchSize").map(asLong)
-          .getOrElse(bs0.toLong).toInt, maxBatch)
-        val nxt = math.min(off + bs, end)
-        val batch = (off until nxt).map(i => sorted(i)._2)
-        val id = if (nxt < end) { cursors.put(cid, (nxt, end, bs)); cid }
-                 else { cursors.remove(cid); 0L }
-        cursorReply(id, "nextBatch", batch)
-      case None => throw new IllegalArgumentException(
-        s"unsupported command: ${cmd.v.map(_._1)}")
+    }
+    stats.servedDocs.addAndGet(docs.length.toLong)
+    stats.servedBytes.addAndGet(docs.iterator.map(_.length.toLong).sum)
+    (docs, st.copy(pos = nxt))
+  }
+
+  private def handleFind(cmd: BDoc, collName: String): Array[Byte] = {
+    stats.lastFind = Some(cmd)
+    val coll = requireColl(collName)
+    val snap = coll.snapshot
+    val cs = get(cmd, "filter") match {
+      case Some(f: BDoc) => WireFilter.parse(f)
+      case Some(other) => throw new IllegalArgumentException(
+        s"filter wants a document: $other")
+      case None => Nil
+    }
+    // index prune on the key field, then full predicate on the window
+    val (lo, hi) = WireFilter.keyWindow(cs, coll.keyField)
+    val start = coll.lowerBound(snap, lo)
+    val end = coll.lowerBound(snap, hi)
+    var idxs = (start until end)
+      .filter(i => cs.isEmpty || WireFilter.matches(snap(i)._2, cs))
+      .toArray
+    get(cmd, "sort").foreach {
+      case BDoc(Seq((f, dir))) =>
+        require(f == coll.keyField, s"the only index is ${coll.keyField}; " +
+          s"cannot sort by $f")
+        asLong(dir) match {
+          case 1L => ()
+          case -1L => idxs = idxs.reverse
+          case d => throw new IllegalArgumentException(s"sort direction $d")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported sort spec $other")
+    }
+    get(cmd, "limit").map(asLong).filter(_ > 0)
+      .foreach(n => idxs = idxs.take(math.min(n, Int.MaxValue.toLong).toInt))
+    val proj = get(cmd, "projection").map {
+      case p: BDoc =>
+        p.v.map {
+          case (f, v) if asLong(v) != 0L => f
+          case (f, _) => throw new IllegalArgumentException(
+            s"only inclusion projections are supported (field $f)")
+        }.toSet
+      case other => throw new IllegalArgumentException(
+        s"projection wants a document: $other")
+    }
+    val bs = math.min(get(cmd, "batchSize").map(asLong)
+      .getOrElse(101L).toInt, maxBatch)
+    val st0 = CursorState(snap, idxs, 0, bs, proj)
+    val (docs, st1) = page(st0)
+    val id = if (st1.pos < idxs.length) {
+      val cid = nextCursor.getAndIncrement()
+      cursors.put(cid, st1); cid
+    } else 0L
+    cursorReply(id, s"$db.$collName", "firstBatch", docs)
+  }
+
+  private def handleGetMore(cmd: BDoc, idv: BVal): Array[Byte] = {
+    val cid = asLong(idv)
+    val st = cursors.get(cid)
+    require(st != null, s"unknown cursor $cid")
+    val collName = get(cmd, "collection") match {
+      case Some(BString(c)) => c
+      case other => throw new IllegalArgumentException(
+        s"getMore wants a collection name, got $other")
+    }
+    val bs = math.min(get(cmd, "batchSize").map(asLong)
+      .getOrElse(st.batch.toLong).toInt, maxBatch)
+    val (docs, st1) = page(st.copy(batch = bs))
+    val id = if (st1.pos < st1.idxs.length) { cursors.put(cid, st1); cid }
+             else { cursors.remove(cid); 0L }
+    cursorReply(id, s"$db.$collName", "nextBatch", docs)
+  }
+
+  /** `aggregate` with the pipeline subset the reference and the
+    * connector emit: `$match` (same operator contract as `find`),
+    * `$project` (inclusion), `$sort` (key field only — the single
+    * index), `$skip`, `$limit`, `$count`, and `$sample`.
+    *
+    * `$sample` DEVIATES from the real server on purpose: instead of
+    * a random draw it takes the first n documents ordered by
+    * `md5("<coll>:<key>")` — a deterministic, uniformly-scrambling
+    * draw that an external SQL oracle can replay byte-for-byte
+    * (`ORDER BY md5(coll || ':' || key) LIMIT n`). Real `$sample` is
+    * random; clients must depend only on the size, never the
+    * membership (the client scaladoc says so too). Determinism is
+    * what makes the sampling path GATEABLE, the same trade the
+    * engine's hash-sampler (S2) makes.
+    */
+  private def handleAggregate(collName: String,
+                              cmd: BDoc): Array[Byte] = {
+    val coll = requireColl(collName)
+    val snap = coll.snapshot
+    val stages = get(cmd, "pipeline") match {
+      case Some(BArr(ss)) => ss.map {
+        case d: BDoc => d
+        case other => throw new IllegalArgumentException(
+          s"pipeline stage must be a document: $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"aggregate wants a pipeline array, got $other")
+    }
+    var idxs = snap.indices.toArray
+    var proj: Option[Set[String]] = None
+    var countField: Option[String] = None
+    stages.foreach { stage =>
+      require(countField.isEmpty, "$count must be the last stage")
+      stage.v match {
+        case Seq(("$match", f: BDoc)) =>
+          val cs = WireFilter.parse(f)
+          // key-window prune only while the list is still the full
+          // ascending range; later $match stages just filter
+          if (idxs.length == snap.length) {
+            val (lo, hi) = WireFilter.keyWindow(cs, coll.keyField)
+            idxs = (coll.lowerBound(snap, lo) until
+              coll.lowerBound(snap, hi)).toArray
+          }
+          idxs = idxs.filter(i => WireFilter.matches(snap(i)._2, cs))
+        case Seq(("$project", p: BDoc)) =>
+          proj = Some(p.v.map {
+            case (f, v) if asLong(v) != 0L => f
+            case (f, _) => throw new IllegalArgumentException(
+              s"only inclusion projections are supported (field $f)")
+          }.toSet)
+        case Seq(("$sort", BDoc(Seq((f, dir))))) =>
+          require(f == coll.keyField,
+            s"the only index is ${coll.keyField}; cannot sort by $f")
+          val asc = asLong(dir) == 1L
+          idxs = idxs.sortBy(i =>
+            if (asc) snap(i)._1 else -snap(i)._1)
+        case Seq(("$skip", n)) =>
+          idxs = idxs.drop(asLong(n).toInt)
+        case Seq(("$limit", n)) =>
+          idxs = idxs.take(asLong(n).toInt)
+        case Seq(("$count", BString(f))) =>
+          countField = Some(f)
+        case Seq(("$sample", s: BDoc)) =>
+          val n = get(s, "size").map(asLong).getOrElse(
+            throw new IllegalArgumentException("$sample wants size"))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          idxs = idxs.sortBy { i =>
+            md.reset()
+            md.digest(s"$collName:${snap(i)._1}".getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+          }.take(math.min(n, Int.MaxValue.toLong).toInt)
+        case other => throw new IllegalArgumentException(
+          s"unsupported pipeline stage: ${other.map(_._1)}")
+      }
+    }
+    val ns = s"$db.$collName"
+    countField match {
+      case Some(f) =>
+        val doc = Bson.encode(BDoc(Seq(f -> BInt32(idxs.length))))
+        stats.servedDocs.incrementAndGet()
+        stats.servedBytes.addAndGet(doc.length.toLong)
+        cursorReply(0L, ns, "firstBatch", Seq(doc))
+      case None =>
+        val bs = math.min(
+          get(cmd, "cursor").flatMap {
+            case c: BDoc => get(c, "batchSize").map(asLong)
+            case _ => None
+          }.orElse(get(cmd, "batchSize").map(asLong))
+            .getOrElse(101L).toInt, maxBatch)
+        val st0 = CursorState(snap, idxs, 0, bs, proj)
+        val (docs, st1) = page(st0)
+        val id = if (st1.pos < idxs.length) {
+          val cid = nextCursor.getAndIncrement()
+          cursors.put(cid, st1); cid
+        } else 0L
+        cursorReply(id, ns, "firstBatch", docs)
     }
   }
+
+  private def handleInsert(collName: String, cmd: BDoc): Array[Byte] = {
+    val coll = requireColl(collName)
+    val docs = get(cmd, "documents") match {
+      case Some(BArr(ds)) => ds.map {
+        case d: BDoc => d
+        case other => throw new IllegalArgumentException(
+          s"insert wants documents, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"insert wants a documents array, got $other")
+    }
+    val keyed = docs.map { d =>
+      val k = get(d, coll.keyField).map(asLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"insert document missing key field ${coll.keyField}"))
+      (k, Bson.encode(d))
+    }
+    coll.insert(keyed)
+    Bson.encode(BDoc(Seq(
+      "n" -> BInt32(keyed.size), "ok" -> BDouble(1.0))))
+  }
+
+  private def handleListCollections(): Array[Byte] = {
+    val docs = colls.keys.toSeq.sorted.map { c =>
+      Bson.encode(BDoc(Seq(
+        "name" -> BString(c), "type" -> BString("collection"))))
+    }
+    cursorReply(0L, s"$db.$$cmd.listCollections", "firstBatch", docs)
+  }
+
+  private def handleCount(collName: String, cmd: BDoc): Array[Byte] = {
+    val coll = requireColl(collName)
+    val snap = coll.snapshot
+    val cs = get(cmd, "query") match {
+      case Some(f: BDoc) => WireFilter.parse(f)
+      case _ => Nil
+    }
+    val (lo, hi) = WireFilter.keyWindow(cs, coll.keyField)
+    val start = coll.lowerBound(snap, lo)
+    val end = coll.lowerBound(snap, hi)
+    val n =
+      if (cs.isEmpty) end - start
+      else (start until end)
+        .count(i => WireFilter.matches(snap(i)._2, cs))
+    Bson.encode(BDoc(Seq("n" -> BInt32(n), "ok" -> BDouble(1.0))))
+  }
+
+  private def handleCollStats(collName: String): Array[Byte] = {
+    val coll = requireColl(collName)
+    val snap = coll.snapshot
+    val size = snap.iterator.map(_._2.length.toLong).sum
+    val avg = if (snap.isEmpty) 0.0 else size.toDouble / snap.size
+    Bson.encode(BDoc(Seq(
+      "ns" -> BString(s"$db.$collName"),
+      "count" -> BInt32(snap.size),
+      "size" -> BInt64(size),
+      "avgObjSize" -> BDouble(avg),
+      "ok" -> BDouble(1.0))))
+  }
+
+  private def str(v: BVal, cmd: String): String = v match {
+    case BString(s) => s
+    case other => throw new IllegalArgumentException(
+      s"$cmd wants a string collection name: $other")
+  }
+
+  private def handle(cmd: BDoc): Array[Byte] =
+    cmd.v.headOption match {
+      case Some(("find", c)) => handleFind(cmd, str(c, "find"))
+      case Some(("getMore", idv)) => handleGetMore(cmd, idv)
+      case Some(("aggregate", c)) =>
+        handleAggregate(str(c, "aggregate"), cmd)
+      case Some(("insert", c)) => handleInsert(str(c, "insert"), cmd)
+      case Some(("listCollections", _)) => handleListCollections()
+      case Some(("count", c)) => handleCount(str(c, "count"), cmd)
+      case Some(("collStats", c)) => handleCollStats(str(c, "collStats"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported command: ${other.map(_._1)}")
+    }
 
   private def serve(sock: Socket): Unit = {
     try {
@@ -199,18 +573,94 @@ final class InProcessMongod(docs: IndexedSeq[(Long, Array[Byte])],
 
 object InProcessMongod {
 
+  /** Served-work meters: how specs PROVE a pushdown reduced what the
+    * server shipped (fewer docs under a pushed filter/limit, fewer
+    * bytes under a pushed projection) rather than trusting the plan.
+    */
+  final class Stats {
+    val servedDocs = new AtomicLong(0)
+    val servedBytes = new AtomicLong(0)
+    @volatile var lastFind: Option[BDoc] = None
+  }
+
+  /** One collection: copy-on-write sorted store. A find captures the
+    * current vector (snapshot isolation for its cursor); insert swaps
+    * in a new sorted vector under the lock.
+    */
+  private[sources] final class Coll(
+      val keyField: String, init: IndexedSeq[(Long, Array[Byte])]) {
+    @volatile private var store: Vector[(Long, Array[Byte])] =
+      init.sortBy(_._1).toVector
+
+    def snapshot: Vector[(Long, Array[Byte])] = store
+
+    def insert(batch: Seq[(Long, Array[Byte])]): Unit = synchronized {
+      // linear merge of two sorted runs (a per-batch re-sort would
+      // make a large seeded write O(n log n) per batch — the fixture
+      // write for the streaming-tail row hit exactly that)
+      val add = batch.sortBy(_._1)
+      val out = Vector.newBuilder[(Long, Array[Byte])]
+      out.sizeHint(store.size + add.size)
+      var i = 0; var j = 0
+      while (i < store.size && j < add.size) {
+        if (store(i)._1 <= add(j)._1) { out += store(i); i += 1 }
+        else { out += add(j); j += 1 }
+      }
+      while (i < store.size) { out += store(i); i += 1 }
+      while (j < add.size) { out += add(j); j += 1 }
+      store = out.result()
+    }
+
+    def lowerBound(snap: Vector[(Long, Array[Byte])], k: Long): Int = {
+      var lo = 0; var hi = snap.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (snap(mid)._1 < k) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+  }
+
+  private def keyAsLong(r: org.apache.spark.sql.Row, i: Int): Long =
+    r.schema.fields(i).dataType match {
+      case org.apache.spark.sql.types.LongType => r.getLong(i)
+      case org.apache.spark.sql.types.IntegerType => r.getInt(i).toLong
+      case dt => throw new IllegalArgumentException(
+        s"key field must be integral, got $dt")
+    }
+
+  private def encodeDf(df: org.apache.spark.sql.DataFrame,
+                       keyField: String)
+      : IndexedSeq[(Long, Array[Byte])] = {
+    val schema = df.schema
+    val ki = schema.fieldIndex(keyField)
+    df.collect().iterator.map { r =>
+      (keyAsLong(r, ki), Bson.encode(Bson.rowToDoc(r, schema)))
+    }.toIndexedSeq
+  }
+
   /** Serves a DataFrame as a collection: rows encode once
     * (driver-side — the fixture path; against a real deployment this
     * step does not exist, the server already has the data) keyed by
-    * `keyField`, which must be a non-null long column.
+    * `keyField`, which must be a non-null integral column.
     */
   def serve(df: org.apache.spark.sql.DataFrame, keyField: String,
-            db: String, coll: String): InProcessMongod = {
-    val schema = df.schema
-    val ki = schema.fieldIndex(keyField)
-    val docs = df.collect().iterator.map { r =>
-      (r.getLong(ki), Bson.encode(Bson.rowToDoc(r, schema)))
-    }.toIndexedSeq
-    new InProcessMongod(docs, keyField, db, coll)
-  }
+            db: String, coll: String): InProcessMongod =
+    new InProcessMongod(encodeDf(df, keyField), keyField, db, coll)
+
+  /** Serves several DataFrames as one multi-collection database —
+    * the admin-command surface (`listCollections`/`count`/`collStats`)
+    * needs more than one collection to be non-vacuous.
+    */
+  def serveAll(db: String,
+               colls: Seq[(String, String, org.apache.spark.sql.DataFrame)])
+      : InProcessMongod =
+    new InProcessMongod(db,
+      colls.map { case (c, k, df) => (c, k, encodeDf(df, k)) }, 1000)
+
+  /** Serves an empty, insertable collection — the write-path target. */
+  def serveEmpty(db: String, coll: String, keyField: String)
+      : InProcessMongod =
+    new InProcessMongod(db,
+      Seq((coll, keyField, IndexedSeq.empty[(Long, Array[Byte])])), 1000)
 }

@@ -5,7 +5,7 @@ import java.net.Socket
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.sources.Bson._
 
@@ -23,7 +23,14 @@ import graft.sources.Bson._
   * official Spark connector's partitioners produce). What remains
   * environmental is only the server binary itself:
   * [[InProcessMongod]] is the loopback stand-in for tests and the
-  * oracle row, and a real `host:port` drops into [[read]] unchanged.
+  * oracle rows, and a real `host:port` drops into [[read]] unchanged.
+  *
+  * Beyond the ranged scan, the client carries the full pushdown
+  * surface the DSv2 connector ([[graft.sources.v2.MongoTableProvider]])
+  * emits — extra filter conjuncts, inclusion projections, key-field
+  * sort, limit — and the write path (`insert` batches per partition)
+  * plus the admin commands the reference surfaces in its TUI
+  * (`listCollections`, `count`, `collStats`).
   *
   * Framing (per the public spec): message =
   * `int32 messageLength | int32 requestID | int32 responseTo |
@@ -63,15 +70,30 @@ object MongoWire {
     doc.v.find(_._1 == name).map(_._2).getOrElse(
       throw new IllegalArgumentException(s"reply missing '$name': $doc"))
 
-  /** Cursor walk over one key range: `find` with an inclusive-lo /
-    * exclusive-hi `$gte`/`$lt` filter, then `getMore` until the
-    * server returns cursor id 0. Pull-based iterator — one batch in
-    * memory at a time, the cursor contract.
+  private def requireOk(reply: BDoc): Unit =
+    require(field(reply, "ok") == BDouble(1.0), s"command failed: $reply")
+
+  /** One driver-side command on a throwaway connection. */
+  def command(host: String, port: Int, cmd: BDoc): BDoc = {
+    val sock = new Socket(host, port)
+    try {
+      val reply = runCommand(sock, cmd, 1)
+      requireOk(reply)
+      reply
+    } finally sock.close()
+  }
+
+  /** Shared cursor machinery: issue one opening command, then
+    * `getMore` until the server returns cursor id 0. Pull-based —
+    * one batch in memory at a time, the cursor contract.
     */
-  final class RangeCursor(host: String, port: Int, db: String,
-                          coll: String, keyField: String,
-                          lo: Long, hi: Long, batchSize: Int)
+  sealed abstract class WireCursor(host: String, port: Int,
+                                   db: String, coll: String,
+                                   batchSize: Int)
       extends Iterator[BDoc] with AutoCloseable {
+
+    protected def firstCommand: BDoc
+
     private val sock = new Socket(host, port)
     private var reqId = 1
     private var cursorId = 0L
@@ -81,7 +103,7 @@ object MongoWire {
 
     private def cursorBatch(reply: BDoc, key: String)
         : (Long, Seq[BDoc]) = {
-      require(field(reply, "ok") == BDouble(1.0), s"command failed: $reply")
+      requireOk(reply)
       val cur = field(reply, "cursor").asInstanceOf[BDoc]
       val id = field(cur, "id").asInstanceOf[BInt64].v
       val docs = field(cur, key).asInstanceOf[BArr].v
@@ -90,14 +112,9 @@ object MongoWire {
     }
 
     private def fetchFirst(): Unit = {
-      val cmd = BDoc(Seq(
-        "find" -> BString(coll),
-        "filter" -> BDoc(Seq(keyField -> BDoc(Seq(
-          "$gte" -> BInt64(lo), "$lt" -> BInt64(hi))))),
-        "batchSize" -> BInt32(batchSize),
-        "$db" -> BString(db)))
       val (id, docs) = cursorBatch(
-        runCommand(sock, cmd, { reqId += 1; reqId }), "firstBatch")
+        runCommand(sock, firstCommand,
+          { reqId += 1; reqId }), "firstBatch")
       cursorId = id; batch = docs.iterator
       exhausted = cursorId == 0L && docs.isEmpty
     }
@@ -126,30 +143,250 @@ object MongoWire {
       try sock.close() catch { case _: Throwable => }
   }
 
+  /** Cursor walk of one `find`: the full command surface — a
+    * conjunctive `filter`, an inclusion `projection`, a key-field
+    * `sort`, a `limit`.
+    */
+  final class FindCursor(host: String, port: Int, db: String,
+                         coll: String, filter: Option[BDoc],
+                         projection: Option[Seq[String]],
+                         sort: Option[(String, Int)],
+                         limit: Option[Long], batchSize: Int)
+      extends WireCursor(host, port, db, coll, batchSize) {
+    protected def firstCommand: BDoc = {
+      val parts = Seq.newBuilder[(String, BVal)]
+      parts += "find" -> BString(coll)
+      filter.foreach(f => parts += "filter" -> f)
+      projection.foreach(p => parts += "projection" ->
+        BDoc(p.map(_ -> BInt32(1))))
+      sort.foreach { case (f, dir) =>
+        parts += "sort" -> BDoc(Seq(f -> BInt32(dir)))
+      }
+      limit.foreach(n => parts += "limit" -> BInt64(n))
+      parts += "batchSize" -> BInt32(batchSize)
+      parts += "$db" -> BString(db)
+      BDoc(parts.result())
+    }
+  }
+
+  /** Cursor walk of one `aggregate`: the pipeline ships as the
+    * `pipeline` array, batch size in the `cursor` sub-document (the
+    * command's documented shape) — the reference's schema-analysis
+    * entry point (`core/analyser.py:254` runs
+    * `aggregate([{"$sample": {"size": n}}])`).
+    */
+  final class AggregateCursor(host: String, port: Int, db: String,
+                              coll: String, pipeline: Seq[BDoc],
+                              batchSize: Int)
+      extends WireCursor(host, port, db, coll, batchSize) {
+    protected def firstCommand: BDoc = BDoc(Seq(
+      "aggregate" -> BString(coll),
+      "pipeline" -> BArr(pipeline),
+      "cursor" -> BDoc(Seq("batchSize" -> BInt32(batchSize))),
+      "$db" -> BString(db)))
+  }
+
+  /** The inclusive-lo / exclusive-hi key-range filter document. */
+  def rangeFilter(keyField: String, lo: Long, hi: Long): BDoc =
+    BDoc(Seq(keyField -> BDoc(Seq(
+      "$gte" -> BInt64(lo), "$lt" -> BInt64(hi)))))
+
+  /** Merges the key-range conjunct with pushed-down extras into one
+    * conjunctive filter document.
+    */
+  private def mergedFilter(keyField: String, lo: Long, hi: Long,
+                           extra: Seq[(String, BVal)]): BDoc =
+    BDoc(rangeFilter(keyField, lo, hi).v ++ extra)
+
   /** Distributed collection scan: the key span splits into
     * `numPartitions` contiguous ranges and EACH PARTITION opens its
     * own connection and walks its own ranged cursor — no driver-side
     * accumulation, no shared cursor, scan parallelism = partition
     * count (against a real deployment each range lands on the shard
     * owning it). Schema-directed decode on the executors via
-    * [[Bson.docToRow]].
+    * [[Bson.docToRow]]. `filterExtra` conjuncts and the `schema`'s
+    * column set push into the server-side `find` (the DSv2 pushdown
+    * path reuses this shape).
     */
   def read(spark: SparkSession, host: String, port: Int, db: String,
            coll: String, schema: StructType, keyField: String,
            minKey: Long, maxKeyExclusive: Long,
-           numPartitions: Int = 4, batchSize: Int = 512): DataFrame = {
+           numPartitions: Int = 4, batchSize: Int = 512,
+           filterExtra: Seq[(String, BVal)] = Nil,
+           projectColumns: Boolean = false): DataFrame = {
     require(numPartitions >= 1 && maxKeyExclusive >= minKey)
     val span = maxKeyExclusive - minKey
     val ranges = (0 until numPartitions).map { p =>
       (minKey + span * p / numPartitions,
         minKey + span * (p + 1) / numPartitions)
     }.filter { case (lo, hi) => hi > lo }
+    val proj = if (projectColumns) Some(schema.fieldNames.toSeq) else None
     val rdd = spark.sparkContext
       .parallelize(ranges, math.max(ranges.size, 1))
       .flatMap { case (lo, hi) =>
-        new RangeCursor(host, port, db, coll, keyField, lo, hi,
-          batchSize).map(Bson.docToRow(_, schema))
+        new FindCursor(host, port, db, coll,
+          Some(mergedFilter(keyField, lo, hi, filterExtra)), proj,
+          None, None, batchSize).map(Bson.docToRow(_, schema))
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Newest-N over the wire: `find` with a key-field descending sort
+    * and a pushed limit — the reference's newest-first scan (S3)
+    * expressed as a wire command, executed on ONE executor task (the
+    * result is ≤ n rows by contract, the TakeOrderedAndProject
+    * shape).
+    */
+  def newest(spark: SparkSession, host: String, port: Int, db: String,
+             coll: String, schema: StructType, keyField: String,
+             n: Int, batchSize: Int = 512): DataFrame = {
+    val rdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
+      new FindCursor(host, port, db, coll, None, None,
+        Some((keyField, -1)), Some(n.toLong), batchSize)
+        .map(Bson.docToRow(_, schema))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** `$sample` over the wire — the reference's schema-analysis scan
+    * (`core/analyser.py:254`): one `aggregate` cursor with a
+    * `$sample` stage, executed on one executor task (a sample is
+    * small by contract). Against [[InProcessMongod]] the draw is
+    * DETERMINISTIC (md5-keyed — see the server scaladoc), so an
+    * oracle can replay it; a real server's `$sample` is random, so
+    * callers must not rely on which documents arrive, only on the
+    * count.
+    */
+  def sample(spark: SparkSession, host: String, port: Int, db: String,
+             coll: String, schema: StructType, n: Int,
+             batchSize: Int = 512): DataFrame = {
+    val rdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
+      new AggregateCursor(host, port, db, coll,
+        Seq(BDoc(Seq("$sample" -> BDoc(Seq("size" -> BInt32(n)))))),
+        batchSize).map(Bson.docToRow(_, schema))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Distributed write: every partition opens its own connection and
+    * ships its rows as `insert` command batches, asserting the
+    * server-acknowledged count per batch. Returns total rows
+    * acknowledged.
+    */
+  def write(df: DataFrame, host: String, port: Int, db: String,
+            coll: String, batchSize: Int = 512): Long = {
+    val schema = df.schema
+    df.rdd.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.single(0L)
+      else {
+        val sock = new Socket(host, port)
+        var reqId = 0
+        var acked = 0L
+        try {
+          rows.grouped(batchSize).foreach { group =>
+            val docs = group.map(r => Bson.rowToDoc(r, schema))
+            val cmd = BDoc(Seq(
+              "insert" -> BString(coll),
+              "documents" -> BArr(docs),
+              "$db" -> BString(db)))
+            val reply = runCommand(sock, cmd, { reqId += 1; reqId })
+            requireOk(reply)
+            val n = field(reply, "n") match {
+              case BInt32(x) => x.toLong
+              case BInt64(x) => x
+              case other => throw new IllegalArgumentException(
+                s"insert reply n: $other")
+            }
+            require(n == group.size,
+              s"insert acknowledged $n of ${group.size}")
+            acked += n
+          }
+        } finally sock.close()
+        Iterator.single(acked)
+      }
+    }.sum().toLong
+  }
+
+  /** `listCollections` → one row per collection name. */
+  def listCollections(spark: SparkSession, host: String, port: Int,
+                      db: String): DataFrame = {
+    val reply = command(host, port, BDoc(Seq(
+      "listCollections" -> BInt32(1), "$db" -> BString(db))))
+    val cur = field(reply, "cursor").asInstanceOf[BDoc]
+    val names = field(cur, "firstBatch").asInstanceOf[BArr].v.map {
+      case d: BDoc => field(d, "name") match {
+        case BString(s) => s
+        case other => throw new IllegalArgumentException(s"name: $other")
+      }
+      case other => throw new IllegalArgumentException(s"batch doc: $other")
+    }
+    val schema = StructType(Seq(StructField("collection", StringType,
+      nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(names.map(Row(_)), 1), schema)
+  }
+
+  /** `count` with an optional query filter. */
+  def countDocs(host: String, port: Int, db: String, coll: String,
+                query: Option[BDoc] = None): Long = {
+    val parts = Seq.newBuilder[(String, BVal)]
+    parts += "count" -> BString(coll)
+    query.foreach(q => parts += "query" -> q)
+    parts += "$db" -> BString(db)
+    field(command(host, port, BDoc(parts.result())), "n") match {
+      case BInt32(x) => x.toLong
+      case BInt64(x) => x
+      case other => throw new IllegalArgumentException(s"count n: $other")
+    }
+  }
+
+  /** `collStats` → (count, size bytes, avgObjSize). */
+  def collStats(host: String, port: Int, db: String,
+                coll: String): (Long, Long, Double) = {
+    val reply = command(host, port, BDoc(Seq(
+      "collStats" -> BString(coll), "$db" -> BString(db))))
+    val count = field(reply, "count") match {
+      case BInt32(x) => x.toLong
+      case BInt64(x) => x
+      case other => throw new IllegalArgumentException(s"count: $other")
+    }
+    val size = field(reply, "size") match {
+      case BInt64(x) => x
+      case BInt32(x) => x.toLong
+      case other => throw new IllegalArgumentException(s"size: $other")
+    }
+    val avg = field(reply, "avgObjSize") match {
+      case BDouble(x) => x
+      case other => throw new IllegalArgumentException(s"avg: $other")
+    }
+    (count, size, avg)
+  }
+
+  /** The admin probe the reference's TUI shows per collection —
+    * `listCollections`, then `count` + `collStats` each, cross-checked
+    * (a count/stats disagreement is a loud error, not a column):
+    * one row per collection, (collection, n_docs).
+    */
+  def adminProbe(spark: SparkSession, host: String, port: Int,
+                 db: String): DataFrame = {
+    val reply = command(host, port, BDoc(Seq(
+      "listCollections" -> BInt32(1), "$db" -> BString(db))))
+    val cur = field(reply, "cursor").asInstanceOf[BDoc]
+    val names = field(cur, "firstBatch").asInstanceOf[BArr].v.map {
+      case d: BDoc => field(d, "name").asInstanceOf[BString].v
+      case other => throw new IllegalArgumentException(s"batch doc: $other")
+    }
+    val rows = names.map { c =>
+      val n = countDocs(host, port, db, c)
+      val (statsN, _, _) = collStats(host, port, db, c)
+      require(n == statsN,
+        s"count ($n) and collStats ($statsN) disagree for $c")
+      Row(c, n)
+    }
+    val schema = StructType(Seq(
+      StructField("collection", StringType, nullable = false),
+      StructField("n_docs", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 }

@@ -1,0 +1,672 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Bson
+import graft.sources.Bson._
+import graft.sources.MongoWire
+
+/** `spark.read.format("graft-mongo")` — the wire-protocol client
+  * ([[graft.sources.MongoWire]]) surfaced as a DataSource V2 table,
+  * the idiomatic Spark shape for a custom source: Catalyst keeps the
+  * whole relational plan and hands the scan its pruned columns,
+  * translated filters, and limits through the standard pushdown
+  * hooks, so `.explain` shows the pushed state on the `BatchScan`
+  * node and the server ships less (the specs verify BOTH, via the
+  * scan description and the server's served-docs/bytes meters).
+  *
+  * Pushdown contract (what the source claims to handle FULLY — a
+  * non-returned filter is never re-checked by Spark, so the claim
+  * set is deliberately conservative):
+  *
+  *  - columns: inclusion projection in the `find` command
+  *    ([[Bson.projectRaw]] splices on the server);
+  *  - filters: `=`, `<`, `<=`, `>`, `>=`, `IN` on int/long/double/
+  *    boolean columns; `=`/`IN` on strings (string RANGES are NOT
+  *    pushed: Spark orders strings by UTF-8 binary, the wire double
+  *    by UTF-16 `compareTo` — equality agrees, order does not, the
+  *    classic collation-mismatch pushdown bug); `IsNotNull` as
+  *    `$ne null` (exists-and-not-null). Timestamps are never pushed
+  *    (μs engine vs ms wire precision). Everything else stays in
+  *    Spark as a post-scan filter.
+  *  - limit / top-N (key-field sort only): pushed PARTIALLY — each
+  *    key-range partition applies the sort prefix + limit, Spark
+  *    keeps the global operator, exactly the semantics
+  *    `isPartiallyPushed` exists for.
+  *
+  * Schema: pass one with `.schema(...)`, or omit it and the provider
+  * INFERS from `samplesize` (default 64) sampled documents — the
+  * reference's own signature move (its analyser builds schema from a
+  * sampled cursor, `core/analyser.py`); numeric widenings int32 →
+  * int64 → double, loud error on irreconcilable or all-null fields.
+  *
+  * Options: `host`, `port`, `database`, `collection`, `keyfield`
+  * (integral, the range-partition + sort key), `minkey`/`maxkey`
+  * (exclusive; omitted ⇒ probed with two 1-row sorted finds),
+  * `numpartitions` (default 4), `batchsize` (default 512),
+  * `samplesize` (default 64).
+  *
+  * At 100 TB: one cursor per key range is the standard bulk-read
+  * layout (each range lands on the shard owning it); pushdown means
+  * the wire carries only needed columns and matching documents, and
+  * partition count scales the scan without any driver-side state.
+  */
+class MongoTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-mongo"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MongoV2.inferSchema(MongoV2.Conf(options))
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new MongoTable(schema,
+      MongoV2.Conf(new CaseInsensitiveStringMap(properties)))
+}
+
+private[v2] object MongoV2 {
+
+  /** One fully-pushed aggregate column: kind ∈ count|min|max. */
+  final case class AggSpec(kind: String, dataType: DataType)
+
+  /** Plain serializable view of the reader options. */
+  final case class Conf(host: String, port: Int, db: String,
+                        coll: String, keyField: String,
+                        minKey: Option[Long], maxKey: Option[Long],
+                        numPartitions: Int, batchSize: Int,
+                        sampleSize: Int)
+
+  object Conf {
+    def apply(o: CaseInsensitiveStringMap): Conf = {
+      def req(k: String): String = {
+        val v = o.get(k)
+        require(v != null, s"graft-mongo: missing required option '$k'")
+        v
+      }
+      Conf(
+        host = req("host"), port = req("port").toInt,
+        db = req("database"), coll = req("collection"),
+        keyField = req("keyfield"),
+        minKey = Option(o.get("minkey")).map(_.toLong),
+        maxKey = Option(o.get("maxkey")).map(_.toLong),
+        numPartitions = Option(o.get("numpartitions")
+          ).map(_.toInt).getOrElse(4),
+        batchSize = Option(o.get("batchsize")).map(_.toInt)
+          .getOrElse(512),
+        sampleSize = Option(o.get("samplesize")).map(_.toInt)
+          .getOrElse(64))
+    }
+  }
+
+  /** The `[min, maxExclusive)` key span: from options, or probed with
+    * two single-row sorted finds (the `sort dir limit 1` idiom).
+    */
+  def keySpan(c: Conf): (Long, Long) = (c.minKey, c.maxKey) match {
+    case (Some(lo), Some(hi)) => (lo, hi)
+    case _ =>
+      def edge(dir: Int): Option[Long] = {
+        val cur = new MongoWire.FindCursor(c.host, c.port, c.db, c.coll,
+          None, Some(Seq(c.keyField)), Some((c.keyField, dir)),
+          Some(1L), 2)
+        try {
+          if (!cur.hasNext) None
+          else cur.next().v.collectFirst {
+            case (f, BInt64(x)) if f == c.keyField => x
+            case (f, BInt32(x)) if f == c.keyField => x.toLong
+          }
+        } finally cur.close()
+      }
+      (edge(1), edge(-1)) match {
+        case (Some(lo), Some(hi)) =>
+          (c.minKey.getOrElse(lo), c.maxKey.getOrElse(hi + 1))
+        case _ => (0L, 0L)   // empty collection: one empty range
+      }
+  }
+
+  /** Schema inference from sampled documents — per-field BSON-type
+    * union with numeric widening; loud error where a guess would be
+    * silent data corruption (nested docs, type conflicts, all-null).
+    * The sample arrives the way the reference takes it
+    * (`core/analyser.py:254`): one `aggregate` cursor with a
+    * `$sample` stage.
+    */
+  def inferSchema(c: Conf): StructType = {
+    val cur = new MongoWire.AggregateCursor(c.host, c.port, c.db,
+      c.coll,
+      Seq(BDoc(Seq("$sample" ->
+        BDoc(Seq("size" -> BInt32(c.sampleSize)))))),
+      math.max(c.sampleSize, 1))
+    val fields = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[DataType]]
+    try cur.foreach { doc =>
+      doc.v.foreach { case (name, v) =>
+        val t = bsonType(v, name)
+        fields.updateWith(name) {
+          case None | Some(None) => Some(t)
+          case Some(Some(prev)) => Some(merge(prev, t, name))
+        }
+      }
+    } finally cur.close()
+    require(fields.nonEmpty,
+      s"graft-mongo: cannot infer a schema from an empty sample of " +
+        s"${c.db}.${c.coll}; pass .schema(...)")
+    StructType(fields.toSeq.map {
+      case (name, Some(dt)) => StructField(name, dt)
+      case (name, None) => throw new IllegalArgumentException(
+        s"graft-mongo: field '$name' was null in every sampled " +
+          "document; pass an explicit schema")
+    })
+  }
+
+  private def bsonType(v: BVal, field: String): Option[DataType] =
+    v match {
+      case BNull => None
+      case _: BInt32 => Some(IntegerType)
+      case _: BInt64 => Some(LongType)
+      case _: BDouble => Some(DoubleType)
+      case _: BString => Some(StringType)
+      case _: BBool => Some(BooleanType)
+      case _: BDateTime => Some(TimestampType)
+      case _: BBinary => Some(BinaryType)
+      case BArr(xs) =>
+        val elem = xs.flatMap(x => bsonType(x, field)).distinct
+          .foldLeft(Option.empty[DataType]) {
+            case (None, t) => Some(t)
+            case (Some(a), t) => Some(merge(a, Some(t), field)
+              .getOrElse(t))
+          }
+        elem.map(ArrayType(_))
+      case other => throw new IllegalArgumentException(
+        s"graft-mongo: cannot infer a Spark type for field '$field' " +
+          s"($other); pass an explicit schema")
+    }
+
+  private def merge(a: DataType, b: Option[DataType],
+                    field: String): Option[DataType] = b match {
+    case None => Some(a)
+    case Some(bb) =>
+      val rank = Map[DataType, Int](IntegerType -> 0, LongType -> 1,
+        DoubleType -> 2)
+      (a, bb) match {
+        case (x, y) if x == y => Some(x)
+        case (x, y) if rank.contains(x) && rank.contains(y) =>
+          Some(if (rank(x) >= rank(y)) x else y)
+        case (ArrayType(x, _), ArrayType(y, _)) =>
+          merge(x, Some(y), field).map(ArrayType(_))
+        case (x, y) => throw new IllegalArgumentException(
+          s"graft-mongo: field '$field' is both $x and $y across " +
+            "sampled documents; pass an explicit schema")
+      }
+  }
+
+  /** sources.Filter → wire conjunct; None = not translatable (stays
+    * in Spark). Conservative by design — see the class scaladoc.
+    */
+  def translate(f: Filter): Option[(String, (String, BVal))] = {
+    def lit(v: Any): Option[BVal] = v match {
+      case i: Int => Some(BInt32(i))
+      case l: Long => Some(BInt64(l))
+      case d: Double => Some(BDouble(d))
+      case fl: Float => Some(BDouble(fl.toDouble))
+      case s: String => Some(BString(s))
+      case b: Boolean => Some(BBool(b))
+      case _ => None
+    }
+    def ordered(v: Any): Option[BVal] = v match {
+      case _: String => None   // UTF-8 vs UTF-16 order mismatch
+      case other => lit(other)
+    }
+    def col(name: String): Option[String] =
+      if (name.contains(".")) None else Some(name)
+    f match {
+      case sources.EqualTo(a, v) =>
+        for (c <- col(a); b <- lit(v)) yield (c, ("$eq", b))
+      case sources.GreaterThan(a, v) =>
+        for (c <- col(a); b <- ordered(v)) yield (c, ("$gt", b))
+      case sources.GreaterThanOrEqual(a, v) =>
+        for (c <- col(a); b <- ordered(v)) yield (c, ("$gte", b))
+      case sources.LessThan(a, v) =>
+        for (c <- col(a); b <- ordered(v)) yield (c, ("$lt", b))
+      case sources.LessThanOrEqual(a, v) =>
+        for (c <- col(a); b <- ordered(v)) yield (c, ("$lte", b))
+      case sources.In(a, vs) =>
+        val bs = vs.toSeq.map(lit)
+        if (bs.exists(_.isEmpty)) None
+        else col(a).map(c => (c, ("$in", BArr(bs.flatten))))
+      case sources.IsNotNull(a) =>
+        col(a).map(c => (c, ("$ne", BNull)))
+      case _ => None
+    }
+  }
+
+  /** BSON value → Catalyst internal value under the expected type —
+    * the same widenings as [[Bson.docToRow]], emitted in InternalRow
+    * terms (UTF8String, epoch micros, GenericArrayData).
+    */
+  def catalystValue(v: BVal, dt: DataType, field: String): Any =
+    (dt, v) match {
+      case (_, BNull) => null
+      case (LongType, BInt64(x)) => x
+      case (LongType, BInt32(x)) => x.toLong
+      case (IntegerType, BInt32(x)) => x
+      case (DoubleType, BDouble(x)) => x
+      case (DoubleType, BInt64(x)) => x.toDouble
+      case (DoubleType, BInt32(x)) => x.toDouble
+      case (FloatType, BDouble(x)) => x.toFloat
+      case (StringType, BString(x)) => UTF8String.fromString(x)
+      case (BooleanType, BBool(x)) => x
+      case (BinaryType, BBinary(_, x)) => x
+      case (TimestampType, BDateTime(ms)) => ms * 1000L
+      case (ArrayType(et, _), BArr(xs)) =>
+        new GenericArrayData(
+          xs.map(catalystValue(_, et, field)).toArray)
+      case (t, bv) => throw new IllegalArgumentException(
+        s"graft-mongo: cannot read $bv as $t for field '$field'")
+    }
+}
+
+private[v2] class MongoTable(schema: StructType, conf: MongoV2.Conf)
+    extends Table with SupportsRead {
+  override def name(): String = s"${conf.db}.${conf.coll}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new MongoScanBuilder(schema, conf)
+}
+
+private[v2] class MongoScanBuilder(fullSchema: StructType,
+                                   conf: MongoV2.Conf)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var wireFilter: Seq[(String, BVal)] = Nil
+  private var limit: Option[Int] = None
+  private var sortDesc: Option[Boolean] = None
+  private var hadResidual = false
+  private var aggSpecs: Option[Seq[MongoV2.AggSpec]] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(MongoV2.translate(_).isDefined)
+    pushed = ok
+    hadResidual = rest.nonEmpty
+    // several conjuncts on one field merge into one operator doc
+    wireFilter = ok.toSeq.flatMap(MongoV2.translate)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (f, ops) => (f, BDoc(ops.map(_._2)): BVal) }
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
+  // every key-range partition applies the limit independently, so the
+  // global operator must stay in Spark
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean =
+    orders match {
+      case Array(o) => o.expression() match {
+        case ref: NamedReference
+            if ref.fieldNames.sameElements(Array(conf.keyField)) =>
+          sortDesc = Some(o.direction() == SortDirection.DESCENDING)
+          limit = Some(n)
+          true
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** COUNT(*) / MIN(key) / MAX(key) with no GROUP BY become wire
+    * commands (`count`, and 1-row sorted finds) — a 100 TB
+    * collection's count is O(1) metadata on the server instead of a
+    * full cursor scan. COMPLETE pushdown only, and only when every
+    * filter was also pushed (a residual filter would make the wire
+    * count wrong); anything else stays in Spark.
+    */
+  private def translateAgg(agg: Aggregation)
+      : Option[Seq[MongoV2.AggSpec]] = {
+    if (agg.groupByExpressions().nonEmpty || hadResidual) None
+    else {
+      def isKey(col: org.apache.spark.sql.connector.expressions.Expression)
+          : Boolean = col match {
+        case r: NamedReference =>
+          r.fieldNames.sameElements(Array(conf.keyField))
+        case _ => false
+      }
+      val keyType = fullSchema.fields
+        .find(_.name == conf.keyField).map(_.dataType)
+      val specs = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(MongoV2.AggSpec("count", LongType))
+        case m: Min if isKey(m.column()) =>
+          keyType.map(MongoV2.AggSpec("min", _))
+        case m: Max if isKey(m.column()) =>
+          keyType.map(MongoV2.AggSpec("max", _))
+        case _ => None
+      }
+      if (specs.exists(_.isEmpty) || specs.isEmpty) None
+      else Some(specs.flatten)
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAgg(agg) match {
+      case Some(s) => aggSpecs = Some(s); true
+      case None => false
+    }
+
+  override def build(): Scan = aggSpecs match {
+    case Some(specs) => new MongoAggScan(conf, wireFilter, specs)
+    case None =>
+      new MongoScan(required, conf, pushed, wireFilter, limit,
+        sortDesc)
+  }
+}
+
+/** The fully-pushed-aggregate scan: ONE row, computed by wire
+  * commands — `count` (with the pushed filter as its query), and
+  * key min/max as 1-row sorted finds against the key index.
+  */
+private[v2] class MongoAggScan(conf: MongoV2.Conf,
+                               wireFilter: Seq[(String, BVal)],
+                               specs: Seq[MongoV2.AggSpec])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(specs.zipWithIndex.map { case (s, i) =>
+      StructField(s"${s.kind}_${conf.keyField}_$i", s.dataType)
+    })
+
+  override def description(): String =
+    s"GraftMongoAggScan ${conf.db}.${conf.coll} " +
+      s"PushedAggregates: [${specs.map(_.kind).mkString(", ")}], " +
+      s"Filter: [${wireFilter.map(_._1).mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MongoAggPartition(conf.host, conf.port, conf.db, conf.coll,
+      conf.keyField, wireFilter, specs))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] =
+        new MongoAggReader(p.asInstanceOf[MongoAggPartition])
+    }
+}
+
+private[v2] final case class MongoAggPartition(
+    host: String, port: Int, db: String, coll: String,
+    keyField: String, wireFilter: Seq[(String, BVal)],
+    specs: Seq[MongoV2.AggSpec]) extends InputPartition
+
+private[v2] class MongoAggReader(p: MongoAggPartition)
+    extends PartitionReader[InternalRow] {
+
+  private var emitted = false
+
+  private def edgeKey(dir: Int): Option[Long] = {
+    val cur = new MongoWire.FindCursor(p.host, p.port, p.db, p.coll,
+      if (p.wireFilter.isEmpty) None else Some(BDoc(p.wireFilter)),
+      Some(Seq(p.keyField)), Some((p.keyField, dir)), Some(1L), 2)
+    try {
+      if (!cur.hasNext) None
+      else cur.next().v.collectFirst {
+        case (f, BInt64(x)) if f == p.keyField => x
+        case (f, BInt32(x)) if f == p.keyField => x.toLong
+      }
+    } finally cur.close()
+  }
+
+  override def next(): Boolean =
+    if (emitted) false
+    else {
+      emitted = true
+      true
+    }
+
+  override def get(): InternalRow = {
+    val vals: Array[Any] = p.specs.map { s =>
+      s.kind match {
+        case "count" =>
+          MongoWire.countDocs(p.host, p.port, p.db, p.coll,
+            if (p.wireFilter.isEmpty) None
+            else Some(BDoc(p.wireFilter)))
+        case "min" | "max" =>
+          edgeKey(if (s.kind == "min") 1 else -1) match {
+            case None => null          // empty: MIN/MAX are NULL
+            case Some(k) => s.dataType match {
+              case IntegerType => k.toInt
+              case _ => k
+            }
+          }
+      }
+    }.toArray
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = ()
+}
+
+private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
+                            pushed: Array[Filter],
+                            wireFilter: Seq[(String, BVal)],
+                            limit: Option[Int],
+                            sortDesc: Option[Boolean])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val f = pushed.mkString(", ")
+    val cols = required.fieldNames.mkString(", ")
+    s"GraftMongoScan ${conf.db}.${conf.coll} " +
+      s"PushedFilters: [$f], ReadColumns: [$cols]" +
+      limit.map(n => s", PushedLimit: $n").getOrElse("") +
+      sortDesc.map(d => s", PushedSort: ${conf.keyField} " +
+        (if (d) "DESC" else "ASC")).getOrElse("")
+  }
+
+  override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new MongoMicroBatchStream(required, conf, wireFilter)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (minKey, maxKeyExclusive) = MongoV2.keySpan(conf)
+    val span = math.max(maxKeyExclusive - minKey, 0L)
+    val parts = (0 until conf.numPartitions).map { p =>
+      (minKey + span * p / conf.numPartitions,
+        minKey + span * (p + 1) / conf.numPartitions)
+    }.filter { case (lo, hi) => hi > lo }
+    val ranges = if (parts.isEmpty) Seq((0L, 0L)) else parts
+    ranges.map { case (lo, hi) =>
+      MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
+        conf.keyField, lo, hi, conf.batchSize, wireFilter,
+        required.fieldNames.toSeq, limit, sortDesc)
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MongoReaderFactory(required)
+}
+
+/** Stream offset = the exclusive upper key bound delivered so far. */
+private[v2] class MongoOffset(val maxKeyExclusive: Long)
+    extends Offset {
+  override def json: String =
+    s"""{"maxKeyExclusive":$maxKeyExclusive}"""
+}
+
+/** `spark.readStream.format("graft-mongo")` — TAILS a collection by
+  * its monotonically-increasing key: each micro-batch reads the key
+  * window `(previous offset, current max]` as ranged cursors, the
+  * same partitions/readers as the batch scan. This is the key-tailing
+  * approximation of a change stream: EXACTLY-ONCE for inserts whose
+  * keys are insertion-monotone (ObjectId `_id`s are — their leading
+  * bytes are a timestamp), because offsets are key watermarks and a
+  * window is never re-read. The stated contract: a straggler insert
+  * whose key lands BELOW an already-delivered watermark is missed —
+  * same trade every watermark system makes; use keys the writer
+  * allocates monotonically.
+  *
+  * `latestOffset` is one 1-row sorted find against the key index —
+  * O(1) per trigger on the server, no scan. Offsets are monotone by
+  * construction (`math.max` against the last), so a server rollback
+  * can never re-deliver or crash the query.
+  */
+private[v2] class MongoMicroBatchStream(required: StructType,
+                                        conf: MongoV2.Conf,
+                                        wireFilter: Seq[(String, BVal)])
+    extends MicroBatchStream {
+
+  private def edge(dir: Int): Option[Long] = {
+    val cur = new MongoWire.FindCursor(conf.host, conf.port, conf.db,
+      conf.coll, None, Some(Seq(conf.keyField)),
+      Some((conf.keyField, dir)), Some(1L), 2)
+    try {
+      if (!cur.hasNext) None
+      else cur.next().v.collectFirst {
+        case (f, BInt64(x)) if f == conf.keyField => x
+        case (f, BInt32(x)) if f == conf.keyField => x.toLong
+      }
+    } finally cur.close()
+  }
+
+  private lazy val initial: MongoOffset =
+    new MongoOffset(conf.minKey.getOrElse(edge(1).getOrElse(0L)))
+
+  @volatile private var lastLatest: Long = Long.MinValue
+
+  override def initialOffset(): Offset = initial
+
+  override def latestOffset(): Offset = {
+    val probed = edge(-1).map(_ + 1).getOrElse(initial.maxKeyExclusive)
+    lastLatest = math.max(lastLatest,
+      math.max(probed, initial.maxKeyExclusive))
+    new MongoOffset(lastLatest)
+  }
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[MongoOffset].maxKeyExclusive
+    val hi = end.asInstanceOf[MongoOffset].maxKeyExclusive
+    val span = math.max(hi - lo, 0L)
+    val parts = (0 until conf.numPartitions).map { p =>
+      (lo + span * p / conf.numPartitions,
+        lo + span * (p + 1) / conf.numPartitions)
+    }.filter { case (a, b) => b > a }
+    parts.map { case (a, b) =>
+      MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
+        conf.keyField, a, b, conf.batchSize, wireFilter,
+        required.fieldNames.toSeq, None, None): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MongoReaderFactory(required)
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"maxKeyExclusive":(-?\d+)\}""".r
+    json match {
+      case m(n) => new MongoOffset(n.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"graft-mongo: bad offset json: $json")
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[v2] final case class MongoInputPartition(
+    host: String, port: Int, db: String, coll: String,
+    keyField: String, lo: Long, hi: Long, batchSize: Int,
+    wireFilter: Seq[(String, BVal)], columns: Seq[String],
+    limit: Option[Int], sortDesc: Option[Boolean])
+    extends InputPartition
+
+private[v2] class MongoReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MongoInputPartition]
+    new MongoPartitionReader(p, required)
+  }
+}
+
+/** One ranged cursor → InternalRows; the pushed filter conjuncts ride
+  * in the same `find` as the range, the projection is the pruned
+  * column set, sort/limit apply within the range (partial pushdown —
+  * Spark re-applies the global operator).
+  */
+private[v2] class MongoPartitionReader(p: MongoInputPartition,
+                                       required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val cursor = new MongoWire.FindCursor(
+    p.host, p.port, p.db, p.coll,
+    Some(BDoc(MongoWire.rangeFilter(p.keyField, p.lo, p.hi).v ++
+      p.wireFilter)),
+    Some(p.columns),
+    p.sortDesc.map(d => (p.keyField, if (d) -1 else 1)),
+    p.limit.map(_.toLong), p.batchSize)
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (cursor.hasNext) {
+      val doc = cursor.next()
+      val m = doc.v.toMap
+      val vals = required.fields.map { f =>
+        m.get(f.name) match {
+          case None | Some(BNull) => null
+          case Some(v) => MongoV2.catalystValue(v, f.dataType, f.name)
+        }
+      }
+      current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      true
+    } else false
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = cursor.close()
+}

@@ -1,0 +1,520 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Bson, InProcessMongod, MongoWire}
+import graft.sources.Bson._
+
+/** The wire-protocol command surface beyond the ranged scan (filters,
+  * projection, sort+limit, insert, admin commands) and the DSv2
+  * connector's pushdowns — each pushdown proven BOTH by plan state
+  * (the scan's description) and by the server's served-work meters
+  * (fewer documents / bytes actually crossed the socket).
+  */
+class MongoV2Spec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def fixtureDf(n: Int): DataFrame = {
+    import spark.implicits._
+    (0L until n.toLong).map(i =>
+        (i, s"name$i", (i % 25).toInt, i * 1.5 + 0.25, i % 3 == 0))
+      .toDF("k", "name", "grp", "bal", "flag")
+  }
+
+  private def dsv2(srv: InProcessMongod, schema: Option[StructType],
+                   extra: (String, String)*): DataFrame = {
+    var r = spark.read.format("graft-mongo")
+      .option("host", "127.0.0.1").option("port", srv.port.toString)
+      .option("database", "db").option("collection", "c")
+      .option("keyfield", "k")
+    schema.foreach(s => r = r.schema(s))
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  private def scanDescription(df: DataFrame): String = {
+    // aggregates bring exchanges, which wrap the plan in AQE
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves().collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse(fail(s"no BatchScanExec in plan: $plan"))
+  }
+
+  test("byte-level projectRaw and extractRaw agree with full decode " +
+      "on every supported type, and never re-encode spliced values") {
+    val doc = BDoc(Seq(
+      "d" -> BDouble(-0.125), "s" -> BString("héllo ✓"),
+      "sub" -> BDoc(Seq("x" -> BInt32(7), "y" -> BString("z"))),
+      "arr" -> BArr(Seq(BInt64(1L), BNull, BBool(true))),
+      "bin" -> BBinary(4, Array[Byte](1, 2, 3)),
+      "oid" -> BObjectId(Array.tabulate(12)(_.toByte)),
+      "b" -> BBool(false), "dt" -> BDateTime(1704067200123L),
+      "n" -> BNull, "i" -> BInt32(Int.MinValue),
+      "l" -> BInt64(Long.MaxValue)))
+    val bytes = Bson.encode(doc)
+    // projection = decode-then-filter, for every 2-subset
+    val names = doc.v.map(_._1)
+    for (a <- names; b <- names if a != b) {
+      val spliced = Bson.decode(Bson.projectRaw(bytes, Set(a, b)))
+      val expected = BDoc(doc.v.filter(kv => kv._1 == a || kv._1 == b))
+      assert(spliced.v.map(_._1) == expected.v.map(_._1))
+    }
+    // extraction = decode field lookup; absent = None
+    assert(Bson.extractRaw(bytes, "i").contains(BInt32(Int.MinValue)))
+    assert(Bson.extractRaw(bytes, "dt")
+      .contains(BDateTime(1704067200123L)))
+    assert(Bson.extractRaw(bytes, "nope").isEmpty)
+    // the spliced projection is a byte-range copy: the original
+    // element bytes appear verbatim inside the projected frame
+    val proj = Bson.projectRaw(bytes, Set("s"))
+    val needle = Bson.encode(BDoc(Seq("s" -> BString("héllo ✓"))))
+    assert(proj.toSeq == needle.toSeq)
+  }
+
+  test("wire filter semantics match the public operator contract: " +
+      "$ne matches missing, $ne null means exists-and-not-null, " +
+      "$eq null matches missing-or-null, cross-type ranges never " +
+      "match, $in is any-of") {
+    // hand-built docs so 'x' can be genuinely MISSING (not null)
+    val docs = IndexedSeq(
+      (0L, Bson.encode(BDoc(Seq("k" -> BInt64(0L), "x" -> BInt32(5))))),
+      (1L, Bson.encode(BDoc(Seq("k" -> BInt64(1L), "x" -> BNull)))),
+      (2L, Bson.encode(BDoc(Seq("k" -> BInt64(2L))))),
+      (3L, Bson.encode(BDoc(Seq("k" -> BInt64(3L),
+        "x" -> BString("5"))))))
+    val srv = new InProcessMongod(docs, "k", "db", "c")
+    try {
+      def ks(filter: BDoc): Seq[Long] = {
+        val cur = new MongoWire.FindCursor("127.0.0.1", srv.port,
+          "db", "c", Some(filter), None, None, None, 10)
+        try cur.map(d => d.v.collectFirst {
+          case ("k", BInt64(x)) => x
+        }.get).toList
+        finally cur.close()
+      }
+      def f(op: String, v: BVal): BDoc =
+        BDoc(Seq("x" -> BDoc(Seq(op -> v))))
+      assert(ks(f("$eq", BInt32(5))) == Seq(0L))
+      assert(ks(f("$eq", BNull)) == Seq(1L, 2L))       // null or missing
+      assert(ks(f("$ne", BInt32(5))) == Seq(1L, 2L, 3L)) // missing matches
+      assert(ks(f("$ne", BNull)) == Seq(0L, 3L))       // exists, not null
+      assert(ks(f("$gt", BInt32(4))) == Seq(0L))       // "5" is bracketed out
+      assert(ks(f("$gte", BString("5"))) == Seq(3L))   // 5 is bracketed out
+      assert(ks(f("$in", BArr(Seq(BInt32(5), BString("5"))))) ==
+        Seq(0L, 3L))
+      // conjunction across fields, with the key window pruning
+      assert(ks(BDoc(Seq(
+        "k" -> BDoc(Seq("$gte" -> BInt64(1L), "$lt" -> BInt64(3L))),
+        "x" -> BDoc(Seq("$eq" -> BNull))))) == Seq(1L, 2L))
+      // unknown operator is a loud error, never a silent true
+      intercept[Exception](ks(f("$regex", BString(".*"))))
+    } finally srv.close()
+  }
+
+  test("sort desc + limit over the wire is the newest-N scan, and " +
+      "MongoWire.newest returns exactly orderBy-desc-limit") {
+    val df = fixtureDf(500)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val got = MongoWire.newest(spark, "127.0.0.1", srv.port, "db",
+        "c", df.schema, "k", 17, batchSize = 5)
+      val a = got.collect().map(_.getLong(0)).toSeq
+      assert(a == (499L to 483L by -1L))
+      // limit larger than the data is the full reversed scan
+      assert(MongoWire.newest(spark, "127.0.0.1", srv.port, "db", "c",
+        df.schema, "k", 1000).count() == 500)
+    } finally srv.close()
+  }
+
+  test("write path: per-partition insert batches are acknowledged, " +
+      "round-trip equals the source, int keys accepted") {
+    val df = fixtureDf(300).repartition(3)
+    val srv = InProcessMongod.serveEmpty("db", "out", "k")
+    try {
+      val acked = MongoWire.write(df, "127.0.0.1", srv.port, "db",
+        "out", batchSize = 64)
+      assert(acked == 300L)
+      val back = MongoWire.read(spark, "127.0.0.1", srv.port, "db",
+        "out", df.schema, "k", 0L, 300L, numPartitions = 3)
+      assert(back.count() == 300)
+      val a = back.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+      val b = df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+      assert(a.toSeq == b.toSeq)
+      // inserting into an undeclared collection is a loud error
+      intercept[Exception](MongoWire.write(df, "127.0.0.1", srv.port,
+        "db", "nope"))
+    } finally srv.close()
+  }
+
+  test("cursor snapshot isolation: a cursor opened before an insert " +
+      "pages over the pre-insert store and never sees new documents") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "name")
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val cur = new MongoWire.FindCursor("127.0.0.1", srv.port, "db",
+        "c", None, None, None, None, 10)
+      val first = cur.take(10).map(d => d.v.collectFirst {
+        case ("k", BInt64(x)) => x }.get).toList
+      // splice 50 new docs into the middle of the key space
+      MongoWire.write((1000L until 1050L).map(i => (i, s"new$i"))
+        .toDF("k", "name"), "127.0.0.1", srv.port, "db", "c")
+      val rest = cur.map(d => d.v.collectFirst {
+        case ("k", BInt64(x)) => x }.get).toList
+      assert((first ++ rest) == (0L until 100L).toList)
+      // a NEW cursor sees the post-insert store
+      assert(MongoWire.countDocs("127.0.0.1", srv.port, "db", "c") ==
+        150L)
+    } finally srv.close()
+  }
+
+  test("admin commands: listCollections, count with a query, " +
+      "collStats, and the cross-checked adminProbe") {
+    val a = fixtureDf(120)
+    val b = fixtureDf(45)
+    val srv = InProcessMongod.serveAll("db",
+      Seq(("alpha", "k", a), ("beta", "k", b)))
+    try {
+      assert(MongoWire.listCollections(spark, "127.0.0.1", srv.port,
+        "db").collect().map(_.getString(0)).toSeq ==
+        Seq("alpha", "beta"))
+      assert(MongoWire.countDocs("127.0.0.1", srv.port, "db",
+        "alpha") == 120L)
+      assert(MongoWire.countDocs("127.0.0.1", srv.port, "db", "beta",
+        Some(BDoc(Seq("grp" -> BDoc(Seq("$lt" -> BInt32(5))))))) ==
+        b.filter(col("grp") < 5).count())
+      val (n, size, avg) = MongoWire.collStats("127.0.0.1", srv.port,
+        "db", "alpha")
+      assert(n == 120L && size > 0L &&
+        math.abs(avg - size.toDouble / 120) < 1e-9)
+      val probe = MongoWire.adminProbe(spark, "127.0.0.1", srv.port,
+        "db").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(probe == Seq(("alpha", 120L), ("beta", 45L)))
+    } finally srv.close()
+  }
+
+  test("DSv2 full scan: format(\"graft-mongo\") equals the served " +
+      "table, one input partition per key range") {
+    val df = fixtureDf(400)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val got = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "400", "numpartitions" -> "5",
+        "batchsize" -> "32")
+      assert(got.rdd.getNumPartitions == 5)
+      val x = got.collect().map(_.getLong(0)).sorted.toSeq
+      assert(x == (0L until 400L).toSeq)
+      // omitted minkey/maxkey: probed with two 1-row sorted finds
+      val probed = dsv2(srv, Some(df.schema), "numpartitions" -> "3")
+      assert(probed.count() == 400)
+    } finally srv.close()
+  }
+
+  test("DSv2 filter pushdown: the scan description carries the " +
+      "filters, the server ships only matching documents, results " +
+      "equal the unpushed plan") {
+    val df = fixtureDf(400)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val base = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "400")
+      val q = base.filter(col("grp") === 3 && col("bal") > 100.0)
+      val desc = scanDescription(q)
+      assert(desc.contains("GraftMongoScan"))
+      assert(desc.contains("grp") && desc.contains("bal"),
+        s"filters missing from scan description: $desc")
+      val before = srv.stats.servedDocs.get()
+      val got = q.collect().map(_.getLong(0)).sorted.toSeq
+      val served = srv.stats.servedDocs.get() - before
+      val expect = df.filter(col("grp") === 3 && col("bal") > 100.0)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expect)
+      assert(served == expect.size.toLong,
+        s"server shipped $served docs for ${expect.size} matches — " +
+          "the filter did not reach the server")
+    } finally srv.close()
+  }
+
+  test("DSv2 column pruning: the projection reaches the server and " +
+      "fewer bytes cross the socket") {
+    val df = fixtureDf(400)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      def bytesFor(q: DataFrame): Long = {
+        val before = srv.stats.servedBytes.get()
+        q.collect()
+        srv.stats.servedBytes.get() - before
+      }
+      val base = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "400")
+      val full = bytesFor(base)
+      val pruned = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "400").select("k", "grp")
+      assert(scanDescription(pruned).contains("ReadColumns: [k, grp]"))
+      val narrow = bytesFor(pruned)
+      assert(narrow < full / 2,
+        s"projection did not shrink the wire: $narrow vs $full")
+      assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+        (0L until 400L).toSeq)
+    } finally srv.close()
+  }
+
+  test("DSv2 limit and top-N pushdown: each partition ships at most " +
+      "the limit, Spark keeps the global operator, order is exact") {
+    val df = fixtureDf(400)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val base = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "400", "numpartitions" -> "4")
+      // plain limit: ≤ limit docs per partition leave the server
+      val lim = base.limit(5)
+      assert(scanDescription(lim).contains("PushedLimit: 5"))
+      val before = srv.stats.servedDocs.get()
+      assert(lim.collect().length == 5)
+      assert(srv.stats.servedDocs.get() - before <= 20L) // 4 parts × 5
+      // top-N on the key: pushed as sort+limit, globally re-sorted
+      val top = base.orderBy(col("k").desc).limit(7)
+      val d = scanDescription(top)
+      assert(d.contains("PushedSort: k DESC") &&
+        d.contains("PushedLimit: 7"), d)
+      assert(top.collect().map(_.getLong(0)).toSeq ==
+        (399L to 393L by -1L))
+      // top-N on a NON-key column must NOT push: order would be wrong
+      val nk = base.orderBy(col("bal").desc).limit(3)
+      assert(!scanDescription(nk).contains("PushedSort"))
+      assert(nk.collect().map(_.getLong(0)).toSeq ==
+        Seq(399L, 398L, 397L))
+    } finally srv.close()
+  }
+
+  test("DSv2 string ranges are NOT pushed (UTF-8 vs UTF-16 order) " +
+      "but string equality is, and unpushed filters still apply") {
+    val df = fixtureDf(100)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val base = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "100")
+      val eq = base.filter(col("name") === "name42")
+      assert(scanDescription(eq).contains("name"),
+        scanDescription(eq))
+      assert(eq.collect().map(_.getLong(0)).toSeq == Seq(42L))
+      val range = base.filter(col("name") > "name95")
+      // pushed set must not contain the range (IsNotNull may push)
+      assert(!scanDescription(range).contains("GreaterThan(name"),
+        scanDescription(range))
+      assert(range.collect().map(_.getLong(0)).sorted.toSeq ==
+        df.filter(col("name") > "name95").collect()
+          .map(_.getLong(0)).sorted.toSeq)
+    } finally srv.close()
+  }
+
+  test("aggregate pipeline over the wire: $match + $sort + $skip + " +
+      "$limit + $project compose like the find surface, $count is " +
+      "the count command, unknown stages are loud errors") {
+    val df = fixtureDf(300)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      def agg(stages: BDoc*): Seq[BDoc] = {
+        val cur = new MongoWire.AggregateCursor("127.0.0.1", srv.port,
+          "db", "c", stages, 16)
+        try cur.toList finally cur.close()
+      }
+      val got = agg(
+        BDoc(Seq("$match" -> BDoc(Seq("grp" ->
+          BDoc(Seq("$lt" -> BInt32(5))))))),
+        BDoc(Seq("$sort" -> BDoc(Seq("k" -> BInt32(-1))))),
+        BDoc(Seq("$skip" -> BInt32(2))),
+        BDoc(Seq("$limit" -> BInt32(10))),
+        BDoc(Seq("$project" -> BDoc(Seq("k" -> BInt32(1))))))
+      val expect = df.filter(col("grp") < 5)
+        .orderBy(col("k").desc).collect().map(_.getLong(0))
+        .drop(2).take(10).toSeq
+      assert(got.map(d => d.v.collectFirst {
+        case ("k", BInt64(x)) => x }.get) == expect)
+      // projection really dropped the other fields
+      assert(got.forall(_.v.map(_._1) == Seq("k")))
+      // $count after $match
+      val n = agg(
+        BDoc(Seq("$match" -> BDoc(Seq("flag" -> BBool(true))))),
+        BDoc(Seq("$count" -> BString("total"))))
+      assert(n == Seq(BDoc(Seq("total" ->
+        BInt32(df.filter(col("flag")).count().toInt)))))
+      intercept[Exception](agg(BDoc(Seq("$unwind" -> BString("x")))))
+    } finally srv.close()
+  }
+
+  test("$sample is the documented deterministic md5-ordered draw " +
+      "(oracle-replayable), caps at the collection size, and " +
+      "composes with $count") {
+    val df = fixtureDf(200)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      def sample(n: Int): Seq[Long] = {
+        val cur = new MongoWire.AggregateCursor("127.0.0.1", srv.port,
+          "db", "c", Seq(BDoc(Seq("$sample" ->
+            BDoc(Seq("size" -> BInt32(n)))))), 64)
+        try cur.map(_.v.collectFirst {
+          case ("k", BInt64(x)) => x }.get).toList
+        finally cur.close()
+      }
+      // the contract: first n keys ordered by md5("<coll>:<key>")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(k: Long): String = {
+        md.reset()
+        md.digest(s"c:$k".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+      }
+      val expect = (0L until 200L).sortBy(h).take(30)
+      assert(sample(30) == expect)
+      // repeatable, and a bigger ask returns everything
+      assert(sample(30) == expect)
+      assert(sample(1000).sorted == (0L until 200L))
+      // MongoWire.sample returns the same rows as a DataFrame
+      val viaDf = MongoWire.sample(spark, "127.0.0.1", srv.port,
+        "db", "c", df.schema, 30).collect().map(_.getLong(0)).toSeq
+      assert(viaDf == expect)
+    } finally srv.close()
+  }
+
+  test("DSv2 aggregate pushdown: COUNT(*)/MIN(key)/MAX(key) become " +
+      "wire commands (no scan), a pushed filter rides the count, " +
+      "residual filters and GROUP BY refuse the pushdown") {
+    val df = fixtureDf(400)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val base = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "400")
+      // plain: one row computed by commands, zero cursor docs served
+      val before = srv.stats.servedDocs.get()
+      val q = base.agg(count(lit(1)).as("n"),
+        min(col("k")).as("lo"), max(col("k")).as("hi"))
+      assert(scanDescription(q).contains("GraftMongoAggScan"))
+      val r = q.collect().head
+      assert(r.getLong(0) == 400L && r.getLong(1) == 0L &&
+        r.getLong(2) == 399L)
+      // only the two 1-row min/max edge finds crossed the wire
+      assert(srv.stats.servedDocs.get() - before <= 2L)
+      // a fully-pushed filter rides the count command's query
+      val fq = base.filter(col("grp") === 3)
+        .agg(count(lit(1)).as("n"))
+      assert(scanDescription(fq).contains("GraftMongoAggScan"))
+      assert(fq.collect().head.getLong(0) ==
+        df.filter(col("grp") === 3).count())
+      // residual (string-range) filter: aggregate must NOT push
+      val rq = base.filter(col("name") > "name95")
+        .agg(count(lit(1)).as("n"))
+      assert(!scanDescription(rq).contains("GraftMongoAggScan"))
+      assert(rq.collect().head.getLong(0) ==
+        df.filter(col("name") > "name95").count())
+      // GROUP BY: not pushable, the plain scan feeds Spark's agg
+      val gq = base.groupBy(col("grp")).count()
+      assert(!scanDescription(gq).contains("GraftMongoAggScan"))
+      assert(gq.collect().map(r => (r.getInt(0), r.getLong(1)))
+        .toMap == df.groupBy(col("grp")).count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap)
+      // MIN on a NON-key column: not pushable, still correct
+      val nq = base.agg(min(col("bal")).as("m"))
+      assert(!scanDescription(nq).contains("GraftMongoAggScan"))
+      assert(nq.collect().head.getDouble(0) == 0.25)
+    } finally srv.close()
+  }
+
+  test("streaming tail: readStream delivers each key window exactly " +
+      "once across insert waves; a straggler below the watermark is " +
+      "missed by the stated contract") {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("name", StringType)))
+    val srv = InProcessMongod.serveEmpty("db", "tail", "k")
+    try {
+      val stream = spark.readStream.format("graft-mongo")
+        .schema(schema)
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("database", "db").option("collection", "tail")
+        .option("keyfield", "k").option("numpartitions", "2")
+        .load()
+      val q = stream.writeStream.format("memory")
+        .queryName("mongo_tail_spec").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(100))
+        .start()
+      try {
+        def wave(lo: Long, hi: Long): Unit = {
+          MongoWire.write((lo until hi).map(i => (i, s"v$i"))
+            .toDF("k", "name"), "127.0.0.1", srv.port, "db", "tail")
+          q.processAllAvailable()
+        }
+        wave(0L, 50L)
+        val t1 = spark.table("mongo_tail_spec").collect()
+          .map(_.getLong(0)).sorted.toSeq
+        assert(t1 == (0L until 50L))
+        wave(100L, 130L)
+        val t2 = spark.table("mongo_tail_spec").collect()
+          .map(_.getLong(0)).sorted.toSeq
+        // exactly once: no re-delivery of wave 1, no dup, no gap
+        assert(t2 == ((0L until 50L) ++ (100L until 130L)))
+        // straggler: key 60 is BELOW the delivered watermark (130)
+        wave(60L, 61L)
+        val t3 = spark.table("mongo_tail_spec").collect()
+          .map(_.getLong(0)).sorted.toSeq
+        assert(t3 == t2, "a below-watermark insert must be missed " +
+          "by the stated key-tailing contract")
+        // but a fresh key above the watermark still arrives
+        wave(200L, 201L)
+        val t4 = spark.table("mongo_tail_spec").collect()
+          .map(_.getLong(0)).sorted.toSeq
+        assert(t4 == (t2 :+ 200L))
+      } finally q.stop()
+    } finally srv.close()
+  }
+
+  test("DSv2 schema inference: sampled-document union with numeric " +
+      "widening; conflicts and all-null fields are loud errors") {
+    val df = fixtureDf(80)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val inferred = dsv2(srv, None)
+      assert(inferred.schema.fields.map(f => (f.name, f.dataType))
+        .toSeq == Seq(("k", LongType), ("name", StringType),
+          ("grp", IntegerType), ("bal", DoubleType),
+          ("flag", BooleanType)))
+      assert(inferred.count() == 80)
+    } finally srv.close()
+    // widening: x arrives as int32 in one doc, int64 in another
+    val widen = new InProcessMongod(IndexedSeq(
+      (0L, Bson.encode(BDoc(Seq("k" -> BInt64(0L), "x" -> BInt32(1))))),
+      (1L, Bson.encode(BDoc(Seq("k" -> BInt64(1L),
+        "x" -> BInt64(5L)))))), "k", "db", "c")
+    try {
+      val s = dsv2(widen, None).schema
+      assert(s("x").dataType == LongType)
+    } finally widen.close()
+    // conflict: int vs string — loud error naming the field
+    val clash = new InProcessMongod(IndexedSeq(
+      (0L, Bson.encode(BDoc(Seq("k" -> BInt64(0L), "x" -> BInt32(1))))),
+      (1L, Bson.encode(BDoc(Seq("k" -> BInt64(1L),
+        "x" -> BString("s")))))), "k", "db", "c")
+    try {
+      val e = intercept[Exception](dsv2(clash, None).schema)
+      assert(e.getMessage.contains("'x'"))
+    } finally clash.close()
+    // all-null: refuse to guess
+    val nul = new InProcessMongod(IndexedSeq(
+      (0L, Bson.encode(BDoc(Seq("k" -> BInt64(0L), "x" -> BNull))))),
+      "k", "db", "c")
+    try {
+      val e = intercept[Exception](dsv2(nul, None).schema)
+      assert(e.getMessage.contains("'x'"))
+    } finally nul.close()
+  }
+}
