@@ -624,6 +624,32 @@ object SparkEntry {
         .orderBy("collection")
       finally srv.close()
     }),
+    // the V2 writer lifecycle end to end: df.write.format(
+    // "graft-mongo") ships supplier as per-task acknowledged insert
+    // batches (InternalRow → BSON, the writer twin of the reader
+    // bridge), then the ranged cursor scan reads it back — the
+    // oracle is the plain table
+    "mongo_sink_roundtrip" -> ((s, d) => {
+      val sup = Tables.load(s, d, "supplier")
+      val srv = graft.sources.InProcessMongod.serveEmpty("graft",
+        "supplier_out", "s_suppkey")
+      try {
+        sup.repartition(2).write.format("graft-mongo").mode("append")
+          .option("host", "127.0.0.1")
+          .option("port", srv.port.toString)
+          .option("database", "graft")
+          .option("collection", "supplier_out")
+          .option("keyfield", "s_suppkey")
+          .save()
+        val b = sup.agg(min(col("s_suppkey")), max(col("s_suppkey")))
+          .head()
+        graft.sources.MongoWire.read(s, "127.0.0.1", srv.port,
+          "graft", "supplier_out", sup.schema, "s_suppkey",
+          b.getLong(0), b.getLong(1) + 1, numPartitions = 2)
+          .localCheckpoint(true)
+          .orderBy("s_suppkey")
+      } finally srv.close()
+    }),
     // the reference's schema-analysis scan shape (analyser.py:254
     // runs aggregate([{$sample:{size:n}}])) over the wire: the
     // double's $sample is the DETERMINISTIC md5-ordered draw
@@ -7036,6 +7062,9 @@ object SparkEntry {
       UNION ALL
       SELECT 'supplier', count(*) FROM supplier
       ORDER BY collection"""),
+    "mongo_sink_roundtrip" -> ("""
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier ORDER BY s_suppkey"""),
     // the deterministic $sample contract replayed in SQL: the
     // double's draw is the first n keys by md5('<coll>:<key>')
     "mongo_sample_scan" -> ("""

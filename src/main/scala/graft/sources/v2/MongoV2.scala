@@ -7,7 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
@@ -258,6 +260,45 @@ private[v2] object MongoV2 {
     }
   }
 
+  /** InternalRow → BSON document under the write schema — the writer
+    * twin of [[catalystValue]]. Timestamps truncate μs → ms (BSON
+    * datetime is millisecond-grained; symmetric with the read side).
+    */
+  def internalRowToDoc(row: InternalRow, schema: StructType): BDoc =
+    BDoc(schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val v: BVal =
+        if (row.isNullAt(i)) BNull
+        else f.dataType match {
+          case LongType => BInt64(row.getLong(i))
+          case IntegerType => BInt32(row.getInt(i))
+          case DoubleType => BDouble(row.getDouble(i))
+          case FloatType => BDouble(row.getFloat(i).toDouble)
+          case StringType => BString(row.getUTF8String(i).toString)
+          case BooleanType => BBool(row.getBoolean(i))
+          case BinaryType => BBinary(0, row.getBinary(i))
+          case TimestampType => BDateTime(row.getLong(i) / 1000L)
+          case ArrayType(et, _) =>
+            val arr = row.getArray(i)
+            BArr((0 until arr.numElements()).map { j =>
+              (et match {
+                case FloatType => BDouble(arr.getFloat(j).toDouble)
+                case DoubleType => BDouble(arr.getDouble(j))
+                case LongType => BInt64(arr.getLong(j))
+                case IntegerType => BInt32(arr.getInt(j))
+                case StringType =>
+                  BString(arr.getUTF8String(j).toString)
+                case dt => throw new IllegalArgumentException(
+                  s"graft-mongo write: unsupported array element " +
+                    s"type $dt for field '${f.name}'")
+              }): BVal
+            })
+          case dt => throw new IllegalArgumentException(
+            s"graft-mongo write: unsupported type $dt for field " +
+              s"'${f.name}'")
+        }
+      (f.name, v)
+    })
+
   /** BSON value → Catalyst internal value under the expected type —
     * the same widenings as [[Bson.docToRow]], emitted in InternalRow
     * terms (UTF8String, epoch micros, GenericArrayData).
@@ -285,15 +326,117 @@ private[v2] object MongoV2 {
 }
 
 private[v2] class MongoTable(schema: StructType, conf: MongoV2.Conf)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"${conf.db}.${conf.coll}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new MongoScanBuilder(schema, conf)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new MongoWrite(info.schema(), conf)
+    }
+}
+
+/** `df.write.format("graft-mongo")` and `writeStream.format(...)` —
+  * every partition/task opens its own connection and ships its rows
+  * as acknowledged `insert` batches, the [[MongoWire.write]] layout
+  * under the V2 writer lifecycle. The sink is APPEND-ONLY and
+  * NON-TRANSACTIONAL (the command set has no multi-document
+  * transaction): a failed task's already-acknowledged batches remain
+  * on the server, so retries are at-least-once — the standard
+  * contract for a non-transactional external sink; dedup downstream
+  * by key if the writer can retry. `abort` therefore cannot roll
+  * back and says so loudly in scaladoc rather than pretending.
+  */
+private[v2] class MongoWrite(schema: StructType, conf: MongoV2.Conf)
+    extends Write with BatchWrite with StreamingWrite {
+
+  override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite = this
+
+  // both parents default this true; restating it resolves the
+  // diamond (no coordinator needed: writers are independent sockets)
+  override def useCommitCoordinator(): Boolean = true
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new MongoWriterFactory(schema, conf)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new MongoWriterFactory(schema, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[v2] class MongoWriterFactory(schema: StructType,
+                                     conf: MongoV2.Conf)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new MongoDataWriter(schema, conf)
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new MongoDataWriter(schema, conf)
+}
+
+private[v2] final case class MongoWriteCommit(rows: Long)
+    extends WriterCommitMessage
+
+private[v2] class MongoDataWriter(schema: StructType,
+                                  conf: MongoV2.Conf)
+    extends DataWriter[InternalRow] {
+
+  private lazy val sock =
+    new java.net.Socket(conf.host, conf.port)
+  private var reqId = 0
+  private val buf = scala.collection.mutable.ArrayBuffer
+    .empty[Bson.BDoc]
+  private var acked = 0L
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    val cmd = BDoc(Seq(
+      "insert" -> BString(conf.coll),
+      "documents" -> BArr(buf.toSeq),
+      "$db" -> BString(conf.db)))
+    val reply = MongoWire.runCommand(sock, cmd, { reqId += 1; reqId })
+    val ok = reply.v.collectFirst { case ("ok", v) => v }
+    require(ok.contains(BDouble(1.0)), s"insert failed: $reply")
+    val n = reply.v.collectFirst {
+      case ("n", BInt32(x)) => x.toLong
+      case ("n", BInt64(x)) => x
+    }.getOrElse(0L)
+    require(n == buf.size, s"insert acknowledged $n of ${buf.size}")
+    acked += n
+    buf.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    buf += MongoV2.internalRowToDoc(row, schema)
+    if (buf.size >= conf.batchSize) flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    MongoWriteCommit(acked)
+  }
+
+  // non-transactional: acknowledged batches cannot be rolled back
+  override def abort(): Unit = ()
+
+  override def close(): Unit =
+    try sock.close() catch { case _: Throwable => }
 }
 
 private[v2] class MongoScanBuilder(fullSchema: StructType,

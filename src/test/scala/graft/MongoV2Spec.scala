@@ -478,6 +478,74 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("DSv2 batch write: df.write.format(\"graft-mongo\") ships " +
+      "acknowledged insert batches per partition and round-trips") {
+    val df = fixtureDf(250).repartition(3)
+    val srv = InProcessMongod.serveEmpty("db", "c", "k")
+    try {
+      df.write.format("graft-mongo").mode("append")
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("database", "db").option("collection", "c")
+        .option("keyfield", "k").option("batchsize", "64")
+        .save()
+      assert(MongoWire.countDocs("127.0.0.1", srv.port, "db", "c") ==
+        250L)
+      val back = dsv2(srv, Some(df.schema), "numpartitions" -> "3")
+      val a = back.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+      val b = df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+      assert(a.toSeq == b.toSeq)
+    } finally srv.close()
+  }
+
+  test("wire-to-wire streaming pipeline: tail one collection, sink " +
+      "into another over the wire, contents converge exactly") {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("name", StringType)))
+    val src = InProcessMongod.serveEmpty("db", "a", "k")
+    val dst = InProcessMongod.serveEmpty("db", "b", "k")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_wire2wire").toString
+    try {
+      val q = spark.readStream.format("graft-mongo").schema(schema)
+        .option("host", "127.0.0.1").option("port", src.port.toString)
+        .option("database", "db").option("collection", "a")
+        .option("keyfield", "k").option("numpartitions", "2")
+        .load()
+        .writeStream.format("graft-mongo")
+        .option("host", "127.0.0.1").option("port", dst.port.toString)
+        .option("database", "db").option("collection", "b")
+        .option("keyfield", "k")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(100))
+        .start()
+      try {
+        def wave(lo: Long, hi: Long): Unit = {
+          MongoWire.write((lo until hi).map(i => (i, s"v$i"))
+            .toDF("k", "name"), "127.0.0.1", src.port, "db", "a")
+          q.processAllAvailable()
+        }
+        wave(0L, 40L)
+        wave(40L, 90L)
+        val out = MongoWire.read(spark, "127.0.0.1", dst.port, "db",
+          "b", schema, "k", 0L, 1000L, numPartitions = 2)
+          .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+        assert(out.toSeq == (0L until 90L).map(i => (i, s"v$i")))
+      } finally q.stop()
+    } finally {
+      src.close(); dst.close()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(ckpt))
+    }
+  }
+
   test("DSv2 schema inference: sampled-document union with numeric " +
       "widening; conflicts and all-null fields are loud errors") {
     val df = fixtureDf(80)
