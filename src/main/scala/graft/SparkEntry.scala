@@ -624,6 +624,31 @@ object SparkEntry {
         .orderBy("collection")
       finally srv.close()
     }),
+    // decimal128 fidelity under the gate: order totals as exact
+    // DECIMAL(12,2) ride the wire as IEEE 754-2008 BID decimal128
+    // (encode → frame → store → cursor → decode) and must hash-equal
+    // DuckDB's own DECIMAL arithmetic on the plain table — the
+    // money-safe type path a live server's NumberDecimal needs
+    "mongo_decimal_roundtrip" -> ((s, d) => {
+      // capped at 20k docs (the tail-stream precedent): the row
+      // prices the decimal128 wire path, not an ever-growing
+      // serve-fixture encode
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(org.apache.spark.sql.types
+            .DecimalType(12, 2)).as("total_dec"))
+        .orderBy("o_orderkey").limit(20000)
+      val b = ord.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .head()
+      val srv = graft.sources.InProcessMongod.serve(ord, "o_orderkey",
+        "graft", "orders_dec")
+      try graft.sources.MongoWire.read(s, "127.0.0.1", srv.port,
+          "graft", "orders_dec", ord.schema, "o_orderkey",
+          b.getLong(0), b.getLong(1) + 1, numPartitions = 4)
+        .localCheckpoint(true)
+        .orderBy("o_orderkey")
+      finally srv.close()
+    }),
     // the V2 writer lifecycle end to end: df.write.format(
     // "graft-mongo") ships supplier as per-task acknowledged insert
     // batches (InternalRow → BSON, the writer twin of the reader
@@ -7065,6 +7090,10 @@ object SparkEntry {
     "mongo_sink_roundtrip" -> ("""
       SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       FROM supplier ORDER BY s_suppkey"""),
+    "mongo_decimal_roundtrip" -> ("""
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total_dec
+      FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 20000)
+      ORDER BY o_orderkey"""),
     // the deterministic $sample contract replayed in SQL: the
     // double's draw is the first n keys by md5('<coll>:<key>')
     "mongo_sample_scan" -> ("""

@@ -41,6 +41,8 @@ object Bson {
   case object BNull extends BVal
   final case class BInt32(v: Int) extends BVal
   final case class BInt64(v: Long) extends BVal
+  /** decimal128 (0x13), decoded to exact unscaled×10^exp form. */
+  final case class BDecimal128(v: java.math.BigDecimal) extends BVal
 
   // — encode —
 
@@ -98,6 +100,10 @@ object Bson {
         out.write(0x10); cstring(name); out.write(le32(i))
       case BInt64(l) =>
         out.write(0x12); cstring(name); out.write(le64(l))
+      case BDecimal128(bd) =>
+        out.write(0x13); cstring(name)
+        val (hi, lo) = Decimal128.encode(bd)
+        out.write(le64(lo)); out.write(le64(hi))
     }
   }
 
@@ -157,10 +163,79 @@ object Bson {
       case 0x0A => BNull
       case 0x10 => BInt32(buf.getInt)
       case 0x12 => BInt64(buf.getLong)
+      case 0x13 =>
+        val lo = buf.getLong; val hi = buf.getLong
+        BDecimal128(Decimal128.decode(hi, lo))
       case other => throw new IllegalArgumentException(
         f"unsupported BSON element type 0x$other%02x at field '$name'")
     }
     (name, v)
+  }
+
+  /** decimal128 in the Binary Integer Decimal (BID) encoding —
+    * IEEE 754-2008's interchange format, implemented from the PUBLIC
+    * standard's layout (1 sign bit; if the two bits after the sign
+    * are not `11`, a 14-bit biased exponent (bias 6176) then a
+    * 113-bit coefficient; the `11` prefix marks either the second
+    * coefficient form, NaN (`11111`), or infinity (`11110`)). The
+    * value is `(-1)^sign × coefficient × 10^(exponent−6176)` —
+    * exactly a `java.math.BigDecimal(unscaled, scale=−exp)`.
+    *
+    * Scope contract, loud on violation: NaN/±Infinity cannot land in
+    * a Spark `DecimalType` column, so decode REJECTS them rather
+    * than smuggling a sentinel; second-form coefficients are > 10⁴⁸
+    * and therefore always exceed the 34-digit canonical range, which
+    * the standard treats as value 0 — decoded as exact zero at the
+    * declared exponent. Encode requires ≤ 34 significant digits and
+    * exponent within [−6176, 6111] (everything a Spark
+    * `DecimalType(38,s)` value can hold after its own bounds).
+    */
+  object Decimal128 {
+    private val Bias = 6176
+    private val CoeffMask = (1L << 49) - 1      // high 49 of 113 bits
+    private val MaxCoeff = new java.math.BigInteger("9" * 34)
+
+    /** (hi, lo) 64-bit words of the 128-bit BID encoding. */
+    def encode(bd: java.math.BigDecimal): (Long, Long) = {
+      val unscaled = bd.unscaledValue()
+      val sign = if (unscaled.signum() < 0) 1L else 0L
+      val coeff = unscaled.abs()
+      require(coeff.compareTo(MaxCoeff) <= 0,
+        s"decimal128 carries at most 34 significant digits: $bd")
+      val exp = -bd.scale()
+      require(exp >= -Bias && exp <= 6111,
+        s"decimal128 exponent out of range [-6176, 6111]: $bd")
+      val biased = (exp + Bias).toLong
+      val lo = coeff.longValue()                 // low 64 bits
+      val hiCoeff = coeff.shiftRight(64).longValue() & CoeffMask
+      val hi = (sign << 63) | (biased << 49) | hiCoeff
+      (hi, lo)
+    }
+
+    def decode(hi: Long, lo: Long): java.math.BigDecimal = {
+      val sign = (hi >>> 63) & 1L
+      if (((hi >>> 61) & 3L) == 3L) {
+        val top5 = (hi >>> 58) & 0x1FL
+        require(top5 != 0x1FL && top5 != 0x1EL,
+          "decimal128 NaN/Infinity cannot be read into a Spark " +
+            "DecimalType column")
+        // second coefficient form: implied '100' prefix puts the
+        // coefficient above 10^34 — non-canonical, value is zero
+        val exp = ((hi >>> 47) & 0x3FFFL).toInt - Bias
+        val z = java.math.BigDecimal.valueOf(0L, -exp)
+        return if (sign == 1L) z.negate() else z
+      }
+      val exp = ((hi >>> 49) & 0x3FFFL).toInt - Bias
+      val coeff = java.math.BigInteger.valueOf(hi & CoeffMask)
+        .shiftLeft(64)
+        .or(new java.math.BigInteger(1, {
+          val b = new Array[Byte](8)
+          ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).putLong(lo)
+          b
+        }))
+      val unscaled = if (sign == 1L) coeff.negate() else coeff
+      new java.math.BigDecimal(unscaled, -exp)
+    }
   }
 
   // — byte-level element access (no full decode) —
@@ -188,6 +263,7 @@ object Bson {
     case 0x08 => 1
     case 0x0A => 0
     case 0x10 => 4
+    case 0x13 => 16
     case other => throw new IllegalArgumentException(
       f"unsupported BSON element type 0x$other%02x")
   }
@@ -261,6 +337,8 @@ object Bson {
           case StringType => BString(row.getString(i))
           case BooleanType => BBool(row.getBoolean(i))
           case BinaryType => BBinary(0, row.getAs[Array[Byte]](i))
+          case _: DecimalType =>
+            BDecimal128(row.getDecimal(i))
           case TimestampType =>
             BDateTime(row.getTimestamp(i).getTime)
           case ArrayType(FloatType, _) =>
@@ -299,6 +377,13 @@ object Bson {
           case (StringType, BString(x)) => x
           case (BooleanType, BBool(x)) => x
           case (BinaryType, BBinary(_, x)) => x
+          // exact rescale to the column's declared scale: a value
+          // that cannot be represented is a loud error, not a round
+          case (dt: DecimalType, BDecimal128(x)) =>
+            x.setScale(dt.scale)
+          // the reference renders ObjectId as its 24-char hex string
+          case (StringType, BObjectId(x)) =>
+            x.map(b => f"$b%02x").mkString
           case (TimestampType, BDateTime(ms)) =>
             new java.sql.Timestamp(ms)
           case (ArrayType(FloatType, _), BArr(xs)) =>

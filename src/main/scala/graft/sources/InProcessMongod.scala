@@ -50,6 +50,15 @@ private[sources] object WireFilter {
     case (BString(x), BString(y)) => Some(x.compareTo(y))
     case (BBool(x), BBool(y)) => Some(java.lang.Boolean.compare(x, y))
     case (BDateTime(x), BDateTime(y)) => Some(java.lang.Long.compare(x, y))
+    case (BDecimal128(x), BDecimal128(y)) => Some(x.compareTo(y))
+    case (BDecimal128(x), BInt32(y)) =>
+      Some(x.compareTo(java.math.BigDecimal.valueOf(y.toLong)))
+    case (BDecimal128(x), BInt64(y)) =>
+      Some(x.compareTo(java.math.BigDecimal.valueOf(y)))
+    case (BInt32(x), BDecimal128(y)) =>
+      Some(java.math.BigDecimal.valueOf(x.toLong).compareTo(y))
+    case (BInt64(x), BDecimal128(y)) =>
+      Some(java.math.BigDecimal.valueOf(x).compareTo(y))
     case _ => None
   }
 

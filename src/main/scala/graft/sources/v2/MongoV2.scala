@@ -189,6 +189,10 @@ private[v2] object MongoV2 {
       case _: BBool => Some(BooleanType)
       case _: BDateTime => Some(TimestampType)
       case _: BBinary => Some(BinaryType)
+      case _: BObjectId => Some(StringType)   // 24-char hex render
+      case BDecimal128(x) =>
+        // widest precision, the observed scale; scales merge to max
+        Some(DecimalType(38, math.max(x.scale(), 0)))
       case BArr(xs) =>
         val elem = xs.flatMap(x => bsonType(x, field)).distinct
           .foldLeft(Option.empty[DataType]) {
@@ -212,6 +216,8 @@ private[v2] object MongoV2 {
         case (x, y) if x == y => Some(x)
         case (x, y) if rank.contains(x) && rank.contains(y) =>
           Some(if (rank(x) >= rank(y)) x else y)
+        case (d1: DecimalType, d2: DecimalType) =>
+          Some(DecimalType(38, math.max(d1.scale, d2.scale)))
         case (ArrayType(x, _), ArrayType(y, _)) =>
           merge(x, Some(y), field).map(ArrayType(_))
         case (x, y) => throw new IllegalArgumentException(
@@ -276,6 +282,9 @@ private[v2] object MongoV2 {
           case StringType => BString(row.getUTF8String(i).toString)
           case BooleanType => BBool(row.getBoolean(i))
           case BinaryType => BBinary(0, row.getBinary(i))
+          case dt: DecimalType => BDecimal128(
+            row.getDecimal(i, dt.precision, dt.scale)
+              .toJavaBigDecimal)
           case TimestampType => BDateTime(row.getLong(i) / 1000L)
           case ArrayType(et, _) =>
             val arr = row.getArray(i)
@@ -314,8 +323,12 @@ private[v2] object MongoV2 {
       case (DoubleType, BInt32(x)) => x.toDouble
       case (FloatType, BDouble(x)) => x.toFloat
       case (StringType, BString(x)) => UTF8String.fromString(x)
+      case (StringType, BObjectId(x)) =>
+        UTF8String.fromString(x.map(b => f"$b%02x").mkString)
       case (BooleanType, BBool(x)) => x
       case (BinaryType, BBinary(_, x)) => x
+      case (dt: DecimalType, BDecimal128(x)) =>
+        org.apache.spark.sql.types.Decimal(x.setScale(dt.scale))
       case (TimestampType, BDateTime(ms)) => ms * 1000L
       case (ArrayType(et, _), BArr(xs)) =>
         new GenericArrayData(

@@ -478,6 +478,47 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("DSv2 decimal128 and ObjectId: inference widens scales, " +
+      "reads land exactly, writes carry decimals back as decimal128") {
+    import java.math.{BigDecimal => JBD}
+    val docs = IndexedSeq(
+      (0L, Bson.encode(BDoc(Seq("k" -> BInt64(0L),
+        "price" -> BDecimal128(new JBD("10.5")),
+        "oid" -> BObjectId(Array.tabulate(12)(_.toByte)))))),
+      (1L, Bson.encode(BDoc(Seq("k" -> BInt64(1L),
+        "price" -> BDecimal128(new JBD("2.125")),
+        "oid" -> BObjectId(Array.tabulate(12)(i =>
+          (i + 1).toByte)))))))
+    val srv = new InProcessMongod(docs, "k", "db", "c")
+    try {
+      val df = dsv2(srv, None)
+      // scales 1 and 3 merge to DecimalType(38, 3); ObjectId → hex
+      assert(df.schema("price").dataType == DecimalType(38, 3))
+      assert(df.schema("oid").dataType == StringType)
+      val rows = df.orderBy("k").collect()
+      assert(rows(0).getDecimal(1) == new JBD("10.500"))
+      assert(rows(1).getDecimal(1) == new JBD("2.125"))
+      assert(rows(0).getString(2) == "000102030405060708090a0b")
+      // write path: DecimalType columns ship back as decimal128
+      val out = InProcessMongod.serveEmpty("db", "out", "k")
+      try {
+        df.select(col("k"), col("price")).write
+          .format("graft-mongo").mode("append")
+          .option("host", "127.0.0.1")
+          .option("port", out.port.toString)
+          .option("database", "db").option("collection", "out")
+          .option("keyfield", "k").save()
+        val back = dsv2(out, Some(StructType(Seq(
+            StructField("k", LongType),
+            StructField("price", DecimalType(38, 3))))),
+          "collection" -> "out")
+          .orderBy("k").collect()
+        assert(back.map(_.getDecimal(1)).toSeq ==
+          Seq(new JBD("10.500"), new JBD("2.125")))
+      } finally out.close()
+    } finally srv.close()
+  }
+
   test("DSv2 batch write: df.write.format(\"graft-mongo\") ships " +
       "acknowledged insert batches per partition and round-trips") {
     val df = fixtureDf(250).repartition(3)

@@ -77,6 +77,62 @@ class MongoWireSpec extends AnyFunSuite {
     assert(r2.isNullAt(1) && r2.isNullAt(2))
   }
 
+  test("decimal128 (IEEE 754-2008 BID): the canonical '1' encoding " +
+      "byte-for-byte, exact round-trips across the exponent range, " +
+      "second-form zeros, loud NaN/Infinity/35-digit errors, and " +
+      "the DecimalType/ObjectId row bridges") {
+    import java.math.{BigDecimal => JBD}
+    // NumberDecimal("1"): biased exponent 6176 << 49 = 0x3040…,
+    // coefficient 1 — the widely documented canonical encoding
+    val b = Bson.encode(BDoc(Seq("d" -> BDecimal128(new JBD("1")))))
+    assert(hex(b) ==
+      "18000000" + "13" + "6400" +
+        "0100000000000000" + "0000000000004030" + "00")
+    // exact round-trips: sign, fractional scale, the full 34-digit
+    // coefficient, both exponent extremes
+    Seq("0", "1", "-0.25", "123.450",
+        "9999999999999999999999999999999999",      // 34 nines
+        "-9999999999999999999999999999999999",
+        "1E-6176", "1E+6111", "-7.2E-3000").foreach { s =>
+      val v = new JBD(s)
+      val (hi, lo) = Bson.Decimal128.encode(v)
+      assert(Bson.Decimal128.decode(hi, lo) == v, s)
+      val back = Bson.decode(Bson.encode(BDoc(Seq(
+        "x" -> BDecimal128(v)))))
+      assert(back == BDoc(Seq("x" -> BDecimal128(v))), s)
+    }
+    // 35 significant digits / out-of-range exponents refuse to encode
+    intercept[Exception](Bson.Decimal128.encode(
+      new JBD("99999999999999999999999999999999999")))
+    intercept[Exception](Bson.Decimal128.encode(new JBD("1E+6112")))
+    intercept[Exception](Bson.Decimal128.encode(new JBD("1E-6177")))
+    // NaN (combination 11111) and Infinity (11110) are loud errors —
+    // a Spark DecimalType column cannot carry them
+    intercept[Exception](Bson.Decimal128.decode(0x7C00000000000000L, 0L))
+    intercept[Exception](Bson.Decimal128.decode(0x7800000000000000L, 0L))
+    // second coefficient form (prefix 11, not NaN/Inf): coefficient
+    // exceeds the 34-digit canonical range, which the standard reads
+    // as an exact zero at the declared exponent
+    assert(Bson.Decimal128.decode(0x6000000000000000L, 0L) ==
+      JBD.valueOf(0L, 6176))
+    // row bridges: exact rescale to the column scale, loud otherwise
+    val schema = StructType(Seq(
+      StructField("p", DecimalType(12, 2)),
+      StructField("oid", StringType)))
+    val doc = BDoc(Seq("p" -> BDecimal128(new JBD("3.5")),
+      "oid" -> BObjectId(Array.tabulate(12)(_.toByte))))
+    val r = Bson.docToRow(doc, schema)
+    assert(r.getDecimal(0) == new JBD("3.50"))
+    assert(r.getString(1) == "000102030405060708090a0b")
+    intercept[Exception](Bson.docToRow(BDoc(Seq(
+      "p" -> BDecimal128(new JBD("3.555")), "oid" -> BNull)), schema))
+    // rowToDoc carries decimals back as decimal128
+    val rt = Bson.rowToDoc(Row(new JBD("3.50"), "x"),
+      StructType(Seq(StructField("p", DecimalType(12, 2)),
+        StructField("s", StringType))))
+    assert(rt.v.head == ("p" -> BDecimal128(new JBD("3.50"))))
+  }
+
   test("end-to-end cursor scan over real sockets: multi-partition " +
       "ranged read equals the served table, getMore paging " +
       "exercised, empty ranges are fine") {
