@@ -624,6 +624,40 @@ object SparkEntry {
         .orderBy("collection")
       finally srv.close()
     }),
+    // the V2 TableCatalog capstone: PLAIN SQL joining two LIVE wire
+    // collections — schemas inferred from $sample'd documents,
+    // filter/column pushdown into each side's find commands, the
+    // whole relational plan (join, group, decimal-exact sum) built
+    // by Catalyst over catalog identifiers. The catalog name embeds
+    // the server port so every invocation gets a fresh instance
+    "mongo_catalog_sql" -> ((s, d) => {
+      val srv = graft.sources.InProcessMongod.serveAll("graft", Seq(
+        ("customer", "c_custkey", Tables.load(s, d, "customer")),
+        ("nation", "n_nationkey", Tables.load(s, d, "nation"))))
+      val cat = s"wiremongo${srv.port}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.MongoCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.host", "127.0.0.1")
+      s.conf.set(s"spark.sql.catalog.$cat.port", srv.port.toString)
+      s.conf.set(s"spark.sql.catalog.$cat.database", "graft")
+      s.conf.set(s"spark.sql.catalog.$cat.keyfield.customer",
+        "c_custkey")
+      s.conf.set(s"spark.sql.catalog.$cat.keyfield.nation",
+        "n_nationkey")
+      try s.sql(s"""
+          SELECT n.n_name AS nation,
+                 count(*) AS n_cust,
+                 CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2)))
+                   AS DOUBLE) AS total_bal
+          FROM $cat.graft.customer c
+          JOIN $cat.graft.nation n
+            ON c.c_nationkey = n.n_nationkey
+          WHERE c.c_acctbal > 0.0
+          GROUP BY n.n_name""")
+        .localCheckpoint(true)
+        .orderBy("nation")
+      finally srv.close()
+    }),
     // decimal128 fidelity under the gate: order totals as exact
     // DECIMAL(12,2) ride the wire as IEEE 754-2008 BID decimal128
     // (encode → frame → store → cursor → decode) and must hash-equal
@@ -7094,6 +7128,16 @@ object SparkEntry {
       SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total_dec
       FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 20000)
       ORDER BY o_orderkey"""),
+    "mongo_catalog_sql" -> ("""
+      SELECT n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_bal
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_acctbal > 0.0
+      GROUP BY n.n_name
+      ORDER BY nation"""),
     // the deterministic $sample contract replayed in SQL: the
     // double's draw is the first n keys by md5('<coll>:<key>')
     "mongo_sample_scan" -> ("""

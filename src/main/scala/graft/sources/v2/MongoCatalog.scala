@@ -1,0 +1,126 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.Bson._
+import graft.sources.MongoWire
+
+/** A V2 `TableCatalog` over one wire-protocol database, so live
+  * collections answer PLAIN SQL with the whole pushdown surface:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.m", classOf[MongoCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.m.host", host)
+  * spark.conf.set("spark.sql.catalog.m.port", port.toString)
+  * spark.conf.set("spark.sql.catalog.m.database", "graft")
+  * spark.conf.set("spark.sql.catalog.m.keyfield.customer", "c_custkey")
+  * spark.sql("SELECT count(*) FROM m.graft.customer WHERE ...")
+  * }}}
+  *
+  * `listTables` is the wire `listCollections` command; `loadTable`
+  * infers the schema from `$sample`d documents (the reference's
+  * analyser flow, now addressable as a catalog) and hands back the
+  * same [[MongoTable]] the `format("graft-mongo")` path builds, so
+  * SQL gets every pushdown (columns, filters, limit, top-N, complete
+  * COUNT/MIN/MAX). Each collection's range-partition key comes from
+  * `keyfield.<collection>` (falling back to the catalog-level
+  * `keyfield`, default `_id` — a live server's collections all carry
+  * `_id`).
+  *
+  * READ + APPEND catalog: DDL (create/alter/drop/rename) is refused
+  * loudly — the engine's catalog of record is the lake; the wire
+  * catalog exposes what the server has.
+  */
+class MongoCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var options: CaseInsensitiveStringMap = _
+
+  override def initialize(name: String,
+                          opts: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    options = opts
+  }
+
+  override def name(): String = catalogName
+
+  private def opt(k: String): String = {
+    val v = options.get(k)
+    require(v != null, s"catalog $catalogName: missing option '$k'")
+    v
+  }
+
+  private def db: String = opt("database")
+
+  private def checkNamespace(ns: Array[String]): Unit =
+    require(ns.sameElements(Array(db)),
+      s"catalog $catalogName serves exactly one namespace '$db', " +
+        s"got ${ns.mkString(".")}")
+
+  override def listTables(namespace: Array[String])
+      : Array[Identifier] = {
+    checkNamespace(namespace)
+    val reply = MongoWire.command(opt("host"), opt("port").toInt,
+      BDoc(Seq("listCollections" -> BInt32(1),
+        "$db" -> BString(db))))
+    val cur = reply.v.collectFirst { case ("cursor", c: BDoc) => c }
+      .getOrElse(throw new IllegalArgumentException(
+        s"listCollections reply missing cursor: $reply"))
+    val batch = cur.v.collectFirst {
+      case ("firstBatch", BArr(ds)) => ds
+    }.getOrElse(Seq.empty)
+    batch.map {
+      case d: BDoc => d.v.collectFirst {
+        case ("name", BString(n)) => Identifier.of(namespace, n)
+      }.getOrElse(throw new IllegalArgumentException(s"bad doc: $d"))
+      case other => throw new IllegalArgumentException(
+        s"bad listCollections doc: $other")
+    }.toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    checkNamespace(ident.namespace())
+    val coll = ident.name()
+    val keyField = Option(options.get(s"keyfield.$coll"))
+      .orElse(Option(options.get("keyfield")))
+      .getOrElse("_id")
+    val confMap = new util.HashMap[String, String]()
+    confMap.put("host", opt("host"))
+    confMap.put("port", opt("port"))
+    confMap.put("database", db)
+    confMap.put("collection", coll)
+    confMap.put("keyfield", keyField)
+    Seq("numpartitions", "batchsize", "samplesize").foreach { k =>
+      Option(options.get(k)).foreach(confMap.put(k, _))
+    }
+    val conf = MongoV2.Conf(new CaseInsensitiveStringMap(confMap))
+    new MongoTable(MongoV2.inferSchema(conf), conf)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+      : Table =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName is read+append over a live server; " +
+        "collections are created by the server's owner, not DDL here")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName does not alter live collections")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName does not drop live collections")
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName does not rename live collections")
+}

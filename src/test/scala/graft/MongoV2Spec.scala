@@ -478,6 +478,41 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("TableCatalog: SHOW TABLES is the wire listCollections, " +
+      "plain SQL gets the full pushdown surface, DDL is refused") {
+    val a = fixtureDf(120)
+    val b = fixtureDf(45)
+    val srv = InProcessMongod.serveAll("graft",
+      Seq(("alpha", "k", a), ("beta", "k", b)))
+    try {
+      // port-unique catalog name: a fresh instance per server
+      val cat = s"wiremongo${srv.port}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.MongoCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.host", "127.0.0.1")
+      spark.conf.set(s"spark.sql.catalog.$cat.port",
+        srv.port.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.database", "graft")
+      spark.conf.set(s"spark.sql.catalog.$cat.keyfield", "k")
+      assert(spark.sql(s"SHOW TABLES IN $cat.graft").collect()
+        .map(_.getString(1)).sorted.toSeq == Seq("alpha", "beta"))
+      // complete COUNT(*) pushdown THROUGH SQL over the catalog
+      val cq = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.graft.alpha WHERE grp = 3")
+      assert(scanDescription(cq).contains("GraftMongoAggScan"))
+      assert(cq.collect().head.getLong(0) ==
+        a.filter(col("grp") === 3).count())
+      // filter + projection pushdown through SQL, inferred schema
+      val rows = spark.sql(s"SELECT k, bal FROM $cat.graft.alpha " +
+        "WHERE k < 10 ORDER BY k").collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        (0L until 10L).map(i => (i, i * 1.5 + 0.25)))
+      // DDL refuses loudly
+      intercept[Exception](
+        spark.sql(s"DROP TABLE $cat.graft.alpha").collect())
+    } finally srv.close()
+  }
+
   test("DSv2 decimal128 and ObjectId: inference widens scales, " +
       "reads land exactly, writes carry decimals back as decimal128") {
     import java.math.{BigDecimal => JBD}
