@@ -28,16 +28,35 @@ import graft.sources.Bson._
   */
 private[sources] object WireFilter {
 
-  /** field -> the (op, operand) conjuncts on it. */
-  type Constraint = (String, Seq[(String, BVal)])
+  /** Filter tree: leaves are per-field (op, operand) conjuncts;
+    * `$and`/`$or` nest arbitrarily (the shape the DSv2 OR-tree
+    * translation emits).
+    */
+  sealed trait Node
+  final case class Leaf(field: String,
+                        ops: Seq[(String, BVal)]) extends Node
+  final case class AndN(kids: Seq[Node]) extends Node
+  final case class OrN(kids: Seq[Node]) extends Node
 
-  def parse(filter: BDoc): Seq[Constraint] =
-    filter.v.map {
+  def parse(filter: BDoc): Node =
+    AndN(filter.v.map {
+      case ("$and", BArr(ds)) => AndN(ds.map(sub))
+      case ("$or", BArr(ds)) =>
+        require(ds.nonEmpty, "$or wants a non-empty array")
+        OrN(ds.map(sub))
+      case (op, v) if op == "$and" || op == "$or" =>
+        throw new IllegalArgumentException(s"$op wants an array: $v")
       case (f, sub: BDoc) if sub.v.nonEmpty &&
           sub.v.forall(_._1.startsWith("$")) =>
-        (f, sub.v)
-      case (f, bare) => (f, Seq("$eq" -> bare))
-    }
+        Leaf(f, sub.v)
+      case (f, bare) => Leaf(f, Seq("$eq" -> bare))
+    })
+
+  private def sub(v: BVal): Node = v match {
+    case d: BDoc => parse(d)
+    case other => throw new IllegalArgumentException(
+      s"$$and/$$or branch must be a document: $other")
+  }
 
   /** Total order within a type bracket; None across brackets. */
   def compare(a: BVal, b: BVal): Option[Int] = (a, b) match {
@@ -106,22 +125,35 @@ private[sources] object WireFilter {
       s"unsupported filter operator $other")
   }
 
-  def matches(bytes: Array[Byte], cs: Seq[Constraint]): Boolean =
-    cs.forall { case (field, ops) =>
+  def matches(bytes: Array[Byte], node: Node): Boolean = node match {
+    case Leaf(field, ops) =>
       val extracted = Bson.extractRaw(bytes, field)
       ops.forall { case (op, v) => opMatch(extracted, op, v) }
-    }
+    case AndN(kids) => kids.forall(matches(bytes, _))
+    case OrN(kids) => kids.exists(matches(bytes, _))
+  }
+
+  def isEmpty(node: Node): Boolean = node match {
+    case AndN(kids) => kids.forall(isEmpty)
+    case _ => false
+  }
 
   /** The `[lo, hi)` key window implied by the integer range/eq
-    * conjuncts on `keyField` — the index-prune step; all conjuncts
-    * are still re-checked per document afterwards, so non-integer or
-    * exotic key constraints only cost prune opportunity, never
-    * correctness.
+    * conjuncts on `keyField` in the tree's CONJUNCTIVE spine (leaves
+    * of top-level and nested `$and`s; `$or` branches never narrow) —
+    * the index-prune step; the whole tree is still re-checked per
+    * document afterwards, so non-integer or exotic key constraints
+    * only cost prune opportunity, never correctness.
     */
-  def keyWindow(cs: Seq[Constraint], keyField: String): (Long, Long) = {
+  def keyWindow(node: Node, keyField: String): (Long, Long) = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
-    cs.filter(_._1 == keyField).flatMap(_._2).foreach {
+    def spine(n: Node): Seq[Leaf] = n match {
+      case l: Leaf => Seq(l)
+      case AndN(kids) => kids.flatMap(spine)
+      case _: OrN => Nil
+    }
+    spine(node).filter(_.field == keyField).flatMap(_.ops).foreach {
       case ("$gte", v) => intVal(v).foreach(x => lo = math.max(lo, x))
       case ("$gt", v) => intVal(v).foreach(x =>
         lo = if (x == Long.MaxValue) Long.MaxValue
@@ -305,14 +337,15 @@ final class InProcessMongod(db: String,
       case Some(f: BDoc) => WireFilter.parse(f)
       case Some(other) => throw new IllegalArgumentException(
         s"filter wants a document: $other")
-      case None => Nil
+      case None => WireFilter.AndN(Nil)
     }
     // index prune on the key field, then full predicate on the window
     val (lo, hi) = WireFilter.keyWindow(cs, coll.keyField)
     val start = coll.lowerBound(snap, lo)
     val end = coll.lowerBound(snap, hi)
     var idxs = (start until end)
-      .filter(i => cs.isEmpty || WireFilter.matches(snap(i)._2, cs))
+      .filter(i => WireFilter.isEmpty(cs) ||
+        WireFilter.matches(snap(i)._2, cs))
       .toArray
     get(cmd, "sort").foreach {
       case BDoc(Seq((f, dir))) =>
@@ -409,7 +442,8 @@ final class InProcessMongod(db: String,
             idxs = (coll.lowerBound(snap, lo) until
               coll.lowerBound(snap, hi)).toArray
           }
-          idxs = idxs.filter(i => WireFilter.matches(snap(i)._2, cs))
+          idxs = idxs.filter(i =>
+            WireFilter.matches(snap(i)._2, cs))
         case Seq(("$project", p: BDoc)) =>
           proj = Some(p.v.map {
             case (f, v) if asLong(v) != 0L => f
@@ -500,13 +534,13 @@ final class InProcessMongod(db: String,
     val snap = coll.snapshot
     val cs = get(cmd, "query") match {
       case Some(f: BDoc) => WireFilter.parse(f)
-      case _ => Nil
+      case _ => WireFilter.AndN(Nil)
     }
     val (lo, hi) = WireFilter.keyWindow(cs, coll.keyField)
     val start = coll.lowerBound(snap, lo)
     val end = coll.lowerBound(snap, hi)
     val n =
-      if (cs.isEmpty) end - start
+      if (WireFilter.isEmpty(cs)) end - start
       else (start until end)
         .count(i => WireFilter.matches(snap(i)._2, cs))
     Bson.encode(BDoc(Seq("n" -> BInt32(n), "ok" -> BDouble(1.0))))

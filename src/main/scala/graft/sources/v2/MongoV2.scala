@@ -266,6 +266,25 @@ private[v2] object MongoV2 {
     }
   }
 
+  /** Whole filter TREES (And/Or over translatable leaves) become one
+    * wire conjunct — `$and`/`$or` documents nesting arbitrarily. A
+    * tree with any untranslatable leaf is rejected whole (it stays
+    * in Spark); the leaf rules (string ranges, timestamps) apply
+    * unchanged inside branches.
+    */
+  def translateTree(f: Filter): Option[(String, BVal)] = f match {
+    case sources.And(l, r) =>
+      for (a <- translateTree(l); b <- translateTree(r))
+        yield ("$and", BArr(Seq(BDoc(Seq(a)), BDoc(Seq(b)))): BVal)
+    case sources.Or(l, r) =>
+      for (a <- translateTree(l); b <- translateTree(r))
+        yield ("$or", BArr(Seq(BDoc(Seq(a)), BDoc(Seq(b)))): BVal)
+    case leaf =>
+      translate(leaf).map { case (c, (op, v)) =>
+        (c, BDoc(Seq(op -> v)): BVal)
+      }
+  }
+
   /** InternalRow → BSON document under the write schema — the writer
     * twin of [[catalystValue]]. Timestamps truncate μs → ms (BSON
     * datetime is millisecond-grained; symmetric with the read side).
@@ -470,13 +489,14 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
   private var aggSpecs: Option[Seq[MongoV2.AggSpec]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, rest) = filters.partition(MongoV2.translate(_).isDefined)
+    val (ok, rest) =
+      filters.partition(MongoV2.translateTree(_).isDefined)
     pushed = ok
     hadResidual = rest.nonEmpty
-    // several conjuncts on one field merge into one operator doc
-    wireFilter = ok.toSeq.flatMap(MongoV2.translate)
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (f, ops) => (f, BDoc(ops.map(_._2)): BVal) }
+    // one wire conjunct per pushed filter (top-level entries of one
+    // filter document are conjunctive; duplicate field keys are fine
+    // — the evaluator folds every entry)
+    wireFilter = ok.toSeq.flatMap(MongoV2.translateTree)
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed

@@ -478,6 +478,40 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("DSv2 OR-tree pushdown: disjunctions of translatable leaves " +
+      "push whole ($or on the wire), served == matched, and a tree " +
+      "with one untranslatable leaf stays in Spark entirely") {
+    val df = fixtureDf(400)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val base = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "400")
+      val pred = col("grp") === 3 || col("bal") > 550.0
+      val q = base.filter(pred)
+      assert(scanDescription(q).contains("Or("), scanDescription(q))
+      val before = srv.stats.servedDocs.get()
+      val got = q.collect().map(_.getLong(0)).sorted.toSeq
+      val served = srv.stats.servedDocs.get() - before
+      val expect = df.filter(pred).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == expect && served == expect.size.toLong,
+        s"served=$served expected=${expect.size}")
+      // nested: (grp = 3 AND flag) OR k < 5 — whole tree on the wire
+      val nested = (col("grp") === 3 && col("flag")) || col("k") < 5
+      val nq = base.filter(nested)
+      assert(nq.collect().map(_.getLong(0)).sorted.toSeq ==
+        df.filter(nested).collect().map(_.getLong(0)).sorted.toSeq)
+      // one untranslatable leaf (string range) poisons the whole
+      // tree: it must NOT appear pushed, and results stay correct
+      val mixed = col("grp") === 3 || col("name") > "name95"
+      val mq = base.filter(mixed)
+      assert(!scanDescription(mq).contains("Or("),
+        scanDescription(mq))
+      assert(mq.collect().map(_.getLong(0)).sorted.toSeq ==
+        df.filter(mixed).collect().map(_.getLong(0)).sorted.toSeq)
+    } finally srv.close()
+  }
+
   test("TableCatalog: SHOW TABLES is the wire listCollections, " +
       "plain SQL gets the full pushdown surface, DDL is refused") {
     val a = fixtureDf(120)
