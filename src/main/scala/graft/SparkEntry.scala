@@ -552,6 +552,9 @@ object SparkEntry {
         .option("minkey", b.getLong(0).toString)
         .option("maxkey", (b.getLong(1) + 1).toString)
         .option("numpartitions", "4")
+        // zlib OP_COMPRESSED frames: transport compression rides
+        // under the same oracle gate as the pushdown chain
+        .option("compress", "zlib")
         .load()
         .filter(col("c_mktsegment") === "BUILDING" &&
           col("c_acctbal") > 1000.0)

@@ -579,6 +579,15 @@ final class InProcessMongod(db: String,
         s"unsupported command: ${other.map(_._1)}")
     }
 
+  /** Frame loop. OP_COMPRESSED (2012) requests are inflated and the
+    * reply mirrors the request's compression — the negotiation-free
+    * subset of the public protocol's compression scheme (a real
+    * deployment negotiates compressors in the handshake; the double
+    * answers in kind, which is what the spec requires of replies to
+    * compressed requests). Wire byte counts feed
+    * [[InProcessMongod.Stats]] so the compression spec can PROVE
+    * fewer bytes crossed the socket for the same rows.
+    */
   private def serve(sock: Socket): Unit = {
     try {
       val in = new DataInputStream(sock.getInputStream)
@@ -589,20 +598,50 @@ final class InProcessMongod(db: String,
         val len = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN)
           .getInt
         val rest = new Array[Byte](len - 4); in.readFully(rest)
-        val buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
+        var buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
         val reqId = buf.getInt; buf.getInt
         val op = buf.getInt
-        require(op == 2013, s"unsupported opCode $op")
+        val compressed = op == 2012
+        if (compressed) {
+          val orig = buf.getInt
+          require(orig == 2013, s"OP_COMPRESSED wraps opCode $orig")
+          val size = buf.getInt
+          val id = buf.get
+          require(id == MongoWire.WireCompress.ZlibId,
+            s"unsupported compressor id $id")
+          val packed = new Array[Byte](buf.remaining())
+          buf.get(packed)
+          buf = ByteBuffer.wrap(
+            MongoWire.WireCompress.inflate(packed, size))
+            .order(ByteOrder.LITTLE_ENDIAN)
+        } else require(op == 2013, s"unsupported opCode $op")
         buf.getInt            // flagBits
         val kind = buf.get
         require(kind == 0, s"unsupported section kind $kind")
         val cmd = Bson.readDoc(buf)
         val body = handle(cmd)
-        val hdr = ByteBuffer.allocate(21)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        hdr.putInt(16 + 5 + body.length).putInt(0).putInt(reqId)
-          .putInt(2013).putInt(0).put(0.toByte)
-        out.write(hdr.array()); out.write(body); out.flush()
+        if (!compressed) {
+          val hdr = ByteBuffer.allocate(21)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          hdr.putInt(16 + 5 + body.length).putInt(0).putInt(reqId)
+            .putInt(2013).putInt(0).put(0.toByte)
+          out.write(hdr.array()); out.write(body)
+          stats.wireBytesOut.addAndGet(21L + body.length)
+        } else {
+          val section = ByteBuffer.allocate(5 + body.length)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          section.putInt(0).put(0.toByte).put(body)
+          val packed =
+            MongoWire.WireCompress.deflate(section.array())
+          val hdr = ByteBuffer.allocate(25)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          hdr.putInt(16 + 9 + packed.length).putInt(0).putInt(reqId)
+            .putInt(2012).putInt(2013).putInt(section.capacity())
+            .put(MongoWire.WireCompress.ZlibId)
+          out.write(hdr.array()); out.write(packed)
+          stats.wireBytesOut.addAndGet(25L + packed.length)
+        }
+        out.flush()
       }
     } catch { case _: Throwable => /* client closed */ }
     finally { try sock.close() catch { case _: Throwable => } }
@@ -623,6 +662,8 @@ object InProcessMongod {
   final class Stats {
     val servedDocs = new AtomicLong(0)
     val servedBytes = new AtomicLong(0)
+    /** Actual reply bytes on the socket (post-compression). */
+    val wireBytesOut = new AtomicLong(0)
     @volatile var lastFind: Option[BDoc] = None
   }
 

@@ -42,25 +42,92 @@ import graft.sources.Bson._
 object MongoWire {
 
   private val OpMsg = 2013
+  private val OpCompressed = 2012
 
-  /** One OP_MSG round trip over an open socket. */
-  def runCommand(sock: Socket, cmd: BDoc, requestId: Int): BDoc = {
+  /** zlib (compressor id 2) for OP_COMPRESSED — `java.util.zip`, no
+    * dependency. The compressed payload is everything AFTER the
+    * 16-byte header of the original message (per the public spec).
+    */
+  private[sources] object WireCompress {
+    val ZlibId: Byte = 2
+
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+
+    def inflate(data: Array[Byte], originalSize: Int): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val out = new Array[Byte](originalSize)
+      var off = 0
+      while (off < originalSize && !inf.finished())
+        off += inf.inflate(out, off, originalSize - off)
+      inf.end()
+      require(off == originalSize,
+        s"OP_COMPRESSED inflated $off of declared $originalSize bytes")
+      out
+    }
+  }
+
+  /** One OP_MSG round trip over an open socket; `compress = true`
+    * wraps the command in OP_COMPRESSED (opCode 2012: int32
+    * originalOpcode | int32 uncompressedSize | uint8 compressorId |
+    * compressed section bytes, zlib id 2) and accepts either a plain
+    * or a compressed reply — at 100 TB the wire is the bottleneck,
+    * and frame compression is part of the public protocol.
+    */
+  def runCommand(sock: Socket, cmd: BDoc, requestId: Int,
+                 compress: Boolean = false): BDoc = {
     val body = Bson.encode(cmd)
-    val total = 16 + 4 + 1 + body.length
     val out = new DataOutputStream(sock.getOutputStream)
-    val hdr = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
-    hdr.putInt(total).putInt(requestId).putInt(0).putInt(OpMsg)
-      .putInt(0)            // flagBits
-      .put(0.toByte)        // section kind 0
-    out.write(hdr.array()); out.write(body); out.flush()
+    if (!compress) {
+      val total = 16 + 4 + 1 + body.length
+      val hdr = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+      hdr.putInt(total).putInt(requestId).putInt(0).putInt(OpMsg)
+        .putInt(0)            // flagBits
+        .put(0.toByte)        // section kind 0
+      out.write(hdr.array()); out.write(body)
+    } else {
+      // section = flagBits + kind byte + command document
+      val section = ByteBuffer.allocate(5 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      section.putInt(0).put(0.toByte).put(body)
+      val packed = WireCompress.deflate(section.array())
+      val total = 16 + 4 + 4 + 1 + packed.length
+      val hdr = ByteBuffer.allocate(25).order(ByteOrder.LITTLE_ENDIAN)
+      hdr.putInt(total).putInt(requestId).putInt(0).putInt(OpCompressed)
+        .putInt(OpMsg)                      // originalOpcode
+        .putInt(section.capacity())         // uncompressedSize
+        .put(WireCompress.ZlibId)
+      out.write(hdr.array()); out.write(packed)
+    }
+    out.flush()
     val in = new DataInputStream(sock.getInputStream)
     val lenB = new Array[Byte](4); in.readFully(lenB)
     val len = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN)
       .getInt
     val rest = new Array[Byte](len - 4); in.readFully(rest)
-    val buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
-    buf.getInt; buf.getInt; buf.getInt   // requestID, responseTo, opCode
-    buf.getInt                            // flagBits
+    var buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
+    buf.getInt; buf.getInt                 // requestID, responseTo
+    val op = buf.getInt
+    if (op == OpCompressed) {
+      val orig = buf.getInt
+      require(orig == OpMsg, s"OP_COMPRESSED wraps opcode $orig")
+      val size = buf.getInt
+      val id = buf.get
+      require(id == WireCompress.ZlibId,
+        s"unsupported compressor id $id")
+      val packed = new Array[Byte](buf.remaining()); buf.get(packed)
+      buf = ByteBuffer.wrap(WireCompress.inflate(packed, size))
+        .order(ByteOrder.LITTLE_ENDIAN)
+    } else require(op == OpMsg, s"unsupported reply opCode $op")
+    buf.getInt                              // flagBits
     val kind = buf.get
     require(kind == 0, s"unsupported OP_MSG section kind $kind")
     Bson.readDoc(buf)
@@ -89,7 +156,8 @@ object MongoWire {
     */
   sealed abstract class WireCursor(host: String, port: Int,
                                    db: String, coll: String,
-                                   batchSize: Int)
+                                   batchSize: Int,
+                                   compress: Boolean)
       extends Iterator[BDoc] with AutoCloseable {
 
     protected def firstCommand: BDoc
@@ -114,7 +182,7 @@ object MongoWire {
     private def fetchFirst(): Unit = {
       val (id, docs) = cursorBatch(
         runCommand(sock, firstCommand,
-          { reqId += 1; reqId }), "firstBatch")
+          { reqId += 1; reqId }, compress), "firstBatch")
       cursorId = id; batch = docs.iterator
       exhausted = cursorId == 0L && docs.isEmpty
     }
@@ -127,7 +195,8 @@ object MongoWire {
         "batchSize" -> BInt32(batchSize),
         "$db" -> BString(db)))
       val (id, docs) = cursorBatch(
-        runCommand(sock, cmd, { reqId += 1; reqId }), "nextBatch")
+        runCommand(sock, cmd, { reqId += 1; reqId }, compress),
+        "nextBatch")
       cursorId = id; batch = docs.iterator
       if (!batch.hasNext && cursorId == 0L) exhausted = true
     }
@@ -151,8 +220,9 @@ object MongoWire {
                          coll: String, filter: Option[BDoc],
                          projection: Option[Seq[String]],
                          sort: Option[(String, Int)],
-                         limit: Option[Long], batchSize: Int)
-      extends WireCursor(host, port, db, coll, batchSize) {
+                         limit: Option[Long], batchSize: Int,
+                         compress: Boolean = false)
+      extends WireCursor(host, port, db, coll, batchSize, compress) {
     protected def firstCommand: BDoc = {
       val parts = Seq.newBuilder[(String, BVal)]
       parts += "find" -> BString(coll)
@@ -177,8 +247,9 @@ object MongoWire {
     */
   final class AggregateCursor(host: String, port: Int, db: String,
                               coll: String, pipeline: Seq[BDoc],
-                              batchSize: Int)
-      extends WireCursor(host, port, db, coll, batchSize) {
+                              batchSize: Int,
+                              compress: Boolean = false)
+      extends WireCursor(host, port, db, coll, batchSize, compress) {
     protected def firstCommand: BDoc = BDoc(Seq(
       "aggregate" -> BString(coll),
       "pipeline" -> BArr(pipeline),
@@ -213,7 +284,8 @@ object MongoWire {
            minKey: Long, maxKeyExclusive: Long,
            numPartitions: Int = 4, batchSize: Int = 512,
            filterExtra: Seq[(String, BVal)] = Nil,
-           projectColumns: Boolean = false): DataFrame = {
+           projectColumns: Boolean = false,
+           compress: Boolean = false): DataFrame = {
     require(numPartitions >= 1 && maxKeyExclusive >= minKey)
     val span = maxKeyExclusive - minKey
     val ranges = (0 until numPartitions).map { p =>
@@ -226,7 +298,8 @@ object MongoWire {
       .flatMap { case (lo, hi) =>
         new FindCursor(host, port, db, coll,
           Some(mergedFilter(keyField, lo, hi, filterExtra)), proj,
-          None, None, batchSize).map(Bson.docToRow(_, schema))
+          None, None, batchSize, compress)
+          .map(Bson.docToRow(_, schema))
       }
     spark.createDataFrame(rdd, schema)
   }

@@ -95,7 +95,7 @@ private[v2] object MongoV2 {
                         coll: String, keyField: String,
                         minKey: Option[Long], maxKey: Option[Long],
                         numPartitions: Int, batchSize: Int,
-                        sampleSize: Int)
+                        sampleSize: Int, compress: Boolean)
 
   object Conf {
     def apply(o: CaseInsensitiveStringMap): Conf = {
@@ -115,7 +115,14 @@ private[v2] object MongoV2 {
         batchSize = Option(o.get("batchsize")).map(_.toInt)
           .getOrElse(512),
         sampleSize = Option(o.get("samplesize")).map(_.toInt)
-          .getOrElse(64))
+          .getOrElse(64),
+        compress = Option(o.get("compress")) match {
+          case None | Some("none") => false
+          case Some("zlib") => true
+          case Some(other) => throw new IllegalArgumentException(
+            s"graft-mongo: unsupported compressor '$other' " +
+              "(zlib or none)")
+        })
     }
   }
 
@@ -696,7 +703,7 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
     ranges.map { case (lo, hi) =>
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, lo, hi, conf.batchSize, wireFilter,
-        required.fieldNames.toSeq, limit, sortDesc)
+        required.fieldNames.toSeq, limit, sortDesc, conf.compress)
         : InputPartition
     }.toArray
   }
@@ -773,7 +780,8 @@ private[v2] class MongoMicroBatchStream(required: StructType,
     parts.map { case (a, b) =>
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, a, b, conf.batchSize, wireFilter,
-        required.fieldNames.toSeq, None, None): InputPartition
+        required.fieldNames.toSeq, None, None,
+        conf.compress): InputPartition
     }.toArray
   }
 
@@ -797,7 +805,8 @@ private[v2] final case class MongoInputPartition(
     host: String, port: Int, db: String, coll: String,
     keyField: String, lo: Long, hi: Long, batchSize: Int,
     wireFilter: Seq[(String, BVal)], columns: Seq[String],
-    limit: Option[Int], sortDesc: Option[Boolean])
+    limit: Option[Int], sortDesc: Option[Boolean],
+    compress: Boolean)
     extends InputPartition
 
 private[v2] class MongoReaderFactory(required: StructType)
@@ -824,7 +833,7 @@ private[v2] class MongoPartitionReader(p: MongoInputPartition,
       p.wireFilter)),
     Some(p.columns),
     p.sortDesc.map(d => (p.keyField, if (d) -1 else 1)),
-    p.limit.map(_.toLong), p.batchSize)
+    p.limit.map(_.toLong), p.batchSize, p.compress)
 
   private var current: InternalRow = _
 

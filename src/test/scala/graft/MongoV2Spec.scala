@@ -478,6 +478,37 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("OP_COMPRESSED: zlib-wrapped frames round-trip bit-equal " +
+      "and fewer bytes cross the socket for the same rows") {
+    import spark.implicits._
+    // a compressible payload column (real documents compress well)
+    val df = (0L until 500L).map(i =>
+        (i, ("the quick brown fox " * 20) + i))
+      .toDF("k", "text")
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      def wireBytes(compress: String): (Long, Seq[(Long, String)]) = {
+        val before = srv.stats.wireBytesOut.get()
+        val rows = dsv2(srv, Some(df.schema),
+          "minkey" -> "0", "maxkey" -> "500", "batchsize" -> "64",
+          "compress" -> compress)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+          .sortBy(_._1).toSeq
+        (srv.stats.wireBytesOut.get() - before, rows)
+      }
+      val (plainBytes, plainRows) = wireBytes("none")
+      val (zlibBytes, zlibRows) = wireBytes("zlib")
+      assert(zlibRows == plainRows)
+      assert(zlibRows.map(_._1) == (0L until 500L))
+      assert(zlibBytes < plainBytes / 2,
+        s"compression did not shrink the wire: $zlibBytes vs " +
+          s"$plainBytes")
+      // an unsupported compressor name is a loud error
+      intercept[Exception](dsv2(srv, Some(df.schema),
+        "compress" -> "snappy").collect())
+    } finally srv.close()
+  }
+
   test("DSv2 OR-tree pushdown: disjunctions of translatable leaves " +
       "push whole ($or on the wire), served == matched, and a tree " +
       "with one untranslatable leaf stays in Spark entirely") {
