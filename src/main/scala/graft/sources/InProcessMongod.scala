@@ -565,6 +565,19 @@ final class InProcessMongod(db: String,
       s"$cmd wants a string collection name: $other")
   }
 
+  /** The connection handshake: capabilities + the compressor list
+    * the client's `compress=auto` negotiation reads (limits mirror
+    * the public server defaults).
+    */
+  private def handleHello(): Array[Byte] =
+    Bson.encode(BDoc(Seq(
+      "isWritablePrimary" -> BBool(true),
+      "maxBsonObjectSize" -> BInt32(16 * 1024 * 1024),
+      "maxMessageSizeBytes" -> BInt32(48 * 1000 * 1000),
+      "maxWriteBatchSize" -> BInt32(100000),
+      "compression" -> BArr(Seq(BString("zlib"))),
+      "ok" -> BDouble(1.0))))
+
   private def handle(cmd: BDoc): Array[Byte] =
     cmd.v.headOption match {
       case Some(("find", c)) => handleFind(cmd, str(c, "find"))
@@ -575,8 +588,27 @@ final class InProcessMongod(db: String,
       case Some(("listCollections", _)) => handleListCollections()
       case Some(("count", c)) => handleCount(str(c, "count"), cmd)
       case Some(("collStats", c)) => handleCollStats(str(c, "collStats"))
+      case Some(("hello", _)) => handleHello()
       case other => throw new IllegalArgumentException(
         s"unsupported command: ${other.map(_._1)}")
+    }
+
+  /** Command failures become ERROR REPLIES (`{ok: 0, errmsg, code,
+    * codeName}` — the real server's shape) instead of a dropped
+    * socket, so a client sees the message and the CONNECTION
+    * SURVIVES for the next command. Only frame-level violations
+    * (bad opcode, bad section) still kill the connection.
+    */
+  private def handleSafe(cmd: BDoc): Array[Byte] =
+    try handle(cmd)
+    catch {
+      case e: Exception =>
+        Bson.encode(BDoc(Seq(
+          "ok" -> BDouble(0.0),
+          "errmsg" -> BString(
+            Option(e.getMessage).getOrElse(e.getClass.getName)),
+          "code" -> BInt32(2),
+          "codeName" -> BString("BadValue"))))
     }
 
   /** Frame loop. OP_COMPRESSED (2012) requests are inflated and the
@@ -619,7 +651,7 @@ final class InProcessMongod(db: String,
         val kind = buf.get
         require(kind == 0, s"unsupported section kind $kind")
         val cmd = Bson.readDoc(buf)
-        val body = handle(cmd)
+        val body = handleSafe(cmd)
         if (!compressed) {
           val hdr = ByteBuffer.allocate(21)
             .order(ByteOrder.LITTLE_ENDIAN)

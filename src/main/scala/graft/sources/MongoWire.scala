@@ -137,8 +137,20 @@ object MongoWire {
     doc.v.find(_._1 == name).map(_._2).getOrElse(
       throw new IllegalArgumentException(s"reply missing '$name': $doc"))
 
+  /** Error replies carry `{ok: 0, errmsg, code}` — surface them as
+    * the server's own message, not a reply dump.
+    */
   private def requireOk(reply: BDoc): Unit =
-    require(field(reply, "ok") == BDouble(1.0), s"command failed: $reply")
+    if (field(reply, "ok") != BDouble(1.0)) {
+      val msg = reply.v.collectFirst {
+        case ("errmsg", BString(m)) => m
+      }.getOrElse(s"command failed: $reply")
+      val code = reply.v.collectFirst {
+        case ("code", BInt32(c)) => c
+      }.getOrElse(-1)
+      throw new IllegalArgumentException(
+        s"server error (code $code): $msg")
+    }
 
   /** One driver-side command on a throwaway connection. */
   def command(host: String, port: Int, cmd: BDoc): BDoc = {
@@ -149,6 +161,22 @@ object MongoWire {
       reply
     } finally sock.close()
   }
+
+  /** The connection handshake (`hello`): server capabilities +
+    * advertised compressors.
+    */
+  def hello(host: String, port: Int, db: String = "admin"): BDoc =
+    command(host, port, BDoc(Seq(
+      "hello" -> BInt32(1), "$db" -> BString(db))))
+
+  /** `compress=auto`: use zlib iff the server advertises it in the
+    * handshake — the protocol's negotiation rule.
+    */
+  def negotiateZlib(host: String, port: Int): Boolean =
+    hello(host, port).v.collectFirst {
+      case ("compression", BArr(cs)) =>
+        cs.contains(BString("zlib"))
+    }.getOrElse(false)
 
   /** Shared cursor machinery: issue one opening command, then
     * `getMore` until the server returns cursor id 0. Pull-based —

@@ -95,7 +95,7 @@ private[v2] object MongoV2 {
                         coll: String, keyField: String,
                         minKey: Option[Long], maxKey: Option[Long],
                         numPartitions: Int, batchSize: Int,
-                        sampleSize: Int, compress: Boolean)
+                        sampleSize: Int, compressMode: String)
 
   object Conf {
     def apply(o: CaseInsensitiveStringMap): Conf = {
@@ -116,14 +116,23 @@ private[v2] object MongoV2 {
           .getOrElse(512),
         sampleSize = Option(o.get("samplesize")).map(_.toInt)
           .getOrElse(64),
-        compress = Option(o.get("compress")) match {
-          case None | Some("none") => false
-          case Some("zlib") => true
+        compressMode = Option(o.get("compress")) match {
+          case None => "none"
+          case Some(m @ ("none" | "zlib" | "auto")) => m
           case Some(other) => throw new IllegalArgumentException(
             s"graft-mongo: unsupported compressor '$other' " +
-              "(zlib or none)")
+              "(zlib, none, or auto)")
         })
     }
+  }
+
+  /** `auto` asks the server (one `hello` handshake, driver-side at
+    * plan time); `zlib`/`none` are explicit.
+    */
+  def resolveCompress(c: Conf): Boolean = c.compressMode match {
+    case "zlib" => true
+    case "none" => false
+    case "auto" => MongoWire.negotiateZlib(c.host, c.port)
   }
 
   /** The `[min, maxExclusive)` key span: from options, or probed with
@@ -703,7 +712,8 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
     ranges.map { case (lo, hi) =>
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, lo, hi, conf.batchSize, wireFilter,
-        required.fieldNames.toSeq, limit, sortDesc, conf.compress)
+        required.fieldNames.toSeq, limit, sortDesc,
+        MongoV2.resolveCompress(conf))
         : InputPartition
     }.toArray
   }
@@ -781,7 +791,7 @@ private[v2] class MongoMicroBatchStream(required: StructType,
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, a, b, conf.batchSize, wireFilter,
         required.fieldNames.toSeq, None, None,
-        conf.compress): InputPartition
+        MongoV2.resolveCompress(conf)): InputPartition
     }.toArray
   }
 

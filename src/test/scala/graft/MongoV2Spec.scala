@@ -478,6 +478,43 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("hello handshake, compress=auto negotiation, and error " +
+      "replies: a failed command returns {ok:0, errmsg, code} and " +
+      "the connection survives for the next command") {
+    val df = fixtureDf(50)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      // handshake advertises zlib; auto negotiates to it
+      val h = MongoWire.hello("127.0.0.1", srv.port)
+      assert(h.v.collectFirst {
+        case ("compression", BArr(cs)) => cs
+      }.contains(Seq(BString("zlib"))))
+      assert(MongoWire.negotiateZlib("127.0.0.1", srv.port))
+      val auto = dsv2(srv, Some(df.schema), "compress" -> "auto")
+      assert(auto.collect().length == 50)
+      // error replies: the server's message arrives, the socket lives
+      val sock = new java.net.Socket("127.0.0.1", srv.port)
+      try {
+        val bad = MongoWire.runCommand(sock, BDoc(Seq(
+          "find" -> BString("nope"), "$db" -> BString("db"))), 1)
+        assert(bad.v.contains("ok" -> BDouble(0.0)))
+        val errmsg = bad.v.collectFirst {
+          case ("errmsg", BString(m)) => m }.get
+        assert(errmsg.contains("unknown collection"))
+        // SAME socket, next command still works
+        val good = MongoWire.runCommand(sock, BDoc(Seq(
+          "count" -> BString("c"), "$db" -> BString("db"))), 2)
+        assert(good.v.contains("n" -> BInt32(50)))
+      } finally sock.close()
+      // the cursor client surfaces the server's message
+      val e = intercept[Exception] {
+        new MongoWire.FindCursor("127.0.0.1", srv.port, "db", "nope",
+          None, None, None, None, 10).toList
+      }
+      assert(e.getMessage.contains("unknown collection"))
+    } finally srv.close()
+  }
+
   test("OP_COMPRESSED: zlib-wrapped frames round-trip bit-equal " +
       "and fewer bytes cross the socket for the same rows") {
     import spark.implicits._
