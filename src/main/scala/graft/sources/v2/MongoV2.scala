@@ -681,9 +681,44 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
                             wireFilter: Seq[(String, BVal)],
                             limit: Option[Int],
                             sortDesc: Option[Boolean])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Server statistics for Catalyst's cost model — WITHOUT this a
+    * DSv2 source reports "unknown = assume huge" and a 25-row live
+    * dimension under a join gets a sort-merge plan; WITH it the
+    * optimizer auto-broadcasts small wire collections. `collStats`
+    * supplies rows + bytes; a pushed filter refines the row count
+    * through the `count` command and scales bytes by selectivity
+    * (both O(1) server probes, computed once per plan).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val (rows, bytes) =
+      try {
+        val (cnt, size, _) = MongoWire.collStats(conf.host, conf.port,
+          conf.db, conf.coll)
+        if (wireFilter.isEmpty || cnt == 0L) (cnt, size)
+        else {
+          val fc = MongoWire.countDocs(conf.host, conf.port, conf.db,
+            conf.coll, Some(BDoc(wireFilter)))
+          (fc, math.max(size * fc / cnt, 1L))
+        }
+      } catch {
+        // a stats probe must never fail the plan; fall back to
+        // "unknown", which is what Spark assumes anyway
+        case _: Exception => return new
+            org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes() = java.util.OptionalLong.empty()
+          override def numRows() = java.util.OptionalLong.empty()
+        }
+      }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.of(bytes)
+      override def numRows() = java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def description(): String = {
     val f = pushed.mkString(", ")

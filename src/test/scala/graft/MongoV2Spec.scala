@@ -478,6 +478,37 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("SupportsReportStatistics: server collStats/count feed the " +
+      "cost model, so a small live collection under a join is " +
+      "auto-broadcast (no explicit broadcast hint)") {
+    import spark.implicits._
+    val dim = fixtureDf(25)
+    val srv = InProcessMongod.serve(dim, "k", "db", "dim")
+    try {
+      val wire = dsv2(srv, Some(dim.schema), "collection" -> "dim")
+      // filtered stats: numRows refined by the count command
+      val scan = wire.filter(col("grp") < 5).queryExecution
+        .executedPlan.collectLeaves().collectFirst {
+          case b: BatchScanExec => b.scan
+        }.get
+      val st = scan.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+      assert(st.numRows().getAsLong ==
+        dim.filter(col("grp") < 5).count())
+      assert(st.sizeInBytes().getAsLong > 0)
+      // the join: a big local fact × the 25-row wire dim — WITHOUT
+      // statistics DSv2 reports unknown=huge and this would plan a
+      // sort-merge join; the stats make it a broadcast
+      val fact = (0L until 50000L).map(i => (i, i % 25))
+        .toDF("fid", "dimk")
+      val joined = fact.join(wire, col("dimk") === col("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(joined.count() == 50000L)
+    } finally srv.close()
+  }
+
   test("hello handshake, compress=auto negotiation, and error " +
       "replies: a failed command returns {ok:0, errmsg, code} and " +
       "the connection survives for the next command") {
