@@ -681,7 +681,65 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
                             wireFilter: Seq[(String, BVal)],
                             limit: Option[Int],
                             sortDesc: Option[Boolean])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (join-derived) key filters — Spark's DSv2 dynamic
+    * pruning hook: when this scan sits under a join on the key and
+    * the other side is small, Spark hands the build side's key set
+    * here BEFORE input partitions are planned. The IN-set becomes a
+    * wire `$in` conjunct AND narrows the planned key ranges to
+    * `[min, max]` (the binary-searched index window), so pruned
+    * partitions never even open a cursor. Prune-only semantics:
+    * a filter this scan cannot express is IGNORED (the join still
+    * applies it), never an error.
+    */
+  private var runtimeWire: Seq[(String, BVal)] = Nil
+  private var runtimeLo: Option[Long] = None
+  private var runtimeHiIncl: Option[Long] = None
+
+  // advertise the key ONLY when column pruning kept it: Spark
+  // resolves filterAttributes against the scan OUTPUT, so a pruned
+  // key would fail analysis (found by the catalog-join oracle row,
+  // where the key column is projected away)
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (required.fieldNames.contains(conf.keyField))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(conf.keyField))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = {
+    def longOf(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    filters.foreach {
+      case sources.In(a, vs) if a == conf.keyField =>
+        val ks = vs.toSeq.map(longOf)
+        if (ks.forall(_.isDefined)) {
+          val keys = ks.flatten
+          if (keys.isEmpty) { runtimeLo = Some(1L); runtimeHiIncl = Some(0L) }
+          else {
+            runtimeWire :+= (conf.keyField,
+              BDoc(Seq("$in" -> BArr(keys.map(BInt64(_))))): BVal)
+            runtimeLo = Some(runtimeLo.fold(keys.min)(math.max(_, keys.min)))
+            runtimeHiIncl = Some(
+              runtimeHiIncl.fold(keys.max)(math.min(_, keys.max)))
+          }
+        }
+      case sources.EqualTo(a, v) if a == conf.keyField =>
+        longOf(v).foreach { k =>
+          runtimeWire :+= (conf.keyField,
+            BDoc(Seq("$eq" -> BInt64(k))): BVal)
+          runtimeLo = Some(runtimeLo.fold(k)(math.max(_, k)))
+          runtimeHiIncl = Some(runtimeHiIncl.fold(k)(math.min(_, k)))
+        }
+      case _ => ()   // inexpressible runtime filter: prune-only, skip
+    }
+  }
 
   override def readSchema(): StructType = required
 
@@ -737,7 +795,12 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
     new MongoMicroBatchStream(required, conf, wireFilter)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (minKey, maxKeyExclusive) = MongoV2.keySpan(conf)
+    val (minKey0, maxKeyExclusive0) = MongoV2.keySpan(conf)
+    // runtime key filters narrow the planned window
+    val minKey = runtimeLo.fold(minKey0)(math.max(minKey0, _))
+    val maxKeyExclusive = runtimeHiIncl.fold(maxKeyExclusive0)(h =>
+      if (h == Long.MaxValue) maxKeyExclusive0
+      else math.min(maxKeyExclusive0, h + 1))
     val span = math.max(maxKeyExclusive - minKey, 0L)
     val parts = (0 until conf.numPartitions).map { p =>
       (minKey + span * p / conf.numPartitions,
@@ -746,7 +809,8 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
     val ranges = if (parts.isEmpty) Seq((0L, 0L)) else parts
     ranges.map { case (lo, hi) =>
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
-        conf.keyField, lo, hi, conf.batchSize, wireFilter,
+        conf.keyField, lo, hi, conf.batchSize,
+        wireFilter ++ runtimeWire,
         required.fieldNames.toSeq, limit, sortDesc,
         MongoV2.resolveCompress(conf))
         : InputPartition

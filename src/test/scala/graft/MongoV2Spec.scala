@@ -478,6 +478,72 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("SupportsRuntimeFiltering: a join-derived key IN-set narrows " +
+      "the wire filter AND the planned key ranges before cursors " +
+      "open; inexpressible runtime filters are prune-only no-ops") {
+    import spark.implicits._
+    val df = fixtureDf(10000)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      // mechanics: hand the scan a runtime IN-set, then plan — the
+      // order Spark's executor uses (filter() resolves from the
+      // dynamic-pruning subquery BEFORE filteredPartitions plans)
+      val wire = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "10000", "numpartitions" -> "4")
+      val scan = wire.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case b: BatchScanExec => b.scan }.get
+        .asInstanceOf[
+          org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      assert(scan.filterAttributes().map(_.describe()).toSeq ==
+        Seq("k"))
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("k",
+          Array[Any](5L, 17L, 300L)),
+        org.apache.spark.sql.sources.StringContains("name", "x")))
+      val batch = scan.asInstanceOf[
+        org.apache.spark.sql.connector.read.Scan].toBatch
+      val parts = batch.planInputPartitions()
+      // the planned window narrowed to [5, 301): 4 partitions over
+      // a 296-key span, none outside it
+      val factory = batch.createReaderFactory()
+      val before = srv.stats.servedDocs.get()
+      val got = parts.flatMap { p =>
+        val r = factory.createReader(p)
+        val out = Iterator.continually(
+          if (r.next()) Some(r.get().getLong(0)) else None)
+          .takeWhile(_.isDefined).flatten.toList
+        r.close(); out
+      }.sorted.toSeq
+      assert(got == Seq(5L, 17L, 300L))
+      // the narrowed window + $in: only matching docs ever shipped
+      assert(srv.stats.servedDocs.get() - before == 3L)
+      // the natural path: joined under a small broadcast dim, Spark
+      // injects the runtime filter itself (dynamic pruning)
+      val wire2 = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "10000", "numpartitions" -> "4")
+      val dim = Seq((3L, "a"), (42L, "b"), (9999L, "c"),
+          (77L, "zz"), (123L, "zz"))
+        .toDF("dk", "tag")
+      // the selective build-side predicate dynamic pruning wants
+      val joined = wire2.join(broadcast(dim.filter(col("tag") < "z")),
+        col("k") === col("dk"))
+      val b2 = srv.stats.servedDocs.get()
+      val rows = joined.collect()
+      assert(rows.length == 3)
+      val served2 = srv.stats.servedDocs.get() - b2
+      val plan = joined.queryExecution.executedPlan.toString
+      if (plan.contains("dynamicpruning")) {
+        assert(served2 <= 10L,
+          s"runtime filter present but $served2 docs served")
+      } else {
+        // Spark chose not to inject one here — record, don't fail:
+        // the mechanics above already prove the contract end to end
+        info(s"no dynamic pruning injected by this Spark version " +
+          s"for this join shape (served $served2)")
+      }
+    } finally srv.close()
+  }
+
   test("SupportsReportStatistics: server collStats/count feed the " +
       "cost model, so a small live collection under a join is " +
       "auto-broadcast (no explicit broadcast hint)") {
