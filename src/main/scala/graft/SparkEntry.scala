@@ -661,6 +661,38 @@ object SparkEntry {
         .orderBy("nation")
       finally srv.close()
     }),
+    // GROUP BY pushdown under the gate: events grouped by type with
+    // count/min/max/sum computed as per-partition $group PARTIALS on
+    // the server (map-side aggregation AT THE SOURCE) and merged by
+    // Spark's final aggregate — every group spans all four key-range
+    // partitions, so the merge is load-bearing; capped at 20k docs
+    // (the serve-fixture precedent)
+    "mongo_group_pushdown" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy("event_id").limit(20000)
+      val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+      val srv = graft.sources.InProcessMongod.serve(ev, "event_id",
+        "graft", "events_grp")
+      try s.read.format("graft-mongo")
+        .schema(ev.schema)
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("database", "graft")
+        .option("collection", "events_grp")
+        .option("keyfield", "event_id")
+        .option("minkey", b.getLong(0).toString)
+        .option("maxkey", (b.getLong(1) + 1).toString)
+        .option("numpartitions", "4")
+        .load()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"),
+          sum(col("user_id")).as("user_sum"))
+        .localCheckpoint(true)
+        .orderBy("event_type")
+      finally srv.close()
+    }),
     // decimal128 fidelity under the gate: order totals as exact
     // DECIMAL(12,2) ride the wire as IEEE 754-2008 BID decimal128
     // (encode → frame → store → cursor → decode) and must hash-equal
@@ -7131,6 +7163,15 @@ object SparkEntry {
       SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total_dec
       FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 20000)
       ORDER BY o_orderkey"""),
+    "mongo_group_pushdown" -> ("""
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(event_id) AS first_id,
+             max(event_id) AS last_id,
+             CAST(sum(user_id) AS BIGINT) AS user_sum
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+      GROUP BY event_type
+      ORDER BY event_type"""),
     "mongo_catalog_sql" -> ("""
       SELECT n.n_name AS nation,
              CAST(count(*) AS BIGINT) AS n_cust,

@@ -179,6 +179,146 @@ private[sources] object WireFilter {
   }
 }
 
+/** The `$group` pipeline stage for the subset the DSv2 partial
+  * aggregate pushdown emits: `_id` is null, a `"$field"` reference,
+  * or a document of named `"$field"` references; accumulators are
+  * `{$sum: 1}` (doc count), `{$sum: "$f"}`, `{$min: "$f"}`,
+  * `{$max: "$f"}`, `{$countNonNull: "$f"}` (the COUNT(col) partial —
+  * not a real server operator, marked as such). Semantics match what
+  * the PUSHDOWN must match — Spark's: min/max/sum/count skip
+  * missing AND null values; integer sums accumulate in wrapping
+  * 64-bit (Spark's non-ANSI overflow); decimal sums are exact
+  * BigDecimal; double sums accumulate in document order. Group keys
+  * are the raw extracted BVals, so types round-trip unchanged.
+  */
+private[sources] object WireGroup {
+
+  private sealed trait Acc {
+    def add(v: Option[BVal]): Unit
+    def result: BVal
+  }
+  private final class CountDocs extends Acc {
+    private var n = 0L
+    def add(v: Option[BVal]): Unit = n += 1
+    def result: BVal = BInt64(n)
+  }
+  private final class CountNonNull extends Acc {
+    private var n = 0L
+    def add(v: Option[BVal]): Unit =
+      if (v.exists(_ != BNull)) n += 1
+    def result: BVal = BInt64(n)
+  }
+  private final class SumAcc extends Acc {
+    private var long = 0L
+    private var dbl = 0.0
+    private var dec: java.math.BigDecimal = null
+    private var sawDouble = false
+    private var any = false
+    def add(v: Option[BVal]): Unit = v match {
+      case Some(BInt32(x)) => any = true; long += x.toLong
+      case Some(BInt64(x)) => any = true; long += x
+      case Some(BDouble(x)) => any = true; sawDouble = true; dbl += x
+      case Some(BDecimal128(x)) =>
+        any = true
+        dec = if (dec == null) x else dec.add(x)
+      case _ => ()   // missing / null: skipped, Spark's rule
+    }
+    def result: BVal =
+      if (!any) BNull
+      else if (dec != null) {
+        require(!sawDouble && long == 0L && dbl == 0.0,
+          "$sum cannot mix decimal with other numeric types")
+        BDecimal128(dec)
+      }
+      else if (sawDouble) BDouble(dbl + long.toDouble)
+      else BInt64(long)
+  }
+  private final class MinMaxAcc(isMin: Boolean) extends Acc {
+    private var cur: Option[BVal] = None
+    def add(v: Option[BVal]): Unit = v match {
+      case Some(x) if x != BNull => cur match {
+        case None => cur = Some(x)
+        case Some(c) =>
+          val cmp = WireFilter.compare(x, c).getOrElse(
+            throw new IllegalArgumentException(
+              s"$$min/$$max over incomparable values: $x vs $c"))
+          if ((isMin && cmp < 0) || (!isMin && cmp > 0)) cur = Some(x)
+      }
+      case _ => ()
+    }
+    def result: BVal = cur.getOrElse(BNull)
+  }
+
+  private def fieldRef(v: BVal, op: String): String = v match {
+    case BString(s) if s.startsWith("$") => s.substring(1)
+    case other => throw new IllegalArgumentException(
+      s"$op wants a '$$field' reference, got $other")
+  }
+
+  def run(spec: Bson.BDoc,
+          docs: IndexedSeq[Array[Byte]]): Vector[Array[Byte]] = {
+    val idSpec = spec.v.collectFirst { case ("_id", v) => v }
+      .getOrElse(throw new IllegalArgumentException("$group wants _id"))
+    // raw form (`_id: "$f"`) emits the bare value, the real server's
+    // shape; the doc form names each key
+    val rawId = idSpec.isInstanceOf[BString]
+    val idFields: Seq[(String, String)] = idSpec match {
+      case BNull => Nil
+      case BString(s) if s.startsWith("$") =>
+        Seq(("_id", s.substring(1)))
+      case d: Bson.BDoc => d.v.map {
+        case (name, ref) => (name, fieldRef(ref, s"_id.$name"))
+      }
+      case other => throw new IllegalArgumentException(
+        s"unsupported $$group _id: $other")
+    }
+    val accSpecs: Seq[(String, String, String)] =   // (out, kind, field)
+      spec.v.filter(_._1 != "_id").map {
+        case (out, d: Bson.BDoc) => d.v match {
+          case Seq(("$sum", BInt32(1))) => (out, "countdocs", "")
+          case Seq(("$sum", BInt64(1L))) => (out, "countdocs", "")
+          case Seq(("$sum", r)) => (out, "sum", fieldRef(r, "$sum"))
+          case Seq(("$min", r)) => (out, "min", fieldRef(r, "$min"))
+          case Seq(("$max", r)) => (out, "max", fieldRef(r, "$max"))
+          case Seq(("$countNonNull", r)) =>
+            (out, "countnonnull", fieldRef(r, "$countNonNull"))
+          case other => throw new IllegalArgumentException(
+            s"unsupported accumulator for '$out': $other")
+        }
+        case (out, other) => throw new IllegalArgumentException(
+          s"accumulator '$out' wants a document, got $other")
+      }
+    def newAccs(): Array[Acc] = accSpecs.map {
+      case (_, "countdocs", _) => new CountDocs
+      case (_, "countnonnull", _) => new CountNonNull
+      case (_, "sum", _) => new SumAcc
+      case (_, "min", _) => new MinMaxAcc(true)
+      case (_, "max", _) => new MinMaxAcc(false)
+      case (_, k, _) => throw new IllegalStateException(k)
+    }.toArray
+    val groups = new scala.collection.mutable.LinkedHashMap[
+      Seq[Option[BVal]], Array[Acc]]()
+    docs.foreach { bytes =>
+      val key = idFields.map { case (_, f) => Bson.extractRaw(bytes, f) }
+      val accs = groups.getOrElseUpdate(key, newAccs())
+      accSpecs.zipWithIndex.foreach { case ((_, kind, f), i) =>
+        accs(i).add(if (kind == "countdocs") None
+                    else Bson.extractRaw(bytes, f))
+      }
+    }
+    groups.iterator.map { case (key, accs) =>
+      val idVal: BVal =
+        if (idFields.isEmpty) BNull
+        else if (rawId) key.head.getOrElse(BNull)
+        else Bson.BDoc(idFields.map(_._1).zip(
+          key.map(_.getOrElse(BNull))))
+      Bson.encode(Bson.BDoc(
+        ("_id" -> idVal) +: accSpecs.map(_._1).zip(
+          accs.map(_.result).toSeq)))
+    }.toVector
+  }
+}
+
 /** Loopback stand-in speaking the [[MongoWire]] OP_MSG subset — NOT
   * a database: it exists because this sandbox has no mongod binary
   * (the r8–r14 verdicts' one environmental "missing" item). The
@@ -430,8 +570,11 @@ final class InProcessMongod(db: String,
     var idxs = snap.indices.toArray
     var proj: Option[Set[String]] = None
     var countField: Option[String] = None
+    // $group output: synthetic documents replacing the idx view
+    var grouped: Option[Vector[Array[Byte]]] = None
     stages.foreach { stage =>
       require(countField.isEmpty, "$count must be the last stage")
+      require(grouped.isEmpty, "$group must be the last stage")
       stage.v match {
         case Seq(("$match", f: BDoc)) =>
           val cs = WireFilter.parse(f)
@@ -462,6 +605,9 @@ final class InProcessMongod(db: String,
           idxs = idxs.take(asLong(n).toInt)
         case Seq(("$count", BString(f))) =>
           countField = Some(f)
+        case Seq(("$group", spec: BDoc)) =>
+          grouped = Some(
+            WireGroup.run(spec, idxs.toIndexedSeq.map(i => snap(i)._2)))
         case Seq(("$sample", s: BDoc)) =>
           val n = get(s, "size").map(asLong).getOrElse(
             throw new IllegalArgumentException("$sample wants size"))
@@ -489,9 +635,17 @@ final class InProcessMongod(db: String,
             case _ => None
           }.orElse(get(cmd, "batchSize").map(asLong))
             .getOrElse(101L).toInt, maxBatch)
-        val st0 = CursorState(snap, idxs, 0, bs, proj)
+        // $group output pages through the same cursor machinery
+        // over a synthetic snapshot (keys are irrelevant there)
+        val (pageSnap, pageIdxs, pageProj) = grouped match {
+          case Some(docs) =>
+            (docs.map((0L, _)), docs.indices.toArray,
+              None: Option[Set[String]])
+          case None => (snap, idxs, proj)
+        }
+        val st0 = CursorState(pageSnap, pageIdxs, 0, bs, pageProj)
         val (docs, st1) = page(st0)
-        val id = if (st1.pos < idxs.length) {
+        val id = if (st1.pos < pageIdxs.length) {
           val cid = nextCursor.getAndIncrement()
           cursors.put(cid, st1); cid
         } else 0L

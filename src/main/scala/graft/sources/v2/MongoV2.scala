@@ -90,6 +90,16 @@ private[v2] object MongoV2 {
   /** One fully-pushed aggregate column: kind ∈ count|min|max. */
   final case class AggSpec(kind: String, dataType: DataType)
 
+  /** Partial GROUP BY pushdown: one output column per entry.
+    * kind ∈ countdocs|countnonnull|sum|min|max; `field` empty for
+    * countdocs; `dataType` is the PARTIAL column's Spark type (what
+    * the final merge expects).
+    */
+  final case class GroupAggCol(kind: String, field: String,
+                               dataType: DataType)
+  final case class GroupAggSpec(groupCols: Seq[(String, DataType)],
+                                aggs: Seq[GroupAggCol])
+
   /** Plain serializable view of the reader options. */
   final case class Conf(host: String, port: Int, db: String,
                         coll: String, keyField: String,
@@ -503,6 +513,7 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
   private var sortDesc: Option[Boolean] = None
   private var hadResidual = false
   private var aggSpecs: Option[Seq[MongoV2.AggSpec]] = None
+  private var groupAgg: Option[MongoV2.GroupAggSpec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) =
@@ -521,6 +532,9 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
     required = requiredSchema
 
   override def pushLimit(n: Int): Boolean = {
+    // a limit above a pushed group-aggregate cannot ride the group
+    // scan (partials per partition are not the final rows)
+    if (groupAgg.isDefined || aggSpecs.isDefined) return false
     limit = Some(n)
     true
   }
@@ -529,7 +543,8 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
   override def isPartiallyPushed(): Boolean = true
 
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean =
-    orders match {
+    if (groupAgg.isDefined || aggSpecs.isDefined) false
+    else orders match {
       case Array(o) => o.expression() match {
         case ref: NamedReference
             if ref.fieldNames.sameElements(Array(conf.keyField)) =>
@@ -573,21 +588,205 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
     }
   }
 
+  /** GROUP BY pushdown — PARTIAL: every key-range partition ships
+    * its per-group partials (`$group` on the server, map-side
+    * aggregation AT THE SOURCE) and Spark's final aggregate merges
+    * across partitions. Accepted: grouping on exact-equality columns
+    * (int/long/string/bool), COUNT(*) / COUNT(col) / MIN / MAX on
+    * int/long/double, SUM on int/long (wrapping 64-bit, Spark's
+    * non-ANSI overflow) and on decimals whose widened result still
+    * fits decimal128's 34 digits. Strings are NOT accepted for
+    * min/max (UTF-8 vs UTF-16 order, the pushdown collation rule).
+    */
+  private def translateGroupAgg(agg: Aggregation)
+      : Option[MongoV2.GroupAggSpec] = {
+    if (agg.groupByExpressions().isEmpty || hadResidual) return None
+    def named(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    def typeOf(c: String): Option[DataType] =
+      fullSchema.fields.find(_.name == c).map(_.dataType)
+    val groups = agg.groupByExpressions().toSeq.map { e =>
+      for {
+        c <- named(e)
+        t <- typeOf(c)
+        if t == IntegerType || t == LongType || t == StringType ||
+          t == BooleanType
+      } yield (c, t)
+    }
+    val orderable = Set[DataType](IntegerType, LongType, DoubleType)
+    val aggs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some(MongoV2.GroupAggCol("countdocs", "", LongType))
+      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !c.isDistinct =>
+        named(c.column()).map(f =>
+          MongoV2.GroupAggCol("countnonnull", f, LongType))
+      case m: Min =>
+        for {
+          f <- named(m.column()); t <- typeOf(f) if orderable(t)
+        } yield MongoV2.GroupAggCol("min", f, t)
+      case m: Max =>
+        for {
+          f <- named(m.column()); t <- typeOf(f) if orderable(t)
+        } yield MongoV2.GroupAggCol("max", f, t)
+      case s: org.apache.spark.sql.connector.expressions.aggregate.Sum
+          if !s.isDistinct =>
+        named(s.column()).flatMap { f =>
+          typeOf(f) match {
+            case Some(IntegerType) | Some(LongType) =>
+              Some(MongoV2.GroupAggCol("sum", f, LongType))
+            case Some(d: DecimalType) if d.precision + 10 <= 34 =>
+              Some(MongoV2.GroupAggCol("sum", f,
+                DecimalType(math.min(38, d.precision + 10), d.scale)))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+    if (groups.exists(_.isEmpty) || aggs.exists(_.isEmpty) ||
+        aggs.isEmpty) None
+    else Some(MongoV2.GroupAggSpec(groups.flatten, aggs.flatten))
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     translateAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
     translateAgg(agg) match {
       case Some(s) => aggSpecs = Some(s); true
-      case None => false
+      case None => translateGroupAgg(agg) match {
+        case Some(g) => groupAgg = Some(g); true
+        case None => false
+      }
     }
 
-  override def build(): Scan = aggSpecs match {
-    case Some(specs) => new MongoAggScan(conf, wireFilter, specs)
-    case None =>
+  override def build(): Scan = (aggSpecs, groupAgg) match {
+    case (Some(specs), _) => new MongoAggScan(conf, wireFilter, specs)
+    case (None, Some(g)) => new MongoGroupScan(conf, wireFilter, g)
+    case _ =>
       new MongoScan(required, conf, pushed, wireFilter, limit,
         sortDesc)
   }
+}
+
+/** The partial-GROUP-BY scan: each key-range partition runs an
+  * `aggregate` pipeline `[$match(range ∧ pushed filter), $group]`
+  * and ships per-group PARTIALS; Spark's final aggregate merges
+  * them. At 100 TB this moves group partials over the wire instead
+  * of documents — the classic map-side combine, executed by the
+  * source.
+  */
+private[v2] class MongoGroupScan(conf: MongoV2.Conf,
+                                 wireFilter: Seq[(String, BVal)],
+                                 spec: MongoV2.GroupAggSpec)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    spec.groupCols.map { case (n, t) => StructField(n, t) } ++
+      spec.aggs.zipWithIndex.map { case (a, i) =>
+        StructField(s"agg_$i", a.dataType)
+      })
+
+  override def description(): String =
+    s"GraftMongoGroupScan ${conf.db}.${conf.coll} " +
+      s"GroupBy: [${spec.groupCols.map(_._1).mkString(", ")}], " +
+      s"PartialAggs: [${spec.aggs.map(a =>
+        s"${a.kind}(${a.field})").mkString(", ")}], " +
+      s"Filter: [${wireFilter.map(_._1).mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (minKey, maxKeyExclusive) = MongoV2.keySpan(conf)
+    val span = math.max(maxKeyExclusive - minKey, 0L)
+    val parts = (0 until conf.numPartitions).map { p =>
+      (minKey + span * p / conf.numPartitions,
+        minKey + span * (p + 1) / conf.numPartitions)
+    }.filter { case (lo, hi) => hi > lo }
+    val ranges = if (parts.isEmpty) Seq((0L, 0L)) else parts
+    ranges.map { case (lo, hi) =>
+      MongoGroupPartition(conf.host, conf.port, conf.db, conf.coll,
+        conf.keyField, lo, hi, conf.batchSize, wireFilter, spec,
+        MongoV2.resolveCompress(conf)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] =
+        new MongoGroupReader(p.asInstanceOf[MongoGroupPartition])
+    }
+}
+
+private[v2] final case class MongoGroupPartition(
+    host: String, port: Int, db: String, coll: String,
+    keyField: String, lo: Long, hi: Long, batchSize: Int,
+    wireFilter: Seq[(String, BVal)], spec: MongoV2.GroupAggSpec,
+    compress: Boolean) extends InputPartition
+
+private[v2] class MongoGroupReader(p: MongoGroupPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val cursor = {
+    val matchDoc = BDoc(
+      MongoWire.rangeFilter(p.keyField, p.lo, p.hi).v ++ p.wireFilter)
+    val groupDoc = BDoc(
+      ("_id" -> (BDoc(p.spec.groupCols.map { case (c, _) =>
+        (c, BString("$" + c): BVal)
+      }): BVal)) +:
+        p.spec.aggs.zipWithIndex.map { case (a, i) =>
+          val acc: BVal = a.kind match {
+            case "countdocs" => BDoc(Seq("$sum" -> BInt32(1)))
+            case "countnonnull" =>
+              BDoc(Seq("$countNonNull" -> BString("$" + a.field)))
+            case "sum" => BDoc(Seq("$sum" -> BString("$" + a.field)))
+            case "min" => BDoc(Seq("$min" -> BString("$" + a.field)))
+            case "max" => BDoc(Seq("$max" -> BString("$" + a.field)))
+            case k => throw new IllegalStateException(k)
+          }
+          (s"agg_$i", acc)
+        })
+    new MongoWire.AggregateCursor(p.host, p.port, p.db, p.coll,
+      Seq(BDoc(Seq("$match" -> matchDoc)),
+        BDoc(Seq("$group" -> groupDoc))),
+      p.batchSize, p.compress)
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (cursor.hasNext) {
+      val doc = cursor.next()
+      val m = doc.v.toMap
+      val idDoc = m.getOrElse("_id",
+        throw new IllegalArgumentException(s"group doc missing _id"))
+        .asInstanceOf[BDoc].v.toMap
+      val groupVals = p.spec.groupCols.map { case (c, t) =>
+        idDoc.get(c) match {
+          case None | Some(BNull) => null
+          case Some(v) => MongoV2.catalystValue(v, t, c)
+        }
+      }
+      val aggVals = p.spec.aggs.zipWithIndex.map { case (a, i) =>
+        m.get(s"agg_$i") match {
+          case None | Some(BNull) => null
+          case Some(v) => MongoV2.catalystValue(v, a.dataType,
+            s"agg_$i")
+        }
+      }
+      current = new GenericInternalRow(
+        (groupVals ++ aggVals).toArray[Any])
+      true
+    } else false
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = cursor.close()
 }
 
 /** The fully-pushed-aggregate scan: ONE row, computed by wire

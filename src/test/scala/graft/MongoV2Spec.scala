@@ -478,6 +478,73 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("GROUP BY pushdown: per-partition $group partials merge to " +
+      "exact results across partition-split groups; strings group " +
+      "but never min/max; counts skip nulls like Spark") {
+    val df = fixtureDf(1000)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      // every grp value spans all 4 key-range partitions: the final
+      // merge is load-bearing, not a formality
+      val base = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "1000", "numpartitions" -> "4")
+      val q = base.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("lo"),
+          max(col("bal")).as("hib"), sum(col("k")).as("sk"))
+      assert(scanDescription(q).contains("GraftMongoGroupScan"),
+        scanDescription(q))
+      val before = srv.stats.servedDocs.get()
+      val got = q.collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getLong(4))).sortBy(_._1)
+      // ≤ 25 groups × 4 partitions of partials ever crossed the wire
+      assert(srv.stats.servedDocs.get() - before <= 100L)
+      val expect = df.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("lo"),
+          max(col("bal")).as("hib"), sum(col("k")).as("sk"))
+        .collect().map(r => (r.getInt(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3), r.getLong(4))).sortBy(_._1)
+      assert(got.toSeq == expect.toSeq)
+      // string GROUPING is fine (equality is collation-safe)…
+      val sq = base.groupBy(col("name")).agg(count(lit(1)).as("n"))
+      assert(scanDescription(sq).contains("GraftMongoGroupScan"))
+      assert(sq.collect().length == 1000)
+      // …but string MIN/MAX must NOT push (UTF-8 vs UTF-16 order)
+      val smin = base.groupBy(col("grp"))
+        .agg(min(col("name")).as("m"))
+      assert(!scanDescription(smin).contains("GraftMongoGroupScan"))
+      assert(smin.collect().length == 25)
+      // COUNT(col) skips nulls server-side, Spark's rule: hand-built
+      // docs where 'x' is null or missing in half the rows
+      val docs = (0L until 100L).map { i =>
+        val fields = Seq("k" -> BInt64(i), "g" -> BInt32((i % 2).toInt)) ++
+          (if (i % 4 == 0L) Seq("x" -> BInt64(i))
+           else if (i % 4 == 1L) Seq("x" -> BNull)
+           else Nil)
+        (i, Bson.encode(BDoc(fields)))
+      }.toIndexedSeq
+      val srv2 = new InProcessMongod(docs, "k", "db", "c")
+      try {
+        val schema2 = StructType(Seq(StructField("k", LongType),
+          StructField("g", IntegerType), StructField("x", LongType)))
+        val df2 = dsv2(srv2, Some(schema2), "numpartitions" -> "3")
+        val cq = df2.groupBy(col("g")).agg(count(col("x")).as("nx"),
+          count(lit(1)).as("n"))
+        assert(scanDescription(cq).contains("GraftMongoGroupScan"))
+        val r = cq.collect().map(x => (x.getInt(0), x.getLong(1),
+          x.getLong(2))).sortBy(_._1).toSeq
+        // non-null x exists only where i%4==0, which is always g=0
+        assert(r == Seq((0, 25L, 50L), (1, 0L, 50L)))
+        // and the pushed plan agrees with Spark aggregating the raw
+        // scan itself (localCheckpoint pins rows = no pushdown path)
+        val raw = df2.localCheckpoint(true).groupBy(col("g"))
+          .agg(count(col("x")).as("nx"), count(lit(1)).as("n"))
+          .collect().map(x => (x.getInt(0), x.getLong(1),
+            x.getLong(2))).sortBy(_._1).toSeq
+        assert(r == raw)
+      } finally srv2.close()
+    } finally srv.close()
+  }
+
   test("SupportsRuntimeFiltering: a join-derived key IN-set narrows " +
       "the wire filter AND the planned key ranges before cursors " +
       "open; inexpressible runtime filters are prune-only no-ops") {
