@@ -478,6 +478,70 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("streaming tail checkpoint recovery: a RESTARTED query " +
+      "resumes from the persisted key watermark (deserializeOffset) " +
+      "— no re-delivery, no gap") {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("name", StringType)))
+    val srv = InProcessMongod.serveEmpty("db", "tail", "k")
+    val dst = InProcessMongod.serveEmpty("db", "out", "k")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tail_recovery").toString
+    try {
+      // wire-to-wire with a checkpoint (the memory sink refuses
+      // recovery by design; our V2 sink does not)
+      def startQuery() = spark.readStream.format("graft-mongo")
+        .schema(schema)
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("database", "db").option("collection", "tail")
+        .option("keyfield", "k").option("numpartitions", "2")
+        .load()
+        .writeStream.format("graft-mongo")
+        .option("host", "127.0.0.1").option("port", dst.port.toString)
+        .option("database", "db").option("collection", "out")
+        .option("keyfield", "k")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(100))
+        .start()
+      def sunk(): Seq[Long] = {
+        val cur = new MongoWire.FindCursor("127.0.0.1", dst.port,
+          "db", "out", None, None, None, None, 512)
+        try cur.map(_.v.collectFirst {
+          case ("k", BInt64(x)) => x }.get).toList.sorted
+        finally cur.close()
+      }
+      val q1 = startQuery()
+      try {
+        MongoWire.write((0L until 40L).map(i => (i, s"v$i"))
+          .toDF("k", "name"), "127.0.0.1", srv.port, "db", "tail")
+        q1.processAllAvailable()
+        assert(sunk() == (0L until 40L))
+      } finally q1.stop()
+      // while the query is DOWN, more documents arrive
+      MongoWire.write((100L until 130L).map(i => (i, s"v$i"))
+        .toDF("k", "name"), "127.0.0.1", srv.port, "db", "tail")
+      // restart from the checkpoint: the offset json round-trips
+      // through deserializeOffset; exactly the missed window is
+      // appended — no re-delivery of wave 1, no gap
+      val q2 = startQuery()
+      try {
+        q2.processAllAvailable()
+        assert(sunk() == ((0L until 40L) ++ (100L until 130L)),
+          s"restart must append exactly the missed window")
+      } finally q2.stop()
+    } finally {
+      srv.close(); dst.close()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(ckpt))
+    }
+  }
+
   test("GROUP BY pushdown: per-partition $group partials merge to " +
       "exact results across partition-split groups; strings group " +
       "but never min/max; counts skip nulls like Spark") {
