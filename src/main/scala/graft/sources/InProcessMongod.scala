@@ -183,13 +183,12 @@ private[sources] object WireFilter {
   * aggregate pushdown emits: `_id` is null, a `"$field"` reference,
   * or a document of named `"$field"` references; accumulators are
   * `{$sum: 1}` (doc count), `{$sum: "$f"}`, `{$min: "$f"}`,
-  * `{$max: "$f"}`, `{$countNonNull: "$f"}` (the COUNT(col) partial —
-  * not a real server operator, marked as such). Semantics match what
-  * the PUSHDOWN must match — Spark's: min/max/sum/count skip
-  * missing AND null values; integer sums accumulate in wrapping
-  * 64-bit (Spark's non-ANSI overflow); decimal sums are exact
-  * BigDecimal; double sums accumulate in document order. Group keys
-  * are the raw extracted BVals, so types round-trip unchanged.
+  * `{$max: "$f"}` — REAL operators only (no invented wire surface).
+  * Semantics match what the PUSHDOWN must match — Spark's:
+  * min/max/sum skip missing AND null values; integer sums accumulate
+  * in wrapping 64-bit (Spark's non-ANSI overflow); decimal sums are
+  * exact BigDecimal; double sums accumulate in document order. Group
+  * keys are the raw extracted BVals, so types round-trip unchanged.
   */
 private[sources] object WireGroup {
 
@@ -200,12 +199,6 @@ private[sources] object WireGroup {
   private final class CountDocs extends Acc {
     private var n = 0L
     def add(v: Option[BVal]): Unit = n += 1
-    def result: BVal = BInt64(n)
-  }
-  private final class CountNonNull extends Acc {
-    private var n = 0L
-    def add(v: Option[BVal]): Unit =
-      if (v.exists(_ != BNull)) n += 1
     def result: BVal = BInt64(n)
   }
   private final class SumAcc extends Acc {
@@ -280,8 +273,6 @@ private[sources] object WireGroup {
           case Seq(("$sum", r)) => (out, "sum", fieldRef(r, "$sum"))
           case Seq(("$min", r)) => (out, "min", fieldRef(r, "$min"))
           case Seq(("$max", r)) => (out, "max", fieldRef(r, "$max"))
-          case Seq(("$countNonNull", r)) =>
-            (out, "countnonnull", fieldRef(r, "$countNonNull"))
           case other => throw new IllegalArgumentException(
             s"unsupported accumulator for '$out': $other")
         }
@@ -290,7 +281,6 @@ private[sources] object WireGroup {
       }
     def newAccs(): Array[Acc] = accSpecs.map {
       case (_, "countdocs", _) => new CountDocs
-      case (_, "countnonnull", _) => new CountNonNull
       case (_, "sum", _) => new SumAcc
       case (_, "min", _) => new MinMaxAcc(true)
       case (_, "max", _) => new MinMaxAcc(false)
@@ -675,13 +665,49 @@ final class InProcessMongod(db: String,
       "n" -> BInt32(keyed.size), "ok" -> BDouble(1.0))))
   }
 
-  private def handleListCollections(): Array[Byte] = {
+  /** Pages like the real command (default first batch 101): a
+    * database with more collections than one batch hands back a
+    * live cursor, so clients that read only `firstBatch` are caught
+    * by the spec rather than silently truncating.
+    */
+  private def handleListCollections(cmd: BDoc): Array[Byte] = {
     val docs = colls.keys.toSeq.sorted.map { c =>
-      Bson.encode(BDoc(Seq(
-        "name" -> BString(c), "type" -> BString("collection"))))
-    }
-    cursorReply(0L, s"$db.$$cmd.listCollections", "firstBatch", docs)
+      (0L, Bson.encode(BDoc(Seq(
+        "name" -> BString(c), "type" -> BString("collection")))))
+    }.toVector
+    val bs = math.min(get(cmd, "batchSize").map(asLong)
+      .getOrElse(101L).toInt, maxBatch)
+    val st0 = CursorState(docs, docs.indices.toArray, 0, bs, None)
+    val (page1, st1) = page(st0)
+    val id = if (st1.pos < docs.length) {
+      val cid = nextCursor.getAndIncrement()
+      cursors.put(cid, st1); cid
+    } else 0L
+    cursorReply(id, s"$db.$$cmd.listCollections", "firstBatch", page1)
   }
+
+  /** `killCursors`: the client's early-close path — without it an
+    * abandoned cursor's snapshot stays in the cursor map for the
+    * server's lifetime (a real leak for a long-lived server under
+    * limit-style partial reads).
+    */
+  private def handleKillCursors(collName: String,
+                                cmd: BDoc): Array[Byte] = {
+    val ids = get(cmd, "cursors") match {
+      case Some(BArr(xs)) => xs.map(asLong)
+      case other => throw new IllegalArgumentException(
+        s"killCursors wants a cursors array, got $other")
+    }
+    val (killed, notFound) =
+      ids.partition(id => cursors.remove(id) != null)
+    Bson.encode(BDoc(Seq(
+      "cursorsKilled" -> BArr(killed.map(BInt64(_))),
+      "cursorsNotFound" -> BArr(notFound.map(BInt64(_))),
+      "ok" -> BDouble(1.0))))
+  }
+
+  /** Live cursor count — the leak meter for the kill-cursors spec. */
+  def openCursors: Int = cursors.size()
 
   private def handleCount(collName: String, cmd: BDoc): Array[Byte] = {
     val coll = requireColl(collName)
@@ -719,18 +745,28 @@ final class InProcessMongod(db: String,
       s"$cmd wants a string collection name: $other")
   }
 
-  /** The connection handshake: capabilities + the compressor list
-    * the client's `compress=auto` negotiation reads (limits mirror
-    * the public server defaults).
+  /** The connection handshake: capabilities (limits mirror the
+    * public server defaults) + the NEGOTIATED compressor list — per
+    * the handshake rule, only compressors the client REQUESTED are
+    * echoed back (a hello without a compression array gets none),
+    * intersected with what this server speaks (zlib).
     */
-  private def handleHello(): Array[Byte] =
-    Bson.encode(BDoc(Seq(
-      "isWritablePrimary" -> BBool(true),
-      "maxBsonObjectSize" -> BInt32(16 * 1024 * 1024),
-      "maxMessageSizeBytes" -> BInt32(48 * 1000 * 1000),
-      "maxWriteBatchSize" -> BInt32(100000),
-      "compression" -> BArr(Seq(BString("zlib"))),
-      "ok" -> BDouble(1.0))))
+  private def handleHello(cmd: BDoc): Array[Byte] = {
+    val requested = get(cmd, "compression") match {
+      case Some(BArr(cs)) => cs.collect { case BString(s) => s }
+      case _ => Seq.empty
+    }
+    val negotiated = requested.filter(_ == "zlib")
+    val parts = Seq.newBuilder[(String, BVal)]
+    parts += "isWritablePrimary" -> BBool(true)
+    parts += "maxBsonObjectSize" -> BInt32(16 * 1024 * 1024)
+    parts += "maxMessageSizeBytes" -> BInt32(48 * 1000 * 1000)
+    parts += "maxWriteBatchSize" -> BInt32(100000)
+    if (negotiated.nonEmpty)
+      parts += "compression" -> BArr(negotiated.map(BString(_)))
+    parts += "ok" -> BDouble(1.0)
+    Bson.encode(BDoc(parts.result()))
+  }
 
   private def handle(cmd: BDoc): Array[Byte] =
     cmd.v.headOption match {
@@ -739,10 +775,12 @@ final class InProcessMongod(db: String,
       case Some(("aggregate", c)) =>
         handleAggregate(str(c, "aggregate"), cmd)
       case Some(("insert", c)) => handleInsert(str(c, "insert"), cmd)
-      case Some(("listCollections", _)) => handleListCollections()
+      case Some(("listCollections", _)) => handleListCollections(cmd)
       case Some(("count", c)) => handleCount(str(c, "count"), cmd)
       case Some(("collStats", c)) => handleCollStats(str(c, "collStats"))
-      case Some(("hello", _)) => handleHello()
+      case Some(("hello", _)) => handleHello(cmd)
+      case Some(("killCursors", c)) =>
+        handleKillCursors(str(c, "killCursors"), cmd)
       case other => throw new IllegalArgumentException(
         s"unsupported command: ${other.map(_._1)}")
     }

@@ -66,8 +66,15 @@ object MongoWire {
       inf.setInput(data)
       val out = new Array[Byte](originalSize)
       var off = 0
-      while (off < originalSize && !inf.finished())
-        off += inf.inflate(out, off, originalSize - off)
+      var stalled = false
+      while (off < originalSize && !inf.finished() && !stalled) {
+        val n = inf.inflate(out, off, originalSize - off)
+        // a zero-byte step with no more input = the declared size
+        // overstates the stream; bail to the loud error, never spin
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          stalled = true
+        else off += n
+      }
       inf.end()
       require(off == originalSize,
         s"OP_COMPRESSED inflated $off of declared $originalSize bytes")
@@ -162,18 +169,27 @@ object MongoWire {
     } finally sock.close()
   }
 
-  /** The connection handshake (`hello`): server capabilities +
-    * advertised compressors.
+  /** The connection handshake (`hello`): server capabilities. Per
+    * the handshake rule, the CLIENT lists the compressors it speaks
+    * and the server echoes back only the requested ones it also
+    * supports — a `hello` without a compression array gets none
+    * back, so the request side is mandatory for negotiation.
     */
-  def hello(host: String, port: Int, db: String = "admin"): BDoc =
-    command(host, port, BDoc(Seq(
-      "hello" -> BInt32(1), "$db" -> BString(db))))
+  def hello(host: String, port: Int, db: String = "admin",
+            compressors: Seq[String] = Seq("zlib")): BDoc = {
+    val parts = Seq.newBuilder[(String, BVal)]
+    parts += "hello" -> BInt32(1)
+    if (compressors.nonEmpty)
+      parts += "compression" -> BArr(compressors.map(BString(_)))
+    parts += "$db" -> BString(db)
+    command(host, port, BDoc(parts.result()))
+  }
 
-  /** `compress=auto`: use zlib iff the server advertises it in the
-    * handshake — the protocol's negotiation rule.
+  /** `compress=auto`: use zlib iff the server echoes it back for a
+    * hello that REQUESTED it — the protocol's negotiation rule.
     */
   def negotiateZlib(host: String, port: Int): Boolean =
-    hello(host, port).v.collectFirst {
+    hello(host, port, compressors = Seq("zlib")).v.collectFirst {
       case ("compression", BArr(cs)) =>
         cs.contains(BString("zlib"))
     }.getOrElse(false)
@@ -236,8 +252,22 @@ object MongoWire {
       h
     }
     override def next(): BDoc = batch.next()
-    override def close(): Unit =
+
+    /** Early close KILLS the live cursor (best-effort) before the
+      * socket drops — an abandoned server cursor would otherwise
+      * pin its snapshot for the server's lifetime.
+      */
+    override def close(): Unit = {
+      if (cursorId != 0L) {
+        try runCommand(sock, BDoc(Seq(
+          "killCursors" -> BString(coll),
+          "cursors" -> BArr(Seq(BInt64(cursorId))),
+          "$db" -> BString(db))), { reqId += 1; reqId }, compress)
+        catch { case _: Throwable => () }
+        cursorId = 0L
+      }
       try sock.close() catch { case _: Throwable => }
+    }
   }
 
   /** Cursor walk of one `find`: the full command surface — a
@@ -290,6 +320,22 @@ object MongoWire {
     BDoc(Seq(keyField -> BDoc(Seq(
       "$gte" -> BInt64(lo), "$lt" -> BInt64(hi)))))
 
+  /** Splits `[lo, hi)` into ≤ n contiguous ranges — OVERFLOW-SAFE
+    * (the span of `[Long.MinValue, maxKey)` does not fit a Long, so
+    * the arithmetic runs in BigInt).
+    */
+  def splitRanges(lo: Long, hi: Long, n: Int): Seq[(Long, Long)] = {
+    require(n >= 1, s"numPartitions $n")
+    if (hi <= lo) Nil
+    else {
+      val loB = BigInt(lo)
+      val span = BigInt(hi) - loB
+      (0 until n).map { p =>
+        ((loB + span * p / n).toLong, (loB + span * (p + 1) / n).toLong)
+      }.filter { case (a, b) => b > a }
+    }
+  }
+
   /** Merges the key-range conjunct with pushed-down extras into one
     * conjunctive filter document.
     */
@@ -315,11 +361,7 @@ object MongoWire {
            projectColumns: Boolean = false,
            compress: Boolean = false): DataFrame = {
     require(numPartitions >= 1 && maxKeyExclusive >= minKey)
-    val span = maxKeyExclusive - minKey
-    val ranges = (0 until numPartitions).map { p =>
-      (minKey + span * p / numPartitions,
-        minKey + span * (p + 1) / numPartitions)
-    }.filter { case (lo, hi) => hi > lo }
+    val ranges = splitRanges(minKey, maxKeyExclusive, numPartitions)
     val proj = if (projectColumns) Some(schema.fieldNames.toSeq) else None
     val rdd = spark.sparkContext
       .parallelize(ranges, math.max(ranges.size, 1))
@@ -369,6 +411,29 @@ object MongoWire {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** One acknowledged `insert` batch on an open socket — the single
+    * ack-parsing path shared by [[write]] and the V2 writer, so a
+    * failure always surfaces the server's own errmsg and the two
+    * paths cannot drift. Returns the acknowledged count (always
+    * `docs.size`, or a loud error).
+    */
+  def insertBatch(sock: Socket, db: String, coll: String,
+                  docs: Seq[BDoc], requestId: Int): Long = {
+    val reply = runCommand(sock, BDoc(Seq(
+      "insert" -> BString(coll),
+      "documents" -> BArr(docs),
+      "$db" -> BString(db))), requestId)
+    requireOk(reply)
+    val n = field(reply, "n") match {
+      case BInt32(x) => x.toLong
+      case BInt64(x) => x
+      case other => throw new IllegalArgumentException(
+        s"insert reply n: $other")
+    }
+    require(n == docs.size, s"insert acknowledged $n of ${docs.size}")
+    n
+  }
+
   /** Distributed write: every partition opens its own connection and
     * ships its rows as `insert` command batches, asserting the
     * server-acknowledged count per batch. Returns total rows
@@ -385,22 +450,9 @@ object MongoWire {
         var acked = 0L
         try {
           rows.grouped(batchSize).foreach { group =>
-            val docs = group.map(r => Bson.rowToDoc(r, schema))
-            val cmd = BDoc(Seq(
-              "insert" -> BString(coll),
-              "documents" -> BArr(docs),
-              "$db" -> BString(db)))
-            val reply = runCommand(sock, cmd, { reqId += 1; reqId })
-            requireOk(reply)
-            val n = field(reply, "n") match {
-              case BInt32(x) => x.toLong
-              case BInt64(x) => x
-              case other => throw new IllegalArgumentException(
-                s"insert reply n: $other")
-            }
-            require(n == group.size,
-              s"insert acknowledged $n of ${group.size}")
-            acked += n
+            acked += insertBatch(sock, db, coll,
+              group.map(r => Bson.rowToDoc(r, schema)),
+              { reqId += 1; reqId })
           }
         } finally sock.close()
         Iterator.single(acked)
@@ -408,19 +460,57 @@ object MongoWire {
     }.sum().toLong
   }
 
-  /** `listCollections` → one row per collection name. */
-  def listCollections(spark: SparkSession, host: String, port: Int,
-                      db: String): DataFrame = {
-    val reply = command(host, port, BDoc(Seq(
-      "listCollections" -> BInt32(1), "$db" -> BString(db))))
-    val cur = field(reply, "cursor").asInstanceOf[BDoc]
-    val names = field(cur, "firstBatch").asInstanceOf[BArr].v.map {
-      case d: BDoc => field(d, "name") match {
+  /** Runs a cursor-reply command and drains EVERY batch on one
+    * socket — the `listCollections` family pages like any cursor (a
+    * database can hold more collections than one batch), so reading
+    * only `firstBatch` silently truncates.
+    */
+  def commandCursorAll(host: String, port: Int, db: String,
+                       cmd: BDoc, getMoreColl: String,
+                       batchSize: Int = 101): Seq[BDoc] = {
+    val sock = new Socket(host, port)
+    try {
+      var reqId = 1
+      var reply = runCommand(sock, cmd, reqId)
+      requireOk(reply)
+      val out = Seq.newBuilder[BDoc]
+      var cur = field(reply, "cursor").asInstanceOf[BDoc]
+      var id = field(cur, "id").asInstanceOf[BInt64].v
+      out ++= field(cur, "firstBatch").asInstanceOf[BArr].v
+        .map(_.asInstanceOf[BDoc])
+      while (id != 0L) {
+        reqId += 1
+        reply = runCommand(sock, BDoc(Seq(
+          "getMore" -> BInt64(id),
+          "collection" -> BString(getMoreColl),
+          "batchSize" -> BInt32(batchSize),
+          "$db" -> BString(db))), reqId)
+        requireOk(reply)
+        cur = field(reply, "cursor").asInstanceOf[BDoc]
+        id = field(cur, "id").asInstanceOf[BInt64].v
+        out ++= field(cur, "nextBatch").asInstanceOf[BArr].v
+          .map(_.asInstanceOf[BDoc])
+      }
+      out.result()
+    } finally sock.close()
+  }
+
+  /** All collection names, paging included. */
+  def listCollectionNames(host: String, port: Int,
+                          db: String): Seq[String] =
+    commandCursorAll(host, port, db, BDoc(Seq(
+      "listCollections" -> BInt32(1), "$db" -> BString(db))),
+      "$cmd.listCollections").map { d =>
+      field(d, "name") match {
         case BString(s) => s
         case other => throw new IllegalArgumentException(s"name: $other")
       }
-      case other => throw new IllegalArgumentException(s"batch doc: $other")
     }
+
+  /** `listCollections` → one row per collection name. */
+  def listCollections(spark: SparkSession, host: String, port: Int,
+                      db: String): DataFrame = {
+    val names = listCollectionNames(host, port, db)
     val schema = StructType(Seq(StructField("collection", StringType,
       nullable = false)))
     spark.createDataFrame(
@@ -470,13 +560,7 @@ object MongoWire {
     */
   def adminProbe(spark: SparkSession, host: String, port: Int,
                  db: String): DataFrame = {
-    val reply = command(host, port, BDoc(Seq(
-      "listCollections" -> BInt32(1), "$db" -> BString(db))))
-    val cur = field(reply, "cursor").asInstanceOf[BDoc]
-    val names = field(cur, "firstBatch").asInstanceOf[BArr].v.map {
-      case d: BDoc => field(d, "name").asInstanceOf[BString].v
-      case other => throw new IllegalArgumentException(s"batch doc: $other")
-    }
+    val names = listCollectionNames(host, port, db)
     val rows = names.map { c =>
       val n = countDocs(host, port, db, c)
       val (statsN, _, _) = collStats(host, port, db, c)

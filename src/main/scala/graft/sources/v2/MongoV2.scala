@@ -145,6 +145,21 @@ private[v2] object MongoV2 {
     case "auto" => MongoWire.negotiateZlib(c.host, c.port)
   }
 
+  /** The table's key window as filter conjuncts — what scopes the
+    * COMMAND paths (`count`, edge finds, stats) to the same rows the
+    * ranged scan reads. Without this, a table declared over
+    * `[minkey, maxkey)` would count/min/max the WHOLE collection
+    * while scanning only the window. Empty when no explicit window
+    * was declared (the whole collection IS the window then — no
+    * probe spent).
+    */
+  def windowConjuncts(c: Conf): Seq[(String, BVal)] =
+    if (c.minKey.isEmpty && c.maxKey.isEmpty) Nil
+    else {
+      val (lo, hi) = keySpan(c)
+      MongoWire.rangeFilter(c.keyField, lo, hi).v
+    }
+
   /** The `[min, maxExclusive)` key span: from options, or probed with
     * two single-row sorted finds (the `sort dir limit 1` idiom).
     */
@@ -330,7 +345,10 @@ private[v2] object MongoV2 {
           case dt: DecimalType => BDecimal128(
             row.getDecimal(i, dt.precision, dt.scale)
               .toJavaBigDecimal)
-          case TimestampType => BDateTime(row.getLong(i) / 1000L)
+          // floorDiv: plain division rounds pre-epoch sub-ms values
+          // TOWARD zero, shifting them forward a millisecond
+          case TimestampType =>
+            BDateTime(Math.floorDiv(row.getLong(i), 1000L))
           case ArrayType(et, _) =>
             val arr = row.getArray(i)
             BArr((0 until arr.numElements()).map { j =>
@@ -464,19 +482,8 @@ private[v2] class MongoDataWriter(schema: StructType,
   private var acked = 0L
 
   private def flush(): Unit = if (buf.nonEmpty) {
-    val cmd = BDoc(Seq(
-      "insert" -> BString(conf.coll),
-      "documents" -> BArr(buf.toSeq),
-      "$db" -> BString(conf.db)))
-    val reply = MongoWire.runCommand(sock, cmd, { reqId += 1; reqId })
-    val ok = reply.v.collectFirst { case ("ok", v) => v }
-    require(ok.contains(BDouble(1.0)), s"insert failed: $reply")
-    val n = reply.v.collectFirst {
-      case ("n", BInt32(x)) => x.toLong
-      case ("n", BInt64(x)) => x
-    }.getOrElse(0L)
-    require(n == buf.size, s"insert acknowledged $n of ${buf.size}")
-    acked += n
+    acked += MongoWire.insertBatch(sock, conf.db, conf.coll,
+      buf.toSeq, { reqId += 1; reqId })
     buf.clear()
   }
 
@@ -621,10 +628,10 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
     val aggs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar =>
         Some(MongoV2.GroupAggCol("countdocs", "", LongType))
-      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
-          if !c.isDistinct =>
-        named(c.column()).map(f =>
-          MongoV2.GroupAggCol("countnonnull", f, LongType))
+      // COUNT(col) is NOT pushed: the real server has no count-non-
+      // null accumulator in this pipeline subset, and inventing a
+      // wire operator only the test double speaks would be a
+      // compatibility lie — Spark computes it over the plain scan
       case m: Min =>
         for {
           f <- named(m.column()); t <- typeOf(f) if orderable(t)
@@ -665,7 +672,8 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
     }
 
   override def build(): Scan = (aggSpecs, groupAgg) match {
-    case (Some(specs), _) => new MongoAggScan(conf, wireFilter, specs)
+    case (Some(specs), _) => new MongoAggScan(conf,
+      wireFilter ++ MongoV2.windowConjuncts(conf), specs)
     case (None, Some(g)) => new MongoGroupScan(conf, wireFilter, g)
     case _ =>
       new MongoScan(required, conf, pushed, wireFilter, limit,
@@ -702,16 +710,14 @@ private[v2] class MongoGroupScan(conf: MongoV2.Conf,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (minKey, maxKeyExclusive) = MongoV2.keySpan(conf)
-    val span = math.max(maxKeyExclusive - minKey, 0L)
-    val parts = (0 until conf.numPartitions).map { p =>
-      (minKey + span * p / conf.numPartitions,
-        minKey + span * (p + 1) / conf.numPartitions)
-    }.filter { case (lo, hi) => hi > lo }
+    val parts = MongoWire.splitRanges(minKey, maxKeyExclusive,
+      conf.numPartitions)
     val ranges = if (parts.isEmpty) Seq((0L, 0L)) else parts
+    val compress = MongoV2.resolveCompress(conf)   // one handshake
     ranges.map { case (lo, hi) =>
       MongoGroupPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, lo, hi, conf.batchSize, wireFilter, spec,
-        MongoV2.resolveCompress(conf)): InputPartition
+        compress): InputPartition
     }.toArray
   }
 
@@ -742,8 +748,6 @@ private[v2] class MongoGroupReader(p: MongoGroupPartition)
         p.spec.aggs.zipWithIndex.map { case (a, i) =>
           val acc: BVal = a.kind match {
             case "countdocs" => BDoc(Seq("$sum" -> BInt32(1)))
-            case "countnonnull" =>
-              BDoc(Seq("$countNonNull" -> BString("$" + a.field)))
             case "sum" => BDoc(Seq("$sum" -> BString("$" + a.field)))
             case "min" => BDoc(Seq("$min" -> BString("$" + a.field)))
             case "max" => BDoc(Seq("$max" -> BString("$" + a.field)))
@@ -956,10 +960,12 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
       try {
         val (cnt, size, _) = MongoWire.collStats(conf.host, conf.port,
           conf.db, conf.coll)
-        if (wireFilter.isEmpty || cnt == 0L) (cnt, size)
+        // the declared key window scopes the stats like the scan
+        val eff = wireFilter ++ MongoV2.windowConjuncts(conf)
+        if (eff.isEmpty || cnt == 0L) (cnt, size)
         else {
           val fc = MongoWire.countDocs(conf.host, conf.port, conf.db,
-            conf.coll, Some(BDoc(wireFilter)))
+            conf.coll, Some(BDoc(eff)))
           (fc, math.max(size * fc / cnt, 1L))
         }
       } catch {
@@ -1000,18 +1006,15 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
     val maxKeyExclusive = runtimeHiIncl.fold(maxKeyExclusive0)(h =>
       if (h == Long.MaxValue) maxKeyExclusive0
       else math.min(maxKeyExclusive0, h + 1))
-    val span = math.max(maxKeyExclusive - minKey, 0L)
-    val parts = (0 until conf.numPartitions).map { p =>
-      (minKey + span * p / conf.numPartitions,
-        minKey + span * (p + 1) / conf.numPartitions)
-    }.filter { case (lo, hi) => hi > lo }
+    val parts = MongoWire.splitRanges(minKey, maxKeyExclusive,
+      conf.numPartitions)
     val ranges = if (parts.isEmpty) Seq((0L, 0L)) else parts
+    val compress = MongoV2.resolveCompress(conf)   // one handshake
     ranges.map { case (lo, hi) =>
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, lo, hi, conf.batchSize,
         wireFilter ++ runtimeWire,
-        required.fieldNames.toSeq, limit, sortDesc,
-        MongoV2.resolveCompress(conf))
+        required.fieldNames.toSeq, limit, sortDesc, compress)
         : InputPartition
     }.toArray
   }
@@ -1062,8 +1065,12 @@ private[v2] class MongoMicroBatchStream(required: StructType,
     } finally cur.close()
   }
 
+  // an INITIALLY-EMPTY collection starts the watermark at the key
+  // space's floor: a 0 default would permanently skip later inserts
+  // with negative keys (every window is [start, latest))
   private lazy val initial: MongoOffset =
-    new MongoOffset(conf.minKey.getOrElse(edge(1).getOrElse(0L)))
+    new MongoOffset(
+      conf.minKey.getOrElse(edge(1).getOrElse(Long.MinValue)))
 
   @volatile private var lastLatest: Long = Long.MinValue
 
@@ -1076,20 +1083,20 @@ private[v2] class MongoMicroBatchStream(required: StructType,
     new MongoOffset(lastLatest)
   }
 
+  // negotiated once for the stream's lifetime, not per trigger
+  private lazy val compress: Boolean = MongoV2.resolveCompress(conf)
+
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[MongoOffset].maxKeyExclusive
     val hi = end.asInstanceOf[MongoOffset].maxKeyExclusive
-    val span = math.max(hi - lo, 0L)
-    val parts = (0 until conf.numPartitions).map { p =>
-      (lo + span * p / conf.numPartitions,
-        lo + span * (p + 1) / conf.numPartitions)
-    }.filter { case (a, b) => b > a }
+    // overflow-safe: [Long.MinValue, hi) does not fit a Long span
+    val parts = MongoWire.splitRanges(lo, hi, conf.numPartitions)
     parts.map { case (a, b) =>
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, a, b, conf.batchSize, wireFilter,
         required.fieldNames.toSeq, None, None,
-        MongoV2.resolveCompress(conf)): InputPartition
+        compress): InputPartition
     }.toArray
   }
 

@@ -478,6 +478,97 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("review hardening: a windowed table aggregates ONLY its " +
+      "window, early-closed cursors are killed server-side, " +
+      "listCollections pages past one batch, negative keys tail, " +
+      "pre-epoch timestamps floor to the millisecond") {
+    import spark.implicits._
+    val df = fixtureDf(1000)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      // 1. the complete COUNT/MIN/MAX honors minkey/maxkey: before
+      // the fix it counted the WHOLE collection for a windowed table
+      val windowed = dsv2(srv, Some(df.schema),
+        "minkey" -> "100", "maxkey" -> "200")
+      val aq = windowed.agg(count(lit(1)).as("n"),
+        min(col("k")).as("lo"), max(col("k")).as("hi"))
+      assert(scanDescription(aq).contains("GraftMongoAggScan"))
+      val ar = aq.collect().head
+      assert((ar.getLong(0), ar.getLong(1), ar.getLong(2)) ==
+        ((100L, 100L, 199L)))
+      // …and agrees with the scan and the group pushdown over the
+      // same window (they disagreed before the fix)
+      assert(windowed.count() == 100L)
+      val gr = windowed.groupBy(col("flag")).agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(1)).sum
+      assert(gr == 100L)
+      // 2. an early-closed cursor KILLS its server cursor: no
+      // snapshot pinned for the server's lifetime
+      val cur = new MongoWire.FindCursor("127.0.0.1", srv.port, "db",
+        "c", None, None, None, None, 10)
+      assert(cur.take(15).toList.size == 15)   // mid-stream, live
+      assert(srv.openCursors == 1)
+      cur.close()
+      assert(srv.openCursors == 0)
+    } finally srv.close()
+    // 3. listCollections pages: 250 collections at the command's
+    // default batch of 101 = three pages, client drains them all
+    val many = new InProcessMongod("db",
+      (0 until 250).map(i => (f"coll$i%03d", "k",
+        IndexedSeq.empty[(Long, Array[Byte])])), 1000)
+    try {
+      val names = MongoWire.listCollectionNames("127.0.0.1",
+        many.port, "db")
+      assert(names.size == 250 &&
+        names == names.sorted && names.head == "coll000")
+    } finally many.close()
+    // 4. a tail on an initially-EMPTY collection delivers documents
+    // with NEGATIVE keys (the old 0 floor skipped them silently)
+    val tailSrv = InProcessMongod.serveEmpty("db", "tail", "k")
+    try {
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("name", StringType)))
+      val q = spark.readStream.format("graft-mongo").schema(schema)
+        .option("host", "127.0.0.1")
+        .option("port", tailSrv.port.toString)
+        .option("database", "db").option("collection", "tail")
+        .option("keyfield", "k").option("numpartitions", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName("mongo_tail_negative").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(100))
+        .start()
+      try {
+        MongoWire.write((-50L until -10L).map(i => (i, s"v$i"))
+          .toDF("k", "name"), "127.0.0.1", tailSrv.port, "db", "tail")
+        q.processAllAvailable()
+        assert(spark.table("mongo_tail_negative").collect()
+          .map(_.getLong(0)).sorted.toSeq == (-50L until -10L))
+      } finally q.stop()
+    } finally tailSrv.close()
+    // 5. pre-epoch sub-millisecond timestamps floor (floorDiv), so
+    // the V2 writer cannot shift them forward a millisecond
+    val tsSrv = InProcessMongod.serveEmpty("db", "ts", "k")
+    try {
+      val ts = java.sql.Timestamp.from(
+        java.time.Instant.EPOCH.minusNanos(1500000))   // −1.5 ms
+      val tdf = Seq((1L, ts)).toDF("k", "when")
+      tdf.write.format("graft-mongo").mode("append")
+        .option("host", "127.0.0.1")
+        .option("port", tsSrv.port.toString)
+        .option("database", "db").option("collection", "ts")
+        .option("keyfield", "k").save()
+      val raw = new MongoWire.FindCursor("127.0.0.1", tsSrv.port,
+        "db", "ts", None, None, None, None, 10)
+      try {
+        val ms = raw.next().v.collectFirst {
+          case ("when", BDateTime(x)) => x }.get
+        assert(ms == -2L, s"floor(-1.5ms) must be -2ms, got $ms")
+      } finally raw.close()
+    } finally tsSrv.close()
+  }
+
   test("streaming tail checkpoint recovery: a RESTARTED query " +
       "resumes from the persisted key watermark (deserializeOffset) " +
       "— no re-delivery, no gap") {
@@ -577,8 +668,10 @@ class MongoV2Spec extends AnyFunSuite {
         .agg(min(col("name")).as("m"))
       assert(!scanDescription(smin).contains("GraftMongoGroupScan"))
       assert(smin.collect().length == 25)
-      // COUNT(col) skips nulls server-side, Spark's rule: hand-built
-      // docs where 'x' is null or missing in half the rows
+      // COUNT(col) must NOT push: the real server has no count-non-
+      // null accumulator in this pipeline subset, and a wire
+      // operator only the test double speaks would be a
+      // compatibility lie — Spark computes it over the plain scan
       val docs = (0L until 100L).map { i =>
         val fields = Seq("k" -> BInt64(i), "g" -> BInt32((i % 2).toInt)) ++
           (if (i % 4 == 0L) Seq("x" -> BInt64(i))
@@ -593,18 +686,12 @@ class MongoV2Spec extends AnyFunSuite {
         val df2 = dsv2(srv2, Some(schema2), "numpartitions" -> "3")
         val cq = df2.groupBy(col("g")).agg(count(col("x")).as("nx"),
           count(lit(1)).as("n"))
-        assert(scanDescription(cq).contains("GraftMongoGroupScan"))
+        assert(!scanDescription(cq).contains("GraftMongoGroupScan"),
+          scanDescription(cq))
         val r = cq.collect().map(x => (x.getInt(0), x.getLong(1),
           x.getLong(2))).sortBy(_._1).toSeq
         // non-null x exists only where i%4==0, which is always g=0
         assert(r == Seq((0, 25L, 50L), (1, 0L, 50L)))
-        // and the pushed plan agrees with Spark aggregating the raw
-        // scan itself (localCheckpoint pins rows = no pushdown path)
-        val raw = df2.localCheckpoint(true).groupBy(col("g"))
-          .agg(count(col("x")).as("nx"), count(lit(1)).as("n"))
-          .collect().map(x => (x.getInt(0), x.getLong(1),
-            x.getLong(2))).sortBy(_._1).toSeq
-        assert(r == raw)
       } finally srv2.close()
     } finally srv.close()
   }
