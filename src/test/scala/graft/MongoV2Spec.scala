@@ -478,6 +478,51 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("GROUP BY decimal SUM pushdown: exact partial sums ride as " +
+      "decimal128 and merge exactly; precision beyond the widened " +
+      "decimal128 bound refuses to push") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i =>
+        (i, (i % 5).toInt, BigDecimal(i).setScale(2) / 8))
+      .toDF("k", "g", "amt")
+      .withColumn("amt", col("amt").cast(DecimalType(12, 2)))
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val base = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "400", "numpartitions" -> "4")
+      val q = base.groupBy(col("g")).agg(sum(col("amt")).as("s"))
+      assert(scanDescription(q).contains("GraftMongoGroupScan"),
+        scanDescription(q))
+      val got = q.collect().map(r => (r.getInt(0), r.getDecimal(1)))
+        .sortBy(_._1).toSeq
+      val expect = df.groupBy(col("g")).agg(sum(col("amt")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getDecimal(1)))
+        .sortBy(_._1).toSeq
+      assert(got == expect)
+    } finally srv.close()
+    // a column whose +10 widening exceeds decimal128's 34 digits
+    // cannot carry exact partials: refuse AT THE SOURCE SCHEMA
+    // (decimal(30,2) + 10 = 40 > 34), stay in Spark
+    val wdf = (0L until 100L).map(i =>
+        (i, (i % 5).toInt, BigDecimal(i).setScale(2)))
+      .toDF("k", "g", "amt")
+      .withColumn("amt", col("amt").cast(DecimalType(30, 2)))
+    val wsrv = InProcessMongod.serve(wdf, "k", "db", "c")
+    try {
+      val wide = dsv2(wsrv, Some(wdf.schema),
+        "minkey" -> "0", "maxkey" -> "100")
+        .groupBy(col("g")).agg(sum(col("amt")).as("s"))
+      assert(!scanDescription(wide).contains("GraftMongoGroupScan"),
+        scanDescription(wide))
+      val got = wide.collect().map(r => (r.getInt(0), r.getDecimal(1)))
+        .sortBy(_._1).toSeq
+      val expect = wdf.groupBy(col("g")).agg(sum(col("amt")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getDecimal(1)))
+        .sortBy(_._1).toSeq
+      assert(got == expect)
+    } finally wsrv.close()
+  }
+
   test("review hardening: a windowed table aggregates ONLY its " +
       "window, early-closed cursors are killed server-side, " +
       "listCollections pages past one batch, negative keys tail, " +
