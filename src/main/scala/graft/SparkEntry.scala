@@ -693,19 +693,29 @@ object SparkEntry {
         .orderBy("event_type")
       finally srv.close()
     }),
-    // decimal128 fidelity under the gate: order totals as exact
-    // DECIMAL(12,2) ride the wire as IEEE 754-2008 BID decimal128
-    // (encode → frame → store → cursor → decode) and must hash-equal
-    // DuckDB's own DECIMAL arithmetic on the plain table — the
-    // money-safe type path a live server's NumberDecimal needs
+    // decimal128 fidelity under the gate: exact DECIMAL(12,2) values
+    // ride the wire as IEEE 754-2008 BID decimal128 (encode → frame →
+    // store → cursor → decode) and must hash-equal the oracle's
+    // identically-constructed decimals — the money-safe type path a
+    // live server's NumberDecimal needs. Exact-by-construction
+    // (round-15 lesson): the decimal derives from INTEGER cents via a
+    // fixed-point string on BOTH engines, never from a double→decimal
+    // cast, whose rounding is cross-engine version-sensitive (it
+    // passed local DuckDB yet failed the driver's). The final string
+    // render puts every digit of every post-roundtrip value in the
+    // hash while keeping the comparison engine-neutral (the
+    // extjson-row precedent for decimal outputs).
     "mongo_decimal_roundtrip" -> ((s, d) => {
       // capped at 20k docs (the tail-stream precedent): the row
       // prices the decimal128 wire path, not an ever-growing
       // serve-fixture encode
       val ord = Tables.load(s, d, "orders")
         .select(col("o_orderkey"),
-          col("o_totalprice").cast(org.apache.spark.sql.types
-            .DecimalType(12, 2)).as("total_dec"))
+          format_string("%d.%02d",
+            expr("(o_orderkey * 123 + 7) DIV 100"),
+            expr("(o_orderkey * 123 + 7) % 100"))
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2))
+            .as("total_dec"))
         .orderBy("o_orderkey").limit(20000)
       val b = ord.agg(min(col("o_orderkey")), max(col("o_orderkey")))
         .head()
@@ -714,6 +724,8 @@ object SparkEntry {
       try graft.sources.MongoWire.read(s, "127.0.0.1", srv.port,
           "graft", "orders_dec", ord.schema, "o_orderkey",
           b.getLong(0), b.getLong(1) + 1, numPartitions = 4)
+        .select(col("o_orderkey"),
+          col("total_dec").cast("string").as("total_str"))
         .localCheckpoint(true)
         .orderBy("o_orderkey")
       finally srv.close()
@@ -2244,7 +2256,10 @@ object SparkEntry {
         .as("uuid_bin"),
       when(col("id") % 3 === 0, 4).when(col("id") % 3 === 1, 3)
         .otherwise(0).as("uuid_subtype"),
-      expr("CAST((id * 107 % 10000) / 100.0 AS DECIMAL(12,2))").as("dec"),
+      // exact-by-construction: integer cents via a fixed-point
+      // string, never double/100.0 -> decimal (oraclelint rule A)
+      expr("CAST(format_string('%d.%02d', (id * 107 % 10000) DIV 100," +
+        " (id * 107 % 10000) % 100) AS DECIMAL(12,2))").as("dec"),
       unhex(substring(md5(concat(lit("bin:"), col("id").cast("string"))),
         1, 16)).as("bin"))
 
@@ -4075,7 +4090,8 @@ object SparkEntry {
        |       ELSE uh END AS uuid_str,
        |  CAST(CASE WHEN m = 0 THEN 4 WHEN m = 1 THEN 3 ELSE 0 END
        |    AS BIGINT) AS uuid_subtype,
-       |  CAST(CAST((id * 107 % 10000) / 100.0 AS DECIMAL(12,2))
+       |  CAST(CAST(printf('%d.%02d', (id * 107 % 10000) // 100,
+       |         (id * 107 % 10000) % 100) AS DECIMAL(12,2))
        |    AS VARCHAR) AS dec_str,
        |  substr(bh, 1, 16) AS bin_hex
        |FROM u ORDER BY id""".stripMargin
@@ -7160,8 +7176,13 @@ object SparkEntry {
       SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       FROM supplier ORDER BY s_suppkey"""),
     "mongo_decimal_roundtrip" -> ("""
-      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total_dec
-      FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 20000)
+      SELECT o_orderkey,
+             CAST(CAST(printf('%d.%02d',
+                    (o_orderkey * 123 + 7) // 100,
+                    (o_orderkey * 123 + 7) % 100) AS DECIMAL(12,2))
+               AS VARCHAR) AS total_str
+      FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey
+            LIMIT 20000)
       ORDER BY o_orderkey"""),
     "mongo_group_pushdown" -> ("""
       SELECT event_type,
