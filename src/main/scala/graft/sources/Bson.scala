@@ -44,6 +44,22 @@ object Bson {
   /** decimal128 (0x13), decoded to exact unscaled×10^exp form. */
   final case class BDecimal128(v: java.math.BigDecimal) extends BVal
 
+  /** The wire type's documented name — for error messages. */
+  def typeName(v: BVal): String = v match {
+    case _: BDouble => "double"
+    case _: BString => "string"
+    case _: BDoc => "document"
+    case _: BArr => "array"
+    case _: BBinary => "binData"
+    case _: BObjectId => "objectId"
+    case _: BBool => "bool"
+    case _: BDateTime => "date"
+    case BNull => "null"
+    case _: BInt32 => "int"
+    case _: BInt64 => "long"
+    case _: BDecimal128 => "decimal"
+  }
+
   // — encode —
 
   def encode(doc: BDoc): Array[Byte] = {

@@ -472,7 +472,7 @@ final class InProcessMongod(db: String,
     // index prune on the key field, then full predicate on the window
     val (lo, hi) = WireFilter.keyWindow(cs, coll.keyField)
     val start = coll.lowerBound(snap, lo)
-    val end = coll.lowerBound(snap, hi)
+    val end = coll.windowEnd(snap, hi)
     var idxs = (start until end)
       .filter(i => WireFilter.isEmpty(cs) ||
         WireFilter.matches(snap(i)._2, cs))
@@ -573,7 +573,7 @@ final class InProcessMongod(db: String,
           if (idxs.length == snap.length) {
             val (lo, hi) = WireFilter.keyWindow(cs, coll.keyField)
             idxs = (coll.lowerBound(snap, lo) until
-              coll.lowerBound(snap, hi)).toArray
+              coll.windowEnd(snap, hi)).toArray
           }
           idxs = idxs.filter(i =>
             WireFilter.matches(snap(i)._2, cs))
@@ -586,9 +586,12 @@ final class InProcessMongod(db: String,
         case Seq(("$sort", BDoc(Seq((f, dir))))) =>
           require(f == coll.keyField,
             s"the only index is ${coll.keyField}; cannot sort by $f")
-          val asc = asLong(dir) == 1L
-          idxs = idxs.sortBy(i =>
-            if (asc) snap(i)._1 else -snap(i)._1)
+          // explicit reverse Ordering, not numeric negation:
+          // -Long.MinValue overflows to itself and would mis-sort a
+          // MinValue key to the FRONT of a descending sort
+          idxs =
+            if (asLong(dir) == 1L) idxs.sortBy(i => snap(i)._1)
+            else idxs.sortBy(i => snap(i)._1)(Ordering[Long].reverse)
         case Seq(("$skip", n)) =>
           idxs = idxs.drop(asLong(n).toInt)
         case Seq(("$limit", n)) =>
@@ -718,7 +721,7 @@ final class InProcessMongod(db: String,
     }
     val (lo, hi) = WireFilter.keyWindow(cs, coll.keyField)
     val start = coll.lowerBound(snap, lo)
-    val end = coll.lowerBound(snap, hi)
+    val end = coll.windowEnd(snap, hi)
     val n =
       if (WireFilter.isEmpty(cs)) end - start
       else (start until end)
@@ -927,6 +930,16 @@ object InProcessMongod {
       }
       lo
     }
+
+    /** End index of the key-prune window: an exclusive bound of
+      * Long.MaxValue means "unbounded" (keyWindow saturates there;
+      * the key space has no representable bound above its ceiling),
+      * so a genuine Long.MaxValue key stays VISIBLE — the exact
+      * predicate still runs on every pruned row, so a real
+      * `$lt MaxValue` filter keeps excluding it.
+      */
+    def windowEnd(snap: Vector[(Long, Array[Byte])], hi: Long): Int =
+      if (hi == Long.MaxValue) snap.length else lowerBound(snap, hi)
   }
 
   private def keyAsLong(r: org.apache.spark.sql.Row, i: Int): Long =

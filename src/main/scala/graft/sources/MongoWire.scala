@@ -337,11 +337,25 @@ object MongoWire {
   }
 
   /** Merges the key-range conjunct with pushed-down extras into one
-    * conjunctive filter document.
+    * conjunctive filter document. When extras exist, every conjunct
+    * becomes its own sub-document under a single top-level `$and`:
+    * a raw-BSON document with DUPLICATE top-level keys (range
+    * conjunct + a pushed filter on the key field, or repeated `$or`
+    * trees) is not a guaranteed contract on a real server, even
+    * though the in-process double folds every entry.
     */
-  private def mergedFilter(keyField: String, lo: Long, hi: Long,
-                           extra: Seq[(String, BVal)]): BDoc =
-    BDoc(rangeFilter(keyField, lo, hi).v ++ extra)
+  def mergedFilter(keyField: String, lo: Long, hi: Long,
+                   extra: Seq[(String, BVal)]): BDoc =
+    if (extra.isEmpty) rangeFilter(keyField, lo, hi)
+    else andDoc(rangeFilter(keyField, lo, hi).v ++ extra)
+
+  /** One conjunct list → one filter document, duplicate-key-safe:
+    * a single conjunct stays a plain document, several wrap under
+    * `$and` (see [[mergedFilter]]).
+    */
+  def andDoc(conjuncts: Seq[(String, BVal)]): BDoc =
+    if (conjuncts.lengthCompare(1) <= 0) BDoc(conjuncts)
+    else BDoc(Seq("$and" -> BArr(conjuncts.map(kv => BDoc(Seq(kv))))))
 
   /** Distributed collection scan: the key span splits into
     * `numPartitions` contiguous ranges and EACH PARTITION opens its

@@ -99,7 +99,25 @@ class MongoCatalog extends TableCatalog {
       Option(options.get(k)).foreach(confMap.put(k, _))
     }
     val conf = MongoV2.Conf(new CaseInsensitiveStringMap(confMap))
-    new MongoTable(MongoV2.inferSchema(conf), conf)
+    val schema = MongoV2.inferSchema(conf)
+    // LOUD at plan time: on a real server the '_id' default is an
+    // ObjectId (inferred string), and a non-integral key would make
+    // every ranged scan silently empty (keySpan probes by key type)
+    schema.fields.find(_.name == keyField) match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types
+            .LongType || f.dataType == org.apache.spark.sql.types
+            .IntegerType => ()
+      case Some(f) => throw new IllegalArgumentException(
+        s"catalog $catalogName: keyfield '$keyField' of collection " +
+          s"'$coll' inferred as ${f.dataType.simpleString}; ranged " +
+          "scans need an int/long key — set the " +
+          s"keyfield.$coll catalog option to an integral field")
+      case None => throw new IllegalArgumentException(
+        s"catalog $catalogName: keyfield '$keyField' is absent from " +
+          s"sampled documents of '$coll' — set the keyfield.$coll " +
+          "catalog option to an always-present integral field")
+    }
+    new MongoTable(schema, conf)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -172,9 +172,31 @@ private[v2] object MongoV2 {
           Some(1L), 2)
         try {
           if (!cur.hasNext) None
-          else cur.next().v.collectFirst {
-            case (f, BInt64(x)) if f == c.keyField => x
-            case (f, BInt32(x)) if f == c.keyField => x.toLong
+          else {
+            // LOUD on a non-integral key: collectFirst silently
+            // missing here would make a NON-empty collection read as
+            // empty — scans, streams, and pushed aggregates would
+            // all return zero rows (e.g. the default `_id` ObjectId
+            // on a real server)
+            val doc = cur.next()
+            doc.v.collectFirst {
+              case (f, v) if f == c.keyField => v
+            } match {
+              case Some(BInt64(x)) => Some(x)
+              case Some(BInt32(x)) => Some(x.toLong)
+              case Some(other) => throw new IllegalStateException(
+                s"graft-mongo: keyfield '${c.keyField}' of " +
+                  s"${c.db}.${c.coll} is ${Bson.typeName(other)} on " +
+                  "the server; ranged scans need an int32/int64 key " +
+                  "— point the keyfield option (or " +
+                  s"keyfield.${c.coll} on a catalog) at an integral " +
+                  "field")
+              case None => throw new IllegalStateException(
+                s"graft-mongo: keyfield '${c.keyField}' is absent " +
+                  s"from documents of ${c.db}.${c.coll} — point the " +
+                  "keyfield option at an always-present integral " +
+                  "field")
+            }
           }
         } finally cur.close()
       }
@@ -739,8 +761,8 @@ private[v2] class MongoGroupReader(p: MongoGroupPartition)
     extends PartitionReader[InternalRow] {
 
   private val cursor = {
-    val matchDoc = BDoc(
-      MongoWire.rangeFilter(p.keyField, p.lo, p.hi).v ++ p.wireFilter)
+    val matchDoc =
+      MongoWire.mergedFilter(p.keyField, p.lo, p.hi, p.wireFilter)
     val groupDoc = BDoc(
       ("_id" -> (BDoc(p.spec.groupCols.map { case (c, _) =>
         (c, BString("$" + c): BVal)
@@ -838,7 +860,8 @@ private[v2] class MongoAggReader(p: MongoAggPartition)
 
   private def edgeKey(dir: Int): Option[Long] = {
     val cur = new MongoWire.FindCursor(p.host, p.port, p.db, p.coll,
-      if (p.wireFilter.isEmpty) None else Some(BDoc(p.wireFilter)),
+      if (p.wireFilter.isEmpty) None
+      else Some(MongoWire.andDoc(p.wireFilter)),
       Some(Seq(p.keyField)), Some((p.keyField, dir)), Some(1L), 2)
     try {
       if (!cur.hasNext) None
@@ -862,7 +885,7 @@ private[v2] class MongoAggReader(p: MongoAggPartition)
         case "count" =>
           MongoWire.countDocs(p.host, p.port, p.db, p.coll,
             if (p.wireFilter.isEmpty) None
-            else Some(BDoc(p.wireFilter)))
+            else Some(MongoWire.andDoc(p.wireFilter)))
         case "min" | "max" =>
           edgeKey(if (s.kind == "min") 1 else -1) match {
             case None => null          // empty: MIN/MAX are NULL
@@ -965,7 +988,7 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
         if (eff.isEmpty || cnt == 0L) (cnt, size)
         else {
           val fc = MongoWire.countDocs(conf.host, conf.port, conf.db,
-            conf.coll, Some(BDoc(eff)))
+            conf.coll, Some(MongoWire.andDoc(eff)))
           (fc, math.max(size * fc / cnt, 1L))
         }
       } catch {
@@ -1077,7 +1100,18 @@ private[v2] class MongoMicroBatchStream(required: StructType,
   override def initialOffset(): Offset = initial
 
   override def latestOffset(): Offset = {
-    val probed = edge(-1).map(_ + 1).getOrElse(initial.maxKeyExclusive)
+    // the watermark is an EXCLUSIVE upper bound: a max key of
+    // Long.MaxValue has no representable bound and `+ 1` would
+    // overflow to Long.MinValue, pinning the watermark so rows near
+    // the key-space ceiling are silently never delivered — refuse it
+    // loudly instead
+    val probed = edge(-1).map { k =>
+      if (k == Long.MaxValue) throw new IllegalStateException(
+        s"graft-mongo tail: key ${Long.MaxValue} (Long.MaxValue) in " +
+          s"${conf.db}.${conf.coll} cannot be watermarked by an " +
+          "exclusive upper bound; keep keys below Long.MaxValue")
+      k + 1
+    }.getOrElse(initial.maxKeyExclusive)
     lastLatest = math.max(lastLatest,
       math.max(probed, initial.maxKeyExclusive))
     new MongoOffset(lastLatest)
@@ -1144,8 +1178,7 @@ private[v2] class MongoPartitionReader(p: MongoInputPartition,
 
   private val cursor = new MongoWire.FindCursor(
     p.host, p.port, p.db, p.coll,
-    Some(BDoc(MongoWire.rangeFilter(p.keyField, p.lo, p.hi).v ++
-      p.wireFilter)),
+    Some(MongoWire.mergedFilter(p.keyField, p.lo, p.hi, p.wireFilter)),
     Some(p.columns),
     p.sortDesc.map(d => (p.keyField, if (d) -1 else 1)),
     p.limit.map(_.toLong), p.batchSize, p.compress)

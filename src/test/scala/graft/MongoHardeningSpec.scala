@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Bson, InProcessMongod, MongoWire}
+import graft.sources.Bson._
+
+/** Edge-of-the-keyspace and wire-document-shape hardening for the
+  * connector: duplicate-free filter documents, Long extreme keys,
+  * loud non-integral-keyfield failures.
+  */
+class MongoHardeningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def fixtureDf(n: Int): DataFrame = {
+    import spark.implicits._
+    (0L until n.toLong).map(i => (i, s"name$i", (i % 5).toInt))
+      .toDF("k", "name", "grp")
+  }
+
+  private def read(srv: InProcessMongod, schema: StructType): DataFrame =
+    spark.read.format("graft-mongo")
+      .schema(schema)
+      .option("host", "127.0.0.1").option("port", srv.port.toString)
+      .option("database", "db").option("collection", "c")
+      .option("keyfield", "k").option("numpartitions", "2")
+      .load()
+
+  private def topLevelKeys(d: BDoc): Seq[String] = d.v.map(_._1)
+
+  test("merged filter documents never carry duplicate top-level keys: " +
+      "range conjunct + pushed filters ride a single $and") {
+    val df = fixtureDf(20)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val out = read(srv, df.schema)
+        .filter(col("k") >= 2L && col("name") === "name5")
+        .select("k", "name").collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(5L))
+      val filterDoc = srv.stats.lastFind
+        .flatMap(f => f.v.collectFirst { case ("filter", d: BDoc) => d })
+        .getOrElse(fail("no filter document reached the server"))
+      val keys = topLevelKeys(filterDoc)
+      assert(keys.distinct == keys,
+        s"duplicate top-level keys in filter doc: $keys")
+      // range + pushed k-filter + pushed name-filter = several
+      // conjuncts: they must arrive as ONE $and array
+      assert(keys == Seq("$and"), s"expected a single $$and, got $keys")
+      val arms = filterDoc.v.head._2 match {
+        case BArr(ds) => ds.map { case d: BDoc => topLevelKeys(d) }
+        case other => fail(s"$$and wants an array, got $other")
+      }
+      assert(arms.forall(_.size == 1))
+      assert(arms.flatten.count(_ == "k") >= 2,
+        "both the range conjunct and the pushed k-filter must arrive")
+    } finally srv.close()
+  }
+
+  test("descending wire $sort orders Long.MinValue LAST (negation " +
+      "overflow would put it first)") {
+    import spark.implicits._
+    val df = Seq((Long.MinValue, "lo"), (0L, "mid"), (5L, "hi"))
+      .toDF("k", "name")
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val cur = new MongoWire.AggregateCursor("127.0.0.1", srv.port,
+        "db", "c",
+        Seq(BDoc(Seq("$sort" -> BDoc(Seq("k" -> BInt32(-1)))))), 16)
+      val keys =
+        try cur.map(_.v.collectFirst { case ("k", BInt64(x)) => x }.get)
+          .toList
+        finally cur.close()
+      assert(keys == List(5L, 0L, Long.MinValue))
+    } finally srv.close()
+  }
+
+  test("streaming tail REFUSES a key of Long.MaxValue loudly instead " +
+      "of pinning the watermark and dropping rows") {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("name", StringType)))
+    val df = Seq((1L, "a"), (Long.MaxValue, "ceiling")).toDF("k", "name")
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val q = spark.readStream.format("graft-mongo").schema(schema)
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("database", "db").option("collection", "c")
+        .option("keyfield", "k")
+        .load()
+        .writeStream.format("memory").queryName("maxkey_tail")
+        .outputMode("append").start()
+      // the query must FAIL (not silently drop the ceiling row);
+      // a dead query's processAllAvailable returns instead of
+      // throwing, so poll the query's terminal exception
+      val deadline = System.currentTimeMillis() + 20000
+      try q.processAllAvailable() catch { case _: Exception => () }
+      while (q.exception.isEmpty && q.isActive &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      val ex = q.exception.getOrElse(
+        fail("query should fail loudly on a Long.MaxValue key"))
+      assert(causes(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("watermarked"))),
+        s"expected the loud watermark refusal, got: $ex")
+      try q.stop() catch { case _: Exception => () }
+    } finally srv.close()
+  }
+
+  test("catalog loadTable fails LOUDLY when the keyfield resolves to " +
+      "a non-integral column (the real-server '_id' ObjectId trap)") {
+    val df = fixtureDf(10)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    val cat = s"hardmongo${srv.port}"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.MongoCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.host", "127.0.0.1")
+      spark.conf.set(s"spark.sql.catalog.$cat.port", srv.port.toString)
+      spark.conf.set(s"spark.sql.catalog.$cat.database", "db")
+      // keyfield left at its '_id' default — absent from documents
+      val exAbsent = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.db.c").collect()
+      }
+      assert(exAbsent.getMessage.contains("keyfield.c") ||
+        Option(exAbsent.getCause).exists(
+          _.getMessage.contains("keyfield.c")),
+        s"expected the keyfield.<collection> hint, got: $exAbsent")
+      // keyfield pointed at a STRING column — same loud refusal
+      spark.conf.set(s"spark.sql.catalog.$cat.keyfield.c", "name")
+      val exString = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.db.c").collect()
+      }
+      def msgs(t: Throwable): String =
+        Option(t).map(x => x.getMessage + msgs(x.getCause)).getOrElse("")
+      assert(msgs(exString).contains("integral"),
+        s"expected the integral-keyfield refusal, got: $exString")
+    } finally srv.close()
+  }
+}
