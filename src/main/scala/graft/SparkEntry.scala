@@ -693,6 +693,55 @@ object SparkEntry {
         .orderBy("event_type")
       finally srv.close()
     }),
+    // decimal-SUM GROUP BY pushdown under the gate (MongoV2Spec pins
+    // the plans; this row prices the VALUES): the pushed arm sums
+    // DECIMAL(12,2) as per-partition $group partials riding the wire
+    // as decimal128, merged exactly across all four key-range
+    // partitions by Spark's final aggregate; the refused arm sums the
+    // SAME cents as DECIMAL(30,2), whose +10 SUM widening exceeds
+    // decimal128's 34 digits, so the source refuses the pushdown and
+    // Spark aggregates documents — both arms must hash-equal the
+    // oracle's single exact sum. Cents are exact-by-construction
+    // (round-15 lesson); capped at 20k docs (serve-fixture rule)
+    "mongo_group_decimal" -> ((s, d) => {
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          format_string("%d.%02d",
+            expr("(o_orderkey * 37 + 11) DIV 100"),
+            expr("(o_orderkey * 37 + 11) % 100")).as("cents_str"))
+        .orderBy("o_orderkey").limit(20000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("cents_str").cast(org.apache.spark.sql.types
+            .DecimalType(12, 2)).as("dec12"),
+          col("cents_str").cast(org.apache.spark.sql.types
+            .DecimalType(30, 2)).as("dec30"))
+      val b = ord.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .head()
+      val srv = graft.sources.InProcessMongod.serve(ord, "o_orderkey",
+        "graft", "orders_gdec")
+      try {
+        val base = s.read.format("graft-mongo").schema(ord.schema)
+          .option("host", "127.0.0.1")
+          .option("port", srv.port.toString)
+          .option("database", "graft")
+          .option("collection", "orders_gdec")
+          .option("keyfield", "o_orderkey")
+          .option("minkey", b.getLong(0).toString)
+          .option("maxkey", (b.getLong(1) + 1).toString)
+          .option("numpartitions", "4")
+          .load()
+        val pushed = base.groupBy(col("o_orderpriority"))
+          .agg(sum(col("dec12")).as("sp"))
+        val refused = base.groupBy(col("o_orderpriority"))
+          .agg(sum(col("dec30")).as("sw"))
+        pushed.join(refused, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"),
+            col("sp").cast("double").as("sum_pushed"),
+            col("sw").cast("double").as("sum_wide"))
+          .localCheckpoint(true)
+          .orderBy("o_orderpriority")
+      } finally srv.close()
+    }),
     // decimal128 fidelity under the gate: exact DECIMAL(12,2) values
     // ride the wire as IEEE 754-2008 BID decimal128 (encode → frame →
     // store → cursor → decode) and must hash-equal the oracle's
@@ -7193,6 +7242,18 @@ object SparkEntry {
       FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000)
       GROUP BY event_type
       ORDER BY event_type"""),
+    "mongo_group_decimal" -> ("""
+      WITH o AS (
+        SELECT o_orderpriority,
+               CAST(printf('%d.%02d', (o_orderkey * 37 + 11) // 100,
+                    (o_orderkey * 37 + 11) % 100) AS DECIMAL(12,2))
+                 AS dec12
+        FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 20000))
+      SELECT o_orderpriority,
+             CAST(SUM(dec12) AS DOUBLE) AS sum_pushed,
+             CAST(SUM(dec12) AS DOUBLE) AS sum_wide
+      FROM o GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
     "mongo_catalog_sql" -> ("""
       SELECT n.n_name AS nation,
              CAST(count(*) AS BIGINT) AS n_cust,
