@@ -529,6 +529,34 @@ object SparkEntry {
         .orderBy("c_custkey")
       finally srv.close()
     }),
+    // the same scan AUTH-GATED: the server requires SCRAM-SHA-256
+    // (RFC 5802/7677 over saslStart/saslContinue — Scram.scala) and
+    // every ranged-cursor connection authenticates before its first
+    // command; an unauthenticated find would fail code 13 (ScramSpec
+    // proves that arm). Agreement with the plain table certifies the
+    // conversation leaves the data path untouched
+    "mongo_auth_scan" -> ((s, d) => {
+      val sup = Tables.load(s, d, "supplier")
+      val b = sup.agg(min(col("s_suppkey")), max(col("s_suppkey")))
+        .head()
+      val srv = graft.sources.InProcessMongod.serve(sup, "s_suppkey",
+        "graft", "supplier_auth")
+      srv.requireAuth("analyst", "s3cr3t")
+      try s.read.format("graft-mongo").schema(sup.schema)
+        .option("host", "127.0.0.1")
+        .option("port", srv.port.toString)
+        .option("database", "graft")
+        .option("collection", "supplier_auth")
+        .option("keyfield", "s_suppkey")
+        .option("minkey", b.getLong(0).toString)
+        .option("maxkey", (b.getLong(1) + 1).toString)
+        .option("numpartitions", "4")
+        .option("user", "analyst").option("password", "s3cr3t")
+        .load()
+        .localCheckpoint(true)
+        .orderBy("s_suppkey")
+      finally srv.close()
+    }),
     // the DSv2 connector under Catalyst's OWN pushdown planner:
     // spark.read.format("graft-mongo") with a relational filter +
     // projection on top — V2ScanRelationPushDown hands the scan its
@@ -7224,6 +7252,8 @@ object SparkEntry {
     "mongo_sink_roundtrip" -> ("""
       SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       FROM supplier ORDER BY s_suppkey"""),
+    "mongo_auth_scan" -> ("""
+      SELECT * FROM supplier ORDER BY s_suppkey"""),
     "mongo_decimal_roundtrip" -> ("""
       SELECT o_orderkey,
              CAST(CAST(printf('%d.%02d',

@@ -357,6 +357,29 @@ final class InProcessMongod(db: String,
 
   val stats = new Stats
 
+  /** When set, every connection must complete a SCRAM-SHA-256
+    * conversation before any command other than `hello`/`saslStart`/
+    * `saslContinue` — the real server's required-auth behavior
+    * (code 13 Unauthorized otherwise). The salt is random per call;
+    * only the RFC 5802 at-rest keys are kept, never the password.
+    */
+  @volatile private var authCred: Option[Scram.StoredCredential] = None
+
+  def requireAuth(user: String, password: String): Unit = {
+    val salt = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(salt)
+    authCred = Some(Scram.storeCredential(user, password, salt))
+  }
+
+  /** Per-connection SASL progress (the wire conversation is
+    * connection-scoped state on a real server too).
+    */
+  private final class ConnAuth {
+    var authenticated: Boolean = false
+    var conversation: Option[Scram.ServerSide] = None
+    var proofVerified: Boolean = false
+  }
+
   private val server = new ServerSocket(0, 64,
     InetAddress.getLoopbackAddress)
   @volatile private var running = true
@@ -767,12 +790,24 @@ final class InProcessMongod(db: String,
     parts += "maxWriteBatchSize" -> BInt32(100000)
     if (negotiated.nonEmpty)
       parts += "compression" -> BArr(negotiated.map(BString(_)))
+    // mechanism advertisement: a hello carrying saslSupportedMechs
+    // ("db.user") gets the mechanisms back (the driver handshake)
+    if (get(cmd, "saslSupportedMechs").isDefined &&
+        authCred.isDefined)
+      parts += "saslSupportedMechs" ->
+        BArr(Seq(BString("SCRAM-SHA-256")))
     parts += "ok" -> BDouble(1.0)
     Bson.encode(BDoc(parts.result()))
   }
 
-  private def handle(cmd: BDoc): Array[Byte] =
+  private def handle(cmd: BDoc, conn: ConnAuth): Array[Byte] =
     cmd.v.headOption match {
+      case Some(("saslStart", _)) => handleSaslStart(cmd, conn)
+      case Some(("saslContinue", _)) => handleSaslContinue(cmd, conn)
+      case Some((name, _)) if authCred.isDefined &&
+          !conn.authenticated && name != "hello" =>
+        throw new AuthException(
+          s"command $name requires authentication")
       case Some(("find", c)) => handleFind(cmd, str(c, "find"))
       case Some(("getMore", idv)) => handleGetMore(cmd, idv)
       case Some(("aggregate", c)) =>
@@ -794,9 +829,15 @@ final class InProcessMongod(db: String,
     * SURVIVES for the next command. Only frame-level violations
     * (bad opcode, bad section) still kill the connection.
     */
-  private def handleSafe(cmd: BDoc): Array[Byte] =
-    try handle(cmd)
+  private def handleSafe(cmd: BDoc, conn: ConnAuth): Array[Byte] =
+    try handle(cmd, conn)
     catch {
+      case e: AuthException =>
+        Bson.encode(BDoc(Seq(
+          "ok" -> BDouble(0.0),
+          "errmsg" -> BString(e.getMessage),
+          "code" -> BInt32(e.code),
+          "codeName" -> BString(e.codeName))))
       case e: Exception =>
         Bson.encode(BDoc(Seq(
           "ok" -> BDouble(0.0),
@@ -805,6 +846,80 @@ final class InProcessMongod(db: String,
           "code" -> BInt32(2),
           "codeName" -> BString("BadValue"))))
     }
+
+  /** Real-server auth error shapes: 13 Unauthorized (command before
+    * auth), 18 AuthenticationFailed (bad credentials/proof).
+    */
+  private final class AuthException(msg: String,
+      val code: Int = 13, val codeName: String = "Unauthorized")
+    extends RuntimeException(msg)
+
+  private def authFailed(msg: String): Nothing =
+    throw new AuthException(msg, 18, "AuthenticationFailed")
+
+  private def handleSaslStart(cmd: BDoc, conn: ConnAuth)
+      : Array[Byte] = {
+    val cred = authCred.getOrElse(
+      authFailed("no users configured on this server"))
+    get(cmd, "mechanism") match {
+      case Some(BString("SCRAM-SHA-256")) => ()
+      case other => authFailed(
+        s"unsupported SASL mechanism $other (SCRAM-SHA-256 only)")
+    }
+    val payload = get(cmd, "payload") match {
+      case Some(BBinary(_, b)) => new String(b, "UTF-8")
+      case other => authFailed(s"saslStart wants a binary payload: " +
+        s"$other")
+    }
+    val nonce = new Array[Byte](18)
+    new java.security.SecureRandom().nextBytes(nonce)
+    val sc = new Scram.ServerSide(cred,
+      java.util.Base64.getEncoder.encodeToString(nonce))
+    val serverFirst =
+      try sc.handleClientFirst(payload)
+      catch { case e: Exception => authFailed(
+        Option(e.getMessage).getOrElse("bad client-first message")) }
+    conn.conversation = Some(sc)
+    conn.proofVerified = false
+    Bson.encode(BDoc(Seq(
+      "conversationId" -> BInt32(1),
+      "done" -> BBool(false),
+      "payload" -> BBinary(0, serverFirst.getBytes("UTF-8")),
+      "ok" -> BDouble(1.0))))
+  }
+
+  private def handleSaslContinue(cmd: BDoc, conn: ConnAuth)
+      : Array[Byte] = {
+    val sc = conn.conversation.getOrElse(
+      authFailed("saslContinue without saslStart"))
+    val payload = get(cmd, "payload") match {
+      case Some(BBinary(_, b)) => new String(b, "UTF-8")
+      case _ => authFailed("saslContinue wants a binary payload")
+    }
+    if (!conn.proofVerified) {
+      sc.handleClientFinal(payload) match {
+        case Left(err) => authFailed(err)
+        case Right(v) =>
+          conn.proofVerified = true
+          Bson.encode(BDoc(Seq(
+            "conversationId" -> BInt32(1),
+            "done" -> BBool(false),
+            "payload" -> BBinary(0, v.getBytes("UTF-8")),
+            "ok" -> BDouble(1.0))))
+      }
+    } else {
+      // the empty exchange completes the conversation
+      if (payload.nonEmpty) authFailed(
+        "unexpected payload after proof verification")
+      conn.authenticated = true
+      conn.conversation = None
+      Bson.encode(BDoc(Seq(
+        "conversationId" -> BInt32(1),
+        "done" -> BBool(true),
+        "payload" -> BBinary(0, Array.emptyByteArray),
+        "ok" -> BDouble(1.0))))
+    }
+  }
 
   /** Frame loop. OP_COMPRESSED (2012) requests are inflated and the
     * reply mirrors the request's compression — the negotiation-free
@@ -819,6 +934,7 @@ final class InProcessMongod(db: String,
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
+      val conn = new ConnAuth
       while (running) {
         val lenB = new Array[Byte](4)
         in.readFully(lenB)
@@ -846,7 +962,7 @@ final class InProcessMongod(db: String,
         val kind = buf.get
         require(kind == 0, s"unsupported section kind $kind")
         val cmd = Bson.readDoc(buf)
-        val body = handleSafe(cmd)
+        val body = handleSafe(cmd, conn)
         if (!compressed) {
           val hdr = ByteBuffer.allocate(21)
             .order(ByteOrder.LITTLE_ENDIAN)

@@ -159,11 +159,22 @@ object MongoWire {
         s"server error (code $code): $msg")
     }
 
+  /** runCommand + ok-check on an already-open (possibly
+    * authenticated) connection.
+    */
+  def runCommandOk(sock: Socket, cmd: BDoc, requestId: Int): BDoc = {
+    val reply = runCommand(sock, cmd, requestId)
+    requireOk(reply)
+    reply
+  }
+
   /** One driver-side command on a throwaway connection. */
-  def command(host: String, port: Int, cmd: BDoc): BDoc = {
+  def command(host: String, port: Int, cmd: BDoc,
+              auth: Option[Scram.Credential] = None): BDoc = {
     val sock = new Socket(host, port)
     try {
-      val reply = runCommand(sock, cmd, 1)
+      auth.foreach(Scram.authenticate(sock, _))
+      val reply = runCommand(sock, cmd, 10)
       requireOk(reply)
       reply
     } finally sock.close()
@@ -201,12 +212,15 @@ object MongoWire {
   sealed abstract class WireCursor(host: String, port: Int,
                                    db: String, coll: String,
                                    batchSize: Int,
-                                   compress: Boolean)
+                                   compress: Boolean,
+                                   auth: Option[Scram.Credential] = None)
       extends Iterator[BDoc] with AutoCloseable {
 
     protected def firstCommand: BDoc
 
     private val sock = new Socket(host, port)
+    // authenticate BEFORE the opening command ships
+    auth.foreach(Scram.authenticate(sock, _))
     private var reqId = 1
     private var cursorId = 0L
     private var batch: Iterator[BDoc] = Iterator.empty
@@ -279,8 +293,10 @@ object MongoWire {
                          projection: Option[Seq[String]],
                          sort: Option[(String, Int)],
                          limit: Option[Long], batchSize: Int,
-                         compress: Boolean = false)
-      extends WireCursor(host, port, db, coll, batchSize, compress) {
+                         compress: Boolean = false,
+                         auth: Option[Scram.Credential] = None)
+      extends WireCursor(host, port, db, coll, batchSize, compress,
+        auth) {
     protected def firstCommand: BDoc = {
       val parts = Seq.newBuilder[(String, BVal)]
       parts += "find" -> BString(coll)
@@ -306,8 +322,10 @@ object MongoWire {
   final class AggregateCursor(host: String, port: Int, db: String,
                               coll: String, pipeline: Seq[BDoc],
                               batchSize: Int,
-                              compress: Boolean = false)
-      extends WireCursor(host, port, db, coll, batchSize, compress) {
+                              compress: Boolean = false,
+                              auth: Option[Scram.Credential] = None)
+      extends WireCursor(host, port, db, coll, batchSize, compress,
+        auth) {
     protected def firstCommand: BDoc = BDoc(Seq(
       "aggregate" -> BString(coll),
       "pipeline" -> BArr(pipeline),
@@ -373,7 +391,8 @@ object MongoWire {
            numPartitions: Int = 4, batchSize: Int = 512,
            filterExtra: Seq[(String, BVal)] = Nil,
            projectColumns: Boolean = false,
-           compress: Boolean = false): DataFrame = {
+           compress: Boolean = false,
+           auth: Option[Scram.Credential] = None): DataFrame = {
     require(numPartitions >= 1 && maxKeyExclusive >= minKey)
     val ranges = splitRanges(minKey, maxKeyExclusive, numPartitions)
     val proj = if (projectColumns) Some(schema.fieldNames.toSeq) else None
@@ -382,7 +401,7 @@ object MongoWire {
       .flatMap { case (lo, hi) =>
         new FindCursor(host, port, db, coll,
           Some(mergedFilter(keyField, lo, hi, filterExtra)), proj,
-          None, None, batchSize, compress)
+          None, None, batchSize, compress, auth)
           .map(Bson.docToRow(_, schema))
       }
     spark.createDataFrame(rdd, schema)
@@ -396,10 +415,12 @@ object MongoWire {
     */
   def newest(spark: SparkSession, host: String, port: Int, db: String,
              coll: String, schema: StructType, keyField: String,
-             n: Int, batchSize: Int = 512): DataFrame = {
+             n: Int, batchSize: Int = 512,
+             auth: Option[Scram.Credential] = None): DataFrame = {
     val rdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
       new FindCursor(host, port, db, coll, None, None,
-        Some((keyField, -1)), Some(n.toLong), batchSize)
+        Some((keyField, -1)), Some(n.toLong), batchSize,
+        auth = auth)
         .map(Bson.docToRow(_, schema))
     }
     spark.createDataFrame(rdd, schema)
@@ -416,11 +437,12 @@ object MongoWire {
     */
   def sample(spark: SparkSession, host: String, port: Int, db: String,
              coll: String, schema: StructType, n: Int,
-             batchSize: Int = 512): DataFrame = {
+             batchSize: Int = 512,
+             auth: Option[Scram.Credential] = None): DataFrame = {
     val rdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
       new AggregateCursor(host, port, db, coll,
         Seq(BDoc(Seq("$sample" -> BDoc(Seq("size" -> BInt32(n)))))),
-        batchSize).map(Bson.docToRow(_, schema))
+        batchSize, auth = auth).map(Bson.docToRow(_, schema))
     }
     spark.createDataFrame(rdd, schema)
   }
@@ -454,12 +476,14 @@ object MongoWire {
     * acknowledged.
     */
   def write(df: DataFrame, host: String, port: Int, db: String,
-            coll: String, batchSize: Int = 512): Long = {
+            coll: String, batchSize: Int = 512,
+            auth: Option[Scram.Credential] = None): Long = {
     val schema = df.schema
     df.rdd.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.single(0L)
       else {
         val sock = new Socket(host, port)
+        auth.foreach(Scram.authenticate(sock, _))
         var reqId = 0
         var acked = 0L
         try {
@@ -481,9 +505,12 @@ object MongoWire {
     */
   def commandCursorAll(host: String, port: Int, db: String,
                        cmd: BDoc, getMoreColl: String,
-                       batchSize: Int = 101): Seq[BDoc] = {
+                       batchSize: Int = 101,
+                       auth: Option[Scram.Credential] = None)
+      : Seq[BDoc] = {
     val sock = new Socket(host, port)
     try {
+      auth.foreach(Scram.authenticate(sock, _))
       var reqId = 1
       var reply = runCommand(sock, cmd, reqId)
       requireOk(reply)
@@ -510,11 +537,12 @@ object MongoWire {
   }
 
   /** All collection names, paging included. */
-  def listCollectionNames(host: String, port: Int,
-                          db: String): Seq[String] =
+  def listCollectionNames(host: String, port: Int, db: String,
+                          auth: Option[Scram.Credential] = None)
+      : Seq[String] =
     commandCursorAll(host, port, db, BDoc(Seq(
       "listCollections" -> BInt32(1), "$db" -> BString(db))),
-      "$cmd.listCollections").map { d =>
+      "$cmd.listCollections", auth = auth).map { d =>
       field(d, "name") match {
         case BString(s) => s
         case other => throw new IllegalArgumentException(s"name: $other")
@@ -533,12 +561,13 @@ object MongoWire {
 
   /** `count` with an optional query filter. */
   def countDocs(host: String, port: Int, db: String, coll: String,
-                query: Option[BDoc] = None): Long = {
+                query: Option[BDoc] = None,
+                auth: Option[Scram.Credential] = None): Long = {
     val parts = Seq.newBuilder[(String, BVal)]
     parts += "count" -> BString(coll)
     query.foreach(q => parts += "query" -> q)
     parts += "$db" -> BString(db)
-    field(command(host, port, BDoc(parts.result())), "n") match {
+    field(command(host, port, BDoc(parts.result()), auth), "n") match {
       case BInt32(x) => x.toLong
       case BInt64(x) => x
       case other => throw new IllegalArgumentException(s"count n: $other")
@@ -546,10 +575,11 @@ object MongoWire {
   }
 
   /** `collStats` → (count, size bytes, avgObjSize). */
-  def collStats(host: String, port: Int, db: String,
-                coll: String): (Long, Long, Double) = {
+  def collStats(host: String, port: Int, db: String, coll: String,
+                auth: Option[Scram.Credential] = None)
+      : (Long, Long, Double) = {
     val reply = command(host, port, BDoc(Seq(
-      "collStats" -> BString(coll), "$db" -> BString(db))))
+      "collStats" -> BString(coll), "$db" -> BString(db))), auth)
     val count = field(reply, "count") match {
       case BInt32(x) => x.toLong
       case BInt64(x) => x

@@ -1,0 +1,260 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+import javax.crypto.{Mac, SecretKeyFactory}
+
+import graft.sources.Bson._
+
+/** SCRAM-SHA-256 (RFC 5802 mechanism frame, RFC 7677 SHA-256
+  * instantiation) over MongoDB's SASL conversation commands
+  * (`saslStart` / `saslContinue`) — the authentication a real
+  * deployment requires before `host:port` "drops in unchanged".
+  * Everything here is the PUBLIC spec: message grammar and proof
+  * derivation from RFC 5802 §3/§7, the hash parameters from RFC
+  * 7677, the command envelope from the MongoDB SASL documentation.
+  *
+  * Both halves live here so the in-process double enforces the same
+  * math it speaks on the wire: [[ClientConversation]] is what the
+  * connector runs after the socket opens; [[ServerSide]] verifies
+  * proofs against STORED keys (the server never sees the password —
+  * it keeps `StoredKey = H(ClientKey)` and `ServerKey`, exactly the
+  * at-rest shape the spec prescribes).
+  *
+  * SASLprep (RFC 4013) is handled by REFUSING what it would change:
+  * usernames and passwords must be printable ASCII (space allowed in
+  * passwords), on which SASLprep is the identity. Non-ASCII
+  * credentials fail loudly instead of authenticating differently
+  * than a spec-complete peer would.
+  */
+object Scram {
+
+  /** What the client needs: user + password + the database holding
+    * the user (MongoDB authenticates against `authDb`, default
+    * `admin`).
+    */
+  final case class Credential(user: String, password: String,
+                              authDb: String = "admin")
+    extends Serializable
+
+  private def b64(b: Array[Byte]): String =
+    Base64.getEncoder.encodeToString(b)
+  private def unb64(s: String): Array[Byte] = Base64.getDecoder.decode(s)
+
+  private[sources] def hmac(key: Array[Byte],
+                            data: Array[Byte]): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data)
+  }
+
+  private[sources] def sha256(data: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(data)
+
+  /** Hi(str, salt, i) — PBKDF2-HMAC-SHA-256 per RFC 5802 §2.2. */
+  private[sources] def hi(password: String, salt: Array[Byte],
+                          iterations: Int): Array[Byte] = {
+    val spec = new PBEKeySpec(password.toCharArray, salt, iterations,
+      256)
+    SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  private def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    a.zip(b).map { case (x, y) => (x ^ y).toByte }
+
+  /** Reject anything SASLprep would transform (identity on printable
+    * ASCII) rather than guess.
+    */
+  private def requirePrintableAscii(s: String, what: String): Unit =
+    require(s.nonEmpty && s.forall(c => c >= ' ' && c <= '~'),
+      s"SCRAM $what must be non-empty printable ASCII " +
+        "(SASLprep is not implemented; it is the identity there)")
+
+  /** RFC 5802 §5.1: "=" and "," in names escape as =3D / =2C. */
+  private[sources] def escapeName(u: String): String =
+    u.replace("=", "=3D").replace(",", "=2C")
+
+  private def attr(msg: String, key: Char): String =
+    msg.split(",").collectFirst {
+      case kv if kv.length >= 2 && kv.charAt(0) == key &&
+        kv.charAt(1) == '=' => kv.substring(2)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"SCRAM message missing '$key=': $msg"))
+
+  /** Client half of one authentication exchange. The nonce is
+    * injected so specs can pin the RFC 7677 example bit-for-bit;
+    * production callers use [[ClientConversation.fresh]].
+    */
+  final class ClientConversation(user: String, password: String,
+                                 clientNonce: String) {
+    requirePrintableAscii(user, "username")
+    requirePrintableAscii(password, "password")
+
+    private val gs2Header = "n,,"
+    private[sources] val clientFirstBare =
+      s"n=${escapeName(user)},r=$clientNonce"
+
+    def clientFirstMessage: String = gs2Header + clientFirstBare
+
+    /** Consumes server-first, returns (client-final-message,
+      * expected server signature for the mandatory `v=` check).
+      */
+    def clientFinal(serverFirst: String): (String, String) = {
+      val fullNonce = attr(serverFirst, 'r')
+      require(fullNonce.startsWith(clientNonce),
+        "server nonce must extend the client nonce (RFC 5802 §5.1)")
+      require(fullNonce.length > clientNonce.length,
+        "server must append its own nonce entropy")
+      val salt = unb64(attr(serverFirst, 's'))
+      val iterations = attr(serverFirst, 'i').toInt
+      require(iterations >= 4096,
+        s"iteration count $iterations below the RFC 7677 minimum 4096")
+      val saltedPassword = hi(password, salt, iterations)
+      val clientKey = hmac(saltedPassword, "Client Key".getBytes(UTF_8))
+      val storedKey = sha256(clientKey)
+      val serverKey = hmac(saltedPassword, "Server Key".getBytes(UTF_8))
+      val withoutProof =
+        s"c=${b64(gs2Header.getBytes(UTF_8))},r=$fullNonce"
+      val authMessage =
+        s"$clientFirstBare,$serverFirst,$withoutProof"
+      val clientSignature =
+        hmac(storedKey, authMessage.getBytes(UTF_8))
+      val proof = xor(clientKey, clientSignature)
+      val serverSignature =
+        hmac(serverKey, authMessage.getBytes(UTF_8))
+      (s"$withoutProof,p=${b64(proof)}", s"v=${b64(serverSignature)}")
+    }
+  }
+
+  object ClientConversation {
+    /** 24 bytes of SecureRandom, base64 — printable, ','-free. */
+    def fresh(user: String, password: String): ClientConversation = {
+      val raw = new Array[Byte](24)
+      new java.security.SecureRandom().nextBytes(raw)
+      new ClientConversation(user, password, b64(raw))
+    }
+  }
+
+  // ---- server half (the in-process double's enforcement) ----------
+
+  /** At-rest server credentials (RFC 5802 §2.1 storage shape): the
+    * password itself is never stored.
+    */
+  final case class StoredCredential(user: String, salt: Array[Byte],
+                                    iterations: Int,
+                                    storedKey: Array[Byte],
+                                    serverKey: Array[Byte])
+
+  def storeCredential(user: String, password: String,
+                      salt: Array[Byte],
+                      iterations: Int = 4096): StoredCredential = {
+    requirePrintableAscii(user, "username")
+    requirePrintableAscii(password, "password")
+    val saltedPassword = hi(password, salt, iterations)
+    val clientKey = hmac(saltedPassword, "Client Key".getBytes(UTF_8))
+    val serverKey = hmac(saltedPassword, "Server Key".getBytes(UTF_8))
+    StoredCredential(user, salt, iterations, sha256(clientKey),
+      serverKey)
+  }
+
+  /** Server side of one conversation: verify the proof with ONLY the
+    * stored keys (recover ClientKey = proof XOR signature, check
+    * H(ClientKey) == StoredKey — RFC 5802 §3).
+    */
+  final class ServerSide(cred: StoredCredential, serverNonce: String) {
+    private var fullNonce: String = _
+    private var serverFirst: String = _
+    private var clientFirstBare: String = _
+
+    def handleClientFirst(clientFirst: String): String = {
+      require(clientFirst.startsWith("n,,"),
+        s"only the 'n,,' gs2 header is supported: $clientFirst")
+      clientFirstBare = clientFirst.substring(3)
+      val user = attr(clientFirstBare, 'n')
+      require(user == escapeName(cred.user),
+        s"unknown user '$user'")
+      fullNonce = attr(clientFirstBare, 'r') + serverNonce
+      serverFirst =
+        s"r=$fullNonce,s=${b64(cred.salt)},i=${cred.iterations}"
+      serverFirst
+    }
+
+    /** Left(errmsg) on a bad proof; Right(v=…) on success. */
+    def handleClientFinal(clientFinal: String)
+        : Either[String, String] = {
+      val proof = unb64(attr(clientFinal, 'p'))
+      val nonce = attr(clientFinal, 'r')
+      if (nonce != fullNonce) return Left("SCRAM nonce mismatch")
+      val withoutProof =
+        clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+      val authMessage =
+        s"$clientFirstBare,$serverFirst,$withoutProof"
+      val clientSignature =
+        hmac(cred.storedKey, authMessage.getBytes(UTF_8))
+      val clientKey = xor(proof, clientSignature)
+      if (!java.security.MessageDigest.isEqual(sha256(clientKey),
+          cred.storedKey))
+        Left("SCRAM authentication failed")
+      else
+        Right("v=" + b64(hmac(cred.serverKey,
+          authMessage.getBytes(UTF_8))))
+    }
+  }
+
+  // ---- the MongoDB SASL command envelope ---------------------------
+
+  /** Runs the full conversation on an OPEN socket: `saslStart` →
+    * `saslContinue` (proof) → verify `v=` → empty `saslContinue`
+    * until `done` (the classic no-skipEmptyExchange flow). Throws on
+    * any server error or a wrong server signature — a peer that
+    * cannot prove knowledge of ServerKey is not the server the
+    * credential belongs to.
+    */
+  def authenticate(sock: java.net.Socket, cred: Credential): Unit = {
+    val conv = ClientConversation.fresh(cred.user, cred.password)
+    val start = MongoWire.runCommandOk(sock, BDoc(Seq(
+      "saslStart" -> BInt32(1),
+      "mechanism" -> BString("SCRAM-SHA-256"),
+      "payload" -> BBinary(0,
+        conv.clientFirstMessage.getBytes(UTF_8)),
+      "$db" -> BString(cred.authDb))), 901)
+    val convId = start.v.collectFirst {
+      case ("conversationId", v) => v
+    }.getOrElse(BInt32(1))
+    val serverFirst = payloadString(start)
+    val (clientFinal, expectedV) = conv.clientFinal(serverFirst)
+    var reply = MongoWire.runCommandOk(sock, BDoc(Seq(
+      "saslContinue" -> BInt32(1),
+      "conversationId" -> convId,
+      "payload" -> BBinary(0, clientFinal.getBytes(UTF_8)),
+      "$db" -> BString(cred.authDb))), 902)
+    require(payloadString(reply) == expectedV,
+      "server failed to prove knowledge of ServerKey " +
+        "(bad server signature)")
+    // drain the empty exchange until the server reports done
+    var guard = 0
+    while (!isDone(reply) && guard < 3) {
+      reply = MongoWire.runCommandOk(sock, BDoc(Seq(
+        "saslContinue" -> BInt32(1),
+        "conversationId" -> convId,
+        "payload" -> BBinary(0, Array.emptyByteArray),
+        "$db" -> BString(cred.authDb))), 903 + guard)
+      guard += 1
+    }
+    require(isDone(reply), "SASL conversation never completed")
+  }
+
+  private def payloadString(reply: BDoc): String =
+    reply.v.collectFirst {
+      case ("payload", BBinary(_, b)) => new String(b, UTF_8)
+      case ("payload", BString(s)) => s
+    }.getOrElse(throw new IllegalArgumentException(
+      s"SASL reply missing payload: $reply"))
+
+  private def isDone(reply: BDoc): Boolean =
+    reply.v.collectFirst { case ("done", BBool(d)) => d }
+      .getOrElse(false)
+}

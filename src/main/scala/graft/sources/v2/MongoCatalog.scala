@@ -57,6 +57,14 @@ class MongoCatalog extends TableCatalog {
 
   private def db: String = opt("database")
 
+  private def auth: Option[graft.sources.Scram.Credential] =
+    (Option(options.get("user")), Option(options.get("password"))) match {
+      case (Some(u), Some(pw)) =>
+        Some(graft.sources.Scram.Credential(u, pw,
+          Option(options.get("authdb")).getOrElse("admin")))
+      case _ => None
+    }
+
   private def checkNamespace(ns: Array[String]): Unit =
     require(ns.sameElements(Array(db)),
       s"catalog $catalogName serves exactly one namespace '$db', " +
@@ -67,7 +75,7 @@ class MongoCatalog extends TableCatalog {
     checkNamespace(namespace)
     val reply = MongoWire.command(opt("host"), opt("port").toInt,
       BDoc(Seq("listCollections" -> BInt32(1),
-        "$db" -> BString(db))))
+        "$db" -> BString(db))), auth)
     val cur = reply.v.collectFirst { case ("cursor", c: BDoc) => c }
       .getOrElse(throw new IllegalArgumentException(
         s"listCollections reply missing cursor: $reply"))
@@ -95,7 +103,8 @@ class MongoCatalog extends TableCatalog {
     confMap.put("database", db)
     confMap.put("collection", coll)
     confMap.put("keyfield", keyField)
-    Seq("numpartitions", "batchsize", "samplesize").foreach { k =>
+    Seq("numpartitions", "batchsize", "samplesize", "user",
+        "password", "authdb").foreach { k =>
       Option(options.get(k)).foreach(confMap.put(k, _))
     }
     val conf = MongoV2.Conf(new CaseInsensitiveStringMap(confMap))

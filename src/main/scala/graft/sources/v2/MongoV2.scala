@@ -62,7 +62,10 @@ import graft.sources.MongoWire
   * (integral, the range-partition + sort key), `minkey`/`maxkey`
   * (exclusive; omitted ⇒ probed with two 1-row sorted finds),
   * `numpartitions` (default 4), `batchsize` (default 512),
-  * `samplesize` (default 64).
+  * `samplesize` (default 64), `user`/`password`/`authdb` (SCRAM-
+  * SHA-256 credentials, [[graft.sources.Scram]]; every connection —
+  * per-partition cursors, probes, writers — authenticates before its
+  * first command).
   *
   * At 100 TB: one cursor per key range is the standard bulk-read
   * layout (each range lands on the shard owning it); pushdown means
@@ -105,7 +108,9 @@ private[v2] object MongoV2 {
                         coll: String, keyField: String,
                         minKey: Option[Long], maxKey: Option[Long],
                         numPartitions: Int, batchSize: Int,
-                        sampleSize: Int, compressMode: String)
+                        sampleSize: Int, compressMode: String,
+                        auth: Option[graft.sources.Scram.Credential]
+                          = None)
 
   object Conf {
     def apply(o: CaseInsensitiveStringMap): Conf = {
@@ -132,6 +137,15 @@ private[v2] object MongoV2 {
           case Some(other) => throw new IllegalArgumentException(
             s"graft-mongo: unsupported compressor '$other' " +
               "(zlib, none, or auto)")
+        },
+        auth = (Option(o.get("user")), Option(o.get("password"))) match {
+          case (Some(u), Some(pw)) =>
+            Some(graft.sources.Scram.Credential(u, pw,
+              Option(o.get("authdb")).getOrElse("admin")))
+          case (None, None) => None
+          case _ => throw new IllegalArgumentException(
+            "graft-mongo: user and password options come together " +
+              "(authdb optional, default 'admin')")
         })
     }
   }
@@ -169,7 +183,7 @@ private[v2] object MongoV2 {
       def edge(dir: Int): Option[Long] = {
         val cur = new MongoWire.FindCursor(c.host, c.port, c.db, c.coll,
           None, Some(Seq(c.keyField)), Some((c.keyField, dir)),
-          Some(1L), 2)
+          Some(1L), 2, auth = c.auth)
         try {
           if (!cur.hasNext) None
           else {
@@ -219,7 +233,7 @@ private[v2] object MongoV2 {
       c.coll,
       Seq(BDoc(Seq("$sample" ->
         BDoc(Seq("size" -> BInt32(c.sampleSize)))))),
-      math.max(c.sampleSize, 1))
+      math.max(c.sampleSize, 1), auth = c.auth)
     val fields = scala.collection.mutable.LinkedHashMap
       .empty[String, Option[DataType]]
     try cur.foreach { doc =>
@@ -496,8 +510,11 @@ private[v2] class MongoDataWriter(schema: StructType,
                                   conf: MongoV2.Conf)
     extends DataWriter[InternalRow] {
 
-  private lazy val sock =
-    new java.net.Socket(conf.host, conf.port)
+  private lazy val sock = {
+    val sk = new java.net.Socket(conf.host, conf.port)
+    conf.auth.foreach(graft.sources.Scram.authenticate(sk, _))
+    sk
+  }
   private var reqId = 0
   private val buf = scala.collection.mutable.ArrayBuffer
     .empty[Bson.BDoc]
@@ -739,7 +756,7 @@ private[v2] class MongoGroupScan(conf: MongoV2.Conf,
     ranges.map { case (lo, hi) =>
       MongoGroupPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, lo, hi, conf.batchSize, wireFilter, spec,
-        compress): InputPartition
+        compress, conf.auth): InputPartition
     }.toArray
   }
 
@@ -755,7 +772,9 @@ private[v2] final case class MongoGroupPartition(
     host: String, port: Int, db: String, coll: String,
     keyField: String, lo: Long, hi: Long, batchSize: Int,
     wireFilter: Seq[(String, BVal)], spec: MongoV2.GroupAggSpec,
-    compress: Boolean) extends InputPartition
+    compress: Boolean,
+    auth: Option[graft.sources.Scram.Credential])
+  extends InputPartition
 
 private[v2] class MongoGroupReader(p: MongoGroupPartition)
     extends PartitionReader[InternalRow] {
@@ -780,7 +799,7 @@ private[v2] class MongoGroupReader(p: MongoGroupPartition)
     new MongoWire.AggregateCursor(p.host, p.port, p.db, p.coll,
       Seq(BDoc(Seq("$match" -> matchDoc)),
         BDoc(Seq("$group" -> groupDoc))),
-      p.batchSize, p.compress)
+      p.batchSize, p.compress, p.auth)
   }
 
   private var current: InternalRow = _
@@ -838,7 +857,7 @@ private[v2] class MongoAggScan(conf: MongoV2.Conf,
 
   override def planInputPartitions(): Array[InputPartition] =
     Array(MongoAggPartition(conf.host, conf.port, conf.db, conf.coll,
-      conf.keyField, wireFilter, specs))
+      conf.keyField, wireFilter, specs, conf.auth))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -851,7 +870,9 @@ private[v2] class MongoAggScan(conf: MongoV2.Conf,
 private[v2] final case class MongoAggPartition(
     host: String, port: Int, db: String, coll: String,
     keyField: String, wireFilter: Seq[(String, BVal)],
-    specs: Seq[MongoV2.AggSpec]) extends InputPartition
+    specs: Seq[MongoV2.AggSpec],
+    auth: Option[graft.sources.Scram.Credential])
+  extends InputPartition
 
 private[v2] class MongoAggReader(p: MongoAggPartition)
     extends PartitionReader[InternalRow] {
@@ -862,7 +883,8 @@ private[v2] class MongoAggReader(p: MongoAggPartition)
     val cur = new MongoWire.FindCursor(p.host, p.port, p.db, p.coll,
       if (p.wireFilter.isEmpty) None
       else Some(MongoWire.andDoc(p.wireFilter)),
-      Some(Seq(p.keyField)), Some((p.keyField, dir)), Some(1L), 2)
+      Some(Seq(p.keyField)), Some((p.keyField, dir)), Some(1L), 2,
+      auth = p.auth)
     try {
       if (!cur.hasNext) None
       else cur.next().v.collectFirst {
@@ -885,7 +907,7 @@ private[v2] class MongoAggReader(p: MongoAggPartition)
         case "count" =>
           MongoWire.countDocs(p.host, p.port, p.db, p.coll,
             if (p.wireFilter.isEmpty) None
-            else Some(MongoWire.andDoc(p.wireFilter)))
+            else Some(MongoWire.andDoc(p.wireFilter)), p.auth)
         case "min" | "max" =>
           edgeKey(if (s.kind == "min") 1 else -1) match {
             case None => null          // empty: MIN/MAX are NULL
@@ -982,13 +1004,13 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
     val (rows, bytes) =
       try {
         val (cnt, size, _) = MongoWire.collStats(conf.host, conf.port,
-          conf.db, conf.coll)
+          conf.db, conf.coll, conf.auth)
         // the declared key window scopes the stats like the scan
         val eff = wireFilter ++ MongoV2.windowConjuncts(conf)
         if (eff.isEmpty || cnt == 0L) (cnt, size)
         else {
           val fc = MongoWire.countDocs(conf.host, conf.port, conf.db,
-            conf.coll, Some(MongoWire.andDoc(eff)))
+            conf.coll, Some(MongoWire.andDoc(eff)), conf.auth)
           (fc, math.max(size * fc / cnt, 1L))
         }
       } catch {
@@ -1037,8 +1059,8 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, lo, hi, conf.batchSize,
         wireFilter ++ runtimeWire,
-        required.fieldNames.toSeq, limit, sortDesc, compress)
-        : InputPartition
+        required.fieldNames.toSeq, limit, sortDesc, compress,
+        conf.auth): InputPartition
     }.toArray
   }
 
@@ -1078,7 +1100,7 @@ private[v2] class MongoMicroBatchStream(required: StructType,
   private def edge(dir: Int): Option[Long] = {
     val cur = new MongoWire.FindCursor(conf.host, conf.port, conf.db,
       conf.coll, None, Some(Seq(conf.keyField)),
-      Some((conf.keyField, dir)), Some(1L), 2)
+      Some((conf.keyField, dir)), Some(1L), 2, auth = conf.auth)
     try {
       if (!cur.hasNext) None
       else cur.next().v.collectFirst {
@@ -1130,7 +1152,7 @@ private[v2] class MongoMicroBatchStream(required: StructType,
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, a, b, conf.batchSize, wireFilter,
         required.fieldNames.toSeq, None, None,
-        compress): InputPartition
+        compress, conf.auth): InputPartition
     }.toArray
   }
 
@@ -1155,7 +1177,8 @@ private[v2] final case class MongoInputPartition(
     keyField: String, lo: Long, hi: Long, batchSize: Int,
     wireFilter: Seq[(String, BVal)], columns: Seq[String],
     limit: Option[Int], sortDesc: Option[Boolean],
-    compress: Boolean)
+    compress: Boolean,
+    auth: Option[graft.sources.Scram.Credential])
     extends InputPartition
 
 private[v2] class MongoReaderFactory(required: StructType)
@@ -1181,7 +1204,7 @@ private[v2] class MongoPartitionReader(p: MongoInputPartition,
     Some(MongoWire.mergedFilter(p.keyField, p.lo, p.hi, p.wireFilter)),
     Some(p.columns),
     p.sortDesc.map(d => (p.keyField, if (d) -1 else 1)),
-    p.limit.map(_.toLong), p.batchSize, p.compress)
+    p.limit.map(_.toLong), p.batchSize, p.compress, p.auth)
 
   private var current: InternalRow = _
 
