@@ -921,6 +921,35 @@ final class InProcessMongod(db: String,
     }
   }
 
+  /** Folds OP_MSG kind-1 document sequences into the kind-0 command:
+    * each is byte 0x01 | int32 size incl. itself | cstring
+    * identifier | consecutive documents, semantically an array field
+    * named by the identifier — which must NOT also appear in the
+    * body (per the public spec).
+    */
+  private def mergeDocSequences(cmd0: BDoc, buf: ByteBuffer): BDoc = {
+    var cmd = cmd0
+    while (buf.hasRemaining) {
+      val k = buf.get
+      require(k == 1, s"unsupported extra section kind $k")
+      val size = buf.getInt
+      val end = buf.position() + size - 4
+      val ident = new java.io.ByteArrayOutputStream()
+      var c = buf.get
+      while (c != 0) { ident.write(c.toInt); c = buf.get }
+      val name = new String(ident.toByteArray, "UTF-8")
+      require(cmd.v.forall(_._1 != name),
+        s"payload '$name' appears in both the body and a " +
+          "document sequence")
+      val docs = Seq.newBuilder[Bson.BVal]
+      while (buf.position() < end) docs += Bson.readDoc(buf)
+      require(buf.position() == end,
+        s"kind-1 section size mismatch for '$name'")
+      cmd = BDoc(cmd.v :+ (name -> BArr(docs.result())))
+    }
+    cmd
+  }
+
   /** Frame loop. OP_COMPRESSED (2012) requests are inflated and the
     * reply mirrors the request's compression — the negotiation-free
     * subset of the public protocol's compression scheme (a real
@@ -961,8 +990,21 @@ final class InProcessMongod(db: String,
         buf.getInt            // flagBits
         val kind = buf.get
         require(kind == 0, s"unsupported section kind $kind")
-        val cmd = Bson.readDoc(buf)
-        val body = handleSafe(cmd, conn)
+        val cmd0 = Bson.readDoc(buf)
+        // kind-1 document sequences (the bulk-write shape) merge
+        // into the command before dispatch; a malformed or
+        // duplicate-payload sequence is a COMMAND error (reply, not
+        // a dropped socket), like every other bad command
+        val body =
+          try handleSafe(mergeDocSequences(cmd0, buf), conn)
+          catch {
+            case e: Exception => Bson.encode(BDoc(Seq(
+              "ok" -> BDouble(0.0),
+              "errmsg" -> BString(
+                Option(e.getMessage).getOrElse(e.getClass.getName)),
+              "code" -> BInt32(2),
+              "codeName" -> BString("BadValue"))))
+          }
         if (!compressed) {
           val hdr = ByteBuffer.allocate(21)
             .order(ByteOrder.LITTLE_ENDIAN)

@@ -90,21 +90,25 @@ object MongoWire {
     * and frame compression is part of the public protocol.
     */
   def runCommand(sock: Socket, cmd: BDoc, requestId: Int,
-                 compress: Boolean = false): BDoc = {
+                 compress: Boolean = false,
+                 docSeq: Option[(String, Seq[BDoc])] = None): BDoc = {
     val body = Bson.encode(cmd)
+    val seq = docSeq.map { case (ident, docs) =>
+      kind1Section(ident, docs)
+    }.getOrElse(Array.emptyByteArray)
     val out = new DataOutputStream(sock.getOutputStream)
     if (!compress) {
-      val total = 16 + 4 + 1 + body.length
+      val total = 16 + 4 + 1 + body.length + seq.length
       val hdr = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
       hdr.putInt(total).putInt(requestId).putInt(0).putInt(OpMsg)
         .putInt(0)            // flagBits
         .put(0.toByte)        // section kind 0
-      out.write(hdr.array()); out.write(body)
+      out.write(hdr.array()); out.write(body); out.write(seq)
     } else {
-      // section = flagBits + kind byte + command document
-      val section = ByteBuffer.allocate(5 + body.length)
+      // section payload = flagBits + kind-0 section + kind-1 sections
+      val section = ByteBuffer.allocate(5 + body.length + seq.length)
         .order(ByteOrder.LITTLE_ENDIAN)
-      section.putInt(0).put(0.toByte).put(body)
+      section.putInt(0).put(0.toByte).put(body).put(seq)
       val packed = WireCompress.deflate(section.array())
       val total = 16 + 4 + 4 + 1 + packed.length
       val hdr = ByteBuffer.allocate(25).order(ByteOrder.LITTLE_ENDIAN)
@@ -140,6 +144,26 @@ object MongoWire {
     Bson.readDoc(buf)
   }
 
+  /** One OP_MSG kind-1 section (per the public spec): byte 0x01 |
+    * int32 size (including itself) | cstring identifier |
+    * consecutive BSON documents with NO separators and no length
+    * prefix beyond each document's own — how real drivers bulk-ship
+    * `insert` documents instead of nesting them in the command body
+    * (the body array re-parses as one giant document; the sequence
+    * streams).
+    */
+  def kind1Section(identifier: String,
+                   docs: Seq[BDoc]): Array[Byte] = {
+    val ident = identifier.getBytes("UTF-8")
+    val encoded = docs.map(Bson.encode)
+    val size = 4 + ident.length + 1 + encoded.map(_.length).sum
+    val bb = ByteBuffer.allocate(1 + size)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(size).put(ident).put(0.toByte)
+    encoded.foreach(bb.put)
+    bb.array()
+  }
+
   private def field(doc: BDoc, name: String): BVal =
     doc.v.find(_._1 == name).map(_._2).getOrElse(
       throw new IllegalArgumentException(s"reply missing '$name': $doc"))
@@ -162,8 +186,10 @@ object MongoWire {
   /** runCommand + ok-check on an already-open (possibly
     * authenticated) connection.
     */
-  def runCommandOk(sock: Socket, cmd: BDoc, requestId: Int): BDoc = {
-    val reply = runCommand(sock, cmd, requestId)
+  def runCommandOk(sock: Socket, cmd: BDoc, requestId: Int,
+                   compress: Boolean = false,
+                   docSeq: Option[(String, Seq[BDoc])] = None): BDoc = {
+    val reply = runCommand(sock, cmd, requestId, compress, docSeq)
     requireOk(reply)
     reply
   }
@@ -455,10 +481,13 @@ object MongoWire {
     */
   def insertBatch(sock: Socket, db: String, coll: String,
                   docs: Seq[BDoc], requestId: Int): Long = {
+    // documents ride a kind-1 section (identifier "documents"), the
+    // real drivers' bulk-write shape; the command body carries only
+    // the command itself
     val reply = runCommand(sock, BDoc(Seq(
       "insert" -> BString(coll),
-      "documents" -> BArr(docs),
-      "$db" -> BString(db))), requestId)
+      "$db" -> BString(db))), requestId,
+      docSeq = Some(("documents", docs)))
     requireOk(reply)
     val n = field(reply, "n") match {
       case BInt32(x) => x.toLong

@@ -110,6 +110,59 @@ class MongoHardeningSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("OP_MSG kind-1 document sequences: frame layout per spec, " +
+      "insert ships documents as a sequence (plain and compressed), " +
+      "and a payload duplicated in the body is refused") {
+    import spark.implicits._
+    // frame layout: 0x01 | int32 size incl itself | cstring | docs
+    val d1 = BDoc(Seq("a" -> BInt32(1)))
+    val d2 = BDoc(Seq("b" -> BString("x")))
+    val sec = graft.sources.MongoWire.kind1Section("documents",
+      Seq(d1, d2))
+    assert(sec(0) == 1.toByte)
+    val bb = java.nio.ByteBuffer.wrap(sec, 1, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt == sec.length - 1,
+      "size covers everything after the kind byte, including itself")
+    val ident = sec.slice(5, 5 + "documents".length)
+    assert(new String(ident, "UTF-8") == "documents" &&
+      sec(5 + "documents".length) == 0.toByte)
+    assert(sec.drop(6 + "documents".length).toSeq ==
+      (Bson.encode(d1) ++ Bson.encode(d2)).toSeq)
+
+    // write path end to end over kind-1 frames, then compressed
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val srv = InProcessMongod.serveEmpty("db", "w", "k")
+    try {
+      assert(MongoWire.write(df, "127.0.0.1", srv.port, "db", "w")
+        == 3L)
+      val sock = new java.net.Socket("127.0.0.1", srv.port)
+      try {
+        // compressed insert with a kind-1 sequence
+        val r = MongoWire.runCommand(sock, BDoc(Seq(
+          "insert" -> BString("w"), "$db" -> BString("db"))), 7,
+          compress = true,
+          docSeq = Some(("documents",
+            Seq(BDoc(Seq("k" -> BInt64(4L), "name" -> BString("d")))))))
+        assert(r.v.contains(("n", BInt32(1))), r.toString)
+        // duplicate payload name (body AND sequence): loud refusal
+        val dup = intercept[IllegalArgumentException] {
+          MongoWire.runCommandOk(sock, BDoc(Seq(
+            "insert" -> BString("w"),
+            "documents" -> BArr(Seq(d1)),
+            "$db" -> BString("db"))), 8,
+            docSeq = Some(("documents", Seq(d1))))
+        }
+        assert(dup.getMessage.contains("both"), dup.getMessage)
+      } finally sock.close()
+      val back = new MongoWire.FindCursor("127.0.0.1", srv.port,
+        "db", "w", None, None, None, None, 16)
+      try assert(back.map(_.v.collectFirst {
+        case ("k", BInt64(x)) => x }.get).toList == List(1L, 2L, 3L, 4L))
+      finally back.close()
+    } finally srv.close()
+  }
+
   test("catalog loadTable fails LOUDLY when the keyfield resolves to " +
       "a non-integral column (the real-server '_id' ObjectId trap)") {
     val df = fixtureDf(10)
