@@ -770,6 +770,58 @@ object SparkEntry {
           .orderBy("o_orderpriority")
       } finally srv.close()
     }),
+    // the analyser-parity gap closed for wire sources: a collection
+    // whose field holds five BSON types (int32/string/double/bool/
+    // null) plus a nested document infers as VARIANT columns
+    // (StringType + metadata; values decode to relaxed Extended JSON
+    // v2), and the existing per-value type_tag path (JsonExplode)
+    // profiles them into the reference's type histogram
+    // (core/analyser.py:286). The fixture derives every value from
+    // the row index, so the oracle rebuilds the histogram by
+    // arithmetic — agreement certifies infer → wire decode → render
+    // → flatten → tag end to end. Capped at 20k docs
+    "mongo_mixed_schema" -> ((s, d) => {
+      import graft.sources.Bson._
+      val n = math.min(20000L, Tables.load(s, d, "orders").count())
+      val docs = (0L until n).map { i =>
+        val payload: BVal = (i % 5) match {
+          case 0 => BInt32((i % 1000).toInt)
+          case 1 => BString("s" + i)
+          case 2 => BDouble(i / 8.0)
+          case 3 => BBool(i % 2 == 0)
+          case _ => BNull
+        }
+        val base = Seq[(String, BVal)]("k" -> BInt64(i),
+          "payload" -> payload)
+        val all = if (i % 3 == 0)
+          base :+ ("sub" -> (BDoc(Seq(
+            "a" -> BInt32((i % 100).toInt))): BVal))
+        else base
+        (i, graft.sources.Bson.encode(BDoc(all)))
+      }.toIndexedSeq
+      val srv = new graft.sources.InProcessMongod(docs, "k",
+        "graft", "mixed")
+      try {
+        val base = s.read.format("graft-mongo")
+          .option("host", "127.0.0.1")
+          .option("port", srv.port.toString)
+          .option("database", "graft").option("collection", "mixed")
+          .option("keyfield", "k")
+          .option("minkey", "0").option("maxkey", n.toString)
+          .option("numpartitions", "4")
+          .option("samplesize", "512")
+          .load()
+        val doc = base.select(concat(
+          lit("{\"payload\":"),
+          coalesce(col("payload"), lit("null")),
+          lit(",\"sub\":"),
+          coalesce(col("sub"), lit("null")),
+          lit("}")).as("doc"))
+        JsonProfiler.typeHistogram(doc, "doc")
+          .localCheckpoint(true)
+          .orderBy("path", "vtag")
+      } finally srv.close()
+    }),
     // decimal128 fidelity under the gate: exact DECIMAL(12,2) values
     // ride the wire as IEEE 754-2008 BID decimal128 (encode → frame →
     // store → cursor → decode) and must hash-equal the oracle's
@@ -7254,6 +7306,24 @@ object SparkEntry {
       FROM supplier ORDER BY s_suppkey"""),
     "mongo_auth_scan" -> ("""
       SELECT * FROM supplier ORDER BY s_suppkey"""),
+    "mongo_mixed_schema" -> ("""
+      WITH n AS (SELECT LEAST(20000, COUNT(*)) AS c FROM orders)
+      SELECT * FROM (
+        SELECT 'payload' AS path, 'bool' AS vtag,
+               CAST((c + 1) // 5 AS BIGINT) AS cnt FROM n
+        UNION ALL SELECT 'payload', 'double',
+               CAST((c + 2) // 5 AS BIGINT) FROM n
+        UNION ALL SELECT 'payload', 'int32',
+               CAST((c + 4) // 5 AS BIGINT) FROM n
+        UNION ALL SELECT 'payload', 'null',
+               CAST(c // 5 AS BIGINT) FROM n
+        UNION ALL SELECT 'payload', 'str',
+               CAST((c + 3) // 5 AS BIGINT) FROM n
+        UNION ALL SELECT 'sub', 'null',
+               CAST(c - (c + 2) // 3 AS BIGINT) FROM n
+        UNION ALL SELECT 'sub.a', 'int32',
+               CAST((c + 2) // 3 AS BIGINT) FROM n)
+      ORDER BY path, vtag"""),
     "mongo_decimal_roundtrip" -> ("""
       SELECT o_orderkey,
              CAST(CAST(printf('%d.%02d',

@@ -44,6 +44,75 @@ object Bson {
   /** decimal128 (0x13), decoded to exact unscaled×10^exp form. */
   final case class BDecimal128(v: java.math.BigDecimal) extends BVal
 
+  /** Marker metadata for VARIANT columns: a wire field whose sampled
+    * BSON types are irreconcilable (or nested documents) infers as a
+    * StringType column carrying this marker, and every value decodes
+    * to its RELAXED EXTENDED JSON v2 render (the public
+    * mongoexport/analyser interchange format) — lossless, and
+    * directly consumable by the per-value `type_tag` profile path.
+    * The reference's core use case (per-field type histograms,
+    * `core/analyser.py:286`) needs exactly this: keep the values,
+    * type them per-document downstream.
+    */
+  val VariantKey = "graft_variant"
+
+  def isVariantField(f: org.apache.spark.sql.types.StructField)
+      : Boolean = f.metadata.contains(VariantKey)
+
+  def variantField(name: String)
+      : org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(name,
+      org.apache.spark.sql.types.StringType, nullable = true,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(VariantKey, true).build())
+
+  /** Relaxed Extended JSON v2 render of one wire value (numbers and
+    * strings plain; dates canonical `$numberLong` millis for
+    * determinism; binary/oid/decimal in their `$`-wrapped forms).
+    */
+  def relaxedJson(v: BVal): String = v match {
+    case BNull => "null"
+    case BBool(x) => if (x) "true" else "false"
+    case BInt32(x) => x.toString
+    case BInt64(x) => x.toString
+    case BDouble(x) =>
+      if (java.lang.Double.isFinite(x)) x.toString
+      else "{\"$numberDouble\":\"" + x + "\"}"
+    case BString(x) => jsonQuote(x)
+    case BDecimal128(x) =>
+      "{\"$numberDecimal\":\"" + x.toPlainString + "\"}"
+    case BDateTime(ms) =>
+      "{\"$date\":{\"$numberLong\":\"" + ms + "\"}}"
+    case BObjectId(x) =>
+      "{\"$oid\":\"" + x.map(b => f"$b%02x").mkString + "\"}"
+    case BBinary(sub, x) =>
+      "{\"$binary\":{\"base64\":\"" +
+        java.util.Base64.getEncoder.encodeToString(x) +
+        "\",\"subType\":\"" + f"$sub%02x" + "\"}}"
+    case BArr(xs) => xs.map(relaxedJson).mkString("[", ",", "]")
+    case BDoc(kvs) => kvs.map { case (k, x) =>
+      jsonQuote(k) + ":" + relaxedJson(x)
+    }.mkString("{", ",", "}")
+  }
+
+  private def jsonQuote(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
+
   /** The wire type's documented name — for error messages. */
   def typeName(v: BVal): String = v match {
     case _: BDouble => "double"
@@ -382,6 +451,7 @@ object Bson {
     Row.fromSeq(schema.fields.toSeq.map { f =>
       m.get(f.name) match {
         case None | Some(BNull) => null
+        case Some(v) if isVariantField(f) => relaxedJson(v)
         case Some(v) => (f.dataType, v) match {
           case (LongType, BInt64(x)) => x
           case (LongType, BInt32(x)) => x.toLong

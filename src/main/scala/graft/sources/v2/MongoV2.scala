@@ -222,9 +222,16 @@ private[v2] object MongoV2 {
   }
 
   /** Schema inference from sampled documents — per-field BSON-type
-    * union with numeric widening; loud error where a guess would be
-    * silent data corruption (nested docs, type conflicts, all-null).
-    * The sample arrives the way the reference takes it
+    * union with numeric widening. A field whose sampled types are
+    * IRRECONCILABLE (or nested documents) falls back to a VARIANT
+    * column: StringType + [[Bson.VariantKey]] metadata, each value
+    * decoding to its relaxed Extended JSON v2 render — the
+    * reference's mixed-type analyser semantics
+    * (`core/analyser.py:286` keeps per-field type histograms; a
+    * loud error would refuse its core use case, a silent widening
+    * would corrupt). Loud error stays where no value was ever seen
+    * (all-null fields: nothing to type, nothing to render). The
+    * sample arrives the way the reference takes it
     * (`core/analyser.py:254`): one `aggregate` cursor with a
     * `$sample` stage.
     */
@@ -236,12 +243,22 @@ private[v2] object MongoV2 {
       math.max(c.sampleSize, 1), auth = c.auth)
     val fields = scala.collection.mutable.LinkedHashMap
       .empty[String, Option[DataType]]
+    val variant = scala.collection.mutable.Set.empty[String]
     try cur.foreach { doc =>
       doc.v.foreach { case (name, v) =>
-        val t = bsonType(v, name)
-        fields.updateWith(name) {
-          case None | Some(None) => Some(t)
-          case Some(Some(prev)) => Some(merge(prev, t, name))
+        if (!variant.contains(name)) {
+          try {
+            val t = bsonType(v, name)
+            fields.updateWith(name) {
+              case None | Some(None) => Some(t)
+              case Some(Some(prev)) => Some(merge(prev, t, name))
+            }
+          } catch {
+            // irreconcilable union or nested document: variant
+            case _: IllegalArgumentException =>
+              variant += name
+              fields.update(name, Some(StringType))
+          }
         }
       }
     } finally cur.close()
@@ -249,6 +266,8 @@ private[v2] object MongoV2 {
       s"graft-mongo: cannot infer a schema from an empty sample of " +
         s"${c.db}.${c.coll}; pass .schema(...)")
     StructType(fields.toSeq.map {
+      case (name, _) if variant.contains(name) =>
+        Bson.variantField(name)
       case (name, Some(dt)) => StructField(name, dt)
       case (name, None) => throw new IllegalArgumentException(
         s"graft-mongo: field '$name' was null in every sampled " +
@@ -411,6 +430,15 @@ private[v2] object MongoV2 {
     * the same widenings as [[Bson.docToRow]], emitted in InternalRow
     * terms (UTF8String, epoch micros, GenericArrayData).
     */
+  /** Field-aware decode: variant columns render to relaxed Extended
+    * JSON (see [[Bson.VariantKey]]); typed columns go through
+    * [[catalystValue]].
+    */
+  def fieldValue(v: BVal, f: StructField): Any =
+    if (Bson.isVariantField(f))
+      UTF8String.fromString(Bson.relaxedJson(v))
+    else catalystValue(v, f.dataType, f.name)
+
   def catalystValue(v: BVal, dt: DataType, field: String): Any =
     (dt, v) match {
       case (_, BNull) => null
@@ -552,6 +580,14 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
     with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
+  // VARIANT columns (mixed-type fallback, Bson.VariantKey) never
+  // push: their Spark value is a rendered JSON string while the wire
+  // compares raw BSON values — equality and grouping semantics
+  // diverge (e.g. int 5 vs double 5.0 group together on the server,
+  // apart in the render), and a pushed filter is never re-checked
+  private val variantCols: Set[String] =
+    fullSchema.fields.filter(Bson.isVariantField).map(_.name).toSet
+
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var wireFilter: Seq[(String, BVal)] = Nil
@@ -562,8 +598,9 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
   private var groupAgg: Option[MongoV2.GroupAggSpec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, rest) =
-      filters.partition(MongoV2.translateTree(_).isDefined)
+    val (ok, rest) = filters.partition(f =>
+      f.references.forall(r => !variantCols.contains(r)) &&
+        MongoV2.translateTree(f).isDefined)
     pushed = ok
     hadResidual = rest.nonEmpty
     // one wire conjunct per pushed filter (top-level entries of one
@@ -654,7 +691,9 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
       case _ => None
     }
     def typeOf(c: String): Option[DataType] =
-      fullSchema.fields.find(_.name == c).map(_.dataType)
+      fullSchema.fields
+        .find(f => f.name == c && !Bson.isVariantField(f))
+        .map(_.dataType)
     val groups = agg.groupByExpressions().toSeq.map { e =>
       for {
         c <- named(e)
@@ -1215,7 +1254,7 @@ private[v2] class MongoPartitionReader(p: MongoInputPartition,
       val vals = required.fields.map { f =>
         m.get(f.name) match {
           case None | Some(BNull) => null
-          case Some(v) => MongoV2.catalystValue(v, f.dataType, f.name)
+          case Some(v) => MongoV2.fieldValue(v, f)
         }
       }
       current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])

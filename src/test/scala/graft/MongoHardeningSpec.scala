@@ -163,6 +163,69 @@ class MongoHardeningSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  private def mixedDocs(n: Int): IndexedSeq[(Long, Array[Byte])] =
+    (0L until n.toLong).map { i =>
+      val payload: BVal = (i % 5) match {
+        case 0 => BInt32((i % 1000).toInt)
+        case 1 => BString("s" + i)
+        case 2 => BDouble(i / 8.0)
+        case 3 => BBool(i % 2 == 0)
+        case _ => BNull
+      }
+      val base = Seq[(String, BVal)]("k" -> BInt64(i),
+        "payload" -> payload)
+      val all = if (i % 3 == 0)
+        base :+ ("sub" -> (BDoc(Seq("a" -> BInt32((i % 100).toInt)))
+          : BVal))
+      else base
+      (i, Bson.encode(BDoc(all)))
+    }.toIndexedSeq
+
+  test("mixed-type wire fields infer as VARIANT columns (relaxed " +
+      "Extended JSON render), filters/groups on them never push, " +
+      "and values decode losslessly") {
+    val srv = new InProcessMongod(mixedDocs(100), "k", "db", "c")
+    try {
+      val df = spark.read.format("graft-mongo")
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("database", "db").option("collection", "c")
+        .option("keyfield", "k").option("numpartitions", "2")
+        .option("samplesize", "100")
+        .load()
+      // inference: k stays typed, payload and sub fall back
+      val byName = df.schema.fields.map(f => f.name -> f).toMap
+      assert(byName("k").dataType == LongType)
+      assert(byName("payload").dataType == StringType &&
+        Bson.isVariantField(byName("payload")))
+      assert(Bson.isVariantField(byName("sub")))
+      // values: every arm renders as its relaxed Extended JSON
+      val rows = df.orderBy("k").collect()
+      assert(rows(0).getString(1) == "0")           // int
+      assert(rows(1).getString(1) == "\"s1\"")      // string
+      assert(rows(2).getString(1) == "0.25")        // double
+      assert(rows(3).getString(1) == "false")       // bool (3 % 2 != 0)
+      assert(rows(4).isNullAt(1))                   // BNull -> null
+      assert(rows(0).getString(2) == "{\"a\":0}")   // nested doc
+      assert(rows(1).isNullAt(2))                   // absent
+      // a filter on the variant column is NOT pushed (the wire would
+      // compare raw BSON while Spark compares the render) — but it
+      // still evaluates correctly in Spark, over all served docs
+      srv.stats.servedDocs.set(0L)
+      val t = df.filter(col("payload") === "true").count()
+      assert(t == (0L until 100L).count(i => i % 5 == 3 && i % 2 == 0))
+      assert(srv.stats.servedDocs.get() >= 100L,
+        "variant filter must scan all docs, not push " +
+          s"(served ${srv.stats.servedDocs.get()}; edge probes add " +
+          "a few)")
+      // group pushdown refuses a variant group column (int 5 and
+      // double 5.0 group together on the server, apart in the render)
+      val g = df.groupBy(col("payload")).count()
+      val plan = g.queryExecution.executedPlan.toString
+      assert(!plan.contains("GraftMongoGroupScan"), plan)
+      assert(g.count() > 0)
+    } finally srv.close()
+  }
+
   test("catalog loadTable fails LOUDLY when the keyfield resolves to " +
       "a non-integral column (the real-server '_id' ObjectId trap)") {
     val df = fixtureDf(10)
