@@ -900,6 +900,32 @@ object SparkEntry {
         .orderBy("c_custkey")
       finally srv.close()
     }),
+    // TABLESAMPLE pushdown (S2 planned by CATALYST, not the helper):
+    // df.sample plans GraftMongoSampleScan — one $sample pipeline of
+    // size floor(fraction x count + 0.5), the server draws, the wire
+    // ships only the sample. Against the in-process double the draw
+    // is deterministic (md5-keyed), so the oracle replays the exact
+    // content; against a real server only the count contract holds
+    // (documented nondeterminism caveat)
+    "mongo_sample_pushdown" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val b = cust.agg(min(col("c_custkey")), max(col("c_custkey")))
+        .head()
+      val srv = graft.sources.InProcessMongod.serve(cust, "c_custkey",
+        "graft", "customer")
+      try s.read.format("graft-mongo")
+        .schema(cust.schema)
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("database", "graft").option("collection", "customer")
+        .option("keyfield", "c_custkey")
+        .option("minkey", b.getLong(0).toString)
+        .option("maxkey", (b.getLong(1) + 1).toString)
+        .load()
+        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .localCheckpoint(true)
+        .orderBy("c_custkey")
+      finally srv.close()
+    }),
     // fully-pushed aggregates: COUNT(*) becomes the wire `count`
     // command (carrying the pushed filter as its query) and
     // MIN/MAX(key) become 1-row sorted finds — one result row with
@@ -7372,6 +7398,14 @@ object SparkEntry {
         SELECT * FROM customer
         ORDER BY md5('customer:' || CAST(c_custkey AS VARCHAR))
         LIMIT 200)
+      ORDER BY c_custkey"""),
+    "mongo_sample_pushdown" -> ("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM (
+        SELECT * FROM customer
+        ORDER BY md5('customer:' || CAST(c_custkey AS VARCHAR))
+        LIMIT (SELECT CAST(floor(COUNT(*) * 0.1 + 0.5) AS BIGINT)
+               FROM customer))
       ORDER BY c_custkey"""),
     "mongo_count_pushdown" -> ("""
       SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -578,6 +578,7 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with SupportsPushDownTopN
+    with SupportsPushDownTableSample
     with SupportsPushDownAggregates {
 
   // VARIANT columns (mixed-type fallback, Bson.VariantKey) never
@@ -596,6 +597,29 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
   private var hadResidual = false
   private var aggSpecs: Option[Seq[MongoV2.AggSpec]] = None
   private var groupAgg: Option[MongoV2.GroupAggSpec] = None
+  private var sampleFraction: Option[Double] = None
+
+  /** TABLESAMPLE / df.sample pushdown: the server draws the sample
+    * (`$sample`), the wire carries only sampled documents. Accepted
+    * only for the plain Bernoulli shape (no replacement, zero lower
+    * bound) and only when nothing else owns the scan. The documented
+    * semantic trade: the source draws an EXACT-size random sample
+    * (binomial count variance under Spark's own Bernoulli sampler is
+    * not preserved), and against a real server the draw is genuinely
+    * random — rely on count and distribution, not on which documents
+    * arrive. The seed CANNOT ride the wire (`$sample` takes no seed),
+    * which is acceptable for a nondeterministic operator.
+    */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+                               withReplacement: Boolean,
+                               seed: Long): Boolean =
+    if (withReplacement || lowerBound != 0.0 ||
+        groupAgg.isDefined || aggSpecs.isDefined ||
+        limit.isDefined || hadResidual) false
+    else {
+      sampleFraction = Some(upperBound)
+      true
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(f =>
@@ -616,8 +640,10 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
 
   override def pushLimit(n: Int): Boolean = {
     // a limit above a pushed group-aggregate cannot ride the group
-    // scan (partials per partition are not the final rows)
-    if (groupAgg.isDefined || aggSpecs.isDefined) return false
+    // scan (partials per partition are not the final rows); above a
+    // pushed sample, Spark keeps the global limit (partial contract)
+    if (groupAgg.isDefined || aggSpecs.isDefined ||
+        sampleFraction.isDefined) return false
     limit = Some(n)
     true
   }
@@ -626,7 +652,8 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
   override def isPartiallyPushed(): Boolean = true
 
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean =
-    if (groupAgg.isDefined || aggSpecs.isDefined) false
+    if (groupAgg.isDefined || aggSpecs.isDefined ||
+        sampleFraction.isDefined) false
     else orders match {
       case Array(o) => o.expression() match {
         case ref: NamedReference
@@ -741,7 +768,10 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
     translateAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    translateAgg(agg) match {
+    // an aggregate above a pushed sample must see SAMPLED rows; the
+    // command paths (count / edge finds / $group) see the collection
+    if (sampleFraction.isDefined) false
+    else translateAgg(agg) match {
       case Some(s) => aggSpecs = Some(s); true
       case None => translateGroupAgg(agg) match {
         case Some(g) => groupAgg = Some(g); true
@@ -753,6 +783,9 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
     case (Some(specs), _) => new MongoAggScan(conf,
       wireFilter ++ MongoV2.windowConjuncts(conf), specs)
     case (None, Some(g)) => new MongoGroupScan(conf, wireFilter, g)
+    case _ if sampleFraction.isDefined =>
+      new MongoSampleScan(required, conf, wireFilter,
+        sampleFraction.get)
     case _ =>
       new MongoScan(required, conf, pushed, wireFilter, limit,
         sortDesc)
@@ -1219,6 +1252,93 @@ private[v2] final case class MongoInputPartition(
     compress: Boolean,
     auth: Option[graft.sources.Scram.Credential])
     extends InputPartition
+
+/** The pushed-TABLESAMPLE scan: ONE `aggregate` pipeline
+  * `[$match?, $sample {size}, $project?]` on one partition (a sample
+  * is small by contract — the MongoWire.sample precedent). `size` =
+  * floor(fraction x matching-count + 0.5), the count taken by the
+  * O(1) `count` command at plan time, scoped by the same window +
+  * pushed filters as the scan. At 100 TB this is the difference
+  * between shipping the collection to sample it and shipping only
+  * the sample.
+  */
+private[v2] class MongoSampleScan(required: StructType,
+                                  conf: MongoV2.Conf,
+                                  wireFilter: Seq[(String, BVal)],
+                                  fraction: Double)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    f"GraftMongoSampleScan ${conf.db}.${conf.coll} " +
+      f"Sample: $fraction%.4f, " +
+      s"Filter: [${wireFilter.map(_._1).mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val eff = wireFilter ++ MongoV2.windowConjuncts(conf)
+    val n = MongoWire.countDocs(conf.host, conf.port, conf.db,
+      conf.coll,
+      if (eff.isEmpty) None else Some(MongoWire.andDoc(eff)),
+      conf.auth)
+    val size = math.floor(fraction * n + 0.5).toLong
+    val stages = Seq.newBuilder[BDoc]
+    if (eff.nonEmpty)
+      stages += BDoc(Seq("$match" -> MongoWire.andDoc(eff)))
+    stages += BDoc(Seq("$sample" ->
+      BDoc(Seq("size" -> BInt64(size)))))
+    if (required.nonEmpty)
+      stages += BDoc(Seq("$project" -> BDoc(
+        required.fieldNames.toSeq.map(f => f -> (BInt32(1): BVal)))))
+    Array(MongoSamplePartition(conf.host, conf.port, conf.db,
+      conf.coll, stages.result(), conf.batchSize,
+      MongoV2.resolveCompress(conf), conf.auth))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MongoSampleReaderFactory(required)
+}
+
+private[v2] class MongoSampleReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] =
+    new MongoSampleReader(p.asInstanceOf[MongoSamplePartition],
+      required)
+}
+
+private[v2] final case class MongoSamplePartition(
+    host: String, port: Int, db: String, coll: String,
+    pipeline: Seq[BDoc], batchSize: Int, compress: Boolean,
+    auth: Option[graft.sources.Scram.Credential])
+  extends InputPartition
+
+private[v2] class MongoSampleReader(p: MongoSamplePartition,
+                                    required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val cursor = new MongoWire.AggregateCursor(p.host, p.port,
+    p.db, p.coll, p.pipeline, p.batchSize, p.compress, p.auth)
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (cursor.hasNext) {
+      val doc = cursor.next()
+      val m = doc.v.toMap
+      val vals = required.fields.map { f =>
+        m.get(f.name) match {
+          case None | Some(BNull) => null
+          case Some(v) => MongoV2.fieldValue(v, f)
+        }
+      }
+      current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = cursor.close()
+}
 
 private[v2] class MongoReaderFactory(required: StructType)
     extends PartitionReaderFactory {

@@ -1123,4 +1123,53 @@ class MongoV2Spec extends AnyFunSuite {
       assert(e.getMessage.contains("'x'"))
     } finally nul.close()
   }
+  test("TABLESAMPLE pushdown: df.sample plans GraftMongoSampleScan, " +
+      "the server draws exactly floor(fraction*n+0.5) docs (the " +
+      "deterministic md5 draw), the wire ships only the sample, and " +
+      "replacement/limit shapes refuse") {
+    val df = fixtureDf(100)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      val base = dsv2(srv, Some(df.schema),
+        "minkey" -> "0", "maxkey" -> "100")
+      val sampled = base.sample(withReplacement = false,
+        fraction = 0.25, seed = 42L).select("k", "name")
+      assert(scanDescription(sampled).contains("GraftMongoSampleScan"),
+        scanDescription(sampled))
+      srv.stats.servedDocs.set(0L)
+      val got = sampled.collect().map(_.getLong(0)).sorted.toSeq
+      // server work = the 25 sampled docs, not the collection
+      assert(srv.stats.servedDocs.get() == 25L,
+        s"served ${srv.stats.servedDocs.get()}")
+      // the double draws deterministically by md5("<coll>:<key>"):
+      // content is exactly that prefix
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(k: Long): String = {
+        md.reset()
+        md.digest(s"c:$k".getBytes("UTF-8")).map(b => f"$b%02x")
+          .mkString
+      }
+      val expect = (0L until 100L).sortBy(h).take(25).sorted.toSeq
+      assert(got == expect)
+      // a count above the sample sees SAMPLED rows (a complete-agg
+      // pushdown over the collection would answer 100)
+      assert(base.sample(withReplacement = false, fraction = 0.25,
+        seed = 7L).count() == 25L)
+      // filter + sample: Spark's pushdown rule order (sample before
+      // filters) keeps the Sample in Spark — the filter still pushes
+      // and the result stays correct (Bernoulli in Spark), it just
+      // is not the wire's draw. Document, don't pretend.
+      val filtered = base.filter(col("k") < 40L)
+        .sample(withReplacement = false, fraction = 0.5, seed = 1L)
+      assert(!scanDescription(filtered)
+        .contains("GraftMongoSampleScan"))
+      assert(scanDescription(filtered).contains("LessThan(k,40)"))
+      assert(filtered.count() <= 40L)
+      // replacement sampling is not expressible on the wire: refuse
+      val wr = base.sample(withReplacement = true, fraction = 0.25,
+        seed = 42L)
+      assert(!scanDescription(wr).contains("GraftMongoSampleScan"))
+    } finally srv.close()
+  }
+
 }
