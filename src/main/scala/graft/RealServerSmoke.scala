@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Bson, MongoWire, Scram}
+import graft.sources.Bson._
+
+/** One-command smoke check against a REAL mongod — the day a server
+  * is reachable, this converts the sandbox's environmental gap (no
+  * mongod binary; every `mongo_*` oracle row runs against the
+  * in-process protocol double) into a direct check of the same
+  * claims. SKIPPED BY DEFAULT: exits 0 with a SKIP line unless
+  * `MONGO_HOST`/`MONGO_PORT` are set.
+  *
+  * {{{
+  * MONGO_HOST=... MONGO_PORT=27017 [MONGO_USER=.. MONGO_PASSWORD=..
+  *   MONGO_AUTHDB=admin] [MONGO_DB=graft_smoke] \
+  *   sbt "runMain graft.RealServerSmoke"
+  * }}}
+  *
+  * What it drives (writes only to `MONGO_DB.graft_smoke`, dropped
+  * first and after): hello + compressor negotiation; the V2 writer
+  * (kind-1 insert sections); the ranged cursor scan; filter/
+  * projection pushdown; complete COUNT/MIN/MAX; partial GROUP BY
+  * with long and decimal SUM partials; TABLESAMPLE count contract
+  * ($sample is genuinely random on a real server — content is NOT
+  * checked, by design); newest-N; listCollections/collStats; SCRAM
+  * auth when credentials are given. Each check prints PASS/FAIL;
+  * any FAIL exits nonzero.
+  */
+object RealServerSmoke {
+
+  private var failures = 0
+
+  private def check(name: String)(body: => Boolean): Unit = {
+    val ok =
+      try body
+      catch {
+        case e: Exception =>
+          println(s"FAIL $name: ${e.getMessage}")
+          failures += 1
+          return
+      }
+    if (ok) println(s"PASS $name")
+    else { println(s"FAIL $name"); failures += 1 }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val host = sys.env.get("MONGO_HOST")
+    val port = sys.env.get("MONGO_PORT").map(_.toInt)
+    if (host.isEmpty || port.isEmpty) {
+      println("SKIP real-server smoke: set MONGO_HOST and MONGO_PORT " +
+        "(optional MONGO_USER/MONGO_PASSWORD/MONGO_AUTHDB, MONGO_DB)")
+      return
+    }
+    val (h, p) = (host.get, port.get)
+    val db = sys.env.getOrElse("MONGO_DB", "graft_smoke")
+    val coll = "graft_smoke"
+    val auth = (sys.env.get("MONGO_USER"),
+      sys.env.get("MONGO_PASSWORD")) match {
+      case (Some(u), Some(pw)) => Some(Scram.Credential(u, pw,
+        sys.env.getOrElse("MONGO_AUTHDB", "admin")))
+      case _ => None
+    }
+    val spark = SparkSession.builder()
+      .appName("graft-real-server-smoke").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    try {
+      check("hello handshake") {
+        val r = MongoWire.hello(h, p)
+        r.v.exists(_._1 == "ok")
+      }
+      val zlib = MongoWire.negotiateZlib(h, p)
+      println(s"INFO server negotiates zlib: $zlib")
+
+      def drop(): Unit =
+        try MongoWire.command(h, p, BDoc(Seq(
+          "drop" -> BString(coll), "$db" -> BString(db))), auth)
+        catch { case _: Exception => () }   // ns-not-found is fine
+      drop()
+
+      val n = 1000
+      val df = (0 until n).map(i => (i.toLong, s"name$i", i % 7,
+          BigDecimal(i * 3 + 1).setScale(2) / 4))
+        .toDF("k", "name", "grp", "amt")
+        .withColumn("amt", col("amt").cast(
+          org.apache.spark.sql.types.DecimalType(12, 2)))
+
+      check("V2 writer (kind-1 insert sections)") {
+        var w = df.repartition(2).write.format("graft-mongo")
+          .mode("append")
+          .option("host", h).option("port", p.toString)
+          .option("database", db).option("collection", coll)
+          .option("keyfield", "k")
+        auth.foreach { c =>
+          w = w.option("user", c.user).option("password", c.password)
+            .option("authdb", c.authDb)
+        }
+        w.save()
+        true
+      }
+
+      def read0 = {
+        var r = spark.read.format("graft-mongo").schema(df.schema)
+          .option("host", h).option("port", p.toString)
+          .option("database", db).option("collection", coll)
+          .option("keyfield", "k").option("numpartitions", "4")
+        auth.foreach { c =>
+          r = r.option("user", c.user).option("password", c.password)
+            .option("authdb", c.authDb)
+        }
+        r.load()
+      }
+
+      check("ranged cursor scan")(read0.count() == n.toLong)
+      check("filter + projection pushdown") {
+        read0.filter(col("k") >= 500L && col("grp") === 3)
+          .select("k", "name").count() ==
+          (500 until n).count(_ % 7 == 3).toLong
+      }
+      check("complete COUNT/MIN/MAX pushdown") {
+        val r = read0.agg(count(lit(1)), min(col("k")), max(col("k")))
+          .head()
+        (r.getLong(0), r.getLong(1), r.getLong(2)) ==
+          ((n.toLong, 0L, (n - 1).toLong))
+      }
+      check("partial GROUP BY pushdown (long + decimal SUM)") {
+        val got = read0.groupBy(col("grp"))
+          .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"),
+            sum(col("amt")).as("sa"))
+          .collect().map(r => (r.getInt(0), r.getLong(1),
+            r.getLong(2), r.getDecimal(3))).sortBy(_._1).toSeq
+        val want = df.groupBy(col("grp"))
+          .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"),
+            sum(col("amt")).as("sa"))
+          .collect().map(r => (r.getInt(0), r.getLong(1),
+            r.getLong(2), r.getDecimal(3))).sortBy(_._1).toSeq
+        got == want
+      }
+      check("TABLESAMPLE count contract (content is random on a " +
+          "real server)") {
+        val c = read0.sample(withReplacement = false, fraction = 0.2,
+          seed = 42L).count()
+        c == math.floor(0.2 * n + 0.5).toLong
+      }
+      check("newest-N wire sort+limit") {
+        MongoWire.newest(spark, h, p, db, coll, df.schema, "k", 5,
+          auth = auth).collect().map(_.getLong(0)).sorted.toSeq ==
+          Seq(995L, 996L, 997L, 998L, 999L)
+      }
+      check("listCollections contains the smoke collection") {
+        MongoWire.listCollectionNames(h, p, db, auth).contains(coll)
+      }
+      check("collStats count agrees with count") {
+        val (c, _, _) = MongoWire.collStats(h, p, db, coll, auth)
+        c == MongoWire.countDocs(h, p, db, coll, auth = auth)
+      }
+
+      drop()
+      if (failures > 0) {
+        println(s"$failures check(s) FAILED")
+        sys.exit(1)
+      }
+      println("real-server smoke: all checks passed")
+    } finally spark.stop()
+  }
+}
