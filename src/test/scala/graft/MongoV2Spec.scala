@@ -1085,7 +1085,8 @@ class MongoV2Spec extends AnyFunSuite {
   }
 
   test("DSv2 schema inference: sampled-document union with numeric " +
-      "widening; conflicts and all-null fields are loud errors") {
+      "widening; conflicts fall back to VARIANT columns (r16); " +
+      "all-null fields stay loud errors") {
     val df = fixtureDf(80)
     val srv = InProcessMongod.serve(df, "k", "db", "c")
     try {
@@ -1105,14 +1106,19 @@ class MongoV2Spec extends AnyFunSuite {
       val s = dsv2(widen, None).schema
       assert(s("x").dataType == LongType)
     } finally widen.close()
-    // conflict: int vs string — loud error naming the field
+    // conflict: int vs string — a VARIANT column (StringType +
+    // marker metadata, relaxed Extended JSON values), the
+    // reference's mixed-type analyser semantics (was a loud error
+    // until r16; MongoHardeningSpec covers the full decode/pushdown
+    // contract)
     val clash = new InProcessMongod(IndexedSeq(
       (0L, Bson.encode(BDoc(Seq("k" -> BInt64(0L), "x" -> BInt32(1))))),
       (1L, Bson.encode(BDoc(Seq("k" -> BInt64(1L),
         "x" -> BString("s")))))), "k", "db", "c")
     try {
-      val e = intercept[Exception](dsv2(clash, None).schema)
-      assert(e.getMessage.contains("'x'"))
+      val s = dsv2(clash, None).schema
+      assert(s("x").dataType == StringType &&
+        Bson.isVariantField(s("x")))
     } finally clash.close()
     // all-null: refuse to guess
     val nul = new InProcessMongod(IndexedSeq(
