@@ -43,9 +43,12 @@ PUBLIC_URL_OK = re.compile(
     r"(/|$|[^\w.-])")
 
 # env vars the engine documents (Bench/Verify/replay knobs) + standard
+# MONGO_*: the RealServerSmoke tool's user-supplied server
+# parameters, documented in README — generic connection knobs a user
+# points at THEIR server, not references to any nonpublic system
 ENV_OK = re.compile(
     r"SPARK_GRAFT_\w+|JAVA_HOME|PATH|HOME|TMPDIR|USER|LANG|TZ|"
-    r"COURSIER_\w+|SBT_\w+|SPARK_\w+")
+    r"COURSIER_\w+|SBT_\w+|SPARK_\w+|MONGO_\w+")
 
 PROBES = {
     "nonpublic-import": [
