@@ -226,6 +226,36 @@ class MongoHardeningSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("variant columns flow through the streaming tail: mixed-type " +
+      "inserts arrive as their relaxed Extended JSON renders") {
+    val schema = StructType(Seq(StructField("k", LongType),
+      graft.sources.Bson.variantField("payload")))
+    val srv = InProcessMongod.serveEmpty("db", "vt", "k")
+    try {
+      val q = spark.readStream.format("graft-mongo").schema(schema)
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("database", "db").option("collection", "vt")
+        .option("keyfield", "k")
+        .load()
+        .writeStream.format("memory").queryName("variant_tail")
+        .outputMode("append").start()
+      try {
+        val sock = new java.net.Socket("127.0.0.1", srv.port)
+        try MongoWire.insertBatch(sock, "db", "vt", Seq(
+          BDoc(Seq("k" -> BInt64(1L), "payload" -> BInt32(7))),
+          BDoc(Seq("k" -> BInt64(2L), "payload" -> BString("x"))),
+          BDoc(Seq("k" -> BInt64(3L),
+            "payload" -> BDoc(Seq("a" -> BBool(true)))))), 1)
+        finally sock.close()
+        q.processAllAvailable()
+        val got = spark.table("variant_tail").orderBy("k")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(got == Seq((1L, "7"), (2L, "\"x\""),
+          (3L, "{\"a\":true}")))
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("catalog loadTable fails LOUDLY when the keyfield resolves to " +
       "a non-integral column (the real-server '_id' ObjectId trap)") {
     val df = fixtureDf(10)
