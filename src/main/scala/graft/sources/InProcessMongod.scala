@@ -898,7 +898,12 @@ final class InProcessMongod(db: String,
     }
     if (!conn.proofVerified) {
       sc.handleClientFinal(payload) match {
-        case Left(err) => authFailed(err)
+        case Left(err) =>
+          // a real server aborts the conversation after a bad proof:
+          // the same server-first/nonce must not be retryable — the
+          // client has to start a fresh saslStart
+          conn.conversation = None
+          authFailed(err)
         case Right(v) =>
           conn.proofVerified = true
           Bson.encode(BDoc(Seq(

@@ -37,7 +37,12 @@ object Scram {
     */
   final case class Credential(user: String, password: String,
                               authDb: String = "admin")
-    extends Serializable
+    extends Serializable {
+    // the credential rides inside Conf and every InputPartition case
+    // class; a case-class toString in any log line or assertion must
+    // never print the password
+    override def toString: String = s"Credential($user,***,$authDb)"
+  }
 
   private def b64(b: Array[Byte]): String =
     Base64.getEncoder.encodeToString(b)
@@ -185,6 +190,13 @@ object Scram {
     /** Left(errmsg) on a bad proof; Right(v=…) on success. */
     def handleClientFinal(clientFinal: String)
         : Either[String, String] = {
+      // RFC 5802 §5.1: the server MUST verify c= (the base64 gs2
+      // header) — a relay that rewrote the header would otherwise
+      // pass, since c= is inside the signed auth message only when
+      // the server actually checks it matches what was negotiated
+      val channel = attr(clientFinal, 'c')
+      if (channel != b64("n,,".getBytes(UTF_8)))
+        return Left("SCRAM gs2-header (c=) mismatch")
       val proof = unb64(attr(clientFinal, 'p'))
       val nonce = attr(clientFinal, 'r')
       if (nonce != fullNonce) return Left("SCRAM nonce mismatch")

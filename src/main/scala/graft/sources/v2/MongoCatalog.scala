@@ -57,12 +57,18 @@ class MongoCatalog extends TableCatalog {
 
   private def db: String = opt("database")
 
+  // mirrors MongoV2.Conf's validation: a half-specified pair must
+  // fail HERE with the clear message, not later as an opaque
+  // code-13 Unauthorized from listTables on an auth-required server
   private def auth: Option[graft.sources.Scram.Credential] =
     (Option(options.get("user")), Option(options.get("password"))) match {
       case (Some(u), Some(pw)) =>
         Some(graft.sources.Scram.Credential(u, pw,
           Option(options.get("authdb")).getOrElse("admin")))
-      case _ => None
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        s"catalog $catalogName: user and password options come " +
+          "together (authdb optional, default 'admin')")
     }
 
   private def checkNamespace(ns: Array[String]): Unit =

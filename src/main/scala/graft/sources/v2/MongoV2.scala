@@ -602,10 +602,13 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
   /** TABLESAMPLE / df.sample pushdown: the server draws the sample
     * (`$sample`), the wire carries only sampled documents. Accepted
     * only for the plain Bernoulli shape (no replacement, zero lower
-    * bound) and only when nothing else owns the scan. The documented
-    * semantic trade: the source draws an EXACT-size random sample
-    * (binomial count variance under Spark's own Bernoulli sampler is
-    * not preserved), and against a real server the draw is genuinely
+    * bound). Under Spark's V2ScanRelationPushDown rule order the
+    * sample pushes FIRST (before filters/aggregates/limits), so no
+    * other pushdown state can exist here — the later hooks each
+    * check `sampleFraction` themselves. The documented semantic
+    * trade: the source draws an EXACT-size random sample (binomial
+    * count variance under Spark's own Bernoulli sampler is not
+    * preserved), and against a real server the draw is genuinely
     * random — rely on count and distribution, not on which documents
     * arrive. The seed CANNOT ride the wire (`$sample` takes no seed),
     * which is acceptable for a nondeterministic operator.
@@ -613,15 +616,19 @@ private[v2] class MongoScanBuilder(fullSchema: StructType,
   override def pushTableSample(lowerBound: Double, upperBound: Double,
                                withReplacement: Boolean,
                                seed: Long): Boolean =
-    if (withReplacement || lowerBound != 0.0 ||
-        groupAgg.isDefined || aggSpecs.isDefined ||
-        limit.isDefined || hadResidual) false
+    if (withReplacement || lowerBound != 0.0) false
     else {
       sampleFraction = Some(upperBound)
       true
     }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // a filter ABOVE a pushed sample (df.sample(f).filter(p) — the
+    // rule order pushes the sample first) must stay in Spark: pushing
+    // it would run $match BEFORE $sample on the wire, inverting the
+    // plan's operator order (the sample would then draw an exact-size
+    // sample of the FILTERED set instead of filtering the sample)
+    if (sampleFraction.isDefined) { hadResidual = filters.nonEmpty; return filters }
     val (ok, rest) = filters.partition(f =>
       f.references.forall(r => !variantCols.contains(r)) &&
         MongoV2.translateTree(f).isDefined)
@@ -1257,10 +1264,20 @@ private[v2] final case class MongoInputPartition(
   * `[$match?, $sample {size}, $project?]` on one partition (a sample
   * is small by contract — the MongoWire.sample precedent). `size` =
   * floor(fraction x matching-count + 0.5), the count taken by the
-  * O(1) `count` command at plan time, scoped by the same window +
-  * pushed filters as the scan. At 100 TB this is the difference
-  * between shipping the collection to sample it and shipping only
-  * the sample.
+  * O(1) `count` command at plan time, scoped by the declared key
+  * window. At 100 TB this is the difference between shipping the
+  * collection to sample it and shipping only the sample.
+  *
+  * Real-server caveat (documented divergence): when the requested
+  * size is below ~5% of the collection, a real server's `$sample`
+  * may take its pseudo-random-cursor path, which CAN return the same
+  * document more than once — so a pushed TABLESAMPLE against a real
+  * deployment can emit duplicate rows, where Spark's own Bernoulli
+  * sampler never would. Deduplicate downstream by key if exact
+  * without-replacement semantics matter, or disable the pushdown by
+  * sampling after a materializing operator. The in-process double's
+  * draw is deterministic and duplicate-free (md5-keyed top-n), so
+  * oracle rows are unaffected.
   */
 private[v2] class MongoSampleScan(required: StructType,
                                   conf: MongoV2.Conf,

@@ -1171,6 +1171,24 @@ class MongoV2Spec extends AnyFunSuite {
         .contains("GraftMongoSampleScan"))
       assert(scanDescription(filtered).contains("LessThan(k,40)"))
       assert(filtered.count() <= 40L)
+      // sample THEN filter (df.sample(f).filter(p)): the sample
+      // pushes (rule order runs it first), and the filter must NOT —
+      // a pushed $match would run BEFORE $sample on the wire,
+      // inverting the plan's operator order (the wire would draw an
+      // exact-size sample of the FILTERED set). The filter stays in
+      // Spark, applied to the shipped sample.
+      val sf = base.sample(withReplacement = false, fraction = 0.25,
+        seed = 3L).filter(col("k") < 40L).select("k")
+      val sfDesc = scanDescription(sf)
+      assert(sfDesc.contains("GraftMongoSampleScan"), sfDesc)
+      assert(sfDesc.contains("Filter: []"), sfDesc)
+      srv.stats.servedDocs.set(0L)
+      val sfGot = sf.collect().map(_.getLong(0)).sorted.toSeq
+      // the wire ships the full 25-doc draw; Spark filters after
+      assert(srv.stats.servedDocs.get() == 25L,
+        s"served ${srv.stats.servedDocs.get()}")
+      assert(sfGot ==
+        (0L until 100L).sortBy(h).take(25).filter(_ < 40L).sorted.toSeq)
       // replacement sampling is not expressible on the wire: refuse
       val wr = base.sample(withReplacement = true, fraction = 0.25,
         seed = 42L)

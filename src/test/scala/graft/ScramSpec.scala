@@ -70,6 +70,26 @@ class ScramSpec extends AnyFunSuite {
     }
   }
 
+  test("server side enforces the mandatory c= (gs2-header) check — " +
+      "RFC 5802 §5.1 — and the credential's toString never prints " +
+      "the password") {
+    val salt = java.util.Base64.getDecoder.decode(rfcSalt)
+    val stored = Scram.storeCredential(rfcUser, rfcPass, salt)
+    val server = new Scram.ServerSide(stored, rfcServerNonce)
+    server.handleClientFirst("n,,n=user,r=rOprNGfwEbeRWgbNEkqO")
+    // a rewritten channel-binding header (c=eSws is b64("y,,")) must
+    // be rejected even with an otherwise valid proof
+    server.handleClientFinal(
+      s"c=eSws,r=$rfcClientNonce$rfcServerNonce," +
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=") match {
+      case Right(_) => fail("rewritten gs2 header accepted")
+      case Left(err) => assert(err.contains("c="), err)
+    }
+    val cred = Scram.Credential("analyst", "s3cr3t")
+    assert(!cred.toString.contains("s3cr3t") &&
+      cred.toString.contains("analyst"), cred.toString)
+  }
+
   test("SASLprep stand-in refuses non-ASCII credentials loudly " +
       "instead of authenticating differently than a spec-complete " +
       "peer") {
@@ -154,6 +174,42 @@ class ScramSpec extends AnyFunSuite {
           "out", auth = Some(Scram.Credential("analyst", "s3cr3t")))
         assert(n == 10L)
       } finally dst.close()
+    } finally srv.close()
+  }
+
+  test("a failed proof ABORTS the conversation: retrying the same " +
+      "server-first/nonce gets 'saslContinue without saslStart', " +
+      "not another verification attempt") {
+    val df = fixtureDf(5)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    srv.requireAuth("analyst", "s3cr3t")
+    try {
+      val sock = new java.net.Socket("127.0.0.1", srv.port)
+      try {
+        val conv = Scram.ClientConversation.fresh("analyst", "wrong")
+        val start = MongoWire.runCommandOk(sock, BDoc(Seq(
+          "saslStart" -> BInt32(1),
+          "mechanism" -> BString("SCRAM-SHA-256"),
+          "payload" -> BBinary(0,
+            conv.clientFirstMessage.getBytes(UTF_8)),
+          "$db" -> BString("admin"))), 1)
+        val serverFirst = start.v.collectFirst {
+          case ("payload", BBinary(_, b)) => new String(b, UTF_8)
+        }.getOrElse(fail("saslStart reply missing payload"))
+        val (clientFinal, _) = conv.clientFinal(serverFirst)
+        def continueOnce(reqId: Int): String =
+          MongoWire.runCommand(sock, BDoc(Seq(
+            "saslContinue" -> BInt32(1),
+            "conversationId" -> BInt32(1),
+            "payload" -> BBinary(0, clientFinal.getBytes(UTF_8)),
+            "$db" -> BString("admin"))), reqId).v.collectFirst {
+            case ("errmsg", BString(m)) => m
+          }.getOrElse("")
+        assert(continueOnce(2).contains("failed"))
+        // the conversation is gone: same proof again is not
+        // re-verified against the old nonce
+        assert(continueOnce(3).contains("without saslStart"))
+      } finally sock.close()
     } finally srv.close()
   }
 
