@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Bson, MongoWire, Scram}
+import graft.sources.{Bson, MongoWire, Scram, Tls}
 import graft.sources.Bson._
 
 /** One-command smoke check against a REAL mongod — the day a server
@@ -15,7 +15,9 @@ import graft.sources.Bson._
   *
   * {{{
   * MONGO_HOST=... MONGO_PORT=27017 [MONGO_USER=.. MONGO_PASSWORD=..
-  *   MONGO_AUTHDB=admin] [MONGO_DB=graft_smoke] \
+  *   MONGO_AUTHDB=admin] [MONGO_DB=graft_smoke] [MONGO_TLS=true
+  *   MONGO_TLS_TRUSTSTORE=/path/trust.p12
+  *   MONGO_TLS_TRUSTSTORE_PASSWORD=..] \
   *   sbt "runMain graft.RealServerSmoke"
   * }}}
   *
@@ -25,9 +27,13 @@ import graft.sources.Bson._
   * projection pushdown; complete COUNT/MIN/MAX; partial GROUP BY
   * with long and decimal SUM partials; TABLESAMPLE count contract
   * ($sample is genuinely random on a real server — content is NOT
-  * checked, by design); newest-N; listCollections/collStats; SCRAM
-  * auth when credentials are given. Each check prints PASS/FAIL;
-  * any FAIL exits nonzero.
+  * checked, by design); newest-N; listCollections/collStats;
+  * variant-column inference over a deliberately mixed-typed field;
+  * SCRAM auth when credentials are given; TLS when `MONGO_TLS=true`
+  * (managed deployments require it — point
+  * `MONGO_TLS_TRUSTSTORE[_PASSWORD]` at a PKCS12 holding the
+  * server's CA, or omit for the JVM default trust). Each check
+  * prints PASS/FAIL; any FAIL exits nonzero.
   */
 object RealServerSmoke {
 
@@ -63,6 +69,11 @@ object RealServerSmoke {
         sys.env.getOrElse("MONGO_AUTHDB", "admin")))
       case _ => None
     }
+    val tls =
+      if (sys.env.get("MONGO_TLS").exists(_.toBoolean))
+        Some(Tls.Conf(sys.env.get("MONGO_TLS_TRUSTSTORE"),
+          sys.env.get("MONGO_TLS_TRUSTSTORE_PASSWORD")))
+      else None
     val spark = SparkSession.builder()
       .appName("graft-real-server-smoke").master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -71,15 +82,15 @@ object RealServerSmoke {
     import spark.implicits._
     try {
       check("hello handshake") {
-        val r = MongoWire.hello(h, p)
+        val r = MongoWire.hello(h, p, tls = tls)
         r.v.exists(_._1 == "ok")
       }
-      val zlib = MongoWire.negotiateZlib(h, p)
+      val zlib = MongoWire.negotiateZlib(h, p, tls)
       println(s"INFO server negotiates zlib: $zlib")
 
-      def drop(): Unit =
+      def drop(c: String = coll): Unit =
         try MongoWire.command(h, p, BDoc(Seq(
-          "drop" -> BString(coll), "$db" -> BString(db))), auth)
+          "drop" -> BString(c), "$db" -> BString(db))), auth, tls)
         catch { case _: Exception => () }   // ns-not-found is fine
       drop()
 
@@ -100,6 +111,13 @@ object RealServerSmoke {
           w = w.option("user", c.user).option("password", c.password)
             .option("authdb", c.authDb)
         }
+        tls.foreach { t =>
+          w = w.option("tls", "true")
+          t.trustStorePath.foreach(x =>
+            w = w.option("tlstruststore", x))
+          t.trustStorePassword.foreach(x =>
+            w = w.option("tlstruststorepassword", x))
+        }
         w.save()
         true
       }
@@ -112,6 +130,13 @@ object RealServerSmoke {
         auth.foreach { c =>
           r = r.option("user", c.user).option("password", c.password)
             .option("authdb", c.authDb)
+        }
+        tls.foreach { t =>
+          r = r.option("tls", "true")
+          t.trustStorePath.foreach(x =>
+            r = r.option("tlstruststore", x))
+          t.trustStorePassword.foreach(x =>
+            r = r.option("tlstruststorepassword", x))
         }
         r.load()
       }
@@ -149,15 +174,55 @@ object RealServerSmoke {
       }
       check("newest-N wire sort+limit") {
         MongoWire.newest(spark, h, p, db, coll, df.schema, "k", 5,
-          auth = auth).collect().map(_.getLong(0)).sorted.toSeq ==
+          auth = auth, tls = tls).collect().map(_.getLong(0)).sorted.toSeq ==
           Seq(995L, 996L, 997L, 998L, 999L)
       }
       check("listCollections contains the smoke collection") {
-        MongoWire.listCollectionNames(h, p, db, auth).contains(coll)
+        MongoWire.listCollectionNames(h, p, db, auth, tls)
+          .contains(coll)
       }
       check("collStats count agrees with count") {
-        val (c, _, _) = MongoWire.collStats(h, p, db, coll, auth)
-        c == MongoWire.countDocs(h, p, db, coll, auth = auth)
+        val (c, _, _) = MongoWire.collStats(h, p, db, coll, auth, tls)
+        c == MongoWire.countDocs(h, p, db, coll, auth = auth,
+          tls = tls)
+      }
+      check("variant-column inference over a mixed-typed field") {
+        val mixedColl = coll + "_mixed"
+        drop(mixedColl)
+        val sock = MongoWire.openSocket(h, p, tls)
+        try {
+          auth.foreach(Scram.authenticate(sock, _))
+          val docs = (0 until 64).map { i =>
+            val v: BVal = i % 3 match {
+              case 0 => BInt32(i)
+              case 1 => BString(s"s$i")
+              case _ => BBool(i % 2 == 0)
+            }
+            BDoc(Seq("k" -> BInt64(i.toLong), "payload" -> v))
+          }
+          MongoWire.insertBatch(sock, db, mixedColl, docs, 7)
+        } finally sock.close()
+        var r = spark.read.format("graft-mongo")
+          .option("host", h).option("port", p.toString)
+          .option("database", db).option("collection", mixedColl)
+          .option("keyfield", "k").option("samplesize", "64")
+        auth.foreach { c =>
+          r = r.option("user", c.user).option("password", c.password)
+            .option("authdb", c.authDb)
+        }
+        tls.foreach { t =>
+          r = r.option("tls", "true")
+          t.trustStorePath.foreach(x =>
+            r = r.option("tlstruststore", x))
+          t.trustStorePassword.foreach(x =>
+            r = r.option("tlstruststorepassword", x))
+        }
+        val inferred = r.load()
+        val f = inferred.schema("payload")
+        val ok = Bson.isVariantField(f) &&
+          inferred.count() == 64L
+        drop(mixedColl)
+        ok
       }
 
       drop()

@@ -557,6 +557,41 @@ object SparkEntry {
         .orderBy("s_suppkey")
       finally srv.close()
     }),
+    // the same scan TLS-GATED on top of auth — the managed-deployment
+    // posture (TLS handshake first, then the SCRAM conversation):
+    // the double serves from a self-signed key store (Tls.scala,
+    // JSSE only), every ranged-cursor connection wraps in an
+    // SSLSocket with the handshake forced at open and hostname
+    // verification ON (the fixture cert's SAN covers loopback).
+    // Agreement with the plain table certifies the encrypted
+    // transport leaves the data path untouched
+    "mongo_tls_scan" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val b = cust.agg(min(col("c_custkey")), max(col("c_custkey")))
+        .head()
+      val id = graft.sources.Tls.sharedSelfSigned
+      val srv = graft.sources.InProcessMongod.serve(cust, "c_custkey",
+        "graft", "customer_tls",
+        tlsKeyStore = Some((id.keyStorePath, id.password)))
+      srv.requireAuth("analyst", "s3cr3t")
+      try s.read.format("graft-mongo").schema(cust.schema)
+        .option("host", "127.0.0.1")
+        .option("port", srv.port.toString)
+        .option("database", "graft")
+        .option("collection", "customer_tls")
+        .option("keyfield", "c_custkey")
+        .option("minkey", b.getLong(0).toString)
+        .option("maxkey", (b.getLong(1) + 1).toString)
+        .option("numpartitions", "4")
+        .option("user", "analyst").option("password", "s3cr3t")
+        .option("tls", "true")
+        .option("tlstruststore", id.trustStorePath)
+        .option("tlstruststorepassword", id.password)
+        .load()
+        .localCheckpoint(true)
+        .orderBy("c_custkey")
+      finally srv.close()
+    }),
     // the DSv2 connector under Catalyst's OWN pushdown planner:
     // spark.read.format("graft-mongo") with a relational filter +
     // projection on top — V2ScanRelationPushDown hands the scan its
@@ -7332,6 +7367,11 @@ object SparkEntry {
       FROM supplier ORDER BY s_suppkey"""),
     "mongo_auth_scan" -> ("""
       SELECT * FROM supplier ORDER BY s_suppkey"""),
+    // TLS + auth over the same decode path: agreement with the plain
+    // table certifies the encrypted transport is content-transparent
+    "mongo_tls_scan" -> ("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer ORDER BY c_custkey"""),
     "mongo_mixed_schema" -> ("""
       WITH n AS (SELECT LEAST(20000, COUNT(*)) AS c FROM orders)
       SELECT * FROM (

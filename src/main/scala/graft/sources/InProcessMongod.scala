@@ -343,12 +343,13 @@ private[sources] object WireGroup {
   */
 final class InProcessMongod(db: String,
     colls0: Seq[(String, String, IndexedSeq[(Long, Array[Byte])])],
-    maxBatch: Int)
+    maxBatch: Int,
+    tlsKeyStore: Option[(String, String)])
     extends AutoCloseable {
 
   def this(docs: IndexedSeq[(Long, Array[Byte])], keyField: String,
            db: String, coll: String, maxBatch: Int = 1000) =
-    this(db, Seq((coll, keyField, docs)), maxBatch)
+    this(db, Seq((coll, keyField, docs)), maxBatch, None)
 
   import InProcessMongod.{Coll, Stats}
 
@@ -380,8 +381,17 @@ final class InProcessMongod(db: String,
     var proofVerified: Boolean = false
   }
 
-  private val server = new ServerSocket(0, 64,
-    InetAddress.getLoopbackAddress)
+  // TLS-required serving: with a key store, every connection must
+  // complete a TLS handshake before the first frame (the managed-
+  // deployment posture — TLS precedes even the SASL conversation);
+  // a plaintext client's first bytes fail the handshake and the
+  // connection drops, which the client sees as a loud EOF/SSL error
+  private val server: ServerSocket = tlsKeyStore match {
+    case None => new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+    case Some((path, password)) =>
+      Tls.serverSocket(64, InetAddress.getLoopbackAddress, path,
+        password)
+  }
   @volatile private var running = true
   private val nextCursor = new AtomicLong(1)
 
@@ -1129,8 +1139,11 @@ object InProcessMongod {
     * `keyField`, which must be a non-null integral column.
     */
   def serve(df: org.apache.spark.sql.DataFrame, keyField: String,
-            db: String, coll: String): InProcessMongod =
-    new InProcessMongod(encodeDf(df, keyField), keyField, db, coll)
+            db: String, coll: String,
+            tlsKeyStore: Option[(String, String)] = None)
+      : InProcessMongod =
+    new InProcessMongod(db,
+      Seq((coll, keyField, encodeDf(df, keyField))), 1000, tlsKeyStore)
 
   /** Serves several DataFrames as one multi-collection database —
     * the admin-command surface (`listCollections`/`count`/`collStats`)
@@ -1140,11 +1153,13 @@ object InProcessMongod {
                colls: Seq[(String, String, org.apache.spark.sql.DataFrame)])
       : InProcessMongod =
     new InProcessMongod(db,
-      colls.map { case (c, k, df) => (c, k, encodeDf(df, k)) }, 1000)
+      colls.map { case (c, k, df) => (c, k, encodeDf(df, k)) }, 1000,
+      None)
 
   /** Serves an empty, insertable collection — the write-path target. */
   def serveEmpty(db: String, coll: String, keyField: String)
       : InProcessMongod =
     new InProcessMongod(db,
-      Seq((coll, keyField, IndexedSeq.empty[(Long, Array[Byte])])), 1000)
+      Seq((coll, keyField, IndexedSeq.empty[(Long, Array[Byte])])),
+      1000, None)
 }

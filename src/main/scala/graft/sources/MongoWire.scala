@@ -44,6 +44,15 @@ object MongoWire {
   private val OpMsg = 2013
   private val OpCompressed = 2012
 
+  /** Every connector socket funnels through here: plain loopback/LAN
+    * or TLS ([[Tls.clientSocket]] — handshake forced at open).
+    */
+  def openSocket(host: String, port: Int,
+                 tls: Option[Tls.Conf]): Socket = tls match {
+    case None => new Socket(host, port)
+    case Some(c) => Tls.clientSocket(host, port, c)
+  }
+
   /** zlib (compressor id 2) for OP_COMPRESSED — `java.util.zip`, no
     * dependency. The compressed payload is everything AFTER the
     * 16-byte header of the original message (per the public spec).
@@ -196,8 +205,9 @@ object MongoWire {
 
   /** One driver-side command on a throwaway connection. */
   def command(host: String, port: Int, cmd: BDoc,
-              auth: Option[Scram.Credential] = None): BDoc = {
-    val sock = new Socket(host, port)
+              auth: Option[Scram.Credential] = None,
+              tls: Option[Tls.Conf] = None): BDoc = {
+    val sock = openSocket(host, port, tls)
     try {
       auth.foreach(Scram.authenticate(sock, _))
       val reply = runCommand(sock, cmd, 10)
@@ -213,23 +223,26 @@ object MongoWire {
     * back, so the request side is mandatory for negotiation.
     */
   def hello(host: String, port: Int, db: String = "admin",
-            compressors: Seq[String] = Seq("zlib")): BDoc = {
+            compressors: Seq[String] = Seq("zlib"),
+            tls: Option[Tls.Conf] = None): BDoc = {
     val parts = Seq.newBuilder[(String, BVal)]
     parts += "hello" -> BInt32(1)
     if (compressors.nonEmpty)
       parts += "compression" -> BArr(compressors.map(BString(_)))
     parts += "$db" -> BString(db)
-    command(host, port, BDoc(parts.result()))
+    command(host, port, BDoc(parts.result()), tls = tls)
   }
 
   /** `compress=auto`: use zlib iff the server echoes it back for a
     * hello that REQUESTED it — the protocol's negotiation rule.
     */
-  def negotiateZlib(host: String, port: Int): Boolean =
-    hello(host, port, compressors = Seq("zlib")).v.collectFirst {
-      case ("compression", BArr(cs)) =>
-        cs.contains(BString("zlib"))
-    }.getOrElse(false)
+  def negotiateZlib(host: String, port: Int,
+                    tls: Option[Tls.Conf] = None): Boolean =
+    hello(host, port, compressors = Seq("zlib"), tls = tls).v
+      .collectFirst {
+        case ("compression", BArr(cs)) =>
+          cs.contains(BString("zlib"))
+      }.getOrElse(false)
 
   /** Shared cursor machinery: issue one opening command, then
     * `getMore` until the server returns cursor id 0. Pull-based —
@@ -239,12 +252,13 @@ object MongoWire {
                                    db: String, coll: String,
                                    batchSize: Int,
                                    compress: Boolean,
-                                   auth: Option[Scram.Credential] = None)
+                                   auth: Option[Scram.Credential] = None,
+                                   tls: Option[Tls.Conf] = None)
       extends Iterator[BDoc] with AutoCloseable {
 
     protected def firstCommand: BDoc
 
-    private val sock = new Socket(host, port)
+    private val sock = openSocket(host, port, tls)
     // authenticate BEFORE the opening command ships
     auth.foreach(Scram.authenticate(sock, _))
     private var reqId = 1
@@ -320,9 +334,10 @@ object MongoWire {
                          sort: Option[(String, Int)],
                          limit: Option[Long], batchSize: Int,
                          compress: Boolean = false,
-                         auth: Option[Scram.Credential] = None)
+                         auth: Option[Scram.Credential] = None,
+                         tls: Option[Tls.Conf] = None)
       extends WireCursor(host, port, db, coll, batchSize, compress,
-        auth) {
+        auth, tls) {
     protected def firstCommand: BDoc = {
       val parts = Seq.newBuilder[(String, BVal)]
       parts += "find" -> BString(coll)
@@ -349,9 +364,10 @@ object MongoWire {
                               coll: String, pipeline: Seq[BDoc],
                               batchSize: Int,
                               compress: Boolean = false,
-                              auth: Option[Scram.Credential] = None)
+                              auth: Option[Scram.Credential] = None,
+                              tls: Option[Tls.Conf] = None)
       extends WireCursor(host, port, db, coll, batchSize, compress,
-        auth) {
+        auth, tls) {
     protected def firstCommand: BDoc = BDoc(Seq(
       "aggregate" -> BString(coll),
       "pipeline" -> BArr(pipeline),
@@ -418,7 +434,8 @@ object MongoWire {
            filterExtra: Seq[(String, BVal)] = Nil,
            projectColumns: Boolean = false,
            compress: Boolean = false,
-           auth: Option[Scram.Credential] = None): DataFrame = {
+           auth: Option[Scram.Credential] = None,
+           tls: Option[Tls.Conf] = None): DataFrame = {
     require(numPartitions >= 1 && maxKeyExclusive >= minKey)
     val ranges = splitRanges(minKey, maxKeyExclusive, numPartitions)
     val proj = if (projectColumns) Some(schema.fieldNames.toSeq) else None
@@ -427,7 +444,7 @@ object MongoWire {
       .flatMap { case (lo, hi) =>
         new FindCursor(host, port, db, coll,
           Some(mergedFilter(keyField, lo, hi, filterExtra)), proj,
-          None, None, batchSize, compress, auth)
+          None, None, batchSize, compress, auth, tls)
           .map(Bson.docToRow(_, schema))
       }
     spark.createDataFrame(rdd, schema)
@@ -442,11 +459,12 @@ object MongoWire {
   def newest(spark: SparkSession, host: String, port: Int, db: String,
              coll: String, schema: StructType, keyField: String,
              n: Int, batchSize: Int = 512,
-             auth: Option[Scram.Credential] = None): DataFrame = {
+             auth: Option[Scram.Credential] = None,
+             tls: Option[Tls.Conf] = None): DataFrame = {
     val rdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
       new FindCursor(host, port, db, coll, None, None,
         Some((keyField, -1)), Some(n.toLong), batchSize,
-        auth = auth)
+        auth = auth, tls = tls)
         .map(Bson.docToRow(_, schema))
     }
     spark.createDataFrame(rdd, schema)
@@ -464,11 +482,12 @@ object MongoWire {
   def sample(spark: SparkSession, host: String, port: Int, db: String,
              coll: String, schema: StructType, n: Int,
              batchSize: Int = 512,
-             auth: Option[Scram.Credential] = None): DataFrame = {
+             auth: Option[Scram.Credential] = None,
+             tls: Option[Tls.Conf] = None): DataFrame = {
     val rdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
       new AggregateCursor(host, port, db, coll,
         Seq(BDoc(Seq("$sample" -> BDoc(Seq("size" -> BInt32(n)))))),
-        batchSize, auth = auth).map(Bson.docToRow(_, schema))
+        batchSize, auth = auth, tls = tls).map(Bson.docToRow(_, schema))
     }
     spark.createDataFrame(rdd, schema)
   }
@@ -506,12 +525,13 @@ object MongoWire {
     */
   def write(df: DataFrame, host: String, port: Int, db: String,
             coll: String, batchSize: Int = 512,
-            auth: Option[Scram.Credential] = None): Long = {
+            auth: Option[Scram.Credential] = None,
+            tls: Option[Tls.Conf] = None): Long = {
     val schema = df.schema
     df.rdd.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.single(0L)
       else {
-        val sock = new Socket(host, port)
+        val sock = openSocket(host, port, tls)
         auth.foreach(Scram.authenticate(sock, _))
         var reqId = 0
         var acked = 0L
@@ -535,9 +555,10 @@ object MongoWire {
   def commandCursorAll(host: String, port: Int, db: String,
                        cmd: BDoc, getMoreColl: String,
                        batchSize: Int = 101,
-                       auth: Option[Scram.Credential] = None)
+                       auth: Option[Scram.Credential] = None,
+                       tls: Option[Tls.Conf] = None)
       : Seq[BDoc] = {
-    val sock = new Socket(host, port)
+    val sock = openSocket(host, port, tls)
     try {
       auth.foreach(Scram.authenticate(sock, _))
       var reqId = 1
@@ -567,11 +588,12 @@ object MongoWire {
 
   /** All collection names, paging included. */
   def listCollectionNames(host: String, port: Int, db: String,
-                          auth: Option[Scram.Credential] = None)
+                          auth: Option[Scram.Credential] = None,
+                          tls: Option[Tls.Conf] = None)
       : Seq[String] =
     commandCursorAll(host, port, db, BDoc(Seq(
       "listCollections" -> BInt32(1), "$db" -> BString(db))),
-      "$cmd.listCollections", auth = auth).map { d =>
+      "$cmd.listCollections", auth = auth, tls = tls).map { d =>
       field(d, "name") match {
         case BString(s) => s
         case other => throw new IllegalArgumentException(s"name: $other")
@@ -591,12 +613,14 @@ object MongoWire {
   /** `count` with an optional query filter. */
   def countDocs(host: String, port: Int, db: String, coll: String,
                 query: Option[BDoc] = None,
-                auth: Option[Scram.Credential] = None): Long = {
+                auth: Option[Scram.Credential] = None,
+                tls: Option[Tls.Conf] = None): Long = {
     val parts = Seq.newBuilder[(String, BVal)]
     parts += "count" -> BString(coll)
     query.foreach(q => parts += "query" -> q)
     parts += "$db" -> BString(db)
-    field(command(host, port, BDoc(parts.result()), auth), "n") match {
+    field(command(host, port, BDoc(parts.result()), auth, tls),
+      "n") match {
       case BInt32(x) => x.toLong
       case BInt64(x) => x
       case other => throw new IllegalArgumentException(s"count n: $other")
@@ -605,10 +629,11 @@ object MongoWire {
 
   /** `collStats` → (count, size bytes, avgObjSize). */
   def collStats(host: String, port: Int, db: String, coll: String,
-                auth: Option[Scram.Credential] = None)
+                auth: Option[Scram.Credential] = None,
+                tls: Option[Tls.Conf] = None)
       : (Long, Long, Double) = {
     val reply = command(host, port, BDoc(Seq(
-      "collStats" -> BString(coll), "$db" -> BString(db))), auth)
+      "collStats" -> BString(coll), "$db" -> BString(db))), auth, tls)
     val count = field(reply, "count") match {
       case BInt32(x) => x.toLong
       case BInt64(x) => x

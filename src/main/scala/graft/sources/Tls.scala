@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.io.{File, FileInputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.security.KeyStore
+
+import javax.net.ssl.{KeyManagerFactory, SSLContext, SSLServerSocket, SSLSocket, TrustManagerFactory}
+
+/** TLS for the wire connector — pure JSSE (the public JDK API, no
+  * dependencies). Managed MongoDB deployments require TLS before the
+  * SASL conversation even starts, so this is part of "a real
+  * `host:port` drops into [[MongoWire.read]] unchanged": pass
+  * `tls=true` (plus a trust store when the server's certificate is
+  * not in the JVM's default trust) and every socket the connector
+  * opens — per-partition cursors, probes, writers, the streaming
+  * tail — wraps in an [[SSLSocket]] with the handshake forced at
+  * open time, so a misconfigured endpoint fails loudly at the first
+  * connection instead of garbling mid-cursor.
+  *
+  * Hostname verification is ON (the HTTPS endpoint-identification
+  * algorithm): a certificate that does not name the host it is
+  * served from is rejected, the same rule every real driver applies.
+  * There is deliberately NO "allow invalid certificates" switch —
+  * add the server's CA to a trust store instead.
+  *
+  * The executor side only needs the trust-store FILE: on a real
+  * cluster ship it with `--files` (or bake it into the image) so the
+  * configured path resolves on every executor; `local[*]` shares the
+  * filesystem already.
+  */
+object Tls {
+
+  /** Client-side TLS settings. `trustStore` = path + password of a
+    * PKCS12 file holding the certificate authorities to trust; None
+    * trusts the JVM's default CA set (a publicly-signed server).
+    */
+  final case class Conf(trustStorePath: Option[String] = None,
+                        trustStorePassword: Option[String] = None)
+    extends Serializable {
+    // rides in InputPartition case classes: never print the password
+    override def toString: String =
+      s"Tls(${trustStorePath.getOrElse("<jvm-default-trust>")})"
+  }
+
+  private def loadStore(path: String, password: String): KeyStore = {
+    val store = KeyStore.getInstance("PKCS12")
+    val in = new FileInputStream(path)
+    try store.load(in, password.toCharArray) finally in.close()
+    store
+  }
+
+  private def clientContext(conf: Conf): SSLContext =
+    conf.trustStorePath match {
+      case None => SSLContext.getDefault
+      case Some(path) =>
+        val tmf = TrustManagerFactory.getInstance(
+          TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(loadStore(path,
+          conf.trustStorePassword.getOrElse("")))
+        val ctx = SSLContext.getInstance("TLS")
+        ctx.init(null, tmf.getTrustManagers, null)
+        ctx
+    }
+
+  /** Opens one TLS client socket and FORCES the handshake before
+    * returning — certificate and hostname failures surface at open
+    * time as the JSSE exception, never as a torn frame later. The
+    * handshake is TIME-BOUNDED: a plaintext peer never answers a
+    * ClientHello (it blocks parsing it as a frame), which without a
+    * timeout deadlocks both sides forever instead of failing loudly.
+    */
+  def clientSocket(host: String, port: Int, conf: Conf): Socket = {
+    val sock = clientContext(conf).getSocketFactory
+      .createSocket(host, port).asInstanceOf[SSLSocket]
+    try {
+      val params = sock.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      sock.setSSLParameters(params)
+      sock.setSoTimeout(10000)
+      sock.startHandshake()
+      sock.setSoTimeout(0)
+      sock
+    } catch {
+      case e: Throwable =>
+        try sock.close() catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  /** A TLS server socket from a PKCS12 key store (the in-process
+    * double's serving side).
+    */
+  def serverSocket(backlog: Int, bind: InetAddress, keyStorePath: String,
+                   password: String): ServerSocket = {
+    val kmf = KeyManagerFactory.getInstance(
+      KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(loadStore(keyStorePath, password), password.toCharArray)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx.getServerSocketFactory.createServerSocket(0, backlog, bind)
+      .asInstanceOf[SSLServerSocket]
+  }
+
+  /** A generated self-signed identity: the server's key store and
+    * the matching client trust store (the exported certificate as a
+    * trusted entry), one password for both.
+    */
+  final case class SelfSigned(keyStorePath: String,
+                              trustStorePath: String,
+                              password: String)
+
+  /** FIXTURE helper (specs, oracle rows, [[InProcessMongod]]): a
+    * fresh self-signed certificate for localhost via the JDK's own
+    * `keytool` (SAN covers `localhost` + `127.0.0.1` so hostname
+    * verification passes against loopback). Real deployments bring
+    * their own CA — this exists only because the sandbox has no
+    * server, mirroring the in-process double itself.
+    */
+  def selfSigned(dir: File): SelfSigned = {
+    require(dir.isDirectory || dir.mkdirs(), s"cannot create $dir")
+    val password = {
+      val raw = new Array[Byte](12)
+      new java.security.SecureRandom().nextBytes(raw)
+      raw.map(b => f"$b%02x").mkString
+    }
+    val keyStore = new File(dir, "server.p12").getAbsolutePath
+    val cert = new File(dir, "server.cer").getAbsolutePath
+    val trustStore = new File(dir, "trust.p12").getAbsolutePath
+    val keytool = new File(new File(
+      System.getProperty("java.home"), "bin"), "keytool").getAbsolutePath
+    def run(args: String*): Unit = {
+      val pb = new ProcessBuilder((keytool +: args): _*)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      require(p.waitFor() == 0, s"keytool ${args.head} failed: $out")
+    }
+    run("-genkeypair", "-alias", "graft", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "365",
+      "-storetype", "PKCS12", "-keystore", keyStore,
+      "-storepass", password, "-dname", "CN=localhost",
+      "-ext", "SAN=dns:localhost,ip:127.0.0.1")
+    run("-exportcert", "-alias", "graft", "-keystore", keyStore,
+      "-storepass", password, "-file", cert)
+    run("-importcert", "-alias", "graft", "-keystore", trustStore,
+      "-storetype", "PKCS12", "-storepass", password,
+      "-file", cert, "-noprompt")
+    SelfSigned(keyStore, trustStore, password)
+  }
+
+  /** One self-signed identity per JVM (keytool keygen costs ~1 s;
+    * every spec and oracle row shares it).
+    */
+  lazy val sharedSelfSigned: SelfSigned = selfSigned(
+    java.nio.file.Files.createTempDirectory("graft-tls").toFile)
+}

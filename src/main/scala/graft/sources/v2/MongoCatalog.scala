@@ -71,6 +71,13 @@ class MongoCatalog extends TableCatalog {
           "together (authdb optional, default 'admin')")
     }
 
+  private def tlsConf: Option[graft.sources.Tls.Conf] =
+    if (Option(options.get("tls")).exists(_.toBoolean))
+      Some(graft.sources.Tls.Conf(
+        Option(options.get("tlstruststore")),
+        Option(options.get("tlstruststorepassword"))))
+    else None
+
   private def checkNamespace(ns: Array[String]): Unit =
     require(ns.sameElements(Array(db)),
       s"catalog $catalogName serves exactly one namespace '$db', " +
@@ -81,7 +88,7 @@ class MongoCatalog extends TableCatalog {
     checkNamespace(namespace)
     val reply = MongoWire.command(opt("host"), opt("port").toInt,
       BDoc(Seq("listCollections" -> BInt32(1),
-        "$db" -> BString(db))), auth)
+        "$db" -> BString(db))), auth, tlsConf)
     val cur = reply.v.collectFirst { case ("cursor", c: BDoc) => c }
       .getOrElse(throw new IllegalArgumentException(
         s"listCollections reply missing cursor: $reply"))
@@ -110,7 +117,8 @@ class MongoCatalog extends TableCatalog {
     confMap.put("collection", coll)
     confMap.put("keyfield", keyField)
     Seq("numpartitions", "batchsize", "samplesize", "user",
-        "password", "authdb").foreach { k =>
+        "password", "authdb", "tls", "tlstruststore",
+        "tlstruststorepassword").foreach { k =>
       Option(options.get(k)).foreach(confMap.put(k, _))
     }
     val conf = MongoV2.Conf(new CaseInsensitiveStringMap(confMap))

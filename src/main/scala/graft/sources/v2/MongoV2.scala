@@ -65,7 +65,11 @@ import graft.sources.MongoWire
   * `samplesize` (default 64), `user`/`password`/`authdb` (SCRAM-
   * SHA-256 credentials, [[graft.sources.Scram]]; every connection —
   * per-partition cursors, probes, writers — authenticates before its
-  * first command).
+  * first command), `tls`/`tlstruststore`/`tlstruststorepassword`
+  * ([[graft.sources.Tls]]; `tls=true` wraps every one of those
+  * connections in an SSLSocket with the handshake forced at open —
+  * the trust-store file must resolve on executors too, ship it with
+  * `--files` on a real cluster).
   *
   * At 100 TB: one cursor per key range is the standard bulk-read
   * layout (each range lands on the shard owning it); pushdown means
@@ -110,7 +114,8 @@ private[v2] object MongoV2 {
                         numPartitions: Int, batchSize: Int,
                         sampleSize: Int, compressMode: String,
                         auth: Option[graft.sources.Scram.Credential]
-                          = None)
+                          = None,
+                        tls: Option[graft.sources.Tls.Conf] = None)
 
   object Conf {
     def apply(o: CaseInsensitiveStringMap): Conf = {
@@ -146,7 +151,17 @@ private[v2] object MongoV2 {
           case _ => throw new IllegalArgumentException(
             "graft-mongo: user and password options come together " +
               "(authdb optional, default 'admin')")
-        })
+        },
+        tls = Option(o.get("tls")).map(_.toBoolean).getOrElse(false)
+          match {
+            case false =>
+              require(o.get("tlstruststore") == null,
+                "graft-mongo: tlstruststore requires tls=true")
+              None
+            case true => Some(graft.sources.Tls.Conf(
+              Option(o.get("tlstruststore")),
+              Option(o.get("tlstruststorepassword"))))
+          })
     }
   }
 
@@ -156,7 +171,7 @@ private[v2] object MongoV2 {
   def resolveCompress(c: Conf): Boolean = c.compressMode match {
     case "zlib" => true
     case "none" => false
-    case "auto" => MongoWire.negotiateZlib(c.host, c.port)
+    case "auto" => MongoWire.negotiateZlib(c.host, c.port, c.tls)
   }
 
   /** The table's key window as filter conjuncts — what scopes the
@@ -183,7 +198,7 @@ private[v2] object MongoV2 {
       def edge(dir: Int): Option[Long] = {
         val cur = new MongoWire.FindCursor(c.host, c.port, c.db, c.coll,
           None, Some(Seq(c.keyField)), Some((c.keyField, dir)),
-          Some(1L), 2, auth = c.auth)
+          Some(1L), 2, auth = c.auth, tls = c.tls)
         try {
           if (!cur.hasNext) None
           else {
@@ -240,7 +255,7 @@ private[v2] object MongoV2 {
       c.coll,
       Seq(BDoc(Seq("$sample" ->
         BDoc(Seq("size" -> BInt32(c.sampleSize)))))),
-      math.max(c.sampleSize, 1), auth = c.auth)
+      math.max(c.sampleSize, 1), auth = c.auth, tls = c.tls)
     val fields = scala.collection.mutable.LinkedHashMap
       .empty[String, Option[DataType]]
     val variant = scala.collection.mutable.Set.empty[String]
@@ -539,7 +554,7 @@ private[v2] class MongoDataWriter(schema: StructType,
     extends DataWriter[InternalRow] {
 
   private lazy val sock = {
-    val sk = new java.net.Socket(conf.host, conf.port)
+    val sk = MongoWire.openSocket(conf.host, conf.port, conf.tls)
     conf.auth.foreach(graft.sources.Scram.authenticate(sk, _))
     sk
   }
@@ -835,7 +850,7 @@ private[v2] class MongoGroupScan(conf: MongoV2.Conf,
     ranges.map { case (lo, hi) =>
       MongoGroupPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, lo, hi, conf.batchSize, wireFilter, spec,
-        compress, conf.auth): InputPartition
+        compress, conf.auth, conf.tls): InputPartition
     }.toArray
   }
 
@@ -852,7 +867,8 @@ private[v2] final case class MongoGroupPartition(
     keyField: String, lo: Long, hi: Long, batchSize: Int,
     wireFilter: Seq[(String, BVal)], spec: MongoV2.GroupAggSpec,
     compress: Boolean,
-    auth: Option[graft.sources.Scram.Credential])
+    auth: Option[graft.sources.Scram.Credential],
+    tls: Option[graft.sources.Tls.Conf])
   extends InputPartition
 
 private[v2] class MongoGroupReader(p: MongoGroupPartition)
@@ -878,7 +894,7 @@ private[v2] class MongoGroupReader(p: MongoGroupPartition)
     new MongoWire.AggregateCursor(p.host, p.port, p.db, p.coll,
       Seq(BDoc(Seq("$match" -> matchDoc)),
         BDoc(Seq("$group" -> groupDoc))),
-      p.batchSize, p.compress, p.auth)
+      p.batchSize, p.compress, p.auth, p.tls)
   }
 
   private var current: InternalRow = _
@@ -936,7 +952,7 @@ private[v2] class MongoAggScan(conf: MongoV2.Conf,
 
   override def planInputPartitions(): Array[InputPartition] =
     Array(MongoAggPartition(conf.host, conf.port, conf.db, conf.coll,
-      conf.keyField, wireFilter, specs, conf.auth))
+      conf.keyField, wireFilter, specs, conf.auth, conf.tls))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -950,7 +966,8 @@ private[v2] final case class MongoAggPartition(
     host: String, port: Int, db: String, coll: String,
     keyField: String, wireFilter: Seq[(String, BVal)],
     specs: Seq[MongoV2.AggSpec],
-    auth: Option[graft.sources.Scram.Credential])
+    auth: Option[graft.sources.Scram.Credential],
+    tls: Option[graft.sources.Tls.Conf])
   extends InputPartition
 
 private[v2] class MongoAggReader(p: MongoAggPartition)
@@ -963,7 +980,7 @@ private[v2] class MongoAggReader(p: MongoAggPartition)
       if (p.wireFilter.isEmpty) None
       else Some(MongoWire.andDoc(p.wireFilter)),
       Some(Seq(p.keyField)), Some((p.keyField, dir)), Some(1L), 2,
-      auth = p.auth)
+      auth = p.auth, tls = p.tls)
     try {
       if (!cur.hasNext) None
       else cur.next().v.collectFirst {
@@ -986,7 +1003,7 @@ private[v2] class MongoAggReader(p: MongoAggPartition)
         case "count" =>
           MongoWire.countDocs(p.host, p.port, p.db, p.coll,
             if (p.wireFilter.isEmpty) None
-            else Some(MongoWire.andDoc(p.wireFilter)), p.auth)
+            else Some(MongoWire.andDoc(p.wireFilter)), p.auth, p.tls)
         case "min" | "max" =>
           edgeKey(if (s.kind == "min") 1 else -1) match {
             case None => null          // empty: MIN/MAX are NULL
@@ -1083,13 +1100,14 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
     val (rows, bytes) =
       try {
         val (cnt, size, _) = MongoWire.collStats(conf.host, conf.port,
-          conf.db, conf.coll, conf.auth)
+          conf.db, conf.coll, conf.auth, conf.tls)
         // the declared key window scopes the stats like the scan
         val eff = wireFilter ++ MongoV2.windowConjuncts(conf)
         if (eff.isEmpty || cnt == 0L) (cnt, size)
         else {
           val fc = MongoWire.countDocs(conf.host, conf.port, conf.db,
-            conf.coll, Some(MongoWire.andDoc(eff)), conf.auth)
+            conf.coll, Some(MongoWire.andDoc(eff)), conf.auth,
+            conf.tls)
           (fc, math.max(size * fc / cnt, 1L))
         }
       } catch {
@@ -1139,7 +1157,7 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
         conf.keyField, lo, hi, conf.batchSize,
         wireFilter ++ runtimeWire,
         required.fieldNames.toSeq, limit, sortDesc, compress,
-        conf.auth): InputPartition
+        conf.auth, conf.tls): InputPartition
     }.toArray
   }
 
@@ -1179,7 +1197,8 @@ private[v2] class MongoMicroBatchStream(required: StructType,
   private def edge(dir: Int): Option[Long] = {
     val cur = new MongoWire.FindCursor(conf.host, conf.port, conf.db,
       conf.coll, None, Some(Seq(conf.keyField)),
-      Some((conf.keyField, dir)), Some(1L), 2, auth = conf.auth)
+      Some((conf.keyField, dir)), Some(1L), 2, auth = conf.auth,
+      tls = conf.tls)
     try {
       if (!cur.hasNext) None
       else cur.next().v.collectFirst {
@@ -1231,7 +1250,7 @@ private[v2] class MongoMicroBatchStream(required: StructType,
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, a, b, conf.batchSize, wireFilter,
         required.fieldNames.toSeq, None, None,
-        compress, conf.auth): InputPartition
+        compress, conf.auth, conf.tls): InputPartition
     }.toArray
   }
 
@@ -1257,7 +1276,8 @@ private[v2] final case class MongoInputPartition(
     wireFilter: Seq[(String, BVal)], columns: Seq[String],
     limit: Option[Int], sortDesc: Option[Boolean],
     compress: Boolean,
-    auth: Option[graft.sources.Scram.Credential])
+    auth: Option[graft.sources.Scram.Credential],
+    tls: Option[graft.sources.Tls.Conf])
     extends InputPartition
 
 /** The pushed-TABLESAMPLE scan: ONE `aggregate` pipeline
@@ -1297,7 +1317,7 @@ private[v2] class MongoSampleScan(required: StructType,
     val n = MongoWire.countDocs(conf.host, conf.port, conf.db,
       conf.coll,
       if (eff.isEmpty) None else Some(MongoWire.andDoc(eff)),
-      conf.auth)
+      conf.auth, conf.tls)
     val size = math.floor(fraction * n + 0.5).toLong
     val stages = Seq.newBuilder[BDoc]
     if (eff.nonEmpty)
@@ -1309,7 +1329,7 @@ private[v2] class MongoSampleScan(required: StructType,
         required.fieldNames.toSeq.map(f => f -> (BInt32(1): BVal)))))
     Array(MongoSamplePartition(conf.host, conf.port, conf.db,
       conf.coll, stages.result(), conf.batchSize,
-      MongoV2.resolveCompress(conf), conf.auth))
+      MongoV2.resolveCompress(conf), conf.auth, conf.tls))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1327,7 +1347,8 @@ private[v2] class MongoSampleReaderFactory(required: StructType)
 private[v2] final case class MongoSamplePartition(
     host: String, port: Int, db: String, coll: String,
     pipeline: Seq[BDoc], batchSize: Int, compress: Boolean,
-    auth: Option[graft.sources.Scram.Credential])
+    auth: Option[graft.sources.Scram.Credential],
+    tls: Option[graft.sources.Tls.Conf])
   extends InputPartition
 
 private[v2] class MongoSampleReader(p: MongoSamplePartition,
@@ -1335,7 +1356,8 @@ private[v2] class MongoSampleReader(p: MongoSamplePartition,
     extends PartitionReader[InternalRow] {
 
   private val cursor = new MongoWire.AggregateCursor(p.host, p.port,
-    p.db, p.coll, p.pipeline, p.batchSize, p.compress, p.auth)
+    p.db, p.coll, p.pipeline, p.batchSize, p.compress, p.auth,
+    p.tls)
 
   private var current: InternalRow = _
 
@@ -1380,7 +1402,7 @@ private[v2] class MongoPartitionReader(p: MongoInputPartition,
     Some(MongoWire.mergedFilter(p.keyField, p.lo, p.hi, p.wireFilter)),
     Some(p.columns),
     p.sortDesc.map(d => (p.keyField, if (d) -1 else 1)),
-    p.limit.map(_.toLong), p.batchSize, p.compress, p.auth)
+    p.limit.map(_.toLong), p.batchSize, p.compress, p.auth, p.tls)
 
   private var current: InternalRow = _
 

@@ -560,7 +560,7 @@ class MongoV2Spec extends AnyFunSuite {
     // default batch of 101 = three pages, client drains them all
     val many = new InProcessMongod("db",
       (0 until 250).map(i => (f"coll$i%03d", "k",
-        IndexedSeq.empty[(Long, Array[Byte])])), 1000)
+        IndexedSeq.empty[(Long, Array[Byte])])), 1000, None)
     try {
       val names = MongoWire.listCollectionNames("127.0.0.1",
         many.port, "db")
