@@ -85,8 +85,10 @@ object RealServerSmoke {
         val r = MongoWire.hello(h, p, tls = tls)
         r.v.exists(_._1 == "ok")
       }
-      val zlib = MongoWire.negotiateZlib(h, p, tls)
-      println(s"INFO server negotiates zlib: $zlib")
+      val negotiated = MongoWire.negotiate(h, p, tls = tls)
+      println("INFO server negotiates compressor: " +
+        negotiated.map(MongoWire.WireCompress.nameOf)
+          .getOrElse("none"))
 
       def drop(c: String = coll): Unit =
         try MongoWire.command(h, p, BDoc(Seq(

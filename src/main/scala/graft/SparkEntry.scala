@@ -615,9 +615,11 @@ object SparkEntry {
         .option("minkey", b.getLong(0).toString)
         .option("maxkey", (b.getLong(1) + 1).toString)
         .option("numpartitions", "4")
-        // zlib OP_COMPRESSED frames: transport compression rides
-        // under the same oracle gate as the pushdown chain
-        .option("compress", "zlib")
+        // OP_COMPRESSED frames under the same oracle gate as the
+        // pushdown chain — `auto` runs the real negotiation (the
+        // double prefers snappy, like real servers), so the declared
+        // row certifies handshake + snappy framing end to end
+        .option("compress", "auto")
         .load()
         .filter(col("c_mktsegment") === "BUILDING" &&
           col("c_acctbal") > 1000.0)

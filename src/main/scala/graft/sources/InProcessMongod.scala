@@ -358,6 +358,20 @@ final class InProcessMongod(db: String,
 
   val stats = new Stats
 
+  /** The compressors this server speaks, in ITS preference order
+    * (the hello echo and therefore the negotiation winner). Default
+    * mirrors a real deployment built with all three, preferring
+    * snappy; specs narrow it (e.g. snappy-only) to prove the client
+    * honors the negotiation instead of assuming zlib.
+    */
+  @volatile private var compressorsSupported: Seq[String] =
+    Seq("snappy", "zlib", "zstd")
+
+  def setCompressors(cs: Seq[String]): Unit = {
+    cs.foreach(MongoWire.WireCompress.idOf)   // loud on unknown names
+    compressorsSupported = cs
+  }
+
   /** When set, every connection must complete a SCRAM-SHA-256
     * conversation before any command other than `hello`/`saslStart`/
     * `saslContinue` — the real server's required-auth behavior
@@ -785,14 +799,17 @@ final class InProcessMongod(db: String,
     * public server defaults) + the NEGOTIATED compressor list — per
     * the handshake rule, only compressors the client REQUESTED are
     * echoed back (a hello without a compression array gets none),
-    * intersected with what this server speaks (zlib).
+    * intersected with what this server speaks, in the SERVER's
+    * preference order.
     */
   private def handleHello(cmd: BDoc): Array[Byte] = {
     val requested = get(cmd, "compression") match {
       case Some(BArr(cs)) => cs.collect { case BString(s) => s }
       case _ => Seq.empty
     }
-    val negotiated = requested.filter(_ == "zlib")
+    // the echo is in the SERVER's preference order intersected with
+    // what the client requested — the first entry is the winner
+    val negotiated = compressorsSupported.filter(requested.contains)
     val parts = Seq.newBuilder[(String, BVal)]
     parts += "isWritablePrimary" -> BBool(true)
     parts += "maxBsonObjectSize" -> BInt32(16 * 1024 * 1024)
@@ -988,18 +1005,24 @@ final class InProcessMongod(db: String,
         var buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
         val reqId = buf.getInt; buf.getInt
         val op = buf.getInt
-        val compressed = op == 2012
-        if (compressed) {
+        var reqCompressor: Option[Byte] = None
+        if (op == 2012) {
           val orig = buf.getInt
           require(orig == 2013, s"OP_COMPRESSED wraps opCode $orig")
           val size = buf.getInt
           val id = buf.get
-          require(id == MongoWire.WireCompress.ZlibId,
-            s"unsupported compressor id $id")
+          // honoring negotiation is on the CLIENT: a forced
+          // compressor the server does not speak is a frame-level
+          // violation (the real server drops the connection too)
+          require(compressorsSupported
+              .contains(MongoWire.WireCompress.nameOf(id)),
+            s"compressor ${MongoWire.WireCompress.nameOf(id)} not " +
+              s"supported by this server ($compressorsSupported)")
+          reqCompressor = Some(id)
           val packed = new Array[Byte](buf.remaining())
           buf.get(packed)
           buf = ByteBuffer.wrap(
-            MongoWire.WireCompress.inflate(packed, size))
+            MongoWire.WireCompress.unpack(id, packed, size))
             .order(ByteOrder.LITTLE_ENDIAN)
         } else require(op == 2013, s"unsupported opCode $op")
         buf.getInt            // flagBits
@@ -1020,26 +1043,27 @@ final class InProcessMongod(db: String,
               "code" -> BInt32(2),
               "codeName" -> BString("BadValue"))))
           }
-        if (!compressed) {
-          val hdr = ByteBuffer.allocate(21)
-            .order(ByteOrder.LITTLE_ENDIAN)
-          hdr.putInt(16 + 5 + body.length).putInt(0).putInt(reqId)
-            .putInt(2013).putInt(0).put(0.toByte)
-          out.write(hdr.array()); out.write(body)
-          stats.wireBytesOut.addAndGet(21L + body.length)
-        } else {
-          val section = ByteBuffer.allocate(5 + body.length)
-            .order(ByteOrder.LITTLE_ENDIAN)
-          section.putInt(0).put(0.toByte).put(body)
-          val packed =
-            MongoWire.WireCompress.deflate(section.array())
-          val hdr = ByteBuffer.allocate(25)
-            .order(ByteOrder.LITTLE_ENDIAN)
-          hdr.putInt(16 + 9 + packed.length).putInt(0).putInt(reqId)
-            .putInt(2012).putInt(2013).putInt(section.capacity())
-            .put(MongoWire.WireCompress.ZlibId)
-          out.write(hdr.array()); out.write(packed)
-          stats.wireBytesOut.addAndGet(25L + packed.length)
+        reqCompressor match {
+          case None =>
+            val hdr = ByteBuffer.allocate(21)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            hdr.putInt(16 + 5 + body.length).putInt(0).putInt(reqId)
+              .putInt(2013).putInt(0).put(0.toByte)
+            out.write(hdr.array()); out.write(body)
+            stats.wireBytesOut.addAndGet(21L + body.length)
+          case Some(cid) =>
+            val section = ByteBuffer.allocate(5 + body.length)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            section.putInt(0).put(0.toByte).put(body)
+            val packed =
+              MongoWire.WireCompress.pack(cid, section.array())
+            val hdr = ByteBuffer.allocate(25)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            hdr.putInt(16 + 9 + packed.length).putInt(0).putInt(reqId)
+              .putInt(2012).putInt(2013).putInt(section.capacity())
+              .put(cid)
+            out.write(hdr.array()); out.write(packed)
+            stats.wireBytesOut.addAndGet(25L + packed.length)
         }
         out.flush()
       }

@@ -53,12 +53,37 @@ object MongoWire {
     case Some(c) => Tls.clientSocket(host, port, c)
   }
 
-  /** zlib (compressor id 2) for OP_COMPRESSED — `java.util.zip`, no
-    * dependency. The compressed payload is everything AFTER the
-    * 16-byte header of the original message (per the public spec).
+  /** The three OP_COMPRESSED compressors of the public wire spec:
+    * snappy (id 1), zlib (id 2), zstd (id 3). zlib is
+    * `java.util.zip`; snappy and zstd ride the libraries Spark
+    * itself ships (snappy-java, zstd-jni) — no new dependency. The
+    * compressed payload is everything AFTER the 16-byte header of
+    * the original message (per the public spec). Real servers
+    * typically PREFER snappy; a client that only offers zlib falls
+    * back to uncompressed against a snappy-only server, which is why
+    * `compress=auto` offers all three.
     */
-  private[sources] object WireCompress {
+  object WireCompress {
+    val SnappyId: Byte = 1
     val ZlibId: Byte = 2
+    val ZstdId: Byte = 3
+
+    /** Wire names per the handshake spec. */
+    def nameOf(id: Byte): String = id match {
+      case SnappyId => "snappy"
+      case ZlibId => "zlib"
+      case ZstdId => "zstd"
+      case other => throw new IllegalArgumentException(
+        s"unknown compressor id $other")
+    }
+
+    def idOf(name: String): Byte = name match {
+      case "snappy" => SnappyId
+      case "zlib" => ZlibId
+      case "zstd" => ZstdId
+      case other => throw new IllegalArgumentException(
+        s"unknown compressor '$other' (snappy, zlib, or zstd)")
+    }
 
     def deflate(data: Array[Byte]): Array[Byte] = {
       val d = new java.util.zip.Deflater()
@@ -89,43 +114,69 @@ object MongoWire {
         s"OP_COMPRESSED inflated $off of declared $originalSize bytes")
       out
     }
+
+    def pack(id: Byte, data: Array[Byte]): Array[Byte] = id match {
+      case SnappyId => org.xerial.snappy.Snappy.compress(data)
+      case ZlibId => deflate(data)
+      case ZstdId => com.github.luben.zstd.Zstd.compress(data)
+      case other => throw new IllegalArgumentException(
+        s"unknown compressor id $other")
+    }
+
+    def unpack(id: Byte, data: Array[Byte],
+               originalSize: Int): Array[Byte] = id match {
+      case SnappyId =>
+        val out = org.xerial.snappy.Snappy.uncompress(data)
+        require(out.length == originalSize,
+          s"snappy frame inflated ${out.length} of declared " +
+            s"$originalSize bytes")
+        out
+      case ZlibId => inflate(data, originalSize)
+      case ZstdId =>
+        com.github.luben.zstd.Zstd.decompress(data, originalSize)
+      case other => throw new IllegalArgumentException(
+        s"unknown compressor id $other")
+    }
   }
 
-  /** One OP_MSG round trip over an open socket; `compress = true`
-    * wraps the command in OP_COMPRESSED (opCode 2012: int32
-    * originalOpcode | int32 uncompressedSize | uint8 compressorId |
-    * compressed section bytes, zlib id 2) and accepts either a plain
-    * or a compressed reply — at 100 TB the wire is the bottleneck,
-    * and frame compression is part of the public protocol.
+  /** One OP_MSG round trip over an open socket; `compress =
+    * Some(id)` wraps the command in OP_COMPRESSED (opCode 2012:
+    * int32 originalOpcode | int32 uncompressedSize | uint8
+    * compressorId | compressed section bytes) with that compressor,
+    * and accepts a plain reply or one compressed with ANY compressor
+    * this client speaks (a real server replies with its own
+    * preference) — at 100 TB the wire is the bottleneck, and frame
+    * compression is part of the public protocol.
     */
   def runCommand(sock: Socket, cmd: BDoc, requestId: Int,
-                 compress: Boolean = false,
+                 compress: Option[Byte] = None,
                  docSeq: Option[(String, Seq[BDoc])] = None): BDoc = {
     val body = Bson.encode(cmd)
     val seq = docSeq.map { case (ident, docs) =>
       kind1Section(ident, docs)
     }.getOrElse(Array.emptyByteArray)
     val out = new DataOutputStream(sock.getOutputStream)
-    if (!compress) {
-      val total = 16 + 4 + 1 + body.length + seq.length
-      val hdr = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
-      hdr.putInt(total).putInt(requestId).putInt(0).putInt(OpMsg)
-        .putInt(0)            // flagBits
-        .put(0.toByte)        // section kind 0
-      out.write(hdr.array()); out.write(body); out.write(seq)
-    } else {
-      // section payload = flagBits + kind-0 section + kind-1 sections
-      val section = ByteBuffer.allocate(5 + body.length + seq.length)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      section.putInt(0).put(0.toByte).put(body).put(seq)
-      val packed = WireCompress.deflate(section.array())
-      val total = 16 + 4 + 4 + 1 + packed.length
-      val hdr = ByteBuffer.allocate(25).order(ByteOrder.LITTLE_ENDIAN)
-      hdr.putInt(total).putInt(requestId).putInt(0).putInt(OpCompressed)
-        .putInt(OpMsg)                      // originalOpcode
-        .putInt(section.capacity())         // uncompressedSize
-        .put(WireCompress.ZlibId)
-      out.write(hdr.array()); out.write(packed)
+    compress match {
+      case None =>
+        val total = 16 + 4 + 1 + body.length + seq.length
+        val hdr = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+        hdr.putInt(total).putInt(requestId).putInt(0).putInt(OpMsg)
+          .putInt(0)            // flagBits
+          .put(0.toByte)        // section kind 0
+        out.write(hdr.array()); out.write(body); out.write(seq)
+      case Some(cid) =>
+        // section payload = flagBits + kind-0 section + kind-1 sections
+        val section = ByteBuffer.allocate(5 + body.length + seq.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        section.putInt(0).put(0.toByte).put(body).put(seq)
+        val packed = WireCompress.pack(cid, section.array())
+        val total = 16 + 4 + 4 + 1 + packed.length
+        val hdr = ByteBuffer.allocate(25).order(ByteOrder.LITTLE_ENDIAN)
+        hdr.putInt(total).putInt(requestId).putInt(0).putInt(OpCompressed)
+          .putInt(OpMsg)                      // originalOpcode
+          .putInt(section.capacity())         // uncompressedSize
+          .put(cid)
+        out.write(hdr.array()); out.write(packed)
     }
     out.flush()
     val in = new DataInputStream(sock.getInputStream)
@@ -141,10 +192,8 @@ object MongoWire {
       require(orig == OpMsg, s"OP_COMPRESSED wraps opcode $orig")
       val size = buf.getInt
       val id = buf.get
-      require(id == WireCompress.ZlibId,
-        s"unsupported compressor id $id")
       val packed = new Array[Byte](buf.remaining()); buf.get(packed)
-      buf = ByteBuffer.wrap(WireCompress.inflate(packed, size))
+      buf = ByteBuffer.wrap(WireCompress.unpack(id, packed, size))
         .order(ByteOrder.LITTLE_ENDIAN)
     } else require(op == OpMsg, s"unsupported reply opCode $op")
     buf.getInt                              // flagBits
@@ -196,7 +245,7 @@ object MongoWire {
     * authenticated) connection.
     */
   def runCommandOk(sock: Socket, cmd: BDoc, requestId: Int,
-                   compress: Boolean = false,
+                   compress: Option[Byte] = None,
                    docSeq: Option[(String, Seq[BDoc])] = None): BDoc = {
     val reply = runCommand(sock, cmd, requestId, compress, docSeq)
     requireOk(reply)
@@ -233,16 +282,27 @@ object MongoWire {
     command(host, port, BDoc(parts.result()), tls = tls)
   }
 
-  /** `compress=auto`: use zlib iff the server echoes it back for a
-    * hello that REQUESTED it — the protocol's negotiation rule.
+  /** `compress=auto`: offer a compressor list, use what the server
+    * echoes back — the protocol's negotiation rule. The server's
+    * echo is in ITS preference order, and the first entry wins (a
+    * snappy-preferring real server gets snappy even when the client
+    * listed zlib first). None = no common compressor → plain frames.
     */
+  def negotiate(host: String, port: Int,
+                offered: Seq[String] = Seq("snappy", "zstd", "zlib"),
+                tls: Option[Tls.Conf] = None): Option[Byte] =
+    hello(host, port, compressors = offered, tls = tls).v
+      .collectFirst {
+        case ("compression", BArr(cs)) => cs.collectFirst {
+          case BString(name) => WireCompress.idOf(name)
+        }
+      }.flatten
+
+  /** Back-compat shim: zlib-only negotiation. */
   def negotiateZlib(host: String, port: Int,
                     tls: Option[Tls.Conf] = None): Boolean =
-    hello(host, port, compressors = Seq("zlib"), tls = tls).v
-      .collectFirst {
-        case ("compression", BArr(cs)) =>
-          cs.contains(BString("zlib"))
-      }.getOrElse(false)
+    negotiate(host, port, Seq("zlib"), tls)
+      .contains(WireCompress.ZlibId)
 
   /** Shared cursor machinery: issue one opening command, then
     * `getMore` until the server returns cursor id 0. Pull-based —
@@ -251,7 +311,7 @@ object MongoWire {
   sealed abstract class WireCursor(host: String, port: Int,
                                    db: String, coll: String,
                                    batchSize: Int,
-                                   compress: Boolean,
+                                   compress: Option[Byte],
                                    auth: Option[Scram.Credential] = None,
                                    tls: Option[Tls.Conf] = None)
       extends Iterator[BDoc] with AutoCloseable {
@@ -333,7 +393,7 @@ object MongoWire {
                          projection: Option[Seq[String]],
                          sort: Option[(String, Int)],
                          limit: Option[Long], batchSize: Int,
-                         compress: Boolean = false,
+                         compress: Option[Byte] = None,
                          auth: Option[Scram.Credential] = None,
                          tls: Option[Tls.Conf] = None)
       extends WireCursor(host, port, db, coll, batchSize, compress,
@@ -363,7 +423,7 @@ object MongoWire {
   final class AggregateCursor(host: String, port: Int, db: String,
                               coll: String, pipeline: Seq[BDoc],
                               batchSize: Int,
-                              compress: Boolean = false,
+                              compress: Option[Byte] = None,
                               auth: Option[Scram.Credential] = None,
                               tls: Option[Tls.Conf] = None)
       extends WireCursor(host, port, db, coll, batchSize, compress,
@@ -433,7 +493,7 @@ object MongoWire {
            numPartitions: Int = 4, batchSize: Int = 512,
            filterExtra: Seq[(String, BVal)] = Nil,
            projectColumns: Boolean = false,
-           compress: Boolean = false,
+           compress: Option[Byte] = None,
            auth: Option[Scram.Credential] = None,
            tls: Option[Tls.Conf] = None): DataFrame = {
     require(numPartitions >= 1 && maxKeyExclusive >= minKey)

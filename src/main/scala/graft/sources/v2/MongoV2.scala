@@ -138,10 +138,11 @@ private[v2] object MongoV2 {
           .getOrElse(64),
         compressMode = Option(o.get("compress")) match {
           case None => "none"
-          case Some(m @ ("none" | "zlib" | "auto")) => m
+          case Some(m @ ("none" | "zlib" | "snappy" | "zstd" |
+                         "auto")) => m
           case Some(other) => throw new IllegalArgumentException(
             s"graft-mongo: unsupported compressor '$other' " +
-              "(zlib, none, or auto)")
+              "(snappy, zlib, zstd, none, or auto)")
         },
         auth = (Option(o.get("user")), Option(o.get("password"))) match {
           case (Some(u), Some(pw)) =>
@@ -166,12 +167,13 @@ private[v2] object MongoV2 {
   }
 
   /** `auto` asks the server (one `hello` handshake, driver-side at
-    * plan time); `zlib`/`none` are explicit.
+    * plan time, offering all three compressors; the server's
+    * preference order wins); explicit names force that compressor.
     */
-  def resolveCompress(c: Conf): Boolean = c.compressMode match {
-    case "zlib" => true
-    case "none" => false
-    case "auto" => MongoWire.negotiateZlib(c.host, c.port, c.tls)
+  def resolveCompress(c: Conf): Option[Byte] = c.compressMode match {
+    case "none" => None
+    case "auto" => MongoWire.negotiate(c.host, c.port, tls = c.tls)
+    case name => Some(graft.sources.MongoWire.WireCompress.idOf(name))
   }
 
   /** The table's key window as filter conjuncts — what scopes the
@@ -866,7 +868,7 @@ private[v2] final case class MongoGroupPartition(
     host: String, port: Int, db: String, coll: String,
     keyField: String, lo: Long, hi: Long, batchSize: Int,
     wireFilter: Seq[(String, BVal)], spec: MongoV2.GroupAggSpec,
-    compress: Boolean,
+    compress: Option[Byte],
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf])
   extends InputPartition
@@ -1238,7 +1240,8 @@ private[v2] class MongoMicroBatchStream(required: StructType,
   }
 
   // negotiated once for the stream's lifetime, not per trigger
-  private lazy val compress: Boolean = MongoV2.resolveCompress(conf)
+  private lazy val compress: Option[Byte] =
+    MongoV2.resolveCompress(conf)
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
@@ -1275,7 +1278,7 @@ private[v2] final case class MongoInputPartition(
     keyField: String, lo: Long, hi: Long, batchSize: Int,
     wireFilter: Seq[(String, BVal)], columns: Seq[String],
     limit: Option[Int], sortDesc: Option[Boolean],
-    compress: Boolean,
+    compress: Option[Byte],
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf])
     extends InputPartition
@@ -1346,7 +1349,7 @@ private[v2] class MongoSampleReaderFactory(required: StructType)
 
 private[v2] final case class MongoSamplePartition(
     host: String, port: Int, db: String, coll: String,
-    pipeline: Seq[BDoc], batchSize: Int, compress: Boolean,
+    pipeline: Seq[BDoc], batchSize: Int, compress: Option[Byte],
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf])
   extends InputPartition

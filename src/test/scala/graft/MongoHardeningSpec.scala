@@ -141,7 +141,7 @@ class MongoHardeningSpec extends AnyFunSuite {
         // compressed insert with a kind-1 sequence
         val r = MongoWire.runCommand(sock, BDoc(Seq(
           "insert" -> BString("w"), "$db" -> BString("db"))), 7,
-          compress = true,
+          compress = Some(MongoWire.WireCompress.ZlibId),
           docSeq = Some(("documents",
             Seq(BDoc(Seq("k" -> BInt64(4L), "name" -> BString("d")))))))
         assert(r.v.contains(("n", BInt32(1))), r.toString)

@@ -875,8 +875,9 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
-  test("OP_COMPRESSED: zlib-wrapped frames round-trip bit-equal " +
-      "and fewer bytes cross the socket for the same rows") {
+  test("OP_COMPRESSED: snappy, zlib, and zstd frames each " +
+      "round-trip bit-equal and fewer bytes cross the socket for " +
+      "the same rows") {
     import spark.implicits._
     // a compressible payload column (real documents compress well)
     val df = (0L until 500L).map(i =>
@@ -894,15 +895,49 @@ class MongoV2Spec extends AnyFunSuite {
         (srv.stats.wireBytesOut.get() - before, rows)
       }
       val (plainBytes, plainRows) = wireBytes("none")
-      val (zlibBytes, zlibRows) = wireBytes("zlib")
-      assert(zlibRows == plainRows)
-      assert(zlibRows.map(_._1) == (0L until 500L))
-      assert(zlibBytes < plainBytes / 2,
-        s"compression did not shrink the wire: $zlibBytes vs " +
-          s"$plainBytes")
+      for (name <- Seq("snappy", "zlib", "zstd")) {
+        val (packedBytes, packedRows) = wireBytes(name)
+        assert(packedRows == plainRows, s"$name rows diverge")
+        assert(packedRows.map(_._1) == (0L until 500L))
+        assert(packedBytes < plainBytes / 2,
+          s"$name did not shrink the wire: $packedBytes vs " +
+            s"$plainBytes")
+      }
       // an unsupported compressor name is a loud error
       intercept[Exception](dsv2(srv, Some(df.schema),
-        "compress" -> "snappy").collect())
+        "compress" -> "lz4").collect())
+    } finally srv.close()
+  }
+
+  test("compressor negotiation honors the SERVER's preference " +
+      "order; a zlib-only client against a snappy-only server " +
+      "falls back to plain frames; a FORCED unsupported compressor " +
+      "fails loudly instead of silently downgrading") {
+    val df = fixtureDf(50)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      // default double speaks snappy,zlib,zstd preferring snappy:
+      // auto picks snappy even though the client could offer any
+      assert(MongoWire.negotiate("127.0.0.1", srv.port)
+        .contains(MongoWire.WireCompress.SnappyId))
+      // server preferring zstd: the echo order flips the winner
+      srv.setCompressors(Seq("zstd", "zlib"))
+      assert(MongoWire.negotiate("127.0.0.1", srv.port)
+        .contains(MongoWire.WireCompress.ZstdId))
+      // zlib-only client vs snappy-only server: no common
+      // compressor — negotiate reports none, auto reads run PLAIN
+      srv.setCompressors(Seq("snappy"))
+      assert(MongoWire.negotiate("127.0.0.1", srv.port,
+        offered = Seq("zlib")).isEmpty)
+      assert(!MongoWire.negotiateZlib("127.0.0.1", srv.port))
+      val auto = dsv2(srv, Some(df.schema), "compress" -> "auto")
+      assert(auto.count() == 50L)
+      // forcing zlib against the snappy-only server: the server
+      // treats the un-negotiated frame as a protocol violation and
+      // drops the connection — a loud failure, never a wrong answer
+      intercept[Exception](dsv2(srv, Some(df.schema),
+        "compress" -> "zlib").collect())
+      srv.setCompressors(Seq("snappy", "zlib", "zstd"))
     } finally srv.close()
   }
 
