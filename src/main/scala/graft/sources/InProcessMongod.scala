@@ -693,26 +693,119 @@ final class InProcessMongod(db: String,
     }
   }
 
-  private def handleInsert(collName: String, cmd: BDoc): Array[Byte] = {
-    val coll = requireColl(collName)
-    val docs = get(cmd, "documents") match {
-      case Some(BArr(ds)) => ds.map {
-        case d: BDoc => d
-        case other => throw new IllegalArgumentException(
-          s"insert wants documents, got $other")
+  /** Validates the `{w, j[, wtimeout]}` writeConcern shape like the
+    * real parser: `w` is a non-negative int or "majority", `j` a
+    * bool; anything else is a command error. Returns `w == 0`
+    * (unacknowledged) so the retryability check can refuse it.
+    */
+  private def parseWriteConcern(cmd: BDoc): Boolean = {
+    var wZero = false
+    get(cmd, "writeConcern").foreach {
+      case wc: BDoc => wc.v.foreach {
+        case ("w", BInt32(w)) =>
+          require(w >= 0, s"w cannot be negative: $w")
+          wZero = w == 0
+        case ("w", BInt64(w)) =>
+          require(w >= 0L, s"w cannot be negative: $w")
+          wZero = w == 0L
+        case ("w", BString("majority")) => ()
+        case ("w", other) => throw new IllegalArgumentException(
+          s"writeConcern w must be a non-negative integer or " +
+            s"'majority', got $other")
+        case ("j", BBool(_)) => ()
+        case ("j", other) => throw new IllegalArgumentException(
+          s"writeConcern j must be a boolean, got $other")
+        case ("wtimeout", v) => asLong(v)
+        case (k, _) => throw new IllegalArgumentException(
+          s"unknown writeConcern field '$k'")
       }
       case other => throw new IllegalArgumentException(
-        s"insert wants a documents array, got $other")
+        s"writeConcern wants a document, got $other")
     }
-    val keyed = docs.map { d =>
-      val k = get(d, coll.keyField).map(asLong).getOrElse(
-        throw new IllegalArgumentException(
-          s"insert document missing key field ${coll.keyField}"))
-      (k, Bson.encode(d))
+    wZero
+  }
+
+  /** Executed-retryable-write record: (lsid hex, txnNumber) → the
+    * recorded ack. A replay under the same pair returns the record
+    * WITHOUT re-applying — the public retryable-writes contract (the
+    * real server keeps these in its sessions collection with a TTL;
+    * a test double's lifetime is its own TTL).
+    */
+  private val txnRecords =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      Array[Byte]]()
+
+  /** Fault injection: the next `n` inserts APPLY, record their ack,
+    * then drop the connection before replying — the lost-ack window
+    * retryable writes exist for.
+    */
+  @volatile private var killAfterApplyRemaining = 0
+  def failNextInsertAfterApply(n: Int = 1): Unit =
+    killAfterApplyRemaining = n
+
+  /** Fault injection: the next `n` inserts drop the connection
+    * BEFORE applying anything — the command-never-arrived window
+    * (here a retry legitimately re-executes; nothing was recorded).
+    */
+  @volatile private var killBeforeApplyRemaining = 0
+  def failNextInsertBeforeApply(n: Int = 1): Unit =
+    killBeforeApplyRemaining = n
+
+  private def handleInsert(collName: String, cmd: BDoc): Array[Byte] = {
+    if (killBeforeApplyRemaining > 0) {
+      killBeforeApplyRemaining -= 1
+      throw new InProcessMongod.KillConnection
     }
-    coll.insert(keyed)
-    Bson.encode(BDoc(Seq(
-      "n" -> BInt32(keyed.size), "ok" -> BDouble(1.0))))
+    val coll = requireColl(collName)
+    val wZero = parseWriteConcern(cmd)
+    val session: Option[(String, Long)] =
+      (get(cmd, "lsid"), get(cmd, "txnNumber")) match {
+        case (Some(l: BDoc), Some(t)) =>
+          val id = get(l, "id") match {
+            case Some(BBinary(4, b)) => b.map(x => f"$x%02x").mkString
+            case other => throw new IllegalArgumentException(
+              s"lsid.id must be a UUID (binary subtype 4): $other")
+          }
+          Some((id, asLong(t)))
+        case (None, None) => None
+        case (None, Some(_)) => throw new IllegalArgumentException(
+          "txnNumber requires an lsid")
+        case (Some(_), None) => None   // session without retryability
+      }
+    // a retryable write cannot be unacknowledged: there is no ack to
+    // record or replay (the real server refuses the combination too)
+    require(session.isEmpty || !wZero,
+      "retryable writes (txnNumber) require an acknowledged " +
+        "writeConcern (w >= 1)")
+    session.flatMap(k => Option(txnRecords.get(k))) match {
+      case Some(recorded) => recorded   // replay: recorded ack, no apply
+      case None =>
+        val docs = get(cmd, "documents") match {
+          case Some(BArr(ds)) => ds.map {
+            case d: BDoc => d
+            case other => throw new IllegalArgumentException(
+              s"insert wants documents, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"insert wants a documents array, got $other")
+        }
+        val keyed = docs.map { d =>
+          val k = get(d, coll.keyField).map(asLong).getOrElse(
+            throw new IllegalArgumentException(
+              s"insert document missing key field ${coll.keyField}"))
+          (k, Bson.encode(d))
+        }
+        coll.insert(keyed)
+        val reply = Bson.encode(BDoc(Seq(
+          "n" -> BInt32(keyed.size), "ok" -> BDouble(1.0))))
+        session.foreach(k => txnRecords.put(k, reply))
+        if (killAfterApplyRemaining > 0) {
+          killAfterApplyRemaining -= 1
+          // applied + recorded, ack LOST: drop the connection
+          throw new InProcessMongod.KillConnection
+        }
+        reply
+    }
   }
 
   /** Pages like the real command (default first batch 101): a
@@ -1078,6 +1171,13 @@ final class InProcessMongod(db: String,
 }
 
 object InProcessMongod {
+
+  /** Fault-injection control flow: extends Error ON PURPOSE so the
+    * command-error handlers (which catch Exception and reply
+    * `{ok: 0}`) let it pass — the point is a DROPPED CONNECTION
+    * with no reply, the lost-ack window, not an error reply.
+    */
+  private[sources] final class KillConnection extends Error
 
   /** Served-work meters: how specs PROVE a pushdown reduced what the
     * server shipped (fewer docs under a pushed filter/limit, fewer

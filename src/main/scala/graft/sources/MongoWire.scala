@@ -556,16 +556,30 @@ object MongoWire {
     * ack-parsing path shared by [[write]] and the V2 writer, so a
     * failure always surfaces the server's own errmsg and the two
     * paths cannot drift. Returns the acknowledged count (always
-    * `docs.size`, or a loud error).
+    * `docs.size`, or a loud error). `writeConcern` rides verbatim
+    * (`{w, j}` per the public command shape); `session` =
+    * (lsid bytes, txnNumber) marks the batch RETRYABLE — the server
+    * records the ack under that pair, so re-sending the same
+    * txnNumber after a lost ack returns the recorded result instead
+    * of inserting twice.
     */
   def insertBatch(sock: Socket, db: String, coll: String,
-                  docs: Seq[BDoc], requestId: Int): Long = {
+                  docs: Seq[BDoc], requestId: Int,
+                  writeConcern: Option[BDoc] = None,
+                  session: Option[(Array[Byte], Long)] = None): Long = {
     // documents ride a kind-1 section (identifier "documents"), the
     // real drivers' bulk-write shape; the command body carries only
     // the command itself
-    val reply = runCommand(sock, BDoc(Seq(
-      "insert" -> BString(coll),
-      "$db" -> BString(db))), requestId,
+    val parts = Seq.newBuilder[(String, BVal)]
+    parts += "insert" -> BString(coll)
+    writeConcern.foreach(wc => parts += "writeConcern" -> wc)
+    session.foreach { case (lsid, txn) =>
+      // lsid is a UUID (binary subtype 4) per the sessions spec
+      parts += "lsid" -> BDoc(Seq("id" -> BBinary(4, lsid)))
+      parts += "txnNumber" -> BInt64(txn)
+    }
+    parts += "$db" -> BString(db)
+    val reply = runCommand(sock, BDoc(parts.result()), requestId,
       docSeq = Some(("documents", docs)))
     requireOk(reply)
     val n = field(reply, "n") match {
@@ -576,6 +590,88 @@ object MongoWire {
     }
     require(n == docs.size, s"insert acknowledged $n of ${docs.size}")
     n
+  }
+
+  /** The `{w, j}` writeConcern document from plain options ("1",
+    * "majority", …) — validation stays on the server, where the
+    * real one lives.
+    */
+  def writeConcernDoc(w: Option[String],
+                      j: Option[Boolean]): Option[BDoc] =
+    if (w.isEmpty && j.isEmpty) None
+    else Some(BDoc(
+      w.map[(String, BVal)] { s =>
+        "w" -> (scala.util.Try(s.toInt).toOption match {
+          case Some(n) => BInt32(n)
+          case None => BString(s)
+        })
+      }.toSeq ++
+        j.map[(String, BVal)](b => "j" -> BBool(b)).toSeq))
+
+  /** A connection-owning insert writer with RETRYABLE WRITES (the
+    * public sessions + txnNumber contract): every batch carries this
+    * writer's session id and a fresh txnNumber; on a TRANSPORT
+    * failure (IOException — the connection died and the ack may have
+    * been lost AFTER the server applied the batch) it reopens,
+    * re-authenticates, and re-sends the SAME batch under the SAME
+    * txnNumber exactly once — the server's session record turns the
+    * replay into the recorded ack instead of a double insert. Server
+    * ERRORS (ok: 0) never retry: they are answers, not losses. This
+    * is what makes the V2 writer safe against mid-batch connection
+    * drops without weakening the at-least-once task-retry contract.
+    */
+  final class RetryableWriter(host: String, port: Int, db: String,
+                              coll: String,
+                              auth: Option[Scram.Credential] = None,
+                              tls: Option[Tls.Conf] = None,
+                              writeConcern: Option[BDoc] = None,
+                              retryWrites: Boolean = true)
+      extends AutoCloseable {
+
+    private val lsid: Array[Byte] = {
+      val b = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(b)
+      // RFC 4122 version/variant bits: a well-formed UUID v4
+      b(6) = ((b(6) & 0x0f) | 0x40).toByte
+      b(8) = ((b(8) & 0x3f) | 0x80).toByte
+      b
+    }
+    private var txn = 0L
+    private var reqId = 0
+    private var sock: Socket = _
+
+    private def ensure(): Socket = {
+      if (sock == null) {
+        sock = openSocket(host, port, tls)
+        auth.foreach(Scram.authenticate(sock, _))
+      }
+      sock
+    }
+
+    private def dropConn(): Unit = {
+      if (sock != null) {
+        try sock.close() catch { case _: Throwable => () }
+        sock = null
+      }
+    }
+
+    def insert(docs: Seq[BDoc]): Long = {
+      txn += 1
+      val session = if (retryWrites) Some((lsid, txn)) else None
+      try insertBatch(ensure(), db, coll, docs,
+        { reqId += 1; reqId }, writeConcern, session)
+      catch {
+        case e: java.io.IOException if retryWrites =>
+          dropConn()
+          try insertBatch(ensure(), db, coll, docs,
+            { reqId += 1; reqId }, writeConcern, session)
+          catch {
+            case e2: Throwable => e2.addSuppressed(e); throw e2
+          }
+      }
+    }
+
+    override def close(): Unit = dropConn()
   }
 
   /** Distributed write: every partition opens its own connection and
@@ -591,17 +687,13 @@ object MongoWire {
     df.rdd.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.single(0L)
       else {
-        val sock = openSocket(host, port, tls)
-        auth.foreach(Scram.authenticate(sock, _))
-        var reqId = 0
+        val w = new RetryableWriter(host, port, db, coll, auth, tls)
         var acked = 0L
         try {
           rows.grouped(batchSize).foreach { group =>
-            acked += insertBatch(sock, db, coll,
-              group.map(r => Bson.rowToDoc(r, schema)),
-              { reqId += 1; reqId })
+            acked += w.insert(group.map(r => Bson.rowToDoc(r, schema)))
           }
-        } finally sock.close()
+        } finally w.close()
         Iterator.single(acked)
       }
     }.sum().toLong

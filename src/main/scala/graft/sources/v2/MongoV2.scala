@@ -115,7 +115,10 @@ private[v2] object MongoV2 {
                         sampleSize: Int, compressMode: String,
                         auth: Option[graft.sources.Scram.Credential]
                           = None,
-                        tls: Option[graft.sources.Tls.Conf] = None)
+                        tls: Option[graft.sources.Tls.Conf] = None,
+                        writeConcernW: Option[String] = None,
+                        writeConcernJ: Option[Boolean] = None,
+                        retryWrites: Boolean = true)
 
   object Conf {
     def apply(o: CaseInsensitiveStringMap): Conf = {
@@ -162,7 +165,12 @@ private[v2] object MongoV2 {
             case true => Some(graft.sources.Tls.Conf(
               Option(o.get("tlstruststore")),
               Option(o.get("tlstruststorepassword"))))
-          })
+          },
+        writeConcernW = Option(o.get("writeconcernw")),
+        writeConcernJ = Option(o.get("writeconcernj"))
+          .map(_.toBoolean),
+        retryWrites = Option(o.get("retrywrites"))
+          .forall(_.toBoolean))
     }
   }
 
@@ -555,19 +563,20 @@ private[v2] class MongoDataWriter(schema: StructType,
                                   conf: MongoV2.Conf)
     extends DataWriter[InternalRow] {
 
-  private lazy val sock = {
-    val sk = MongoWire.openSocket(conf.host, conf.port, conf.tls)
-    conf.auth.foreach(graft.sources.Scram.authenticate(sk, _))
-    sk
-  }
-  private var reqId = 0
+  // retryable by default (the real drivers' default): a connection
+  // dropped after the server applied a batch but before the ack
+  // arrived re-sends under the same (lsid, txnNumber) and gets the
+  // RECORDED ack — no double insert, no failed task
+  private lazy val writer = new MongoWire.RetryableWriter(
+    conf.host, conf.port, conf.db, conf.coll, conf.auth, conf.tls,
+    MongoWire.writeConcernDoc(conf.writeConcernW, conf.writeConcernJ),
+    conf.retryWrites)
   private val buf = scala.collection.mutable.ArrayBuffer
     .empty[Bson.BDoc]
   private var acked = 0L
 
   private def flush(): Unit = if (buf.nonEmpty) {
-    acked += MongoWire.insertBatch(sock, conf.db, conf.coll,
-      buf.toSeq, { reqId += 1; reqId })
+    acked += writer.insert(buf.toSeq)
     buf.clear()
   }
 
@@ -584,8 +593,7 @@ private[v2] class MongoDataWriter(schema: StructType,
   // non-transactional: acknowledged batches cannot be rolled back
   override def abort(): Unit = ()
 
-  override def close(): Unit =
-    try sock.close() catch { case _: Throwable => }
+  override def close(): Unit = writer.close()
 }
 
 private[v2] class MongoScanBuilder(fullSchema: StructType,
