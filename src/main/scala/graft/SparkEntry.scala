@@ -820,7 +820,11 @@ object SparkEntry {
     "mongo_mixed_schema" -> ((s, d) => {
       import graft.sources.Bson._
       val n = math.min(20000L, Tables.load(s, d, "orders").count())
-      val docs = (0L until n).map { i =>
+      // fixture encodes IN A SPARK JOB (the r16 bench finding: the
+      // driver-side 20k-iteration encode loop dominated the row);
+      // the row prices infer -> decode -> flatten -> tag, not encodes
+      val docs = s.range(0L, n, 1L, 8).rdd.map { boxed =>
+        val i: Long = boxed
         val payload: BVal = (i % 5) match {
           case 0 => BInt32((i % 1000).toInt)
           case 1 => BString("s" + i)
@@ -835,7 +839,7 @@ object SparkEntry {
             "a" -> BInt32((i % 100).toInt))): BVal))
         else base
         (i, graft.sources.Bson.encode(BDoc(all)))
-      }.toIndexedSeq
+      }.collect().sortBy(_._1).toIndexedSeq
       val srv = new graft.sources.InProcessMongod(docs, "k",
         "graft", "mixed")
       try {

@@ -1239,22 +1239,25 @@ object InProcessMongod {
       if (hi == Long.MaxValue) snap.length else lowerBound(snap, hi)
   }
 
-  private def keyAsLong(r: org.apache.spark.sql.Row, i: Int): Long =
-    r.schema.fields(i).dataType match {
-      case org.apache.spark.sql.types.LongType => r.getLong(i)
-      case org.apache.spark.sql.types.IntegerType => r.getInt(i).toLong
-      case dt => throw new IllegalArgumentException(
-        s"key field must be integral, got $dt")
-    }
-
   private def encodeDf(df: org.apache.spark.sql.DataFrame,
                        keyField: String)
       : IndexedSeq[(Long, Array[Byte])] = {
     val schema = df.schema
     val ki = schema.fieldIndex(keyField)
-    df.collect().iterator.map { r =>
-      (keyAsLong(r, ki), Bson.encode(Bson.rowToDoc(r, schema)))
-    }.toIndexedSeq
+    val kt = schema.fields(ki).dataType
+    // encode IN A SPARK JOB (executors, all cores), collect only the
+    // finished (key, bytes) pairs — a driver-side per-row encode loop
+    // was the dominant cost of large serve fixtures (r16 bench
+    // finding on the 20k-doc rows)
+    df.rdd.map { r =>
+      val k = kt match {
+        case org.apache.spark.sql.types.LongType => r.getLong(ki)
+        case org.apache.spark.sql.types.IntegerType => r.getInt(ki).toLong
+        case dt => throw new IllegalArgumentException(
+          s"key field must be integral, got $dt")
+      }
+      (k, Bson.encode(Bson.rowToDoc(r, schema)))
+    }.collect().toIndexedSeq
   }
 
   /** Serves a DataFrame as a collection: rows encode once
