@@ -386,6 +386,15 @@ final class InProcessMongod(db: String,
     authCred = Some(Scram.storeCredential(user, password, salt))
   }
 
+  /** The SASL mechanisms this server advertises AND accepts —
+    * narrowed by specs (e.g. SCRAM-SHA-1 only, the old-deployment
+    * shape) to prove the client negotiates instead of assuming.
+    * Only SCRAM-SHA-256 is actually executable here; advertising
+    * others exists to exercise the client's refusal path.
+    */
+  @volatile private var saslMechs: Seq[String] = Seq("SCRAM-SHA-256")
+  def setSaslMechs(ms: Seq[String]): Unit = saslMechs = ms
+
   /** Per-connection SASL progress (the wire conversation is
     * connection-scoped state on a real server too).
     */
@@ -915,7 +924,7 @@ final class InProcessMongod(db: String,
     if (get(cmd, "saslSupportedMechs").isDefined &&
         authCred.isDefined)
       parts += "saslSupportedMechs" ->
-        BArr(Seq(BString("SCRAM-SHA-256")))
+        BArr(saslMechs.map(BString(_)))
     parts += "ok" -> BDouble(1.0)
     Bson.encode(BDoc(parts.result()))
   }
@@ -982,9 +991,11 @@ final class InProcessMongod(db: String,
     val cred = authCred.getOrElse(
       authFailed("no users configured on this server"))
     get(cmd, "mechanism") match {
-      case Some(BString("SCRAM-SHA-256")) => ()
+      case Some(BString("SCRAM-SHA-256"))
+          if saslMechs.contains("SCRAM-SHA-256") => ()
       case other => authFailed(
-        s"unsupported SASL mechanism $other (SCRAM-SHA-256 only)")
+        s"unsupported SASL mechanism $other (this server accepts " +
+          s"${saslMechs.mkString(", ")})")
     }
     val payload = get(cmd, "payload") match {
       case Some(BBinary(_, b)) => new String(b, "UTF-8")

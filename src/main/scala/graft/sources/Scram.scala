@@ -218,14 +218,34 @@ object Scram {
 
   // ---- the MongoDB SASL command envelope ---------------------------
 
-  /** Runs the full conversation on an OPEN socket: `saslStart` →
+  /** Runs the full conversation on an OPEN socket: a `hello`
+    * carrying `saslSupportedMechs` (the driver handshake) to read
+    * the server's mechanism advertisement, then `saslStart` →
     * `saslContinue` (proof) → verify `v=` → empty `saslContinue`
-    * until `done` (the classic no-skipEmptyExchange flow). Throws on
+    * until `done` (the classic no-skipEmptyExchange flow). A server
+    * that advertises mechanisms WITHOUT SCRAM-SHA-256 (e.g. an old
+    * SCRAM-SHA-1-only deployment) fails CLIENT-SIDE with the named
+    * mechanism list instead of an opaque server error; a server
+    * that advertises nothing proceeds (the pre-advertisement
+    * handshake — the server itself answers the saslStart). Throws on
     * any server error or a wrong server signature — a peer that
     * cannot prove knowledge of ServerKey is not the server the
     * credential belongs to.
     */
   def authenticate(sock: java.net.Socket, cred: Credential): Unit = {
+    val mechHello = MongoWire.runCommandOk(sock, BDoc(Seq(
+      "hello" -> BInt32(1),
+      "saslSupportedMechs" -> BString(s"${cred.authDb}.${cred.user}"),
+      "$db" -> BString(cred.authDb))), 900)
+    mechHello.v.collectFirst {
+      case ("saslSupportedMechs", BArr(ms)) =>
+        ms.collect { case BString(m) => m }
+    }.foreach { ms =>
+      require(ms.contains("SCRAM-SHA-256"),
+        s"server offers SASL mechanism(s) ${ms.mkString(", ")} for " +
+          s"'${cred.authDb}.${cred.user}'; this client implements " +
+          "SCRAM-SHA-256 only")
+    }
     val conv = ClientConversation.fresh(cred.user, cred.password)
     val start = MongoWire.runCommandOk(sock, BDoc(Seq(
       "saslStart" -> BInt32(1),

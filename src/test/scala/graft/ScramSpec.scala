@@ -177,6 +177,32 @@ class ScramSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("SASL mechanism negotiation: against a SCRAM-SHA-1-only " +
+      "server the client fails CLIENT-SIDE with the advertised " +
+      "mechanism list (never an opaque server error); a server " +
+      "advertising SCRAM-SHA-256 authenticates as before") {
+    val df = fixtureDf(10)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    srv.requireAuth("analyst", "s3cr3t")
+    srv.setSaslMechs(Seq("SCRAM-SHA-1"))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        new MongoWire.FindCursor("127.0.0.1", srv.port, "db", "c",
+          None, None, None, None, 64,
+          auth = Some(Scram.Credential("analyst", "s3cr3t"))).toList
+      }
+      assert(e.getMessage.contains("SCRAM-SHA-1") &&
+        e.getMessage.contains("SCRAM-SHA-256 only"), e.getMessage)
+      // back to a modern server: the negotiation passes and the
+      // conversation completes
+      srv.setSaslMechs(Seq("SCRAM-SHA-256"))
+      val rows = new MongoWire.FindCursor("127.0.0.1", srv.port,
+        "db", "c", None, None, None, None, 64,
+        auth = Some(Scram.Credential("analyst", "s3cr3t"))).toList
+      assert(rows.size == 10)
+    } finally srv.close()
+  }
+
   test("a failed proof ABORTS the conversation: retrying the same " +
       "server-first/nonce gets 'saslContinue without saslStart', " +
       "not another verification attempt") {
