@@ -863,6 +863,52 @@ object SparkEntry {
           .orderBy("path", "vtag")
       } finally srv.close()
     }),
+    // the same mixed-type surface as Spark 4's NATIVE VariantType
+    // (varianttype=true): mixed fields infer as VariantType and the
+    // query uses the variant-aware expressions themselves
+    // (variant_get scalar cast + nested path), so the oracle gate
+    // certifies the native decode end to end. The fixture carries
+    // int/string/bool/null only — every variant_get render is
+    // integer- or literal-derived on BOTH engines (no double-to-
+    // string formatting to diverge on).
+    "mongo_variant_type" -> ((s, d) => {
+      import graft.sources.Bson._
+      val n = math.min(20000L, Tables.load(s, d, "orders").count())
+      val docs = s.range(0L, n, 1L, 8).rdd.map { boxed =>
+        val i: Long = boxed
+        val payload: BVal = (i % 4) match {
+          case 0 => BInt32((i % 1000).toInt)
+          case 1 => BString("s" + i)
+          case 2 => BBool(i % 2 == 0)
+          case _ => BNull
+        }
+        val base = Seq[(String, BVal)]("k" -> BInt64(i),
+          "payload" -> payload)
+        val all = if (i % 3 == 0)
+          base :+ ("sub" -> (BDoc(Seq(
+            "a" -> BInt32((i % 100).toInt))): BVal))
+        else base
+        (i, graft.sources.Bson.encode(BDoc(all)))
+      }.collect().sortBy(_._1).toIndexedSeq
+      val srv = new graft.sources.InProcessMongod(docs, "k",
+        "graft", "variants")
+      try s.read.format("graft-mongo")
+        .option("host", "127.0.0.1")
+        .option("port", srv.port.toString)
+        .option("database", "graft").option("collection", "variants")
+        .option("keyfield", "k")
+        .option("minkey", "0").option("maxkey", n.toString)
+        .option("numpartitions", "4")
+        .option("samplesize", "512")
+        .option("varianttype", "true")
+        .load()
+        .selectExpr("k",
+          "variant_get(payload, '$', 'string') AS payload_str",
+          "variant_get(sub, '$.a', 'long') AS sub_a")
+        .localCheckpoint(true)
+        .orderBy("k")
+      finally srv.close()
+    }),
     // decimal128 fidelity under the gate: exact DECIMAL(12,2) values
     // ride the wire as IEEE 754-2008 BID decimal128 (encode → frame →
     // store → cursor → decode) and must hash-equal the oracle's
@@ -7396,6 +7442,24 @@ object SparkEntry {
         UNION ALL SELECT 'sub.a', 'int32',
                CAST((c + 2) // 3 AS BIGINT) FROM n)
       ORDER BY path, vtag"""),
+    // the native-VariantType twin: variant_get renders rebuilt from
+    // the fixture formulas (ints/strings/bools only — both engines
+    // derive every string from integers or literals)
+    "mongo_variant_type" -> ("""
+      SELECT k,
+             CASE k % 4
+               WHEN 0 THEN CAST(k % 1000 AS VARCHAR)
+               WHEN 1 THEN 's' || CAST(k AS VARCHAR)
+               WHEN 2 THEN CASE WHEN k % 2 = 0 THEN 'true'
+                                ELSE 'false' END
+               ELSE NULL END AS payload_str,
+             CASE WHEN k % 3 = 0 THEN CAST(k % 100 AS BIGINT)
+                  ELSE NULL END AS sub_a
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1
+                     AS BIGINT) AS k
+            FROM (SELECT o_orderkey FROM orders
+                  ORDER BY o_orderkey LIMIT 20000))
+      ORDER BY k"""),
     "mongo_decimal_roundtrip" -> ("""
       SELECT o_orderkey,
              CAST(CAST(printf('%d.%02d',

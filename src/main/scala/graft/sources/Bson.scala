@@ -56,8 +56,14 @@ object Bson {
     */
   val VariantKey = "graft_variant"
 
+  /** A field is variant when it carries the marker metadata (both
+    * renders) OR is declared as Spark 4's native `VariantType`
+    * directly (an explicit user schema) — either way, pushdowns must
+    * refuse it and the decode goes per-value.
+    */
   def isVariantField(f: org.apache.spark.sql.types.StructField)
-      : Boolean = f.metadata.contains(VariantKey)
+      : Boolean = f.metadata.contains(VariantKey) ||
+    f.dataType == org.apache.spark.sql.types.VariantType
 
   def variantField(name: String)
       : org.apache.spark.sql.types.StructField =
@@ -65,6 +71,31 @@ object Bson {
       org.apache.spark.sql.types.StringType, nullable = true,
       new org.apache.spark.sql.types.MetadataBuilder()
         .putBoolean(VariantKey, true).build())
+
+  /** The native Spark-4 render of a mixed-type field: a real
+    * `VariantType` column (shredded storage, variant-aware
+    * expressions — `variant_get`, `schema_of_variant`, `to_json`),
+    * the idiomatic Spark-4 answer where the StringType render is the
+    * profiling bridge.
+    */
+  def variantTypedField(name: String)
+      : org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(name,
+      org.apache.spark.sql.types.VariantType, nullable = true,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(VariantKey, true).build())
+
+  /** One wire value → a Spark `VariantVal`, through the relaxed
+    * Extended JSON render and Spark's OWN variant builder — the
+    * binary layout stays Spark's to define, this code never
+    * hand-rolls it.
+    */
+  def variantVal(v: BVal): org.apache.spark.unsafe.types.VariantVal = {
+    val variant = org.apache.spark.types.variant.VariantBuilder
+      .parseJson(relaxedJson(v), false)
+    new org.apache.spark.unsafe.types.VariantVal(
+      variant.getValue, variant.getMetadata)
+  }
 
   /** Relaxed Extended JSON v2 render of one wire value (numbers and
     * strings plain; dates canonical `$numberLong` millis for
@@ -451,7 +482,11 @@ object Bson {
     Row.fromSeq(schema.fields.toSeq.map { f =>
       m.get(f.name) match {
         case None | Some(BNull) => null
-        case Some(v) if isVariantField(f) => relaxedJson(v)
+        // the render path; native VariantType rides the DSv2
+        // (InternalRow) decode, not this external-Row one
+        case Some(v) if isVariantField(f) &&
+            f.dataType == org.apache.spark.sql.types.StringType =>
+          relaxedJson(v)
         case Some(v) => (f.dataType, v) match {
           case (LongType, BInt64(x)) => x
           case (LongType, BInt32(x)) => x.toLong

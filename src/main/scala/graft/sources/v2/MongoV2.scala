@@ -118,7 +118,8 @@ private[v2] object MongoV2 {
                         tls: Option[graft.sources.Tls.Conf] = None,
                         writeConcernW: Option[String] = None,
                         writeConcernJ: Option[Boolean] = None,
-                        retryWrites: Boolean = true)
+                        retryWrites: Boolean = true,
+                        variantType: Boolean = false)
 
   object Conf {
     def apply(o: CaseInsensitiveStringMap): Conf = {
@@ -170,7 +171,9 @@ private[v2] object MongoV2 {
         writeConcernJ = Option(o.get("writeconcernj"))
           .map(_.toBoolean),
         retryWrites = Option(o.get("retrywrites"))
-          .forall(_.toBoolean))
+          .forall(_.toBoolean),
+        variantType = Option(o.get("varianttype"))
+          .exists(_.toBoolean))
     }
   }
 
@@ -292,7 +295,11 @@ private[v2] object MongoV2 {
         s"${c.db}.${c.coll}; pass .schema(...)")
     StructType(fields.toSeq.map {
       case (name, _) if variant.contains(name) =>
-        Bson.variantField(name)
+        // varianttype=true: Spark 4's native VariantType (shredded
+        // storage + variant-aware expressions); default stays the
+        // relaxed-extjson StringType render, the profiling bridge
+        if (c.variantType) Bson.variantTypedField(name)
+        else Bson.variantField(name)
       case (name, Some(dt)) => StructField(name, dt)
       case (name, None) => throw new IllegalArgumentException(
         s"graft-mongo: field '$name' was null in every sampled " +
@@ -460,7 +467,8 @@ private[v2] object MongoV2 {
     * [[catalystValue]].
     */
   def fieldValue(v: BVal, f: StructField): Any =
-    if (Bson.isVariantField(f))
+    if (f.dataType == VariantType) Bson.variantVal(v)
+    else if (Bson.isVariantField(f))
       UTF8String.fromString(Bson.relaxedJson(v))
     else catalystValue(v, f.dataType, f.name)
 

@@ -1164,6 +1164,59 @@ class MongoV2Spec extends AnyFunSuite {
       assert(e.getMessage.contains("'x'"))
     } finally nul.close()
   }
+  test("native VariantType (varianttype=true): mixed-type fields " +
+      "infer as Spark 4 VariantType, variant_get/to_json work, " +
+      "filters on the variant column still refuse pushdown") {
+    val docs = (0L until 60L).map { i =>
+      val payload: BVal = (i % 3) match {
+        case 0 => BInt32(i.toInt)
+        case 1 => BString(s"s$i")
+        case _ => BBool(i % 2 == 0)
+      }
+      val base = Seq[(String, BVal)]("k" -> BInt64(i),
+        "payload" -> payload)
+      val all = if (i % 2 == 0)
+        base :+ ("sub" -> (BDoc(Seq(
+          "a" -> BInt32((i % 10).toInt))): BVal))
+      else base
+      (i, Bson.encode(BDoc(all)))
+    }.toIndexedSeq
+    val srv = new InProcessMongod(docs, "k", "db", "c")
+    try {
+      val df = dsv2(srv, None, "varianttype" -> "true",
+        "samplesize" -> "60", "minkey" -> "0", "maxkey" -> "60")
+      // inferred as the NATIVE type, still marked variant
+      assert(df.schema("payload").dataType ==
+        org.apache.spark.sql.types.VariantType)
+      assert(Bson.isVariantField(df.schema("payload")))
+      assert(df.schema("sub").dataType ==
+        org.apache.spark.sql.types.VariantType)
+      // variant-aware expressions: scalar cast + nested path
+      val got = df.selectExpr("k",
+        "variant_get(payload, '$', 'string') AS p",
+        "variant_get(sub, '$.a', 'long') AS a")
+        .collect().map(r => (r.getLong(0),
+          Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got.size == 60)
+      assert(got(0) == ((0L, Some("0"), 0L)))
+      assert(got(1) == ((1L, Some("s1"), -1L)))
+      assert(got(2) == ((2L, Some("true"), 2L)))
+      assert(got(5) == ((5L, Some("false"), -1L)))
+      // to_json renders the variant losslessly
+      val js = df.filter(col("k") === 4L)
+        .selectExpr("to_json(sub) AS j").head().getString(0)
+      assert(js == """{"a":4}""", js)
+      // pushdown still refused: equality on the variant column is a
+      // residual filter, never a wire conjunct
+      val filtered = df.filter(
+        expr("variant_get(payload, '$', 'string')") === "s1")
+      assert(scanDescription(filtered).contains("PushedFilters: []"),
+        scanDescription(filtered))
+      assert(filtered.count() == 1L)
+    } finally srv.close()
+  }
+
   test("TABLESAMPLE pushdown: df.sample plans GraftMongoSampleScan, " +
       "the server draws exactly floor(fraction*n+0.5) docs (the " +
       "deterministic md5 draw), the wire ships only the sample, and " +
