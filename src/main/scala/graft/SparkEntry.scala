@@ -909,6 +909,21 @@ object SparkEntry {
         .orderBy("k")
       finally srv.close()
     }),
+    // S11 as a DECLARED row (was spec-only): the chat-context sample
+    // block — newest-3 docs (views/chat_view.py:60), cells sanitized
+    // by the display truncation (P3), rendered to the JSON the
+    // context block embeds; the oracle rebuilds each string from the
+    // same columns
+    "sample_docs_render" -> ((s, d) => {
+      val nat = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      Sampling.newestN(nat, "n_nationkey", 3)
+        .select(col("n_nationkey"),
+          to_json(struct(col("n_nationkey"),
+            Sampling.truncateCell(col("n_name"), 8).as("n_name"),
+            col("n_regionkey"))).as("doc"))
+        .orderBy("n_nationkey")
+    }),
     // decimal128 fidelity under the gate: exact DECIMAL(12,2) values
     // ride the wire as IEEE 754-2008 BID decimal128 (encode → frame →
     // store → cursor → decode) and must hash-equal the oracle's
@@ -7460,6 +7475,16 @@ object SparkEntry {
             FROM (SELECT o_orderkey FROM orders
                   ORDER BY o_orderkey LIMIT 20000))
       ORDER BY k"""),
+    "sample_docs_render" -> ("""
+      SELECT n_nationkey,
+             '{"n_nationkey":' || n_nationkey || ',"n_name":"' ||
+             CASE WHEN LENGTH(n_name) > 8
+                  THEN SUBSTRING(n_name, 1, 8) || '...'
+                  ELSE n_name END ||
+             '","n_regionkey":' || n_regionkey || '}' AS doc
+      FROM (SELECT n_nationkey, n_name, n_regionkey FROM nation
+            ORDER BY n_nationkey DESC LIMIT 3)
+      ORDER BY n_nationkey"""),
     "mongo_decimal_roundtrip" -> ("""
       SELECT o_orderkey,
              CAST(CAST(printf('%d.%02d',

@@ -569,6 +569,7 @@ final class InProcessMongod(db: String,
   }
 
   private def handleGetMore(cmd: BDoc, idv: BVal): Array[Byte] = {
+    stats.getMores.incrementAndGet()
     val cid = asLong(idv)
     val st = cursors.get(cid)
     require(st != null, s"unknown cursor $cid")
@@ -1197,6 +1198,11 @@ object InProcessMongod {
   final class Stats {
     val servedDocs = new AtomicLong(0)
     val servedBytes = new AtomicLong(0)
+    /** getMore round trips — the batch-size knob's meter: a
+      * high-latency link pays one of these per batch, so
+      * `batchsize` directly divides them.
+      */
+    val getMores = new AtomicLong(0)
     /** Actual reply bytes on the socket (post-compression). */
     val wireBytesOut = new AtomicLong(0)
     @volatile var lastFind: Option[BDoc] = None

@@ -1164,6 +1164,26 @@ class MongoV2Spec extends AnyFunSuite {
       assert(e.getMessage.contains("'x'"))
     } finally nul.close()
   }
+  test("batchsize is the ROUND-TRIP knob a high-latency link needs: " +
+      "a 5x larger batch cuts getMore round trips 9x to 1, same " +
+      "rows either way") {
+    val df = fixtureDf(500)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    try {
+      def trips(bs: Int): Long = {
+        srv.stats.getMores.set(0L)
+        val rows = dsv2(srv, Some(df.schema), "minkey" -> "0",
+          "maxkey" -> "500", "numpartitions" -> "1",
+          "batchsize" -> bs.toString).collect()
+        assert(rows.length == 500)
+        srv.stats.getMores.get()
+      }
+      // 500 docs: find serves the first batch, getMore the rest
+      assert(trips(50) == 9L)
+      assert(trips(250) == 1L)
+    } finally srv.close()
+  }
+
   test("native VariantType (varianttype=true): mixed-type fields " +
       "infer as Spark 4 VariantType, variant_get/to_json work, " +
       "filters on the variant column still refuse pushdown") {
