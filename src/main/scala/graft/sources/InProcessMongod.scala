@@ -402,6 +402,10 @@ final class InProcessMongod(db: String,
     var authenticated: Boolean = false
     var conversation: Option[Scram.ServerSide] = None
     var proofVerified: Boolean = false
+    /** saslStart options.skipEmptyExchange: done rides with the
+      * proof reply instead of a trailing empty exchange.
+      */
+    var skipEmpty: Boolean = false
   }
 
   // TLS-required serving: with a key store, every connection must
@@ -905,7 +909,7 @@ final class InProcessMongod(db: String,
     * intersected with what this server speaks, in the SERVER's
     * preference order.
     */
-  private def handleHello(cmd: BDoc): Array[Byte] = {
+  private def handleHello(cmd: BDoc, conn: ConnAuth): Array[Byte] = {
     val requested = get(cmd, "compression") match {
       case Some(BArr(cs)) => cs.collect { case BString(s) => s }
       case _ => Seq.empty
@@ -926,6 +930,19 @@ final class InProcessMongod(db: String,
         authCred.isDefined)
       parts += "saslSupportedMechs" ->
         BArr(saslMechs.map(BString(_)))
+    // speculative authentication (the drivers' handshake spec): the
+    // piggybacked saslStart runs HERE and its reply nests in the
+    // hello; on ANY auth failure the field is simply OMITTED (the
+    // real server's behavior — the client falls back to the classic
+    // flow, where the failure surfaces with its proper error)
+    get(cmd, "speculativeAuthenticate").foreach {
+      case spec: BDoc =>
+        try parts += "speculativeAuthenticate" ->
+          saslStartReply(spec, conn)
+        catch { case _: Exception => () }
+      case other => throw new IllegalArgumentException(
+        s"speculativeAuthenticate wants a document, got $other")
+    }
     parts += "ok" -> BDouble(1.0)
     Bson.encode(BDoc(parts.result()))
   }
@@ -946,7 +963,7 @@ final class InProcessMongod(db: String,
       case Some(("listCollections", _)) => handleListCollections(cmd)
       case Some(("count", c)) => handleCount(str(c, "count"), cmd)
       case Some(("collStats", c)) => handleCollStats(str(c, "collStats"))
-      case Some(("hello", _)) => handleHello(cmd)
+      case Some(("hello", _)) => handleHello(cmd, conn)
       case Some(("killCursors", c)) =>
         handleKillCursors(str(c, "killCursors"), cmd)
       case other => throw new IllegalArgumentException(
@@ -988,7 +1005,9 @@ final class InProcessMongod(db: String,
     throw new AuthException(msg, 18, "AuthenticationFailed")
 
   private def handleSaslStart(cmd: BDoc, conn: ConnAuth)
-      : Array[Byte] = {
+      : Array[Byte] = Bson.encode(saslStartReply(cmd, conn))
+
+  private def saslStartReply(cmd: BDoc, conn: ConnAuth): BDoc = {
     val cred = authCred.getOrElse(
       authFailed("no users configured on this server"))
     get(cmd, "mechanism") match {
@@ -1013,11 +1032,16 @@ final class InProcessMongod(db: String,
         Option(e.getMessage).getOrElse("bad client-first message")) }
     conn.conversation = Some(sc)
     conn.proofVerified = false
-    Bson.encode(BDoc(Seq(
+    conn.skipEmpty = get(cmd, "options").exists {
+      case o: BDoc => get(o, "skipEmptyExchange")
+        .contains(BBool(true))
+      case _ => false
+    }
+    BDoc(Seq(
       "conversationId" -> BInt32(1),
       "done" -> BBool(false),
       "payload" -> BBinary(0, serverFirst.getBytes("UTF-8")),
-      "ok" -> BDouble(1.0))))
+      "ok" -> BDouble(1.0)))
   }
 
   private def handleSaslContinue(cmd: BDoc, conn: ConnAuth)
@@ -1038,9 +1062,16 @@ final class InProcessMongod(db: String,
           authFailed(err)
         case Right(v) =>
           conn.proofVerified = true
+          // skipEmptyExchange (requested in saslStart options): the
+          // server signature and done ride the SAME reply — one
+          // fewer round trip, the modern drivers' flow
+          if (conn.skipEmpty) {
+            conn.authenticated = true
+            conn.conversation = None
+          }
           Bson.encode(BDoc(Seq(
             "conversationId" -> BInt32(1),
-            "done" -> BBool(false),
+            "done" -> BBool(conn.skipEmpty),
             "payload" -> BBinary(0, v.getBytes("UTF-8")),
             "ok" -> BDouble(1.0))))
       }
@@ -1138,6 +1169,7 @@ final class InProcessMongod(db: String,
         // into the command before dispatch; a malformed or
         // duplicate-payload sequence is a COMMAND error (reply, not
         // a dropped socket), like every other bad command
+        stats.commands.incrementAndGet()
         val body =
           try handleSafe(mergeDocSequences(cmd0, buf), conn)
           catch {
@@ -1203,6 +1235,10 @@ object InProcessMongod {
       * `batchsize` directly divides them.
       */
     val getMores = new AtomicLong(0)
+    /** Commands handled (any kind) — the auth-handshake round-trip
+      * meter.
+      */
+    val commands = new AtomicLong(0)
     /** Actual reply bytes on the socket (post-compression). */
     val wireBytesOut = new AtomicLong(0)
     @volatile var lastFind: Option[BDoc] = None

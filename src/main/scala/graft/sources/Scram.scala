@@ -218,26 +218,42 @@ object Scram {
 
   // ---- the MongoDB SASL command envelope ---------------------------
 
-  /** Runs the full conversation on an OPEN socket: a `hello`
-    * carrying `saslSupportedMechs` (the driver handshake) to read
-    * the server's mechanism advertisement, then `saslStart` →
-    * `saslContinue` (proof) → verify `v=` → empty `saslContinue`
-    * until `done` (the classic no-skipEmptyExchange flow). A server
-    * that advertises mechanisms WITHOUT SCRAM-SHA-256 (e.g. an old
+  /** Runs the full conversation on an OPEN socket, round-trip
+    * minimal (both moves are the public drivers' spec):
+    *
+    *  1. one `hello` carrying `saslSupportedMechs` (the mechanism
+    *     advertisement) AND `speculativeAuthenticate` (the saslStart
+    *     piggybacked in the handshake, with `skipEmptyExchange`);
+    *  2. one `saslContinue` with the proof — the server's signature
+    *     and `done` ride back together.
+    *
+    * Two round trips per connection instead of four. A server that
+    * advertises mechanisms WITHOUT SCRAM-SHA-256 (an old
     * SCRAM-SHA-1-only deployment) fails CLIENT-SIDE with the named
-    * mechanism list instead of an opaque server error; a server
-    * that advertises nothing proceeds (the pre-advertisement
-    * handshake — the server itself answers the saslStart). Throws on
-    * any server error or a wrong server signature — a peer that
-    * cannot prove knowledge of ServerKey is not the server the
-    * credential belongs to.
+    * mechanism list; a server that ignores the speculative field
+    * (pre-4.4) falls back to the classic `saslStart` →
+    * `saslContinue` → empty-exchange flow on the same socket.
+    * Throws on any server error or a wrong server signature — a
+    * peer that cannot prove knowledge of ServerKey is not the
+    * server the credential belongs to.
     */
   def authenticate(sock: java.net.Socket, cred: Credential): Unit = {
-    val mechHello = MongoWire.runCommandOk(sock, BDoc(Seq(
+    val conv = ClientConversation.fresh(cred.user, cred.password)
+    val saslStartDoc = BDoc(Seq(
+      "saslStart" -> BInt32(1),
+      "mechanism" -> BString("SCRAM-SHA-256"),
+      "payload" -> BBinary(0,
+        conv.clientFirstMessage.getBytes(UTF_8)),
+      "options" -> BDoc(Seq("skipEmptyExchange" -> BBool(true))),
+      // the speculative sub-command names its db in `db` (it has no
+      // wire envelope of its own)
+      "db" -> BString(cred.authDb)))
+    val hello = MongoWire.runCommandOk(sock, BDoc(Seq(
       "hello" -> BInt32(1),
       "saslSupportedMechs" -> BString(s"${cred.authDb}.${cred.user}"),
+      "speculativeAuthenticate" -> saslStartDoc,
       "$db" -> BString(cred.authDb))), 900)
-    mechHello.v.collectFirst {
+    hello.v.collectFirst {
       case ("saslSupportedMechs", BArr(ms)) =>
         ms.collect { case BString(m) => m }
     }.foreach { ms =>
@@ -246,13 +262,19 @@ object Scram {
           s"'${cred.authDb}.${cred.user}'; this client implements " +
           "SCRAM-SHA-256 only")
     }
-    val conv = ClientConversation.fresh(cred.user, cred.password)
-    val start = MongoWire.runCommandOk(sock, BDoc(Seq(
-      "saslStart" -> BInt32(1),
-      "mechanism" -> BString("SCRAM-SHA-256"),
-      "payload" -> BBinary(0,
-        conv.clientFirstMessage.getBytes(UTF_8)),
-      "$db" -> BString(cred.authDb))), 901)
+    // a server that speculated answers inside the hello; one that
+    // did not (or could not) gets the classic saslStart
+    val start = hello.v.collectFirst {
+      case ("speculativeAuthenticate", d: BDoc) => d
+    }.getOrElse {
+      MongoWire.runCommandOk(sock, BDoc(Seq(
+        "saslStart" -> BInt32(1),
+        "mechanism" -> BString("SCRAM-SHA-256"),
+        "payload" -> BBinary(0,
+          conv.clientFirstMessage.getBytes(UTF_8)),
+        "options" -> BDoc(Seq("skipEmptyExchange" -> BBool(true))),
+        "$db" -> BString(cred.authDb))), 901)
+    }
     val convId = start.v.collectFirst {
       case ("conversationId", v) => v
     }.getOrElse(BInt32(1))
@@ -266,7 +288,8 @@ object Scram {
     require(payloadString(reply) == expectedV,
       "server failed to prove knowledge of ServerKey " +
         "(bad server signature)")
-    // drain the empty exchange until the server reports done
+    // with skipEmptyExchange honored, done rides with the proof
+    // reply; otherwise drain the classic empty exchange
     var guard = 0
     while (!isDone(reply) && guard < 3) {
       reply = MongoWire.runCommandOk(sock, BDoc(Seq(

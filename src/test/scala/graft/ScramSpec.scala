@@ -177,6 +177,24 @@ class ScramSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("speculative authentication + skipEmptyExchange: the whole " +
+      "conversation is TWO round trips (hello with piggybacked " +
+      "saslStart, then the proof with done riding its reply)") {
+    val df = fixtureDf(10)
+    val srv = InProcessMongod.serve(df, "k", "db", "c")
+    srv.requireAuth("analyst", "s3cr3t")
+    try {
+      srv.stats.commands.set(0L)
+      val rows = new MongoWire.FindCursor("127.0.0.1", srv.port,
+        "db", "c", None, None, None, None, 64,
+        auth = Some(Scram.Credential("analyst", "s3cr3t"))).toList
+      assert(rows.size == 10)
+      // hello(+saslStart) + saslContinue(proof, done) + find = 3
+      assert(srv.stats.commands.get() == 3L,
+        s"commands: ${srv.stats.commands.get()}")
+    } finally srv.close()
+  }
+
   test("SASL mechanism negotiation: against a SCRAM-SHA-1-only " +
       "server the client fails CLIENT-SIDE with the advertised " +
       "mechanism list (never an opaque server error); a server " +
