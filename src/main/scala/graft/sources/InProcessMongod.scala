@@ -395,6 +395,15 @@ final class InProcessMongod(db: String,
   @volatile private var saslMechs: Seq[String] = Seq("SCRAM-SHA-256")
   def setSaslMechs(ms: Seq[String]): Unit = saslMechs = ms
 
+  /** Session/retryable-write advertisement: default mirrors a
+    * replica-set primary (logicalSessionTimeoutMinutes + setName);
+    * specs flip it off to model a STANDALONE server, where clients
+    * must not send txnNumbers.
+    */
+  @volatile private var advertiseSessions = true
+  def setAdvertiseSessions(on: Boolean): Unit =
+    advertiseSessions = on
+
   /** Per-connection SASL progress (the wire conversation is
     * connection-scoped state on a real server too).
     */
@@ -919,6 +928,10 @@ final class InProcessMongod(db: String,
     val negotiated = compressorsSupported.filter(requested.contains)
     val parts = Seq.newBuilder[(String, BVal)]
     parts += "isWritablePrimary" -> BBool(true)
+    if (advertiseSessions) {
+      parts += "logicalSessionTimeoutMinutes" -> BInt32(30)
+      parts += "setName" -> BString("graft")
+    }
     parts += "maxBsonObjectSize" -> BInt32(16 * 1024 * 1024)
     parts += "maxMessageSizeBytes" -> BInt32(48 * 1000 * 1000)
     parts += "maxWriteBatchSize" -> BInt32(100000)

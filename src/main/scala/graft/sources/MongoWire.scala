@@ -639,11 +639,25 @@ object MongoWire {
     private var txn = 0L
     private var reqId = 0
     private var sock: Socket = _
+    // real deployments: retryable writes need SESSIONS (a replica
+    // set or mongos) — a standalone server REJECTS txnNumber, so the
+    // hello decides whether batches carry the session pair (the
+    // drivers' own rule); known after the first connection
+    private var sessionsSupported: Option[Boolean] = None
 
     private def ensure(): Socket = {
       if (sock == null) {
         sock = openSocket(host, port, tls)
-        auth.foreach(Scram.authenticate(sock, _))
+        val hello = auth match {
+          case Some(c) => Scram.authenticate(sock, c)
+          case None => runCommandOk(sock, BDoc(Seq(
+            "hello" -> BInt32(1), "$db" -> BString("admin"))), 899)
+        }
+        if (sessionsSupported.isEmpty)
+          sessionsSupported = Some(
+            hello.v.exists(_._1 == "logicalSessionTimeoutMinutes") &&
+              hello.v.exists(kv => kv._1 == "setName" ||
+                kv == ("msg", BString("isdbgrid"))))
       }
       sock
     }
@@ -657,11 +671,17 @@ object MongoWire {
 
     def insert(docs: Seq[BDoc]): Long = {
       txn += 1
-      val session = if (retryWrites) Some((lsid, txn)) else None
-      try insertBatch(ensure(), db, coll, docs,
+      val sockNow = ensure()   // resolves sessionsSupported
+      val retryable = retryWrites && sessionsSupported.contains(true)
+      val session = if (retryable) Some((lsid, txn)) else None
+      try insertBatch(sockNow, db, coll, docs,
         { reqId += 1; reqId }, writeConcern, session)
       catch {
-        case e: java.io.IOException if retryWrites =>
+        // only a RECORDED batch may replay: without sessions a lost
+        // ack is indistinguishable from an unapplied command, and a
+        // blind resend could double-insert — fail the task instead
+        // (Spark's at-least-once task retry owns it from there)
+        case e: java.io.IOException if retryable =>
           dropConn()
           try insertBatch(ensure(), db, coll, docs,
             { reqId += 1; reqId }, writeConcern, session)

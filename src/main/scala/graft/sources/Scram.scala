@@ -237,7 +237,8 @@ object Scram {
     * peer that cannot prove knowledge of ServerKey is not the
     * server the credential belongs to.
     */
-  def authenticate(sock: java.net.Socket, cred: Credential): Unit = {
+  def authenticate(sock: java.net.Socket,
+                   cred: Credential): Bson.BDoc = {
     val conv = ClientConversation.fresh(cred.user, cred.password)
     val saslStartDoc = BDoc(Seq(
       "saslStart" -> BInt32(1),
@@ -300,6 +301,7 @@ object Scram {
       guard += 1
     }
     require(isDone(reply), "SASL conversation never completed")
+    hello   // callers read capabilities (e.g. session support) here
   }
 
   private def payloadString(reply: BDoc): String =

@@ -138,6 +138,38 @@ class RetryWriteSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("a STANDALONE server (no session advertisement) gets no " +
+      "txnNumber and no blind retry: writes work, a connection drop " +
+      "fails the task instead of risking a double insert") {
+    val df = fixtureDf(30).repartition(1)
+    val srv = InProcessMongod.serveEmpty("db", "out", "k")
+    srv.setAdvertiseSessions(false)
+    try {
+      // plain write path works without sessions
+      df.write.format("graft-mongo").mode("append")
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("database", "db").option("collection", "out")
+        .option("keyfield", "k").save()
+      assert(MongoWire.countDocs("127.0.0.1", srv.port, "db", "out")
+        == 30L)
+      // a drop is NOT retried (retryWrites=true but unsupported):
+      // a lost ack without a session record is indistinguishable
+      // from an unapplied command — the loud failure is correct
+      srv.failNextInsertBeforeApply(1)
+      val e = intercept[Exception] {
+        df.write.format("graft-mongo").mode("append")
+          .option("host", "127.0.0.1")
+          .option("port", srv.port.toString)
+          .option("database", "db").option("collection", "out")
+          .option("keyfield", "k").save()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.isInstanceOf[java.io.IOException]),
+        e.toString)
+    } finally srv.close()
+  }
+
   test("writeconcernw/writeconcernj options ride the V2 writer and " +
       "an invalid w surfaces the server's own message") {
     val df = fixtureDf(20).repartition(1)
