@@ -85,12 +85,93 @@ object Bson {
       new org.apache.spark.sql.types.MetadataBuilder()
         .putBoolean(VariantKey, true).build())
 
-  /** One wire value → a Spark `VariantVal`, through the relaxed
-    * Extended JSON render and Spark's OWN variant builder — the
-    * binary layout stays Spark's to define, this code never
-    * hand-rolls it.
+  /** One wire value → a Spark `VariantVal`, by a DIRECT walk of the
+    * decoded value tree through `VariantBuilder`'s public append API
+    * — the binary layout stays Spark's to define (this code never
+    * hand-rolls it), but the decode hot path no longer renders a
+    * JSON string and re-parses it per value. Byte-equivalence with
+    * the `VariantBuilder.parseJson(relaxedJson(v))` path is pinned
+    * in VariantDirectSpec over the full BSON type vocabulary,
+    * including parseJson's numeric quirk replicated below: a finite
+    * double whose canonical render has no exponent parses as a
+    * variant DECIMAL (Spark's `parseJson` tries decimal first for
+    * any plain `-?[0-9.]+` literal), while exponent-form renders
+    * stay variant doubles.
     */
   def variantVal(v: BVal): org.apache.spark.unsafe.types.VariantVal = {
+    val b = new org.apache.spark.types.variant.VariantBuilder(false)
+    appendVariant(b, v)
+    val variant = b.result()
+    new org.apache.spark.unsafe.types.VariantVal(
+      variant.getValue, variant.getMetadata)
+  }
+
+  /** The parseJson-equivalent variant render of the retained
+    * Extended-JSON wrappers: dates/oids/binary/decimal stay
+    * `$`-wrapped OBJECTS in the variant (exactly what parsing the
+    * relaxed render produced in every prior release), so downstream
+    * `variant_get`/`to_json` consumers see an unchanged shape.
+    */
+  private def appendVariant(
+      b: org.apache.spark.types.variant.VariantBuilder,
+      v: BVal): Unit = v match {
+    case BNull => b.appendNull()
+    case BBool(x) => b.appendBoolean(x)
+    case BInt32(x) => b.appendLong(x.toLong)
+    case BInt64(x) => b.appendLong(x)
+    case BString(x) => b.appendString(x)
+    case BDouble(x) =>
+      if (!java.lang.Double.isFinite(x))
+        appendVariant(b,
+          BDoc(Seq("$numberDouble" -> BString(x.toString))))
+      else {
+        val repr = x.toString
+        if (repr.indexOf('E') < 0)
+          b.appendDecimal(new java.math.BigDecimal(repr))
+        else b.appendDouble(x)
+      }
+    case BDecimal128(x) =>
+      appendVariant(b,
+        BDoc(Seq("$numberDecimal" -> BString(x.toPlainString))))
+    case BDateTime(ms) =>
+      appendVariant(b, BDoc(Seq(
+        "$date" -> BDoc(Seq("$numberLong" -> BString(ms.toString))))))
+    case BObjectId(x) =>
+      appendVariant(b, BDoc(Seq(
+        "$oid" -> BString(x.map(bb => f"$bb%02x").mkString))))
+    case BBinary(sub, x) =>
+      appendVariant(b, BDoc(Seq("$binary" -> BDoc(Seq(
+        "base64" -> BString(
+          java.util.Base64.getEncoder.encodeToString(x)),
+        "subType" -> BString(f"$sub%02x"))))))
+    case BArr(xs) =>
+      val start = b.getWritePos
+      val offsets = new java.util.ArrayList[Integer](xs.size)
+      xs.foreach { x =>
+        offsets.add(Int.box(b.getWritePos - start))
+        appendVariant(b, x)
+      }
+      b.finishWritingArray(start, offsets)
+    case BDoc(kvs) =>
+      val start = b.getWritePos
+      val fields = new java.util.ArrayList[
+        org.apache.spark.types.variant.VariantBuilder.FieldEntry](
+        kvs.size)
+      kvs.foreach { case (k, x) =>
+        val id = b.addKey(k)
+        fields.add(
+          new org.apache.spark.types.variant.VariantBuilder.FieldEntry(
+            k, id, b.getWritePos - start))
+        appendVariant(b, x)
+      }
+      b.finishWritingObject(start, fields)
+  }
+
+  /** The JSON-round-trip variant encode (pre-r18 behavior) — kept
+    * ONLY as the equivalence baseline for VariantDirectSpec.
+    */
+  def variantValViaJson(v: BVal)
+      : org.apache.spark.unsafe.types.VariantVal = {
     val variant = org.apache.spark.types.variant.VariantBuilder
       .parseJson(relaxedJson(v), false)
     new org.apache.spark.unsafe.types.VariantVal(
