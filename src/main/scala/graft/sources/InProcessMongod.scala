@@ -415,6 +415,14 @@ final class InProcessMongod(db: String,
       * proof reply instead of a trailing empty exchange.
       */
     var skipEmpty: Boolean = false
+    /** Compressors negotiated on THIS connection's hello — the
+      * handshake spec scopes negotiation per connection, and a real
+      * server treats a compressed frame on a connection that never
+      * negotiated that compressor as a protocol violation. Strict
+      * here too, so the double cannot mask a client that negotiates
+      * on one connection and compresses on another.
+      */
+    var negotiated: Set[String] = Set.empty
   }
 
   // TLS-required serving: with a key store, every connection must
@@ -758,6 +766,41 @@ final class InProcessMongod(db: String,
     new java.util.concurrent.ConcurrentHashMap[(String, Long),
       Array[Byte]]()
 
+  /** Live server sessions (lsid hex): created implicitly by the
+    * first command carrying an lsid, removed by `endSessions` — the
+    * accumulation a real server bounds only by a ~30-minute TTL, so
+    * clients that never end sessions leak them. Specs read
+    * [[activeSessionCount]] to prove the writer cleans up.
+    */
+  private val activeSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def activeSessionCount: Int = activeSessions.size
+
+  /** `endSessions` (public sessions spec): removes the given session
+    * ids; the retryable-write records die with their session, as the
+    * real server's session-backed storage implies.
+    */
+  private def handleEndSessions(cmd: BDoc): Array[Byte] = {
+    val ids = get(cmd, "endSessions") match {
+      case Some(BArr(xs)) => xs.map {
+        case d: BDoc => get(d, "id") match {
+          case Some(BBinary(4, b)) => b.map(x => f"$x%02x").mkString
+          case other => throw new IllegalArgumentException(
+            s"endSessions id must be a UUID (binary subtype 4): $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"endSessions wants {id: UUID} documents, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"endSessions wants an array, got $other")
+    }
+    ids.foreach { id =>
+      activeSessions.remove(id)
+      txnRecords.keySet.removeIf(_._1 == id)
+    }
+    Bson.encode(BDoc(Seq("ok" -> BDouble(1.0))))
+  }
+
   /** Fault injection: the next `n` inserts APPLY, record their ack,
     * then drop the connection before replying — the lost-ack window
     * retryable writes exist for.
@@ -789,6 +832,9 @@ final class InProcessMongod(db: String,
             case other => throw new IllegalArgumentException(
               s"lsid.id must be a UUID (binary subtype 4): $other")
           }
+          // implicit session creation: the first lsid-carrying
+          // command brings the server session to life
+          activeSessions.add(id)
           Some((id, asLong(t)))
         case (None, None) => None
         case (None, Some(_)) => throw new IllegalArgumentException(
@@ -924,8 +970,10 @@ final class InProcessMongod(db: String,
       case _ => Seq.empty
     }
     // the echo is in the SERVER's preference order intersected with
-    // what the client requested — the first entry is the winner
+    // what the client requested (the client then picks the first of
+    // ITS OWN list that appears here — the drivers-spec rule)
     val negotiated = compressorsSupported.filter(requested.contains)
+    conn.negotiated = negotiated.toSet
     val parts = Seq.newBuilder[(String, BVal)]
     parts += "isWritablePrimary" -> BBool(true)
     if (advertiseSessions) {
@@ -977,6 +1025,7 @@ final class InProcessMongod(db: String,
       case Some(("count", c)) => handleCount(str(c, "count"), cmd)
       case Some(("collStats", c)) => handleCollStats(str(c, "collStats"))
       case Some(("hello", _)) => handleHello(cmd, conn)
+      case Some(("endSessions", _)) => handleEndSessions(cmd)
       case Some(("killCursors", c)) =>
         handleKillCursors(str(c, "killCursors"), cmd)
       case other => throw new IllegalArgumentException(
@@ -1160,13 +1209,16 @@ final class InProcessMongod(db: String,
           require(orig == 2013, s"OP_COMPRESSED wraps opCode $orig")
           val size = buf.getInt
           val id = buf.get
-          // honoring negotiation is on the CLIENT: a forced
-          // compressor the server does not speak is a frame-level
-          // violation (the real server drops the connection too)
-          require(compressorsSupported
+          // STRICT per-connection negotiation (the real server's
+          // rule): a compressed frame with a compressor THIS
+          // connection's hello did not negotiate is a frame-level
+          // violation — the connection drops, no reply
+          require(conn.negotiated
               .contains(MongoWire.WireCompress.nameOf(id)),
-            s"compressor ${MongoWire.WireCompress.nameOf(id)} not " +
-              s"supported by this server ($compressorsSupported)")
+            s"compressor ${MongoWire.WireCompress.nameOf(id)} was " +
+              "not negotiated on this connection (hello offered: " +
+              s"${conn.negotiated.mkString(",")}; server speaks: " +
+              s"$compressorsSupported)")
           reqCompressor = Some(id)
           val packed = new Array[Byte](buf.remaining())
           buf.get(packed)

@@ -133,7 +133,12 @@ object MongoWire {
         out
       case ZlibId => inflate(data, originalSize)
       case ZstdId =>
-        com.github.luben.zstd.Zstd.decompress(data, originalSize)
+        val out =
+          com.github.luben.zstd.Zstd.decompress(data, originalSize)
+        require(out.length == originalSize,
+          s"zstd frame inflated ${out.length} of declared " +
+            s"$originalSize bytes")
+        out
       case other => throw new IllegalArgumentException(
         s"unknown compressor id $other")
     }
@@ -282,21 +287,82 @@ object MongoWire {
     command(host, port, BDoc(parts.result()), tls = tls)
   }
 
-  /** `compress=auto`: offer a compressor list, use what the server
-    * echoes back — the protocol's negotiation rule. The server's
-    * echo is in ITS preference order, and the first entry wins (a
-    * snappy-preferring real server gets snappy even when the client
-    * listed zlib first). None = no common compressor → plain frames.
+  /** The drivers-spec selection rule: the client uses the FIRST
+    * compressor in its OWN configured list that also appears in the
+    * server's echoed list (MongoDB's compression spec — client
+    * preference wins, not the echo's head; real mongod echoes in
+    * client-request order so the two coincide there, but the rule is
+    * the client's).
+    */
+  def chooseCompressor(offered: Seq[String],
+                       echoed: Seq[String]): Option[Byte] =
+    offered.find(echoed.contains).map(WireCompress.idOf)
+
+  /** The server's echoed compressor list from a hello reply. */
+  def echoedCompressors(hello: BDoc): Seq[String] =
+    hello.v.collectFirst {
+      case ("compression", BArr(cs)) =>
+        cs.collect { case BString(name) => name }
+    }.getOrElse(Seq.empty)
+
+  /** The offer list for one `compress=` mode: `none` offers nothing,
+    * `auto` offers everything this client speaks (its preference
+    * order), an explicit name offers exactly that compressor.
+    */
+  def compressOffer(mode: String): Seq[String] = mode match {
+    case "none" => Nil
+    case "auto" => Seq("snappy", "zstd", "zlib")
+    case name => Seq(WireCompress.nameOf(WireCompress.idOf(name)))
+  }
+
+  /** Per-connection handshake + compressor negotiation — the
+    * compression spec scopes negotiation to EACH connection, so every
+    * socket (per-partition cursors, writers, probes) offers the
+    * configured list in ITS OWN hello (the auth hello when
+    * credentials exist — no extra round trip) and compresses only
+    * what THAT connection negotiated. A FORCED compressor (explicit
+    * `compress=name`) the server does not echo is a loud client-side
+    * error — never a silent plaintext downgrade; `auto` falls back to
+    * plain frames. Returns (hello reply if one was sent, negotiated
+    * compressor). With no auth and no offer, no hello ships at all
+    * (the command stream needs none).
+    */
+  def connectionHandshake(sock: Socket,
+                          auth: Option[Scram.Credential],
+                          compressMode: String = "none")
+      : (Option[BDoc], Option[Byte]) = {
+    val offered = compressOffer(compressMode)
+    val helloReply: Option[BDoc] = auth match {
+      case Some(c) => Some(Scram.authenticate(sock, c, offered))
+      case None if offered.nonEmpty =>
+        val parts = Seq.newBuilder[(String, BVal)]
+        parts += "hello" -> BInt32(1)
+        parts += "compression" -> BArr(offered.map(BString(_)))
+        parts += "$db" -> BString("admin")
+        Some(runCommandOk(sock, BDoc(parts.result()), 898))
+      case None => None
+    }
+    val chosen = chooseCompressor(offered,
+      helloReply.map(echoedCompressors).getOrElse(Seq.empty))
+    if (compressMode != "none" && compressMode != "auto")
+      require(chosen.isDefined,
+        s"compress=$compressMode was forced but this connection's " +
+          "handshake did not negotiate it — the server does not " +
+          "speak it (use compress=auto to fall back to plain frames)")
+    (helloReply, chosen)
+  }
+
+  /** Driver-side `compress=auto` probe on a throwaway connection
+    * (diagnostics/specs; the data path negotiates per connection via
+    * [[connectionHandshake]]). Selection follows the client-preference
+    * rule ([[chooseCompressor]]).
     */
   def negotiate(host: String, port: Int,
                 offered: Seq[String] = Seq("snappy", "zstd", "zlib"),
                 tls: Option[Tls.Conf] = None): Option[Byte] =
-    hello(host, port, compressors = offered, tls = tls).v
-      .collectFirst {
-        case ("compression", BArr(cs)) => cs.collectFirst {
-          case BString(name) => WireCompress.idOf(name)
-        }
-      }.flatten
+    chooseCompressor(offered,
+      echoedCompressors(hello(host, port, compressors = offered,
+        tls = tls)))
 
   /** Back-compat shim: zlib-only negotiation. */
   def negotiateZlib(host: String, port: Int,
@@ -311,7 +377,7 @@ object MongoWire {
   sealed abstract class WireCursor(host: String, port: Int,
                                    db: String, coll: String,
                                    batchSize: Int,
-                                   compress: Option[Byte],
+                                   compressMode: String,
                                    auth: Option[Scram.Credential] = None,
                                    tls: Option[Tls.Conf] = None)
       extends Iterator[BDoc] with AutoCloseable {
@@ -319,8 +385,11 @@ object MongoWire {
     protected def firstCommand: BDoc
 
     private val sock = openSocket(host, port, tls)
-    // authenticate BEFORE the opening command ships
-    auth.foreach(Scram.authenticate(sock, _))
+    // per-connection handshake: authenticate BEFORE the opening
+    // command ships, and compress only what THIS connection's own
+    // hello negotiated (the compression spec's scope)
+    private val compress: Option[Byte] =
+      connectionHandshake(sock, auth, compressMode)._2
     private var reqId = 1
     private var cursorId = 0L
     private var batch: Iterator[BDoc] = Iterator.empty
@@ -393,10 +462,10 @@ object MongoWire {
                          projection: Option[Seq[String]],
                          sort: Option[(String, Int)],
                          limit: Option[Long], batchSize: Int,
-                         compress: Option[Byte] = None,
+                         compressMode: String = "none",
                          auth: Option[Scram.Credential] = None,
                          tls: Option[Tls.Conf] = None)
-      extends WireCursor(host, port, db, coll, batchSize, compress,
+      extends WireCursor(host, port, db, coll, batchSize, compressMode,
         auth, tls) {
     protected def firstCommand: BDoc = {
       val parts = Seq.newBuilder[(String, BVal)]
@@ -423,10 +492,10 @@ object MongoWire {
   final class AggregateCursor(host: String, port: Int, db: String,
                               coll: String, pipeline: Seq[BDoc],
                               batchSize: Int,
-                              compress: Option[Byte] = None,
+                              compressMode: String = "none",
                               auth: Option[Scram.Credential] = None,
                               tls: Option[Tls.Conf] = None)
-      extends WireCursor(host, port, db, coll, batchSize, compress,
+      extends WireCursor(host, port, db, coll, batchSize, compressMode,
         auth, tls) {
     protected def firstCommand: BDoc = BDoc(Seq(
       "aggregate" -> BString(coll),
@@ -493,7 +562,7 @@ object MongoWire {
            numPartitions: Int = 4, batchSize: Int = 512,
            filterExtra: Seq[(String, BVal)] = Nil,
            projectColumns: Boolean = false,
-           compress: Option[Byte] = None,
+           compressMode: String = "none",
            auth: Option[Scram.Credential] = None,
            tls: Option[Tls.Conf] = None): DataFrame = {
     require(numPartitions >= 1 && maxKeyExclusive >= minKey)
@@ -504,7 +573,7 @@ object MongoWire {
       .flatMap { case (lo, hi) =>
         new FindCursor(host, port, db, coll,
           Some(mergedFilter(keyField, lo, hi, filterExtra)), proj,
-          None, None, batchSize, compress, auth, tls)
+          None, None, batchSize, compressMode, auth, tls)
           .map(Bson.docToRow(_, schema))
       }
     spark.createDataFrame(rdd, schema)
@@ -669,11 +738,14 @@ object MongoWire {
       }
     }
 
+    private var sessionUsed = false
+
     def insert(docs: Seq[BDoc]): Long = {
       txn += 1
       val sockNow = ensure()   // resolves sessionsSupported
       val retryable = retryWrites && sessionsSupported.contains(true)
       val session = if (retryable) Some((lsid, txn)) else None
+      sessionUsed ||= retryable
       try insertBatch(sockNow, db, coll, docs,
         { reqId += 1; reqId }, writeConcern, session)
       catch {
@@ -691,7 +763,22 @@ object MongoWire {
       }
     }
 
-    override def close(): Unit = dropConn()
+    /** Closing ENDS the implicit session (`endSessions` per the
+      * public sessions spec, best-effort): a large write opens one
+      * writer per partition, and without this each leaves a server
+      * session alive until the ~30-minute TTL — at 100 TB that is
+      * thousands of zombie sessions per job on the server.
+      */
+    override def close(): Unit = {
+      if (sock != null && sessionUsed) {
+        try runCommandOk(sock, BDoc(Seq(
+          "endSessions" -> BArr(Seq(BDoc(Seq(
+            "id" -> BBinary(4, lsid))))),
+          "$db" -> BString("admin"))), { reqId += 1; reqId })
+        catch { case _: Throwable => () }
+      }
+      dropConn()
+    }
   }
 
   /** Distributed write: every partition opens its own connection and

@@ -237,8 +237,8 @@ object Scram {
     * peer that cannot prove knowledge of ServerKey is not the
     * server the credential belongs to.
     */
-  def authenticate(sock: java.net.Socket,
-                   cred: Credential): Bson.BDoc = {
+  def authenticate(sock: java.net.Socket, cred: Credential,
+                   compressors: Seq[String] = Nil): Bson.BDoc = {
     val conv = ClientConversation.fresh(cred.user, cred.password)
     val saslStartDoc = BDoc(Seq(
       "saslStart" -> BInt32(1),
@@ -249,11 +249,20 @@ object Scram {
       // the speculative sub-command names its db in `db` (it has no
       // wire envelope of its own)
       "db" -> BString(cred.authDb)))
-    val hello = MongoWire.runCommandOk(sock, BDoc(Seq(
-      "hello" -> BInt32(1),
-      "saslSupportedMechs" -> BString(s"${cred.authDb}.${cred.user}"),
-      "speculativeAuthenticate" -> saslStartDoc,
-      "$db" -> BString(cred.authDb))), 900)
+    val helloParts = Seq.newBuilder[(String, BVal)]
+    helloParts += "hello" -> BInt32(1)
+    helloParts += "saslSupportedMechs" ->
+      BString(s"${cred.authDb}.${cred.user}")
+    // compression negotiation is per connection and this hello IS
+    // this connection's handshake — the offer rides here so an
+    // authenticated connection needs no second hello
+    if (compressors.nonEmpty)
+      helloParts += "compression" ->
+        BArr(compressors.map(BString(_)))
+    helloParts += "speculativeAuthenticate" -> saslStartDoc
+    helloParts += "$db" -> BString(cred.authDb)
+    val hello = MongoWire.runCommandOk(sock,
+      BDoc(helloParts.result()), 900)
     hello.v.collectFirst {
       case ("saslSupportedMechs", BArr(ms)) =>
         ms.collect { case BString(m) => m }

@@ -116,9 +116,13 @@ class MongoCatalog extends TableCatalog {
     confMap.put("database", db)
     confMap.put("collection", coll)
     confMap.put("keyfield", keyField)
+    // EVERY table-level option the reader/writer surface understands
+    // forwards — a catalog configured with e.g. writeconcernw=majority
+    // must not silently write with the default concern
     Seq("numpartitions", "batchsize", "samplesize", "user",
         "password", "authdb", "tls", "tlstruststore",
-        "tlstruststorepassword").foreach { k =>
+        "tlstruststorepassword", "writeconcernw", "writeconcernj",
+        "retrywrites", "varianttype", "compress").foreach { k =>
       Option(options.get(k)).foreach(confMap.put(k, _))
     }
     val conf = MongoV2.Conf(new CaseInsensitiveStringMap(confMap))

@@ -177,15 +177,11 @@ private[v2] object MongoV2 {
     }
   }
 
-  /** `auto` asks the server (one `hello` handshake, driver-side at
-    * plan time, offering all three compressors; the server's
-    * preference order wins); explicit names force that compressor.
-    */
-  def resolveCompress(c: Conf): Option[Byte] = c.compressMode match {
-    case "none" => None
-    case "auto" => MongoWire.negotiate(c.host, c.port, tls = c.tls)
-    case name => Some(graft.sources.MongoWire.WireCompress.idOf(name))
-  }
+  // Compression is negotiated PER CONNECTION (the drivers spec's
+  // scope): partitions carry the MODE string and each connection's
+  // own handshake offers/negotiates — no driver-side throwaway hello
+  // whose result would bind connections that never negotiated it.
+  // See MongoWire.connectionHandshake.
 
   /** The table's key window as filter conjuncts — what scopes the
     * COMMAND paths (`count`, edge finds, stats) to the same rows the
@@ -864,11 +860,10 @@ private[v2] class MongoGroupScan(conf: MongoV2.Conf,
     val parts = MongoWire.splitRanges(minKey, maxKeyExclusive,
       conf.numPartitions)
     val ranges = if (parts.isEmpty) Seq((0L, 0L)) else parts
-    val compress = MongoV2.resolveCompress(conf)   // one handshake
     ranges.map { case (lo, hi) =>
       MongoGroupPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, lo, hi, conf.batchSize, wireFilter, spec,
-        compress, conf.auth, conf.tls): InputPartition
+        conf.compressMode, conf.auth, conf.tls): InputPartition
     }.toArray
   }
 
@@ -884,7 +879,7 @@ private[v2] final case class MongoGroupPartition(
     host: String, port: Int, db: String, coll: String,
     keyField: String, lo: Long, hi: Long, batchSize: Int,
     wireFilter: Seq[(String, BVal)], spec: MongoV2.GroupAggSpec,
-    compress: Option[Byte],
+    compressMode: String,
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf])
   extends InputPartition
@@ -912,7 +907,7 @@ private[v2] class MongoGroupReader(p: MongoGroupPartition)
     new MongoWire.AggregateCursor(p.host, p.port, p.db, p.coll,
       Seq(BDoc(Seq("$match" -> matchDoc)),
         BDoc(Seq("$group" -> groupDoc))),
-      p.batchSize, p.compress, p.auth, p.tls)
+      p.batchSize, p.compressMode, p.auth, p.tls)
   }
 
   private var current: InternalRow = _
@@ -1169,12 +1164,11 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
     val parts = MongoWire.splitRanges(minKey, maxKeyExclusive,
       conf.numPartitions)
     val ranges = if (parts.isEmpty) Seq((0L, 0L)) else parts
-    val compress = MongoV2.resolveCompress(conf)   // one handshake
     ranges.map { case (lo, hi) =>
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, lo, hi, conf.batchSize,
         wireFilter ++ runtimeWire,
-        required.fieldNames.toSeq, limit, sortDesc, compress,
+        required.fieldNames.toSeq, limit, sortDesc, conf.compressMode,
         conf.auth, conf.tls): InputPartition
     }.toArray
   }
@@ -1255,9 +1249,6 @@ private[v2] class MongoMicroBatchStream(required: StructType,
     new MongoOffset(lastLatest)
   }
 
-  // negotiated once for the stream's lifetime, not per trigger
-  private lazy val compress: Option[Byte] =
-    MongoV2.resolveCompress(conf)
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
@@ -1269,7 +1260,7 @@ private[v2] class MongoMicroBatchStream(required: StructType,
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, a, b, conf.batchSize, wireFilter,
         required.fieldNames.toSeq, None, None,
-        compress, conf.auth, conf.tls): InputPartition
+        conf.compressMode, conf.auth, conf.tls): InputPartition
     }.toArray
   }
 
@@ -1294,7 +1285,7 @@ private[v2] final case class MongoInputPartition(
     keyField: String, lo: Long, hi: Long, batchSize: Int,
     wireFilter: Seq[(String, BVal)], columns: Seq[String],
     limit: Option[Int], sortDesc: Option[Boolean],
-    compress: Option[Byte],
+    compressMode: String,
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf])
     extends InputPartition
@@ -1348,7 +1339,7 @@ private[v2] class MongoSampleScan(required: StructType,
         required.fieldNames.toSeq.map(f => f -> (BInt32(1): BVal)))))
     Array(MongoSamplePartition(conf.host, conf.port, conf.db,
       conf.coll, stages.result(), conf.batchSize,
-      MongoV2.resolveCompress(conf), conf.auth, conf.tls))
+      conf.compressMode, conf.auth, conf.tls))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1365,7 +1356,7 @@ private[v2] class MongoSampleReaderFactory(required: StructType)
 
 private[v2] final case class MongoSamplePartition(
     host: String, port: Int, db: String, coll: String,
-    pipeline: Seq[BDoc], batchSize: Int, compress: Option[Byte],
+    pipeline: Seq[BDoc], batchSize: Int, compressMode: String,
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf])
   extends InputPartition
@@ -1375,7 +1366,7 @@ private[v2] class MongoSampleReader(p: MongoSamplePartition,
     extends PartitionReader[InternalRow] {
 
   private val cursor = new MongoWire.AggregateCursor(p.host, p.port,
-    p.db, p.coll, p.pipeline, p.batchSize, p.compress, p.auth,
+    p.db, p.coll, p.pipeline, p.batchSize, p.compressMode, p.auth,
     p.tls)
 
   private var current: InternalRow = _
@@ -1421,7 +1412,7 @@ private[v2] class MongoPartitionReader(p: MongoInputPartition,
     Some(MongoWire.mergedFilter(p.keyField, p.lo, p.hi, p.wireFilter)),
     Some(p.columns),
     p.sortDesc.map(d => (p.keyField, if (d) -1 else 1)),
-    p.limit.map(_.toLong), p.batchSize, p.compress, p.auth, p.tls)
+    p.limit.map(_.toLong), p.batchSize, p.compressMode, p.auth, p.tls)
 
   private var current: InternalRow = _
 

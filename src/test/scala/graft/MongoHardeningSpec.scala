@@ -138,10 +138,16 @@ class MongoHardeningSpec extends AnyFunSuite {
         == 3L)
       val sock = new java.net.Socket("127.0.0.1", srv.port)
       try {
-        // compressed insert with a kind-1 sequence
+        // compressed insert with a kind-1 sequence — negotiation is
+        // per connection, so THIS socket's hello must offer zlib
+        // before any compressed frame (the server drops
+        // un-negotiated compressed frames)
+        val (_, negotiated) =
+          MongoWire.connectionHandshake(sock, None, "zlib")
+        assert(negotiated.contains(MongoWire.WireCompress.ZlibId))
         val r = MongoWire.runCommand(sock, BDoc(Seq(
           "insert" -> BString("w"), "$db" -> BString("db"))), 7,
-          compress = Some(MongoWire.WireCompress.ZlibId),
+          compress = negotiated,
           docSeq = Some(("documents",
             Seq(BDoc(Seq("k" -> BInt64(4L), "name" -> BString("d")))))))
         assert(r.v.contains(("n", BInt32(1))), r.toString)

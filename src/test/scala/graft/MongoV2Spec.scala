@@ -909,20 +909,29 @@ class MongoV2Spec extends AnyFunSuite {
     } finally srv.close()
   }
 
-  test("compressor negotiation honors the SERVER's preference " +
-      "order; a zlib-only client against a snappy-only server " +
-      "falls back to plain frames; a FORCED unsupported compressor " +
-      "fails loudly instead of silently downgrading") {
+  test("compressor negotiation follows the drivers-spec CLIENT-" +
+      "preference rule per connection; a zlib-only client against " +
+      "a snappy-only server falls back to plain frames; a FORCED " +
+      "unsupported compressor fails loudly client-side; a " +
+      "compressed frame on a connection that never negotiated it " +
+      "is dropped by the server") {
     val df = fixtureDf(50)
     val srv = InProcessMongod.serve(df, "k", "db", "c")
     try {
-      // default double speaks snappy,zlib,zstd preferring snappy:
-      // auto picks snappy even though the client could offer any
+      // client's own order wins: the default offer lists snappy
+      // first, so snappy wins whatever the server's echo order is
       assert(MongoWire.negotiate("127.0.0.1", srv.port)
         .contains(MongoWire.WireCompress.SnappyId))
-      // server preferring zstd: the echo order flips the winner
+      // server speaks zlib+zstd (echoes in ITS order, zstd first
+      // here); a client offering zlib BEFORE zstd gets zlib — the
+      // client's preference, not the echo head (drivers spec)
       srv.setCompressors(Seq("zstd", "zlib"))
-      assert(MongoWire.negotiate("127.0.0.1", srv.port)
+      assert(MongoWire.negotiate("127.0.0.1", srv.port,
+        offered = Seq("zlib", "zstd"))
+        .contains(MongoWire.WireCompress.ZlibId))
+      // and the same offer order flipped gets zstd
+      assert(MongoWire.negotiate("127.0.0.1", srv.port,
+        offered = Seq("zstd", "zlib"))
         .contains(MongoWire.WireCompress.ZstdId))
       // zlib-only client vs snappy-only server: no common
       // compressor — negotiate reports none, auto reads run PLAIN
@@ -932,12 +941,44 @@ class MongoV2Spec extends AnyFunSuite {
       assert(!MongoWire.negotiateZlib("127.0.0.1", srv.port))
       val auto = dsv2(srv, Some(df.schema), "compress" -> "auto")
       assert(auto.count() == 50L)
-      // forcing zlib against the snappy-only server: the server
-      // treats the un-negotiated frame as a protocol violation and
-      // drops the connection — a loud failure, never a wrong answer
-      intercept[Exception](dsv2(srv, Some(df.schema),
+      // forcing zlib against the snappy-only server: the
+      // connection's own handshake fails to negotiate it and the
+      // client refuses LOUDLY — never a silent plaintext downgrade
+      val forced = intercept[Exception](dsv2(srv, Some(df.schema),
         "compress" -> "zlib").collect())
+      assert(Option(forced.getMessage).exists(_.contains("zlib")) ||
+        forced.getCause != null)
       srv.setCompressors(Seq("snappy", "zlib", "zstd"))
+      // negotiation is per CONNECTION: a raw socket that never sent
+      // a hello cannot send compressed frames — the server treats it
+      // as a frame violation and drops the connection
+      val sock = new java.net.Socket("127.0.0.1", srv.port)
+      try intercept[java.io.IOException] {
+        MongoWire.runCommand(sock, BDoc(Seq(
+          "count" -> BString("c"), "$db" -> BString("db"))), 1,
+          compress = Some(MongoWire.WireCompress.ZlibId))
+      } finally sock.close()
+    } finally srv.close()
+  }
+
+  test("endSessions: the V2 writer ends its implicit session on " +
+      "close, so server sessions do not accumulate across " +
+      "partitioned writes") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"row$i")).toDF("k", "name")
+    val srv = InProcessMongod.serveEmpty("db", "w", "k")
+    try {
+      assert(srv.activeSessionCount == 0)
+      assert(MongoWire.write(df.repartition(4), "127.0.0.1",
+        srv.port, "db", "w") == 100L)
+      // 4 partitions = 4 implicit sessions, every one ended at close
+      assert(srv.activeSessionCount == 0,
+        s"writer leaked ${srv.activeSessionCount} server sessions")
+      // and ending the session killed its retryable-write records:
+      // a fresh writer reusing nothing, rows all present exactly once
+      val back = new MongoWire.FindCursor("127.0.0.1", srv.port,
+        "db", "w", None, Some(Seq("k")), None, None, 64)
+      try assert(back.size == 100) finally back.close()
     } finally srv.close()
   }
 
