@@ -909,6 +909,51 @@ object SparkEntry {
         .orderBy("k")
       finally srv.close()
     }),
+    // the NATIVE-variant profiling path: the same varianttype=true
+    // read profiled DIRECTLY over the variant binaries
+    // (JsonProfiler.variantTypeHistogram via the VariantExplode
+    // Generator) — no StringType re-read, no JSON render. The
+    // histogram matches mongo_mixed_schema's shape on the same
+    // fixture family (per-value int32/str/bool/null tags, dotted
+    // sub-paths, SQL-null documents tagged null), so varianttype
+    // users get the §2 profile first class.
+    "mongo_variant_profile" -> ((s, d) => {
+      import graft.sources.Bson._
+      val n = math.min(20000L, Tables.load(s, d, "orders").count())
+      val docs = s.range(0L, n, 1L, 8).rdd.map { boxed =>
+        val i: Long = boxed
+        val payload: BVal = (i % 4) match {
+          case 0 => BInt32((i % 1000).toInt)
+          case 1 => BString("s" + i)
+          case 2 => BBool(i % 2 == 0)
+          case _ => BNull
+        }
+        val base = Seq[(String, BVal)]("k" -> BInt64(i),
+          "payload" -> payload)
+        val all = if (i % 3 == 0)
+          base :+ ("sub" -> (BDoc(Seq(
+            "a" -> BInt32((i % 100).toInt))): BVal))
+        else base
+        (i, graft.sources.Bson.encode(BDoc(all)))
+      }.collect().sortBy(_._1).toIndexedSeq
+      val srv = new graft.sources.InProcessMongod(docs, "k",
+        "graft", "variants")
+      try {
+        val base = s.read.format("graft-mongo")
+          .option("host", "127.0.0.1")
+          .option("port", srv.port.toString)
+          .option("database", "graft").option("collection", "variants")
+          .option("keyfield", "k")
+          .option("minkey", "0").option("maxkey", n.toString)
+          .option("numpartitions", "4")
+          .option("samplesize", "512")
+          .option("varianttype", "true")
+          .load()
+        JsonProfiler.variantTypeHistogram(base, Seq("payload", "sub"))
+          .localCheckpoint(true)
+          .orderBy("path", "vtag")
+      } finally srv.close()
+    }),
     // S11 as a DECLARED row (was spec-only): the chat-context sample
     // block — newest-3 docs (views/chat_view.py:60), cells sanitized
     // by the display truncation (P3), rendered to the JSON the
@@ -7475,6 +7520,25 @@ object SparkEntry {
             FROM (SELECT o_orderkey FROM orders
                   ORDER BY o_orderkey LIMIT 20000))
       ORDER BY k"""),
+    // native-variant profile: the histogram rebuilt by arithmetic
+    // from the fixture formulas (i%4 payload cycle, i%3 sub
+    // presence), the mongo_mixed_schema oracle's technique
+    "mongo_variant_profile" -> ("""
+      WITH n AS (SELECT LEAST(20000, COUNT(*)) AS c FROM orders)
+      SELECT * FROM (
+        SELECT 'payload' AS path, 'bool' AS vtag,
+               CAST((c + 1) // 4 AS BIGINT) AS cnt FROM n
+        UNION ALL SELECT 'payload', 'int32',
+               CAST((c + 3) // 4 AS BIGINT) FROM n
+        UNION ALL SELECT 'payload', 'null',
+               CAST(c // 4 AS BIGINT) FROM n
+        UNION ALL SELECT 'payload', 'str',
+               CAST((c + 2) // 4 AS BIGINT) FROM n
+        UNION ALL SELECT 'sub', 'null',
+               CAST(c - (c + 2) // 3 AS BIGINT) FROM n
+        UNION ALL SELECT 'sub.a', 'int32',
+               CAST((c + 2) // 3 AS BIGINT) FROM n)
+      ORDER BY path, vtag"""),
     "sample_docs_render" -> ("""
       SELECT n_nationkey,
              '{"n_nationkey":' || n_nationkey || ',"n_name":"' ||

@@ -123,6 +123,33 @@ object JsonProfiler {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("path", "vtag")
 
+  /** (path, vstr, vnum, vtag) leaf rows of one native `VariantType`
+    * column, rooted at the column's own name — the variant binary is
+    * walked directly ([[graft.plans.VariantExplode]]), never rendered
+    * to JSON and re-parsed.
+    */
+  def flattenVariant(df: DataFrame, variantCol: String): DataFrame =
+    graft.util.Utils.spread(df).select(
+      graft.plans.VariantExplode.variantExplode(
+        col(variantCol), variantCol).as(
+        Seq("path", "vstr", "vnum", "vtag")))
+
+  /** [[typeHistogram]] over NATIVE `VariantType` columns — the §2
+    * type profile for `varianttype=true` reads without a second pass
+    * through the StringType bridge. Several variant columns union
+    * into one histogram (each rooted at its column name), the shape
+    * of a document split across variant fields; the single-scan
+    * union is cheap because every branch prunes to its one column.
+    */
+  def variantTypeHistogram(df: DataFrame,
+                           variantCols: Seq[String]): DataFrame = {
+    require(variantCols.nonEmpty, "variantTypeHistogram needs columns")
+    variantCols.map(flattenVariant(df, _)).reduce(_ unionAll _)
+      .groupBy("path", "vtag")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("path", "vtag")
+  }
+
   /** Flat schema with deterministic most-frequent-tag election
     * (tie → lexical; the fix over last-writer-wins, SURVEY §1.2).
     */
