@@ -372,19 +372,31 @@ final class InProcessMongod(db: String,
     compressorsSupported = cs
   }
 
-  /** When set, every connection must complete a SCRAM-SHA-256
-    * conversation before any command other than `hello`/`saslStart`/
+  /** When set, every connection must complete a SCRAM conversation
+    * before any command other than `hello`/`saslStart`/
     * `saslContinue` — the real server's required-auth behavior
-    * (code 13 Unauthorized otherwise). The salt is random per call;
-    * only the RFC 5802 at-rest keys are kept, never the password.
+    * (code 13 Unauthorized otherwise). At-rest keys are stored PER
+    * MECHANISM (a real server keeps one credential set per SCRAM
+    * variant in the user document); the salt is random per call and
+    * per suite, only the RFC 5802 keys are kept, never the password.
+    * Which mechanisms are advertised AND accepted is governed by
+    * [[setSaslMechs]] — a SHA-1-only double stores both but serves
+    * only SHA-1, exercising the client's negotiated fallback.
     */
-  @volatile private var authCred: Option[Scram.StoredCredential] = None
+  @volatile private var authCreds
+      : Map[String, (Scram.StoredCredential, Scram.HashSuite)] =
+    Map.empty
 
-  def requireAuth(user: String, password: String): Unit = {
-    val salt = new Array[Byte](16)
-    new java.security.SecureRandom().nextBytes(salt)
-    authCred = Some(Scram.storeCredential(user, password, salt))
-  }
+  private def authRequired: Boolean = authCreds.nonEmpty
+
+  def requireAuth(user: String, password: String): Unit =
+    authCreds = Scram.suites.map { suite =>
+      val salt = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(salt)
+      suite.mechanism ->
+        (Scram.storeCredential(user, password, salt, 4096, suite),
+          suite)
+    }.toMap
 
   /** The SASL mechanisms this server advertises AND accepts —
     * narrowed by specs (e.g. SCRAM-SHA-1 only, the old-deployment
@@ -988,7 +1000,7 @@ final class InProcessMongod(db: String,
     // mechanism advertisement: a hello carrying saslSupportedMechs
     // ("db.user") gets the mechanisms back (the driver handshake)
     if (get(cmd, "saslSupportedMechs").isDefined &&
-        authCred.isDefined)
+        authRequired)
       parts += "saslSupportedMechs" ->
         BArr(saslMechs.map(BString(_)))
     // speculative authentication (the drivers' handshake spec): the
@@ -1012,7 +1024,7 @@ final class InProcessMongod(db: String,
     cmd.v.headOption match {
       case Some(("saslStart", _)) => handleSaslStart(cmd, conn)
       case Some(("saslContinue", _)) => handleSaslContinue(cmd, conn)
-      case Some((name, _)) if authCred.isDefined &&
+      case Some((name, _)) if authRequired &&
           !conn.authenticated && name != "hello" =>
         throw new AuthException(
           s"command $name requires authentication")
@@ -1070,11 +1082,11 @@ final class InProcessMongod(db: String,
       : Array[Byte] = Bson.encode(saslStartReply(cmd, conn))
 
   private def saslStartReply(cmd: BDoc, conn: ConnAuth): BDoc = {
-    val cred = authCred.getOrElse(
-      authFailed("no users configured on this server"))
-    get(cmd, "mechanism") match {
-      case Some(BString("SCRAM-SHA-256"))
-          if saslMechs.contains("SCRAM-SHA-256") => ()
+    if (!authRequired)
+      authFailed("no users configured on this server")
+    val (cred, suite) = get(cmd, "mechanism") match {
+      case Some(BString(m)) if saslMechs.contains(m) &&
+          authCreds.contains(m) => authCreds(m)
       case other => authFailed(
         s"unsupported SASL mechanism $other (this server accepts " +
           s"${saslMechs.mkString(", ")})")
@@ -1087,7 +1099,7 @@ final class InProcessMongod(db: String,
     val nonce = new Array[Byte](18)
     new java.security.SecureRandom().nextBytes(nonce)
     val sc = new Scram.ServerSide(cred,
-      java.util.Base64.getEncoder.encodeToString(nonce))
+      java.util.Base64.getEncoder.encodeToString(nonce), suite)
     val serverFirst =
       try sc.handleClientFirst(payload)
       catch { case e: Exception => authFailed(

@@ -48,22 +48,55 @@ object Scram {
     Base64.getEncoder.encodeToString(b)
   private def unb64(s: String): Array[Byte] = Base64.getDecoder.decode(s)
 
-  private[sources] def hmac(key: Array[Byte],
-                            data: Array[Byte]): Array[Byte] = {
-    val mac = Mac.getInstance("HmacSHA256")
-    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+  /** The hash instantiation of the RFC 5802 frame — the grammar and
+    * proof derivation are hash-agnostic, only H/HMAC/Hi and the
+    * password-to-Hi input differ. SHA-256 per RFC 7677; SHA-1 per
+    * RFC 5802's own instantiation, with MongoDB's documented twist
+    * (the public auth spec): SCRAM-SHA-1 runs Hi over
+    * `hex(md5("user:mongo:password"))`, the server's legacy at-rest
+    * digest, not the raw password.
+    */
+  sealed abstract class HashSuite(
+      val mechanism: String, val hmacAlg: String,
+      val digestAlg: String, val pbkdf2Alg: String,
+      val keyBits: Int) extends Serializable {
+    def hiInput(user: String, password: String): String
+  }
+  case object Sha256 extends HashSuite("SCRAM-SHA-256", "HmacSHA256",
+      "SHA-256", "PBKDF2WithHmacSHA256", 256) {
+    def hiInput(user: String, password: String): String = password
+  }
+  case object Sha1 extends HashSuite("SCRAM-SHA-1", "HmacSHA1",
+      "SHA-1", "PBKDF2WithHmacSHA1", 160) {
+    def hiInput(user: String, password: String): String = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$user:mongo:$password".getBytes(UTF_8))
+      md5.map(b => f"$b%02x").mkString
+    }
+  }
+
+  /** Strongest-first client preference over an advertised list. */
+  val suites: Seq[HashSuite] = Seq(Sha256, Sha1)
+
+  private[graft] def hmac(key: Array[Byte], data: Array[Byte],
+                            suite: HashSuite = Sha256): Array[Byte] = {
+    val mac = Mac.getInstance(suite.hmacAlg)
+    mac.init(new SecretKeySpec(key, suite.hmacAlg))
     mac.doFinal(data)
   }
 
-  private[sources] def sha256(data: Array[Byte]): Array[Byte] =
-    java.security.MessageDigest.getInstance("SHA-256").digest(data)
+  private[graft] def sha256(data: Array[Byte],
+                              suite: HashSuite = Sha256): Array[Byte] =
+    java.security.MessageDigest.getInstance(suite.digestAlg)
+      .digest(data)
 
-  /** Hi(str, salt, i) — PBKDF2-HMAC-SHA-256 per RFC 5802 §2.2. */
-  private[sources] def hi(password: String, salt: Array[Byte],
-                          iterations: Int): Array[Byte] = {
+  /** Hi(str, salt, i) — PBKDF2 with the suite's HMAC, RFC 5802 §2.2. */
+  private[graft] def hi(password: String, salt: Array[Byte],
+                          iterations: Int,
+                          suite: HashSuite = Sha256): Array[Byte] = {
     val spec = new PBEKeySpec(password.toCharArray, salt, iterations,
-      256)
-    SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      suite.keyBits)
+    SecretKeyFactory.getInstance(suite.pbkdf2Alg)
       .generateSecret(spec).getEncoded
   }
 
@@ -94,7 +127,8 @@ object Scram {
     * production callers use [[ClientConversation.fresh]].
     */
   final class ClientConversation(user: String, password: String,
-                                 clientNonce: String) {
+                                 clientNonce: String,
+                                 suite: HashSuite = Sha256) {
     requirePrintableAscii(user, "username")
     requirePrintableAscii(password, "password")
 
@@ -117,29 +151,33 @@ object Scram {
       val iterations = attr(serverFirst, 'i').toInt
       require(iterations >= 4096,
         s"iteration count $iterations below the RFC 7677 minimum 4096")
-      val saltedPassword = hi(password, salt, iterations)
-      val clientKey = hmac(saltedPassword, "Client Key".getBytes(UTF_8))
-      val storedKey = sha256(clientKey)
-      val serverKey = hmac(saltedPassword, "Server Key".getBytes(UTF_8))
+      val saltedPassword =
+        hi(suite.hiInput(user, password), salt, iterations, suite)
+      val clientKey =
+        hmac(saltedPassword, "Client Key".getBytes(UTF_8), suite)
+      val storedKey = sha256(clientKey, suite)
+      val serverKey =
+        hmac(saltedPassword, "Server Key".getBytes(UTF_8), suite)
       val withoutProof =
         s"c=${b64(gs2Header.getBytes(UTF_8))},r=$fullNonce"
       val authMessage =
         s"$clientFirstBare,$serverFirst,$withoutProof"
       val clientSignature =
-        hmac(storedKey, authMessage.getBytes(UTF_8))
+        hmac(storedKey, authMessage.getBytes(UTF_8), suite)
       val proof = xor(clientKey, clientSignature)
       val serverSignature =
-        hmac(serverKey, authMessage.getBytes(UTF_8))
+        hmac(serverKey, authMessage.getBytes(UTF_8), suite)
       (s"$withoutProof,p=${b64(proof)}", s"v=${b64(serverSignature)}")
     }
   }
 
   object ClientConversation {
     /** 24 bytes of SecureRandom, base64 — printable, ','-free. */
-    def fresh(user: String, password: String): ClientConversation = {
+    def fresh(user: String, password: String,
+              suite: HashSuite = Sha256): ClientConversation = {
       val raw = new Array[Byte](24)
       new java.security.SecureRandom().nextBytes(raw)
-      new ClientConversation(user, password, b64(raw))
+      new ClientConversation(user, password, b64(raw), suite)
     }
   }
 
@@ -155,21 +193,26 @@ object Scram {
 
   def storeCredential(user: String, password: String,
                       salt: Array[Byte],
-                      iterations: Int = 4096): StoredCredential = {
+                      iterations: Int = 4096,
+                      suite: HashSuite = Sha256): StoredCredential = {
     requirePrintableAscii(user, "username")
     requirePrintableAscii(password, "password")
-    val saltedPassword = hi(password, salt, iterations)
-    val clientKey = hmac(saltedPassword, "Client Key".getBytes(UTF_8))
-    val serverKey = hmac(saltedPassword, "Server Key".getBytes(UTF_8))
-    StoredCredential(user, salt, iterations, sha256(clientKey),
-      serverKey)
+    val saltedPassword =
+      hi(suite.hiInput(user, password), salt, iterations, suite)
+    val clientKey =
+      hmac(saltedPassword, "Client Key".getBytes(UTF_8), suite)
+    val serverKey =
+      hmac(saltedPassword, "Server Key".getBytes(UTF_8), suite)
+    StoredCredential(user, salt, iterations,
+      sha256(clientKey, suite), serverKey)
   }
 
   /** Server side of one conversation: verify the proof with ONLY the
     * stored keys (recover ClientKey = proof XOR signature, check
     * H(ClientKey) == StoredKey — RFC 5802 §3).
     */
-  final class ServerSide(cred: StoredCredential, serverNonce: String) {
+  final class ServerSide(cred: StoredCredential, serverNonce: String,
+                         suite: HashSuite = Sha256) {
     private var fullNonce: String = _
     private var serverFirst: String = _
     private var clientFirstBare: String = _
@@ -205,14 +248,14 @@ object Scram {
       val authMessage =
         s"$clientFirstBare,$serverFirst,$withoutProof"
       val clientSignature =
-        hmac(cred.storedKey, authMessage.getBytes(UTF_8))
+        hmac(cred.storedKey, authMessage.getBytes(UTF_8), suite)
       val clientKey = xor(proof, clientSignature)
-      if (!java.security.MessageDigest.isEqual(sha256(clientKey),
-          cred.storedKey))
+      if (!java.security.MessageDigest.isEqual(
+          sha256(clientKey, suite), cred.storedKey))
         Left("SCRAM authentication failed")
       else
         Right("v=" + b64(hmac(cred.serverKey,
-          authMessage.getBytes(UTF_8))))
+          authMessage.getBytes(UTF_8), suite)))
     }
   }
 
@@ -227,12 +270,16 @@ object Scram {
     *  2. one `saslContinue` with the proof — the server's signature
     *     and `done` ride back together.
     *
-    * Two round trips per connection instead of four. A server that
-    * advertises mechanisms WITHOUT SCRAM-SHA-256 (an old
-    * SCRAM-SHA-1-only deployment) fails CLIENT-SIDE with the named
-    * mechanism list; a server that ignores the speculative field
-    * (pre-4.4) falls back to the classic `saslStart` →
-    * `saslContinue` → empty-exchange flow on the same socket.
+    * Two round trips per connection instead of four. Mechanism
+    * negotiation is strongest-first: a server that advertises
+    * mechanisms WITHOUT SCRAM-SHA-256 but WITH SCRAM-SHA-1 (an old
+    * deployment) gets a fresh classic SCRAM-SHA-1 conversation on
+    * the same socket (RFC 5802's SHA-1 instantiation over MongoDB's
+    * documented `md5(user:mongo:password)` Hi input); one offering
+    * NEITHER fails CLIENT-SIDE with the named mechanism list. A
+    * server that ignores the speculative field (pre-4.4) falls back
+    * to the classic `saslStart` → `saslContinue` → empty-exchange
+    * flow on the same socket.
     * Throws on any server error or a wrong server signature — a
     * peer that cannot prove knowledge of ServerKey is not the
     * server the credential belongs to.
@@ -263,28 +310,52 @@ object Scram {
     helloParts += "$db" -> BString(cred.authDb)
     val hello = MongoWire.runCommandOk(sock,
       BDoc(helloParts.result()), 900)
-    hello.v.collectFirst {
+    val advertised = hello.v.collectFirst {
       case ("saslSupportedMechs", BArr(ms)) =>
         ms.collect { case BString(m) => m }
-    }.foreach { ms =>
-      require(ms.contains("SCRAM-SHA-256"),
-        s"server offers SASL mechanism(s) ${ms.mkString(", ")} for " +
-          s"'${cred.authDb}.${cred.user}'; this client implements " +
-          "SCRAM-SHA-256 only")
     }
-    // a server that speculated answers inside the hello; one that
-    // did not (or could not) gets the classic saslStart
-    val start = hello.v.collectFirst {
-      case ("speculativeAuthenticate", d: BDoc) => d
-    }.getOrElse {
-      MongoWire.runCommandOk(sock, BDoc(Seq(
-        "saslStart" -> BInt32(1),
-        "mechanism" -> BString("SCRAM-SHA-256"),
-        "payload" -> BBinary(0,
-          conv.clientFirstMessage.getBytes(UTF_8)),
-        "options" -> BDoc(Seq("skipEmptyExchange" -> BBool(true))),
-        "$db" -> BString(cred.authDb))), 901)
+    // mechanism negotiation, strongest-first (the drivers auth spec):
+    // SHA-256 when offered (or when the server advertises nothing),
+    // else the SHA-1 fallback via a fresh classic conversation — the
+    // server ignored the speculative SHA-256 attempt, so the socket
+    // is clean for it; a server offering NEITHER fails client-side
+    // with the advertised list, never an opaque server error
+    advertised match {
+      case Some(ms) if !ms.contains(Sha256.mechanism) =>
+        require(ms.contains(Sha1.mechanism),
+          s"server offers SASL mechanism(s) ${ms.mkString(", ")} " +
+            s"for '${cred.authDb}.${cred.user}'; this client " +
+            s"implements ${suites.map(_.mechanism).mkString(", ")}")
+        val conv1 = ClientConversation.fresh(cred.user, cred.password,
+          Sha1)
+        val start = classicStart(sock, cred, conv1, Sha1, 910)
+        finishConversation(sock, cred, conv1, start, 911)
+      case _ =>
+        // a server that speculated answers inside the hello; one
+        // that did not (or could not) gets the classic saslStart
+        val start = hello.v.collectFirst {
+          case ("speculativeAuthenticate", d: BDoc) => d
+        }.getOrElse(classicStart(sock, cred, conv, Sha256, 901))
+        finishConversation(sock, cred, conv, start, 902)
     }
+    hello   // callers read capabilities (e.g. session support) here
+  }
+
+  private def classicStart(sock: java.net.Socket, cred: Credential,
+                           conv: ClientConversation, suite: HashSuite,
+                           reqId: Int): BDoc =
+    MongoWire.runCommandOk(sock, BDoc(Seq(
+      "saslStart" -> BInt32(1),
+      "mechanism" -> BString(suite.mechanism),
+      "payload" -> BBinary(0,
+        conv.clientFirstMessage.getBytes(UTF_8)),
+      "options" -> BDoc(Seq("skipEmptyExchange" -> BBool(true))),
+      "$db" -> BString(cred.authDb))), reqId)
+
+  private def finishConversation(sock: java.net.Socket,
+                                 cred: Credential,
+                                 conv: ClientConversation,
+                                 start: BDoc, reqIdBase: Int): Unit = {
     val convId = start.v.collectFirst {
       case ("conversationId", v) => v
     }.getOrElse(BInt32(1))
@@ -294,7 +365,7 @@ object Scram {
       "saslContinue" -> BInt32(1),
       "conversationId" -> convId,
       "payload" -> BBinary(0, clientFinal.getBytes(UTF_8)),
-      "$db" -> BString(cred.authDb))), 902)
+      "$db" -> BString(cred.authDb))), reqIdBase)
     require(payloadString(reply) == expectedV,
       "server failed to prove knowledge of ServerKey " +
         "(bad server signature)")
@@ -306,11 +377,10 @@ object Scram {
         "saslContinue" -> BInt32(1),
         "conversationId" -> convId,
         "payload" -> BBinary(0, Array.emptyByteArray),
-        "$db" -> BString(cred.authDb))), 903 + guard)
+        "$db" -> BString(cred.authDb))), reqIdBase + 1 + guard)
       guard += 1
     }
     require(isDone(reply), "SASL conversation never completed")
-    hello   // callers read capabilities (e.g. session support) here
   }
 
   private def payloadString(reply: BDoc): String =

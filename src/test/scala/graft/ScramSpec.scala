@@ -195,29 +195,74 @@ class ScramSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
-  test("SASL mechanism negotiation: against a SCRAM-SHA-1-only " +
-      "server the client fails CLIENT-SIDE with the advertised " +
-      "mechanism list (never an opaque server error); a server " +
-      "advertising SCRAM-SHA-256 authenticates as before") {
+  test("RFC 5802 §5 SHA-1 example: the hash-suite primitives " +
+      "reproduce the published client proof and server signature " +
+      "(Hi over the raw password — MongoDB's md5 input transform is " +
+      "a layer above these primitives)") {
+    // the RFC's own example values, verbatim
+    val salt = java.util.Base64.getDecoder.decode("QSXCR+Q6sek8bf92")
+    val authMessage =
+      "n=user,r=fyko+d2lbbFgONRv9qkxdawL," +
+        "r=fyko+d2lbbFgONRv9qkxdawL3rfcNHYJY1ZVvWVs7j," +
+        "s=QSXCR+Q6sek8bf92,i=4096," +
+        "c=biws,r=fyko+d2lbbFgONRv9qkxdawL3rfcNHYJY1ZVvWVs7j"
+    val salted = Scram.hi("pencil", salt, 4096, Scram.Sha1)
+    val clientKey =
+      Scram.hmac(salted, "Client Key".getBytes(UTF_8), Scram.Sha1)
+    val storedKey = Scram.sha256(clientKey, Scram.Sha1)
+    val sig =
+      Scram.hmac(storedKey, authMessage.getBytes(UTF_8), Scram.Sha1)
+    val proof = clientKey.zip(sig).map { case (a, b) => (a ^ b).toByte }
+    assert(java.util.Base64.getEncoder.encodeToString(proof) ==
+      "v0X8v3Bz2T0CJGbJQyF0X+HI4Ts=")
+    val serverKey =
+      Scram.hmac(salted, "Server Key".getBytes(UTF_8), Scram.Sha1)
+    assert(java.util.Base64.getEncoder.encodeToString(
+      Scram.hmac(serverKey, authMessage.getBytes(UTF_8), Scram.Sha1))
+      == "rmF9pqV8S7suAoZWja4dJRkFsKQ=")
+  }
+
+  test("SASL mechanism negotiation: a SCRAM-SHA-1-only server gets " +
+      "the negotiated SHA-1 fallback (MongoDB's md5 Hi input) and " +
+      "authenticates; a wrong password still fails; a server " +
+      "offering NEITHER mechanism fails CLIENT-SIDE with the " +
+      "advertised list; SCRAM-SHA-256 authenticates as before") {
     val df = fixtureDf(10)
     val srv = InProcessMongod.serve(df, "k", "db", "c")
     srv.requireAuth("analyst", "s3cr3t")
     srv.setSaslMechs(Seq("SCRAM-SHA-1"))
     try {
+      // old deployment: the client detects SHA-256 is not offered
+      // and completes a SHA-1 conversation instead
+      val rows = new MongoWire.FindCursor("127.0.0.1", srv.port,
+        "db", "c", None, None, None, None, 64,
+        auth = Some(Scram.Credential("analyst", "s3cr3t"))).toList
+      assert(rows.size == 10)
+      // the fallback still verifies proofs: wrong password fails
+      val bad = intercept[Exception] {
+        new MongoWire.FindCursor("127.0.0.1", srv.port, "db", "c",
+          None, None, None, None, 64,
+          auth = Some(Scram.Credential("analyst", "wrong"))).toList
+      }
+      assert(bad.getMessage.contains("failed") ||
+        bad.getMessage.contains("Authentication"), bad.getMessage)
+      // a server speaking neither SCRAM variant: loud client-side
+      // failure naming what was offered
+      srv.setSaslMechs(Seq("PLAIN", "MONGODB-X509"))
       val e = intercept[IllegalArgumentException] {
         new MongoWire.FindCursor("127.0.0.1", srv.port, "db", "c",
           None, None, None, None, 64,
           auth = Some(Scram.Credential("analyst", "s3cr3t"))).toList
       }
-      assert(e.getMessage.contains("SCRAM-SHA-1") &&
-        e.getMessage.contains("SCRAM-SHA-256 only"), e.getMessage)
+      assert(e.getMessage.contains("PLAIN") &&
+        e.getMessage.contains("SCRAM-SHA-256"), e.getMessage)
       // back to a modern server: the negotiation passes and the
       // conversation completes
       srv.setSaslMechs(Seq("SCRAM-SHA-256"))
-      val rows = new MongoWire.FindCursor("127.0.0.1", srv.port,
+      val rows2 = new MongoWire.FindCursor("127.0.0.1", srv.port,
         "db", "c", None, None, None, None, 64,
         auth = Some(Scram.Credential("analyst", "s3cr3t"))).toList
-      assert(rows.size == 10)
+      assert(rows2.size == 10)
     } finally srv.close()
   }
 
