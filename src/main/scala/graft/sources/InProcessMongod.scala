@@ -344,12 +344,19 @@ private[sources] object WireGroup {
 final class InProcessMongod(db: String,
     colls0: Seq[(String, String, IndexedSeq[(Long, Array[Byte])])],
     maxBatch: Int,
-    tlsKeyStore: Option[(String, String)])
+    tlsKeyStore: Option[(String, String)],
+    tlsProtocols: Option[Seq[String]])
     extends AutoCloseable {
+
+  def this(db: String,
+           colls0: Seq[(String, String, IndexedSeq[(Long, Array[Byte])])],
+           maxBatch: Int,
+           tlsKeyStore: Option[(String, String)]) =
+    this(db, colls0, maxBatch, tlsKeyStore, None)
 
   def this(docs: IndexedSeq[(Long, Array[Byte])], keyField: String,
            db: String, coll: String, maxBatch: Int = 1000) =
-    this(db, Seq((coll, keyField, docs)), maxBatch, None)
+    this(db, Seq((coll, keyField, docs)), maxBatch, None, None)
 
   import InProcessMongod.{Coll, Stats}
 
@@ -446,7 +453,7 @@ final class InProcessMongod(db: String,
     case None => new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
     case Some((path, password)) =>
       Tls.serverSocket(64, InetAddress.getLoopbackAddress, path,
-        password)
+        password, tlsProtocols)
   }
   @volatile private var running = true
   private val nextCursor = new AtomicLong(1)
@@ -1020,7 +1027,32 @@ final class InProcessMongod(db: String,
     Bson.encode(BDoc(parts.result()))
   }
 
-  private def handle(cmd: BDoc, conn: ConnAuth): Array[Byte] =
+  /** Fault injection: every find/aggregate/getMore takes this long
+    * to "process" — the hung-server arm for socket-read-timeout
+    * specs. A command carrying a `maxTimeMS` BELOW the stall is
+    * aborted server-side with the real server's code 50
+    * MaxTimeMSExpired instead of stalling (the documented contract:
+    * maxTimeMS bounds server processing, the socket timeout bounds
+    * everything else).
+    */
+  @volatile private var processingDelayMs = 0L
+  def setProcessingDelay(ms: Long): Unit = processingDelayMs = ms
+
+  private def maybeStall(cmd: BDoc): Unit = {
+    val d = processingDelayMs
+    if (d > 0 && cmd.v.headOption.exists(h =>
+        h._1 == "find" || h._1 == "aggregate" || h._1 == "getMore")) {
+      get(cmd, "maxTimeMS").map(asLong) match {
+        case Some(limit) if d > limit =>
+          throw new AuthException(
+            "operation exceeded time limit", 50, "MaxTimeMSExpired")
+        case _ => Thread.sleep(d)
+      }
+    }
+  }
+
+  private def handle(cmd: BDoc, conn: ConnAuth): Array[Byte] = {
+    maybeStall(cmd)
     cmd.v.headOption match {
       case Some(("saslStart", _)) => handleSaslStart(cmd, conn)
       case Some(("saslContinue", _)) => handleSaslContinue(cmd, conn)
@@ -1043,6 +1075,7 @@ final class InProcessMongod(db: String,
       case other => throw new IllegalArgumentException(
         s"unsupported command: ${other.map(_._1)}")
     }
+  }
 
   /** Command failures become ERROR REPLIES (`{ok: 0, errmsg, code,
     * codeName}` — the real server's shape) instead of a dropped
@@ -1397,10 +1430,12 @@ object InProcessMongod {
     */
   def serve(df: org.apache.spark.sql.DataFrame, keyField: String,
             db: String, coll: String,
-            tlsKeyStore: Option[(String, String)] = None)
+            tlsKeyStore: Option[(String, String)] = None,
+            tlsProtocols: Option[Seq[String]] = None)
       : InProcessMongod =
     new InProcessMongod(db,
-      Seq((coll, keyField, encodeDf(df, keyField))), 1000, tlsKeyStore)
+      Seq((coll, keyField, encodeDf(df, keyField))), 1000, tlsKeyStore,
+      tlsProtocols)
 
   /** Serves several DataFrames as one multi-collection database —
     * the admin-command surface (`listCollections`/`count`/`collStats`)

@@ -46,11 +46,18 @@ object MongoWire {
 
   /** Every connector socket funnels through here: plain loopback/LAN
     * or TLS ([[Tls.clientSocket]] — handshake forced at open).
+    * `soTimeoutMs > 0` bounds every read: a hung server surfaces as
+    * a loud SocketTimeoutException on the executor instead of a
+    * forever-pinned task (0 = block forever, the JDK default).
     */
   def openSocket(host: String, port: Int,
-                 tls: Option[Tls.Conf]): Socket = tls match {
-    case None => new Socket(host, port)
-    case Some(c) => Tls.clientSocket(host, port, c)
+                 tls: Option[Tls.Conf],
+                 soTimeoutMs: Int = 0): Socket = tls match {
+    case None =>
+      val s = new Socket(host, port)
+      if (soTimeoutMs > 0) s.setSoTimeout(soTimeoutMs)
+      s
+    case Some(c) => Tls.clientSocket(host, port, c, soTimeoutMs)
   }
 
   /** The three OP_COMPRESSED compressors of the public wire spec:
@@ -379,12 +386,13 @@ object MongoWire {
                                    batchSize: Int,
                                    compressMode: String,
                                    auth: Option[Scram.Credential] = None,
-                                   tls: Option[Tls.Conf] = None)
+                                   tls: Option[Tls.Conf] = None,
+                                   soTimeoutMs: Int = 0)
       extends Iterator[BDoc] with AutoCloseable {
 
     protected def firstCommand: BDoc
 
-    private val sock = openSocket(host, port, tls)
+    private val sock = openSocket(host, port, tls, soTimeoutMs)
     // per-connection handshake: authenticate BEFORE the opening
     // command ships, and compress only what THIS connection's own
     // hello negotiated (the compression spec's scope)
@@ -464,9 +472,11 @@ object MongoWire {
                          limit: Option[Long], batchSize: Int,
                          compressMode: String = "none",
                          auth: Option[Scram.Credential] = None,
-                         tls: Option[Tls.Conf] = None)
+                         tls: Option[Tls.Conf] = None,
+                         soTimeoutMs: Int = 0,
+                         maxTimeMs: Option[Long] = None)
       extends WireCursor(host, port, db, coll, batchSize, compressMode,
-        auth, tls) {
+        auth, tls, soTimeoutMs) {
     protected def firstCommand: BDoc = {
       val parts = Seq.newBuilder[(String, BVal)]
       parts += "find" -> BString(coll)
@@ -478,6 +488,10 @@ object MongoWire {
       }
       limit.foreach(n => parts += "limit" -> BInt64(n))
       parts += "batchSize" -> BInt32(batchSize)
+      // server-side cumulative processing bound (the command spec):
+      // a query the server cannot finish in time is a LOUD
+      // MaxTimeMSExpired error, not a hung cursor
+      maxTimeMs.foreach(t => parts += "maxTimeMS" -> BInt64(t))
       parts += "$db" -> BString(db)
       BDoc(parts.result())
     }
@@ -494,14 +508,20 @@ object MongoWire {
                               batchSize: Int,
                               compressMode: String = "none",
                               auth: Option[Scram.Credential] = None,
-                              tls: Option[Tls.Conf] = None)
+                              tls: Option[Tls.Conf] = None,
+                              soTimeoutMs: Int = 0,
+                              maxTimeMs: Option[Long] = None)
       extends WireCursor(host, port, db, coll, batchSize, compressMode,
-        auth, tls) {
-    protected def firstCommand: BDoc = BDoc(Seq(
-      "aggregate" -> BString(coll),
-      "pipeline" -> BArr(pipeline),
-      "cursor" -> BDoc(Seq("batchSize" -> BInt32(batchSize))),
-      "$db" -> BString(db)))
+        auth, tls, soTimeoutMs) {
+    protected def firstCommand: BDoc = {
+      val parts = Seq.newBuilder[(String, BVal)]
+      parts += "aggregate" -> BString(coll)
+      parts += "pipeline" -> BArr(pipeline)
+      parts += "cursor" -> BDoc(Seq("batchSize" -> BInt32(batchSize)))
+      maxTimeMs.foreach(t => parts += "maxTimeMS" -> BInt64(t))
+      parts += "$db" -> BString(db)
+      BDoc(parts.result())
+    }
   }
 
   /** The inclusive-lo / exclusive-hi key-range filter document. */

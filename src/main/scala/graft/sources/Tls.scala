@@ -33,13 +33,42 @@ object Tls {
   /** Client-side TLS settings. `trustStore` = path + password of a
     * PKCS12 file holding the certificate authorities to trust; None
     * trusts the JVM's default CA set (a publicly-signed server).
+    * `handshakeTimeoutMs` bounds the forced handshake (a plaintext
+    * peer never answers a ClientHello — without the bound both sides
+    * deadlock). `minProtocol` is an explicit protocol FLOOR
+    * (default TLSv1.2): protocols below it are disabled on the
+    * socket, so a peer that can only speak TLSv1/TLSv1.1 is refused
+    * at handshake instead of silently accepted.
     */
   final case class Conf(trustStorePath: Option[String] = None,
-                        trustStorePassword: Option[String] = None)
+                        trustStorePassword: Option[String] = None,
+                        handshakeTimeoutMs: Int = 10000,
+                        minProtocol: String = "TLSv1.2")
     extends Serializable {
     // rides in InputPartition case classes: never print the password
     override def toString: String =
-      s"Tls(${trustStorePath.getOrElse("<jvm-default-trust>")})"
+      s"Tls(${trustStorePath.getOrElse("<jvm-default-trust>")}," +
+        s"$minProtocol+)"
+  }
+
+  /** Protocol ordering for the floor check — the SSL/TLS family in
+    * ascending strength; names outside it are a loud error.
+    */
+  private val ProtocolRank = Map(
+    "TLSv1" -> 1, "TLSv1.1" -> 2, "TLSv1.2" -> 3, "TLSv1.3" -> 4)
+
+  private def atOrAbove(floor: String,
+                        supported: Array[String]): Array[String] = {
+    val floorRank = ProtocolRank.getOrElse(floor,
+      throw new IllegalArgumentException(
+        s"unknown TLS protocol floor '$floor' " +
+          s"(one of ${ProtocolRank.keys.toSeq.sorted.mkString(", ")})"))
+    val enabled = supported.filter(p =>
+      ProtocolRank.get(p).exists(_ >= floorRank))
+    require(enabled.nonEmpty,
+      s"no supported TLS protocol at or above $floor " +
+        s"(JVM supports: ${supported.mkString(", ")})")
+    enabled
   }
 
   private def loadStore(path: String, password: String): KeyStore = {
@@ -69,16 +98,25 @@ object Tls {
     * ClientHello (it blocks parsing it as a frame), which without a
     * timeout deadlocks both sides forever instead of failing loudly.
     */
-  def clientSocket(host: String, port: Int, conf: Conf): Socket = {
+  def clientSocket(host: String, port: Int, conf: Conf,
+                   soTimeoutMs: Int = 0): Socket = {
     val sock = clientContext(conf).getSocketFactory
       .createSocket(host, port).asInstanceOf[SSLSocket]
     try {
       val params = sock.getSSLParameters
       params.setEndpointIdentificationAlgorithm("HTTPS")
+      // explicit protocol floor: TLSv1/TLSv1.1 peers are refused at
+      // handshake, not silently negotiated down to
+      params.setProtocols(
+        atOrAbove(conf.minProtocol, sock.getSupportedProtocols))
       sock.setSSLParameters(params)
-      sock.setSoTimeout(10000)
+      sock.setSoTimeout(math.max(conf.handshakeTimeoutMs, 1))
       sock.startHandshake()
-      sock.setSoTimeout(0)
+      // after the handshake the READ timeout is the caller's choice:
+      // 0 = block forever (the JDK default), >0 = a hung server
+      // surfaces as a loud SocketTimeoutException instead of a
+      // forever-pinned executor
+      sock.setSoTimeout(soTimeoutMs)
       sock
     } catch {
       case e: Throwable =>
@@ -91,14 +129,21 @@ object Tls {
     * double's serving side).
     */
   def serverSocket(backlog: Int, bind: InetAddress, keyStorePath: String,
-                   password: String): ServerSocket = {
+                   password: String,
+                   protocols: Option[Seq[String]] = None)
+      : ServerSocket = {
     val kmf = KeyManagerFactory.getInstance(
       KeyManagerFactory.getDefaultAlgorithm)
     kmf.init(loadStore(keyStorePath, password), password.toCharArray)
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(kmf.getKeyManagers, null, null)
-    ctx.getServerSocketFactory.createServerSocket(0, backlog, bind)
+    val srv = ctx.getServerSocketFactory
+      .createServerSocket(0, backlog, bind)
       .asInstanceOf[SSLServerSocket]
+    // spec hook: a server pinned to an old protocol set proves the
+    // client's floor refuses it
+    protocols.foreach(ps => srv.setEnabledProtocols(ps.toArray))
+    srv
   }
 
   /** A generated self-signed identity: the server's key store and

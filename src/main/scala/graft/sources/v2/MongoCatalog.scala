@@ -121,8 +121,10 @@ class MongoCatalog extends TableCatalog {
     // must not silently write with the default concern
     Seq("numpartitions", "batchsize", "samplesize", "user",
         "password", "authdb", "tls", "tlstruststore",
-        "tlstruststorepassword", "writeconcernw", "writeconcernj",
-        "retrywrites", "varianttype", "compress").foreach { k =>
+        "tlstruststorepassword", "tlshandshaketimeoutms",
+        "tlsminprotocol", "writeconcernw", "writeconcernj",
+        "retrywrites", "varianttype", "compress", "sockettimeoutms",
+        "maxtimems").foreach { k =>
       Option(options.get(k)).foreach(confMap.put(k, _))
     }
     val conf = MongoV2.Conf(new CaseInsensitiveStringMap(confMap))

@@ -69,7 +69,13 @@ import graft.sources.MongoWire
   * ([[graft.sources.Tls]]; `tls=true` wraps every one of those
   * connections in an SSLSocket with the handshake forced at open —
   * the trust-store file must resolve on executors too, ship it with
-  * `--files` on a real cluster).
+  * `--files` on a real cluster), `tlshandshaketimeoutms` (default
+  * 10000) / `tlsminprotocol` (explicit protocol floor, default
+  * TLSv1.2), `sockettimeoutms` (read timeout on every connector
+  * socket — a hung server is a loud SocketTimeoutException instead
+  * of a pinned executor; default 0 = block forever), `maxtimems`
+  * (server-side processing bound shipped on cursor-opening commands
+  * — the server's own MaxTimeMSExpired surfaces as the error).
   *
   * At 100 TB: one cursor per key range is the standard bulk-read
   * layout (each range lands on the shard owning it); pushdown means
@@ -119,7 +125,9 @@ private[v2] object MongoV2 {
                         writeConcernW: Option[String] = None,
                         writeConcernJ: Option[Boolean] = None,
                         retryWrites: Boolean = true,
-                        variantType: Boolean = false)
+                        variantType: Boolean = false,
+                        soTimeoutMs: Int = 0,
+                        maxTimeMs: Option[Long] = None)
 
   object Conf {
     def apply(o: CaseInsensitiveStringMap): Conf = {
@@ -160,12 +168,19 @@ private[v2] object MongoV2 {
         tls = Option(o.get("tls")).map(_.toBoolean).getOrElse(false)
           match {
             case false =>
-              require(o.get("tlstruststore") == null,
-                "graft-mongo: tlstruststore requires tls=true")
+              Seq("tlstruststore", "tlshandshaketimeoutms",
+                  "tlsminprotocol").foreach(k =>
+                require(o.get(k) == null,
+                  s"graft-mongo: $k requires tls=true"))
               None
             case true => Some(graft.sources.Tls.Conf(
               Option(o.get("tlstruststore")),
-              Option(o.get("tlstruststorepassword"))))
+              Option(o.get("tlstruststorepassword")),
+              handshakeTimeoutMs =
+                Option(o.get("tlshandshaketimeoutms")).map(_.toInt)
+                  .getOrElse(10000),
+              minProtocol = Option(o.get("tlsminprotocol"))
+                .getOrElse("TLSv1.2")))
           },
         writeConcernW = Option(o.get("writeconcernw")),
         writeConcernJ = Option(o.get("writeconcernj"))
@@ -173,7 +188,10 @@ private[v2] object MongoV2 {
         retryWrites = Option(o.get("retrywrites"))
           .forall(_.toBoolean),
         variantType = Option(o.get("varianttype"))
-          .exists(_.toBoolean))
+          .exists(_.toBoolean),
+        soTimeoutMs = Option(o.get("sockettimeoutms")).map(_.toInt)
+          .getOrElse(0),
+        maxTimeMs = Option(o.get("maxtimems")).map(_.toLong))
     }
   }
 
@@ -863,7 +881,8 @@ private[v2] class MongoGroupScan(conf: MongoV2.Conf,
     ranges.map { case (lo, hi) =>
       MongoGroupPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, lo, hi, conf.batchSize, wireFilter, spec,
-        conf.compressMode, conf.auth, conf.tls): InputPartition
+        conf.compressMode, conf.auth, conf.tls,
+        conf.soTimeoutMs, conf.maxTimeMs): InputPartition
     }.toArray
   }
 
@@ -881,7 +900,8 @@ private[v2] final case class MongoGroupPartition(
     wireFilter: Seq[(String, BVal)], spec: MongoV2.GroupAggSpec,
     compressMode: String,
     auth: Option[graft.sources.Scram.Credential],
-    tls: Option[graft.sources.Tls.Conf])
+    tls: Option[graft.sources.Tls.Conf],
+    soTimeoutMs: Int, maxTimeMs: Option[Long])
   extends InputPartition
 
 private[v2] class MongoGroupReader(p: MongoGroupPartition)
@@ -907,7 +927,8 @@ private[v2] class MongoGroupReader(p: MongoGroupPartition)
     new MongoWire.AggregateCursor(p.host, p.port, p.db, p.coll,
       Seq(BDoc(Seq("$match" -> matchDoc)),
         BDoc(Seq("$group" -> groupDoc))),
-      p.batchSize, p.compressMode, p.auth, p.tls)
+      p.batchSize, p.compressMode, p.auth, p.tls,
+      p.soTimeoutMs, p.maxTimeMs)
   }
 
   private var current: InternalRow = _
@@ -1169,7 +1190,8 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
         conf.keyField, lo, hi, conf.batchSize,
         wireFilter ++ runtimeWire,
         required.fieldNames.toSeq, limit, sortDesc, conf.compressMode,
-        conf.auth, conf.tls): InputPartition
+        conf.auth, conf.tls, conf.soTimeoutMs,
+        conf.maxTimeMs): InputPartition
     }.toArray
   }
 
@@ -1260,7 +1282,8 @@ private[v2] class MongoMicroBatchStream(required: StructType,
       MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
         conf.keyField, a, b, conf.batchSize, wireFilter,
         required.fieldNames.toSeq, None, None,
-        conf.compressMode, conf.auth, conf.tls): InputPartition
+        conf.compressMode, conf.auth, conf.tls,
+        conf.soTimeoutMs, conf.maxTimeMs): InputPartition
     }.toArray
   }
 
@@ -1287,7 +1310,8 @@ private[v2] final case class MongoInputPartition(
     limit: Option[Int], sortDesc: Option[Boolean],
     compressMode: String,
     auth: Option[graft.sources.Scram.Credential],
-    tls: Option[graft.sources.Tls.Conf])
+    tls: Option[graft.sources.Tls.Conf],
+    soTimeoutMs: Int, maxTimeMs: Option[Long])
     extends InputPartition
 
 /** The pushed-TABLESAMPLE scan: ONE `aggregate` pipeline
@@ -1339,7 +1363,8 @@ private[v2] class MongoSampleScan(required: StructType,
         required.fieldNames.toSeq.map(f => f -> (BInt32(1): BVal)))))
     Array(MongoSamplePartition(conf.host, conf.port, conf.db,
       conf.coll, stages.result(), conf.batchSize,
-      conf.compressMode, conf.auth, conf.tls))
+      conf.compressMode, conf.auth, conf.tls,
+      conf.soTimeoutMs, conf.maxTimeMs))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1358,7 +1383,8 @@ private[v2] final case class MongoSamplePartition(
     host: String, port: Int, db: String, coll: String,
     pipeline: Seq[BDoc], batchSize: Int, compressMode: String,
     auth: Option[graft.sources.Scram.Credential],
-    tls: Option[graft.sources.Tls.Conf])
+    tls: Option[graft.sources.Tls.Conf],
+    soTimeoutMs: Int, maxTimeMs: Option[Long])
   extends InputPartition
 
 private[v2] class MongoSampleReader(p: MongoSamplePartition,
@@ -1367,7 +1393,7 @@ private[v2] class MongoSampleReader(p: MongoSamplePartition,
 
   private val cursor = new MongoWire.AggregateCursor(p.host, p.port,
     p.db, p.coll, p.pipeline, p.batchSize, p.compressMode, p.auth,
-    p.tls)
+    p.tls, p.soTimeoutMs, p.maxTimeMs)
 
   private var current: InternalRow = _
 
@@ -1412,7 +1438,8 @@ private[v2] class MongoPartitionReader(p: MongoInputPartition,
     Some(MongoWire.mergedFilter(p.keyField, p.lo, p.hi, p.wireFilter)),
     Some(p.columns),
     p.sortDesc.map(d => (p.keyField, if (d) -1 else 1)),
-    p.limit.map(_.toLong), p.batchSize, p.compressMode, p.auth, p.tls)
+    p.limit.map(_.toLong), p.batchSize, p.compressMode, p.auth,
+    p.tls, p.soTimeoutMs, p.maxTimeMs)
 
   private var current: InternalRow = _
 
