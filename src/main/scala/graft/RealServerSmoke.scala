@@ -72,7 +72,13 @@ object RealServerSmoke {
     val tls =
       if (sys.env.get("MONGO_TLS").exists(_.toBoolean))
         Some(Tls.Conf(sys.env.get("MONGO_TLS_TRUSTSTORE"),
-          sys.env.get("MONGO_TLS_TRUSTSTORE_PASSWORD")))
+          sys.env.get("MONGO_TLS_TRUSTSTORE_PASSWORD"),
+          // mTLS client identity: a PKCS12 with the client cert +
+          // key; with MONGO_X509=true the smoke also authenticates
+          // as the certificate subject (MONGODB-X509)
+          keyStorePath = sys.env.get("MONGO_TLS_KEYSTORE"),
+          keyStorePassword =
+            sys.env.get("MONGO_TLS_KEYSTORE_PASSWORD")))
       else None
     val spark = SparkSession.builder()
       .appName("graft-real-server-smoke").master("local[4]")
@@ -188,6 +194,24 @@ object RealServerSmoke {
         c == MongoWire.countDocs(h, p, db, coll, auth = auth,
           tls = tls)
       }
+      // MONGODB-X509 (opt-in: MONGO_X509=true + a client key store):
+      // authenticates as the client certificate's subject against
+      // $external and scans — the managed-deployment cert-auth path
+      if (sys.env.get("MONGO_X509").exists(_.toBoolean))
+        check("MONGODB-X509 certificate auth + scan") {
+          val t = tls.getOrElse(throw new IllegalArgumentException(
+            "MONGO_X509 needs MONGO_TLS=true"))
+          require(t.keyStorePath.isDefined,
+            "MONGO_X509 needs MONGO_TLS_KEYSTORE")
+          val sock = MongoWire.openSocket(h, p, Some(t))
+          try {
+            Scram.authenticate(sock,
+              Scram.x509Credential(sys.env.get("MONGO_X509_USER")))
+            MongoWire.runCommandOk(sock, BDoc(Seq(
+              "count" -> BString(coll), "$db" -> BString(db))), 30)
+            true
+          } finally sock.close()
+        }
       check("variant-column inference over a mixed-typed field") {
         val mixedColl = coll + "_mixed"
         drop(mixedColl)

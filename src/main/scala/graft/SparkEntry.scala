@@ -592,6 +592,49 @@ object SparkEntry {
         .orderBy("c_custkey")
       finally srv.close()
     }),
+    // mTLS + MONGODB-X509 on the same scan: the double REQUIRES a
+    // client certificate (needClientAuth against the client-CA
+    // trust) and the connection identity binds to the certificate
+    // subject via the authenticate command — certificate auth as
+    // managed deployments offer it. Every ranged-cursor connection
+    // presents the tlskeystore identity and authenticates
+    // speculatively (one round trip); agreement with the plain
+    // table certifies the whole mTLS + X.509 path leaves data
+    // untouched
+    "mongo_x509_scan" -> ((s, d) => {
+      val nat = Tables.load(s, d, "nation")
+      val b = nat.agg(min(col("n_nationkey")), max(col("n_nationkey")))
+        .head()
+      val (lo, hi) = (b.getAs[Number](0).longValue,
+        b.getAs[Number](1).longValue)
+      val id = graft.sources.Tls.sharedSelfSigned
+      val cid = graft.sources.Tls.sharedClientIdentity
+      val srv = graft.sources.InProcessMongod.serve(nat, "n_nationkey",
+        "graft", "nation_x509",
+        tlsKeyStore = Some((id.keyStorePath, id.password)),
+        tlsClientAuthTrust =
+          Some((cid.serverTrustStorePath, cid.password)))
+      srv.requireX509()
+      try s.read.format("graft-mongo").schema(nat.schema)
+        .option("host", "127.0.0.1")
+        .option("port", srv.port.toString)
+        .option("database", "graft")
+        .option("collection", "nation_x509")
+        .option("keyfield", "n_nationkey")
+        .option("minkey", lo.toString)
+        .option("maxkey", (hi + 1).toString)
+        .option("numpartitions", "4")
+        .option("tls", "true")
+        .option("tlstruststore", id.trustStorePath)
+        .option("tlstruststorepassword", id.password)
+        .option("authmechanism", "MONGODB-X509")
+        .option("tlskeystore", cid.keyStorePath)
+        .option("tlskeystorepassword", cid.password)
+        .load()
+        .localCheckpoint(true)
+        .orderBy("n_nationkey")
+      finally srv.close()
+    }),
     // the DSv2 connector under Catalyst's OWN pushdown planner:
     // spark.read.format("graft-mongo") with a relational filter +
     // projection on top — V2ScanRelationPushDown hands the scan its
@@ -7484,6 +7527,9 @@ object SparkEntry {
     "mongo_tls_scan" -> ("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer ORDER BY c_custkey"""),
+    "mongo_x509_scan" -> ("""
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey"""),
     "mongo_mixed_schema" -> ("""
       WITH n AS (SELECT LEAST(20000, COUNT(*)) AS c FROM orders)
       SELECT * FROM (

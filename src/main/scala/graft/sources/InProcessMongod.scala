@@ -345,18 +345,19 @@ final class InProcessMongod(db: String,
     colls0: Seq[(String, String, IndexedSeq[(Long, Array[Byte])])],
     maxBatch: Int,
     tlsKeyStore: Option[(String, String)],
-    tlsProtocols: Option[Seq[String]])
+    tlsProtocols: Option[Seq[String]],
+    tlsClientAuthTrust: Option[(String, String)])
     extends AutoCloseable {
 
   def this(db: String,
            colls0: Seq[(String, String, IndexedSeq[(Long, Array[Byte])])],
            maxBatch: Int,
            tlsKeyStore: Option[(String, String)]) =
-    this(db, colls0, maxBatch, tlsKeyStore, None)
+    this(db, colls0, maxBatch, tlsKeyStore, None, None)
 
   def this(docs: IndexedSeq[(Long, Array[Byte])], keyField: String,
            db: String, coll: String, maxBatch: Int = 1000) =
-    this(db, Seq((coll, keyField, docs)), maxBatch, None, None)
+    this(db, Seq((coll, keyField, docs)), maxBatch, None, None, None)
 
   import InProcessMongod.{Coll, Stats}
 
@@ -394,7 +395,8 @@ final class InProcessMongod(db: String,
       : Map[String, (Scram.StoredCredential, Scram.HashSuite)] =
     Map.empty
 
-  private def authRequired: Boolean = authCreds.nonEmpty
+  private def authRequired: Boolean =
+    authCreds.nonEmpty || x509Required
 
   def requireAuth(user: String, password: String): Unit =
     authCreds = Scram.suites.map { suite =>
@@ -442,6 +444,11 @@ final class InProcessMongod(db: String,
       * on one connection and compresses on another.
       */
     var negotiated: Set[String] = Set.empty
+    /** The verified client-certificate subject DN (RFC 2253) when
+      * the TLS layer required and received one — the MONGODB-X509
+      * identity source.
+      */
+    var peerDn: Option[String] = None
   }
 
   // TLS-required serving: with a key store, every connection must
@@ -450,10 +457,26 @@ final class InProcessMongod(db: String,
   // a plaintext client's first bytes fail the handshake and the
   // connection drops, which the client sees as a loud EOF/SSL error
   private val server: ServerSocket = tlsKeyStore match {
-    case None => new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+    case None =>
+      require(tlsClientAuthTrust.isEmpty,
+        "client-certificate verification needs a TLS key store")
+      new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
     case Some((path, password)) =>
       Tls.serverSocket(64, InetAddress.getLoopbackAddress, path,
-        password, tlsProtocols)
+        password, tlsProtocols, tlsClientAuthTrust)
+  }
+
+  /** MONGODB-X509 required-auth mode: every connection must present
+    * a client certificate chaining to `tlsClientAuthTrust` (enforced
+    * at the TLS layer via needClientAuth) AND bind it with the
+    * `authenticate` command before other commands — the managed-
+    * deployment X.509 posture.
+    */
+  @volatile private var x509Required = false
+  def requireX509(): Unit = {
+    require(tlsClientAuthTrust.isDefined,
+      "requireX509 needs tlsClientAuthTrust (the client-CA store)")
+    x509Required = true
   }
   @volatile private var running = true
   private val nextCursor = new AtomicLong(1)
@@ -1018,7 +1041,11 @@ final class InProcessMongod(db: String,
     get(cmd, "speculativeAuthenticate").foreach {
       case spec: BDoc =>
         try parts += "speculativeAuthenticate" ->
-          saslStartReply(spec, conn)
+          (spec.v.headOption match {
+            case Some(("authenticate", _)) =>
+              authenticateReply(spec, conn)
+            case _ => saslStartReply(spec, conn)
+          })
         catch { case _: Exception => () }
       case other => throw new IllegalArgumentException(
         s"speculativeAuthenticate wants a document, got $other")
@@ -1056,6 +1083,8 @@ final class InProcessMongod(db: String,
     cmd.v.headOption match {
       case Some(("saslStart", _)) => handleSaslStart(cmd, conn)
       case Some(("saslContinue", _)) => handleSaslContinue(cmd, conn)
+      case Some(("authenticate", _)) =>
+        Bson.encode(authenticateReply(cmd, conn))
       case Some((name, _)) if authRequired &&
           !conn.authenticated && name != "hello" =>
         throw new AuthException(
@@ -1113,6 +1142,37 @@ final class InProcessMongod(db: String,
 
   private def handleSaslStart(cmd: BDoc, conn: ConnAuth)
       : Array[Byte] = Bson.encode(saslStartReply(cmd, conn))
+
+  /** MONGODB-X509 `authenticate` (public auth spec): the TLS layer
+    * already verified the certificate chains to the client-CA trust;
+    * this command binds the connection to the certificate's subject
+    * DN. A named user must MATCH the certificate subject (the real
+    * server's rule — a certificate cannot authenticate as someone
+    * else); no certificate = AuthenticationFailed.
+    */
+  private def authenticateReply(cmd: BDoc, conn: ConnAuth): BDoc = {
+    if (!x509Required)
+      authFailed("MONGODB-X509 is not enabled on this server")
+    get(cmd, "mechanism") match {
+      case Some(BString("MONGODB-X509")) => ()
+      case other => authFailed(
+        s"authenticate supports MONGODB-X509 only, got $other")
+    }
+    val dn = conn.peerDn.getOrElse(authFailed(
+      "no verified client certificate on this connection"))
+    get(cmd, "user").foreach {
+      case BString(u) =>
+        if (u != dn) authFailed(
+          s"username '$u' does not match the client certificate " +
+            s"subject '$dn'")
+      case other => authFailed(s"user must be a string: $other")
+    }
+    conn.authenticated = true
+    BDoc(Seq(
+      "user" -> BString(dn),
+      "dbname" -> BString("$external"),
+      "ok" -> BDouble(1.0)))
+  }
 
   private def saslStartReply(cmd: BDoc, conn: ConnAuth): BDoc = {
     if (!authRequired)
@@ -1239,6 +1299,16 @@ final class InProcessMongod(db: String,
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
       val conn = new ConnAuth
+      sock match {
+        case s: javax.net.ssl.SSLSocket =>
+          // forces the handshake; with needClientAuth the peer
+          // principal is the VERIFIED client-certificate subject —
+          // absent (exception) when no client cert was required/sent
+          conn.peerDn =
+            try Some(s.getSession.getPeerPrincipal.getName)
+            catch { case _: Exception => None }
+        case _ => ()
+      }
       while (running) {
         val lenB = new Array[Byte](4)
         in.readFully(lenB)
@@ -1431,11 +1501,12 @@ object InProcessMongod {
   def serve(df: org.apache.spark.sql.DataFrame, keyField: String,
             db: String, coll: String,
             tlsKeyStore: Option[(String, String)] = None,
-            tlsProtocols: Option[Seq[String]] = None)
+            tlsProtocols: Option[Seq[String]] = None,
+            tlsClientAuthTrust: Option[(String, String)] = None)
       : InProcessMongod =
     new InProcessMongod(db,
       Seq((coll, keyField, encodeDf(df, keyField))), 1000, tlsKeyStore,
-      tlsProtocols)
+      tlsProtocols, tlsClientAuthTrust)
 
   /** Serves several DataFrames as one multi-collection database —
     * the admin-command surface (`listCollections`/`count`/`collStats`)

@@ -33,16 +33,29 @@ object Scram {
 
   /** What the client needs: user + password + the database holding
     * the user (MongoDB authenticates against `authDb`, default
-    * `admin`).
+    * `admin`). `mechanism` selects the family: "SCRAM" (negotiated
+    * SHA-256/SHA-1, the default) or "MONGODB-X509" (certificate
+    * auth — the user is the client certificate's subject DN, the
+    * password unused and empty, authDb `$external` per the public
+    * auth spec; empty user = let the server derive it from the
+    * certificate).
     */
   final case class Credential(user: String, password: String,
-                              authDb: String = "admin")
+                              authDb: String = "admin",
+                              mechanism: String = "SCRAM")
     extends Serializable {
     // the credential rides inside Conf and every InputPartition case
     // class; a case-class toString in any log line or assertion must
     // never print the password
     override def toString: String = s"Credential($user,***,$authDb)"
   }
+
+  /** The X.509 credential: certificate-derived identity (the TLS
+    * layer carries the proof; `tlskeystore` must hold the client
+    * certificate + key).
+    */
+  def x509Credential(user: Option[String] = None): Credential =
+    Credential(user.getOrElse(""), "", "$external", "MONGODB-X509")
 
   private def b64(b: Array[Byte]): String =
     Base64.getEncoder.encodeToString(b)
@@ -286,6 +299,11 @@ object Scram {
     */
   def authenticate(sock: java.net.Socket, cred: Credential,
                    compressors: Seq[String] = Nil): Bson.BDoc = {
+    if (cred.mechanism == "MONGODB-X509")
+      return authenticateX509(sock, cred, compressors)
+    require(cred.mechanism == "SCRAM",
+      s"unsupported auth mechanism '${cred.mechanism}' " +
+        "(SCRAM or MONGODB-X509)")
     val conv = ClientConversation.fresh(cred.user, cred.password)
     val saslStartDoc = BDoc(Seq(
       "saslStart" -> BInt32(1),
@@ -339,6 +357,39 @@ object Scram {
         finishConversation(sock, cred, conv, start, 902)
     }
     hello   // callers read capabilities (e.g. session support) here
+  }
+
+  /** MONGODB-X509 (public auth spec): the TLS layer already proved
+    * key possession via the client certificate; the `authenticate`
+    * command binds that certificate to a user — the subject DN. The
+    * speculative form piggybacks on the hello (one round trip); a
+    * server that ignores it gets the classic `authenticate` against
+    * `$external`. An empty user lets the server derive it from the
+    * certificate (the documented single-user-cert shortcut).
+    */
+  private def authenticateX509(sock: java.net.Socket,
+                               cred: Credential,
+                               compressors: Seq[String]): Bson.BDoc = {
+    def authDoc(withDb: Boolean): BDoc = {
+      val parts = Seq.newBuilder[(String, BVal)]
+      parts += "authenticate" -> BInt32(1)
+      parts += "mechanism" -> BString("MONGODB-X509")
+      if (cred.user.nonEmpty) parts += "user" -> BString(cred.user)
+      parts += (if (withDb) "$db" else "db") -> BString("$external")
+      BDoc(parts.result())
+    }
+    val helloParts = Seq.newBuilder[(String, BVal)]
+    helloParts += "hello" -> BInt32(1)
+    if (compressors.nonEmpty)
+      helloParts += "compression" ->
+        BArr(compressors.map(BString(_)))
+    helloParts += "speculativeAuthenticate" -> authDoc(withDb = false)
+    helloParts += "$db" -> BString("admin")
+    val hello = MongoWire.runCommandOk(sock,
+      BDoc(helloParts.result()), 920)
+    if (!hello.v.exists(_._1 == "speculativeAuthenticate"))
+      MongoWire.runCommandOk(sock, authDoc(withDb = true), 921)
+    hello
   }
 
   private def classicStart(sock: java.net.Socket, cred: Credential,

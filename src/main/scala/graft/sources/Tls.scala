@@ -43,12 +43,15 @@ object Tls {
   final case class Conf(trustStorePath: Option[String] = None,
                         trustStorePassword: Option[String] = None,
                         handshakeTimeoutMs: Int = 10000,
-                        minProtocol: String = "TLSv1.2")
+                        minProtocol: String = "TLSv1.2",
+                        keyStorePath: Option[String] = None,
+                        keyStorePassword: Option[String] = None)
     extends Serializable {
-    // rides in InputPartition case classes: never print the password
+    // rides in InputPartition case classes: never print the passwords
     override def toString: String =
       s"Tls(${trustStorePath.getOrElse("<jvm-default-trust>")}," +
-        s"$minProtocol+)"
+        s"$minProtocol+" +
+        keyStorePath.fold("")(p => s",clientCert=$p") + ")"
   }
 
   /** Protocol ordering for the floor check — the SSL/TLS family in
@@ -79,16 +82,30 @@ object Tls {
   }
 
   private def clientContext(conf: Conf): SSLContext =
-    conf.trustStorePath match {
-      case None => SSLContext.getDefault
-      case Some(path) =>
+    if (conf.trustStorePath.isEmpty && conf.keyStorePath.isEmpty)
+      SSLContext.getDefault
+    else {
+      // client IDENTITY (mTLS): a key store holding the client's
+      // certificate + private key — presented when the server
+      // requests client auth, and the basis of MONGODB-X509 user
+      // authentication (the user IS the certificate subject)
+      val kms = conf.keyStorePath.map { path =>
+        val kmf = KeyManagerFactory.getInstance(
+          KeyManagerFactory.getDefaultAlgorithm)
+        val pw = conf.keyStorePassword.getOrElse("")
+        kmf.init(loadStore(path, pw), pw.toCharArray)
+        kmf.getKeyManagers
+      }.orNull
+      val tms = conf.trustStorePath.map { path =>
         val tmf = TrustManagerFactory.getInstance(
           TrustManagerFactory.getDefaultAlgorithm)
         tmf.init(loadStore(path,
           conf.trustStorePassword.getOrElse("")))
-        val ctx = SSLContext.getInstance("TLS")
-        ctx.init(null, tmf.getTrustManagers, null)
-        ctx
+        tmf.getTrustManagers
+      }.orNull   // null trust managers = the JVM default trust
+      val ctx = SSLContext.getInstance("TLS")
+      ctx.init(kms, tms, null)
+      ctx
     }
 
   /** Opens one TLS client socket and FORCES the handshake before
@@ -128,21 +145,34 @@ object Tls {
   /** A TLS server socket from a PKCS12 key store (the in-process
     * double's serving side).
     */
+  /** @param clientAuthTrust when set (path, password), the server
+    *        REQUIRES a client certificate chaining to this trust
+    *        store (`needClientAuth`) — the managed-deployment mTLS
+    *        posture; a certificate-less client fails the handshake.
+    */
   def serverSocket(backlog: Int, bind: InetAddress, keyStorePath: String,
                    password: String,
-                   protocols: Option[Seq[String]] = None)
+                   protocols: Option[Seq[String]] = None,
+                   clientAuthTrust: Option[(String, String)] = None)
       : ServerSocket = {
     val kmf = KeyManagerFactory.getInstance(
       KeyManagerFactory.getDefaultAlgorithm)
     kmf.init(loadStore(keyStorePath, password), password.toCharArray)
+    val tms = clientAuthTrust.map { case (path, pw) =>
+      val tmf = TrustManagerFactory.getInstance(
+        TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(loadStore(path, pw))
+      tmf.getTrustManagers
+    }.orNull
     val ctx = SSLContext.getInstance("TLS")
-    ctx.init(kmf.getKeyManagers, null, null)
+    ctx.init(kmf.getKeyManagers, tms, null)
     val srv = ctx.getServerSocketFactory
       .createServerSocket(0, backlog, bind)
       .asInstanceOf[SSLServerSocket]
     // spec hook: a server pinned to an old protocol set proves the
     // client's floor refuses it
     protocols.foreach(ps => srv.setEnabledProtocols(ps.toArray))
+    if (clientAuthTrust.isDefined) srv.setNeedClientAuth(true)
     srv
   }
 
@@ -198,4 +228,54 @@ object Tls {
     */
   lazy val sharedSelfSigned: SelfSigned = selfSigned(
     java.nio.file.Files.createTempDirectory("graft-tls").toFile)
+
+  /** A self-signed CLIENT identity for mTLS fixtures: the client's
+    * key store (certificate + private key, what `tlskeystore` points
+    * at) and the server-side trust store holding that certificate
+    * (what the double's `needClientAuth` verifies against).
+    * `subjectDn` is the certificate subject in RFC 2253 form — the
+    * MONGODB-X509 username.
+    */
+  final case class ClientIdentity(keyStorePath: String,
+                                  serverTrustStorePath: String,
+                                  password: String,
+                                  subjectDn: String)
+
+  def selfSignedClient(dir: File): ClientIdentity = {
+    require(dir.isDirectory || dir.mkdirs(), s"cannot create $dir")
+    val password = {
+      val raw = new Array[Byte](12)
+      new java.security.SecureRandom().nextBytes(raw)
+      raw.map(b => f"$b%02x").mkString
+    }
+    val keyStore = new File(dir, "client.p12").getAbsolutePath
+    val cert = new File(dir, "client.cer").getAbsolutePath
+    val serverTrust = new File(dir, "trust-client.p12").getAbsolutePath
+    val keytool = new File(new File(
+      System.getProperty("java.home"), "bin"), "keytool").getAbsolutePath
+    def run(args: String*): Unit = {
+      val pb = new ProcessBuilder((keytool +: args): _*)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      require(p.waitFor() == 0, s"keytool ${args.head} failed: $out")
+    }
+    run("-genkeypair", "-alias", "graftclient", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "365",
+      "-storetype", "PKCS12", "-keystore", keyStore,
+      "-storepass", password, "-dname", "CN=graft-client,O=graft")
+    run("-exportcert", "-alias", "graftclient", "-keystore", keyStore,
+      "-storepass", password, "-file", cert)
+    run("-importcert", "-alias", "graftclient", "-keystore",
+      serverTrust, "-storetype", "PKCS12", "-storepass", password,
+      "-file", cert, "-noprompt")
+    ClientIdentity(keyStore, serverTrust, password,
+      "CN=graft-client,O=graft")
+  }
+
+  /** One client identity per JVM (the mTLS fixture twin of
+    * [[sharedSelfSigned]]).
+    */
+  lazy val sharedClientIdentity: ClientIdentity = selfSignedClient(
+    java.nio.file.Files.createTempDirectory("graft-tls-client").toFile)
 }

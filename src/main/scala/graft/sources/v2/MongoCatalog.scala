@@ -122,6 +122,7 @@ class MongoCatalog extends TableCatalog {
     Seq("numpartitions", "batchsize", "samplesize", "user",
         "password", "authdb", "tls", "tlstruststore",
         "tlstruststorepassword", "tlshandshaketimeoutms",
+        "tlskeystore", "tlskeystorepassword", "authmechanism",
         "tlsminprotocol", "writeconcernw", "writeconcernj",
         "retrywrites", "varianttype", "compress", "sockettimeoutms",
         "maxtimems").foreach { k =>

@@ -156,20 +156,39 @@ private[v2] object MongoV2 {
             s"graft-mongo: unsupported compressor '$other' " +
               "(snappy, zlib, zstd, none, or auto)")
         },
-        auth = (Option(o.get("user")), Option(o.get("password"))) match {
-          case (Some(u), Some(pw)) =>
-            Some(graft.sources.Scram.Credential(u, pw,
-              Option(o.get("authdb")).getOrElse("admin")))
-          case (None, None) => None
-          case _ => throw new IllegalArgumentException(
-            "graft-mongo: user and password options come together " +
-              "(authdb optional, default 'admin')")
+        auth = Option(o.get("authmechanism"))
+            .map(_.toUpperCase) match {
+          case Some("MONGODB-X509") =>
+            require(o.get("password") == null,
+              "graft-mongo: MONGODB-X509 takes no password (the " +
+                "client certificate is the proof)")
+            require(Option(o.get("tls")).exists(_.toBoolean) &&
+                o.get("tlskeystore") != null,
+              "graft-mongo: MONGODB-X509 needs tls=true and " +
+                "tlskeystore (the client certificate + key)")
+            Some(graft.sources.Scram.x509Credential(
+              Option(o.get("user"))))
+          case Some(m) if m != "SCRAM" && m != "SCRAM-SHA-256" &&
+              m != "SCRAM-SHA-1" =>
+            throw new IllegalArgumentException(
+              s"graft-mongo: unsupported authmechanism '$m' " +
+                "(SCRAM or MONGODB-X509; SCRAM negotiates the hash)")
+          case _ =>
+            (Option(o.get("user")), Option(o.get("password"))) match {
+              case (Some(u), Some(pw)) =>
+                Some(graft.sources.Scram.Credential(u, pw,
+                  Option(o.get("authdb")).getOrElse("admin")))
+              case (None, None) => None
+              case _ => throw new IllegalArgumentException(
+                "graft-mongo: user and password options come " +
+                  "together (authdb optional, default 'admin')")
+            }
         },
         tls = Option(o.get("tls")).map(_.toBoolean).getOrElse(false)
           match {
             case false =>
               Seq("tlstruststore", "tlshandshaketimeoutms",
-                  "tlsminprotocol").foreach(k =>
+                  "tlsminprotocol", "tlskeystore").foreach(k =>
                 require(o.get(k) == null,
                   s"graft-mongo: $k requires tls=true"))
               None
@@ -180,7 +199,10 @@ private[v2] object MongoV2 {
                 Option(o.get("tlshandshaketimeoutms")).map(_.toInt)
                   .getOrElse(10000),
               minProtocol = Option(o.get("tlsminprotocol"))
-                .getOrElse("TLSv1.2")))
+                .getOrElse("TLSv1.2"),
+              keyStorePath = Option(o.get("tlskeystore")),
+              keyStorePassword =
+                Option(o.get("tlskeystorepassword"))))
           },
         writeConcernW = Option(o.get("writeconcernw")),
         writeConcernJ = Option(o.get("writeconcernj"))
