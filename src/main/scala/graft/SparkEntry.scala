@@ -1167,6 +1167,9 @@ object SparkEntry {
           .option("collection", "events_tail")
           .option("keyfield", "event_id")
           .option("numpartitions", "2")
+          // exhaust cursors: each window's batches stream on ONE
+          // getMore round trip (ExhaustSpec meters the collapse)
+          .option("exhaust", "true")
           .load()
         val q = stream.writeStream.format("memory")
           .queryName("mongo_tail_sink").outputMode("append")

@@ -1341,7 +1341,7 @@ final class InProcessMongod(db: String,
             MongoWire.WireCompress.unpack(id, packed, size))
             .order(ByteOrder.LITTLE_ENDIAN)
         } else require(op == 2013, s"unsupported opCode $op")
-        buf.getInt            // flagBits
+        val reqFlags = buf.getInt            // flagBits
         val kind = buf.get
         require(kind == 0, s"unsupported section kind $kind")
         val cmd0 = Bson.readDoc(buf)
@@ -1350,8 +1350,38 @@ final class InProcessMongod(db: String,
         // duplicate-payload sequence is a COMMAND error (reply, not
         // a dropped socket), like every other bad command
         stats.commands.incrementAndGet()
-        val body =
-          try handleSafe(mergeDocSequences(cmd0, buf), conn)
+        val cmd = mergeDocSequences(cmd0, buf)
+        if (cmd.v.headOption.exists(_._1 == "getMore"))
+          stats.getMoreFrames.incrementAndGet()
+
+        def writeReply(body: Array[Byte], replyFlags: Int): Unit = {
+          reqCompressor match {
+            case None =>
+              val hdr = ByteBuffer.allocate(21)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              hdr.putInt(16 + 5 + body.length).putInt(0).putInt(reqId)
+                .putInt(2013).putInt(replyFlags).put(0.toByte)
+              out.write(hdr.array()); out.write(body)
+              stats.wireBytesOut.addAndGet(21L + body.length)
+            case Some(cid) =>
+              val section = ByteBuffer.allocate(5 + body.length)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              section.putInt(replyFlags).put(0.toByte).put(body)
+              val packed =
+                MongoWire.WireCompress.pack(cid, section.array())
+              val hdr = ByteBuffer.allocate(25)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              hdr.putInt(16 + 9 + packed.length).putInt(0).putInt(reqId)
+                .putInt(2012).putInt(2013).putInt(section.capacity())
+                .put(cid)
+              out.write(hdr.array()); out.write(packed)
+              stats.wireBytesOut.addAndGet(25L + packed.length)
+          }
+          out.flush()
+        }
+
+        def safeBody(): Array[Byte] =
+          try handleSafe(cmd, conn)
           catch {
             case e: Exception => Bson.encode(BDoc(Seq(
               "ok" -> BDouble(0.0),
@@ -1360,29 +1390,38 @@ final class InProcessMongod(db: String,
               "code" -> BInt32(2),
               "codeName" -> BString("BadValue"))))
           }
-        reqCompressor match {
-          case None =>
-            val hdr = ByteBuffer.allocate(21)
-              .order(ByteOrder.LITTLE_ENDIAN)
-            hdr.putInt(16 + 5 + body.length).putInt(0).putInt(reqId)
-              .putInt(2013).putInt(0).put(0.toByte)
-            out.write(hdr.array()); out.write(body)
-            stats.wireBytesOut.addAndGet(21L + body.length)
-          case Some(cid) =>
-            val section = ByteBuffer.allocate(5 + body.length)
-              .order(ByteOrder.LITTLE_ENDIAN)
-            section.putInt(0).put(0.toByte).put(body)
-            val packed =
-              MongoWire.WireCompress.pack(cid, section.array())
-            val hdr = ByteBuffer.allocate(25)
-              .order(ByteOrder.LITTLE_ENDIAN)
-            hdr.putInt(16 + 9 + packed.length).putInt(0).putInt(reqId)
-              .putInt(2012).putInt(2013).putInt(section.capacity())
-              .put(cid)
-            out.write(hdr.array()); out.write(packed)
-            stats.wireBytesOut.addAndGet(25L + packed.length)
-        }
-        out.flush()
+
+        val isExhaustGetMore =
+          (reqFlags & MongoWire.FlagExhaustAllowed) != 0 &&
+            cmd.v.headOption.exists(_._1 == "getMore")
+        if (isExhaustGetMore) {
+          // EXHAUST (public spec): one getMore request, a STREAM of
+          // replies — moreToCome set on every reply the server will
+          // follow, clear on the last (cursor drained or error).
+          // Each internal page re-runs the getMore against the
+          // advancing cursor state; ONE request frame total, which
+          // is what [[Stats.commands]]/[[Stats.getMores]] meter.
+          var streaming = true
+          while (streaming) {
+            val body = safeBody()
+            val reply = Bson.decode(body)
+            val liveId = reply.v.collectFirst {
+              case ("cursor", c: Bson.BDoc) => c
+            }.flatMap(_.v.collectFirst {
+              case ("id", Bson.BInt64(id)) => id
+            }).getOrElse(0L)
+            streaming = liveId != 0L
+            try writeReply(body,
+              if (streaming) MongoWire.FlagMoreToCome else 0)
+            catch {
+              case e: Throwable =>
+                // client vanished mid-stream: reap the cursor like a
+                // real server reaps cursors of dead connections
+                cursors.remove(liveId)
+                throw e
+            }
+          }
+        } else writeReply(safeBody(), 0)
       }
     } catch { case _: Throwable => /* client closed */ }
     finally { try sock.close() catch { case _: Throwable => } }
@@ -1410,11 +1449,17 @@ object InProcessMongod {
   final class Stats {
     val servedDocs = new AtomicLong(0)
     val servedBytes = new AtomicLong(0)
-    /** getMore round trips — the batch-size knob's meter: a
-      * high-latency link pays one of these per batch, so
-      * `batchsize` directly divides them.
+    /** getMore PAGES served (one per batch) — the batch-size knob's
+      * meter in plain mode, where every page costs a round trip.
       */
     val getMores = new AtomicLong(0)
+    /** getMore REQUEST FRAMES received — the actual round-trip
+      * count: under EXHAUST one frame streams many pages, so this
+      * stays at 1 while [[getMores]] counts the pages. A
+      * high-latency link pays one of THESE per batch in plain mode
+      * and one per stream in exhaust mode.
+      */
+    val getMoreFrames = new AtomicLong(0)
     /** Commands handled (any kind) — the auth-handshake round-trip
       * meter.
       */

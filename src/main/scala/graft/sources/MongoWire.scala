@@ -163,6 +163,23 @@ object MongoWire {
   def runCommand(sock: Socket, cmd: BDoc, requestId: Int,
                  compress: Option[Byte] = None,
                  docSeq: Option[(String, Seq[BDoc])] = None): BDoc = {
+    sendMsg(sock, cmd, requestId, 0, compress, docSeq)
+    readMsg(sock)._2
+  }
+
+  /** OP_MSG flag bits (public spec). */
+  val FlagMoreToCome: Int = 1 << 1
+  val FlagExhaustAllowed: Int = 1 << 16
+
+  /** Sends one OP_MSG request (optionally OP_COMPRESSED-wrapped)
+    * without reading a reply — the request half of [[runCommand]],
+    * split out so EXHAUST streams ([[FlagExhaustAllowed]]) can read
+    * many replies per request.
+    */
+  def sendMsg(sock: Socket, cmd: BDoc, requestId: Int,
+              flagBits: Int = 0,
+              compress: Option[Byte] = None,
+              docSeq: Option[(String, Seq[BDoc])] = None): Unit = {
     val body = Bson.encode(cmd)
     val seq = docSeq.map { case (ident, docs) =>
       kind1Section(ident, docs)
@@ -173,14 +190,14 @@ object MongoWire {
         val total = 16 + 4 + 1 + body.length + seq.length
         val hdr = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
         hdr.putInt(total).putInt(requestId).putInt(0).putInt(OpMsg)
-          .putInt(0)            // flagBits
+          .putInt(flagBits)
           .put(0.toByte)        // section kind 0
         out.write(hdr.array()); out.write(body); out.write(seq)
       case Some(cid) =>
         // section payload = flagBits + kind-0 section + kind-1 sections
         val section = ByteBuffer.allocate(5 + body.length + seq.length)
           .order(ByteOrder.LITTLE_ENDIAN)
-        section.putInt(0).put(0.toByte).put(body).put(seq)
+        section.putInt(flagBits).put(0.toByte).put(body).put(seq)
         val packed = WireCompress.pack(cid, section.array())
         val total = 16 + 4 + 4 + 1 + packed.length
         val hdr = ByteBuffer.allocate(25).order(ByteOrder.LITTLE_ENDIAN)
@@ -191,6 +208,14 @@ object MongoWire {
         out.write(hdr.array()); out.write(packed)
     }
     out.flush()
+  }
+
+  /** Reads one OP_MSG reply → (flagBits, document). [[FlagMoreToCome]]
+    * in the flags means the server will follow with another reply to
+    * the same request WITHOUT a further request — the exhaust-stream
+    * contract.
+    */
+  def readMsg(sock: Socket): (Int, BDoc) = {
     val in = new DataInputStream(sock.getInputStream)
     val lenB = new Array[Byte](4); in.readFully(lenB)
     val len = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN)
@@ -208,10 +233,10 @@ object MongoWire {
       buf = ByteBuffer.wrap(WireCompress.unpack(id, packed, size))
         .order(ByteOrder.LITTLE_ENDIAN)
     } else require(op == OpMsg, s"unsupported reply opCode $op")
-    buf.getInt                              // flagBits
+    val flags = buf.getInt
     val kind = buf.get
     require(kind == 0, s"unsupported OP_MSG section kind $kind")
-    Bson.readDoc(buf)
+    (flags, Bson.readDoc(buf))
   }
 
   /** One OP_MSG kind-1 section (per the public spec): byte 0x01 |
@@ -387,7 +412,8 @@ object MongoWire {
                                    compressMode: String,
                                    auth: Option[Scram.Credential] = None,
                                    tls: Option[Tls.Conf] = None,
-                                   soTimeoutMs: Int = 0)
+                                   soTimeoutMs: Int = 0,
+                                   exhaust: Boolean = false)
       extends Iterator[BDoc] with AutoCloseable {
 
     protected def firstCommand: BDoc
@@ -422,16 +448,36 @@ object MongoWire {
       exhausted = cursorId == 0L && docs.isEmpty
     }
 
+    // an exhaust stream is live: replies keep arriving for one
+    // already-sent getMore until the server clears moreToCome
+    private var exhaustStreaming = false
+
+    private def getMoreCmd: BDoc = BDoc(Seq(
+      "getMore" -> BInt64(cursorId),
+      "collection" -> BString(coll),
+      "batchSize" -> BInt32(batchSize),
+      "$db" -> BString(db)))
+
     private def fetchMore(): Unit = {
       if (cursorId == 0L) { exhausted = true; return }
-      val cmd = BDoc(Seq(
-        "getMore" -> BInt64(cursorId),
-        "collection" -> BString(coll),
-        "batchSize" -> BInt32(batchSize),
-        "$db" -> BString(db)))
-      val (id, docs) = cursorBatch(
-        runCommand(sock, cmd, { reqId += 1; reqId }, compress),
-        "nextBatch")
+      val reply =
+        if (exhaust) {
+          // EXHAUST (public OP_MSG spec, flag bit 16): ONE getMore
+          // with exhaustAllowed, then the server streams batches with
+          // moreToCome set until the cursor drains — a high-latency
+          // link pays one round trip for the whole stream instead of
+          // one per batch
+          if (!exhaustStreaming) {
+            sendMsg(sock, getMoreCmd, { reqId += 1; reqId },
+              FlagExhaustAllowed, compress)
+            exhaustStreaming = true
+          }
+          val (flags, doc) = readMsg(sock)
+          if ((flags & FlagMoreToCome) == 0) exhaustStreaming = false
+          doc
+        } else runCommand(sock, getMoreCmd, { reqId += 1; reqId },
+          compress)
+      val (id, docs) = cursorBatch(reply, "nextBatch")
       cursorId = id; batch = docs.iterator
       if (!batch.hasNext && cursorId == 0L) exhausted = true
     }
@@ -449,7 +495,11 @@ object MongoWire {
       * pin its snapshot for the server's lifetime.
       */
     override def close(): Unit = {
-      if (cursorId != 0L) {
+      // mid-exhaust the socket has replies in flight — a killCursors
+      // round trip would desync; dropping the connection kills the
+      // server cursor (the real server reaps cursors of dead
+      // connections; the double does too)
+      if (cursorId != 0L && !exhaustStreaming) {
         try runCommand(sock, BDoc(Seq(
           "killCursors" -> BString(coll),
           "cursors" -> BArr(Seq(BInt64(cursorId))),
@@ -474,9 +524,10 @@ object MongoWire {
                          auth: Option[Scram.Credential] = None,
                          tls: Option[Tls.Conf] = None,
                          soTimeoutMs: Int = 0,
-                         maxTimeMs: Option[Long] = None)
+                         maxTimeMs: Option[Long] = None,
+                         exhaust: Boolean = false)
       extends WireCursor(host, port, db, coll, batchSize, compressMode,
-        auth, tls, soTimeoutMs) {
+        auth, tls, soTimeoutMs, exhaust) {
     protected def firstCommand: BDoc = {
       val parts = Seq.newBuilder[(String, BVal)]
       parts += "find" -> BString(coll)

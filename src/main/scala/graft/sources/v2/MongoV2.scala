@@ -127,7 +127,8 @@ private[v2] object MongoV2 {
                         retryWrites: Boolean = true,
                         variantType: Boolean = false,
                         soTimeoutMs: Int = 0,
-                        maxTimeMs: Option[Long] = None)
+                        maxTimeMs: Option[Long] = None,
+                        exhaust: Boolean = false)
 
   object Conf {
     def apply(o: CaseInsensitiveStringMap): Conf = {
@@ -213,7 +214,8 @@ private[v2] object MongoV2 {
           .exists(_.toBoolean),
         soTimeoutMs = Option(o.get("sockettimeoutms")).map(_.toInt)
           .getOrElse(0),
-        maxTimeMs = Option(o.get("maxtimems")).map(_.toLong))
+        maxTimeMs = Option(o.get("maxtimems")).map(_.toLong),
+        exhaust = Option(o.get("exhaust")).exists(_.toBoolean))
     }
   }
 
@@ -1213,7 +1215,7 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
         wireFilter ++ runtimeWire,
         required.fieldNames.toSeq, limit, sortDesc, conf.compressMode,
         conf.auth, conf.tls, conf.soTimeoutMs,
-        conf.maxTimeMs): InputPartition
+        conf.maxTimeMs, conf.exhaust): InputPartition
     }.toArray
   }
 
@@ -1305,7 +1307,8 @@ private[v2] class MongoMicroBatchStream(required: StructType,
         conf.keyField, a, b, conf.batchSize, wireFilter,
         required.fieldNames.toSeq, None, None,
         conf.compressMode, conf.auth, conf.tls,
-        conf.soTimeoutMs, conf.maxTimeMs): InputPartition
+        conf.soTimeoutMs, conf.maxTimeMs,
+        conf.exhaust): InputPartition
     }.toArray
   }
 
@@ -1333,7 +1336,8 @@ private[v2] final case class MongoInputPartition(
     compressMode: String,
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf],
-    soTimeoutMs: Int, maxTimeMs: Option[Long])
+    soTimeoutMs: Int, maxTimeMs: Option[Long],
+    exhaust: Boolean)
     extends InputPartition
 
 /** The pushed-TABLESAMPLE scan: ONE `aggregate` pipeline
@@ -1461,7 +1465,7 @@ private[v2] class MongoPartitionReader(p: MongoInputPartition,
     Some(p.columns),
     p.sortDesc.map(d => (p.keyField, if (d) -1 else 1)),
     p.limit.map(_.toLong), p.batchSize, p.compressMode, p.auth,
-    p.tls, p.soTimeoutMs, p.maxTimeMs)
+    p.tls, p.soTimeoutMs, p.maxTimeMs, p.exhaust)
 
   private var current: InternalRow = _
 
