@@ -1350,7 +1350,11 @@ final class InProcessMongod(db: String,
         // duplicate-payload sequence is a COMMAND error (reply, not
         // a dropped socket), like every other bad command
         stats.commands.incrementAndGet()
-        val cmd = mergeDocSequences(cmd0, buf)
+        // a malformed/duplicate-payload sequence stays a COMMAND
+        // error (reply, not a dropped socket)
+        val (cmd, mergeErr) =
+          try (mergeDocSequences(cmd0, buf), None)
+          catch { case e: Exception => (cmd0, Some(e)) }
         if (cmd.v.headOption.exists(_._1 == "getMore"))
           stats.getMoreFrames.incrementAndGet()
 
@@ -1380,16 +1384,20 @@ final class InProcessMongod(db: String,
           out.flush()
         }
 
-        def safeBody(): Array[Byte] =
-          try handleSafe(cmd, conn)
-          catch {
-            case e: Exception => Bson.encode(BDoc(Seq(
-              "ok" -> BDouble(0.0),
-              "errmsg" -> BString(
-                Option(e.getMessage).getOrElse(e.getClass.getName)),
-              "code" -> BInt32(2),
-              "codeName" -> BString("BadValue"))))
-          }
+        def errorBody(e: Exception): Array[Byte] =
+          Bson.encode(BDoc(Seq(
+            "ok" -> BDouble(0.0),
+            "errmsg" -> BString(
+              Option(e.getMessage).getOrElse(e.getClass.getName)),
+            "code" -> BInt32(2),
+            "codeName" -> BString("BadValue"))))
+
+        def safeBody(): Array[Byte] = mergeErr match {
+          case Some(e) => errorBody(e)
+          case None =>
+            try handleSafe(cmd, conn)
+            catch { case e: Exception => errorBody(e) }
+        }
 
         val isExhaustGetMore =
           (reqFlags & MongoWire.FlagExhaustAllowed) != 0 &&
