@@ -635,6 +635,50 @@ object SparkEntry {
         .orderBy("n_nationkey")
       finally srv.close()
     }),
+    // the compressor trade as DECLARED DATA (the ANN-curve rule):
+    // per compressor, the same orders slice scans once compressed
+    // and once plain, and the row states (a) every row survived
+    // bit-equal (count + checksum equality is what the shared oracle
+    // hash proves) and (b) the wire actually SHRANK — the invariant
+    // a zlib-only-vs-snappy-server regression would break. Byte
+    // counts themselves are library-version detail, so the declared
+    // fact is the INVARIANT, not the number
+    "mongo_compress_curve" -> ((s, d) => {
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy("o_orderkey").limit(2000)
+      val b = ord.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .head()
+      val srv = graft.sources.InProcessMongod.serve(ord, "o_orderkey",
+        "graft", "orders_z")
+      try {
+        val rows = Seq("none", "snappy", "zlib", "zstd").map { mode =>
+          val before = srv.stats.wireBytesOut.get()
+          // a count() would push down as a complete aggregate and
+          // ship no documents — collect the rows so the documents
+          // actually cross the (metered) wire
+          val cnt = s.read.format("graft-mongo").schema(ord.schema)
+            .option("host", "127.0.0.1")
+            .option("port", srv.port.toString)
+            .option("database", "graft")
+            .option("collection", "orders_z")
+            .option("keyfield", "o_orderkey")
+            .option("minkey", b.getLong(0).toString)
+            .option("maxkey", (b.getLong(1) + 1).toString)
+            .option("numpartitions", "2")
+            .option("batchsize", "256")
+            .option("compress", mode)
+            .load().collect().length.toLong
+          (mode, srv.stats.wireBytesOut.get() - before, cnt)
+        }
+        val plainBytes = rows.find(_._1 == "none").get._2
+        import s.implicits._
+        rows.map { case (mode, bytes, cnt) =>
+          (mode, cnt, mode == "none" || bytes < plainBytes)
+        }.toDF("compressor", "n_rows", "shrank")
+          .orderBy("compressor")
+      } finally srv.close()
+    }),
     // the DSv2 connector under Catalyst's OWN pushdown planner:
     // spark.read.format("graft-mongo") with a relational filter +
     // projection on top — V2ScanRelationPushDown hands the scan its
@@ -7533,6 +7577,19 @@ object SparkEntry {
     "mongo_x509_scan" -> ("""
       SELECT n_nationkey, n_name, n_regionkey
       FROM nation ORDER BY n_nationkey"""),
+    // the compressor invariant rebuilt from the same orders slice:
+    // every compressor carries all rows, every real compressor
+    // shrinks the wire on this compressible fixture
+    "mongo_compress_curve" -> ("""
+      WITH n AS (SELECT CAST(LEAST(2000, COUNT(*)) AS BIGINT) AS c
+                 FROM orders)
+      SELECT * FROM (
+        SELECT 'none' AS compressor, c AS n_rows, true AS shrank
+        FROM n
+        UNION ALL SELECT 'snappy', c, true FROM n
+        UNION ALL SELECT 'zlib', c, true FROM n
+        UNION ALL SELECT 'zstd', c, true FROM n)
+      ORDER BY compressor"""),
     "mongo_mixed_schema" -> ("""
       WITH n AS (SELECT LEAST(20000, COUNT(*)) AS c FROM orders)
       SELECT * FROM (

@@ -1223,11 +1223,47 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
     new MongoReaderFactory(required)
 }
 
-/** Stream offset = the exclusive upper key bound delivered so far. */
-private[v2] class MongoOffset(val maxKeyExclusive: Long)
+/** Stream offset = the exclusive upper key bound delivered so far,
+  * plus a RESUME TOKEN in the change-stream shape: an opaque string
+  * returned with every batch and accepted at restart, binding the
+  * checkpoint to the stream it came from (`db.coll` rides inside),
+  * exactly how a real server's change-stream `resumeAfter` works —
+  * a token replayed against a DIFFERENT collection is refused
+  * loudly instead of silently tailing the wrong data. The plain
+  * `maxKeyExclusive` field stays for pre-token checkpoints.
+  */
+private[v2] class MongoOffset(val maxKeyExclusive: Long,
+                              ns: Option[String] = None)
     extends Offset {
-  override def json: String =
-    s"""{"maxKeyExclusive":$maxKeyExclusive}"""
+  override def json: String = ns match {
+    case Some(n) =>
+      s"""{"maxKeyExclusive":$maxKeyExclusive,"resumeToken":""" +
+        s""""${MongoOffset.token(n, maxKeyExclusive)}"}"""
+    case None => s"""{"maxKeyExclusive":$maxKeyExclusive}"""
+  }
+}
+
+private[v2] object MongoOffset {
+  private val Magic = "graft1"
+
+  def token(ns: String, maxKeyExclusive: Long): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      s"$Magic:$ns:$maxKeyExclusive".getBytes("UTF-8"))
+
+  /** Decodes a token → (namespace, watermark); loud on garbage. */
+  def parseToken(tok: String): (String, Long) = {
+    val raw =
+      try new String(java.util.Base64.getUrlDecoder.decode(tok),
+        "UTF-8")
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"graft-mongo: undecodable resume token '$tok'", e) }
+    raw.split(":", 3) match {
+      case Array(Magic, ns, k) => (ns, k.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"graft-mongo: malformed resume token payload '$raw'")
+    }
+  }
 }
 
 /** `spark.readStream.format("graft-mongo")` — TAILS a collection by
@@ -1269,9 +1305,12 @@ private[v2] class MongoMicroBatchStream(required: StructType,
   // an INITIALLY-EMPTY collection starts the watermark at the key
   // space's floor: a 0 default would permanently skip later inserts
   // with negative keys (every window is [start, latest))
+  private def ns: String = s"${conf.db}.${conf.coll}"
+
   private lazy val initial: MongoOffset =
     new MongoOffset(
-      conf.minKey.getOrElse(edge(1).getOrElse(Long.MinValue)))
+      conf.minKey.getOrElse(edge(1).getOrElse(Long.MinValue)),
+      Some(ns))
 
   @volatile private var lastLatest: Long = Long.MinValue
 
@@ -1292,7 +1331,7 @@ private[v2] class MongoMicroBatchStream(required: StructType,
     }.getOrElse(initial.maxKeyExclusive)
     lastLatest = math.max(lastLatest,
       math.max(probed, initial.maxKeyExclusive))
-    new MongoOffset(lastLatest)
+    new MongoOffset(lastLatest, Some(ns))
   }
 
 
@@ -1316,9 +1355,26 @@ private[v2] class MongoMicroBatchStream(required: StructType,
     new MongoReaderFactory(required)
 
   override def deserializeOffset(json: String): Offset = {
-    val m = """\{"maxKeyExclusive":(-?\d+)\}""".r
+    val tokenForm =
+      """\{"maxKeyExclusive":(-?\d+),"resumeToken":"([^"]+)"\}""".r
+    val plainForm = """\{"maxKeyExclusive":(-?\d+)\}""".r
     json match {
-      case m(n) => new MongoOffset(n.toLong)
+      case tokenForm(n, tok) =>
+        // the change-stream resume rule: a token is only valid on
+        // the stream it came from — restarting a checkpoint against
+        // a different collection is a configuration error, refused
+        // loudly instead of silently tailing the wrong data
+        val (tokNs, tokKey) = MongoOffset.parseToken(tok)
+        require(tokNs == ns,
+          s"graft-mongo: resume token belongs to '$tokNs' but this " +
+            s"stream tails '$ns' — a checkpoint cannot be replayed " +
+            "against a different collection")
+        require(tokKey == n.toLong,
+          s"graft-mongo: resume token watermark $tokKey disagrees " +
+            s"with the offset's $n — corrupted checkpoint")
+        new MongoOffset(tokKey, Some(ns))
+      case plainForm(n) =>   // pre-token checkpoints stay readable
+        new MongoOffset(n.toLong, Some(ns))
       case _ => throw new IllegalArgumentException(
         s"graft-mongo: bad offset json: $json")
     }

@@ -668,6 +668,47 @@ class MongoV2Spec extends AnyFunSuite {
         assert(sunk() == ((0L until 40L) ++ (100L until 130L)),
           s"restart must append exactly the missed window")
       } finally q2.stop()
+      // the persisted offsets carry the change-stream-shaped resume
+      // token (opaque, binds the checkpoint to db.coll)
+      val offsetFiles = new java.io.File(ckpt, "offsets").listFiles()
+      assert(offsetFiles != null && offsetFiles.nonEmpty)
+      val lastOffset = scala.io.Source.fromFile(
+        offsetFiles.maxBy(_.getName)).mkString
+      assert(lastOffset.contains("resumeToken"),
+        s"offset log must carry the resume token: $lastOffset")
+      // resume-token rule: the SAME checkpoint replayed against a
+      // DIFFERENT collection is refused loudly (the token names the
+      // stream it came from), never silently tails the wrong data
+      val other = InProcessMongod.serveEmpty("db", "othercoll", "k")
+      try {
+        val q3 = spark.readStream.format("graft-mongo")
+          .schema(schema)
+          .option("host", "127.0.0.1")
+          .option("port", other.port.toString)
+          .option("database", "db").option("collection", "othercoll")
+          .option("keyfield", "k").option("numpartitions", "2")
+          .load()
+          .writeStream.format("graft-mongo")
+          .option("host", "127.0.0.1")
+          .option("port", dst.port.toString)
+          .option("database", "db").option("collection", "out")
+          .option("keyfield", "k")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+        val e = intercept[org.apache.spark.sql.streaming
+            .StreamingQueryException] {
+          q3.processAllAvailable()
+          q3.awaitTermination(10000)
+        }
+        def chain(t: Throwable): Seq[Throwable] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .take(8).toSeq
+        assert(chain(e).exists(t => Option(t.getMessage)
+            .exists(_.contains("different collection"))),
+          s"expected the resume-token refusal, got: $e")
+        try q3.stop() catch { case _: Exception => () }
+      } finally other.close()
     } finally {
       srv.close(); dst.close()
       def rm(f: java.io.File): Unit = {
