@@ -75,7 +75,18 @@ import graft.sources.MongoWire
   * socket — a hung server is a loud SocketTimeoutException instead
   * of a pinned executor; default 0 = block forever), `maxtimems`
   * (server-side processing bound shipped on cursor-opening commands
-  * — the server's own MaxTimeMSExpired surfaces as the error).
+  * — the server's own MaxTimeMSExpired surfaces as the error),
+  * `tlskeystore`/`tlskeystorepassword` (mTLS client identity —
+  * certificate + key presented when the server requires client
+  * auth), `authmechanism` (`SCRAM` default, negotiated SHA-256/
+  * SHA-1; or `MONGODB-X509` — certificate-subject auth against
+  * `$external`, requires the client key store, takes no password),
+  * `exhaust` (getMore streams every remaining batch on ONE round
+  * trip via the OP_MSG exhaustAllowed/moreToCome flags — the
+  * high-latency-link win, default off), `compress`
+  * (`none`/`auto`/`snappy`/`zlib`/`zstd` — negotiated PER
+  * CONNECTION in each connection's own hello; a forced compressor
+  * the server lacks is a loud error, never a plaintext downgrade).
   *
   * At 100 TB: one cursor per key range is the standard bulk-read
   * layout (each range lands on the shard owning it); pushdown means
