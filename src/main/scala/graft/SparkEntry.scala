@@ -635,6 +635,124 @@ object SparkEntry {
         .orderBy("n_nationkey")
       finally srv.close()
     }),
+    // REPLICA-SET routing as an oracle row: three members serve one
+    // store, the scan declares readpreference=secondary, and the row
+    // REQUIRES the primary served ZERO documents while every
+    // secondary served some — the 100 TB point of secondary reads
+    // (take the scan OFF the primary and ACROSS the set; partitions
+    // spread round-robin over the secondaries). Row equality with
+    // the parquet oracle certifies the routing is
+    // content-transparent; the refusal arms (13435/10107) are
+    // spec-pinned in ReplicaSpec
+    "mongo_secondary_scan" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val b = cust.agg(min(col("c_custkey")), max(col("c_custkey")))
+        .head()
+      val rs = graft.sources.InProcessMongod.serveReplicaSet(cust,
+        "c_custkey", "graft", "customer_rs", setName = "rs0", n = 3)
+      try {
+        val out = s.read.format("graft-mongo").schema(cust.schema)
+          .option("host", rs.seeds)   // "h:p,h:p,h:p" — the seed list
+          .option("database", "graft")
+          .option("collection", "customer_rs")
+          .option("keyfield", "c_custkey")
+          .option("minkey", b.getLong(0).toString)
+          .option("maxkey", (b.getLong(1) + 1).toString)
+          .option("numpartitions", "4")
+          .option("readpreference", "secondary")
+          .option("replicaset", "rs0")
+          .load()
+          .localCheckpoint(true)
+          .orderBy("c_custkey")
+        require(rs.primary.stats.servedDocs.get == 0L,
+          "readpreference=secondary must not touch the primary")
+        rs.secondaries.foreach(m =>
+          require(m.stats.servedDocs.get > 0L,
+            s"partition spread left secondary ${m.meAddr} idle"))
+        out
+      } finally rs.close()
+    }),
+    // TAG-SET routing as an oracle row (the managed-deployment
+    // analytics-node story): of two secondaries only one carries
+    // nodeType:ANALYTICS, the scan declares an ordered tag-set list
+    // whose first alternative matches nothing, and the row REQUIRES
+    // every document was served by the analytics member alone —
+    // first-match-wins over the alternatives, primary and untagged
+    // secondary at zero. Row equality certifies transparency; the
+    // scoping/fallback/loud-no-match arms are spec-pinned in
+    // ReplicaSpec
+    "mongo_tagged_scan" -> ((s, d) => {
+      val nat = Tables.load(s, d, "nation")
+      val rs = graft.sources.InProcessMongod.serveReplicaSet(nat,
+        "n_nationkey", "graft", "nation_tag", setName = "rs0", n = 3)
+      try {
+        val ana = rs.secondaries.head
+        ana.setMemberTags(Map("nodeType" -> "ANALYTICS"))
+        rs.secondaries.last.setMemberTags(Map("dc" -> "west"))
+        val out = s.read.format("graft-mongo").schema(nat.schema)
+          .option("host", rs.seeds)
+          .option("database", "graft")
+          .option("collection", "nation_tag")
+          .option("keyfield", "n_nationkey")
+          .option("minkey", "0").option("maxkey", "25")
+          .option("numpartitions", "3")
+          .option("readpreference", "secondary")
+          .option("readpreferencetags",
+            "nodeType:NOSUCH;nodeType:ANALYTICS")
+          .option("replicaset", "rs0")
+          .load()
+          .localCheckpoint(true)
+          .orderBy("n_nationkey")
+        require(rs.primary.stats.servedDocs.get == 0L,
+          "tagged secondary read must not touch the primary")
+        require(rs.secondaries.last.stats.servedDocs.get == 0L,
+          "the tag set must exclude the non-matching secondary")
+        require(ana.stats.servedDocs.get == 25L,
+          "every document belongs to the ANALYTICS member")
+        out
+      } finally rs.close()
+    }),
+    // failover on the WRITE path: batch 1 lands on the first
+    // primary, a step-down elects the other member between writes,
+    // and the second write's connections re-discover and land on the
+    // NEW primary (the V2 writer's seed-list routing; the in-flight
+    // 10107-retry arm is spec-pinned in ReplicaSpec). Read-back
+    // equality with the parquet oracle proves no row was lost or
+    // doubled across the election
+    "mongo_failover_write" -> ((s, d) => {
+      val nat = Tables.load(s, d, "nation")
+      val rs = graft.sources.InProcessMongod.serveReplicaSet(
+        nat.limit(0), "n_nationkey", "graft", "nation_fo",
+        setName = "rs0", n = 2)
+      try {
+        def writeHalf(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("graft-mongo").mode("append")
+            .option("host", rs.seeds)
+            .option("database", "graft")
+            .option("collection", "nation_fo")
+            .option("keyfield", "n_nationkey")
+            .option("replicaset", "rs0")
+            .save()
+        val mid = 12L
+        val oldPrimary = rs.primary
+        writeHalf(nat.filter(col("n_nationkey") < mid))
+        rs.stepDownTo(rs.secondaries.head)   // the election
+        writeHalf(nat.filter(col("n_nationkey") >= mid))
+        require(rs.primary.meAddr != oldPrimary.meAddr,
+          "the step-down must have moved the primary")
+        s.read.format("graft-mongo").schema(nat.schema)
+          .option("host", rs.seeds)
+          .option("database", "graft")
+          .option("collection", "nation_fo")
+          .option("keyfield", "n_nationkey")
+          .option("numpartitions", "2")
+          .option("readpreference", "secondaryPreferred")
+          .option("replicaset", "rs0")
+          .load()
+          .localCheckpoint(true)
+          .orderBy("n_nationkey")
+      } finally rs.close()
+    }),
     // the compressor trade as DECLARED DATA (the ANN-curve rule):
     // per compressor, the same orders slice scans once compressed
     // and once plain, and the row states (a) every row survived
@@ -7555,6 +7673,23 @@ object SparkEntry {
         FROM events ORDER BY event_id DESC LIMIT 500)
       ORDER BY event_id"""),
     "mongo_write_roundtrip" -> ("""
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey"""),
+    // replica routing is content-transparent: the secondary-served
+    // rows equal the parquet table (the in-row requires pin the
+    // routing itself — primary served zero)
+    "mongo_secondary_scan" -> ("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer ORDER BY c_custkey"""),
+    // tag-set routing is content-transparent: the ANALYTICS-member
+    // rows equal the parquet table (the in-row requires pin the
+    // routing: only the tagged secondary served documents)
+    "mongo_tagged_scan" -> ("""
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey"""),
+    // a step-down between the two write halves loses or doubles
+    // nothing: the read-back equals the source table
+    "mongo_failover_write" -> ("""
       SELECT n_nationkey, n_name, n_regionkey
       FROM nation ORDER BY n_nationkey"""),
     "mongo_admin_probe" -> ("""

@@ -361,7 +361,7 @@ final class InProcessMongod(db: String,
 
   import InProcessMongod.{Coll, Stats}
 
-  private val colls: Map[String, Coll] =
+  @volatile private var colls: Map[String, Coll] =
     colls0.map { case (c, k, d) => c -> new Coll(k, d) }.toMap
 
   val stats = new Stats
@@ -478,6 +478,48 @@ final class InProcessMongod(db: String,
       "requireX509 needs tlsClientAuthTrust (the client-CA store)")
     x509Required = true
   }
+  /** Replica-set membership (None = standalone, the default). Role
+    * is DYNAMIC — the shared state's primary pointer decides per
+    * command, so a step-down flips this member's behavior (hello
+    * fields, write refusal) with no restart, like a real election.
+    */
+  @volatile private var replicaState
+      : Option[InProcessMongod.ReplicaSetState] = None
+
+  /** This member's address as the set advertises it. */
+  def meAddr: String = s"127.0.0.1:$port"
+
+  def joinReplicaSet(state: InProcessMongod.ReplicaSetState): Unit = {
+    state.register(meAddr)
+    replicaState = Some(state)
+  }
+
+  /** Replica-set member tags (`tags` in the hello) — how real
+    * deployments mark e.g. analytics nodes
+    * (`{nodeType: "ANALYTICS"}`) for tag-set read routing.
+    */
+  @volatile private var memberTags: Map[String, String] = Map.empty
+  def setMemberTags(tags: Map[String, String]): Unit =
+    memberTags = tags
+
+  private def isPrimaryNow: Boolean =
+    replicaState.forall(_.primary == meAddr)
+
+  /** Aliases this member's document stores, retryable-write records,
+    * and live-session set to `other`'s — the double's "replication":
+    * a write acknowledged by the primary is immediately visible on
+    * every member, and a (lsid, txnNumber) recorded by the OLD
+    * primary replays as the recorded ack on the NEW one (the real
+    * set replicates its sessions collection the same way, which is
+    * what makes retryable writes exactly-once ACROSS failover).
+    */
+  private[sources] def shareStoresFrom(other: InProcessMongod)
+      : Unit = {
+    colls = other.colls
+    txnRecords = other.txnRecords
+    activeSessions = other.activeSessions
+  }
+
   @volatile private var running = true
   private val nextCursor = new AtomicLong(1)
 
@@ -804,7 +846,7 @@ final class InProcessMongod(db: String,
     * real server keeps these in its sessions collection with a TTL;
     * a test double's lifetime is its own TTL).
     */
-  private val txnRecords =
+  @volatile private var txnRecords =
     new java.util.concurrent.ConcurrentHashMap[(String, Long),
       Array[Byte]]()
 
@@ -814,7 +856,7 @@ final class InProcessMongod(db: String,
     * clients that never end sessions leak them. Specs read
     * [[activeSessionCount]] to prove the writer cleans up.
     */
-  private val activeSessions =
+  @volatile private var activeSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def activeSessionCount: Int = activeSessions.size
 
@@ -1017,10 +1059,29 @@ final class InProcessMongod(db: String,
     val negotiated = compressorsSupported.filter(requested.contains)
     conn.negotiated = negotiated.toSet
     val parts = Seq.newBuilder[(String, BVal)]
-    parts += "isWritablePrimary" -> BBool(true)
-    if (advertiseSessions) {
-      parts += "logicalSessionTimeoutMinutes" -> BInt32(30)
-      parts += "setName" -> BString("graft")
+    replicaState match {
+      case Some(st) =>
+        // the real member hello: role flags + the set topology
+        // (hosts / primary / me) — what SDAM discovery reads; the
+        // role is computed PER HELLO so a step-down is visible on
+        // the very next handshake
+        parts += "isWritablePrimary" -> BBool(isPrimaryNow)
+        parts += "secondary" -> BBool(!isPrimaryNow)
+        if (advertiseSessions)
+          parts += "logicalSessionTimeoutMinutes" -> BInt32(30)
+        parts += "setName" -> BString(st.setName)
+        parts += "hosts" -> BArr(st.members.map(BString(_)))
+        parts += "primary" -> BString(st.primary)
+        parts += "me" -> BString(meAddr)
+        if (memberTags.nonEmpty)
+          parts += "tags" -> BDoc(memberTags.toSeq.sortBy(_._1)
+            .map { case (k, v) => k -> (BString(v): BVal) })
+      case None =>
+        parts += "isWritablePrimary" -> BBool(true)
+        if (advertiseSessions) {
+          parts += "logicalSessionTimeoutMinutes" -> BInt32(30)
+          parts += "setName" -> BString("graft")
+        }
     }
     parts += "maxBsonObjectSize" -> BInt32(16 * 1024 * 1024)
     parts += "maxMessageSizeBytes" -> BInt32(48 * 1000 * 1000)
@@ -1078,6 +1139,19 @@ final class InProcessMongod(db: String,
     }
   }
 
+  /** Whether the command carries a non-`primary` `$readPreference`
+    * — the OP_MSG-era secondaryOk signal (the public server rule:
+    * a secondary serves a read only when the client SAYS it may).
+    */
+  private def secondaryOkSignaled(cmd: BDoc): Boolean =
+    get(cmd, "$readPreference").exists {
+      case rp: BDoc => get(rp, "mode").exists {
+        case BString(m) => m != "primary"
+        case _ => false
+      }
+      case _ => false
+    }
+
   private def handle(cmd: BDoc, conn: ConnAuth): Array[Byte] = {
     maybeStall(cmd)
     cmd.v.headOption match {
@@ -1089,6 +1163,21 @@ final class InProcessMongod(db: String,
           !conn.authenticated && name != "hello" =>
         throw new AuthException(
           s"command $name requires authentication")
+      // the real secondary's read gate: OP_MSG has no secondaryOk
+      // flag — a read WITHOUT a non-primary $readPreference on a
+      // secondary is refused with the real code/name, so a client
+      // that selects a secondary but forgets the field fails loudly
+      case Some((name, _)) if !isPrimaryNow &&
+          (name == "find" || name == "aggregate" ||
+            name == "count") && !secondaryOkSignaled(cmd) =>
+        throw new AuthException(
+          "not primary and secondaryOk=false", 13435,
+          "NotPrimaryNoSecondaryOk")
+      // writes never run on a secondary — the retryable-write path
+      // exists to turn exactly this error into a re-selection
+      case Some(("insert", _)) if !isPrimaryNow =>
+        throw new AuthException("not primary", 10107,
+          "NotWritablePrimary")
       case Some(("find", c)) => handleFind(cmd, str(c, "find"))
       case Some(("getMore", idv)) => handleGetMore(cmd, idv)
       case Some(("aggregate", c)) =>
@@ -1578,4 +1667,73 @@ object InProcessMongod {
     new InProcessMongod(db,
       Seq((coll, keyField, IndexedSeq.empty[(Long, Array[Byte])])),
       1000, None)
+
+  /** Shared replica-set view: the member list and the CURRENT
+    * primary. `stepDown` re-points the primary — the double's
+    * election, instantaneous so specs can place it between two
+    * writes deterministically.
+    */
+  final class ReplicaSetState(val setName: String) {
+    @volatile private var membersV: Vector[String] = Vector.empty
+    @volatile private var primaryV: String = null
+
+    private[sources] def register(addr: String): Unit = synchronized {
+      if (!membersV.contains(addr)) membersV :+= addr
+      if (primaryV == null) primaryV = addr
+    }
+    def members: Seq[String] = membersV
+    def primary: String = primaryV
+    def stepDown(newPrimary: String): Unit = {
+      require(membersV.contains(newPrimary),
+        s"$newPrimary is not a member of $setName ($membersV)")
+      primaryV = newPrimary
+    }
+  }
+
+  /** A served replica set: n members over ONE document store (the
+    * double's replication — see [[InProcessMongod.shareStoresFrom]]),
+    * the first member primary until [[stepDownTo]]. Per-member
+    * [[Stats]] stay separate, which is how specs and oracle rows
+    * PROVE a `readpreference=secondary` scan never touched the
+    * primary.
+    */
+  final class ReplicaSet(val state: ReplicaSetState,
+                         val members: Seq[InProcessMongod])
+      extends AutoCloseable {
+    def setName: String = state.setName
+    def primary: InProcessMongod =
+      members.find(_.meAddr == state.primary).get
+    def secondaries: Seq[InProcessMongod] =
+      members.filterNot(_.meAddr == state.primary)
+    /** The client-facing seed string (`host` option shape). */
+    def seeds: String = members.map(_.meAddr).mkString(",")
+    def stepDownTo(m: InProcessMongod): Unit =
+      state.stepDown(m.meAddr)
+    def requireAuth(user: String, password: String): Unit =
+      members.foreach(_.requireAuth(user, password))
+    override def close(): Unit = members.foreach(_.close())
+  }
+
+  /** Serves a DataFrame as an n-member replica set (encode once,
+    * share the store).
+    */
+  def serveReplicaSet(df: org.apache.spark.sql.DataFrame,
+                      keyField: String, db: String, coll: String,
+                      setName: String = "rs0", n: Int = 3)
+      : ReplicaSet = {
+    require(n >= 1, s"replica set wants n >= 1, got $n")
+    val docs = encodeDf(df, keyField)
+    val state = new ReplicaSetState(setName)
+    val members = (0 until n).map { i =>
+      val m = new InProcessMongod(db,
+        // only the first member pays the store build; the rest alias
+        Seq((coll, keyField,
+          if (i == 0) docs else IndexedSeq.empty)), 1000, None, None,
+        None)
+      m.joinReplicaSet(state)
+      m
+    }
+    members.tail.foreach(_.shareStoresFrom(members.head))
+    new ReplicaSet(state, members)
+  }
 }

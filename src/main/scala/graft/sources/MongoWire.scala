@@ -263,8 +263,38 @@ object MongoWire {
     doc.v.find(_._1 == name).map(_._2).getOrElse(
       throw new IllegalArgumentException(s"reply missing '$name': $doc"))
 
-  /** Error replies carry `{ok: 0, errmsg, code}` — surface them as
-    * the server's own message, not a reply dump.
+  /** A server `{ok: 0}` reply as a typed error — extends
+    * IllegalArgumentException so every existing caller's handling is
+    * unchanged, while the retry paths can read the CODE (the
+    * retryable-writes spec keys on it).
+    */
+  final class ServerError(val code: Int, val codeName: String,
+                          msg: String)
+      extends IllegalArgumentException(msg)
+
+  /** The error codes the public retryable-writes spec marks
+    * retryable (the RetryableWriteError label set): topology-change
+    * and network-shaped failures where re-selecting a server and
+    * replaying the same (lsid, txnNumber) is safe. A code OUTSIDE
+    * this set is an ANSWER (duplicate key, bad document, …) — never
+    * retried.
+    */
+  val RetryableCodes: Set[Int] = Set(
+    6,     // HostUnreachable
+    7,     // HostNotFound
+    89,    // NetworkTimeout
+    91,    // ShutdownInProgress
+    189,   // PrimarySteppedDown
+    262,   // ExceededTimeLimit
+    9001,  // SocketException
+    10107, // NotWritablePrimary
+    11600, // InterruptedAtShutdown
+    11602, // InterruptedDueToReplStateChange
+    13435, // NotPrimaryNoSecondaryOk
+    13436) // NotPrimaryOrSecondary
+
+  /** Error replies carry `{ok: 0, errmsg, code, codeName}` — surface
+    * them as the server's own message, not a reply dump.
     */
   private def requireOk(reply: BDoc): Unit =
     if (field(reply, "ok") != BDouble(1.0)) {
@@ -274,7 +304,10 @@ object MongoWire {
       val code = reply.v.collectFirst {
         case ("code", BInt32(c)) => c
       }.getOrElse(-1)
-      throw new IllegalArgumentException(
+      val codeName = reply.v.collectFirst {
+        case ("codeName", BString(n)) => n
+      }.getOrElse("")
+      throw new ServerError(code, codeName,
         s"server error (code $code): $msg")
     }
 
@@ -525,7 +558,8 @@ object MongoWire {
                          tls: Option[Tls.Conf] = None,
                          soTimeoutMs: Int = 0,
                          maxTimeMs: Option[Long] = None,
-                         exhaust: Boolean = false)
+                         exhaust: Boolean = false,
+                         readPref: Option[String] = None)
       extends WireCursor(host, port, db, coll, batchSize, compressMode,
         auth, tls, soTimeoutMs, exhaust) {
     protected def firstCommand: BDoc = {
@@ -543,6 +577,11 @@ object MongoWire {
       // a query the server cannot finish in time is a LOUD
       // MaxTimeMSExpired error, not a hung cursor
       maxTimeMs.foreach(t => parts += "maxTimeMS" -> BInt64(t))
+      // the OP_MSG secondaryOk signal: a non-primary mode rides as
+      // the $readPreference global argument — without it a secondary
+      // refuses the read (13435), per the public server rule
+      readPref.foreach(m => parts += "$readPreference" ->
+        BDoc(Seq("mode" -> BString(m))))
       parts += "$db" -> BString(db)
       BDoc(parts.result())
     }
@@ -561,7 +600,8 @@ object MongoWire {
                               auth: Option[Scram.Credential] = None,
                               tls: Option[Tls.Conf] = None,
                               soTimeoutMs: Int = 0,
-                              maxTimeMs: Option[Long] = None)
+                              maxTimeMs: Option[Long] = None,
+                              readPref: Option[String] = None)
       extends WireCursor(host, port, db, coll, batchSize, compressMode,
         auth, tls, soTimeoutMs) {
     protected def firstCommand: BDoc = {
@@ -570,6 +610,8 @@ object MongoWire {
       parts += "pipeline" -> BArr(pipeline)
       parts += "cursor" -> BDoc(Seq("batchSize" -> BInt32(batchSize)))
       maxTimeMs.foreach(t => parts += "maxTimeMS" -> BInt64(t))
+      readPref.foreach(m => parts += "$readPreference" ->
+        BDoc(Seq("mode" -> BString(m))))
       parts += "$db" -> BString(db)
       BDoc(parts.result())
     }
@@ -765,7 +807,9 @@ object MongoWire {
                               auth: Option[Scram.Credential] = None,
                               tls: Option[Tls.Conf] = None,
                               writeConcern: Option[BDoc] = None,
-                              retryWrites: Boolean = true)
+                              retryWrites: Boolean = true,
+                              seeds: Seq[(String, Int)] = Nil,
+                              expectSetName: Option[String] = None)
       extends AutoCloseable {
 
     private val lsid: Array[Byte] = {
@@ -787,7 +831,17 @@ object MongoWire {
 
     private def ensure(): Socket = {
       if (sock == null) {
-        sock = openSocket(host, port, tls)
+        // replica-aware: every (re)connection re-discovers and
+        // targets the CURRENT primary — after a step-down the retry
+        // lands on the new one, not the member that refused
+        val (h, p) =
+          if (seeds.isEmpty) (host, port)
+          else {
+            val m = Replica.selectPrimary(
+              Replica.discover(seeds, tls, expectSetName))
+            (m.host, m.port)
+          }
+        sock = openSocket(h, p, tls)
         val hello = auth match {
           case Some(c) => Scram.authenticate(sock, c)
           case None => runCommandOk(sock, BDoc(Seq(
@@ -823,8 +877,18 @@ object MongoWire {
         // only a RECORDED batch may replay: without sessions a lost
         // ack is indistinguishable from an unapplied command, and a
         // blind resend could double-insert — fail the task instead
-        // (Spark's at-least-once task retry owns it from there)
-        case e: java.io.IOException if retryable =>
+        // (Spark's at-least-once task retry owns it from there).
+        // Two retryable shapes (both replay the SAME txnNumber once):
+        //  - transport death (IOException): the ack may be lost
+        //  - a RetryableWriteError-labeled server code (step-down &
+        //    co.): the server ANSWERED "not me, re-select" — the
+        //    reconnect re-discovers the primary
+        case e: Exception if retryable &&
+            (e.isInstanceOf[java.io.IOException] ||
+              (e match {
+                case se: ServerError => RetryableCodes(se.code)
+                case _ => false
+              })) =>
           dropConn()
           try insertBatch(ensure(), db, coll, docs,
             { reqId += 1; reqId }, writeConcern, session)
@@ -944,10 +1008,13 @@ object MongoWire {
   def countDocs(host: String, port: Int, db: String, coll: String,
                 query: Option[BDoc] = None,
                 auth: Option[Scram.Credential] = None,
-                tls: Option[Tls.Conf] = None): Long = {
+                tls: Option[Tls.Conf] = None,
+                readPref: Option[String] = None): Long = {
     val parts = Seq.newBuilder[(String, BVal)]
     parts += "count" -> BString(coll)
     query.foreach(q => parts += "query" -> q)
+    readPref.foreach(m => parts += "$readPreference" ->
+      BDoc(Seq("mode" -> BString(m))))
     parts += "$db" -> BString(db)
     field(command(host, port, BDoc(parts.result()), auth, tls),
       "n") match {

@@ -78,6 +78,31 @@ class MongoCatalog extends TableCatalog {
         Option(options.get("tlstruststorepassword"))))
     else None
 
+  /** The endpoint catalog-level admin commands (listCollections)
+    * run against: the single configured host, or — when `host` is a
+    * replica-set seed list (inline ports), or a set name / read
+    * preference is declared — ONE read-eligible member under the
+    * catalog's read preference, so a `readpreference=secondary`
+    * catalog keeps even its metadata traffic off the primary.
+    */
+  private def adminHostPort: (String, Int) = {
+    val seeds = graft.sources.Replica.parseSeeds(opt("host"),
+      opt("port").toInt)
+    val setName = Option(options.get("replicaset"))
+    val mode = Option(options.get("readpreference"))
+      .map(graft.sources.Replica.parseMode).getOrElse("primary")
+    if (seeds.lengthCompare(1) == 0 && setName.isEmpty &&
+        mode == "primary") seeds.head
+    else {
+      val topo = graft.sources.Replica.discover(seeds, tlsConf,
+        setName)
+      val m = graft.sources.Replica.selectForRead(topo, mode, 0,
+        Option(options.get("readpreferencetags"))
+          .map(graft.sources.Replica.parseTagSets).getOrElse(Nil))
+      (m.host, m.port)
+    }
+  }
+
   private def checkNamespace(ns: Array[String]): Unit =
     require(ns.sameElements(Array(db)),
       s"catalog $catalogName serves exactly one namespace '$db', " +
@@ -86,7 +111,8 @@ class MongoCatalog extends TableCatalog {
   override def listTables(namespace: Array[String])
       : Array[Identifier] = {
     checkNamespace(namespace)
-    val reply = MongoWire.command(opt("host"), opt("port").toInt,
+    val (ah, ap) = adminHostPort
+    val reply = MongoWire.command(ah, ap,
       BDoc(Seq("listCollections" -> BInt32(1),
         "$db" -> BString(db))), auth, tlsConf)
     val cur = reply.v.collectFirst { case ("cursor", c: BDoc) => c }
@@ -112,7 +138,9 @@ class MongoCatalog extends TableCatalog {
       .getOrElse("_id")
     val confMap = new util.HashMap[String, String]()
     confMap.put("host", opt("host"))
-    confMap.put("port", opt("port"))
+    // with a seed-list host ("h1:p1,h2:p2") the port option is
+    // optional and unused — Conf evaluates it lazily
+    Option(options.get("port")).foreach(confMap.put("port", _))
     confMap.put("database", db)
     confMap.put("collection", coll)
     confMap.put("keyfield", keyField)
@@ -125,7 +153,8 @@ class MongoCatalog extends TableCatalog {
         "tlskeystore", "tlskeystorepassword", "authmechanism",
         "tlsminprotocol", "writeconcernw", "writeconcernj",
         "retrywrites", "varianttype", "compress", "sockettimeoutms",
-        "maxtimems").foreach { k =>
+        "maxtimems", "readpreference", "replicaset",
+        "readpreferencetags", "exhaust").foreach { k =>
       Option(options.get(k)).foreach(confMap.put(k, _))
     }
     val conf = MongoV2.Conf(new CaseInsensitiveStringMap(confMap))

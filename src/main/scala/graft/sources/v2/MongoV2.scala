@@ -88,6 +88,27 @@ import graft.sources.MongoWire
   * CONNECTION in each connection's own hello; a forced compressor
   * the server lacks is a loud error, never a plaintext downgrade).
   *
+  * Replica sets ([[graft.sources.Replica]]): `host` may be a seed
+  * list (`"h1:p1,h2:p2"` — `port` then unused), `replicaset` pins
+  * the expected set name (a member of the WRONG set is a loud
+  * error), and `readpreference`
+  * (`primary` default / `primaryPreferred` / `secondary` /
+  * `secondaryPreferred` / `nearest`) routes the whole READ side:
+  * partition cursors spread round-robin across the eligible members
+  * carrying `$readPreference`, and metadata reads (key span,
+  * plan-time counts, stats, schema inference) follow the SAME
+  * preference — under `secondary` the primary serves zero reads of
+  * any kind. `readpreferencetags` narrows eligibility by ordered
+  * tag-set alternatives (`"nodeType:ANALYTICS,dc:east;
+  * nodeType:ANALYTICS;"`; trailing `;` = match-anything fallback) —
+  * the managed-deployment analytics-node story. ALL writes target
+  * the discovered primary and retry once on
+  * RetryableWriteError-labeled codes (step-down & co.) after
+  * re-discovery — same (lsid, txnNumber), so failover costs one
+  * replay, never a double insert. The streaming tail follows the
+  * primary (its watermark is the newest key; secondary lag would
+  * stall or re-order it).
+  *
   * At 100 TB: one cursor per key range is the standard bulk-read
   * layout (each range lands on the shard owning it); pushdown means
   * the wire carries only needed columns and matching documents, and
@@ -139,7 +160,15 @@ private[v2] object MongoV2 {
                         variantType: Boolean = false,
                         soTimeoutMs: Int = 0,
                         maxTimeMs: Option[Long] = None,
-                        exhaust: Boolean = false)
+                        exhaust: Boolean = false,
+                        seeds: Seq[(String, Int)] = Nil,
+                        readPref: String = "primary",
+                        readTagSets: Seq[Map[String, String]] = Nil,
+                        replicaSetName: Option[String] = None) {
+    /** The seed list (explicit, or the single host/port). */
+    def seedList: Seq[(String, Int)] =
+      if (seeds.nonEmpty) seeds else Seq((host, port))
+  }
 
   object Conf {
     def apply(o: CaseInsensitiveStringMap): Conf = {
@@ -148,8 +177,21 @@ private[v2] object MongoV2 {
         require(v != null, s"graft-mongo: missing required option '$k'")
         v
       }
-      Conf(
-        host = req("host"), port = req("port").toInt,
+      // `host` is a seed list when it carries inline ports
+      // ("h1:p1,h2:p2" — the replica-set shape); `port` is then
+      // optional and unused
+      val seedList = graft.sources.Replica.parseSeeds(
+        req("host"), req("port").toInt)
+      val conf = Conf(
+        host = seedList.head._1, port = seedList.head._2,
+        seeds = seedList,
+        readPref = Option(o.get("readpreference"))
+          .map(graft.sources.Replica.parseMode)
+          .getOrElse("primary"),
+        readTagSets = Option(o.get("readpreferencetags"))
+          .map(graft.sources.Replica.parseTagSets)
+          .getOrElse(Nil),
+        replicaSetName = Option(o.get("replicaset")),
         db = req("database"), coll = req("collection"),
         keyField = req("keyfield"),
         minKey = Option(o.get("minkey")).map(_.toLong),
@@ -227,6 +269,13 @@ private[v2] object MongoV2 {
           .getOrElse(0),
         maxTimeMs = Option(o.get("maxtimems")).map(_.toLong),
         exhaust = Option(o.get("exhaust")).exists(_.toBoolean))
+      // the public drivers rule: tag sets combined with mode=primary
+      // are an ERROR (primary selection ignores tags; silently
+      // accepting the option would mislead)
+      require(conf.readTagSets.isEmpty || conf.readPref != "primary",
+        "graft-mongo: readpreferencetags requires a non-primary " +
+          "readpreference (tag sets never apply to primary selection)")
+      conf
     }
   }
 
@@ -251,16 +300,105 @@ private[v2] object MongoV2 {
       MongoWire.rangeFilter(c.keyField, lo, hi).v
     }
 
-  /** The `[min, maxExclusive)` key span: from options, or probed with
-    * two single-row sorted finds (the `sort dir limit 1` idiom).
+  /** Whether this conf needs replica-set topology discovery before
+    * any wire work: several seeds, a declared set name, or a
+    * non-primary read preference (which only means something against
+    * a set — and against a standalone resolves to the one member or
+    * a loud error, per the selection rules).
     */
-  def keySpan(c: Conf): (Long, Long) = (c.minKey, c.maxKey) match {
+  def replicaAware(c: Conf): Boolean =
+    c.seedList.lengthCompare(1) > 0 || c.replicaSetName.isDefined ||
+      c.readPref != "primary"
+
+  /** Conf re-pointed at the discovered PRIMARY and fully RESOLVED
+    * (seeds/set-name/read-preference cleared, so every downstream
+    * routing decision is a no-op) — the paths that MUST read the
+    * primary regardless of read preference: the streaming tail
+    * (its watermark is the newest key; a secondary's replication lag
+    * would stall or re-order it) and anything feeding a write. No-op
+    * (no discovery round trips) for non-replica confs.
+    */
+  def primaryConf(c: Conf): Conf =
+    if (!replicaAware(c)) c
+    else {
+      val m = graft.sources.Replica.selectPrimary(
+        graft.sources.Replica.discover(c.seedList, c.tls,
+          c.replicaSetName))
+      c.copy(host = m.host, port = m.port, seeds = Nil,
+        readPref = "primary", readTagSets = Nil,
+        replicaSetName = None)
+    }
+
+  /** Conf re-pointed at ONE read-eligible member under the conf's
+    * own read preference (selection index 0, seeds cleared so the
+    * resolution sticks) — the driver-side metadata READ path:
+    * key-span edge probes, plan-time counts, statistics, schema
+    * inference. Metadata reads follow the SAME preference as the
+    * data path, for two reasons that both matter at 100 TB: under
+    * `readpreference=secondary` the primary serves ZERO reads of any
+    * kind (the whole point is taking load off it), and the span /
+    * types the plan derives come from the same member class the
+    * partition cursors will read — consistent under replication lag
+    * by construction. The preference mode is KEPT in the copy: the
+    * probes must carry `$readPreference` or a secondary refuses
+    * them. No-op for non-replica confs.
+    */
+  def readConf(c: Conf): Conf =
+    if (!replicaAware(c)) c
+    else {
+      val topo = graft.sources.Replica.discover(c.seedList, c.tls,
+        c.replicaSetName)
+      val m = graft.sources.Replica.selectForRead(topo, c.readPref,
+        0, c.readTagSets)
+      c.copy(host = m.host, port = m.port, seeds = Nil,
+        replicaSetName = None)
+    }
+
+  /** One wire endpoint per partition index: the read preference
+    * spreads a multi-partition scan round-robin across the eligible
+    * members (all secondaries under `secondary`, …) — the point of
+    * secondary reads at 100 TB is taking the scan OFF the primary
+    * and ACROSS the set. Non-replica confs route everything at the
+    * configured host.
+    */
+  def readRoutes(c: Conf, n: Int): Seq[(String, Int)] =
+    if (!replicaAware(c)) Seq.fill(n)((c.host, c.port))
+    else {
+      val topo = graft.sources.Replica.discover(c.seedList, c.tls,
+        c.replicaSetName)
+      (0 until n).map { i =>
+        val m = graft.sources.Replica.selectForRead(topo, c.readPref,
+          i, c.readTagSets)
+        (m.host, m.port)
+      }
+    }
+
+  /** The `$readPreference` mode partition cursors must carry (None
+    * for primary reads — a bare command IS a primary read).
+    */
+  def readPrefArg(c: Conf): Option[String] =
+    graft.sources.Replica.readPrefArg(c.readPref)
+
+  /** The `[min, maxExclusive)` key span: from options, or probed with
+    * two single-row sorted finds (the `sort dir limit 1` idiom) —
+    * routed by the read preference when replica-aware (see
+    * [[readConf]]).
+    */
+  def keySpan(c0: Conf): (Long, Long) = (c0.minKey, c0.maxKey) match {
+    case (Some(lo), Some(hi)) => (lo, hi)   // declared: no probe,
+                                            // no discovery round trip
+    case _ => keySpanResolved(readConf(c0))
+  }
+
+  private def keySpanResolved(c: Conf): (Long, Long) =
+    (c.minKey, c.maxKey) match {
     case (Some(lo), Some(hi)) => (lo, hi)
     case _ =>
       def edge(dir: Int): Option[Long] = {
         val cur = new MongoWire.FindCursor(c.host, c.port, c.db, c.coll,
           None, Some(Seq(c.keyField)), Some((c.keyField, dir)),
-          Some(1L), 2, auth = c.auth, tls = c.tls)
+          Some(1L), 2, auth = c.auth, tls = c.tls,
+          readPref = readPrefArg(c))
         try {
           if (!cur.hasNext) None
           else {
@@ -312,12 +450,14 @@ private[v2] object MongoV2 {
     * (`core/analyser.py:254`): one `aggregate` cursor with a
     * `$sample` stage.
     */
-  def inferSchema(c: Conf): StructType = {
+  def inferSchema(c0: Conf): StructType = {
+    val c = readConf(c0)   // metadata read: follows the preference
     val cur = new MongoWire.AggregateCursor(c.host, c.port, c.db,
       c.coll,
       Seq(BDoc(Seq("$sample" ->
         BDoc(Seq("size" -> BInt32(c.sampleSize)))))),
-      math.max(c.sampleSize, 1), auth = c.auth, tls = c.tls)
+      math.max(c.sampleSize, 1), auth = c.auth, tls = c.tls,
+      readPref = readPrefArg(c))
     val fields = scala.collection.mutable.LinkedHashMap
       .empty[String, Option[DataType]]
     val variant = scala.collection.mutable.Set.empty[String]
@@ -627,7 +767,11 @@ private[v2] class MongoDataWriter(schema: StructType,
   private lazy val writer = new MongoWire.RetryableWriter(
     conf.host, conf.port, conf.db, conf.coll, conf.auth, conf.tls,
     MongoWire.writeConcernDoc(conf.writeConcernW, conf.writeConcernJ),
-    conf.retryWrites)
+    conf.retryWrites,
+    // replica-aware: every (re)connect targets the CURRENT primary,
+    // so a step-down between batches is one retry, not a failed task
+    seeds = if (MongoV2.replicaAware(conf)) conf.seedList else Nil,
+    expectSetName = conf.replicaSetName)
   private val buf = scala.collection.mutable.ArrayBuffer
     .empty[Bson.BDoc]
   private var acked = 0L
@@ -908,16 +1052,21 @@ private[v2] class MongoGroupScan(conf: MongoV2.Conf,
 
   override def toBatch: Batch = this
 
+  // probed/discovered ONCE per scan, like MongoScan
+  private lazy val resolvedSpan: (Long, Long) = MongoV2.keySpan(conf)
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val (minKey, maxKeyExclusive) = MongoV2.keySpan(conf)
+    val (minKey, maxKeyExclusive) = resolvedSpan
     val parts = MongoWire.splitRanges(minKey, maxKeyExclusive,
       conf.numPartitions)
     val ranges = if (parts.isEmpty) Seq((0L, 0L)) else parts
-    ranges.map { case (lo, hi) =>
-      MongoGroupPartition(conf.host, conf.port, conf.db, conf.coll,
+    val routes = MongoV2.readRoutes(conf, ranges.size)
+    val rp = MongoV2.readPrefArg(conf)
+    ranges.zip(routes).map { case ((lo, hi), (h, p)) =>
+      MongoGroupPartition(h, p, conf.db, conf.coll,
         conf.keyField, lo, hi, conf.batchSize, wireFilter, spec,
         conf.compressMode, conf.auth, conf.tls,
-        conf.soTimeoutMs, conf.maxTimeMs): InputPartition
+        conf.soTimeoutMs, conf.maxTimeMs, rp): InputPartition
     }.toArray
   }
 
@@ -936,7 +1085,8 @@ private[v2] final case class MongoGroupPartition(
     compressMode: String,
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf],
-    soTimeoutMs: Int, maxTimeMs: Option[Long])
+    soTimeoutMs: Int, maxTimeMs: Option[Long],
+    readPref: Option[String] = None)
   extends InputPartition
 
 private[v2] class MongoGroupReader(p: MongoGroupPartition)
@@ -963,7 +1113,7 @@ private[v2] class MongoGroupReader(p: MongoGroupPartition)
       Seq(BDoc(Seq("$match" -> matchDoc)),
         BDoc(Seq("$group" -> groupDoc))),
       p.batchSize, p.compressMode, p.auth, p.tls,
-      p.soTimeoutMs, p.maxTimeMs)
+      p.soTimeoutMs, p.maxTimeMs, p.readPref)
   }
 
   private var current: InternalRow = _
@@ -1019,9 +1169,12 @@ private[v2] class MongoAggScan(conf: MongoV2.Conf,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(MongoAggPartition(conf.host, conf.port, conf.db, conf.coll,
-      conf.keyField, wireFilter, specs, conf.auth, conf.tls))
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (h, p) = MongoV2.readRoutes(conf, 1).head
+    Array(MongoAggPartition(h, p, conf.db, conf.coll,
+      conf.keyField, wireFilter, specs, conf.auth, conf.tls,
+      MongoV2.readPrefArg(conf)))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -1036,7 +1189,8 @@ private[v2] final case class MongoAggPartition(
     keyField: String, wireFilter: Seq[(String, BVal)],
     specs: Seq[MongoV2.AggSpec],
     auth: Option[graft.sources.Scram.Credential],
-    tls: Option[graft.sources.Tls.Conf])
+    tls: Option[graft.sources.Tls.Conf],
+    readPref: Option[String] = None)
   extends InputPartition
 
 private[v2] class MongoAggReader(p: MongoAggPartition)
@@ -1049,7 +1203,7 @@ private[v2] class MongoAggReader(p: MongoAggPartition)
       if (p.wireFilter.isEmpty) None
       else Some(MongoWire.andDoc(p.wireFilter)),
       Some(Seq(p.keyField)), Some((p.keyField, dir)), Some(1L), 2,
-      auth = p.auth, tls = p.tls)
+      auth = p.auth, tls = p.tls, readPref = p.readPref)
     try {
       if (!cur.hasNext) None
       else cur.next().v.collectFirst {
@@ -1072,7 +1226,8 @@ private[v2] class MongoAggReader(p: MongoAggPartition)
         case "count" =>
           MongoWire.countDocs(p.host, p.port, p.db, p.coll,
             if (p.wireFilter.isEmpty) None
-            else Some(MongoWire.andDoc(p.wireFilter)), p.auth, p.tls)
+            else Some(MongoWire.andDoc(p.wireFilter)), p.auth, p.tls,
+            p.readPref)
         case "min" | "max" =>
           edgeKey(if (s.kind == "min") 1 else -1) match {
             case None => null          // empty: MIN/MAX are NULL
@@ -1168,15 +1323,16 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
       : org.apache.spark.sql.connector.read.Statistics = {
     val (rows, bytes) =
       try {
-        val (cnt, size, _) = MongoWire.collStats(conf.host, conf.port,
-          conf.db, conf.coll, conf.auth, conf.tls)
+        val pc = MongoV2.readConf(conf)   // metadata read: preference
+        val (cnt, size, _) = MongoWire.collStats(pc.host, pc.port,
+          pc.db, pc.coll, pc.auth, pc.tls)
         // the declared key window scopes the stats like the scan
-        val eff = wireFilter ++ MongoV2.windowConjuncts(conf)
+        val eff = wireFilter ++ MongoV2.windowConjuncts(pc)
         if (eff.isEmpty || cnt == 0L) (cnt, size)
         else {
-          val fc = MongoWire.countDocs(conf.host, conf.port, conf.db,
-            conf.coll, Some(MongoWire.andDoc(eff)), conf.auth,
-            conf.tls)
+          val fc = MongoWire.countDocs(pc.host, pc.port, pc.db,
+            pc.coll, Some(MongoWire.andDoc(eff)), pc.auth,
+            pc.tls, MongoV2.readPrefArg(pc))
           (fc, math.max(size * fc / cnt, 1L))
         }
       } catch {
@@ -1208,10 +1364,23 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new MongoMicroBatchStream(required, conf, wireFilter)
+    // the tail follows the PRIMARY: its watermark is the newest key,
+    // and a secondary's replication lag would stall or re-order it
+    new MongoMicroBatchStream(required, MongoV2.primaryConf(conf),
+      wireFilter)
+
+  // probed ONCE per scan (Spark may call planInputPartitions more
+  // than once): one edge-probe pair and one topology discovery per
+  // plan, not per call
+  private lazy val resolvedSpan: (Long, Long) = MongoV2.keySpan(conf)
+  private lazy val resolvedRoutes: Int => Seq[(String, Int)] = {
+    val cache = scala.collection.mutable.Map
+      .empty[Int, Seq[(String, Int)]]
+    n => cache.getOrElseUpdate(n, MongoV2.readRoutes(conf, n))
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (minKey0, maxKeyExclusive0) = MongoV2.keySpan(conf)
+    val (minKey0, maxKeyExclusive0) = resolvedSpan
     // runtime key filters narrow the planned window
     val minKey = runtimeLo.fold(minKey0)(math.max(minKey0, _))
     val maxKeyExclusive = runtimeHiIncl.fold(maxKeyExclusive0)(h =>
@@ -1220,13 +1389,16 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
     val parts = MongoWire.splitRanges(minKey, maxKeyExclusive,
       conf.numPartitions)
     val ranges = if (parts.isEmpty) Seq((0L, 0L)) else parts
-    ranges.map { case (lo, hi) =>
-      MongoInputPartition(conf.host, conf.port, conf.db, conf.coll,
+    // replica-aware: partitions spread across the eligible members
+    val routes = resolvedRoutes(ranges.size)
+    val rp = MongoV2.readPrefArg(conf)
+    ranges.zip(routes).map { case ((lo, hi), (h, p)) =>
+      MongoInputPartition(h, p, conf.db, conf.coll,
         conf.keyField, lo, hi, conf.batchSize,
         wireFilter ++ runtimeWire,
         required.fieldNames.toSeq, limit, sortDesc, conf.compressMode,
         conf.auth, conf.tls, conf.soTimeoutMs,
-        conf.maxTimeMs, conf.exhaust): InputPartition
+        conf.maxTimeMs, conf.exhaust, rp): InputPartition
     }.toArray
   }
 
@@ -1404,7 +1576,7 @@ private[v2] final case class MongoInputPartition(
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf],
     soTimeoutMs: Int, maxTimeMs: Option[Long],
-    exhaust: Boolean)
+    exhaust: Boolean, readPref: Option[String] = None)
     extends InputPartition
 
 /** The pushed-TABLESAMPLE scan: ONE `aggregate` pipeline
@@ -1440,11 +1612,15 @@ private[v2] class MongoSampleScan(required: StructType,
       s"Filter: [${wireFilter.map(_._1).mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val eff = wireFilter ++ MongoV2.windowConjuncts(conf)
-    val n = MongoWire.countDocs(conf.host, conf.port, conf.db,
-      conf.coll,
+    // ONE member resolution for both the plan-time count and the
+    // sample cursor: the count sizes the $sample against the same
+    // member that will serve it (consistent under replication lag)
+    val pc = MongoV2.readConf(conf)
+    val eff = wireFilter ++ MongoV2.windowConjuncts(pc)
+    val n = MongoWire.countDocs(pc.host, pc.port, pc.db,
+      pc.coll,
       if (eff.isEmpty) None else Some(MongoWire.andDoc(eff)),
-      conf.auth, conf.tls)
+      pc.auth, pc.tls, MongoV2.readPrefArg(pc))
     val size = math.floor(fraction * n + 0.5).toLong
     val stages = Seq.newBuilder[BDoc]
     if (eff.nonEmpty)
@@ -1454,10 +1630,10 @@ private[v2] class MongoSampleScan(required: StructType,
     if (required.nonEmpty)
       stages += BDoc(Seq("$project" -> BDoc(
         required.fieldNames.toSeq.map(f => f -> (BInt32(1): BVal)))))
-    Array(MongoSamplePartition(conf.host, conf.port, conf.db,
+    Array(MongoSamplePartition(pc.host, pc.port, conf.db,
       conf.coll, stages.result(), conf.batchSize,
       conf.compressMode, conf.auth, conf.tls,
-      conf.soTimeoutMs, conf.maxTimeMs))
+      conf.soTimeoutMs, conf.maxTimeMs, MongoV2.readPrefArg(pc)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1477,7 +1653,8 @@ private[v2] final case class MongoSamplePartition(
     pipeline: Seq[BDoc], batchSize: Int, compressMode: String,
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf],
-    soTimeoutMs: Int, maxTimeMs: Option[Long])
+    soTimeoutMs: Int, maxTimeMs: Option[Long],
+    readPref: Option[String] = None)
   extends InputPartition
 
 private[v2] class MongoSampleReader(p: MongoSamplePartition,
@@ -1486,7 +1663,7 @@ private[v2] class MongoSampleReader(p: MongoSamplePartition,
 
   private val cursor = new MongoWire.AggregateCursor(p.host, p.port,
     p.db, p.coll, p.pipeline, p.batchSize, p.compressMode, p.auth,
-    p.tls, p.soTimeoutMs, p.maxTimeMs)
+    p.tls, p.soTimeoutMs, p.maxTimeMs, p.readPref)
 
   private var current: InternalRow = _
 
@@ -1532,7 +1709,7 @@ private[v2] class MongoPartitionReader(p: MongoInputPartition,
     Some(p.columns),
     p.sortDesc.map(d => (p.keyField, if (d) -1 else 1)),
     p.limit.map(_.toLong), p.batchSize, p.compressMode, p.auth,
-    p.tls, p.soTimeoutMs, p.maxTimeMs, p.exhaust)
+    p.tls, p.soTimeoutMs, p.maxTimeMs, p.exhaust, p.readPref)
 
   private var current: InternalRow = _
 
