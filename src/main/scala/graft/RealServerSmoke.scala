@@ -29,6 +29,9 @@ import graft.sources.Bson._
   * ($sample is genuinely random on a real server — content is NOT
   * checked, by design); newest-N; listCollections/collStats;
   * variant-column inference over a deliberately mixed-typed field;
+  * replica discovery + a read-preference-routed seed-list scan when
+  * `MONGO_SEEDS` is set (optional `MONGO_REPLICASET`,
+  * `MONGO_READPREF`, `MONGO_READPREF_TAGS`);
   * SCRAM auth when credentials are given; TLS when `MONGO_TLS=true`
   * (managed deployments require it — point
   * `MONGO_TLS_TRUSTSTORE[_PASSWORD]` at a PKCS12 holding the
@@ -193,6 +196,53 @@ object RealServerSmoke {
         val (c, _, _) = MongoWire.collStats(h, p, db, coll, auth, tls)
         c == MongoWire.countDocs(h, p, db, coll, auth = auth,
           tls = tls)
+      }
+      // Replica set (opt-in: MONGO_SEEDS="h1:p1,h2:p2[,...]"; the
+      // smoke host must be a member): discovery from the seed list,
+      // then a full scan routed by MONGO_READPREF (default
+      // secondaryPreferred — works on any healthy set) with the
+      // optional MONGO_REPLICASET name pinned and
+      // MONGO_READPREF_TAGS tag sets applied. Count equality proves
+      // the routed scan is content-transparent; WHERE it routed is
+      // only observable on the double (per-member stats), so the
+      // real-server claim here is "discovery + selection + the
+      // $readPreference field are accepted end to end".
+      sys.env.get("MONGO_SEEDS").foreach { seeds =>
+        check("replica discovery from the seed list") {
+          val topo = graft.sources.Replica.discover(
+            graft.sources.Replica.parseSeeds(seeds, p),
+            tls, sys.env.get("MONGO_REPLICASET"))
+          println(s"INFO replica set " +
+            s"${topo.setName.getOrElse("?")}: primary=" +
+            s"${topo.primary.map(_.address).getOrElse("none")} " +
+            s"secondaries=${topo.secondaries.map(_.address)
+              .mkString(",")}")
+          topo.members.nonEmpty
+        }
+        check("seed-list scan routed by read preference") {
+          var r = spark.read.format("graft-mongo").schema(df.schema)
+            .option("host", seeds)
+            .option("database", db).option("collection", coll)
+            .option("keyfield", "k").option("numpartitions", "4")
+            .option("readpreference",
+              sys.env.getOrElse("MONGO_READPREF", "secondaryPreferred"))
+          sys.env.get("MONGO_REPLICASET").foreach(x =>
+            r = r.option("replicaset", x))
+          sys.env.get("MONGO_READPREF_TAGS").foreach(x =>
+            r = r.option("readpreferencetags", x))
+          auth.foreach { c =>
+            r = r.option("user", c.user).option("password", c.password)
+              .option("authdb", c.authDb)
+          }
+          tls.foreach { t =>
+            r = r.option("tls", "true")
+            t.trustStorePath.foreach(x =>
+              r = r.option("tlstruststore", x))
+            t.trustStorePassword.foreach(x =>
+              r = r.option("tlstruststorepassword", x))
+          }
+          r.load().count() == n.toLong
+        }
       }
       // MONGODB-X509 (opt-in: MONGO_X509=true + a client key store):
       // authenticates as the client certificate's subject against

@@ -831,17 +831,32 @@ object MongoWire {
 
     private def ensure(): Socket = {
       if (sock == null) {
-        // replica-aware: every (re)connection re-discovers and
-        // targets the CURRENT primary — after a step-down the retry
-        // lands on the new one, not the member that refused
+        // replica-aware: every (re)connection targets the CURRENT
+        // primary. Discovery goes through the JVM-wide TTL cache —
+        // a 10k-partition write must not spend 10k × members hello
+        // round trips, and a step-down must not stampede every
+        // writer into simultaneous re-discovery; the retry path
+        // below invalidates first, so after a refusal the replay
+        // sees the post-election topology
         val (h, p) =
           if (seeds.isEmpty) (host, port)
           else {
             val m = Replica.selectPrimary(
-              Replica.discover(seeds, tls, expectSetName))
+              Replica.discoverCached(seeds, tls, expectSetName))
             (m.host, m.port)
           }
-        sock = openSocket(h, p, tls)
+        sock =
+          try openSocket(h, p, tls)
+          catch {
+            // the cached primary may be GONE (it died — why there
+            // was an election): one fresh discovery, then connect
+            // to whatever is primary now
+            case _: java.io.IOException if seeds.nonEmpty =>
+              Replica.invalidate(seeds)
+              val m = Replica.selectPrimary(
+                Replica.discoverCached(seeds, tls, expectSetName))
+              openSocket(m.host, m.port, tls)
+          }
         val hello = auth match {
           case Some(c) => Scram.authenticate(sock, c)
           case None => runCommandOk(sock, BDoc(Seq(
@@ -890,6 +905,9 @@ object MongoWire {
                 case _ => false
               })) =>
           dropConn()
+          // the refusing server KNOWS the topology changed: drop
+          // the cached view so the reconnect discovers fresh
+          if (seeds.nonEmpty) Replica.invalidate(seeds)
           try insertBatch(ensure(), db, coll, docs,
             { reqId += 1; reqId }, writeConcern, session)
           catch {

@@ -207,6 +207,49 @@ object Replica {
     else tagSets.iterator.map(ts => ms.filter(_.matchesTagSet(ts)))
       .find(_.nonEmpty).getOrElse(Seq.empty)
 
+  /** JVM-wide topology cache — the connector's stand-in for the
+    * drivers' shared SDAM state. Without it every writer
+    * (re)connection and every scan plan re-hellos the whole set: a
+    * 10k-partition write would spend 10k × members discovery round
+    * trips, and a step-down would stampede every in-flight writer
+    * into simultaneous re-discovery. A short TTL bounds staleness
+    * (a stale primary pointer costs exactly one 10107-retry, which
+    * [[invalidate]] turns into a fresh discovery), and the key
+    * carries the full (seeds, set name, TLS) identity so two
+    * deployments never share an entry.
+    */
+  private val topoCache = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[(String, Int)], Option[String], Option[Tls.Conf]),
+    (Long, Topology)]()
+  private val TopoTtlMs = 10000L
+
+  /** [[discover]] through the JVM-wide cache (TTL 10 s). Use on hot
+    * per-partition paths (writer connections); plan-time driver code
+    * may use either.
+    */
+  def discoverCached(seeds: Seq[(String, Int)],
+                     tls: Option[Tls.Conf] = None,
+                     expectSetName: Option[String] = None): Topology = {
+    val key = (seeds.sortBy(s => (s._1, s._2)), expectSetName, tls)
+    val now = System.currentTimeMillis()
+    topoCache.get(key) match {
+      case (t0, topo) if now - t0 < TopoTtlMs => topo
+      case _ =>
+        val topo = discover(seeds, tls, expectSetName)
+        topoCache.put(key, (now, topo))
+        topo
+    }
+  }
+
+  /** Drops every cached view of `seeds` — called when a server
+    * answered "not me, re-select" (a RetryableWriteError), so the
+    * very next discovery sees the post-election topology.
+    */
+  def invalidate(seeds: Seq[(String, Int)]): Unit = {
+    val sorted = seeds.sortBy(s => (s._1, s._2))
+    topoCache.keySet.removeIf(_._1 == sorted)
+  }
+
   /** The members a mode may read from, in selection-priority order —
     * empty result is the CALLER's loud error (it knows the mode).
     * Tag sets follow the public scoping: ignored under `primary`;

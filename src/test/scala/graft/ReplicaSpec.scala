@@ -230,6 +230,36 @@ class ReplicaSpec extends AnyFunSuite {
     } finally rs.close()
   }
 
+  test("writer topology discovery is CACHED JVM-wide: a second " +
+      "writer against the same seeds opens straight to the known " +
+      "primary with NO per-member hello sweep (a 10k-partition " +
+      "write must not pay 10k discoveries), and the shared store " +
+      "still sees every row") {
+    val rs = InProcessMongod.serveReplicaSet(fixtureDf(0), "k",
+      "db", "c", n = 2)
+    try {
+      val seeds = rs.seeds.split(",").toSeq.map { hp =>
+        val i = hp.lastIndexOf(':')
+        (hp.substring(0, i), hp.substring(i + 1).toInt)
+      }
+      val docs1 = (0L until 3L).map(i => BDoc(Seq("k" -> BInt64(i))))
+      val docs2 = (3L until 6L).map(i => BDoc(Seq("k" -> BInt64(i))))
+      val w1 = new MongoWire.RetryableWriter("ignored", 0, "db", "c",
+        seeds = seeds)
+      try assert(w1.insert(docs1) == 3L) finally w1.close()
+      val sec = rs.secondaries.head
+      val before = sec.stats.commands.get
+      val w2 = new MongoWire.RetryableWriter("ignored", 0, "db", "c",
+        seeds = seeds)
+      try assert(w2.insert(docs2) == 3L) finally w2.close()
+      assert(sec.stats.commands.get == before,
+        "the second writer must hit the topology cache — zero " +
+          "commands (no discovery hello) on the secondary")
+      assert(MongoWire.countDocs("127.0.0.1", rs.primary.port,
+        "db", "c") == 6L)
+    } finally rs.close()
+  }
+
   test("session records are SHARED across members (the replicated " +
       "sessions collection): a (lsid, txnNumber) recorded before a " +
       "step-down replays as the recorded ack on the NEW primary, " +
