@@ -712,6 +712,49 @@ object SparkEntry {
         out
       } finally rs.close()
     }),
+    // SHARDED-CLUSTER routing as an oracle row: customer lives as 6
+    // geometric chunks across 3 shards behind a mongos double, and
+    // the scan plans from the cluster's own config.chunks map
+    // (chunkaligned=true) — the row REQUIRES zero scatter-gather
+    // (every partition cursor was a single-shard targeted query)
+    // while every shard served documents. At 100 TB this is the
+    // difference between one shard working per cursor and every
+    // shard working on every cursor; partition sizes follow the
+    // real chunk map instead of uniform key arithmetic. Row
+    // equality with the parquet oracle certifies the chunk tiling
+    // is complete (no row lost or doubled at chunk seams); the
+    // targeted-vs-scatter contrast and routed inserts are
+    // spec-pinned in ShardSpec
+    "mongo_sharded_scan" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val b = cust.agg(min(col("c_custkey")), max(col("c_custkey")))
+        .head()
+      val sc = graft.sources.InProcessMongod.serveShardedCluster(
+        cust, "c_custkey", "graft", "customer_sh", nShards = 3,
+        nChunks = 6)
+      try {
+        val out = s.read.format("graft-mongo").schema(cust.schema)
+          .option("host", "127.0.0.1")
+          .option("port", sc.mongos.port.toString)
+          .option("database", "graft")
+          .option("collection", "customer_sh")
+          .option("keyfield", "c_custkey")
+          .option("minkey", b.getLong(0).toString)
+          .option("maxkey", (b.getLong(1) + 1).toString)
+          .option("chunkaligned", "true")
+          .load()
+          .localCheckpoint(true)
+          .orderBy("c_custkey")
+        require(sc.router.scatterFinds.get == 0L,
+          "chunk-aligned cursors must never scatter-gather")
+        require(sc.router.targetedFinds.get >= 6L,
+          "one targeted cursor per chunk group")
+        sc.shards.foreach(m =>
+          require(m.stats.servedDocs.get > 0L,
+            "the chunk map spreads the scan across every shard"))
+        out
+      } finally sc.close()
+    }),
     // failover on the WRITE path: batch 1 lands on the first
     // primary, a step-down elects the other member between writes,
     // and the second write's connections re-discover and land on the
@@ -7687,6 +7730,12 @@ object SparkEntry {
     "mongo_tagged_scan" -> ("""
       SELECT n_nationkey, n_name, n_regionkey
       FROM nation ORDER BY n_nationkey"""),
+    // chunk-aligned sharded scan is content-transparent: the chunk
+    // tiling loses/doubles nothing at seams (the in-row requires
+    // pin zero scatter + every shard serving)
+    "mongo_sharded_scan" -> ("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer ORDER BY c_custkey"""),
     // a step-down between the two write halves loses or doubles
     // nothing: the read-back equals the source table
     "mongo_failover_write" -> ("""

@@ -43,6 +43,12 @@ object Bson {
   final case class BInt64(v: Long) extends BVal
   /** decimal128 (0x13), decoded to exact unscaled×10^exp form. */
   final case class BDecimal128(v: java.math.BigDecimal) extends BVal
+  /** MinKey (0xFF) / MaxKey (0x7F) — the open range endpoints
+    * `config.chunks` uses for a sharded collection's first/last
+    * chunk bounds; valueless sentinels below/above every BSON value.
+    */
+  case object BMinKey extends BVal
+  case object BMaxKey extends BVal
 
   /** Marker metadata for VARIANT columns: a wire field whose sampled
     * BSON types are irreconcilable (or nested documents) infers as a
@@ -133,6 +139,10 @@ object Bson {
     case BDecimal128(x) =>
       appendVariant(b,
         BDoc(Seq("$numberDecimal" -> BString(x.toPlainString))))
+    case BMinKey =>
+      appendVariant(b, BDoc(Seq("$minKey" -> BInt32(1))))
+    case BMaxKey =>
+      appendVariant(b, BDoc(Seq("$maxKey" -> BInt32(1))))
     case BDateTime(ms) =>
       appendVariant(b, BDoc(Seq(
         "$date" -> BDoc(Seq("$numberLong" -> BString(ms.toString))))))
@@ -205,6 +215,8 @@ object Bson {
     case BDoc(kvs) => kvs.map { case (k, x) =>
       jsonQuote(k) + ":" + relaxedJson(x)
     }.mkString("{", ",", "}")
+    case BMinKey => "{\"$minKey\":1}"
+    case BMaxKey => "{\"$maxKey\":1}"
   }
 
   private def jsonQuote(s: String): String = {
@@ -239,6 +251,8 @@ object Bson {
     case _: BInt32 => "int"
     case _: BInt64 => "long"
     case _: BDecimal128 => "decimal"
+    case BMinKey => "minKey"
+    case BMaxKey => "maxKey"
   }
 
   // — encode —
@@ -301,6 +315,10 @@ object Bson {
         out.write(0x13); cstring(name)
         val (hi, lo) = Decimal128.encode(bd)
         out.write(le64(lo)); out.write(le64(hi))
+      case BMinKey =>
+        out.write(0xFF); cstring(name)
+      case BMaxKey =>
+        out.write(0x7F); cstring(name)
     }
   }
 
@@ -363,6 +381,9 @@ object Bson {
       case 0x13 =>
         val lo = buf.getLong; val hi = buf.getLong
         BDecimal128(Decimal128.decode(hi, lo))
+      // MinKey is 0xFF on the wire = -1 as a signed byte
+      case -1 => BMinKey
+      case 0x7F => BMaxKey
       case other => throw new IllegalArgumentException(
         f"unsupported BSON element type 0x$other%02x at field '$name'")
     }

@@ -78,6 +78,14 @@ private[sources] object WireFilter {
       Some(java.math.BigDecimal.valueOf(x.toLong).compareTo(y))
     case (BInt64(x), BDecimal128(y)) =>
       Some(java.math.BigDecimal.valueOf(x).compareTo(y))
+    // binData sorts by length, then subtype, then bytes (the public
+    // BSON comparison order) — what `config.chunks` lookups by
+    // collection uuid equality need
+    case (Bson.BBinary(sa, xa), Bson.BBinary(sb, xb)) =>
+      if (xa.length != xb.length)
+        Some(Integer.compare(xa.length, xb.length))
+      else if (sa != sb) Some(java.lang.Byte.compare(sa, sb))
+      else Some(java.util.Arrays.compareUnsigned(xa, xb))
     case _ => None
   }
 
@@ -502,6 +510,67 @@ final class InProcessMongod(db: String,
   def setMemberTags(tags: Map[String, String]): Unit =
     memberTags = tags
 
+  /** mongos mode (None = not a router, the default): this server
+    * fronts a SHARDED collection — its hello says `msg: "isdbgrid"`,
+    * reads on the sharded collection merge the owning shards' stores
+    * (a window inside one chunk is a TARGETED read, metered apart
+    * from scatter-gather), and inserts route each document to the
+    * chunk that owns its key. The double's "forwarding" is
+    * in-process store access rather than a second wire hop — the
+    * wire layer under test is the client↔mongos one, which is the
+    * only wire a real sharded-cluster client sees too.
+    */
+  @volatile private var mongosRouter
+      : Option[InProcessMongod.ShardRouter] = None
+  def enableMongos(r: InProcessMongod.ShardRouter): Unit =
+    mongosRouter = Some(r)
+
+  private[sources] def collFor(name: String): Coll = requireColl(name)
+
+  /** This server's LOCAL document count for a collection — on a
+    * shard, what it actually stores (specs prove insert routing
+    * with it).
+    */
+  def localDocCount(coll: String): Int = requireColl(coll).snapshot.size
+
+  /** The (coll, snapshot) a read command on `collName` evaluates
+    * against: the local store, or — mongos mode, sharded
+    * collection — the merge of the owning shards' stores for the
+    * command's key window. Chunks partition the key space, so the
+    * per-shard windows are disjoint and the merge is a sort. Each
+    * shard's stats meter what it contributed (how oracle rows PROVE
+    * targeting); `meterFind` counts the router's targeted/scatter
+    * split only for data-path reads.
+    */
+  private def readView(collName: String, cs: WireFilter.Node,
+                       meterFind: Boolean)
+      : (Coll, Vector[(Long, Array[Byte])]) =
+    mongosRouter match {
+      case Some(r) if r.collName == collName =>
+        val (lo, hi) = WireFilter.keyWindow(cs, r.keyField)
+        val owners = r.owners(lo, hi)
+        if (meterFind) {
+          if (owners.lengthCompare(1) <= 0)
+            r.targetedFinds.incrementAndGet()
+          else r.scatterFinds.incrementAndGet()
+        }
+        val merged = owners.flatMap { i =>
+          val shard = r.shards(i)
+          val c = shard.collFor(collName)
+          val s = c.snapshot
+          val a = c.lowerBound(s, lo)
+          val b = c.windowEnd(s, hi)
+          shard.stats.servedDocs.addAndGet((b - a).toLong)
+          shard.stats.servedBytes.addAndGet(
+            (a until b).iterator.map(s(_)._2.length.toLong).sum)
+          s.slice(a, b)
+        }.sortBy(_._1).toVector
+        (new Coll(r.keyField, merged), merged)
+      case _ =>
+        val coll = requireColl(collName)
+        (coll, coll.snapshot)
+    }
+
   private def isPrimaryNow: Boolean =
     replicaState.forall(_.primary == meAddr)
 
@@ -622,14 +691,14 @@ final class InProcessMongod(db: String,
 
   private def handleFind(cmd: BDoc, collName: String): Array[Byte] = {
     stats.lastFind = Some(cmd)
-    val coll = requireColl(collName)
-    val snap = coll.snapshot
     val cs = get(cmd, "filter") match {
       case Some(f: BDoc) => WireFilter.parse(f)
       case Some(other) => throw new IllegalArgumentException(
         s"filter wants a document: $other")
       case None => WireFilter.AndN(Nil)
     }
+    // mongos mode: the filter's key window picks the owning shards
+    val (coll, snap) = readView(collName, cs, meterFind = true)
     // index prune on the key field, then full predicate on the window
     val (lo, hi) = WireFilter.keyWindow(cs, coll.keyField)
     val start = coll.lowerBound(snap, lo)
@@ -708,8 +777,11 @@ final class InProcessMongod(db: String,
     */
   private def handleAggregate(collName: String,
                               cmd: BDoc): Array[Byte] = {
-    val coll = requireColl(collName)
-    val snap = coll.snapshot
+    // mongos mode: the pipeline's own $match is applied by the stage
+    // loop below, so the view merges ALL shards (real mongos
+    // scatter-gathers aggregates too, e.g. the $sample inference)
+    val (coll, snap) = readView(collName, WireFilter.AndN(Nil),
+      meterFind = false)
     val stages = get(cmd, "pipeline") match {
       case Some(BArr(ss)) => ss.map {
         case d: BDoc => d
@@ -948,7 +1020,18 @@ final class InProcessMongod(db: String,
               s"insert document missing key field ${coll.keyField}"))
           (k, Bson.encode(d))
         }
-        coll.insert(keyed)
+        mongosRouter match {
+          // mongos mode: each document lands on the shard whose
+          // chunk owns its key (the real router's insert rule); the
+          // retryable-write record stays on the router, which is
+          // where this double terminates the client's wire
+          case Some(r) if r.collName == collName =>
+            keyed.groupBy { case (k, _) => r.ownerOf(k) }.foreach {
+              case (i, group) =>
+                r.shards(i).collFor(collName).insert(group)
+            }
+          case _ => coll.insert(keyed)
+        }
         val reply = Bson.encode(BDoc(Seq(
           "n" -> BInt32(keyed.size), "ok" -> BDouble(1.0))))
         session.foreach(k => txnRecords.put(k, reply))
@@ -1006,12 +1089,11 @@ final class InProcessMongod(db: String,
   def openCursors: Int = cursors.size()
 
   private def handleCount(collName: String, cmd: BDoc): Array[Byte] = {
-    val coll = requireColl(collName)
-    val snap = coll.snapshot
     val cs = get(cmd, "query") match {
       case Some(f: BDoc) => WireFilter.parse(f)
       case _ => WireFilter.AndN(Nil)
     }
+    val (coll, snap) = readView(collName, cs, meterFind = false)
     val (lo, hi) = WireFilter.keyWindow(cs, coll.keyField)
     val start = coll.lowerBound(snap, lo)
     val end = coll.windowEnd(snap, hi)
@@ -1023,8 +1105,8 @@ final class InProcessMongod(db: String,
   }
 
   private def handleCollStats(collName: String): Array[Byte] = {
-    val coll = requireColl(collName)
-    val snap = coll.snapshot
+    val (_, snap) = readView(collName, WireFilter.AndN(Nil),
+      meterFind = false)
     val size = snap.iterator.map(_._2.length.toLong).sum
     val avg = if (snap.isEmpty) 0.0 else size.toDouble / snap.size
     Bson.encode(BDoc(Seq(
@@ -1059,7 +1141,15 @@ final class InProcessMongod(db: String,
     val negotiated = compressorsSupported.filter(requested.contains)
     conn.negotiated = negotiated.toSet
     val parts = Seq.newBuilder[(String, BVal)]
-    replicaState match {
+    if (mongosRouter.isDefined) {
+      // the real mongos hello: a writable router identified by
+      // msg=isdbgrid (what the writer's sessions gate reads), no
+      // replica-set fields
+      parts += "isWritablePrimary" -> BBool(true)
+      parts += "msg" -> BString("isdbgrid")
+      if (advertiseSessions)
+        parts += "logicalSessionTimeoutMinutes" -> BInt32(30)
+    } else replicaState match {
       case Some(st) =>
         // the real member hello: role flags + the set topology
         // (hosts / primary / me) — what SDAM discovery reads; the
@@ -1735,5 +1825,112 @@ object InProcessMongod {
     }
     members.tail.foreach(_.shareStoresFrom(members.head))
     new ReplicaSet(state, members)
+  }
+
+  /** The mongos double's routing table: the sharded collection's
+    * chunk ranges (`[lo, hi)` over the integral shard key,
+    * `Long.MinValue`/`MaxValue` standing in for MinKey/MaxKey) and
+    * the shard each belongs to. Mirrors what a real mongos holds
+    * from `config.chunks`; the meters are how specs and oracle rows
+    * PROVE a chunk-aligned scan never scatter-gathers.
+    */
+  final class ShardRouter(val collName: String, val keyField: String,
+                          val chunkBounds: Seq[(Long, Long, Int)],
+                          val shards: IndexedSeq[InProcessMongod]) {
+    val targetedFinds = new AtomicLong(0)
+    val scatterFinds = new AtomicLong(0)
+    /** Distinct shards owning chunks overlapping `[lo, hiExcl)`. */
+    def owners(lo: Long, hiExcl: Long): Seq[Int] =
+      chunkBounds.filter(c => c._1 < hiExcl && lo < c._2)
+        .map(_._3).distinct
+    def ownerOf(k: Long): Int =
+      chunkBounds.find(c => c._1 <= k && k < c._2).map(_._3)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no chunk of $collName owns key $k " +
+            s"(chunks: ${chunkBounds.mkString(", ")})"))
+  }
+
+  /** A served sharded cluster: one mongos fronting n shard stores
+    * with the collection split into chunks. Per-shard [[Stats]] and
+    * the router's targeted/scatter meters expose WHERE reads landed.
+    */
+  final class ShardedCluster(val mongos: InProcessMongod,
+                             val router: ShardRouter)
+      extends AutoCloseable {
+    def shards: IndexedSeq[InProcessMongod] = router.shards
+    override def close(): Unit = {
+      mongos.close()
+      shards.foreach(_.close())
+    }
+  }
+
+  /** Serves a DataFrame as a SHARDED collection: `nChunks` chunks
+    * with deliberately UNEVEN row counts (chunk i+1 holds twice the
+    * rows of chunk i — real chunk maps are never uniform in key
+    * arithmetic, which is exactly why chunk-aligned planning beats
+    * uniform key splits), assigned round-robin to `nShards` shards.
+    * The mongos serves the `config` metadata a real cluster exposes:
+    * `config.collections` (the collection's shard key + uuid) and
+    * `config.chunks` (uuid-keyed bounds with MinKey/MaxKey
+    * endpoints, the post-5.0 catalog shape), plus `config.shards`.
+    */
+  def serveShardedCluster(df: org.apache.spark.sql.DataFrame,
+                          keyField: String, db: String, coll: String,
+                          nShards: Int = 3, nChunks: Int = 6)
+      : ShardedCluster = {
+    require(nShards >= 1 && nChunks >= nShards,
+      s"want nChunks >= nShards >= 1, got $nChunks/$nShards")
+    val docs = encodeDf(df, keyField).sortBy(_._1)
+    require(docs.nonEmpty, "serveShardedCluster wants rows")
+    // geometric chunk sizes (chunk i+1 ≈ 2× chunk i), boundaries at
+    // ACTUAL key values; the chunks tile the whole key space with
+    // the first/last ends open (MinKey/MaxKey in the catalog)
+    val weights = (0 until nChunks).map(i => 1L << math.min(i, 40))
+    val totalW = weights.sum.toDouble
+    val innerBounds = weights.scanLeft(0L)(_ + _).tail.init
+      .map(w => docs(math.min((docs.size * (w / totalW)).toInt,
+        docs.size - 1))._1)
+    val bounds = (Long.MinValue +: innerBounds)
+      .zip(innerBounds :+ Long.MaxValue).zipWithIndex
+      .map { case ((lo, hi), i) => (lo, hi, i % nShards) }
+    def ownerOf(k: Long): Int =
+      bounds.find(c => c._1 <= k && k < c._2).get._3
+    val byShard = docs.groupBy(d => ownerOf(d._1))
+    val shards = (0 until nShards).map { s =>
+      new InProcessMongod(db, Seq((coll, keyField,
+        byShard.getOrElse(s, IndexedSeq.empty))), 1000,
+        None, None, None)
+    }
+    // deterministic collection uuid: md5 of the namespace
+    val uuid = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$db.$coll".getBytes("UTF-8"))
+    def keyDoc(v: BVal): BVal = BDoc(Seq(keyField -> v))
+    val chunkDocs = bounds.zipWithIndex.map { case ((lo, hi, s), i) =>
+      (i.toLong, Bson.encode(BDoc(Seq(
+        "_id" -> BString(s"$coll-chunk-$i"),
+        "uuid" -> BBinary(4, uuid),
+        "min" -> keyDoc(if (lo == Long.MinValue) BMinKey
+                        else BInt64(lo)),
+        "max" -> keyDoc(if (hi == Long.MaxValue) BMaxKey
+                        else BInt64(hi)),
+        "shard" -> BString(s"sh$s")))))
+    }.toIndexedSeq
+    val collDoc = IndexedSeq((0L, Bson.encode(BDoc(Seq(
+      "_id" -> BString(s"$db.$coll"),
+      "key" -> BDoc(Seq(keyField -> BInt32(1))),
+      "uuid" -> BBinary(4, uuid))))))
+    val shardDocs = shards.zipWithIndex.map { case (sh, s) =>
+      (s.toLong, Bson.encode(BDoc(Seq(
+        "_id" -> BString(s"sh$s"),
+        "host" -> BString(s"sh$s/127.0.0.1:${sh.port}")))))
+    }.toIndexedSeq
+    val mongos = new InProcessMongod(db, Seq(
+      (coll, keyField, IndexedSeq.empty),   // data lives on shards
+      ("collections", "_ck", collDoc),
+      ("chunks", "_ck", chunkDocs),
+      ("shards", "_ck", shardDocs)), 1000, None, None, None)
+    mongos.enableMongos(new ShardRouter(coll, keyField, bounds,
+      shards.toIndexedSeq))
+    new ShardedCluster(mongos, mongos.mongosRouter.get)
   }
 }

@@ -154,7 +154,8 @@ class MongoCatalog extends TableCatalog {
         "tlsminprotocol", "writeconcernw", "writeconcernj",
         "retrywrites", "varianttype", "compress", "sockettimeoutms",
         "maxtimems", "readpreference", "replicaset",
-        "readpreferencetags", "exhaust").foreach { k =>
+        "readpreferencetags", "exhaust",
+        "chunkaligned").foreach { k =>
       Option(options.get(k)).foreach(confMap.put(k, _))
     }
     val conf = MongoV2.Conf(new CaseInsensitiveStringMap(confMap))

@@ -130,7 +130,7 @@ class MongoTableProvider extends TableProvider with DataSourceRegister {
       MongoV2.Conf(new CaseInsensitiveStringMap(properties)))
 }
 
-private[v2] object MongoV2 {
+private[graft] object MongoV2 {
 
   /** One fully-pushed aggregate column: kind ∈ count|min|max. */
   final case class AggSpec(kind: String, dataType: DataType)
@@ -164,7 +164,8 @@ private[v2] object MongoV2 {
                         seeds: Seq[(String, Int)] = Nil,
                         readPref: String = "primary",
                         readTagSets: Seq[Map[String, String]] = Nil,
-                        replicaSetName: Option[String] = None) {
+                        replicaSetName: Option[String] = None,
+                        chunkAligned: Boolean = false) {
     /** The seed list (explicit, or the single host/port). */
     def seedList: Seq[(String, Int)] =
       if (seeds.nonEmpty) seeds else Seq((host, port))
@@ -268,7 +269,9 @@ private[v2] object MongoV2 {
         soTimeoutMs = Option(o.get("sockettimeoutms")).map(_.toInt)
           .getOrElse(0),
         maxTimeMs = Option(o.get("maxtimems")).map(_.toLong),
-        exhaust = Option(o.get("exhaust")).exists(_.toBoolean))
+        exhaust = Option(o.get("exhaust")).exists(_.toBoolean),
+        chunkAligned = Option(o.get("chunkaligned"))
+          .exists(_.toBoolean))
       // the public drivers rule: tag sets combined with mode=primary
       // are an ERROR (primary selection ignores tags; silently
       // accepting the option would mislead)
@@ -378,6 +381,95 @@ private[v2] object MongoV2 {
     */
   def readPrefArg(c: Conf): Option[String] =
     graft.sources.Replica.readPrefArg(c.readPref)
+
+  /** Chunk-aligned partition ranges for a SHARDED collection
+    * (`chunkaligned=true`): reads the cluster's own chunk map —
+    * `config.collections` for the collection's shard key + uuid,
+    * then `config.chunks` by uuid (the post-5.0 catalog; `ns` is
+    * the pre-5.0 fallback) — and returns `[lo, hi)` ranges that are
+    * chunk-group boundaries: adjacent same-shard chunks coalesce,
+    * ranges never span a shard boundary. Every partition cursor is
+    * then a single-shard TARGETED query through mongos instead of a
+    * scatter-gather, and partition sizes follow the cluster's real
+    * data distribution (chunks are split by bytes) instead of
+    * uniform key arithmetic — at 100 TB the difference between one
+    * shard working per cursor and every shard working on every
+    * cursor. MinKey/MaxKey chunk ends clamp to the scan's own
+    * `[lo, hiExcl)` window; chunks outside the window drop.
+    */
+  def chunkRanges(c: Conf, lo: Long, hiExcl: Long)
+      : Seq[(Long, Long)] = {
+    val ns = s"${c.db}.${c.coll}"
+    val cc = new MongoWire.FindCursor(c.host, c.port, "config",
+      "collections", Some(BDoc(Seq("_id" -> BString(ns)))), None,
+      None, Some(1L), 2, auth = c.auth, tls = c.tls)
+    val cdoc =
+      try {
+        require(cc.hasNext, s"graft-mongo: chunkaligned=true but " +
+          s"$ns has no config.collections entry — not a sharded " +
+          "collection (or the host is not a mongos)")
+        cc.next()
+      } finally cc.close()
+    // the shard key must BE the key field: ranged cursors filter on
+    // keyfield, and only shard-key ranges target single shards
+    cdoc.v.collectFirst { case ("key", k: BDoc) => k }.foreach { k =>
+      require(k.v.headOption.exists(_._1 == c.keyField),
+        s"graft-mongo: $ns is sharded on " +
+          s"'${k.v.headOption.map(_._1).getOrElse("?")}' but " +
+          s"keyfield is '${c.keyField}' — chunk-aligned scans need " +
+          "keyfield = the shard key")
+    }
+    val uuid = cdoc.v.collectFirst {
+      case ("uuid", b: Bson.BBinary) => b
+    }
+    val filter = uuid
+      .map(u => BDoc(Seq("uuid" -> (u: BVal))))
+      .getOrElse(BDoc(Seq("ns" -> BString(ns))))
+    val ch = new MongoWire.FindCursor(c.host, c.port, "config",
+      "chunks", Some(filter), None, None, None, 512,
+      auth = c.auth, tls = c.tls)
+    val chunks = try ch.toVector finally ch.close()
+    require(chunks.nonEmpty,
+      s"graft-mongo: no config.chunks entries for $ns")
+    // MinKey/MaxKey stay open (Long.MinValue/MaxValue) through the
+    // sort + coalesce — mapping them into the scan window HERE
+    // would break chunk ordering whenever the window starts inside
+    // the key space; the window clamp is the LAST step
+    def bound(d: BDoc): Long = d.v.headOption match {
+      case Some((_, BInt64(x))) => x
+      case Some((_, BInt32(x))) => x.toLong
+      case Some((_, Bson.BMinKey)) => Long.MinValue
+      case Some((_, Bson.BMaxKey)) => Long.MaxValue
+      case other => throw new IllegalArgumentException(
+        s"graft-mongo: non-integral chunk bound $other for $ns — " +
+          "chunk-aligned scans need an int/long shard key")
+    }
+    val parsed = chunks.map { d =>
+      def part(name: String): BDoc = d.v.collectFirst {
+        case (`name`, b: BDoc) => b
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft-mongo: config.chunks doc missing '$name': $d"))
+      val shard = d.v.collectFirst {
+        case ("shard", BString(s)) => s
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft-mongo: config.chunks doc missing 'shard': $d"))
+      (bound(part("min")), bound(part("max")), shard)
+    }.sortBy(_._1)
+    // coalesce ADJACENT same-shard chunks (fewer cursors, still one
+    // shard each); clamp to the scan window and drop empties
+    val grouped = parsed.foldLeft(
+      Vector.empty[(Long, Long, String)]) { (acc, c0) =>
+      acc.lastOption match {
+        case Some((glo, ghi, gsh))
+            if gsh == c0._3 && ghi == c0._1 =>
+          acc.init :+ ((glo, c0._2, gsh))
+        case _ => acc :+ c0
+      }
+    }
+    grouped.map { case (l, h, _) =>
+      (math.max(l, lo), math.min(h, hiExcl))
+    }.filter { case (l, h) => l < h }
+  }
 
   /** The `[min, maxExclusive)` key span: from options, or probed with
     * two single-row sorted finds (the `sort dir limit 1` idiom) —
@@ -1057,8 +1149,11 @@ private[v2] class MongoGroupScan(conf: MongoV2.Conf,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (minKey, maxKeyExclusive) = resolvedSpan
-    val parts = MongoWire.splitRanges(minKey, maxKeyExclusive,
-      conf.numPartitions)
+    val parts =
+      if (conf.chunkAligned)
+        MongoV2.chunkRanges(conf, minKey, maxKeyExclusive)
+      else MongoWire.splitRanges(minKey, maxKeyExclusive,
+        conf.numPartitions)
     val ranges = if (parts.isEmpty) Seq((0L, 0L)) else parts
     val routes = MongoV2.readRoutes(conf, ranges.size)
     val rp = MongoV2.readPrefArg(conf)
@@ -1357,7 +1452,8 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
       s"PushedFilters: [$f], ReadColumns: [$cols]" +
       limit.map(n => s", PushedLimit: $n").getOrElse("") +
       sortDesc.map(d => s", PushedSort: ${conf.keyField} " +
-        (if (d) "DESC" else "ASC")).getOrElse("")
+        (if (d) "DESC" else "ASC")).getOrElse("") +
+      (if (conf.chunkAligned) ", ChunkAligned: true" else "")
   }
 
   override def toBatch: Batch = this
@@ -1386,8 +1482,13 @@ private[v2] class MongoScan(required: StructType, conf: MongoV2.Conf,
     val maxKeyExclusive = runtimeHiIncl.fold(maxKeyExclusive0)(h =>
       if (h == Long.MaxValue) maxKeyExclusive0
       else math.min(maxKeyExclusive0, h + 1))
-    val parts = MongoWire.splitRanges(minKey, maxKeyExclusive,
-      conf.numPartitions)
+    // sharded: one partition per chunk group (single-shard targeted
+    // cursors through mongos); otherwise uniform key splits
+    val parts =
+      if (conf.chunkAligned)
+        MongoV2.chunkRanges(conf, minKey, maxKeyExclusive)
+      else MongoWire.splitRanges(minKey, maxKeyExclusive,
+        conf.numPartitions)
     val ranges = if (parts.isEmpty) Seq((0L, 0L)) else parts
     // replica-aware: partitions spread across the eligible members
     val routes = resolvedRoutes(ranges.size)
