@@ -777,11 +777,22 @@ final class InProcessMongod(db: String,
     */
   private def handleAggregate(collName: String,
                               cmd: BDoc): Array[Byte] = {
-    // mongos mode: the pipeline's own $match is applied by the stage
-    // loop below, so the view merges ALL shards (real mongos
-    // scatter-gathers aggregates too, e.g. the $sample inference)
-    val (coll, snap) = readView(collName, WireFilter.AndN(Nil),
-      meterFind = false)
+    // mongos mode: a LEADING $match picks the owning shards exactly
+    // like a find's filter does (a real mongos targets a pipeline by
+    // its leading match on the shard key — the pushed-GROUP-BY
+    // partials ride this), metered targeted-vs-scatter; a pipeline
+    // without one ($sample inference) merges all shards unmetered.
+    // The stage loop below re-applies the $match — idempotent.
+    val leadingMatch = get(cmd, "pipeline") match {
+      case Some(BArr((d: BDoc) +: _)) =>
+        d.v.headOption.collect { case ("$match", m: BDoc) =>
+          WireFilter.parse(m)
+        }
+      case _ => None
+    }
+    val (coll, snap) = readView(collName,
+      leadingMatch.getOrElse(WireFilter.AndN(Nil)),
+      meterFind = leadingMatch.isDefined)
     val stages = get(cmd, "pipeline") match {
       case Some(BArr(ss)) => ss.map {
         case d: BDoc => d

@@ -260,6 +260,42 @@ class ShardSpec extends AnyFunSuite {
     } finally sc.close()
   }
 
+  test("pushed partial GROUP BY through the mongos: chunk-aligned " +
+      "group cursors are TARGETED by their leading $match (zero " +
+      "scatter) and the aggregate equals the frame's") {
+    val df = fixtureDf(300)
+    val sc = InProcessMongod.serveShardedCluster(df, "k", "db", "c",
+      nShards = 3, nChunks = 6)
+    try {
+      val r = sc.router
+      val got = spark.read.format("graft-mongo")
+        .schema(df.schema)
+        .option("host", "127.0.0.1")
+        .option("port", sc.mongos.port.toString)
+        .option("database", "db").option("collection", "c")
+        .option("keyfield", "k")
+        .option("minkey", "0").option("maxkey", "300")
+        .option("chunkaligned", "true")
+        .load()
+        .groupBy("grp").agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("k").as("sk"))
+        .collect().map(rr => (rr.getInt(0), rr.getLong(1),
+          rr.getLong(2))).sortBy(_._1).toSeq
+      val want = df.groupBy("grp").agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("k").as("sk"))
+        .collect().map(rr => (rr.getInt(0), rr.getLong(1),
+          rr.getLong(2))).sortBy(_._1).toSeq
+      assert(got == want)
+      assert(r.scatterFinds.get == 0L,
+        "chunk-aligned group cursors must target one shard each")
+      assert(r.targetedFinds.get >= 6L)
+    } finally sc.close()
+  }
+
   test("chunkRanges coalesces ADJACENT same-shard chunks and clamps " +
       "to the scan window") {
     val df = fixtureDf(80)
