@@ -31,7 +31,9 @@ import graft.sources.Bson._
   * variant-column inference over a deliberately mixed-typed field;
   * replica discovery + a read-preference-routed seed-list scan when
   * `MONGO_SEEDS` is set (optional `MONGO_REPLICASET`,
-  * `MONGO_READPREF`, `MONGO_READPREF_TAGS`);
+  * `MONGO_READPREF`, `MONGO_READPREF_TAGS`); a chunk-aligned scan
+  * from the real `config.chunks` map when `MONGO_SHARDED=true`
+  * against a mongos (shards the smoke collection first);
   * SCRAM auth when credentials are given; TLS when `MONGO_TLS=true`
   * (managed deployments require it — point
   * `MONGO_TLS_TRUSTSTORE[_PASSWORD]` at a PKCS12 holding the
@@ -230,6 +232,44 @@ object RealServerSmoke {
             r = r.option("replicaset", x))
           sys.env.get("MONGO_READPREF_TAGS").foreach(x =>
             r = r.option("readpreferencetags", x))
+          auth.foreach { c =>
+            r = r.option("user", c.user).option("password", c.password)
+              .option("authdb", c.authDb)
+          }
+          tls.foreach { t =>
+            r = r.option("tls", "true")
+            t.trustStorePath.foreach(x =>
+              r = r.option("tlstruststore", x))
+            t.trustStorePassword.foreach(x =>
+              r = r.option("tlstruststorepassword", x))
+          }
+          r.load().count() == n.toLong
+        }
+      }
+      // Sharded cluster (opt-in: MONGO_SHARDED=true; the target must
+      // be a mongos): shard the smoke collection on its key, then a
+      // chunk-aligned scan plans from the REAL config.chunks map —
+      // count equality proves the chunk tiling is complete against a
+      // real cluster's catalog (MinKey/MaxKey endpoints included).
+      if (sys.env.get("MONGO_SHARDED").exists(_.toBoolean)) {
+        check("chunk-aligned scan from the real config.chunks map") {
+          val hello = MongoWire.hello(h, p, tls = tls)
+          require(hello.v.contains(("msg", BString("isdbgrid"))),
+            "MONGO_SHARDED needs a mongos target (hello lacks " +
+              "msg=isdbgrid)")
+          def admin(cmd: (String, BVal)*): Unit =
+            MongoWire.command(h, p, BDoc(cmd.toSeq :+
+              ("$db" -> (BString("admin"): BVal))), auth, tls)
+          try admin("enableSharding" -> BString(db))
+          catch { case _: Exception => () }   // already enabled
+          admin("shardCollection" -> BString(s"$db.$coll"),
+            "key" -> BDoc(Seq("k" -> BInt32(1))))
+          var r = spark.read.format("graft-mongo").schema(df.schema)
+            .option("host", h).option("port", p.toString)
+            .option("database", db).option("collection", coll)
+            .option("keyfield", "k")
+            .option("minkey", "0").option("maxkey", n.toString)
+            .option("chunkaligned", "true")
           auth.foreach { c =>
             r = r.option("user", c.user).option("password", c.password)
               .option("authdb", c.authDb)
