@@ -52,12 +52,19 @@ object MongoWire {
     */
   def openSocket(host: String, port: Int,
                  tls: Option[Tls.Conf],
-                 soTimeoutMs: Int = 0): Socket = tls match {
+                 soTimeoutMs: Int = 0,
+                 connectTimeoutMs: Int = 0): Socket = tls match {
     case None =>
-      val s = new Socket(host, port)
+      val s = new Socket()
+      // 0 = the JDK default (OS connect timeout); >0 bounds it —
+      // liveness probes (discovery hellos) must not hang on a
+      // blackholed host
+      s.connect(new java.net.InetSocketAddress(host, port),
+        math.max(connectTimeoutMs, 0))
       if (soTimeoutMs > 0) s.setSoTimeout(soTimeoutMs)
       s
-    case Some(c) => Tls.clientSocket(host, port, c, soTimeoutMs)
+    case Some(c) =>
+      Tls.clientSocket(host, port, c, soTimeoutMs, connectTimeoutMs)
   }
 
   /** The three OP_COMPRESSED compressors of the public wire spec:
@@ -325,8 +332,10 @@ object MongoWire {
   /** One driver-side command on a throwaway connection. */
   def command(host: String, port: Int, cmd: BDoc,
               auth: Option[Scram.Credential] = None,
-              tls: Option[Tls.Conf] = None): BDoc = {
-    val sock = openSocket(host, port, tls)
+              tls: Option[Tls.Conf] = None,
+              timeoutMs: Int = 0): BDoc = {
+    val sock = openSocket(host, port, tls, soTimeoutMs = timeoutMs,
+      connectTimeoutMs = timeoutMs)
     try {
       auth.foreach(Scram.authenticate(sock, _))
       val reply = runCommand(sock, cmd, 10)
@@ -343,13 +352,15 @@ object MongoWire {
     */
   def hello(host: String, port: Int, db: String = "admin",
             compressors: Seq[String] = Seq("zlib"),
-            tls: Option[Tls.Conf] = None): BDoc = {
+            tls: Option[Tls.Conf] = None,
+            timeoutMs: Int = 0): BDoc = {
     val parts = Seq.newBuilder[(String, BVal)]
     parts += "hello" -> BInt32(1)
     if (compressors.nonEmpty)
       parts += "compression" -> BArr(compressors.map(BString(_)))
     parts += "$db" -> BString(db)
-    command(host, port, BDoc(parts.result()), tls = tls)
+    command(host, port, BDoc(parts.result()), tls = tls,
+      timeoutMs = timeoutMs)
   }
 
   /** The drivers-spec selection rule: the client uses the FIRST

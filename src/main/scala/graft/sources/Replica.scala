@@ -74,7 +74,8 @@ object Replica {
   /** One member as its own hello describes it. */
   final case class Member(host: String, port: Int, primary: Boolean,
                           secondary: Boolean, rttNanos: Long,
-                          tags: Map[String, String] = Map.empty) {
+                          tags: Map[String, String] = Map.empty,
+                          mongos: Boolean = false) {
     def address: String = s"$host:$port"
     /** Public tag-set rule: a member matches a tag set when it has
       * EVERY pair in the set (the empty set matches any member).
@@ -113,6 +114,15 @@ object Replica {
                             members: Seq[Member]) {
     def primary: Option[Member] = members.find(_.primary)
     def secondaries: Seq[Member] = members.filter(_.secondary)
+    /** A seed list of mongos ROUTERS (no set name, every member
+      * `msg: "isdbgrid"`): selection returns every router for every
+      * mode — the drivers-spec Mongos topology rule. The mode and
+      * tags are not applied client-side; they FORWARD in
+      * `$readPreference` and the router routes across its shards'
+      * replica sets.
+      */
+    def isMongosFleet: Boolean =
+      setName.isEmpty && members.nonEmpty && members.forall(_.mongos)
   }
 
   private def helloStr(d: BDoc, k: String): Option[String] =
@@ -139,7 +149,8 @@ object Replica {
     */
   def discover(seeds: Seq[(String, Int)],
                tls: Option[Tls.Conf] = None,
-               expectSetName: Option[String] = None): Topology = {
+               expectSetName: Option[String] = None,
+               helloTimeoutMs: Int = 10000): Topology = {
     require(seeds.nonEmpty, "discover wants at least one seed")
     val seen = scala.collection.mutable.LinkedHashMap
       .empty[String, Member]
@@ -155,7 +166,12 @@ object Replica {
         val replyOpt =
           try {
             val t0 = System.nanoTime()
-            val r = MongoWire.hello(h, p, tls = tls)
+            // BOUNDED (connect + read): a blackholed seed costs one
+            // timeout and lands in the failure list — it must never
+            // hang the whole plan (the discovery twin of the r17
+            // hung-server fix)
+            val r = MongoWire.hello(h, p, tls = tls,
+              timeoutMs = helloTimeoutMs)
             Some((r, System.nanoTime() - t0))
           } catch {
             case e: Exception =>
@@ -180,7 +196,8 @@ object Replica {
             secondary = helloBool(r, "secondary"), rttNanos = rtt,
             tags = r.v.collectFirst { case ("tags", t: BDoc) =>
               t.v.collect { case (k, BString(v)) => (k, v) }.toMap
-            }.getOrElse(Map.empty))
+            }.getOrElse(Map.empty),
+            mongos = helloStr(r, "msg").contains("isdbgrid"))
           r.v.collectFirst { case ("hosts", BArr(hs)) =>
             hs.collect { case BString(a) => a }
           }.getOrElse(Seq.empty).foreach { a =>
@@ -229,13 +246,14 @@ object Replica {
     */
   def discoverCached(seeds: Seq[(String, Int)],
                      tls: Option[Tls.Conf] = None,
-                     expectSetName: Option[String] = None): Topology = {
+                     expectSetName: Option[String] = None,
+                     helloTimeoutMs: Int = 10000): Topology = {
     val key = (seeds.sortBy(s => (s._1, s._2)), expectSetName, tls)
     val now = System.currentTimeMillis()
     topoCache.get(key) match {
       case (t0, topo) if now - t0 < TopoTtlMs => topo
       case _ =>
-        val topo = discover(seeds, tls, expectSetName)
+        val topo = discover(seeds, tls, expectSetName, helloTimeoutMs)
         topoCache.put(key, (now, topo))
         topo
     }
@@ -261,7 +279,11 @@ object Replica {
   private def eligible(topo: Topology, mode: String,
                        tagSets: Seq[Map[String, String]])
       : Seq[Member] =
-    parseMode(mode) match {
+    // mongos fleet: EVERY router serves EVERY mode (round-robin
+    // balances across routers); mode + tags forward on the wire
+    // instead of selecting client-side
+    if (topo.isMongosFleet) { parseMode(mode); topo.members }
+    else parseMode(mode) match {
       case "primary" => topo.primary.toSeq
       case "primaryPreferred" =>
         if (topo.primary.isDefined) topo.primary.toSeq

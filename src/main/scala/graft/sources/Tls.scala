@@ -116,9 +116,15 @@ object Tls {
     * timeout deadlocks both sides forever instead of failing loudly.
     */
   def clientSocket(host: String, port: Int, conf: Conf,
-                   soTimeoutMs: Int = 0): Socket = {
+                   soTimeoutMs: Int = 0,
+                   connectTimeoutMs: Int = 0): Socket = {
+    // TCP connect first (bounded when asked — a blackholed host must
+    // not hang a discovery probe), then the TLS layer wraps it
+    val plain = new java.net.Socket()
+    plain.connect(new java.net.InetSocketAddress(host, port),
+      math.max(connectTimeoutMs, 0))
     val sock = clientContext(conf).getSocketFactory
-      .createSocket(host, port).asInstanceOf[SSLSocket]
+      .createSocket(plain, host, port, true).asInstanceOf[SSLSocket]
     try {
       val params = sock.getSSLParameters
       params.setEndpointIdentificationAlgorithm("HTTPS")

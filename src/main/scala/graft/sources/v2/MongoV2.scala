@@ -313,6 +313,13 @@ private[graft] object MongoV2 {
     c.seedList.lengthCompare(1) > 0 || c.replicaSetName.isDefined ||
       c.readPref != "primary"
 
+  /** Discovery hellos are ALWAYS bounded — `sockettimeoutms`
+    * overrides the 10 s default; unbounded discovery against a
+    * blackholed seed would hang the plan.
+    */
+  def helloTimeout(c: Conf): Int =
+    if (c.soTimeoutMs > 0) c.soTimeoutMs else 10000
+
   /** Conf re-pointed at the discovered PRIMARY and fully RESOLVED
     * (seeds/set-name/read-preference cleared, so every downstream
     * routing decision is a no-op) — the paths that MUST read the
@@ -326,7 +333,7 @@ private[graft] object MongoV2 {
     else {
       val m = graft.sources.Replica.selectPrimary(
         graft.sources.Replica.discover(c.seedList, c.tls,
-          c.replicaSetName))
+          c.replicaSetName, helloTimeout(c)))
       c.copy(host = m.host, port = m.port, seeds = Nil,
         readPref = "primary", readTagSets = Nil,
         replicaSetName = None)
@@ -350,7 +357,7 @@ private[graft] object MongoV2 {
     if (!replicaAware(c)) c
     else {
       val topo = graft.sources.Replica.discover(c.seedList, c.tls,
-        c.replicaSetName)
+        c.replicaSetName, helloTimeout(c))
       val m = graft.sources.Replica.selectForRead(topo, c.readPref,
         0, c.readTagSets)
       c.copy(host = m.host, port = m.port, seeds = Nil,
@@ -368,7 +375,7 @@ private[graft] object MongoV2 {
     if (!replicaAware(c)) Seq.fill(n)((c.host, c.port))
     else {
       val topo = graft.sources.Replica.discover(c.seedList, c.tls,
-        c.replicaSetName)
+        c.replicaSetName, helloTimeout(c))
       (0 until n).map { i =>
         val m = graft.sources.Replica.selectForRead(topo, c.readPref,
           i, c.readTagSets)
@@ -455,6 +462,25 @@ private[graft] object MongoV2 {
         s"graft-mongo: config.chunks doc missing 'shard': $d"))
       (bound(part("min")), bound(part("max")), shard)
     }.sortBy(_._1)
+    // the chunk map must TILE the key space — open start, open end,
+    // no gaps, no overlaps. A gap would SILENTLY DROP its rows from
+    // the scan (each cursor reads only its range); refusing loudly
+    // is the only safe answer to a torn catalog read
+    require(parsed.head._1 == Long.MinValue,
+      s"graft-mongo: chunk map of $ns does not start at MinKey " +
+        s"(first min: ${parsed.head._1}) — torn config.chunks read?")
+    require(parsed.last._2 == Long.MaxValue,
+      s"graft-mongo: chunk map of $ns does not end at MaxKey " +
+        s"(last max: ${parsed.last._2}) — torn config.chunks read?")
+    parsed.sliding(2).foreach {
+      case Seq(a, b) => require(a._2 == b._1,
+        s"graft-mongo: chunk map of $ns has a " +
+          (if (a._2 < b._1) "GAP" else "OVERLAP") +
+          s" between ${a._2} and ${b._1} — a scan would " +
+          (if (a._2 < b._1) "silently drop" else "double") +
+          " those rows; refusing (torn config.chunks read?)")
+      case _ => ()
+    }
     // coalesce ADJACENT same-shard chunks (fewer cursors, still one
     // shard each); clamp to the scan window and drop empties
     val grouped = parsed.foldLeft(

@@ -174,6 +174,30 @@ class ReplicaSpec extends AnyFunSuite {
     } finally rs.close()
   }
 
+  test("a BLACKHOLED seed (accepts, never replies) costs one bounded " +
+      "timeout and lands in the failure list — discovery never hangs " +
+      "the plan") {
+    val df = fixtureDf(5)
+    val rs = InProcessMongod.serveReplicaSet(df, "k", "db", "c", n = 1)
+    // accept-queue only: connects succeed, reads hang forever
+    val blackhole = new java.net.ServerSocket(0)
+    try {
+      val t0 = System.nanoTime()
+      val topo = Replica.discover(Seq(
+        ("127.0.0.1", blackhole.getLocalPort),
+        ("127.0.0.1", rs.primary.port)), helloTimeoutMs = 500)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(topo.members.size == 1)
+      assert(topo.primary.map(_.port).contains(rs.primary.port))
+      assert(elapsedMs < 10000,
+        s"discovery took ${elapsedMs}ms — the blackholed seed must " +
+          "cost one bounded timeout, not a hang")
+    } finally {
+      blackhole.close()
+      rs.close()
+    }
+  }
+
   test("discovery with NO reachable seed is a loud error naming the " +
       "failures") {
     val e = intercept[IllegalArgumentException] {

@@ -296,6 +296,66 @@ class ShardSpec extends AnyFunSuite {
     } finally sc.close()
   }
 
+  test("readpreference against a MONGOS is forwarded, not selected " +
+      "client-side: the scan succeeds (a lone router has no " +
+      "secondaries) and $readPreference rides the cursor commands " +
+      "for the router to route") {
+    val df = fixtureDf(40)
+    val sc = InProcessMongod.serveShardedCluster(df, "k", "db", "c",
+      nShards = 2, nChunks = 4)
+    try {
+      val out = spark.read.format("graft-mongo").schema(df.schema)
+        .option("host", s"127.0.0.1:${sc.mongos.port}")
+        .option("database", "db").option("collection", "c")
+        .option("keyfield", "k")
+        .option("minkey", "0").option("maxkey", "40")
+        .option("numpartitions", "2")
+        .option("readpreference", "secondaryPreferred")
+        .option("readpreferencetags", "nodeType:ANALYTICS;")
+        .load().collect()
+      assert(out.length == 40)
+      val rp = sc.mongos.stats.lastFind.get.v.collectFirst {
+        case ("$readPreference", d: BDoc) => d
+      }
+      assert(rp.exists(_.v.contains(
+        ("mode", BString("secondaryPreferred")))),
+        s"the cursor must FORWARD the mode to the router, got $rp")
+    } finally sc.close()
+  }
+
+  test("a GAP or OVERLAP in the chunk map is a loud refusal — a " +
+      "scan over a torn catalog must never silently drop rows") {
+    // a doctored config catalog: chunks [MinKey,10) and [20,MaxKey)
+    // — the rows with keys in [10,20) belong to NO cursor
+    val uuid = Array.tabulate[Byte](16)(_.toByte)
+    def chunk(i: Long, min: BVal, max: BVal): (Long, Array[Byte]) =
+      (i, Bson.encode(BDoc(Seq(
+        "_id" -> BString(s"c-$i"), "uuid" -> BBinary(4, uuid),
+        "min" -> BDoc(Seq("k" -> min)),
+        "max" -> BDoc(Seq("k" -> max)),
+        "shard" -> BString("sh0")))))
+    val collDoc = IndexedSeq((0L, Bson.encode(BDoc(Seq(
+      "_id" -> BString("db.c"),
+      "key" -> BDoc(Seq("k" -> BInt32(1))),
+      "uuid" -> BBinary(4, uuid))))))
+    val torn = new InProcessMongod("config", Seq(
+      ("collections", "_ck", collDoc),
+      ("chunks", "_ck", IndexedSeq(
+        chunk(0, BMinKey, BInt64(10L)),
+        chunk(1, BInt64(20L), BMaxKey)))), 1000, None)
+    try {
+      val conf = MongoV2.Conf(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of(
+            "host", "127.0.0.1", "port", torn.port.toString,
+            "database", "db", "collection", "c", "keyfield", "k")))
+      val e = intercept[IllegalArgumentException] {
+        MongoV2.chunkRanges(conf, 0L, 100L)
+      }
+      assert(e.getMessage.contains("GAP"))
+    } finally torn.close()
+  }
+
   test("chunkRanges coalesces ADJACENT same-shard chunks and clamps " +
       "to the scan window") {
     val df = fixtureDf(80)
