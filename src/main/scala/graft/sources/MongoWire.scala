@@ -570,7 +570,7 @@ object MongoWire {
                          soTimeoutMs: Int = 0,
                          maxTimeMs: Option[Long] = None,
                          exhaust: Boolean = false,
-                         readPref: Option[String] = None)
+                         readPref: Option[BDoc] = None)
       extends WireCursor(host, port, db, coll, batchSize, compressMode,
         auth, tls, soTimeoutMs, exhaust) {
     protected def firstCommand: BDoc = {
@@ -591,8 +591,7 @@ object MongoWire {
       // the OP_MSG secondaryOk signal: a non-primary mode rides as
       // the $readPreference global argument — without it a secondary
       // refuses the read (13435), per the public server rule
-      readPref.foreach(m => parts += "$readPreference" ->
-        BDoc(Seq("mode" -> BString(m))))
+      readPref.foreach(d => parts += "$readPreference" -> d)
       parts += "$db" -> BString(db)
       BDoc(parts.result())
     }
@@ -612,7 +611,7 @@ object MongoWire {
                               tls: Option[Tls.Conf] = None,
                               soTimeoutMs: Int = 0,
                               maxTimeMs: Option[Long] = None,
-                              readPref: Option[String] = None)
+                              readPref: Option[BDoc] = None)
       extends WireCursor(host, port, db, coll, batchSize, compressMode,
         auth, tls, soTimeoutMs) {
     protected def firstCommand: BDoc = {
@@ -621,8 +620,7 @@ object MongoWire {
       parts += "pipeline" -> BArr(pipeline)
       parts += "cursor" -> BDoc(Seq("batchSize" -> BInt32(batchSize)))
       maxTimeMs.foreach(t => parts += "maxTimeMS" -> BInt64(t))
-      readPref.foreach(m => parts += "$readPreference" ->
-        BDoc(Seq("mode" -> BString(m))))
+      readPref.foreach(d => parts += "$readPreference" -> d)
       parts += "$db" -> BString(db)
       BDoc(parts.result())
     }
@@ -1038,12 +1036,11 @@ object MongoWire {
                 query: Option[BDoc] = None,
                 auth: Option[Scram.Credential] = None,
                 tls: Option[Tls.Conf] = None,
-                readPref: Option[String] = None): Long = {
+                readPref: Option[BDoc] = None): Long = {
     val parts = Seq.newBuilder[(String, BVal)]
     parts += "count" -> BString(coll)
     query.foreach(q => parts += "query" -> q)
-    readPref.foreach(m => parts += "$readPreference" ->
-      BDoc(Seq("mode" -> BString(m))))
+    readPref.foreach(d => parts += "$readPreference" -> d)
     parts += "$db" -> BString(db)
     field(command(host, port, BDoc(parts.result()), auth, tls),
       "n") match {

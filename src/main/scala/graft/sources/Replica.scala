@@ -58,6 +58,25 @@ object Replica {
     if (m == "primary") None else Some(m)
   }
 
+  /** The full `$readPreference` DOCUMENT a cursor command carries:
+    * `{mode}` plus `tags: [...]` when tag sets are declared — the
+    * shape a mongos needs to route across its shards' replica sets
+    * (replica-set members read only the mode; tags select
+    * client-side there). None for `primary`.
+    */
+  def readPrefDoc(mode: String,
+                  tagSets: Seq[Map[String, String]]): Option[BDoc] =
+    readPrefArg(mode).map { m =>
+      val parts = Seq.newBuilder[(String, BVal)]
+      parts += "mode" -> BString(m)
+      if (tagSets.nonEmpty)
+        parts += "tags" -> BArr(tagSets.map(ts =>
+          BDoc(ts.toSeq.sortBy(_._1).map { case (k, v) =>
+            k -> (BString(v): BVal)
+          }): BVal))
+      BDoc(parts.result())
+    }
+
   /** One seed list: `"h1:p1,h2:p2"` (ports inline) or a single bare
     * host whose port arrives separately.
     */

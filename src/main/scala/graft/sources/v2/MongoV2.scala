@@ -383,11 +383,13 @@ private[graft] object MongoV2 {
       }
     }
 
-  /** The `$readPreference` mode partition cursors must carry (None
-    * for primary reads — a bare command IS a primary read).
+  /** The `$readPreference` DOCUMENT partition cursors must carry —
+    * `{mode, tags?}` (None for primary reads: a bare command IS a
+    * primary read). Tags ride along for a mongos to route by; a
+    * replica-set member reads only the mode.
     */
-  def readPrefArg(c: Conf): Option[String] =
-    graft.sources.Replica.readPrefArg(c.readPref)
+  def readPrefArg(c: Conf): Option[BDoc] =
+    graft.sources.Replica.readPrefDoc(c.readPref, c.readTagSets)
 
   /** Chunk-aligned partition ranges for a SHARDED collection
     * (`chunkaligned=true`): reads the cluster's own chunk map —
@@ -1207,7 +1209,7 @@ private[v2] final case class MongoGroupPartition(
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf],
     soTimeoutMs: Int, maxTimeMs: Option[Long],
-    readPref: Option[String] = None)
+    readPref: Option[graft.sources.Bson.BDoc] = None)
   extends InputPartition
 
 private[v2] class MongoGroupReader(p: MongoGroupPartition)
@@ -1311,7 +1313,7 @@ private[v2] final case class MongoAggPartition(
     specs: Seq[MongoV2.AggSpec],
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf],
-    readPref: Option[String] = None)
+    readPref: Option[graft.sources.Bson.BDoc] = None)
   extends InputPartition
 
 private[v2] class MongoAggReader(p: MongoAggPartition)
@@ -1703,7 +1705,7 @@ private[v2] final case class MongoInputPartition(
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf],
     soTimeoutMs: Int, maxTimeMs: Option[Long],
-    exhaust: Boolean, readPref: Option[String] = None)
+    exhaust: Boolean, readPref: Option[graft.sources.Bson.BDoc] = None)
     extends InputPartition
 
 /** The pushed-TABLESAMPLE scan: ONE `aggregate` pipeline
@@ -1781,7 +1783,7 @@ private[v2] final case class MongoSamplePartition(
     auth: Option[graft.sources.Scram.Credential],
     tls: Option[graft.sources.Tls.Conf],
     soTimeoutMs: Int, maxTimeMs: Option[Long],
-    readPref: Option[String] = None)
+    readPref: Option[graft.sources.Bson.BDoc] = None)
   extends InputPartition
 
 private[v2] class MongoSampleReader(p: MongoSamplePartition,

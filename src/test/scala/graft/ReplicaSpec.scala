@@ -74,7 +74,8 @@ class ReplicaSpec extends AnyFunSuite {
       val sec = rs.secondaries.head
       def find(rp: Option[String]) = {
         val cur = new MongoWire.FindCursor("127.0.0.1", sec.port,
-          "db", "c", None, None, None, None, 100, readPref = rp)
+          "db", "c", None, None, None, None, 100,
+          readPref = rp.map(m => BDoc(Seq("mode" -> BString(m)))))
         try cur.toVector finally cur.close()
       }
       val e = intercept[MongoWire.ServerError] { find(None) }
@@ -231,7 +232,8 @@ class ReplicaSpec extends AnyFunSuite {
       // the shared store saw every row exactly once
       val cur = new MongoWire.FindCursor("127.0.0.1",
         rs.primary.port, "db", "c", None, None, None, None, 100,
-        readPref = Some("primaryPreferred"))
+        readPref = Some(BDoc(Seq(
+          "mode" -> BString("primaryPreferred")))))
       try assert(cur.map(_.v.head._2).toVector ==
         (0L until 9L).map(BInt64(_)).toVector)
       finally cur.close()
@@ -304,7 +306,8 @@ class ReplicaSpec extends AnyFunSuite {
         session = Some((lsid, 1L))) == 1L)   // the RECORDED ack
       finally p1.close()
       assert(MongoWire.countDocs("127.0.0.1", next.port, "db", "c",
-        readPref = Some("primaryPreferred")) == 1L,
+        readPref = Some(BDoc(Seq(
+          "mode" -> BString("primaryPreferred"))))) == 1L,
         "the replay must not re-apply")
     } finally rs.close()
   }

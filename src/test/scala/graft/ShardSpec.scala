@@ -320,6 +320,12 @@ class ShardSpec extends AnyFunSuite {
       assert(rp.exists(_.v.contains(
         ("mode", BString("secondaryPreferred")))),
         s"the cursor must FORWARD the mode to the router, got $rp")
+      // tag sets forward too — the router routes by them across its
+      // shards' replica sets (the trailing empty set included)
+      assert(rp.exists(_.v.contains(("tags", BArr(Seq(
+        BDoc(Seq("nodeType" -> BString("ANALYTICS"))),
+        BDoc(Seq())))))),
+        s"the cursor must FORWARD the tag sets to the router, got $rp")
     } finally sc.close()
   }
 
