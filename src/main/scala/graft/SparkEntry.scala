@@ -755,6 +755,48 @@ object SparkEntry {
         out
       } finally sc.close()
     }),
+    // the ROUTING trade as DECLARED DATA (the compress-curve rule):
+    // the same sharded collection scans once chunk-aligned and once
+    // uniform, and the row states the invariants — both planners
+    // return every row (routing is content-transparent), the
+    // chunk-aligned planner never scatter-gathers while the uniform
+    // one does (its key-arithmetic ranges cross chunk boundaries),
+    // and both spread work across every shard. The DuckDB oracle
+    // re-derives n_rows from the table, so the flags are checked
+    // against recomputed truth, not copied constants
+    "mongo_shard_route_curve" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val b = cust.agg(min(col("c_custkey")), max(col("c_custkey")))
+        .head()
+      import s.implicits._
+      val rows = Seq("chunkaligned", "uniform").map { planner =>
+        val sc = graft.sources.InProcessMongod.serveShardedCluster(
+          cust, "c_custkey", "graft", "customer_rc", nShards = 3,
+          nChunks = 6)
+        try {
+          val n = s.read.format("graft-mongo").schema(cust.schema)
+            .option("host", "127.0.0.1")
+            .option("port", sc.mongos.port.toString)
+            .option("database", "graft")
+            .option("collection", "customer_rc")
+            .option("keyfield", "c_custkey")
+            .option("minkey", b.getLong(0).toString)
+            .option("maxkey", (b.getLong(1) + 1).toString)
+            .option("numpartitions", "4")
+            .option("chunkaligned",
+              (planner == "chunkaligned").toString)
+            // collect(), not count(): a count() pushes down as a
+            // complete aggregate and ships NO documents — the meters
+            // would read an empty wire (the compress-curve lesson)
+            .load().collect().length.toLong
+          (planner, n,
+            sc.router.scatterFinds.get == 0L,
+            sc.shards.forall(_.stats.servedDocs.get > 0L))
+        } finally sc.close()
+      }
+      rows.toDF("planner", "n_rows", "all_targeted",
+        "all_shards_served").orderBy("planner")
+    }),
     // failover on the WRITE path: batch 1 lands on the first
     // primary, a step-down elects the other member between writes,
     // and the second write's connections re-discover and land on the
@@ -7736,6 +7778,19 @@ object SparkEntry {
     "mongo_sharded_scan" -> ("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer ORDER BY c_custkey"""),
+    // the routing trade as data: n_rows re-derived from the table
+    // (both planners content-transparent), chunk-aligned never
+    // scatters, uniform does, both spread across all shards
+    "mongo_shard_route_curve" -> ("""
+      SELECT 'chunkaligned' AS planner,
+             (SELECT CAST(count(*) AS BIGINT) FROM customer)
+               AS n_rows,
+             true AS all_targeted, true AS all_shards_served
+      UNION ALL
+      SELECT 'uniform',
+             (SELECT CAST(count(*) AS BIGINT) FROM customer),
+             false, true
+      ORDER BY planner"""),
     // a step-down between the two write halves loses or doubles
     // nothing: the read-back equals the source table
     "mongo_failover_write" -> ("""
