@@ -543,7 +543,8 @@ final class InProcessMongod(db: String,
     * split only for data-path reads.
     */
   private def readView(collName: String, cs: WireFilter.Node,
-                       meterFind: Boolean)
+                       meterFind: Boolean,
+                       rp: Option[BDoc] = None)
       : (Coll, Vector[(Long, Array[Byte])]) =
     mongosRouter match {
       case Some(r) if r.collName == collName =>
@@ -555,7 +556,9 @@ final class InProcessMongod(db: String,
           else r.scatterFinds.incrementAndGet()
         }
         val merged = owners.flatMap { i =>
-          val shard = r.shards(i)
+          // the forwarded $readPreference picks the MEMBER inside
+          // each owning shard's replica set
+          val shard = r.memberFor(i, rp)
           val c = shard.collFor(collName)
           val s = c.snapshot
           val a = c.lowerBound(s, lo)
@@ -571,8 +574,14 @@ final class InProcessMongod(db: String,
         (coll, coll.snapshot)
     }
 
+  /** The command's forwarded `$readPreference` document, if any. */
+  private def cmdReadPref(cmd: BDoc): Option[BDoc] =
+    get(cmd, "$readPreference").collect { case d: BDoc => d }
+
   private def isPrimaryNow: Boolean =
     replicaState.forall(_.primary == meAddr)
+  private[sources] def primaryNow: Boolean = isPrimaryNow
+  private[sources] def tagsNow: Map[String, String] = memberTags
 
   /** Aliases this member's document stores, retryable-write records,
     * and live-session set to `other`'s — the double's "replication":
@@ -697,8 +706,10 @@ final class InProcessMongod(db: String,
         s"filter wants a document: $other")
       case None => WireFilter.AndN(Nil)
     }
-    // mongos mode: the filter's key window picks the owning shards
-    val (coll, snap) = readView(collName, cs, meterFind = true)
+    // mongos mode: the filter's key window picks the owning shards;
+    // the forwarded $readPreference picks the member inside each
+    val (coll, snap) = readView(collName, cs, meterFind = true,
+      rp = cmdReadPref(cmd))
     // index prune on the key field, then full predicate on the window
     val (lo, hi) = WireFilter.keyWindow(cs, coll.keyField)
     val start = coll.lowerBound(snap, lo)
@@ -792,7 +803,7 @@ final class InProcessMongod(db: String,
     }
     val (coll, snap) = readView(collName,
       leadingMatch.getOrElse(WireFilter.AndN(Nil)),
-      meterFind = leadingMatch.isDefined)
+      meterFind = leadingMatch.isDefined, rp = cmdReadPref(cmd))
     val stages = get(cmd, "pipeline") match {
       case Some(BArr(ss)) => ss.map {
         case d: BDoc => d
@@ -1039,7 +1050,7 @@ final class InProcessMongod(db: String,
           case Some(r) if r.collName == collName =>
             keyed.groupBy { case (k, _) => r.ownerOf(k) }.foreach {
               case (i, group) =>
-                r.shards(i).collFor(collName).insert(group)
+                r.memberFor(i, None).collFor(collName).insert(group)
             }
           case _ => coll.insert(keyed)
         }
@@ -1104,7 +1115,8 @@ final class InProcessMongod(db: String,
       case Some(f: BDoc) => WireFilter.parse(f)
       case _ => WireFilter.AndN(Nil)
     }
-    val (coll, snap) = readView(collName, cs, meterFind = false)
+    val (coll, snap) = readView(collName, cs, meterFind = false,
+      rp = cmdReadPref(cmd))
     val (lo, hi) = WireFilter.keyWindow(cs, coll.keyField)
     val start = coll.lowerBound(snap, lo)
     val end = coll.windowEnd(snap, hi)
@@ -1847,9 +1859,12 @@ object InProcessMongod {
     */
   final class ShardRouter(val collName: String, val keyField: String,
                           val chunkBounds: Seq[(Long, Long, Int)],
-                          val shards: IndexedSeq[InProcessMongod]) {
+                          val shardSets: IndexedSeq[Seq[InProcessMongod]]) {
+    /** One representative per shard (the initial primary). */
+    def shards: IndexedSeq[InProcessMongod] = shardSets.map(_.head)
     val targetedFinds = new AtomicLong(0)
     val scatterFinds = new AtomicLong(0)
+    private val rr = new AtomicLong(0)
     /** Distinct shards owning chunks overlapping `[lo, hiExcl)`. */
     def owners(lo: Long, hiExcl: Long): Seq[Int] =
       chunkBounds.filter(c => c._1 < hiExcl && lo < c._2)
@@ -1859,6 +1874,39 @@ object InProcessMongod {
         .getOrElse(throw new IllegalArgumentException(
           s"no chunk of $collName owns key $k " +
             s"(chunks: ${chunkBounds.mkString(", ")})"))
+
+    /** The MEMBER of shard `i` that serves a read carrying `rp` —
+      * the real mongos forwards the client's `$readPreference` to
+      * each owning shard's replica set, whose own selection (mode +
+      * tag sets, the same public rules the client applies to a bare
+      * replica set) picks the member. A single-member shard under
+      * `mode: secondary` is the real cluster's loud
+      * no-eligible-member error.
+      */
+    private[sources] def memberFor(i: Int, rp: Option[BDoc])
+        : InProcessMongod = {
+      val members = shardSets(i)
+      if (members.lengthCompare(1) == 0 && rp.isEmpty) members.head
+      else {
+        val mode = rp.flatMap(_.v.collectFirst {
+          case ("mode", BString(m)) => m
+        }).getOrElse("primary")
+        val tagSets = rp.flatMap(_.v.collectFirst {
+          case ("tags", BArr(ts)) => ts.collect {
+            case d: BDoc => d.v.collect {
+              case (k, BString(v)) => (k, v)
+            }.toMap
+          }
+        }).getOrElse(Seq.empty)
+        val topo = Replica.Topology(None, members.map(m =>
+          Replica.Member("127.0.0.1", m.port,
+            primary = m.primaryNow, secondary = !m.primaryNow,
+            rttNanos = 0L, tags = m.tagsNow)))
+        val sel = Replica.selectForRead(topo, mode,
+          rr.getAndIncrement().toInt, tagSets)
+        members.find(_.port == sel.port).get
+      }
+    }
   }
 
   /** A served sharded cluster: one mongos fronting n shard stores
@@ -1869,9 +1917,11 @@ object InProcessMongod {
                              val router: ShardRouter)
       extends AutoCloseable {
     def shards: IndexedSeq[InProcessMongod] = router.shards
+    /** All members of every shard (each shard may be a replica set). */
+    def shardSets: IndexedSeq[Seq[InProcessMongod]] = router.shardSets
     override def close(): Unit = {
       mongos.close()
-      shards.foreach(_.close())
+      shardSets.flatten.foreach(_.close())
     }
   }
 
@@ -1887,10 +1937,13 @@ object InProcessMongod {
     */
   def serveShardedCluster(df: org.apache.spark.sql.DataFrame,
                           keyField: String, db: String, coll: String,
-                          nShards: Int = 3, nChunks: Int = 6)
+                          nShards: Int = 3, nChunks: Int = 6,
+                          membersPerShard: Int = 1)
       : ShardedCluster = {
     require(nShards >= 1 && nChunks >= nShards,
       s"want nChunks >= nShards >= 1, got $nChunks/$nShards")
+    require(membersPerShard >= 1,
+      s"membersPerShard >= 1, got $membersPerShard")
     val docs = encodeDf(df, keyField).sortBy(_._1)
     require(docs.nonEmpty, "serveShardedCluster wants rows")
     // geometric chunk sizes (chunk i+1 ≈ 2× chunk i), boundaries at
@@ -1907,10 +1960,27 @@ object InProcessMongod {
     def ownerOf(k: Long): Int =
       bounds.find(c => c._1 <= k && k < c._2).get._3
     val byShard = docs.groupBy(d => ownerOf(d._1))
-    val shards = (0 until nShards).map { s =>
-      new InProcessMongod(db, Seq((coll, keyField,
-        byShard.getOrElse(s, IndexedSeq.empty))), 1000,
-        None, None, None)
+    // each shard is a single server, or — membersPerShard > 1 — a
+    // replica SET over one shared store (the production topology:
+    // a sharded cluster of replica sets; the forwarded
+    // $readPreference routes INSIDE each shard)
+    val shardSets = (0 until nShards).map { s =>
+      val mine = byShard.getOrElse(s, IndexedSeq.empty)
+      if (membersPerShard == 1)
+        Seq(new InProcessMongod(db, Seq((coll, keyField, mine)),
+          1000, None, None, None))
+      else {
+        val state = new ReplicaSetState(s"shard$s")
+        val members = (0 until membersPerShard).map { i =>
+          val m = new InProcessMongod(db, Seq((coll, keyField,
+            if (i == 0) mine else IndexedSeq.empty)), 1000,
+            None, None, None)
+          m.joinReplicaSet(state)
+          m
+        }
+        members.tail.foreach(_.shareStoresFrom(members.head))
+        members
+      }
     }
     // deterministic collection uuid: md5 of the namespace
     val uuid = java.security.MessageDigest.getInstance("MD5")
@@ -1930,10 +2000,11 @@ object InProcessMongod {
       "_id" -> BString(s"$db.$coll"),
       "key" -> BDoc(Seq(keyField -> BInt32(1))),
       "uuid" -> BBinary(4, uuid))))))
-    val shardDocs = shards.zipWithIndex.map { case (sh, s) =>
+    val shardDocs = shardSets.zipWithIndex.map { case (members, s) =>
       (s.toLong, Bson.encode(BDoc(Seq(
         "_id" -> BString(s"sh$s"),
-        "host" -> BString(s"sh$s/127.0.0.1:${sh.port}")))))
+        "host" -> BString(s"sh$s/" +
+          members.map(m => s"127.0.0.1:${m.port}").mkString(","))))))
     }.toIndexedSeq
     val mongos = new InProcessMongod(db, Seq(
       (coll, keyField, IndexedSeq.empty),   // data lives on shards
@@ -1941,7 +2012,7 @@ object InProcessMongod {
       ("chunks", "_ck", chunkDocs),
       ("shards", "_ck", shardDocs)), 1000, None, None, None)
     mongos.enableMongos(new ShardRouter(coll, keyField, bounds,
-      shards.toIndexedSeq))
+      shardSets.toIndexedSeq))
     new ShardedCluster(mongos, mongos.mongosRouter.get)
   }
 }

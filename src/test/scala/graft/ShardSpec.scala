@@ -362,6 +362,64 @@ class ShardSpec extends AnyFunSuite {
     } finally torn.close()
   }
 
+  test("the PRODUCTION topology end to end — a sharded cluster of " +
+      "REPLICA SETS: the forwarded $readPreference routes INSIDE " +
+      "each shard, so a secondary+tags scan lands only on each " +
+      "shard's ANALYTICS member while every shard primary serves " +
+      "zero documents") {
+    val df = fixtureDf(120)
+    val sc = InProcessMongod.serveShardedCluster(df, "k", "db", "c",
+      nShards = 2, nChunks = 4, membersPerShard = 3)
+    try {
+      // per shard: members.head is the initial primary; tag ONE
+      // secondary as the analytics node
+      val analytics = sc.shardSets.map { members =>
+        val ana = members(1)
+        ana.setMemberTags(Map("nodeType" -> "ANALYTICS"))
+        members(2).setMemberTags(Map("dc" -> "west"))
+        ana
+      }
+      val out = spark.read.format("graft-mongo").schema(df.schema)
+        .option("host", s"127.0.0.1:${sc.mongos.port}")
+        .option("database", "db").option("collection", "c")
+        .option("keyfield", "k")
+        .option("minkey", "0").option("maxkey", "120")
+        .option("chunkaligned", "true")
+        .option("readpreference", "secondary")
+        .option("readpreferencetags", "nodeType:ANALYTICS")
+        .load().collect()
+      assert(out.length == 120)
+      assert(out.map(_.getLong(0)).sorted.toSeq == (0L until 120L))
+      assert(sc.router.scatterFinds.get == 0L)
+      sc.shardSets.zip(analytics).foreach { case (members, ana) =>
+        assert(members.head.stats.servedDocs.get == 0L,
+          s"shard primary ${members.head.meAddr} must serve zero " +
+            "under the forwarded secondary preference")
+        assert(ana.stats.servedDocs.get > 0L,
+          s"the ANALYTICS member ${ana.meAddr} must serve its " +
+            "shard's documents")
+        assert(members(2).stats.servedDocs.get == 0L,
+          "the non-matching secondary must serve zero (tag sets " +
+            "route inside the shard too)")
+      }
+      // mode secondary with NO matching tag on a shard: loud
+      val e = intercept[Exception] {
+        spark.read.format("graft-mongo").schema(df.schema)
+          .option("host", s"127.0.0.1:${sc.mongos.port}")
+          .option("database", "db").option("collection", "c")
+          .option("keyfield", "k")
+          .option("minkey", "0").option("maxkey", "120")
+          .option("chunkaligned", "true")
+          .option("readpreference", "secondary")
+          .option("readpreferencetags", "nodeType:NOSUCH")
+          .load().collect()
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf(_)).mkString(" | ")
+      assert(chain.contains("NOSUCH"))
+    } finally sc.close()
+  }
+
   test("chunkRanges coalesces ADJACENT same-shard chunks and clamps " +
       "to the scan window") {
     val df = fixtureDf(80)
