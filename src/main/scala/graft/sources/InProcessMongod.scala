@@ -1498,6 +1498,10 @@ final class InProcessMongod(db: String,
     */
   private def serve(sock: Socket): Unit = {
     try {
+      // mirror the client: no Nagle on a request/response wire (a
+      // header-then-body reply pair otherwise waits out the client's
+      // delayed ACK between segments)
+      sock.setTcpNoDelay(true)
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
       val conn = new ConnAuth
@@ -1561,13 +1565,17 @@ final class InProcessMongod(db: String,
           stats.getMoreFrames.incrementAndGet()
 
         def writeReply(body: Array[Byte], replyFlags: Int): Unit = {
+          // ONE write per reply (header + payload in a single buffer):
+          // separate writes are separate segments, and header-then-body
+          // under Nagle waits out the client's delayed ACK between them
           reqCompressor match {
             case None =>
-              val hdr = ByteBuffer.allocate(21)
+              val msg = ByteBuffer.allocate(21 + body.length)
                 .order(ByteOrder.LITTLE_ENDIAN)
-              hdr.putInt(16 + 5 + body.length).putInt(0).putInt(reqId)
+              msg.putInt(16 + 5 + body.length).putInt(0).putInt(reqId)
                 .putInt(2013).putInt(replyFlags).put(0.toByte)
-              out.write(hdr.array()); out.write(body)
+                .put(body)
+              out.write(msg.array())
               stats.wireBytesOut.addAndGet(21L + body.length)
             case Some(cid) =>
               val section = ByteBuffer.allocate(5 + body.length)
@@ -1575,12 +1583,13 @@ final class InProcessMongod(db: String,
               section.putInt(replyFlags).put(0.toByte).put(body)
               val packed =
                 MongoWire.WireCompress.pack(cid, section.array())
-              val hdr = ByteBuffer.allocate(25)
+              val msg = ByteBuffer.allocate(25 + packed.length)
                 .order(ByteOrder.LITTLE_ENDIAN)
-              hdr.putInt(16 + 9 + packed.length).putInt(0).putInt(reqId)
+              msg.putInt(16 + 9 + packed.length).putInt(0).putInt(reqId)
                 .putInt(2012).putInt(2013).putInt(section.capacity())
                 .put(cid)
-              out.write(hdr.array()); out.write(packed)
+                .put(packed)
+              out.write(msg.array())
               stats.wireBytesOut.addAndGet(25L + packed.length)
           }
           out.flush()

@@ -62,6 +62,10 @@ object MongoWire {
       s.connect(new java.net.InetSocketAddress(host, port),
         math.max(connectTimeoutMs, 0))
       if (soTimeoutMs > 0) s.setSoTimeout(soTimeoutMs)
+      // request/response protocol: Nagle + delayed-ACK stalls every
+      // round trip (~40 ms each on Linux loopback/LAN) — the public
+      // drivers all disable it
+      s.setTcpNoDelay(true)
       s
     case Some(c) =>
       Tls.clientSocket(host, port, c, soTimeoutMs, connectTimeoutMs)
@@ -191,15 +195,21 @@ object MongoWire {
     val seq = docSeq.map { case (ident, docs) =>
       kind1Section(ident, docs)
     }.getOrElse(Array.emptyByteArray)
-    val out = new DataOutputStream(sock.getOutputStream)
+    val out = sock.getOutputStream
+    // ONE write per message: header and payload in a single buffer —
+    // separate small write()s are separate TCP segments, and a
+    // header-then-body pair under Nagle waits out the peer's delayed
+    // ACK between them (one syscall is also simply cheaper)
     compress match {
       case None =>
         val total = 16 + 4 + 1 + body.length + seq.length
-        val hdr = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
-        hdr.putInt(total).putInt(requestId).putInt(0).putInt(OpMsg)
+        val msg = ByteBuffer.allocate(total)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        msg.putInt(total).putInt(requestId).putInt(0).putInt(OpMsg)
           .putInt(flagBits)
           .put(0.toByte)        // section kind 0
-        out.write(hdr.array()); out.write(body); out.write(seq)
+          .put(body).put(seq)
+        out.write(msg.array())
       case Some(cid) =>
         // section payload = flagBits + kind-0 section + kind-1 sections
         val section = ByteBuffer.allocate(5 + body.length + seq.length)
@@ -207,12 +217,14 @@ object MongoWire {
         section.putInt(flagBits).put(0.toByte).put(body).put(seq)
         val packed = WireCompress.pack(cid, section.array())
         val total = 16 + 4 + 4 + 1 + packed.length
-        val hdr = ByteBuffer.allocate(25).order(ByteOrder.LITTLE_ENDIAN)
-        hdr.putInt(total).putInt(requestId).putInt(0).putInt(OpCompressed)
+        val msg = ByteBuffer.allocate(total)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        msg.putInt(total).putInt(requestId).putInt(0).putInt(OpCompressed)
           .putInt(OpMsg)                      // originalOpcode
           .putInt(section.capacity())         // uncompressedSize
           .put(cid)
-        out.write(hdr.array()); out.write(packed)
+          .put(packed)
+        out.write(msg.array())
     }
     out.flush()
   }

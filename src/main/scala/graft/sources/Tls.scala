@@ -123,6 +123,9 @@ object Tls {
     val plain = new java.net.Socket()
     plain.connect(new java.net.InetSocketAddress(host, port),
       math.max(connectTimeoutMs, 0))
+    // request/response protocol: Nagle + delayed-ACK stalls every
+    // round trip (handshake legs included) — the drivers disable it
+    plain.setTcpNoDelay(true)
     val sock = clientContext(conf).getSocketFactory
       .createSocket(plain, host, port, true).asInstanceOf[SSLSocket]
     try {
