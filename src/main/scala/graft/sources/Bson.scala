@@ -28,6 +28,30 @@ import org.apache.spark.sql.types._
   */
 object Bson {
 
+  /** Lowercase hex render via a lookup table. The obvious
+    * `bytes.map(b => f"$b%02x").mkString` allocates a
+    * `java.util.Formatter` per BYTE (~10 µs each) — measured at ~4 s
+    * for one 20k-key `$sample` sort in the double; this is the same
+    * string in ~10 ns/byte. Used for every ObjectId/UUID render on
+    * the decode hot path.
+    */
+  private[graft] val HexChars = "0123456789abcdef".toCharArray
+  private[graft] def hexString(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+  private[graft] def hexByte(b: Byte): String = {
+    val x = b & 0xff
+    new String(Array(HexChars(x >>> 4), HexChars(x & 0xf)))
+  }
+
   sealed trait BVal
   final case class BDouble(v: Double) extends BVal
   final case class BString(v: String) extends BVal
@@ -148,12 +172,12 @@ object Bson {
         "$date" -> BDoc(Seq("$numberLong" -> BString(ms.toString))))))
     case BObjectId(x) =>
       appendVariant(b, BDoc(Seq(
-        "$oid" -> BString(x.map(bb => f"$bb%02x").mkString))))
+        "$oid" -> BString(hexString(x)))))
     case BBinary(sub, x) =>
       appendVariant(b, BDoc(Seq("$binary" -> BDoc(Seq(
         "base64" -> BString(
           java.util.Base64.getEncoder.encodeToString(x)),
-        "subType" -> BString(f"$sub%02x"))))))
+        "subType" -> BString(hexByte(sub)))))))
     case BArr(xs) =>
       val start = b.getWritePos
       val offsets = new java.util.ArrayList[Integer](xs.size)
@@ -206,11 +230,11 @@ object Bson {
     case BDateTime(ms) =>
       "{\"$date\":{\"$numberLong\":\"" + ms + "\"}}"
     case BObjectId(x) =>
-      "{\"$oid\":\"" + x.map(b => f"$b%02x").mkString + "\"}"
+      "{\"$oid\":\"" + hexString(x) + "\"}"
     case BBinary(sub, x) =>
       "{\"$binary\":{\"base64\":\"" +
         java.util.Base64.getEncoder.encodeToString(x) +
-        "\",\"subType\":\"" + f"$sub%02x" + "\"}}"
+        "\",\"subType\":\"" + hexByte(sub) + "\"}}"
     case BArr(xs) => xs.map(relaxedJson).mkString("[", ",", "]")
     case BDoc(kvs) => kvs.map { case (k, x) =>
       jsonQuote(k) + ":" + relaxedJson(x)
@@ -606,7 +630,7 @@ object Bson {
             x.setScale(dt.scale)
           // the reference renders ObjectId as its 24-char hex string
           case (StringType, BObjectId(x)) =>
-            x.map(b => f"$b%02x").mkString
+            hexString(x)
           case (TimestampType, BDateTime(ms)) =>
             new java.sql.Timestamp(ms)
           case (ArrayType(FloatType, _), BArr(xs)) =>

@@ -84,7 +84,7 @@ object Scram {
     def hiInput(user: String, password: String): String = {
       val md5 = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$user:mongo:$password".getBytes(UTF_8))
-      md5.map(b => f"$b%02x").mkString
+      Bson.hexString(md5)
     }
   }
 

@@ -793,7 +793,7 @@ private[graft] object MongoV2 {
       case (FloatType, BDouble(x)) => x.toFloat
       case (StringType, BString(x)) => UTF8String.fromString(x)
       case (StringType, BObjectId(x)) =>
-        UTF8String.fromString(x.map(b => f"$b%02x").mkString)
+        UTF8String.fromString(Bson.hexString(x))
       case (BooleanType, BBool(x)) => x
       case (BinaryType, BBinary(_, x)) => x
       case (dt: DecimalType, BDecimal128(x)) =>
