@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 executor threads share this one heap (local mode); 8g starved
   // the 55-query bench into GC pauses on the self-join-heavy queries
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // pre-commit a working-set-sized heap: growing from the 512 MB
+  // default to multi-GB mid-query charged whole-heap expansion pauses
+  // to the FIRST run of every allocation-heavy query (percentile
+  // buffers measured 45 s cold / 6 s warm on an otherwise calm box)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "8g")}",
 )

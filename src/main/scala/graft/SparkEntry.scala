@@ -278,12 +278,18 @@ object SparkEntry {
       // noop-sink bench exposed that shape at 34.7 s; the array form
       // reads one sorted buffer, and fusing the ex + bounds arms
       // drops a whole second scan/buffer pass)
+      // distinct-value pre-aggregation + frequency-weighted
+      // percentile: same counts map in the aggregate buffer, one
+      // insert per DISTINCT value instead of per row — see
+      // Profiler.numericQuantiles (r18 optimization; bit-identical)
       val exb = Profiler.flattenLean(li).filter(col("vnum").isNotNull)
+        .groupBy("path", "vnum").agg(count(lit(1)).as("freq"))
         .groupBy("path").agg(
           percentile(col("vnum"), array(
             lit(0.25), lit(0.5), lit(0.75),
             lit(0.20), lit(0.30), lit(0.45),
-            lit(0.55), lit(0.70), lit(0.80))).as("ps"))
+            lit(0.55), lit(0.70), lit(0.80)),
+            col("freq")).as("ps"))
         .select(col("path"),
           round(element_at(col("ps"), 1), 6).as("p25"),
           round(element_at(col("ps"), 2), 6).as("p50"),

@@ -306,10 +306,21 @@ object Profiler {
     // noop-sink bench: the stacked-scalar shape dominated
     // profile_quantiles_approx at 34.7 s; same values to the bit,
     // since each cut reads the same sorted buffer).
+    // (path, value) counts FIRST (whole-stage-codegen hash aggregate,
+    // map-side partials), then percentile over DISTINCT values with
+    // the count as frequency: the percentile buffer — a boxed
+    // value→count map built one insert per input row — receives one
+    // insert per distinct value instead. Bit-identical result (the
+    // final counts map is the same map), but the heap churn drops
+    // from O(rows) boxed inserts to O(distinct): the row-fed shape
+    // measured 45 s first-run / 6 s warm on the 4.8M-leaf lineitem
+    // flatten purely from allocation pressure (guide §2.3/§5).
     flattenLean(df).filter(col("vnum").isNotNull)
+      .groupBy("path", "vnum").agg(count(lit(1)).as("freq"))
       .groupBy("path").agg(
         percentile(col("vnum"),
-          array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+          array(lit(0.25), lit(0.5), lit(0.75)),
+          col("freq")).as("ps"))
       .select(col("path"),
         round(element_at(col("ps"), 1), 6).as("p25"),
         round(element_at(col("ps"), 2), 6).as("p50"),
