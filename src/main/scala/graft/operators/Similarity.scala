@@ -164,9 +164,24 @@ object Similarity {
     * it shares a bucket in ANY table — recall grows with tables, bucket
     * selectivity with planesPerTable). Emits one (table, bucket) struct
     * per table.
+    *
+    * One compiled [[graft.functions.LshTables]] expression, NOT the
+    * [[lshBucket]] composition over tables × planes [[dot]] nodes: that
+    * tree codegen'd into a single ~28 KB-bytecode method — past
+    * HotSpot's 8 KB JIT refusal, so the hottest projection of every
+    * LSH operator ran interpreted (r19; bit-equivalence pinned by
+    * LshTablesEquivalenceSpec against [[lshTablesComposed]]).
     */
   def lshTables(vec: Column, tables: Int, planesPerTable: Int,
                 dim: Int): Column =
+    graft.functions.LshTables.lshTables(vec, tables, planesPerTable, dim)
+
+  /** The original expression composition [[lshTables]] replaced —
+    * kept as the equivalence-spec reference, never on a hot path.
+    */
+  private[graft] def lshTablesComposed(vec: Column, tables: Int,
+                                       planesPerTable: Int,
+                                       dim: Int): Column =
     array((0 until tables).map { t =>
       val planes = hyperplanes((t + 1) * planesPerTable, dim)
         .drop(t * planesPerTable)
@@ -503,18 +518,22 @@ object Similarity {
                         vecCol: String = "embedding",
                         dim: Int = 64): DataFrame = {
     require(planesKnobs.nonEmpty)
-    val entries = array(planesKnobs.flatMap { p =>
-      (0 until tables).map { t =>
-        val planes = hyperplanes((t + 1) * p, dim).drop(t * p)
-        struct(lit(p.toLong).as("planes"), lit(t).as("tbl"),
-          lshBucket(col(vecCol), planes).as("bucket"))
-      }
+    // one compiled LshTables call per knob (same global plane indices
+    // as before — arm p IS embeddingNearDups-at-p's bucket set), then
+    // two cheap explodes; the former per-(knob, table) lshBucket
+    // composition was a 4-knob × 8-table × planes dot tree that
+    // codegen'd past the JIT's method-size limit (see lshTables)
+    val entries = array(planesKnobs.map { p =>
+      struct(lit(p.toLong).as("planes"),
+        lshTables(col(vecCol), tables, p, dim).as("tbs"))
     }: _*)
     val v = graft.util.Utils.spread(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         explode(entries).as("e"))
-      .select(col("id"), col("vec"),
-        col("e.planes"), col("e.tbl"), col("e.bucket"))
+      .select(col("id"), col("vec"), col("e.planes").as("planes"),
+        explode(col("e.tbs")).as("tb"))
+      .select(col("id"), col("vec"), col("planes"),
+        col("tb.tbl"), col("tb.bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)   // both sides of self-join
     val l = v.select(col("planes"), col("tbl"), col("bucket"),
       col("id").as("id1"), col("vec").as("v1"))
@@ -1222,18 +1241,18 @@ object Similarity {
         }
       }
     // per-row (subspace, current-code, slice) against the current
-    // books — the assign step of every subspace fused into one scan
+    // books — the assign step of every subspace fused into one scan.
+    // One compiled PqCodes argmin, NOT the array_min(struct(sqDist))
+    // composition: that tree codegen'd into a ~31 KB-bytecode method —
+    // past HotSpot's 8 KB JIT refusal, so every Lloyd assign pass ran
+    // interpreted (r19; equivalence pinned by PqCodesEquivalenceSpec)
     def assignAll(bks: Array[Array[(Int, Array[Long])]]) =
-      micro.select(explode(array((0 until m).map { j =>
-          val s = slice(col("u"), j * sub + 1, sub)
-          struct(lit(j).as("j"),
-            array_min(array(bks(j).map { case (cid, c) =>
-              struct(sqDistTo(s, c).as("d"), lit(cid).as("cid"))
-            }: _*)).getField("cid").as("code"),
-            s.as("s"))
-        }: _*)).as("e"))
-        .select(col("e.j").as("j"), col("e.code").as("code"),
-          posexplode(col("e.s")).as(Seq("pos", "v")))
+      micro.select(col("u"),
+          posexplode(graft.functions.PqCodes.pqCodes(col("u"), bks, sub))
+            .as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("u"), col("j") * lit(sub) + lit(1),
+            lit(sub))).as(Seq("pos", "v")))
     for (_ <- 1 until iters) {
       // exact integer-micro mean per (subspace, surviving cluster):
       // m·k·sub longs back to the driver per round (kmeansFitMicro's
@@ -1284,18 +1303,14 @@ object Similarity {
         lit(0L).as("rank")).limit(0)
     }
     // encode: per (vector, subspace) the argmin (d², cid) over the
-    // literal codebook — row-local, whole-stage-codegen'd, no shuffle
-    // until the ADC join
-    def subCode(u: Column, j: Int): Column = {
-      val s = slice(u, j * sub + 1, sub)
-      array_min(array(books(j).map { case (cid, c) =>
-        struct(sqDistTo(s, c).as("d"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
-    }
+    // literal codebook — row-local, no shuffle until the ADC join.
+    // One compiled PqCodes expression (see trainSubspaceBooks: the
+    // old per-subspace array_min(struct(sqDist)) tree blew the JIT's
+    // 8 KB method limit and ran interpreted)
     val codes = graft.util.Utils.spread(corpus)
       .select(col(idCol).as("id"), microU.as("u"))
-      .select(col("id"), posexplode(array(
-        (0 until m).map(j => subCode(col("u"), j)): _*))
+      .select(col("id"), posexplode(
+        graft.functions.PqCodes.pqCodes(col("u"), books, sub))
         .as(Seq("j", "code")))
     // query ADC tables: m × codebookSize integer-micro² distances per
     // query, computed row-locally against the same literals
@@ -1484,16 +1499,11 @@ object Similarity {
         lit(0L).as("rank")).limit(0)
     }
     // encode: per (vector, subspace) the argmin (d², cid) over the
-    // literal trained books — row-local, no shuffle past routing
-    def subCode(u: Column, j: Int): Column = {
-      val s = slice(u, j * sub + 1, sub)
-      array_min(array(books(j).map { case (cid, c) =>
-        struct(sqDistTo(s, c).as("d"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
-    }
+    // literal trained books — row-local, no shuffle past routing.
+    // One compiled PqCodes expression (see trainSubspaceBooks)
     val codes = routed
-      .select(col("id"), col("ccid"), posexplode(array(
-        (0 until m).map(j => subCode(col("ru"), j)): _*))
+      .select(col("id"), col("ccid"), posexplode(
+        graft.functions.PqCodes.pqCodes(col("ru"), books, sub))
         .as(Seq("j", "code")))
     // queries: nprobe nearest lists; per probed list the query's
     // residual builds the ADC table against the trained books
