@@ -1082,7 +1082,7 @@ object Dedup {
   def repeatedSpans(df: DataFrame, n: Int = 8, minDocs: Int = 2,
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
-    val perDoc = df
+    val perDoc = graft.util.Utils.spread(df)
       .select(col(idCol).as("doc_id"),
         posexplode(shingles(col(textCol), n)).as(Seq("pos", "span")))
       .groupBy(col("doc_id"), md5(col("span")).as("span_hash"))
@@ -1122,7 +1122,10 @@ object Dedup {
   def duplicateRegions(df: DataFrame, n: Int = 8, minDocs: Int = 2,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    val wins = df
+    // spread() for the same reason as duplicateRegionsBytes: the
+    // shingle explode + per-window md5 otherwise runs on the scan's
+    // single local task, once per census consumer
+    val wins = graft.util.Utils.spread(df)
       .select(col(idCol).as("doc_id"),
         posexplode(shingles(col(textCol), n)).as(Seq("pos", "span")))
       .select(col("doc_id"), col("pos"),
@@ -1188,7 +1191,12 @@ object Dedup {
       .otherwise(array().cast("array<int>"))
     val spans = transform(idx,
       p => col(textCol).substr(p + lit(1), lit(minChars)))
-    val wins = df
+    // spread(): the O(chars) window explode + O(minChars) md5 per
+    // position is this row's CPU and a single-file local scan runs it
+    // on ONE task — twice (census + semi-join consumers; r19 event
+    // log: two 1-task stages of 1.7 s / 1.2 s). No-op on real
+    // multi-split scans (the flattenLean precedent).
+    val wins = graft.util.Utils.spread(df)
       .select(col(idCol).as("doc_id"),
         posexplode(spans).as(Seq("pos", "span")))
       .select(col("doc_id"), col("pos"),
@@ -1213,7 +1221,7 @@ object Dedup {
                               minDocs: Int = 2,
                               textCol: String = "text",
                               idCol: String = "doc_id"): DataFrame = {
-    val wins = df
+    val wins = graft.util.Utils.spread(df)
       .select(col(idCol).as("doc_id"),
         posexplode(graft.functions.RollingHash
           .rollingWindowHash(col(textCol), minChars))
@@ -1282,7 +1290,7 @@ object Dedup {
       else duplicateRegionsBytes(df, minChars, minDocs, textCol, idCol))
         .select(col("doc_id").as("r_doc"), col("start_char"),
           col("end_char"))
-    val chars = df
+    val chars = graft.util.Utils.spread(df)
       .filter(char_length(col(textCol)) > 0)
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "")).as(Seq("pos", "ch")))
@@ -1328,8 +1336,9 @@ object Dedup {
     val regions = duplicateRegions(df, n, minDocs, textCol, idCol)
       .select(col("doc_id").as("r_doc"), col("start_pos"),
         col("end_pos"))
-    val toks = df.select(col(idCol).as("doc_id"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val toks = graft.util.Utils.spread(df)
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
     val kept = toks.join(regions,
       toks("doc_id") === regions("r_doc") &&
         col("pos") >= col("start_pos") &&
