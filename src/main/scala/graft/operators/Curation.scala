@@ -197,8 +197,12 @@ object Curation {
                       stratumCol: String = "source"): DataFrame = {
     val q6 = floor(TextAnalysis.qualityScore(col(textCol)) * 1e6 + 0.5)
       .cast("long")
-    val scored = docs.select(col(idCol).as("doc_id"),
-      col(stratumCol).as("source"), q6.as("q6"))
+    // spread(): qualityScore tokenizes + regex-scans every document
+    // and `scored` feeds two consumers (threshold agg + filter), both
+    // otherwise at the local scan's single-task parallelism (r19)
+    val scored = graft.util.Utils.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        col(stratumCol).as("source"), q6.as("q6"))
     val threshold = scored.agg(
       round(percentile(col("q6"), lit(q)), 6).as("thr"))
     scored.crossJoin(broadcast(threshold))

@@ -199,6 +199,10 @@ object Dedup {
     */
   private def docGrams(d: DataFrame, textCol: String, idCol: String,
                        n: Int): DataFrame =
+    // NO spread(): A/B-probed in r19 — the compiled WordShingles
+    // explode is ~0.17 s warm either way at sf0.1, so the round-robin
+    // buys nothing measurable here (unlike the md5/substr window
+    // explodes of the ExactSubstr family)
     d.select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol), n))).as("g"))
 

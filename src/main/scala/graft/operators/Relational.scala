@@ -702,7 +702,11 @@ object Relational {
         col("l_linestatus").asc_nulls_first)
 
   def cubeAgg(s: SparkSession, dir: String): DataFrame =
-    li(s, dir)
+    // spread(): the cube expand + decimal partial agg otherwise runs
+    // at the local single-file scan's 3-task parallelism (r19)
+    graft.util.Utils.spread(li(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice")))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_extendedprice").cast(dec)).cast("double")
         .as("sum_price"),

@@ -301,7 +301,11 @@ object TextAnalysis {
     val s0 = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
     val s = when(s0 === "", lit(""))
       .otherwise(concat(lit(" "), s0, lit(" ")))
-    df.select(col(langCol).as("lang"), s.as("s"))
+    // spread(): the per-character trigram explode below otherwise
+    // runs on the scan's single local task (r19 event log: 1.8 s
+    // 1-task stage); no-op on real multi-split scans
+    graft.util.Utils.spread(df)
+      .select(col(langCol).as("lang"), s.as("s"))
       .filter(length(col("s")) >= 3)
       .select(col("lang"), col("s"),
         explode(sequence(lit(1), length(col("s")) - 2)).as("i"))
@@ -332,7 +336,8 @@ object TextAnalysis {
       .map { case (lang, rows) =>
         lang -> rows.sortBy(_.getInt(2)).map(_.getString(1)).toSeq
       }.sortBy(_._1)
-    df.withColumn("lang_pred",
+    // spread the scoring pass too: row-local but per-character work
+    graft.util.Utils.spread(df).withColumn("lang_pred",
       graft.functions.LangIdCT.langIdCT(col(textCol), profiles,
         k = k, m = depth))
   }
